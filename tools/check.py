@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check.py <outDir> <sfDir> [query ...]
+
+Reads each <outDir>/<name> parquet (Spark output) and runs the matching
+oracle SQL from <outDir>/oracle_sql.json in DuckDB with tables registered
+as views over <sfDir>/*.parquet. Sorts columns by name, sorts rows, and
+compares cell-by-cell. Prints PASS/FAIL per query.
+"""
+import glob
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(rows, cols):
+    # sort columns by name, then rows by stringified tuple
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=lambda t: tuple(str(x) for x in t))
+    return [cols[i] for i in order], out
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d) or (only and name not in only):
+            continue
+        files = sorted(glob.glob(os.path.join(d, "*.parquet")))
+        if not files:
+            print(f"[FAIL] {name}: no parquet output")
+            n_fail += 1
+            continue
+        rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
+        scols, srows = canon(rel.fetchall(), list(rel.columns))
+        if name not in oracle:
+            print(f"[skip] {name}: no oracle ({len(srows)} rows)")
+            n_skip += 1
+            continue
+        try:
+            orel = con.sql(oracle[name])
+            ocols, orows = canon(orel.fetchall(), list(orel.columns))
+        except Exception as e:
+            print(f"[FAIL] {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        if scols != ocols:
+            print(f"[FAIL] {name}: columns {scols} != oracle {ocols}")
+            n_fail += 1
+            continue
+        if len(srows) != len(orows):
+            print(f"[FAIL] {name}: {len(srows)} rows != oracle {len(orows)}")
+            n_fail += 1
+            continue
+        bad = [(a, b) for a, b in zip(srows, orows) if a != b]
+        if bad:
+            print(f"[FAIL] {name}: {len(bad)}/{len(srows)} rows differ; first: spark={bad[0][0]} oracle={bad[0][1]}")
+            n_fail += 1
+        else:
+            print(f"[PASS] {name}: {len(srows)} rows x {len(scols)} cols")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} no-oracle ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
