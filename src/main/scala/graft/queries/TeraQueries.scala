@@ -1,0 +1,37 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.tera.{TeraGen, TeraSort, TeraValidate}
+
+/** Driver-facing wrapper for the sort-benchmark pipeline: generate →
+  * total-sort → validate, scaled by the test scale factor (sf0.1 → 1M
+  * records = 100 MB). The result is a deterministic one-row summary
+  * (the golden checksum is locked by TeraSuiteSpec); there is no SQL
+  * oracle because the input is generated, not a table.
+  */
+object TeraQueries {
+
+  /** Records to generate for a given sf dir: sf * 10^7 (min 10k). */
+  def recordsFor(dir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir)
+      .map(_.group(1).toDouble).getOrElse(0.001)
+    math.max(10000L, (sf * 1e7).toLong)
+  }
+
+  def teraPipeline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = recordsFor(dir)
+    val parts = s.sparkContext.defaultParallelism
+    val sorted = TeraSort.generateAndSort(s, n, parts)
+    val r = TeraValidate.validate(sorted)
+    Seq((r.records, r.checksumHex, r.partitionsSorted, r.boundariesOrdered))
+      .toDF("records", "checksum", "partitions_sorted", "boundaries_ordered")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tera_sort_validate" -> teraPipeline _
+  )
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,79 @@
+package graft.tera
+
+import graft.SparkSpec
+
+/** End-to-end generate → sort → validate, with goldens from an independent
+  * Python big-int + zlib.crc32 implementation (FIXTURES.md §2/§6).
+  */
+class TeraSuiteSpec extends SparkSpec {
+
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("teragen produces the golden keys and checksum (1000 records)") {
+    val recs = TeraGen.records(spark, 1000, 3).collect()
+    assert(recs.length == 1000)
+    assert(hex(recs.head._1) == "4a696d47726179524950")
+    assert(hex(recs.last._1) == "4d15a82070c03ee39bf5")
+    assert(recs.head._2.length == 90)
+    // record number embedded as 32 hex digits at value offset 2..34
+    assert(new String(recs(42)._2.slice(2, 34)) ==
+      "0000000000000000000000000000002a")
+    val sum = TeraValidate.checksum(TeraGen.records(spark, 1000, 3).rdd)
+    assert(sum == "0000000000000000000001eea4a93bef")
+  }
+
+  test("generation is partition-count invariant") {
+    val a = TeraGen.records(spark, 500, 1).collect().map(r => hex(r._1))
+    val b = TeraGen.records(spark, 500, 7).collect().map(r => hex(r._1))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("RDD terasort: validate passes and checksum is preserved (20k)") {
+    val sorted = TeraSort.generateAndSort(spark, 20000, 5)
+    val res = TeraValidate.validate(sorted)
+    assert(res.records == 20000)
+    assert(res.partitionsSorted, "within-partition order")
+    assert(res.boundariesOrdered, "global partition boundaries")
+    assert(res.checksumHex == "0000000000000000000026f6274b25b3")
+  }
+
+  test("DataFrame terasort agrees with RDD path") {
+    val df = TeraGen.dataframe(spark, 5000, 4)
+    val sortedDf = TeraSort.sortDf(df, 4)
+    import spark.implicits._
+    val keys = sortedDf.select("key").as[Array[Byte]].collect()
+    assert(keys.length == 5000)
+    val sortedOk = keys.sliding(2).forall {
+      case Array(a, b) => java.util.Arrays.compareUnsigned(a, b) <= 0
+      case _ => true
+    }
+    assert(sortedOk, "DataFrame binary sort is unsigned lexicographic")
+    val rddKeys = TeraSort.generateAndSort(spark, 5000, 4).map(_._1).collect()
+    assert(keys.map(hex).toSeq == rddKeys.map(hex).toSeq)
+  }
+
+  test("prefix range partitioner is monotone and in-bounds") {
+    val p = new TeraSort.PrefixRangePartitioner(13)
+    val lo = Array.fill[Byte](10)(0)
+    val hi = Array.fill[Byte](10)(-1)
+    assert(p.getPartition(lo) == 0)
+    assert(p.getPartition(hi) == 12)
+    // random keys: partition index must be monotone in the key prefix
+    val rnd = new scala.util.Random(7)
+    val keys = Array.fill(200)(Array.fill[Byte](10)(rnd.nextInt().toByte))
+    val sorted = keys.sortWith((a, b) => java.util.Arrays.compareUnsigned(a, b) < 0)
+    val parts = sorted.map(p.getPartition)
+    assert(parts.sliding(2).forall { case Array(a, b) => a <= b; case _ => true })
+    assert(parts.forall(i => i >= 0 && i < 13))
+  }
+
+  test("raw 100-byte record files round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("tera").toString + "/out"
+    try {
+      TeraIO.write(TeraGen.records(spark, 1000, 2).rdd, dir)
+      val back = TeraIO.read(spark, dir)
+      assert(back.count() == 1000)
+      assert(TeraValidate.checksum(back) == "0000000000000000000001eea4a93bef")
+    } finally TeraIO.delete(spark, dir)
+  }
+}
