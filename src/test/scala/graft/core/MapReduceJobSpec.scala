@@ -1,0 +1,70 @@
+package graft.core
+
+import graft.SparkSpec
+import graft.apps.WordCount
+
+class MapReduceJobSpec extends SparkSpec {
+
+  test("wordcount: MR-contract, DataFrame, and Dataset flavors agree") {
+    import spark.implicits._
+    val lines = Seq(
+      "the Quick brown foxtrot jumped over lazy DOGGED dogged foxtrot",
+      "short tiny word words lambda LAMBDA lambda!",
+      "punct,separated;tokens-here123digits")
+    val mr = WordCount.countWordsMR(spark.sparkContext.parallelize(lines, 2))
+      .collect().toMap
+    val df = WordCount.countWords(lines.toDF("text"), "text")
+      .as[(String, Long)].collect().toMap
+    val ds = WordCount.countWordsDs(lines.toDS()).collect().toMap
+    assert(mr == df)
+    assert(mr == ds)
+    // boundary: 5-letter words dropped, 6-letter kept
+    assert(!mr.contains("WORDS"))
+    assert(mr("LAMBDA") == 3L)
+    assert(mr("FOXTROT") == 2L)
+    assert(mr("DOGGED") == 2L)
+    // punctuation and digits delimit
+    assert(mr.contains("SEPARATED") && mr.contains("TOKENS"))
+    assert(mr.contains("DIGITS") && !mr.contains("HERE123DIGITS"))
+  }
+
+  test("reduce with ordering streams keys in sorted order") {
+    val input = spark.sparkContext.parallelize(Seq(
+      ("b", 2), ("a", 1), ("c", 3), ("a", 4), ("b", 5)), 3)
+    val out = MapReduceJob(input)(Iterator.single(_))
+      .withOrdering(Ordering[String])
+      .reduce((k, vs) => Iterator.single((k, vs.sum)))
+      .collect().toMap
+    assert(out == Map("a" -> 5, "b" -> 7, "c" -> 3))
+  }
+
+  test("combiner + ordering + custom partitioner compose") {
+    val input = spark.sparkContext.parallelize(1 to 1000, 8)
+    val out = MapReduceJob(input)(i => Iterator.single((i % 10, i.toLong)))
+      .withCombiner(_ + _)
+      .withPartitioner(new ElfHashPartitioner(4))
+      .withOrdering(Ordering[Int])
+      .reduce((k, vs) => Iterator.single((k, vs.sum)))
+      .collect().toMap
+    val expect = (1 to 1000).groupBy(_ % 10).map { case (k, v) => (k, v.map(_.toLong).sum) }
+    assert(out == expect)
+  }
+
+  test("grouped returns all values per key") {
+    val input = spark.sparkContext.parallelize(Seq(1, 2, 3, 4, 5, 6), 2)
+    val groups = MapReduceJob(input)(i => Iterator.single((i % 2, i)))
+      .grouped().collect().toMap
+    assert(groups(0).toSet == Set(2, 4, 6))
+    assert(groups(1).toSet == Set(1, 3, 5))
+  }
+
+  test("elf hash matches the reference algorithm on known vectors") {
+    // vectors computed by hand-running the ELF algorithm
+    assert(ElfHash("") == 0L)
+    assert(ElfHash(Array[Byte](0x41)) == 0x41L) // "A"
+    // h("AB") = (0x41<<4) + 0x42 = 0x452
+    assert(ElfHash("AB") == 0x452L)
+    val p = new ElfHashPartitioner(5)
+    assert((0 until 5).contains(p.getPartition("anything")))
+  }
+}
