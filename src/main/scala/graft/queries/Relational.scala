@@ -1,47 +1,238 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
 
 /** Relational parity layer (SURVEY.md §2.4): the standard dataflow
-  * categories — filter/project, joins, aggregation, window, sort/limit,
-  * set ops — expressed declaratively on DataFrames so Catalyst plans them
-  * (pushdown, pruning, broadcast selection, AQE all apply).
+  * categories — filter/project, joins (inner/outer/semi/anti/broadcast),
+  * aggregation (partial+final, distinct, rollup, having), window, sort /
+  * top-k, set ops, scalar functions, subqueries — expressed declaratively
+  * on DataFrames so Catalyst plans them (pushdown, pruning, broadcast
+  * selection, AQE all apply).
   *
   * In the reference these capabilities live inside user map/combine/reduce
-  * UDFs (there is no relational algebra — see
-  * reference src/panda/PandaMapReduceJob.cpp:885-955 for the fixed
-  * pipeline); here each is a declarative plan.
+  * UDFs (there is no relational algebra — the pipeline is fixed, reference
+  * `src/panda/PandaMapReduceJob.cpp:885-955`); here each is a declarative
+  * plan.
   *
-  * Scale notes (100 TB): every query below is shuffle-minimal —
-  * aggregations are partial+final (map-side combine), dimension joins are
-  * broadcast, fact-fact joins shuffle on the join key only, and no query
-  * collects unbounded data to the driver.
+  * Scale notes (100 TB): aggregations are partial+final (map-side
+  * combine); dimension joins (nation/region/supplier/customer) are
+  * explicitly `broadcast()`; fact-fact joins shuffle on the join key only;
+  * top-k uses `limit` pushed into a TakeOrdered physical op (per-partition
+  * heaps, no global sort); nothing collects unbounded data on the driver.
+  * Money aggregates are rounded to 2 decimals so results are stable across
+  * summation orders.
   */
 object Relational {
 
-  /** TPC-H Q1-style pricing summary: partial agg on 6 groups — the
-    * map-side combiner collapses 100 TB of lineitem to a handful of rows
-    * before the single shuffle (reference analog: combiner stage,
-    * src/PandaLib.cu:302-379).
+  private def money(c: Column): Column = round(c, 2)
+
+  /** TPC-H Q1-style pricing summary: 6 groups — the map-side combiner
+    * collapses everything before the single shuffle (reference analog:
+    * combiner stage, `src/PandaLib.cu:302-379`).
     */
   def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        money(sum(col("l_quantity"))).as("sum_qty"),
+        money(sum(col("l_extendedprice"))).as("sum_base_price"),
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(avg(col("l_discount")), 2).as("avg_disc"),
+        money(avg(col("l_quantity"))).as("avg_qty"),
+        money(avg(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
+  /** Projection + filter: both reach the parquet scan (PushedFilters /
+    * ReadSchema prove it in `.explain`). Dates surface as strings for
+    * oracle stability.
+    */
+  def q2FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 280000.0)
+      .select(
+        col("o_orderkey"),
+        money(col("o_totalprice")).as("total"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+
+  /** Fact-fact-dim join + agg: lineitem ⋈ orders shuffles on the order
+    * key; customer joins after aggregation would be better still, but the
+    * segment is needed as a group key, so customer is joined pre-agg —
+    * Catalyst broadcasts it under AQE at bench scale.
+    */
+  def q3SegmentRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Dim-chain broadcast join: supplier ⋈ nation ⋈ region — both dims are
+    * tiny and explicitly broadcast: zero shuffles for the join itself.
+    */
+  def q4SupplierByRegion(s: SparkSession, dir: String): DataFrame =
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        money(sum(col("s_acctbal"))).as("sum_acctbal"))
+
+  /** Left-semi join (EXISTS): customers holding at least one open order. */
+  def q5SemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(
+        Tables.orders(s, dir).filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  def q6AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Left-outer join preserving customers with zero orders, counting only
+    * matched rows (count over the join key, not *).
+    */
+  def q7OuterJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        money(coalesce(sum(col("o_totalprice")), lit(0.0))).as("total_spent"))
+
+  /** Window function: top-3 orders per customer by price (row_number with
+    * a unique tiebreak so the result is deterministic). Partition-local
+    * sort after one hash shuffle on the partition key.
+    */
+  def q8WindowTopPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        money(col("o_totalprice")).as("total"), col("rn"))
+  }
+
+  /** Global top-k: orderBy + limit plans as TakeOrderedAndProject —
+    * per-partition heaps of k, no total sort, no full shuffle.
+    */
+  def q9TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), money(col("o_totalprice")).as("total"))
+
+  /** Distinct (dedup on grouping cols — shuffle on the pair only). */
+  def q10Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+
+  /** Set ops: nations having customers vs nations having suppliers. */
+  def q11SetOps(s: SparkSession, dir: String): DataFrame = {
+    val custNations = Tables.customer(s, dir)
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val suppNations = Tables.supplier(s, dir)
+      .select(col("s_nationkey").as("nationkey")).distinct()
+    custNations.intersect(suppNations)
+      .withColumn("relation", lit("both"))
+      .unionAll(custNations.except(suppNations)
+        .withColumn("relation", lit("customers_only")))
+  }
+
+  /** Rollup: subtotals + grand total; null grouping keys surface as
+    * "(all)" for oracle stability.
+    */
+  def q12Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(money(sum(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+        col("sum_qty"), col("n"))
+
+  /** Scalar-function bouquet: date parts, string ops, conditional logic —
+    * all codegen'd builtins (reference analog: the hand-written scalar
+    * code inside map UDFs, e.g. `wc_main.cpp:49-50`).
+    */
+  def q13Scalars(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("prio_initial"),
+        when(col("o_totalprice") > 200000.0, "high")
+          .when(col("o_totalprice") > 100000.0, "mid")
+          .otherwise("low").as("price_band"),
+        length(col("o_orderstatus")).as("status_len"))
+      .filter(col("o_orderkey") % 100 === 0)
+
+  /** Aggregate + HAVING: years with enough high-value orders. */
+  def q14Having(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 150000.0)
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(count(lit(1)).as("n"), money(avg(col("o_totalprice"))).as("avg_price"))
+      .filter(col("n") > 50)
+
+  /** Scalar subquery: orders above the global average price. Planned as
+    * an agg broadcast into the filter — one pass + one tiny exchange.
+    */
+  def q15AboveAverage(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val avgPrice = orders.agg(avg(col("o_totalprice")).as("ap"))
+    orders.join(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("ap") * 1.5)
+      .select(col("o_orderkey"), money(col("o_totalprice")).as("total"))
+  }
+
+  /** Event-time bucketing over the events table: hourly counts per type
+    * (the batch shape of the streaming windowed agg).
+    */
+  def q16EventsHourly(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), money(sum(col("value"))).as("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> q1PricingSummary _
+    "q1_pricing_summary" -> q1PricingSummary _,
+    "q2_filter_project" -> q2FilterProject _,
+    "q3_segment_revenue" -> q3SegmentRevenue _,
+    "q4_supplier_by_region" -> q4SupplierByRegion _,
+    "q5_semi_join" -> q5SemiJoin _,
+    "q6_anti_join" -> q6AntiJoin _,
+    "q7_outer_join" -> q7OuterJoin _,
+    "q8_window_top_per_customer" -> q8WindowTopPerCustomer _,
+    "q9_topk" -> q9TopK _,
+    "q10_distinct" -> q10Distinct _,
+    "q11_setops" -> q11SetOps _,
+    "q12_rollup" -> q12Rollup _,
+    "q13_scalars" -> q13Scalars _,
+    "q14_having" -> q14Having _,
+    "q15_above_average" -> q15AboveAverage _,
+    "q16_events_hourly" -> q16EventsHourly _
   )
 
   val oracles: Map[String, String] = Map(
@@ -55,6 +246,91 @@ object Relational {
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter_project" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 280000.0""".stripMargin,
+    "q3_segment_revenue" ->
+      """SELECT c_mktsegment,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q4_supplier_by_region" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        |  round(sum(s_acctbal), 2) AS sum_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q5_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
+    "q6_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q7_outer_join" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "q8_window_top_per_customer" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS total, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "q9_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q10_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q11_setops" ->
+      """SELECT nationkey, 'both' AS relation FROM
+        |  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |   INTERSECT
+        |   SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'customers_only' AS relation FROM
+        |  (SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        |   EXCEPT
+        |   SELECT DISTINCT s_nationkey AS nationkey FROM supplier)""".stripMargin,
+    "q12_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |  coalesce(l_linestatus, '(all)') AS linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q13_scalars" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS order_year,
+        |  month(o_orderdate) AS order_month,
+        |  upper(substring(o_orderpriority, 1, 1)) AS prio_initial,
+        |  CASE WHEN o_totalprice > 200000.0 THEN 'high'
+        |       WHEN o_totalprice > 100000.0 THEN 'mid'
+        |       ELSE 'low' END AS price_band,
+        |  length(o_orderstatus) AS status_len
+        |FROM orders WHERE o_orderkey % 100 = 0""".stripMargin,
+    "q14_having" ->
+      """SELECT year(o_orderdate) AS order_year, count(*) AS n,
+        |  round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders WHERE o_totalprice > 150000.0
+        |GROUP BY year(o_orderdate) HAVING count(*) > 50""".stripMargin,
+    "q15_above_average" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total
+        |FROM orders
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+    "q16_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin
   )
 }
