@@ -1,0 +1,223 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for LLM-pipeline data (north star, SURVEY.md
+  * §2.5): exact, exact n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. All are single-pass shuffle pipelines with
+  * no driver-side data:
+  *
+  *  - exact: one hash shuffle on the text digest;
+  *  - minhash/simhash: per-doc signatures (map-side), candidates via a
+  *    band-bucket shuffle — pairs generated only inside buckets, so work
+  *    scales with collisions, not n^2;
+  *  - n-gram Jaccard / cosine verification joins are candidate-driven.
+  *
+  * At 100 TB the only quadratic danger is a hot band bucket; buckets are
+  * capped (`MaxBucket`) the way production near-dup pipelines cap
+  * postings lists, trading a sliver of recall on pathological buckets for
+  * bounded task time.
+  */
+object Dedup {
+
+  val ShingleSize = 3
+  val NumHashes = 64
+  val NumBands = 16 // x 4 rows per band
+  val JaccardThreshold = 0.8
+  val MaxBucket = 64 // max docs per LSH bucket expanded into pairs
+
+  /** Distinct word shingles per doc: (doc_id, shingle). Tokens split on
+    * single spaces to stay bit-identical with the SQL oracle.
+    */
+  def shingles(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(
+      col("doc_id"),
+      when(size(toks) >= ShingleSize,
+        transform(
+          sequence(lit(0), size(toks) - ShingleSize),
+          i => concat_ws(" ", slice(toks, i + 1, lit(ShingleSize)))))
+        .otherwise(array()).as("shingles"))
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact dedup: group by content digest, keep the smallest doc_id as
+    * the representative (`dropDuplicates` semantics made deterministic).
+    */
+  def exact(s: SparkSession, dir: String): DataFrame =
+    exactDocs(Tables.documents(s, dir))
+
+  def exactDocs(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("text_md5"), col("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs (the ground truth the sketching
+    * variants approximate): inverted-index self-join on shingles —
+    * candidate pairs are generated per shared shingle, so cost follows
+    * actual overlap, not n^2.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardDocs(Tables.documents(s, dir))
+
+  def ngramJaccardDocs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("common") / (col("na") + col("nb") - col("common")), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Per-doc MinHash signature as NumHashes array<long>. The hash family
+    * is xxhash64 re-mixed with the function index (full 64-bit avalanche,
+    * no overflow under ANSI arithmetic).
+    */
+  def minhashSignatures(docShingles: DataFrame): DataFrame = {
+    val base = docShingles.withColumn("h", xxhash64(col("shingle")))
+    val mins: Seq[Column] = (0 until NumHashes).map(i => min(xxhash64(col("h"), lit(i))))
+    base.groupBy("doc_id").agg(array(mins: _*).as("sig"))
+  }
+
+  /** MinHash + LSH near-dup: band signatures, bucket-join candidates,
+    * verify with exact Jaccard. Recall at j >= 0.9 with 16 bands x 4 rows
+    * is 1 - (1 - j^4)^16 ≈ 1 - 4e-8, so the verified output matches the
+    * exact ground truth on any realistically-separated corpus (tested on
+    * planted near-dups).
+    */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashLshDocs(Tables.documents(s, dir))
+
+  def minhashLshDocs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).cache()
+    val sig = minhashSignatures(sh)
+    val rowsPerBand = NumHashes / NumBands
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(
+        transform(
+          sequence(lit(0), lit(NumBands - 1)),
+          b => xxhash64(b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bucket")))
+    val buckets = bands.groupBy("band", "bucket")
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, MaxBucket))
+    val candidates = buckets
+      .select(explode(col("docs")).as("doc_a"), col("docs"))
+      .select(col("doc_a"), explode(col("docs")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, sh)
+  }
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs. */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = candidates
+      .join(sh.toDF("doc_a", "shingle"), "doc_a")
+      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        round(col("common") / (col("na") + col("nb") - col("common")), 4))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup: 64-bit fingerprint per doc (sign of per-bit vote
+    * sums over shingle hashes), candidates share one of four 16-bit
+    * blocks (pigeonhole: hamming <= 3 guarantees a shared block),
+    * verified by exact hamming distance.
+    */
+  val HammingThreshold = 3
+
+  def simhashFingerprints(s: SparkSession, docShingles: DataFrame): DataFrame = {
+    import s.implicits._
+    docShingles
+      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (docId, rows) =>
+        val votes = new Array[Int](64)
+        rows.foreach { case (_, h) =>
+          var i = 0
+          while (i < 64) {
+            votes(i) += (if (((h >>> i) & 1L) != 0L) 1 else -1)
+            i += 1
+          }
+        }
+        var fp = 0L
+        var i = 0
+        while (i < 64) { if (votes(i) > 0) fp |= 1L << i; i += 1 }
+        (docId, fp)
+      }
+      .toDF("doc_id", "fingerprint")
+  }
+
+  def simhash(s: SparkSession, dir: String): DataFrame =
+    simhashDocs(s, Tables.documents(s, dir))
+
+  def simhashDocs(s: SparkSession, docs: DataFrame): DataFrame = {
+    val fp = simhashFingerprints(s, shingles(docs)).cache()
+    val blocks = fp.select(
+      col("doc_id"), col("fingerprint"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("fingerprint"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("block", "block_val")))
+    val candidates = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.block") === col("b.block") &&
+          col("a.block_val") === col("b.block_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.fingerprint").as("fp_a"), col("b.fingerprint").as("fp_b"))
+      .distinct()
+    candidates
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= HammingThreshold)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup over the embeddings table, computed in
+    * double precision. This is the exact O(n^2) baseline — the LSH-bucketed
+    * scale path lives in [[Similarity]].
+    */
+  val CosineThreshold = 0.45
+
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), _ + _)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), _ + _)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    emb.as("a")
+      .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= CosineThreshold)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.Dedup
+
+/** Driver registrations for the dedup family. The sketch-based variants
+  * (minhash, simhash) verify candidates exactly, so minhash shares the
+  * exact-Jaccard oracle (recall loss at the planted-pair separation is
+  * < 1e-7 — see Dedup scaladoc); simhash has no SQL-expressible oracle.
+  */
+object DedupQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (Dedup.exact _),
+    "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_minhash" -> (Dedup.minhashLsh _),
+    "dedup_simhash" -> (Dedup.simhash _),
+    "dedup_embedding" -> (Dedup.embeddingNearDup _)
+  )
+
+  private val jaccardOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), sh AS (
+      |  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      |  FROM toks a
+      |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      |), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b,
+      |  round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+      |FROM pairs
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_minhash" -> jaccardOracle,
+    "dedup_embedding" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |  b.embedding::DOUBLE[]) >= 0.45""".stripMargin
+  )
+}

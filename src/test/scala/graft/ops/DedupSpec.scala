@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Validates the dedup family on a synthetic corpus with planted exact
+  * and near duplicates (the sfN documents tables have no exact dups, so
+  * the interesting paths need fixtures).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 30 base docs of 100 "words" drawn from a seeded vocabulary, plus:
+  //  - doc 100 = exact copy of doc 0
+  //  - doc 101 = doc 1 with one word changed (jaccard ~0.94)
+  //  - doc 102 = doc 2 with three words changed (jaccard ~0.83)
+  //  - doc 103 = fresh unrelated doc
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(1234)
+    val vocab = Array.tabulate(500)(i => s"w$i")
+    def doc(): Array[String] = Array.fill(100)(vocab(rnd.nextInt(vocab.length)))
+    val base = Array.tabulate(30)(i => (i.toLong, doc()))
+    def edit(words: Array[String], edits: Int): Array[String] = {
+      val w = words.clone()
+      (0 until edits).foreach(k => w(5 + 7 * k) = s"edited$k")
+      w
+    }
+    val extra = Seq(
+      (100L, base(0)._2.clone()),
+      (101L, edit(base(1)._2, 1)),
+      (102L, edit(base(2)._2, 3)),
+      (103L, doc()))
+    (base.toSeq ++ extra).map { case (id, ws) => (id, ws.mkString(" ")) }
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min doc_id") {
+    val out = Dedup.exactDocs(corpus)
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 2L) // doc 0 + its copy 100
+    assert(!out.contains(100L))
+    assert(out(1L) == 1L)
+    assert(out.size == corpus.count() - 1)
+  }
+
+  test("exact ngram jaccard finds exactly the planted near-dup pairs") {
+    val pairs = Dedup.ngramJaccardDocs(corpus)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)), "exact copy pair")
+    assert(pairs.contains((1L, 101L)), "1-edit pair")
+    assert(pairs.contains((2L, 102L)), "3-edit pair")
+    assert(pairs.size == 3, s"no false positives, got $pairs")
+  }
+
+  test("minhash LSH output equals the exact ground truth") {
+    val exact = Dedup.ngramJaccardDocs(corpus)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val lsh = Dedup.minhashLshDocs(corpus)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash finds the exact copy and near-dups, nothing unrelated") {
+    val pairs = Dedup.simhashDocs(spark, corpus)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
+    val byPair = pairs.map(p => ((p._1, p._2), p._3)).toMap
+    assert(byPair((0L, 100L)) == 0, "identical docs → identical fingerprints")
+    assert(byPair.keySet.forall(p =>
+      Set((0L, 100L), (1L, 101L), (2L, 102L)).contains(p)),
+      s"unexpected pairs: ${byPair.keySet}")
+  }
+
+  test("embedding cosine is exact (agrees with a local computation)") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    import org.apache.spark.sql.functions._
+    val out = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        round(Dedup.cosine(
+          transform(col("a.embedding"), _.cast("double")),
+          transform(col("b.embedding"), _.cast("double"))), 6).as("cos"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._3)).toMap
+    assert(out((0L, 2L)) == 0.0)
+    assert(out((0L, 3L)) == -1.0)
+    val expected01 = 0.9 / math.sqrt(0.9 * 0.9 + 0.1 * 0.1)
+    assert(math.abs(out((0L, 1L)) - expected01) < 1e-4)
+  }
+}
