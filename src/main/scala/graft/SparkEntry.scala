@@ -19,7 +19,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.TeraQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.DedupQueries.queries
+      graft.queries.DedupQueries.queries ++
+      graft.queries.OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
       graft.queries.TeraQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.DedupQueries.oracles
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.OpsQueries.oracles
 }

@@ -1,0 +1,114 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal column plumbing (north star, SURVEY.md §2.5): media as
+  * opaque `binary` payloads + typed metadata, with decode / feature
+  * extraction running per-partition over batches — the Spark-side shape
+  * (schema, partitioning, batch iteration) is real and tested; the codec
+  * itself is a deterministic STUB because no image/audio libraries exist
+  * in this environment (marked below; swap `StubCodec` for a real one).
+  *
+  * Scale: payloads never pass through the driver; decode is a
+  * mapPartitions pipeline (no shuffle); per-media features are fixed-size
+  * rows so downstream joins/aggs behave like any other table.
+  */
+object Multimodal {
+
+  /** One media item: payload + envelope metadata. */
+  final case class MediaItem(
+      media_id: Long, modality: String, payload: Array[Byte], size_bytes: Long)
+
+  /** Decoded media features (fixed-size, join-friendly). */
+  final case class MediaFeatures(
+      media_id: Long, modality: String, width: Int, height: Int,
+      mean_byte: Double, byte_entropy: Double)
+
+  private val Magic: Array[Byte] = "GMM1".getBytes("US-ASCII")
+
+  /** Deterministic fake payload: 8-byte header (magic + width/height
+    * shorts) + body bytes from a seeded LCG — stands in for real
+    * image/audio bytes so the plumbing is exercised end-to-end.
+    */
+  def syntheticPayload(id: Long): Array[Byte] = {
+    val width = 16 + (id % 48).toInt
+    val height = 16 + (id % 32).toInt
+    val body = new Array[Byte](width * height)
+    var state = id * 6364136223846793005L + 1442695040888963407L
+    var i = 0
+    while (i < body.length) {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      body(i) = (state >>> 56).toByte
+      i += 1
+    }
+    val out = new Array[Byte](8 + body.length)
+    System.arraycopy(Magic, 0, out, 0, 4)
+    out(4) = (width >> 8).toByte; out(5) = width.toByte
+    out(6) = (height >> 8).toByte; out(7) = height.toByte
+    System.arraycopy(body, 0, out, 8, body.length)
+    out
+  }
+
+  /** STUB CODEC — replace with a real decoder (e.g. javax.imageio /
+    * ffmpeg bindings) in production. Parses the synthetic header and
+    * returns the body as "pixels".
+    */
+  object StubCodec {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (payload.length < 8 || !payload.take(4).sameElements(Magic)) None
+      else {
+        val w = ((payload(4) & 0xff) << 8) | (payload(5) & 0xff)
+        val h = ((payload(6) & 0xff) << 8) | (payload(7) & 0xff)
+        Some((w, h, java.util.Arrays.copyOfRange(payload, 8, payload.length)))
+      }
+    }
+  }
+
+  /** Media table synthesized from document ids (the harness ships no
+    * binary media table; payload content is deterministic in media_id).
+    */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaItem] = {
+    import s.implicits._
+    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+      val p = syntheticPayload(id)
+      MediaItem(id, if (id % 3 == 0) "image" else "audio", p, p.length.toLong)
+    }
+  }
+
+  /** Decode + feature-extract, batched per partition (the mapInPandas
+    * shape: one iterator in, one iterator out, no per-row overhead).
+    */
+  def extractFeatures(media: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { items =>
+      items.flatMap { m =>
+        StubCodec.decode(m.payload).map { case (w, h, pixels) =>
+          val hist = new Array[Long](256)
+          var sum = 0.0
+          pixels.foreach { b => val v = b & 0xff; hist(v) += 1; sum += v }
+          val n = math.max(pixels.length, 1).toDouble
+          val entropy = -hist.iterator.filter(_ > 0).map { c =>
+            val p = c / n; p * math.log(p) / math.log(2)
+          }.sum
+          MediaFeatures(m.media_id, m.modality, w, h,
+            math.rint(sum / n * 100) / 100, math.rint(entropy * 10000) / 10000)
+        }
+      }
+    }
+  }
+
+  /** Resize STUB: real implementation would transform pixels; here it
+    * rescales metadata only, preserving the pipeline shape.
+    */
+  def resizeStub(features: Dataset[MediaFeatures], maxDim: Int): DataFrame =
+    features.toDF().select(
+      col("media_id"),
+      least(col("width"), lit(maxDim)).as("width"),
+      least(col("height"), lit(maxDim)).as("height"))
+
+  def featuresQuery(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(s, dir)).toDF()
+}

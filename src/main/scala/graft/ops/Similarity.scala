@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (north star, SURVEY.md §2.5).
+  *
+  *  - [[bruteForceTopK]] is the exact baseline: broadcast the (small)
+  *    query set against the corpus, rank per query. One scan of the
+  *    corpus, no corpus-side shuffle — at 100 TB this is the right
+  *    *exact* plan as long as the query set stays broadcastable.
+  *  - [[lshTopK]] is the scale path: L independent random-hyperplane
+  *    tables of b sign bits each; a vector lands in one bucket per table
+  *    and a query scores only the union of its L buckets. Cost per query
+  *    drops from O(corpus) to O(candidates); recall is
+  *    1 - (1 - p^b)^L with p = 1 - θ/π, tuned by (b, L) — the classic
+  *    space-for-recall trade (the index is L entries per vector).
+  *
+  * Hyperplanes are derived from a fixed seed so results are deterministic
+  * across runs and partitionings.
+  */
+object Similarity {
+
+  val DefaultK = 5
+  val SignatureBits = 6
+  val NumTables = 16
+
+  private def cosineCol(a: Column, b: Column): Column = Dedup.cosine(a, b)
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Exact top-k neighbors for each query vector (query_id != neighbor). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineCol(col("qv"), col("cv")).as("cos_raw"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: dim doubles per bit, from a seeded
+    * generator (tiny: bits x dim).
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long = 0x9e3779b9L): Array[Array[Double]] = {
+    val rnd = new java.util.SplittableRandom(seed)
+    Array.fill(bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Sign-bit signature of a vector under the hyperplane family. */
+  def signatureOf(v: Array[Double], planes: Array[Array[Double]]): Int = {
+    var sig = 0
+    var b = 0
+    while (b < planes.length) {
+      val p = planes(b)
+      var dot = 0.0
+      var i = 0
+      while (i < v.length && i < p.length) { dot += v(i) * p(i); i += 1 }
+      if (dot >= 0) sig |= 1 << b
+      b += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed ANN: L hyperplane tables, bucket key = (table, sig);
+    * candidates = bucket collisions in any table, then exact-rank within
+    * the candidate set.
+    */
+  def lshTopK(s: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = SignatureBits, tables: Int = NumTables): DataFrame = {
+    import s.implicits._
+    val dim = corpus.select(size(col("embedding"))).as[Int].first()
+    val planes = s.sparkContext.broadcast(
+      Array.tabulate(tables)(t => hyperplanes(bits, dim, 0x9e3779b9L + 0x61c88647L * t)))
+
+    val bucketsUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      planes.value.indices.map(t =>
+        (t.toLong << 32) | (signatureOf(arr, planes.value(t)) & 0xffffffffL))
+    }
+
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asDouble(col("embedding")).as("cv"))
+      .select(col("neighbor_id"), col("cv"),
+        explode(bucketsUdf(col("cv"))).as("bucket"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asDouble(col("embedding")).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(bucketsUdf(col("qv"))).as("bucket"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosineCol(col("qv"), col("cv")).as("cos_raw"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"), col("rank"))
+  }
+
+  /** First N vec_ids serve as the standing query set for the driver
+    * registrations (deterministic, oracle-friendly).
+    */
+  def queryVectors(s: SparkSession, dir: String, n: Int = 10): DataFrame =
+    Tables.embeddings(s, dir).filter(col("vec_id") < n)
+
+  def annBruteForce(s: SparkSession, dir: String): DataFrame =
+    bruteForceTopK(Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
+
+  def annLsh(s: SparkSession, dir: String): DataFrame =
+    lshTopK(s, Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
+}

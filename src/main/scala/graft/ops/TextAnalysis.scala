@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis operators for LLM-pipeline data (north star, SURVEY.md
+  * §2.5): token counting, quality scoring, language-ID, and document
+  * fingerprinting. All are per-document map-side computations — they
+  * shuffle nothing, so they scale linearly with input splits.
+  */
+object TextAnalysis {
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Token statistics per document:
+    *  - `ws_tokens`: whitespace-separated tokens;
+    *  - `bpe_tokens`: BPE-ish pieces — word chunks of <= 4 chars plus
+    *    standalone non-word marks (a deterministic stand-in for a real
+    *    tokenizer's piece count);
+    *  - `n_chars`.
+    */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      when(length(trim(col("text"))) === 0, lit(0L))
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .as("ws_tokens"),
+      (regexp_count(col("text"), lit("[A-Za-z0-9]{1,4}")) +
+        regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")))
+        .cast("long").as("bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+
+  /** Heuristic quality score from document statistics: length band, mean
+    * word length band, punctuation density, stopword rate. Scoring is
+    * integer-banded (0..12 points) so the result is bit-deterministic
+    * across engines — the float variant of this formula hit rounding
+    * boundaries between Spark and DuckDB at the 4th decimal.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val nChars = length(col("text")).cast("long")
+    val punct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("long")
+    val stopRe = "(?i)\\b(" + Stopwords.mkString("|") + ")\\b"
+    val stops = regexp_count(col("text"), lit(stopRe)).cast("long")
+    val base = docs.select(
+      col("doc_id"), nChars.as("n_chars"), toks.as("n_tokens"),
+      punct.as("n_punct"), stops.as("n_stop"))
+    // all comparisons are integer arithmetic — no float accumulation
+    val lenPts = when(col("n_chars").between(200, 5000), 3)
+      .when(col("n_chars") >= 100, 2)
+      .when(col("n_chars") >= 20, 1).otherwise(0)
+    val wordLenPts = when(col("n_tokens") === 0, 0)
+      // mean token length in [3, 9): 10*n_chars vs n_tokens bounds
+      .when(col("n_chars") >= col("n_tokens") * 3 &&
+        col("n_chars") < col("n_tokens") * 9, 3)
+      .when(col("n_chars") >= col("n_tokens") * 2, 1).otherwise(0)
+    val punctPts = when(col("n_punct") * 10 <= col("n_chars"), 3)
+      .when(col("n_punct") * 4 <= col("n_chars"), 1).otherwise(0)
+    val stopPts = when(col("n_stop") * 5 >= col("n_tokens"), 3)
+      .when(col("n_stop") * 20 >= col("n_tokens"), 1).otherwise(0)
+    base.select(
+      col("doc_id"),
+      (lenPts + wordLenPts + punctPts + stopPts).cast("int").as("quality_points"))
+  }
+
+  /** Character-trigram profiles of a few languages, built from small
+    * public pangram/sample phrases — enough signal to separate real
+    * prose; this is the classic n-gram LID heuristic, not a model.
+    */
+  private val LangSamples: Map[String, String] = Map(
+    "en" -> ("the quick brown fox jumps over the lazy dog and then it was " +
+      "said that with great power comes great responsibility for all of them"),
+    "es" -> ("el veloz murcielago hindu comia feliz cardillo y kiwi la " +
+      "ciguena tocaba el saxofon detras del palenque de paja que es de todos"),
+    "fr" -> ("portez ce vieux whisky au juge blond qui fume sur son ile " +
+      "interieure a cote de la fenetre et il ne faut pas dire que cela est"),
+    "de" -> ("zwolf boxkampfer jagen viktor quer uber den grossen sylter " +
+      "deich und das ist nicht nur ein schones beispiel fur alle dinge"))
+
+  private def trigrams(s: String): Map[String, Double] = {
+    val clean = s.toLowerCase.replaceAll("[^a-z ]", " ").replaceAll("\\s+", " ")
+    val grams = clean.sliding(3).filter(_.length == 3).toSeq
+    val total = math.max(grams.size, 1)
+    grams.groupBy(identity).map { case (g, occ) => g -> occ.size.toDouble / total }
+  }
+
+  private lazy val langProfiles: Map[String, Map[String, Double]] =
+    LangSamples.map { case (l, s) => l -> trigrams(s) }
+
+  /** Cosine similarity between trigram profiles → best language. */
+  def classifyLanguage(text: String): String = {
+    val p = trigrams(text)
+    if (p.isEmpty) "und"
+    else langProfiles.maxBy { case (_, q) =>
+      p.iterator.map { case (g, w) => w * q.getOrElse(g, 0.0) }.sum /
+        (math.sqrt(p.values.map(x => x * x).sum) *
+          math.sqrt(q.values.map(x => x * x).sum))
+    }._1
+  }
+
+  /** Language-ID over a text column (distributed via a deterministic
+    * scalar closure — profiles are tiny constants).
+    */
+  def langId(s: SparkSession, docs: DataFrame): DataFrame = {
+    val lid = udf(classifyLanguage _)
+    docs.select(col("doc_id"), lid(col("text")).as("lang_pred"))
+  }
+
+  /** Document fingerprint: min-of-window rolling hash over token hashes
+    * (winnowing-style) — stable under small edits away from the minimum,
+    * usable as a cheap pre-cluster key.
+    */
+  val FingerprintWindow = 5
+
+  def fingerprint(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
+      case (id, text) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty)
+        var fp = Long.MaxValue
+        if (toks.length >= FingerprintWindow) {
+          // polynomial rolling hash over token hashes, window of 5
+          val hs = toks.map(t => scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL)
+          var i = 0
+          while (i + FingerprintWindow <= hs.length) {
+            var h = 1125899906842597L
+            var j = i
+            while (j < i + FingerprintWindow) { h = h * 31 + hs(j); j += 1 }
+            if (h < fp) fp = h
+            i += 1
+          }
+        } else {
+          fp = toks.foldLeft(1125899906842597L)((h, t) =>
+            h * 31 + (scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL))
+        }
+        (id, fp)
+    }.toDF("doc_id", "fingerprint")
+  }
+
+  // Driver registrations
+  def tokenStatsQuery(s: SparkSession, dir: String): DataFrame =
+    tokenStats(Tables.documents(s, dir))
+
+  def qualityQuery(s: SparkSession, dir: String): DataFrame =
+    qualityScore(Tables.documents(s, dir))
+
+  def langIdQuery(s: SparkSession, dir: String): DataFrame =
+    langId(s, Tables.documents(s, dir))
+
+  def fingerprintQuery(s: SparkSession, dir: String): DataFrame =
+    fingerprint(s, Tables.documents(s, dir))
+}

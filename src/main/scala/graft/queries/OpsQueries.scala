@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{Multimodal, Similarity, TextAnalysis}
+
+/** Driver registrations for similarity search, text analysis, and
+  * multimodal plumbing. LSH ANN, language-ID, fingerprinting, and the
+  * stub-codec features are hash-/heuristic-defined → rows-only checks;
+  * the rest carry DuckDB oracles.
+  */
+object OpsQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_bruteforce" -> (Similarity.annBruteForce _),
+    "ann_lsh" -> (Similarity.annLsh _),
+    "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
+    "text_quality" -> (TextAnalysis.qualityQuery _),
+    "text_langid" -> (TextAnalysis.langIdQuery _),
+    "text_fingerprint" -> (TextAnalysis.fingerprintQuery _),
+    "multimodal_features" -> (Multimodal.featuresQuery _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_bruteforce" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS cos_raw
+        |  FROM q JOIN embeddings e ON e.vec_id != query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rn AS rank
+        |FROM ranked WHERE rn <= 5""".stripMargin,
+    "text_token_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}')) +
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS bpe_tokens,
+        |  length(text) AS n_chars
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    length(text)::BIGINT AS n_chars,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS n_punct,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(the|a|an|of|and|or|to|in|is|it|that|this|for|on|with|as|at|by|be)\b'))::BIGINT AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, (
+        |  (CASE WHEN n_chars BETWEEN 200 AND 5000 THEN 3
+        |        WHEN n_chars >= 100 THEN 2
+        |        WHEN n_chars >= 20 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN n_tokens = 0 THEN 0
+        |        WHEN n_chars >= n_tokens * 3 AND n_chars < n_tokens * 9 THEN 3
+        |        WHEN n_chars >= n_tokens * 2 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN n_punct * 10 <= n_chars THEN 3
+        |        WHEN n_punct * 4 <= n_chars THEN 1 ELSE 0 END) +
+        |  (CASE WHEN n_stop * 5 >= n_tokens THEN 3
+        |        WHEN n_stop * 20 >= n_tokens THEN 1 ELSE 0 END)
+        |  )::INT AS quality_points
+        |FROM base""".stripMargin
+  )
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("LSH ANN achieves high recall@5 vs brute force on the embeddings table") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = Similarity.queryVectors(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(spark, emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 = $recall (approx found ${approx.size})")
+  }
+
+  test("brute-force ANN ranks are dense per query and exclude self") {
+    val out = Similarity.annBruteForce(spark, sfDir)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val byQuery = out.groupBy(_._1)
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to 5), s"ranks for $q")
+      assert(!rows.exists(_._2 == q), "self excluded")
+    }
+  }
+
+  test("language-ID separates real-language prose") {
+    assert(TextAnalysis.classifyLanguage(
+      "the cat sat on the mat and then went to the market with them") == "en")
+    assert(TextAnalysis.classifyLanguage(
+      "el gato estaba sentado en la alfombra y luego fue al mercado") == "es")
+    assert(TextAnalysis.classifyLanguage(
+      "le chat etait assis sur le tapis et il est alle au marche avec") == "fr")
+    assert(TextAnalysis.classifyLanguage(
+      "die katze sass auf der matte und ging dann mit ihnen zum markt") == "de")
+    assert(TextAnalysis.classifyLanguage("") == "und")
+  }
+
+  test("fingerprint is stable under edits away from the minimum window") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // same doc with a tail edit — min-window fingerprint usually unchanged
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota CHANGED"),
+      (3L, "totally different words everywhere nothing shared at all here now"))
+      .toDF("doc_id", "text")
+    val fps = TextAnalysis.fingerprint(spark, docs)
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) != fps(3L))
+    assert(fps.values.toSet.size >= 2)
+    // determinism
+    val again = TextAnalysis.fingerprint(spark, docs).as[(Long, Long)].collect().toMap
+    assert(fps == again)
+  }
+
+  test("token stats handle empty and whitespace-only text") {
+    val docs = Seq((1L, ""), (2L, "   "), (3L, "one two,three"))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.tokenStats(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L)._1 == 0L)
+    assert(rows(2L)._1 == 0L)
+    assert(rows(3L)._1 == 2L) // "one" and "two,three"
+    assert(rows(3L)._2 == 5L) // one, two, ",", thre, e (4-char BPE chunks)
+  }
+
+  test("multimodal decode extracts header metadata and real byte features") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 500)
+    feats.foreach { f =>
+      assert(f.width >= 16 && f.width < 64)
+      assert(f.height >= 16 && f.height < 48)
+      assert(f.mean_byte >= 0 && f.mean_byte <= 255)
+      assert(f.byte_entropy >= 0 && f.byte_entropy <= 8.0)
+    }
+    // deterministic payloads → deterministic features
+    val again = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sfDir)).collect()
+    assert(feats.map(_.mean_byte).toSeq == again.map(_.mean_byte).toSeq)
+    // corrupt payload → dropped, not crashed
+    assert(Multimodal.StubCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
+  }
+}
