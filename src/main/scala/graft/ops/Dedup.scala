@@ -31,19 +31,28 @@ object Dedup {
   val MaxBucket = 64 // max docs per LSH bucket expanded into pairs
 
   /** Distinct word shingles per doc: (doc_id, shingle). Tokens split on
-    * single spaces to stay bit-identical with the SQL oracle.
+    * single spaces to stay bit-identical with the SQL oracle
+    * (`string_split(text, ' ')` keeps empty tokens — so does
+    * `String.split(" ", -1)`).
+    *
+    * Typed flatMap rather than `transform`+`slice` higher-order columns:
+    * the interpreted slice path is O(tokens^2) per doc and was the
+    * pipeline's bottleneck; per-doc dedup in the closure also removes a
+    * global `distinct` shuffle entirely.
     */
   def shingles(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    docs.select(
-      col("doc_id"),
-      when(size(toks) >= ShingleSize,
-        transform(
-          sequence(lit(0), size(toks) - ShingleSize),
-          i => concat_ws(" ", slice(toks, i + 1, lit(ShingleSize)))))
-        .otherwise(array()).as("shingles"))
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .distinct()
+    val session = docs.sparkSession
+    import session.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val seen = scala.collection.mutable.HashSet.empty[String]
+        toks.iterator.sliding(ShingleSize).withPartial(false)
+          .map(_.mkString(" "))
+          .filter(seen.add)
+          .map(sh => (id, sh))
+      }
+      .toDF("doc_id", "shingle")
   }
 
   /** Exact dedup: group by content digest, keep the smallest doc_id as
@@ -210,14 +219,18 @@ object Dedup {
   }
 
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.{vec_dot, vec_unit}
+    // normalize once per row (scan-side projection); per-pair work is then
+    // a single codegen'd dot product — the interpreted higher-order-fn
+    // cosine made this one query dominate the whole benchmark
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"))
+        vec_unit(transform(col("embedding"), x => x.cast("double"))).as("v"))
     emb.as("a")
       .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        round(vec_dot(col("a.v"), col("b.v")), 6).as("cos"))
       .filter(col("cos") >= CosineThreshold)
   }
 }

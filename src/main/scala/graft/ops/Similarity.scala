@@ -29,17 +29,20 @@ object Similarity {
   val SignatureBits = 6
   val NumTables = 16
 
-  private def cosineCol(a: Column, b: Column): Column = Dedup.cosine(a, b)
+  import graft.functions.VectorOps.{vec_dot, vec_unit}
 
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  /** Unit-normalized double vector — cosine then reduces to a codegen'd
+    * dot product per candidate pair.
+    */
+  private def asUnit(c: Column): Column = vec_unit(transform(c, _.cast("double")))
 
   /** Exact top-k neighbors for each query vector (query_id != neighbor). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
-    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), asUnit(col("embedding")).as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"), asUnit(col("embedding")).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineCol(col("qv"), col("cv")).as("cos_raw"))
+        vec_dot(col("qv"), col("cv")).as("cos_raw"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_raw").desc, col("neighbor_id"))
     scored
@@ -90,11 +93,11 @@ object Similarity {
     }
 
     val c = corpus.select(col("vec_id").as("neighbor_id"),
-      asDouble(col("embedding")).as("cv"))
+      asUnit(col("embedding")).as("cv"))
       .select(col("neighbor_id"), col("cv"),
         explode(bucketsUdf(col("cv"))).as("bucket"))
     val q = queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("qv"))
+      asUnit(col("embedding")).as("qv"))
       .select(col("query_id"), col("qv"),
         explode(bucketsUdf(col("qv"))).as("bucket"))
 
@@ -103,7 +106,7 @@ object Similarity {
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosineCol(col("qv"), col("cv")).as("cos_raw"))
+        vec_dot(col("qv"), col("cv")).as("cos_raw"))
       .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

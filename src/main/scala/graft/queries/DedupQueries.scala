@@ -54,7 +54,7 @@ object DedupQueries {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[],
         |    b.embedding::DOUBLE[]), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-        |  b.embedding::DOUBLE[]) >= 0.45""".stripMargin
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |  b.embedding::DOUBLE[]), 6) >= 0.45""".stripMargin
   )
 }
