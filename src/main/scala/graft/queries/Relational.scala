@@ -205,6 +205,27 @@ object Relational {
       .select(col("o_orderkey"), money(col("o_totalprice")).as("total"))
   }
 
+  /** Cube: all grouping-set combinations over two dimensions. */
+  def q17Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), money(sum(col("o_totalprice"))).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n"), col("total"))
+
+  /** Exact percentiles (interpolated) per group — `percentile` in Spark
+    * and `quantile_cont` in DuckDB share the continuous definition.
+    */
+  def q18Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        money(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        money(expr("percentile(l_extendedprice, 0.95)")).as("p95"),
+        money(max(col("l_extendedprice"))).as("mx"))
+
   /** Event-time bucketing over the events table: hourly counts per type
     * (the batch shape of the streaming windowed agg).
     */
@@ -232,7 +253,9 @@ object Relational {
     "q13_scalars" -> q13Scalars _,
     "q14_having" -> q14Having _,
     "q15_above_average" -> q15AboveAverage _,
-    "q16_events_hourly" -> q16EventsHourly _
+    "q16_events_hourly" -> q16EventsHourly _,
+    "q17_cube" -> q17Cube _,
+    "q18_percentiles" -> q18Percentiles _
   )
 
   val oracles: Map[String, String] = Map(
@@ -331,6 +354,18 @@ object Relational {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q17_cube" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(o_orderpriority, '(all)') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q18_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+        |  round(max(l_extendedprice), 2) AS mx
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }
