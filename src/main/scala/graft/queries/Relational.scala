@@ -96,10 +96,10 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_semi")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
 
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no pending orders. */
   def q6AntiJoin(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir),
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "P"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
 
@@ -226,6 +226,17 @@ object Relational {
         money(expr("percentile(l_extendedprice, 0.95)")).as("p95"),
         money(max(col("l_extendedprice"))).as("mx"))
 
+  /** Gap-based session windows per user (`session_window`, 30-minute
+    * inactivity gap) — sessions then rolled up per user. The same
+    * operator drives streaming sessionization unchanged.
+    */
+  def q19Sessions(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+
   /** Event-time bucketing over the events table: hourly counts per type
     * (the batch shape of the streaming windowed agg).
     */
@@ -255,7 +266,8 @@ object Relational {
     "q15_above_average" -> q15AboveAverage _,
     "q16_events_hourly" -> q16EventsHourly _,
     "q17_cube" -> q17Cube _,
-    "q18_percentiles" -> q18Percentiles _
+    "q18_percentiles" -> q18Percentiles _,
+    "q19_sessions" -> q19Sessions _
   )
 
   val oracles: Map[String, String] = Map(
@@ -296,7 +308,8 @@ object Relational {
         |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')""".stripMargin,
     "q6_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin,
     "q7_outer_join" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
         |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
@@ -366,6 +379,16 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
         |  round(max(l_extendedprice), 2) AS mx
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q19_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT user_id, sum(new_s)::BIGINT AS n_sessions,
+        |  count(*) AS n_events
+        |FROM marked GROUP BY user_id""".stripMargin
   )
 }

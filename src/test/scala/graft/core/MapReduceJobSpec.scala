@@ -58,6 +58,20 @@ class MapReduceJobSpec extends SparkSpec {
     assert(groups(1).toSet == Set(1, 3, 5))
   }
 
+  test("wordcount over a raw text file source (reference input shape)") {
+    import spark.implicits._
+    val f = java.nio.file.Files.createTempFile("wc", ".txt")
+    java.nio.file.Files.writeString(f,
+      "brown foxtrot jumped\nfoxtrot again tonight\nshort words here\n")
+    try {
+      val viaFile = WordCount.countWordsDs(spark.read.textFile(f.toString))
+        .collect().toMap
+      assert(viaFile("FOXTROT") == 2L)
+      assert(viaFile("JUMPED") == 1L)
+      assert(!viaFile.contains("WORDS"))
+    } finally java.nio.file.Files.delete(f)
+  }
+
   test("elf hash matches the reference algorithm on known vectors") {
     // vectors computed by hand-running the ELF algorithm
     assert(ElfHash("") == 0L)
