@@ -109,6 +109,24 @@ object Multimodal {
       least(col("width"), lit(maxDim)).as("width"),
       least(col("height"), lit(maxDim)).as("height"))
 
+  /** Frame sampling for video-shaped payloads: treat the body as
+    * `frameSize`-byte frames and keep every `stride`-th one. The slicing
+    * is real (byte ranges out of the payload); only the notion that a
+    * frame is a decodable image is stubbed.
+    */
+  def sampleFrames(media: Dataset[MediaItem], frameSize: Int, stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      StubCodec.decode(m.payload).toSeq.flatMap { case (_, _, body) =>
+        val nFrames = body.length / frameSize
+        (0 until nFrames by stride).map { f =>
+          (m.media_id, f,
+            java.util.Arrays.copyOfRange(body, f * frameSize, (f + 1) * frameSize))
+        }
+      }
+    }.toDF("media_id", "frame_idx", "frame")
+  }
+
   def featuresQuery(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(s, dir)).toDF()
 }

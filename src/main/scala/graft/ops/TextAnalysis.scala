@@ -142,7 +142,21 @@ object TextAnalysis {
     }.toDF("doc_id", "fingerprint")
   }
 
+  /** Corpus rollup by language/source metadata: the report a pipeline
+    * operator would feed a curation dashboard.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+
   // Driver registrations
+  def corpusStatsQuery(s: SparkSession, dir: String): DataFrame =
+    corpusStats(Tables.documents(s, dir))
+
   def tokenStatsQuery(s: SparkSession, dir: String): DataFrame =
     tokenStats(Tables.documents(s, dir))
 

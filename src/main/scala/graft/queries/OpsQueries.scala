@@ -14,6 +14,7 @@ object OpsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (Similarity.annBruteForce _),
     "ann_lsh" -> (Similarity.annLsh _),
+    "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
     "text_quality" -> (TextAnalysis.qualityQuery _),
     "text_langid" -> (TextAnalysis.langIdQuery _),
@@ -37,6 +38,11 @@ object OpsQueries {
         |  FROM scored)
         |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rn AS rank
         |FROM ranked WHERE rn <= 5""".stripMargin,
+    "text_corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  sum(length(text))::BIGINT AS sum_chars,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang, source""".stripMargin,
     "text_token_stats" ->
       """SELECT doc_id,
         |  CASE WHEN length(trim(text)) = 0 THEN 0

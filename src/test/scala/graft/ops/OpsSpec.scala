@@ -82,4 +82,15 @@ class OpsSpec extends SparkSpec {
     // corrupt payload → dropped, not crashed
     assert(Multimodal.StubCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
   }
+
+  test("frame sampling slices every Nth fixed-size frame") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val frames = Multimodal.sampleFrames(media, frameSize = 64, stride = 4)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1) % 4 == 0, "only every 4th frame kept")
+      assert(r.getAs[Array[Byte]](2).length == 64)
+    }
+  }
 }
