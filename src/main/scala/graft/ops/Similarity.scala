@@ -114,6 +114,58 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer (MLlib, fixed
+    * seed) partitions the corpus into cells; each query scores only its
+    * `nprobe` nearest cells. The classic big-index layout: centroids are
+    * tiny and broadcastable, cell assignment is one map pass, and the
+    * candidate set per query is corpus/cells * nprobe.
+    */
+  def ivfTopK(s: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+
+    val c = corpus.select(col("vec_id").as("neighbor_id"), asUnit(col("embedding")).as("cv"))
+    val model = new KMeans()
+      .setK(cells).setSeed(7L).setMaxIter(10)
+      .setFeaturesCol("features")
+      .fit(c.select(array_to_vector(col("cv")).as("features")))
+    val centroids = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
+
+    def nearestCells(n: Int) = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      centroids.value.zipWithIndex.map { case (ctr, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < arr.length && j < ctr.length) {
+          val diff = arr(j) - ctr(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(n).map(_._2).toSeq
+    }
+
+    val assigned = c.withColumn("cell", nearestCells(1)(col("cv"))(0))
+    val probed = queries
+      .select(col("vec_id").as("query_id"), asUnit(col("embedding")).as("qv"))
+      .select(col("query_id"), col("qv"),
+        explode(nearestCells(nprobe)(col("qv"))).as("cell"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        vec_dot(col("qv"), col("cv")).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"), col("rank"))
+  }
+
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    ivfTopK(s, Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
+
   /** First N vec_ids serve as the standing query set for the driver
     * registrations (deterministic, oracle-friendly).
     */

@@ -13,6 +13,7 @@ object OpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_bruteforce" -> (Similarity.annBruteForce _),
+    "ann_ivf" -> (Similarity.annIvf _),
     "ann_lsh" -> (Similarity.annLsh _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),

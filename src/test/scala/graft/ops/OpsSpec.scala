@@ -16,6 +16,21 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 = $recall (approx found ${approx.size})")
   }
 
+  test("IVF ANN achieves high recall@5 vs brute force") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = Similarity.queryVectors(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(spark, emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+    // determinism: same seed, same result
+    val again = Similarity.ivfTopK(spark, emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == again)
+  }
+
   test("brute-force ANN ranks are dense per query and exclude self") {
     val out = Similarity.annBruteForce(spark, sfDir)
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
