@@ -58,6 +58,29 @@ class MapReduceJobSpec extends SparkSpec {
     assert(groups(1).toSet == Set(1, 3, 5))
   }
 
+  test("MR-style reduce-side join via cogroup (SURVEY §2.4 joins row)") {
+    val orders = spark.sparkContext.parallelize(
+      Seq((1L, "o100"), (1L, "o101"), (2L, "o200")), 2)
+    val custs = spark.sparkContext.parallelize(
+      Seq((1L, "alice"), (2L, "bob"), (3L, "carol")), 2)
+    val joined = custs.cogroup(orders).flatMap { case (k, (cs, os)) =>
+      for (c <- cs; o <- os) yield (k, c, o)
+    }.collect().toSet
+    assert(joined == Set((1L, "alice", "o100"), (1L, "alice", "o101"),
+      (2L, "bob", "o200")))
+  }
+
+  test("approx_count_distinct tracks exact distinct within tolerance") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).first()
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("wordcount over a raw text file source (reference input shape)") {
     import spark.implicits._
     val f = java.nio.file.Files.createTempFile("wc", ".txt")
