@@ -215,16 +215,24 @@ object Relational {
         coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
         col("n"), col("total"))
 
-  /** Exact percentiles (interpolated) per group — `percentile` in Spark
-    * and `quantile_cont` in DuckDB share the continuous definition.
+  /** Exact discrete percentiles per group, rank-selected with pure
+    * integer arithmetic (k = ceil(q*n) via (n*q+99)/100) so the result is
+    * an actual data value — interpolated percentiles differ between
+    * engines in the last ulp and flip rounding boundaries.
     */
-  def q18Percentiles(s: SparkSession, dir: String): DataFrame =
+  def q18Percentiles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_extendedprice"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
     Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
       .groupBy(col("l_returnflag"))
       .agg(
-        money(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        money(expr("percentile(l_extendedprice, 0.95)")).as("p95"),
-        money(max(col("l_extendedprice"))).as("mx"))
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("l_extendedprice"))).as("p50"),
+        max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("l_extendedprice"))).as("p95"),
+        max(col("l_extendedprice")).as("mx"))
+  }
 
   /** Gap-based session windows per user (`session_window`, 30-minute
     * inactivity gap) — sessions then rolled up per user. The same
@@ -375,11 +383,17 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
     "q18_percentiles" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-        |  round(max(l_extendedprice), 2) AS mx
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN l_extendedprice END) AS p50,
+        |  max(CASE WHEN rn = (n * 95 + 99) // 100 THEN l_extendedprice END) AS p95,
+        |  max(l_extendedprice) AS mx
+        |FROM ranked GROUP BY l_returnflag""".stripMargin,
     "q19_sessions" ->
       """WITH marked AS (
         |  SELECT user_id,
