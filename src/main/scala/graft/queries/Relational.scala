@@ -245,6 +245,30 @@ object Relational {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
 
+  /** Pivot (dynamic column spreading) — linestatus counts as columns. */
+  def q20Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .withColumnRenamed("F", "n_f")
+      .withColumnRenamed("O", "n_o")
+
+  /** Semi-structured: parse the JSON props column, aggregate an extracted
+    * field (the 100 TB shape: schema-on-read over string payloads, pushed
+    * through codegen'd JSON paths, no UDFs).
+    */
+  def q21Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+
   /** Event-time bucketing over the events table: hourly counts per type
     * (the batch shape of the streaming windowed agg).
     */
@@ -275,7 +299,9 @@ object Relational {
     "q16_events_hourly" -> q16EventsHourly _,
     "q17_cube" -> q17Cube _,
     "q18_percentiles" -> q18Percentiles _,
-    "q19_sessions" -> q19Sessions _
+    "q19_sessions" -> q19Sessions _,
+    "q20_pivot" -> q20Pivot _,
+    "q21_json" -> q21Json _
   )
 
   val oracles: Map[String, String] = Map(
@@ -403,6 +429,18 @@ object Relational {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
         |SELECT user_id, sum(new_s)::BIGINT AS n_sessions,
         |  count(*) AS n_events
-        |FROM marked GROUP BY user_id""".stripMargin
+        |FROM marked GROUP BY user_id""".stripMargin,
+    "q20_pivot" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (l_linestatus = 'F') AS n_f,
+        |  count(*) FILTER (l_linestatus = 'O') AS n_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q21_json" ->
+      """SELECT event_type,
+        |  count(json_extract_string(props, '$.k')) AS n,
+        |  sum((json_extract_string(props, '$.k'))::BIGINT)::BIGINT AS sum_k,
+        |  min((json_extract_string(props, '$.k'))::BIGINT) AS min_k,
+        |  max((json_extract_string(props, '$.k'))::BIGINT) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }
