@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import org.apache.spark.sql.functions._
+
 import graft.ops.{Multimodal, Similarity, TextAnalysis}
 
 /** Driver registrations for similarity search, text analysis, and
@@ -11,7 +13,28 @@ import graft.ops.{Multimodal, Similarity, TextAnalysis}
   */
 object OpsQueries {
 
+  /** Distributed k-means over the embeddings (the reference paper's
+    * benchmark family is C-means/GMM clustering — paper Table 3, see
+    * BASELINE.md; this is the Spark-native equivalent workload). Output:
+    * cluster cardinalities. Seeded, but float summation order can flip
+    * boundary points, so it registers as a rows-only check.
+    */
+  def cmeansClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        array_to_vector(transform(col("embedding"), _.cast("double"))).as("features"))
+    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("features").fit(data)
+    model.transform(data)
+      .groupBy(col("prediction"))
+      .agg(count(lit(1)).as("n_points"))
+      .select(col("prediction").as("cluster"), col("n_points"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cmeans_clusters" -> (cmeansClusters _),
     "ann_bruteforce" -> (Similarity.annBruteForce _),
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_lsh" -> (Similarity.annLsh _),
