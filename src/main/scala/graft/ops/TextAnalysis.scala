@@ -92,15 +92,22 @@ object TextAnalysis {
   private lazy val langProfiles: Map[String, Map[String, Double]] =
     LangSamples.map { case (l, s) => l -> trigrams(s) }
 
+  private lazy val langProfileNorms: Map[String, Double] =
+    langProfiles.map { case (l, q) =>
+      l -> math.sqrt(q.values.map(x => x * x).sum)
+    }
+
   /** Cosine similarity between trigram profiles → best language. */
   def classifyLanguage(text: String): String = {
     val p = trigrams(text)
     if (p.isEmpty) "und"
-    else langProfiles.maxBy { case (_, q) =>
-      p.iterator.map { case (g, w) => w * q.getOrElse(g, 0.0) }.sum /
-        (math.sqrt(p.values.map(x => x * x).sum) *
-          math.sqrt(q.values.map(x => x * x).sum))
-    }._1
+    else {
+      val pNorm = math.sqrt(p.values.map(x => x * x).sum)
+      langProfiles.maxBy { case (l, q) =>
+        p.iterator.map { case (g, w) => w * q.getOrElse(g, 0.0) }.sum /
+          (pNorm * langProfileNorms(l))
+      }._1
+    }
   }
 
   /** Language-ID over a text column (distributed via a deterministic
