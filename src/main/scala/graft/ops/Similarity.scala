@@ -127,10 +127,13 @@ object Similarity {
     import s.implicits._
 
     val c = corpus.select(col("vec_id").as("neighbor_id"), asUnit(col("embedding")).as("cv"))
+    // train the coarse quantizer on a bounded, deterministic sample — at
+    // corpus scale the quantizer never needs (or fits) the full data
+    val trainSample = c.orderBy(col("neighbor_id")).limit(100000)
     val model = new KMeans()
-      .setK(cells).setSeed(7L).setMaxIter(10)
+      .setK(cells).setSeed(7L).setMaxIter(5)
       .setFeaturesCol("features")
-      .fit(c.select(array_to_vector(col("cv")).as("features")))
+      .fit(trainSample.select(array_to_vector(col("cv")).as("features")))
     val centroids = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
 
     def nearestCells(n: Int) = udf { (v: Seq[Double]) =>
