@@ -150,6 +150,25 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Collapse near-dup pairs into clusters and elect a canonical doc per
+    * cluster (min doc_id) — the keep/drop list an actual dedup pass
+    * emits. Connected components via GraphX (label = min vertex id),
+    * which converges in O(diameter) Pregel rounds; near-dup clusters are
+    * tiny, so this is a handful of cheap iterations even at corpus scale.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersFromPairs(s, ngramJaccard(s, dir))
+
+  def clustersFromPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
+    import org.apache.spark.graphx.Graph
+    import s.implicits._
+    val edges = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
+    Graph.fromEdgeTuples(edges, defaultValue = 0)
+      .connectedComponents()
+      .vertices
+      .toDF("doc_id", "canonical")
+  }
+
   /** SimHash near-dup: 64-bit fingerprint per doc (sign of per-bit vote
     * sums over shingle hashes), candidates share one of four 16-bit
     * blocks (pigeonhole: hamming <= 3 guarantees a shared block),

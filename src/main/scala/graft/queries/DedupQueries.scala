@@ -8,10 +8,13 @@ import graft.ops.Dedup
   * (minhash, simhash) verify candidates exactly, so minhash shares the
   * exact-Jaccard oracle (recall loss at the planted-pair separation is
   * < 1e-7 — see Dedup scaladoc); simhash has no SQL-expressible oracle.
+  * Cluster canonicalization is oracled with a recursive-CTE transitive
+  * closure over the same pair definition.
   */
 object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_minhash" -> (Dedup.minhashLsh _),
@@ -19,8 +22,9 @@ object DedupQueries {
     "dedup_embedding" -> (Dedup.embeddingNearDup _)
   )
 
-  private val jaccardOracle =
-    """WITH toks AS (
+  /** Shared CTE prefix producing the exact-Jaccard near-dup pairs. */
+  private val pairCtes =
+    """WITH RECURSIVE toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
       |         generate_subscripts(string_split(text, ' '), 1) AS pos
       |  FROM documents
@@ -31,18 +35,40 @@ object DedupQueries {
       |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
       |), ds AS (SELECT DISTINCT doc_id, shingle FROM sh),
       |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
-      |pairs AS (
+      |raw_pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
       |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b,
-      |  round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
-      |FROM pairs
-      |JOIN sizes sa ON sa.doc_id = doc_a
-      |JOIN sizes sb ON sb.doc_id = doc_b
-      |WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8""".stripMargin
+      |  GROUP BY 1, 2),
+      |jpairs AS (
+      |  SELECT doc_a, doc_b,
+      |    round(common::DOUBLE / (sa.n + sb.n - common), 4) AS jaccard
+      |  FROM raw_pairs
+      |  JOIN sizes sa ON sa.doc_id = doc_a
+      |  JOIN sizes sb ON sb.doc_id = doc_b
+      |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8)""".stripMargin
+
+  private val jaccardOracle =
+    pairCtes + "\nSELECT doc_a, doc_b, jaccard FROM jpairs"
+
+  /** Connected components as a transitive closure (clusters are tiny, so
+    * the recursion depth is small): label = min reachable id.
+    */
+  private val clustersOracle =
+    pairCtes +
+      """,
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM jpairs),
+        |reach(a, b) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
+        |SELECT a AS doc_id, least(a, min(b)) AS canonical
+        |FROM reach GROUP BY a""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dedup_clusters" -> clustersOracle,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
         |  count(*) AS n_copies

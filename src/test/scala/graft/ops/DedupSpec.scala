@@ -61,6 +61,13 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("cluster canonicalization elects min doc_id per near-dup cluster") {
+    val clusters = Dedup.clustersFromPairs(spark, Dedup.ngramJaccardDocs(corpus))
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(
+      0L -> 0L, 100L -> 0L, 1L -> 1L, 101L -> 1L, 2L -> 2L, 102L -> 2L))
+  }
+
   test("simhash finds the exact copy and near-dups, nothing unrelated") {
     val pairs = Dedup.simhashDocs(spark, corpus)
       .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect()
