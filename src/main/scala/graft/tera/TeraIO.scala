@@ -47,6 +47,21 @@ object TeraIO {
       classOf[Array[Byte]],
       classOf[RawPairOutputFormat])
 
+  /** FixedLengthInputFormat with the file listing sorted by path, so the
+    * RDD's partition order follows part-file order — without this a
+    * sorted directory reads back with permuted partitions and global
+    * order validation fails (same fix as reference
+    * `apps/terasort/TeraInputFormat.scala:47-113`).
+    */
+  final class SortedFixedLengthInputFormat extends FixedLengthInputFormat {
+    override def listStatus(job: org.apache.hadoop.mapreduce.JobContext)
+        : java.util.List[org.apache.hadoop.fs.FileStatus] = {
+      val files = new java.util.ArrayList(super.listStatus(job))
+      files.sort((a, b) => a.getPath.toString.compareTo(b.getPath.toString))
+      files
+    }
+  }
+
   def read(spark: SparkSession, path: String): RDD[(Array[Byte], Array[Byte])] = {
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
@@ -54,7 +69,7 @@ object TeraIO {
     spark.sparkContext
       .newAPIHadoopFile(
         path,
-        classOf[FixedLengthInputFormat],
+        classOf[SortedFixedLengthInputFormat],
         classOf[LongWritable],
         classOf[BytesWritable],
         conf)

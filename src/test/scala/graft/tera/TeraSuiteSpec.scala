@@ -76,4 +76,16 @@ class TeraSuiteSpec extends SparkSpec {
       assert(TeraValidate.checksum(back) == "0000000000000000000001eea4a93bef")
     } finally TeraIO.delete(spark, dir)
   }
+
+  test("sorted output survives a file round-trip (partition order intact)") {
+    val dir = java.nio.file.Files.createTempDirectory("tera").toString + "/sorted"
+    try {
+      // 12 part files: enough that an unsorted listing would permute them
+      TeraIO.write(TeraSort.generateAndSort(spark, 6000, 12), dir)
+      val res = TeraValidate.validate(TeraIO.read(spark, dir))
+      assert(res.records == 6000)
+      assert(res.partitionsSorted)
+      assert(res.boundariesOrdered, "file listing must be path-sorted")
+    } finally TeraIO.delete(spark, dir)
+  }
 }
