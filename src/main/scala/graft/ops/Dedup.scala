@@ -92,6 +92,41 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact Jaccard pairs via PREFIX FILTERING (AllPairs/V-SMART-Join
+    * family): index only each doc's rarest `|S| - ceil(t*|S|) + 1`
+    * shingles (global-frequency order) — two sets with Jaccard >= t MUST
+    * share a prefix shingle, so the join is lossless while the inverted
+    * index shrinks ~5x at t = 0.8 and, critically, hot shingles stop
+    * generating candidate blowups. This is the exact-join scale path; the
+    * plain inverted-index join ([[ngramJaccardDocs]]) is the reference
+    * implementation it must match.
+    *
+    * Prefix length uses integer arithmetic (ceil(80n/100) = (80n+99)/100)
+    * — float rounding here would silently shrink the prefix and drop
+    * pairs.
+    */
+  def prefixJaccardDocs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs).cache()
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val whole = Window.partitionBy(col("doc_id"))
+    val prefixes = sh.join(df, "shingle")
+      .withColumn("rank", row_number().over(byRarity))
+      .withColumn("n", count(lit(1)).over(whole))
+      .filter(col("rank") <= col("n") - expr("(n * 80 + 99) div 100") + 1)
+      .select(col("doc_id"), col("shingle"))
+    val candidates = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, sh)
+  }
+
+  def prefixJaccard(s: SparkSession, dir: String): DataFrame =
+    prefixJaccardDocs(Tables.documents(s, dir))
+
   /** Per-doc MinHash signature as NumHashes array<long>. The hash family
     * is xxhash64 re-mixed with the function index (full 64-bit avalanche,
     * no overflow under ANSI arithmetic).

@@ -17,6 +17,7 @@ object DedupQueries {
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "dedup_prefix_join" -> (Dedup.prefixJaccard _),
     "dedup_minhash" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _)
@@ -74,6 +75,7 @@ object DedupQueries {
         |  count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_prefix_join" -> jaccardOracle, // lossless: prefix filter is exact
     "dedup_minhash" -> jaccardOracle,
     "dedup_embedding" ->
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -51,6 +51,16 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size == 3, s"no false positives, got $pairs")
   }
 
+  test("prefix-filtered join is lossless vs the plain inverted-index join") {
+    val plain = Dedup.ngramJaccardDocs(corpus)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val prefix = Dedup.prefixJaccardDocs(corpus)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(prefix == plain)
+  }
+
   test("minhash LSH output equals the exact ground truth") {
     val exact = Dedup.ngramJaccardDocs(corpus)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
