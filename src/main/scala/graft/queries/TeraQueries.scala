@@ -22,7 +22,13 @@ object TeraQueries {
   def teraPipeline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = recordsFor(dir)
-    val parts = s.sparkContext.defaultParallelism
+    // spill-aware sizing: keep each sort partition under ~64 MB of raw
+    // records so the per-task working set fits executor memory at any
+    // scale (empirically: 10 GB / 128 partitions OOMs an 8g heap; /512
+    // sails through)
+    val parts = math.max(
+      s.sparkContext.defaultParallelism,
+      (n * TeraGen.RecordLen / (64L << 20)).toInt + 1)
     val sorted = TeraSort.generateAndSort(s, n, parts)
     val r = TeraValidate.validate(sorted)
     Seq((r.records, r.checksumHex, r.partitionsSorted, r.boundariesOrdered))
