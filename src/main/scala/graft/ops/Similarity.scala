@@ -114,27 +114,59 @@ object Similarity {
         round(col("cos_raw"), 6).as("cos"), col("rank"))
   }
 
-  /** IVF (inverted-file) ANN: a coarse k-means quantizer (MLlib, fixed
-    * seed) partitions the corpus into cells; each query scores only its
-    * `nprobe` nearest cells. The classic big-index layout: centroids are
-    * tiny and broadcastable, cell assignment is one map pass, and the
-    * candidate set per query is corpus/cells * nprobe.
+  /** Lloyd k-means over an in-memory sample — the coarse-quantizer
+    * trainer. Deterministic: init = first k sample vectors, ties to the
+    * lower cell. The quantizer only ever sees a bounded sample (centroids
+    * must be broadcastable anyway), so training is a driver-local loop —
+    * no per-iteration Spark jobs.
+    */
+  def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = sample.head.length
+    var centroids = sample.take(k).map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val ctr = centroids(c)
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val su = sums(best)
+        var j = 0
+        while (j < dim) { su(j) += v(j); j += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+    * corpus into cells; each query scores only its `nprobe` nearest
+    * cells. The classic big-index layout: centroids are tiny and
+    * broadcastable, cell assignment is one map pass, and the candidate
+    * set per query is corpus/cells * nprobe.
     */
   def ivfTopK(s: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
       cells: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     import s.implicits._
 
     val c = corpus.select(col("vec_id").as("neighbor_id"), asUnit(col("embedding")).as("cv"))
     // train the coarse quantizer on a bounded, deterministic sample — at
     // corpus scale the quantizer never needs (or fits) the full data
-    val trainSample = c.orderBy(col("neighbor_id")).limit(100000)
-    val model = new KMeans()
-      .setK(cells).setSeed(7L).setMaxIter(5)
-      .setFeaturesCol("features")
-      .fit(trainSample.select(array_to_vector(col("cv")).as("features")))
-    val centroids = s.sparkContext.broadcast(model.clusterCenters.map(_.toArray))
+    val trainSample = c.orderBy(col("neighbor_id")).limit(4096)
+      .select(col("cv")).as[Seq[Double]].collect().map(_.toArray)
+    val centroids = s.sparkContext.broadcast(lloyd(trainSample, cells, iters = 5))
 
     def nearestCells(n: Int) = udf { (v: Seq[Double]) =>
       val arr = v.toArray
