@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal join operators Spark lacks natively (SURVEY.md §2.5 "custom
+  * operators" track): as-of join and bounded range join, both built as
+  * single-shuffle plans.
+  *
+  *  - [[asofJoin]]: the union+ordered-window formulation — tag both
+  *    inputs, union, one shuffle+sort on (key, ts), then
+  *    `last(right_payload, ignoreNulls)` over an unbounded-preceding
+  *    window carries the latest right row forward to every left row.
+  *    Linear in input size, no range blow-up, and AQE-friendly; this is
+  *    how production engines (Flink temporal join, kdb aj) scale as-of
+  *    at billions of rows, versus the O(n·m) inequality-join a naive
+  *    translation would run.
+  *  - [[rangeJoinBucketed]]: bounded-interval join (right.ts in
+  *    (left.ts, left.ts + W]) via time bucketing — each left row probes
+  *    exactly two W-wide buckets, turning the inequality join into an
+  *    equi-join on (key, bucket) + an exact residual filter. Candidate
+  *    fan-out is bounded by bucket occupancy, not corpus size.
+  */
+object TemporalJoins {
+
+  /** As-of join: for each left row, the single latest right row with the
+    * same key and `right.ts <= left.ts` (inclusive; at equal ts the right
+    * row wins by ordering side=0 < side=1). Left rows with no prior right
+    * row keep nulls — ASOF LEFT JOIN semantics.
+    *
+    * @param left      probe side: (key, ts, leftPayload...)
+    * @param right     build side: (key, ts, rightPayload...)
+    * @param rightCols right payload columns carried to the output
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == key || c == ts)
+    val rPayload = struct(rightCols.map(col): _*)
+    val l = left.select(
+      Seq(col(key), col(ts), lit(1).as("__side"),
+        lit(null).cast(right.select(rPayload).schema.head.dataType).as("__r")) ++
+        leftCols.map(col): _*)
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("__side"), rPayload.as("__r")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = l.unionByName(r)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    joined.select(
+      Seq(col(key), col(ts)) ++ leftCols.map(col) ++
+        rightCols.map(c => col("__asof").getField(c).as(c)): _*)
+  }
+
+  /** Bounded range join: aggregate right rows with the same key and
+    * `right.ts` in `(left.ts, left.ts + windowMicros]` per left row.
+    * Left rows explode into two adjacent W-buckets (floor(ts/W),
+    * floor(ts/W)+1 — the only buckets a qualifying right row can occupy);
+    * right rows keep their single bucket; the equi-join on (key, bucket)
+    * plus the exact residual filter reproduces the inequality join with
+    * one hash shuffle.
+    */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+      ts: String, windowMicros: Long, leftId: String,
+      aggs: Seq[Column]): DataFrame = {
+    val lus = unix_micros(col(ts))
+    val l = left.select(col(key), col(leftId), lus.as("__lus"),
+        explode(array(floor(lus / windowMicros),
+          floor(lus / windowMicros) + 1)).as("__bucket"))
+    val rus = unix_micros(col(ts))
+    val r = right.select(col(key).as("__rkey"), rus.as("__rus"),
+        floor(rus / windowMicros).as("__bucket"),
+        struct(right.columns.map(col): _*).as("__row"))
+    // left-outer keeps zero-match left rows; a right row's bucket matches
+    // exactly one of the left row's two exploded buckets, so no dedup
+    val inRange = col("__rus") > col("__lus") &&
+      col("__rus") <= col("__lus") + windowMicros
+    l.join(r, col(key) === col("__rkey") && l("__bucket") === r("__bucket"),
+        "left_outer")
+      .withColumn("__m", when(inRange, col("__row")))
+      .groupBy(col(key), col(leftId))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Driver query: each click joined as-of to the user's latest prior
+    * purchase (event_id/value/gap in whole seconds; nulls where the user
+    * has not purchased yet).
+    */
+  def asofClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).cache()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    asofJoin(clicks, purchases, "user_id", "ts",
+        Seq("purchase_id", "purchase_value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("purchase_id"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+  }
+
+  /** Driver query: activity burst after each signup — count and value sum
+    * of the user's events within the next 10 minutes.
+    */
+  def rangeSignupActivity(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).cache()
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    rangeJoinBucketed(signups, ev, "user_id", "ts",
+        windowMicros = 10L * 60 * 1000000, leftId = "event_id",
+        aggs = Seq(
+          count(col("__m")).as("n_events"),
+          round(sum(col("__m").getField("value")), 2).as("sum_value")))
+      .select(col("event_id"), col("user_id"), col("n_events"),
+        col("sum_value"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_click_purchase" -> (asofClickPurchase _),
+    "range_signup_activity" -> (rangeSignupActivity _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_click_purchase" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts,
+        |  p.event_id AS purchase_id, round(p.value, 2) AS purchase_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin,
+    "range_signup_activity" ->
+      """WITH s AS (SELECT * FROM events WHERE event_type = 'signup')
+        |SELECT s.event_id, s.user_id,
+        |  count(e.event_id) AS n_events,
+        |  round(sum(e.value), 2) AS sum_value
+        |FROM s LEFT JOIN events e
+        |  ON e.user_id = s.user_id
+        |  AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL 10 MINUTE
+        |GROUP BY s.event_id, s.user_id""".stripMargin
+  )
+}

@@ -37,7 +37,8 @@ object EventStreams {
       // events file out of the shared sf directory
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div`: float division loses microseconds on epoch-nanos
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Tumbling-window aggregation with a watermark; complete mode so the

@@ -1,0 +1,82 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin picks the latest right row at-or-before each left ts") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L), // before any right row
+      (1L, ts("2024-01-01 10:05:00"), 101L), // equal-ts tie: right visible
+      (1L, ts("2024-01-01 10:30:00"), 102L), // after both right rows
+      (2L, ts("2024-01-01 09:00:00"), 200L)  // key with no right rows
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 900L, 5.0),
+      (1L, ts("2024-01-01 10:10:00"), 901L, 7.0)
+    ).toDF("user_id", "ts", "purchase_id", "purchase_value")
+
+    val out = TemporalJoins.asofJoin(left, right, "user_id", "ts",
+        Seq("purchase_id", "purchase_value"))
+      .select($"event_id", $"purchase_id")
+      .as[(Long, Option[Long])].collect().toMap
+
+    assert(out(100L).isEmpty)
+    assert(out(101L).contains(900L)) // inclusive at equal ts
+    assert(out(102L).contains(901L)) // latest, not first
+    assert(out(200L).isEmpty)
+  }
+
+  test("rangeJoinBucketed matches (ts, ts+W] exactly across bucket edges") {
+    val w = 10L * 60 * 1000000 // 10 min
+    val left = Seq((1L, ts("2024-01-01 10:07:00"), 1L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:07:00"), 1.0),  // equal ts: excluded (strict >)
+      (1L, ts("2024-01-01 10:09:59"), 2.0),  // same bucket
+      (1L, ts("2024-01-01 10:16:59"), 4.0),  // next bucket, in range
+      (1L, ts("2024-01-01 10:17:00"), 8.0),  // exactly ts+W: included
+      (1L, ts("2024-01-01 10:17:01"), 16.0), // past window
+      (2L, ts("2024-01-01 10:08:00"), 32.0)  // other key
+    ).toDF("user_id", "ts", "value")
+
+    val out = TemporalJoins.rangeJoinBucketed(left, right, "user_id", "ts",
+        w, "event_id",
+        Seq(count(col("__m")).as("n"),
+          sum(col("__m").getField("value")).as("s")))
+      .select($"n", $"s").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((3L, 14.0)))
+  }
+
+  test("rangeJoinBucketed keeps zero-match left rows") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, ts("2024-01-01 11:00:00"), 1.0))
+      .toDF("user_id", "ts", "value")
+    val out = TemporalJoins.rangeJoinBucketed(left, right, "user_id", "ts",
+        60L * 1000000, "event_id", Seq(count(col("__m")).as("n")))
+      .select($"n").as[Long].collect().toSeq
+    assert(out == Seq(0L))
+  }
+
+  test("asof plan is a single shuffle (no range blow-up join)") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val df = TemporalJoins.asofJoin(clicks, purchases, "user_id", "ts",
+      Seq("purchase_id"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"unexpected NLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
