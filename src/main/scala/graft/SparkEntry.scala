@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.OpsQueries.queries ++
       graft.queries.StreamQueries.queries ++
-      graft.ops.TemporalJoins.queries
+      graft.ops.TemporalJoins.queries ++
+      graft.ops.PipelineOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.DedupQueries.oracles ++
       graft.queries.OpsQueries.oracles ++
       graft.queries.StreamQueries.oracles ++
-      graft.ops.TemporalJoins.oracles
+      graft.ops.TemporalJoins.oracles ++
+      graft.ops.PipelineOps.oracles
 }

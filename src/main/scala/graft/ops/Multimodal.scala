@@ -129,4 +129,21 @@ object Multimodal {
 
   def featuresQuery(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(s, dir)).toDF()
+
+  /** Envelope + decoded-header rollup per modality. Every value here is
+    * recomputed from the decoded payload (not the synthesis parameters),
+    * so the oracle check covers payload framing end-to-end.
+    */
+  def metaQuery(s: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(s, dir).toDF()
+      .select(col("media_id"), col("size_bytes"))
+    extractFeatures(mediaTable(s, dir)).toDF()
+      .join(media, "media_id")
+      .groupBy(col("modality"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(col("width")).cast("long").as("sum_width"),
+        sum(col("height")).cast("long").as("sum_height"),
+        sum(col("size_bytes")).as("sum_bytes"))
+  }
 }

@@ -1,0 +1,175 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Training-data pipeline operators (north star, SURVEY.md §2.5): the
+  * per-document passes a corpus-curation pipeline runs between ingest and
+  * training — deterministic sampling, pattern scrubbing, intra-document
+  * repetition scoring, and benchmark-contamination checks. All are
+  * narrow-plus-one-shuffle plans: nothing touches the driver, and the
+  * shuffled keys are documents or shingles, never whole-corpus pairs.
+  */
+object PipelineOps {
+
+  /** Deterministic content-addressed sampling: keep a doc iff the first
+    * two hex chars of md5(doc_id) fall under the rate threshold. Unlike
+    * `df.sample`, the decision is a pure function of the row — stable
+    * across retries, partitionings, and engines (which is what makes the
+    * holdout reproducible at 100 TB, and lets DuckDB agree with Spark).
+    * threshold "28" ≈ 41/256 ≈ 16%.
+    */
+  def sampleHash(docs: DataFrame, hexThreshold: String): DataFrame =
+    docs
+      .withColumn("hash_prefix", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .filter(col("hash_prefix") <= lit(hexThreshold))
+      .select(col("doc_id"), col("hash_prefix"), col("lang"), col("n_chars"))
+
+  /** Regex scrub: replace every match of `pattern` with `replacement`
+    * and count what was removed (the PII-redaction shape: emails, phone
+    * numbers, ids — pattern is config; the driver query scrubs vocabulary
+    * words because the synthetic corpus contains no digits at all).
+    * Pattern subset must stay Java-regex ∩ RE2 so the DuckDB oracle
+    * agrees.
+    */
+  def scrub(docs: DataFrame, pattern: String, replacement: String): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(pattern)).as("n_redacted"),
+      regexp_replace(col("text"), pattern, replacement).as("text_redacted"))
+
+  /** Per-document repetition score: 1 - distinct/total word-3-grams.
+    * High ratios flag boilerplate/spam docs; this is the standard
+    * "duplicate n-gram fraction" quality signal. Total is computed from
+    * the token count (no second pass); distinct reuses the dedup shingle
+    * pipeline.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val n = Dedup.ShingleSize
+    val totals = docs.select(
+      col("doc_id"),
+      greatest(size(split(col("text"), " ", -1)) - (n - 1), lit(0))
+        .cast("long").as("n_shingles"))
+    val distincts = Dedup.shingles(docs)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+    totals.join(distincts, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"), col("n_shingles"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(
+            lit(1.0) - coalesce(col("n_distinct"), lit(0L)) / col("n_shingles"), 4))
+          .as("rep_ratio"))
+  }
+
+  /** Benchmark-contamination check: for each training doc, how many of
+    * its distinct shingles appear anywhere in the benchmark split. The
+    * benchmark shingle set is distinct-reduced first (it is the small
+    * side — broadcastable in any realistic train/eval split), so the join
+    * fans out per contaminated shingle only.
+    */
+  def contamination(train: DataFrame, benchmark: DataFrame): DataFrame = {
+    val trainSh = Dedup.shingles(train)
+    val benchSh = Dedup.shingles(benchmark).select("shingle").distinct()
+    val overlaps = trainSh.join(broadcast(benchSh), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    val sizes = trainSh.groupBy("doc_id").agg(count(lit(1)).as("n_distinct"))
+    sizes.join(overlaps, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_distinct"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)) / col("n_distinct"), 4)
+          .as("overlap_ratio"))
+  }
+
+  val SampleThreshold = "28"
+  val ScrubPattern = "\\b(customer|supplier)\\b"
+
+  def sampleQuery(s: SparkSession, dir: String): DataFrame =
+    sampleHash(Tables.documents(s, dir), SampleThreshold)
+
+  def scrubQuery(s: SparkSession, dir: String): DataFrame =
+    scrub(Tables.documents(s, dir), ScrubPattern, "<REDACTED>")
+
+  def repetitionQuery(s: SparkSession, dir: String): DataFrame =
+    repetition(Tables.documents(s, dir))
+
+  /** src0 plays the benchmark split; everything else is training data. */
+  def contaminationQuery(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    contamination(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_sample_hash" -> (sampleQuery _),
+    "pipe_scrub" -> (scrubQuery _),
+    "pipe_repetition" -> (repetitionQuery _),
+    "pipe_contamination" -> (contaminationQuery _)
+  )
+
+  private val shingleCtes =
+    """WITH toks AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), sh AS (
+      |  SELECT a.doc_id, a.source,
+      |         a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      |  FROM toks a
+      |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "pipe_sample_hash" ->
+      """SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 2) AS hash_prefix,
+        |  lang, n_chars
+        |FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 2) <= '28'""".stripMargin,
+    "pipe_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(customer|supplier)\b'))
+        |    AS n_redacted,
+        |  regexp_replace(text, '\b(customer|supplier)\b', '<REDACTED>', 'g')
+        |    AS text_redacted
+        |FROM documents""".stripMargin,
+    "pipe_repetition" ->
+      (shingleCtes +
+        """,
+          |tot AS (
+          |  SELECT doc_id,
+          |    greatest(len(string_split(text, ' ')) - 2, 0)::BIGINT
+          |      AS n_shingles
+          |  FROM documents),
+          |dis AS (
+          |  SELECT doc_id, count(DISTINCT shingle)::BIGINT AS n_distinct
+          |  FROM sh GROUP BY doc_id)
+          |SELECT t.doc_id, t.n_shingles,
+          |  coalesce(d.n_distinct, 0) AS n_distinct,
+          |  CASE WHEN t.n_shingles = 0 THEN 0.0
+          |    ELSE round(1.0 - coalesce(d.n_distinct, 0)::DOUBLE / t.n_shingles, 4)
+          |  END AS rep_ratio
+          |FROM tot t LEFT JOIN dis d ON t.doc_id = d.doc_id""".stripMargin),
+    "pipe_contamination" ->
+      (shingleCtes +
+        """,
+          |train AS (
+          |  SELECT DISTINCT doc_id, shingle FROM sh WHERE source != 'src0'),
+          |bench AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+          |sizes AS (
+          |  SELECT doc_id, count(*)::BIGINT AS n_distinct
+          |  FROM train GROUP BY doc_id),
+          |ov AS (
+          |  SELECT t.doc_id, count(*)::BIGINT AS n_overlap
+          |  FROM train t JOIN bench b ON t.shingle = b.shingle
+          |  GROUP BY t.doc_id)
+          |SELECT s.doc_id, s.n_distinct,
+          |  coalesce(o.n_overlap, 0) AS n_overlap,
+          |  round(coalesce(o.n_overlap, 0)::DOUBLE / s.n_distinct, 4)
+          |    AS overlap_ratio
+          |FROM sizes s LEFT JOIN ov o ON s.doc_id = o.doc_id""".stripMargin)
+  )
+}

@@ -43,10 +43,23 @@ object OpsQueries {
     "text_quality" -> (TextAnalysis.qualityQuery _),
     "text_langid" -> (TextAnalysis.langIdQuery _),
     "text_fingerprint" -> (TextAnalysis.fingerprintQuery _),
-    "multimodal_features" -> (Multimodal.featuresQuery _)
+    "multimodal_features" -> (Multimodal.featuresQuery _),
+    "multimodal_meta" -> (Multimodal.metaQuery _)
   )
 
   val oracles: Map[String, String] = Map(
+    // the decoded header dims are deterministic in media_id, so the SQL
+    // oracle re-derives them arithmetically — this hash-checks the whole
+    // binary envelope + decode-header path (pixel stats stay rows-only)
+    "multimodal_meta" ->
+      """SELECT CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END
+        |    AS modality,
+        |  count(*) AS n_items,
+        |  sum(16 + doc_id % 48)::BIGINT AS sum_width,
+        |  sum(16 + doc_id % 32)::BIGINT AS sum_height,
+        |  sum(8 + (16 + doc_id % 48) * (16 + doc_id % 32))::BIGINT
+        |    AS sum_bytes
+        |FROM documents GROUP BY 1""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -280,7 +280,25 @@ object Relational {
         col("event_type"))
       .agg(count(lit(1)).as("n"), money(sum(col("value"))).as("sum_value"))
 
+  /** Explicit GROUPING SETS (beyond rollup/cube): per (status, year),
+    * per status, and grand total in one pass — Spark expands to a single
+    * Expand + hash aggregate, one shuffle for all three groupings.
+    */
+  def q22GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("order_year", year(col("o_orderdate")))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("order_year")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("order_year"))
+      .agg(count(lit(1)).as("n"), money(sum(col("o_totalprice"))).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("order_year"), lit(-1)).as("order_year"),
+        col("n"), col("total"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_grouping_sets" -> q22GroupingSets _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_filter_project" -> q2FilterProject _,
     "q3_segment_revenue" -> q3SegmentRevenue _,
@@ -305,6 +323,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q22_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, '(all)') AS status,
+        |  coalesce(year(o_orderdate), -1) AS order_year,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, year(o_orderdate)),
+        |  (o_orderstatus), ())""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
