@@ -13,7 +13,9 @@ object StreamQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_events_hourly" -> (EventStreams.hourlyWindowed _),
-    "stream_user_totals" -> (EventStreams.userTotals _)
+    "stream_user_totals" -> (EventStreams.userTotals _),
+    "stream_sessions" -> (EventStreams.sessionize _),
+    "stream_dedup" -> (EventStreams.dedupExact _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -24,6 +26,22 @@ object StreamQueries {
     "stream_user_totals" ->
       """SELECT user_id, count(*) AS n_events,
         |  round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY user_id""".stripMargin
+        |FROM events GROUP BY user_id""".stripMargin,
+    // same oracle as batch q19 — stream/batch session equivalence
+    "stream_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT user_id, sum(new_s)::BIGINT AS n_sessions,
+        |  count(*) AS n_events
+        |FROM marked GROUP BY user_id""".stripMargin,
+    // same oracle as batch dedup_exact — arrival-order-independent keeper
+    "stream_dedup" ->
+      """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin
   )
 }

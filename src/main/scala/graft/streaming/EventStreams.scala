@@ -102,4 +102,83 @@ object EventStreams {
         round(col("last.sum_value"), 2).as("sum_value"))
     out.localCheckpoint(eager = true)
   }
+
+  final case class SessEv(user_id: Long, ts_us: Long)
+  final case class SessState(last_ts: Long, n_sessions: Long, n_events: Long)
+
+  private val SessionGapUs = 30L * 60 * 1000000
+
+  /** Streaming gap-based sessionization via `flatMapGroupsWithState`:
+    * per-user state carries (last event time, session count) across
+    * batches; a >= 30 min silence opens a new session — the streaming
+    * twin of the batch q19 window query, checked against the same
+    * oracle. Events inside a batch are sorted per group before folding
+    * (the file source delivers no order guarantee); across batches the
+    * watermarkless demo assumes in-order arrival, which the single-file
+    * drain satisfies.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val fold: (Long, Iterator[SessEv], GroupState[SessState]) =>
+        Iterator[(Long, Long, Long)] =
+      (uid, evs, state) => {
+        var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+        evs.toArray.sortBy(_.ts_us).foreach { e =>
+          if (st.last_ts == Long.MinValue || e.ts_us - st.last_ts >= SessionGapUs)
+            st = st.copy(n_sessions = st.n_sessions + 1)
+          st = st.copy(last_ts = e.ts_us, n_events = st.n_events + 1)
+        }
+        state.update(st)
+        Iterator((uid, st.n_sessions, st.n_events))
+      }
+    val sessions = eventStream(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us")).as[SessEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
+      .toDF("user_id", "n_sessions", "n_events")
+    val q = sessions.writeStream
+      .outputMode(OutputMode.Update)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = s.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("last"))
+      .select(col("user_id"), col("last.n_sessions").as("n_sessions"),
+        col("last.n_events").as("n_events"))
+    out.localCheckpoint(eager = true)
+  }
+
+  /** Streaming exact-dedup as an aggregation: group by content digest,
+    * keep min doc_id + copy count (deterministic regardless of arrival
+    * order, unlike streaming `dropDuplicates` whose keeper is
+    * first-seen). Shares the batch dedup_exact oracle.
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val agg = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("text_md5"), col("n_copies"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).localCheckpoint(eager = true)
+  }
 }
