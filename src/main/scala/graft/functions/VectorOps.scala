@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShims}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -55,7 +56,33 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Identity wrapper marked non-deterministic so the optimizer will not
+  * move a predicate built on it. Motivation: a selective filter on an
+  * expensive projected expression (e.g. a vector dot product) gets
+  * substituted through the Project and pushed into a nested-loop join
+  * condition, where it is (a) evaluated for every *ordered* candidate
+  * pair — before the cheap `id < id` dedup check — and (b) recomputed in
+  * the output projection. The barrier pins the filter above the Project,
+  * so the expensive expression runs exactly once per surviving row.
+  */
+case class PushdownBarrier(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(c: Expression): PushdownBarrier =
+    copy(child = c)
+}
+
 object VectorOps {
+
+  /** Pin a filter where it stands: `df.filter(no_pushdown(col("c")) > x)`. */
+  def no_pushdown(c: Column): Column =
+    GraftShims.columnOf(PushdownBarrier(GraftShims.expressionOf(c)))
 
   /** Dot product of two array<double> columns (codegen'd). */
   def vec_dot(a: Column, b: Column): Column =

@@ -187,21 +187,36 @@ object Dedup {
 
   /** Collapse near-dup pairs into clusters and elect a canonical doc per
     * cluster (min doc_id) — the keep/drop list an actual dedup pass
-    * emits. Connected components via GraphX (label = min vertex id),
-    * which converges in O(diameter) Pregel rounds; near-dup clusters are
-    * tiny, so this is a handful of cheap iterations even at corpus scale.
+    * emits. Connected components as an iterated min-label propagation in
+    * DataFrames (the hash-to-min scheme): each round every vertex takes
+    * the min label over itself and its neighbors — two hash shuffles per
+    * round, converging in O(diameter) rounds. Near-dup clusters are tiny
+    * (diameter is a handful), so this beats dragging in a Pregel runtime,
+    * and each round is a plain shuffle that AQE sizes like any other at
+    * corpus scale. Lineage is truncated per round so the plan stays flat.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clustersFromPairs(s, ngramJaccard(s, dir))
 
   def clustersFromPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
-    import org.apache.spark.graphx.Graph
-    import s.implicits._
-    val edges = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
-    Graph.fromEdgeTuples(edges, defaultValue = 0)
-      .connectedComponents()
-      .vertices
-      .toDF("doc_id", "canonical")
+    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(eager = true)
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    while (changed > 0) {
+      val next = edges.join(labels.withColumnRenamed("id", "u"), "u")
+        .select(col("v").as("id"), col("label"))
+        .union(labels)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .localCheckpoint(eager = true)
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("canonical"))
   }
 
   /** SimHash near-dup: 64-bit fingerprint per doc (sign of per-bit vote
@@ -273,7 +288,7 @@ object Dedup {
   }
 
   def embeddingNearDup(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorOps.{vec_dot, vec_unit}
+    import graft.functions.VectorOps.{no_pushdown, vec_dot, vec_unit}
     // normalize once per row (scan-side projection); per-pair work is then
     // a single codegen'd dot product — the interpreted higher-order-fn
     // cosine made this one query dominate the whole benchmark
@@ -285,6 +300,8 @@ object Dedup {
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(vec_dot(col("a.v"), col("b.v")), 6).as("cos"))
-      .filter(col("cos") >= CosineThreshold)
+      // barrier: without it this filter is substituted into the join
+      // condition and the dot product runs 3x per unordered pair
+      .filter(no_pushdown(col("cos")) >= CosineThreshold)
   }
 }
