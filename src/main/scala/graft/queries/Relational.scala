@@ -297,7 +297,28 @@ object Relational {
         coalesce(col("order_year"), lit(-1)).as("order_year"),
         col("n"), col("total"))
 
+  /** Window-function bouquet in one pass: lag/lead, running frame sum,
+    * ntile, percent_rank — all share one (user_id, ts) window, so Spark
+    * plans a single sort+shuffle for the lot. Ordering key is unique per
+    * partition (ts has no per-user dupes), making every function
+    * deterministic.
+    */
+  def q23WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"),
+        money(lag(col("value"), 1).over(w)).as("prev_value"),
+        money(lead(col("value"), 1).over(w)).as("next_value"),
+        money(sum(col("value")).over(frame)).as("running_value"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q23_window_suite" -> q23WindowSuite _,
     "q22_grouping_sets" -> q22GroupingSets _,
     "q1_pricing_summary" -> q1PricingSummary _,
     "q2_filter_project" -> q2FilterProject _,
@@ -323,6 +344,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q23_window_suite" ->
+      """SELECT event_id, user_id,
+        |  round(lag(value, 1) OVER w, 2) AS prev_value,
+        |  round(lead(value, 1) OVER w, 2) AS next_value,
+        |  round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW), 2) AS running_value,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts)""".stripMargin,
     "q22_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, '(all)') AS status,
         |  coalesce(year(o_orderdate), -1) AS order_year,
