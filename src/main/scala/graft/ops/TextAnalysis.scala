@@ -115,38 +115,32 @@ object TextAnalysis {
     */
   def langId(s: SparkSession, docs: DataFrame): DataFrame = {
     val lid = udf(classifyLanguage _)
-    docs.select(col("doc_id"), lid(col("text")).as("lang_pred"))
+    OpUtil.spread(docs).select(col("doc_id"), lid(col("text")).as("lang_pred"))
   }
 
-  /** Document fingerprint: min-of-window rolling hash over token hashes
-    * (winnowing-style) — stable under small edits away from the minimum,
-    * usable as a cheap pre-cluster key.
+  /** Document fingerprint: winnowing — the minimum digest over all
+    * sliding 5-token windows (docs shorter than one window hash whole).
+    * Stable under small edits away from the minimum window, usable as a
+    * cheap pre-cluster key. The window digest is md5 of the window text,
+    * so the fingerprint is engine-independent (DuckDB-oracle-checked) —
+    * a faster non-cryptographic hash would work identically in
+    * production; the structure, not the hash, is the operator.
     */
   val FingerprintWindow = 5
 
   def fingerprint(s: SparkSession, docs: DataFrame): DataFrame = {
-    import s.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)].map {
-      case (id, text) =>
-        val toks = text.split("\\s+").filter(_.nonEmpty)
-        var fp = Long.MaxValue
-        if (toks.length >= FingerprintWindow) {
-          // polynomial rolling hash over token hashes, window of 5
-          val hs = toks.map(t => scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL)
-          var i = 0
-          while (i + FingerprintWindow <= hs.length) {
-            var h = 1125899906842597L
-            var j = i
-            while (j < i + FingerprintWindow) { h = h * 31 + hs(j); j += 1 }
-            if (h < fp) fp = h
-            i += 1
-          }
-        } else {
-          fp = toks.foldLeft(1125899906842597L)((h, t) =>
-            h * 31 + (scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL))
-        }
-        (id, fp)
-    }.toDF("doc_id", "fingerprint")
+    val toks = split(col("text"), " ", -1)
+    val n = size(toks)
+    // one md5 per window position via transform(sequence) — stays in the
+    // scan projection, no shuffle; CASE guards the short-doc branch so
+    // sequence() never sees a negative span
+    val windows = transform(
+      sequence(lit(1), n - lit(FingerprintWindow - 1)),
+      i => md5(concat_ws(" ", slice(toks, i, lit(FingerprintWindow)))))
+    docs.select(
+      col("doc_id"),
+      when(n >= FingerprintWindow, array_min(windows))
+        .otherwise(md5(col("text"))).as("fingerprint"))
   }
 
   /** Corpus rollup by language/source metadata: the report a pipeline

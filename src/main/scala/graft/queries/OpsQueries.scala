@@ -48,6 +48,23 @@ object OpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_fingerprint" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |), w AS (
+        |  SELECT a.doc_id,
+        |    min(md5(a.tok || ' ' || b.tok || ' ' || c.tok || ' ' ||
+        |            d.tok || ' ' || e.tok)) AS fp
+        |  FROM toks a
+        |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+        |  JOIN toks d ON a.doc_id = d.doc_id AND d.pos = a.pos + 3
+        |  JOIN toks e ON a.doc_id = e.doc_id AND e.pos = a.pos + 4
+        |  GROUP BY a.doc_id)
+        |SELECT d.doc_id, coalesce(w.fp, md5(d.text)) AS fingerprint
+        |FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id""".stripMargin,
     // the decoded header dims are deterministic in media_id, so the SQL
     // oracle re-derives them arithmetically — this hash-checks the whole
     // binary envelope + decode-header path (pixel stats stay rows-only)

@@ -62,12 +62,16 @@ class OpsSpec extends SparkSpec {
       (3L, "totally different words everywhere nothing shared at all here now"))
       .toDF("doc_id", "text")
     val fps = TextAnalysis.fingerprint(spark, docs)
-      .as[(Long, Long)].collect().toMap
+      .as[(Long, String)].collect().toMap
     assert(fps(1L) != fps(3L))
     assert(fps.values.toSet.size >= 2)
     // determinism
-    val again = TextAnalysis.fingerprint(spark, docs).as[(Long, Long)].collect().toMap
+    val again = TextAnalysis.fingerprint(spark, docs).as[(Long, String)].collect().toMap
     assert(fps == again)
+    // short docs hash whole-text; same content → same fingerprint
+    val short = Seq((7L, "one two"), (8L, "one two")).toDF("doc_id", "text")
+    val sfp = TextAnalysis.fingerprint(spark, short).as[(Long, String)].collect().toMap
+    assert(sfp(7L) == sfp(8L))
   }
 
   test("token stats handle empty and whitespace-only text") {
