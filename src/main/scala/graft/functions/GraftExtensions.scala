@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session-extension injection point for the engine's native functions —
+  * the supported way to ship them into any session, including pure-SQL
+  * ones:
+  *
+  * {{{
+  * spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions
+  * // or
+  * SparkSession.builder().withExtensions(new GraftExtensions)
+  * }}}
+  *
+  * after which `SELECT elf_hash(key), vec_dot(a, b) FROM t` parses and
+  * codegens like a built-in (no UDF boxing). Complements
+  * [[GraftFunctions.register]], which does the same on an already-built
+  * session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("elf_hash"),
+      new ExpressionInfo(classOf[ElfHashExpr].getName, "elf_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ElfHashExpr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorDot(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("no_pushdown"),
+      new ExpressionInfo(classOf[PushdownBarrier].getName, "no_pushdown"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        PushdownBarrier(exprs.head)))
+  }
+}

@@ -29,6 +29,18 @@ class FunctionsSpec extends SparkSpec {
     assert(got == keys.map(ElfHash(_)))
   }
 
+  test("session-extension-injected SQL functions resolve without register()") {
+    // SparkSpec builds the shared session .withExtensions(GraftExtensions)
+    val row = spark.sql(
+      "SELECT elf_hash(cast('AB' as binary)) AS h, " +
+        "vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "no_pushdown(7) AS p")
+      .first()
+    assert(row.getLong(0) == 0x452L)
+    assert(row.getDouble(1) == 11.0)
+    assert(row.getInt(2) == 7)
+  }
+
   test("registered SQL functions work end-to-end") {
     GraftFunctions.register(spark)
     val row = spark.sql(
