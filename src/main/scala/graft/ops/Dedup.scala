@@ -211,18 +211,23 @@ object Dedup {
     * sums over shingle hashes), candidates share one of four 16-bit
     * blocks (pigeonhole: hamming <= 3 guarantees a shared block),
     * verified by exact hamming distance.
+    *
+    * The shingle hash is the first 64 bits of md5 — engine-independent,
+    * which makes the whole operator DuckDB-oracle-checkable; swapping in
+    * a faster non-cryptographic hash changes only this one projection.
     */
   val HammingThreshold = 3
 
   def simhashFingerprints(s: SparkSession, docShingles: DataFrame): DataFrame = {
     import s.implicits._
     docShingles
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      .as[(Long, Long)]
+      .select(col("doc_id"), substring(md5(col("shingle")), 1, 16).as("hx"))
+      .as[(Long, String)]
       .groupByKey(_._1)
       .mapGroups { (docId, rows) =>
         val votes = new Array[Int](64)
-        rows.foreach { case (_, h) =>
+        rows.foreach { case (_, hx) =>
+          val h = java.lang.Long.parseUnsignedLong(hx, 16)
           var i = 0
           while (i < 64) {
             votes(i) += (if (((h >>> i) & 1L) != 0L) 1 else -1)

@@ -68,7 +68,46 @@ object DedupQueries {
         |SELECT a AS doc_id, least(a, min(b)) AS canonical
         |FROM reach GROUP BY a""".stripMargin
 
+  /** Semantic ground truth for simhash: recompute every doc's 64-bit
+    * md5-vote fingerprint bitwise in SQL and emit ALL pairs at hamming
+    * <= 3 — the blocked+verified Spark plan must equal this exactly
+    * (pigeonhole: a <=3-bit difference always shares one of the four
+    * 16-bit blocks, so blocking loses nothing).
+    */
+  private val simhashOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT a.doc_id,
+      |    a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      |  FROM toks a
+      |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+      |), hx AS (
+      |  SELECT doc_id, substr(md5(shingle), 1, 16) AS hx FROM sh
+      |), bits AS (
+      |  SELECT doc_id, g.b,
+      |    ((strpos('0123456789abcdef',
+      |        substr(hx, CAST(16 - g.b // 4 AS INT), 1)) - 1)
+      |      >> CAST(g.b % 4 AS INT)) & 1 AS bit
+      |  FROM hx CROSS JOIN
+      |    (SELECT unnest(generate_series(0, 63)) AS b) g
+      |), fp AS (
+      |  SELECT doc_id, b,
+      |    CASE WHEN sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) > 0
+      |      THEN 1 ELSE 0 END AS fbit
+      |  FROM bits GROUP BY doc_id, b
+      |), ham AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    sum(abs(a.fbit - b.fbit))::INT AS hamming
+      |  FROM fp a JOIN fp b ON a.b = b.b AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> clustersOracle,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
