@@ -168,26 +168,19 @@ object Dedup {
     verifyJaccard(candidates, sh)
   }
 
-  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs.
-    * Shingles are first semi-joined down to docs that appear in any
-    * candidate pair — typically a few percent of the corpus — so the
-    * expensive pair-intersection joins touch candidate shingles only
-    * (AQE turns the semi join into a broadcast when the id set is
-    * small). Sizes still come from the full table, as they must.
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs. The
+    * joins are candidate-driven, so verification work scales with the
+    * candidate count, not the corpus. (A variant that first semi-joins
+    * `sh` down to candidate doc ids wins when candidates touch a small
+    * fraction of the corpus, but measured slower on high-overlap corpora
+    * — it re-reads the candidate subtree and adds two passes for no
+    * reduction — so the straightforward single-pass join stays.)
     */
-  private def verifyJaccard(candidatesRaw: DataFrame, sh: DataFrame): DataFrame = {
-    // the candidate list is read three times below (pair join + the two
-    // id-set derivations); cache it or the whole sketch pipeline above
-    // it re-executes per use
-    val candidates = candidatesRaw.cache()
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val candidateIds = candidates
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val shc = sh.join(candidateIds, Seq("doc_id"), "left_semi")
     val common = candidates
-      .join(shc.toDF("doc_a", "shingle"), "doc_a")
-      .join(shc.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
+      .join(sh.toDF("doc_a", "shingle"), "doc_a")
+      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
     common
