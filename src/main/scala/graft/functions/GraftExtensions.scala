@@ -22,6 +22,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // custom operators: as-of join logical node → sort-merge exec
+    ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("elf_hash"),
       new ExpressionInfo(classOf[ElfHashExpr].getName, "elf_hash"),

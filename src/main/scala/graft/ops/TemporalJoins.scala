@@ -119,12 +119,40 @@ object TemporalJoins {
         col("sum_value"))
   }
 
+  /** Same query through the custom sort-merge [[graft.plans.AsofJoin]]
+    * physical operator (one merge pass per co-partition instead of
+    * union+window) — registered separately so the correctness gate
+    * hash-checks both formulations against the same DuckDB ASOF oracle.
+    */
+  def asofExecClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).cache()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    graft.plans.AsofJoin(clicks, purchases, "user_id", "ts",
+        Seq("purchase_id", "purchase_value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("purchase_id"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_click_purchase" -> (asofClickPurchase _),
+    "asof_exec_click_purchase" -> (asofExecClickPurchase _),
     "range_signup_activity" -> (rangeSignupActivity _)
   )
 
+  private val asofOracle =
+    """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |p AS (SELECT * FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id, c.user_id, c.ts,
+      |  p.event_id AS purchase_id, round(p.value, 2) AS purchase_value
+      |FROM c ASOF LEFT JOIN p
+      |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "asof_exec_click_purchase" -> asofOracle,
     "asof_click_purchase" ->
       """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
         |p AS (SELECT * FROM events WHERE event_type = 'purchase')

@@ -1,13 +1,21 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
-/** Bridge to `private[sql]` Column↔Expression converters (Spark 4 removed
-  * the public `new Column(expr)` constructor when Column moved to the
-  * connect-compatible API). This is the only reach into Spark internals
-  * in the codebase.
+/** Bridge to `private[sql]` converters (Spark 4 removed the public
+  * `new Column(expr)` constructor when Column moved to the
+  * connect-compatible API, and `Dataset.ofRows` has always been
+  * private[sql]). This is the only reach into Spark internals in the
+  * codebase.
   */
 object GraftShims {
   def columnOf(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a (resolved) logical plan — e.g. a custom operator node — back
+    * into a DataFrame on the given session.
+    */
+  def dataFrameOf(s: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(s.asInstanceOf[classic.SparkSession], plan)
 }

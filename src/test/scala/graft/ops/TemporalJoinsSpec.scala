@@ -66,6 +66,41 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Seq(0L))
   }
 
+  test("custom AsofJoinExec matches the union+window formulation") {
+    val composed = TemporalJoins.asofClickPurchase(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val exec = TemporalJoins.asofExecClickPurchase(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(exec == composed)
+    assert(exec.nonEmpty)
+
+    val plan = TemporalJoins.asofExecClickPurchase(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom exec missing:\n$plan")
+  }
+
+  test("AsofJoinExec handles ties, empty right groups, and copies state") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 101L),
+      (1L, ts("2024-01-01 10:30:00"), 102L),
+      (2L, ts("2024-01-01 09:00:00"), 200L),
+      (3L, ts("2024-01-01 09:00:00"), 300L)
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 10:05:00"), 900L),
+      (1L, ts("2024-01-01 10:10:00"), 901L),
+      (3L, ts("2024-01-01 08:00:00"), 903L)
+    ).toDF("user_id", "ts", "purchase_id")
+    val out = graft.plans.AsofJoin(left, right, "user_id", "ts",
+        Seq("purchase_id"))
+      .select($"event_id", $"purchase_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(101L).contains(900L)) // tie at equal ts is inclusive
+    assert(out(102L).contains(901L)) // latest wins
+    assert(out(200L).isEmpty)        // key with no right rows
+    assert(out(300L).contains(903L)) // earlier right row carries forward
+  }
+
   test("asof plan is a single shuffle (no range blow-up join)") {
     val ev = graft.Tables.events(spark, sfDir)
     val clicks = ev.filter(col("event_type") === "click")
