@@ -83,8 +83,50 @@ object PipelineOps {
           .as("overlap_ratio"))
   }
 
+  /** Stratified deterministic sampling: per stratum (source), keep the k
+    * docs with the smallest md5(doc_id) — a reproducible per-group quota
+    * (the "take N per domain" curation step). One window sort per
+    * stratum, no driver state; the hash order makes the quota stable
+    * under repartitioning and engine changes.
+    */
+  def stratifiedSample(docs: DataFrame, perStratum: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perStratum)
+      .select(col("doc_id"), col("source"), col("rk"))
+  }
+
+  /** Sequence packing: assign docs (in doc_id order) to fixed
+    * token-budget bins by prefix sum — the batch-shaping step before
+    * training (greedy first-fit in id order). `bin = floor((cumsum -
+    * n_tokens) / budget)` gives each doc the bin its first token lands
+    * in; a doc longer than the remaining budget spills into the next bin
+    * (document-level packing, no splitting). Prefix sums are one global
+    * window — at corpus scale this would run per-shard (partition
+    * column) exactly like here with `partitionBy`.
+    */
+  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val toks = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    docs
+      .select(col("doc_id"), toks.as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / budget).as("bin"))
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
+
   val SampleThreshold = "28"
   val ScrubPattern = "\\b(customer|supplier)\\b"
+  val StratumQuota = 5
+  val PackBudget = 2048L
 
   def sampleQuery(s: SparkSession, dir: String): DataFrame =
     sampleHash(Tables.documents(s, dir), SampleThreshold)
@@ -103,11 +145,19 @@ object PipelineOps {
       docs.filter(col("source") === "src0"))
   }
 
+  def stratifiedQuery(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables.documents(s, dir), StratumQuota)
+
+  def packQuery(s: SparkSession, dir: String): DataFrame =
+    packSequences(Tables.documents(s, dir), PackBudget)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_sample_hash" -> (sampleQuery _),
     "pipe_scrub" -> (scrubQuery _),
     "pipe_repetition" -> (repetitionQuery _),
-    "pipe_contamination" -> (contaminationQuery _)
+    "pipe_contamination" -> (contaminationQuery _),
+    "pipe_stratified" -> (stratifiedQuery _),
+    "pipe_pack" -> (packQuery _)
   )
 
   private val shingleCtes =
@@ -124,6 +174,24 @@ object PipelineOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipe_stratified" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source, rk FROM ranked WHERE rk <= 5""".stripMargin,
+    "pipe_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |      END)::BIGINT AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  ((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 2048)::BIGINT
+        |    AS bin
+        |FROM t""".stripMargin,
     "pipe_sample_hash" ->
       """SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 2) AS hash_prefix,
         |  lang, n_chars

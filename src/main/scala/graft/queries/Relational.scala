@@ -317,7 +317,31 @@ object Relational {
         round(percent_rank().over(w), 6).as("pct_rank"))
   }
 
+  /** Correlated LATERAL subquery: per region, the top-2 nations by total
+    * supplier balance — the "top-n related rows per driving row" shape.
+    * Spark plans the correlated limit as a lateral join; at scale the
+    * subquery aggregates shuffle once on nationkey, and the region table
+    * is broadcast.
+    */
+  def q24Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.region(s, dir).createOrReplaceTempView("q24_region")
+    Tables.nation(s, dir).createOrReplaceTempView("q24_nation")
+    Tables.supplier(s, dir).createOrReplaceTempView("q24_supplier")
+    s.sql(
+      """SELECT r.r_name, l.n_name, l.bal
+        |FROM q24_region r,
+        |LATERAL (
+        |  SELECT n_name, round(sum(s_acctbal), 2) AS bal
+        |  FROM q24_nation n JOIN q24_supplier s
+        |    ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n_name
+        |  ORDER BY bal DESC, n_name
+        |  LIMIT 2) l""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_lateral" -> q24Lateral _,
     "q23_window_suite" -> q23WindowSuite _,
     "q22_grouping_sets" -> q22GroupingSets _,
     "q1_pricing_summary" -> q1PricingSummary _,
@@ -344,6 +368,16 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q24_lateral" ->
+      """SELECT r.r_name, l.n_name, l.bal
+        |FROM region r,
+        |LATERAL (
+        |  SELECT n_name, round(sum(s_acctbal), 2) AS bal
+        |  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        |  WHERE n.n_regionkey = r.r_regionkey
+        |  GROUP BY n_name
+        |  ORDER BY bal DESC, n_name
+        |  LIMIT 2) l""".stripMargin,
     "q23_window_suite" ->
       """SELECT event_id, user_id,
         |  round(lag(value, 1) OVER w, 2) AS prev_value,
