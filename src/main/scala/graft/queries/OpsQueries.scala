@@ -33,7 +33,46 @@ object OpsQueries {
       .select(col("prediction").as("cluster"), col("n_points"))
   }
 
+  /** GEMV (the paper's kernel benchmark, Table 3 / §V): y = A·x with A =
+    * the embeddings matrix (row-distributed) and x a broadcast vector
+    * (here: embedding 0). One codegen'd dot per row, no shuffle — the
+    * exact distributed-GEMV layout, oracle-checked via DuckDB
+    * list_dot_product.
+    */
+  def gemv(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.vec_dot
+    val emb = graft.Tables.embeddings(s, dir)
+    val x = broadcast(emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), _.cast("double")).as("x")))
+    graft.ops.OpUtil.spread(emb)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("a"))
+      .crossJoin(x)
+      .select(col("vec_id"), round(vec_dot(col("a"), col("x")), 6).as("y"))
+  }
+
+  /** Gaussian mixture (the paper's GMM workload): MLlib EM with a fixed
+    * seed over the embeddings; output = soft-cluster cardinalities by
+    * max-responsibility. Iterative float EM → rows-only check, like
+    * cmeans.
+    */
+  def gmmClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.GaussianMixture
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        array_to_vector(transform(col("embedding"), _.cast("double"))).as("features"))
+    val model = new GaussianMixture().setK(4).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(data)
+    model.transform(data)
+      .groupBy(col("prediction"))
+      .agg(count(lit(1)).as("n_points"))
+      .select(col("prediction").as("cluster"), col("n_points"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "gemv" -> (gemv _),
+    "gmm_clusters" -> (gmmClusters _),
     "cmeans_clusters" -> (cmeansClusters _),
     "ann_bruteforce" -> (Similarity.annBruteForce _),
     "ann_ivf" -> (Similarity.annIvf _),
@@ -48,6 +87,12 @@ object OpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "gemv" ->
+      """SELECT e.vec_id,
+        |  round(list_dot_product(e.embedding::DOUBLE[],
+        |    x.embedding::DOUBLE[]), 6) AS y
+        |FROM embeddings e
+        |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) x""".stripMargin,
     "text_fingerprint" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
