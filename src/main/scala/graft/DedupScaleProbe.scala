@@ -12,8 +12,8 @@ import graft.ops.Dedup
   *  - SCALE_P: partitions (default 64)
   *
   * Planting scheme (deterministic): doc ids ending in 50 are exact
-  * copies of id-1; ids ending in 99 are near copies of id-1 (2 of ~60
-  * tokens changed → Jaccard ≈ 0.9). Everything else is seeded word-salad
+  * copies of id-1; ids ending in 99 are near copies of id-1 (1 of ~60
+  * tokens changed → Jaccard ≈ 0.90). Everything else is seeded word-salad
   * over a 1000-word vocabulary, which at 60 tokens/doc makes accidental
   * J >= 0.8 pairs vanishingly unlikely — so found == planted is exact.
   */
@@ -38,9 +38,13 @@ object DedupScaleProbe {
     // which silently turns the whole corpus into one near-dup chain
     val rnd = new java.util.SplittableRandom(base * 0xC2B2AE3D27D4EB4FL + 1L)
     val toks = Array.fill(tokens)(Vocab(rnd.nextInt(Vocab.length)))
-    if (id % 100 == 99) { // near-dup: perturb two tokens
-      toks(3) = "changedone"
-      toks(tokens - 4) = "changedtwo"
+    if (id % 100 == 99) { // near-dup: perturb ONE token.
+      // One interior token changes 3 of ~58+3 shingles → J = 55/61 ≈ 0.90;
+      // 16x4-band LSH miss probability ≈ (1 - 0.9^4)^16 ≈ 6e-13, so
+      // found == planted holds deterministically in practice. (Two
+      // changed tokens → J ≈ 0.81 → ~1e-4 per-pair misses, which made
+      // the exact-count check flaky at 10k planted pairs.)
+      toks(tokens / 2) = "changedone"
     }
     toks.mkString(" ")
   }

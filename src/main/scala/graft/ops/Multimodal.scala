@@ -132,18 +132,26 @@ object Multimodal {
 
   /** Envelope + decoded-header rollup per modality. Every value here is
     * recomputed from the decoded payload (not the synthesis parameters),
-    * so the oracle check covers payload framing end-to-end.
+    * so the oracle check covers payload framing end-to-end. One pass:
+    * decode and envelope stats come off the same MediaItem rows — no
+    * second payload synthesis, no join.
     */
   def metaQuery(s: SparkSession, dir: String): DataFrame = {
-    val media = mediaTable(s, dir).toDF()
-      .select(col("media_id"), col("size_bytes"))
-    extractFeatures(mediaTable(s, dir)).toDF()
-      .join(media, "media_id")
+    import s.implicits._
+    mediaTable(s, dir)
+      .mapPartitions { items =>
+        items.flatMap { m =>
+          StubCodec.decode(m.payload).map { case (w, h, _) =>
+            (m.modality, w.toLong, h.toLong, m.size_bytes)
+          }
+        }
+      }
+      .toDF("modality", "width", "height", "size_bytes")
       .groupBy(col("modality"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum(col("width")).cast("long").as("sum_width"),
-        sum(col("height")).cast("long").as("sum_height"),
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"),
         sum(col("size_bytes")).as("sum_bytes"))
   }
 }

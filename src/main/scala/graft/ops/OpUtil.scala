@@ -13,6 +13,14 @@ object OpUtil {
     * full-data shuffle.
     */
   def spread(df: DataFrame): DataFrame = {
+    // only probe scan-shaped plans: on a plan containing an exchange,
+    // `df.rdd` under AQE would eagerly materialize every upstream stage
+    // just to read the partition count (and the action re-runs them) —
+    // post-shuffle frames are already parallel, so pass them through
+    val hasExchange = df.queryExecution.sparkPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+      .isDefined
+    if (hasExchange) return df
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -122,16 +122,19 @@ object Similarity {
     * no per-iteration Spark jobs.
     */
   def lloyd(sample: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.nonEmpty, "lloyd: empty training sample")
     val dim = sample.head.length
+    // a sample smaller than k trains that many cells (never index past it)
     var centroids = sample.take(k).map(_.clone)
+    val kEff = centroids.length
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Long](kEff)
       sample.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < k) {
+        while (c < kEff) {
           val ctr = centroids(c)
           var d = 0.0; var j = 0
           while (j < dim) { val t = v(j) - ctr(j); d += t * t; j += 1 }
@@ -143,7 +146,7 @@ object Similarity {
         var j = 0
         while (j < dim) { su(j) += v(j); j += 1 }
       }
-      centroids = Array.tabulate(k) { c =>
+      centroids = Array.tabulate(kEff) { c =>
         if (counts(c) == 0) centroids(c)
         else sums(c).map(_ / counts(c))
       }
@@ -168,6 +171,15 @@ object Similarity {
     // corpus scale the quantizer never needs (or fits) the full data
     val trainSample = c.orderBy(col("neighbor_id")).limit(4096)
       .select(col("cv")).as[Seq[Double]].collect().map(_.toArray)
+    if (trainSample.isEmpty) {
+      // empty corpus → empty result (not a quantizer crash)
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("query_id", LongType), StructField("neighbor_id", LongType),
+          StructField("cos", DoubleType), StructField("rank", IntegerType))))
+    }
     val centroids = s.sparkContext.broadcast(lloyd(trainSample, cells, iters = 5))
 
     def nearestCells(n: Int) = udf { (v: Seq[Double]) =>

@@ -2,8 +2,8 @@ package graft.sources
 
 import java.util
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -101,7 +101,10 @@ final class FixedRecordScan(path: String, keyLen: Int, valueLen: Int,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    // the session's Hadoop conf, not a bare Configuration — spark.hadoop.*
+    // (s3a credentials, HA nameservices, ...) must reach the filesystem
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile)
@@ -123,21 +126,25 @@ final class FixedRecordScan(path: String, keyLen: Int, valueLen: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new FixedRecordReaderFactory(keyLen, valueLen, required.fieldNames)
+    new FixedRecordReaderFactory(keyLen, valueLen, required.fieldNames,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
 final case class FixedRecordPartition(file: String, start: Long, length: Long)
     extends InputPartition
 
 final class FixedRecordReaderFactory(keyLen: Int, valueLen: Int,
-    columns: Array[String]) extends PartitionReaderFactory {
+    columns: Array[String],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[FixedRecordPartition]
     val recordLen = keyLen + valueLen
     new PartitionReader[InternalRow] {
       private val p = new Path(part.file)
-      private val in = p.getFileSystem(new Configuration()).open(p)
+      private val in = p.getFileSystem(conf.value).open(p)
       in.seek(part.start)
       private var remaining = part.length / recordLen
       private val buf = new Array[Byte](recordLen)
