@@ -58,6 +58,13 @@ object DedupScaleProbe {
     val s = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.sql.adaptive.enabled", "true")
+      // the synthetic corpus derives from spark.range → static size
+      // estimates are bytes-of-longs, wildly under the generated text, and
+      // the planner would broadcast a multi-GB shingle table. Disable
+      // STATIC broadcast; AQE still broadcasts from true runtime sizes —
+      // the right stance for any stats-less input at scale.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10485760")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")

@@ -15,7 +15,8 @@ object StreamQueries {
     "stream_events_hourly" -> (EventStreams.hourlyWindowed _),
     "stream_user_totals" -> (EventStreams.userTotals _),
     "stream_sessions" -> (EventStreams.sessionize _),
-    "stream_dedup" -> (EventStreams.dedupExact _)
+    "stream_dedup" -> (EventStreams.dedupExact _),
+    "stream_interval_join" -> (EventStreams.clickPurchaseJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -38,6 +39,14 @@ object StreamQueries {
         |SELECT user_id, sum(new_s)::BIGINT AS n_sessions,
         |  count(*) AS n_events
         |FROM marked GROUP BY user_id""".stripMargin,
+    // batch equivalent of the watermarked stream-stream interval join
+    "stream_interval_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  p.event_id AS purchase_id, round(p.value, 2) AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.user_id = c.user_id
+        |  AND p.ts >= c.ts - INTERVAL 10 MINUTE AND p.ts < c.ts""".stripMargin,
     // same oracle as batch dedup_exact — arrival-order-independent keeper
     "stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,

@@ -152,6 +152,41 @@ object EventStreams {
     out.localCheckpoint(eager = true)
   }
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases within the preceding 10 minutes. Both sides carry
+    * watermarks and the join condition bounds the time skew, so state
+    * for either side is evicted once the watermark passes — the
+    * unbounded-state hazard of stream-stream joins is capped by
+    * construction. Oracle: the equivalent batch range join.
+    */
+  def clickPurchaseJoin(s: SparkSession, dir: String): DataFrame = {
+    val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val clicks = eventStream(s, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = eventStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("p_ts") < col("c_ts"))
+      .select(col("click_id"), col("c_user").as("user_id"),
+        col("purchase_id"), round(col("value"), 2).as("purchase_value"))
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    s.table(name).localCheckpoint(eager = true)
+  }
+
   /** Streaming exact-dedup as an aggregation: group by content digest,
     * keep min doc_id + copy count (deterministic regardless of arrival
     * order, unlike streaming `dropDuplicates` whose keeper is
