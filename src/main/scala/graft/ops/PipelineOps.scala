@@ -145,6 +145,25 @@ object PipelineOps {
       docs.filter(col("source") === "src0"))
   }
 
+  /** The composed curation pipeline — what the individual passes exist
+    * for, chained the way a real corpus build runs them:
+    * quality-filter → exact-dedup (min-id keeper) → deterministic 50%
+    * hash sample → token-budget sequence packing. Each stage is one of
+    * the verified operators above; the composition itself is
+    * oracle-checked end-to-end.
+    */
+  def curate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val good = docs.join(
+      TextAnalysis.qualityScore(docs).filter(col("quality_points") >= 6),
+      "doc_id")
+    val keep = good.groupBy(md5(col("text")).as("m"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val sampled = good.join(keep, "doc_id")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "7f")
+    packSequences(sampled, PackBudget)
+  }
+
   def stratifiedQuery(s: SparkSession, dir: String): DataFrame =
     stratifiedSample(Tables.documents(s, dir), StratumQuota)
 
@@ -157,7 +176,8 @@ object PipelineOps {
     "pipe_repetition" -> (repetitionQuery _),
     "pipe_contamination" -> (contaminationQuery _),
     "pipe_stratified" -> (stratifiedQuery _),
-    "pipe_pack" -> (packQuery _)
+    "pipe_pack" -> (packQuery _),
+    "pipe_curate" -> (curate _)
   )
 
   private val shingleCtes =
@@ -174,6 +194,39 @@ object PipelineOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipe_curate" ->
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    length(text)::BIGINT AS n_chars,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS n_punct,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(the|a|an|of|and|or|to|in|is|it|that|this|for|on|with|as|at|by|be)\b'))::BIGINT AS n_stop
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, n_tokens, (
+        |    (CASE WHEN n_chars BETWEEN 200 AND 5000 THEN 3
+        |          WHEN n_chars >= 100 THEN 2
+        |          WHEN n_chars >= 20 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN n_tokens = 0 THEN 0
+        |          WHEN n_chars >= n_tokens * 3 AND n_chars < n_tokens * 9 THEN 3
+        |          WHEN n_chars >= n_tokens * 2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN n_punct * 10 <= n_chars THEN 3
+        |          WHEN n_punct * 4 <= n_chars THEN 1 ELSE 0 END) +
+        |    (CASE WHEN n_stop * 5 >= n_tokens THEN 3
+        |          WHEN n_stop * 20 >= n_tokens THEN 1 ELSE 0 END)) AS pts
+        |  FROM base),
+        |good AS (SELECT doc_id, text, n_tokens FROM q WHERE pts >= 6),
+        |keep AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text)),
+        |sampled AS (
+        |  SELECT g.doc_id, g.n_tokens FROM good g
+        |  JOIN keep k ON g.doc_id = k.doc_id
+        |  WHERE substr(md5(g.doc_id::VARCHAR), 1, 2) <= '7f')
+        |SELECT doc_id, n_tokens,
+        |  ((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 2048)::BIGINT
+        |    AS bin
+        |FROM sampled""".stripMargin,
     "pipe_stratified" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,
