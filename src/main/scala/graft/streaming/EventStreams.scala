@@ -29,6 +29,21 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Stateful-streaming parallelism should track state volume and input
+    * rate, not the batch shuffle width: every shuffle partition carries a
+    * state store (x2 for stream-stream joins), and dozens of stores over
+    * kilobytes of state are pure overhead. Scope the partition count to
+    * the streaming query; batch conf is restored after.
+    */
+  private val StreamPartitions = 8
+
+  private def withStreamPartitions[T](s: SparkSession)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamPartitions.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.readStream
@@ -53,13 +68,15 @@ object EventStreams {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamPartitions(s) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     // materialize before the in-memory sink table goes away
     s.table(name).localCheckpoint(eager = true)
   }
@@ -86,13 +103,15 @@ object EventStreams {
       .select(col("user_id"), col("value")).as[Ev]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateFn)
-    val q = stats.toDF().writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamPartitions(s) {
+      val q = stats.toDF().writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     // update mode may emit a key several times across batches; keep the
     // final state per user (single parquet file → one batch, but stay safe)
     val out = s.table(name)
@@ -137,13 +156,15 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
       .toDF("user_id", "n_sessions", "n_events")
-    val q = sessions.writeStream
-      .outputMode(OutputMode.Update)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamPartitions(s) {
+      val q = sessions.writeStream
+        .outputMode(OutputMode.Update)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     val out = s.table(name)
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("n_sessions"))).as("last"))
@@ -177,13 +198,15 @@ object EventStreams {
         col("p_ts") < col("c_ts"))
       .select(col("click_id"), col("c_user").as("user_id"),
         col("purchase_id"), round(col("value"), 2).as("purchase_value"))
-    val q = joined.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamPartitions(s) {
+      val q = joined.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name).localCheckpoint(eager = true)
   }
 
@@ -207,13 +230,15 @@ object EventStreams {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+    withStreamPartitions(s) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
     s.table(name).localCheckpoint(eager = true)
   }
 }
