@@ -42,6 +42,14 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN returns empty (not a crash) on an empty corpus") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      graft.Tables.embeddings(spark, sfDir).schema)
+    val out = Similarity.ivfTopK(spark, empty, empty, 5)
+    assert(out.count() == 0)
+  }
+
   test("language-ID separates real-language prose") {
     assert(TextAnalysis.classifyLanguage(
       "the cat sat on the mat and then went to the market with them") == "en")
