@@ -157,9 +157,12 @@ object PipelineOps {
     val good = docs.join(
       TextAnalysis.qualityScore(docs).filter(col("quality_points") >= 6),
       "doc_id")
-    val keep = good.groupBy(md5(col("text")).as("m"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val sampled = good.join(keep, "doc_id")
+    // dedup keeper via a window over the digest — one pass over `good`
+    // (a keeper self-join would re-execute the quality subtree twice)
+    val keeperW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val sampled = good
+      .withColumn("__rn", row_number().over(keeperW))
+      .filter(col("__rn") === 1)
       .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "7f")
     packSequences(sampled, PackBudget)
   }

@@ -46,7 +46,7 @@ object StreamQueries {
         |FROM events c JOIN events p
         |  ON c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.user_id = c.user_id
-        |  AND p.ts >= c.ts - INTERVAL 10 MINUTE AND p.ts < c.ts""".stripMargin,
+        |  AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts < c.ts""".stripMargin,
     // same oracle as batch dedup_exact — arrival-order-independent keeper
     "stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,

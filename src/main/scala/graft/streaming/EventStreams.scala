@@ -44,6 +44,26 @@ object EventStreams {
     try f finally s.conf.set(key, prev)
   }
 
+  /** Start `df` as a streaming query into a uniquely-named memory sink,
+    * drain it synchronously, stop it, and return the sink table — with
+    * the streaming partition scoping applied. All engine stream queries
+    * funnel through here so none can forget the scoping.
+    */
+  private def runToMemorySink(s: SparkSession, df: DataFrame,
+      mode: OutputMode): DataFrame = {
+    val name = "stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(s) {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+    }
+    s.table(name)
+  }
+
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.readStream
@@ -60,7 +80,6 @@ object EventStreams {
     * memory sink holds every window once the file is drained.
     */
   def hourlyWindowed(s: SparkSession, dir: String): DataFrame = {
-    val name = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val agg = eventStream(s, dir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -68,17 +87,8 @@ object EventStreams {
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
-    withStreamPartitions(s) {
-      val q = agg.writeStream
-        .outputMode(OutputMode.Complete)
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
     // materialize before the in-memory sink table goes away
-    s.table(name).localCheckpoint(eager = true)
+    runToMemorySink(s, agg, OutputMode.Complete).localCheckpoint(eager = true)
   }
 
   final case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
@@ -90,7 +100,6 @@ object EventStreams {
     */
   def userTotals(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val name = "stream_users_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val updateFn: (Long, Iterator[Ev], GroupState[UserStat]) => UserStat =
       (uid, events, state) => {
         var st = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
@@ -103,18 +112,9 @@ object EventStreams {
       .select(col("user_id"), col("value")).as[Ev]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateFn)
-    withStreamPartitions(s) {
-      val q = stats.toDF().writeStream
-        .outputMode(OutputMode.Update)
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
     // update mode may emit a key several times across batches; keep the
     // final state per user (single parquet file → one batch, but stay safe)
-    val out = s.table(name)
+    val out = runToMemorySink(s, stats.toDF(), OutputMode.Update)
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("sum_value"))).as("last"))
       .select(col("user_id"), col("last.n_events").as("n_events"),
@@ -138,7 +138,6 @@ object EventStreams {
     */
   def sessionize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val name = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val fold: (Long, Iterator[SessEv], GroupState[SessState]) =>
         Iterator[(Long, Long, Long)] =
       (uid, evs, state) => {
@@ -156,16 +155,7 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fold)
       .toDF("user_id", "n_sessions", "n_events")
-    withStreamPartitions(s) {
-      val q = sessions.writeStream
-        .outputMode(OutputMode.Update)
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
-    val out = s.table(name)
+    val out = runToMemorySink(s, sessions, OutputMode.Update)
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("n_sessions"))).as("last"))
       .select(col("user_id"), col("last.n_sessions").as("n_sessions"),
@@ -174,40 +164,30 @@ object EventStreams {
   }
 
   /** Stream-stream interval join: each click joined to the same user's
-    * purchases within the preceding 10 minutes. Both sides carry
+    * purchases within the preceding two hours. Both sides carry
     * watermarks and the join condition bounds the time skew, so state
     * for either side is evicted once the watermark passes — the
     * unbounded-state hazard of stream-stream joins is capped by
     * construction. Oracle: the equivalent batch range join.
     */
   def clickPurchaseJoin(s: SparkSession, dir: String): DataFrame = {
-    val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val clicks = eventStream(s, dir)
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
+      .withWatermark("c_ts", "3 hours")
     val purchases = eventStream(s, dir)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"), col("value"))
-      .withWatermark("p_ts", "1 hour")
+      .withWatermark("p_ts", "3 hours")
     val joined = clicks.join(purchases,
       col("c_user") === col("p_user") &&
-        col("p_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 2 HOURS") &&
         col("p_ts") < col("c_ts"))
       .select(col("click_id"), col("c_user").as("user_id"),
         col("purchase_id"), round(col("value"), 2).as("purchase_value"))
-    withStreamPartitions(s) {
-      val q = joined.writeStream
-        .outputMode(OutputMode.Append)
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
-    s.table(name).localCheckpoint(eager = true)
+    runToMemorySink(s, joined, OutputMode.Append).localCheckpoint(eager = true)
   }
 
   /** Streaming exact-dedup as an aggregation: group by content digest,
@@ -216,7 +196,6 @@ object EventStreams {
     * first-seen). Shares the batch dedup_exact oracle.
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
-    val name = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("text", StringType),
@@ -230,15 +209,6 @@ object EventStreams {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
-    withStreamPartitions(s) {
-      val q = agg.writeStream
-        .outputMode(OutputMode.Complete)
-        .format("memory")
-        .queryName(name)
-        .start()
-      try q.processAllAvailable()
-      finally q.stop()
-    }
-    s.table(name).localCheckpoint(eager = true)
+    runToMemorySink(s, agg, OutputMode.Complete).localCheckpoint(eager = true)
   }
 }
