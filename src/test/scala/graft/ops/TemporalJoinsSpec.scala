@@ -101,6 +101,14 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(300L).contains(903L)) // earlier right row carries forward
   }
 
+  test("bucketed range join plans as an equi-join, not a nested loop") {
+    val df = TemporalJoins.rangeSignupActivity(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop"), s"range join degraded to NLJ:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("asof plan is a single shuffle (no range blow-up join)") {
     val ev = graft.Tables.events(spark, sfDir)
     val clicks = ev.filter(col("event_type") === "click")
