@@ -160,6 +160,50 @@ object TextAnalysis {
       .toDF("doc_id", "fingerprint")
   }
 
+  /** Inverted index over whitespace tokens: term → document frequency +
+    * sorted posting list. Posting lists are per-term aggregations (one
+    * shuffle on term); hot terms are bounded by `minDf` (index only
+    * informative terms) exactly the way production IR pipelines cap
+    * postings. Output arrays are sorted so the result is deterministic.
+    */
+  def invertedIndex(docs: DataFrame, minDf: Long): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        sort_array(collect_set(col("doc_id"))).as("postings"))
+      .filter(col("df") >= minDf)
+
+  /** TF-IDF weights, top-k terms per document. tf = raw count; idf =
+    * ln((N+1)/(df+1)) (smoothed); weight rounded to 4 decimals BEFORE
+    * ranking so the rank order is engine-stable (ties broken by term).
+    * Everything is one tokenize pass + two shuffles (term stats, per-doc
+    * ranking) — no driver state, no vocabulary materialization.
+    */
+  def tfIdf(docs: DataFrame, topK: Int): DataFrame = {
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // N as a broadcast one-row aggregate — no driver-side action
+    val nDf = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("weight").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDf))
+      .withColumn("weight",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("weight"), col("rk"))
+  }
+
   /** Corpus rollup by language/source metadata: the report a pipeline
     * operator would feed a curation dashboard.
     */

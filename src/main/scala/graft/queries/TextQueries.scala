@@ -3,13 +3,18 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.apps.WordCount
+import graft.ops.TextAnalysis
 
 /** Text-shaped queries over the documents table. */
 object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount" -> (WordCount.documentsWordCount _),
-    "wordcount_mr" -> (WordCount.documentsWordCountMR _)
+    "wordcount_mr" -> (WordCount.documentsWordCountMR _),
+    "text_inverted_index" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.invertedIndex(graft.Tables.documents(s, d), minDf = 5L)),
+    "text_tfidf" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.tfIdf(graft.Tables.documents(s, d), topK = 5))
   )
 
   private val wcOracle =
@@ -20,6 +25,31 @@ object TextQueries {
 
   val oracles: Map[String, String] = Map(
     "wordcount" -> wcOracle,
-    "wordcount_mr" -> wcOracle
+    "wordcount_mr" -> wcOracle,
+    "text_inverted_index" ->
+      """WITH terms AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |SELECT term, count(*)::BIGINT AS df,
+        |  list_sort(list(doc_id)) AS postings
+        |FROM terms WHERE length(term) > 0
+        |GROUP BY term HAVING count(*) >= 5""".stripMargin,
+    "text_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+        |  WHERE length(term) > 0 GROUP BY 1, 2),
+        |d AS (SELECT term, count(*)::BIGINT AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM documents),
+        |w AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |    round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 4) AS weight
+        |  FROM t JOIN d USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY weight DESC, term) AS rk FROM w)
+        |SELECT doc_id, term, tf, df, weight, rk FROM r WHERE rk <= 5""".stripMargin
   )
 }
