@@ -49,7 +49,7 @@ object EventStreams {
     * the streaming partition scoping applied. All engine stream queries
     * funnel through here so none can forget the scoping.
     */
-  private def runToMemorySink(s: SparkSession, df: DataFrame,
+  private[graft] def runToMemorySink(s: SparkSession, df: DataFrame,
       mode: OutputMode): DataFrame = {
     val name = "stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
     withStreamPartitions(s) {
@@ -98,27 +98,40 @@ object EventStreams {
     * `mapGroupsWithState` (the reference's reduce-with-state contract has
     * no analog for streams; this is the Spark-native shape for it).
     */
-  def userTotals(s: SparkSession, dir: String): DataFrame = {
+  /** The stateful transform alone, over any (streaming) events frame —
+    * split out so tests can drive it across multiple micro-batches.
+    */
+  private[graft] def userTotalsStats(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     import s.implicits._
     val updateFn: (Long, Iterator[Ev], GroupState[UserStat]) => UserStat =
-      (uid, events, state) => {
+      (uid, evs, state) => {
         var st = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
-        events.foreach(e =>
+        evs.foreach(e =>
           st = st.copy(n_events = st.n_events + 1, sum_value = st.sum_value + e.value))
         state.update(st)
         st
       }
-    val stats = eventStream(s, dir)
+    events
       .select(col("user_id"), col("value")).as[Ev]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateFn)
-    // update mode may emit a key several times across batches; keep the
-    // final state per user (single parquet file → one batch, but stay safe)
-    val out = runToMemorySink(s, stats.toDF(), OutputMode.Update)
+      .toDF()
+  }
+
+  /** Update mode may emit a key several times across batches; keep the
+    * final (largest) state per user.
+    */
+  private[graft] def finalizeUserTotals(sink: DataFrame): DataFrame =
+    sink
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("sum_value"))).as("last"))
       .select(col("user_id"), col("last.n_events").as("n_events"),
         round(col("last.sum_value"), 2).as("sum_value"))
+
+  def userTotals(s: SparkSession, dir: String): DataFrame = {
+    val out = finalizeUserTotals(
+      runToMemorySink(s, userTotalsStats(eventStream(s, dir)), OutputMode.Update))
     out.localCheckpoint(eager = true)
   }
 
