@@ -62,9 +62,14 @@ final class MapReduceJob[I, K: ClassTag, V: ClassTag] private (
         mapped.reduceByKey(part, c)
           .flatMap { case (k, v) => reduceFn(k, Iterator.single(v)) }
       case (Some(c), Some(ord)) =>
-        implicit val o: Ordering[K] = ord
+        // reduceByKey already partitioned by `part`; sort in place rather
+        // than paying a second full shuffle (post-combine data is one
+        // record per distinct key — the same fits-a-task contract as
+        // `runsOf`)
         mapped.reduceByKey(part, c)
-          .repartitionAndSortWithinPartitions(part)
+          .mapPartitions(
+            it => it.toArray.sortBy(_._1)(ord).iterator,
+            preservesPartitioning = true)
           .flatMap { case (k, v) => reduceFn(k, Iterator.single(v)) }
       case (None, Some(ord)) =>
         implicit val o: Ordering[K] = ord

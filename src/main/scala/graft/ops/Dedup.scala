@@ -83,6 +83,14 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
+    scoreJaccard(common, sizes)
+  }
+
+  /** Shared scoring tail: overlap counts + set sizes → thresholded
+    * (doc_a, doc_b, jaccard). One definition so the exact path and every
+    * candidate-verification path can never drift apart.
+    */
+  private def scoreJaccard(common: DataFrame, sizes: DataFrame): DataFrame =
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
@@ -90,7 +98,6 @@ object Dedup {
         round(col("common") / (col("na") + col("nb") - col("common")), 4))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
   /** Exact Jaccard pairs via PREFIX FILTERING (AllPairs/V-SMART-Join
     * family): index only each doc's rarest `|S| - ceil(t*|S|) + 1`
@@ -111,10 +118,14 @@ object Dedup {
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))
     val whole = Window.partitionBy(col("doc_id"))
+    // prefix length derives from the SAME constant the verifier filters
+    // on — a hardcoded percentage here would silently break losslessness
+    // the moment JaccardThreshold moves
+    val tPct = math.round(JaccardThreshold * 100).toInt
     val prefixes = sh.join(df, "shingle")
       .withColumn("rank", row_number().over(byRarity))
       .withColumn("n", count(lit(1)).over(whole))
-      .filter(col("rank") <= col("n") - expr("(n * 80 + 99) div 100") + 1)
+      .filter(col("rank") <= col("n") - expr(s"(n * $tPct + 99) div 100") + 1)
       .select(col("doc_id"), col("shingle"))
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
@@ -142,6 +153,14 @@ object Dedup {
     * is 1 - (1 - j^4)^16 ≈ 1 - 4e-8, so the verified output matches the
     * exact ground truth on any realistically-separated corpus (tested on
     * planted near-dups).
+    *
+    * Oversized buckets (> MaxBucket docs — e.g. thousands of copies of
+    * one boilerplate page) are NOT dropped: they fall back to hub pairs
+    * (every doc vs the bucket's min doc), keeping candidate count linear
+    * in bucket size while still catching exactly the mass-duplicated
+    * content such buckets are made of; cluster canonicalization then
+    * recovers the full group. Pairwise completeness is guaranteed for
+    * buckets within MaxBucket.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashLshDocs(Tables.documents(s, dir))
@@ -159,13 +178,15 @@ object Dedup {
         .as(Seq("band", "bucket")))
     val buckets = bands.groupBy("band", "bucket")
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")).between(2, MaxBucket))
-    val candidates = buckets
+      .filter(size(col("docs")) >= 2)
+    val allPairs = buckets.filter(size(col("docs")) <= MaxBucket)
       .select(explode(col("docs")).as("doc_a"), col("docs"))
       .select(col("doc_a"), explode(col("docs")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .distinct()
-    verifyJaccard(candidates, sh)
+    val hubPairs = buckets.filter(size(col("docs")) > MaxBucket)
+      .select(col("docs")(0).as("doc_a"),
+        explode(slice(col("docs"), lit(2), size(col("docs")) - 1)).as("doc_b"))
+    verifyJaccard(allPairs.union(hubPairs).distinct(), sh)
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs. The
@@ -183,13 +204,7 @@ object Dedup {
       .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
-      .withColumn("jaccard",
-        round(col("common") / (col("na") + col("nb") - col("common")), 4))
-      .filter(col("jaccard") >= JaccardThreshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    scoreJaccard(common, sizes)
   }
 
   /** Collapse near-dup pairs into clusters and elect a canonical doc per

@@ -83,7 +83,18 @@ object Similarity {
   def lshTopK(s: SparkSession, corpus: DataFrame, queries: DataFrame, k: Int,
       bits: Int = SignatureBits, tables: Int = NumTables): DataFrame = {
     import s.implicits._
-    val dim = corpus.select(size(col("embedding"))).as[Int].first()
+    val dimOpt = corpus.select(size(col("embedding"))).as[Int]
+      .limit(1).collect().headOption
+    if (dimOpt.isEmpty) {
+      // empty corpus → empty result, same contract as ivfTopK
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("query_id", LongType), StructField("neighbor_id", LongType),
+          StructField("cos", DoubleType), StructField("rank", IntegerType))))
+    }
+    val dim = dimOpt.get
     val planes = s.sparkContext.broadcast(
       Array.tabulate(tables)(t => hyperplanes(bits, dim, 0x9e3779b9L + 0x61c88647L * t)))
 

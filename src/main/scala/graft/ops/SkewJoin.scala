@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   * for the pathological hot-key case (one key >> one executor's memory)
   * where runtime splitting of a single map output isn't enough.
   *
-  * The salt is derived from a hash of the whole probe-side row, so the
-  * result is deterministic (no `rand()` in the plan — reruns and
-  * speculative tasks agree).
+  * The salt mixes a whole-row hash with the row's position
+  * (`monotonically_increasing_id`), so even fully-duplicate probe rows —
+  * the worst hot-key shape — spread across salts, while staying free of
+  * `rand()`: ids are a pure function of (partition, row index), so
+  * reruns and speculative tasks of the same partitioning agree. The salt
+  * only routes rows; join OUTPUT is salt-independent either way.
   */
 object SkewJoin {
 
@@ -21,7 +24,8 @@ object SkewJoin {
     require(salts > 0)
     val saltedProbe = probe.withColumn(
       "__salt",
-      pmod(xxhash64(struct(probe.columns.map(col): _*)), lit(salts.toLong)))
+      pmod(xxhash64(struct(probe.columns.map(col): _*),
+        monotonically_increasing_id()), lit(salts.toLong)))
     val replicatedBuild = build.withColumn(
       "__salt", explode(sequence(lit(0L), lit(salts.toLong - 1L))))
     saltedProbe

@@ -46,7 +46,11 @@ object TemporalJoins {
     val r = right.select(
       Seq(col(key), col(ts), lit(0).as("__side"), rPayload.as("__r")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+    // __r in the ordering breaks ties among right rows sharing (key, ts)
+    // deterministically (max payload struct wins); left rows sort after
+    // all same-ts right rows via __side regardless of their null __r
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l.unionByName(r)
       .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))

@@ -22,7 +22,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics: for each left row, the latest right row with the same key
   * and `right.ts <= left.ts` (ties inclusive); left rows without a match
   * keep nulls (ASOF LEFT JOIN). Key and ts must be LongType /
-  * TimestampType (both read as 8-byte longs).
+  * TimestampType (both read as 8-byte longs). If the right side holds
+  * several rows with identical (key, ts), which of them is carried is
+  * unspecified (whichever the sort emits last) — the same contract as
+  * DuckDB's ASOF JOIN; deduplicate the right side first if that matters.
   */
 final case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,

@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   * testability (`processAllAvailable` + memory sink); swapping the source
   * for Kafka and the sink for a real table changes nothing upstream. At
   * scale: windowed aggregation state is bounded by watermark retention;
-  * the custom-state pipeline keeps O(1) state per key via
-  * `mapGroupsWithState` with eviction on timeout.
+  * the custom-state pipelines keep O(1) state PER KEY — bounded for a
+  * bounded key space (users), while an unbounded/rotating key space
+  * would additionally need a `GroupStateTimeout` eviction policy (the
+  * drained-file demos run with NoTimeout).
   */
 object EventStreams {
 

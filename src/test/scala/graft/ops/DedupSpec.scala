@@ -88,6 +88,26 @@ class DedupSpec extends SparkSpec {
       s"unexpected pairs: ${byPair.keySet}")
   }
 
+  test("oversized LSH buckets fall back to hub pairs, not silence") {
+    // 70 identical docs (> MaxBucket = 64) + noise: every band bucket for
+    // the duplicated text exceeds the cap, so pairwise expansion is off —
+    // but hub pairs must still connect every copy, and clustering must
+    // recover the full group
+    val copies = (0L until 70L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val noise = (100L until 110L).map(i =>
+      (i, s"unique$i text totally different from others number$i end$i tail$i"))
+    val docs = (copies ++ noise).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshDocs(docs)
+    val found = pairs.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(found.length >= 69, s"hub pairs missing: ${found.length}")
+    assert(found.forall { case (a, b) => a < 70 && b < 70 })
+    val clusters = Dedup.clustersFromPairs(spark, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 70L).forall(i => clusters.get(i).contains(0L)),
+      "hub pairs did not connect all copies into one cluster")
+  }
+
   test("embedding cosine is exact (agrees with a local computation)") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
