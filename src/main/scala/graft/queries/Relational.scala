@@ -340,7 +340,22 @@ object Relational {
         |  LIMIT 2) l""".stripMargin)
   }
 
+  /** Correlated scalar subquery per group: orders beating their own
+    * customer's average by 2x. Spark decorrelates this into an aggregate
+    * + join — asserting the oracle keeps the rewrite honest.
+    */
+  def q25Correlated(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("q25_orders")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        |FROM q25_orders o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT avg(i.o_totalprice) FROM q25_orders i
+        |  WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q25_correlated" -> q25Correlated _,
     "q24_lateral" -> q24Lateral _,
     "q23_window_suite" -> q23WindowSuite _,
     "q22_grouping_sets" -> q22GroupingSets _,
@@ -368,6 +383,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q25_correlated" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (
+        |  SELECT avg(i.o_totalprice) FROM orders i
+        |  WHERE i.o_custkey = o.o_custkey)""".stripMargin,
     "q24_lateral" ->
       """SELECT r.r_name, l.n_name, l.bal
         |FROM region r,

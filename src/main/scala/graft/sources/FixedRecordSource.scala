@@ -6,12 +6,14 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSourceV2 connector for fixed-length binary record files — the
   * Spark-native port of the reference's custom Hadoop input format
@@ -57,18 +59,80 @@ object FixedRecordSource {
 }
 
 final class FixedRecordTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = "graft-fixed:" + options.get("path")
   override def schema(): StructType = FixedRecordSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(opts.asCaseSensitiveMap())
     new FixedRecordScanBuilder(new CaseInsensitiveStringMap(merged))
   }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val schema = info.schema()
+    require(schema.length == 2 &&
+        schema.forall(_.dataType == BinaryType),
+      s"graft-fixed writes (binary, binary) rows, got ${schema.simpleString}")
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-fixed: missing path"))
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite = new FixedRecordBatchWrite(path,
+          new SerializableConfiguration(
+            SparkSession.active.sparkContext.hadoopConfiguration))
+      }
+    }
+  }
+}
+
+/** Batch write: each task streams its rows straight into a per-task part
+  * file (key ‖ value, no framing — the same layout the reader and the
+  * reference's TeraOutputFormat use). Task files are named by (partition,
+  * task attempt) so speculative attempts never collide; abort deletes the
+  * attempt's file. Files are self-contained, so commit is metadata-free —
+  * the same layout contract as the Hadoop `RawPairOutputFormat` path.
+  */
+final class FixedRecordBatchWrite(path: String, conf: SerializableConfiguration)
+    extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    FixedRecordWriterFactory(path, conf)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Standalone (serializable) factory — must not capture the BatchWrite. */
+final case class FixedRecordWriterFactory(path: String,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+
+  private case object CommitOk extends WriterCommitMessage
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val file = new Path(path, f"part-$partitionId%05d-$taskId")
+      private val fs = file.getFileSystem(conf.value)
+      private val out = fs.create(file, true)
+
+      override def write(row: InternalRow): Unit = {
+        out.write(row.getBinary(0))
+        out.write(row.getBinary(1))
+      }
+      override def commit(): WriterCommitMessage = {
+        out.close()
+        CommitOk
+      }
+      override def abort(): Unit = {
+        out.close()
+        fs.delete(file, false)
+        ()
+      }
+      override def close(): Unit = ()
+    }
 }
 
 final class FixedRecordScanBuilder(options: CaseInsensitiveStringMap)

@@ -43,6 +43,26 @@ class FixedRecordSourceSpec extends SparkSpec {
     }
   }
 
+  test("DSv2 write + read round-trips without the Hadoop path") {
+    withDir { dir =>
+      val out = s"$dir/dsv2w"
+      val recs = TeraGen.records(spark, 3000, numPartitions = 3)
+        .toDF("key", "value")
+      recs.write.format("graft-fixed").mode("append").save(out)
+      val back = spark.read.format("graft-fixed").load(out)
+      assert(back.count() == 3000)
+      val a = recs.as[(Array[Byte], Array[Byte])]
+        .collect().map { case (k, v) => (k.toSeq, v.toSeq) }.toSet
+      val b = back.as[(Array[Byte], Array[Byte])]
+        .collect().map { case (k, v) => (k.toSeq, v.toSeq) }.toSet
+      assert(a == b)
+      // and the Hadoop-format reader agrees on the bytes
+      val viaHadoop = TeraIO.read(spark, out)
+        .map { case (k, v) => (k.toSeq, v.toSeq) }.collect().toSet
+      assert(viaHadoop == a)
+    }
+  }
+
   test("splitSize fans a single file out to multiple partitions") {
     withDir { dir =>
       val out = s"$dir/records"
