@@ -354,7 +354,20 @@ object Relational {
         |  WHERE i.o_custkey = o.o_custkey)""".stripMargin)
   }
 
+  /** Complex types: per-customer sorted array of distinct order years +
+    * an exploded-back count — array build (collect_set), array transform
+    * (sort), and generator (explode) in one oracle-checked pass.
+    */
+  def q26ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_set(year(col("o_orderdate")))).as("years"))
+      .select(col("o_custkey"), col("years"),
+        size(col("years")).as("n_years"),
+        element_at(col("years"), 1).as("first_year"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_array_agg" -> q26ArrayAgg _,
     "q25_correlated" -> q25Correlated _,
     "q24_lateral" -> q24Lateral _,
     "q23_window_suite" -> q23WindowSuite _,
@@ -383,6 +396,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q26_array_agg" ->
+      """SELECT o_custkey,
+        |  list_sort(list(DISTINCT year(o_orderdate))) AS years,
+        |  len(list(DISTINCT year(o_orderdate)))::INT AS n_years,
+        |  min(year(o_orderdate)) AS first_year
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q25_correlated" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
         |FROM orders o
