@@ -167,6 +167,32 @@ object PipelineOps {
     packSequences(sampled, PackBudget)
   }
 
+  /** Fuzzy self-match: pairs of records whose names are within
+    * `maxDist` edits — the entity-resolution primitive (merge variant
+    * spellings before dedup). Blocking: levenshtein(a,b) >= |len(a) -
+    * len(b)|, so each left row probes only the 2·maxDist+1 length bands
+    * a match can live in — an equi-join on (band), not an O(n²) cross
+    * product; the exact distance then filters the banded candidates.
+    */
+  def fuzzyPairs(rows: DataFrame, idCol: String, nameCol: String,
+      maxDist: Int): DataFrame = {
+    val l = rows.select(col(idCol).as("id_a"), col(nameCol).as("name_a"),
+      explode(sequence(
+        length(col(nameCol)) - maxDist,
+        length(col(nameCol)) + maxDist)).as("band"))
+    val r = rows.select(col(idCol).as("id_b"), col(nameCol).as("name_b"),
+      length(col(nameCol)).as("band"))
+    l.join(r, Seq("band"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
+  }
+
+  def fuzzyQuery(s: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(Tables.apply(s, dir, "supplier"), "s_suppkey", "s_name", 2)
+
   def stratifiedQuery(s: SparkSession, dir: String): DataFrame =
     stratifiedSample(Tables.documents(s, dir), StratumQuota)
 
@@ -180,7 +206,8 @@ object PipelineOps {
     "pipe_contamination" -> (contaminationQuery _),
     "pipe_stratified" -> (stratifiedQuery _),
     "pipe_pack" -> (packQuery _),
-    "pipe_curate" -> (curate _)
+    "pipe_curate" -> (curate _),
+    "pipe_fuzzy_match" -> (fuzzyQuery _)
   )
 
   private val shingleCtes =
@@ -197,6 +224,11 @@ object PipelineOps {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "pipe_fuzzy_match" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |  levenshtein(a.s_name, b.s_name)::INT AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 2""".stripMargin,
     "pipe_curate" ->
       """WITH base AS (
         |  SELECT doc_id, text,
