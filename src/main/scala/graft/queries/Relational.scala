@@ -366,7 +366,23 @@ object Relational {
         size(col("years")).as("n_years"),
         element_at(col("years"), 1).as("first_year"))
 
+  /** Temporal scalar bouquet: quarter/day extraction, date arithmetic,
+    * day difference — the date dimensions an ETL layer derives at scan
+    * time (all codegen'd builtins, no UDFs).
+    */
+  def q27Datetime(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).as("q"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_add(col("o_orderdate"), 30).as("due_date"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate"))
+          .as("days_to_98"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_datetime" -> q27Datetime _,
     "q26_array_agg" -> q26ArrayAgg _,
     "q25_correlated" -> q25Correlated _,
     "q24_lateral" -> q24Lateral _,
@@ -396,6 +412,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q27_datetime" ->
+      """SELECT o_orderkey,
+        |  quarter(o_orderdate)::INT AS q,
+        |  day(o_orderdate)::INT AS dom,
+        |  (o_orderdate + INTERVAL 30 DAY)::DATE AS due_date,
+        |  date_diff('day', o_orderdate, TIMESTAMP '1998-01-01')::INT
+        |    AS days_to_98
+        |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin,
     "q26_array_agg" ->
       """SELECT o_custkey,
         |  list_sort(list(DISTINCT year(o_orderdate))) AS years,
