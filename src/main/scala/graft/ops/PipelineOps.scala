@@ -173,6 +173,15 @@ object PipelineOps {
     * len(b)|, so each left row probes only the 2·maxDist+1 length bands
     * a match can live in — an equi-join on (band), not an O(n²) cross
     * product; the exact distance then filters the banded candidates.
+    * Each unordered pair joins in exactly one band (the right name's
+    * single length), so no dedup pass is needed.
+    *
+    * Length banding helps on varied-length corpora; on a degenerate one
+    * (uniform-length near-identical serials — the synthetic supplier
+    * names are the extreme case, where essentially EVERY pair is a true
+    * match) the output itself is quadratic and no blocking scheme can
+    * beat output size. Corpora like that want stronger keys first
+    * (q-gram segment signatures) feeding this same verify step.
     */
   def fuzzyPairs(rows: DataFrame, idCol: String, nameCol: String,
       maxDist: Int): DataFrame = {
@@ -187,7 +196,6 @@ object PipelineOps {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
-      .distinct()
   }
 
   def fuzzyQuery(s: SparkSession, dir: String): DataFrame =

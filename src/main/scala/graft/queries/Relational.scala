@@ -346,12 +346,15 @@ object Relational {
     */
   def q25Correlated(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("q25_orders")
+    // compare ROUNDED values: the raw double avg differs between engines
+    // in the last ulp (accumulation order), and an order sitting exactly
+    // at the 2x boundary would flake the oracle hash
     s.sql(
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
         |FROM q25_orders o
-        |WHERE o_totalprice > 2 * (
+        |WHERE round(o_totalprice, 2) > round(2 * (
         |  SELECT avg(i.o_totalprice) FROM q25_orders i
-        |  WHERE i.o_custkey = o.o_custkey)""".stripMargin)
+        |  WHERE i.o_custkey = o.o_custkey), 2)""".stripMargin)
   }
 
   /** Complex types: per-customer sorted array of distinct order years +
@@ -429,9 +432,9 @@ object Relational {
     "q25_correlated" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total
         |FROM orders o
-        |WHERE o_totalprice > 2 * (
+        |WHERE round(o_totalprice, 2) > round(2 * (
         |  SELECT avg(i.o_totalprice) FROM orders i
-        |  WHERE i.o_custkey = o.o_custkey)""".stripMargin,
+        |  WHERE i.o_custkey = o.o_custkey), 2)""".stripMargin,
     "q24_lateral" ->
       """SELECT r.r_name, l.n_name, l.bal
         |FROM region r,

@@ -79,9 +79,13 @@ final class FixedRecordTable(options: CaseInsensitiveStringMap)
       s"graft-fixed writes (binary, binary) rows, got ${schema.simpleString}")
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-fixed: missing path"))
+    val keyLen = options.getInt("keyLen", FixedRecordSource.DefaultKeyLen)
+    val valueLen = options.getInt("valueLen", FixedRecordSource.DefaultValueLen)
+    val queryId = info.queryId()
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new FixedRecordBatchWrite(path,
+          queryId, keyLen, valueLen,
           new SerializableConfiguration(
             SparkSession.active.sparkContext.hadoopConfiguration))
       }
@@ -89,46 +93,61 @@ final class FixedRecordTable(options: CaseInsensitiveStringMap)
   }
 }
 
-/** Batch write: each task streams its rows straight into a per-task part
-  * file (key ‖ value, no framing — the same layout the reader and the
-  * reference's TeraOutputFormat use). Task files are named by (partition,
-  * task attempt) so speculative attempts never collide; abort deletes the
-  * attempt's file. Files are self-contained, so commit is metadata-free —
-  * the same layout contract as the Hadoop `RawPairOutputFormat` path.
+/** Batch write: each task streams its rows into a dot-prefixed staging
+  * file (the reader ignores `.`/`_` names), then renames to the final
+  * part name on task commit — so a task attempt that dies without
+  * running abort() leaves only an invisible orphan, never a partial
+  * final file. Final names carry the write's queryId, so concurrent or
+  * successive appends from different queries/applications cannot
+  * clobber each other. Row byte lengths are validated against
+  * keyLen/valueLen at write time — the fixed-length contract the reader
+  * will enforce later.
   */
-final class FixedRecordBatchWrite(path: String, conf: SerializableConfiguration)
+final class FixedRecordBatchWrite(path: String, queryId: String,
+    keyLen: Int, valueLen: Int, conf: SerializableConfiguration)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    FixedRecordWriterFactory(path, conf)
+    FixedRecordWriterFactory(path, queryId, keyLen, valueLen, conf)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 /** Standalone (serializable) factory — must not capture the BatchWrite. */
-final case class FixedRecordWriterFactory(path: String,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+final case class FixedRecordWriterFactory(path: String, queryId: String,
+    keyLen: Int, valueLen: Int, conf: SerializableConfiguration)
+    extends DataWriterFactory {
 
   private case object CommitOk extends WriterCommitMessage
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val file = new Path(path, f"part-$partitionId%05d-$taskId")
-      private val fs = file.getFileSystem(conf.value)
-      private val out = fs.create(file, true)
+      private val finalFile =
+        new Path(path, f"part-$partitionId%05d-$taskId-$queryId")
+      private val staging =
+        new Path(path, f".part-$partitionId%05d-$taskId-$queryId.inprogress")
+      private val fs = finalFile.getFileSystem(conf.value)
+      private val out = fs.create(staging, true)
 
       override def write(row: InternalRow): Unit = {
-        out.write(row.getBinary(0))
-        out.write(row.getBinary(1))
+        val k = row.getBinary(0)
+        val v = row.getBinary(1)
+        require(k.length == keyLen && v.length == valueLen,
+          s"graft-fixed: row bytes (${k.length}, ${v.length}) != " +
+            s"configured ($keyLen, $valueLen)")
+        out.write(k)
+        out.write(v)
       }
       override def commit(): WriterCommitMessage = {
         out.close()
+        require(fs.rename(staging, finalFile),
+          s"graft-fixed: rename $staging -> $finalFile failed")
         CommitOk
       }
       override def abort(): Unit = {
         out.close()
-        fs.delete(file, false)
+        fs.delete(staging, false)
         ()
       }
       override def close(): Unit = ()
@@ -172,7 +191,8 @@ final class FixedRecordScan(path: String, keyLen: Int, valueLen: Int,
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile)
-          .filterNot(_.getPath.getName.startsWith("_"))
+          .filterNot(f => f.getPath.getName.startsWith("_") ||
+            f.getPath.getName.startsWith(".")) // "." = in-progress staging
           .sortBy(_.getPath.toString)
       else Array(fs.getFileStatus(p))
     // whole-record-aligned byte ranges; one reader never straddles files
