@@ -14,7 +14,18 @@ object TextQueries {
     "text_inverted_index" -> ((s: SparkSession, d: String) =>
       TextAnalysis.invertedIndex(graft.Tables.documents(s, d), minDf = 5L)),
     "text_tfidf" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.tfIdf(graft.Tables.documents(s, d), topK = 5))
+      TextAnalysis.tfIdf(graft.Tables.documents(s, d), topK = 5)),
+    // the reference's default partitioner (ELF hash of key bytes mod
+    // buckets, `src/panda/Partitioner.cpp:7-18`) — bucket assignment
+    // hash-checked against a bit-faithful DuckDB list_reduce oracle
+    "elf_buckets" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.GraftFunctions.elf_hash
+      graft.Tables.documents(s, d)
+        .groupBy(pmod(elf_hash(col("text")), lit(32L)).as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+    })
   )
 
   private val wcOracle =
@@ -50,6 +61,23 @@ object TextQueries {
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY doc_id
         |    ORDER BY weight DESC, term) AS rk FROM w)
-        |SELECT doc_id, term, tf, df, weight, rk FROM r WHERE rk <= 5""".stripMargin
+        |SELECT doc_id, term, tf, df, weight, rk FROM r WHERE rk <= 5""".stripMargin,
+    "elf_buckets" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), c -> ord(c)::BIGINT)),
+        |    (acc, x) -> CASE
+        |      WHEN ((acc * 16 + x) & 4026531840) != 0 THEN
+        |        xor(acc * 16 + x,
+        |            ((acc * 16 + x) & 4026531840) // 16777216)
+        |          - (xor(acc * 16 + x,
+        |                 ((acc * 16 + x) & 4026531840) // 16777216)
+        |             & ((acc * 16 + x) & 4026531840))
+        |      ELSE acc * 16 + x END) AS eh
+        |  FROM documents)
+        |SELECT eh % 32 AS bucket, count(*) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM h GROUP BY 1""".stripMargin
   )
 }
