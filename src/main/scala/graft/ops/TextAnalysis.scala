@@ -97,16 +97,21 @@ object TextAnalysis {
       l -> math.sqrt(q.values.map(x => x * x).sum)
     }
 
-  /** Cosine similarity between trigram profiles → best language. */
+  /** Cosine similarity between trigram profiles → best language. Scores
+    * are rounded to 6 decimals and ties broken by language code (max) so
+    * the argmax is bit-stable across engines — this is what lets the
+    * whole classifier be recomputed as a SQL oracle.
+    */
   def classifyLanguage(text: String): String = {
     val p = trigrams(text)
     if (p.isEmpty) "und"
     else {
       val pNorm = math.sqrt(p.values.map(x => x * x).sum)
-      langProfiles.maxBy { case (l, q) =>
-        p.iterator.map { case (g, w) => w * q.getOrElse(g, 0.0) }.sum /
+      langProfiles.toSeq.map { case (l, q) =>
+        val cos = p.iterator.map { case (g, w) => w * q.getOrElse(g, 0.0) }.sum /
           (pNorm * langProfileNorms(l))
-      }._1
+        (BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, l)
+      }.max._2
     }
   }
 
@@ -116,6 +121,64 @@ object TextAnalysis {
   def langId(s: SparkSession, docs: DataFrame): DataFrame = {
     val lid = udf(classifyLanguage _)
     OpUtil.spread(docs).select(col("doc_id"), lid(col("text")).as("lang_pred"))
+  }
+
+  /** DuckDB oracle for [[langId]], generated from the same profile
+    * constants the classifier uses: the trigram extraction, weight
+    * normalization, cosine scoring, round-6 and lang tie-break are all
+    * recomputed in SQL, with profile weights/norms embedded as
+    * round-trip double literals.
+    */
+  lazy val langIdOracleSql: String = {
+    val profRows = langProfiles.toSeq.sortBy(_._1).flatMap { case (l, q) =>
+      q.toSeq.sortBy(_._1).map { case (g, w) =>
+        s"('$l', '${g.replace("'", "''")}', ${w.toString})"
+      }
+    }.mkString(",\n    ")
+    val normRows = langProfileNorms.toSeq.sortBy(_._1)
+      .map { case (l, n) => s"('$l', ${n.toString})" }.mkString(", ")
+    s"""WITH prof(lang, gram, w) AS (VALUES
+       |    $profRows),
+       |pnorm(lang, nrm) AS (VALUES $normRows),
+       |cleaned AS (
+       |  SELECT doc_id, regexp_replace(regexp_replace(lower(text),
+       |    '[^a-z ]', ' ', 'g'), '\\s+', ' ', 'g') AS s
+       |  FROM documents),
+       |chars AS (
+       |  SELECT doc_id, unnest(string_split(s, '')) AS ch,
+       |         generate_subscripts(string_split(s, ''), 1) AS pos
+       |  FROM cleaned),
+       |grams AS (
+       |  SELECT a.doc_id, a.ch || b.ch || c.ch AS gram
+       |  FROM chars a
+       |  JOIN chars b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN chars c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+       |gw AS (
+       |  SELECT doc_id, gram, count(*)::DOUBLE AS cnt
+       |  FROM grams GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, sum(cnt) AS total FROM gw GROUP BY 1),
+       |dw AS (
+       |  SELECT g.doc_id, g.gram, g.cnt / t.total AS w
+       |  FROM gw g JOIN tot t USING (doc_id)),
+       |dn AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM dw GROUP BY 1),
+       |overlap AS (
+       |  SELECT d.doc_id, p.lang, sum(d.w * p.w) AS dot
+       |  FROM dw d JOIN prof p ON d.gram = p.gram
+       |  GROUP BY d.doc_id, p.lang),
+       |allscores AS (
+       |  SELECT dn.doc_id, l.lang,
+       |    round(coalesce(o.dot, 0.0) / (dn.nrm * pn.nrm), 6) AS score
+       |  FROM dn
+       |  CROSS JOIN (SELECT DISTINCT lang FROM prof) l
+       |  JOIN pnorm pn ON pn.lang = l.lang
+       |  LEFT JOIN overlap o ON o.doc_id = dn.doc_id AND o.lang = l.lang),
+       |best AS (
+       |  SELECT doc_id, lang, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, lang DESC) AS rn
+       |  FROM allscores)
+       |SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+       |FROM documents d
+       |LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""".stripMargin
   }
 
   /** Document fingerprint: winnowing — the minimum digest over all

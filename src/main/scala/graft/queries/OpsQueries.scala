@@ -87,6 +87,7 @@ object OpsQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "text_langid" -> TextAnalysis.langIdOracleSql,
     "gemv" ->
       """SELECT e.vec_id,
         |  round(list_dot_product(e.embedding::DOUBLE[],
