@@ -22,10 +22,14 @@ object Multimodal {
   final case class MediaItem(
       media_id: Long, modality: String, payload: Array[Byte], size_bytes: Long)
 
-  /** Decoded media features (fixed-size, join-friendly). */
+  /** Decoded media features (fixed-size, join-friendly). `mean_byte_x100`
+    * is the mean pixel value scaled by 100 and half-up rounded in pure
+    * integer arithmetic — float rounding of `sum/n` lands exactly on
+    * .005 boundaries often enough (integer sums) that engines disagree.
+    */
   final case class MediaFeatures(
       media_id: Long, modality: String, width: Int, height: Int,
-      mean_byte: Double, byte_entropy: Double)
+      mean_byte_x100: Long, byte_entropy: Double)
 
   private val Magic: Array[Byte] = "GMM1".getBytes("US-ASCII")
 
@@ -87,14 +91,18 @@ object Multimodal {
       items.flatMap { m =>
         StubCodec.decode(m.payload).map { case (w, h, pixels) =>
           val hist = new Array[Long](256)
-          var sum = 0.0
+          var sum = 0L
           pixels.foreach { b => val v = b & 0xff; hist(v) += 1; sum += v }
-          val n = math.max(pixels.length, 1).toDouble
+          val n = math.max(pixels.length, 1).toLong
+          val nd = n.toDouble
           val entropy = -hist.iterator.filter(_ > 0).map { c =>
-            val p = c / n; p * math.log(p) / math.log(2)
+            val p = c / nd; p * math.log(p) / math.log(2)
           }.sum
+          // integer half-up: floor(100*sum/n + 1/2) = (200*sum + n) / 2n
           MediaFeatures(m.media_id, m.modality, w, h,
-            math.rint(sum / n * 100) / 100, math.rint(entropy * 10000) / 10000)
+            (200L * sum + n) / (2L * n),
+            BigDecimal(entropy).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble)
         }
       }
     }

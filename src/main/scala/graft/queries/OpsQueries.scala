@@ -88,6 +88,40 @@ object OpsQueries {
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> TextAnalysis.langIdOracleSql,
+    // the stub codec's LCG payload is recomputed bit-exactly in SQL:
+    // HUGEINT arithmetic emulates unsigned-64 wraparound, a recursive CTE
+    // walks the generator, and mean/entropy come off the byte histogram
+    "multimodal_features" ->
+      """WITH RECURSIVE gen(doc_id, i, n, state) AS (
+        |  SELECT doc_id, 0::BIGINT,
+        |    ((16 + doc_id % 48) * (16 + doc_id % 32))::BIGINT,
+        |    ((doc_id::HUGEINT * 6364136223846793005 + 1442695040888963407)
+        |      % 18446744073709551616 + 18446744073709551616)
+        |      % 18446744073709551616
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, i + 1, n,
+        |    (state * 6364136223846793005 + 1442695040888963407)
+        |      % 18446744073709551616
+        |  FROM gen WHERE i < n
+        |), bytes AS (
+        |  SELECT doc_id, n, (state // 72057594037927936)::BIGINT AS b
+        |  FROM gen WHERE i >= 1
+        |), hist AS (
+        |  SELECT doc_id, n, b, count(*)::DOUBLE AS c
+        |  FROM bytes GROUP BY 1, 2, 3
+        |), feat AS (
+        |  SELECT doc_id,
+        |    (200 * sum(b * c)::BIGINT + n) // (2 * n) AS mean_byte_x100,
+        |    round(-sum((c / n) * log2(c / n)), 4) AS byte_entropy
+        |  FROM hist GROUP BY doc_id, n)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN 'image' ELSE 'audio' END
+        |    AS modality,
+        |  (16 + d.doc_id % 48)::INT AS width,
+        |  (16 + d.doc_id % 32)::INT AS height,
+        |  f.mean_byte_x100, f.byte_entropy
+        |FROM documents d JOIN feat f ON f.doc_id = d.doc_id""".stripMargin,
     "gemv" ->
       """SELECT e.vec_id,
         |  round(list_dot_product(e.embedding::DOUBLE[],

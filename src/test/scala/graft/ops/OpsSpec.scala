@@ -100,12 +100,12 @@ class OpsSpec extends SparkSpec {
     feats.foreach { f =>
       assert(f.width >= 16 && f.width < 64)
       assert(f.height >= 16 && f.height < 48)
-      assert(f.mean_byte >= 0 && f.mean_byte <= 255)
+      assert(f.mean_byte_x100 >= 0 && f.mean_byte_x100 <= 25500)
       assert(f.byte_entropy >= 0 && f.byte_entropy <= 8.0)
     }
     // deterministic payloads → deterministic features
     val again = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sfDir)).collect()
-    assert(feats.map(_.mean_byte).toSeq == again.map(_.mean_byte).toSeq)
+    assert(feats.map(_.mean_byte_x100).toSeq == again.map(_.mean_byte_x100).toSeq)
     // corrupt payload → dropped, not crashed
     assert(Multimodal.StubCodec.decode(Array[Byte](1, 2, 3)).isEmpty)
   }
