@@ -83,7 +83,10 @@ object TextAnalysis {
       "deich und das ist nicht nur ein schones beispiel fur alle dinge"))
 
   private def trigrams(s: String): Map[String, Double] = {
-    val clean = s.toLowerCase.replaceAll("[^a-z ]", " ").replaceAll("\\s+", " ")
+    // Locale.ROOT: a Turkish default locale would map 'I' to dotless 'ı',
+    // diverging from the SQL oracle's locale-independent lower()
+    val clean = s.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z ]", " ").replaceAll("\\s+", " ")
     val grams = clean.sliding(3).filter(_.length == 3).toSeq
     val total = math.max(grams.size, 1)
     grams.groupBy(identity).map { case (g, occ) => g -> occ.size.toDouble / total }

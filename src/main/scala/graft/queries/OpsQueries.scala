@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Multimodal, Similarity, TextAnalysis}
 
 /** Driver registrations for similarity search, text analysis, and
-  * multimodal plumbing. LSH ANN, language-ID, fingerprinting, and the
-  * stub-codec features are hash-/heuristic-defined → rows-only checks;
-  * the rest carry DuckDB oracles.
+  * multimodal plumbing. Everything here carries a DuckDB oracle except
+  * the approximate ANN variants (lsh/ivf) and the iterative-float
+  * clustering workloads (cmeans/gmm), which register rows-only checks
+  * plus spec-level recall/determinism tests.
   */
 object OpsQueries {
 

@@ -17,7 +17,10 @@ object TextQueries {
       TextAnalysis.tfIdf(graft.Tables.documents(s, d), topK = 5)),
     // the reference's default partitioner (ELF hash of key bytes mod
     // buckets, `src/panda/Partitioner.cpp:7-18`) — bucket assignment
-    // hash-checked against a bit-faithful DuckDB list_reduce oracle
+    // hash-checked against a bit-faithful DuckDB list_reduce oracle.
+    // NOTE the oracle folds per-character code points, which equals the
+    // UTF-8 bytes the Spark side hashes only for ASCII text — true of
+    // this corpus; non-ASCII input would need encode() byte extraction
     "elf_buckets" -> ((s: SparkSession, d: String) => {
       import org.apache.spark.sql.functions._
       import graft.functions.GraftFunctions.elf_hash
