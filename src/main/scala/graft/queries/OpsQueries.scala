@@ -60,9 +60,13 @@ object OpsQueries {
   def gmmClusters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.ml.clustering.GaussianMixture
     import org.apache.spark.ml.functions.array_to_vector
+    // EM on the leading 16 dims: a full 64-dim covariance needs far more
+    // points than the smaller fixtures carry — at 500 rows the estimate
+    // goes numerically non-symmetric and breeze aborts
     val data = graft.Tables.embeddings(s, dir)
       .select(col("vec_id"),
-        array_to_vector(transform(col("embedding"), _.cast("double"))).as("features"))
+        array_to_vector(transform(slice(col("embedding"), 1, 16),
+          _.cast("double"))).as("features"))
     val model = new GaussianMixture().setK(4).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").fit(data)
     model.transform(data)
