@@ -22,10 +22,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics: for each left row, the latest right row with the same key
   * and `right.ts <= left.ts` (ties inclusive); left rows without a match
   * keep nulls (ASOF LEFT JOIN). Key and ts must be LongType /
-  * TimestampType (both read as 8-byte longs). If the right side holds
-  * several rows with identical (key, ts), which of them is carried is
-  * unspecified (whichever the sort emits last) — the same contract as
-  * DuckDB's ASOF JOIN; deduplicate the right side first if that matters.
+  * TimestampType (both read as 8-byte longs). NULL never matches (SQL
+  * comparison semantics): right rows with a NULL key or ts are skipped,
+  * left rows with a NULL key or ts come out with a null payload. If the
+  * right side holds several rows with identical (key, ts), the one with
+  * the greatest payload (natural struct order over `rightPayload`) is
+  * carried — the same deterministic tie-break as the composed
+  * union+window formulation ([[graft.ops.TemporalJoins.asofJoin]]
+  * orders by the payload struct, last/max wins), so both formulations
+  * and reruns agree against one oracle.
   */
 final case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
@@ -72,10 +77,17 @@ final case class AsofJoinExec(
     val payload = rightPayload
     val nPayload = payload.length
 
+    val payloadTypes = payload.map(_.dataType)
+
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       // project the matched right row down to the payload columns; the
       // buffered row must be a copy (unsafe rows are reused by iterators)
       val payloadProj = UnsafeProjection.create(payload, rightSchema)
+      // natural struct order over the payload columns — the duplicate
+      // (key, ts) tie-break, shared with the union+window formulation
+      val payloadOrd =
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .createNaturalAscendingOrdering(payloadTypes)
       val nullRow = new GenericInternalRow(nPayload)
       val joined = new JoinedRow
 
@@ -86,28 +98,45 @@ final case class AsofJoinExec(
         private var rValid = false
         private var matchRow: InternalRow = _ // copied payload projection
         private var matchKey = 0L
+        private var matchTs = 0L
         advanceRight()
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
+        // NULL key/ts never matches: skip such right rows outright (they
+        // sort first under SortOrder's nulls-first ascending, so this
+        // drains them before any comparisons)
+        private def advanceRight(): Unit = {
+          rValid = false
+          while (!rValid && rIter.hasNext) {
             rRow = rIter.next()
-            rKey = rRow.getLong(rKeyIdx)
-            rTs = rRow.getLong(rTsIdx)
-            rValid = true
-          } else rValid = false
+            if (!rRow.isNullAt(rKeyIdx) && !rRow.isNullAt(rTsIdx)) {
+              rKey = rRow.getLong(rKeyIdx)
+              rTs = rRow.getLong(rTsIdx)
+              rValid = true
+            }
+          }
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val l = lIter.next()
+          // NULL left key/ts: no right row qualifies; the merge cursor
+          // stays put (null left rows sort first, before any real key)
+          if (l.isNullAt(lKeyIdx) || l.isNullAt(lTsIdx))
+            return joined(l, nullRow)
           val lKey = l.getLong(lKeyIdx)
           val lTs = l.getLong(lTsIdx)
-          // consume right rows up to (key, ts); remember the last match
+          // consume right rows up to (key, ts); remember the last match,
+          // breaking equal-ts duplicates by max payload
           while (rValid &&
               (rKey < lKey || (rKey == lKey && rTs <= lTs))) {
             if (rKey == lKey) {
-              matchRow = payloadProj(rRow).copy()
+              val proj = payloadProj(rRow)
+              if (matchRow == null || matchKey != rKey || matchTs != rTs ||
+                  payloadOrd.compare(proj, matchRow) > 0)
+                matchRow = proj.copy()
               matchKey = rKey
+              matchTs = rTs
             }
             advanceRight()
           }

@@ -359,15 +359,19 @@ object Relational {
 
   /** Complex types: per-customer sorted array of distinct order years +
     * an exploded-back count — array build (collect_set), array transform
-    * (sort), and generator (explode) in one oracle-checked pass.
+    * (sort), and element access in one oracle-checked pass. The array is
+    * serialized to a comma-joined string in the FINAL projection only:
+    * the gate's row canonicalization (pandas sort) cannot hash raw array
+    * cells, and a deterministic string carries identical information.
     */
   def q26ArrayAgg(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_set(year(col("o_orderdate")))).as("years"))
-      .select(col("o_custkey"), col("years"),
-        size(col("years")).as("n_years"),
-        element_at(col("years"), 1).as("first_year"))
+      .agg(sort_array(collect_set(year(col("o_orderdate")))).as("years_arr"))
+      .select(col("o_custkey"),
+        array_join(col("years_arr").cast("array<string>"), ",").as("years"),
+        size(col("years_arr")).as("n_years"),
+        element_at(col("years_arr"), 1).as("first_year"))
 
   /** Temporal scalar bouquet: quarter/day extraction, date arithmetic,
     * day difference — the date dimensions an ETL layer derives at scan
@@ -425,7 +429,8 @@ object Relational {
         |FROM orders WHERE o_orderkey % 97 = 0""".stripMargin,
     "q26_array_agg" ->
       """SELECT o_custkey,
-        |  list_sort(list(DISTINCT year(o_orderdate))) AS years,
+        |  array_to_string(list_sort(list(DISTINCT year(o_orderdate))), ',')
+        |    AS years,
         |  len(list(DISTINCT year(o_orderdate)))::INT AS n_years,
         |  min(year(o_orderdate)) AS first_year
         |FROM orders GROUP BY o_custkey""".stripMargin,

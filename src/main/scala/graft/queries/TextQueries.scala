@@ -11,8 +11,15 @@ object TextQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount" -> (WordCount.documentsWordCount _),
     "wordcount_mr" -> (WordCount.documentsWordCountMR _),
-    "text_inverted_index" -> ((s: SparkSession, d: String) =>
-      TextAnalysis.invertedIndex(graft.Tables.documents(s, d), minDf = 5L)),
+    // postings stay an array inside the operator; the gate-facing
+    // projection serializes them (comma-joined) because the gate's
+    // pandas row-sort cannot canonicalize raw array cells
+    "text_inverted_index" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.{array_join, col}
+      TextAnalysis.invertedIndex(graft.Tables.documents(s, d), minDf = 5L)
+        .withColumn("postings",
+          array_join(col("postings").cast("array<string>"), ","))
+    }),
     "text_tfidf" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tfIdf(graft.Tables.documents(s, d), topK = 5)),
     // the reference's default partitioner (ELF hash of key bytes mod
@@ -45,7 +52,7 @@ object TextQueries {
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
         |  FROM documents)
         |SELECT term, count(*)::BIGINT AS df,
-        |  list_sort(list(doc_id)) AS postings
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
         |FROM terms WHERE length(term) > 0
         |GROUP BY term HAVING count(*) >= 5""".stripMargin,
     "text_tfidf" ->

@@ -93,42 +93,72 @@ final class FixedRecordTable(options: CaseInsensitiveStringMap)
   }
 }
 
-/** Batch write: each task streams its rows into a dot-prefixed staging
-  * file (the reader ignores `.`/`_` names), then renames to the final
-  * part name on task commit — so a task attempt that dies without
-  * running abort() leaves only an invisible orphan, never a partial
-  * final file. Final names carry the write's queryId, so concurrent or
-  * successive appends from different queries/applications cannot
-  * clobber each other. Row byte lengths are validated against
-  * keyLen/valueLen at write time — the fixed-length contract the reader
-  * will enforce later.
+/** Batch write with job-level atomicity: every task streams its rows
+  * into a job-scoped hidden staging directory
+  * (`<path>/.staging-<queryId>/`, invisible to the reader), and the
+  * final part names only appear when [[FixedRecordBatchWrite.commit]]
+  * renames the staged files listed in the task commit messages into the
+  * target directory. A job that fails after some tasks committed leaves
+  * nothing visible (abort deletes the staging dir), and a retried write
+  * re-stages from scratch instead of appending duplicate part files
+  * next to survivors. Task attempts are arbitrated by Spark's commit
+  * coordinator (useCommitCoordinator defaults to true), so exactly one
+  * attempt per partition contributes a commit message. Final names
+  * carry the write's queryId, so successive appends from different
+  * queries cannot clobber each other. Row byte lengths are validated
+  * against keyLen/valueLen at write time — the fixed-length contract
+  * the reader will enforce later.
   */
 final class FixedRecordBatchWrite(path: String, queryId: String,
     keyLen: Int, valueLen: Int, conf: SerializableConfiguration)
     extends BatchWrite {
 
+  private val stagingDir = new Path(path, s".staging-$queryId")
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     FixedRecordWriterFactory(path, queryId, keyLen, valueLen, conf)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(conf.value)
+    messages.foreach {
+      case StagedFile(name) =>
+        val from = new Path(stagingDir, name)
+        val to = new Path(path, name)
+        require(fs.rename(from, to),
+          s"graft-fixed: publish $from -> $to failed")
+      case other =>
+        throw new IllegalStateException(s"unexpected commit message $other")
+    }
+    fs.delete(stagingDir, true)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = stagingDir.getFileSystem(conf.value)
+    fs.delete(stagingDir, true)
+    ()
+  }
 }
+
+/** Task commit message: staged part-file name awaiting job-level publish. */
+final case class StagedFile(name: String) extends WriterCommitMessage
 
 /** Standalone (serializable) factory — must not capture the BatchWrite. */
 final case class FixedRecordWriterFactory(path: String, queryId: String,
     keyLen: Int, valueLen: Int, conf: SerializableConfiguration)
     extends DataWriterFactory {
 
-  private case object CommitOk extends WriterCommitMessage
-
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val finalFile =
-        new Path(path, f"part-$partitionId%05d-$taskId-$queryId")
-      private val staging =
-        new Path(path, f".part-$partitionId%05d-$taskId-$queryId.inprogress")
-      private val fs = finalFile.getFileSystem(conf.value)
-      private val out = fs.create(staging, true)
+      private val partName = f"part-$partitionId%05d-$taskId-$queryId"
+      private val stagingDir = new Path(path, s".staging-$queryId")
+      // .inprogress suffix: a task attempt that dies mid-write leaves a
+      // name the job commit never publishes (messages only name files
+      // whose task commit renamed them)
+      private val inprogress = new Path(stagingDir, s".$partName.inprogress")
+      private val staged = new Path(stagingDir, partName)
+      private val fs = stagingDir.getFileSystem(conf.value)
+      private val out = fs.create(inprogress, true)
 
       override def write(row: InternalRow): Unit = {
         val k = row.getBinary(0)
@@ -141,13 +171,13 @@ final case class FixedRecordWriterFactory(path: String, queryId: String,
       }
       override def commit(): WriterCommitMessage = {
         out.close()
-        require(fs.rename(staging, finalFile),
-          s"graft-fixed: rename $staging -> $finalFile failed")
-        CommitOk
+        require(fs.rename(inprogress, staged),
+          s"graft-fixed: rename $inprogress -> $staged failed")
+        StagedFile(partName)
       }
       override def abort(): Unit = {
         out.close()
-        fs.delete(staging, false)
+        fs.delete(inprogress, false)
         ()
       }
       override def close(): Unit = ()

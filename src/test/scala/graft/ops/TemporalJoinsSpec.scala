@@ -101,6 +101,46 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(300L).contains(903L)) // earlier right row carries forward
   }
 
+  test("AsofJoinExec: NULL keys/ts never match (SQL comparison semantics)") {
+    val left = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:30:00")), 101L),
+      (None: Option[Long], Some(ts("2024-01-01 10:30:00")), 102L), // null key
+      (Some(1L), None: Option[Timestamp], 103L)                    // null ts
+    ).toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (Some(1L), Some(ts("2024-01-01 10:00:00")), 900L),
+      (None: Option[Long], Some(ts("2024-01-01 09:00:00")), 901L), // null key
+      (Some(1L), None: Option[Timestamp], 902L)                    // null ts
+    ).toDF("user_id", "ts", "purchase_id")
+    val out = graft.plans.AsofJoin(left, right, "user_id", "ts",
+        Seq("purchase_id"))
+      .select($"event_id", $"purchase_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(101L).contains(900L)) // null right rows skipped, not joined
+    assert(out(102L).isEmpty)        // null left key: no match
+    assert(out(103L).isEmpty)        // null left ts: no match
+  }
+
+  test("AsofJoinExec breaks duplicate (key, ts) ties like the composed form") {
+    val left = Seq((1L, ts("2024-01-01 10:30:00"), 101L))
+      .toDF("user_id", "ts", "event_id")
+    // three right rows at the SAME (key, ts): max payload must win,
+    // in both formulations, on every rerun
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 902L),
+      (1L, ts("2024-01-01 10:00:00"), 907L),
+      (1L, ts("2024-01-01 10:00:00"), 905L)
+    ).toDF("user_id", "ts", "purchase_id").repartition(3)
+    val exec = graft.plans.AsofJoin(left, right, "user_id", "ts",
+        Seq("purchase_id"))
+      .select($"purchase_id").as[Long].collect().toSeq
+    val composed = TemporalJoins.asofJoin(left, right, "user_id", "ts",
+        Seq("purchase_id"))
+      .select($"purchase_id").as[Long].collect().toSeq
+    assert(exec == Seq(907L))
+    assert(composed == Seq(907L))
+  }
+
   test("bucketed range join plans as an equi-join, not a nested loop") {
     val df = TemporalJoins.rangeSignupActivity(spark, sfDir)
     df.collect()

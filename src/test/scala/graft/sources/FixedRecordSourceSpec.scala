@@ -63,6 +63,38 @@ class FixedRecordSourceSpec extends SparkSpec {
     }
   }
 
+  test("failed DSv2 write publishes nothing (job-level commit)") {
+    withDir { dir =>
+      val out = s"$dir/atomic"
+      // partition 0 succeeds, partition 2 throws mid-write — without
+      // job-level staging the committed task's part file would be
+      // visible despite the job failing
+      val boom = udf { (k: Array[Byte], pid: Int) =>
+        if (pid == 2) throw new RuntimeException("synthetic task failure")
+        k
+      }
+      val recs = TeraGen.records(spark, 3000, numPartitions = 3)
+        .toDF("key", "value")
+        .withColumn("key", boom(col("key"), spark_partition_id()))
+      intercept[Exception] {
+        recs.write.format("graft-fixed").mode("append").save(out)
+      }
+      val visible = new java.io.File(out).listFiles()
+      assert(visible == null || visible.forall(f =>
+          f.getName.startsWith(".") || f.getName.startsWith("_")),
+        s"partial output visible: ${Option(visible).toSeq.flatten.mkString(",")}")
+
+      // a retried write then produces exactly one clean copy
+      TeraGen.records(spark, 3000, numPartitions = 3).toDF("key", "value")
+        .write.format("graft-fixed").mode("append").save(out)
+      val back = spark.read.format("graft-fixed").load(out)
+      assert(back.count() == 3000)
+      // and the successful job removed its staging directory
+      assert(!new java.io.File(out).listFiles()
+        .exists(_.getName.startsWith(".staging-")))
+    }
+  }
+
   test("splitSize fans a single file out to multiple partitions") {
     withDir { dir =>
       val out = s"$dir/records"
