@@ -36,9 +36,27 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
+    // optional local-iteration filter (the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+
+    // drop every cached plan/RDD a query left behind: operators cache
+    // intermediates (shingle sets, fingerprints, GraphX internals) that
+    // are dead once the query's action finishes, and 69 queries' worth
+    // of retained blocks turned the tail of the run into a GC/eviction
+    // fight — later queries measured 5x slower than standalone
+    def dropCaches(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     // two timed runs per query, keep the faster — damps GC/JIT noise from
-    // whatever ran just before
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // whatever ran just before; caches cleared between runs so run 2
+    // re-executes the full pipeline instead of reading run 1's cache
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
@@ -46,7 +64,9 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           return -1.0
         }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropCaches()
+        dt
       }
       val a = once()
       val b = if (a >= 0) once() else -1.0
