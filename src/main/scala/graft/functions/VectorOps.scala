@@ -56,6 +56,57 @@ case class VectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between two array<double> columns — same codegen
+  * rationale as [[VectorDot]]: one fused left-to-right Java loop, so the
+  * accumulation order is fixed and a SQL oracle summing the same way
+  * reproduces the double bit-for-bit.
+  */
+case class VectorSqDist(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Identity wrapper marked non-deterministic so the optimizer will not
   * move a predicate built on it. Motivation: a selective filter on an
   * expensive projected expression (e.g. a vector dot product) gets
@@ -87,6 +138,11 @@ object VectorOps {
   /** Dot product of two array<double> columns (codegen'd). */
   def vec_dot(a: Column, b: Column): Column =
     GraftShims.columnOf(VectorDot(
+      GraftShims.expressionOf(a), GraftShims.expressionOf(b)))
+
+  /** Squared L2 distance of two array<double> columns (codegen'd). */
+  def vec_sqdist(a: Column, b: Column): Column =
+    GraftShims.columnOf(VectorSqDist(
       GraftShims.expressionOf(a), GraftShims.expressionOf(b)))
 
   /** L2 norm. */

@@ -55,6 +55,38 @@ object Dedup {
       .toDF("doc_id", "shingle")
   }
 
+  /** Sub-document span dedup (the exact-substring-dedup family a
+    * training pipeline runs AFTER whole-doc dedup — Lee et al. 2022,
+    * windowed form): every K-token span that appears in two or more
+    * distinct documents, with occurrence counts. A suffix array finds
+    * arbitrary-length repeats but needs global structure; fixed-K
+    * sliding windows reduce the whole problem to one flatMap + one
+    * combinable aggregation — the map/combine/shuffle/reduce skeleton —
+    * so it scales exactly like wordcount: no driver state, partial
+    * aggregation map-side, one shuffle on the span.
+    */
+  val SpanTokens = 8
+
+  def duplicatedSpans(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    OpUtil.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).iterator.sliding(SpanTokens).withPartial(false)
+          .map(w => (id, w.mkString(" ")))
+      }
+      .toDF("doc_id", "span")
+      .groupBy("span")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  def spanQuery(s: SparkSession, dir: String): DataFrame =
+    duplicatedSpans(Tables.documents(s, dir))
+
   /** Exact dedup: group by content digest, keep the smallest doc_id as
     * the representative (`dropDuplicates` semantics made deterministic).
     */

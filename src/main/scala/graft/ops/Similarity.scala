@@ -237,4 +237,35 @@ object Similarity {
 
   def annLsh(s: SparkSession, dir: String): DataFrame =
     lshTopK(s, Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
+
+  /** Nearest-centroid assignment — the partitioning primitive inside IVF
+    * (and one Lloyd iteration of k-means): every vector goes to its
+    * closest of `NumCentroids` fixed centroid vectors by squared L2.
+    * With deterministic centroids (the lowest vec_ids) this step, unlike
+    * the iterative clusterings, IS oracle-checkable — so the bucketing
+    * arithmetic the approximate indexes rely on gets a cross-engine
+    * hash check. Shape at scale: centroids broadcast, one codegen'd
+    * distance loop per (row, centroid), argmin as a combinable
+    * min-of-struct aggregation — no shuffle of the corpus at all.
+    */
+  val NumCentroids = 8
+
+  def centroidAssign(corpus: DataFrame): DataFrame = {
+    import graft.functions.VectorOps.vec_sqdist
+    val emb = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = broadcast(emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv")))
+    OpUtil.spread(emb)
+      .crossJoin(cents)
+      .select(col("vec_id"), col("centroid_id"),
+        vec_sqdist(col("v"), col("cv")).as("d2"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        round(col("best.d2"), 6).as("dist2"))
+  }
+
+  def annCentroidAssign(s: SparkSession, dir: String): DataFrame =
+    centroidAssign(Tables.embeddings(s, dir))
 }

@@ -270,6 +270,42 @@ object TextAnalysis {
         col("weight"), col("rk"))
   }
 
+  /** Bigram collocations by pointwise mutual information — the corpus
+    * statistic behind phrase mining and tokenizer-merge candidates.
+    * PMI = ln(p(w1,w2) / (p(w1)·p(w2))) with probabilities from the
+    * bigram and unigram position totals; counts are exact integers and
+    * the one float expression is shaped identically in the SQL oracle
+    * (same division order), rounded to 6. Two shuffles (unigram counts,
+    * bigram counts), totals as broadcast one-row aggregates — no driver
+    * actions, no vocabulary materialization.
+    */
+  val CollocationMinCount = 5L
+
+  def collocations(docs: DataFrame, minCount: Long = CollocationMinCount): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val toks = docs.select(col("doc_id"), col("text"))
+    val words = toks.select(explode(split(col("text"), " ", -1)).as("w"))
+    val uni = words.groupBy("w").agg(count(lit(1)).as("c"))
+    val nTotal = uni.agg(sum(col("c")).as("n"))
+    val bigrams = OpUtil.spread(toks).as[(Long, String)]
+      .flatMap { case (_, text) =>
+        text.split(" ", -1).iterator.sliding(2).withPartial(false)
+          .map(p => (p.head, p.last))
+      }
+      .toDF("w1", "w2")
+    val bg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val nbTotal = bg.agg(sum(col("c12")).as("nb"))
+    bg.filter(col("c12") >= minCount)
+      .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+      .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+      .crossJoin(broadcast(nTotal))
+      .crossJoin(broadcast(nbTotal))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12") / col("nb")) /
+          ((col("c1") / col("n")) * (col("c2") / col("n")))), 6).as("pmi"))
+  }
+
   /** Corpus rollup by language/source metadata: the report a pipeline
     * operator would feed a curation dashboard.
     */

@@ -20,7 +20,8 @@ object DedupQueries {
     "dedup_prefix_join" -> (Dedup.prefixJaccard _),
     "dedup_minhash" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
-    "dedup_embedding" -> (Dedup.embeddingNearDup _)
+    "dedup_embedding" -> (Dedup.embeddingNearDup _),
+    "dedup_span" -> (Dedup.spanQuery _)
   )
 
   /** Shared CTE prefix producing the exact-Jaccard near-dup pairs. */
@@ -107,6 +108,20 @@ object DedupQueries {
       |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // K-token sliding windows via list slicing; range(1, len-K+2) is
+    // empty for docs shorter than K tokens, matching sliding().withPartial(false)
+    "dedup_span" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks) - ${Dedup.SpanTokens - 2}),
+         |      i -> array_to_string(toks[i:i + ${Dedup.SpanTokens - 1}], ' ')))
+         |      AS span
+         |  FROM t)
+         |SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  count(*)::BIGINT AS n_occurrences, min(doc_id) AS min_doc
+         |FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> clustersOracle,
     "dedup_exact" ->

@@ -82,6 +82,7 @@ object OpsQueries {
     "ann_bruteforce" -> (Similarity.annBruteForce _),
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_lsh" -> (Similarity.annLsh _),
+    "ann_centroid_assign" -> (Similarity.annCentroidAssign _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
     "text_quality" -> (TextAnalysis.qualityQuery _),
@@ -162,6 +163,26 @@ object OpsQueries {
         |  sum(8 + (16 + doc_id % 48) * (16 + doc_id % 32))::BIGINT
         |    AS sum_bytes
         |FROM documents GROUP BY 1""".stripMargin,
+    // list_sum/list_transform reproduce the codegen'd left-to-right
+    // (a-b)^2 accumulation; argmin via rank on the raw double, ties by
+    // centroid id, distance rounded to 6 on both sides
+    "ann_centroid_assign" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < ${Similarity.NumCentroids}),
+         |s AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    list_sum(list_transform(range(1, len(cv) + 1),
+         |      i -> (e.embedding[i]::DOUBLE - cv[i]) *
+         |           (e.embedding[i]::DOUBLE - cv[i]))) AS d2
+         |  FROM embeddings e CROSS JOIN c),
+         |r AS (
+         |  SELECT vec_id, centroid_id, d2,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, centroid_id) AS rn
+         |  FROM s)
+         |SELECT vec_id, centroid_id, round(d2, 6) AS dist2
+         |FROM r WHERE rn = 1""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

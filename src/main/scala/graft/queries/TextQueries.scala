@@ -22,6 +22,8 @@ object TextQueries {
     }),
     "text_tfidf" -> ((s: SparkSession, d: String) =>
       TextAnalysis.tfIdf(graft.Tables.documents(s, d), topK = 5)),
+    "text_collocations" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.collocations(graft.Tables.documents(s, d))),
     // the reference's default partitioner (ELF hash of key bytes mod
     // buckets, `src/panda/Partitioner.cpp:7-18`) — bucket assignment
     // hash-checked against a bit-faithful DuckDB list_reduce oracle.
@@ -55,6 +57,32 @@ object TextQueries {
         |  array_to_string(list_sort(list(doc_id)), ',') AS postings
         |FROM terms WHERE length(term) > 0
         |GROUP BY term HAVING count(*) >= 5""".stripMargin,
+    // PMI expression mirrors the Spark division order exactly:
+    // (c12/nb) / ((c1/n) * (c2/n)), all double, round-6
+    "text_collocations" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |w AS (SELECT unnest(toks) AS w FROM t),
+         |uni AS (SELECT w, count(*)::BIGINT AS c FROM w GROUP BY w),
+         |n AS (SELECT sum(c)::BIGINT AS n FROM uni),
+         |bgl AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |  FROM t),
+         |bgc AS (
+         |  SELECT string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2,
+         |    count(*)::BIGINT AS c12
+         |  FROM bgl GROUP BY 1, 2)
+         |SELECT w1, w2, c12,
+         |  round(ln((c12::DOUBLE / nb.nb) /
+         |    ((u1.c::DOUBLE / n.n) * (u2.c::DOUBLE / n.n))), 6) AS pmi
+         |FROM bgc
+         |JOIN uni u1 ON u1.w = w1
+         |JOIN uni u2 ON u2.w = w2
+         |CROSS JOIN n
+         |CROSS JOIN (SELECT sum(c12)::BIGINT AS nb FROM bgc) nb
+         |WHERE c12 >= ${TextAnalysis.CollocationMinCount}""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -108,6 +108,48 @@ class DedupSpec extends SparkSpec {
       "hub pairs did not connect all copies into one cluster")
   }
 
+  test("span dedup finds cross-doc K-token spans, skips short docs") {
+    import org.apache.spark.sql.functions.col
+    val k = Dedup.SpanTokens
+    val shared = (1 to k).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b c $shared x y"),
+      (2L, s"p q $shared"),
+      (3L, s"$shared z $shared"),    // span twice in one doc
+      (4L, "too short"),             // < K tokens: no spans at all
+      (5L, "u1 u2 u3 u4 u5 u6 u7 u8 u9") // unique spans only
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs)
+    val rows = out.collect().map(r => (r.getString(0),
+      r.getLong(1), r.getLong(2), r.getLong(3)))
+    val hit = rows.find(_._1 == shared)
+    assert(hit.contains((shared, 3L, 4L, 1L))) // 3 docs, 4 occurrences, min doc 1
+    // every reported span really is multi-doc
+    assert(rows.forall(_._2 >= 2))
+    // unique-doc spans don't leak through
+    assert(!rows.exists(_._1.startsWith("u1")))
+  }
+
+  test("collocation PMI matches a hand computation on a fixed corpus") {
+    // corpus: "a b" x5 and "a c" x5 in one doc each, plus filler that
+    // keeps every bigram's count below the min threshold except (a,b)/(a,c)
+    val docs = Seq(
+      (1L, Seq.fill(5)("a b").mkString(" ")),
+      (2L, Seq.fill(5)("a c").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, minCount = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    // unigrams: a=10, b=5, c=5, n=20; bigrams total nb=18
+    // (a,b): c12=5 -> pmi = ln((5/18)/((10/20)*(5/20)))
+    val exp = math.log((5.0 / 18.0) / ((10.0 / 20.0) * (5.0 / 20.0)))
+    assert(out.contains(("a", "b")))
+    assert(out(("a", "b"))._1 == 5L)
+    assert(math.abs(out(("a", "b"))._2 - exp) < 1e-6)
+    // (b,a) occurs 4 times (within doc 1) — below minCount, excluded
+    assert(!out.contains(("b", "a")))
+  }
+
   test("embedding cosine is exact (agrees with a local computation)") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -42,6 +42,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("centroid assignment: members map to themselves, plan broadcasts") {
+    val out = Similarity.annCentroidAssign(spark, sfDir)
+    val rows = out.select("vec_id", "centroid_id", "dist2")
+      .as[(Long, Long, Double)].collect()
+    // each centroid vector is its own nearest centroid at distance 0
+    (0L until Similarity.NumCentroids.toLong).foreach { c =>
+      val self = rows.find(_._1 == c).get
+      assert(self._2 == c && self._3 == 0.0, s"centroid $c: $self")
+    }
+    // total assignment: every corpus vector appears exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.length == graft.Tables.embeddings(spark, sfDir).count())
+    // scale shape: the corpus is never shuffled for the join — the
+    // centroids arrive broadcast
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"no broadcast in:\n$plan")
+  }
+
   test("IVF ANN returns empty (not a crash) on an empty corpus") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
