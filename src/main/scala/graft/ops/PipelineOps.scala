@@ -27,6 +27,28 @@ object PipelineOps {
       .filter(col("hash_prefix") <= lit(hexThreshold))
       .select(col("doc_id"), col("hash_prefix"), col("lang"), col("n_chars"))
 
+  /** Domain-mixture resampling: every source gets its own keep rate (the
+    * "reweight the corpus toward a target domain mix" step). The draw is
+    * the first 16 hex chars of md5(doc_id) — a uniform unsigned-64 in hex
+    * — compared against the rate as an exact hex threshold, so the
+    * decision is a pure row function: stable across retries and engines,
+    * and the realized mix converges to the target rates at corpus scale
+    * with zero coordination. Rates here cycle 1/4..4/4 by source index
+    * (the config a real pipeline would pass in).
+    */
+  def mixtureSample(docs: DataFrame): DataFrame = {
+    val idx = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    val thr = element_at(
+      array(lit("3fffffffffffffff"), lit("7fffffffffffffff"),
+        lit("bfffffffffffffff"), lit("ffffffffffffffff")),
+      (idx % 4) + 1)
+    docs
+      .withColumn("draw", substring(md5(col("doc_id").cast("string")), 1, 16))
+      .filter(col("draw") <= thr)
+      .select(col("doc_id"), col("source"),
+        round(((idx % 4) + 1) / 4.0, 2).as("rate"))
+  }
+
   /** Regex scrub: replace every match of `pattern` with `replacement`
     * and count what was removed (the PII-redaction shape: emails, phone
     * numbers, ids — pattern is config; the driver query scrubs vocabulary
@@ -209,6 +231,8 @@ object PipelineOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_sample_hash" -> (sampleQuery _),
+    "pipe_mixture" -> ((s: SparkSession, dir: String) =>
+      mixtureSample(Tables.documents(s, dir))),
     "pipe_scrub" -> (scrubQuery _),
     "pipe_repetition" -> (repetitionQuery _),
     "pipe_contamination" -> (contaminationQuery _),
@@ -288,6 +312,19 @@ object PipelineOps {
         |  ((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 2048)::BIGINT
         |    AS bin
         |FROM t""".stripMargin,
+    "pipe_mixture" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    regexp_extract(source, '(\d+)', 1)::INT % 4 AS m,
+        |    substr(md5(doc_id::VARCHAR), 1, 16) AS draw
+        |  FROM documents)
+        |SELECT doc_id, source, round((m + 1) / 4.0, 2) AS rate
+        |FROM t
+        |WHERE draw <= CASE m
+        |  WHEN 0 THEN '3fffffffffffffff'
+        |  WHEN 1 THEN '7fffffffffffffff'
+        |  WHEN 2 THEN 'bfffffffffffffff'
+        |  ELSE 'ffffffffffffffff' END""".stripMargin,
     "pipe_sample_hash" ->
       """SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 2) AS hash_prefix,
         |  lang, n_chars

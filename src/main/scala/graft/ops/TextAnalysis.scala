@@ -306,6 +306,39 @@ object TextAnalysis {
           ((col("c1") / col("n")) * (col("c2") / col("n")))), 6).as("pmi"))
   }
 
+  /** Vocabulary build + corpus encoding — the tokenize-and-binarize step
+    * before training: the top-V words by frequency become ids 1..V
+    * (count desc, word asc — fully deterministic), everything else is
+    * OOV id 0, and each document is re-emitted as its id sequence (a
+    * comma-joined string: the gate cannot canonicalize array cells).
+    * Scale shape: the top-V select is a TakeOrdered (never a global
+    * sort), the vocab is broadcast to the encode join, and the per-doc
+    * reassembly is one shuffle on doc_id with positions carried through
+    * — no driver-side vocabulary, no collect.
+    */
+  val VocabSize = 16
+
+  def vocabEncode(docs: DataFrame, vocabSize: Int = VocabSize): DataFrame = {
+    val toks = OpUtil.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("pos", "w")))
+    val counts = toks.groupBy("w").agg(count(lit(1)).as("c"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("w"))
+    val vocab = counts.orderBy(col("c").desc, col("w")).limit(vocabSize)
+      .withColumn("tok_id", row_number().over(ord))
+      .select(col("w"), col("tok_id"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("tid", coalesce(col("tok_id"), lit(0)))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_oov"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+            s => s.getField("tid").cast("string")), ",").as("encoded"))
+  }
+
   /** Corpus rollup by language/source metadata: the report a pipeline
     * operator would feed a curation dashboard.
     */

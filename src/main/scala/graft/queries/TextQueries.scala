@@ -24,6 +24,8 @@ object TextQueries {
       TextAnalysis.tfIdf(graft.Tables.documents(s, d), topK = 5)),
     "text_collocations" -> ((s: SparkSession, d: String) =>
       TextAnalysis.collocations(graft.Tables.documents(s, d))),
+    "text_vocab_encode" -> ((s: SparkSession, d: String) =>
+      TextAnalysis.vocabEncode(graft.Tables.documents(s, d))),
     // the reference's default partitioner (ELF hash of key bytes mod
     // buckets, `src/panda/Partitioner.cpp:7-18`) — bucket assignment
     // hash-checked against a bit-faithful DuckDB list_reduce oracle.
@@ -57,6 +59,24 @@ object TextQueries {
         |  array_to_string(list_sort(list(doc_id)), ',') AS postings
         |FROM terms WHERE length(term) > 0
         |GROUP BY term HAVING count(*) >= 5""".stripMargin,
+    "text_vocab_encode" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(toks) AS w,
+         |    generate_subscripts(toks, 1) AS pos
+         |  FROM t),
+         |cnt AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY w),
+         |vocab AS (
+         |  SELECT w, row_number() OVER (ORDER BY c DESC, w) AS tok_id
+         |  FROM cnt ORDER BY c DESC, w LIMIT ${TextAnalysis.VocabSize}),
+         |enc AS (
+         |  SELECT doc_id, pos, coalesce(tok_id, 0) AS tid
+         |  FROM tok LEFT JOIN vocab USING (w))
+         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+         |  array_to_string(list(tid ORDER BY pos), ',') AS encoded
+         |FROM enc GROUP BY doc_id""".stripMargin,
     // PMI expression mirrors the Spark division order exactly:
     // (c12/nb) / ((c1/n) * (c2/n)), all double, round-6
     "text_collocations" ->

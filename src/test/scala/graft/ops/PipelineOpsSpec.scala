@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mixture sampling: per-source rates honored, deterministic") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = PipelineOps.queries("pipe_mixture")(spark, sfDir)
+    val rates = out.select("source", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    // rate cycles (idx % 4 + 1)/4 by source index
+    rates.foreach { case (src, r) =>
+      val idx = src.stripPrefix("src").toInt
+      assert(r == (idx % 4 + 1) / 4.0, s"$src rate $r")
+    }
+    // a rate-1.0 source keeps every document
+    val full = rates.collectFirst { case (s, r) if r == 1.0 => s }.get
+    assert(out.filter(col("source") === full).count() ==
+      docs.filter(col("source") === full).count())
+    // pure row function => identical on rerun
+    val again = PipelineOps.queries("pipe_mixture")(spark, sfDir)
+    assert(out.collect().toSet == again.collect().toSet)
+    // realized keep fraction tracks the configured mix (loose bound:
+    // 500 docs, binomial noise)
+    val kept = out.count().toDouble / docs.count()
+    val expected = rates.values.sum / rates.size
+    assert(math.abs(kept - expected) < 0.15, s"kept $kept vs $expected")
+  }
+
+  test("vocab encode: rank by count then word, OOV id 0, position order") {
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b rare")
+    ).toDF("doc_id", "text")
+    // counts: b=4, a=3, c=1, rare=1 -> vocab (V=2): b=1, a=2
+    val out = TextAnalysis.vocabEncode(docs, vocabSize = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((6L, 1L, "1,1,1,2,2,0")))
+    assert(out(2L) == ((3L, 1L, "2,1,0")))
+  }
+}
