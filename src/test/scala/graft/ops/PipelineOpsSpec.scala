@@ -31,6 +31,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(kept - expected) < 0.15, s"kept $kept vs $expected")
   }
 
+  test("vocab encode plan: top-V is TakeOrdered, encode join is broadcast") {
+    val df = TextAnalysis.vocabEncode(graft.Tables.documents(spark, sfDir))
+    df.collect() // AQE: final plan only exists after execution
+    val plan = df.queryExecution.executedPlan.toString
+    // the vocabulary selection must never be a global sort of the counts
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
+    // the encode join must not shuffle the token stream
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("span dedup plan: aggregation is partial+final (map-side combine)") {
+    val df = Dedup.duplicatedSpans(graft.Tables.documents(spark, sfDir))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // partial aggregate before the exchange keeps shuffle bytes
+    // proportional to distinct spans per partition, not total spans
+    assert(plan.contains("HashAggregate"), s"no hash agg in:\n$plan")
+    assert("partial_count|partial_min|merge_count".r.findFirstIn(plan).isDefined
+      || plan.split("Exchange").head.contains("HashAggregate"),
+      s"no map-side partial before exchange in:\n$plan")
+  }
+
   test("vocab encode: rank by count then word, OOV id 0, position order") {
     val docs = Seq(
       (1L, "b b b a a c"),
