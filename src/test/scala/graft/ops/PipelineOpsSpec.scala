@@ -53,6 +53,13 @@ class PipelineOpsSpec extends SparkSpec {
       s"no map-side partial before exchange in:\n$plan")
   }
 
+  test("new operators return empty (not a crash) on an empty corpus") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(empty).count() == 0)
+    assert(TextAnalysis.collocations(empty).count() == 0)
+    assert(TextAnalysis.vocabEncode(empty).count() == 0)
+  }
+
   test("vocab encode: rank by count then word, OOV id 0, position order") {
     val docs = Seq(
       (1L, "b b b a a c"),
