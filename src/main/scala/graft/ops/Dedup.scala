@@ -154,11 +154,14 @@ object Dedup {
     // on — a hardcoded percentage here would silently break losslessness
     // the moment JaccardThreshold moves
     val tPct = math.round(JaccardThreshold * 100).toInt
+    // cached: the self-join below references this subtree twice, and
+    // without the cache the sh-join + double window re-executes per side
     val prefixes = sh.join(df, "shingle")
       .withColumn("rank", row_number().over(byRarity))
       .withColumn("n", count(lit(1)).over(whole))
       .filter(col("rank") <= col("n") - expr(s"(n * $tPct + 99) div 100") + 1)
       .select(col("doc_id"), col("shingle"))
+      .cache()
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
