@@ -87,6 +87,55 @@ object Dedup {
   def spanQuery(s: SparkSession, dir: String): DataFrame =
     duplicatedSpans(Tables.documents(s, dir))
 
+  /** Content-defined chunk dedup (the storage-dedup/CDC family applied to
+    * token streams): a token CLOSES a chunk iff its md5 starts with hex
+    * '0' (P = 1/16, so chunks average 16 tokens), making boundaries a
+    * pure function of local content — insert a paragraph into a doc and
+    * every chunk outside the edit still hashes identically, which is the
+    * property fixed-stride spans lack. Chunks are non-overlapping, so
+    * this emits ~L/16 rows per doc where [[duplicatedSpans]] emits ~L,
+    * and the same wordcount skeleton applies: per-doc chunking is local
+    * to the flatMap closure (no window shuffle), then one combinable
+    * aggregation on the chunk. At 100 TB the group key would be
+    * md5(chunk) rather than the chunk text; the text is kept here
+    * because it IS the gate-checked output.
+    */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    OpUtil.spread(docs.select(col("doc_id"), col("text"))).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, String)]
+        val sb = new StringBuilder
+        var pending = false
+        text.split(" ", -1).foreach { t =>
+          if (pending) sb.append(' ')
+          sb.append(t)
+          pending = true
+          val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          if (((d(0) >> 4) & 0xf) == 0) { // first hex nibble of md5 == '0'
+            out += ((id, out.length, sb.toString)); sb.clear(); pending = false
+          }
+        }
+        if (pending) out += ((id, out.length, sb.toString))
+        out
+      }
+      .toDF("doc_id", "chunk_idx", "chunk")
+  }
+
+  def contentDefinedChunks(docs: DataFrame): DataFrame =
+    cdcChunks(docs)
+      .groupBy("chunk")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+
+  def cdcQuery(s: SparkSession, dir: String): DataFrame =
+    contentDefinedChunks(Tables.documents(s, dir))
+
   /** Exact dedup: group by content digest, keep the smallest doc_id as
     * the representative (`dropDuplicates` semantics made deterministic).
     */

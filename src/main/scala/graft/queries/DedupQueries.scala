@@ -21,7 +21,8 @@ object DedupQueries {
     "dedup_minhash" -> (Dedup.minhashLsh _),
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
-    "dedup_span" -> (Dedup.spanQuery _)
+    "dedup_span" -> (Dedup.spanQuery _),
+    "dedup_cdc" -> (Dedup.cdcQuery _)
   )
 
   /** Shared CTE prefix producing the exact-Jaccard near-dup pairs. */
@@ -122,6 +123,30 @@ object DedupQueries {
          |SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs,
          |  count(*)::BIGINT AS n_occurrences, min(doc_id) AS min_doc
          |FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    // Content-defined chunking replayed relationally: boundary flag per
+    // token (md5 first nibble = '0'), chunk index = running boundary
+    // count over PRECEDING tokens, chunk text reassembled in token order.
+    "dedup_cdc" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents
+        |), marked AS (
+        |  SELECT doc_id, pos, tok,
+        |    CASE WHEN substr(md5(tok), 1, 1) = '0' THEN 1 ELSE 0 END AS b
+        |  FROM toks
+        |), chunked AS (
+        |  SELECT doc_id, pos, tok,
+        |    COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ci
+        |  FROM marked
+        |), chunks AS (
+        |  SELECT doc_id, ci, string_agg(tok, ' ' ORDER BY pos) AS chunk
+        |  FROM chunked GROUP BY doc_id, ci)
+        |SELECT chunk, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_occurrences, min(doc_id) AS min_doc
+        |FROM chunks GROUP BY chunk
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> clustersOracle,
     "dedup_exact" ->

@@ -130,6 +130,31 @@ class DedupSpec extends SparkSpec {
     assert(!rows.exists(_._1.startsWith("u1")))
   }
 
+  test("CDC chunks reassemble to the doc and survive a prefix edit") {
+    import org.apache.spark.sql.functions.col
+    val text = (1 to 400).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "inserted prefix " + text))
+      .toDF("doc_id", "text")
+    val chunks = Dedup.cdcChunks(docs)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    val a = chunks.filter(_._1 == 1L).map(_._2)
+    val b = chunks.filter(_._1 == 2L).map(_._2)
+    // lossless: chunks concatenate back to the exact original text
+    assert(a.mkString(" ") == text)
+    assert(b.mkString(" ") == "inserted prefix " + text)
+    // content-defined: ~400/16 chunks, not one giant chunk
+    assert(a.length > 10, s"expected ~25 chunks, got ${a.length}")
+    // the CDC property: a prefix insertion changes ONLY the first chunk —
+    // every boundary after it is a function of local content alone
+    assert(b.head == "inserted prefix " + a.head)
+    assert(b.tail.sameElements(a.tail))
+    // and the dedup view reports exactly those shared chunks
+    val dup = Dedup.contentDefinedChunks(docs).collect()
+    assert(dup.length == a.tail.length)
+    assert(dup.forall(_.getLong(1) == 2L)) // n_docs
+  }
+
   test("collocation PMI matches a hand computation on a fixed corpus") {
     // corpus: "a b" x5 and "a c" x5 in one doc each, plus filler that
     // keeps every bigram's count below the min threshold except (a,b)/(a,c)
