@@ -339,6 +339,32 @@ object TextAnalysis {
             s => s.getField("tid").cast("string")), ",").as("encoded"))
   }
 
+  /** Unigram language-model scoring: train token probabilities on the
+    * corpus itself (count/total), score each doc by its mean token
+    * log-probability — the classic cheap LM-quality signal (docs full of
+    * rare garbage tokens score far below fluent text; gibberish filters
+    * threshold on exactly this number). Two combinable aggregations plus
+    * one token-keyed join: the count side is one row per vocab term, so
+    * AQE broadcasts it when small and skew-splits the hot-token side when
+    * not — no driver state, no second corpus materialization (the total
+    * derives from the counts, not another scan).
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = OpUtil.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("n"))
+    toks.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c").cast("double") / col("n"))), 4).as("avg_logprob"))
+  }
+
+  def unigramLmQuery(s: SparkSession, dir: String): DataFrame =
+    unigramLogProb(Tables.documents(s, dir))
+
   /** Corpus rollup by language/source metadata: the report a pipeline
     * operator would feed a curation dashboard.
     */

@@ -24,6 +24,7 @@ object TextQueries {
       TextAnalysis.tfIdf(graft.Tables.documents(s, d), topK = 5)),
     "text_collocations" -> ((s: SparkSession, d: String) =>
       TextAnalysis.collocations(graft.Tables.documents(s, d))),
+    "text_unigram_lm" -> (TextAnalysis.unigramLmQuery _),
     "text_vocab_encode" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabEncode(graft.Tables.documents(s, d))),
     // the reference's default partitioner (ELF hash of key bytes mod
@@ -103,6 +104,16 @@ object TextQueries {
          |CROSS JOIN n
          |CROSS JOIN (SELECT sum(c12)::BIGINT AS nb FROM bgc) nb
          |WHERE c12 >= ${TextAnalysis.CollocationMinCount}""".stripMargin,
+    "text_unigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM cnt)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(avg(ln(c::DOUBLE / n)), 4) AS avg_logprob
+        |FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term

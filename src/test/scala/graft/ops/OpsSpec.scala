@@ -112,6 +112,21 @@ class OpsSpec extends SparkSpec {
     assert(rows(3L)._2 == 5L) // one, two, ",", thre, e (4-char BPE chunks)
   }
 
+  test("unigram LM scoring matches a hand computation") {
+    // corpus: tokens a(x3), b(x2), c(x1) -> n=6
+    val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val rows = TextAnalysis.unigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def lp(c: Int) = math.log(c / 6.0)
+    val exp1 = (2 * lp(3) + lp(2)) / 3
+    val exp2 = (lp(3) + lp(2) + lp(1)) / 3
+    assert(rows(1L)._1 == 3L)
+    assert(math.abs(rows(1L)._2 - exp1) < 1e-4)
+    assert(math.abs(rows(2L)._2 - exp2) < 1e-4)
+    // fluent doc (common tokens only) scores above the rare-token doc
+    assert(rows(1L)._2 > rows(2L)._2)
+  }
+
   test("multimodal decode extracts header metadata and real byte features") {
     val media = Multimodal.mediaTable(spark, sfDir)
     val feats = Multimodal.extractFeatures(media).collect()
