@@ -268,4 +268,52 @@ object Similarity {
 
   def annCentroidAssign(s: SparkSession, dir: String): DataFrame =
     centroidAssign(Tables.embeddings(s, dir))
+
+  /** Product-quantization encoding — the compression step that makes
+    * billion-vector ANN indexes fit in memory: split each vector into
+    * [[PqSubspaces]] subvectors, quantize each against a per-subspace
+    * codebook, store only the code ids (here 8 x 4 bits = 4 bytes per
+    * vector instead of 256 bytes of floats). Codebooks are the
+    * subvectors of the [[PqCodebookSize]] lowest-id vectors —
+    * deterministic data-sampled anchors, so unlike a k-means-trained
+    * codebook the whole encode is oracle-checkable; the iterative
+    * trainer exists separately as [[lloyd]]. Shape at scale: the
+    * codebook is broadcast, each row meets K anchor rows with M
+    * codegen'd distance loops, and the per-subspace argmin is the same
+    * combinable min-of-struct as [[centroidAssign]] — one aggregation,
+    * no corpus shuffle. The reconstruction error (sum of per-subspace
+    * quantization errors) is the quality metric an index builder
+    * monitors.
+    */
+  val PqSubspaces = 8
+  val PqCodebookSize = 16
+
+  def pqEncode(corpus: DataFrame): DataFrame = {
+    import graft.functions.VectorOps.vec_sqdist
+    val m = PqSubspaces
+    val emb = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val anchors = broadcast(emb.filter(col("vec_id") < PqCodebookSize)
+      .select(col("vec_id").as("code"), col("v").as("av")))
+    // subspace s covers [s*sd, (s+1)*sd) with the remainder folded into
+    // the last subspace, so every dimension is quantized exactly once
+    val dists = (0 until m).map { s =>
+      val start = col("sd") * s + 1
+      val len = if (s == m - 1) size(col("v")) - col("sd") * (m - 1) else col("sd")
+      vec_sqdist(slice(col("v"), start, len), slice(col("av"), start, len)).as(s"d$s")
+    }
+    val scored = OpUtil.spread(emb)
+      .withColumn("sd", expr(s"size(v) div $m"))
+      .crossJoin(anchors)
+      .select(col("vec_id") +: col("code") +: dists: _*)
+    val aggs = (0 until m).map(s => min(struct(col(s"d$s"), col("code"))).as(s"b$s"))
+    scored.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"),
+        concat_ws(",", (0 until m).map(s => col(s"b$s.code")): _*).as("codes"),
+        round((0 until m).map(s => col(s"b$s.d$s")).reduce(_ + _), 6)
+          .as("recon_err"))
+  }
+
+  def annPqEncode(s: SparkSession, dir: String): DataFrame =
+    pqEncode(Tables.embeddings(s, dir))
 }

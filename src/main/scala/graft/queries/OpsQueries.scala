@@ -83,6 +83,7 @@ object OpsQueries {
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_centroid_assign" -> (Similarity.annCentroidAssign _),
+    "ann_pq_encode" -> (Similarity.annPqEncode _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
     "text_quality" -> (TextAnalysis.qualityQuery _),
@@ -183,6 +184,36 @@ object OpsQueries {
          |  FROM s)
          |SELECT vec_id, centroid_id, round(d2, 6) AS dist2
          |FROM r WHERE rn = 1""".stripMargin,
+    // per-subspace sqdist replayed with the same left-to-right list_sum
+    // as the centroid oracle; argmin ties broken by code id on both
+    // sides; recon_err summed in subspace order (list ORDER BY s)
+    "ann_pq_encode" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    len(embedding) AS d, len(embedding) // ${Similarity.PqSubspaces} AS sd
+         |  FROM embeddings),
+         |a AS (SELECT vec_id AS code, v AS av FROM e
+         |      WHERE vec_id < ${Similarity.PqCodebookSize}),
+         |sub AS (
+         |  SELECT e.vec_id, a.code, g.s,
+         |    list_sum(list_transform(
+         |      range(g.s * e.sd + 1,
+         |        (CASE WHEN g.s = ${Similarity.PqSubspaces - 1}
+         |              THEN e.d ELSE (g.s + 1) * e.sd END) + 1),
+         |      i -> (e.v[i] - a.av[i]) * (e.v[i] - a.av[i]))) AS d2
+         |  FROM e CROSS JOIN a CROSS JOIN
+         |    (SELECT unnest(generate_series(0, ${Similarity.PqSubspaces - 1}))
+         |       AS s) g),
+         |r AS (
+         |  SELECT vec_id, s, code, d2,
+         |    row_number() OVER (PARTITION BY vec_id, s
+         |      ORDER BY d2, code) AS rn
+         |  FROM sub),
+         |b AS (SELECT vec_id, s, code, d2 FROM r WHERE rn = 1)
+         |SELECT vec_id,
+         |  array_to_string(list(code ORDER BY s), ',') AS codes,
+         |  round(list_sum(list(d2 ORDER BY s)), 6) AS recon_err
+         |FROM b GROUP BY vec_id""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -112,6 +112,36 @@ class OpsSpec extends SparkSpec {
     assert(rows(3L)._2 == 5L) // one, two, ",", thre, e (4-char BPE chunks)
   }
 
+  test("PQ encoding matches a local brute-force quantizer") {
+    // dim 16, M=8 subspaces of 2 dims, codebook = vec_ids 0..15
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i => i -> Array.fill(16)(rnd.nextFloat()))
+    val docs = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.pqEncode(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    val anchors = vecs.take(16).map { case (i, v) => i -> v.map(_.toDouble) }
+    vecs.foreach { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      var err = 0.0
+      val codes = (0 until 8).map { s =>
+        val best = anchors.minBy { case (code, av) =>
+          val d = (2 * s until 2 * s + 2).map(j => (v(j) - av(j)) * (v(j) - av(j))).sum
+          (d, code)
+        }
+        err += (2 * s until 2 * s + 2)
+          .map(j => (v(j) - best._2(j)) * (v(j) - best._2(j))).sum
+        best._1
+      }
+      assert(out(id)._1 == codes.mkString(","), s"codes differ for vec $id")
+      assert(math.abs(out(id)._2 - err) < 1e-4, s"recon_err differs for vec $id")
+    }
+    // codebook members quantize to themselves losslessly
+    (0L until 16L).foreach { i =>
+      assert(out(i)._1 == Array.fill(8)(i).mkString(","))
+      assert(out(i)._2 == 0.0)
+    }
+  }
+
   test("unigram LM scoring matches a hand computation") {
     // corpus: tokens a(x3), b(x2), c(x1) -> n=6
     val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
