@@ -222,6 +222,35 @@ object Dedup {
   def prefixJaccard(s: SparkSession, dir: String): DataFrame =
     prefixJaccardDocs(Tables.documents(s, dir))
 
+  /** Incremental near-dedup: check a NEW snapshot of documents against
+    * the EXISTING corpus without re-pairing the old corpus against
+    * itself — the production shape, where yesterday's corpus is already
+    * deduped and only the fresh crawl needs vetting. Candidates are
+    * generated strictly new-side-driven (new shingles probe the old
+    * inverted index), so per-ingest cost scales with the delta, not the
+    * archive; in a deployed pipeline the old side's shingle index is the
+    * persisted artifact this join reads. The membership predicate is a
+    * pure function of doc_id so the oracle can replay it.
+    */
+  def incrementalPairs(docs: DataFrame, isNew: Column): DataFrame = {
+    val sh = shingles(docs).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val tagged = sh.join(docs.select(col("doc_id"), isNew.as("is_new")), "doc_id")
+    val newSh = tagged.filter(col("is_new"))
+      .select(col("doc_id").as("new_doc"), col("shingle"))
+    val oldSh = tagged.filter(!col("is_new"))
+      .select(col("doc_id").as("old_doc"), col("shingle"))
+    val common = newSh.join(oldSh, "shingle")
+      .groupBy(col("new_doc").as("doc_a"), col("old_doc").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    scoreJaccard(common, sizes)
+      .select(col("doc_a").as("new_doc"), col("doc_b").as("old_doc"),
+        col("jaccard"))
+  }
+
+  def incrementalQuery(s: SparkSession, dir: String): DataFrame =
+    incrementalPairs(Tables.documents(s, dir), col("doc_id") % 5 === 0)
+
   /** Per-doc MinHash signature as NumHashes array<long>. The hash family
     * is xxhash64 re-mixed with the function index (full 64-bit avalanche,
     * no overflow under ANSI arithmetic).

@@ -365,6 +365,34 @@ object TextAnalysis {
   def unigramLmQuery(s: SparkSession, dir: String): DataFrame =
     unigramLogProb(Tables.documents(s, dir))
 
+  /** BPE pair statistics — the inner loop of byte-pair-encoding tokenizer
+    * training: corpus-weighted counts of adjacent symbol pairs (the pair
+    * with the max count is the next merge). Computed over DISTINCT words
+    * with their corpus frequencies, so a word repeated a billion times
+    * costs one row of pair extraction plus a multiply — the standard
+    * trick that makes BPE training corpus-size-independent per
+    * iteration. Two combinable aggregations (word counts, then pair
+    * sums); the pair space is bounded by the alphabet squared.
+    */
+  def bpePairs(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    OpUtil.spread(docs)
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)]
+      .flatMap { case (w, c) =>
+        (0 until w.length - 1).map(i =>
+          (w.substring(i, i + 1), w.substring(i + 1, i + 2), c))
+      }
+      .toDF("left", "right", "c")
+      .groupBy("left", "right")
+      .agg(sum(col("c")).as("pair_count"))
+  }
+
+  def bpePairsQuery(s: SparkSession, dir: String): DataFrame =
+    bpePairs(Tables.documents(s, dir))
+
   /** Corpus rollup by language/source metadata: the report a pipeline
     * operator would feed a curation dashboard.
     */

@@ -22,12 +22,16 @@ object DedupQueries {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "dedup_span" -> (Dedup.spanQuery _),
-    "dedup_cdc" -> (Dedup.cdcQuery _)
+    "dedup_cdc" -> (Dedup.cdcQuery _),
+    "dedup_incremental" -> (Dedup.incrementalQuery _)
   )
 
-  /** Shared CTE prefix producing the exact-Jaccard near-dup pairs. */
-  private val pairCtes =
-    """WITH RECURSIVE toks AS (
+  /** Shared CTE prefix producing the exact-Jaccard near-dup pairs; the
+    * pair predicate is parameterized so the incremental (new-vs-old)
+    * variant provably shares the same shingle/score definitions.
+    */
+  private def pairCtesWith(pairPred: String) =
+    s"""WITH RECURSIVE toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
       |         generate_subscripts(string_split(text, ' '), 1) AS pos
       |  FROM documents
@@ -40,7 +44,7 @@ object DedupQueries {
       |sizes AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
       |raw_pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-      |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM ds a JOIN ds b ON a.shingle = b.shingle AND ($pairPred)
       |  GROUP BY 1, 2),
       |jpairs AS (
       |  SELECT doc_a, doc_b,
@@ -50,8 +54,14 @@ object DedupQueries {
       |  JOIN sizes sb ON sb.doc_id = doc_b
       |  WHERE common::DOUBLE / (sa.n + sb.n - common) >= 0.8)""".stripMargin
 
+  private val pairCtes = pairCtesWith("a.doc_id < b.doc_id")
+
   private val jaccardOracle =
     pairCtes + "\nSELECT doc_a, doc_b, jaccard FROM jpairs"
+
+  private val incrementalOracle =
+    pairCtesWith("a.doc_id % 5 = 0 AND b.doc_id % 5 != 0") +
+      "\nSELECT doc_a AS new_doc, doc_b AS old_doc, jaccard FROM jpairs"
 
   /** Connected components as a transitive closure (clusters are tiny, so
     * the recursion depth is small): label = min reachable id.
@@ -154,6 +164,7 @@ object DedupQueries {
         |  count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_incremental" -> incrementalOracle,
     "dedup_prefix_join" -> jaccardOracle, // lossless: prefix filter is exact
     "dedup_minhash" -> jaccardOracle,
     "dedup_embedding" ->

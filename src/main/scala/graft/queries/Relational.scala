@@ -388,7 +388,28 @@ object Relational {
         datediff(lit("1998-01-01").cast("date"), col("o_orderdate"))
           .as("days_to_98"))
 
+  /** The hot-key salted join surfaced as a gate query: lineitem joins
+    * supplier through [[graft.ops.SkewJoin.saltedInnerJoin]], which
+    * spreads each join key over 8 salt sub-partitions (build side
+    * replicated 8x). Salting only routes rows — the join OUTPUT is
+    * salt-invariant — so a plain SQL join oracles the whole mechanism;
+    * this is the explicit-salt path for hot keys beyond what AQE's
+    * skew-join splitting can fix (one key larger than one executor).
+    */
+  def q28SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.ops.SkewJoin.saltedInnerJoin(li, sup, "l_suppkey", salts = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_salted_join" -> q28SaltedJoin _,
     "q27_datetime" -> q27Datetime _,
     "q26_array_agg" -> q26ArrayAgg _,
     "q25_correlated" -> q25Correlated _,
@@ -419,6 +440,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q28_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
     "q27_datetime" ->
       """SELECT o_orderkey,
         |  quarter(o_orderdate)::INT AS q,

@@ -25,6 +25,7 @@ object TextQueries {
     "text_collocations" -> ((s: SparkSession, d: String) =>
       TextAnalysis.collocations(graft.Tables.documents(s, d))),
     "text_unigram_lm" -> (TextAnalysis.unigramLmQuery _),
+    "text_bpe_pairs" -> (TextAnalysis.bpePairsQuery _),
     "text_vocab_encode" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabEncode(graft.Tables.documents(s, d))),
     // the reference's default partitioner (ELF hash of key bytes mod
@@ -104,6 +105,16 @@ object TextQueries {
          |CROSS JOIN n
          |CROSS JOIN (SELECT sum(c12)::BIGINT AS nb FROM bgc) nb
          |WHERE c12 >= ${TextAnalysis.CollocationMinCount}""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |c AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INT), 1) AS "left",
+        |    substr(w, CAST(i + 1 AS INT), 1) AS "right", c
+        |  FROM (SELECT w, c, unnest(range(1, length(w))) AS i FROM c))
+        |SELECT "left", "right", sum(c)::BIGINT AS pair_count
+        |FROM p GROUP BY 1, 2""".stripMargin,
     "text_unigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -155,6 +155,27 @@ class DedupSpec extends SparkSpec {
     assert(dup.forall(_.getLong(1) == 2L)) // n_docs
   }
 
+  test("incremental dedup reports only new-vs-old pairs") {
+    import org.apache.spark.sql.functions.col
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (5L, base),                 // new (id % 5 == 0)
+      (10L, base + " tail1"),     // new — near-dup of 5 and of 3
+      (3L, base + " tail2"),      // old — near-dup of both new docs
+      (7L, base + " tail3"),      // old — near-dup of old 3 (must NOT pair)
+      (11L, (1 to 30).map(i => s"z$i").mkString(" ")) // old, unrelated
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.incrementalPairs(docs, col("doc_id") % 5 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every reported pair is (new, old)
+    assert(pairs.forall { case (n, o) => n % 5 == 0 && o % 5 != 0 })
+    // the planted new-old near-dups are found
+    assert(pairs.contains((5L, 3L)) && pairs.contains((10L, 3L)))
+    assert(pairs.contains((5L, 7L)) && pairs.contains((10L, 7L)))
+    // old-old (3,7) and new-new (5,10) pairs are excluded by construction
+    assert(!pairs.exists { case (a, b) => a % 5 != 0 || b % 5 == 0 })
+  }
+
   test("collocation PMI matches a hand computation on a fixed corpus") {
     // corpus: "a b" x5 and "a c" x5 in one doc each, plus filler that
     // keeps every bigram's count below the min threshold except (a,b)/(a,c)

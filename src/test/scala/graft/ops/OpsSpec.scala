@@ -142,6 +142,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("BPE pair counts weight distinct words by corpus frequency") {
+    // "abab" x3, "ba" x2, "x" x1 (single char -> no pairs)
+    val docs = Seq((1L, "abab abab ba"), (2L, "abab ba x"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpePairs(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // abab contributes ab x2, ba x1 per occurrence (3 occurrences);
+    // ba contributes ba x1 per occurrence (2 occurrences)
+    assert(out(("a", "b")) == 6L)
+    assert(out(("b", "a")) == 3L + 2L)
+    assert(out.size == 2) // "x" yields nothing
+  }
+
   test("unigram LM scoring matches a hand computation") {
     // corpus: tokens a(x3), b(x2), c(x1) -> n=6
     val docs = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
