@@ -365,6 +365,94 @@ object TextAnalysis {
   def unigramLmQuery(s: SparkSession, dir: String): DataFrame =
     unigramLogProb(Tables.documents(s, dir))
 
+  /** Add-one-smoothed bigram language model: P(w2|w1) =
+    * (c(w1,w2)+1) / (c(w1)+V) trained on the corpus itself, each doc
+    * scored by its mean bigram log-probability — the next LM-quality rung
+    * above [[unigramLogProb]] (fluent word ORDER now matters, not just
+    * word choice; shuffled text keeps its unigram score but craters
+    * here). Scale shape: bigram extraction is one flatMap, both count
+    * tables are combinable aggregations keyed by (w1,w2)/(w1), and the
+    * scoring joins are token-keyed equi-joins AQE can broadcast or
+    * skew-split; V is a one-row broadcast. Docs with fewer than two
+    * tokens have no bigrams and drop out (same on the oracle side).
+    */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val bigrams = OpUtil.spread(docs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).iterator.sliding(2).withPartial(false)
+          .map(p => (id, p.head, p.last))
+      }
+      .toDF("doc_id", "w1", "w2")
+    val uni = docs.select(explode(split(col("text"), " ", -1)).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bg = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    bigrams
+      .join(bg, Seq("w1", "w2"))
+      .join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c12") + 1).cast("double") / (col("c1") + col("v")))), 4)
+          .as("avg_logprob"))
+  }
+
+  def bigramLmQuery(s: SparkSession, dir: String): DataFrame =
+    bigramLm(Tables.documents(s, dir))
+
+  /** Gopher-style rule gates (Rae et al. 2021's "quality filtering"
+    * heuristics, re-expressed as integer-band predicates): word count
+    * bounds, mean-word-length band, symbol-to-word ratio, bullet-token
+    * ratio, alphabetic-token fraction, and a minimum stop-word count.
+    * Every rule is pure integer arithmetic on one row (no float ratio
+    * crosses an engine boundary), so the whole filter is codegen'd
+    * scan-side work — the shape you want when gating 100 TB: no shuffle,
+    * no UDF, rules evaluated inside the scan stage and rows dropped
+    * before anything downstream pays for them.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val arr = split(trim(col("text")), "\\s+")
+    val base = docs.select(
+      col("doc_id"),
+      col("text"),
+      when(length(trim(col("text"))) === 0, 0).otherwise(size(arr))
+        .cast("long").as("n_tokens"),
+      aggregate(arr, lit(0L), (acc, t) => acc + length(t)).as("sum_tok_len"),
+      size(filter(arr, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+      size(filter(arr, t => t.isin("-", "*", "•"))).cast("long").as("n_bullet"),
+      (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+        .cast("long").as("n_hash"),
+      expr("(length(text) - length(replace(text, '...', ''))) div 3")
+        .as("n_ellipsis"),
+      size(regexp_extract_all(col("text"),
+        lit("(?i)\\b(the|be|to|of|and|that|have|with)\\b"), lit(0)))
+        .cast("long").as("n_stop"))
+    base.select(
+      col("doc_id"), col("n_tokens"),
+      (col("n_tokens") >= 50 && col("n_tokens") <= 100000).cast("int")
+        .as("r_wordcount"),
+      (col("n_tokens") > 0 && col("sum_tok_len") >= col("n_tokens") * 3 &&
+        col("sum_tok_len") <= col("n_tokens") * 10).cast("int").as("r_meanlen"),
+      (col("n_tokens") > 0 &&
+        (col("n_hash") + col("n_ellipsis")) * 10 <= col("n_tokens"))
+        .cast("int").as("r_symbol"),
+      (col("n_tokens") > 0 && col("n_bullet") * 5 <= col("n_tokens"))
+        .cast("int").as("r_bullet"),
+      (col("n_tokens") > 0 && col("n_alpha") * 10 >= col("n_tokens") * 8)
+        .cast("int").as("r_alpha"),
+      (col("n_stop") >= 2).cast("int").as("r_stop"))
+      .withColumn("pass",
+        (col("r_wordcount") * col("r_meanlen") * col("r_symbol") *
+          col("r_bullet") * col("r_alpha") * col("r_stop")).cast("int"))
+  }
+
+  def gopherRulesQuery(s: SparkSession, dir: String): DataFrame =
+    gopherRules(Tables.documents(s, dir))
+
   /** BPE pair statistics — the inner loop of byte-pair-encoding tokenizer
     * training: corpus-weighted counts of adjacent symbol pairs (the pair
     * with the max count is the next merge). Computed over DISTINCT words

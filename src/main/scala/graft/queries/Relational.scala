@@ -408,7 +408,61 @@ object Relational {
         round(sum(col("l_extendedprice")), 2).as("sum_price"))
   }
 
+  /** Ordered funnel (view → click → purchase) per user: each stage's
+    * entry time is the first qualifying event strictly AFTER the previous
+    * stage was entered — the product-analytics conversion query. Shape at
+    * scale: one filtered partial-agg per stage plus equi-joins on
+    * user_id; every aggregation is combinable (min), nothing is windowed
+    * over the full event stream. The reference has no relational layer
+    * (`src/panda/PandaMapReduceJob.cpp:885-955` is a fixed pipeline);
+    * this is the declarative capability on top.
+    */
+  def q29Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    def stage(t: String) = e.filter(col("event_type") === t)
+    val v = stage("view").groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t_view"))
+    val c = stage("click").join(v, "user_id")
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = stage("purchase").join(c, "user_id")
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    e.select(col("user_id")).distinct()
+      .join(v, Seq("user_id"), "left_outer")
+      .join(c.select(col("user_id"), col("t_click")), Seq("user_id"), "left_outer")
+      .join(p.select(col("user_id"), col("t_purchase")), Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0)).as("funnel_depth"))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the ISO week of their
+    * first event; each (cohort, week-offset) cell counts the distinct
+    * users active that many weeks later. Two combinable aggregations
+    * (min-ts cohorting, distinct active weeks) joined on user_id — the
+    * cells themselves are tiny however large the event log is.
+    */
+  def q30Retention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val cohort = e.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("ts")))).as("cohort_week"))
+    val active = e
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("w"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("datediff(w, cohort_week) div 7").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q29_funnel" -> q29Funnel _,
+    "q30_retention" -> q30Retention _,
     "q28_salted_join" -> q28SaltedJoin _,
     "q27_datetime" -> q27Datetime _,
     "q26_array_agg" -> q26ArrayAgg _,
@@ -440,6 +494,40 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q29_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |       WHEN c.t_click IS NOT NULL THEN 2
+        |       WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin,
+    "q30_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', min(ts))::DATE AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts)::DATE AS w
+        |  FROM events)
+        |SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  (a.w - c.cohort_week) // 7 AS week_offset,
+        |  count(*) AS n_users
+        |FROM active a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "q28_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -25,6 +25,8 @@ object TextQueries {
     "text_collocations" -> ((s: SparkSession, d: String) =>
       TextAnalysis.collocations(graft.Tables.documents(s, d))),
     "text_unigram_lm" -> (TextAnalysis.unigramLmQuery _),
+    "text_bigram_lm" -> (TextAnalysis.bigramLmQuery _),
+    "text_gopher_rules" -> (TextAnalysis.gopherRulesQuery _),
     "text_bpe_pairs" -> (TextAnalysis.bpePairsQuery _),
     "text_vocab_encode" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabEncode(graft.Tables.documents(s, d))),
@@ -115,6 +117,70 @@ object TextQueries {
         |  FROM (SELECT w, c, unnest(range(1, length(w))) AS i FROM c))
         |SELECT "left", "right", sum(c)::BIGINT AS pair_count
         |FROM p GROUP BY 1, 2""".stripMargin,
+    // same division order as the Spark expression ((c12+1)/(c1+v), both
+    // double), avg + round-4 absorbs accumulation-order ulps (the proven
+    // unigram_lm pattern); docs with <2 tokens have no bigrams both sides
+    "text_bigram_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT unnest(toks) AS w1 FROM t),
+        |uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM tok GROUP BY w1),
+        |v AS (SELECT count(*)::BIGINT AS v FROM uni),
+        |bgd AS (
+        |  SELECT doc_id,
+        |    string_split(bigram, ' ')[1] AS w1,
+        |    string_split(bigram, ' ')[2] AS w2
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |    FROM t)),
+        |bgc AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS c12 FROM bgd GROUP BY 1, 2)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(avg(ln((c12 + 1)::DOUBLE / (c1 + v))), 4) AS avg_logprob
+        |FROM bgd
+        |JOIN bgc USING (w1, w2)
+        |JOIN uni USING (w1)
+        |CROSS JOIN v
+        |GROUP BY doc_id""".stripMargin,
+    // pure integer-band predicates — no float ratio crosses the engine
+    // boundary; list_filter/list_sum mirror the Spark higher-order funcs
+    "text_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT
+        |      AS n_tokens,
+        |    coalesce(list_sum(list_transform(
+        |      regexp_split_to_array(trim(text), '\s+'),
+        |      t -> length(t))), 0)::BIGINT AS sum_tok_len,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> regexp_matches(t, '[A-Za-z]')))::BIGINT AS n_alpha,
+        |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |      t -> t IN ('-', '*', '•')))::BIGINT AS n_bullet,
+        |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+        |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT
+        |      AS n_ellipsis,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(the|be|to|of|and|that|have|with)\b'))::BIGINT AS n_stop
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  (n_tokens >= 50 AND n_tokens <= 100000)::INT AS r_wordcount,
+        |  (n_tokens > 0 AND sum_tok_len >= n_tokens * 3
+        |    AND sum_tok_len <= n_tokens * 10)::INT AS r_meanlen,
+        |  (n_tokens > 0 AND (n_hash + n_ellipsis) * 10 <= n_tokens)::INT
+        |    AS r_symbol,
+        |  (n_tokens > 0 AND n_bullet * 5 <= n_tokens)::INT AS r_bullet,
+        |  (n_tokens > 0 AND n_alpha * 10 >= n_tokens * 8)::INT AS r_alpha,
+        |  (n_stop >= 2)::INT AS r_stop,
+        |  ((n_tokens >= 50 AND n_tokens <= 100000)
+        |    AND (n_tokens > 0 AND sum_tok_len >= n_tokens * 3
+        |         AND sum_tok_len <= n_tokens * 10)
+        |    AND (n_tokens > 0 AND (n_hash + n_ellipsis) * 10 <= n_tokens)
+        |    AND (n_tokens > 0 AND n_bullet * 5 <= n_tokens)
+        |    AND (n_tokens > 0 AND n_alpha * 10 >= n_tokens * 8)
+        |    AND (n_stop >= 2))::INT AS pass
+        |FROM base""".stripMargin,
     "text_unigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -1,0 +1,58 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Bigram LM scoring + Gopher-style rule gates (round 4). */
+class TextLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bigram LM: shuffled word order scores below fluent order") {
+    // same unigram distribution, different order → only the bigram model
+    // can tell them apart; trained on a corpus where the fluent ordering
+    // dominates, the shuffled doc must score strictly lower
+    val fluent = "the cat sat on the mat"
+    val docs = Seq.tabulate(20)(i => (i.toLong, fluent)) :+
+      (99L, "mat the on sat cat the")
+    val out = TextAnalysis.bigramLm(docs.toDF("doc_id", "text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(0L) > out(99L),
+      s"fluent ${out(0L)} should beat shuffled ${out(99L)}")
+    // all fluent copies share one score
+    assert((0L until 20L).map(out).distinct.size == 1)
+  }
+
+  test("bigram LM: docs with fewer than two tokens drop out; n_bigrams = tokens-1") {
+    val docs = Seq((1L, "only"), (2L, "two words"), (3L, "a b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLm(docs)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._2).toMap
+    assert(!out.contains(1L))
+    assert(out(2L) == 1L && out(3L) == 3L)
+  }
+
+  test("gopher rules: each rule fires on its designed violation") {
+    val longDoc = Array.fill(60)("steady").mkString(" ") +
+      " the state of that land and all of it have been with them"
+    val docs = Seq(
+      (1L, longDoc), // passes everything
+      (2L, "too short to pass the word count but the stopwords are of that kind with them"),
+      (3L, longDoc + " " + Array.fill(30)("####!").mkString(" ")), // symbol-heavy tail
+      (4L, longDoc.replace("steady", "- ")), // bullets dominate
+      (5L, longDoc.replace("steady", "12345")) // digits, no alpha
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs)
+      .select("doc_id", "r_wordcount", "r_symbol", "r_bullet", "r_alpha", "pass")
+      .as[(Long, Int, Int, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._6 == 1, s"doc 1 should pass: ${out(1L)}")
+    assert(out(2L)._2 == 0 && out(2L)._6 == 0, "short doc fails word count")
+    assert(out(3L)._3 == 0, "symbol-heavy doc fails symbol ratio")
+    assert(out(4L)._4 == 0, "bullet-heavy doc fails bullet ratio")
+    assert(out(5L)._5 == 0, "digit doc fails alpha fraction")
+  }
+
+  test("gopher rules: empty and whitespace-only docs fail closed") {
+    val docs = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs)
+      .select("doc_id", "n_tokens", "pass").as[(Long, Long, Int)].collect()
+    out.foreach { case (_, n, p) => assert(n == 0 && p == 0) }
+  }
+}
