@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.OpsQueries.queries ++
       graft.queries.StreamQueries.queries ++
       graft.ops.TemporalJoins.queries ++
-      graft.ops.PipelineOps.queries
+      graft.ops.PipelineOps.queries ++
+      graft.ops.Sketches.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.OpsQueries.oracles ++
       graft.queries.StreamQueries.oracles ++
       graft.ops.TemporalJoins.oracles ++
-      graft.ops.PipelineOps.oracles
+      graft.ops.PipelineOps.oracles ++
+      graft.ops.Sketches.oracles
 }

@@ -1,0 +1,249 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Distributed sketches — the sub-linear summaries a 100 TB pipeline
+  * leans on when exact state would not fit: KMV for distinct counts,
+  * count-min for frequency estimates, and a Bloom filter as a join
+  * pre-filter. The reference's combiner stage
+  * (`src/PandaLib.cu:302-379`) proves combinable per-key state is the
+  * core primitive; each sketch here is exactly such a state, made
+  * mergeable so Spark runs it map-side partial + reduce-side final.
+  *
+  * Everything is keyed off md5 (the one hash family Spark and DuckDB
+  * share), truncated to 48 bits so all arithmetic stays in exact BIGINT
+  * range on both engines — which is what makes these *estimating*
+  * structures fully hash-checkable cross-engine: the estimates are
+  * deterministic functions of the data, only their ERROR vs the exact
+  * answer is probabilistic.
+  */
+object Sketches {
+
+  val KmvK = 32
+  val CmDepth = 4
+  val CmWidth = 256
+  val CmTopK = 20
+  val BloomBits = 16384
+  val BloomHashes = 3
+
+  /** 48-bit md5-derived hash (12 hex nibbles → BIGINT, always positive). */
+  def h48(c: Column): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long")
+
+  /** The same 48-bit hash as a DuckDB SQL expression (per-nibble strpos
+    * fold — DuckDB has no hex→int conv).
+    */
+  def sqlH48(e: String): String =
+    s"list_reduce(list_transform(string_split(substr(md5($e), 1, 12), ''), " +
+      "c -> (strpos('0123456789abcdef', c) - 1)::BIGINT), (a, b) -> a * 16 + b)"
+
+  /** K-minimum-values state: the k smallest DISTINCT hash values seen.
+    * Bounded (k longs) and order-insensitive, so it is safe as a
+    * map-side partial aggregate however large the input — the classic
+    * mergeable-NDV-sketch contract (Bar-Yossef et al. 2002).
+    */
+  class KMinValues(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
+    override def zero: Seq[Long] = Vector.empty
+    override def reduce(b: Seq[Long], v: Long): Seq[Long] = insert(b, v)
+    override def merge(b1: Seq[Long], b2: Seq[Long]): Seq[Long] =
+      b2.foldLeft(b1)(insert)
+    override def finish(b: Seq[Long]): Seq[Long] = b
+    override def bufferEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+    private def insert(b: Seq[Long], v: Long): Seq[Long] = {
+      if (b.contains(v)) b
+      else if (b.size < k) (b :+ v).sorted
+      else if (v >= b.last) b
+      else (b.init :+ v).sorted
+    }
+  }
+
+  /** Per-source distinct-token estimate via KMV: keep the [[KmvK]]
+    * smallest 48-bit token hashes per source; the kth smallest estimates
+    * NDV as (k-1) * 2^48 / kth (all integer, so the estimate is
+    * bit-identical cross-engine). The exact distinct count rides along
+    * as the error check — at real scale you would drop it and keep only
+    * the sketch.
+    */
+  def kmvDistinct(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    val kmv = udaf(new KMinValues(KmvK))
+    session.udf.register("graft_kmv", kmv)
+    val numerator = (KmvK - 1).toLong * (1L << 48)
+    val d = OpUtil.spread(docs)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    d.select(col("source"), col("tok"), h48(col("tok")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_exact"), kmv(col("h")).as("mins"))
+      .select(col("source"), col("n_exact"),
+        size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
+      .withColumn("ndv_est",
+        when(col("n_kept") < KmvK, col("n_kept"))
+          .otherwise(expr(s"$numerator div kth_hash")))
+  }
+
+  /** Count-min sketch over the token stream: [[CmDepth]] hash rows x
+    * [[CmWidth]] buckets of summed counters (one combinable aggregation
+    * — the sketch is CmDepth*CmWidth cells regardless of corpus size),
+    * then the [[CmTopK]] exact-top tokens are estimated back off the
+    * sketch (min over rows) next to their true counts. cm_est >= exact
+    * always; equality when no collision — the overestimate column IS the
+    * sketch's error, surfaced.
+    */
+  def countMinTopTokens(docs: DataFrame): DataFrame = {
+    val toks = OpUtil.spread(docs)
+      .select(explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val rows = array((0 until CmDepth).map(lit): _*)
+    val cells = toks
+      .select(col("tok"), explode(rows).as("r"))
+      .select(col("r"),
+        pmod(h48(concat(col("r"), lit("|"), col("tok"))), lit(CmWidth))
+          .as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(CmTopK)
+    top
+      .select(col("tok"), col("exact_cnt"), explode(rows).as("r"))
+      .withColumn("bucket",
+        pmod(h48(concat(col("r"), lit("|"), col("tok"))), lit(CmWidth)))
+      .join(broadcast(cells), Seq("r", "bucket"))
+      .groupBy("tok", "exact_cnt")
+      .agg(min(col("cnt")).as("cm_est"))
+      .select(col("tok"), col("exact_cnt"), col("cm_est"),
+        (col("cm_est") - col("exact_cnt")).as("over_err"))
+  }
+
+  /** Bloom-filter join pre-filter: build a [[BloomBits]]-bit /
+    * [[BloomHashes]]-hash filter over the BUILDING-segment customer keys
+    * (represented as the sorted array of set bit positions — small
+    * enough to broadcast), probe every order through it, and account
+    * exactly: rows passing the filter vs truly matching vs false
+    * positives. This is the runtime-filter pattern that turns a 100 TB
+    * fact-dim join into a scan-side drop (Spark's own InSubquery/DPP
+    * runtime filters work the same way); surfacing the false-positive
+    * count oracle-checks the whole bit arithmetic.
+    */
+  def bloomJoinStats(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val build = customer.filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("key")).distinct()
+    val hashes = array((0 until BloomHashes).map(lit): _*)
+    val positions = build
+      .select(explode(hashes).as("j"), col("key"))
+      .select(pmod(h48(concat(col("j"), lit("|"), col("key").cast("string"))),
+        lit(BloomBits)).as("p"))
+      .distinct()
+    val bloom = positions.agg(sort_array(collect_set(col("p"))).as("bl"))
+    def probePos(j: Int) =
+      pmod(h48(concat(lit(j), lit("|"), col("o_custkey").cast("string"))),
+        lit(BloomBits))
+    val pass = (0 until BloomHashes)
+      .map(j => array_contains(col("bl"), probePos(j)))
+      .reduce(_ && _)
+    orders
+      .select(col("o_orderpriority"), col("o_custkey"))
+      .crossJoin(broadcast(bloom))
+      .join(broadcast(build.withColumn("is_b", lit(1))),
+        col("o_custkey") === col("key"), "left_outer")
+      .select(col("o_orderpriority"), pass.cast("int").as("pass"),
+        coalesce(col("is_b"), lit(0)).as("is_b"))
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("pass")).as("n_pass"),
+        sum(col("is_b")).as("n_true"),
+        sum(when(col("pass") === 1 && col("is_b") === 0, 1L).otherwise(0L))
+          .as("n_false_pos"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv" -> ((s: SparkSession, d: String) =>
+      kmvDistinct(Tables.documents(s, d))),
+    "sketch_countmin" -> ((s: SparkSession, d: String) =>
+      countMinTopTokens(Tables.documents(s, d))),
+    "sketch_bloom_join" -> ((s: SparkSession, d: String) =>
+      bloomJoinStats(Tables.customer(s, d), Tables.orders(s, d)))
+  )
+
+  private val kmvNumerator = (KmvK - 1).toLong * (1L << 48)
+
+  val oracles: Map[String, String] = Map(
+    // DISTINCT on the hash (not the token) mirrors the aggregator's
+    // skip-equal-values insert; all-integer estimate arithmetic
+    "sketch_kmv" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |d AS (
+         |  SELECT DISTINCT source, tok FROM toks WHERE length(tok) > 0),
+         |hd AS (SELECT DISTINCT source, ${sqlH48("tok")} AS h FROM d),
+         |r AS (
+         |  SELECT source, h,
+         |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |  FROM hd),
+         |agg AS (
+         |  SELECT source, count(*)::BIGINT AS n_kept, max(h) AS kth_hash
+         |  FROM r WHERE rn <= $KmvK GROUP BY source),
+         |ex AS (
+         |  SELECT source, count(*)::BIGINT AS n_exact FROM d GROUP BY source)
+         |SELECT ex.source, ex.n_exact, agg.n_kept, agg.kth_hash,
+         |  CASE WHEN agg.n_kept < $KmvK THEN agg.n_kept
+         |       ELSE $kmvNumerator // agg.kth_hash END AS ndv_est
+         |FROM ex JOIN agg ON ex.source = agg.source""".stripMargin,
+    "sketch_countmin" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tk AS (SELECT tok FROM toks WHERE length(tok) > 0),
+         |cells AS (
+         |  SELECT g.r, ${sqlH48("g.r::VARCHAR || '|' || tok")} % $CmWidth
+         |      AS bucket,
+         |    count(*)::BIGINT AS cnt
+         |  FROM tk CROSS JOIN
+         |    (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS r) g
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT tok, count(*)::BIGINT AS exact_cnt FROM tk GROUP BY tok
+         |  ORDER BY exact_cnt DESC, tok LIMIT $CmTopK),
+         |probe AS (
+         |  SELECT top.tok, top.exact_cnt, g.r,
+         |    ${sqlH48("g.r::VARCHAR || '|' || top.tok")} % $CmWidth AS bucket
+         |  FROM top CROSS JOIN
+         |    (SELECT unnest(generate_series(0, ${CmDepth - 1})) AS r) g)
+         |SELECT probe.tok, probe.exact_cnt, min(cells.cnt) AS cm_est,
+         |  min(cells.cnt) - probe.exact_cnt AS over_err
+         |FROM probe JOIN cells
+         |  ON probe.r = cells.r AND probe.bucket = cells.bucket
+         |GROUP BY probe.tok, probe.exact_cnt""".stripMargin,
+    "sketch_bloom_join" ->
+      s"""WITH build AS (
+         |  SELECT DISTINCT c_custkey AS key FROM customer
+         |  WHERE c_mktsegment = 'BUILDING'),
+         |pos AS (
+         |  SELECT DISTINCT
+         |    ${sqlH48("g.j::VARCHAR || '|' || key::VARCHAR")} % $BloomBits AS p
+         |  FROM build CROSS JOIN
+         |    (SELECT unnest(generate_series(0, ${BloomHashes - 1})) AS j) g),
+         |bloom AS (SELECT list(p) AS bl FROM pos),
+         |probe AS (
+         |  SELECT o.o_orderpriority,
+         |    (${(0 until BloomHashes).map(j =>
+                s"list_contains(bloom.bl, ${sqlH48(s"'$j|' || o.o_custkey::VARCHAR")} % $BloomBits)")
+                .mkString(" AND ")})::INT AS pass,
+         |    CASE WHEN b.key IS NULL THEN 0 ELSE 1 END AS is_b
+         |  FROM orders o CROSS JOIN bloom
+         |  LEFT JOIN build b ON o.o_custkey = b.key)
+         |SELECT o_orderpriority, count(*) AS n_orders,
+         |  sum(pass)::BIGINT AS n_pass, sum(is_b)::BIGINT AS n_true,
+         |  sum(CASE WHEN pass = 1 AND is_b = 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_false_pos
+         |FROM probe GROUP BY o_orderpriority""".stripMargin
+  )
+}
