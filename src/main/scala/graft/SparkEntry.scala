@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.StreamQueries.queries ++
       graft.ops.TemporalJoins.queries ++
       graft.ops.PipelineOps.queries ++
-      graft.ops.Sketches.queries
+      graft.ops.Sketches.queries ++
+      graft.ops.GraphOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.StreamQueries.oracles ++
       graft.ops.TemporalJoins.oracles ++
       graft.ops.PipelineOps.oracles ++
-      graft.ops.Sketches.oracles
+      graft.ops.Sketches.oracles ++
+      graft.ops.GraphOps.oracles
 }

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Graph analytics over the event log — PageRank on the item-transition
+  * graph (consecutive events of one user link the items they touched,
+  * the classic web/session graph build). Connected components already
+  * exist in the dedup layer (GraphX CC canonicalization); this adds the
+  * iterate-until-k random-walk family.
+  *
+  * All rank mass is FIXED-POINT INTEGER (1e12 scale): every divide is an
+  * integer `div` applied in a fixed order, so five iterations of float
+  * summation-order drift reduce to exact BIGINT arithmetic — which is
+  * what lets an ITERATIVE graph algorithm be hash-checked cross-engine
+  * (the float clusterings gmm/cmeans stay rows-only for exactly this
+  * reason). Dangling-node mass is dropped, the standard simplification.
+  *
+  * Scale shape: edge build is one window over (user, ts) + one
+  * combinable count; each iteration is one equi-join of the cached edge
+  * list with the current rank vector plus a combinable sum — the
+  * Pregel/GraphX message pattern expressed relationally. Ranks stay
+  * (node, BIGINT) rows end to end; nothing iterates on the driver.
+  */
+object GraphOps {
+
+  val PrScale = 1000000000000L
+  val PrDampNum = 850L // damping 0.85 as a rational: *850 div 1000
+  val PrIters = 5
+
+  /** Item-transition edges: (prev item → item) within each user's
+    * time-ordered event stream, weighted by transition count.
+    */
+  def transitionEdges(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+      .select(lag(col("item"), 1).over(w).as("src"), col("item").as("dst"))
+      .filter(col("src").isNotNull)
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+  }
+
+  /** Five damped PageRank iterations in 1e12 fixed point. */
+  def pagerank(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    val edges = transitionEdges(events)
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("out_w"))
+    val ew = edges.join(outw, "src").cache()
+    val nodes = events
+      .select(get_json_object(col("props"), "$.k").cast("long").as("node"))
+      .filter(col("node").isNotNull).distinct().cache()
+    val n = nodes.count()
+    require(n > 0, "pagerank: no nodes")
+    val init = PrScale / n
+    val base = (1000L - PrDampNum) * init / 1000L
+    var ranks = nodes.select(col("node"), lit(init).as("rank"))
+    for (_ <- 1 to PrIters) {
+      val mass = ew.join(ranks, col("src") === col("node"))
+        .select(col("dst"),
+          expr(s"((rank * w) div out_w) * $PrDampNum div 1000").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("mass"))
+      ranks = nodes.join(mass, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (lit(base) + coalesce(col("mass"), lit(0L))).as("rank"))
+    }
+    ranks.select(col("node"), col("rank").as("rank_fp"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> ((s: SparkSession, d: String) =>
+      pagerank(Tables.events(s, d)))
+  )
+
+  private def iterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT nodes.node, base.b + coalesce(m.mass, 0) AS rank
+       |  FROM nodes CROSS JOIN base
+       |  LEFT JOIN (
+       |    SELECT ew.dst,
+       |      sum((($prev.rank * ew.w) // ew.out_w) * $PrDampNum // 1000)::BIGINT
+       |        AS mass
+       |    FROM ew JOIN $prev ON $prev.node = ew.src
+       |    GROUP BY ew.dst) m ON m.dst = nodes.node)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // the five iterations unrolled as chained CTEs; // on positive
+    // BIGINTs = Spark's div, applied in the identical order
+    "graph_pagerank" ->
+      (s"""WITH ev AS (
+          |  SELECT user_id, ts, event_id,
+          |    (json_extract_string(props, '$$.k'))::BIGINT AS item
+          |  FROM events
+          |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+          |tr AS (
+          |  SELECT lag(item) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS src, item AS dst
+          |  FROM ev),
+          |edges AS (
+          |  SELECT src, dst, count(*)::BIGINT AS w FROM tr
+          |  WHERE src IS NOT NULL GROUP BY 1, 2),
+          |outw AS (SELECT src, sum(w)::BIGINT AS out_w FROM edges GROUP BY src),
+          |ew AS (
+          |  SELECT e.src, e.dst, e.w, o.out_w
+          |  FROM edges e JOIN outw o USING (src)),
+          |nodes AS (SELECT DISTINCT item AS node FROM ev),
+          |nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+          |base AS (
+          |  SELECT (${1000L - PrDampNum} * ($PrScale // n)) // 1000 AS b
+          |  FROM nn),
+          |r0 AS (
+          |  SELECT node, $PrScale // n AS rank FROM nodes CROSS JOIN nn),
+          |""".stripMargin
+        + (0 until PrIters).map(i => iterSql(s"r$i", s"r${i + 1}"))
+          .mkString(",\n") +
+        s"""
+           |SELECT node, rank AS rank_fp FROM r$PrIters""".stripMargin)
+  )
+}

@@ -288,11 +288,13 @@ object Similarity {
   val PqSubspaces = 8
   val PqCodebookSize = 16
 
-  def pqEncode(corpus: DataFrame): DataFrame = {
+  /** Per-vector PQ quantization, wide form: one struct column b{s} =
+    * (d{s}, code) per subspace — the shared core of [[pqEncode]] and
+    * [[pqSearch]]. Input must carry (vec_id, v: array<double>).
+    */
+  private def pqCodesWide(emb: DataFrame): DataFrame = {
     import graft.functions.VectorOps.vec_sqdist
     val m = PqSubspaces
-    val emb = corpus.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
     val anchors = broadcast(emb.filter(col("vec_id") < PqCodebookSize)
       .select(col("vec_id").as("code"), col("v").as("av")))
     // subspace s covers [s*sd, (s+1)*sd) with the remainder folded into
@@ -308,6 +310,13 @@ object Similarity {
       .select(col("vec_id") +: col("code") +: dists: _*)
     val aggs = (0 until m).map(s => min(struct(col(s"d$s"), col("code"))).as(s"b$s"))
     scored.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  def pqEncode(corpus: DataFrame): DataFrame = {
+    val m = PqSubspaces
+    val emb = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    pqCodesWide(emb)
       .select(col("vec_id"),
         concat_ws(",", (0 until m).map(s => col(s"b$s.code")): _*).as("codes"),
         round((0 until m).map(s => col(s"b$s.d$s")).reduce(_ + _), 6)
@@ -316,4 +325,74 @@ object Similarity {
 
   def annPqEncode(s: SparkSession, dir: String): DataFrame =
     pqEncode(Tables.embeddings(s, dir))
+
+  /** PQ asymmetric-distance search (ADC — Jégou et al. 2011): the corpus
+    * exists only as 4-bit-per-subspace codes; each query precomputes a
+    * tiny lookup table of per-subspace distances to every codebook
+    * anchor, and scoring a corpus vector is M table lookups + adds —
+    * no float vector is ever touched at scan time. This is THE
+    * billion-scale ANN layout: the LUT is queries x M x K doubles
+    * (broadcast), the codes are bytes, and the scan is one codegen-able
+    * pass + a per-query top-k. The LUT distance arithmetic replays
+    * vec_sqdist's left-to-right accumulation exactly, and ADC sums
+    * subspaces in order, so the whole index path is hash-checkable
+    * against a DuckDB replay of encode + LUT + rank.
+    */
+  def pqSearch(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    import s.implicits._
+    val m = PqSubspaces
+    val emb = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val codes = pqCodesWide(emb)
+      .select(col("vec_id").as("neighbor_id"),
+        array((0 until m).map(i => col(s"b$i.code").cast("int")): _*).as("codes"))
+    // LUT build: anchors and queries are tiny by contract (the codebook
+    // must broadcast for ANY PQ index); accumulation order matches
+    // vec_sqdist (sequential (a-b)^2 adds over the subspace slice)
+    val anchors = emb.filter(col("vec_id") < PqCodebookSize)
+      .orderBy(col("vec_id")).select(col("vec_id"), col("v"))
+      .as[(Long, Seq[Double])].collect().map(_._2.toArray)
+    val qVecs = queries.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].collect()
+    val lut: Map[Long, Array[Array[Double]]] = qVecs.map { case (qid, qv) =>
+      val q = qv.toArray
+      val dim = q.length
+      val sd = dim / m
+      qid -> Array.tabulate(m) { sub =>
+        val start = sub * sd
+        val end = if (sub == m - 1) dim else (sub + 1) * sd
+        anchors.map { av =>
+          var d = 0.0
+          var i = start
+          while (i < end && i < av.length) {
+            val t = q(i) - av(i); d += t * t; i += 1
+          }
+          d
+        }
+      }
+    }.toMap
+    val lutB = s.sparkContext.broadcast(lut)
+    val adc = udf { (qid: Long, cs: Seq[Int]) =>
+      val t = lutB.value(qid)
+      var sum = 0.0
+      var i = 0
+      while (i < cs.length) { sum += t(i)(cs(i)); i += 1 }
+      sum
+    }
+    val qIds = queries.select(col("vec_id").as("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_raw"), col("neighbor_id"))
+    codes.crossJoin(broadcast(qIds))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_raw", adc(col("query_id"), col("codes")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc_raw"), 6).as("adc"), col("rank"))
+  }
+
+  def annPqSearch(s: SparkSession, dir: String): DataFrame =
+    pqSearch(s, Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
 }

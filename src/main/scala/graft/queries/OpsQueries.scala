@@ -84,6 +84,7 @@ object OpsQueries {
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_centroid_assign" -> (Similarity.annCentroidAssign _),
     "ann_pq_encode" -> (Similarity.annPqEncode _),
+    "ann_pq_search" -> (Similarity.annPqSearch _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
     "text_quality" -> (TextAnalysis.qualityQuery _),
@@ -214,6 +215,55 @@ object OpsQueries {
          |  array_to_string(list(code ORDER BY s), ',') AS codes,
          |  round(list_sum(list(d2 ORDER BY s)), 6) AS recon_err
          |FROM b GROUP BY vec_id""".stripMargin,
+    // full ADC replay: encode CTEs as in ann_pq_encode, then the query
+    // LUT with the same per-subspace list_sum accumulation, ADC summed
+    // in subspace order (list ORDER BY s), argmin ties by neighbor id
+    "ann_pq_search" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    len(embedding) AS d, len(embedding) // ${Similarity.PqSubspaces} AS sd
+         |  FROM embeddings),
+         |a AS (SELECT vec_id AS code, v AS av FROM e
+         |      WHERE vec_id < ${Similarity.PqCodebookSize}),
+         |g AS (SELECT unnest(generate_series(0, ${Similarity.PqSubspaces - 1}))
+         |        AS s),
+         |sub AS (
+         |  SELECT e.vec_id, a.code, g.s,
+         |    list_sum(list_transform(
+         |      range(g.s * e.sd + 1,
+         |        (CASE WHEN g.s = ${Similarity.PqSubspaces - 1}
+         |              THEN e.d ELSE (g.s + 1) * e.sd END) + 1),
+         |      i -> (e.v[i] - a.av[i]) * (e.v[i] - a.av[i]))) AS d2
+         |  FROM e CROSS JOIN a CROSS JOIN g),
+         |r AS (
+         |  SELECT vec_id, s, code, d2,
+         |    row_number() OVER (PARTITION BY vec_id, s
+         |      ORDER BY d2, code) AS rn
+         |  FROM sub),
+         |b AS (SELECT vec_id, s, code FROM r WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, d, sd FROM e
+         |      WHERE vec_id < 10),
+         |lut AS (
+         |  SELECT q.query_id, a.code, g.s,
+         |    list_sum(list_transform(
+         |      range(g.s * q.sd + 1,
+         |        (CASE WHEN g.s = ${Similarity.PqSubspaces - 1}
+         |              THEN q.d ELSE (g.s + 1) * q.sd END) + 1),
+         |      i -> (q.qv[i] - a.av[i]) * (q.qv[i] - a.av[i]))) AS d2
+         |  FROM q CROSS JOIN a CROSS JOIN g),
+         |adc AS (
+         |  SELECT lut.query_id, b.vec_id AS neighbor_id,
+         |    list_sum(list(lut.d2 ORDER BY b.s)) AS adc_raw
+         |  FROM b JOIN lut ON lut.s = b.s AND lut.code = b.code
+         |  WHERE b.vec_id != lut.query_id
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT query_id, neighbor_id, adc_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_raw, neighbor_id) AS rank
+         |  FROM adc)
+         |SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc, rank
+         |FROM rk WHERE rank <= ${Similarity.DefaultK}""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
