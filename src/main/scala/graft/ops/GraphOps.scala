@@ -31,15 +31,19 @@ object GraphOps {
   val PrDampNum = 850L // damping 0.85 as a rational: *850 div 1000
   val PrIters = 5
 
+  /** events projected to the item stream (user, ts, event_id, item). */
+  private def itemEvents(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .filter(col("item").isNotNull)
+
   /** Item-transition edges: (prev item → item) within each user's
     * time-ordered event stream, weighted by transition count.
     */
   def transitionEdges(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    events
-      .select(col("user_id"), col("ts"), col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("item"))
-      .filter(col("item").isNotNull)
+    itemEvents(events)
       .select(lag(col("item"), 1).over(w).as("src"), col("item").as("dst"))
       .filter(col("src").isNotNull)
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
@@ -47,28 +51,41 @@ object GraphOps {
 
   /** Five damped PageRank iterations in 1e12 fixed point. */
   def pagerank(events: DataFrame): DataFrame = {
-    val s = events.sparkSession
-    val edges = transitionEdges(events)
+    val ev = itemEvents(events).cache()
+    val edges = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.select(lag(col("item"), 1).over(w).as("src"), col("item").as("dst"))
+        .filter(col("src").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    }
     val outw = edges.groupBy("src").agg(sum(col("w")).as("out_w"))
     val ew = edges.join(outw, "src").cache()
-    val nodes = events
-      .select(get_json_object(col("props"), "$.k").cast("long").as("node"))
-      .filter(col("node").isNotNull).distinct().cache()
+    val nodes = ev.select(col("item").as("node")).distinct().cache()
     val n = nodes.count()
     require(n > 0, "pagerank: no nodes")
     val init = PrScale / n
     val base = (1000L - PrDampNum) * init / 1000L
-    var ranks = nodes.select(col("node"), lit(init).as("rank"))
-    for (_ <- 1 to PrIters) {
-      val mass = ew.join(ranks, col("src") === col("node"))
+    // iterate on the IN-MASS vector only: any node's rank is
+    // base + coalesce(in_mass, 0), so the full rank table never needs
+    // materializing inside the loop — each iteration is one broadcast
+    // of the (one row per ranked node, tiny) mass vector against the
+    // cached edge list plus one combinable per-dst sum. The edge list
+    // is never re-shuffled.
+    var mass: DataFrame = null
+    for (it <- 1 to PrIters) {
+      val joined =
+        if (it == 1) ew.withColumn("rank", lit(init))
+        else ew.join(broadcast(mass), col("src") === col("mdst"), "left_outer")
+          .withColumn("rank", lit(base) + coalesce(col("mass"), lit(0L)))
+      mass = joined
         .select(col("dst"),
           expr(s"((rank * w) div out_w) * $PrDampNum div 1000").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("mass"))
-      ranks = nodes.join(mass, col("node") === col("dst"), "left_outer")
-        .select(col("node"),
-          (lit(base) + coalesce(col("mass"), lit(0L))).as("rank"))
+        .select(col("dst").as("mdst"), col("mass"))
     }
-    ranks.select(col("node"), col("rank").as("rank_fp"))
+    nodes.join(broadcast(mass), col("node") === col("mdst"), "left_outer")
+      .select(col("node"),
+        (lit(base) + coalesce(col("mass"), lit(0L))).as("rank_fp"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -141,16 +141,27 @@ object Sketches {
       .select(pmod(h48(concat(col("j"), lit("|"), col("key").cast("string"))),
         lit(BloomBits)).as("p"))
       .distinct()
-    val bloom = positions.agg(sort_array(collect_set(col("p"))).as("bl"))
+      .cache() // three joins below each broadcast this same tiny table
+    // membership = every probe position present in the set-bit table.
+    // One broadcast HASH join per hash function (O(1) per lookup) — an
+    // array_contains against the position array would be a linear scan
+    // of all set bits per probe row, ~BloomBits/2 compares x rows x
+    // hashes; measured 4s vs 0.4s at sf0.1
     def probePos(j: Int) =
       pmod(h48(concat(lit(j), lit("|"), col("o_custkey").cast("string"))),
         lit(BloomBits))
+    val probed = (0 until BloomHashes).foldLeft(
+      orders.select(col("o_orderpriority"), col("o_custkey"))) { (df, j) =>
+      df.join(
+        broadcast(positions.select(col("p").as(s"p$j"),
+          lit(1).as(s"hit$j"))),
+        probePos(j) === col(s"p$j"), "left_outer")
+        .drop(s"p$j")
+    }
     val pass = (0 until BloomHashes)
-      .map(j => array_contains(col("bl"), probePos(j)))
+      .map(j => col(s"hit$j").isNotNull)
       .reduce(_ && _)
-    orders
-      .select(col("o_orderpriority"), col("o_custkey"))
-      .crossJoin(broadcast(bloom))
+    probed
       .join(broadcast(build.withColumn("is_b", lit(1))),
         col("o_custkey") === col("key"), "left_outer")
       .select(col("o_orderpriority"), pass.cast("int").as("pass"),
