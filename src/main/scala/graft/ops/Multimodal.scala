@@ -138,6 +138,38 @@ object Multimodal {
   def featuresQuery(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(s, dir)).toDF()
 
+  val FrameSize = 64
+  val FrameStride = 4
+
+  /** Frame-sampling surfaced as a gate query: every [[FrameStride]]-th
+    * [[FrameSize]]-byte frame is sliced out of each payload by
+    * [[sampleFrames]] (the real byte-range operator on the hot path),
+    * then reduced to integer stats per frame — which the oracle replays
+    * byte-for-byte from the LCG (positions (i-1) div frameSize, top-8
+    * bits of each state), so the whole slice-and-sample path is
+    * hash-checked, not just row-counted.
+    */
+  def frameStatsQuery(s: SparkSession, dir: String): DataFrame = {
+    val frames = sampleFrames(mediaTable(s, dir), FrameSize, FrameStride)
+    val stats = udf { (b: Array[Byte]) =>
+      var sum = 0L
+      var mn = 255
+      var mx = 0
+      b.foreach { x =>
+        val v = x & 0xff
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+      }
+      (sum, mn, mx)
+    }
+    frames
+      .withColumn("st", stats(col("frame")))
+      .select(col("media_id"), col("frame_idx"),
+        col("st._1").as("frame_sum"), col("st._2").as("frame_min"),
+        col("st._3").as("frame_max"))
+  }
+
   /** Envelope + decoded-header rollup per modality. Every value here is
     * recomputed from the decoded payload (not the synthesis parameters),
     * so the oracle check covers payload framing end-to-end. One pass:

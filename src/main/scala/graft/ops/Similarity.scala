@@ -395,4 +395,38 @@ object Similarity {
 
   def annPqSearch(s: SparkSession, dir: String): DataFrame =
     pqSearch(s, Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
+
+  /** Two-stage retrieval: ADC shortlists [[RefineShortlist]] candidates
+    * from the codes-only index, then ONLY those rows fetch their float
+    * vectors for an exact cosine re-rank — the standard
+    * recall-vs-memory production layout (quantized first pass, exact
+    * second pass over a vanishing fraction of the corpus). The shortlist
+    * is broadcast back against the corpus scan, so stage two reads
+    * corpus-side vectors for shortlist rows only — no corpus shuffle in
+    * either stage.
+    */
+  val RefineShortlist = 20
+
+  def pqSearchRefined(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val shortlist = pqSearch(s, corpus, queries, RefineShortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      asUnit(col("embedding")).as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asUnit(col("embedding")).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    c.join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        vec_dot(col("qv"), col("cv")).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"), col("rank"))
+  }
+
+  def annPqRefine(s: SparkSession, dir: String): DataFrame =
+    pqSearchRefined(s, Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
 }

@@ -85,14 +85,63 @@ object OpsQueries {
     "ann_centroid_assign" -> (Similarity.annCentroidAssign _),
     "ann_pq_encode" -> (Similarity.annPqEncode _),
     "ann_pq_search" -> (Similarity.annPqSearch _),
+    "ann_pq_refine" -> (Similarity.annPqRefine _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
     "text_quality" -> (TextAnalysis.qualityQuery _),
     "text_langid" -> (TextAnalysis.langIdQuery _),
     "text_fingerprint" -> (TextAnalysis.fingerprintQuery _),
     "multimodal_features" -> (Multimodal.featuresQuery _),
-    "multimodal_meta" -> (Multimodal.metaQuery _)
+    "multimodal_meta" -> (Multimodal.metaQuery _),
+    "multimodal_framestats" -> (Multimodal.frameStatsQuery _)
   )
+
+  /** Shared ADC oracle prefix: PQ-encode the corpus (same CTEs as the
+    * ann_pq_encode oracle), build the per-query subspace LUT with the
+    * identical list_sum accumulation, and sum ADC in subspace order —
+    * ends at the `adc(query_id, neighbor_id, adc_raw)` CTE, which
+    * ann_pq_search ranks directly and ann_pq_refine shortlists then
+    * exact-re-ranks.
+    */
+  private val pqAdcCtes: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    len(embedding) AS d, len(embedding) // ${Similarity.PqSubspaces} AS sd
+       |  FROM embeddings),
+       |a AS (SELECT vec_id AS code, v AS av FROM e
+       |      WHERE vec_id < ${Similarity.PqCodebookSize}),
+       |g AS (SELECT unnest(generate_series(0, ${Similarity.PqSubspaces - 1}))
+       |        AS s),
+       |sub AS (
+       |  SELECT e.vec_id, a.code, g.s,
+       |    list_sum(list_transform(
+       |      range(g.s * e.sd + 1,
+       |        (CASE WHEN g.s = ${Similarity.PqSubspaces - 1}
+       |              THEN e.d ELSE (g.s + 1) * e.sd END) + 1),
+       |      i -> (e.v[i] - a.av[i]) * (e.v[i] - a.av[i]))) AS d2
+       |  FROM e CROSS JOIN a CROSS JOIN g),
+       |r AS (
+       |  SELECT vec_id, s, code, d2,
+       |    row_number() OVER (PARTITION BY vec_id, s
+       |      ORDER BY d2, code) AS rn
+       |  FROM sub),
+       |b AS (SELECT vec_id, s, code FROM r WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, v AS qv, d, sd FROM e
+       |      WHERE vec_id < 10),
+       |lut AS (
+       |  SELECT q.query_id, a.code, g.s,
+       |    list_sum(list_transform(
+       |      range(g.s * q.sd + 1,
+       |        (CASE WHEN g.s = ${Similarity.PqSubspaces - 1}
+       |              THEN q.d ELSE (g.s + 1) * q.sd END) + 1),
+       |      i -> (q.qv[i] - a.av[i]) * (q.qv[i] - a.av[i]))) AS d2
+       |  FROM q CROSS JOIN a CROSS JOIN g),
+       |adc AS (
+       |  SELECT lut.query_id, b.vec_id AS neighbor_id,
+       |    list_sum(list(lut.d2 ORDER BY b.s)) AS adc_raw
+       |  FROM b JOIN lut ON lut.s = b.s AND lut.code = b.code
+       |  WHERE b.vec_id != lut.query_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_langid" -> TextAnalysis.langIdOracleSql,
@@ -130,6 +179,35 @@ object OpsQueries {
         |  (16 + d.doc_id % 32)::INT AS height,
         |  f.mean_byte_x100, f.byte_entropy
         |FROM documents d JOIN feat f ON f.doc_id = d.doc_id""".stripMargin,
+    // same LCG replay as multimodal_features; byte index i-1 maps to
+    // frame (i-1) div FrameSize, complete frames only, every
+    // FrameStride-th kept — integer stats, exact both sides
+    "multimodal_framestats" ->
+      s"""WITH RECURSIVE gen(doc_id, i, n, state) AS (
+         |  SELECT doc_id, 0::BIGINT,
+         |    ((16 + doc_id % 48) * (16 + doc_id % 32))::BIGINT,
+         |    ((doc_id::HUGEINT * 6364136223846793005 + 1442695040888963407)
+         |      % 18446744073709551616 + 18446744073709551616)
+         |      % 18446744073709551616
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, i + 1, n,
+         |    (state * 6364136223846793005 + 1442695040888963407)
+         |      % 18446744073709551616
+         |  FROM gen WHERE i < n
+         |), bytes AS (
+         |  SELECT doc_id, i, n, (state // 72057594037927936)::BIGINT AS b
+         |  FROM gen WHERE i >= 1
+         |), fr AS (
+         |  SELECT doc_id, (i - 1) // ${Multimodal.FrameSize} AS f, b, n
+         |  FROM bytes)
+         |SELECT doc_id AS media_id, f::INT AS frame_idx,
+         |  sum(b)::BIGINT AS frame_sum, min(b)::INT AS frame_min,
+         |  max(b)::INT AS frame_max
+         |FROM fr
+         |WHERE f < n // ${Multimodal.FrameSize}
+         |  AND f % ${Multimodal.FrameStride} = 0
+         |GROUP BY 1, 2""".stripMargin,
     "gemv" ->
       """SELECT e.vec_id,
         |  round(list_dot_product(e.embedding::DOUBLE[],
@@ -218,52 +296,40 @@ object OpsQueries {
     // full ADC replay: encode CTEs as in ann_pq_encode, then the query
     // LUT with the same per-subspace list_sum accumulation, ADC summed
     // in subspace order (list ORDER BY s), argmin ties by neighbor id
-    "ann_pq_search" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v,
-         |    len(embedding) AS d, len(embedding) // ${Similarity.PqSubspaces} AS sd
-         |  FROM embeddings),
-         |a AS (SELECT vec_id AS code, v AS av FROM e
-         |      WHERE vec_id < ${Similarity.PqCodebookSize}),
-         |g AS (SELECT unnest(generate_series(0, ${Similarity.PqSubspaces - 1}))
-         |        AS s),
-         |sub AS (
-         |  SELECT e.vec_id, a.code, g.s,
-         |    list_sum(list_transform(
-         |      range(g.s * e.sd + 1,
-         |        (CASE WHEN g.s = ${Similarity.PqSubspaces - 1}
-         |              THEN e.d ELSE (g.s + 1) * e.sd END) + 1),
-         |      i -> (e.v[i] - a.av[i]) * (e.v[i] - a.av[i]))) AS d2
-         |  FROM e CROSS JOIN a CROSS JOIN g),
-         |r AS (
-         |  SELECT vec_id, s, code, d2,
-         |    row_number() OVER (PARTITION BY vec_id, s
-         |      ORDER BY d2, code) AS rn
-         |  FROM sub),
-         |b AS (SELECT vec_id, s, code FROM r WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, v AS qv, d, sd FROM e
-         |      WHERE vec_id < 10),
-         |lut AS (
-         |  SELECT q.query_id, a.code, g.s,
-         |    list_sum(list_transform(
-         |      range(g.s * q.sd + 1,
-         |        (CASE WHEN g.s = ${Similarity.PqSubspaces - 1}
-         |              THEN q.d ELSE (g.s + 1) * q.sd END) + 1),
-         |      i -> (q.qv[i] - a.av[i]) * (q.qv[i] - a.av[i]))) AS d2
-         |  FROM q CROSS JOIN a CROSS JOIN g),
-         |adc AS (
-         |  SELECT lut.query_id, b.vec_id AS neighbor_id,
-         |    list_sum(list(lut.d2 ORDER BY b.s)) AS adc_raw
-         |  FROM b JOIN lut ON lut.s = b.s AND lut.code = b.code
-         |  WHERE b.vec_id != lut.query_id
-         |  GROUP BY 1, 2),
+    "ann_pq_search" -> (pqAdcCtes +
+      s""",
          |rk AS (
          |  SELECT query_id, neighbor_id, adc_raw,
          |    row_number() OVER (PARTITION BY query_id
          |      ORDER BY adc_raw, neighbor_id) AS rank
          |  FROM adc)
          |SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc, rank
-         |FROM rk WHERE rank <= ${Similarity.DefaultK}""".stripMargin,
+         |FROM rk WHERE rank <= ${Similarity.DefaultK}""".stripMargin),
+    // stage 1 = the same ADC CTEs shortlisting top-RefineShortlist;
+    // stage 2 re-ranks only those by exact cosine (list_cosine_similarity
+    // vs the Spark unit-dot, the proven ann_bruteforce equivalence)
+    "ann_pq_refine" -> (pqAdcCtes +
+      s""",
+         |sl AS (
+         |  SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc_raw, neighbor_id) AS arank
+         |  FROM adc),
+         |ex AS (
+         |  SELECT sl.query_id, sl.neighbor_id,
+         |    list_cosine_similarity(qe.embedding::DOUBLE[],
+         |      ne.embedding::DOUBLE[]) AS cos_raw
+         |  FROM sl
+         |  JOIN embeddings qe ON qe.vec_id = sl.query_id
+         |  JOIN embeddings ne ON ne.vec_id = sl.neighbor_id
+         |  WHERE sl.arank <= ${Similarity.RefineShortlist}),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |  FROM ex)
+         |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
+         |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin),
     "ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

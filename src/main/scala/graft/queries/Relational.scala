@@ -460,7 +460,28 @@ object Relational {
         col("week_offset"), col("n_users"))
   }
 
+  /** RANGE-frame window (value-based, not row-based): per customer, the
+    * trailing-7-day order revenue — every order whose day falls in
+    * [day-6, day] joins the frame, INCLUDING same-day ties, which makes
+    * the result deterministic with no tiebreak column (a rows-frame
+    * would be order-dependent on ties). One shuffle on the partition
+    * key; the frame scan is partition-local and streaming (Spark keeps a
+    * sliding aggregate, not O(frame) recompute per row).
+    */
+  def q31RangeWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-6, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).as("day"),
+        col("o_totalprice"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"),
+        money(sum(col("o_totalprice")).over(w)).as("trailing_7d"),
+        count(lit(1)).over(w).as("n_in_window"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_range_window" -> q31RangeWindow _,
     "q29_funnel" -> q29Funnel _,
     "q30_retention" -> q30Retention _,
     "q28_salted_join" -> q28SaltedJoin _,
@@ -494,6 +515,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q31_range_window" ->
+      """SELECT o_orderkey, o_custkey,
+        |  (o_orderdate::DATE - DATE '1992-01-01') AS day,
+        |  round(sum(o_totalprice) OVER w, 2) AS trailing_7d,
+        |  count(*) OVER w AS n_in_window
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY (o_orderdate::DATE - DATE '1992-01-01')
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q29_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS t_view FROM events

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Two-stage PQ refine, RANGE-frame window, frame-sampling stats. */
+class RefineFrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("refined PQ search recall beats or equals raw ADC recall") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = Similarity.queryVectors(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adc = Similarity.pqSearch(spark, emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val refined = Similarity.pqSearchRefined(spark, emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val rAdc = (exact & adc).size.toDouble / exact.size
+    val rRef = (exact & refined).size.toDouble / exact.size
+    // exact re-rank of a 4x shortlist can only improve the ordering
+    assert(rRef >= rAdc, s"refined $rRef < adc $rAdc")
+    assert(rRef >= 0.5, s"refined recall@5 = $rRef")
+  }
+
+  test("range-frame window: trailing sum covers same-day ties deterministically") {
+    val rows = graft.queries.Relational.q31RangeWindow(spark, sfDir)
+      .as[(Long, Long, Int, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    // every frame contains at least its own row
+    assert(rows.forall(_._5 >= 1))
+    // recompute one customer brute-force
+    val byCust = rows.groupBy(_._2)
+    val (cust, cRows) = byCust.maxBy(_._2.length)
+    cRows.foreach { case (_, _, day, trailing, n) =>
+      val window = cRows.filter(r => r._3 >= day - 6 && r._3 <= day)
+      assert(window.length.toLong == n, s"cust $cust day $day")
+    }
+  }
+
+  test("frame stats match a local replay of the payload slicing") {
+    val out = Multimodal.frameStatsQuery(spark, sfDir)
+      .as[(Long, Int, Long, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out.nonEmpty)
+    // local ground truth for a handful of ids
+    (0L to 5L).foreach { id =>
+      val body = Multimodal.syntheticPayload(id).drop(8)
+      val nFrames = body.length / Multimodal.FrameSize
+      (0 until nFrames by Multimodal.FrameStride).foreach { f =>
+        val fr = body.slice(f * Multimodal.FrameSize, (f + 1) * Multimodal.FrameSize)
+          .map(_ & 0xff)
+        assert(out((id, f)) == ((fr.map(_.toLong).sum, fr.min, fr.max)),
+          s"media $id frame $f")
+      }
+      // no partial or off-stride frames leak through
+      assert(!out.keys.exists { case (m, f) =>
+        m == id && (f % Multimodal.FrameStride != 0 || f >= nFrames) })
+    }
+  }
+}
