@@ -480,7 +480,31 @@ object Relational {
         count(lit(1)).over(w).as("n_in_window"))
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): bounded-depth explosion of
+    * the implicit binary tree over part keys (node -> 2n, 2n+1 — a
+    * deterministic DAG derived purely from the data, standing in for a
+    * bill-of-materials walk). Depth-capped, so the iteration count is
+    * bounded by construction; each recursion step is one equi-joinable
+    * frontier expansion. DuckDB runs the identical statement.
+    */
+  def q32Recursive(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("q32_part")
+    s.sql(
+      """WITH RECURSIVE tree(root, node, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM q32_part WHERE p_partkey <= 10
+        |  UNION ALL
+        |  SELECT t.root, c.p_partkey, t.depth + 1
+        |  FROM tree t JOIN q32_part c
+        |    ON c.p_partkey IN (t.node * 2, t.node * 2 + 1)
+        |  WHERE t.depth < 5)
+        |SELECT t.root, count(*) AS n_nodes, max(t.depth) AS max_depth,
+        |  round(sum(p.p_retailprice), 2) AS subtree_price
+        |FROM tree t JOIN q32_part p ON p.p_partkey = t.node
+        |GROUP BY t.root""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_recursive" -> q32Recursive _,
     "q31_range_window" -> q31RangeWindow _,
     "q29_funnel" -> q29Funnel _,
     "q30_retention" -> q30Retention _,
@@ -515,6 +539,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q32_recursive" ->
+      """WITH RECURSIVE tree(root, node, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey <= 10
+        |  UNION ALL
+        |  SELECT t.root, c.p_partkey, t.depth + 1
+        |  FROM tree t JOIN part c
+        |    ON c.p_partkey IN (t.node * 2, t.node * 2 + 1)
+        |  WHERE t.depth < 5)
+        |SELECT t.root, count(*) AS n_nodes, max(t.depth) AS max_depth,
+        |  round(sum(p.p_retailprice), 2) AS subtree_price
+        |FROM tree t JOIN part p ON p.p_partkey = t.node
+        |GROUP BY t.root""".stripMargin,
     "q31_range_window" ->
       """SELECT o_orderkey, o_custkey,
         |  (o_orderdate::DATE - DATE '1992-01-01') AS day,
