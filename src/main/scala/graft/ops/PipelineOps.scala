@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -229,7 +229,46 @@ object PipelineOps {
   def packQuery(s: SparkSession, dir: String): DataFrame =
     packSequences(Tables.documents(s, dir), PackBudget)
 
+  /** Z-order (Morton) bit interleave of two bounded ints — the
+    * space-filling-curve index behind data-skipping layouts (Delta/
+    * Iceberg OPTIMIZE ZORDER): rows sorted or bucketed by z put
+    * multi-dimensionally-close rows in the same file, so min/max file
+    * stats prune BOTH dimensions. Pure codegen'd bit arithmetic
+    * (shift/and/or chain), no UDF.
+    */
+  val ZBits = 8
+
+  def zorderIndex(x: Column, y: Column, bits: Int = ZBits): Column =
+    (0 until bits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
+        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-bucket layout report over lineitem (part x supplier dims): each
+    * z div 256 bucket is a 16x16 tile in (x, y) space — the x/y min/max
+    * columns PROVE the locality (every bucket spans <= 16 in each
+    * dimension, where a single-dimension sort would span the full 256 in
+    * the other). One combinable aggregation; the z expression itself is
+    * what a writer would `repartitionByRange` on at scale.
+    */
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir)
+      .select(
+        pmod(col("l_partkey"), lit(256L)).as("x"),
+        pmod(col("l_suppkey"), lit(256L)).as("y"),
+        col("l_quantity"))
+      .withColumn("z", zorderIndex(col("x"), col("y")))
+      .groupBy(expr("z div 256").as("z_bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_zorder" -> (zorderLayout _),
     "pipe_sample_hash" -> (sampleQuery _),
     "pipe_mixture" -> ((s: SparkSession, dir: String) =>
       mixtureSample(Tables.documents(s, dir))),
@@ -255,7 +294,26 @@ object PipelineOps {
       |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
       |)""".stripMargin
 
+  /** The Morton interleave as explicit per-bit SQL (generated from the
+    * same ZBits constant the Spark expression uses).
+    */
+  private val zExprSql: String =
+    (0 until ZBits).map { b =>
+      s"((((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1}))"
+    }.mkString(" | ")
+
   val oracles: Map[String, String] = Map(
+    "pipe_zorder" ->
+      s"""WITH xy AS (
+         |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y, l_quantity
+         |  FROM lineitem),
+         |zz AS (SELECT x, y, l_quantity, ($zExprSql) AS z FROM xy)
+         |SELECT z // 256 AS z_bucket, count(*) AS n_rows,
+         |  min(z) AS z_min, max(z) AS z_max,
+         |  min(x) AS x_min, max(x) AS x_max,
+         |  min(y) AS y_min, max(y) AS y_max,
+         |  round(sum(l_quantity), 2) AS sum_qty
+         |FROM zz GROUP BY 1""".stripMargin,
     "pipe_fuzzy_match" ->
       """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
         |  levenshtein(a.s_name, b.s_name)::INT AS dist

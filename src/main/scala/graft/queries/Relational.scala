@@ -503,7 +503,23 @@ object Relational {
         |GROUP BY t.root""".stripMargin)
   }
 
+  /** Unpivot/melt (wide → long): the four lineitem measures become
+    * (measure, value) rows — the inverse of q20's pivot, completing the
+    * reshape pair. Spark plans unpivot as a single Expand (one pass, no
+    * join of N selects); aggregation after is ordinary partial+final.
+    */
+  def q33Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "measure", "value")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), money(sum(col("value"))).as("sum_value"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_unpivot" -> q33Unpivot _,
     "q32_recursive" -> q32Recursive _,
     "q31_range_window" -> q31RangeWindow _,
     "q29_funnel" -> q29Funnel _,
@@ -539,6 +555,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q33_unpivot" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL
+        |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        |SELECT l_returnflag, measure, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM m GROUP BY 1, 2""".stripMargin,
     "q32_recursive" ->
       """WITH RECURSIVE tree(root, node, depth) AS (
         |  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey <= 10
