@@ -429,4 +429,75 @@ object Similarity {
 
   def annPqRefine(s: SparkSession, dir: String): DataFrame =
     pqSearchRefined(s, Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
+
+  /** Sign-random-projection LSH with md5-DERIVED Rademacher (+1/-1)
+    * hyperplanes: plane entry (t, b, i) is +1 iff the first md5 nibble
+    * of "t|b|i" is odd. Same index structure and recall math as
+    * [[lshTopK]] (sign-bit signatures, L tables, bucket-collision
+    * candidates, exact re-rank), but because the planes derive from the
+    * shared md5 hash family instead of seeded Gaussians, the ENTIRE
+    * approximate index — plane construction, signatures, bucketing,
+    * candidate join, re-rank — replays in SQL and is hash-checked
+    * cross-engine; the Gaussian variant stays a rows-only check.
+    * Signature dots accumulate left-to-right over dimensions on both
+    * sides, and run on the RAW vectors — the sign is norm-invariant, so
+    * skipping the unit division keeps the float arithmetic identical to
+    * the SQL replay (a divide-then-sum could flip a near-zero sign).
+    */
+  val SrpTables = 16
+  val SrpBits = 6
+
+  /** +1/-1 from the first md5 hex nibble's parity of "t|b|i". */
+  def srpSign(t: Int, b: Int, i: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$t|$b|$i".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 1) == 1) 1 else -1
+  }
+
+  def srpLshTopK(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int, bits: Int = SrpBits, tables: Int = SrpTables): DataFrame = {
+    import s.implicits._
+    val planes = s.sparkContext.broadcast(
+      Array.tabulate(tables, bits) { (t, b) =>
+        // dimension loop sized at use; signs are cheap to extend
+        Array.tabulate(256)(i => srpSign(t, b, i))
+      })
+    val bucketsUdf = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      (0 until tables).map { t =>
+        var sig = 0
+        var b = 0
+        while (b < bits) {
+          val p = planes.value(t)(b)
+          var dot = 0.0
+          var i = 0
+          while (i < arr.length) { dot += arr(i) * p(i); i += 1 }
+          if (dot >= 0) sig |= 1 << b
+          b += 1
+        }
+        (t.toLong << 32) | (sig & 0xffffffffL)
+      }
+    }
+    val rawV = transform(col("embedding"), _.cast("double"))
+    val c = OpUtil.spread(corpus)
+      .select(col("vec_id").as("neighbor_id"), asUnit(col("embedding")).as("cv"),
+        explode(bucketsUdf(rawV)).as("bucket"))
+    val q = queries
+      .select(col("vec_id").as("query_id"), asUnit(col("embedding")).as("qv"),
+        explode(bucketsUdf(rawV)).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        vec_dot(col("qv"), col("cv")).as("cos_raw"))
+      .distinct()
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"), col("rank"))
+  }
+
+  def annSrpLsh(s: SparkSession, dir: String): DataFrame =
+    srpLshTopK(s, Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
 }

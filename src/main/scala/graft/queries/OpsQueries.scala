@@ -86,6 +86,7 @@ object OpsQueries {
     "ann_pq_encode" -> (Similarity.annPqEncode _),
     "ann_pq_search" -> (Similarity.annPqSearch _),
     "ann_pq_refine" -> (Similarity.annPqRefine _),
+    "ann_srp_lsh" -> (Similarity.annSrpLsh _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
     "text_quality" -> (TextAnalysis.qualityQuery _),
@@ -330,6 +331,58 @@ object OpsQueries {
          |  FROM ex)
          |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
          |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin),
+    // the WHOLE approximate index replayed: md5-parity plane signs,
+    // left-to-right signature dots on raw vectors (sign is
+    // norm-invariant), bucket-collision candidates, exact cosine re-rank
+    // (the proven bruteforce equivalence)
+    "ann_srp_lsh" ->
+      s"""WITH dims AS (
+         |  SELECT unnest(generate_series(0,
+         |    (SELECT max(len(embedding)) - 1 FROM embeddings))) AS i),
+         |pl AS (
+         |  SELECT t.t, b.b, dims.i,
+         |    CASE WHEN (strpos('0123456789abcdef',
+         |        substr(md5(t.t::VARCHAR || '|' || b.b::VARCHAR || '|'
+         |          || dims.i::VARCHAR), 1, 1)) - 1) % 2 = 1
+         |      THEN 1.0 ELSE -1.0 END AS sg
+         |  FROM (SELECT unnest(generate_series(0, ${Similarity.SrpTables - 1}))
+         |          AS t) t
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${Similarity.SrpBits - 1}))
+         |          AS b) b
+         |  CROSS JOIN dims),
+         |el AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |    unnest(embedding)::DOUBLE AS vi
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT el.vec_id, pl.t, pl.b,
+         |    list_sum(list(el.vi * pl.sg ORDER BY el.i)) AS dt
+         |  FROM el JOIN pl ON pl.i = el.i
+         |  GROUP BY 1, 2, 3),
+         |sigs AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN dt >= 0 THEN 1 << b ELSE 0 END)::BIGINT AS sig
+         |  FROM dots GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT vec_id, t * 4294967296 + sig AS bucket FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bk q JOIN bk c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+         |ex AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    list_cosine_similarity(qe.embedding::DOUBLE[],
+         |      ne.embedding::DOUBLE[]) AS cos_raw
+         |  FROM cand
+         |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+         |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |  FROM ex)
+         |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
+         |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin,
     "ann_bruteforce" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -22,6 +22,18 @@ class RefineFrameSpec extends SparkSpec {
     assert(rRef >= 0.5, s"refined recall@5 = $rRef")
   }
 
+  test("SRP-LSH (md5 planes) reaches useful recall and excludes self") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = Similarity.queryVectors(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val srp = Similarity.srpLshTopK(spark, emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(!srp.exists(r => r._1 == r._2))
+    val recall = (exact & srp.toSet).size.toDouble / exact.size
+    assert(recall >= 0.4, s"SRP recall@5 = $recall")
+  }
+
   test("range-frame window: trailing sum covers same-day ties deterministically") {
     val rows = graft.queries.Relational.q31RangeWindow(spark, sfDir)
       .as[(Long, Long, Int, Double, Long)].collect()
