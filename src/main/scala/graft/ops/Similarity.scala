@@ -500,4 +500,61 @@ object Similarity {
 
   def annSrpLsh(s: SparkSession, dir: String): DataFrame =
     srpLshTopK(s, Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
+
+  /** IVF over DETERMINISTIC cells: the coarse quantizer is the
+    * [[centroidAssign]] primitive (fixed lowest-id centroid vectors, not
+    * k-means-trained), queries probe their [[IvfFixedProbe]] nearest
+    * cells, candidates re-rank exactly — the same index layout as
+    * [[ivfTopK]] but with every stage a deterministic function of the
+    * data, so the full inverted-file path (assign → probe → candidate →
+    * re-rank) is hash-checked in SQL; the Lloyd-trained variant stays
+    * rows-only. Same scale shape: centroids broadcast, one argmin pass
+    * over the corpus, candidate set = corpus/cells x nprobe per query.
+    */
+  val IvfFixedProbe = 2
+
+  def ivfFixedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorOps.vec_sqdist
+    val emb = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val cents = broadcast(emb.filter(col("vec_id") < NumCentroids)
+      .select(col("vec_id").as("centroid_id"), col("v").as("cv")))
+    def cellsOf(df: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(cents)
+        .select(col("vec_id").as(idCol), col("centroid_id"),
+          vec_sqdist(col("v"), col("cv")).as("d2"))
+      if (keep == 1)
+        scored.groupBy(idCol)
+          .agg(min(struct(col("d2"), col("centroid_id"))).as("best"))
+          .select(col(idCol), col("best.centroid_id").as("cell"))
+      else {
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("d2"), col("centroid_id"))
+        scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= keep)
+          .select(col(idCol), col("centroid_id").as("cell"))
+      }
+    }
+    val assigned = cellsOf(OpUtil.spread(emb), "neighbor_id", 1)
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        asUnit(col("embedding")).as("cv")), "neighbor_id")
+    val probed = cellsOf(queries.select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v")),
+        "query_id", IvfFixedProbe)
+      .join(queries.select(col("vec_id").as("query_id"),
+        asUnit(col("embedding")).as("qv")), "query_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        vec_dot(col("qv"), col("cv")).as("cos_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos_raw"), 6).as("cos"), col("rank"))
+  }
+
+  def annIvfFixed(s: SparkSession, dir: String): DataFrame =
+    ivfFixedTopK(Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
 }

@@ -175,7 +175,45 @@ object Sketches {
           .as("n_false_pos"))
   }
 
+  val AmsRows = 8
+
+  /** AMS (Alon-Matias-Szegedy) second-moment sketch: F2 = sum of squared
+    * token frequencies (the collision mass / self-join size — what a
+    * planner wants before joining on a key, and the repetition signal of
+    * a token stream). Each of [[AmsRows]] estimators keeps one integer,
+    * sum(s_j(tok) * c_tok) with s_j = +/-1 from md5 parity; its square
+    * is an unbiased F2 estimate, and the row-mean is the sketch output.
+    * All-integer arithmetic (signs, counts, squares), so estimate and
+    * error are exact cross-engine; the sign is a codegen'd column
+    * expression, no UDF. One combinable aggregation per (source, row) —
+    * the sketch state is AmsRows integers per source however large the
+    * stream.
+    */
+  def amsF2(docs: DataFrame): DataFrame = {
+    val counts = OpUtil.spread(docs)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .cache() // exact F2 and the sketch both fold this table
+    val exact = counts.groupBy("source")
+      .agg(sum(col("c") * col("c")).as("f2_exact"))
+    val rows = array((0 until AmsRows).map(lit): _*)
+    val sign = (conv(substring(md5(concat(col("j"), lit("|"), col("tok"))), 1, 1),
+      16, 10).cast("long") % 2) * 2 - 1
+    val est = counts
+      .select(col("source"), col("tok"), col("c"), explode(rows).as("j"))
+      .groupBy("source", "j")
+      .agg(sum(sign * col("c")).as("x"))
+      .groupBy("source")
+      .agg(expr(s"sum(x * x) div $AmsRows").as("ams_est"))
+    exact.join(est, "source")
+      .select(col("source"), col("f2_exact"), col("ams_est"),
+        expr("abs(ams_est - f2_exact) * 100 div f2_exact").as("err_pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_ams_f2" -> ((s: SparkSession, d: String) =>
+      amsF2(Tables.documents(s, d))),
     "sketch_kmv" -> ((s: SparkSession, d: String) =>
       kmvDistinct(Tables.documents(s, d))),
     "sketch_countmin" -> ((s: SparkSession, d: String) =>
@@ -187,6 +225,30 @@ object Sketches {
   private val kmvNumerator = (KmvK - 1).toLong * (1L << 48)
 
   val oracles: Map[String, String] = Map(
+    // first-md5-nibble parity signs, all-integer sums/squares
+    "sketch_ams_f2" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT source, tok, count(*)::BIGINT AS c FROM toks
+         |  WHERE length(tok) > 0 GROUP BY 1, 2),
+         |exact AS (
+         |  SELECT source, sum(c * c)::BIGINT AS f2_exact FROM cnt GROUP BY 1),
+         |x AS (
+         |  SELECT cnt.source, g.j,
+         |    sum(((strpos('0123456789abcdef',
+         |        substr(md5(g.j::VARCHAR || '|' || cnt.tok), 1, 1)) - 1) % 2
+         |        * 2 - 1) * cnt.c)::BIGINT AS x
+         |  FROM cnt CROSS JOIN
+         |    (SELECT unnest(generate_series(0, ${AmsRows - 1})) AS j) g
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT source, sum(x * x)::BIGINT // $AmsRows AS ams_est
+         |  FROM x GROUP BY source)
+         |SELECT exact.source, exact.f2_exact, est.ams_est,
+         |  abs(est.ams_est - exact.f2_exact) * 100 // exact.f2_exact AS err_pct
+         |FROM exact JOIN est ON exact.source = est.source""".stripMargin,
     // DISTINCT on the hash (not the token) mirrors the aggregator's
     // skip-equal-values insert; all-integer estimate arithmetic
     "sketch_kmv" ->

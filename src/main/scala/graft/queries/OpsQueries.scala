@@ -87,6 +87,7 @@ object OpsQueries {
     "ann_pq_search" -> (Similarity.annPqSearch _),
     "ann_pq_refine" -> (Similarity.annPqRefine _),
     "ann_srp_lsh" -> (Similarity.annSrpLsh _),
+    "ann_ivf_fixed" -> (Similarity.annIvfFixed _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
     "text_quality" -> (TextAnalysis.qualityQuery _),
@@ -331,6 +332,47 @@ object OpsQueries {
          |  FROM ex)
          |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
          |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin),
+    // the full inverted-file path replayed: centroid argmin (the
+    // centroid-assign oracle pattern), nprobe-nearest probe cells,
+    // candidate join on cell, exact cosine re-rank
+    "ann_ivf_fixed" ->
+      s"""WITH c AS (
+         |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+         |  FROM embeddings WHERE vec_id < ${Similarity.NumCentroids}),
+         |sc AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |    list_sum(list_transform(range(1, len(cv) + 1),
+         |      i -> (e.embedding[i]::DOUBLE - cv[i]) *
+         |           (e.embedding[i]::DOUBLE - cv[i]))) AS d2
+         |  FROM embeddings e CROSS JOIN c),
+         |rk AS (
+         |  SELECT vec_id, centroid_id, d2,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY d2, centroid_id) AS rn
+         |  FROM sc),
+         |asn AS (SELECT vec_id AS neighbor_id, centroid_id AS cell
+         |        FROM rk WHERE rn = 1),
+         |probe AS (
+         |  SELECT vec_id AS query_id, centroid_id AS cell
+         |  FROM rk WHERE vec_id < 10 AND rn <= ${Similarity.IvfFixedProbe}),
+         |cand AS (
+         |  SELECT probe.query_id, asn.neighbor_id
+         |  FROM asn JOIN probe ON asn.cell = probe.cell
+         |  WHERE asn.neighbor_id != probe.query_id),
+         |ex AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    list_cosine_similarity(qe.embedding::DOUBLE[],
+         |      ne.embedding::DOUBLE[]) AS cos_raw
+         |  FROM cand
+         |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+         |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |  FROM ex)
+         |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
+         |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin,
     // the WHOLE approximate index replayed: md5-parity plane signs,
     // left-to-right signature dots on raw vectors (sign is
     // norm-invariant), bucket-collision candidates, exact cosine re-rank

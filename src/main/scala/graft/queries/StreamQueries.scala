@@ -16,7 +16,8 @@ object StreamQueries {
     "stream_user_totals" -> (EventStreams.userTotals _),
     "stream_sessions" -> (EventStreams.sessionize _),
     "stream_dedup" -> (EventStreams.dedupExact _),
-    "stream_interval_join" -> (EventStreams.clickPurchaseJoin _)
+    "stream_interval_join" -> (EventStreams.clickPurchaseJoin _),
+    "stream_kmv" -> (EventStreams.kmvDistinctStream _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -47,6 +48,8 @@ object StreamQueries {
         |  ON c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.user_id = c.user_id
         |  AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts < c.ts""".stripMargin,
+    // same oracle as batch sketch_kmv — stream/batch sketch equivalence
+    "stream_kmv" -> graft.ops.Sketches.oracles("sketch_kmv"),
     // same oracle as batch dedup_exact — arrival-order-independent keeper
     "stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,

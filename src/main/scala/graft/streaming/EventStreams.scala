@@ -226,4 +226,46 @@ object EventStreams {
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
     runToMemorySink(s, agg, OutputMode.Complete).localCheckpoint(eager = true)
   }
+
+  /** Streaming KMV distinct-count sketch: the same custom combinable
+    * Aggregator as the batch sketch_kmv — KMV state is order-insensitive
+    * and merge-safe, which is exactly what makes it valid streaming
+    * state (each micro-batch folds in, arrival order irrelevant). The
+    * exact distinct count rides along from a second drained aggregation
+    * (streaming forbids nested aggs in one query); both results join
+    * batch-side into the batch query's schema, so the SAME DuckDB oracle
+    * checks stream/batch sketch equivalence.
+    */
+  def kmvDistinctStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    def toks = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val kmv = udaf(new Sketches.KMinValues(Sketches.KmvK))
+    val sketch = runToMemorySink(s,
+      toks.select(col("source"), Sketches.h48(col("tok")).as("h"))
+        .groupBy("source").agg(kmv(col("h")).as("mins")),
+      OutputMode.Complete).localCheckpoint(eager = true)
+    val pairs = runToMemorySink(s,
+      toks.groupBy("source", "tok").agg(count(lit(1)).as("c")),
+      OutputMode.Complete).localCheckpoint(eager = true)
+    val numerator = (Sketches.KmvK - 1).toLong * (1L << 48)
+    pairs.groupBy("source").agg(count(lit(1)).as("n_exact"))
+      .join(sketch, "source")
+      .select(col("source"), col("n_exact"),
+        size(col("mins")).cast("long").as("n_kept"),
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"))
+      .withColumn("ndv_est",
+        when(col("n_kept") < Sketches.KmvK, col("n_kept"))
+          .otherwise(expr(s"$numerator div kth_hash")))
+  }
 }

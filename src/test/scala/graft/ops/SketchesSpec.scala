@@ -48,6 +48,40 @@ class SketchesSpec extends SparkSpec {
     assert(out.count { case (e, c, _) => c <= 2 * e } >= Sketches.CmTopK / 2)
   }
 
+  test("AMS F2 estimate is unbiased-ish: within 2/sqrt(rows) relative error here") {
+    val out = Sketches.amsF2(graft.Tables.documents(spark, sfDir))
+      .select("source", "f2_exact", "ams_est").as[(String, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, exact, est) =>
+      assert(est > 0, s"$src estimate positive")
+      // AMS variance gives rse ~ sqrt(2/rows); allow a loose 3-sigma band
+      val tol = 3.0 * math.sqrt(2.0 / Sketches.AmsRows)
+      assert(math.abs(est - exact).toDouble / exact <= tol,
+        s"$src: est $est vs exact $exact")
+    }
+  }
+
+  test("streaming KMV equals the batch KMV sketch exactly") {
+    val batch = Sketches.kmvDistinct(graft.Tables.documents(spark, sfDir))
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    val stream = graft.streaming.EventStreams.kmvDistinctStream(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(stream == batch)
+  }
+
+  test("fixed-cell IVF: dense ranks, no self, recall vs brute force") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val queries = Similarity.queryVectors(spark, sfDir)
+    val out = Similarity.ivfFixedTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(out.groupBy(_._1).size == 10)
+    assert(!out.exists(r => r._1 == r._2))
+    val exact = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & out.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.4, s"fixed-IVF recall@5 = $recall")
+  }
+
   test("bloom join: zero false negatives; false positives are the overshoot exactly") {
     val out = Sketches.bloomJoinStats(
       graft.Tables.customer(spark, sfDir), graft.Tables.orders(spark, sfDir))
