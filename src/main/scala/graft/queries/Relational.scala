@@ -518,7 +518,31 @@ object Relational {
       .groupBy(col("l_returnflag"), col("measure"))
       .agg(count(lit(1)).as("n"), money(sum(col("value"))).as("sum_value"))
 
+  /** Full-outer join with unmatched rows on BOTH sides: high-balance
+    * customers against big-ticket order aggregates — either side can
+    * miss, and the coalesced keys/grand totals must survive the nulls.
+    * Completes the join-flavor inventory (inner/semi/anti/left-outer/
+    * full-outer/lateral/salted).
+    */
+  def q34FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"), col("c_name"), money(col("c_acctbal")).as("bal"))
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 350000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big_orders"),
+        money(sum(col("o_totalprice"))).as("big_total"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("bal"),
+        coalesce(col("n_big_orders"), lit(0L)).as("n_big_orders"),
+        coalesce(col("big_total"), lit(0.0)).as("big_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q34_full_outer" -> q34FullOuter _,
     "q33_unpivot" -> q33Unpivot _,
     "q32_recursive" -> q32Recursive _,
     "q31_range_window" -> q31RangeWindow _,
@@ -555,6 +579,19 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q34_full_outer" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+        |  FROM customer WHERE c_acctbal > 9000.0),
+        |ord AS (
+        |  SELECT o_custkey, count(*) AS n_big_orders,
+        |    round(sum(o_totalprice), 2) AS big_total
+        |  FROM orders WHERE o_totalprice > 350000.0
+        |  GROUP BY o_custkey)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, bal,
+        |  coalesce(n_big_orders, 0) AS n_big_orders,
+        |  coalesce(big_total, 0.0) AS big_total
+        |FROM cust FULL OUTER JOIN ord ON c_custkey = o_custkey""".stripMargin,
     "q33_unpivot" ->
       """WITH m AS (
         |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value
