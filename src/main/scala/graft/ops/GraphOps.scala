@@ -62,7 +62,10 @@ object GraphOps {
     val ew = edges.join(outw, "src").cache()
     val nodes = ev.select(col("item").as("node")).distinct().cache()
     val n = nodes.count()
-    require(n > 0, "pagerank: no nodes")
+    if (n == 0) {
+      // empty event stream → empty rank table, not a crash
+      return nodes.select(col("node"), lit(0L).as("rank_fp"))
+    }
     val init = PrScale / n
     val base = (1000L - PrDampNum) * init / 1000L
     // iterate on the IN-MASS vector only: any node's rank is
@@ -88,9 +91,40 @@ object GraphOps {
         (lit(base) + coalesce(col("mass"), lit(0L))).as("rank_fp"))
   }
 
+  /** Triangle census of the undirected transition graph — the classic
+    * MapReduce graph benchmark (clustering-coefficient numerator,
+    * community-density signal). Canonical edge orientation (a < b) plus
+    * the a<b<c chain join means each triangle is counted exactly once;
+    * two equi-joins on node ids, all integer. At scale the standard
+    * refinement is degree-ordering the join to bound skew; the shape
+    * here (join smaller-endpoint adjacency against itself) is the
+    * textbook node-iterator layout.
+    */
+  def triangleCensus(events: DataFrame): DataFrame = {
+    val und = transitionEdges(events)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .cache()
+    val wedges = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val tris = wedges.join(und.as("e3"),
+      col("x") === col("e3.a") && col("z") === col("e3.b"))
+    val nodes = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v"))).distinct()
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(nodes.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
-      pagerank(Tables.events(s, d)))
+      pagerank(Tables.events(s, d))),
+    "graph_triangles" -> ((s: SparkSession, d: String) =>
+      triangleCensus(Tables.events(s, d)))
   )
 
   private def iterSql(prev: String, cur: String): String =
@@ -105,6 +139,30 @@ object GraphOps {
        |    GROUP BY ew.dst) m ON m.dst = nodes.node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_triangles" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    (json_extract_string(props, '$.k'))::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS src, item AS dst
+        |  FROM ev),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM tr WHERE src IS NOT NULL AND src != dst),
+        |tris AS (
+        |  SELECT count(*)::BIGINT AS n_triangles
+        |  FROM und e1
+        |  JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |nodes AS (
+        |  SELECT count(DISTINCT v)::BIGINT AS n_nodes FROM (
+        |    SELECT a AS v FROM und UNION SELECT b FROM und)),
+        |edges AS (SELECT count(*)::BIGINT AS n_edges FROM und)
+        |SELECT nodes.n_nodes, edges.n_edges, tris.n_triangles
+        |FROM nodes CROSS JOIN edges CROSS JOIN tris""".stripMargin,
     // the five iterations unrolled as chained CTEs; // on positive
     // BIGINTs = Spark's div, applied in the identical order
     "graph_pagerank" ->

@@ -541,7 +541,45 @@ object Relational {
         coalesce(col("big_total"), lit(0.0)).as("big_total"))
   }
 
+  /** Reduce-side join THROUGH THE REFERENCE'S MAPREDUCE CONTRACT: the
+    * classic tagged-union join (the only join pattern the MapReduce
+    * model offers — the reference has no join operator at all, §2.4) —
+    * both tables map to (key, tagged record), one shuffle groups a key's
+    * customer row with its order rows, and the reducer emits the joined
+    * aggregate. Runs on [[graft.core.MapReduceJob]], the reference
+    * contract facade (`include/PandaAPI.h:29-51`), so the gate proves
+    * the MR layer can express relational work — while q7 shows the same
+    * query as the declarative plan Catalyst optimizes, which is the
+    * form to prefer.
+    */
+  def mrJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name")).as[(Long, String)]
+      .rdd.map { case (k, name) => (k, Left(name): Either[String, Double]) }
+    val ord = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_totalprice")).as[(Long, Double)]
+      .rdd.map { case (k, price) => (k, Right(price): Either[String, Double]) }
+    val joined = graft.core.MapReduceJob(cust.union(ord)) {
+      kv => Iterator.single(kv)
+    }.reduce[(Long, String, Long, Double)] { (k, vs) =>
+      var name: String = null
+      var n = 0L
+      var sum = 0.0
+      vs.foreach {
+        case Left(nm) => name = nm
+        case Right(p) => n += 1; sum += p
+      }
+      // customer-driven (left) semantics: orders without a customer drop
+      if (name == null) Iterator.empty
+      else Iterator.single((k, name, n, sum))
+    }
+    joined.toDF("custkey", "c_name", "n_orders", "total_spent")
+      .withColumn("total_spent", money(col("total_spent")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_join" -> mrJoin _,
     "q34_full_outer" -> q34FullOuter _,
     "q33_unpivot" -> q33Unpivot _,
     "q32_recursive" -> q32Recursive _,
@@ -579,6 +617,12 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "mr_join" ->
+      """SELECT c_custkey AS custkey, c_name,
+        |  count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "q34_full_outer" ->
       """WITH cust AS (
         |  SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal

@@ -231,10 +231,11 @@ object EventStreams {
     * Aggregator as the batch sketch_kmv — KMV state is order-insensitive
     * and merge-safe, which is exactly what makes it valid streaming
     * state (each micro-batch folds in, arrival order irrelevant). The
-    * exact distinct count rides along from a second drained aggregation
-    * (streaming forbids nested aggs in one query); both results join
-    * batch-side into the batch query's schema, so the SAME DuckDB oracle
-    * checks stream/batch sketch equivalence.
+    * STREAM carries only the sketch (bounded state: k longs per
+    * source); the exact distinct count — a pure error-reference column
+    * that no real deployment would compute — joins in from a batch read
+    * of the same file. Output schema equals the batch query's, so the
+    * SAME DuckDB oracle checks stream/batch sketch equivalence.
     */
   def kmvDistinctStream(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Sketches
@@ -244,7 +245,7 @@ object EventStreams {
       StructField("lang", StringType),
       StructField("source", StringType),
       StructField("n_chars", LongType)))
-    def toks = s.readStream
+    val toks = s.readStream
       .schema(docSchema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(dir)
@@ -255,12 +256,12 @@ object EventStreams {
       toks.select(col("source"), Sketches.h48(col("tok")).as("h"))
         .groupBy("source").agg(kmv(col("h")).as("mins")),
       OutputMode.Complete).localCheckpoint(eager = true)
-    val pairs = runToMemorySink(s,
-      toks.groupBy("source", "tok").agg(count(lit(1)).as("c")),
-      OutputMode.Complete).localCheckpoint(eager = true)
     val numerator = (Sketches.KmvK - 1).toLong * (1L << 48)
-    pairs.groupBy("source").agg(count(lit(1)).as("n_exact"))
-      .join(sketch, "source")
+    val exact = graft.Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source").agg(count_distinct(col("tok")).as("n_exact"))
+    exact.join(sketch, "source")
       .select(col("source"), col("n_exact"),
         size(col("mins")).cast("long").as("n_kept"),
         element_at(col("mins"), size(col("mins"))).as("kth_hash"))

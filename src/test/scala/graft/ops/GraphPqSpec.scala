@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** PQ-ADC search quality + fixed-point PageRank invariants (round 4). */
 class GraphPqSpec extends SparkSpec {
@@ -45,6 +46,41 @@ class GraphPqSpec extends SparkSpec {
       .orderBy(org.apache.spark.sql.functions.desc("in_w"))
       .select("dst").as[Long].head()
     assert(ranks(topIn) > base, "a hub node earns more than teleport mass")
+  }
+
+  test("pagerank on an empty event stream returns empty, not a crash") {
+    val empty = graft.Tables.events(spark, sfDir).filter(col("event_id") < 0)
+    assert(GraphOps.pagerank(empty).count() == 0)
+  }
+
+  test("triangle census: canonical orientation counts each triangle once") {
+    val out = GraphOps.triangleCensus(graft.Tables.events(spark, sfDir))
+      .as[(Long, Long, Long)].head()
+    val (nodes, edges, tris) = out
+    assert(nodes > 0 && edges > 0)
+    // upper bound: C(nodes, 3); a dense transition graph should have some
+    assert(tris <= nodes * (nodes - 1) * (nodes - 2) / 6)
+    assert(tris > 0, "fixture transition graph has triangles")
+    // brute-force recount on the collected edge set
+    val es = GraphOps.transitionEdges(graft.Tables.events(spark, sfDir))
+      .select("src", "dst").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2).toSet
+    val vs = es.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    var local = 0L
+    for (Seq(x, y, z) <- vs.combinations(3))
+      if (es((x, y)) && es((y, z)) && es((x, z))) local += 1
+    assert(local == tris, s"brute force $local vs engine $tris")
+  }
+
+  test("MR tagged-union join matches the declarative left-outer aggregate") {
+    val mr = graft.queries.Relational.mrJoin(spark, sfDir)
+      .select("custkey", "n_orders", "total_spent")
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    val df = graft.queries.Relational.q7OuterJoin(spark, sfDir)
+      .select(col("c_custkey"), col("n_orders"), col("total_spent"))
+      .as[(Long, Long, Double)].collect().sorted.toSeq
+    assert(mr == df)
   }
 
   test("pagerank is deterministic across runs") {
