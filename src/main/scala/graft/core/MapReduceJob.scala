@@ -30,16 +30,27 @@ final class MapReduceJob[I, K: ClassTag, V: ClassTag] private (
     mapFn: I => IterableOnce[(K, V)],
     combineFn: Option[(V, V) => V],
     partitioner: Option[Partitioner],
-    ordering: Option[Ordering[K]]) extends Serializable {
+    ordering: Option[Ordering[K]],
+    grouping: Option[(K, K) => Boolean] = None) extends Serializable {
 
   def withCombiner(fn: (V, V) => V): MapReduceJob[I, K, V] =
-    new MapReduceJob(input, mapFn, Some(fn), partitioner, ordering)
+    new MapReduceJob(input, mapFn, Some(fn), partitioner, ordering, grouping)
 
   def withPartitioner(p: Partitioner): MapReduceJob[I, K, V] =
-    new MapReduceJob(input, mapFn, combineFn, Some(p), ordering)
+    new MapReduceJob(input, mapFn, combineFn, Some(p), ordering, grouping)
 
   def withOrdering(ord: Ordering[K]): MapReduceJob[I, K, V] =
-    new MapReduceJob(input, mapFn, combineFn, partitioner, Some(ord))
+    new MapReduceJob(input, mapFn, combineFn, partitioner, Some(ord), grouping)
+
+  /** Hadoop's GROUPING COMPARATOR — the secondary-sort contract: sort by
+    * the full key, but cut reducer runs by a coarser equivalence (e.g.
+    * key = (user, timestamp), group by user → each reducer call sees one
+    * user's values in timestamp order). Only meaningful together with
+    * [[withOrdering]]; the partitioner must agree with the grouping
+    * (same group → same partition).
+    */
+  def withGrouping(equiv: (K, K) => Boolean): MapReduceJob[I, K, V] =
+    new MapReduceJob(input, mapFn, combineFn, partitioner, ordering, Some(equiv))
 
   private def defaultPartitioner: Partitioner =
     partitioner.getOrElse(new HashPartitioner(input.sparkContext.defaultParallelism))
@@ -73,8 +84,9 @@ final class MapReduceJob[I, K: ClassTag, V: ClassTag] private (
           .flatMap { case (k, v) => reduceFn(k, Iterator.single(v)) }
       case (None, Some(ord)) =>
         implicit val o: Ordering[K] = ord
+        val sameRun = grouping.getOrElse(ord.equiv _)
         mapped.repartitionAndSortWithinPartitions(part)
-          .mapPartitions(MapReduceJob.runsOf(_, ord.equiv).flatMap {
+          .mapPartitions(MapReduceJob.runsOf(_, sameRun).flatMap {
             case (k, vs) => reduceFn(k, vs.iterator).iterator
           })
       case (None, None) =>

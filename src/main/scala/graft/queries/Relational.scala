@@ -578,7 +578,46 @@ object Relational {
       .withColumn("total_spent", money(col("total_spent")))
   }
 
+  /** Hadoop-style SECONDARY SORT through the MR facade: key =
+    * (custkey, day, orderkey), partition by custkey alone, total-order
+    * the key, cut reducer runs with a grouping comparator on custkey —
+    * each reducer call sees one customer's orders already date-ordered,
+    * with no per-group sort buffer (the reference's sort-stage semantics,
+    * `src/PandaSort.cu`, done the way Hadoop's grouping comparator
+    * defines it). The declarative twin is a sorted collect_list; this
+    * runs on `repartitionAndSortWithinPartitions` + run-cutting.
+    */
+  def mrSecondarySort(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("long").as("day"),
+        col("o_orderkey"))
+      .as[(Long, Long, Long)].rdd
+    val nParts = rows.sparkContext.defaultParallelism
+    val byCust = new org.apache.spark.Partitioner {
+      def numPartitions: Int = nParts
+      def getPartition(key: Any): Int = {
+        val k = key.asInstanceOf[(Long, Long, Long)]
+        java.lang.Math.floorMod(k._1.hashCode, nParts)
+      }
+    }
+    graft.core.MapReduceJob(rows) { case (c, d, o) =>
+      Iterator.single(((c, d, o), o))
+    }
+      .withPartitioner(byCust)
+      .withOrdering(Ordering[(Long, Long, Long)])
+      .withGrouping((a, b) => a._1 == b._1)
+      .reduce[(Long, String, Long)] { (k, vs) =>
+        val ordered = vs.toSeq
+        Iterator.single((k._1, ordered.take(3).mkString(","), ordered.size.toLong))
+      }
+      .toDF("custkey", "first3", "n_orders")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mr_secondary_sort" -> mrSecondarySort _,
     "mr_join" -> mrJoin _,
     "q34_full_outer" -> q34FullOuter _,
     "q33_unpivot" -> q33Unpivot _,
@@ -617,6 +656,13 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "mr_secondary_sort" ->
+      """SELECT o_custkey AS custkey,
+        |  array_to_string((list(o_orderkey
+        |    ORDER BY (o_orderdate::DATE - DATE '1992-01-01'), o_orderkey))[1:3],
+        |    ',') AS first3,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
     "mr_join" ->
       """SELECT c_custkey AS custkey, c_name,
         |  count(o_orderkey) AS n_orders,

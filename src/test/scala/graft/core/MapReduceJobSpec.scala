@@ -95,6 +95,32 @@ class MapReduceJobSpec extends SparkSpec {
     } finally java.nio.file.Files.delete(f)
   }
 
+  test("grouping comparator cuts runs coarser than the sort order (secondary sort)") {
+    // key = (group, seq); sort by both, group by the first component only:
+    // each reducer call must see one group's values in seq order
+    val data = spark.sparkContext.parallelize(Seq(
+      (2L, 30L, "c"), (1L, 20L, "b"), (1L, 10L, "a"),
+      (2L, 10L, "x"), (1L, 30L, "c2"), (2L, 20L, "y")), 3)
+    val nParts = 2
+    val byGroup = new org.apache.spark.Partitioner {
+      def numPartitions: Int = nParts
+      def getPartition(key: Any): Int =
+        java.lang.Math.floorMod(key.asInstanceOf[(Long, Long)]._1.hashCode, nParts)
+    }
+    val runs = MapReduceJob(data) { case (g, s, v) =>
+      Iterator.single(((g, s), v))
+    }
+      .withPartitioner(byGroup)
+      .withOrdering(Ordering[(Long, Long)])
+      .withGrouping((a, b) => a._1 == b._1)
+      .reduce[(Long, String)] { (k, vs) =>
+        Iterator.single((k._1, vs.mkString(",")))
+      }
+      .collect().toMap
+    assert(runs == Map(1L -> "a,b,c2", 2L -> "x,y,c"),
+      s"got $runs")
+  }
+
   test("elf hash matches the reference algorithm on known vectors") {
     // vectors computed by hand-running the ELF algorithm
     assert(ElfHash("") == 0L)
