@@ -35,6 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[VectorSqDist].getName, "vec_sqdist"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorSqDist(exprs.head, exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("no_pushdown"),
       new ExpressionInfo(classOf[PushdownBarrier].getName, "no_pushdown"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

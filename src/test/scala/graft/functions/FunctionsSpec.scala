@@ -34,11 +34,13 @@ class FunctionsSpec extends SparkSpec {
     val row = spark.sql(
       "SELECT elf_hash(cast('AB' as binary)) AS h, " +
         "vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "vec_sqdist(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS s, " +
         "no_pushdown(7) AS p")
       .first()
     assert(row.getLong(0) == 0x452L)
     assert(row.getDouble(1) == 11.0)
-    assert(row.getInt(2) == 7)
+    assert(row.getDouble(2) == 8.0)
+    assert(row.getInt(3) == 7)
   }
 
   test("registered SQL functions work end-to-end") {
