@@ -557,4 +557,50 @@ object Similarity {
 
   def annIvfFixed(s: SparkSession, dir: String): DataFrame =
     ivfFixedTopK(Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
+
+  /** Lloyd's k-means in INTEGER FIXED POINT — the paper's own C-means
+    * benchmark family (BASELINE.md Table 3), made exactly reproducible:
+    * coordinates quantize to floor(v*1000) integers, distances are
+    * integer squared-L2, new centroids are integer-division means, and
+    * ties break to the lower cluster id. Two full Lloyd iterations then
+    * a final assignment — every number along the way is a BIGINT, so
+    * the whole ITERATIVE clustering hash-checks cross-engine (the
+    * float MLlib k-means/GMM stay rows-only; this is their
+    * deterministic twin, like srp-lsh/ivf-fixed are for the ANN pair).
+    * Shape at scale: data lives in long (vec, dim, q) form; each
+    * iteration is one broadcast of the K x dim centroid table, one
+    * combinable per-vector argmin, and one combinable centroid mean —
+    * no driver loops over data, only over the 2 iteration indices.
+    */
+  val FpK = 4
+  val FpIters = 2
+  val FpScale = 1000
+
+  def cmeansFixedPoint(corpus: DataFrame): DataFrame = {
+    val el = OpUtil.spread(corpus)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"),
+        floor(col("v").cast("double") * FpScale).cast("long").as("q"))
+      .cache()
+    var cents = el.filter(col("vec_id") < FpK)
+      .select(col("vec_id").as("c"), col("i"), col("q").as("cq"))
+    var assign: DataFrame = null
+    for (_ <- 1 to FpIters) {
+      assign = el.join(broadcast(cents), "i")
+        .groupBy(col("vec_id"), col("c"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("c"))).as("best"))
+        .select(col("vec_id"), col("best.c").as("c"))
+      cents = el.join(assign, "vec_id")
+        .groupBy(col("c"), col("i"))
+        .agg(expr("sum(q) div count(1)").as("cq"))
+    }
+    assign.groupBy("c").agg(count(lit(1)).as("n_points"))
+      .join(cents.groupBy("c").agg(sum(col("cq")).as("centroid_mass")), "c")
+      .select(col("c").as("cluster"), col("n_points"), col("centroid_mass"))
+  }
+
+  def cmeansFixedPointQuery(s: SparkSession, dir: String): DataFrame =
+    cmeansFixedPoint(Tables.embeddings(s, dir))
 }

@@ -88,6 +88,7 @@ object OpsQueries {
     "ann_pq_refine" -> (Similarity.annPqRefine _),
     "ann_srp_lsh" -> (Similarity.annSrpLsh _),
     "ann_ivf_fixed" -> (Similarity.annIvfFixed _),
+    "cmeans_fixed_point" -> (Similarity.cmeansFixedPointQuery _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
     "text_quality" -> (TextAnalysis.qualityQuery _),
@@ -145,7 +146,45 @@ object OpsQueries {
        |  WHERE b.vec_id != lut.query_id
        |  GROUP BY 1, 2)""".stripMargin
 
+  /** One fixed-point Lloyd iteration as SQL: argmin assignment (integer
+    * d2, ties to lower cluster) then integer-division centroid means.
+    */
+  private def fpIterSql(centsIn: String, aOut: String, cOut: String): String =
+    s"""$aOut AS (
+       |  SELECT vec_id, c FROM (
+       |    SELECT vec_id, c,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+       |    FROM (
+       |      SELECT elq.vec_id, k.c,
+       |        sum((elq.q - k.cq) * (elq.q - k.cq))::BIGINT AS d2
+       |      FROM elq JOIN $centsIn k USING (i) GROUP BY 1, 2))
+       |  WHERE rn = 1),
+       |$cOut AS (
+       |  SELECT a.c, elq.i, sum(elq.q) // count(*) AS cq
+       |  FROM elq JOIN $aOut a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "cmeans_fixed_point" ->
+      (s"""WITH el AS (
+          |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          |    unnest(embedding)::DOUBLE AS v
+          |  FROM embeddings),
+          |elq AS (
+          |  SELECT vec_id, i, floor(v * ${Similarity.FpScale})::BIGINT AS q
+          |  FROM el),
+          |c0 AS (SELECT vec_id AS c, i, q AS cq FROM elq
+          |       WHERE vec_id < ${Similarity.FpK}),
+          |""".stripMargin
+        + (1 to Similarity.FpIters)
+          .map(k => fpIterSql(s"c${k - 1}", s"a$k", s"c$k")).mkString(",\n") +
+        s"""
+           |SELECT n.cluster, n.n_points, m.centroid_mass FROM
+           |  (SELECT c AS cluster, count(*) AS n_points
+           |   FROM a${Similarity.FpIters} GROUP BY 1) n
+           |JOIN
+           |  (SELECT c AS cluster, sum(cq)::BIGINT AS centroid_mass
+           |   FROM c${Similarity.FpIters} GROUP BY 1) m
+           |USING (cluster)""".stripMargin),
     "text_langid" -> TextAnalysis.langIdOracleSql,
     // the stub codec's LCG payload is recomputed bit-exactly in SQL:
     // HUGEINT arithmetic emulates unsigned-64 wraparound, a recursive CTE

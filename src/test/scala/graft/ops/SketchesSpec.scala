@@ -69,6 +69,18 @@ class SketchesSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("fixed-point k-means partitions the corpus and is run-deterministic") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val out = Similarity.cmeansFixedPoint(emb)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == (0L until Similarity.FpK.toLong))
+    assert(out.map(_._2).sum == emb.count(), "every vector assigned once")
+    assert(out.forall(_._2 > 0), "no empty cluster on this fixture")
+    val again = Similarity.cmeansFixedPoint(emb)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == again)
+  }
+
   test("fixed-cell IVF: dense ranks, no self, recall vs brute force") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = Similarity.queryVectors(spark, sfDir)
