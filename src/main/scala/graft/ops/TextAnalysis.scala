@@ -453,6 +453,40 @@ object TextAnalysis {
   def gopherRulesQuery(s: SparkSession, dir: String): DataFrame =
     gopherRules(Tables.documents(s, dir))
 
+  /** Feature hashing (the "hashing trick", Weinberger et al. 2009): each
+    * token maps to one of [[FhDim]] buckets with a ±1 sign, both
+    * md5-derived, and a document becomes the signed occurrence-count
+    * vector — the fixed-width featurizer that needs NO vocabulary pass,
+    * which is why it scales to any corpus (one combinable aggregation,
+    * no broadcast dictionary, no OOV concept). Output per doc: token
+    * count, non-zero bucket count, and the squared L2 norm of the hashed
+    * vector — all integers, so the whole featurizer is hash-checked.
+    */
+  val FhDim = 64
+
+  def featureHashing(docs: DataFrame): DataFrame = {
+    val toks = OpUtil.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("f|"), col("tok"))), 1, 12), 16, 10)
+        .cast("long"), lit(FhDim))
+    val sign = (conv(substring(md5(concat(lit("s|"), col("tok"))), 1, 1),
+      16, 10).cast("long") % 2) * 2 - 1
+    toks
+      .select(col("doc_id"), bucket.as("bucket"), sign.as("sg"))
+      .groupBy("doc_id", "bucket")
+      .agg(sum(col("sg")).as("x"), count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("x") =!= 0, 1L).otherwise(0L)).as("nnz"),
+        sum(col("x") * col("x")).as("l2sq"))
+  }
+
+  def featureHashingQuery(s: SparkSession, dir: String): DataFrame =
+    featureHashing(Tables.documents(s, dir))
+
   /** BPE pair statistics — the inner loop of byte-pair-encoding tokenizer
     * training: corpus-weighted counts of adjacent symbol pairs (the pair
     * with the max count is the next merge). Computed over DISTINCT words

@@ -23,7 +23,15 @@ object DedupQueries {
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "dedup_span" -> (Dedup.spanQuery _),
     "dedup_cdc" -> (Dedup.cdcQuery _),
-    "dedup_incremental" -> (Dedup.incrementalQuery _)
+    "dedup_incremental" -> (Dedup.incrementalQuery _),
+    // semantic dedup at cluster granularity: embedding near-dup pairs →
+    // GraphX connected components (the same canonicalization the
+    // minhash clusters use, composed over the OTHER pair source — at
+    // scale this is how an embedding-dedup stage emits keep/drop lists)
+    "dedup_semantic_clusters" -> ((s: SparkSession, d: String) =>
+      Dedup.clustersFromPairs(s, Dedup.embeddingNearDup(s, d)
+        .select(org.apache.spark.sql.functions.col("vec_a").as("doc_a"),
+          org.apache.spark.sql.functions.col("vec_b").as("doc_b"))))
   )
 
   /** Shared CTE prefix producing the exact-Jaccard near-dup pairs; the
@@ -173,6 +181,24 @@ object DedupQueries {
         |    b.embedding::DOUBLE[]), 6) AS cos
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-        |  b.embedding::DOUBLE[]), 6) >= 0.45""".stripMargin
+        |  b.embedding::DOUBLE[]), 6) >= 0.45""".stripMargin,
+    // same transitive-closure oracle pattern as dedup_clusters, over the
+    // embedding pair source
+    "dedup_semantic_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]), 6) >= 0.45),
+        |edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u)
+        |SELECT a AS doc_id, least(a, min(b)) AS canonical
+        |FROM reach GROUP BY a""".stripMargin
   )
 }

@@ -27,6 +27,7 @@ object TextQueries {
     "text_unigram_lm" -> (TextAnalysis.unigramLmQuery _),
     "text_bigram_lm" -> (TextAnalysis.bigramLmQuery _),
     "text_gopher_rules" -> (TextAnalysis.gopherRulesQuery _),
+    "text_feature_hashing" -> (TextAnalysis.featureHashingQuery _),
     "text_bpe_pairs" -> (TextAnalysis.bpePairsQuery _),
     "text_vocab_encode" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabEncode(graft.Tables.documents(s, d))),
@@ -181,6 +182,29 @@ object TextQueries {
         |    AND (n_tokens > 0 AND n_alpha * 10 >= n_tokens * 8)
         |    AND (n_stop >= 2))::INT AS pass
         |FROM base""".stripMargin,
+    // md5-derived bucket + sign (the 48-bit/nibble-parity idioms), all
+    // integer sums — featurizer is exact cross-engine
+    "text_feature_hashing" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |tk AS (SELECT doc_id, tok FROM toks WHERE length(tok) > 0),
+         |hashed AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_transform(
+         |      string_split(substr(md5('f|' || tok), 1, 12), ''),
+         |      c -> (strpos('0123456789abcdef', c) - 1)::BIGINT),
+         |      (a, b) -> a * 16 + b) % ${TextAnalysis.FhDim} AS bucket,
+         |    ((strpos('0123456789abcdef',
+         |        substr(md5('s|' || tok), 1, 1)) - 1) % 2 * 2 - 1)::BIGINT AS sg
+         |  FROM tk),
+         |cells AS (
+         |  SELECT doc_id, bucket, sum(sg)::BIGINT AS x, count(*)::BIGINT AS cnt
+         |  FROM hashed GROUP BY 1, 2)
+         |SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+         |  sum(CASE WHEN x != 0 THEN 1 ELSE 0 END)::BIGINT AS nnz,
+         |  sum(x * x)::BIGINT AS l2sq
+         |FROM cells GROUP BY doc_id""".stripMargin,
     "text_unigram_lm" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok

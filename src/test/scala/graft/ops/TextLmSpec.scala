@@ -29,6 +29,28 @@ class TextLmSpec extends SparkSpec {
     assert(out(2L) == 1L && out(3L) == 3L)
   }
 
+  test("feature hashing: fixed width, norm bounds, vocabulary-free determinism") {
+    val out = TextAnalysis.featureHashing(graft.Tables.documents(spark, sfDir))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, nTok, nnz, l2sq) =>
+      assert(nnz <= math.min(TextAnalysis.FhDim.toLong, nTok), s"doc $id nnz")
+      assert(l2sq >= nnz, s"doc $id: each nonzero bucket contributes >= 1")
+      assert(l2sq <= nTok * nTok, s"doc $id l2 bound")
+    }
+  }
+
+  test("semantic clusters: canonical is the cluster minimum, symmetric membership") {
+    val clusters = graft.queries.DedupQueries
+      .queries("dedup_semantic_clusters")(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters.nonEmpty)
+    // canonical labels are themselves members mapping to themselves
+    clusters.values.toSet.foreach { c: Long => assert(clusters(c) == c) }
+    // canonical <= every member id (min-label convention)
+    clusters.foreach { case (id, c) => assert(c <= id) }
+  }
+
   test("gopher rules: each rule fires on its designed violation") {
     val longDoc = Array.fill(60)("steady").mkString(" ") +
       " the state of that land and all of it have been with them"
