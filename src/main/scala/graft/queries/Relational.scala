@@ -616,7 +616,44 @@ object Relational {
       .toDF("custkey", "first3", "n_orders")
   }
 
+  /** first/last/nth window values with EXPLICIT frames: per user's
+    * purchase stream, the first, latest-so-far, and second event values
+    * — last_value is only deterministic with a stated frame (the
+    * default RANGE frame ends at the current row, a classic silent-bug
+    * source this query pins on both engines).
+    */
+  def q35FirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        money(first(col("value")).over(w)).as("first_value"),
+        money(last(col("value")).over(w)).as("running_last"),
+        money(nth_value(col("value"), 2).over(w)).as("second_value"))
+  }
+
+  /** Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicities
+    * matter — a priority level appearing 3x among big orders and 2x
+    * among urgent-flag orders intersects twice. Complements q11's
+    * set-semantics pair; Spark plans both without materializing counts
+    * driver-side.
+    */
+  def q36BagSetOps(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 250000.0)
+      .select(col("o_custkey"))
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    big.intersectAll(urgent).withColumn("relation", lit("both_all"))
+      .unionAll(big.exceptAll(urgent).withColumn("relation", lit("big_only_all")))
+      .groupBy(col("o_custkey"), col("relation"))
+      .agg(count(lit(1)).as("multiplicity"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q35_first_last" -> q35FirstLast _,
+    "q36_bag_setops" -> q36BagSetOps _,
     "mr_secondary_sort" -> mrSecondarySort _,
     "mr_join" -> mrJoin _,
     "q34_full_outer" -> q34FullOuter _,
@@ -656,6 +693,27 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q35_first_last" ->
+      """SELECT event_id, user_id,
+        |  round(first_value(value) OVER w, 2) AS first_value,
+        |  round(last_value(value) OVER w, 2) AS running_last,
+        |  round(nth_value(value, 2) OVER w, 2) AS second_value
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q36_bag_setops" ->
+      """WITH big AS (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 250000.0),
+        |urgent AS (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |tagged AS (
+        |  SELECT o_custkey, 'both_all' AS relation
+        |  FROM (SELECT * FROM big INTERSECT ALL SELECT * FROM urgent)
+        |  UNION ALL
+        |  SELECT o_custkey, 'big_only_all'
+        |  FROM (SELECT * FROM big EXCEPT ALL SELECT * FROM urgent))
+        |SELECT o_custkey, relation, count(*) AS multiplicity
+        |FROM tagged GROUP BY 1, 2""".stripMargin,
     "mr_secondary_sort" ->
       """SELECT o_custkey AS custkey,
         |  array_to_string((list(o_orderkey

@@ -33,6 +33,38 @@ class CohortFunnelSpec extends SparkSpec {
     assert(d1 > 0, "fixture has at least one view")
   }
 
+  test("bag set ops: intersect-all multiplicity = min of the side counts") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val orders = graft.Tables.orders(spark, sfDir)
+    val nBig = orders.filter(col("o_totalprice") > 250000.0)
+      .groupBy("o_custkey").agg(count(lit(1))).as[(Long, Long)].collect().toMap
+    val nUrg = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_custkey").agg(count(lit(1))).as[(Long, Long)].collect().toMap
+    val out = Relational.q36BagSetOps(spark, sfDir)
+      .as[(Long, String, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach {
+      case (k, "both_all", m) =>
+        assert(m == math.min(nBig(k), nUrg.getOrElse(k, 0L)), s"cust $k")
+      case (k, "big_only_all", m) =>
+        assert(m == nBig(k) - math.min(nBig(k), nUrg.getOrElse(k, 0L)), s"cust $k")
+      case other => fail(s"unexpected row $other")
+    }
+  }
+
+  test("first/last/nth window: explicit frame semantics hold per user") {
+    import org.apache.spark.sql.functions.col
+    val rows = Relational.q35FirstLast(spark, sfDir)
+      .select("user_id", "first_value", "running_last", "second_value")
+      .as[(Long, Double, Double, Option[Double])].collect()
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      assert(rs.map(_._2).distinct.length == 1, s"user $u first_value constant")
+      // exactly one row per user (the first) lacks a second value
+      assert(rs.count(_._4.isEmpty) == (if (rs.length >= 1) 1 else 0), s"user $u")
+    }
+  }
+
   test("retention: offsets non-negative, cohort cells partition the active pairs") {
     val cells = Relational.q30Retention(spark, sfDir)
       .as[(String, Long, Long)].collect()
