@@ -124,8 +124,28 @@ object GraphOps {
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
       pagerank(Tables.events(s, d))),
     "graph_triangles" -> ((s: SparkSession, d: String) =>
-      triangleCensus(Tables.events(s, d)))
+      triangleCensus(Tables.events(s, d))),
+    "graph_degrees" -> ((s: SparkSession, d: String) =>
+      degreeHistogram(Tables.events(s, d)))
   )
+
+  /** Degree distribution of the transition graph, both directions in one
+    * frame — the skew diagnostic a graph pipeline reads before choosing
+    * join/partition strategy (a heavy-tailed out-degree histogram is the
+    * signal to salt or degree-order downstream joins). Two combinable
+    * aggregations per direction.
+    */
+  def degreeHistogram(events: DataFrame): DataFrame = {
+    val edges = transitionEdges(events)
+    def side(c: String, label: String) = edges
+      .groupBy(col(c).as("node"))
+      .agg(countDistinct(
+        col(if (c == "src") "dst" else "src")).as("fanout"))
+      .groupBy(col("fanout"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(label).as("direction"), col("fanout"), col("n_nodes"))
+    side("src", "out").unionAll(side("dst", "in"))
+  }
 
   private def iterSql(prev: String, cur: String): String =
     s"""$cur AS (
@@ -139,6 +159,28 @@ object GraphOps {
        |    GROUP BY ew.dst) m ON m.dst = nodes.node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_degrees" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    (json_extract_string(props, '$.k'))::BIGINT AS item
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL),
+        |tr AS (
+        |  SELECT lag(item) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS src, item AS dst
+        |  FROM ev),
+        |edges AS (
+        |  SELECT src, dst FROM tr WHERE src IS NOT NULL GROUP BY 1, 2),
+        |outs AS (
+        |  SELECT src, count(DISTINCT dst)::BIGINT AS fanout
+        |  FROM edges GROUP BY src),
+        |ins AS (
+        |  SELECT dst, count(DISTINCT src)::BIGINT AS fanout
+        |  FROM edges GROUP BY dst)
+        |SELECT 'out' AS direction, fanout, count(*)::BIGINT AS n_nodes
+        |FROM outs GROUP BY 2
+        |UNION ALL
+        |SELECT 'in', fanout, count(*)::BIGINT FROM ins GROUP BY 2""".stripMargin,
     "graph_triangles" ->
       """WITH ev AS (
         |  SELECT user_id, ts, event_id,

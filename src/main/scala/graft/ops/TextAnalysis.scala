@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -486,6 +487,30 @@ object TextAnalysis {
 
   def featureHashingQuery(s: SparkSession, dir: String): DataFrame =
     featureHashing(Tables.documents(s, dir))
+
+  /** CCNet-style quality tiers (Wenzek et al. 2020): per-LANGUAGE
+    * perplexity terciles — each language's docs rank by their unigram-LM
+    * score and split head/middle/tail, the bucketing CCNet uses to keep
+    * "head" web text for training. Ranking runs on the ROUNDED score
+    * (the cross-engine-stable value) with doc_id tiebreak, so the tier
+    * assignment is exact; one window per language partition after the
+    * LM's token-keyed join — no global sort.
+    */
+  def ccnetTiers(docs: DataFrame): DataFrame = {
+    val scored = unigramLogProb(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_logprob").desc, col("doc_id"))
+    scored
+      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+        ntile(3).over(w).as("b"))
+      .select(col("doc_id"), col("lang"), col("avg_logprob"),
+        when(col("b") === 1, "head").when(col("b") === 2, "middle")
+          .otherwise("tail").as("tier"))
+  }
+
+  def ccnetTiersQuery(s: SparkSession, dir: String): DataFrame =
+    ccnetTiers(Tables.documents(s, dir))
 
   /** BPE pair statistics — the inner loop of byte-pair-encoding tokenizer
     * training: corpus-weighted counts of adjacent symbol pairs (the pair

@@ -28,6 +28,7 @@ object TextQueries {
     "text_bigram_lm" -> (TextAnalysis.bigramLmQuery _),
     "text_gopher_rules" -> (TextAnalysis.gopherRulesQuery _),
     "text_feature_hashing" -> (TextAnalysis.featureHashingQuery _),
+    "text_ccnet_tiers" -> (TextAnalysis.ccnetTiersQuery _),
     "text_bpe_pairs" -> (TextAnalysis.bpePairsQuery _),
     "text_vocab_encode" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabEncode(graft.Tables.documents(s, d))),
@@ -182,6 +183,28 @@ object TextQueries {
         |    AND (n_tokens > 0 AND n_alpha * 10 >= n_tokens * 8)
         |    AND (n_stop >= 2))::INT AS pass
         |FROM base""".stripMargin,
+    // ntile over (rounded score desc, doc_id) — both engines implement
+    // standard ntile remainder-to-leading-buckets, and ranking on the
+    // round-4 value makes the order identical
+    "text_ccnet_tiers" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c)::BIGINT AS n FROM cnt),
+        |scored AS (
+        |  SELECT doc_id, round(avg(ln(c::DOUBLE / n)), 4) AS avg_logprob
+        |  FROM toks JOIN cnt USING (tok) CROSS JOIN tot
+        |  GROUP BY doc_id),
+        |t AS (
+        |  SELECT s.doc_id, d.lang, s.avg_logprob,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY s.avg_logprob DESC, s.doc_id) AS b
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, avg_logprob,
+        |  CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS tier
+        |FROM t""".stripMargin,
     // md5-derived bucket + sign (the 48-bit/nibble-parity idioms), all
     // integer sums — featurizer is exact cross-engine
     "text_feature_hashing" ->

@@ -51,6 +51,29 @@ class TextLmSpec extends SparkSpec {
     clusters.foreach { case (id, c) => assert(c <= id) }
   }
 
+  test("ccnet tiers: balanced terciles per language, head outscores tail") {
+    val rows = TextAnalysis.ccnetTiers(graft.Tables.documents(spark, sfDir))
+      .as[(Long, String, Double, String)].collect()
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._4).view.mapValues(_.length).toMap
+      val counts = Seq("head", "middle", "tail").map(sizes.getOrElse(_, 0))
+      assert(counts.max - counts.min <= 1, s"$lang terciles $counts")
+      for (h <- rs.filter(_._4 == "head"); t <- rs.filter(_._4 == "tail"))
+        assert(h._3 >= t._3, s"$lang: head ${h._1} below tail ${t._1}")
+    }
+  }
+
+  test("degree histogram mass equals the distinct edge count, both directions") {
+    val edges = GraphOps.transitionEdges(graft.Tables.events(spark, sfDir))
+      .select("src", "dst").distinct().count()
+    val hist = GraphOps.degreeHistogram(graft.Tables.events(spark, sfDir))
+      .as[(String, Long, Long)].collect()
+    Seq("out", "in").foreach { dir =>
+      val mass = hist.filter(_._1 == dir).map(r => r._2 * r._3).sum
+      assert(mass == edges, s"$dir mass $mass vs edges $edges")
+    }
+  }
+
   test("gopher rules: each rule fires on its designed violation") {
     val longDoc = Array.fill(60)("steady").mkString(" ") +
       " the state of that land and all of it have been with them"
