@@ -267,7 +267,41 @@ object PipelineOps {
         round(sum(col("l_quantity")), 2).as("sum_qty"))
   }
 
+  /** Deterministic span-corruption masking (the T5/BERT pretraining data
+    * transform): token position (doc, pos) is masked iff its md5-derived
+    * hash lands in the mask rate — reproducible across runs, workers,
+    * and partitionings, which is what a resumable preprocessing job
+    * needs (re-running a failed shard masks the SAME positions). Output
+    * per doc: token count, mask count, and the ordered masked-position
+    * list (serialized — the gate cannot hash array cells).
+    */
+  val MaskRate = 5 // mask 1-in-5 positions
+
+  def spanMask(docs: DataFrame): DataFrame = {
+    import graft.ops.Sketches.h48
+    val toks = OpUtil.spread(docs)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ", -1)).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val masked = pmod(
+      h48(concat(col("doc_id"), lit(":"), col("pos"))), lit(MaskRate)) === 0
+    toks
+      .select(col("doc_id"), col("pos"), col("tok"),
+        masked.cast("long").as("m"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("m")).as("n_masked"),
+        array_join(transform(
+          array_sort(collect_list(when(col("m") === 1, col("pos")))),
+          _.cast("string")), ",").as("masked_positions"),
+        sum(when(col("m") === 1, length(col("tok"))).otherwise(0L))
+          .as("masked_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_span_mask" -> ((s: SparkSession, d: String) =>
+      spanMask(Tables.documents(s, d))),
     "pipe_zorder" -> (zorderLayout _),
     "pipe_sample_hash" -> (sampleQuery _),
     "pipe_mixture" -> ((s: SparkSession, dir: String) =>
@@ -303,6 +337,27 @@ object PipelineOps {
     }.mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    // same h48 nibble fold on 'doc:pos'; FILTER + list(ORDER BY) gives
+    // the ordered masked-position serialization
+    "pipe_span_mask" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         |    generate_subscripts(string_split(text, ' '), 1) AS pos
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, pos, tok,
+         |    CASE WHEN ${graft.ops.Sketches.sqlH48(
+                "doc_id::VARCHAR || ':' || pos::VARCHAR")} % $MaskRate = 0
+         |      THEN 1 ELSE 0 END AS mk
+         |  FROM toks)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  sum(mk)::BIGINT AS n_masked,
+         |  coalesce(array_to_string(
+         |    list(pos ORDER BY pos) FILTER (WHERE mk = 1), ','), '')
+         |    AS masked_positions,
+         |  sum(CASE WHEN mk = 1 THEN length(tok) ELSE 0 END)::BIGINT
+         |    AS masked_chars
+         |FROM m GROUP BY doc_id""".stripMargin,
     "pipe_zorder" ->
       s"""WITH xy AS (
          |  SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y, l_quantity

@@ -96,7 +96,13 @@ object OpsQueries {
     "text_fingerprint" -> (TextAnalysis.fingerprintQuery _),
     "multimodal_features" -> (Multimodal.featuresQuery _),
     "multimodal_meta" -> (Multimodal.metaQuery _),
-    "multimodal_framestats" -> (Multimodal.frameStatsQuery _)
+    "multimodal_framestats" -> (Multimodal.frameStatsQuery _),
+    // resize-stub plumbing on the gate path: decoded dims clamped to a
+    // 32px box (the metadata half of a real resize; pixel transform is
+    // the stubbed codec's job)
+    "multimodal_resize" -> ((s: SparkSession, d: String) =>
+      Multimodal.resizeStub(
+        Multimodal.extractFeatures(Multimodal.mediaTable(s, d)), 32))
   )
 
   /** Shared ADC oracle prefix: PQ-encode the corpus (same CTEs as the
@@ -220,6 +226,11 @@ object OpsQueries {
         |  (16 + d.doc_id % 32)::INT AS height,
         |  f.mean_byte_x100, f.byte_entropy
         |FROM documents d JOIN feat f ON f.doc_id = d.doc_id""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |  least((16 + doc_id % 48)::INT, 32) AS width,
+        |  least((16 + doc_id % 32)::INT, 32) AS height
+        |FROM documents""".stripMargin,
     // same LCG replay as multimodal_features; byte index i-1 maps to
     // frame (i-1) div FrameSize, complete frames only, every
     // FrameStride-th kept — integer stats, exact both sides

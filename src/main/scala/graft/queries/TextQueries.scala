@@ -29,6 +29,16 @@ object TextQueries {
     "text_gopher_rules" -> (TextAnalysis.gopherRulesQuery _),
     "text_feature_hashing" -> (TextAnalysis.featureHashingQuery _),
     "text_ccnet_tiers" -> (TextAnalysis.ccnetTiersQuery _),
+    // classifier evaluation: predicted vs labeled language, counted —
+    // composes the oracle-checked classifier with the truth column
+    "text_lang_confusion" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val docs = graft.Tables.documents(s, d)
+      TextAnalysis.langId(s, docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
     "text_bpe_pairs" -> (TextAnalysis.bpePairsQuery _),
     "text_vocab_encode" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabEncode(graft.Tables.documents(s, d))),
@@ -183,6 +193,12 @@ object TextQueries {
         |    AND (n_tokens > 0 AND n_alpha * 10 >= n_tokens * 8)
         |    AND (n_stop >= 2))::INT AS pass
         |FROM base""".stripMargin,
+    // the full langid oracle as a subquery, joined back to the labels
+    "text_lang_confusion" ->
+      s"""SELECT d.lang, p.lang_pred, count(*) AS n_docs
+         |FROM (${TextAnalysis.langIdOracleSql}) p
+         |JOIN documents d USING (doc_id)
+         |GROUP BY 1, 2""".stripMargin,
     // ntile over (rounded score desc, doc_id) — both engines implement
     // standard ntile remainder-to-leading-buckets, and ranking on the
     // round-4 value makes the order identical

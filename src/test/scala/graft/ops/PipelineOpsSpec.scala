@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
+// round-4 additions exercised at the bottom of this suite
 
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -71,5 +72,46 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => r._1 -> (r._2, r._3, r._4)).toMap
     assert(out(1L) == ((6L, 1L, "1,1,1,2,2,0")))
     assert(out(2L) == ((3L, 1L, "2,1,0")))
+  }
+
+  test("span mask: rate near 1/MaskRate, positions sorted and counted consistently") {
+    val out = PipelineOps.spanMask(graft.Tables.documents(spark, sfDir))
+      .as[(Long, Long, Long, String, Long)].collect()
+    assert(out.nonEmpty)
+    var tok = 0L; var msk = 0L
+    out.foreach { case (id, n, m, posStr, chars) =>
+      tok += n; msk += m
+      val ps = if (posStr.isEmpty) Seq.empty else posStr.split(",").map(_.toLong).toSeq
+      assert(ps.length.toLong == m, s"doc $id list length")
+      assert(ps == ps.sorted, s"doc $id positions ordered")
+      assert(ps.forall(p => p >= 1 && p <= n), s"doc $id bounds")
+      assert(chars >= 0)
+    }
+    val rate = msk.toDouble / tok
+    val expected = 1.0 / PipelineOps.MaskRate
+    assert(math.abs(rate - expected) < 0.03, s"mask rate $rate vs $expected")
+  }
+
+  test("span mask is identical across repartitionings (resumable shard contract)") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val a = PipelineOps.spanMask(docs).collect().map(_.toString).sorted.toSeq
+    val b = PipelineOps.spanMask(docs.repartition(7)).collect().map(_.toString).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("lang confusion matrix partitions the corpus (cells sum to doc count)") {
+    // the synthetic corpus's lang labels are metadata, not prose ground
+    // truth, so accuracy is near chance here — classifier QUALITY is
+    // covered by the real-prose tests in FunctionsSpec; this asserts the
+    // matrix structure
+    val cells = graft.queries.TextQueries
+      .queries("text_lang_confusion")(spark, sfDir)
+      .as[(String, String, Long)].collect()
+    assert(cells.map(_._3).sum == graft.Tables.documents(spark, sfDir).count())
+    assert(cells.forall(_._3 > 0), "no empty cells are emitted")
+    // every labeled language appears as a row
+    val labels = graft.Tables.documents(spark, sfDir)
+      .select("lang").distinct().as[String].collect().toSet
+    assert(cells.map(_._1).toSet == labels)
   }
 }
