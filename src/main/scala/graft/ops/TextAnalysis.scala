@@ -512,6 +512,30 @@ object TextAnalysis {
   def ccnetTiersQuery(s: SparkSession, dir: String): DataFrame =
     ccnetTiers(Tables.documents(s, dir))
 
+  /** LM-contrast data selection (the DSIR/importance-resampling shape in
+    * log space): score each doc by how much the word-ORDER model beats
+    * the bag-of-words model — lm_gain = bigram avg logprob minus unigram
+    * avg logprob. Fluent, structured text gains; shuffled or listy text
+    * does not, so thresholding at 0 selects for syntax. Both scores are
+    * the already-rounded cross-engine-stable values, so the gain and
+    * the selection bit are exact. Cost: the two LM pipelines share the
+    * token table; everything else is per-doc arithmetic.
+    */
+  def lmGainFilter(docs: DataFrame): DataFrame = {
+    val uni = unigramLogProb(docs)
+      .select(col("doc_id"), col("avg_logprob").as("uni_lp"))
+    val bi = bigramLm(docs)
+      .select(col("doc_id"), col("avg_logprob").as("bi_lp"))
+    uni.join(bi, "doc_id")
+      .select(col("doc_id"), col("uni_lp"), col("bi_lp"),
+        round(col("bi_lp") - col("uni_lp"), 4).as("lm_gain"))
+      .withColumn("selected",
+        (col("lm_gain") > 0.0).cast("int"))
+  }
+
+  def lmGainFilterQuery(s: SparkSession, dir: String): DataFrame =
+    lmGainFilter(Tables.documents(s, dir))
+
   /** BPE pair statistics — the inner loop of byte-pair-encoding tokenizer
     * training: corpus-weighted counts of adjacent symbol pairs (the pair
     * with the max count is the next merge). Computed over DISTINCT words

@@ -651,7 +651,21 @@ object Relational {
       .agg(count(lit(1)).as("multiplicity"))
   }
 
+  /** Equi-width histogram (width_bucket semantics): order totals into
+    * ten 50k-wide buckets with an overflow cap — the OLAP profiling
+    * primitive. Bucketing is floor arithmetic on identical doubles, so
+    * bucket ids are exact cross-engine; one combinable aggregation.
+    */
+  def q37Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(least(floor(col("o_totalprice") / 50000.0), lit(9.0))
+        .cast("int").as("bucket"), col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(col("o_totalprice"))).as("sum_total"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q37_histogram" -> q37Histogram _,
     "q35_first_last" -> q35FirstLast _,
     "q36_bag_setops" -> q36BagSetOps _,
     "mr_secondary_sort" -> mrSecondarySort _,
@@ -693,6 +707,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q37_histogram" ->
+      """SELECT least(floor(o_totalprice / 50000.0), 9.0)::INT AS bucket,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_total
+        |FROM orders GROUP BY 1""".stripMargin,
     "q35_first_last" ->
       """SELECT event_id, user_id,
         |  round(first_value(value) OVER w, 2) AS first_value,

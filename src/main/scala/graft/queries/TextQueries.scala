@@ -29,6 +29,7 @@ object TextQueries {
     "text_gopher_rules" -> (TextAnalysis.gopherRulesQuery _),
     "text_feature_hashing" -> (TextAnalysis.featureHashingQuery _),
     "text_ccnet_tiers" -> (TextAnalysis.ccnetTiersQuery _),
+    "text_lm_gain" -> (TextAnalysis.lmGainFilterQuery _),
     // classifier evaluation: predicted vs labeled language, counted —
     // composes the oracle-checked classifier with the truth column
     "text_lang_confusion" -> ((s: SparkSession, d: String) => {
@@ -193,6 +194,37 @@ object TextQueries {
         |    AND (n_tokens > 0 AND n_alpha * 10 >= n_tokens * 8)
         |    AND (n_stop >= 2))::INT AS pass
         |FROM base""".stripMargin,
+    // both LM scores from one shared token CTE chain; gain = difference
+    // of the two round-4 values, selection compares the rounded gain
+    "text_lm_gain" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS w1 FROM t),
+        |uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM tok GROUP BY w1),
+        |tot AS (SELECT sum(c1)::BIGINT AS n FROM uni),
+        |v AS (SELECT count(*)::BIGINT AS v FROM uni),
+        |u AS (
+        |  SELECT doc_id, round(avg(ln(c1::DOUBLE / n)), 4) AS uni_lp
+        |  FROM tok JOIN uni USING (w1) CROSS JOIN tot GROUP BY doc_id),
+        |bgd AS (
+        |  SELECT doc_id,
+        |    string_split(bigram, ' ')[1] AS w1,
+        |    string_split(bigram, ' ')[2] AS w2
+        |  FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+        |    FROM t)),
+        |bgc AS (
+        |  SELECT w1, w2, count(*)::BIGINT AS c12 FROM bgd GROUP BY 1, 2),
+        |b AS (
+        |  SELECT doc_id, round(avg(ln((c12 + 1)::DOUBLE / (c1 + v))), 4)
+        |    AS bi_lp
+        |  FROM bgd JOIN bgc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+        |  GROUP BY doc_id)
+        |SELECT u.doc_id, u.uni_lp, b.bi_lp,
+        |  round(b.bi_lp - u.uni_lp, 4) AS lm_gain,
+        |  (round(b.bi_lp - u.uni_lp, 4) > 0.0)::INT AS selected
+        |FROM u JOIN b USING (doc_id)""".stripMargin,
     // the full langid oracle as a subquery, joined back to the labels
     "text_lang_confusion" ->
       s"""SELECT d.lang, p.lang_pred, count(*) AS n_docs

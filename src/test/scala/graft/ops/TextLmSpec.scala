@@ -51,6 +51,23 @@ class TextLmSpec extends SparkSpec {
     clusters.foreach { case (id, c) => assert(c <= id) }
   }
 
+  test("LM gain selects fluent order over shuffled order") {
+    val fluent = "the cat sat on the mat"
+    val docs = (Seq.tabulate(20)(i => (i.toLong, fluent)) :+
+      (99L, "mat the on sat cat the")).toDF("doc_id", "text")
+    val gains = TextAnalysis.lmGainFilter(docs)
+      .select("doc_id", "lm_gain").as[(Long, Double)].collect().toMap
+    assert(gains(0L) > gains(99L),
+      s"fluent gain ${gains(0L)} vs shuffled ${gains(99L)}")
+  }
+
+  test("histogram buckets partition the orders exactly") {
+    val out = graft.queries.Relational.q37Histogram(spark, sfDir)
+      .select("bucket", "n_orders").as[(Int, Long)].collect()
+    assert(out.map(_._2).sum == graft.Tables.orders(spark, sfDir).count())
+    assert(out.forall(r => r._1 >= 0 && r._1 <= 9))
+  }
+
   test("ccnet tiers: balanced terciles per language, head outscores tail") {
     val rows = TextAnalysis.ccnetTiers(graft.Tables.documents(spark, sfDir))
       .as[(Long, String, Double, String)].collect()
