@@ -126,8 +126,45 @@ object GraphOps {
     "graph_triangles" -> ((s: SparkSession, d: String) =>
       triangleCensus(Tables.events(s, d))),
     "graph_degrees" -> ((s: SparkSession, d: String) =>
-      degreeHistogram(Tables.events(s, d)))
+      degreeHistogram(Tables.events(s, d))),
+    "graph_neighbor_jaccard" -> ((s: SparkSession, d: String) =>
+      neighborJaccard(Tables.events(s, d)))
   )
+
+  val NeighborJaccardMin = 0.75
+
+  /** Neighbor-set similarity (the link-prediction / entity-resolution
+    * primitive): for node pairs sharing at least one neighbor in the
+    * undirected transition graph, Jaccard = |N(a) ∩ N(b)| / |N(a) ∪
+    * N(b)|. Candidates come ONLY from common-neighbor wedges (never the
+    * full pair space), common counts are one combinable aggregation
+    * over wedges, and degrees join in from a per-node table — the
+    * textbook sparse all-pairs-similarity layout. Integer counts; the
+    * ratio is rounded and thresholded on the rounded value.
+    */
+  def neighborJaccard(events: DataFrame,
+      minJaccard: Double = NeighborJaccardMin): DataFrame = {
+    val und = transitionEdges(events)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("node"), col("b").as("nb"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nb")))
+      .cache()
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val common = adj.select(col("node").as("n1"), col("nb"))
+      .join(adj.select(col("node").as("n2"), col("nb")), "nb")
+      .filter(col("n1") < col("n2"))
+      .groupBy("n1", "n2").agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("node").as("n1"), col("deg").as("d1")), "n1")
+      .join(deg.select(col("node").as("n2"), col("deg").as("d2")), "n2")
+      .select(col("n1"), col("n2"), col("common"),
+        round(col("common") / (col("d1") + col("d2") - col("common")), 4)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
 
   /** Degree distribution of the transition graph, both directions in one
     * frame — the skew diagnostic a graph pipeline reads before choosing
@@ -159,6 +196,35 @@ object GraphOps {
        |    GROUP BY ew.dst) m ON m.dst = nodes.node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_neighbor_jaccard" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |    (json_extract_string(props, '$$.k'))::BIGINT AS item
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |tr AS (
+         |  SELECT lag(item) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) AS src, item AS dst
+         |  FROM ev),
+         |und AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM tr WHERE src IS NOT NULL AND src != dst),
+         |adj AS (
+         |  SELECT a AS node, b AS nb FROM und
+         |  UNION ALL SELECT b, a FROM und),
+         |deg AS (SELECT node, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+         |common AS (
+         |  SELECT x.node AS n1, y.node AS n2, count(*)::BIGINT AS common
+         |  FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node
+         |  GROUP BY 1, 2)
+         |SELECT c.n1, c.n2, c.common,
+         |  round(c.common::DOUBLE / (d1.deg + d2.deg - c.common), 4)
+         |    AS jaccard
+         |FROM common c
+         |JOIN deg d1 ON d1.node = c.n1
+         |JOIN deg d2 ON d2.node = c.n2
+         |WHERE round(c.common::DOUBLE / (d1.deg + d2.deg - c.common), 4)
+         |  >= ${NeighborJaccardMin}""".stripMargin,
     "graph_degrees" ->
       """WITH ev AS (
         |  SELECT user_id, ts, event_id,

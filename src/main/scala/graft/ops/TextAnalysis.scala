@@ -536,6 +536,40 @@ object TextAnalysis {
   def lmGainFilterQuery(s: SparkSession, dir: String): DataFrame =
     lmGainFilter(Tables.documents(s, dir))
 
+  /** Skip-gram pair extraction (the word2vec/GloVe training-pair
+    * generator): (center, context) for every context within
+    * [[SkipgramWindow]] positions AFTER the center (forward-only —
+    * symmetric counts are recoverable by summing both orientations),
+    * corpus-aggregated with a minimum count. One flatMap per doc, one
+    * combinable count — the pair stream IS the training data, so this
+    * is a 100 TB-shaped producer: nothing is held per doc, the output
+    * is bounded by the distinct-pair space.
+    */
+  val SkipgramWindow = 2
+  val SkipgramMinCount = 5L
+
+  def skipgrams(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    OpUtil.spread(docs)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, text) =>
+        val toks = text.split(" ", -1)
+        for {
+          i <- toks.indices.iterator
+          d <- 1 to SkipgramWindow
+          if i + d < toks.length
+        } yield (toks(i), toks(i + d), d)
+      }
+      .toDF("center", "context", "offset")
+      .groupBy("center", "context")
+      .agg(count(lit(1)).as("n_pairs"))
+      .filter(col("n_pairs") >= SkipgramMinCount)
+  }
+
+  def skipgramsQuery(s: SparkSession, dir: String): DataFrame =
+    skipgrams(Tables.documents(s, dir))
+
   /** BPE pair statistics — the inner loop of byte-pair-encoding tokenizer
     * training: corpus-weighted counts of adjacent symbol pairs (the pair
     * with the max count is the next merge). Computed over DISTINCT words

@@ -30,6 +30,7 @@ object TextQueries {
     "text_feature_hashing" -> (TextAnalysis.featureHashingQuery _),
     "text_ccnet_tiers" -> (TextAnalysis.ccnetTiersQuery _),
     "text_lm_gain" -> (TextAnalysis.lmGainFilterQuery _),
+    "text_skipgrams" -> (TextAnalysis.skipgramsQuery _),
     // classifier evaluation: predicted vs labeled language, counted —
     // composes the oracle-checked classifier with the truth column
     "text_lang_confusion" -> ((s: SparkSession, d: String) => {
@@ -194,6 +195,22 @@ object TextQueries {
         |    AND (n_tokens > 0 AND n_alpha * 10 >= n_tokens * 8)
         |    AND (n_stop >= 2))::INT AS pass
         |FROM base""".stripMargin,
+    // offsets 1..window unioned via list_transform ranges
+    "text_skipgrams" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |pairs AS (
+         |  ${(1 to TextAnalysis.SkipgramWindow).map { d =>
+              s"""SELECT string_split(p, chr(1))[1] AS center,
+                 |    string_split(p, chr(1))[2] AS context
+                 |  FROM (
+                 |    SELECT unnest(list_transform(range(1, len(toks) + 1 - $d),
+                 |      i -> toks[i] || chr(1) || toks[i + $d])) AS p
+                 |    FROM t)""".stripMargin
+            }.mkString("\n  UNION ALL\n  ")})
+         |SELECT center, context, count(*)::BIGINT AS n_pairs
+         |FROM pairs GROUP BY 1, 2
+         |HAVING count(*) >= ${TextAnalysis.SkipgramMinCount}""".stripMargin,
     // both LM scores from one shared token CTE chain; gain = difference
     // of the two round-4 values, selection compares the rounded gain
     "text_lm_gain" ->

@@ -51,6 +51,34 @@ class TextLmSpec extends SparkSpec {
     clusters.foreach { case (id, c) => assert(c <= id) }
   }
 
+  test("skip-grams: adjacency at offset 1 reproduces bigram counts, window widens coverage") {
+    val docs = Seq((1L, "a b a b a")).toDF("doc_id", "text")
+    val out = TextAnalysis.skipgrams(docs)
+    // with MinCount the tiny doc yields nothing; check the raw generator
+    // through a corpus where pairs repeat enough
+    val rep = Seq.tabulate(5)(i => (i.toLong, "x y z x y z")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.skipgrams(rep)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // per doc: offset1 pairs (x,y)(y,z)(z,x)(x,y)(y,z) and offset2
+    // (x,z)(y,x)(z,y)(x,z) -> x5 docs
+    assert(pairs(("x", "y")) == 10L)
+    assert(pairs(("x", "z")) == 10L, "window-2 context captured")
+    assert(out.count() == 0, "min-count suppresses one-off pairs")
+  }
+
+  test("neighbor jaccard: bounded in (0,1], thresholded, canonical pair order") {
+    // threshold 0 here: the sf0.001 graph is too sparse for the
+    // production cut, and the bounds/orientation laws are what's tested
+    val rows = GraphOps.neighborJaccard(graft.Tables.events(spark, sfDir), 0.0)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, common, j) =>
+      assert(a < b, "canonical orientation")
+      assert(common >= 1)
+      assert(j > 0.0 && j <= 1.0, s"($a,$b) j=$j")
+    }
+  }
+
   test("LM gain selects fluent order over shuffled order") {
     val fluent = "the cat sat on the mat"
     val docs = (Seq.tabulate(20)(i => (i.toLong, fluent)) :+
