@@ -299,7 +299,34 @@ object PipelineOps {
           .as("masked_chars"))
   }
 
+  /** Deterministic global shuffle + shard assignment — the last step
+    * before a training run: every doc gets a reproducible pseudo-random
+    * position (rank in md5-hash order) and a shard (hash mod
+    * [[ShuffleShards]]) with its position inside that shard, so any
+    * data-loader worker can reconstruct its exact read order from the
+    * doc ids alone. The global rank is a window over the hash order —
+    * at cluster scale the same op is `repartitionByRange(hash)` +
+    * per-partition zipWithIndex with partition-offset reconstruction;
+    * the semantics pinned here are what that implementation must match.
+    */
+  val ShuffleShards = 8
+
+  def shuffleShard(docs: DataFrame): DataFrame = {
+    import graft.ops.Sketches.h48
+    val h = h48(concat(lit("shuf|"), col("doc_id")))
+    val global = Window.orderBy(col("h"), col("doc_id"))
+    val perShard = Window.partitionBy(col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(ShuffleShards)))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(global).as("shuffle_rank"),
+        row_number().over(perShard).as("pos_in_shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_shuffle_shard" -> ((s: SparkSession, d: String) =>
+      shuffleShard(Tables.documents(s, d))),
     "pipe_span_mask" -> ((s: SparkSession, d: String) =>
       spanMask(Tables.documents(s, d))),
     "pipe_zorder" -> (zorderLayout _),
@@ -337,6 +364,16 @@ object PipelineOps {
     }.mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    "pipe_shuffle_shard" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${graft.ops.Sketches.sqlH48("'shuf|' || doc_id::VARCHAR")} AS h
+         |  FROM documents)
+         |SELECT doc_id, h % $ShuffleShards AS shard,
+         |  row_number() OVER (ORDER BY h, doc_id) AS shuffle_rank,
+         |  row_number() OVER (PARTITION BY h % $ShuffleShards
+         |    ORDER BY h, doc_id) AS pos_in_shard
+         |FROM h""".stripMargin,
     // same h48 nibble fold on 'doc:pos'; FILTER + list(ORDER BY) gives
     // the ordered masked-position serialization
     "pipe_span_mask" ->

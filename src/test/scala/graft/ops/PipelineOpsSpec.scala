@@ -114,4 +114,18 @@ class PipelineOpsSpec extends SparkSpec {
       .select("lang").distinct().as[String].collect().toSet
     assert(cells.map(_._1).toSet == labels)
   }
+
+  test("shuffle-shard: rank is a permutation, shard positions dense, repartition-invariant") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = PipelineOps.shuffleShard(docs)
+      .as[(Long, Long, Int, Int)].collect()
+    val n = out.length
+    assert(out.map(_._3).sorted.toSeq == (1 to n), "global rank is a permutation")
+    out.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length), s"shard $shard dense")
+    }
+    val again = PipelineOps.shuffleShard(docs.repartition(5))
+      .as[(Long, Long, Int, Int)].collect().sorted.toSeq
+    assert(again == out.sorted.toSeq)
+  }
 }
