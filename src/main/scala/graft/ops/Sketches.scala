@@ -135,6 +135,7 @@ object Sketches {
   def bloomJoinStats(customer: DataFrame, orders: DataFrame): DataFrame = {
     val build = customer.filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("key")).distinct()
+      .cache() // feeds both the position build and the truth marker join
     val hashes = array((0 until BloomHashes).map(lit): _*)
     val positions = build
       .select(explode(hashes).as("j"), col("key"))
