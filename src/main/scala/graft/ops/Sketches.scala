@@ -2,7 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -212,7 +212,75 @@ object Sketches {
         expr("abs(ams_est - f2_exact) * 100 div f2_exact").as("err_pct"))
   }
 
+  /** Cross-source overlap estimation from MERGED sketches (the theta-
+    * sketch set-operation pattern): for every source pair, the union
+    * KMV is the k smallest hashes of the combined streams — a legal KMV
+    * again, because KMV states merge — and the intersection estimate is
+    * (common-in-sample / k) x union-estimate: the sample of k smallest
+    * union hashes is a uniform sample of the union, so its fraction
+    * landing in BOTH sources estimates the Jaccard. This is the sketch
+    * answer to "how much does source A duplicate source B" — no
+    * re-scan of either source once per-source sketches exist. Exact
+    * union/intersection ride along as error references. All integer.
+    */
+  def kmvOverlap(docs: DataFrame): DataFrame = {
+    val d = OpUtil.spread(docs)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .select(col("source"), col("tok"), h48(col("tok")).as("h"))
+      .select(col("source"), col("h")).distinct()
+      .cache()
+    val pairs = d.select(col("source").as("source_a")).distinct()
+      .crossJoin(d.select(col("source").as("source_b")).distinct())
+      .filter(col("source_a") < col("source_b"))
+    // exact reference counts
+    val sizes = d.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = d.select(col("source").as("source_a"), col("h"))
+      .join(d.select(col("source").as("source_b"), col("h")), "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("exact_inter"))
+    // union k-min sample per pair + membership of each sampled hash
+    val merged = pairs.join(d.withColumnRenamed("source", "source_a"), "source_a")
+      .select(col("source_a"), col("source_b"), col("h"))
+      .unionAll(
+        pairs.join(d.withColumnRenamed("source", "source_b"), "source_b")
+          .select(col("source_a"), col("source_b"), col("h")))
+      .distinct()
+    val w = Window.partitionBy(col("source_a"), col("source_b"))
+      .orderBy(col("h"))
+    val kept = merged.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= KmvK)
+    val numerator = (KmvK - 1).toLong * (1L << 48)
+    val common = kept
+      .join(d.select(col("source").as("source_a"), col("h"))
+        .withColumn("in_a", lit(1)), Seq("source_a", "h"), "left_outer")
+      .join(d.select(col("source").as("source_b"), col("h"))
+        .withColumn("in_b", lit(1)), Seq("source_b", "h"), "left_outer")
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_kept"), max(col("rn")).as("rn_max"),
+        max(when(col("rn") === KmvK, col("h"))).as("kth"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
+          .as("n_common"))
+      .withColumn("union_est",
+        when(col("n_kept") < KmvK, col("n_kept"))
+          .otherwise(expr(s"$numerator div kth")))
+      .withColumn("inter_est",
+        expr(s"(n_common * union_est) div n_kept"))
+    common
+      .join(sizes.select(col("source").as("source_a"), col("n").as("na")), "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .join(inter, Seq("source_a", "source_b"), "left_outer")
+      .select(col("source_a"), col("source_b"),
+        col("union_est"), col("inter_est"),
+        (col("na") + col("nb") - coalesce(col("exact_inter"), lit(0L)))
+          .as("exact_union"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_kmv_overlap" -> ((s: SparkSession, d: String) =>
+      kmvOverlap(Tables.documents(s, d))),
     "sketch_ams_f2" -> ((s: SparkSession, d: String) =>
       amsF2(Tables.documents(s, d))),
     "sketch_kmv" -> ((s: SparkSession, d: String) =>
@@ -226,6 +294,57 @@ object Sketches {
   private val kmvNumerator = (KmvK - 1).toLong * (1L << 48)
 
   val oracles: Map[String, String] = Map(
+    // union k-min per pair + membership flags; all-integer estimates
+    "sketch_kmv_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |d0 AS (SELECT DISTINCT source, tok FROM toks WHERE length(tok) > 0),
+         |d AS (SELECT DISTINCT source, ${sqlH48("tok")} AS h FROM d0),
+         |sizes AS (SELECT source, count(*)::BIGINT AS n FROM d GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b
+         |  FROM (SELECT DISTINCT source FROM d) a
+         |  CROSS JOIN (SELECT DISTINCT source FROM d) b
+         |  WHERE a.source < b.source),
+         |inter AS (
+         |  SELECT x.source AS source_a, y.source AS source_b,
+         |    count(*)::BIGINT AS exact_inter
+         |  FROM d x JOIN d y ON x.h = y.h AND x.source < y.source
+         |  GROUP BY 1, 2),
+         |merged AS (
+         |  SELECT DISTINCT p.source_a, p.source_b, d.h
+         |  FROM pairs p JOIN d
+         |    ON d.source = p.source_a OR d.source = p.source_b),
+         |kept AS (
+         |  SELECT source_a, source_b, h,
+         |    row_number() OVER (PARTITION BY source_a, source_b
+         |      ORDER BY h) AS rn
+         |  FROM merged),
+         |agg AS (
+         |  SELECT k.source_a, k.source_b, count(*)::BIGINT AS n_kept,
+         |    max(CASE WHEN k.rn = $KmvK THEN k.h END) AS kth,
+         |    sum(CASE WHEN da.h IS NOT NULL AND db.h IS NOT NULL
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_common
+         |  FROM kept k
+         |  LEFT JOIN d da ON da.source = k.source_a AND da.h = k.h
+         |  LEFT JOIN d db ON db.source = k.source_b AND db.h = k.h
+         |  WHERE k.rn <= $KmvK
+         |  GROUP BY 1, 2),
+         |est AS (
+         |  SELECT source_a, source_b, n_kept, n_common,
+         |    CASE WHEN n_kept < $KmvK THEN n_kept
+         |         ELSE $kmvNumerator // kth END AS union_est
+         |  FROM agg)
+         |SELECT e.source_a, e.source_b, e.union_est,
+         |  (e.n_common * e.union_est) // e.n_kept AS inter_est,
+         |  (sa.n + sb.n - coalesce(i.exact_inter, 0)) AS exact_union,
+         |  coalesce(i.exact_inter, 0) AS exact_inter
+         |FROM est e
+         |JOIN sizes sa ON sa.source = e.source_a
+         |JOIN sizes sb ON sb.source = e.source_b
+         |LEFT JOIN inter i
+         |  ON i.source_a = e.source_a AND i.source_b = e.source_b""".stripMargin,
     // first-md5-nibble parity signs, all-integer sums/squares
     "sketch_ams_f2" ->
       s"""WITH toks AS (

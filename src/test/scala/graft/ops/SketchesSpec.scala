@@ -35,6 +35,24 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("KMV overlap: union estimate within sketch error, intersection sane") {
+    val out = Sketches.kmvOverlap(graft.Tables.documents(spark, sfDir))
+      .select("union_est", "inter_est", "exact_union", "exact_inter")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val tol = 3.0 / math.sqrt(Sketches.KmvK - 2)
+    out.foreach { case (uEst, iEst, uEx, iEx) =>
+      assert(math.abs(uEst - uEx).toDouble / uEx <= tol,
+        s"union est $uEst vs $uEx")
+      assert(iEst <= uEst, "intersection cannot exceed union")
+      // the intersection sample estimator is noisier: just demand the
+      // right order of magnitude when the true intersection is large
+      if (iEx > uEx / 4)
+        assert(iEst > 0 && math.abs(iEst - iEx).toDouble / iEx <= 2 * tol,
+          s"inter est $iEst vs $iEx")
+    }
+  }
+
   test("count-min never underestimates, and estimates the heavy hitters tightly") {
     val out = Sketches.countMinTopTokens(graft.Tables.documents(spark, sfDir))
       .select("exact_cnt", "cm_est", "over_err").as[(Long, Long, Long)].collect()
