@@ -17,7 +17,8 @@ object StreamQueries {
     "stream_sessions" -> (EventStreams.sessionize _),
     "stream_dedup" -> (EventStreams.dedupExact _),
     "stream_interval_join" -> (EventStreams.clickPurchaseJoin _),
-    "stream_kmv" -> (EventStreams.kmvDistinctStream _)
+    "stream_kmv" -> (EventStreams.kmvDistinctStream _),
+    "stream_gopher_rules" -> (EventStreams.gopherRulesStream _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -50,6 +51,9 @@ object StreamQueries {
         |  AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts < c.ts""".stripMargin,
     // same oracle as batch sketch_kmv — stream/batch sketch equivalence
     "stream_kmv" -> graft.ops.Sketches.oracles("sketch_kmv"),
+    // same oracle as batch text_gopher_rules — stateless gate equivalence
+    "stream_gopher_rules" ->
+      graft.queries.TextQueries.oracles("text_gopher_rules"),
     // same oracle as batch dedup_exact — arrival-order-independent keeper
     "stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,

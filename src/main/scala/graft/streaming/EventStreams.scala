@@ -227,6 +227,27 @@ object EventStreams {
     runToMemorySink(s, agg, OutputMode.Complete).localCheckpoint(eager = true)
   }
 
+  /** The batch Gopher rule gates running UNCHANGED on a stream: the
+    * operator is pure per-row arithmetic, so the identical function
+    * composes over a streaming frame in Append mode — the streaming
+    * curation shape where documents are gated as they arrive, state-free.
+    * Shares the batch text_gopher_rules oracle.
+    */
+  def gopherRulesStream(s: SparkSession, dir: String): DataFrame = {
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val gated = graft.ops.TextAnalysis.gopherRules(
+      s.readStream
+        .schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir))
+    runToMemorySink(s, gated, OutputMode.Append).localCheckpoint(eager = true)
+  }
+
   /** Streaming KMV distinct-count sketch: the same custom combinable
     * Aggregator as the batch sketch_kmv — KMV state is order-insensitive
     * and merge-safe, which is exactly what makes it valid streaming
