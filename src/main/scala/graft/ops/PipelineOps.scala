@@ -324,7 +324,30 @@ object PipelineOps {
         row_number().over(perShard).as("pos_in_shard"))
   }
 
+  /** Quality-WEIGHTED sampling: each doc's keep probability scales with
+    * its integer quality band (rate = 20 + 8*points, capped at 100%) and
+    * the keep decision is the deterministic hash rule — better text is
+    * sampled harder, junk still trickles through at the floor rate.
+    * This is the upweighting curation step between pure filtering
+    * (gopher/quality gates) and uniform sampling; both inputs are
+    * already oracle-checked operators, so the composition is too.
+    */
+  def qualityWeightedSample(docs: DataFrame): DataFrame = {
+    import graft.ops.Sketches.h48
+    val scored = TextAnalysis.qualityScore(docs)
+    val rate = least(lit(20) + col("quality_points") * 8, lit(100))
+    docs.select(col("doc_id"), col("source"))
+      .join(scored, "doc_id")
+      .withColumn("rate_pct", rate)
+      .filter(pmod(h48(concat(lit("qw|"), col("doc_id"))), lit(100))
+        < col("rate_pct"))
+      .select(col("doc_id"), col("source"), col("quality_points"),
+        col("rate_pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_quality_sample" -> ((s: SparkSession, d: String) =>
+      qualityWeightedSample(Tables.documents(s, d))),
     "pipe_shuffle_shard" -> ((s: SparkSession, d: String) =>
       shuffleShard(Tables.documents(s, d))),
     "pipe_span_mask" -> ((s: SparkSession, d: String) =>
@@ -364,6 +387,16 @@ object PipelineOps {
     }.mkString(" | ")
 
   val oracles: Map[String, String] = Map(
+    // quality oracle wrapped as a subquery (concatenated, not
+    // stripMargin-interpolated: the regex alternations contain pipes)
+    "pipe_quality_sample" -> (
+      "WITH q AS (SELECT doc_id, quality_points FROM (" +
+        graft.queries.OpsQueries.oracles("text_quality") + "))\n" +
+        s"""SELECT d.doc_id, d.source, q.quality_points,
+           |  least(20 + q.quality_points * 8, 100) AS rate_pct
+           |FROM documents d JOIN q USING (doc_id)
+           |WHERE ${graft.ops.Sketches.sqlH48("'qw|' || d.doc_id::VARCHAR")}
+           |  % 100 < least(20 + q.quality_points * 8, 100)""".stripMargin),
     "pipe_shuffle_shard" ->
       s"""WITH h AS (
          |  SELECT doc_id,

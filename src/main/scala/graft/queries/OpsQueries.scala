@@ -89,6 +89,22 @@ object OpsQueries {
     "ann_srp_lsh" -> (Similarity.annSrpLsh _),
     "ann_ivf_fixed" -> (Similarity.annIvfFixed _),
     "cmeans_fixed_point" -> (Similarity.cmeansFixedPointQuery _),
+    // index QA in-engine: recall@k of the SRP-LSH index against the
+    // exact top-k, per query — both sides are themselves oracle-replayed,
+    // so even the RECALL REPORT is hash-checked
+    "ann_recall_srp" -> ((s: SparkSession, d: String) => {
+      val exact = Similarity.annBruteForce(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      val srp = Similarity.annSrpLsh(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      exact.join(srp, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+        .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
+          Seq("query_id"), "right_outer")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("coalesce(n_hits, 0) * 100 div k").as("recall_x100"))
+    }),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
     "text_quality" -> (TextAnalysis.qualityQuery _),
@@ -168,6 +184,71 @@ object OpsQueries {
        |$cOut AS (
        |  SELECT a.c, elq.i, sum(elq.q) // count(*) AS cq
        |  FROM elq JOIN $aOut a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
+  private val srpLshOracle: String =
+    s"""WITH dims AS (
+         |  SELECT unnest(generate_series(0,
+         |    (SELECT max(len(embedding)) - 1 FROM embeddings))) AS i),
+         |pl AS (
+         |  SELECT t.t, b.b, dims.i,
+         |    CASE WHEN (strpos('0123456789abcdef',
+         |        substr(md5(t.t::VARCHAR || '|' || b.b::VARCHAR || '|'
+         |          || dims.i::VARCHAR), 1, 1)) - 1) % 2 = 1
+         |      THEN 1.0 ELSE -1.0 END AS sg
+         |  FROM (SELECT unnest(generate_series(0, ${Similarity.SrpTables - 1}))
+         |          AS t) t
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${Similarity.SrpBits - 1}))
+         |          AS b) b
+         |  CROSS JOIN dims),
+         |el AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |    unnest(embedding)::DOUBLE AS vi
+         |  FROM embeddings),
+         |dots AS (
+         |  SELECT el.vec_id, pl.t, pl.b,
+         |    list_sum(list(el.vi * pl.sg ORDER BY el.i)) AS dt
+         |  FROM el JOIN pl ON pl.i = el.i
+         |  GROUP BY 1, 2, 3),
+         |sigs AS (
+         |  SELECT vec_id, t,
+         |    sum(CASE WHEN dt >= 0 THEN 1 << b ELSE 0 END)::BIGINT AS sig
+         |  FROM dots GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT vec_id, t * 4294967296 + sig AS bucket FROM sigs),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM bk q JOIN bk c ON q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
+         |ex AS (
+         |  SELECT cand.query_id, cand.neighbor_id,
+         |    list_cosine_similarity(qe.embedding::DOUBLE[],
+         |      ne.embedding::DOUBLE[]) AS cos_raw
+         |  FROM cand
+         |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+         |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
+         |rr AS (
+         |  SELECT query_id, neighbor_id, cos_raw,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |  FROM ex)
+         |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
+         |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin
+
+  private val bruteforceOracle: String =
+    """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |    list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS cos_raw
+        |  FROM q JOIN embeddings e ON e.vec_id != query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_raw,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rn AS rank
+        |FROM ranked WHERE rn <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "cmeans_fixed_point" ->
@@ -427,69 +508,25 @@ object OpsQueries {
     // left-to-right signature dots on raw vectors (sign is
     // norm-invariant), bucket-collision candidates, exact cosine re-rank
     // (the proven bruteforce equivalence)
-    "ann_srp_lsh" ->
-      s"""WITH dims AS (
-         |  SELECT unnest(generate_series(0,
-         |    (SELECT max(len(embedding)) - 1 FROM embeddings))) AS i),
-         |pl AS (
-         |  SELECT t.t, b.b, dims.i,
-         |    CASE WHEN (strpos('0123456789abcdef',
-         |        substr(md5(t.t::VARCHAR || '|' || b.b::VARCHAR || '|'
-         |          || dims.i::VARCHAR), 1, 1)) - 1) % 2 = 1
-         |      THEN 1.0 ELSE -1.0 END AS sg
-         |  FROM (SELECT unnest(generate_series(0, ${Similarity.SrpTables - 1}))
-         |          AS t) t
-         |  CROSS JOIN (SELECT unnest(generate_series(0, ${Similarity.SrpBits - 1}))
-         |          AS b) b
-         |  CROSS JOIN dims),
-         |el AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-         |    unnest(embedding)::DOUBLE AS vi
-         |  FROM embeddings),
-         |dots AS (
-         |  SELECT el.vec_id, pl.t, pl.b,
-         |    list_sum(list(el.vi * pl.sg ORDER BY el.i)) AS dt
-         |  FROM el JOIN pl ON pl.i = el.i
-         |  GROUP BY 1, 2, 3),
-         |sigs AS (
-         |  SELECT vec_id, t,
-         |    sum(CASE WHEN dt >= 0 THEN 1 << b ELSE 0 END)::BIGINT AS sig
-         |  FROM dots GROUP BY 1, 2),
-         |bk AS (
-         |  SELECT vec_id, t * 4294967296 + sig AS bucket FROM sigs),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |  FROM bk q JOIN bk c ON q.bucket = c.bucket
-         |  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id),
-         |ex AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |    list_cosine_similarity(qe.embedding::DOUBLE[],
-         |      ne.embedding::DOUBLE[]) AS cos_raw
-         |  FROM cand
-         |  JOIN embeddings qe ON qe.vec_id = cand.query_id
-         |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
-         |rr AS (
-         |  SELECT query_id, neighbor_id, cos_raw,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_raw DESC, neighbor_id) AS rank
-         |  FROM ex)
-         |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
-         |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin,
-    "ann_bruteforce" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        |  FROM embeddings WHERE vec_id < 10),
-        |scored AS (
-        |  SELECT query_id, e.vec_id AS neighbor_id,
-        |    list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS cos_raw
-        |  FROM q JOIN embeddings e ON e.vec_id != query_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cos_raw,
-        |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos_raw DESC, neighbor_id) AS rn
-        |  FROM scored)
-        |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rn AS rank
-        |FROM ranked WHERE rn <= 5""".stripMargin,
+    "ann_srp_lsh" -> srpLshOracle,
+    // recall@k of the replayed index against the replayed exact answer —
+    // the report itself is pure integer counting over the two
+    // subqueries. Concatenated (NOT stripMargin-interpolated: the outer
+    // stripMargin would mangle the inner oracles' || concats)
+    "ann_recall_srp" -> (
+      "WITH ex AS (SELECT query_id, neighbor_id FROM (" +
+        bruteforceOracle + ")),\n" +
+        "srp AS (SELECT query_id, neighbor_id FROM (" + srpLshOracle + "))\n" +
+        """SELECT ex.query_id,
+          |  sum(CASE WHEN srp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    ::BIGINT AS n_hits,
+          |  (sum(CASE WHEN srp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    * 100) // count(*) AS recall_x100
+          |FROM ex LEFT JOIN srp
+          |  ON srp.query_id = ex.query_id
+          |  AND srp.neighbor_id = ex.neighbor_id
+          |GROUP BY ex.query_id""".stripMargin),
+    "ann_bruteforce" -> bruteforceOracle,
     "text_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  sum(length(text))::BIGINT AS sum_chars,

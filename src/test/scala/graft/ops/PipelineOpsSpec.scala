@@ -128,4 +128,33 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long, Int, Int)].collect().sorted.toSeq
     assert(again == out.sorted.toSeq)
   }
+
+  test("quality-weighted sample: rate honored per band, floor keeps some junk out") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = PipelineOps.qualityWeightedSample(docs)
+      .as[(Long, String, Int, Int)].collect()
+    assert(out.nonEmpty && out.length < docs.count())
+    out.foreach { case (_, _, qp, rate) =>
+      assert(rate == math.min(20 + qp * 8, 100))
+    }
+    // deterministic
+    val again = PipelineOps.qualityWeightedSample(docs)
+      .as[(Long, String, Int, Int)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
+  test("ANN recall report agrees with a direct set comparison") {
+    val report = graft.queries.OpsQueries.queries("ann_recall_srp")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val q = Similarity.queryVectors(spark, sfDir)
+    val exact = Similarity.bruteForceTopK(emb, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val srp = Similarity.srpLshTopK(spark, emb, q, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    report.foreach { case (qid, hits) =>
+      val direct = exact.filter(_._1 == qid).count(srp.contains)
+      assert(hits == direct, s"query $qid: $hits vs $direct")
+    }
+  }
 }
