@@ -345,7 +345,25 @@ object PipelineOps {
         col("rate_pct"))
   }
 
+  /** The round-4 curation pipeline composed end-to-end: Gopher rule
+    * gates drop structural junk, quality-weighted sampling thins what
+    * remains (better text kept harder), and the survivors get their
+    * deterministic shuffle+shard assignment — document in, training
+    * shard position out, every stage an already-oracle-checked operator,
+    * so the COMPOSITION hash-checks too (the property that matters:
+    * operators that verify alone must verify chained).
+    */
+  def curateV2(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val gated = TextAnalysis.gopherRules(docs)
+      .filter(col("pass") === 1).select(col("doc_id"))
+    val sampled = qualityWeightedSample(docs).select(col("doc_id"))
+    val kept = docs.join(gated, "doc_id").join(sampled, "doc_id")
+    shuffleShard(kept)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_curate_v2" -> (curateV2 _),
     "pipe_quality_sample" -> ((s: SparkSession, d: String) =>
       qualityWeightedSample(Tables.documents(s, d))),
     "pipe_shuffle_shard" -> ((s: SparkSession, d: String) =>
@@ -386,17 +404,38 @@ object PipelineOps {
       s"((((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1}))"
     }.mkString(" | ")
 
-  val oracles: Map[String, String] = Map(
-    // quality oracle wrapped as a subquery (concatenated, not
-    // stripMargin-interpolated: the regex alternations contain pipes)
-    "pipe_quality_sample" -> (
-      "WITH q AS (SELECT doc_id, quality_points FROM (" +
-        graft.queries.OpsQueries.oracles("text_quality") + "))\n" +
-        s"""SELECT d.doc_id, d.source, q.quality_points,
-           |  least(20 + q.quality_points * 8, 100) AS rate_pct
-           |FROM documents d JOIN q USING (doc_id)
-           |WHERE ${graft.ops.Sketches.sqlH48("'qw|' || d.doc_id::VARCHAR")}
-           |  % 100 < least(20 + q.quality_points * 8, 100)""".stripMargin),
+  // quality oracle wrapped as a subquery (concatenated, not
+  // stripMargin-interpolated: the regex alternations contain pipes)
+  private lazy val qualitySampleOracle: String =
+    "WITH q AS (SELECT doc_id, quality_points FROM (" +
+      graft.queries.OpsQueries.oracles("text_quality") + "))\n" +
+      s"""SELECT d.doc_id, d.source, q.quality_points,
+         |  least(20 + q.quality_points * 8, 100) AS rate_pct
+         |FROM documents d JOIN q USING (doc_id)
+         |WHERE ${graft.ops.Sketches.sqlH48("'qw|' || d.doc_id::VARCHAR")}
+         |  % 100 < least(20 + q.quality_points * 8, 100)""".stripMargin
+
+  lazy val oracles: Map[String, String] = Map(
+    "pipe_quality_sample" -> qualitySampleOracle,
+    // the three stage oracles composed by concatenation — survivors of
+    // gate ∩ sample get the shuffle/shard windows
+    "pipe_curate_v2" -> (
+      "WITH g AS (SELECT doc_id FROM (" +
+        graft.queries.TextQueries.oracles("text_gopher_rules") +
+        ") WHERE pass = 1),\n" +
+        "qs AS (SELECT doc_id FROM (" + qualitySampleOracle + ")),\n" +
+        s"""k AS (
+           |  SELECT d.doc_id FROM documents d
+           |  JOIN g USING (doc_id) JOIN qs USING (doc_id)),
+           |h AS (
+           |  SELECT doc_id,
+           |    ${graft.ops.Sketches.sqlH48("'shuf|' || doc_id::VARCHAR")} AS h
+           |  FROM k)
+           |SELECT doc_id, h % $ShuffleShards AS shard,
+           |  row_number() OVER (ORDER BY h, doc_id) AS shuffle_rank,
+           |  row_number() OVER (PARTITION BY h % $ShuffleShards
+           |    ORDER BY h, doc_id) AS pos_in_shard
+           |FROM h""".stripMargin),
     "pipe_shuffle_shard" ->
       s"""WITH h AS (
          |  SELECT doc_id,

@@ -157,4 +157,17 @@ class PipelineOpsSpec extends SparkSpec {
       assert(hits == direct, s"query $qid: $hits vs $direct")
     }
   }
+
+  test("curate v2: survivors = gate AND sample, with a clean shard assignment") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = PipelineOps.curateV2(spark, sfDir)
+      .as[(Long, Long, Int, Int)].collect()
+    assert(out.nonEmpty)
+    val gate = TextAnalysis.gopherRules(docs).filter(col("pass") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    val sample = PipelineOps.qualityWeightedSample(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.map(_._1).toSet == (gate & sample), "exactly the intersection")
+    assert(out.map(_._3).sorted.toSeq == (1 to out.length), "dense shuffle ranks")
+  }
 }
