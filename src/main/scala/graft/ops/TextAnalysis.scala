@@ -536,6 +536,28 @@ object TextAnalysis {
   def lmGainFilterQuery(s: SparkSession, dir: String): DataFrame =
     lmGainFilter(Tables.documents(s, dir))
 
+  /** Character-entropy profile per doc — the cheap gibberish/encoding
+    * detector (natural prose sits in a narrow entropy band; base64
+    * blobs, mashed keyboards, and repeated filler fall outside it).
+    * Uses the one-pass identity H = log2(n) - (Σ c·log2 c)/n over the
+    * char histogram, so the whole profile is two combinable
+    * aggregations — no per-doc state beyond the histogram row stream.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    OpUtil.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("c") * log2(col("c"))).as("s"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("distinct_chars"),
+        round(log2(col("n")) - col("s") / col("n"), 4).as("char_entropy"))
+  }
+
+  def charEntropyQuery(s: SparkSession, dir: String): DataFrame =
+    charEntropy(Tables.documents(s, dir))
+
   /** Skip-gram pair extraction (the word2vec/GloVe training-pair
     * generator): (center, context) for every context within
     * [[SkipgramWindow]] positions AFTER the center (forward-only —

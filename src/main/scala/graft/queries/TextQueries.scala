@@ -31,6 +31,7 @@ object TextQueries {
     "text_ccnet_tiers" -> (TextAnalysis.ccnetTiersQuery _),
     "text_lm_gain" -> (TextAnalysis.lmGainFilterQuery _),
     "text_skipgrams" -> (TextAnalysis.skipgramsQuery _),
+    "text_char_entropy" -> (TextAnalysis.charEntropyQuery _),
     // classifier evaluation: predicted vs labeled language, counted —
     // composes the oracle-checked classifier with the truth column
     "text_lang_confusion" -> ((s: SparkSession, d: String) => {
@@ -195,6 +196,18 @@ object TextQueries {
         |    AND (n_tokens > 0 AND n_alpha * 10 >= n_tokens * 8)
         |    AND (n_stop >= 2))::INT AS pass
         |FROM base""".stripMargin,
+    // one-pass entropy identity H = log2(n) - (sum c*log2 c)/n; round-4
+    // absorbs summation-order ulps (the multimodal entropy precedent)
+    "text_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch
+        |  FROM documents),
+        |hist AS (
+        |  SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::BIGINT AS n_chars,
+        |  count(*)::BIGINT AS distinct_chars,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4) AS char_entropy
+        |FROM hist GROUP BY doc_id""".stripMargin,
     // offsets 1..window unioned via list_transform ranges
     "text_skipgrams" ->
       s"""WITH t AS (

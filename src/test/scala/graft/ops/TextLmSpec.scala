@@ -145,4 +145,19 @@ class TextLmSpec extends SparkSpec {
       .select("doc_id", "n_tokens", "pass").as[(Long, Long, Int)].collect()
     out.foreach { case (_, n, p) => assert(n == 0 && p == 0) }
   }
+
+  test("char entropy separates prose from uniform filler and detects bounds") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog repeatedly tonight"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+      (3L, "abcdefghijklmnopqrstuvwxyz")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.charEntropy(docs)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(2L)._4 == 0.0, "single-symbol text has zero entropy")
+    // uniform alphabet: H = log2(26)
+    assert(math.abs(out(3L)._4 - math.log(26) / math.log(2)) < 0.001)
+    assert(out(1L)._4 > out(2L)._4 && out(1L)._4 < out(3L)._4,
+      "prose sits between filler and uniform")
+  }
 }
