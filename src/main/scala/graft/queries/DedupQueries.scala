@@ -24,6 +24,23 @@ object DedupQueries {
     "dedup_span" -> (Dedup.spanQuery _),
     "dedup_cdc" -> (Dedup.cdcQuery _),
     "dedup_incremental" -> (Dedup.incrementalQuery _),
+    // syndicated-content detection at FINGERPRINT granularity: docs
+    // sharing a winnowing fingerprint (near-dup chains, edit-tolerant)
+    // grouped with their source spread — n_sources > 1 is syndication,
+    // n_sources = 1 a within-crawl dup; keeper = lowest doc id. The
+    // corpus has no byte-exact dups, so the fingerprint key is what
+    // makes cross-source duplication visible at all.
+    "dedup_cross_source" -> ((s: SparkSession, d: String) => {
+      import org.apache.spark.sql.functions._
+      val docs = graft.Tables.documents(s, d)
+      graft.ops.TextAnalysis.fingerprint(s, docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("fingerprint"))
+        .agg(countDistinct(col("source")).as("n_sources"),
+          count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("keeper"))
+        .filter(col("n_docs") > 1)
+    }),
     // semantic dedup at cluster granularity: embedding near-dup pairs →
     // GraphX connected components (the same canonicalization the
     // minhash clusters use, composed over the OTHER pair source — at
@@ -182,6 +199,17 @@ object DedupQueries {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
         |  b.embedding::DOUBLE[]), 6) >= 0.45""".stripMargin,
+    // fingerprint oracle wrapped by concatenation (it contains || concats
+    // a stripMargin interpolation would mangle)
+    "dedup_cross_source" -> (
+      "WITH fp AS (SELECT doc_id, fingerprint FROM (" +
+        graft.queries.OpsQueries.oracles("text_fingerprint") + "))\n" +
+        """SELECT f.fingerprint,
+          |  count(DISTINCT d.source)::BIGINT AS n_sources,
+          |  count(*) AS n_docs,
+          |  min(d.doc_id) AS keeper
+          |FROM fp f JOIN documents d USING (doc_id)
+          |GROUP BY 1 HAVING count(*) > 1""".stripMargin),
     // same transitive-closure oracle pattern as dedup_clusters, over the
     // embedding pair source
     "dedup_semantic_clusters" ->

@@ -664,7 +664,25 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         money(sum(col("o_totalprice"))).as("sum_total"))
 
+  /** Latest-record-per-key compaction (the CDC/upsert primitive: a
+    * change log compacts to each key's newest row). row_number over
+    * (key, recency desc) with a unique tiebreak, keep rank 1 — one
+    * shuffle on the key, partition-local sort, and at scale the exact
+    * shape a MERGE INTO target maintenance job runs.
+    */
+  def q38LatestPerKey(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("latest_order"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("latest_date"),
+        money(col("o_totalprice")).as("latest_total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_latest_per_key" -> q38LatestPerKey _,
     "q37_histogram" -> q37Histogram _,
     "q35_first_last" -> q35FirstLast _,
     "q36_bag_setops" -> q36BagSetOps _,
@@ -707,6 +725,15 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q38_latest_per_key" ->
+      """SELECT o_custkey, o_orderkey AS latest_order,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS latest_date,
+        |  round(o_totalprice, 2) AS latest_total
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders)
+        |WHERE rn = 1""".stripMargin,
     "q37_histogram" ->
       """SELECT least(floor(o_totalprice / 50000.0), 9.0)::INT AS bucket,
         |  count(*) AS n_orders,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** Bigram LM scoring + Gopher-style rule gates (round 4). */
 class TextLmSpec extends SparkSpec {
@@ -159,5 +160,33 @@ class TextLmSpec extends SparkSpec {
     assert(math.abs(out(3L)._4 - math.log(26) / math.log(2)) < 0.001)
     assert(out(1L)._4 > out(2L)._4 && out(1L)._4 < out(3L)._4,
       "prose sits between filler and uniform")
+  }
+
+  test("cross-source dup report: clusters have >1 doc and keeper is the minimum") {
+    val out = graft.queries.DedupQueries
+      .queries("dedup_cross_source")(spark, sfDir)
+      .as[(String, Long, Long, Long)].collect()
+    out.foreach { case (_, nSrc, nDocs, keeper) =>
+      assert(nDocs > 1)
+      assert(nSrc >= 1 && nSrc <= nDocs)
+      assert(keeper >= 0)
+    }
+  }
+
+  test("latest-per-key emits exactly one row per customer, the newest") {
+    val out = graft.queries.Relational.q38LatestPerKey(spark, sfDir)
+      .select("o_custkey", "latest_date").as[(Long, String)].collect()
+    val nCust = graft.Tables.orders(spark, sfDir)
+      .select("o_custkey").distinct().count()
+    assert(out.length.toLong == nCust)
+    assert(out.map(_._1).distinct.length == out.length)
+    // spot-check one customer against a direct max
+    val (c, d) = out.head
+    val direct = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_custkey") === c)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.date_format(col("o_orderdate"), "yyyy-MM-dd")))
+      .as[String].head()
+    assert(d == direct)
   }
 }
