@@ -41,16 +41,18 @@ object Similarity {
     val c = OpUtil.spread(corpus)
       .select(col("vec_id").as("neighbor_id"), asUnit(col("embedding")).as("cv"))
     val q = queries.select(col("vec_id").as("query_id"), asUnit(col("embedding")).as("qv"))
+    // rank on the ROUND-6 cosine (the cross-engine-stable value), id
+    // tiebreak: raw doubles differ in the last bits between engines and
+    // a near-tie at the rank-k boundary would flip set membership
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        vec_dot(col("qv"), col("cv")).as("cos_raw"))
+        round(vec_dot(col("qv"), col("cv")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos_raw"), 6).as("cos"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
   /** Deterministic random hyperplanes: dim doubles per bit, from a seeded
@@ -114,16 +116,15 @@ object Similarity {
         explode(bucketsUdf(col("qv"))).as("bucket"))
 
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        vec_dot(col("qv"), col("cv")).as("cos_raw"))
+        round(vec_dot(col("qv"), col("cv")), 6).as("cos"))
       .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos_raw"), 6).as("cos"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
   /** Lloyd k-means over an in-memory sample — the coarse-quantizer
@@ -457,10 +458,23 @@ object Similarity {
   def srpLshTopK(s: SparkSession, corpus: DataFrame, queries: DataFrame,
       k: Int, bits: Int = SrpBits, tables: Int = SrpTables): DataFrame = {
     import s.implicits._
+    // plane arrays sized from the PROBED max embedding width (as the
+    // oracle sizes them from max(len(embedding))) — a fixed 256 would
+    // index out of bounds on wider embeddings. One column-pruned agg
+    // scan; at corpus scale read the width from table metadata instead.
+    val dim = corpus.select(max(size(col("embedding")))).as[Int]
+      .collect().headOption.filter(_ > 0).getOrElse(0)
+    if (dim == 0) {
+      import org.apache.spark.sql.types._
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("query_id", LongType), StructField("neighbor_id", LongType),
+          StructField("cos", DoubleType), StructField("rank", IntegerType))))
+    }
     val planes = s.sparkContext.broadcast(
       Array.tabulate(tables, bits) { (t, b) =>
-        // dimension loop sized at use; signs are cheap to extend
-        Array.tabulate(256)(i => srpSign(t, b, i))
+        Array.tabulate(dim)(i => srpSign(t, b, i))
       })
     val bucketsUdf = udf { (v: Seq[Double]) =>
       val arr = v.toArray
@@ -471,7 +485,8 @@ object Similarity {
           val p = planes.value(t)(b)
           var dot = 0.0
           var i = 0
-          while (i < arr.length) { dot += arr(i) * p(i); i += 1 }
+          val n = math.min(arr.length, p.length)
+          while (i < n) { dot += arr(i) * p(i); i += 1 }
           if (dot >= 0) sig |= 1 << b
           b += 1
         }
@@ -485,17 +500,19 @@ object Similarity {
     val q = queries
       .select(col("vec_id").as("query_id"), asUnit(col("embedding")).as("qv"),
         explode(bucketsUdf(rawV)).as("bucket"))
+    // round-6 rank key + id tiebreak: cross-engine-stable (see
+    // bruteForceTopK) — raw-double ties at the rank-k boundary were the
+    // one intermittent hash flake in round 4's recall report
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        vec_dot(col("qv"), col("cv")).as("cos_raw"))
+        round(vec_dot(col("qv"), col("cv")), 6).as("cos"))
       .distinct()
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos_raw"), 6).as("cos"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
   }
 
   def annSrpLsh(s: SparkSession, dir: String): DataFrame =

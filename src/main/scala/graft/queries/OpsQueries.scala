@@ -93,17 +93,18 @@ object OpsQueries {
     // exact top-k, per query — both sides are themselves oracle-replayed,
     // so even the RECALL REPORT is hash-checked
     "ann_recall_srp" -> ((s: SparkSession, d: String) => {
+      // same LEFT JOIN + conditional-count shape as the oracle (one
+      // pass over exact, no semi/outer recombination to diverge from it)
       val exact = Similarity.annBruteForce(s, d)
         .select(col("query_id"), col("neighbor_id"))
       val srp = Similarity.annSrpLsh(s, d)
-        .select(col("query_id"), col("neighbor_id"))
-      exact.join(srp, Seq("query_id", "neighbor_id"), "left_semi")
-        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-        .join(exact.groupBy("query_id").agg(count(lit(1)).as("k")),
-          Seq("query_id"), "right_outer")
-        .select(col("query_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          expr("coalesce(n_hits, 0) * 100 div k").as("recall_x100"))
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(srp, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("k"))
+        .select(col("query_id"), col("n_hits"),
+          expr("n_hits * 100 div k").as("recall_x100"))
     }),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
@@ -227,11 +228,11 @@ object OpsQueries {
          |  JOIN embeddings qe ON qe.vec_id = cand.query_id
          |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
          |rr AS (
-         |  SELECT query_id, neighbor_id, cos_raw,
+         |  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos,
          |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |      ORDER BY round(cos_raw, 6) DESC, neighbor_id) AS rank
          |  FROM ex)
-         |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
+         |SELECT query_id, neighbor_id, cos, rank
          |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin
 
   private val bruteforceOracle: String =
@@ -243,11 +244,11 @@ object OpsQueries {
         |    list_cosine_similarity(qv, e.embedding::DOUBLE[]) AS cos_raw
         |  FROM q JOIN embeddings e ON e.vec_id != query_id),
         |ranked AS (
-        |  SELECT query_id, neighbor_id, cos_raw,
+        |  SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos,
         |    row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos_raw DESC, neighbor_id) AS rn
+        |      ORDER BY round(cos_raw, 6) DESC, neighbor_id) AS rn
         |  FROM scored)
-        |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rn AS rank
+        |SELECT query_id, neighbor_id, cos, rn AS rank
         |FROM ranked WHERE rn <= 5""".stripMargin
 
   val oracles: Map[String, String] = Map(
