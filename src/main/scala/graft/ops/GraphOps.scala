@@ -59,7 +59,10 @@ object GraphOps {
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     }
     val outw = edges.groupBy("src").agg(sum(col("w")).as("out_w"))
-    val ew = edges.join(outw, "src").cache()
+    // cache the edge list PRE-PARTITIONED on src: every iteration's
+    // rank⋈edges equi-join reuses this partitioning, so only the (tiny)
+    // rank vector moves per iteration
+    val ew = edges.join(outw, "src").repartition(col("src")).cache()
     val nodes = ev.select(col("item").as("node")).distinct().cache()
     val n = nodes.count()
     if (n == 0) {
@@ -70,23 +73,33 @@ object GraphOps {
     val base = (1000L - PrDampNum) * init / 1000L
     // iterate on the IN-MASS vector only: any node's rank is
     // base + coalesce(in_mass, 0), so the full rank table never needs
-    // materializing inside the loop — each iteration is one broadcast
-    // of the (one row per ranked node, tiny) mass vector against the
-    // cached edge list plus one combinable per-dst sum. The edge list
-    // is never re-shuffled.
+    // materializing inside the loop — each iteration is one equi-join
+    // of the mass vector against the src-partitioned cached edge list
+    // plus one combinable per-dst sum. No static broadcast: AQE promotes
+    // the join to broadcast when the runtime-sized vector is genuinely
+    // small, and falls back to a co-partitioned shuffle join on a
+    // billion-node graph (a driver collect+reship of O(nodes) per
+    // iteration is exactly what this avoids).
+    // Contribution order (rank div out_w) * w bounds the intermediate by
+    // PrScale: rank <= 1e12 and w <= out_w, so no BIGINT overflow no
+    // matter how heavy an edge gets (rank * w would blow past 2^63 once
+    // w > ~9.2e6 — plausible for a hub pair in a production event log).
+    // Cost: up to out_w-1 fixed-point units truncated per edge, i.e.
+    // < 1e-12 of total mass per edge — documented precision tradeoff.
     var mass: DataFrame = null
     for (it <- 1 to PrIters) {
       val joined =
         if (it == 1) ew.withColumn("rank", lit(init))
-        else ew.join(broadcast(mass), col("src") === col("mdst"), "left_outer")
+        else ew.join(mass.select(col("mdst").as("src"), col("mass")),
+            Seq("src"), "left_outer")
           .withColumn("rank", lit(base) + coalesce(col("mass"), lit(0L)))
       mass = joined
         .select(col("dst"),
-          expr(s"((rank * w) div out_w) * $PrDampNum div 1000").as("c"))
+          expr(s"((rank div out_w) * w) * $PrDampNum div 1000").as("c"))
         .groupBy("dst").agg(sum(col("c")).as("mass"))
         .select(col("dst").as("mdst"), col("mass"))
     }
-    nodes.join(broadcast(mass), col("node") === col("mdst"), "left_outer")
+    nodes.join(mass, col("node") === col("mdst"), "left_outer")
       .select(col("node"),
         (lit(base) + coalesce(col("mass"), lit(0L))).as("rank_fp"))
   }
@@ -190,7 +203,7 @@ object GraphOps {
        |  FROM nodes CROSS JOIN base
        |  LEFT JOIN (
        |    SELECT ew.dst,
-       |      sum((($prev.rank * ew.w) // ew.out_w) * $PrDampNum // 1000)::BIGINT
+       |      sum((($prev.rank // ew.out_w) * ew.w) * $PrDampNum // 1000)::BIGINT
        |        AS mass
        |    FROM ew JOIN $prev ON $prev.node = ew.src
        |    GROUP BY ew.dst) m ON m.dst = nodes.node)""".stripMargin

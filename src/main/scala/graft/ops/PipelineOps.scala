@@ -123,24 +123,55 @@ object PipelineOps {
 
   /** Sequence packing: assign docs (in doc_id order) to fixed
     * token-budget bins by prefix sum — the batch-shaping step before
-    * training (greedy first-fit in id order). `bin = floor((cumsum -
-    * n_tokens) / budget)` gives each doc the bin its first token lands
+    * training (greedy first-fit in id order). `bin = (cumsum -
+    * n_tokens) div budget` gives each doc the bin its first token lands
     * in; a doc longer than the remaining budget spills into the next bin
-    * (document-level packing, no splitting). Prefix sums are one global
-    * window — at corpus scale this would run per-shard (partition
-    * column) exactly like here with `partitionBy`.
+    * (document-level packing, no splitting).
+    *
+    * The global prefix sum is TWO-PASS and shard-parallel: doc_ids
+    * bucket into [[PackShards]] monotone equal-width ranges (every id in
+    * shard i sorts before every id in shard i+1), each shard cumsums
+    * independently under `partitionBy(shard)`, and the O(shards) shard
+    * totals come to the driver for an exclusive scan that broadcasts
+    * back as per-shard offsets. No corpus row passes through a
+    * single-partition global sort — the serial piece is O(shards) — so
+    * the identical plan holds on 100 TB with shards sized to the
+    * cluster. Integer `div` (not float floor) keeps bins exact past
+    * 2^53 cumulative tokens.
     */
-  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  def packSequences(docs: DataFrame, budget: Long,
+      shards: Int = PackShards): DataFrame = {
     val toks = when(length(trim(col("text"))) === 0, lit(0L))
       .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
-    docs
-      .select(col("doc_id"), toks.as("n_tokens"))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+    // 2-col projection cached once: the id-range probe, the shard
+    // totals, and the final pass all reuse it instead of re-running the
+    // upstream pipeline (curate feeds multi-stage inputs through here)
+    val base = docs.select(col("doc_id"), toks.as("n_tokens")).persist()
+    val width = base.agg(max(col("doc_id"))).collect().headOption
+      .flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Number].longValue))
+      .map(m => m / shards + 1).getOrElse(1L)
+    val sharded = base.withColumn("shard", expr(s"doc_id div $width"))
+    // pass 1 drives pass 2: per-shard totals → driver exclusive scan
+    // (bounded: one row per shard) → broadcast offset table
+    val totals = sharded.groupBy("shard").agg(sum(col("n_tokens")).as("tot"))
+      .collect()
+      .map(r => (r.getAs[Number]("shard").longValue,
+        r.getAs[Number]("tot").longValue))
+      .sortBy(_._1)
+    var running = 0L
+    val offsetRows = totals.map { case (sh, tot) =>
+      val o = running; running += tot; (sh, o)
+    }.toSeq
+    val s = docs.sparkSession
+    import s.implicits._
+    val offsets = broadcast(offsetRows.toDF("shard", "offset"))
+    val wLocal = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("local_cum", sum(col("n_tokens")).over(wLocal))
+      .join(offsets, "shard")
       .select(col("doc_id"), col("n_tokens"),
-        floor((col("cum") - col("n_tokens")) / budget).as("bin"))
+        expr(s"(offset + local_cum - n_tokens) div $budget").as("bin"))
   }
 
   private val Window = org.apache.spark.sql.expressions.Window
@@ -149,6 +180,7 @@ object PipelineOps {
   val ScrubPattern = "\\b(customer|supplier)\\b"
   val StratumQuota = 5
   val PackBudget = 2048L
+  val PackShards = 32
 
   def sampleQuery(s: SparkSession, dir: String): DataFrame =
     sampleHash(Tables.documents(s, dir), SampleThreshold)
