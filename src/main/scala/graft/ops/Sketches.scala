@@ -224,6 +224,7 @@ object Sketches {
     * union/intersection ride along as error references. All integer.
     */
   def kmvOverlap(docs: DataFrame): DataFrame = {
+    val kmv = udaf(new KMinValues(KmvK))
     val d = OpUtil.spread(docs)
       .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -231,45 +232,42 @@ object Sketches {
       .select(col("source"), col("tok"), h48(col("tok")).as("h"))
       .select(col("source"), col("h")).distinct()
       .cache()
-    val pairs = d.select(col("source").as("source_a")).distinct()
-      .crossJoin(d.select(col("source").as("source_b")).distinct())
+    // ONE scan builds every per-source state: k longs + exact size each.
+    // Everything pairwise below runs on this S-row table of bounded
+    // arrays — the token-hash table is never re-read per pair.
+    val sk = d.groupBy("source")
+      .agg(kmv(col("h")).as("mins"), count(lit(1)).as("n"))
+    val pairs = sk.select(col("source").as("source_a"),
+        col("mins").as("mins_a"), col("n").as("na"))
+      .crossJoin(sk.select(col("source").as("source_b"),
+        col("mins").as("mins_b"), col("n").as("nb")))
       .filter(col("source_a") < col("source_b"))
-    // exact reference counts
-    val sizes = d.groupBy("source").agg(count(lit(1)).as("n"))
+    // exact intersection reference: ONE self-equi-join on h (the
+    // declared error column, droppable at real scale)
     val inter = d.select(col("source").as("source_a"), col("h"))
       .join(d.select(col("source").as("source_b"), col("h")), "h")
       .filter(col("source_a") < col("source_b"))
       .groupBy("source_a", "source_b").agg(count(lit(1)).as("exact_inter"))
-    // union k-min sample per pair + membership of each sampled hash
-    val merged = pairs.join(d.withColumnRenamed("source", "source_a"), "source_a")
-      .select(col("source_a"), col("source_b"), col("h"))
-      .unionAll(
-        pairs.join(d.withColumnRenamed("source", "source_b"), "source_b")
-          .select(col("source_a"), col("source_b"), col("h")))
-      .distinct()
-    val w = Window.partitionBy(col("source_a"), col("source_b"))
-      .orderBy(col("h"))
-    val kept = merged.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= KmvK)
     val numerator = (KmvK - 1).toLong * (1L << 48)
-    val common = kept
-      .join(d.select(col("source").as("source_a"), col("h"))
-        .withColumn("in_a", lit(1)), Seq("source_a", "h"), "left_outer")
-      .join(d.select(col("source").as("source_b"), col("h"))
-        .withColumn("in_b", lit(1)), Seq("source_b", "h"), "left_outer")
-      .groupBy("source_a", "source_b")
-      .agg(count(lit(1)).as("n_kept"), max(col("rn")).as("rn_max"),
-        max(when(col("rn") === KmvK, col("h"))).as("kth"),
-        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L))
-          .as("n_common"))
+    // KMV merge is lossless for the union's k minima: any of the k
+    // smallest union hashes is among ITS source's k smallest, so the k
+    // smallest distinct values of the two k-lists ARE the union sample —
+    // and membership of a sampled hash in either source is exact via
+    // that source's list (sample values never exceed either kth). The
+    // estimates are therefore bit-identical to a merged-stream replay.
+    pairs
+      .withColumn("sample", slice(
+        array_sort(array_distinct(concat(col("mins_a"), col("mins_b")))),
+        1, KmvK))
+      .withColumn("n_kept", size(col("sample")).cast("long"))
+      .withColumn("kth", element_at(col("sample"), size(col("sample"))))
       .withColumn("union_est",
         when(col("n_kept") < KmvK, col("n_kept"))
           .otherwise(expr(s"$numerator div kth")))
-      .withColumn("inter_est",
-        expr(s"(n_common * union_est) div n_kept"))
-    common
-      .join(sizes.select(col("source").as("source_a"), col("n").as("na")), "source_a")
-      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")), "source_b")
+      .withColumn("n_common", size(array_intersect(
+        array_intersect(col("sample"), col("mins_a")), col("mins_b")))
+        .cast("long"))
+      .withColumn("inter_est", expr("(n_common * union_est) div n_kept"))
       .join(inter, Seq("source_a", "source_b"), "left_outer")
       .select(col("source_a"), col("source_b"),
         col("union_est"), col("inter_est"),
