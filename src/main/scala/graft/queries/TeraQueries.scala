@@ -29,10 +29,18 @@ object TeraQueries {
     val parts = math.max(
       s.sparkContext.defaultParallelism,
       (n * TeraGen.RecordLen / (64L << 20)).toInt + 1)
+    // the TPCx-HS-style protocol (reference apps/terasort/run.sh): time
+    // gen+sort+validate end to end, SF = bytes/10^10, report SF per hour
+    val t0 = System.nanoTime()
     val sorted = TeraSort.generateAndSort(s, n, parts)
     val r = TeraValidate.validate(sorted)
-    Seq((r.records, r.checksumHex, r.partitionsSorted, r.boundariesOrdered))
-      .toDF("records", "checksum", "partitions_sorted", "boundaries_ordered")
+    val hours = (System.nanoTime() - t0) / 3.6e12
+    val sf = n * TeraGen.RecordLen / 1e10
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    Seq((r.records, r.checksumHex, r.partitionsSorted, r.boundariesOrdered,
+        r4(sf), r4(sf / hours)))
+      .toDF("records", "checksum", "partitions_sorted", "boundaries_ordered",
+        "hs_sf", "hsph_at_sf")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -67,6 +67,18 @@ class TeraSuiteSpec extends SparkSpec {
     assert(parts.forall(i => i >= 0 && i < 13))
   }
 
+  test("pipeline reports the TPCx-HS-style metric: SF exact, HSph positive") {
+    // sf0.001 → 10k records x 100 B = 1e6 bytes → SF = 1e6/1e10 = 0.0001
+    val row = graft.queries.TeraQueries.teraPipeline(spark, "/nodir/sf0.001")
+      .collect().head
+    assert(row.getAs[Long]("records") == 10000)
+    assert(row.getAs[Boolean]("partitions_sorted"))
+    assert(row.getAs[Boolean]("boundaries_ordered"))
+    assert(row.getAs[Double]("hs_sf") == 0.0001)
+    assert(row.getAs[Double]("hsph_at_sf") > 0.0,
+      "SF/total_hours over gen+sort+validate must be a positive rate")
+  }
+
   test("raw 100-byte record files round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("tera").toString + "/out"
     try {
