@@ -137,6 +137,53 @@ object EventStreams {
     out.localCheckpoint(eager = true)
   }
 
+  final case class TimedEv(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class UserStatE(user_id: Long, n_events: Long, sum_value: Double,
+    evicted: Boolean)
+
+  /** Running per-user totals WITH STATE EVICTION — the rotating-key-space
+    * policy [[userTotalsStats]]'s NoTimeout demo leaves out: each key's
+    * state registers an EVENT-TIME timeout `retentionMs` past its last
+    * event, and once the watermark passes that point the state is
+    * emitted one final time (`evicted = true`) and REMOVED from the
+    * store. State volume is then bounded by keys active inside the
+    * retention horizon, not by all keys ever seen — the difference
+    * between a demo and a deployable stream on an unbounded key space.
+    * Event-time (not processing-time) timeouts keep the behavior
+    * deterministic and replayable; the input must carry a watermark on
+    * `ts` (EventTimeTimeout requires one).
+    */
+  private[graft] def userTotalsEvictingStats(events: DataFrame,
+      retentionMs: Long): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val fn: (Long, Iterator[TimedEv], GroupState[UserStat]) => UserStatE =
+      (uid, evs, state) => {
+        if (state.hasTimedOut) {
+          val st = state.get
+          state.remove()
+          UserStatE(uid, st.n_events, st.sum_value, evicted = true)
+        } else {
+          var st = state.getOption.getOrElse(UserStat(uid, 0L, 0.0))
+          var lastMs = Long.MinValue
+          evs.foreach { e =>
+            st = st.copy(n_events = st.n_events + 1,
+              sum_value = st.sum_value + e.value)
+            lastMs = math.max(lastMs, e.ts.getTime)
+          }
+          state.update(st)
+          // the registered timeout must sit strictly past the watermark
+          state.setTimeoutTimestamp(
+            math.max(state.getCurrentWatermarkMs + 1, lastMs + retentionMs))
+          UserStatE(uid, st.n_events, st.sum_value, evicted = false)
+        }
+      }
+    events.select(col("user_id"), col("ts"), col("value")).as[TimedEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
+
   final case class SessEv(user_id: Long, ts_us: Long)
   final case class SessState(last_ts: Long, n_sessions: Long, n_events: Long)
 

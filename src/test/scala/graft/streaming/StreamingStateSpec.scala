@@ -56,4 +56,47 @@ class StreamingStateSpec extends SparkSpec {
       assert(streamed == batch)
     } finally graft.tera.TeraIO.delete(spark, dir)
   }
+
+  test("event-time timeout evicts idle state; in-window totals stay batch-equal") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val in = mem.toDF().toDF("user_id", "ts", "value")
+      .withWatermark("ts", "0 seconds")
+    val out = EventStreams.userTotalsEvictingStats(in, 3600L * 1000) // 1h
+    val name = "evict_sink"
+    val q = out.writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData((1L, ts(10, 0), 1.0), (2L, ts(10, 0), 2.0))
+      q.processAllAvailable() // watermark after batch: 10:00
+      mem.addData((2L, ts(13, 0), 3.0))
+      q.processAllAvailable() // watermark after batch: 13:00
+      // user 1's timeout (11:00) is now behind the watermark → this
+      // batch must emit its final state and drop it from the store
+      mem.addData((3L, ts(13, 30), 4.0))
+      q.processAllAvailable()
+      // user 1 returns AFTER eviction: totals must restart from zero
+      mem.addData((1L, ts(13, 40), 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select("user_id", "n_events", "sum_value", "evicted")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val evictions = rows.filter(_._4)
+    assert(evictions == Seq((1L, 1L, 1.0, true)),
+      s"exactly user 1's state evicts, with its pre-eviction totals: $rows")
+    // state genuinely dropped: the post-eviction emission restarts at 1
+    // event (a surviving state would have counted 2)
+    assert(rows.contains((1L, 1L, 5.0, false)), rows.toString)
+    // keys that stayed inside the retention window accumulate exactly
+    // the batch totals (the oracle-equal half of the contract)
+    val last = rows.filterNot(_._4).groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(r => (r._2, r._3)).maxBy(_._1) }
+    assert(last(2L) == ((2L, 5.0)), last.toString)
+    assert(last(3L) == ((1L, 4.0)), last.toString)
+  }
 }
