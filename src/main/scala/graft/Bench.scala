@@ -49,6 +49,12 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      // settle: collect the just-freed blocks NOW, outside any timing —
+      // without this a neighbor's garbage bleeds into the next query's
+      // number (r4 showed 2-4x in-run "regressions" that vanished when
+      // the same queries ran standalone)
+      System.gc()
+      Thread.sleep(50)
     }
 
     // two timed runs per query, keep the faster — damps GC/JIT noise from

@@ -148,10 +148,12 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
 
-  /** Exact n-gram Jaccard near-dup pairs (the ground truth the sketching
-    * variants approximate): inverted-index self-join on shingles —
-    * candidate pairs are generated per shared shingle, so cost follows
-    * actual overlap, not n^2.
+  /** Exact n-gram Jaccard near-dup pairs via the PLAIN inverted-index
+    * self-join — the CROSS-CHECK REFERENCE for [[prefixJaccardDocs]]
+    * (the registered default exact path), kept because its candidate
+    * generation is trivially auditable. Not the scale path: a hot
+    * shingle shared by h docs emits h^2 candidate rows here, which the
+    * prefix-filtered index avoids; both are spec-asserted equal.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramJaccardDocs(Tables.documents(s, dir))
@@ -330,7 +332,7 @@ object Dedup {
     * convergence action, where Pregel keeps both in one RDD iteration.)
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clustersFromPairs(s, ngramJaccard(s, dir))
+    clustersFromPairs(s, prefixJaccard(s, dir))
 
   def clustersFromPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
     import org.apache.spark.graphx.Graph

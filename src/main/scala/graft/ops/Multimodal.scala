@@ -56,11 +56,26 @@ object Multimodal {
     out
   }
 
-  /** STUB CODEC — replace with a real decoder (e.g. javax.imageio /
-    * ffmpeg bindings) in production. Parses the synthetic header and
-    * returns the body as "pixels".
+  /** Codec adapter — THE plug point for real media decoding: swapping
+    * in a production decoder (javax.imageio, ffmpeg bindings, a JNI
+    * wrapper) is implementing this one method and passing the instance
+    * to [[extractFeatures]]/[[sampleFrames]]/[[metaQuery]]; no query
+    * changes shape. Returns (width, height, sample bytes) — pixels for
+    * images, PCM for audio — or None for an undecodable payload (the
+    * row is dropped, never a task failure). Implementations ship to
+    * executors: they must be Serializable and safe to call concurrently
+    * within a partition.
     */
-  object StubCodec {
+  trait MediaCodec extends Serializable {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])]
+  }
+
+  /** STUB CODEC — the deterministic test instance (no media libraries
+    * exist in this environment): parses the synthetic header and returns
+    * the LCG body as "pixels". Kept as the default so the whole pipeline
+    * stays oracle-replayable; production swaps in a real [[MediaCodec]].
+    */
+  object StubCodec extends MediaCodec {
     def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
       if (payload.length < 8 || !payload.take(4).sameElements(Magic)) None
       else {
@@ -85,11 +100,12 @@ object Multimodal {
   /** Decode + feature-extract, batched per partition (the mapInPandas
     * shape: one iterator in, one iterator out, no per-row overhead).
     */
-  def extractFeatures(media: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaItem],
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { items =>
       items.flatMap { m =>
-        StubCodec.decode(m.payload).map { case (w, h, pixels) =>
+        codec.decode(m.payload).map { case (w, h, pixels) =>
           val hist = new Array[Long](256)
           var sum = 0L
           pixels.foreach { b => val v = b & 0xff; hist(v) += 1; sum += v }
@@ -122,10 +138,11 @@ object Multimodal {
     * is real (byte ranges out of the payload); only the notion that a
     * frame is a decodable image is stubbed.
     */
-  def sampleFrames(media: Dataset[MediaItem], frameSize: Int, stride: Int): DataFrame = {
+  def sampleFrames(media: Dataset[MediaItem], frameSize: Int, stride: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      StubCodec.decode(m.payload).toSeq.flatMap { case (_, _, body) =>
+      codec.decode(m.payload).toSeq.flatMap { case (_, _, body) =>
         val nFrames = body.length / frameSize
         (0 until nFrames by stride).map { f =>
           (m.media_id, f,
@@ -176,12 +193,13 @@ object Multimodal {
     * decode and envelope stats come off the same MediaItem rows — no
     * second payload synthesis, no join.
     */
-  def metaQuery(s: SparkSession, dir: String): DataFrame = {
+  def metaQuery(s: SparkSession, dir: String,
+      codec: MediaCodec = StubCodec): DataFrame = {
     import s.implicits._
     mediaTable(s, dir)
       .mapPartitions { items =>
         items.flatMap { m =>
-          StubCodec.decode(m.payload).map { case (w, h, _) =>
+          codec.decode(m.payload).map { case (w, h, _) =>
             (m.modality, w.toLong, h.toLong, m.size_bytes)
           }
         }

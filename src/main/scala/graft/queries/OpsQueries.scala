@@ -112,7 +112,8 @@ object OpsQueries {
     "text_langid" -> (TextAnalysis.langIdQuery _),
     "text_fingerprint" -> (TextAnalysis.fingerprintQuery _),
     "multimodal_features" -> (Multimodal.featuresQuery _),
-    "multimodal_meta" -> (Multimodal.metaQuery _),
+    "multimodal_meta" -> ((s: SparkSession, d: String) =>
+      Multimodal.metaQuery(s, d)),
     "multimodal_framestats" -> (Multimodal.frameStatsQuery _),
     // resize-stub plumbing on the gate path: decoded dims clamped to a
     // 32px box (the metadata half of a real resize; pixel transform is

@@ -69,4 +69,27 @@ class RefineFrameSpec extends SparkSpec {
         m == id && (f % Multimodal.FrameStride != 0 || f >= nFrames) })
     }
   }
+
+  test("a custom MediaCodec drops in without changing any query shape") {
+    val rows = Multimodal
+      .extractFeatures(Multimodal.mediaTable(spark, sfDir), WhiteCodec)
+      .collect()
+    assert(rows.nonEmpty)
+    // all-255 pixels: mean_byte_x100 = 25500 exactly, entropy 0
+    assert(rows.forall(r => r.width == 2 && r.height == 2 &&
+      r.mean_byte_x100 == 25500L && r.byte_entropy == 0.0))
+    // and the default instance still routes through StubCodec unchanged
+    val stub = Multimodal
+      .extractFeatures(Multimodal.mediaTable(spark, sfDir)).take(1).head
+    assert(stub.width != 2 || stub.height != 2 || stub.mean_byte_x100 != 25500L)
+  }
+}
+
+/** A "decoder" that reports every payload as a 2x2 white image — stands
+  * in for a real imageio/ffmpeg adapter in the plug-point test (top
+  * level so the closure ships without dragging the spec instance along).
+  */
+object WhiteCodec extends Multimodal.MediaCodec {
+  def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    Some((2, 2, Array.fill[Byte](4)(-1)))
 }
