@@ -79,6 +79,33 @@ class TeraSuiteSpec extends SparkSpec {
       "SF/total_hours over gen+sort+validate must be a positive rate")
   }
 
+  test("Hadoop-API compat: newAPIHadoopFile[TeraInputFormat] reads, " +
+      "saveAsNewAPIHadoopFile[TeraOutputFormat] writes") {
+    val dir = java.nio.file.Files.createTempDirectory("tera").toString
+    try {
+      // the reference job's exact read surface over our written files
+      TeraIO.write(TeraGen.records(spark, 1000, 2).rdd, s"$dir/in")
+      val conf = new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration)
+      // force splits that land mid-record (2,550 B) — the reader must
+      // still claim every record exactly once
+      conf.setLong("mapreduce.input.fileinputformat.split.maxsize", 2550L)
+      val in = spark.sparkContext.newAPIHadoopFile(
+        s"$dir/in", classOf[TeraInputFormat],
+        classOf[Array[Byte]], classOf[Array[Byte]], conf)
+      assert(in.getNumPartitions > 2, "split config must actually split")
+      assert(in.count() == 1000)
+      assert(TeraValidate.checksum(in) == "0000000000000000000001eea4a93bef")
+      // the reference job's exact write surface, read back by our reader
+      in.saveAsNewAPIHadoopFile(
+        s"$dir/out", classOf[Array[Byte]], classOf[Array[Byte]],
+        classOf[TeraOutputFormat])
+      val back = TeraIO.read(spark, s"$dir/out")
+      assert(back.count() == 1000)
+      assert(TeraValidate.checksum(back) == "0000000000000000000001eea4a93bef")
+    } finally TeraIO.delete(spark, dir)
+  }
+
   test("raw 100-byte record files round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("tera").toString + "/out"
     try {
