@@ -322,6 +322,43 @@ object Dedup {
     scoreJaccard(common, sizes)
   }
 
+  /** MinHash signature-quality report — the sketch-QA twin of
+    * ann_recall_srp, for the dedup side: per exact near-dup pair, how
+    * many of [[MinhashErrK]] MinHash components agree (the unbiased
+    * Jaccard estimator a production MinHash-only pipeline would act on)
+    * next to the exact Jaccard it estimates. Components are md5-derived
+    * (the shared cross-engine hash family), so the WHOLE estimator —
+    * component hashes, per-doc minima, match counting — replays in SQL
+    * and the error report itself is hash-checked; the production
+    * xxhash64 signatures ([[minhashSignatures]]) stay the fast path.
+    * Shape at scale: one combinable K-way min aggregation over the
+    * shingle index, then a pair-driven join of k-long arrays — the
+    * signature table is the only thing the report reads twice.
+    */
+  val MinhashErrK = 32
+
+  def minhashErrorDocs(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val comps = (0 until MinhashErrK).map(i =>
+      min(Sketches.h48(concat_ws("|", lit(i), col("shingle")))).as(s"m$i"))
+    val sig = sh.groupBy("doc_id").agg(comps.head, comps.tail: _*)
+      .select(col("doc_id"),
+        array((0 until MinhashErrK).map(i => col(s"m$i")): _*).as("sig"))
+      .cache()
+    prefixJaccardDocs(docs)
+      .join(sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("n_match",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))")
+          .cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        expr(s"n_match * 100 div $MinhashErrK").as("est_pct"),
+        col("jaccard"))
+  }
+
+  def minhashError(s: SparkSession, dir: String): DataFrame =
+    minhashErrorDocs(Tables.documents(s, dir))
+
   /** Collapse near-dup pairs into clusters and elect a canonical doc per
     * cluster (min doc_id) — the keep/drop list an actual dedup pass
     * emits. Connected components via GraphX (label = min vertex id),

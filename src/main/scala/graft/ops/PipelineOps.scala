@@ -394,7 +394,30 @@ object PipelineOps {
     shuffleShard(kept)
   }
 
+  /** Length-bucketed batching report: docs pad to the next power-of-two
+    * token length (the bucketed-batching scheme that bounds padding at
+    * <= 2x), and the report shows per-bucket volume and the padding
+    * waste bucketing exists to control. pow/log2 on integers are exact
+    * in doubles (powers of two are representable; log2 of a non-power
+    * can't land on an integer), so bucket edges are engine-proof; one
+    * combinable aggregation, map-side only before the shuffle.
+    */
+  def lengthBuckets(docs: DataFrame): DataFrame = {
+    val toks = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    docs.select(toks.as("n_tokens"))
+      .withColumn("pad_to",
+        pow(lit(2.0), ceil(log(2.0, greatest(col("n_tokens"), lit(1L)))))
+          .cast("long"))
+      .groupBy("pad_to")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("pad_to") - col("n_tokens")).as("sum_waste"))
+      .withColumn("waste_pct", expr("sum_waste * 100 div (n_docs * pad_to)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_length_buckets" -> ((s: SparkSession, d: String) =>
+      lengthBuckets(Tables.documents(s, d))),
     "pipe_curate_v2" -> (curateV2 _),
     "pipe_quality_sample" -> ((s: SparkSession, d: String) =>
       qualityWeightedSample(Tables.documents(s, d))),
@@ -555,6 +578,21 @@ object PipelineOps {
         |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
         |  FROM documents)
         |SELECT doc_id, source, rk FROM ranked WHERE rk <= 5""".stripMargin,
+    "pipe_length_buckets" ->
+      """WITH t AS (
+        |  SELECT (CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+        |    END)::BIGINT AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tokens,
+        |    power(2, ceil(log2(greatest(n_tokens, 1))))::BIGINT AS pad_to
+        |  FROM t)
+        |SELECT pad_to, count(*)::BIGINT AS n_docs,
+        |  sum(n_tokens)::BIGINT AS sum_tokens,
+        |  sum(pad_to - n_tokens)::BIGINT AS sum_waste,
+        |  (sum(pad_to - n_tokens) * 100) // (count(*) * pad_to) AS waste_pct
+        |FROM b GROUP BY pad_to""".stripMargin,
     "pipe_pack" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -14,6 +14,7 @@ import graft.ops.Dedup
 object DedupQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_error" -> (Dedup.minhashError _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_exact" -> (Dedup.exact _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -143,7 +144,32 @@ object DedupQueries {
       |  GROUP BY 1, 2)
       |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
 
+  /** The md5-minhash estimator replayed component by component on top of
+    * the exact-pair CTEs. Built by plain concatenation — the h48 fold and
+    * the component-hash input both contain `||` concats that an outer
+    * stripMargin would mangle.
+    */
+  private val minhashErrorOracle: String = {
+    val k = Dedup.MinhashErrK
+    val h = graft.ops.Sketches.sqlH48("(comp.i::VARCHAR || '|' || ds.shingle)")
+    pairCtes + ",\n" +
+      s"comp AS (SELECT unnest(generate_series(0, ${k - 1})) AS i),\n" +
+      "msig AS (\n" +
+      s"  SELECT ds.doc_id, comp.i, min($h) AS mh\n" +
+      "  FROM ds CROSS JOIN comp GROUP BY 1, 2)\n" +
+      "SELECT j.doc_a, j.doc_b,\n" +
+      "  sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::BIGINT AS n_match,\n" +
+      s"  (sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) * 100) // $k\n" +
+      "    AS est_pct,\n" +
+      "  j.jaccard\n" +
+      "FROM jpairs j\n" +
+      "JOIN msig a ON a.doc_id = j.doc_a\n" +
+      "JOIN msig b ON b.doc_id = j.doc_b AND b.i = a.i\n" +
+      "GROUP BY 1, 2, 5"
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_error" -> minhashErrorOracle,
     // K-token sliding windows via list slicing; range(1, len-K+2) is
     // empty for docs shorter than K tokens, matching sliding().withPartial(false)
     "dedup_span" ->

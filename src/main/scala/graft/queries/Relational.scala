@@ -681,7 +681,25 @@ object Relational {
         money(col("o_totalprice")).as("latest_total"))
   }
 
+  /** Gap-fill / last-observation-carried-forward (the telemetry
+    * backfill primitive): every event carries the same user's most
+    * recent purchase value at-or-before it, null until the first
+    * purchase. `last(..., ignoreNulls)` over a running frame — one
+    * shuffle on user + partition-local sort, no self-join; IGNORE NULLS
+    * frame semantics pinned cross-engine.
+    */
+  def q39Locf(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        money(last(when(col("event_type") === "purchase", col("value")),
+          ignoreNulls = true).over(w)).as("last_purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_locf" -> q39Locf _,
     "q38_latest_per_key" -> q38LatestPerKey _,
     "q37_histogram" -> q37Histogram _,
     "q35_first_last" -> q35FirstLast _,
@@ -725,6 +743,14 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q39_locf" ->
+      """SELECT event_id, user_id, event_type,
+        |  round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |      IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS last_purchase
+        |FROM events""".stripMargin,
     "q38_latest_per_key" ->
       """SELECT o_custkey, o_orderkey AS latest_order,
         |  strftime(o_orderdate, '%Y-%m-%d') AS latest_date,

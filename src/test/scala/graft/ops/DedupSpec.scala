@@ -61,6 +61,24 @@ class DedupSpec extends SparkSpec {
     assert(prefix == plain)
   }
 
+  test("minhash error report: estimates track exact jaccard on planted pairs") {
+    val rows = Dedup.minhashErrorDocs(corpus)
+      .select("doc_a", "doc_b", "n_match", "est_pct", "jaccard")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    // pair set is exactly the exact-Jaccard pair set (report adds columns)
+    val exact = Dedup.prefixJaccardDocs(corpus)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == exact)
+    rows.foreach { case (a, b, nMatch, est, j) =>
+      assert(nMatch >= 0 && nMatch <= Dedup.MinhashErrK)
+      assert(est == nMatch * 100 / Dedup.MinhashErrK)
+      // K=32 components on a >= 0.9-jaccard pair: estimator stays in the
+      // right half (deterministic given the fixture and md5 family)
+      if (j >= 0.9) assert(est >= 50, s"($a,$b) j=$j est=$est")
+    }
+    assert(rows.nonEmpty)
+  }
+
   test("minhash LSH output equals the exact ground truth") {
     val exact = Dedup.ngramJaccardDocs(corpus)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]

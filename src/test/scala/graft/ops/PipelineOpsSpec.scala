@@ -170,4 +170,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_._1).toSet == (gate & sample), "exactly the intersection")
     assert(out.map(_._3).sorted.toSeq == (1 to out.length), "dense shuffle ranks")
   }
+
+  test("length buckets: pad-to-power-of-two edges and waste, hand-checked") {
+    val docs = Seq(
+      (1L, "a"),          // 1 tok  → pad 1, waste 0
+      (2L, "a b"),        // 2 toks → pad 2, waste 0
+      (3L, "a b c"),      // 3 toks → pad 4, waste 1
+      (4L, "a b c d e"),  // 5 toks → pad 8, waste 3
+      (5L, "a b c d e f g h"), // 8 toks → pad 8, waste 0
+      (6L, "  ")          // empty  → pad 1, waste 1
+    ).toDF("doc_id", "text")
+    val out = PipelineOps.lengthBuckets(docs)
+      .select("pad_to", "n_docs", "sum_tokens", "sum_waste", "waste_pct")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, 1L, 50L)),
+      2L -> ((1L, 2L, 0L, 0L)),
+      4L -> ((1L, 3L, 1L, 25L)),
+      8L -> ((2L, 13L, 3L, 18L))))
+  }
+
+  test("LOCF carries each user's latest preceding purchase, null before any") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.Relational.q39Locf(spark, sfDir)
+      .join(graft.Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("value")), "event_id")
+      .select("user_id", "ts", "event_id", "event_type", "value", "last_purchase")
+      .as[(Long, java.sql.Timestamp, Long, String, Double, Option[Double])]
+      .collect()
+    // fold each user's stream locally and compare the carried value
+    rows.groupBy(_._1).foreach { case (_, evs) =>
+      var carried: Option[Double] = None
+      evs.sortBy(e => (e._2.getTime, e._3)).foreach { e =>
+        if (e._4 == "purchase") carried = Some(e._5)
+        val want = carried.map(v =>
+          BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        assert(e._6 == want, s"event ${e._3}: got ${e._6}, want $want")
+      }
+    }
+    assert(rows.exists(_._6.isEmpty), "some event precedes any purchase")
+    assert(rows.exists(_._6.nonEmpty))
+  }
 }
