@@ -462,8 +462,11 @@ object Similarity {
     // oracle sizes them from max(len(embedding))) — a fixed 256 would
     // index out of bounds on wider embeddings. One column-pruned agg
     // scan; at corpus scale read the width from table metadata instead.
-    val dim = corpus.select(max(size(col("embedding")))).as[Int]
-      .collect().headOption.filter(_ > 0).getOrElse(0)
+    // max over an empty corpus is one NULL row, not zero rows — probe
+    // through Row, not an Int encoder (which throws on the null)
+    val dim = corpus.select(max(size(col("embedding")))).collect()
+      .headOption.collect { case r if !r.isNullAt(0) => r.getInt(0) }
+      .filter(_ > 0).getOrElse(0)
     if (dim == 0) {
       import org.apache.spark.sql.types._
       return s.createDataFrame(
