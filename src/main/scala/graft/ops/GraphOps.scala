@@ -133,7 +133,51 @@ object GraphOps {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
 
+  val BfsLandmarks = 3
+  val BfsIters = 4
+
+  /** Landmark BFS — multi-source shortest paths (in hops) from the
+    * [[BfsLandmarks]] highest-degree nodes of the undirected transition
+    * graph, [[BfsIters]] synchronous rounds. The landmark-distance table
+    * is the building block of distance oracles and harmonic-centrality
+    * estimates; picking landmarks by degree (id tiebreak) keeps the
+    * whole query deterministic, and hop counts are integers, so the
+    * ITERATION hash-checks cross-engine like pagerank does.
+    *
+    * Scale shape: each round is one equi-join of the current distance
+    * table against the adjacency list (cached pre-partitioned on the
+    * probe column) plus one combinable min — the relational Pregel
+    * message pattern. Distance state is at most nodes x landmarks rows;
+    * nothing iterates on the driver.
+    */
+  def bfsLandmarks(events: DataFrame): DataFrame = {
+    val und = transitionEdges(events)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val adj = und.select(col("a").as("node"), col("b").as("nb"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nb")))
+      .repartition(col("nb")) // every round's frontier join probes on nb
+      .cache()
+    val landmarks = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node")).limit(BfsLandmarks)
+      .select(col("node").as("lm"))
+    var dist = landmarks.select(col("lm"), col("lm").as("node"),
+      lit(0L).as("d"))
+    for (_ <- 1 to BfsIters) {
+      val next = adj
+        .join(dist.select(col("lm"), col("node").as("nb"), col("d")), "nb")
+        .select(col("lm"), col("node"), (col("d") + 1).as("d"))
+      dist = dist.unionByName(next)
+        .groupBy("lm", "node").agg(min(col("d")).as("d"))
+    }
+    dist.select(col("lm"), col("node"), col("d"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_bfs_landmarks" -> ((s: SparkSession, d: String) =>
+      bfsLandmarks(Tables.events(s, d))),
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
       pagerank(Tables.events(s, d))),
     "graph_triangles" -> ((s: SparkSession, d: String) =>
@@ -208,7 +252,43 @@ object GraphOps {
        |    FROM ew JOIN $prev ON $prev.node = ew.src
        |    GROUP BY ew.dst) m ON m.dst = nodes.node)""".stripMargin
 
+  private def bfsIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT lm, node, min(d)::BIGINT AS d FROM (
+       |    SELECT lm, node, d FROM $prev
+       |    UNION ALL
+       |    SELECT p.lm, a.node, p.d + 1
+       |    FROM adj a JOIN $prev p ON p.node = a.nb)
+       |  GROUP BY 1, 2)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // the four BFS rounds unrolled as chained CTEs, min-merged per round
+    "graph_bfs_landmarks" ->
+      (s"""WITH ev AS (
+          |  SELECT user_id, ts, event_id,
+          |    (json_extract_string(props, '$$.k'))::BIGINT AS item
+          |  FROM events
+          |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+          |tr AS (
+          |  SELECT lag(item) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS src, item AS dst
+          |  FROM ev),
+          |und AS (
+          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM tr WHERE src IS NOT NULL AND src != dst),
+          |adj AS (
+          |  SELECT a AS node, b AS nb FROM und
+          |  UNION ALL SELECT b, a FROM und),
+          |lm AS (
+          |  SELECT node AS lm FROM (
+          |    SELECT node, count(*)::BIGINT AS deg FROM adj GROUP BY node)
+          |  ORDER BY deg DESC, node LIMIT $BfsLandmarks),
+          |d0 AS (SELECT lm, lm AS node, 0::BIGINT AS d FROM lm),
+          |""".stripMargin
+        + (0 until BfsIters).map(i => bfsIterSql(s"d$i", s"d${i + 1}"))
+          .mkString(",\n") +
+        s"""
+           |SELECT lm, node, d FROM d$BfsIters""".stripMargin),
     "graph_neighbor_jaccard" ->
       s"""WITH ev AS (
          |  SELECT user_id, ts, event_id,

@@ -377,6 +377,35 @@ object PipelineOps {
         col("rate_pct"))
   }
 
+  /** Fixed-size weighted sampling via PRIORITY sampling (Duffield-Lund-
+    * Thorup): every doc gets priority w/u with u a deterministic
+    * hash-uniform in (0,1], realized all-integer as
+    * (w * 2^48) div (h48(doc_id)+1); the k largest priorities are the
+    * sample. Where [[qualityWeightedSample]] is Bernoulli (a rate per
+    * doc, variable output size), this pins the BUDGET — exactly k docs
+    * out, token-heavy docs proportionally likelier in — the shape used
+    * to cut a fixed-size weighted subset from an unbounded corpus.
+    * Top-k evaluates as TakeOrdered (per-partition k-heads merged on the
+    * driver, k rows of driver state), never a global sort; weights clamp
+    * to 2^15 so w * 2^48 stays inside BIGINT.
+    */
+  val WeightedSampleK = 50
+  val WeightedSampleWCap = 32768L
+
+  def weightedSample(docs: DataFrame, k: Int = WeightedSampleK): DataFrame = {
+    import graft.ops.Sketches.h48
+    val toks = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    docs
+      .select(col("doc_id"),
+        least(greatest(toks, lit(1L)), lit(WeightedSampleWCap)).as("w"),
+        (h48(concat(lit("ws|"), col("doc_id"))) + 1).as("u"))
+      .withColumn("priority", expr(s"(w * ${1L << 48}) div u"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("w"), col("priority"))
+  }
+
   /** The round-4 curation pipeline composed end-to-end: Gopher rule
     * gates drop structural junk, quality-weighted sampling thins what
     * remains (better text kept harder), and the survivors get their
@@ -427,6 +456,8 @@ object PipelineOps {
       spanMask(Tables.documents(s, d))),
     "pipe_zorder" -> (zorderLayout _),
     "pipe_sample_hash" -> (sampleQuery _),
+    "pipe_weighted_sample" -> ((s: SparkSession, d: String) =>
+      weightedSample(Tables.documents(s, d))),
     "pipe_mixture" -> ((s: SparkSession, dir: String) =>
       mixtureSample(Tables.documents(s, dir))),
     "pipe_scrub" -> (scrubQuery _),
@@ -617,6 +648,19 @@ object PipelineOps {
         |  WHEN 1 THEN '7fffffffffffffff'
         |  WHEN 2 THEN 'bfffffffffffffff'
         |  ELSE 'ffffffffffffffff' END""".stripMargin,
+    // same integer priority w*2^48/(h+1), same clamp, same tiebreak
+    "pipe_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    least(greatest((CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         |      END)::BIGINT, 1), $WeightedSampleWCap) AS w,
+         |    ${graft.ops.Sketches.sqlH48("'ws|' || doc_id::VARCHAR")} + 1 AS u
+         |  FROM documents)
+         |SELECT doc_id, w, (w * ${1L << 48}) // u AS priority
+         |FROM t
+         |ORDER BY priority DESC, doc_id
+         |LIMIT $WeightedSampleK""".stripMargin,
     "pipe_sample_hash" ->
       """SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 2) AS hash_prefix,
         |  lang, n_chars

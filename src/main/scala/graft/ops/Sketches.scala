@@ -212,6 +212,58 @@ object Sketches {
         expr("abs(ams_est - f2_exact) * 100 div f2_exact").as("err_pct"))
   }
 
+  val HllBuckets = 64 // 2^6 registers
+  val HllRemBits = 42 // 48-bit hash minus the 6 bucket bits
+  // alpha_64 ~ 0.709 as a rational, folded with m^2 once so both engines
+  // evaluate the same single literal
+  val HllAlphaM2 = 709L * HllBuckets * HllBuckets / 1000
+  val HllNumerator = HllAlphaM2 * (1L << (HllRemBits + 1))
+
+  /** HyperLogLog distinct-token estimate per source — the register-array
+    * sketch every warehouse ships (`approx_count_distinct` is exactly
+    * this): bucket = top 6 hash bits, register = max leading-zero run of
+    * the remaining 42 bits. State is [[HllBuckets]] bytes per source no
+    * matter the stream size, and max-per-register is combinable, so
+    * Spark runs it map-side partial + reduce-side final like any count.
+    *
+    * The raw-estimate arithmetic (harmonic mean x alpha*m^2) is done
+    * entirely in BIGINTs: 2^-register sums scale by 2^43 to stay
+    * integral, alpha*m^2 collapses to one precomputed literal, and every
+    * divide is an integer `div` in a fixed order — so like the KMV/AMS
+    * sketches the estimate is bit-identical cross-engine and only its
+    * ERROR vs the exact count (surfaced as err_pct) is probabilistic.
+    * The leading-zero count rides on `bin()` string length, which both
+    * engines define identically (unpadded, bin(0)='0'). No small-range
+    * linear-counting correction: it needs a float ln, and the surfaced
+    * exact column already plays the error-reference role.
+    */
+  def hllDistinct(docs: DataFrame): DataFrame = {
+    val d = OpUtil.spread(docs)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+      .cache() // register build and the exact reference both fold this
+    val maxRho = HllRemBits + 1
+    val reg = d
+      .select(col("source"), h48(col("tok")).as("h"))
+      .withColumn("bucket", expr(s"h div ${1L << HllRemBits}"))
+      .withColumn("w", col("h") % (1L << HllRemBits))
+      .withColumn("rho", when(col("w") === 0, lit(maxRho))
+        .otherwise(lit(maxRho) - length(bin(col("w")))))
+      .groupBy("source", "bucket")
+      .agg(max(col("rho")).as("r"))
+    val exact = d.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    reg.groupBy("source")
+      .agg(count(lit(1)).as("m_used"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $maxRho - r)")).as("s_used"))
+      .withColumn("hll_est", expr(
+        s"$HllNumerator div " +
+          s"(s_used + ($HllBuckets - m_used) * ${1L << maxRho})"))
+      .join(exact, "source")
+      .select(col("source"), col("n_exact"), col("m_used"), col("hll_est"),
+        expr("abs(hll_est - n_exact) * 100 div n_exact").as("err_pct"))
+  }
+
   /** Cross-source overlap estimation from MERGED sketches (the theta-
     * sketch set-operation pattern): for every source pair, the union
     * KMV is the k smallest hashes of the combined streams — a legal KMV
@@ -283,6 +335,8 @@ object Sketches {
       amsF2(Tables.documents(s, d))),
     "sketch_kmv" -> ((s: SparkSession, d: String) =>
       kmvDistinct(Tables.documents(s, d))),
+    "sketch_hll" -> ((s: SparkSession, d: String) =>
+      hllDistinct(Tables.documents(s, d))),
     "sketch_countmin" -> ((s: SparkSession, d: String) =>
       countMinTopTokens(Tables.documents(s, d))),
     "sketch_bloom_join" -> ((s: SparkSession, d: String) =>
@@ -389,6 +443,35 @@ object Sketches {
          |  CASE WHEN agg.n_kept < $KmvK THEN agg.n_kept
          |       ELSE $kmvNumerator // agg.kth_hash END AS ndv_est
          |FROM ex JOIN agg ON ex.source = agg.source""".stripMargin,
+    // same bucket/rho decomposition replayed on bin() string length;
+    // all shifts and divides integer, same literal constants
+    "sketch_hll" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |d0 AS (SELECT DISTINCT source, tok FROM toks WHERE length(tok) > 0),
+         |d AS (SELECT source, ${sqlH48("tok")} AS h FROM d0),
+         |reg AS (
+         |  SELECT source, h // ${1L << HllRemBits} AS bucket,
+         |    max(CASE WHEN h % ${1L << HllRemBits} = 0 THEN ${HllRemBits + 1}
+         |        ELSE ${HllRemBits + 1} - length(bin(h % ${1L << HllRemBits}))
+         |        END) AS r
+         |  FROM d GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT source, count(*)::BIGINT AS m_used,
+         |    sum(1::BIGINT << (${HllRemBits + 1} - r))::BIGINT AS s_used
+         |  FROM reg GROUP BY source),
+         |ex AS (
+         |  SELECT source, count(*)::BIGINT AS n_exact FROM d0 GROUP BY source),
+         |est AS (
+         |  SELECT source, m_used,
+         |    $HllNumerator //
+         |      (s_used + ($HllBuckets - m_used) * ${1L << (HllRemBits + 1)})
+         |      AS hll_est
+         |  FROM agg)
+         |SELECT ex.source, ex.n_exact, est.m_used, est.hll_est,
+         |  abs(est.hll_est - ex.n_exact) * 100 // ex.n_exact AS err_pct
+         |FROM ex JOIN est ON ex.source = est.source""".stripMargin,
     "sketch_countmin" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

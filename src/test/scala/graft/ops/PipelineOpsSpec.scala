@@ -129,6 +129,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again == out.sorted.toSeq)
   }
 
+  test("weighted sample: exactly k out, weight-biased, plan is TakeOrdered") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val out = PipelineOps.weightedSample(docs)
+    assert(out.count() == PipelineOps.WeightedSampleK)
+    val ws = out.select("w").as[Long].collect()
+    assert(ws.forall(w => w >= 1 && w <= PipelineOps.WeightedSampleWCap))
+    // priority sampling favors heavy docs: the sample's mean token weight
+    // must beat the corpus mean (w/u with uniform u is rank-biased by w)
+    val corpusMean = docs
+      .select(size(split(trim(col("text")), "\\s+")).cast("double").as("w"))
+      .agg(avg(col("w"))).as[Double].head()
+    assert(ws.map(_.toDouble).sum / ws.length > corpusMean,
+      s"sample mean ${ws.sum / ws.length} vs corpus mean $corpusMean")
+    // deterministic: a re-run selects the identical doc set
+    val again = PipelineOps.weightedSample(docs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+    // top-k must plan as TakeOrdered (partial per-partition heads), not
+    // a global sort of the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrdered"), plan)
+  }
+
   test("quality-weighted sample: rate honored per band, floor keeps some junk out") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = PipelineOps.qualityWeightedSample(docs)

@@ -53,6 +53,30 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("HLL: registers bounded by m, estimate within 3 standard errors") {
+    val out = Sketches.hllDistinct(graft.Tables.documents(spark, sfDir))
+      .select("source", "n_exact", "m_used", "hll_est")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    // raw HLL relative standard error ~ 1.04/sqrt(m); allow 3 sigma
+    val m = Sketches.HllBuckets
+    val tol = 3.0 * 1.04 / math.sqrt(m)
+    out.foreach { case (src, exact, mUsed, est) =>
+      assert(mUsed >= 1 && mUsed <= m, s"$src: m $mUsed")
+      if (mUsed < m) {
+        // small-range regime (empty registers left): the raw estimator
+        // is biased high by design — the registers must instead recover
+        // the count through linear counting, m*ln(m/empty)
+        val lc = m * math.log(m.toDouble / (m - mUsed))
+        assert(math.abs(lc - exact) / exact <= tol,
+          s"$src: linear-count $lc vs exact $exact")
+      } else {
+        assert(math.abs(est - exact).toDouble / exact <= tol,
+          s"$src: est $est vs exact $exact (tol ${(tol * 100).round}%)")
+      }
+    }
+  }
+
   test("count-min never underestimates, and estimates the heavy hitters tightly") {
     val out = Sketches.countMinTopTokens(graft.Tables.documents(spark, sfDir))
       .select("exact_cnt", "cm_est", "over_err").as[(Long, Long, Long)].collect()

@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, greatest, least}
 
 /** Bigram LM scoring + Gopher-style rule gates (round 4). */
 class TextLmSpec extends SparkSpec {
@@ -77,6 +77,32 @@ class TextLmSpec extends SparkSpec {
       assert(a < b, "canonical orientation")
       assert(common >= 1)
       assert(j > 0.0 && j <= 1.0, s"($a,$b) j=$j")
+    }
+  }
+
+  test("landmark BFS: zero at sources, unit steps certified by an edge") {
+    val events = graft.Tables.events(spark, sfDir)
+    val dist = GraphOps.bfsLandmarks(events)
+      .as[(Long, Long, Long)].collect()
+    assert(dist.nonEmpty)
+    val lms = dist.map(_._1).distinct
+    assert(lms.length <= GraphOps.BfsLandmarks)
+    // each landmark reaches itself at 0 and nothing at negative/over-k
+    lms.foreach { l =>
+      assert(dist.contains((l, l, 0L)), s"landmark $l missing d=0")
+    }
+    assert(dist.forall(r => r._3 >= 0 && r._3 <= GraphOps.BfsIters))
+    // every positive distance is certified by an edge to a node one closer
+    val adj = GraphOps.transitionEdges(events)
+      .select(least(col("src"), col("dst")), greatest(col("src"), col("dst")))
+      .distinct().as[(Long, Long)].collect()
+      .filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val d = dist.map(r => (r._1, r._2) -> r._3).toMap
+    dist.filter(_._3 > 0).foreach { case (l, v, dv) =>
+      assert(adj(v).exists(nb => d.get((l, nb)).contains(dv - 1)),
+        s"($l,$v,$dv) has no neighbor at ${dv - 1}")
     }
   }
 
