@@ -21,6 +21,14 @@ class Round5EmptySpec extends SparkSpec {
     assert(Dedup.minhashErrorDocs(noDocs).count() == 0)
   }
 
+  test("HLL, weighted sample, and landmark BFS tolerate empty input") {
+    assert(Sketches.hllDistinct(noDocs).count() == 0)
+    assert(PipelineOps.weightedSample(noDocs).count() == 0)
+    val noEvents = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") < 0)
+    assert(GraphOps.bfsLandmarks(noEvents).count() == 0)
+  }
+
   test("length buckets and SRP-LSH tolerate empty input") {
     assert(PipelineOps.lengthBuckets(noDocs).count() == 0)
     val noVecs = graft.Tables.embeddings(spark, sfDir)
