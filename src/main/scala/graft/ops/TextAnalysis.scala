@@ -620,6 +620,64 @@ object TextAnalysis {
   def bpePairsQuery(s: SparkSession, dir: String): DataFrame =
     bpePairs(Tables.documents(s, dir))
 
+  val BpeMergeRounds = 4
+
+  /** BPE tokenizer training, the OUTER loop: [[BpeMergeRounds]] full
+    * merge rounds, each = count adjacent symbol pairs corpus-weighted,
+    * adopt the max-count pair (count desc, then lexicographic — fully
+    * deterministic), rewrite every word's symbol sequence, repeat.
+    * Returns the learned merge table, i.e. the artifact a tokenizer
+    * ships.
+    *
+    * Like [[bpePairs]], rounds run over DISTINCT words x corpus counts,
+    * so per-round cost is vocabulary-bounded regardless of corpus size.
+    * The winning pair is a one-row DataFrame broadcast into the rewrite
+    * join — the driver never collects anything. Symbol sequences are
+    * strings with a two-space separator and one-space sentinels, which
+    * makes the merge a plain (non-regex, both-engines-identical)
+    * `replace`: occurrences of ' l  r ' never share characters, so one
+    * left-to-right replace pass merges every non-overlapping occurrence
+    * — including back-to-back repeats — and multi-char symbols can
+    * never false-match inside a neighbor.
+    */
+  def bpeMerges(docs: DataFrame): DataFrame = {
+    val words = OpUtil.spread(docs)
+      .select(explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(concat(rtrim(concat(lit(" "),
+        regexp_replace(col("w"), "(.)", "$1  "))), lit(" ")).as("seq"),
+        col("c"))
+    var seqs = words
+    val merges = (1 to BpeMergeRounds).map { round =>
+      val pairs = seqs
+        .select(col("c"), split(trim(col("seq")), "  ").as("sym"))
+        .filter(size(col("sym")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, size(sym) - 1), i -> named_struct(" +
+            "'l', element_at(sym, i), 'r', element_at(sym, i + 1)))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("pair_count"))
+      val best = pairs
+        .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
+        .select(col("l").as("bl"), col("r").as("br"),
+          col("pair_count").as("bc"))
+        .cache() // one row: feeds both the output and the rewrite join
+      seqs = seqs.crossJoin(broadcast(best))
+        .withColumn("seq", expr(
+          "replace(seq, ' ' || bl || '  ' || br || ' ', " +
+            "' ' || bl || br || ' ')"))
+        .select("seq", "c")
+      best.select(lit(round).as("merge_rank"), col("bl").as("left"),
+        col("br").as("right"), col("bc").as("pair_count"))
+    }
+    merges.reduce(_ unionByName _)
+  }
+
+  def bpeMergesQuery(s: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables.documents(s, dir))
+
   /** Corpus rollup by language/source metadata: the report a pipeline
     * operator would feed a curation dashboard.
     */

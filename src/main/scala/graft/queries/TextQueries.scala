@@ -43,6 +43,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n_docs"))
     }),
     "text_bpe_pairs" -> (TextAnalysis.bpePairsQuery _),
+    "text_bpe_merges" -> (TextAnalysis.bpeMergesQuery _),
     "text_vocab_encode" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabEncode(graft.Tables.documents(s, d))),
     // the reference's default partitioner (ELF hash of key bytes mod
@@ -122,6 +123,41 @@ object TextQueries {
          |CROSS JOIN n
          |CROSS JOIN (SELECT sum(c12)::BIGINT AS nb FROM bgc) nb
          |WHERE c12 >= ${TextAnalysis.CollocationMinCount}""".stripMargin,
+    // the four merge rounds unrolled as chained CTEs: pair-count →
+    // best-by-(count desc, pair asc) → two-space-separated replace,
+    // identical arithmetic and tiebreak to the Spark loop
+    "text_bpe_merges" -> {
+      def round(i: Int): String =
+        s"""p$i AS (
+           |  SELECT sym[j] AS l, sym[j + 1] AS r, sum(c)::BIGINT AS pair_count
+           |  FROM (
+           |    SELECT sym, c, unnest(range(1, len(sym))) AS j
+           |    FROM (SELECT string_split(trim(seq), '  ') AS sym, c FROM s$i))
+           |  GROUP BY 1, 2),
+           |b$i AS (
+           |  SELECT l, r, pair_count FROM p$i
+           |  ORDER BY pair_count DESC, l, r LIMIT 1),
+           |s${i + 1} AS (
+           |  SELECT replace(seq, ' ' || b.l || '  ' || b.r || ' ',
+           |    ' ' || b.l || b.r || ' ') AS seq, c
+           |  FROM s$i CROSS JOIN b$i b)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wc AS (
+         |  SELECT w, count(*)::BIGINT AS c FROM toks
+         |  WHERE length(w) > 0 GROUP BY w),
+         |s0 AS (
+         |  SELECT rtrim(' ' || regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+         |    AS seq, c
+         |  FROM wc),
+         |""".stripMargin +
+        (0 until TextAnalysis.BpeMergeRounds).map(round).mkString(",\n") +
+        "\n" +
+        (0 until TextAnalysis.BpeMergeRounds).map(i =>
+          s"""SELECT ${i + 1} AS merge_rank, l AS "left", r AS "right",
+             |  pair_count
+             |FROM b$i""".stripMargin).mkString("\nUNION ALL\n")
+    },
     "text_bpe_pairs" ->
       """WITH w AS (
         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),

@@ -106,6 +106,20 @@ class TextLmSpec extends SparkSpec {
     }
   }
 
+  test("BPE merges learn the hand-checked sequence, ties broken lexicographically") {
+    val docs = Seq((1L, "aaab aaab aaab cd")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs).orderBy("merge_rank")
+      .as[(Int, String, String, Long)].collect().toSeq
+    // round 1: (a,a) wins at 6; round 2: tie at 3 between (a,b) and
+    // (aa,a) -> lexicographic left wins; round 3 merges the halves of
+    // aaab; round 4 is the only pair left
+    assert(out == Seq(
+      (1, "a", "a", 6L),
+      (2, "a", "b", 3L),
+      (3, "aa", "ab", 3L),
+      (4, "c", "d", 1L)), out.toString)
+  }
+
   test("LM gain selects fluent order over shuffled order") {
     val fluent = "the cat sat on the mat"
     val docs = (Seq.tabulate(20)(i => (i.toLong, fluent)) :+
