@@ -237,14 +237,14 @@ object Sketches {
     * linear-counting correction: it needs a float ln, and the surfaced
     * exact column already plays the error-reference role.
     */
-  def hllDistinct(docs: DataFrame): DataFrame = {
-    val d = OpUtil.spread(docs)
-      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .distinct()
-      .cache() // register build and the exact reference both fold this
+  /** Register build: (source, bucket) -> max leading-zero rank. Works on
+    * the RAW token stream — max is duplicate-insensitive, so no distinct
+    * pass is needed (which is also what makes the same build legal as a
+    * streaming aggregation with bounded sources x m state).
+    */
+  def hllRegisters(toks: DataFrame): DataFrame = {
     val maxRho = HllRemBits + 1
-    val reg = d
+    toks
       .select(col("source"), h48(col("tok")).as("h"))
       .withColumn("bucket", expr(s"h div ${1L << HllRemBits}"))
       .withColumn("w", col("h") % (1L << HllRemBits))
@@ -252,7 +252,13 @@ object Sketches {
         .otherwise(lit(maxRho) - length(bin(col("w")))))
       .groupBy("source", "bucket")
       .agg(max(col("rho")).as("r"))
-    val exact = d.groupBy("source").agg(count(lit(1)).as("n_exact"))
+  }
+
+  /** Fold registers into the integer raw estimate and join the exact
+    * reference: (source, n_exact, m_used, hll_est, err_pct).
+    */
+  def hllFinalize(reg: DataFrame, exact: DataFrame): DataFrame = {
+    val maxRho = HllRemBits + 1
     reg.groupBy("source")
       .agg(count(lit(1)).as("m_used"),
         sum(expr(s"shiftleft(cast(1 as bigint), $maxRho - r)")).as("s_used"))
@@ -262,6 +268,16 @@ object Sketches {
       .join(exact, "source")
       .select(col("source"), col("n_exact"), col("m_used"), col("hll_est"),
         expr("abs(hll_est - n_exact) * 100 div n_exact").as("err_pct"))
+  }
+
+  def hllDistinct(docs: DataFrame): DataFrame = {
+    val d = OpUtil.spread(docs)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .cache() // register build and the exact reference both fold this
+    val exact = d.select(col("source"), col("tok")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_exact"))
+    hllFinalize(hllRegisters(d), exact)
   }
 
   /** Cross-source overlap estimation from MERGED sketches (the theta-

@@ -18,6 +18,7 @@ object StreamQueries {
     "stream_dedup" -> (EventStreams.dedupExact _),
     "stream_interval_join" -> (EventStreams.clickPurchaseJoin _),
     "stream_kmv" -> (EventStreams.kmvDistinctStream _),
+    "stream_hll" -> (EventStreams.hllDistinctStream _),
     "stream_gopher_rules" -> (EventStreams.gopherRulesStream _)
   )
 
@@ -51,6 +52,8 @@ object StreamQueries {
         |  AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts < c.ts""".stripMargin,
     // same oracle as batch sketch_kmv — stream/batch sketch equivalence
     "stream_kmv" -> graft.ops.Sketches.oracles("sketch_kmv"),
+    // same oracle as batch sketch_hll — stream/batch register equivalence
+    "stream_hll" -> graft.ops.Sketches.oracles("sketch_hll"),
     // same oracle as batch text_gopher_rules — stateless gate equivalence
     "stream_gopher_rules" ->
       graft.queries.TextQueries.oracles("text_gopher_rules"),

@@ -305,6 +305,37 @@ object EventStreams {
     * of the same file. Output schema equals the batch query's, so the
     * SAME DuckDB oracle checks stream/batch sketch equivalence.
     */
+  /** Streaming HLL: the register build ([[graft.ops.Sketches.hllRegisters]])
+    * runs AS the streaming aggregation — per-(source, bucket) max is
+    * order-insensitive and needs no distinct pass, so state is bounded
+    * at sources x m rows however long the stream runs (the property that
+    * makes HLL the streaming NDV sketch). Finalization and the exact
+    * error-reference column are the same code the batch query uses, so
+    * the SAME DuckDB oracle checks stream/batch register equivalence.
+    */
+  def hllDistinctStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val toks = s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val reg = runToMemorySink(s, Sketches.hllRegisters(toks),
+      OutputMode.Complete).localCheckpoint(eager = true)
+    val exact = graft.Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source").agg(count_distinct(col("tok")).as("n_exact"))
+    Sketches.hllFinalize(reg, exact)
+  }
+
   def kmvDistinctStream(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Sketches
     val docSchema = StructType(Seq(

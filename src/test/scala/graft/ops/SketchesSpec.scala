@@ -111,6 +111,14 @@ class SketchesSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming HLL equals the batch HLL sketch exactly") {
+    val batch = Sketches.hllDistinct(graft.Tables.documents(spark, sfDir))
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    val stream = graft.streaming.EventStreams.hllDistinctStream(spark, sfDir)
+      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(stream == batch)
+  }
+
   test("fixed-point k-means partitions the corpus and is run-deterministic") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val out = Similarity.cmeansFixedPoint(emb)
