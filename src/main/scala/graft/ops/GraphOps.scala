@@ -166,6 +166,9 @@ object GraphOps {
     var dist = landmarks.select(col("lm"), col("lm").as("node"),
       lit(0L).as("d"))
     for (_ <- 1 to BfsIters) {
+      // each level references the previous twice (frontier expansion +
+      // min-merge); cache it or the lineage re-evaluates 2^k times
+      dist = dist.cache()
       val next = adj
         .join(dist.select(col("lm"), col("node").as("nb"), col("d")), "nb")
         .select(col("lm"), col("node"), (col("d") + 1).as("d"))

@@ -406,6 +406,46 @@ object PipelineOps {
       .select(col("doc_id"), col("w"), col("priority"))
   }
 
+  /** Token-budget apportionment across sources — the data-mixing PLAN a
+    * training run is configured from: split a fixed token budget over
+    * sources proportionally to their mixture weights using the
+    * largest-remainder (Hamilton) method, so allocations are integers,
+    * sum EXACTLY to the budget, and each sits within one token of exact
+    * proportionality. `epochs_fp` (allocation / tokens available, 1e6
+    * fixed point) is the oversampling factor the plan implies — the
+    * signal that a high-weight small source will repeat.
+    *
+    * Everything after the per-source token sum runs on one row per
+    * SOURCE (config-table cardinality, not corpus): the ranking window
+    * is bounded by the source count, and the two one-row totals
+    * broadcast. All integer, deterministic tiebreak by source name.
+    */
+  val TokenBudget = 1000000L
+
+  def tokenBudget(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
+    val toks = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val src = docs
+      .select(col("source"), toks.as("t"),
+        (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1)
+          .cast("long").as("w"))
+      .groupBy("source", "w").agg(sum(col("t")).as("n_tokens"))
+    val tot = src.agg(sum(col("w")).as("tw"))
+    val based = src.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * w) div tw"))
+      .withColumn("rem", expr(s"($budget * w) % tw"))
+    val leftover = based.agg((lit(budget) - sum(col("base"))).as("k"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("k"), 1L).otherwise(0L))
+      .select(col("source"), col("w").as("weight"), col("n_tokens"),
+        col("alloc"),
+        when(col("n_tokens") > 0, expr("alloc * 1000000 div n_tokens"))
+          .otherwise(lit(0L)).as("epochs_fp"))
+  }
+
   /** The round-4 curation pipeline composed end-to-end: Gopher rule
     * gates drop structural junk, quality-weighted sampling thins what
     * remains (better text kept harder), and the survivors get their
@@ -458,6 +498,8 @@ object PipelineOps {
     "pipe_sample_hash" -> (sampleQuery _),
     "pipe_weighted_sample" -> ((s: SparkSession, d: String) =>
       weightedSample(Tables.documents(s, d))),
+    "pipe_token_budget" -> ((s: SparkSession, d: String) =>
+      tokenBudget(Tables.documents(s, d))),
     "pipe_mixture" -> ((s: SparkSession, dir: String) =>
       mixtureSample(Tables.documents(s, dir))),
     "pipe_scrub" -> (scrubQuery _),
@@ -648,6 +690,35 @@ object PipelineOps {
         |  WHEN 1 THEN '7fffffffffffffff'
         |  WHEN 2 THEN 'bfffffffffffffff'
         |  ELSE 'ffffffffffffffff' END""".stripMargin,
+    // same Hamilton apportionment: integer base + largest-remainder
+    // top-up, identical (rem desc, source) tiebreak
+    "pipe_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    (regexp_extract(source, '(\\d+)', 1)::INT % 4 + 1)::BIGINT AS w,
+         |    (CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+         |      END)::BIGINT AS tk
+         |  FROM documents),
+         |src AS (
+         |  SELECT source, w, sum(tk)::BIGINT AS n_tokens FROM t GROUP BY 1, 2),
+         |tot AS (SELECT sum(w)::BIGINT AS tw FROM src),
+         |based AS (
+         |  SELECT source, w, n_tokens,
+         |    ($TokenBudget * w) // tw AS base,
+         |    ($TokenBudget * w) % tw AS rem
+         |  FROM src CROSS JOIN tot),
+         |lo AS (SELECT $TokenBudget - sum(base)::BIGINT AS k FROM based),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+         |  FROM based)
+         |SELECT source, w AS weight, n_tokens,
+         |  base + (CASE WHEN rk <= k THEN 1 ELSE 0 END) AS alloc,
+         |  CASE WHEN n_tokens > 0 THEN
+         |    (base + (CASE WHEN rk <= k THEN 1 ELSE 0 END)) * 1000000
+         |      // n_tokens
+         |  ELSE 0 END AS epochs_fp
+         |FROM ranked CROSS JOIN lo""".stripMargin,
     // same integer priority w*2^48/(h+1), same clamp, same tiebreak
     "pipe_weighted_sample" ->
       s"""WITH t AS (

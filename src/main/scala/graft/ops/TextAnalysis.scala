@@ -650,6 +650,9 @@ object TextAnalysis {
         col("c"))
     var seqs = words
     val merges = (1 to BpeMergeRounds).map { round =>
+      // each round reads seqs twice (pair count + rewrite); cache it or
+      // the rewrite lineage re-evaluates 2^k times
+      seqs = seqs.cache()
       val pairs = seqs
         .select(col("c"), split(trim(col("seq")), "  ").as("sym"))
         .filter(size(col("sym")) >= 2)

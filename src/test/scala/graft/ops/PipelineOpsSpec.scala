@@ -152,6 +152,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(plan.contains("TakeOrdered"), plan)
   }
 
+  test("token budget: allocations sum exactly, each within 1 of proportional") {
+    val out = PipelineOps.tokenBudget(graft.Tables.documents(spark, sfDir))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val b = PipelineOps.TokenBudget
+    assert(out.map(_._4).sum == b, "Hamilton apportionment exhausts the budget")
+    val tw = out.map(_._2).sum
+    out.foreach { case (src, w, _, alloc, _) =>
+      val exact = b.toDouble * w / tw
+      assert(math.abs(alloc - exact) < 1.0, s"$src alloc $alloc vs $exact")
+    }
+  }
+
   test("quality-weighted sample: rate honored per band, floor keeps some junk out") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = PipelineOps.qualityWeightedSample(docs)
