@@ -178,7 +178,23 @@ object GraphOps {
     dist.select(col("lm"), col("node"), col("d"))
   }
 
+  /** Landmark-estimated harmonic centrality: sum of 1/d (1e6 fixed
+    * point, integer div) over the landmark distances of
+    * [[bfsLandmarks]] — the standard scalable stand-in for exact
+    * closeness (exact needs all-pairs distances; landmark sampling is
+    * how production graph systems estimate it). One combinable
+    * aggregation over the BFS table.
+    */
+  def harmonicCentrality(events: DataFrame): DataFrame =
+    bfsLandmarks(events)
+      .filter(col("d") > 0)
+      .groupBy("node")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div d")).as("harmonic_fp"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_harmonic" -> ((s: SparkSession, d: String) =>
+      harmonicCentrality(Tables.events(s, d))),
     "graph_bfs_landmarks" -> ((s: SparkSession, d: String) =>
       bfsLandmarks(Tables.events(s, d))),
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
@@ -264,34 +280,42 @@ object GraphOps {
        |    FROM adj a JOIN $prev p ON p.node = a.nb)
        |  GROUP BY 1, 2)""".stripMargin
 
+  // the four BFS rounds unrolled as chained CTEs, min-merged per round;
+  // shared by the distance table and the harmonic-centrality rollup
+  private val bfsCtes: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    (json_extract_string(props, '$$.k'))::BIGINT AS item
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |tr AS (
+       |  SELECT lag(item) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS src, item AS dst
+       |  FROM ev),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM tr WHERE src IS NOT NULL AND src != dst),
+       |adj AS (
+       |  SELECT a AS node, b AS nb FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |lm AS (
+       |  SELECT node AS lm FROM (
+       |    SELECT node, count(*)::BIGINT AS deg FROM adj GROUP BY node)
+       |  ORDER BY deg DESC, node LIMIT $BfsLandmarks),
+       |d0 AS (SELECT lm, lm AS node, 0::BIGINT AS d FROM lm),
+       |""".stripMargin +
+      (0 until BfsIters).map(i => bfsIterSql(s"d$i", s"d${i + 1}"))
+        .mkString(",\n")
+
   val oracles: Map[String, String] = Map(
-    // the four BFS rounds unrolled as chained CTEs, min-merged per round
     "graph_bfs_landmarks" ->
-      (s"""WITH ev AS (
-          |  SELECT user_id, ts, event_id,
-          |    (json_extract_string(props, '$$.k'))::BIGINT AS item
-          |  FROM events
-          |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
-          |tr AS (
-          |  SELECT lag(item) OVER (PARTITION BY user_id
-          |    ORDER BY ts, event_id) AS src, item AS dst
-          |  FROM ev),
-          |und AS (
-          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-          |  FROM tr WHERE src IS NOT NULL AND src != dst),
-          |adj AS (
-          |  SELECT a AS node, b AS nb FROM und
-          |  UNION ALL SELECT b, a FROM und),
-          |lm AS (
-          |  SELECT node AS lm FROM (
-          |    SELECT node, count(*)::BIGINT AS deg FROM adj GROUP BY node)
-          |  ORDER BY deg DESC, node LIMIT $BfsLandmarks),
-          |d0 AS (SELECT lm, lm AS node, 0::BIGINT AS d FROM lm),
-          |""".stripMargin
-        + (0 until BfsIters).map(i => bfsIterSql(s"d$i", s"d${i + 1}"))
-          .mkString(",\n") +
-        s"""
-           |SELECT lm, node, d FROM d$BfsIters""".stripMargin),
+      (bfsCtes + s"""
+         |SELECT lm, node, d FROM d$BfsIters""".stripMargin),
+    "graph_harmonic" ->
+      (bfsCtes + s"""
+         |SELECT node, count(*)::BIGINT AS n_reached,
+         |  sum(1000000 // d)::BIGINT AS harmonic_fp
+         |FROM d$BfsIters WHERE d > 0 GROUP BY node""".stripMargin),
     "graph_neighbor_jaccard" ->
       s"""WITH ev AS (
          |  SELECT user_id, ts, event_id,

@@ -106,6 +106,21 @@ class TextLmSpec extends SparkSpec {
     }
   }
 
+  test("harmonic centrality replays exactly from the BFS distance table") {
+    val events = graft.Tables.events(spark, sfDir)
+    val dist = GraphOps.bfsLandmarks(events).as[(Long, Long, Long)].collect()
+    val expected = dist.filter(_._3 > 0).groupBy(_._2).view
+      .mapValues(rs => (rs.length.toLong, rs.map(r => 1000000L / r._3).sum))
+      .toMap
+    val got = GraphOps.harmonicCentrality(events)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expected)
+    // a landmark always reaches the other reachable landmarks at d>=1,
+    // so centrality mass exists whenever the graph has any edge
+    assert(got.nonEmpty)
+  }
+
   test("BPE merges learn the hand-checked sequence, ties broken lexicographically") {
     val docs = Seq((1L, "aaab aaab aaab cd")).toDF("doc_id", "text")
     val out = TextAnalysis.bpeMerges(docs).orderBy("merge_rank")
