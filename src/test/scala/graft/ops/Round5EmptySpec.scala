@@ -29,6 +29,14 @@ class Round5EmptySpec extends SparkSpec {
     assert(GraphOps.bfsLandmarks(noEvents).count() == 0)
   }
 
+  test("BPE merges, token budget, harmonic centrality tolerate empty input") {
+    assert(TextAnalysis.bpeMerges(noDocs).count() == 0)
+    assert(PipelineOps.tokenBudget(noDocs).count() == 0)
+    val noEvents = graft.Tables.events(spark, sfDir)
+      .filter(col("event_id") < 0)
+    assert(GraphOps.harmonicCentrality(noEvents).count() == 0)
+  }
+
   test("length buckets and SRP-LSH tolerate empty input") {
     assert(PipelineOps.lengthBuckets(noDocs).count() == 0)
     val noVecs = graft.Tables.embeddings(spark, sfDir)

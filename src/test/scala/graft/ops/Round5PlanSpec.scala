@@ -23,6 +23,32 @@ class Round5PlanSpec extends SparkSpec {
     assert(p.contains("Window") && p.contains("shard"), p)
   }
 
+  test("HLL register build is a partial+final aggregation (map-side combine)") {
+    val df = Sketches.hllRegisters(
+      graft.Tables.documents(spark, sfDir)
+        .selectExpr("source", "explode(split(text, ' ')) AS tok")
+        .filter("length(tok) > 0"))
+    val p = executed(df)
+    // two HashAggregates around the exchange = partial max per mapper,
+    // final max per (source, bucket) — the combinable-sketch contract
+    assert(p.split("HashAggregate").length > 2, p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("BFS rounds never broadcast the adjacency (big) side") {
+    val df = GraphOps.bfsLandmarks(graft.Tables.events(spark, sfDir))
+    val p = executed(df)
+    assert(!p.contains("SinglePartition"), p)
+    // the frontier/distance table may broadcast; the edge list must not
+    // (on a billion-edge graph that would collect the graph per round).
+    // Heuristic: no broadcast subtree may sit directly on a parquet scan
+    // — the bounded dist side reads from the iteration cache instead
+    p.split("BroadcastExchange").drop(1).foreach { sub =>
+      assert(!sub.take(600).contains("FileScan parquet"),
+        "broadcast over a raw scan:\n" + sub.take(600))
+    }
+  }
+
   test("pipe_pack two-pass offsets reproduce the global prefix-sum bins") {
     // same doc set through a 1-shard pack (degenerate = the old global
     // window semantics) and the default sharded one: identical bins
