@@ -344,7 +344,59 @@ object Sketches {
         coalesce(col("exact_inter"), lit(0L)).as("exact_inter"))
   }
 
+  /** DDSketch-style quantile sketch over order totals (in exact cents):
+    * bucket = the value with everything below its top 5 bits zeroed —
+    * i.e. 16 sub-buckets per power-of-two octave, giving a <= 1/16
+    * relative-error guarantee exactly like DDSketch's log-gamma buckets
+    * but in pure integer arithmetic (bit-length via `bin()`, shifts —
+    * the same engine-stable kernel the HLL registers use). Bucket
+    * counts are one combinable aggregation, the bucket table is bounded
+    * by 16 x 64 rows no matter the input, and a quantile reads off the
+    * cumulative counts. The exact per-quantile values ride along as the
+    * error reference (computed from a distinct-value cumulative —
+    * droppable at real scale, where the sketch IS the answer); est is
+    * the bucket lower bound, so est <= exact always and err_pct is the
+    * sketch's one-sided error, surfaced.
+    */
+  val QuantileQs = Seq(50, 90, 99)
+
+  def quantileSketch(orders: DataFrame): DataFrame = {
+    val vals = orders
+      // floor BEFORE the cast: DuckDB rounds double->bigint casts where
+      // Spark truncates; floor of the same IEEE product is engine-proof
+      .select(expr("cast(floor(o_totalprice * 100) AS bigint)").as("x"))
+      .filter(col("x") > 0)
+      .cache() // bucket build and the exact reference both fold this
+    val shift = "greatest(length(bin(x)) - 5, 0)"
+    val buckets = vals
+      .select(expr(s"shiftleft(shiftright(x, $shift), $shift)").as("lb"))
+      .groupBy("lb").agg(count(lit(1)).as("c"))
+    val total = buckets.agg(sum(col("c")).as("n"))
+    val qRows = explode(array(QuantileQs.map(lit): _*)).as("q")
+    val wB = Window.orderBy(col("lb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val est = buckets
+      .withColumn("cum", sum(col("c")).over(wB)) // bounded bucket table
+      .crossJoin(broadcast(total))
+      .select(col("lb"), col("cum"), col("n"), qRows)
+      .filter(col("cum") * 100 >= col("q") * col("n"))
+      .groupBy("q").agg(min(col("lb")).as("est_cents"), first(col("n")).as("n"))
+    val wX = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val exact = vals.groupBy("x").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wX)) // error ref: distinct prices
+      .crossJoin(broadcast(total))
+      .select(col("x"), col("cum"), col("n"), qRows)
+      .filter(col("cum") * 100 >= col("q") * col("n"))
+      .groupBy("q").agg(min(col("x")).as("exact_cents"))
+    est.join(exact, "q")
+      .select(col("q"), col("n"), col("est_cents"), col("exact_cents"),
+        expr("(exact_cents - est_cents) * 100 div exact_cents").as("err_pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_quantile" -> ((s: SparkSession, d: String) =>
+      quantileSketch(Tables.orders(s, d))),
     "sketch_kmv_overlap" -> ((s: SparkSession, d: String) =>
       kmvOverlap(Tables.documents(s, d))),
     "sketch_ams_f2" -> ((s: SparkSession, d: String) =>
@@ -459,6 +511,42 @@ object Sketches {
          |  CASE WHEN agg.n_kept < $KmvK THEN agg.n_kept
          |       ELSE $kmvNumerator // agg.kth_hash END AS ndv_est
          |FROM ex JOIN agg ON ex.source = agg.source""".stripMargin,
+    // same integer bucket decomposition (top-5-bit truncation via bin()
+    // length + shifts) and the same cumulative-count quantile reads
+    "sketch_quantile" ->
+      s"""WITH vals AS (
+         |  SELECT x FROM (
+         |    SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x
+         |    FROM orders)
+         |  WHERE x > 0),
+         |buckets AS (
+         |  SELECT (x >> greatest(length(bin(x)) - 5, 0))
+         |      << greatest(length(bin(x)) - 5, 0) AS lb,
+         |    count(*)::BIGINT AS c
+         |  FROM vals GROUP BY 1),
+         |tot AS (SELECT sum(c)::BIGINT AS n FROM buckets),
+         |qs AS (SELECT unnest([${QuantileQs.mkString(", ")}]) AS q),
+         |cumb AS (
+         |  SELECT lb, sum(c) OVER (ORDER BY lb
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM buckets),
+         |est AS (
+         |  SELECT qs.q, min(cumb.lb) AS est_cents
+         |  FROM cumb CROSS JOIN tot CROSS JOIN qs
+         |  WHERE cumb.cum * 100 >= qs.q * tot.n
+         |  GROUP BY qs.q),
+         |cumx AS (
+         |  SELECT x, sum(c) OVER (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+         |  FROM (SELECT x, count(*)::BIGINT AS c FROM vals GROUP BY x)),
+         |ex AS (
+         |  SELECT qs.q, min(cumx.x) AS exact_cents
+         |  FROM cumx CROSS JOIN tot CROSS JOIN qs
+         |  WHERE cumx.cum * 100 >= qs.q * tot.n
+         |  GROUP BY qs.q)
+         |SELECT est.q, tot.n, est.est_cents, ex.exact_cents,
+         |  (ex.exact_cents - est.est_cents) * 100 // ex.exact_cents AS err_pct
+         |FROM est JOIN ex ON est.q = ex.q CROSS JOIN tot""".stripMargin,
     // same bucket/rho decomposition replayed on bin() string length;
     // all shifts and divides integer, same literal constants
     "sketch_hll" ->

@@ -111,6 +111,17 @@ class SketchesSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("quantile sketch: one-sided estimate within the 1/16 relative-error bound") {
+    val out = Sketches.quantileSketch(graft.Tables.orders(spark, sfDir))
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(out.map(_._1).sorted.toSeq == Sketches.QuantileQs.sorted)
+    out.foreach { case (q, n, est, exact, _) =>
+      assert(n > 0 && est <= exact, s"q$q: bucket lower bound exceeds exact")
+      assert((exact - est).toDouble / exact <= 1.0 / 16 + 1e-9,
+        s"q$q: est $est vs exact $exact breaks the bucket-width guarantee")
+    }
+  }
+
   test("streaming HLL equals the batch HLL sketch exactly") {
     val batch = Sketches.hllDistinct(graft.Tables.documents(spark, sfDir))
       .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
