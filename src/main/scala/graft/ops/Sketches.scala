@@ -360,17 +360,26 @@ object Sketches {
     */
   val QuantileQs = Seq(50, 90, 99)
 
-  def quantileSketch(orders: DataFrame): DataFrame = {
-    val vals = orders
-      // floor BEFORE the cast: DuckDB rounds double->bigint casts where
-      // Spark truncates; floor of the same IEEE product is engine-proof
-      .select(expr("cast(floor(o_totalprice * 100) AS bigint)").as("x"))
-      .filter(col("x") > 0)
-      .cache() // bucket build and the exact reference both fold this
+  /** Order totals in exact cents. floor BEFORE the cast: DuckDB rounds
+    * double->bigint casts where Spark truncates; floor of the same IEEE
+    * product is engine-proof.
+    */
+  def quantileCents(orders: DataFrame): DataFrame = orders
+    .select(expr("cast(floor(o_totalprice * 100) AS bigint)").as("x"))
+    .filter(col("x") > 0)
+
+  /** Bucket build: value -> top-5-bit lower bound, combinable counts —
+    * also legal as a streaming aggregation (bounded 16 x 64 states).
+    */
+  def quantileBuckets(vals: DataFrame): DataFrame = {
     val shift = "greatest(length(bin(x)) - 5, 0)"
-    val buckets = vals
+    vals
       .select(expr(s"shiftleft(shiftright(x, $shift), $shift)").as("lb"))
       .groupBy("lb").agg(count(lit(1)).as("c"))
+  }
+
+  /** Quantile reads off the cumulative bucket counts + exact reference. */
+  def quantileFinalize(buckets: DataFrame, vals: DataFrame): DataFrame = {
     val total = buckets.agg(sum(col("c")).as("n"))
     val qRows = explode(array(QuantileQs.map(lit): _*)).as("q")
     val wB = Window.orderBy(col("lb"))
@@ -392,6 +401,12 @@ object Sketches {
     est.join(exact, "q")
       .select(col("q"), col("n"), col("est_cents"), col("exact_cents"),
         expr("(exact_cents - est_cents) * 100 div exact_cents").as("err_pct"))
+  }
+
+  def quantileSketch(orders: DataFrame): DataFrame = {
+    val vals = quantileCents(orders)
+      .cache() // bucket build and the exact reference both fold this
+    quantileFinalize(quantileBuckets(vals), vals)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

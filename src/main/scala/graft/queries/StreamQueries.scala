@@ -19,6 +19,7 @@ object StreamQueries {
     "stream_interval_join" -> (EventStreams.clickPurchaseJoin _),
     "stream_kmv" -> (EventStreams.kmvDistinctStream _),
     "stream_hll" -> (EventStreams.hllDistinctStream _),
+    "stream_quantile" -> (EventStreams.quantileSketchStream _),
     "stream_gopher_rules" -> (EventStreams.gopherRulesStream _)
   )
 
@@ -54,6 +55,8 @@ object StreamQueries {
     "stream_kmv" -> graft.ops.Sketches.oracles("sketch_kmv"),
     // same oracle as batch sketch_hll — stream/batch register equivalence
     "stream_hll" -> graft.ops.Sketches.oracles("sketch_hll"),
+    // same oracle as batch sketch_quantile — bucket-count equivalence
+    "stream_quantile" -> graft.ops.Sketches.oracles("sketch_quantile"),
     // same oracle as batch text_gopher_rules — stateless gate equivalence
     "stream_gopher_rules" ->
       graft.queries.TextQueries.oracles("text_gopher_rules"),

@@ -336,6 +336,27 @@ object EventStreams {
     Sketches.hllFinalize(reg, exact)
   }
 
+  /** Streaming quantile sketch: the bucket build
+    * ([[graft.ops.Sketches.quantileBuckets]]) runs AS the streaming
+    * aggregation — bounded 16 x 64 bucket states however long the order
+    * stream runs; finalization and the exact reference reuse the batch
+    * code, so the SAME DuckDB oracle checks stream/batch equivalence.
+    */
+  def quantileSketchStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val orderSchema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType)))
+    val vals = Sketches.quantileCents(
+      s.readStream.schema(orderSchema)
+        .option("pathGlobFilter", "orders.parquet").parquet(dir))
+    val buckets = runToMemorySink(s, Sketches.quantileBuckets(vals),
+      OutputMode.Complete).localCheckpoint(eager = true)
+    Sketches.quantileFinalize(buckets,
+      Sketches.quantileCents(graft.Tables.orders(s, dir)))
+  }
+
   def kmvDistinctStream(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Sketches
     val docSchema = StructType(Seq(

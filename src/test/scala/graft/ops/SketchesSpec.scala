@@ -130,6 +130,15 @@ class SketchesSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming quantile sketch equals the batch sketch exactly") {
+    val batch = Sketches.quantileSketch(graft.Tables.orders(spark, sfDir))
+      .as[(Int, Long, Long, Long, Long)].collect().sorted.toSeq
+    val stream = graft.streaming.EventStreams
+      .quantileSketchStream(spark, sfDir)
+      .as[(Int, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(stream == batch)
+  }
+
   test("fixed-point k-means partitions the corpus and is run-deterministic") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val out = Similarity.cmeansFixedPoint(emb)
