@@ -148,6 +148,26 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
 
+  /** SOFT dedup: keep every duplicate but reweight it to 1/cluster_size
+    * (1e6 fixed point) — the down-weighting alternative to dropping
+    * (how a pipeline preserves naturally-popular text's contribution at
+    * exactly one copy's worth instead of deleting the tail or keeping
+    * the skew). One shuffle: a count window over the content hash; the
+    * weight is integer, so the whole report hash-checks.
+    */
+  def softDedup(s: SparkSession, dir: String): DataFrame =
+    softDedupDocs(Tables.documents(s, dir))
+
+  def softDedupDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .withColumn("n_copies",
+        count(lit(1)).over(Window.partitionBy(col("text_md5"))))
+      .select(col("doc_id"), col("text_md5"), col("n_copies"),
+        expr("1000000 div n_copies").as("weight_fp"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via the PLAIN inverted-index
     * self-join — the CROSS-CHECK REFERENCE for [[prefixJaccardDocs]]
     * (the registered default exact path), kept because its candidate

@@ -17,6 +17,7 @@ object DedupQueries {
     "dedup_minhash_error" -> (Dedup.minhashError _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
     "dedup_exact" -> (Dedup.exact _),
+    "dedup_soft" -> (Dedup.softDedup _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "dedup_prefix_join" -> (Dedup.prefixJaccard _),
     "dedup_minhash" -> (Dedup.minhashLsh _),
@@ -210,6 +211,12 @@ object DedupQueries {
         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> clustersOracle,
+    // same count-over-content-hash window, same integer weight
+    "dedup_soft" ->
+      """SELECT doc_id, md5(text) AS text_md5,
+        |  count(*) OVER (PARTITION BY md5(text))::BIGINT AS n_copies,
+        |  1000000 // count(*) OVER (PARTITION BY md5(text)) AS weight_fp
+        |FROM documents""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
         |  count(*) AS n_copies

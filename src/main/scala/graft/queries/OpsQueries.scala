@@ -106,6 +106,19 @@ object OpsQueries {
         .select(col("query_id"), col("n_hits"),
           expr("n_hits * 100 div k").as("recall_x100"))
     }),
+    // recall@k of the IVF index, same report shape as ann_recall_srp
+    "ann_recall_ivf" -> ((s: SparkSession, d: String) => {
+      val exact = Similarity.annBruteForce(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      val ivf = Similarity.annIvfFixed(s, d)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(ivf, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("k"))
+        .select(col("query_id"), col("n_hits"),
+          expr("n_hits * 100 div k").as("recall_x100"))
+    }),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
     "text_quality" -> (TextAnalysis.qualityQuery _),
@@ -235,6 +248,48 @@ object OpsQueries {
          |  FROM ex)
          |SELECT query_id, neighbor_id, cos, rank
          |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin
+
+  // the full inverted-file path: centroid argmin, nprobe probe cells,
+  // candidate join on cell, exact cosine re-rank (shared by the index
+  // query and its recall report)
+  private val ivfFixedOracle: String =
+    s"""WITH c AS (
+       |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
+       |  FROM embeddings WHERE vec_id < ${Similarity.NumCentroids}),
+       |sc AS (
+       |  SELECT e.vec_id, c.centroid_id,
+       |    list_sum(list_transform(range(1, len(cv) + 1),
+       |      i -> (e.embedding[i]::DOUBLE - cv[i]) *
+       |           (e.embedding[i]::DOUBLE - cv[i]))) AS d2
+       |  FROM embeddings e CROSS JOIN c),
+       |rk AS (
+       |  SELECT vec_id, centroid_id, d2,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, centroid_id) AS rn
+       |  FROM sc),
+       |asn AS (SELECT vec_id AS neighbor_id, centroid_id AS cell
+       |        FROM rk WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS query_id, centroid_id AS cell
+       |  FROM rk WHERE vec_id < 10 AND rn <= ${Similarity.IvfFixedProbe}),
+       |cand AS (
+       |  SELECT probe.query_id, asn.neighbor_id
+       |  FROM asn JOIN probe ON asn.cell = probe.cell
+       |  WHERE asn.neighbor_id != probe.query_id),
+       |ex AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_cosine_similarity(qe.embedding::DOUBLE[],
+       |      ne.embedding::DOUBLE[]) AS cos_raw
+       |  FROM cand
+       |  JOIN embeddings qe ON qe.vec_id = cand.query_id
+       |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
+       |rr AS (
+       |  SELECT query_id, neighbor_id, cos_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |  FROM ex)
+       |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
+       |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin
 
   private val bruteforceOracle: String =
     """WITH q AS (
@@ -468,44 +523,23 @@ object OpsQueries {
     // the full inverted-file path replayed: centroid argmin (the
     // centroid-assign oracle pattern), nprobe-nearest probe cells,
     // candidate join on cell, exact cosine re-rank
-    "ann_ivf_fixed" ->
-      s"""WITH c AS (
-         |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv
-         |  FROM embeddings WHERE vec_id < ${Similarity.NumCentroids}),
-         |sc AS (
-         |  SELECT e.vec_id, c.centroid_id,
-         |    list_sum(list_transform(range(1, len(cv) + 1),
-         |      i -> (e.embedding[i]::DOUBLE - cv[i]) *
-         |           (e.embedding[i]::DOUBLE - cv[i]))) AS d2
-         |  FROM embeddings e CROSS JOIN c),
-         |rk AS (
-         |  SELECT vec_id, centroid_id, d2,
-         |    row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY d2, centroid_id) AS rn
-         |  FROM sc),
-         |asn AS (SELECT vec_id AS neighbor_id, centroid_id AS cell
-         |        FROM rk WHERE rn = 1),
-         |probe AS (
-         |  SELECT vec_id AS query_id, centroid_id AS cell
-         |  FROM rk WHERE vec_id < 10 AND rn <= ${Similarity.IvfFixedProbe}),
-         |cand AS (
-         |  SELECT probe.query_id, asn.neighbor_id
-         |  FROM asn JOIN probe ON asn.cell = probe.cell
-         |  WHERE asn.neighbor_id != probe.query_id),
-         |ex AS (
-         |  SELECT cand.query_id, cand.neighbor_id,
-         |    list_cosine_similarity(qe.embedding::DOUBLE[],
-         |      ne.embedding::DOUBLE[]) AS cos_raw
-         |  FROM cand
-         |  JOIN embeddings qe ON qe.vec_id = cand.query_id
-         |  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id),
-         |rr AS (
-         |  SELECT query_id, neighbor_id, cos_raw,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_raw DESC, neighbor_id) AS rank
-         |  FROM ex)
-         |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
-         |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin,
+    "ann_ivf_fixed" -> ivfFixedOracle,
+    // recall@k of the IVF index — same LEFT JOIN counting shape as the
+    // SRP recall report, over the replayed IVF and exact subqueries
+    "ann_recall_ivf" -> (
+      "WITH ex AS (SELECT query_id, neighbor_id FROM (" +
+        bruteforceOracle + ")),\n" +
+        "ivf AS (SELECT query_id, neighbor_id FROM (" + ivfFixedOracle +
+        "))\n" +
+        """SELECT ex.query_id,
+          |  sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    ::BIGINT AS n_hits,
+          |  (sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    * 100) // count(*) AS recall_x100
+          |FROM ex LEFT JOIN ivf
+          |  ON ivf.query_id = ex.query_id
+          |  AND ivf.neighbor_id = ex.neighbor_id
+          |GROUP BY ex.query_id""".stripMargin),
     // the WHOLE approximate index replayed: md5-parity plane signs,
     // left-to-right signature dots on raw vectors (sign is
     // norm-invariant), bucket-collision candidates, exact cosine re-rank

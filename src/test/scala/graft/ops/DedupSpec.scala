@@ -51,6 +51,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.size == 3, s"no false positives, got $pairs")
   }
 
+  test("soft dedup keeps every copy at ~one copy's total mass per cluster") {
+    val rows = Dedup.softDedupDocs(corpus)
+      .as[(Long, String, Long, Long)].collect()
+    assert(rows.length == corpus.count())
+    rows.groupBy(_._2).foreach { case (h, rs) =>
+      val n = rs.head._3
+      assert(rs.length == n, s"$h: window count disagrees with cluster size")
+      val mass = rs.map(_._4).sum
+      // 1e6 div n truncates: cluster mass is one copy's worth, minus at
+      // most n-1 fixed-point units
+      assert(mass <= 1000000L && mass >= 1000000L - (n - 1), s"$h: $mass")
+    }
+    // the planted exact pair (docs 0 and 100) shares a cluster of 2
+    val pair = rows.filter(r => r._1 == 0L || r._1 == 100L)
+    assert(pair.map(_._2).distinct.length == 1 && pair.forall(_._3 == 2L))
+  }
+
   test("prefix-filtered join is lossless vs the plain inverted-index join") {
     val plain = Dedup.ngramJaccardDocs(corpus)
       .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)]
