@@ -428,6 +428,28 @@ object Sketches {
 
   private val kmvNumerator = (KmvK - 1).toLong * (1L << 48)
 
+  /** The reg/agg/est CTE chain over a preceding CTE `d(source, h)` —
+    * the SQL replay of [[hllRegisters]]+estimate, shared by the
+    * sketch_hll oracle and the table-stats oracle.
+    */
+  def sqlHllEstCtes: String =
+    s"""reg AS (
+       |  SELECT source, h // ${1L << HllRemBits} AS bucket,
+       |    max(CASE WHEN h % ${1L << HllRemBits} = 0 THEN ${HllRemBits + 1}
+       |        ELSE ${HllRemBits + 1} - length(bin(h % ${1L << HllRemBits}))
+       |        END) AS r
+       |  FROM d GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT source, count(*)::BIGINT AS m_used,
+       |    sum(1::BIGINT << (${HllRemBits + 1} - r))::BIGINT AS s_used
+       |  FROM reg GROUP BY source),
+       |est AS (
+       |  SELECT source, m_used,
+       |    $HllNumerator //
+       |      (s_used + ($HllBuckets - m_used) * ${1L << (HllRemBits + 1)})
+       |      AS hll_est
+       |  FROM agg)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // union k-min per pair + membership flags; all-integer estimates
     "sketch_kmv_overlap" ->
@@ -565,32 +587,18 @@ object Sketches {
     // same bucket/rho decomposition replayed on bin() string length;
     // all shifts and divides integer, same literal constants
     "sketch_hll" ->
-      s"""WITH toks AS (
-         |  SELECT source, unnest(string_split(text, ' ')) AS tok
-         |  FROM documents),
-         |d0 AS (SELECT DISTINCT source, tok FROM toks WHERE length(tok) > 0),
-         |d AS (SELECT source, ${sqlH48("tok")} AS h FROM d0),
-         |reg AS (
-         |  SELECT source, h // ${1L << HllRemBits} AS bucket,
-         |    max(CASE WHEN h % ${1L << HllRemBits} = 0 THEN ${HllRemBits + 1}
-         |        ELSE ${HllRemBits + 1} - length(bin(h % ${1L << HllRemBits}))
-         |        END) AS r
-         |  FROM d GROUP BY 1, 2),
-         |agg AS (
-         |  SELECT source, count(*)::BIGINT AS m_used,
-         |    sum(1::BIGINT << (${HllRemBits + 1} - r))::BIGINT AS s_used
-         |  FROM reg GROUP BY source),
-         |ex AS (
-         |  SELECT source, count(*)::BIGINT AS n_exact FROM d0 GROUP BY source),
-         |est AS (
-         |  SELECT source, m_used,
-         |    $HllNumerator //
-         |      (s_used + ($HllBuckets - m_used) * ${1L << (HllRemBits + 1)})
-         |      AS hll_est
-         |  FROM agg)
-         |SELECT ex.source, ex.n_exact, est.m_used, est.hll_est,
-         |  abs(est.hll_est - ex.n_exact) * 100 // ex.n_exact AS err_pct
-         |FROM ex JOIN est ON ex.source = est.source""".stripMargin,
+      (s"""WITH toks AS (
+          |  SELECT source, unnest(string_split(text, ' ')) AS tok
+          |  FROM documents),
+          |d0 AS (SELECT DISTINCT source, tok FROM toks WHERE length(tok) > 0),
+          |d AS (SELECT source, ${sqlH48("tok")} AS h FROM d0),
+          |""".stripMargin + sqlHllEstCtes +
+        """,
+          |ex AS (
+          |  SELECT source, count(*)::BIGINT AS n_exact FROM d0 GROUP BY source)
+          |SELECT ex.source, ex.n_exact, est.m_used, est.hll_est,
+          |  abs(est.hll_est - ex.n_exact) * 100 // ex.n_exact AS err_pct
+          |FROM ex JOIN est ON ex.source = est.source""".stripMargin),
     "sketch_countmin" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Multimodal, Similarity, Sketches, TextAnalysis}
 
 /** Driver registrations for similarity search, text analysis, and
   * multimodal plumbing. Everything here carries a DuckDB oracle except
@@ -13,6 +13,50 @@ import graft.ops.{Multimodal, Similarity, TextAnalysis}
   * plus spec-level recall/determinism tests.
   */
 object OpsQueries {
+
+  /** Columns profiled by [[tableStats]] — integer keys and low-NDV flags
+    * (DOUBLE/TIMESTAMP columns are excluded on purpose: their min/max
+    * string forms are not engine-stable).
+    */
+  val StatCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_returnflag", "l_linestatus")
+
+  /** ANALYZE-style table statistics — the stats-collection pass a
+    * cost-based planner runs before choosing join orders at scale: per
+    * column, row/null counts, exact NDV, the HLL NDV estimate (the
+    * shared [[Sketches.hllRegisters]] kernel — at 100 TB the sketch IS
+    * the collected stat and the exact column is the error reference),
+    * and min/max rendered to strings after the typed aggregate. Two
+    * passes over the table (one wide aggregate row + one register
+    * build), everything else is per-column-cardinality work.
+    */
+  def tableStats(s: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+    val aggs = StatCols.flatMap(c => Seq(
+      count(col(c)).as(s"cnt_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val longRows = wide
+      .select(col("n_rows"), explode(array(StatCols.map(c =>
+        struct(lit(c).as("col_name"), col(s"cnt_$c").as("cnt"),
+          col(s"ndv_$c").as("ndv"), col(s"min_$c").as("min_s"),
+          col(s"max_$c").as("max_s"))): _*)).as("st"))
+      .select(col("st.col_name").as("source"), col("n_rows"),
+        (col("n_rows") - col("st.cnt")).as("n_null"),
+        col("st.ndv").as("n_exact"), col("st.min_s"), col("st.max_s"))
+      .cache() // feeds the HLL finalize join and the final projection
+    val vals = StatCols.map(c => li.select(lit(c).as("source"),
+        col(c).cast("string").as("tok")).filter(col("tok").isNotNull))
+      .reduce(_ unionByName _)
+    Sketches.hllFinalize(Sketches.hllRegisters(vals),
+        longRows.select(col("source"), col("n_exact")))
+      .join(longRows.drop("n_exact"), "source")
+      .select(col("source").as("col_name"), col("n_rows"), col("n_null"),
+        col("n_exact").as("ndv"), col("hll_est"), col("err_pct"),
+        col("min_s"), col("max_s"))
+  }
 
   /** Distributed k-means over the embeddings (the reference paper's
     * benchmark family is C-means/GMM clustering — paper Table 3, see
@@ -119,6 +163,7 @@ object OpsQueries {
         .select(col("query_id"), col("n_hits"),
           expr("n_hits * 100 div k").as("recall_x100"))
     }),
+    "stats_table" -> (tableStats _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
     "text_quality" -> (TextAnalysis.qualityQuery _),
@@ -563,6 +608,33 @@ object OpsQueries {
           |  AND srp.neighbor_id = ex.neighbor_id
           |GROUP BY ex.query_id""".stripMargin),
     "ann_bruteforce" -> bruteforceOracle,
+    // per-column base stats UNION'd + the shared HLL register replay
+    // over the stringified column values
+    "stats_table" -> {
+      val base = StatCols.map(c =>
+        s"""SELECT '$c' AS source, count(*)::BIGINT AS n_rows,
+           |  (count(*) - count($c))::BIGINT AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_exact,
+           |  min($c)::VARCHAR AS min_s, max($c)::VARCHAR AS max_s
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+      val valUnion = StatCols.map(c =>
+        s"SELECT '$c' AS source, $c::VARCHAR AS tok FROM lineitem " +
+          s"WHERE $c IS NOT NULL").mkString("\nUNION ALL\n")
+      s"""WITH v AS (
+         |$valUnion),
+         |d AS (SELECT source, ${graft.ops.Sketches.sqlH48("tok")} AS h
+         |      FROM v),
+         |""".stripMargin + graft.ops.Sketches.sqlHllEstCtes +
+        s""",
+           |base AS (
+           |$base)
+           |SELECT base.source AS col_name, base.n_rows, base.n_null,
+           |  base.n_exact AS ndv, est.hll_est,
+           |  abs(est.hll_est - base.n_exact) * 100 // base.n_exact
+           |    AS err_pct,
+           |  base.min_s, base.max_s
+           |FROM base JOIN est ON base.source = est.source""".stripMargin
+    },
     "text_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  sum(length(text))::BIGINT AS sum_chars,

@@ -5,6 +5,26 @@ import graft.SparkSpec
 class OpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("table stats: counts, NDVs, and typed bounds agree with direct queries") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val out = graft.queries.OpsQueries.tableStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = li.count()
+    assert(out.keySet == graft.queries.OpsQueries.StatCols.toSet)
+    assert(out.values.forall(_.getLong(1) == n), "n_rows on every row")
+    assert(out.values.forall(_.getLong(2) == 0L), "no nulls in testdata")
+    val rf = out("l_returnflag")
+    assert(rf.getLong(3) == li.select("l_returnflag").distinct().count())
+    assert(rf.getString(6) == "A" && rf.getString(7) == "R",
+      "typed (not lexicographic-after-cast) min/max")
+    val ok = out("l_orderkey")
+    assert(ok.getLong(3) == li.select("l_orderkey").distinct().count())
+    // high-NDV column: the HLL estimate must sit within 3 sigma of exact
+    assert(math.abs(ok.getLong(4) - ok.getLong(3)).toDouble / ok.getLong(3)
+      <= 3 * 1.04 / math.sqrt(Sketches.HllBuckets),
+      s"hll ${ok.getLong(4)} vs exact ${ok.getLong(3)}")
+  }
+
   test("LSH ANN achieves high recall@5 vs brute force on the embeddings table") {
     val emb = graft.Tables.embeddings(spark, sfDir)
     val queries = Similarity.queryVectors(spark, sfDir)
