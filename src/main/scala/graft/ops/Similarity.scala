@@ -416,8 +416,9 @@ object Similarity {
       asUnit(col("embedding")).as("cv"))
     val q = queries.select(col("vec_id").as("query_id"),
       asUnit(col("embedding")).as("qv"))
+    // round-6 rank with id tiebreak: cross-engine-stable (see ivfFixed)
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+      .orderBy(round(col("cos_raw"), 6).desc, col("neighbor_id"))
     c.join(broadcast(shortlist), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -563,8 +564,11 @@ object Similarity {
         "query_id", IvfFixedProbe)
       .join(queries.select(col("vec_id").as("query_id"),
         asUnit(col("embedding")).as("qv")), "query_id")
+    // rank on the ROUND-6 cosine (the cross-engine-stable value) with id
+    // tiebreak — raw-double ulp drift at the rank-k boundary was round
+    // 4's one intermittent hash flake on the srp path
     val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_raw").desc, col("neighbor_id"))
+      .orderBy(round(col("cos_raw"), 6).desc, col("neighbor_id"))
     assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -331,7 +331,7 @@ object OpsQueries {
        |rr AS (
        |  SELECT query_id, neighbor_id, cos_raw,
        |    row_number() OVER (PARTITION BY query_id
-       |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+       |      ORDER BY round(cos_raw, 6) DESC, neighbor_id) AS rank
        |  FROM ex)
        |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
        |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin
@@ -561,7 +561,7 @@ object OpsQueries {
          |rr AS (
          |  SELECT query_id, neighbor_id, cos_raw,
          |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos_raw DESC, neighbor_id) AS rank
+         |      ORDER BY round(cos_raw, 6) DESC, neighbor_id) AS rank
          |  FROM ex)
          |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
          |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin),
