@@ -32,27 +32,34 @@ object OpsQueries {
     */
   def tableStats(s: SparkSession, d: String): DataFrame = {
     val li = graft.Tables.lineitem(s, d)
+    // one narrow pass for count/min/max — deliberately NO countDistinct
+    // here: five distinct aggregates in one agg would plan as a 5x
+    // Expand of the table through the shuffle; exact NDV comes from the
+    // distinct-value table below instead
     val aggs = StatCols.flatMap(c => Seq(
       count(col(c)).as(s"cnt_$c"),
-      countDistinct(col(c)).as(s"ndv_$c"),
       min(col(c)).cast("string").as(s"min_$c"),
       max(col(c)).cast("string").as(s"max_$c")))
     val wide = li.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val longRows = wide
       .select(col("n_rows"), explode(array(StatCols.map(c =>
         struct(lit(c).as("col_name"), col(s"cnt_$c").as("cnt"),
-          col(s"ndv_$c").as("ndv"), col(s"min_$c").as("min_s"),
-          col(s"max_$c").as("max_s"))): _*)).as("st"))
+          col(s"min_$c").as("min_s"), col(s"max_$c").as("max_s"))): _*))
+        .as("st"))
       .select(col("st.col_name").as("source"), col("n_rows"),
         (col("n_rows") - col("st.cnt")).as("n_null"),
-        col("st.ndv").as("n_exact"), col("st.min_s"), col("st.max_s"))
-      .cache() // feeds the HLL finalize join and the final projection
-    val vals = StatCols.map(c => li.select(lit(c).as("source"),
+        col("st.min_s"), col("st.max_s"))
+    // distinct (column, value) pairs: NDV-bounded, and both the exact
+    // count and the HLL registers fold it (registers are duplicate-
+    // insensitive, so distinct-first changes nothing but the work)
+    val dvals = StatCols.map(c => li.select(lit(c).as("source"),
         col(c).cast("string").as("tok")).filter(col("tok").isNotNull))
       .reduce(_ unionByName _)
-    Sketches.hllFinalize(Sketches.hllRegisters(vals),
-        longRows.select(col("source"), col("n_exact")))
-      .join(longRows.drop("n_exact"), "source")
+      .distinct()
+      .cache()
+    val exact = dvals.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    Sketches.hllFinalize(Sketches.hllRegisters(dvals), exact)
+      .join(longRows, "source")
       .select(col("source").as("col_name"), col("n_rows"), col("n_null"),
         col("n_exact").as("ndv"), col("hll_est"), col("err_pct"),
         col("min_s"), col("max_s"))
