@@ -446,6 +446,42 @@ object PipelineOps {
           .otherwise(lit(0L)).as("epochs_fp"))
   }
 
+  /** The training-run SCHEDULE a mixture plan implies: materialize
+    * [[tokenBudget]]'s allocation as an explicit (doc, epoch) order —
+    * `alloc div n_tokens` full passes over each source plus one
+    * truncated final pass, docs within a pass in the deterministic
+    * shuffle-hash order, the final pass cut where the per-source
+    * running token total exceeds the remaining budget. Composition of
+    * three already-oracle-checked pieces (apportionment, shuffle order,
+    * token counts), so the schedule hash-checks end-to-end.
+    *
+    * Scale shape: one window per source for the running total (the
+    * shard-parallel property — no global ordering), epoch fan-out via
+    * `sequence`/explode bounded by the oversampling factor, and the
+    * allocation table is config-cardinality. This is the op that turns
+    * a mixing CONFIG into the byte stream a trainer consumes.
+    */
+  def epochOrder(docs: DataFrame): DataFrame = {
+    import graft.ops.Sketches.h48
+    val budget = tokenBudget(docs)
+      .select(col("source"), col("n_tokens"), col("alloc"))
+    val toks = when(length(trim(col("text"))) === 0, lit(0L))
+      .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"), toks.as("t"),
+        h48(concat(lit("shuf|"), col("doc_id"))).as("h"))
+      .withColumn("cum", sum(col("t")).over(w))
+      .join(budget, "source")
+      .withColumn("passes", expr("alloc div n_tokens"))
+      .withColumn("rem", expr("alloc % n_tokens"))
+      .withColumn("epoch", explode(expr(
+        "filter(sequence(0, passes), e -> e < passes OR cum <= rem)")))
+      .select(col("doc_id"), col("source"), col("epoch"),
+        row_number().over(Window.partitionBy(col("source"), col("epoch"))
+          .orderBy(col("h"), col("doc_id"))).as("pos"))
+  }
+
   /** The round-4 curation pipeline composed end-to-end: Gopher rule
     * gates drop structural junk, quality-weighted sampling thins what
     * remains (better text kept harder), and the survivors get their
@@ -484,6 +520,37 @@ object PipelineOps {
       .withColumn("waste_pct", expr("sum_waste * 100 div (n_docs * pad_to)"))
   }
 
+  // the Hamilton-apportionment CTE chain ending at
+  // allocs(source, w, n_tokens, alloc) — shared by the token-budget
+  // report and the epoch-order schedule oracle. tt carries per-doc
+  // tokens + the shuffle hash so the schedule CTEs can continue from it
+  private lazy val tokenBudgetCtes: String =
+    s"""WITH tt AS (
+       |  SELECT doc_id, source,
+       |    (regexp_extract(source, '(\\d+)', 1)::INT % 4 + 1)::BIGINT AS w,
+       |    (CASE WHEN length(trim(text)) = 0 THEN 0
+       |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+       |      END)::BIGINT AS tk,
+       |    ${graft.ops.Sketches.sqlH48("'shuf|' || doc_id::VARCHAR")} AS h
+       |  FROM documents),
+       |src AS (
+       |  SELECT source, w, sum(tk)::BIGINT AS n_tokens FROM tt
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT sum(w)::BIGINT AS tw FROM src),
+       |based AS (
+       |  SELECT source, w, n_tokens,
+       |    ($TokenBudget * w) // tw AS base,
+       |    ($TokenBudget * w) % tw AS rem
+       |  FROM src CROSS JOIN tot),
+       |lo AS (SELECT $TokenBudget - sum(base)::BIGINT AS k FROM based),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+       |  FROM based),
+       |allocs AS (
+       |  SELECT source, w, n_tokens,
+       |    base + (CASE WHEN rk <= k THEN 1 ELSE 0 END) AS alloc
+       |  FROM ranked CROSS JOIN lo)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_length_buckets" -> ((s: SparkSession, d: String) =>
       lengthBuckets(Tables.documents(s, d))),
@@ -500,6 +567,8 @@ object PipelineOps {
       weightedSample(Tables.documents(s, d))),
     "pipe_token_budget" -> ((s: SparkSession, d: String) =>
       tokenBudget(Tables.documents(s, d))),
+    "pipe_epoch_order" -> ((s: SparkSession, d: String) =>
+      epochOrder(Tables.documents(s, d))),
     "pipe_mixture" -> ((s: SparkSession, dir: String) =>
       mixtureSample(Tables.documents(s, dir))),
     "pipe_scrub" -> (scrubQuery _),
@@ -693,32 +762,35 @@ object PipelineOps {
     // same Hamilton apportionment: integer base + largest-remainder
     // top-up, identical (rem desc, source) tiebreak
     "pipe_token_budget" ->
-      s"""WITH t AS (
-         |  SELECT source,
-         |    (regexp_extract(source, '(\\d+)', 1)::INT % 4 + 1)::BIGINT AS w,
-         |    (CASE WHEN length(trim(text)) = 0 THEN 0
-         |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
-         |      END)::BIGINT AS tk
-         |  FROM documents),
-         |src AS (
-         |  SELECT source, w, sum(tk)::BIGINT AS n_tokens FROM t GROUP BY 1, 2),
-         |tot AS (SELECT sum(w)::BIGINT AS tw FROM src),
-         |based AS (
-         |  SELECT source, w, n_tokens,
-         |    ($TokenBudget * w) // tw AS base,
-         |    ($TokenBudget * w) % tw AS rem
-         |  FROM src CROSS JOIN tot),
-         |lo AS (SELECT $TokenBudget - sum(base)::BIGINT AS k FROM based),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
-         |  FROM based)
-         |SELECT source, w AS weight, n_tokens,
-         |  base + (CASE WHEN rk <= k THEN 1 ELSE 0 END) AS alloc,
-         |  CASE WHEN n_tokens > 0 THEN
-         |    (base + (CASE WHEN rk <= k THEN 1 ELSE 0 END)) * 1000000
-         |      // n_tokens
-         |  ELSE 0 END AS epochs_fp
-         |FROM ranked CROSS JOIN lo""".stripMargin,
+      (tokenBudgetCtes + """
+        |SELECT source, w AS weight, n_tokens, alloc,
+        |  CASE WHEN n_tokens > 0 THEN alloc * 1000000 // n_tokens
+        |  ELSE 0 END AS epochs_fp
+        |FROM allocs""".stripMargin),
+    // the schedule replayed from the same CTE chain: per-source running
+    // totals in shuffle-hash order, inclusive generate_series epochs,
+    // the same (e < passes OR cum <= rem) keep rule
+    "pipe_epoch_order" ->
+      (tokenBudgetCtes + """,
+        |cum AS (
+        |  SELECT doc_id, source, h,
+        |    sum(tk) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |      AS cum
+        |  FROM tt),
+        |j AS (
+        |  SELECT c.doc_id, c.source, c.h, c.cum,
+        |    a.alloc // a.n_tokens AS passes, a.alloc % a.n_tokens AS rem
+        |  FROM cum c JOIN allocs a USING (source)
+        |  WHERE a.n_tokens > 0),
+        |e AS (
+        |  SELECT doc_id, source, h, cum, passes, rem,
+        |    unnest(generate_series(0, passes)) AS epoch
+        |  FROM j)
+        |SELECT doc_id, source, epoch,
+        |  row_number() OVER (PARTITION BY source, epoch
+        |    ORDER BY h, doc_id) AS pos
+        |FROM e WHERE epoch < passes OR cum <= rem""".stripMargin),
     // same integer priority w*2^48/(h+1), same clamp, same tiebreak
     "pipe_weighted_sample" ->
       s"""WITH t AS (

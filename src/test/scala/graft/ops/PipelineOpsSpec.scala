@@ -165,6 +165,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("epoch order realizes each source's token budget to within one document") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val sched = PipelineOps.epochOrder(docs)
+    val toks = docs.select(col("doc_id"),
+      when(length(trim(col("text"))) === 0, 0L)
+        .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+        .as("t"))
+    val budget = PipelineOps.tokenBudget(docs)
+      .select("source", "alloc").as[(String, Long)].collect().toMap
+    val mass = sched.join(toks, "doc_id").groupBy("source")
+      .agg(sum(col("t")).as("m")).as[(String, Long)].collect().toMap
+    val maxT = toks.agg(max(col("t"))).as[Long].head()
+    assert(mass.nonEmpty)
+    mass.foreach { case (src, m) =>
+      assert(m <= budget(src), s"$src scheduled past its allocation")
+      assert(budget(src) - m <= maxT,
+        s"$src under-filled by more than one document")
+    }
+    // positions are dense within each (source, epoch) pass
+    val dense = sched.groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"))
+      .filter(col("n") =!= col("mx")).count()
+    assert(dense == 0)
+  }
+
   test("quality-weighted sample: rate honored per band, floor keeps some junk out") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = PipelineOps.qualityWeightedSample(docs)
