@@ -37,6 +37,14 @@ class Round5EmptySpec extends SparkSpec {
     assert(GraphOps.harmonicCentrality(noEvents).count() == 0)
   }
 
+  test("epoch order, soft dedup, quantile sketch tolerate empty input") {
+    assert(PipelineOps.epochOrder(noDocs).count() == 0)
+    assert(Dedup.softDedupDocs(noDocs).count() == 0)
+    val noOrders = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") < 0)
+    assert(Sketches.quantileSketch(noOrders).count() == 0)
+  }
+
   test("length buckets and SRP-LSH tolerate empty input") {
     assert(PipelineOps.lengthBuckets(noDocs).count() == 0)
     val noVecs = graft.Tables.embeddings(spark, sfDir)
