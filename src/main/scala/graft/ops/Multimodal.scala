@@ -86,6 +86,55 @@ object Multimodal {
     }
   }
 
+  /** REAL codec for the public Netpbm formats (PPM `P6` / PGM `P5`,
+    * binary variants, 8-bit maxval) — pure JVM, no external library:
+    * proof that [[MediaCodec]]'s plug point takes a production decoder,
+    * not just the stub. Header grammar per the published spec: magic,
+    * then width/height/maxval as ASCII decimals separated by whitespace,
+    * `#` comments legal between tokens, one whitespace byte after maxval,
+    * then the raster (RGB triplets for P6, single luma bytes for P5).
+    * Returns the raster bytes as the sample; undecodable payloads (bad
+    * magic, maxval > 255, truncated raster) yield None — dropped rows,
+    * never task failures, same contract as the stub.
+    */
+  object NetpbmCodec extends MediaCodec {
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (payload.length < 2 || payload(0) != 'P' ||
+        (payload(1) != '5' && payload(1) != '6')) return None
+      val channels = if (payload(1) == '6') 3 else 1
+      var pos = 2
+      // read the next ASCII integer token, skipping whitespace + comments
+      def nextInt(): Option[Int] = {
+        while (pos < payload.length &&
+          (payload(pos).toChar.isWhitespace || payload(pos) == '#')) {
+          if (payload(pos) == '#')
+            while (pos < payload.length && payload(pos) != '\n') pos += 1
+          else pos += 1
+        }
+        val start = pos
+        while (pos < payload.length && payload(pos) >= '0' &&
+          payload(pos) <= '9') pos += 1
+        if (pos == start) None
+        else Some(new String(payload, start, pos - start, "US-ASCII").toInt)
+      }
+      for {
+        w <- nextInt()
+        h <- nextInt()
+        maxval <- nextInt()
+        if w > 0 && h > 0 && maxval > 0 && maxval <= 255
+        // exactly one whitespace byte separates maxval from the raster
+        if pos < payload.length && payload(pos).toChar.isWhitespace
+        raster = {
+          pos += 1
+          val n = w * h * channels
+          if (payload.length - pos < n) None
+          else Some(java.util.Arrays.copyOfRange(payload, pos, pos + n))
+        }
+        bytes <- raster
+      } yield (w, h, bytes)
+    }
+  }
+
   /** Media table synthesized from document ids (the harness ships no
     * binary media table; payload content is deterministic in media_id).
     */

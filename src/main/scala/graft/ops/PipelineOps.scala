@@ -37,7 +37,10 @@ object PipelineOps {
     * (the config a real pipeline would pass in).
     */
   def mixtureSample(docs: DataFrame): DataFrame = {
-    val idx = regexp_extract(col("source"), "(\\d+)", 1).cast("int")
+    // digit-less source names coalesce to index 0 (same contract as
+    // tokenBudget: both engines agree by value instead of null-vs-error)
+    val idx = coalesce(
+      regexp_extract(col("source"), "(\\d+)", 1).cast("int"), lit(0))
     val thr = element_at(
       array(lit("3fffffffffffffff"), lit("7fffffffffffffff"),
         lit("bfffffffffffffff"), lit("ffffffffffffffff")),
@@ -387,10 +390,12 @@ object PipelineOps {
     * to cut a fixed-size weighted subset from an unbounded corpus.
     * Top-k evaluates as TakeOrdered (per-partition k-heads merged on the
     * driver, k rows of driver state), never a global sort; weights clamp
-    * to 2^15 so w * 2^48 stays inside BIGINT.
+    * to 2^15 - 1 so w * 2^48 <= 2^63 - 2^48 stays inside BIGINT (at
+    * exactly 2^15 the product is 2^63: Spark non-ANSI wraps it negative
+    * and the doc could never be sampled, DuckDB throws on the multiply).
     */
   val WeightedSampleK = 50
-  val WeightedSampleWCap = 32768L
+  val WeightedSampleWCap = 32767L
 
   def weightedSample(docs: DataFrame, k: Int = WeightedSampleK): DataFrame = {
     import graft.ops.Sketches.h48
@@ -425,11 +430,21 @@ object PipelineOps {
   def tokenBudget(docs: DataFrame, budget: Long = TokenBudget): DataFrame = {
     val toks = when(length(trim(col("text"))) === 0, lit(0L))
       .otherwise(size(split(trim(col("text")), "\\s+")).cast("long"))
+    // a source name with no digits gets default weight 1 (coalesce the
+    // failed extract to 0, then 0 % 4 + 1): regexp_extract returns '' on
+    // no match in BOTH engines, but ''::INT is null in Spark and an error
+    // in DuckDB — coalescing on both sides makes them agree by value
+    // instead of diverging silently vs loudly
     val src = docs
       .select(col("source"), toks.as("t"),
-        (regexp_extract(col("source"), "(\\d+)", 1).cast("int") % 4 + 1)
-          .cast("long").as("w"))
+        (coalesce(regexp_extract(col("source"), "(\\d+)", 1).cast("int"),
+          lit(0)) % 4 + 1).cast("long").as("w"))
       .groupBy("source", "w").agg(sum(col("t")).as("n_tokens"))
+      // a zero-token source cannot supply tokens: excluding it BEFORE
+      // apportionment redistributes its share instead of silently
+      // forfeiting it when epochOrder materializes the schedule (the
+      // plan-vs-schedule invariant: sum(alloc) == realized budget)
+      .filter(col("n_tokens") > 0)
     val tot = src.agg(sum(col("w")).as("tw"))
     val based = src.crossJoin(broadcast(tot))
       .withColumn("base", expr(s"($budget * w) div tw"))
@@ -527,7 +542,8 @@ object PipelineOps {
   private lazy val tokenBudgetCtes: String =
     s"""WITH tt AS (
        |  SELECT doc_id, source,
-       |    (regexp_extract(source, '(\\d+)', 1)::INT % 4 + 1)::BIGINT AS w,
+       |    (coalesce(try_cast(regexp_extract(source, '(\\d+)', 1) AS INT),
+       |      0) % 4 + 1)::BIGINT AS w,
        |    (CASE WHEN length(trim(text)) = 0 THEN 0
        |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
        |      END)::BIGINT AS tk,
@@ -535,7 +551,7 @@ object PipelineOps {
        |  FROM documents),
        |src AS (
        |  SELECT source, w, sum(tk)::BIGINT AS n_tokens FROM tt
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2 HAVING sum(tk) > 0),
        |tot AS (SELECT sum(w)::BIGINT AS tw FROM src),
        |based AS (
        |  SELECT source, w, n_tokens,
@@ -733,7 +749,8 @@ object PipelineOps {
         |SELECT pad_to, count(*)::BIGINT AS n_docs,
         |  sum(n_tokens)::BIGINT AS sum_tokens,
         |  sum(pad_to - n_tokens)::BIGINT AS sum_waste,
-        |  (sum(pad_to - n_tokens) * 100) // (count(*) * pad_to) AS waste_pct
+        |  ((sum(pad_to - n_tokens)::BIGINT * 100) // (count(*) * pad_to))::BIGINT
+        |    AS waste_pct
         |FROM b GROUP BY pad_to""".stripMargin,
     "pipe_pack" ->
       """WITH t AS (
@@ -749,7 +766,8 @@ object PipelineOps {
     "pipe_mixture" ->
       """WITH t AS (
         |  SELECT doc_id, source,
-        |    regexp_extract(source, '(\d+)', 1)::INT % 4 AS m,
+        |    coalesce(try_cast(regexp_extract(source, '(\d+)', 1) AS INT),
+        |      0) % 4 AS m,
         |    substr(md5(doc_id::VARCHAR), 1, 16) AS draw
         |  FROM documents)
         |SELECT doc_id, source, round((m + 1) / 4.0, 2) AS rate

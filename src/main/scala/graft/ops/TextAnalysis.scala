@@ -631,16 +631,21 @@ object TextAnalysis {
     *
     * Like [[bpePairs]], rounds run over DISTINCT words x corpus counts,
     * so per-round cost is vocabulary-bounded regardless of corpus size.
-    * The winning pair is a one-row DataFrame broadcast into the rewrite
-    * join — the driver never collects anything. Symbol sequences are
-    * strings with a two-space separator and one-space sentinels, which
-    * makes the merge a plain (non-regex, both-engines-identical)
-    * `replace`: occurrences of ' l  r ' never share characters, so one
-    * left-to-right replace pass merges every non-overlapping occurrence
-    * — including back-to-back repeats — and multi-char symbols can
-    * never false-match inside a neighbor.
+    * The winning pair is adopted via a ONE-ROW TakeOrdered collect —
+    * bounded driver state, the same O(1)-probe pattern the ANN/codec
+    * paths use — which doubles as the per-round action that
+    * materializes round N's rewritten vocabulary so round N-1's cache
+    * can be released immediately (no stale cached frames survive the
+    * call). Symbol sequences are strings with a two-space separator and
+    * one-space sentinels, which makes the merge a plain (non-regex,
+    * both-engines-identical) `replace`: occurrences of ' l  r ' never
+    * share characters, so one left-to-right replace pass merges every
+    * non-overlapping occurrence — including back-to-back repeats — and
+    * multi-char symbols can never false-match inside a neighbor.
     */
   def bpeMerges(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val words = OpUtil.spread(docs)
       .select(explode(split(col("text"), " ", -1)).as("w"))
       .filter(length(col("w")) > 0)
@@ -648,12 +653,11 @@ object TextAnalysis {
       .select(concat(rtrim(concat(lit(" "),
         regexp_replace(col("w"), "(.)", "$1  "))), lit(" ")).as("seq"),
         col("c"))
-    var seqs = words
-    val merges = (1 to BpeMergeRounds).map { round =>
-      // each round reads seqs twice (pair count + rewrite); cache it or
-      // the rewrite lineage re-evaluates 2^k times
-      seqs = seqs.cache()
-      val pairs = seqs
+    // each round reads seqs twice (pair count + rewrite); cache it or
+    // the rewrite lineage re-evaluates 2^k times
+    var seqs = words.cache()
+    val merges = (1 to BpeMergeRounds).flatMap { round =>
+      val best = seqs
         .select(col("c"), split(trim(col("seq")), "  ").as("sym"))
         .filter(size(col("sym")) >= 2)
         .select(col("c"), explode(expr(
@@ -662,20 +666,26 @@ object TextAnalysis {
           .as("p"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("c")).as("pair_count"))
-      val best = pairs
         .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
-        .select(col("l").as("bl"), col("r").as("br"),
-          col("pair_count").as("bc"))
-        .cache() // one row: feeds both the output and the rewrite join
-      seqs = seqs.crossJoin(broadcast(best))
-        .withColumn("seq", expr(
-          "replace(seq, ' ' || bl || '  ' || br || ' ', " +
-            "' ' || bl || br || ' ')"))
-        .select("seq", "c")
-      best.select(lit(round).as("merge_rank"), col("bl").as("left"),
-        col("br").as("right"), col("bc").as("pair_count"))
+        .collect() // ONE row (TakeOrdered): the winner, as driver literals
+      best.headOption.map { row =>
+        val (bl, br) = (row.getString(0), row.getString(1))
+        val prev = seqs
+        seqs = prev
+          .withColumn("seq", replace(col("seq"),
+            lit(s" $bl  $br "), lit(s" $bl$br ")))
+          .select("seq", "c")
+          .cache()
+        seqs.count() // materialize round N BEFORE dropping round N-1
+        prev.unpersist(blocking = false)
+        (round, bl, br, row.getLong(2))
+      }
     }
-    merges.reduce(_ unionByName _)
+    seqs.unpersist(blocking = false) // last round's vocabulary: output
+    // below is pure driver literals, nothing reads it again
+    merges.toDF("merge_rank", "left", "right", "pair_count")
+      .select(col("merge_rank"), col("left"), col("right"),
+        col("pair_count"))
   }
 
   def bpeMergesQuery(s: SparkSession, dir: String): DataFrame =

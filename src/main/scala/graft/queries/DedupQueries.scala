@@ -160,8 +160,8 @@ object DedupQueries {
       "  FROM ds CROSS JOIN comp GROUP BY 1, 2)\n" +
       "SELECT j.doc_a, j.doc_b,\n" +
       "  sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::BIGINT AS n_match,\n" +
-      s"  (sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) * 100) // $k\n" +
-      "    AS est_pct,\n" +
+      s"  ((sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)::BIGINT * 100) // $k)\n" +
+      "    ::BIGINT AS est_pct,\n" +
       "  j.jaccard\n" +
       "FROM jpairs j\n" +
       "JOIN msig a ON a.doc_id = j.doc_a\n" +

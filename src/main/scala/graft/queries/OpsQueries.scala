@@ -586,8 +586,8 @@ object OpsQueries {
         """SELECT ex.query_id,
           |  sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
           |    ::BIGINT AS n_hits,
-          |  (sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-          |    * 100) // count(*) AS recall_x100
+          |  ((sum(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    ::BIGINT * 100) // count(*))::BIGINT AS recall_x100
           |FROM ex LEFT JOIN ivf
           |  ON ivf.query_id = ex.query_id
           |  AND ivf.neighbor_id = ex.neighbor_id
@@ -608,8 +608,8 @@ object OpsQueries {
         """SELECT ex.query_id,
           |  sum(CASE WHEN srp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
           |    ::BIGINT AS n_hits,
-          |  (sum(CASE WHEN srp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
-          |    * 100) // count(*) AS recall_x100
+          |  ((sum(CASE WHEN srp.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    ::BIGINT * 100) // count(*))::BIGINT AS recall_x100
           |FROM ex LEFT JOIN srp
           |  ON srp.query_id = ex.query_id
           |  AND srp.neighbor_id = ex.neighbor_id

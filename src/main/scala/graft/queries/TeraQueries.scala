@@ -29,18 +29,31 @@ object TeraQueries {
     val parts = math.max(
       s.sparkContext.defaultParallelism,
       (n * TeraGen.RecordLen / (64L << 20)).toInt + 1)
-    // the TPCx-HS-style protocol (reference apps/terasort/run.sh): time
-    // gen+sort+validate end to end, SF = bytes/10^10, report SF per hour
-    val t0 = System.nanoTime()
-    val sorted = TeraSort.generateAndSort(s, n, parts)
-    val r = TeraValidate.validate(sorted)
-    val hours = (System.nanoTime() - t0) / 3.6e12
+    // the TPCx-HS-style protocol (reference apps/terasort/run.sh `for i
+    // in seq 1 2`): TWO consecutive timed gen+sort+validate runs, each
+    // reported as SF-per-hour with SF = bytes/10^10. TPCx-HS designates
+    // the run with the LOWER metric as the performance run, so
+    // hsph_at_sf carries min(run1, run2) and both raw values ride along
+    def timedRun(): (TeraValidate.Result, Double) = {
+      val t0 = System.nanoTime()
+      val sorted = TeraSort.generateAndSort(s, n, parts)
+      val r = TeraValidate.validate(sorted)
+      (r, (System.nanoTime() - t0) / 3.6e12)
+    }
+    val (r1, h1) = timedRun()
+    val (r2, h2) = timedRun()
+    require(r1.checksumHex == r2.checksumHex && r1.records == r2.records,
+      s"non-deterministic tera pipeline: run1=${r1.checksumHex} " +
+        s"run2=${r2.checksumHex}")
+    val r = if (h1 >= h2) r1 else r2 // the slower = performance run
     val sf = n * TeraGen.RecordLen / 1e10
     def r4(x: Double) = math.rint(x * 1e4) / 1e4
-    Seq((r.records, r.checksumHex, r.partitionsSorted, r.boundariesOrdered,
-        r4(sf), r4(sf / hours)))
+    Seq((r.records, r.checksumHex,
+        r1.partitionsSorted && r2.partitionsSorted,
+        r1.boundariesOrdered && r2.boundariesOrdered,
+        r4(sf), r4(sf / h1), r4(sf / h2), r4(sf / math.max(h1, h2))))
       .toDF("records", "checksum", "partitions_sorted", "boundaries_ordered",
-        "hs_sf", "hsph_at_sf")
+        "hs_sf", "hsph_run1", "hsph_run2", "hsph_at_sf")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -83,6 +83,49 @@ class RefineFrameSpec extends SparkSpec {
       .extractFeatures(Multimodal.mediaTable(spark, sfDir)).take(1).head
     assert(stub.width != 2 || stub.height != 2 || stub.mean_byte_x100 != 25500L)
   }
+
+  test("NetpbmCodec decodes real P6/P5 fixtures through the full feature " +
+      "pipeline") {
+    import spark.implicits._
+    // a 2x2 P6 image with a header comment: pixels RGB = (10,20,30),
+    // (40,50,60), (70,80,90), (100,110,120)
+    val raster6 = Array.tabulate[Byte](12)(i => ((i + 1) * 10).toByte)
+    val ppm = "P6\n# fixture\n2 2\n255\n".getBytes("US-ASCII") ++ raster6
+    assert(Multimodal.NetpbmCodec.decode(ppm)
+      .exists { case (w, h, b) => w == 2 && h == 2 &&
+        b.sameElements(raster6) })
+    // a 3x1 P5 grayscale: luma 0, 128, 255
+    val raster5 = Array[Byte](0, -128, -1)
+    val pgm = "P5 3 1 255 ".getBytes("US-ASCII") ++ raster5
+    assert(Multimodal.NetpbmCodec.decode(pgm)
+      .exists { case (w, h, b) => w == 3 && h == 1 &&
+        b.sameElements(raster5) })
+    // malformed payloads drop (None), never throw: bad magic, 16-bit
+    // maxval, truncated raster
+    assert(Multimodal.NetpbmCodec.decode("P7 2 2 255 x".getBytes).isEmpty)
+    assert(Multimodal.NetpbmCodec
+      .decode(("P6 2 2 65535 ".getBytes("US-ASCII") ++ raster6)).isEmpty)
+    assert(Multimodal.NetpbmCodec
+      .decode("P6 2 2 255 ".getBytes("US-ASCII") ++ raster6.take(5)).isEmpty)
+    // end-to-end: the real decoder rides the same extractFeatures path
+    val media = Seq(
+      Multimodal.MediaItem(1L, "image", ppm, ppm.length.toLong),
+      Multimodal.MediaItem(2L, "image", pgm, pgm.length.toLong),
+      Multimodal.MediaItem(3L, "image", Array[Byte](9, 9), 2L))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media, Multimodal.NetpbmCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.keySet == Set(1L, 2L)) // undecodable row 3 dropped
+    // P6 mean = (10+20+...+120)/12 = 65 -> 6500; P5 mean = 383/3 ->
+    // half-up 12767
+    assert(feats(1L).mean_byte_x100 == 6500L)
+    assert(feats(2L).mean_byte_x100 == 12767L)
+    // 12 distinct bytes -> entropy log2(12); 3 distinct -> log2(3)
+    assert(math.abs(feats(1L).byte_entropy -
+      math.log(12) / math.log(2)) < 1e-3)
+    assert(math.abs(feats(2L).byte_entropy -
+      math.log(3) / math.log(2)) < 1e-3)
+  }
 }
 
 /** A "decoder" that reports every payload as a 2x2 white image — stands

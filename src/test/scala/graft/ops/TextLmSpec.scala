@@ -123,8 +123,14 @@ class TextLmSpec extends SparkSpec {
 
   test("BPE merges learn the hand-checked sequence, ties broken lexicographically") {
     val docs = Seq((1L, "aaab aaab aaab cd")).toDF("doc_id", "text")
+    val plansBefore = spark.sparkContext.getPersistentRDDs.size
     val out = TextAnalysis.bpeMerges(docs).orderBy("merge_rank")
       .as[(Int, String, String, Long)].collect().toSeq
+    // every per-round cache (4x seqs) must be released by return time —
+    // the round-5 verdict flagged stale cached vocab frames as hygiene
+    assert(spark.sparkContext.getPersistentRDDs.size <= plansBefore,
+      s"bpeMerges leaked cached RDDs: before=$plansBefore " +
+        s"after=${spark.sparkContext.getPersistentRDDs.size}")
     // round 1: (a,a) wins at 6; round 2: tie at 3 between (a,b) and
     // (aa,a) -> lexicographic left wins; round 3 merges the halves of
     // aaab; round 4 is the only pair left

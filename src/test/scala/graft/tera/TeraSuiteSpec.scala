@@ -75,8 +75,15 @@ class TeraSuiteSpec extends SparkSpec {
     assert(row.getAs[Boolean]("partitions_sorted"))
     assert(row.getAs[Boolean]("boundaries_ordered"))
     assert(row.getAs[Double]("hs_sf") == 0.0001)
-    assert(row.getAs[Double]("hsph_at_sf") > 0.0,
+    // the reference run.sh (`for i in seq 1 2`) times TWO consecutive
+    // gen+sort+validate runs; TPCx-HS designates the lower metric as
+    // the performance run — the reported value must be that minimum
+    val run1 = row.getAs[Double]("hsph_run1")
+    val run2 = row.getAs[Double]("hsph_run2")
+    assert(run1 > 0.0 && run2 > 0.0,
       "SF/total_hours over gen+sort+validate must be a positive rate")
+    assert(row.getAs[Double]("hsph_at_sf") == math.min(run1, run2),
+      "reported HSph@SF must come from the lower (performance) run")
   }
 
   test("Hadoop-API compat: newAPIHadoopFile[TeraInputFormat] reads, " +

@@ -19,23 +19,27 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(rows, cols):
-    # sort columns by name, then rows by stringified tuple
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+def canon(df):
+    # Dtype-faithful emulation of the driver's stringified hash: the driver
+    # materializes both sides through pandas (so DuckDB HUGEINT becomes
+    # float64) and hashes stringified cells — "19.0" != "19". We therefore
+    # go through a pandas frame and compare string tuples, never Python ==
+    # (which would hide int-vs-float dtype bugs: 19 == 19.0).
+    cols = sorted(df.columns)
     out = []
-    for r in rows:
+    for r in df[cols].itertuples(index=False, name=None):
         vals = []
-        for i in order:
-            v = r[i]
+        for v in r:
             if isinstance(v, float):
                 if math.isnan(v):
-                    v = "NaN"
+                    vals.append("NaN")
                 else:
-                    v = round(v, 6)
-            vals.append(v)
+                    vals.append(str(round(v, 6)))
+            else:
+                vals.append(str(v))
         out.append(tuple(vals))
-    out.sort(key=lambda t: tuple(str(x) for x in t))
-    return [cols[i] for i in order], out
+    out.sort()
+    return cols, out
 
 
 def main():
@@ -58,14 +62,14 @@ def main():
             n_fail += 1
             continue
         rel = con.sql(f"SELECT * FROM read_parquet({files!r})")
-        scols, srows = canon(rel.fetchall(), list(rel.columns))
+        scols, srows = canon(rel.df())
         if name not in oracle:
             print(f"[skip] {name}: no oracle ({len(srows)} rows)")
             n_skip += 1
             continue
         try:
             orel = con.sql(oracle[name])
-            ocols, orows = canon(orel.fetchall(), list(orel.columns))
+            ocols, orows = canon(orel.df())
         except Exception as e:
             print(f"[FAIL] {name}: oracle error: {e}")
             n_fail += 1
