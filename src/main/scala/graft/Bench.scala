@@ -45,21 +45,23 @@ object Bench {
     // are dead once the query's action finishes, and 69 queries' worth
     // of retained blocks turned the tail of the run into a GC/eviction
     // fight — later queries measured 5x slower than standalone
-    def dropCaches(): Unit = {
+    def clearCaches(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
-      // settle: collect the just-freed blocks NOW, outside any timing —
-      // without this a neighbor's garbage bleeds into the next query's
-      // number (r4 showed 2-4x in-run "regressions" that vanished when
-      // the same queries ran standalone)
-      System.gc()
-      Thread.sleep(50)
     }
+    // settle: collect the just-freed blocks NOW, outside any timing —
+    // without this a neighbor's garbage bleeds into the next query's
+    // number (r4 showed 2-4x in-run "regressions" that vanished when
+    // the same queries ran standalone)
+    def settle(): Unit = { System.gc(); Thread.sleep(50) }
 
-    // two timed runs per query, keep the faster — damps GC/JIT noise from
-    // whatever ran just before; caches cleared between runs so run 2
-    // re-executes the full pipeline instead of reading run 1's cache
+    // median of THREE timed runs per query — two rounds of phantom
+    // ±1.3-1.7x "regression clusters" (r5 q18-q21, r6 sketch_kmv/text_*)
+    // were single-sample GC noise that a min-of-2 still let through; the
+    // median of 3 is outlier-proof on both sides. Caches are cleared
+    // between runs so each run re-executes the full pipeline; the GC
+    // settle moves to the inter-trio gap to keep total wall bounded
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
@@ -71,12 +73,15 @@ object Bench {
           return -1.0
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        dropCaches()
+        clearCaches()
         dt
       }
       val a = once()
       val b = if (a >= 0) once() else -1.0
-      name -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
+      val c = if (b >= 0) once() else -1.0
+      settle()
+      name -> (if (a < 0 || b < 0 || c < 0) -1.0
+               else Seq(a, b, c).sorted.apply(1))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -87,8 +92,9 @@ object Bench {
     // the driver keeps only the last ~2 KB of stdout, which truncates the
     // per-query map to the alphabetical tail — persist the full profile so
     // every query's time stays auditable (BENCH_r05 lost the first ~60)
+    // cwd-relative default so the bench works from any checkout location
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/BENCH_OUT.json")
+      "BENCH_OUT.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

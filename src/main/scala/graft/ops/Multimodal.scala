@@ -114,7 +114,9 @@ object Multimodal {
         val start = pos
         while (pos < payload.length && payload(pos) >= '0' &&
           payload(pos) <= '9') pos += 1
-        if (pos == start) None
+        // >9 digits overflows Int.parseInt (would throw, not drop) and is
+        // never a plausible dimension — corrupt header, reject
+        if (pos == start || pos - start > 9) None
         else Some(new String(payload, start, pos - start, "US-ASCII").toInt)
       }
       for {
@@ -126,9 +128,12 @@ object Multimodal {
         if pos < payload.length && payload(pos).toChar.isWhitespace
         raster = {
           pos += 1
-          val n = w * h * channels
-          if (payload.length - pos < n) None
-          else Some(java.util.Arrays.copyOfRange(payload, pos, pos + n))
+          // Long math: w*h*channels on Ints can wrap negative (e.g.
+          // 46341x46341) and sneak past the truncation check into a
+          // throwing copyOfRange — corrupt payloads drop, never throw
+          val n = w.toLong * h * channels
+          if (n > payload.length.toLong - pos) None
+          else Some(java.util.Arrays.copyOfRange(payload, pos, pos + n.toInt))
         }
         bytes <- raster
       } yield (w, h, bytes)

@@ -457,8 +457,9 @@ object PipelineOps {
         col("base") + when(col("rk") <= col("k"), 1L).otherwise(0L))
       .select(col("source"), col("w").as("weight"), col("n_tokens"),
         col("alloc"),
-        when(col("n_tokens") > 0, expr("alloc * 1000000 div n_tokens"))
-          .otherwise(lit(0L)).as("epochs_fp"))
+        // n_tokens > 0 guaranteed by the zero-source filter above, so
+        // the integer div is safe unguarded
+        expr("alloc * 1000000 div n_tokens").as("epochs_fp"))
   }
 
   /** The training-run SCHEDULE a mixture plan implies: materialize

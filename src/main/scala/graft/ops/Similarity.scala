@@ -627,4 +627,70 @@ object Similarity {
 
   def cmeansFixedPointQuery(s: SparkSession, dir: String): DataFrame =
     cmeansFixedPoint(Tables.embeddings(s, dir))
+
+  /** Soft-EM mixture fitting in INTEGER FIXED POINT — the deterministic
+    * twin of the float MLlib `gmm_clusters` (the same role
+    * [[cmeansFixedPoint]] plays for cmeans, closing the last rows-only
+    * family without an oracle-checked sibling). A Gaussian
+    * responsibility needs exp(), which can't cross engines
+    * integer-exact, so the E-step uses the rational Student-t/Cauchy
+    * kernel 1/(1+d2) — the standard heavy-tailed mixture relative
+    * (t-SNE's affinity kernel) — scaled to [[GmmKernelNum]] and
+    * normalized per point into [[GmmRespScale]] fixed point, every
+    * divide an integer `div` in a fixed order. The M-step is the
+    * responsibility-weighted integer mean. What makes this GMM-shaped
+    * rather than k-means-shaped is exactly the SOFT assignment: every
+    * cluster receives mass from every point, which also kills the
+    * empty-cluster edge case by construction.
+    *
+    * Shape at scale: identical to [[cmeansFixedPoint]] — per iteration
+    * one broadcast-sized K x dim centroid table, one combinable
+    * per-vector kernel + per-point normalize, one combinable weighted
+    * centroid sum; the driver loops only over the [[FpIters]] iteration
+    * indices. Overflow: rn <= 1e6 and |q| <= FpScale x |coord|, so the
+    * weighted sums stay under 2^63 up to ~1e9 points per cluster at
+    * these scales.
+    */
+  val GmmKernelNum = 1000000000000L // 1e12 kernel numerator
+  val GmmRespScale = 1000000L // 1e6 normalized-responsibility fixed point
+
+  def gmmFixedPoint(corpus: DataFrame): DataFrame = {
+    val el = OpUtil.spread(corpus)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"),
+        floor(col("v").cast("double") * FpScale).cast("long").as("q"))
+      .cache()
+    var cents = el.filter(col("vec_id") < FpK)
+      .select(col("vec_id").as("c"), col("i"), col("q").as("cq"))
+    var resp: DataFrame = null
+    for (_ <- 1 to FpIters) {
+      val rraw = el.join(broadcast(cents), "i")
+        .groupBy(col("vec_id"), col("c"))
+        .agg(sum((col("q") - col("cq")) * (col("q") - col("cq"))).as("d2"))
+        .select(col("vec_id"), col("c"),
+          expr(s"$GmmKernelNum div (1 + d2)").as("r_raw"))
+      val denom = rraw.groupBy("vec_id").agg(sum(col("r_raw")).as("dn"))
+      resp = rraw.join(denom, "vec_id")
+        .select(col("vec_id"), col("c"),
+          expr(s"r_raw * $GmmRespScale div greatest(dn, 1L)").as("rn"))
+      cents = el.join(resp, "vec_id")
+        .groupBy(col("c"), col("i"))
+        .agg(expr("sum(rn * q) div greatest(sum(rn), 1L)").as("cq"))
+    }
+    // final E-step responsibilities feed three outputs; cache or the
+    // two-iteration lineage re-executes per consumer
+    resp = resp.cache()
+    val hard = resp
+      .groupBy("vec_id")
+      .agg(min(struct((-col("rn")).as("nr"), col("c").as("c"))).as("best"))
+      .select(col("vec_id"), col("best.c").as("c"))
+    hard.groupBy("c").agg(count(lit(1)).as("n_points"))
+      .join(resp.groupBy("c").agg(sum(col("rn")).as("resp_mass")), "c")
+      .join(cents.groupBy("c").agg(sum(col("cq")).as("centroid_mass")), "c")
+      .select(col("c").as("cluster"), col("n_points"), col("resp_mass"),
+        col("centroid_mass"))
+  }
+
+  def gmmFixedPointQuery(s: SparkSession, dir: String): DataFrame =
+    gmmFixedPoint(Tables.embeddings(s, dir))
 }

@@ -233,9 +233,12 @@ object Sketches {
     * sketches the estimate is bit-identical cross-engine and only its
     * ERROR vs the exact count (surfaced as err_pct) is probabilistic.
     * The leading-zero count rides on `bin()` string length, which both
-    * engines define identically (unpadded, bin(0)='0'). No small-range
-    * linear-counting correction: it needs a float ln, and the surfaced
-    * exact column already plays the error-reference role.
+    * engines define identically (unpadded, bin(0)='0'). The small-range
+    * linear-counting correction needs ln(), which has no integer-exact
+    * cross-engine form — but its domain here is just V in 1..m zero
+    * registers, so BOTH engines index the same precomputed
+    * [[HllLcTable]] literal and the corrected estimate hash-checks
+    * exactly like the raw one (surfaced as `hll_lc`).
     */
   /** Register build: (source, bucket) -> max leading-zero rank. Works on
     * the RAW token stream — max is duplicate-insensitive, so no distinct
@@ -254,8 +257,24 @@ object Sketches {
       .agg(max(col("rho")).as("r"))
   }
 
-  /** Fold registers into the integer raw estimate and join the exact
-    * reference: (source, n_exact, m_used, hll_est, err_pct).
+  /** Linear-counting lookup: round(m * ln(m / V)) for V zero registers,
+    * V in 1..m (a register only exists once touched, and touched
+    * registers have rho >= 1, so V = m - m_used exactly). 64 literals
+    * shared verbatim with the oracle SQL — the whole reason the
+    * correction can be hash-checked despite the float ln inside.
+    */
+  val HllLcTable: IndexedSeq[Long] = (1 to HllBuckets).map(v =>
+    BigDecimal(HllBuckets * math.log(HllBuckets.toDouble / v))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+
+  /** Classic small-range bound: apply linear counting when the raw
+    * estimate is at most 2.5m and some register is still zero.
+    */
+  val HllLcThreshold: Long = 5L * HllBuckets / 2
+
+  /** Fold registers into the integer raw estimate (plus the
+    * linear-counting-corrected `hll_lc`) and join the exact reference:
+    * (source, n_exact, m_used, hll_est, hll_lc, err_pct).
     */
   def hllFinalize(reg: DataFrame, exact: DataFrame): DataFrame = {
     val maxRho = HllRemBits + 1
@@ -265,8 +284,14 @@ object Sketches {
       .withColumn("hll_est", expr(
         s"$HllNumerator div " +
           s"(s_used + ($HllBuckets - m_used) * ${1L << maxRho})"))
+      .withColumn("hll_lc", expr(
+        s"CASE WHEN $HllBuckets - m_used > 0 AND hll_est <= $HllLcThreshold" +
+          s" THEN element_at(array(${HllLcTable.mkString(", ")})," +
+          s" cast($HllBuckets - m_used AS int))" +
+          " ELSE hll_est END").cast("long"))
       .join(exact, "source")
       .select(col("source"), col("n_exact"), col("m_used"), col("hll_est"),
+        col("hll_lc"),
         expr("abs(hll_est - n_exact) * 100 div n_exact").as("err_pct"))
   }
 
@@ -593,12 +618,17 @@ object Sketches {
           |d0 AS (SELECT DISTINCT source, tok FROM toks WHERE length(tok) > 0),
           |d AS (SELECT source, ${sqlH48("tok")} AS h FROM d0),
           |""".stripMargin + sqlHllEstCtes +
-        """,
-          |ex AS (
-          |  SELECT source, count(*)::BIGINT AS n_exact FROM d0 GROUP BY source)
-          |SELECT ex.source, ex.n_exact, est.m_used, est.hll_est,
-          |  abs(est.hll_est - ex.n_exact) * 100 // ex.n_exact AS err_pct
-          |FROM ex JOIN est ON ex.source = est.source""".stripMargin),
+        s""",
+           |ex AS (
+           |  SELECT source, count(*)::BIGINT AS n_exact FROM d0 GROUP BY source)
+           |SELECT ex.source, ex.n_exact, est.m_used, est.hll_est,
+           |  (CASE WHEN $HllBuckets - est.m_used > 0
+           |      AND est.hll_est <= $HllLcThreshold
+           |    THEN [${HllLcTable.mkString(", ")}]
+           |      [($HllBuckets - est.m_used)::INT]
+           |    ELSE est.hll_est END)::BIGINT AS hll_lc,
+           |  abs(est.hll_est - ex.n_exact) * 100 // ex.n_exact AS err_pct
+           |FROM ex JOIN est ON ex.source = est.source""".stripMargin),
     "sketch_countmin" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -654,9 +654,14 @@ object TextAnalysis {
         regexp_replace(col("w"), "(.)", "$1  "))), lit(" ")).as("seq"),
         col("c"))
     // each round reads seqs twice (pair count + rewrite); cache it or
-    // the rewrite lineage re-evaluates 2^k times
+    // the rewrite lineage re-evaluates 2^k times. NOTE: training runs
+    // EAGERLY at call time (per-round collect + count) — the returned
+    // frame is the already-learned merge table, not a lazy plan.
     var seqs = words.cache()
-    val merges = (1 to BpeMergeRounds).flatMap { round =>
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= BpeMergeRounds && !exhausted) {
       val best = seqs
         .select(col("c"), split(trim(col("seq")), "  ").as("sym"))
         .filter(size(col("sym")) >= 2)
@@ -668,22 +673,29 @@ object TextAnalysis {
         .agg(sum(col("c")).as("pair_count"))
         .orderBy(col("pair_count").desc, col("l"), col("r")).limit(1)
         .collect() // ONE row (TakeOrdered): the winner, as driver literals
-      best.headOption.map { row =>
-        val (bl, br) = (row.getString(0), row.getString(1))
-        val prev = seqs
-        seqs = prev
-          .withColumn("seq", replace(col("seq"),
-            lit(s" $bl  $br "), lit(s" $bl$br ")))
-          .select("seq", "c")
-          .cache()
-        seqs.count() // materialize round N BEFORE dropping round N-1
-        prev.unpersist(blocking = false)
-        (round, bl, br, row.getLong(2))
+      best.headOption match {
+        case None =>
+          // vocabulary exhausted: merges only shrink sequences, so no
+          // pair can reappear in a later round — stop instead of
+          // re-running the full (identically empty) pair aggregation
+          exhausted = true
+        case Some(row) =>
+          val (bl, br) = (row.getString(0), row.getString(1))
+          val prev = seqs
+          seqs = prev
+            .withColumn("seq", replace(col("seq"),
+              lit(s" $bl  $br "), lit(s" $bl$br ")))
+            .select("seq", "c")
+            .cache()
+          seqs.count() // materialize round N BEFORE dropping round N-1
+          prev.unpersist(blocking = false)
+          merges += ((round, bl, br, row.getLong(2)))
       }
+      round += 1
     }
     seqs.unpersist(blocking = false) // last round's vocabulary: output
     // below is pure driver literals, nothing reads it again
-    merges.toDF("merge_rank", "left", "right", "pair_count")
+    merges.toSeq.toDF("merge_rank", "left", "right", "pair_count")
       .select(col("merge_rank"), col("left"), col("right"),
         col("pair_count"))
   }

@@ -140,6 +140,7 @@ object OpsQueries {
     "ann_srp_lsh" -> (Similarity.annSrpLsh _),
     "ann_ivf_fixed" -> (Similarity.annIvfFixed _),
     "cmeans_fixed_point" -> (Similarity.cmeansFixedPointQuery _),
+    "gmm_fixed_point" -> (Similarity.gmmFixedPointQuery _),
     // index QA in-engine: recall@k of the SRP-LSH index against the
     // exact top-k, per query — both sides are themselves oracle-replayed,
     // so even the RECALL REPORT is hash-checked
@@ -251,6 +252,29 @@ object OpsQueries {
        |$cOut AS (
        |  SELECT a.c, elq.i, sum(elq.q) // count(*) AS cq
        |  FROM elq JOIN $aOut a USING (vec_id) GROUP BY 1, 2)""".stripMargin
+
+  /** One fixed-point soft-EM iteration as SQL: Student-t kernel
+    * responsibilities normalized per point (integer div, window sum over
+    * the K clusters), then responsibility-weighted integer centroid
+    * means — the unrolled-CTE replay of [[Similarity.gmmFixedPoint]].
+    */
+  private def gmmIterSql(centsIn: String, rOut: String, cOut: String): String =
+    s"""$rOut AS (
+       |  SELECT vec_id, c,
+       |    r_raw * ${Similarity.GmmRespScale} // greatest(dn, 1) AS rn
+       |  FROM (
+       |    SELECT vec_id, c, r_raw,
+       |      sum(r_raw) OVER (PARTITION BY vec_id) AS dn
+       |    FROM (
+       |      SELECT vec_id, c, ${Similarity.GmmKernelNum} // (1 + d2) AS r_raw
+       |      FROM (
+       |        SELECT elq.vec_id, k.c,
+       |          sum((elq.q - k.cq) * (elq.q - k.cq))::BIGINT AS d2
+       |        FROM elq JOIN $centsIn k USING (i) GROUP BY 1, 2)))),
+       |$cOut AS (
+       |  SELECT r.c, elq.i,
+       |    sum(r.rn * elq.q) // greatest(sum(r.rn), 1) AS cq
+       |  FROM elq JOIN $rOut r USING (vec_id) GROUP BY 1, 2)""".stripMargin
 
   private val srpLshOracle: String =
     s"""WITH dims AS (
@@ -380,6 +404,39 @@ object OpsQueries {
            |JOIN
            |  (SELECT c AS cluster, sum(cq)::BIGINT AS centroid_mass
            |   FROM c${Similarity.FpIters} GROUP BY 1) m
+           |USING (cluster)""".stripMargin),
+    // the soft-EM unrolled: same elq quantization as cmeans, GmmIters
+    // kernel/normalize/weighted-mean rounds, hard argmax only at the end
+    "gmm_fixed_point" ->
+      (s"""WITH el AS (
+          |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          |    unnest(embedding)::DOUBLE AS v
+          |  FROM embeddings),
+          |elq AS (
+          |  SELECT vec_id, i, floor(v * ${Similarity.FpScale})::BIGINT AS q
+          |  FROM el),
+          |g0 AS (SELECT vec_id AS c, i, q AS cq FROM elq
+          |       WHERE vec_id < ${Similarity.FpK}),
+          |""".stripMargin
+        + (1 to Similarity.FpIters)
+          .map(k => gmmIterSql(s"g${k - 1}", s"r$k", s"g$k")).mkString(",\n") +
+        s""",
+           |hard AS (
+           |  SELECT vec_id, c FROM (
+           |    SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id
+           |      ORDER BY rn DESC, c) AS rk
+           |    FROM r${Similarity.FpIters})
+           |  WHERE rk = 1)
+           |SELECT n.cluster, n.n_points, rm.resp_mass, m.centroid_mass FROM
+           |  (SELECT c AS cluster, count(*)::BIGINT AS n_points
+           |   FROM hard GROUP BY 1) n
+           |JOIN
+           |  (SELECT c AS cluster, sum(rn)::BIGINT AS resp_mass
+           |   FROM r${Similarity.FpIters} GROUP BY 1) rm
+           |USING (cluster)
+           |JOIN
+           |  (SELECT c AS cluster, sum(cq)::BIGINT AS centroid_mass
+           |   FROM g${Similarity.FpIters} GROUP BY 1) m
            |USING (cluster)""".stripMargin),
     "text_langid" -> TextAnalysis.langIdOracleSql,
     // the stub codec's LCG payload is recomputed bit-exactly in SQL:

@@ -107,6 +107,16 @@ class RefineFrameSpec extends SparkSpec {
       .decode(("P6 2 2 65535 ".getBytes("US-ASCII") ++ raster6)).isEmpty)
     assert(Multimodal.NetpbmCodec
       .decode("P6 2 2 255 ".getBytes("US-ASCII") ++ raster6.take(5)).isEmpty)
+    // adversarial headers drop too (the contract is None, never a throw):
+    // a dimension token that would overflow Int.parseInt...
+    assert(Multimodal.NetpbmCodec
+      .decode(("P6 99999999999 2 255 ".getBytes("US-ASCII") ++ raster6))
+      .isEmpty)
+    // ...and dims whose product wraps Int negative (46341^2 > 2^31), which
+    // used to pass the truncation check and crash in copyOfRange
+    assert(Multimodal.NetpbmCodec
+      .decode(("P6 46341 46341 255 ".getBytes("US-ASCII") ++ raster6))
+      .isEmpty)
     // end-to-end: the real decoder rides the same extractFeatures path
     val media = Seq(
       Multimodal.MediaItem(1L, "image", ppm, ppm.length.toLong),

@@ -55,22 +55,26 @@ class SketchesSpec extends SparkSpec {
 
   test("HLL: registers bounded by m, estimate within 3 standard errors") {
     val out = Sketches.hllDistinct(graft.Tables.documents(spark, sfDir))
-      .select("source", "n_exact", "m_used", "hll_est")
-      .as[(String, Long, Long, Long)].collect()
+      .select("source", "n_exact", "m_used", "hll_est", "hll_lc")
+      .as[(String, Long, Long, Long, Long)].collect()
     assert(out.nonEmpty)
     // raw HLL relative standard error ~ 1.04/sqrt(m); allow 3 sigma
     val m = Sketches.HllBuckets
     val tol = 3.0 * 1.04 / math.sqrt(m)
-    out.foreach { case (src, exact, mUsed, est) =>
+    out.foreach { case (src, exact, mUsed, est, lc) =>
       assert(mUsed >= 1 && mUsed <= m, s"$src: m $mUsed")
-      if (mUsed < m) {
-        // small-range regime (empty registers left): the raw estimator
-        // is biased high by design — the registers must instead recover
-        // the count through linear counting, m*ln(m/empty)
-        val lc = m * math.log(m.toDouble / (m - mUsed))
-        assert(math.abs(lc - exact) / exact <= tol,
+      if (mUsed < m && est <= Sketches.HllLcThreshold) {
+        // small-range regime (empty registers left, raw estimate under
+        // 2.5m): the EMITTED hll_lc column is the linear-counting
+        // estimate m*ln(m/empty) from the shared lookup table, and it —
+        // not the high-biased raw estimator — recovers the count
+        assert(lc == Sketches.HllLcTable((m - mUsed).toInt - 1),
+          s"$src: hll_lc $lc not the table entry for V=${m - mUsed}")
+        assert(math.abs(lc - exact).toDouble / exact <= tol,
           s"$src: linear-count $lc vs exact $exact")
       } else {
+        // out of the small range the correction is the identity
+        assert(lc == est, s"$src: hll_lc $lc != raw $est outside LC range")
         assert(math.abs(est - exact).toDouble / exact <= tol,
           s"$src: est $est vs exact $exact (tol ${(tol * 100).round}%)")
       }
@@ -124,9 +128,9 @@ class SketchesSpec extends SparkSpec {
 
   test("streaming HLL equals the batch HLL sketch exactly") {
     val batch = Sketches.hllDistinct(graft.Tables.documents(spark, sfDir))
-      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+      .as[(String, Long, Long, Long, Long, Long)].collect().sorted.toSeq
     val stream = graft.streaming.EventStreams.hllDistinctStream(spark, sfDir)
-      .as[(String, Long, Long, Long, Long)].collect().sorted.toSeq
+      .as[(String, Long, Long, Long, Long, Long)].collect().sorted.toSeq
     assert(stream == batch)
   }
 
@@ -148,6 +152,27 @@ class SketchesSpec extends SparkSpec {
     assert(out.forall(_._2 > 0), "no empty cluster on this fixture")
     val again = Similarity.cmeansFixedPoint(emb)
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == again)
+  }
+
+  test("fixed-point soft-EM: responsibilities normalize, partitions, " +
+      "run-deterministic") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val out = Similarity.gmmFixedPoint(emb)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == (0L until Similarity.FpK.toLong))
+    assert(out.map(_._2).sum == emb.count(), "every vector hard-assigned once")
+    // soft assignment: every cluster carries responsibility mass, and the
+    // total mass is n_points x RespScale up to the per-point integer-div
+    // truncation (< K units per point)
+    assert(out.forall(_._3 > 0), "soft EM leaves no cluster empty")
+    val totalMass = out.map(_._3).sum
+    val n = emb.count()
+    assert(totalMass <= n * Similarity.GmmRespScale &&
+      totalMass >= n * (Similarity.GmmRespScale - Similarity.FpK),
+      s"mass $totalMass vs ${n * Similarity.GmmRespScale}")
+    val again = Similarity.gmmFixedPoint(emb)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(out == again)
   }
 

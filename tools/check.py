@@ -34,7 +34,10 @@ def canon(df):
                 if math.isnan(v):
                     vals.append("NaN")
                 else:
-                    vals.append(str(round(v, 6)))
+                    # str(v) with NO rounding: the driver hashes the full
+                    # stringified cell, so a float differing only past 1e-6
+                    # must fail here exactly like it would remotely
+                    vals.append(str(v))
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
