@@ -29,6 +29,15 @@ import graft.ops.{Dedup, GraphOps, PipelineOps}
   */
 object OpScaleProbe {
   def main(a: Array[String]): Unit = {
+    // Shuffle partitions SCALE WITH THE DATA, as they would on a real
+    // cluster (size partitions to fit executor memory): holding them at
+    // 32 while data grows 100x measures fat-partition spill, not the
+    // plan. Measured x100 dedup_prefix sweep on this box: 32p=199.6s,
+    // 128p=149.0s, 256p=191.8s — the classic spill-vs-task-overhead
+    // curve, so the auto-scale caps at 128 on local[32]. SCALE_PARTS
+    // overrides for experiments.
+    def partsFor(k: Int): Int = sys.env.get("SCALE_PARTS").map(_.toInt)
+      .getOrElse(math.max(32, math.min(128, 32 * k / 4)))
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-op-scale-probe")
       .config("spark.sql.shuffle.partitions", "32")
@@ -91,9 +100,33 @@ object OpScaleProbe {
     // warm scans + JIT once so the 1x numbers aren't first-touch costs
     docsBase.write.format("noop").mode("overwrite").save()
     evBase.write.format("noop").mode("overwrite").save()
+    println(s"maxMemory=${Runtime.getRuntime.maxMemory >> 30}g")
+
+    // SCALE_DIAG=1: print the intermediate cardinalities that decide the
+    // dedup join's fate (shingles, prefix index, candidate pairs) instead
+    // of timing the full pipelines — the blowup localizer
+    if (sys.env.get("SCALE_DIAG").contains("1")) {
+      mults.foreach { k =>
+        val docs = scaledDocs(k)
+        val sh = Dedup.shingles(docs)
+        val nSh = sh.count()
+        val hot = sh.groupBy("shingle").count()
+          .agg(max(col("count")), count(lit(1))).head
+        val nCand = Dedup.prefixCandidates(docs).count()
+        println(s"x$k shingles=$nSh distinct=${hot.getLong(1)} " +
+          s"maxBucket=${hot.getLong(0)} candidates=$nCand")
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+      spark.stop()
+      return
+    }
 
     mults.foreach { k =>
-      println(s"== x$k (docs=${5000L * k}-ish, events=${100000L * k}-ish) ==")
+      spark.conf.set("spark.sql.shuffle.partitions", partsFor(k).toString)
+      println(s"== x$k (docs=${5000L * k}-ish, events=${100000L * k}-ish, " +
+        s"parts=${partsFor(k)}) ==")
       timed(s"pipe_pack x$k") {
         PipelineOps.packSequences(scaledDocs(k), PipelineOps.PackBudget)
       }

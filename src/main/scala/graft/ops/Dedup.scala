@@ -217,6 +217,17 @@ object Dedup {
     */
   def prefixJaccardDocs(docs: DataFrame): DataFrame = {
     val sh = shingles(docs).cache()
+    verifyJaccard(prefixCandidatesOf(sh), sh)
+  }
+
+  /** The prefix index's candidate-pair stage alone — exposed so the
+    * scale probe can measure its cardinality (the quantity the 100 TB
+    * claim rests on) without paying for verification.
+    */
+  def prefixCandidates(docs: DataFrame): DataFrame =
+    prefixCandidatesOf(shingles(docs).cache())
+
+  private def prefixCandidatesOf(sh: DataFrame): DataFrame = {
     val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("shingle"))
@@ -233,12 +244,11 @@ object Dedup {
       .filter(col("rank") <= col("n") - expr(s"(n * $tPct + 99) div 100") + 1)
       .select(col("doc_id"), col("shingle"))
       .cache()
-    val candidates = prefixes.as("a")
+    prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(candidates, sh)
   }
 
   def prefixJaccard(s: SparkSession, dir: String): DataFrame =

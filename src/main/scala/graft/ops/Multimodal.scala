@@ -140,6 +140,65 @@ object Multimodal {
     }
   }
 
+  /** REAL codec #2: uncompressed 24-bit Windows BMP (`BM` magic,
+    * BITMAPINFOHEADER, BI_RGB) — pure JVM, public format. Where Netpbm
+    * is byte-per-sample and densely packed, BMP exercises the parts of
+    * a production decoder Netpbm can't: little-endian multi-byte header
+    * fields, ROW STRIDE (rows pad to 4-byte boundaries), bottom-up row
+    * order (positive height; negative = top-down), and BGR channel
+    * order — the returned sample is repacked to top-down unpadded RGB
+    * so downstream features see the same pixel convention as P6.
+    * Undecodable payloads (bad magic, unsupported bpp/compression,
+    * truncated raster, dimensions that overflow) yield None — dropped
+    * rows, never task failures, the [[MediaCodec]] contract.
+    */
+  object BmpCodec extends MediaCodec {
+    private def le16(p: Array[Byte], o: Int): Int =
+      (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    private def le32(p: Array[Byte], o: Int): Long =
+      ((p(o) & 0xffL)) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      if (payload.length < 54 || payload(0) != 'B' || payload(1) != 'M')
+        return None
+      val dataOffset = le32(payload, 10)
+      val dibSize = le32(payload, 14)
+      val width = le32(payload, 18).toInt // signed LE per spec
+      val heightRaw = le32(payload, 22).toInt
+      val planes = le16(payload, 26)
+      val bpp = le16(payload, 28)
+      val compression = le32(payload, 30)
+      val topDown = heightRaw < 0
+      val height = math.abs(heightRaw)
+      // bounds in Long: width*3, stride*height, and offset sums must not
+      // wrap Int (the same corrupt-payload class the Netpbm fix covers)
+      if (dibSize < 40 || planes != 1 || bpp != 24 || compression != 0 ||
+        width <= 0 || height <= 0 || heightRaw == Int.MinValue ||
+        width > (1 << 20) || height > (1 << 20)) return None
+      val stride = (width.toLong * 3 + 3) & ~3L
+      if (dataOffset < 54 ||
+        dataOffset + stride * height > payload.length) return None
+      val out = new Array[Byte](width * height * 3)
+      var row = 0
+      while (row < height) {
+        val srcRow = if (topDown) row else height - 1 - row
+        val base = (dataOffset + stride * srcRow).toInt
+        var x = 0
+        while (x < width) {
+          val s = base + x * 3
+          val d = (row * width + x) * 3
+          out(d) = payload(s + 2) // R (BMP stores BGR)
+          out(d + 1) = payload(s + 1) // G
+          out(d + 2) = payload(s) // B
+          x += 1
+        }
+        row += 1
+      }
+      Some((width, height, out))
+    }
+  }
+
   /** Media table synthesized from document ids (the harness ships no
     * binary media table; payload content is deterministic in media_id).
     */

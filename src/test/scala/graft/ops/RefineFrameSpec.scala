@@ -136,6 +136,53 @@ class RefineFrameSpec extends SparkSpec {
     assert(math.abs(feats(2L).byte_entropy -
       math.log(3) / math.log(2)) < 1e-3)
   }
+  test("BmpCodec handles stride padding, bottom-up order, and BGR swap") {
+    def le32(v: Int) = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int) = Array(v, v >> 8).map(_.toByte)
+    // 3x2 24-bit BI_RGB: rows pad 9 -> 12 bytes; stored bottom-up in BGR.
+    // Intended top-down RGB image: row0 = red, green, blue;
+    // row1 = (10,20,30), (40,50,60), (70,80,90)
+    val raster = Array[Byte](
+      30, 20, 10, 60, 50, 40, 90, 80, 70, 0, 0, 0, // bottom row + pad
+      0, 0, -1, 0, -1, 0, -1, 0, 0, 0, 0, 0) // top row + pad
+    def bmp(height: Int) =
+      "BM".getBytes("US-ASCII") ++ le32(54 + raster.length) ++ le16(0) ++
+        le16(0) ++ le32(54) ++ le32(40) ++ le32(3) ++ le32(height) ++
+        le16(1) ++ le16(24) ++ le32(0) ++ le32(raster.length) ++
+        le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++ raster
+    val topDownRgb = Array[Byte](
+      -1, 0, 0, 0, -1, 0, 0, 0, -1,
+      10, 20, 30, 40, 50, 60, 70, 80, 90)
+    // positive height: stored bottom-up, decode flips to top-down RGB
+    assert(Multimodal.BmpCodec.decode(bmp(2))
+      .exists { case (w, h, b) => w == 3 && h == 2 &&
+        b.sameElements(topDownRgb) })
+    // negative height: stored top-down, so the SAME raster reads flipped
+    val flipped = topDownRgb.grouped(9).toSeq.reverse.flatten.toArray
+    assert(Multimodal.BmpCodec.decode(bmp(-2))
+      .exists { case (w, h, b) => w == 3 && h == 2 &&
+        b.sameElements(flipped) })
+    // corrupt payloads drop, never throw: truncated raster, unsupported
+    // bpp, dimensions that would overflow the raster size
+    assert(Multimodal.BmpCodec.decode(bmp(2).dropRight(1)).isEmpty)
+    val bpp32 = bmp(2); bpp32(28) = 32
+    assert(Multimodal.BmpCodec.decode(bpp32).isEmpty)
+    val huge = bmp(2)
+    System.arraycopy(le32(Int.MaxValue), 0, huge, 18, 4)
+    assert(Multimodal.BmpCodec.decode(huge).isEmpty)
+    // and the codec rides the same extractFeatures path as the others
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaItem(1L, "image", bmp(2), 78L),
+      Multimodal.MediaItem(2L, "image", Array[Byte]('B', 'M', 0), 3L))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media, Multimodal.BmpCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats.keySet == Set(1L))
+    // mean over the UNPADDED rgb bytes: (765 + 450) / 18 = 67.5 -> 6750
+    assert(feats(1L).width == 3 && feats(1L).height == 2 &&
+      feats(1L).mean_byte_x100 == 6750L)
+  }
 }
 
 /** A "decoder" that reports every payload as a 2x2 white image — stands
