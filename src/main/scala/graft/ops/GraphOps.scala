@@ -116,7 +116,10 @@ object GraphOps {
     * vertex centers the single counted wedge, and the closing edge is
     * exactly the oriented (mid, max) row. Same count as the oracle's
     * id-oriented chain join — orientation changes the join shape, not
-    * the result.
+    * the result. Measured cost at fixture scale (sf0.1): 1.5 -> 2.2 s
+    * from the degree join — the constant factor bought for the
+    * worst-case bound (one hub would revert the id-oriented plan to
+    * quadratic; the degree-ordered one stays O(m^1.5) regardless).
     */
   def triangleCensus(events: DataFrame): DataFrame = {
     val und = transitionEdges(events)
