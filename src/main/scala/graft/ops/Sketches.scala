@@ -475,6 +475,17 @@ object Sketches {
        |      AS hll_est
        |  FROM agg)""".stripMargin
 
+  /** The `hll_lc` CASE expression over an est-CTE alias — shared by the
+    * sketch_hll and stats_table oracles so the [[HllLcTable]] literals
+    * can never drift between consumers.
+    */
+  def sqlHllLc(est: String): String =
+    s"""(CASE WHEN $HllBuckets - $est.m_used > 0
+       |      AND $est.hll_est <= $HllLcThreshold
+       |    THEN [${HllLcTable.mkString(", ")}]
+       |      [($HllBuckets - $est.m_used)::INT]
+       |    ELSE $est.hll_est END)::BIGINT""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // union k-min per pair + membership flags; all-integer estimates
     "sketch_kmv_overlap" ->
@@ -622,11 +633,7 @@ object Sketches {
            |ex AS (
            |  SELECT source, count(*)::BIGINT AS n_exact FROM d0 GROUP BY source)
            |SELECT ex.source, ex.n_exact, est.m_used, est.hll_est,
-           |  (CASE WHEN $HllBuckets - est.m_used > 0
-           |      AND est.hll_est <= $HllLcThreshold
-           |    THEN [${HllLcTable.mkString(", ")}]
-           |      [($HllBuckets - est.m_used)::INT]
-           |    ELSE est.hll_est END)::BIGINT AS hll_lc,
+           |  ${sqlHllLc("est")} AS hll_lc,
            |  abs(est.hll_est - ex.n_exact) * 100 // ex.n_exact AS err_pct
            |FROM ex JOIN est ON ex.source = est.source""".stripMargin),
     "sketch_countmin" ->

@@ -61,7 +61,11 @@ object OpsQueries {
     Sketches.hllFinalize(Sketches.hllRegisters(dvals), exact)
       .join(longRows, "source")
       .select(col("source").as("col_name"), col("n_rows"), col("n_null"),
-        col("n_exact").as("ndv"), col("hll_est"), col("err_pct"),
+        col("n_exact").as("ndv"), col("hll_est"),
+        // the LC-corrected estimate matters most exactly here: ANALYZE
+        // columns like l_returnflag (NDV 3) sit deep in the small-range
+        // regime where the raw estimator is biased high by design
+        col("hll_lc").as("ndv_lc"), col("err_pct"),
         col("min_s"), col("max_s"))
   }
 
@@ -694,6 +698,7 @@ object OpsQueries {
            |$base)
            |SELECT base.source AS col_name, base.n_rows, base.n_null,
            |  base.n_exact AS ndv, est.hll_est,
+           |  ${graft.ops.Sketches.sqlHllLc("est")} AS ndv_lc,
            |  abs(est.hll_est - base.n_exact) * 100 // base.n_exact
            |    AS err_pct,
            |  base.min_s, base.max_s

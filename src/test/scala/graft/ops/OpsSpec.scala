@@ -15,14 +15,20 @@ class OpsSpec extends SparkSpec {
     assert(out.values.forall(_.getLong(2) == 0L), "no nulls in testdata")
     val rf = out("l_returnflag")
     assert(rf.getLong(3) == li.select("l_returnflag").distinct().count())
-    assert(rf.getString(6) == "A" && rf.getString(7) == "R",
+    assert(rf.getString(7) == "A" && rf.getString(8) == "R",
       "typed (not lexicographic-after-cast) min/max")
+    // tiny-NDV column: the raw estimator is biased high by design; the
+    // linear-counting column is the one that recovers the true NDV
+    assert(rf.getLong(5) == rf.getLong(3),
+      s"ndv_lc ${rf.getLong(5)} should recover exact ${rf.getLong(3)}")
     val ok = out("l_orderkey")
     assert(ok.getLong(3) == li.select("l_orderkey").distinct().count())
-    // high-NDV column: the HLL estimate must sit within 3 sigma of exact
+    // high-NDV column: the HLL estimate must sit within 3 sigma of exact,
+    // and the LC correction is the identity out of the small range
     assert(math.abs(ok.getLong(4) - ok.getLong(3)).toDouble / ok.getLong(3)
       <= 3 * 1.04 / math.sqrt(Sketches.HllBuckets),
       s"hll ${ok.getLong(4)} vs exact ${ok.getLong(3)}")
+    assert(ok.getLong(5) == ok.getLong(4), "LC is identity at high NDV")
   }
 
   test("LSH ANN achieves high recall@5 vs brute force on the embeddings table") {
