@@ -175,6 +175,20 @@ object OpsQueries {
         .select(col("query_id"), col("n_hits"),
           expr("n_hits * 100 div k").as("recall_x100"))
     }),
+    // recall@k of the PQ/ADC index — completes the recall-report family
+    // (srp, ivf, pq): every approximate index ships its hash-checked QA
+    "ann_recall_pq" -> ((s: SparkSession, d: String) => {
+      val exact = Similarity.annBruteForce(s, d)
+        .select(col("query_id"), col("neighbor_id"))
+      val pq = Similarity.annPqSearch(s, d)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      exact.join(pq, Seq("query_id", "neighbor_id"), "left_outer")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+          count(lit(1)).as("k"))
+        .select(col("query_id"), col("n_hits"),
+          expr("n_hits * 100 div k").as("recall_x100"))
+    }),
     "stats_table" -> (tableStats _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
@@ -370,6 +384,16 @@ object OpsQueries {
        |  FROM ex)
        |SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos, rank
        |FROM rr WHERE rank <= ${Similarity.DefaultK}""".stripMargin
+
+  private val pqSearchOracle: String = pqAdcCtes +
+    s""",
+       |rk AS (
+       |  SELECT query_id, neighbor_id, adc_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_raw, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc, rank
+       |FROM rk WHERE rank <= ${Similarity.DefaultK}""".stripMargin
 
   private val bruteforceOracle: String =
     """WITH q AS (
@@ -599,15 +623,23 @@ object OpsQueries {
     // full ADC replay: encode CTEs as in ann_pq_encode, then the query
     // LUT with the same per-subspace list_sum accumulation, ADC summed
     // in subspace order (list ORDER BY s), argmin ties by neighbor id
-    "ann_pq_search" -> (pqAdcCtes +
-      s""",
-         |rk AS (
-         |  SELECT query_id, neighbor_id, adc_raw,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY adc_raw, neighbor_id) AS rank
-         |  FROM adc)
-         |SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc, rank
-         |FROM rk WHERE rank <= ${Similarity.DefaultK}""".stripMargin),
+    "ann_pq_search" -> pqSearchOracle,
+    // exact top-k LEFT JOIN pq top-k, hit-counted per query — both
+    // sides are the already-verified oracles above wrapped as subqueries
+    "ann_recall_pq" -> (
+      "WITH ex AS (SELECT query_id, neighbor_id FROM (" +
+        bruteforceOracle + ")),\n" +
+        "pq AS (SELECT query_id, neighbor_id FROM (" + pqSearchOracle +
+        "))\n" +
+        """SELECT ex.query_id,
+          |  sum(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    ::BIGINT AS n_hits,
+          |  ((sum(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    ::BIGINT * 100) // count(*))::BIGINT AS recall_x100
+          |FROM ex LEFT JOIN pq
+          |  ON pq.query_id = ex.query_id
+          |  AND pq.neighbor_id = ex.neighbor_id
+          |GROUP BY ex.query_id""".stripMargin),
     // stage 1 = the same ADC CTEs shortlisting top-RefineShortlist;
     // stage 2 re-ranks only those by exact cosine (list_cosine_similarity
     // vs the Spark unit-dot, the proven ann_bruteforce equivalence)
