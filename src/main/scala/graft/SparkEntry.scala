@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.DedupQueries.queries ++
       graft.queries.OpsQueries.queries ++
       graft.queries.StreamQueries.queries ++
+      graft.queries.FormatQueries.queries ++
       graft.ops.TemporalJoins.queries ++
       graft.ops.PipelineOps.queries ++
       graft.ops.Sketches.queries ++
@@ -36,6 +37,7 @@ object SparkEntry {
       graft.queries.DedupQueries.oracles ++
       graft.queries.OpsQueries.oracles ++
       graft.queries.StreamQueries.oracles ++
+      graft.queries.FormatQueries.oracles ++
       graft.ops.TemporalJoins.oracles ++
       graft.ops.PipelineOps.oracles ++
       graft.ops.Sketches.oracles ++

@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink format fidelity — oracle-checked round trips.
+  *
+  * The reference's IO surface is plain text in (1 KB chunks,
+  * `apps/wordcount/wc_main.cpp:27-43`) and raw key‖value bytes out
+  * (`TeraOutputFormat`, `apps/terasort/TeraOutputFormat.scala:31-60`);
+  * this engine already covers both (WordCount, FixedRecordSource). A
+  * Spark-native engine additionally owes its users the standard
+  * columnar/row interchange formats, and a sink is only DONE when a
+  * read-back through it is provably lossless. Each query here writes a
+  * driver table through one built-in format into a scratch directory,
+  * reads it back through the same format, and aggregates the read-back
+  * frame — while the DuckDB oracle computes the identical aggregate
+  * straight from the original parquet. The driver's hash gate therefore
+  * proves end-to-end VALUE fidelity through the format (quoting/escaping
+  * for CSV, string escaping + null omission for JSON lines, the ORC
+  * writer/reader pair, and partition-directory encoding for the
+  * partitioned parquet sink) — not just "rows came back".
+  *
+  * Scale note: the write is one wide scan + format encode (no shuffle),
+  * the read-back aggregate is the same partial-agg-then-shuffle plan as
+  * the direct query; at 100 TB these formats are the interchange points
+  * with ingest (CSV/JSON landing zones) and downstream consumers (ORC/
+  * parquet lakes), so the fidelity proof is exactly what a pipeline
+  * migration needs. The scratch dir is deterministic per query and
+  * written with mode=overwrite: repeated runs (bench median-of-3)
+  * reuse it instead of leaking temp dirs.
+  */
+object FormatQueries {
+
+  private def money(c: org.apache.spark.sql.Column) = round(c, 2)
+
+  /** Deterministic scratch dir under java.io.tmpdir; mode=overwrite
+    * keeps reruns from accumulating copies.
+    */
+  private def scratch(tag: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_fmt_$tag")
+      .getAbsolutePath
+
+  /** lineitem → CSV → read back (explicit schema, header) → q1-style
+    * aggregate. CSV is the hostile format: doubles must survive
+    * shortest-round-trip text, timestamps the default ISO rendering,
+    * and flags the quoting path.
+    */
+  def csvRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    val dir = scratch("csv_lineitem")
+    li.write.mode("overwrite").option("header", "true").csv(dir)
+    s.read.schema(li.schema).option("header", "true").csv(dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        money(sum(col("l_quantity"))).as("sum_qty"),
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("max_ship"))
+  }
+
+  /** events → JSON lines → read back → per-type aggregate. The `props`
+    * column is itself a JSON document stored in a string field, so the
+    * writer must escape it and the reader unescape it exactly; the
+    * get_json_object probe after the round trip fails the hash if either
+    * side mangled a quote. Timestamps ride the default ISO-8601 form.
+    */
+  def jsonRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.Tables.events(s, d)
+    val dir = scratch("json_events")
+    ev.write.mode("overwrite").json(dir)
+    s.read.schema(ev.schema).json(dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        money(sum(col("value"))).as("sum_value"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"))
+  }
+
+  /** orders → ORC → read back → status/priority rollup. ORC is the
+    * second columnar lake format next to parquet; the round trip proves
+    * the writer/reader pair preserves int64/double/timestamp/string
+    * columns bit-exactly.
+    */
+  def orcRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+    val dir = scratch("orc_orders")
+    o.write.mode("overwrite").orc(dir)
+    s.read.schema(o.schema).orc(dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        money(sum(col("o_totalprice"))).as("total"),
+        sum(col("o_orderkey")).as("sum_okey"))
+  }
+
+  /** orders → parquet partitioned by o_orderstatus → read back with a
+    * partition filter → aggregate. This is the layout a 100 TB lake
+    * actually uses: the filter must prune to the single status directory
+    * (PartitionFilters in `.explain`, `PartitionedSinkSpec` asserts the
+    * directory layout), and the values must survive the move of the
+    * partition column out of the data files into directory names —
+    * including its round trip through the path-encoded string form.
+    */
+  def partitionedPrune(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+    val dir = scratch("part_orders")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("o_orderstatus") === lit("F"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        money(sum(col("o_totalprice"))).as("total"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss")
+          .as("max_date"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_csv_roundtrip" -> (csvRoundTrip _),
+    "fmt_json_roundtrip" -> (jsonRoundTrip _),
+    "fmt_orc_roundtrip" -> (orcRoundTrip _),
+    "fmt_partitioned_prune" -> (partitionedPrune _)
+  )
+
+  /** Every oracle reads the ORIGINAL parquet table — a format round trip
+    * is correct iff it is invisible to the aggregate.
+    */
+  val oracles: Map[String, String] = Map(
+    "fmt_csv_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  sum(l_orderkey)::BIGINT AS sum_okey,
+        |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS max_ship
+        |FROM lineitem
+        |GROUP BY 1, 2""".stripMargin,
+    "fmt_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  sum((json_extract_string(props, '$.k'))::BIGINT)::BIGINT AS sum_k,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+    "fmt_orc_roundtrip" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  sum(o_orderkey)::BIGINT AS sum_okey
+        |FROM orders
+        |GROUP BY 1, 2""".stripMargin,
+    "fmt_partitioned_prune" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+        |FROM orders
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin
+  )
+}
