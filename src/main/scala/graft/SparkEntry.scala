@@ -26,7 +26,8 @@ object SparkEntry {
       graft.ops.TemporalJoins.queries ++
       graft.ops.PipelineOps.queries ++
       graft.ops.Sketches.queries ++
-      graft.ops.GraphOps.queries
+      graft.ops.GraphOps.queries ++
+      graft.ops.Warehouse.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.ops.TemporalJoins.oracles ++
       graft.ops.PipelineOps.oracles ++
       graft.ops.Sketches.oracles ++
-      graft.ops.GraphOps.oracles
+      graft.ops.GraphOps.oracles ++
+      graft.ops.Warehouse.oracles
 }

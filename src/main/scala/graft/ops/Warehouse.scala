@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Warehouse-maintenance operators: the dimension/CDC machinery a
+  * 100 TB lake runs nightly next to the training-data pipeline. The
+  * reference's contract covers them implicitly (they are map → group →
+  * reduce shapes, `src/panda/PandaMapReduceJob.cpp:885-955`), but a
+  * user migrating a production pipeline needs them as first-class
+  * operators:
+  *
+  *  - SCD2 dimension build ([[scd2OrderStatus]]): fold an ordered
+  *    change history into validity intervals — two window passes over
+  *    ONE partitioning (a single shuffle by the dimension key).
+  *  - CDC MERGE apply ([[cdcApply]]): upsert + delete a change batch
+  *    into a snapshot — the copy-on-write MERGE INTO kernel, one
+  *    key-equi join (broadcast when the change batch is small, which
+  *    in production it almost always is).
+  *
+  * Both are deterministic over the driver tables (the change batch is
+  * derived from key residues, so the DuckDB oracle replays it exactly)
+  * and hash-checked end-to-end.
+  */
+object Warehouse {
+
+  private val Ts = "yyyy-MM-dd HH:mm:ss"
+
+  /** SCD2 (slowly-changing-dimension type 2) build: per customer, the
+    * o_orderstatus history ordered by (o_orderdate, o_orderkey),
+    * consecutive duplicates collapsed, each surviving change emitted as
+    * a versioned row with [valid_from, valid_to) — valid_to of the
+    * current version is the open-ended 9999-12-31 sentinel.
+    *
+    * Scale shape: lag() to find change points and lead()+row_number()
+    * to close the intervals share the SAME (o_custkey, o_orderdate,
+    * o_orderkey) window ordering, so Catalyst plans ONE shuffle and one
+    * sort for the whole build; state per key is the history length,
+    * never the table.
+    */
+  def scd2OrderStatus(s: SparkSession, dir: String): DataFrame =
+    scd2(Tables.orders(s, dir))
+
+  def scd2(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = orders
+      .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(w))
+      .filter(col("prev_status").isNull ||
+        col("prev_status") =!= col("o_orderstatus"))
+    changes
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", date_format(col("o_orderdate"), Ts))
+      .withColumn("valid_to",
+        coalesce(date_format(lead(col("o_orderdate"), 1).over(w), Ts),
+          lit("9999-12-31 00:00:00")))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderstatus").as("status"),
+        col("valid_from"), col("valid_to"))
+  }
+
+  /** The deterministic change batch both engines derive from key
+    * residues: keys ≡ 0..2 (mod 10) are updates (price bumped 100),
+    * keys ≡ 3 (mod 10) are deletes. In production this frame is the
+    * CDC feed (Debezium/binlog); deriving it from the snapshot keeps
+    * the operator oracle-replayable without a second test table.
+    */
+  private def changeBatch(orders: DataFrame): DataFrame =
+    orders
+      .filter(col("o_orderkey") % 10 <= lit(3))
+      .select(col("o_orderkey"),
+        when(col("o_orderkey") % 10 === lit(3), lit("D"))
+          .otherwise(lit("U")).as("op"),
+        (col("o_totalprice") + lit(100.0)).as("new_price"))
+
+  /** CDC MERGE apply: the upsert/delete kernel of `MERGE INTO` on a
+    * copy-on-write lake. One left equi-join of the snapshot against the
+    * change batch on the primary key; matched 'D' rows drop, matched
+    * 'U' rows take the new values, unmatched rows pass through. At
+    * production change-batch sizes (≪ snapshot) the join broadcasts;
+    * AQE picks that up from runtime stats. (The union + latest-wins
+    * row_number() form computes the same result but shuffles BOTH
+    * inputs; the join form ships only the batch.)
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+    cdcMerge(base, changeBatch(base))
+  }
+
+  def cdcMerge(base: DataFrame, changes: DataFrame): DataFrame =
+    base.join(changes, Seq("o_orderkey"), "left_outer")
+      .filter(col("op").isNull || col("op") =!= lit("D"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(when(col("op") === lit("U"), col("new_price"))
+          .otherwise(col("o_totalprice")), 2).as("o_totalprice"),
+        col("o_orderpriority"),
+        date_format(col("o_orderdate"), Ts).as("o_orderdate"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wh_scd2" -> (scd2OrderStatus _),
+    "wh_cdc_apply" -> (cdcApply _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "wh_scd2" ->
+      """WITH h AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER w AS prev_status
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |c AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+        |  FROM h
+        |  WHERE prev_status IS NULL OR prev_status <> o_orderstatus)
+        |SELECT o_custkey,
+        |  row_number() OVER w AS version,
+        |  o_orderstatus AS status,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  coalesce(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d %H:%M:%S'),
+        |    '9999-12-31 00:00:00') AS valid_to
+        |FROM c
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "wh_cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice + 100.0 AS new_price
+        |  FROM orders
+        |  WHERE o_orderkey % 10 <= 3)
+        |SELECT b.o_orderkey, b.o_orderstatus,
+        |  round(CASE WHEN ch.op = 'U' THEN ch.new_price
+        |             ELSE b.o_totalprice END, 2) AS o_totalprice,
+        |  b.o_orderpriority,
+        |  strftime(b.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+        |FROM orders b LEFT JOIN ch ON ch.o_orderkey = b.o_orderkey
+        |WHERE ch.op IS NULL OR ch.op <> 'D'""".stripMargin
+  )
+}
