@@ -20,7 +20,8 @@ object StreamQueries {
     "stream_kmv" -> (EventStreams.kmvDistinctStream _),
     "stream_hll" -> (EventStreams.hllDistinctStream _),
     "stream_quantile" -> (EventStreams.quantileSketchStream _),
-    "stream_gopher_rules" -> (EventStreams.gopherRulesStream _)
+    "stream_gopher_rules" -> (EventStreams.gopherRulesStream _),
+    "stream_cdc_apply" -> (graft.streaming.ChangelogStream.cdcApplyStream _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -60,6 +61,8 @@ object StreamQueries {
     // same oracle as batch text_gopher_rules — stateless gate equivalence
     "stream_gopher_rules" ->
       graft.queries.TextQueries.oracles("text_gopher_rules"),
+    // same oracle as batch wh_cdc_apply — stream/batch MERGE equivalence
+    "stream_cdc_apply" -> graft.ops.Warehouse.oracles("wh_cdc_apply"),
     // same oracle as batch dedup_exact — arrival-order-independent keeper
     "stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
