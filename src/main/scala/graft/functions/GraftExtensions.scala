@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorSqDist(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("hll_regs"),
+      new ExpressionInfo(classOf[HllRegsAgg].getName, "hll_regs"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllRegsAgg(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("no_pushdown"),
       new ExpressionInfo(classOf[PushdownBarrier].getName, "no_pushdown"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

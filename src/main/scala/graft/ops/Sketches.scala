@@ -278,9 +278,21 @@ object Sketches {
     */
   def hllFinalize(reg: DataFrame, exact: DataFrame): DataFrame = {
     val maxRho = HllRemBits + 1
-    reg.groupBy("source")
-      .agg(count(lit(1)).as("m_used"),
-        sum(expr(s"shiftleft(cast(1 as bigint), $maxRho - r)")).as("s_used"))
+    hllEstimate(
+      reg.groupBy("source")
+        .agg(count(lit(1)).as("m_used"),
+          sum(expr(s"shiftleft(cast(1 as bigint), $maxRho - r)")).as("s_used")),
+      exact)
+  }
+
+  /** Shared estimate/correction/report tail over a (source, m_used,
+    * s_used) frame — both register representations (row-per-touched-
+    * bucket and native array) funnel through here so the constants and
+    * the [[HllLcTable]] literals can't drift between paths.
+    */
+  private def hllEstimate(folded: DataFrame, exact: DataFrame): DataFrame = {
+    val maxRho = HllRemBits + 1
+    folded
       .withColumn("hll_est", expr(
         s"$HllNumerator div " +
           s"(s_used + ($HllBuckets - m_used) * ${1L << maxRho})"))
@@ -295,6 +307,21 @@ object Sketches {
         expr("abs(hll_est - n_exact) * 100 div n_exact").as("err_pct"))
   }
 
+  /** Finalize from the NATIVE register array ([[graft.functions
+    * .HllRegsAgg]]): m_used/s_used fold over the 64-slot array instead
+    * of grouped rows, then the shared estimate tail.
+    */
+  def hllFinalizeArray(reg: DataFrame, exact: DataFrame): DataFrame = {
+    val maxRho = HllRemBits + 1
+    hllEstimate(
+      reg.select(col("source"),
+        expr("size(filter(reg, r -> r > 0))").cast("long").as("m_used"),
+        expr(s"aggregate(filter(reg, r -> r > 0), cast(0 as bigint), " +
+          s"(a, r) -> a + shiftleft(cast(1 as bigint), $maxRho - r))")
+          .as("s_used")),
+      exact)
+  }
+
   def hllDistinct(docs: DataFrame): DataFrame = {
     val d = OpUtil.spread(docs)
       .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
@@ -303,6 +330,25 @@ object Sketches {
     val exact = d.select(col("source"), col("tok")).distinct()
       .groupBy("source").agg(count(lit(1)).as("n_exact"))
     hllFinalize(hllRegisters(d), exact)
+  }
+
+  /** [[hllDistinct]] with the registers built by the native
+    * [[graft.functions.HllRegsAgg]] aggregate in ONE pass: 64 bytes of
+    * map-side state per (partition, source) replace the intermediate
+    * (source, bucket) shuffle of the composed path. Same h48 input and
+    * rho definition → identical registers → same DuckDB oracle.
+    */
+  def hllDistinctNative(docs: DataFrame): DataFrame = {
+    val d = OpUtil.spread(docs)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .cache()
+    val exact = d.select(col("source"), col("tok")).distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val reg = d.select(col("source"), h48(col("tok")).as("h"))
+      .groupBy("source")
+      .agg(graft.functions.HllRegsAgg.hll_regs(col("h")).as("reg"))
+    hllFinalizeArray(reg, exact)
   }
 
   /** Cross-source overlap estimation from MERGED sketches (the theta-
@@ -445,6 +491,8 @@ object Sketches {
       kmvDistinct(Tables.documents(s, d))),
     "sketch_hll" -> ((s: SparkSession, d: String) =>
       hllDistinct(Tables.documents(s, d))),
+    "sketch_hll_native" -> ((s: SparkSession, d: String) =>
+      hllDistinctNative(Tables.documents(s, d))),
     "sketch_countmin" -> ((s: SparkSession, d: String) =>
       countMinTopTokens(Tables.documents(s, d))),
     "sketch_bloom_join" -> ((s: SparkSession, d: String) =>
@@ -485,6 +533,24 @@ object Sketches {
        |    THEN [${HllLcTable.mkString(", ")}]
        |      [($HllBuckets - $est.m_used)::INT]
        |    ELSE $est.hll_est END)::BIGINT""".stripMargin
+
+  /** Shared by sketch_hll and sketch_hll_native — both register paths
+    * produce identical registers, so one oracle checks both.
+    */
+  private val hllOracle: String =
+    (s"""WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |d0 AS (SELECT DISTINCT source, tok FROM toks WHERE length(tok) > 0),
+        |d AS (SELECT source, ${sqlH48("tok")} AS h FROM d0),
+        |""".stripMargin + sqlHllEstCtes +
+      s""",
+         |ex AS (
+         |  SELECT source, count(*)::BIGINT AS n_exact FROM d0 GROUP BY source)
+         |SELECT ex.source, ex.n_exact, est.m_used, est.hll_est,
+         |  ${sqlHllLc("est")} AS hll_lc,
+         |  abs(est.hll_est - ex.n_exact) * 100 // ex.n_exact AS err_pct
+         |FROM ex JOIN est ON ex.source = est.source""".stripMargin)
 
   val oracles: Map[String, String] = Map(
     // union k-min per pair + membership flags; all-integer estimates
@@ -622,20 +688,10 @@ object Sketches {
          |FROM est JOIN ex ON est.q = ex.q CROSS JOIN tot""".stripMargin,
     // same bucket/rho decomposition replayed on bin() string length;
     // all shifts and divides integer, same literal constants
-    "sketch_hll" ->
-      (s"""WITH toks AS (
-          |  SELECT source, unnest(string_split(text, ' ')) AS tok
-          |  FROM documents),
-          |d0 AS (SELECT DISTINCT source, tok FROM toks WHERE length(tok) > 0),
-          |d AS (SELECT source, ${sqlH48("tok")} AS h FROM d0),
-          |""".stripMargin + sqlHllEstCtes +
-        s""",
-           |ex AS (
-           |  SELECT source, count(*)::BIGINT AS n_exact FROM d0 GROUP BY source)
-           |SELECT ex.source, ex.n_exact, est.m_used, est.hll_est,
-           |  ${sqlHllLc("est")} AS hll_lc,
-           |  abs(est.hll_est - ex.n_exact) * 100 // ex.n_exact AS err_pct
-           |FROM ex JOIN est ON ex.source = est.source""".stripMargin),
+    "sketch_hll" -> hllOracle,
+    // the native-aggregate path builds IDENTICAL registers (same h48
+    // input, same rho), so the same oracle checks it
+    "sketch_hll_native" -> hllOracle,
     "sketch_countmin" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
