@@ -19,6 +19,7 @@ object StreamQueries {
     "stream_interval_join" -> (EventStreams.clickPurchaseJoin _),
     "stream_kmv" -> (EventStreams.kmvDistinctStream _),
     "stream_hll" -> (EventStreams.hllDistinctStream _),
+    "stream_hll_native" -> (EventStreams.hllDistinctStreamNative _),
     "stream_quantile" -> (EventStreams.quantileSketchStream _),
     "stream_gopher_rules" -> (EventStreams.gopherRulesStream _),
     "stream_cdc_apply" -> (graft.streaming.ChangelogStream.cdcApplyStream _)
@@ -56,6 +57,9 @@ object StreamQueries {
     "stream_kmv" -> graft.ops.Sketches.oracles("sketch_kmv"),
     // same oracle as batch sketch_hll — stream/batch register equivalence
     "stream_hll" -> graft.ops.Sketches.oracles("sketch_hll"),
+    // native TypedImperativeAggregate under streaming state — registers
+    // identical to every other HLL path, same oracle
+    "stream_hll_native" -> graft.ops.Sketches.oracles("sketch_hll"),
     // same oracle as batch sketch_quantile — bucket-count equivalence
     "stream_quantile" -> graft.ops.Sketches.oracles("sketch_quantile"),
     // same oracle as batch text_gopher_rules — stateless gate equivalence

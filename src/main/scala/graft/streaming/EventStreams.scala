@@ -336,6 +336,41 @@ object EventStreams {
     Sketches.hllFinalize(reg, exact)
   }
 
+  /** [[hllDistinctStream]] with the registers built by the native
+    * [[graft.functions.HllRegsAgg]] aggregate AS the streaming
+    * aggregation — the custom `TypedImperativeAggregate` carries its
+    * 64-byte buffer in the state store across micro-batches, proving
+    * the extension point works under Structured Streaming, not just
+    * batch. State: one 64-byte sketch per source, however long the
+    * stream runs (vs the composed path's sources x buckets max-rows).
+    * Registers are identical to every other HLL path → same oracle.
+    */
+  def hllDistinctStreamNative(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val reg = runToMemorySink(s,
+      s.readStream
+        .schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("source"), Sketches.h48(col("tok")).as("h"))
+        .groupBy("source")
+        .agg(graft.functions.HllRegsAgg.hll_regs(col("h")).as("reg")),
+      OutputMode.Complete).localCheckpoint(eager = true)
+    val exact = graft.Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("source").agg(count_distinct(col("tok")).as("n_exact"))
+    Sketches.hllFinalizeArray(reg, exact)
+  }
+
   /** Streaming quantile sketch: the bucket build
     * ([[graft.ops.Sketches.quantileBuckets]]) runs AS the streaming
     * aggregation — bounded 16 x 64 bucket states however long the order

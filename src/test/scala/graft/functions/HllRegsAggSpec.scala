@@ -41,6 +41,31 @@ class HllRegsAggSpec extends SparkSpec {
     assert(viaSql.count() > 0)
   }
 
+  test("streaming state carries the sketch buffer across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val data = toks.select(col("source"), Sketches.h48(col("tok")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val (first, second) = data.splitAt(data.length / 2)
+    val mem = MemoryStream[(String, Long)]
+    val q = mem.toDF().toDF("source", "h")
+      .groupBy("source").agg(HllRegsAgg.hll_regs(col("h")).as("reg"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("hll_native_sink").start()
+    try {
+      mem.addData(first.toSeq: _*); q.processAllAvailable()
+      mem.addData(second.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_native_sink")
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val batch = toks.select(col("source"), Sketches.h48(col("tok")).as("h"))
+      .groupBy("source").agg(HllRegsAgg.hll_regs(col("h")).as("reg"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(streamed == batch)
+  }
+
   test("update handles nulls and the all-zero remainder") {
     import spark.implicits._
     // h = bucket 63, remainder 0 → rho must be MaxRho = 43
