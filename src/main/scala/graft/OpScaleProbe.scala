@@ -135,6 +135,20 @@ object OpScaleProbe {
       timed(s"dedup_clusters x$k") {
         Dedup.clustersFromPairs(spark, Dedup.prefixJaccardDocs(scaledDocs(k)))
       }
+      // register-build paths only (the exact-NDV reference would dominate
+      // and is identical for both): composed two-level groupBy vs the
+      // native one-pass TypedImperativeAggregate — token NDV grows ~k
+      // because scaled copies rewrite tokens with a copy prefix
+      def hllToks = graft.ops.OpUtil.spread(scaledDocs(k))
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+        .filter(length(col("tok")) > 0)
+      timed(s"hll_composed x$k") { graft.ops.Sketches.hllRegisters(hllToks) }
+      timed(s"hll_native x$k") {
+        hllToks
+          .select(col("source"), graft.ops.Sketches.h48(col("tok")).as("h"))
+          .groupBy("source")
+          .agg(graft.functions.HllRegsAgg.hll_regs(col("h")).as("reg"))
+      }
     }
     spark.stop()
   }

@@ -22,11 +22,23 @@ import org.apache.spark.sql.types._
   *
   * Why it exists next to the SQL composition: ONE aggregation pass with
   * 64 bytes of state per group replaces the two-level
-  * groupBy(source, bucket).max + groupBy(source) plan — no intermediate
-  * (source, bucket) shuffle, and the map side partial-aggregates a
-  * whole partition's tokens into 64 bytes before anything moves. At
-  * 100 TB that is the difference between shuffling O(sources x 64)
-  * sketch rows and O(sources x touched-buckets) register rows.
+  * groupBy(source, bucket).max + groupBy(source) plan, and the buffer
+  * rides the streaming state store (stream_hll_native) — the right tool
+  * when group counts explode or the sketch must live across
+  * micro-batches.
+  *
+  * MEASURED crossover (OpScaleProbe, local[32]): the native pass wins
+  * at 0.5M-5M tokens (0.5 s vs 1.0 s at x1, 1.6 s vs 2.5 s at x10) but
+  * LOSES at 50M (45.5 s vs 10.4 s): TypedImperativeAggregate plans as
+  * ObjectHashAggregate, whose per-row update is interpreted (~0.7 us/
+  * row here — child.eval boxing, no whole-stage codegen), while the
+  * composed path's primitive max stays fully codegen'd. With tiny
+  * group counts the intermediate (source, bucket) rows the native path
+  * saves were never the cost. So the BULK 100 TB register build should
+  * use the composed codegen'd plan ([[graft.ops.Sketches.hllRegisters]]);
+  * this aggregate is for high-cardinality groups, streaming state, and
+  * SQL ergonomics — the engine lesson "stay inside codegen on the hot
+  * path" applied to our own extension.
   */
 case class HllRegsAgg(
     child: Expression,
