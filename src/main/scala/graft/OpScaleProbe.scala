@@ -86,7 +86,17 @@ object OpScaleProbe {
             .otherwise(col("props")).as("props"))
       }.reduce(_ unionByName _)
 
+    // SCALE_OPS=csv prefixes: probe only matching operators (isolation —
+    // a 200 s dedup sweep right before a small op bleeds GC into its
+    // number; the r7 hll_native x100 first measured 45.5 s after the
+    // dedup block and 7.2 s in a cleaner run)
+    val onlyOps = sys.env.get("SCALE_OPS")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    def wanted(name: String): Boolean =
+      onlyOps.isEmpty || onlyOps.exists(name.startsWith)
+
     def timed(name: String)(df: => DataFrame): Double = {
+      if (!wanted(name)) return 0.0
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
@@ -148,6 +158,26 @@ object OpScaleProbe {
           .select(col("source"), graft.ops.Sketches.h48(col("tok")).as("h"))
           .groupBy("source")
           .agg(graft.functions.HllRegsAgg.hll_regs(col("h")).as("reg"))
+      }
+      // same codegen-vs-object-agg question for the KMV family: the
+      // udaf(Aggregator) path (Vector insert + encoder per row) vs the
+      // window row_number shape the oracle uses (sort shuffle, codegen)
+      def kmvIn = hllToks
+        .select(col("source"), graft.ops.Sketches.h48(col("tok")).as("h"))
+        .distinct()
+      timed(s"kmv_udaf x$k") {
+        import org.apache.spark.sql.functions.udaf
+        val kmv = udaf(new graft.ops.Sketches.KMinValues(
+          graft.ops.Sketches.KmvK))
+        kmvIn.groupBy("source").agg(kmv(col("h")).as("mins"))
+      }
+      timed(s"kmv_window x$k") {
+        import org.apache.spark.sql.expressions.Window
+        kmvIn
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("source").orderBy("h")))
+          .filter(col("rn") <= graft.ops.Sketches.KmvK)
+          .groupBy("source").agg(sort_array(collect_list(col("h"))).as("mins"))
       }
     }
     spark.stop()

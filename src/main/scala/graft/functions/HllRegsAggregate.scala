@@ -27,18 +27,21 @@ import org.apache.spark.sql.types._
   * when group counts explode or the sketch must live across
   * micro-batches.
   *
-  * MEASURED crossover (OpScaleProbe, local[32]): the native pass wins
-  * at 0.5M-5M tokens (0.5 s vs 1.0 s at x1, 1.6 s vs 2.5 s at x10) but
-  * LOSES at 50M (45.5 s vs 10.4 s): TypedImperativeAggregate plans as
-  * ObjectHashAggregate, whose per-row update is interpreted (~0.7 us/
-  * row here — child.eval boxing, no whole-stage codegen), while the
-  * composed path's primitive max stays fully codegen'd. With tiny
-  * group counts the intermediate (source, bucket) rows the native path
-  * saves were never the cost. So the BULK 100 TB register build should
-  * use the composed codegen'd plan ([[graft.ops.Sketches.hllRegisters]]);
-  * this aggregate is for high-cardinality groups, streaming state, and
-  * SQL ergonomics — the engine lesson "stay inside codegen on the hot
-  * path" applied to our own extension.
+  * MEASURED (OpScaleProbe, local[32], repeated isolated runs): the
+  * native pass is faster at every probed scale — 0.5 s vs 1.0 s at x1,
+  * 1.4-1.6 s vs 2.0-2.5 s at x10, and 7.2-15.0 s vs 7.4-18.4 s at x100
+  * (50M tokens; run-order noise dominates there, both paths are bounded
+  * by the shared token-explode + md5 projection, not the aggregate).
+  * One caveat stands: TypedImperativeAggregate plans as
+  * ObjectHashAggregate, whose per-row update is interpreted (child.eval
+  * boxing, outside whole-stage codegen) — with 20 groups that overhead
+  * is masked by the projection, but a workload whose per-row cost is
+  * dominated by the aggregate itself (cheap input expressions, very
+  * wide rows) should prefer the codegen'd composed plan
+  * ([[graft.ops.Sketches.hllRegisters]]). A first x100 measurement of
+  * 45.5 s was a GC artifact of running directly after a 214 s dedup
+  * sweep in the same JVM; the probe's SCALE_OPS isolation knob exists
+  * because of it.
   */
 case class HllRegsAgg(
     child: Expression,
