@@ -55,4 +55,33 @@ class FormatsSpec extends SparkSpec {
       assert(fromText.nonEmpty)
     } finally graft.tera.TeraIO.delete(spark, dir)
   }
+
+  test("malformed csv rows degrade to nulls or drop, never task failures") {
+    val dir = tmp()
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "part-0.csv"),
+        ("1,alpha,10.5\n" +
+          "not_a_long,beta,2.5\n" +    // bad long
+          "3,gamma,not_a_double\n" +   // bad double
+          "4,delta,4.25\n").getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType)))
+      // PERMISSIVE (default): malformed cells null out, rows survive
+      val permissive = spark.read.schema(schema).csv(dir).collect()
+      assert(permissive.length == 4)
+      assert(permissive.count(r => r.isNullAt(0)) == 1)
+      assert(permissive.count(r => r.isNullAt(2)) == 1)
+      // DROPMALFORMED: bad rows vanish, good rows keep exact values
+      val dropped = spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED").csv(dir)
+        .collect().map(r => r.getLong(0)).sorted.toSeq
+      assert(dropped == Seq(1L, 4L))
+    } finally graft.tera.TeraIO.delete(spark, dir)
+  }
 }

@@ -54,6 +54,38 @@ class ChangelogStreamSpec extends SparkSpec {
     assert(!snap.contains(3L))
   }
 
+  test("fold is invariant under every arrival permutation of a key's ops") {
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // 3 ops for one key: insert, price update, priority-preserving
+    // second update (higher version wins on price)
+    val ops = Seq(
+      (7L, 0, "I", "O", 10.0, "1-URGENT", ts(1)),
+      (7L, 1, "U", "O", 50.0, "1-URGENT", ts(1)),
+      (7L, 2, "U", "O", 90.0, "1-URGENT", ts(1)))
+    val results = ops.permutations.map { perm =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val mem = MemoryStream[(Long, Int, String, String, Double, String,
+        java.sql.Timestamp)]
+      val in = mem.toDF()
+        .toDF("key", "version", "op", "status", "price", "priority", "odate")
+      val name = s"cdc_perm_${perm.map(_._2).mkString}"
+      val q = ChangelogStream.materialize(in)
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try {
+        // one op per micro-batch, in permutation order
+        perm.foreach { o => mem.addData(o); q.processAllAvailable() }
+      } finally q.stop()
+      ChangelogStream.finalizeSnapshot(spark.table(name))
+        .collect().map(_.toSeq).toSeq
+    }.toSeq
+    assert(results.distinct.size == 1,
+      s"permutation-dependent snapshots: ${results.distinct}")
+    assert(results.head.head(2) == 90.0) // highest version's price won
+  }
+
   test("streaming snapshot equals the batch MERGE on the driver table") {
     val stream = ChangelogStream.cdcApplyStream(spark, sfDir)
       .orderBy("o_orderkey").collect().map(_.toSeq).toSeq
