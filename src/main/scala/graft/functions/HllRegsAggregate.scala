@@ -50,8 +50,11 @@ case class HllRegsAgg(
   extends TypedImperativeAggregate[Array[Byte]]
   with ExpectsInputTypes with UnaryLike[Expression] {
 
-  private val Buckets = 64  // = Sketches.HllBuckets (2^6 registers)
-  private val RemBits = 42  // = Sketches.HllRemBits (48-bit hash - 6)
+  // the ONE source of truth for the register geometry — a retune of
+  // Sketches.HllBuckets/HllRemBits follows into this aggregate at
+  // compile time instead of silently diverging the two register paths
+  private val Buckets = graft.ops.Sketches.HllBuckets
+  private val RemBits = graft.ops.Sketches.HllRemBits
   private val MaxRho = RemBits + 1
 
   override def inputTypes: Seq[DataType] = Seq(LongType)

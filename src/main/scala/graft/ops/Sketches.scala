@@ -322,13 +322,21 @@ object Sketches {
       exact)
   }
 
-  def hllDistinct(docs: DataFrame): DataFrame = {
+  /** Shared prep for both HLL queries: the cached token stream and the
+    * exact per-source NDV reference that both register paths fold.
+    */
+  private def hllPrep(docs: DataFrame): (DataFrame, DataFrame) = {
     val d = OpUtil.spread(docs)
       .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
       .filter(length(col("tok")) > 0)
       .cache() // register build and the exact reference both fold this
     val exact = d.select(col("source"), col("tok")).distinct()
       .groupBy("source").agg(count(lit(1)).as("n_exact"))
+    (d, exact)
+  }
+
+  def hllDistinct(docs: DataFrame): DataFrame = {
+    val (d, exact) = hllPrep(docs)
     hllFinalize(hllRegisters(d), exact)
   }
 
@@ -339,12 +347,7 @@ object Sketches {
     * rho definition → identical registers → same DuckDB oracle.
     */
   def hllDistinctNative(docs: DataFrame): DataFrame = {
-    val d = OpUtil.spread(docs)
-      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .cache()
-    val exact = d.select(col("source"), col("tok")).distinct()
-      .groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val (d, exact) = hllPrep(docs)
     val reg = d.select(col("source"), h48(col("tok")).as("h"))
       .groupBy("source")
       .agg(graft.functions.HllRegsAgg.hll_regs(col("h")).as("reg"))

@@ -26,20 +26,32 @@ import org.apache.spark.sql.functions._
   * the direct query; at 100 TB these formats are the interchange points
   * with ingest (CSV/JSON landing zones) and downstream consumers (ORC/
   * parquet lakes), so the fidelity proof is exactly what a pipeline
-  * migration needs. The scratch dir is deterministic per query and
-  * written with mode=overwrite: repeated runs (bench median-of-3)
-  * reuse it instead of leaking temp dirs.
+  * migration needs. Scratch dirs are scoped per JVM (and removed by a
+  * shutdown hook): repeated runs inside one process (bench median-of-3)
+  * reuse them via mode=overwrite, while concurrent drivers — e.g. a
+  * spec run next to a Verify — can never overwrite each other's files
+  * mid-read or collide across OS users.
   */
 object FormatQueries {
 
   private def money(c: org.apache.spark.sql.Column) = round(c, 2)
 
-  /** Deterministic scratch dir under java.io.tmpdir; mode=overwrite
-    * keeps reruns from accumulating copies.
-    */
+  /** Per-JVM scratch root, deleted on exit. */
+  private lazy val scratchRoot: java.io.File = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_fmt_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(root)
+    }))
+    root
+  }
+
   private def scratch(tag: String): String =
-    new java.io.File(sys.props("java.io.tmpdir"), s"graft_fmt_$tag")
-      .getAbsolutePath
+    new java.io.File(scratchRoot, tag).getAbsolutePath
 
   /** lineitem → CSV → read back (explicit schema, header) → q1-style
     * aggregate. CSV is the hostile format: doubles must survive

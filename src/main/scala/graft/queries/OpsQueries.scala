@@ -14,6 +14,25 @@ import graft.ops.{Multimodal, Similarity, Sketches, TextAnalysis}
   */
 object OpsQueries {
 
+  /** The ONE recall@k report all approximate indexes share: exact top-k
+    * LEFT JOIN index top-k, hits conditional-counted per query — the
+    * same join + count shape as the SQL oracle (one pass over exact, no
+    * semi/outer recombination to diverge from it).
+    */
+  private def recallReport(index: (SparkSession, String) => DataFrame)(
+      s: SparkSession, d: String): DataFrame = {
+    val exact = Similarity.annBruteForce(s, d)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = index(s, d)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("k"))
+      .select(col("query_id"), col("n_hits"),
+        expr("n_hits * 100 div k").as("recall_x100"))
+  }
+
   /** Columns profiled by [[tableStats]] — integer keys and low-NDV flags
     * (DOUBLE/TIMESTAMP columns are excluded on purpose: their min/max
     * string forms are not engine-stable).
@@ -145,50 +164,13 @@ object OpsQueries {
     "ann_ivf_fixed" -> (Similarity.annIvfFixed _),
     "cmeans_fixed_point" -> (Similarity.cmeansFixedPointQuery _),
     "gmm_fixed_point" -> (Similarity.gmmFixedPointQuery _),
-    // index QA in-engine: recall@k of the SRP-LSH index against the
-    // exact top-k, per query — both sides are themselves oracle-replayed,
-    // so even the RECALL REPORT is hash-checked
-    "ann_recall_srp" -> ((s: SparkSession, d: String) => {
-      // same LEFT JOIN + conditional-count shape as the oracle (one
-      // pass over exact, no semi/outer recombination to diverge from it)
-      val exact = Similarity.annBruteForce(s, d)
-        .select(col("query_id"), col("neighbor_id"))
-      val srp = Similarity.annSrpLsh(s, d)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      exact.join(srp, Seq("query_id", "neighbor_id"), "left_outer")
-        .groupBy("query_id")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
-          count(lit(1)).as("k"))
-        .select(col("query_id"), col("n_hits"),
-          expr("n_hits * 100 div k").as("recall_x100"))
-    }),
-    // recall@k of the IVF index, same report shape as ann_recall_srp
-    "ann_recall_ivf" -> ((s: SparkSession, d: String) => {
-      val exact = Similarity.annBruteForce(s, d)
-        .select(col("query_id"), col("neighbor_id"))
-      val ivf = Similarity.annIvfFixed(s, d)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      exact.join(ivf, Seq("query_id", "neighbor_id"), "left_outer")
-        .groupBy("query_id")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
-          count(lit(1)).as("k"))
-        .select(col("query_id"), col("n_hits"),
-          expr("n_hits * 100 div k").as("recall_x100"))
-    }),
-    // recall@k of the PQ/ADC index — completes the recall-report family
-    // (srp, ivf, pq): every approximate index ships its hash-checked QA
-    "ann_recall_pq" -> ((s: SparkSession, d: String) => {
-      val exact = Similarity.annBruteForce(s, d)
-        .select(col("query_id"), col("neighbor_id"))
-      val pq = Similarity.annPqSearch(s, d)
-        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
-      exact.join(pq, Seq("query_id", "neighbor_id"), "left_outer")
-        .groupBy("query_id")
-        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
-          count(lit(1)).as("k"))
-        .select(col("query_id"), col("n_hits"),
-          expr("n_hits * 100 div k").as("recall_x100"))
-    }),
+    // index QA in-engine: recall@k of each approximate index (SRP, IVF,
+    // PQ/ADC) against the exact top-k, per query — both sides are
+    // themselves oracle-replayed, so even the RECALL REPORTS are
+    // hash-checked
+    "ann_recall_srp" -> (recallReport(Similarity.annSrpLsh) _),
+    "ann_recall_ivf" -> (recallReport(Similarity.annIvfFixed) _),
+    "ann_recall_pq" -> (recallReport(Similarity.annPqSearch) _),
     "stats_table" -> (tableStats _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),

@@ -252,22 +252,41 @@ object EventStreams {
     runToMemorySink(s, joined, OutputMode.Append).localCheckpoint(eager = true)
   }
 
+  /** documents schema for streaming reads — ONE definition shared by
+    * every doc-driven stream query so a schema change can't silently
+    * diverge one of them from its oracle.
+    */
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming scan of the documents table (file-source twin of
+    * `Tables.documents`).
+    */
+  private def docStream(s: SparkSession, dir: String): DataFrame =
+    s.readStream
+      .schema(docSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** The shared (source, tok) streaming tokenization — the same split/
+    * filter the batch sketch queries use.
+    */
+  private def docTokenStream(s: SparkSession, dir: String): DataFrame =
+    docStream(s, dir)
+      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+
   /** Streaming exact-dedup as an aggregation: group by content digest,
     * keep min doc_id + copy count (deterministic regardless of arrival
     * order, unlike streaming `dropDuplicates` whose keeper is
     * first-seen). Shares the batch dedup_exact oracle.
     */
   def dedupExact(s: SparkSession, dir: String): DataFrame = {
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val agg = s.readStream
-      .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    val agg = docStream(s, dir)
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
@@ -281,17 +300,7 @@ object EventStreams {
     * Shares the batch text_gopher_rules oracle.
     */
   def gopherRulesStream(s: SparkSession, dir: String): DataFrame = {
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val gated = graft.ops.TextAnalysis.gopherRules(
-      s.readStream
-        .schema(docSchema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir))
+    val gated = graft.ops.TextAnalysis.gopherRules(docStream(s, dir))
     runToMemorySink(s, gated, OutputMode.Append).localCheckpoint(eager = true)
   }
 
@@ -313,27 +322,20 @@ object EventStreams {
     * error-reference column are the same code the batch query uses, so
     * the SAME DuckDB oracle checks stream/batch register equivalence.
     */
-  def hllDistinctStream(s: SparkSession, dir: String): DataFrame = {
-    import graft.ops.Sketches
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val toks = s.readStream
-      .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
-      .filter(length(col("tok")) > 0)
-    val reg = runToMemorySink(s, Sketches.hllRegisters(toks),
-      OutputMode.Complete).localCheckpoint(eager = true)
-    val exact = graft.Tables.documents(s, dir)
+  /** Batch exact per-source token NDV — the error-reference column both
+    * HLL stream twins join against.
+    */
+  private def docExactTokenNdv(s: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy("source").agg(count_distinct(col("tok")).as("n_exact"))
-    Sketches.hllFinalize(reg, exact)
+
+  def hllDistinctStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sketches
+    val reg = runToMemorySink(s, Sketches.hllRegisters(docTokenStream(s, dir)),
+      OutputMode.Complete).localCheckpoint(eager = true)
+    Sketches.hllFinalize(reg, docExactTokenNdv(s, dir))
   }
 
   /** [[hllDistinctStream]] with the registers built by the native
@@ -347,28 +349,13 @@ object EventStreams {
     */
   def hllDistinctStreamNative(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Sketches
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
     val reg = runToMemorySink(s,
-      s.readStream
-        .schema(docSchema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-        .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
-        .filter(length(col("tok")) > 0)
+      docTokenStream(s, dir)
         .select(col("source"), Sketches.h48(col("tok")).as("h"))
         .groupBy("source")
         .agg(graft.functions.HllRegsAgg.hll_regs(col("h")).as("reg")),
       OutputMode.Complete).localCheckpoint(eager = true)
-    val exact = graft.Tables.documents(s, dir)
-      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .groupBy("source").agg(count_distinct(col("tok")).as("n_exact"))
-    Sketches.hllFinalizeArray(reg, exact)
+    Sketches.hllFinalizeArray(reg, docExactTokenNdv(s, dir))
   }
 
   /** Streaming quantile sketch: the bucket build
@@ -394,18 +381,7 @@ object EventStreams {
 
   def kmvDistinctStream(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Sketches
-    val docSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("text", StringType),
-      StructField("lang", StringType),
-      StructField("source", StringType),
-      StructField("n_chars", LongType)))
-    val toks = s.readStream
-      .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-      .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
-      .filter(length(col("tok")) > 0)
+    val toks = docTokenStream(s, dir)
     val kmv = udaf(new Sketches.KMinValues(Sketches.KmvK))
     val sketch = runToMemorySink(s,
       toks.select(col("source"), Sketches.h48(col("tok")).as("h"))
