@@ -95,6 +95,22 @@ object OpScaleProbe {
     def wanted(name: String): Boolean =
       onlyOps.isEmpty || onlyOps.exists(name.startsWith)
 
+    val ordBase = Tables.orders(spark, sfDir)
+    val ordMax = ordBase.agg(max(col("o_orderkey")), max(col("o_custkey"))).head
+    val (okeyStride, ckeyStride) = (ordMax.getLong(0) + 1, ordMax.getLong(1) + 1)
+
+    // disjoint key spaces per copy: customer histories grow in COUNT, not
+    // in length, matching how a real orders table scales
+    def scaledOrders(k: Int): DataFrame =
+      (0 until k).map { i =>
+        if (i == 0) ordBase
+        else ordBase.select(
+          (col("o_orderkey") + lit(i * okeyStride)).as("o_orderkey"),
+          (col("o_custkey") + lit(i * ckeyStride)).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+      }.reduce(_ unionByName _)
+
     def timed(name: String)(df: => DataFrame): Double = {
       if (!wanted(name)) return 0.0
       val t0 = System.nanoTime()
@@ -178,6 +194,18 @@ object OpScaleProbe {
             Window.partitionBy("source").orderBy("h")))
           .filter(col("rn") <= graft.ops.Sketches.KmvK)
           .groupBy("source").agg(sort_array(collect_list(col("h"))).as("mins"))
+      }
+      // warehouse family: SCD2 (one window shuffle, sort-dominated) and
+      // the CDC MERGE join (batch derived in-plan, same residue rule)
+      timed(s"wh_scd2 x$k") { graft.ops.Warehouse.scd2(scaledOrders(k)) }
+      timed(s"wh_cdc x$k") {
+        val base = scaledOrders(k)
+        graft.ops.Warehouse.cdcMerge(base,
+          base.filter(col("o_orderkey") % 10 <= lit(3))
+            .select(col("o_orderkey"),
+              when(col("o_orderkey") % 10 === lit(3), lit("D"))
+                .otherwise(lit("U")).as("op"),
+              (col("o_totalprice") + lit(100.0)).as("new_price")))
       }
     }
     spark.stop()
