@@ -133,11 +133,45 @@ object FormatQueries {
           .as("max_date"))
   }
 
+  /** lineitem → the engine's OWN DataSourceV2 fixed-record connector
+    * (`graft-fixed`, the reference's TeraInputFormat shape) → read back
+    * → aggregate. Rows are rendered to exact 10-byte keys (zero-padded
+    * orderkey) and 90-byte values ('|'-joined flag/status/quantity,
+    * space-padded), so the round trip exercises the connector's record
+    * framing, split alignment, and binary column path under the hash
+    * gate — until now it was spec-only (golden checksums). The DSv2
+    * writer is append-only by design (job-atomic staging + rename), so
+    * the scratch dir is cleared first; double → string → double is
+    * lossless, making the encode invisible to the aggregate.
+    */
+  def fixedRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d).select(
+      lpad(col("l_orderkey").cast("string"), 10, "0").cast("binary").as("key"),
+      rpad(concat_ws("|", col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("string")), 90, " ").cast("binary").as("value"))
+    val dir = scratch("fixed_lineitem")
+    graft.tera.TeraIO.delete(s, dir)
+    li.write.format("graft-fixed")
+      .option("keyLen", "10").option("valueLen", "90")
+      .mode("append").save(dir)
+    s.read.format("graft-fixed")
+      .option("keyLen", "10").option("valueLen", "90").load(dir)
+      .select(col("key").cast("string").cast("long").as("okey"),
+        split(rtrim(col("value").cast("string")), "\\|").as("p"))
+      .select(col("okey"), col("p")(0).as("l_returnflag"),
+        col("p")(1).as("l_linestatus"),
+        col("p")(2).cast("double").as("qty"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(col("okey")).as("sum_okey"),
+        money(sum(col("qty"))).as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_csv_roundtrip" -> (csvRoundTrip _),
     "fmt_json_roundtrip" -> (jsonRoundTrip _),
     "fmt_orc_roundtrip" -> (orcRoundTrip _),
-    "fmt_partitioned_prune" -> (partitionedPrune _)
+    "fmt_partitioned_prune" -> (partitionedPrune _),
+    "fmt_fixed_roundtrip" -> (fixedRoundTrip _)
   )
 
   /** Every oracle reads the ORIGINAL parquet table — a format round trip
@@ -164,6 +198,12 @@ object FormatQueries {
         |  round(sum(o_totalprice), 2) AS total,
         |  sum(o_orderkey)::BIGINT AS sum_okey
         |FROM orders
+        |GROUP BY 1, 2""".stripMargin,
+    "fmt_fixed_roundtrip" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  sum(l_orderkey)::BIGINT AS sum_okey,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
         |GROUP BY 1, 2""".stripMargin,
     "fmt_partitioned_prune" ->
       """SELECT o_orderpriority, count(*) AS n,

@@ -50,6 +50,15 @@ class FormatQueriesSpec extends SparkSpec {
     assert(rows(FormatQueries.orcRoundTrip(spark, sfDir)) == rows(direct))
   }
 
+  test("fixed-record DSv2 round trip is invisible to the aggregate") {
+    val direct = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_orderkey")).as("sum_okey"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+    assert(rows(FormatQueries.fixedRoundTrip(spark, sfDir)) == rows(direct))
+  }
+
   test("partitioned read-back prunes to the filtered status directory") {
     val q = FormatQueries.partitionedPrune(spark, sfDir)
     val direct = graft.Tables.orders(spark, sfDir)
