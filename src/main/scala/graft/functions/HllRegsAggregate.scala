@@ -24,8 +24,12 @@ import org.apache.spark.sql.types._
   * 64 bytes of state per group replaces the two-level
   * groupBy(source, bucket).max + groupBy(source) plan, and the buffer
   * rides the streaming state store (stream_hll_native) — the right tool
-  * when group counts explode or the sketch must live across
-  * micro-batches.
+  * when the sketch must live across micro-batches, or when callers want
+  * `hll_regs(h)` as one SQL aggregate. (NOT a high-cardinality-groups
+  * tool: ObjectHashAggregate falls back to sort-based aggregation past
+  * `spark.sql.objectHashAggregate.sortBased.fallbackThreshold` in-memory
+  * keys — 128 by default — where the composed codegen'd plan hash-aggs
+  * and spills normally.)
   *
   * MEASURED (OpScaleProbe, local[32], repeated isolated runs): the
   * native pass is faster at every probed scale — 0.5 s vs 1.0 s at x1,
