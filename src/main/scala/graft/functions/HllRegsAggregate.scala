@@ -94,8 +94,12 @@ case class HllRegsAgg(
   override def eval(buf: Array[Byte]): Any =
     new GenericArrayData(buf.map(_.toInt))
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  // Clone on both boundaries: returning the live buffer would alias the
+  // mutable aggregation state with the serialized bytes. Safe today only
+  // because UnsafeRow.getBinary copies — 64 bytes of defensive copy is
+  // cheaper than depending on that implementation detail holding.
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllRegsAgg =
     copy(mutableAggBufferOffset = newOffset)

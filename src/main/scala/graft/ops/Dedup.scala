@@ -214,6 +214,14 @@ object Dedup {
     * Prefix length uses integer arithmetic (ceil(80n/100) = (80n+99)/100)
     * — float rounding here would silently shrink the prefix and drop
     * pairs.
+    *
+    * CACHE CONTRACT: this pipeline caches the shingle and prefix frames
+    * (both are referenced twice) and cannot unpersist them before the
+    * returned lazy frame is consumed. Callers that invoke it repeatedly
+    * in one JVM — probes, benches — MUST clear caches between
+    * invocations (`spark.sharedState.cacheManager.clearCache()`;
+    * Verify/Bench/OpScaleProbe all do) or retained blocks accumulate
+    * into GC contention that reads as a phantom regression.
     */
   def prefixJaccardDocs(docs: DataFrame): DataFrame = {
     val sh = shingles(docs).cache()
@@ -222,7 +230,9 @@ object Dedup {
 
   /** The prefix index's candidate-pair stage alone — exposed so the
     * scale probe can measure its cardinality (the quantity the 100 TB
-    * claim rests on) without paying for verification.
+    * claim rests on) without paying for verification. Same CACHE
+    * CONTRACT as [[prefixJaccardDocs]]: repeat callers clear caches
+    * between invocations.
     */
   def prefixCandidates(docs: DataFrame): DataFrame =
     prefixCandidatesOf(shingles(docs).cache())

@@ -289,6 +289,16 @@ object Similarity {
   val PqSubspaces = 8
   val PqCodebookSize = 16
 
+  /** Hard cap on a [[pqSearch]] query batch. The per-query LUT is
+    * collected to the driver and broadcast (queries × M × K doubles), so
+    * the batch must stay driver-sized; 4096 queries × 8 × 16 doubles is
+    * ~4 MB of LUT — ample for an online top-k service shape, tiny for
+    * the driver. Larger batches are a different workload (a join, not a
+    * search) and must be split by the caller; the guard makes the
+    * "tiny by contract" collect fail loudly instead of OOMing quietly.
+    */
+  val PqMaxQueryBatch = 4096
+
   /** Per-vector PQ quantization, wide form: one struct column b{s} =
     * (d{s}, code) per subspace — the shared core of [[pqEncode]] and
     * [[pqSearch]]. Input must carry (vec_id, v: array<double>).
@@ -354,9 +364,14 @@ object Similarity {
     val anchors = emb.filter(col("vec_id") < PqCodebookSize)
       .orderBy(col("vec_id")).select(col("vec_id"), col("v"))
       .as[(Long, Seq[Double])].collect().map(_._2.toArray)
+    // take(cap+1), not collect(): bounds driver memory even when the
+    // contract is violated, and one extra row is enough to detect it
     val qVecs = queries.select(col("vec_id"),
       transform(col("embedding"), _.cast("double")).as("v"))
-      .as[(Long, Seq[Double])].collect()
+      .as[(Long, Seq[Double])].take(PqMaxQueryBatch + 1)
+    require(qVecs.length <= PqMaxQueryBatch,
+      s"pqSearch: query batch exceeds PqMaxQueryBatch=$PqMaxQueryBatch — " +
+        "the per-query LUT is driver-collected and broadcast; split the batch")
     val lut: Map[Long, Array[Array[Double]]] = qVecs.map { case (qid, qv) =>
       val q = qv.toArray
       val dim = q.length

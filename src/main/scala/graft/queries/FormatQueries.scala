@@ -145,8 +145,17 @@ object FormatQueries {
     * lossless, making the encode invisible to the aggregate.
     */
   def fixedRoundTrip(s: SparkSession, d: String): DataFrame = {
+    // Spark's lpad TRUNCATES to len, so a >10-digit orderkey would be
+    // silently corrupted at encode time and only surface as a downstream
+    // oracle hash divergence. Fail the write loudly instead: 10 digits
+    // covers keys to ~10 billion (TPC-H sf ~1400); past that the record
+    // layout itself must widen, which is a schema decision, not padding.
+    val keyStr = col("l_orderkey").cast("string")
+    val guarded = when(length(keyStr) > 10,
+      raise_error(concat(lit("fixedRoundTrip: l_orderkey wider than 10 digits: "),
+        keyStr)).cast("string")).otherwise(keyStr)
     val li = graft.Tables.lineitem(s, d).select(
-      lpad(col("l_orderkey").cast("string"), 10, "0").cast("binary").as("key"),
+      lpad(guarded, 10, "0").cast("binary").as("key"),
       rpad(concat_ws("|", col("l_returnflag"), col("l_linestatus"),
         col("l_quantity").cast("string")), 90, " ").cast("binary").as("value"))
     val dir = scratch("fixed_lineitem")

@@ -27,6 +27,19 @@ class GraphPqSpec extends SparkSpec {
     assert(recall >= 0.2, s"ADC recall@5 = $recall")
   }
 
+  test("pqSearch: an oversize query batch fails loudly, not an OOM") {
+    import org.apache.spark.sql.functions.{array, lit}
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    // one past the cap; the guard must fire before any LUT is built
+    val oversize = spark.range(Similarity.PqMaxQueryBatch + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(0.1f), lit(0.2f)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqSearch(spark, emb, oversize, 5)
+    }
+    assert(e.getMessage.contains("PqMaxQueryBatch"))
+  }
+
   test("pagerank: every node ranked, mass bounded by the scale, hubs beat the floor") {
     val events = graft.Tables.events(spark, sfDir)
     val ranks = GraphOps.pagerank(events)

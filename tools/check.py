@@ -19,6 +19,31 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def canon_float(v):
+    # Full precision, NO rounding: the driver hashes the full stringified
+    # cell, so a float differing only past 1e-6 must fail here exactly like
+    # it would remotely. Exponent notation is rewritten to Scala
+    # Double.toString style (Python "1e-07" -> Scala "1.0E-7") so BOTH
+    # sides land in one canonical form regardless of which runtime
+    # stringified them.
+    if math.isnan(v):
+        return "NaN"
+    if v == math.inf:
+        return "Infinity"
+    if v == -math.inf:
+        return "-Infinity"
+    s = repr(float(v))
+    if "e" in s:
+        mant, exp = s.split("e")
+        if "." not in mant:
+            neg = mant.startswith("-")
+            mant = mant.lstrip("-") + ".0"
+            if neg:
+                mant = "-" + mant
+        return f"{mant}E{int(exp)}"
+    return s
+
+
 def canon(df):
     # Dtype-faithful emulation of the driver's stringified hash: the driver
     # materializes both sides through pandas (so DuckDB HUGEINT becomes
@@ -31,13 +56,7 @@ def canon(df):
         vals = []
         for v in r:
             if isinstance(v, float):
-                if math.isnan(v):
-                    vals.append("NaN")
-                else:
-                    # str(v) with NO rounding: the driver hashes the full
-                    # stringified cell, so a float differing only past 1e-6
-                    # must fail here exactly like it would remotely
-                    vals.append(str(v))
+                vals.append(canon_float(v))
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
