@@ -8,9 +8,13 @@ import graft.Tables
 /** Multimodal column plumbing (north star, SURVEY.md §2.5): media as
   * opaque `binary` payloads + typed metadata, with decode / feature
   * extraction running per-partition over batches — the Spark-side shape
-  * (schema, partitioning, batch iteration) is real and tested; the codec
-  * itself is a deterministic STUB because no image/audio libraries exist
-  * in this environment (marked below; swap `StubCodec` for a real one).
+  * (schema, partitioning, batch iteration) is real and tested. Three
+  * REAL codecs ship behind the [[MediaCodec]] plug point — Netpbm and
+  * BMP (raw rasters, hand-parsed) and [[ImageIoCodec]] (PNG/JPEG/GIF,
+  * the compressed production formats via the JDK registry) — alongside
+  * the deterministic [[StubCodec]] that keeps the default pipeline
+  * oracle-replayable; `multimodal_png_features` runs the compressed
+  * path under the same hash gate.
   *
   * Scale: payloads never pass through the driver; decode is a
   * mapPartitions pipeline (no shuffle); per-media features are fixed-size
@@ -199,6 +203,74 @@ object Multimodal {
     }
   }
 
+  /** REAL codec #3: the compressed production formats (PNG, JPEG, GIF —
+    * whatever the JDK's `javax.imageio` registry reads), pure public JDK
+    * API, no new dependencies. This is the codec a real corpus needs:
+    * Netpbm/BMP prove the plug point on raw rasters; this one handles
+    * the formats crawled data actually arrives in. Design points:
+    *
+    *  - Dimensions are read from the HEADER (`ImageReader.getWidth`)
+    *    before any pixel decode, and a payload whose decoded size would
+    *    exceed [[ImageIoCodec.MaxPixels]] is rejected — the
+    *    decompression-bomb guard a production decoder owes the cluster
+    *    (a 100-byte PNG can legally declare a gigapixel canvas).
+    *  - `ImageIO.setUseCache(false)`: decode stays on-heap; the default
+    *    disk-backed cache would write temp files per image per task.
+    *  - Pixels are repacked row-by-row through `getRGB` (one Int row
+    *    buffer, not a full-frame copy) into top-down unpadded RGB —
+    *    the same sample convention as P6/BMP, so downstream features
+    *    are codec-independent. `getRGB` normalizes every source color
+    *    model (palette, YCbCr JPEG, 16-bit) to 8-bit sRGB.
+    *  - Undecodable payloads (bad magic, truncation, codec exceptions)
+    *    yield None — dropped rows, never task failures, the
+    *    [[MediaCodec]] contract. Readers are per-call (ImageIO reader
+    *    instances are not thread-safe; the registry lookup is).
+    */
+  object ImageIoCodec extends MediaCodec {
+    /** 64M pixels = 192 MB of RGB sample — generous for any training
+      * image, small enough that one hostile payload cannot OOM a task.
+      */
+    val MaxPixels: Long = 1L << 26
+
+    def decode(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+      javax.imageio.ImageIO.setUseCache(false)
+      try {
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        if (in == null) return None
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) return None
+          val reader = readers.next()
+          try {
+            reader.setInput(in, true, true)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+            val img = reader.read(0)
+            val out = new Array[Byte](w * h * 3)
+            val row = new Array[Int](w)
+            var y = 0
+            while (y < h) {
+              img.getRGB(0, y, w, 1, row, 0, w)
+              var x = 0
+              while (x < w) {
+                val argb = row(x)
+                val d = (y * w + x) * 3
+                out(d) = (argb >> 16).toByte
+                out(d + 1) = (argb >> 8).toByte
+                out(d + 2) = argb.toByte
+                x += 1
+              }
+              y += 1
+            }
+            Some((w, h, out))
+          } finally reader.dispose()
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** Media table synthesized from document ids (the harness ships no
     * binary media table; payload content is deterministic in media_id).
     */
@@ -267,6 +339,51 @@ object Multimodal {
 
   def featuresQuery(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(s, dir)).toDF()
+
+  /** [[mediaTable]] re-encoded as REAL PNG files on the executors: each
+    * LCG body byte becomes one gray pixel (R=G=B=v) of a w×h sRGB image,
+    * compressed through the JDK PNG writer. No driver involvement, no
+    * shuffle — encode is a map over the same partitions.
+    */
+  def pngMediaTable(s: SparkSession, dir: String): Dataset[MediaItem] = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions { items =>
+      javax.imageio.ImageIO.setUseCache(false)
+      items.flatMap { m =>
+        StubCodec.decode(m.payload).map { case (w, h, body) =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var i = 0
+          while (i < body.length) {
+            val v = body(i) & 0xff
+            img.setRGB(i % w, i / w, (v << 16) | (v << 8) | v)
+            i += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          val bytes = bos.toByteArray
+          MediaItem(m.media_id, m.modality, bytes, bytes.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** The PRODUCTION-FORMAT twin of [[featuresQuery]], under the same
+    * hash gate: payloads are real compressed PNGs ([[pngMediaTable]]),
+    * decoded by [[ImageIoCodec]]. Why the multimodal_features oracle
+    * verifies it VERBATIM: PNG is lossless and both encode and decode
+    * sit in 8-bit sRGB (TYPE_INT_RGB in, `getRGB` out — no colorspace
+    * conversion), so the decoded sample is the LCG body with every byte
+    * tripled (gray → R=G=B). Tripling is invisible to every feature:
+    * width/height unchanged, mean's integer half-up rounding is
+    * scale-invariant ((200·3s + 3n)/(2·3n) = (200s + n)/(2n)), and the
+    * entropy histogram scales all counts by 3 — identical p's. A single
+    * off-by-one anywhere in the codec (stride, row order, channel
+    * swap with non-gray content aside, bomb-guard misfire) breaks the
+    * hash, so the compressed round trip is value-proven, not smoke-run.
+    */
+  def pngFeaturesQuery(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(pngMediaTable(s, dir), ImageIoCodec).toDF()
 
   val FrameSize = 64
   val FrameStride = 4

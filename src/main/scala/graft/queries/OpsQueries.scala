@@ -178,6 +178,11 @@ object OpsQueries {
     "text_langid" -> (TextAnalysis.langIdQuery _),
     "text_fingerprint" -> (TextAnalysis.fingerprintQuery _),
     "multimodal_features" -> (Multimodal.featuresQuery _),
+    // the PRODUCTION-format twin: payloads re-encoded as real PNGs on
+    // executors, decoded by the javax.imageio codec, verified by the
+    // SAME LCG-replay oracle (PNG lossless + gray tripling invisible
+    // to mean/entropy — see Multimodal.pngFeaturesQuery scaladoc)
+    "multimodal_png_features" -> (Multimodal.pngFeaturesQuery _),
     "multimodal_meta" -> ((s: SparkSession, d: String) =>
       Multimodal.metaQuery(s, d)),
     "multimodal_framestats" -> (Multimodal.frameStatsQuery _),
@@ -188,6 +193,44 @@ object OpsQueries {
       Multimodal.resizeStub(
         Multimodal.extractFeatures(Multimodal.mediaTable(s, d)), 32))
   )
+
+  /** The LCG-replay feature oracle, shared VERBATIM by
+    * `multimodal_features` (stub codec on raw synthetic payloads) and
+    * `multimodal_png_features` (ImageIoCodec on real PNG re-encodes):
+    * the PNG round trip is lossless and its gray→RGB tripling cancels
+    * out of every feature, so one SQL replay gates both codecs.
+    */
+  private val LcgFeaturesOracle: String =
+    """WITH RECURSIVE gen(doc_id, i, n, state) AS (
+      |  SELECT doc_id, 0::BIGINT,
+      |    ((16 + doc_id % 48) * (16 + doc_id % 32))::BIGINT,
+      |    ((doc_id::HUGEINT * 6364136223846793005 + 1442695040888963407)
+      |      % 18446744073709551616 + 18446744073709551616)
+      |      % 18446744073709551616
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, i + 1, n,
+      |    (state * 6364136223846793005 + 1442695040888963407)
+      |      % 18446744073709551616
+      |  FROM gen WHERE i < n
+      |), bytes AS (
+      |  SELECT doc_id, n, (state // 72057594037927936)::BIGINT AS b
+      |  FROM gen WHERE i >= 1
+      |), hist AS (
+      |  SELECT doc_id, n, b, count(*)::DOUBLE AS c
+      |  FROM bytes GROUP BY 1, 2, 3
+      |), feat AS (
+      |  SELECT doc_id,
+      |    (200 * sum(b * c)::BIGINT + n) // (2 * n) AS mean_byte_x100,
+      |    round(-sum((c / n) * log2(c / n)), 4) AS byte_entropy
+      |  FROM hist GROUP BY doc_id, n)
+      |SELECT d.doc_id AS media_id,
+      |  CASE WHEN d.doc_id % 3 = 0 THEN 'image' ELSE 'audio' END
+      |    AS modality,
+      |  (16 + d.doc_id % 48)::INT AS width,
+      |  (16 + d.doc_id % 32)::INT AS height,
+      |  f.mean_byte_x100, f.byte_entropy
+      |FROM documents d JOIN feat f ON f.doc_id = d.doc_id""".stripMargin
 
   /** Shared ADC oracle prefix: PQ-encode the corpus (same CTEs as the
     * ann_pq_encode oracle), build the per-query subspace LUT with the
@@ -451,38 +494,12 @@ object OpsQueries {
     "text_langid" -> TextAnalysis.langIdOracleSql,
     // the stub codec's LCG payload is recomputed bit-exactly in SQL:
     // HUGEINT arithmetic emulates unsigned-64 wraparound, a recursive CTE
-    // walks the generator, and mean/entropy come off the byte histogram
-    "multimodal_features" ->
-      """WITH RECURSIVE gen(doc_id, i, n, state) AS (
-        |  SELECT doc_id, 0::BIGINT,
-        |    ((16 + doc_id % 48) * (16 + doc_id % 32))::BIGINT,
-        |    ((doc_id::HUGEINT * 6364136223846793005 + 1442695040888963407)
-        |      % 18446744073709551616 + 18446744073709551616)
-        |      % 18446744073709551616
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT doc_id, i + 1, n,
-        |    (state * 6364136223846793005 + 1442695040888963407)
-        |      % 18446744073709551616
-        |  FROM gen WHERE i < n
-        |), bytes AS (
-        |  SELECT doc_id, n, (state // 72057594037927936)::BIGINT AS b
-        |  FROM gen WHERE i >= 1
-        |), hist AS (
-        |  SELECT doc_id, n, b, count(*)::DOUBLE AS c
-        |  FROM bytes GROUP BY 1, 2, 3
-        |), feat AS (
-        |  SELECT doc_id,
-        |    (200 * sum(b * c)::BIGINT + n) // (2 * n) AS mean_byte_x100,
-        |    round(-sum((c / n) * log2(c / n)), 4) AS byte_entropy
-        |  FROM hist GROUP BY doc_id, n)
-        |SELECT d.doc_id AS media_id,
-        |  CASE WHEN d.doc_id % 3 = 0 THEN 'image' ELSE 'audio' END
-        |    AS modality,
-        |  (16 + d.doc_id % 48)::INT AS width,
-        |  (16 + d.doc_id % 32)::INT AS height,
-        |  f.mean_byte_x100, f.byte_entropy
-        |FROM documents d JOIN feat f ON f.doc_id = d.doc_id""".stripMargin,
+    // walks the generator, and mean/entropy come off the byte histogram.
+    // The SAME oracle verifies the PNG twin verbatim: the compressed
+    // round trip (PNG encode → ImageIO decode) is lossless and its gray
+    // tripling cancels out of every feature (Multimodal.pngFeaturesQuery)
+    "multimodal_png_features" -> LcgFeaturesOracle,
+    "multimodal_features" -> LcgFeaturesOracle,
     "multimodal_resize" ->
       """SELECT doc_id AS media_id,
         |  least((16 + doc_id % 48)::INT, 32) AS width,
