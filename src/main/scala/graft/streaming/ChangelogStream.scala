@@ -32,10 +32,7 @@ object ChangelogStream {
     StructField("o_orderpriority", StringType)))
 
   private def ordersStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream
-      .schema(ordersSchema)
-      .option("pathGlobFilter", "orders.parquet")
-      .parquet(dir)
+    EventStreams.tableStream(s, dir, "orders", ordersSchema)
 
   final case class ChOp(key: Long, version: Int, op: String, status: String,
     price: Double, priority: String, odate: java.sql.Timestamp)

@@ -66,16 +66,40 @@ object EventStreams {
     s.table(name)
   }
 
+  /** Streaming scan of one table out of a shared sf directory, resolving
+    * BOTH physical layouts: a single `<table>.parquet` file (the driver's
+    * fixtures) via a glob filter, or a Spark-written `<table>.parquet/`
+    * directory of part files (DataGen output, any engine-written table)
+    * by streaming the directory itself — pathGlobFilter matches file
+    * names, so pointing it at a part-file directory would silently
+    * stream zero files.
+    */
+  private[graft] def tableStream(s: SparkSession, dir: String, table: String,
+      schema: StructType): DataFrame = {
+    val sub = s"$dir/$table.parquet"
+    val base = s.readStream.schema(schema)
+    if (new java.io.File(sub).isDirectory) base.parquet(sub)
+    else base.option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   private def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema(rawSchema)
-      // the streaming file source wants a directory; select just the
-      // events file out of the shared sf directory
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      // integer `div`: float division loses microseconds on epoch-nanos
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // Streaming sources take a user schema on faith — declaring ts:Long
+    // against a micros/INT96 file fails at read (or worse, silently
+    // shifts the epoch by 1000x). One batch footer inference picks the
+    // right decode per physical type: TIMESTAMP(NANOS) surfaces as Long
+    // under nanosAsLong and needs the div-1000 rebase; micros/INT96
+    // surface as TimestampType and pass through.
+    val tsIsNanosLong =
+      s.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
+    if (tsIsNanosLong)
+      tableStream(s, dir, "events", rawSchema)
+        // integer `div`: float division loses microseconds on epoch-nanos
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else
+      tableStream(s, dir, "events",
+        StructType(rawSchema.map(f =>
+          if (f.name == "ts") f.copy(dataType = TimestampType) else f)))
   }
 
   /** Tumbling-window aggregation with a watermark; complete mode so the
@@ -267,10 +291,7 @@ object EventStreams {
     * `Tables.documents`).
     */
   private def docStream(s: SparkSession, dir: String): DataFrame =
-    s.readStream
-      .schema(docSchema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
+    tableStream(s, dir, "documents", docSchema)
 
   /** The shared (source, tok) streaming tokenization — the same split/
     * filter the batch sketch queries use.
@@ -370,9 +391,7 @@ object EventStreams {
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType),
       StructField("o_totalprice", DoubleType)))
-    val vals = Sketches.quantileCents(
-      s.readStream.schema(orderSchema)
-        .option("pathGlobFilter", "orders.parquet").parquet(dir))
+    val vals = Sketches.quantileCents(tableStream(s, dir, "orders", orderSchema))
     val buckets = runToMemorySink(s, Sketches.quantileBuckets(vals),
       OutputMode.Complete).localCheckpoint(eager = true)
     Sketches.quantileFinalize(buckets,
