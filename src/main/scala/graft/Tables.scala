@@ -21,17 +21,23 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read nanos as long and convert to a microsecond
-    * timestamp (hour/minute bucketing is unaffected by the truncation).
+  /** The fixture events.parquet carries TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects; read nanos as long and convert to a
+    * microsecond timestamp (hour/minute bucketing is unaffected by the
+    * truncation). Standard parquet timestamps (micros/millis — what
+    * Spark itself and DataGen write) arrive as TimestampType already and
+    * pass through untouched, so the engine reads BOTH encodings.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    // integer `div`, not `/`: epoch-nanos exceed double mantissa range, so
-    // float division drifts the microsecond value by ±1
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val raw = apply(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      // integer `div`, not `/`: epoch-nanos exceed double mantissa range,
+      // so float division drifts the microsecond value by ±1
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
