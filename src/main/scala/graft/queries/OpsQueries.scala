@@ -340,7 +340,12 @@ object OpsQueries {
          |  FROM embeddings),
          |dots AS (
          |  SELECT el.vec_id, pl.t, pl.b,
-         |    list_sum(list(el.vi * pl.sg ORDER BY el.i)) AS dt
+         |    -- ordered aggregate, NOT list_sum(list(...)): the list form
+         |    -- materializes |dims| doubles per (vec,table,bit) group —
+         |    -- ~19M lists at sf1, which OOMs DuckDB; the ordered sum is
+         |    -- the same sequential fold without the buffer. Only the
+         |    -- SIGN of dt is consumed downstream.
+         |    sum(el.vi * pl.sg ORDER BY el.i) AS dt
          |  FROM el JOIN pl ON pl.i = el.i
          |  GROUP BY 1, 2, 3),
          |sigs AS (

@@ -69,6 +69,12 @@ def main():
     only = set(sys.argv[3:])
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     con = duckdb.connect()
+    # bound + spillable: an sf1-scale oracle that exceeds the cap spills
+    # to disk instead of exhausting the process (an unbounded DuckDB OOM
+    # leaves the allocator wedged and the NEXT query dies on a 3 MiB
+    # pandas alloc — observed once, hence the belt and braces)
+    con.execute("SET memory_limit='48GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table: directory of part files
