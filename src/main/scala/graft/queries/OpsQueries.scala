@@ -334,20 +334,18 @@ object OpsQueries {
          |  CROSS JOIN (SELECT unnest(generate_series(0, ${Similarity.SrpBits - 1}))
          |          AS b) b
          |  CROSS JOIN dims),
-         |el AS (
-         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-         |    unnest(embedding)::DOUBLE AS vi
-         |  FROM embeddings),
+         |-- hyperplanes as ordered DOUBLE[] (|tables|*|bits| rows, tiny):
+         |-- each dot product is then ONE sequential list fold per
+         |-- (vector, hyperplane) row — same index order as the engine's
+         |-- fold, and no element-level join/aggregation. The exploded
+         |-- element form (unnest + join on i + per-group aggregation)
+         |-- buffered ~19M groups at sf1 and OOM'd DuckDB.
+         |plv AS (
+         |  SELECT t, b, list(sg ORDER BY i) AS sgv FROM pl GROUP BY t, b),
          |dots AS (
-         |  SELECT el.vec_id, pl.t, pl.b,
-         |    -- ordered aggregate, NOT list_sum(list(...)): the list form
-         |    -- materializes |dims| doubles per (vec,table,bit) group —
-         |    -- ~19M lists at sf1, which OOMs DuckDB; the ordered sum is
-         |    -- the same sequential fold without the buffer. Only the
-         |    -- SIGN of dt is consumed downstream.
-         |    sum(el.vi * pl.sg ORDER BY el.i) AS dt
-         |  FROM el JOIN pl ON pl.i = el.i
-         |  GROUP BY 1, 2, 3),
+         |  SELECT e.vec_id, plv.t, plv.b,
+         |    list_dot_product(e.embedding::DOUBLE[], plv.sgv) AS dt
+         |  FROM embeddings e CROSS JOIN plv),
          |sigs AS (
          |  SELECT vec_id, t,
          |    sum(CASE WHEN dt >= 0 THEN 1 << b ELSE 0 END)::BIGINT AS sig
