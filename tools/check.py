@@ -15,6 +15,7 @@ import os
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -57,6 +58,11 @@ def canon(df):
         for v in r:
             if isinstance(v, float):
                 vals.append(canon_float(v))
+            elif isinstance(v, pd.Timestamp) and v.tzinfo is not None:
+                # tz-aware (Spark/DataGen-written parquet marks timestamps
+                # adjusted-to-UTC) vs naive (the driver's NANOS fixtures):
+                # same instant, different str() — render both as naive UTC
+                vals.append(str(v.tz_convert("UTC").tz_localize(None)))
             else:
                 vals.append(str(v))
         out.append(tuple(vals))
