@@ -126,27 +126,95 @@ object OpsQueries {
       .select(col("vec_id"), round(vec_dot(col("a"), col("x")), 6).as("y"))
   }
 
-  /** Gaussian mixture (the paper's GMM workload): MLlib EM with a fixed
-    * seed over the embeddings; output = soft-cluster cardinalities by
-    * max-responsibility. Iterative float EM → rows-only check, like
-    * cmeans.
+  /** Gaussian mixture (the paper's GMM workload): the engine's own
+    * diagonal-covariance EM over the leading 16 embedding dims; output =
+    * soft-cluster cardinalities by max-responsibility. Iterative float
+    * EM → rows-only check, like cmeans ([[Similarity.gmmFixedPoint]] is
+    * the oracle-checked integer twin).
+    *
+    * Engine-owned rather than the ML library's full-covariance fit: the
+    * sf1 pass caught that fit hanging INSIDE pure-Java LAPACK — a
+    * mixture component collapsing to near-zero weight hands `dsyev` a
+    * degenerate 16x16 covariance whose `dlascl` rescaling loop spins on
+    * denormals, pinning one executor core indefinitely (and which
+    * trajectory EM takes depends on the file layout, because the
+    * library's init samples by partition). This EM has no
+    * eigendecomposition to hang: diagonal covariance with a ridge floor
+    * (`varFloor`) keeps every per-dim variance positive by
+    * construction, responsibilities normalize through log-sum-exp, and
+    * init is the first K vectors by id — layout-independent.
+    *
+    * Shape at scale (same as [[Similarity.gmmFixedPoint]]): per
+    * iteration one broadcast K x dim parameter join, combinable
+    * per-(point, cluster) log-likelihood and per-(cluster, dim)
+    * sufficient-stat aggregations, and ONE contract-bounded driver
+    * collect of the K x dim x 3 sufficient statistics — the identical
+    * collect every distributed EM (including the ML library's) performs
+    * per iteration. The driver loops only over iteration indices.
     */
   def gmmClusters(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.GaussianMixture
-    import org.apache.spark.ml.functions.array_to_vector
-    // EM on the leading 16 dims: a full 64-dim covariance needs far more
-    // points than the smaller fixtures carry — at 500 rows the estimate
-    // goes numerically non-symmetric and breeze aborts
-    val data = graft.Tables.embeddings(s, dir)
-      .select(col("vec_id"),
-        array_to_vector(transform(slice(col("embedding"), 1, 16),
-          _.cast("double"))).as("features"))
-    val model = new GaussianMixture().setK(4).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").fit(data)
-    model.transform(data)
-      .groupBy(col("prediction"))
+    val K = 4
+    val dims = 16
+    val iters = 10
+    val varFloor = 1e-4 // ridge: no component variance may collapse below
+    val el = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(slice(col("embedding"), 1, dims))
+        .as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"), col("v").cast("double").as("v"))
+      .cache()
+    val n = el.select(count_distinct(col("vec_id"))).first().getLong(0)
+    // params(c)(i) = (mu, var); weights(c); init: first K vectors as
+    // means (deterministic in ids, not in file layout), unit variance,
+    // uniform weights
+    var params: Array[Array[(Double, Double)]] = el
+      .filter(col("vec_id") < K).collect()
+      .groupBy(_.getLong(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1)).map(r => (r.getDouble(2), 1.0)))
+    var weights = Array.fill(K)(1.0 / K)
+    import s.implicits._
+    def centsFrame(): DataFrame =
+      (for { c <- 0 until K; i <- 0 until dims } yield
+        (c, i, params(c)(i)._1, params(c)(i)._2, weights(c)))
+        .toDF("c", "i", "mu", "va", "w")
+    def logLik(cents: DataFrame): DataFrame =
+      el.join(broadcast(cents), "i")
+        .groupBy(col("vec_id"), col("c"))
+        .agg((sum(lit(-0.5) * (log(lit(2 * math.Pi) * col("va"))
+          + (col("v") - col("mu")) * (col("v") - col("mu")) / col("va")))
+          + first(log(col("w")))).as("ll"))
+    for (_ <- 1 to iters) {
+      // E-step: log p(x|c) + log w_c per (point, cluster), then
+      // log-sum-exp normalize per point into responsibilities
+      val ll = logLik(centsFrame())
+      val mx = ll.groupBy("vec_id").agg(max(col("ll")).as("mx"))
+      val resp = ll.join(mx, "vec_id")
+        .select(col("vec_id"), col("c"), exp(col("ll") - col("mx")).as("r"))
+      val dn = resp.groupBy("vec_id").agg(sum(col("r")).as("dn"))
+      val rn = resp.join(dn, "vec_id")
+        .select(col("vec_id"), col("c"), (col("r") / col("dn")).as("rn"))
+      // M-step sufficient stats: the ONE driver collect, K x dims rows
+      val stats = el.join(rn, "vec_id")
+        .groupBy(col("c"), col("i"))
+        .agg(sum(col("rn")).as("sr"), sum(col("rn") * col("v")).as("s1"),
+          sum(col("rn") * col("v") * col("v")).as("s2"))
+        .collect()
+      params = stats.groupBy(_.getInt(0)).toArray.sortBy(_._1).map(_._2
+        .sortBy(_.getInt(1)).map { r =>
+          val (sr, s1, s2) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+          val mu = s1 / math.max(sr, 1e-12)
+          (mu, math.max(s2 / math.max(sr, 1e-12) - mu * mu, varFloor))
+        })
+      weights = stats.filter(_.getInt(1) == 0).sortBy(_.getInt(0))
+        .map(r => math.max(r.getDouble(2) / n, 1e-12))
+    }
+    // final hard assignment from the fitted params
+    logLik(centsFrame())
+      .groupBy("vec_id")
+      .agg(max(struct(col("ll"), (-col("c")).as("nc"))).as("best"))
+      .select(col("vec_id"), (-col("best.nc")).as("cluster"))
+      .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_points"))
-      .select(col("prediction").as("cluster"), col("n_points"))
+      .select(col("cluster"), col("n_points"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
