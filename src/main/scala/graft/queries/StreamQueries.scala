@@ -17,6 +17,7 @@ object StreamQueries {
     "stream_sessions" -> (EventStreams.sessionize _),
     "stream_dedup" -> (EventStreams.dedupExact _),
     "stream_interval_join" -> (EventStreams.clickPurchaseJoin _),
+    "stream_interval_left_join" -> (EventStreams.clickPurchaseLeftJoin _),
     "stream_kmv" -> (EventStreams.kmvDistinctStream _),
     "stream_hll" -> (EventStreams.hllDistinctStream _),
     "stream_hll_native" -> (EventStreams.hllDistinctStreamNative _),
@@ -53,6 +54,17 @@ object StreamQueries {
         |  ON c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND p.user_id = c.user_id
         |  AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts < c.ts""".stripMargin,
+    // batch LEFT JOIN over the same interval: the outer rows exist in
+    // the stream result only because sentinel-driven watermark advance
+    // evicted every real click's state before the final drain
+    "stream_interval_left_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  p.event_id AS purchase_id, round(p.value, 2) AS purchase_value
+        |FROM events c LEFT JOIN events p
+        |  ON p.event_type = 'purchase'
+        |  AND p.user_id = c.user_id
+        |  AND p.ts >= c.ts - INTERVAL 2 HOUR AND p.ts < c.ts
+        |WHERE c.event_type = 'click'""".stripMargin,
     // same oracle as batch sketch_kmv — stream/batch sketch equivalence
     "stream_kmv" -> graft.ops.Sketches.oracles("sketch_kmv"),
     // same oracle as batch sketch_hll — stream/batch register equivalence

@@ -66,6 +66,31 @@ object EventStreams {
     s.table(name)
   }
 
+  /** [[runToMemorySink]] with EXTRA DRAIN PHASES: after the first drain,
+    * each callback runs (typically appending files to a source
+    * directory) followed by another synchronous drain. This is how a
+    * test or query advances the WATERMARK deterministically past all
+    * real data — outer-join results and timed-out state are only
+    * emitted once a LATER batch runs with the advanced watermark, so a
+    * single drain can never surface them.
+    */
+  private[graft] def runToMemorySinkPhased(s: SparkSession, df: DataFrame,
+      mode: OutputMode)(betweenDrains: Seq[() => Unit]): DataFrame = {
+    val name = "stream_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    withStreamPartitions(s) {
+      val q = df.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+      try {
+        q.processAllAvailable()
+        betweenDrains.foreach { f => f(); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    s.table(name)
+  }
+
   /** Streaming scan of one table out of a shared sf directory, resolving
     * BOTH physical layouts: a single `<table>.parquet` file (the driver's
     * fixtures) via a glob filter, or a Spark-written `<table>.parquet/`
@@ -274,6 +299,80 @@ object EventStreams {
       .select(col("click_id"), col("c_user").as("user_id"),
         col("purchase_id"), round(col("value"), 2).as("purchase_value"))
     runToMemorySink(s, joined, OutputMode.Append).localCheckpoint(eager = true)
+  }
+
+  /** Stream-stream interval LEFT-OUTER join — [[clickPurchaseJoin]]
+    * completed with the missing half of the semantics: clicks with NO
+    * purchase in the preceding two hours emit one null-extended row.
+    * This is the part of the outer-join contract single-pass drains
+    * cannot show: Spark emits an outer row only when the WATERMARK has
+    * closed the click's join window, i.e. during a LATER micro-batch.
+    * The query makes that deterministic by unioning the event stream
+    * with an initially-empty sentinel directory, then appending
+    * far-future sentinel click/purchase pairs (negative user ids,
+    * filtered from the result) and re-draining, twice: the first
+    * sentinel batch advances the watermark past all real events, the
+    * second GUARANTEES a data batch runs WITH that watermark — state
+    * for every real click is evicted and each unmatched one emits its
+    * null row before the final drain returns. No reliance on no-data
+    * micro-batch scheduling, no timing dependence.
+    *
+    * At scale the state story is the interval join's: each side holds
+    * only rows inside watermark + join-window horizon (3 h + 2 h), so
+    * state is rate × horizon regardless of stream length; the sentinel
+    * mechanism is test-harness scaffolding — a live deployment gets
+    * the same eviction continuously from real event-time progress.
+    * Oracle: the plain batch LEFT JOIN over the same interval.
+    */
+  def clickPurchaseLeftJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_ssj_sentinel").toString
+    val sentinelSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    def evPlusSentinels(): DataFrame =
+      eventStream(s, dir).unionByName(
+        s.readStream.schema(sentinelSchema).parquet(scratch))
+    val clicks = evPlusSentinels()
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "3 hours")
+    val purchases = evPlusSentinels()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", "3 hours")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") - expr("INTERVAL 2 HOURS") &&
+        col("p_ts") < col("c_ts"),
+      "left_outer")
+      .select(col("click_id"), col("c_user").as("user_id"), col("purchase_id"),
+        round(col("value"), 2).as("purchase_value"))
+    val tMax = graft.Tables.events(s, dir)
+      .select(max(col("ts"))).first().getTimestamp(0)
+    // one far-future click + one purchase per phase: BOTH sides must
+    // advance (the global watermark is the MIN across watermark ops);
+    // distinct negative users and a >2 h gap keep sentinels unmatchable
+    def writeSentinels(days: Int): () => Unit = () => {
+      val base = tMax.toInstant.plus(java.time.Duration.ofDays(days.toLong))
+      Seq(
+        (-1L, java.sql.Timestamp.from(base), -1L, "click", 0.0, "{}"),
+        (-2L, java.sql.Timestamp.from(base.plusSeconds(10800L)), -2L,
+          "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.mode("append").parquet(scratch)
+    }
+    runToMemorySinkPhased(s, joined, OutputMode.Append)(
+      Seq(writeSentinels(30), writeSentinels(60)))
+      .filter(col("user_id") >= 0)
+      .localCheckpoint(eager = true)
   }
 
   /** documents schema for streaming reads — ONE definition shared by

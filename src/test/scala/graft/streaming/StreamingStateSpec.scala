@@ -99,4 +99,32 @@ class StreamingStateSpec extends SparkSpec {
     assert(last(2L) == ((2L, 5.0)), last.toString)
     assert(last(3L) == ((1L, 4.0)), last.toString)
   }
+
+  test("left-outer interval join emits watermark-evicted null rows, batch-equal") {
+    val out = EventStreams.clickPurchaseLeftJoin(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      .sorted
+    val unmatched = out.count(_._3 == -1L)
+    // outer rows must actually exist, or the sentinel watermark-advance
+    // machinery silently degraded to an inner join
+    assert(unmatched > 0, "no null-extended click rows emitted")
+    val ev = graft.Tables.events(spark, sfDir)
+    val batch = ev.filter(col("event_type") === "click").as("c")
+      .join(ev.filter(col("event_type") === "purchase").as("p"),
+        col("p.user_id") === col("c.user_id") &&
+          col("p.ts") >= col("c.ts") - expr("INTERVAL 2 HOURS") &&
+          col("p.ts") < col("c.ts"),
+        "left_outer")
+      .select(col("c.event_id"), col("c.user_id"), col("p.event_id"),
+        round(col("p.value"), 2))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3)))
+      .sorted
+    assert(out.length == batch.length && out.sameElements(batch))
+  }
 }
