@@ -28,3 +28,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The plan-shape lock string-mines executed plans, and cached-subtree
+// registration in the shared CacheManager is racy across concurrently
+// running suites — so the lock runs in its OWN forked JVM, reproducing
+// the isolated `testOnly` conditions its snapshot was recorded under.
+Test / testGrouping := {
+  val opts = (Test / forkOptions).value
+  val (lock, rest) = (Test / definedTests).value
+    .partition(_.name == "graft.PlanShapeLockSpec")
+  Seq(
+    Tests.Group("plan-lock", lock, Tests.SubProcess(opts)),
+    Tests.Group("rest", rest, Tests.SubProcess(opts)))
+}

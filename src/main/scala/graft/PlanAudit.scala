@@ -32,6 +32,18 @@ object PlanAudit {
     shapeOf(df.queryExecution.executedPlan.toString)
   }
 
+  /** Plan shape WITHOUT executing: deterministic for fixed
+    * code+fixtures+conf, which execution-time shapes are NOT — running
+    * the frame materializes cached subtrees whose AdaptiveSparkPlan
+    * sections finalize in the background, so an executed dump races
+    * that finalization and string-mined counts flap by a few Exchanges
+    * on iterative cache-heavy queries. The change-detecting LOCK uses
+    * this; the human-facing audit main keeps [[executedShape]] (the
+    * plan users actually pay for, AQE promotions included).
+    */
+  def staticShape(df: DataFrame): PlanShape =
+    shapeOf(df.queryExecution.executedPlan.toString)
+
   def shapeOf(plan: String): PlanShape = {
     def n(s: String) = plan.sliding(s.length).count(_ == s)
     PlanShape(

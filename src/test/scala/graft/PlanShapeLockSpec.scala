@@ -21,32 +21,35 @@ class PlanShapeLockSpec extends AnyFunSuite {
   val sfDir = "/root/testdata/sf0.001"
 
   /** Locked shapes, recorded under the spec config above. Counts are
-    * string-mined from the executed-plan dump, so iterative queries
-    * (graph_*, gmm) repeat shared subtrees — the big numbers are print
-    * multiplicity, not runtime exchanges; they are still deterministic
-    * for fixed code+fixtures, which is all a change-detector needs.
-    * All-zero rows (GraphX-backed clusters queries) mean the final
-    * frame is RDD-constructed — their SQL plan holds no joins.
+    * string-mined from the STATIC (pre-execution) plan dump — iterative
+    * queries (graph_*, gmm) repeat shared subtrees, so the big numbers
+    * are print multiplicity, not runtime exchanges; what matters is
+    * that they are deterministic for fixed code+fixtures, which is all
+    * a change-detector needs (executed dumps are NOT: background AQE
+    * finalization of cached subtrees races the dump — see
+    * PlanAudit.staticShape). All-zero rows (GraphX-backed clusters
+    * queries) mean the final frame is RDD-constructed — their SQL plan
+    * holds no joins.
     */
   val locked: Map[String, PlanShape] = Map(
-    "dedup_minhash_error" -> PlanShape(0, 11, 0, 0, 44),
+    "dedup_minhash_error" -> PlanShape(0, 9, 0, 0, 21),
     "dedup_clusters" -> PlanShape(0, 0, 0, 0, 0),
-    "dedup_prefix_join" -> PlanShape(0, 9, 0, 0, 36),
-    "gmm_fixed_point" -> PlanShape(9, 60, 0, 0, 225),
-    "graph_harmonic" -> PlanShape(0, 85, 0, 0, 3752),
-    "graph_triangles" -> PlanShape(0, 14, 2, 0, 148),
-    "graph_bfs_landmarks" -> PlanShape(0, 85, 0, 0, 3751),
-    "graph_neighbor_jaccard" -> PlanShape(0, 3, 0, 0, 35),
-    "graph_pagerank" -> PlanShape(0, 15, 0, 0, 62),
+    "dedup_prefix_join" -> PlanShape(0, 7, 0, 0, 17),
+    "gmm_fixed_point" -> PlanShape(11, 25, 0, 0, 84),
+    "graph_harmonic" -> PlanShape(0, 15, 0, 0, 187),
+    "graph_triangles" -> PlanShape(0, 8, 2, 0, 46),
+    "graph_bfs_landmarks" -> PlanShape(0, 15, 0, 0, 186),
+    "graph_neighbor_jaccard" -> PlanShape(0, 3, 0, 0, 19),
+    "graph_pagerank" -> PlanShape(0, 10, 0, 0, 37),
     "pipe_fuzzy_match" -> PlanShape(0, 1, 0, 0, 0),
     "ann_pq_refine" -> PlanShape(0, 2, 2, 0, 4),
     "dedup_semantic_clusters" -> PlanShape(0, 0, 0, 0, 0),
-    "stats_table" -> PlanShape(0, 2, 0, 0, 8),
-    "sketch_bloom_join" -> PlanShape(0, 4, 0, 0, 21),
+    "stats_table" -> PlanShape(0, 2, 0, 0, 6),
+    "sketch_bloom_join" -> PlanShape(0, 4, 0, 0, 8),
     "ann_recall_srp" -> PlanShape(1, 1, 1, 0, 8),
-    "dedup_minhash" -> PlanShape(0, 4, 0, 0, 21),
+    "dedup_minhash" -> PlanShape(0, 4, 0, 0, 15),
     "fmt_fixed_roundtrip" -> PlanShape(0, 0, 0, 0, 1),
-    "cmeans_fixed_point" -> PlanShape(1, 7, 0, 0, 31),
+    "cmeans_fixed_point" -> PlanShape(1, 7, 0, 0, 22),
     "ann_recall_pq" -> PlanShape(1, 0, 3, 0, 8),
     "cmeans_clusters" -> PlanShape(0, 0, 0, 0, 1))
 
@@ -62,7 +65,13 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "ann_recall_pq", "cmeans_clusters")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
-      val shape = PlanAudit.executedShape(SparkEntry.queries(name)(spark, sfDir))
+      // STATIC shape, not executed: execution materializes cached
+      // subtrees whose AQE sections finalize asynchronously, making
+      // executed dumps flap by a few Exchanges on iterative queries —
+      // the wrong property for a change detector (see PlanAudit
+      // scaladoc). Construction-time actions (e.g. pagerank's node
+      // count) still run synchronously, so this dump is deterministic.
+      val shape = PlanAudit.staticShape(SparkEntry.queries(name)(spark, sfDir))
       name -> shape
     }
     if (record) {
