@@ -21,23 +21,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** The fixture events.parquet carries TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; read nanos as long and convert to a
-    * microsecond timestamp (hour/minute bucketing is unaffected by the
-    * truncation). Standard parquet timestamps (micros/millis — what
-    * Spark itself and DataGen write) arrive as TimestampType already and
-    * pass through untouched, so the engine reads BOTH encodings.
+  /** The events.parquet `ts` column has shipped in three encodings across
+    * fixture generations, and the engine reads all of them, normalizing to
+    * a tz-aware TimestampType so downstream code (unix_micros, watermarks,
+    * Row.getTimestamp) sees ONE type:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it; read nanos
+    *    as long and convert to a microsecond timestamp (hour/minute
+    *    bucketing is unaffected by the truncation);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; cast to TimestampType — sessions run with
+    *    spark.sql.session.timeZone=UTC, so the naive wall time is
+    *    interpreted as UTC, identical to what the nanos path produced;
+    *  - UTC-adjusted micros/millis (what Spark itself writes): already
+    *    TimestampType, pass through untouched.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions.{expr, timestamp_micros}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      // integer `div`, not `/`: epoch-nanos exceed double mantissa range,
-      // so float division drifts the microsecond value by ±1
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, not `/`: epoch-nanos exceed double mantissa range,
+        // so float division drifts the microsecond value by ±1
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -112,19 +112,23 @@ object EventStreams {
     // Streaming sources take a user schema on faith — declaring ts:Long
     // against a micros/INT96 file fails at read (or worse, silently
     // shifts the epoch by 1000x). One batch footer inference picks the
-    // right decode per physical type: TIMESTAMP(NANOS) surfaces as Long
-    // under nanosAsLong and needs the div-1000 rebase; micros/INT96
-    // surface as TimestampType and pass through.
-    val tsIsNanosLong =
-      s.read.parquet(s"$dir/events.parquet").schema("ts").dataType == LongType
-    if (tsIsNanosLong)
-      tableStream(s, dir, "events", rawSchema)
-        // integer `div`: float division loses microseconds on epoch-nanos
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else
-      tableStream(s, dir, "events",
-        StructType(rawSchema.map(f =>
-          if (f.name == "ts") f.copy(dataType = TimestampType) else f)))
+    // right decode per physical type, then the stream declares EXACTLY
+    // what the footer says and normalizes to TimestampType afterwards:
+    // TIMESTAMP(NANOS) surfaces as Long under nanosAsLong and needs the
+    // div-1000 rebase; non-UTC-adjusted micros surface as TIMESTAMP_NTZ
+    // and cast to tz-aware under the UTC session; UTC-adjusted
+    // micros/INT96 surface as TimestampType and pass through.
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val declared = tableStream(s, dir, "events",
+      StructType(rawSchema.map(f =>
+        if (f.name == "ts") f.copy(dataType = tsType) else f)))
+    tsType match {
+      // integer `div`: float division loses microseconds on epoch-nanos
+      case LongType => declared.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        declared.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => declared
+    }
   }
 
   /** Tumbling-window aggregation with a watermark; complete mode so the
