@@ -91,12 +91,17 @@ object DedupQueries {
       "\nSELECT doc_a AS new_doc, doc_b AS old_doc, jaccard FROM jpairs"
 
   /** Connected components as a transitive closure (clusters are tiny, so
-    * the recursion depth is small): label = min reachable id.
+    * the recursion depth is small): label = min reachable id. `edges` is
+    * MATERIALIZED: under WITH RECURSIVE, DuckDB inlines non-materialized
+    * CTEs into the recursive term, re-running the whole shingle self-join
+    * chain once per fixpoint iteration — infeasible at sf1 (48 GB+ of
+    * spill for a 100-edge closure). Materializing computes the pair chain
+    * exactly once; the recursion itself is O(edges · diameter).
     */
   private val clustersOracle =
     pairCtes +
       """,
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
         |  UNION ALL
         |  SELECT doc_b, doc_a FROM jpairs),
@@ -251,7 +256,7 @@ object DedupQueries {
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
         |    b.embedding::DOUBLE[]), 6) >= 0.45),
-        |edges AS (
+        |edges AS MATERIALIZED (
         |  SELECT doc_a AS u, doc_b AS v FROM pairs
         |  UNION ALL
         |  SELECT doc_b, doc_a FROM pairs),

@@ -80,7 +80,11 @@ def main():
     # leaves the allocator wedged and the NEXT query dies on a 3 MiB
     # pandas alloc — observed once, hence the belt and braces)
     con.execute("SET memory_limit='48GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # per-PID spill dir: DuckDB names temp files duckdb_temp_storage-N.tmp
+    # with NO process qualifier, so concurrent check.py runs sharing one
+    # directory truncate/delete each other's spill (observed as rc=134
+    # aborts and phantom disk-full cascades in parallel sf1 compares)
+    con.execute(f"SET temp_directory='/tmp/duckdb_spill/{os.getpid()}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table: directory of part files
