@@ -118,37 +118,54 @@ object DedupQueries {
     * (pigeonhole: a <=3-bit difference always shares one of the four
     * 16-bit blocks, so blocking loses nothing).
     */
-  private val simhashOracle =
-    """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
-      |         generate_subscripts(string_split(text, ' '), 1) AS pos
-      |  FROM documents
-      |), sh AS (
-      |  SELECT DISTINCT a.doc_id,
-      |    a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
-      |  FROM toks a
-      |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-      |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
-      |), hx AS (
-      |  SELECT doc_id, substr(md5(shingle), 1, 16) AS hx FROM sh
-      |), bits AS (
-      |  SELECT doc_id, g.b,
-      |    ((strpos('0123456789abcdef',
-      |        substr(hx, CAST(16 - g.b // 4 AS INT), 1)) - 1)
-      |      >> CAST(g.b % 4 AS INT)) & 1 AS bit
-      |  FROM hx CROSS JOIN
-      |    (SELECT unnest(generate_series(0, 63)) AS b) g
-      |), fp AS (
-      |  SELECT doc_id, b,
-      |    CASE WHEN sum(CASE WHEN bit = 1 THEN 1 ELSE -1 END) > 0
-      |      THEN 1 ELSE 0 END AS fbit
-      |  FROM bits GROUP BY doc_id, b
-      |), ham AS (
-      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |    sum(abs(a.fbit - b.fbit))::INT AS hamming
-      |  FROM fp a JOIN fp b ON a.b = b.b AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2)
-      |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+  private val simhashOracle: String = {
+    // one sum(CASE ...) vote per bit, computed straight off the md5 hex
+    // string: bit b lives in the hex char at position 16 - b/4 (char 1 is
+    // the most significant nibble of the parsed 64-bit value, matching
+    // Long.parseUnsignedLong) at in-nibble shift b%4. The earlier form
+    // unnested 64 rows per shingle and then joined fingerprint bits on
+    // bit POSITION alone — an all-pairs product over every doc pair per
+    // bit (~10^13 rows at sf1). This form is one grouped aggregation pass
+    // (64 aggregates, no row explosion) plus the same mathematically
+    // lossless 4x16-bit pigeonhole the scaladoc already proves: a <=3-bit
+    // difference cannot change all four blocks, so block-equality
+    // candidates + the exact bit_count(xor) filter lose nothing.
+    val fpTerms = (0 until 64).map { b =>
+      val p = 16 - b / 4
+      val sh = b % 4
+      val pow = BigInt(2).pow(b) // decimal literal: DuckDB's << overflows at 63
+      s"""CASE WHEN sum(CASE WHEN (((strpos('0123456789abcdef',
+         |      substr(hx, $p, 1)) - 1) >> $sh) & 1) = 1
+         |    THEN 1 ELSE -1 END) > 0
+         |  THEN $pow::UBIGINT ELSE 0::UBIGINT END""".stripMargin
+    }.mkString(" +\n")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+       |         generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT a.doc_id,
+       |    a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+       |  FROM toks a
+       |  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+       |), hx AS (
+       |  SELECT doc_id, substr(md5(shingle), 1, 16) AS hx FROM sh
+       |), fpt AS (
+       |  SELECT doc_id,
+       |$fpTerms
+       |  AS fp FROM hx GROUP BY doc_id
+       |), blk AS (
+       |  SELECT doc_id, fp, g.g, ((fp >> (g.g * 16)) & 65535::UBIGINT) AS k
+       |  FROM fpt CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS g) g
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.fp AS fa, b.fp AS fb
+       |  FROM blk a JOIN blk b
+       |    ON a.g = b.g AND a.k = b.k AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, bit_count(xor(fa, fb))::INT AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
+  }
 
   /** The md5-minhash estimator replayed component by component on top of
     * the exact-pair CTEs. Built by plain concatenation — the h48 fold and
