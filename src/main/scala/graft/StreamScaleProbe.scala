@@ -76,11 +76,19 @@ object StreamScaleProbe {
     else xs.sorted.apply(xs.size / 2)
 
   def main(args: Array[String]): Unit = {
-    val s = SparkSession.builder().master("local[32]")
+    val builder = SparkSession.builder().master("local[32]")
       .appName("graft-stream-scale")
       .config("spark.sql.shuffle.partitions", "8") // state-store count
       .config("spark.sql.streaming.metricsEnabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // SCALE_STATE=rocksdb swaps in the disk-backed state store — the
+    // cluster-scale choice for UNBOUNDED key spaces (cdc_apply), where
+    // the default in-memory provider's state must fit the executor heap.
+    // The probe records what that durability costs in rows/s.
+    if (sys.env.get("SCALE_STATE").contains("rocksdb"))
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     val rates = sys.env.getOrElse("SCALE_RATES", "20000,200000,2000000")
       .split(",").map(_.trim.toLong).toSeq
