@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ops.{Audio, Multimodal, Similarity, Sketches, TextAnalysis}
 
 /** Driver registrations for similarity search, text analysis, and
   * multimodal plumbing. Everything here carries a DuckDB oracle except
@@ -259,7 +259,11 @@ object OpsQueries {
     // the stubbed codec's job)
     "multimodal_resize" -> ((s: SparkSession, d: String) =>
       Multimodal.resizeStub(
-        Multimodal.extractFeatures(Multimodal.mediaTable(s, d)), 32))
+        Multimodal.extractFeatures(Multimodal.mediaTable(s, d)), 32)),
+    // audio: real RIFF/WAVE container encode → chunk-walking WavCodec
+    // decode → all-integer sample stats, gated by the LCG replayed with
+    // a 16-bit signed read (Audio.audioFeaturesOracle)
+    "multimodal_audio_features" -> (Audio.audioFeaturesQuery _)
   )
 
   /** The LCG-replay feature oracle, shared VERBATIM by
@@ -571,6 +575,7 @@ object OpsQueries {
     // tripling cancels out of every feature (Multimodal.pngFeaturesQuery)
     "multimodal_png_features" -> LcgFeaturesOracle,
     "multimodal_features" -> LcgFeaturesOracle,
+    "multimodal_audio_features" -> Audio.audioFeaturesOracle,
     "multimodal_resize" ->
       """SELECT doc_id AS media_id,
         |  least((16 + doc_id % 48)::INT, 32) AS width,
