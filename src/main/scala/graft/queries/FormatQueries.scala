@@ -175,12 +175,108 @@ object FormatQueries {
         money(sum(col("qty"))).as("sum_qty"))
   }
 
+  /** Per-JVM catalog database for bucketed tables, rooted in the scratch
+    * dir (explicit LOCATION: the session's default warehouse is the cwd,
+    * which concurrent drivers may share).
+    */
+  private def bucketDb(s: SparkSession): String = {
+    val loc = scratch("bucket_db")
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_bkt LOCATION '$loc'")
+    "graft_bkt"
+  }
+
+  val BucketCount = 8
+
+  /** The co-located fact-fact join — bucketing, the ONE layout decision
+    * that removes the dominant shuffle from a 100 TB join pipeline. Both
+    * orders and lineitem are written `bucketBy(8, orderkey)` into the
+    * session catalog; reading them back, Spark lines bucket i of one
+    * table up with bucket i of the other, so the equi-join on the bucket
+    * key needs NO Exchange on either side (`BucketDppSpec` asserts the
+    * join subtree is exchange-free with broadcast disabled — the only
+    * shuffle left in the whole query is the final aggregation's). At
+    * cluster scale this is the difference between shuffling both tables
+    * per run and shuffling neither ever again: the write pays the
+    * partitioning once, every subsequent join in every job reuses it.
+    * The hash gate proves the bucketed write+read is value-invisible:
+    * the oracle computes the identical join aggregate from the original
+    * parquet.
+    */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val db = bucketDb(s)
+    graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(BucketCount, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"$db.orders_b")
+    graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(BucketCount, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"$db.lineitem_b")
+    val bo = s.table(s"$db.orders_b")
+    val bl = s.table(s"$db.lineitem_b")
+    bo.join(bl, bo("o_orderkey") === bl("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("rev"),
+        sum(col("l_orderkey")).as("sum_okey"))
+  }
+
+  /** Dynamic partition pruning — the join-driven sibling of
+    * `fmt_partitioned_prune`'s static filter, in the canonical
+    * star-schema shape: the fact (orders, laid out hive-partitioned by
+    * the customer's nation key — the ETL denormalization a 100 TB lake
+    * does once at write time) joins a small dim (nation ⋈ region) whose
+    * filter `r_name = 'ASIA'` sits on an attribute that is DATA, not a
+    * function of the join key — Catalyst cannot infer it onto the fact
+    * statically, and DPP's selectivity heuristic requires exactly this
+    * literal-on-dim-attribute form. At runtime the fact scan receives a
+    * `dynamicpruning` subquery fed by the dim's broadcast, so only the
+    * 5-of-25 qualifying nation directories are ever listed/read — on a
+    * partitioned lake this is the difference between scanning the world
+    * and scanning one region, decided by the dim at runtime.
+    * The dim is broadcast EXPLICITLY: it is config-cardinality at every
+    * scale factor while the fact grows — at fixture scale Spark's size
+    * estimate would otherwise invert the build side (broadcasting the
+    * fact), and DPP only plants its filter when the partitioned fact is
+    * the probe side of a reusable broadcast. `BucketDppSpec` asserts
+    * the dynamicpruning expression lands in the scan's partition
+    * filters; the oracle recomputes the same join from the original
+    * parquet.
+    */
+  def dppPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = scratch("dpp_orders")
+    graft.Tables.orders(s, d)
+      .join(graft.Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("c_nationkey").as("o_nationkey"))
+      .write.mode("overwrite").partitionBy("o_nationkey").parquet(dir)
+    val fact = s.read.parquet(dir)
+    val dim = graft.Tables.nation(s, d)
+      .join(graft.Tables.region(s, d),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === lit("ASIA"))
+      .select(col("n_nationkey").as("o_nationkey"), col("n_name"))
+    fact.join(broadcast(dim), "o_nationkey")
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n"),
+        money(sum(col("o_totalprice"))).as("total"),
+        sum(col("o_orderkey")).as("sum_okey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_csv_roundtrip" -> (csvRoundTrip _),
     "fmt_json_roundtrip" -> (jsonRoundTrip _),
     "fmt_orc_roundtrip" -> (orcRoundTrip _),
     "fmt_partitioned_prune" -> (partitionedPrune _),
-    "fmt_fixed_roundtrip" -> (fixedRoundTrip _)
+    "fmt_fixed_roundtrip" -> (fixedRoundTrip _),
+    "fmt_bucketed_join" -> (bucketedJoin _),
+    "fmt_dpp_prune" -> (dppPrune _)
   )
 
   /** Every oracle reads the ORIGINAL parquet table — a format round trip
@@ -220,6 +316,22 @@ object FormatQueries {
         |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
         |FROM orders
         |WHERE o_orderstatus = 'F'
+        |GROUP BY 1""".stripMargin,
+    "fmt_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev,
+        |  sum(l_orderkey)::BIGINT AS sum_okey
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1""".stripMargin,
+    "fmt_dpp_prune" ->
+      """SELECT n_name, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  sum(o_orderkey)::BIGINT AS sum_okey
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
         |GROUP BY 1""".stripMargin
   )
 }
