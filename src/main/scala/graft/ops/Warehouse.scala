@@ -99,9 +99,93 @@ object Warehouse {
         col("o_orderpriority"),
         date_format(col("o_orderdate"), Ts).as("o_orderdate"))
 
+  /** Per-JVM scratch root for the compaction round trip, deleted on
+    * exit (same hygiene as FormatQueries: concurrent drivers must not
+    * overwrite each other's files mid-read).
+    */
+  private lazy val scratchRoot: java.io.File = {
+    val root = java.nio.file.Files.createTempDirectory("graft_wh_").toFile
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(root)
+    }))
+    root
+  }
+  private def scratch(tag: String): String =
+    new java.io.File(scratchRoot, tag).getAbsolutePath
+
+  /** Total bytes of data files under a table directory, via the Hadoop
+    * FS API (on a cluster this is the manifest/listing a real compactor
+    * reads; O(files) driver-side METADATA, never data).
+    */
+  def dataFileBytes(s: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+  }
+
+  def dataFileCount(s: SparkSession, dir: String): Int = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.listStatus(path)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Production-shape target (what a lake compacts toward); the fixture
+    * tables land well under one file of this size, which is exactly the
+    * point — 64 ingest fragments collapse to 1.
+    */
+  val CompactTargetBytes: Long = 128L * 1024 * 1024
+
+  /** Bin-pack compaction: rewrite a fragmented table directory into
+    * size-targeted files WITHOUT a shuffle — `coalesce` merges input
+    * splits within tasks, so the rewrite is pure IO (read + re-encode),
+    * no Exchange anywhere in the plan ([[WarehouseSpec]] asserts both
+    * the plan shape and the file-count collapse). Returns the output
+    * file count actually planned.
+    */
+  def compact(s: SparkSession, inDir: String, outDir: String,
+      targetBytes: Long = CompactTargetBytes): Int = {
+    val nOut = math.max(1,
+      math.ceil(dataFileBytes(s, inDir).toDouble / targetBytes).toInt)
+    s.read.parquet(inDir).coalesce(nOut)
+      .write.mode("overwrite").parquet(outDir)
+    nOut
+  }
+
+  /** The maintenance pass every streaming/ingest lake runs: thousands
+    * of per-micro-batch files per partition degrade scan planning (task
+    * per tiny file, listing dominates) until a compactor bin-packs them.
+    * The gate query fragments events into 64 small files (simulating 64
+    * ingest batches), compacts by [[compact]], and aggregates the
+    * read-back — the DuckDB oracle computes the identical aggregate
+    * from the original parquet, so the whole fragment → compact → read
+    * cycle is proven value-invisible.
+    */
+  def compactEvents(s: SparkSession, dir: String): DataFrame = {
+    val fragDir = scratch("frag_events")
+    Tables.events(s, dir).repartition(64)
+      .write.mode("overwrite").parquet(fragDir)
+    val compactDir = scratch("compact_events")
+    compact(s, fragDir, compactDir)
+    s.read.parquet(compactDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("sum_value"),
+        sum(col("user_id")).as("sum_user"),
+        date_format(max(col("ts")), Ts).as("max_ts"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wh_scd2" -> (scd2OrderStatus _),
-    "wh_cdc_apply" -> (cdcApply _)
+    "wh_cdc_apply" -> (cdcApply _),
+    "wh_compact" -> (compactEvents _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -138,6 +222,14 @@ object Warehouse {
         |  b.o_orderpriority,
         |  strftime(b.o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
         |FROM orders b LEFT JOIN ch ON ch.o_orderkey = b.o_orderkey
-        |WHERE ch.op IS NULL OR ch.op <> 'D'""".stripMargin
+        |WHERE ch.op IS NULL OR ch.op <> 'D'""".stripMargin,
+    // compaction is correct iff invisible: the identical aggregate off
+    // the ORIGINAL events parquet
+    "wh_compact" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  sum(user_id)::BIGINT AS sum_user,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

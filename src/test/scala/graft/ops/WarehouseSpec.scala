@@ -63,4 +63,26 @@ class WarehouseSpec extends SparkSpec {
     assert(outMap.keySet == baseMap.keySet.filterNot(_ % 10 == 3))
     base.unpersist(); merged.unpersist()
   }
+
+  test("compaction collapses 64 ingest fragments to the size-targeted " +
+    "file count without a shuffle and without changing a row") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact_spec")
+    val fragDir = root.resolve("frag").toString
+    val outDir = root.resolve("out").toString
+    val ev = graft.Tables.events(spark, sfDir)
+    ev.repartition(64).write.mode("overwrite").parquet(fragDir)
+    assert(Warehouse.dataFileCount(spark, fragDir) == 64)
+    val planned = Warehouse.compact(spark, fragDir, outDir)
+    assert(planned == 1, s"fixture table must bin-pack to one file")
+    assert(Warehouse.dataFileCount(spark, outDir) == 1)
+    // the rewrite plan is shuffle-free: coalesce, never an Exchange
+    val rewritePlan = spark.read.parquet(fragDir).coalesce(1)
+      .queryExecution.executedPlan.toString
+    assert(!rewritePlan.contains("Exchange"),
+      s"compaction rewrite must not shuffle:\n$rewritePlan")
+    // value-invisible: every row survives exactly
+    val before = ev.orderBy("event_id").collect()
+    val after = spark.read.parquet(outDir).orderBy("event_id").collect()
+    assert(before.sameElements(after), "compaction changed data")
+  }
 }
