@@ -330,7 +330,16 @@ object Dedup {
 
   def minhashLshDocs(docs: DataFrame): DataFrame = {
     val sh = shingles(docs).cache()
-    val sig = minhashSignatures(sh)
+    verifyJaccard(lshCandidatesFromSignatures(minhashSignatures(sh)), sh)
+  }
+
+  /** LSH candidate pairs from a signature frame (doc_id, sig) — split
+    * out so the SIGNATURE STORE can come from anywhere: the batch
+    * pipeline computes it inline, the streaming twin
+    * (`stream_dedup_minhash`) accumulates it as streaming state and
+    * hands the drained store to this same code.
+    */
+  def lshCandidatesFromSignatures(sig: DataFrame): DataFrame = {
     val rowsPerBand = NumHashes / NumBands
     val bands = sig.select(
       col("doc_id"),
@@ -349,7 +358,7 @@ object Dedup {
     val hubPairs = buckets.filter(size(col("docs")) > MaxBucket)
       .select(col("docs")(0).as("doc_a"),
         explode(slice(col("docs"), lit(2), size(col("docs")) - 1)).as("doc_b"))
-    verifyJaccard(allPairs.union(hubPairs).distinct(), sh)
+    allPairs.union(hubPairs).distinct()
   }
 
   /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs. The
@@ -360,7 +369,7 @@ object Dedup {
     * — it re-reads the candidate subtree and adds two passes for no
     * reduction — so the straightforward single-pass join stays.)
     */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame): DataFrame = {
+  private[graft] def verifyJaccard(candidates: DataFrame, sh: DataFrame): DataFrame = {
     // SET-PER-DOC verification: one row per candidate pair, overlap via
     // array_intersect on the two ~60-element shingle sets. The previous
     // row-explosion form (candidates ⨝ sh ⨝ sh, |A∩B| rows per pair

@@ -13,6 +13,9 @@ object OpUtil {
     * full-data shuffle.
     */
   def spread(df: DataFrame): DataFrame = {
+    // streaming frames can't be probed (`df.rdd` throws pre-writeStream)
+    // and don't need to be: micro-batch partitioning follows the source
+    if (df.isStreaming) return df
     // only probe scan-shaped plans: on a plan containing an exchange,
     // `df.rdd` under AQE would eagerly materialize every upstream stage
     // just to read the partition count (and the action re-runs them) —

@@ -16,6 +16,7 @@ object StreamQueries {
     "stream_user_totals" -> (EventStreams.userTotals _),
     "stream_sessions" -> (EventStreams.sessionize _),
     "stream_dedup" -> (EventStreams.dedupExact _),
+    "stream_dedup_minhash" -> (EventStreams.minhashDedupStream _),
     "stream_interval_join" -> (EventStreams.clickPurchaseJoin _),
     "stream_interval_left_join" -> (EventStreams.clickPurchaseLeftJoin _),
     "stream_kmv" -> (EventStreams.kmvDistinctStream _),
@@ -79,6 +80,10 @@ object StreamQueries {
       graft.queries.TextQueries.oracles("text_gopher_rules"),
     // same oracle as batch wh_cdc_apply — stream/batch MERGE equivalence
     "stream_cdc_apply" -> graft.ops.Warehouse.oracles("wh_cdc_apply"),
+    // same oracle as batch dedup_minhash — the streamed signature store
+    // feeds the identical LSH + exact-Jaccard finalization
+    "stream_dedup_minhash" ->
+      graft.queries.DedupQueries.oracles("dedup_minhash"),
     // same oracle as batch dedup_exact — arrival-order-independent keeper
     "stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,

@@ -417,6 +417,30 @@ object EventStreams {
     runToMemorySink(s, agg, OutputMode.Complete).localCheckpoint(eager = true)
   }
 
+  /** Streaming NEAR-DUP dedup — MinHash at ingest. The part of the
+    * pipeline that must stream is the SIGNATURE STORE: each arriving
+    * document is shingled and reduced to its 64-component MinHash
+    * signature by the one streaming aggregation (64 `min`s per doc —
+    * order-insensitive and merge-safe across micro-batches, the same
+    * property that makes KMV/HLL valid streaming state; the store is
+    * the product, so its size IS the state, exactly as a production
+    * ingest-time signature table would be). LSH banding, bucket-join
+    * candidate generation, and exact-Jaccard verification then run as
+    * the batch finalization over the drained store — identical code to
+    * `dedup_minhash` ([[graft.ops.Dedup.lshCandidatesFromSignatures]]),
+    * so the streamed signatures are checked by the SAME DuckDB oracle:
+    * any drift the stream introduced into any signature component
+    * surfaces as a candidate-set (and therefore hash) change.
+    */
+  def minhashDedupStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Dedup
+    val sigStream = Dedup.minhashSignatures(Dedup.shingles(docStream(s, dir)))
+    val sig = runToMemorySink(s, sigStream, OutputMode.Complete)
+      .localCheckpoint(eager = true)
+    val sh = Dedup.shingles(graft.Tables.documents(s, dir))
+    Dedup.verifyJaccard(Dedup.lshCandidatesFromSignatures(sig), sh)
+  }
+
   /** The batch Gopher rule gates running UNCHANGED on a stream: the
     * operator is pure per-row arithmetic, so the identical function
     * composes over a streaming frame in Append mode — the streaming

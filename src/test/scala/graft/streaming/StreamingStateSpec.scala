@@ -127,4 +127,44 @@ class StreamingStateSpec extends SparkSpec {
       .sorted
     assert(out.length == batch.length && out.sameElements(batch))
   }
+
+  test("minhash signature store is arrival-split independent: two-batch " +
+    "stream equals the batch pipeline") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // a planted near-dup pair (21-token docs differing in the last token:
+    // 16 of 18 distinct shingles shared, J ≈ 0.89 ≥ 0.8) plus two
+    // unrelated docs, split across micro-batches so signature rows must
+    // merge across batches to match the batch result
+    val words = (0 until 21).map(i => s"tok$i")
+    val d1 = words.mkString(" ")
+    val d2 = (words.take(20) :+ "tokX").mkString(" ")
+    val d3 = (0 until 21).map(i => s"alt$i").mkString(" ")
+    val d4 = (0 until 21).map(i => s"oth$i").mkString(" ")
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, d4))
+    val mem = MemoryStream[(Long, String)]
+    val in = mem.toDF().toDF("doc_id", "text")
+    val sigStream = graft.ops.Dedup.minhashSignatures(
+      graft.ops.Dedup.shingles(in))
+    val name = "minhash_sig_sink"
+    val q = sigStream.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData((1L, d1), (3L, d3))
+      q.processAllAvailable()
+      mem.addData((2L, d2), (4L, d4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedSig = spark.table(name).localCheckpoint(eager = true)
+    val batchDocs = docs.toDF("doc_id", "text")
+    val sh = graft.ops.Dedup.shingles(batchDocs)
+    val streamed = graft.ops.Dedup.verifyJaccard(
+      graft.ops.Dedup.lshCandidatesFromSignatures(streamedSig), sh)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.Dedup.minhashLshDocs(batchDocs)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty,
+      s"stream $streamed vs batch $batch")
+  }
 }
