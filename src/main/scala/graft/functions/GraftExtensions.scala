@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(exprs.head, exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("explode_shingles"),
+      new ExpressionInfo(classOf[ShingleExplode].getName, "explode_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        ShingleExplode(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
       FunctionIdentifier("vec_sqdist"),
       new ExpressionInfo(classOf[VectorSqDist].getName, "vec_sqdist"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
