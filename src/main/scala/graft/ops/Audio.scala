@@ -155,6 +155,10 @@ object Audio {
             (bits != 8 && bits != 16)) return None
           fmt = Some((channels, rate.toInt, bits))
         } else if (id == "data") {
+          // 2^28 samples = 512 MB normalized — any training clip fits;
+          // past it n*2 would wrap the Int array size (the same corrupt-
+          // payload class the image codecs guard against)
+          if (size > (1L << 28)) return None
           return fmt.map { case (channels, rate, bits) =>
             val n = if (bits == 16) (size / 2).toInt else size.toInt
             val out = new Array[Byte](n * 2)
