@@ -47,9 +47,17 @@ object EventStreams {
   }
 
   /** Start `df` as a streaming query into a uniquely-named memory sink,
-    * drain it synchronously, stop it, and return the sink table — with
-    * the streaming partition scoping applied. All engine stream queries
+    * drain it synchronously, stop it, and return the result — with the
+    * streaming partition scoping applied. All engine stream queries
     * funnel through here so none can forget the scoping.
+    *
+    * The sink rows are eagerly checkpointed and the temp view DROPPED
+    * before returning: a MemorySink holds every emitted row on the
+    * driver heap for as long as its view is registered, and a bench or
+    * verify pass running 13 stream queries × several iterations in one
+    * JVM would otherwise accumulate dozens of retained sinks — exactly
+    * the neighborhood-GC pressure the per-query cache clearing exists
+    * to avoid. Callers get a self-contained checkpointed frame.
     */
   private[graft] def runToMemorySink(s: SparkSession, df: DataFrame,
       mode: OutputMode): DataFrame = {
@@ -63,7 +71,9 @@ object EventStreams {
       try q.processAllAvailable()
       finally q.stop()
     }
-    s.table(name)
+    val out = s.table(name).localCheckpoint(eager = true)
+    s.catalog.dropTempView(name)
+    out
   }
 
   /** [[runToMemorySink]] with EXTRA DRAIN PHASES: after the first drain,
@@ -88,7 +98,10 @@ object EventStreams {
         betweenDrains.foreach { f => f(); q.processAllAvailable() }
       } finally q.stop()
     }
-    s.table(name)
+    // same checkpoint-and-drop contract as runToMemorySink
+    val out = s.table(name).localCheckpoint(eager = true)
+    s.catalog.dropTempView(name)
+    out
   }
 
   /** Streaming scan of one table out of a shared sf directory, resolving
@@ -143,7 +156,7 @@ object EventStreams {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
     // materialize before the in-memory sink table goes away
-    runToMemorySink(s, agg, OutputMode.Complete).localCheckpoint(eager = true)
+    runToMemorySink(s, agg, OutputMode.Complete)
   }
 
   final case class UserStat(user_id: Long, n_events: Long, sum_value: Double)
@@ -302,7 +315,7 @@ object EventStreams {
         col("p_ts") < col("c_ts"))
       .select(col("click_id"), col("c_user").as("user_id"),
         col("purchase_id"), round(col("value"), 2).as("purchase_value"))
-    runToMemorySink(s, joined, OutputMode.Append).localCheckpoint(eager = true)
+    runToMemorySink(s, joined, OutputMode.Append)
   }
 
   /** Stream-stream interval LEFT-OUTER join — [[clickPurchaseJoin]]
@@ -414,7 +427,7 @@ object EventStreams {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select(col("doc_id"), col("text_md5"), col("n_copies"))
-    runToMemorySink(s, agg, OutputMode.Complete).localCheckpoint(eager = true)
+    runToMemorySink(s, agg, OutputMode.Complete)
   }
 
   /** Streaming NEAR-DUP dedup — MinHash at ingest. The part of the
@@ -449,7 +462,7 @@ object EventStreams {
     */
   def gopherRulesStream(s: SparkSession, dir: String): DataFrame = {
     val gated = graft.ops.TextAnalysis.gopherRules(docStream(s, dir))
-    runToMemorySink(s, gated, OutputMode.Append).localCheckpoint(eager = true)
+    runToMemorySink(s, gated, OutputMode.Append)
   }
 
   /** Streaming KMV distinct-count sketch: the same custom combinable
@@ -482,7 +495,7 @@ object EventStreams {
   def hllDistinctStream(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Sketches
     val reg = runToMemorySink(s, Sketches.hllRegisters(docTokenStream(s, dir)),
-      OutputMode.Complete).localCheckpoint(eager = true)
+      OutputMode.Complete)
     Sketches.hllFinalize(reg, docExactTokenNdv(s, dir))
   }
 
@@ -502,7 +515,7 @@ object EventStreams {
         .select(col("source"), Sketches.h48(col("tok")).as("h"))
         .groupBy("source")
         .agg(graft.functions.HllRegsAgg.hll_regs(col("h")).as("reg")),
-      OutputMode.Complete).localCheckpoint(eager = true)
+      OutputMode.Complete)
     Sketches.hllFinalizeArray(reg, docExactTokenNdv(s, dir))
   }
 
@@ -520,7 +533,7 @@ object EventStreams {
       StructField("o_totalprice", DoubleType)))
     val vals = Sketches.quantileCents(tableStream(s, dir, "orders", orderSchema))
     val buckets = runToMemorySink(s, Sketches.quantileBuckets(vals),
-      OutputMode.Complete).localCheckpoint(eager = true)
+      OutputMode.Complete)
     Sketches.quantileFinalize(buckets,
       Sketches.quantileCents(graft.Tables.orders(s, dir)))
   }
@@ -532,7 +545,7 @@ object EventStreams {
     val sketch = runToMemorySink(s,
       toks.select(col("source"), Sketches.h48(col("tok")).as("h"))
         .groupBy("source").agg(kmv(col("h")).as("mins")),
-      OutputMode.Complete).localCheckpoint(eager = true)
+      OutputMode.Complete)
     val numerator = (Sketches.KmvK - 1).toLong * (1L << 48)
     val exact = graft.Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ", -1)).as("tok"))
