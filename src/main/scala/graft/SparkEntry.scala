@@ -27,7 +27,9 @@ object SparkEntry {
       graft.ops.PipelineOps.queries ++
       graft.ops.Sketches.queries ++
       graft.ops.GraphOps.queries ++
-      graft.ops.Warehouse.queries
+      graft.ops.Warehouse.queries ++
+      graft.ops.Retrieval.queries ++
+      graft.ops.MlOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +45,7 @@ object SparkEntry {
       graft.ops.PipelineOps.oracles ++
       graft.ops.Sketches.oracles ++
       graft.ops.GraphOps.oracles ++
-      graft.ops.Warehouse.oracles
+      graft.ops.Warehouse.oracles ++
+      graft.queries.OpsQueries.retrievalOracles ++
+      graft.ops.MlOps.oracles
 }

@@ -1,0 +1,197 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Model fitting as combinable aggregation — the "training" corner of a
+  * data engine: quality-classifier fitting, price/size trend models and
+  * calibration curves all reduce to a handful of exact sufficient
+  * statistics or a short fixed loop of them, and that is precisely what
+  * a 100 TB engine is good at (map-side-combinable sums, no parameter
+  * server, no driver-side data).
+  *
+  * Both operators here are EXACT-arithmetic by construction, so unlike
+  * float gradient descent they are oracle-checkable cross-engine:
+  *  - [[linregExact]] solves least squares from DECIMAL(38,0) normal
+  *    equations via Cramer's rule — one pass, five sums, no iteration.
+  *  - [[perceptron]] trains a linear classifier with integer batch
+  *    updates — the per-epoch weight delta is a SUM over misclassified
+  *    rows (order-independent), so the trajectory is deterministic.
+  */
+object MlOps {
+  private val Dec = DecimalType(38, 0)
+
+  /** Ordinary least squares y = b0 + b1*x fitted EXACTLY in one pass:
+    * the normal-equation sums (n, Sx, Sy, Sxx, Sxy) are accumulated as
+    * DECIMAL(38,0) (HUGEINT on the oracle side) and the coefficients
+    * come out of Cramer's rule as exact integer ratios —
+    * beta1 = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2). Big integers are emitted
+    * as STRINGS (exact; the driver's pandas bridge would round a 128-bit
+    * value through float64) plus round-6 double ratios for readability.
+    *
+    * Fits unit price: x = l_quantity, y = l_extendedprice in cents.
+    * Capacity: |Sxy| <= 5e8 per row => DECIMAL(38) holds the Cramer
+    * products to ~sf100_000; sums alone are int64-safe only to ~sf10,
+    * hence decimal from the first partial aggregate on.
+    */
+  def linregExact(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(
+      col("l_quantity").cast("long").as("x"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val sums = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(Dec)).as("sx"),
+      sum(col("y").cast(Dec)).as("sy"),
+      sum((col("x") * col("x")).cast(Dec)).as("sxx"),
+      sum((col("x") * col("y")).cast(Dec)).as("sxy"))
+    val n = col("n").cast(Dec)
+    val det = n * col("sxx") - col("sx") * col("sx")
+    val b0n = col("sxx") * col("sy") - col("sx") * col("sxy")
+    val b1n = n * col("sxy") - col("sx") * col("sy")
+    sums.select(
+      col("n"),
+      col("sx").cast("string").as("sx"),
+      col("sy").cast("string").as("sy"),
+      col("sxx").cast("string").as("sxx"),
+      col("sxy").cast("string").as("sxy"),
+      det.cast("string").as("det"),
+      b0n.cast("string").as("beta0_num"),
+      b1n.cast("string").as("beta1_num"),
+      round(b0n.cast("double") / det.cast("double"), 6).as("beta0"),
+      round(b1n.cast("double") / det.cast("double"), 6).as("beta1"))
+  }
+
+  def linregQuery(s: SparkSession, dir: String): DataFrame =
+    linregExact(Tables.lineitem(s, dir))
+
+  /** Integer document features for the language classifier: bias, char
+    * count (the table's own n_chars), non-empty token count, digit
+    * count; label +1 iff lang = 'en'.
+    */
+  def perceptronFeatures(docs: DataFrame): DataFrame =
+    docs.select(
+      lit(1L).as("x0"),
+      col("n_chars").cast("long").as("x1"),
+      size(filter(split(col("text"), " ", -1),
+        t => length(t) > 0)).cast("long").as("x2"),
+      length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("x3"),
+      when(col("lang") === "en", 1L).otherwise(-1L).as("y"))
+
+  val Epochs = 3
+
+  /** Batch perceptron, `epochs` full passes: each epoch filters to rows
+    * with margin y*(w.x) <= 0 and adds SUM(y*x) to the weights. The
+    * update is one combinable aggregation over the corpus; the driver
+    * holds only the 4 weights (config cardinality, same contract as the
+    * clustering loops). Output: one row per epoch with the post-update
+    * weights and the epoch's misclassified count.
+    */
+  def perceptron(docs: DataFrame, epochs: Int = Epochs): DataFrame = {
+    val session = docs.sparkSession
+    val f = perceptronFeatures(OpUtil.spread(docs)).cache()
+    var w = Array(0L, 0L, 0L, 0L)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long, Long, Long)]()
+    for (epoch <- 1 to epochs) {
+      val margin = col("y") *
+        (lit(w(0)) * col("x0") + lit(w(1)) * col("x1")
+          + lit(w(2)) * col("x2") + lit(w(3)) * col("x3"))
+      val row = f.filter(margin <= 0).agg(
+        coalesce(sum(col("y") * col("x0")), lit(0L)).as("d0"),
+        coalesce(sum(col("y") * col("x1")), lit(0L)).as("d1"),
+        coalesce(sum(col("y") * col("x2")), lit(0L)).as("d2"),
+        coalesce(sum(col("y") * col("x3")), lit(0L)).as("d3"),
+        count(lit(1)).as("m")).head()
+      w = Array(w(0) + row.getLong(0), w(1) + row.getLong(1),
+        w(2) + row.getLong(2), w(3) + row.getLong(3))
+      out += ((epoch, w(0), w(1), w(2), w(3), row.getLong(4)))
+    }
+    f.unpersist(blocking = false)
+    import session.implicits._
+    out.toSeq.toDF("epoch", "w0", "w1", "w2", "w3", "n_mis")
+  }
+
+  def perceptronQuery(s: SparkSession, dir: String): DataFrame =
+    perceptron(Tables.documents(s, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_linreg_exact" -> (linregQuery _),
+    "ml_perceptron" -> (perceptronQuery _))
+
+  private val linregOracle: String =
+    """WITH b AS (
+      |  SELECT l_quantity::BIGINT AS x,
+      |    round(l_extendedprice * 100)::BIGINT AS y
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT count(*)::BIGINT AS n, sum(x::HUGEINT) AS sx,
+      |    sum(y::HUGEINT) AS sy, sum((x * x)::HUGEINT) AS sxx,
+      |    sum((x * y)::HUGEINT) AS sxy
+      |  FROM b),
+      |c AS (
+      |  SELECT n, sx, sy, sxx, sxy,
+      |    n::HUGEINT * sxx - sx * sx AS det,
+      |    sxx * sy - sx * sxy AS beta0_num,
+      |    n::HUGEINT * sxy - sx * sy AS beta1_num
+      |  FROM s)
+      |SELECT n, sx::VARCHAR AS sx, sy::VARCHAR AS sy, sxx::VARCHAR AS sxx,
+      |  sxy::VARCHAR AS sxy, det::VARCHAR AS det,
+      |  beta0_num::VARCHAR AS beta0_num, beta1_num::VARCHAR AS beta1_num,
+      |  round(beta0_num::DOUBLE / det::DOUBLE, 6) AS beta0,
+      |  round(beta1_num::DOUBLE / det::DOUBLE, 6) AS beta1
+      |FROM c""".stripMargin
+
+  // the three training epochs replayed as chained CTEs: m<e> = the
+  // epoch-e misclassified aggregate under the previous weights, w<e> =
+  // the running weights after the update
+  private val perceptronOracle: String =
+    """WITH f AS (
+      |  SELECT 1::BIGINT AS x0, n_chars::BIGINT AS x1,
+      |    len(list_filter(string_split(text, ' '),
+      |      t -> length(t) > 0))::BIGINT AS x2,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS x3,
+      |    (CASE WHEN lang = 'en' THEN 1 ELSE -1 END)::BIGINT AS y
+      |  FROM documents),
+      |m1 AS (
+      |  SELECT coalesce(sum(y * x0), 0)::BIGINT AS d0,
+      |    coalesce(sum(y * x1), 0)::BIGINT AS d1,
+      |    coalesce(sum(y * x2), 0)::BIGINT AS d2,
+      |    coalesce(sum(y * x3), 0)::BIGINT AS d3,
+      |    count(*)::BIGINT AS m
+      |  FROM f WHERE y * 0 <= 0),
+      |w1 AS (SELECT d0 AS a0, d1 AS a1, d2 AS a2, d3 AS a3, m FROM m1),
+      |m2 AS (
+      |  SELECT coalesce(sum(y * x0), 0)::BIGINT AS d0,
+      |    coalesce(sum(y * x1), 0)::BIGINT AS d1,
+      |    coalesce(sum(y * x2), 0)::BIGINT AS d2,
+      |    coalesce(sum(y * x3), 0)::BIGINT AS d3,
+      |    count(*)::BIGINT AS m
+      |  FROM f, w1
+      |  WHERE y * (a0 * x0 + a1 * x1 + a2 * x2 + a3 * x3) <= 0),
+      |w2 AS (
+      |  SELECT w1.a0 + m2.d0 AS a0, w1.a1 + m2.d1 AS a1,
+      |    w1.a2 + m2.d2 AS a2, w1.a3 + m2.d3 AS a3, m2.m
+      |  FROM w1, m2),
+      |m3 AS (
+      |  SELECT coalesce(sum(y * x0), 0)::BIGINT AS d0,
+      |    coalesce(sum(y * x1), 0)::BIGINT AS d1,
+      |    coalesce(sum(y * x2), 0)::BIGINT AS d2,
+      |    coalesce(sum(y * x3), 0)::BIGINT AS d3,
+      |    count(*)::BIGINT AS m
+      |  FROM f, w2
+      |  WHERE y * (a0 * x0 + a1 * x1 + a2 * x2 + a3 * x3) <= 0),
+      |w3 AS (
+      |  SELECT w2.a0 + m3.d0 AS a0, w2.a1 + m3.d1 AS a1,
+      |    w2.a2 + m3.d2 AS a2, w2.a3 + m3.d3 AS a3, m3.m
+      |  FROM w2, m3)
+      |SELECT 1 AS epoch, a0 AS w0, a1 AS w1, a2 AS w2, a3 AS w3,
+      |  m AS n_mis FROM w1
+      |UNION ALL SELECT 2, a0, a1, a2, a3, m FROM w2
+      |UNION ALL SELECT 3, a0, a1, a2, a3, m FROM w3""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "ml_linreg_exact" -> linregOracle,
+    "ml_perceptron" -> perceptronOracle)
+}

@@ -848,4 +848,12 @@ object OpsQueries {
         |  )::INT AS quality_points
         |FROM base""".stripMargin
   )
+
+  /** Retrieval-family oracles live here because the hybrid fusion
+    * replay embeds [[bruteforceOracle]] (its vector arm) verbatim —
+    * the same reuse the recall reports rely on.
+    */
+  val retrievalOracles: Map[String, String] = Map(
+    "text_bm25" -> graft.ops.Retrieval.bm25Oracle,
+    "ann_hybrid_rrf" -> graft.ops.Retrieval.rrfOracle(bruteforceOracle))
 }

@@ -1,0 +1,98 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Known-answer and structural checks for the retrieval (BM25 / RRF)
+  * and exact-ML (Cramer least squares / batch perceptron) families.
+  */
+class RetrievalMlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 ranks the full-match duplicate above the partial match, ties by doc_id") {
+    // doc 0 is the query doc (doc_id < QueryDocs); doc 20 repeats its
+    // text exactly (same score -> id tiebreak), doc 21 matches 2 of 4
+    // terms, doc 22 matches none and must be absent
+    val docs = Seq(
+      (0L, "apple banana cherry date"),
+      (20L, "apple banana cherry date"),
+      (21L, "apple banana kiwi kiwi"),
+      (22L, "melon fig plum grape")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs)
+      .select("query_id", "doc_id", "n_terms", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(out.map(r => (r._2, r._3, r._4)).toSeq ==
+      Seq((0L, 4L, 1), (20L, 4L, 2), (21L, 2L, 3)))
+    assert(out.forall(_._1 == 0L))
+  }
+
+  test("bm25 on the fixture corpus: dense ranks, positive fixed-point scores") {
+    val out = Retrieval.bm25Query(spark, sfDir)
+      .select("query_id", "doc_id", "score_fp", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._3 > 0L))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == Retrieval.QueryDocs)
+    byQ.values.foreach { rs =>
+      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length).toSeq)
+      assert(rs.length <= Retrieval.TopK)
+    }
+  }
+
+  test("hybrid rrf fuses both arms with integer rank arithmetic") {
+    val out = Retrieval.hybridRrf(spark, sfDir)
+      .select("query_id", "doc_id", "lex_rank", "vec_rank", "rrf_fp", "rank")
+      .as[(Long, Long, Long, Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, _, lex, vec, fp, rank) =>
+      assert(rank >= 1 && rank <= Retrieval.FuseK)
+      assert(lex >= 0 && lex <= Retrieval.TopK)
+      assert(vec >= 0 && vec <= Similarity.DefaultK)
+      val expect =
+        (if (lex == 0) 0L else 1000000L / (Retrieval.RrfK + lex)) +
+          (if (vec == 0) 0L else 1000000L / (Retrieval.RrfK + vec))
+      assert(fp == expect)
+      assert(lex > 0 || vec > 0)
+    }
+  }
+
+  test("linregExact recovers y = 1 + 2x exactly on a known triple") {
+    val li = Seq((1.0, 0.03), (2.0, 0.05), (3.0, 0.07))
+      .toDF("l_quantity", "l_extendedprice")
+    val r = MlOps.linregExact(li).collect().head
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[String]("sx") == "6")
+    assert(r.getAs[String]("sy") == "15")
+    assert(r.getAs[String]("sxx") == "14")
+    assert(r.getAs[String]("sxy") == "34")
+    assert(r.getAs[String]("det") == "6")
+    assert(r.getAs[String]("beta0_num") == "6")
+    assert(r.getAs[String]("beta1_num") == "12")
+    assert(r.getAs[Double]("beta0") == 1.0)
+    assert(r.getAs[Double]("beta1") == 2.0)
+  }
+
+  test("perceptron replays the hand-computed 2-doc trajectory") {
+    // en doc: x = (1, 3, 2, 1) y = +1; zh doc: x = (1, 2, 1, 0) y = -1
+    val docs = Seq(
+      (0L, "a 1", "en", 3L),
+      (1L, "bb", "zh", 2L)).toDF("doc_id", "text", "lang", "n_chars")
+    val out = MlOps.perceptron(docs)
+      .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1, 0L, 1L, 1L, 1L, 2L),
+      (2, -1L, -1L, 0L, 1L, 1L),
+      (3, 0L, 2L, 2L, 2L, 1L)))
+  }
+
+  test("perceptron epoch deltas are sums: order/partitioning independent") {
+    val docs = Tables_documents
+    val a = MlOps.perceptron(docs).collect().map(_.toSeq).toSet
+    val b = MlOps.perceptron(docs.repartition(7)).collect().map(_.toSeq).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  private def Tables_documents =
+    graft.Tables.documents(spark, sfDir)
+}
