@@ -116,9 +116,62 @@ object MlOps {
   def perceptronQuery(s: SparkSession, dir: String): DataFrame =
     perceptron(Tables.documents(s, dir))
 
+  /** Multinomial Naive Bayes, trained AND applied in one plan: class =
+    * (lang == 'en') vs rest, features = token occurrences with Laplace
+    * smoothing. Training is two combinable aggregations (per-token class
+    * counts, corpus totals); scoring joins each token occurrence to its
+    * log-likelihood-RATIO — rounded to 1e-6 fixed point FIRST, so the
+    * per-doc score is a BIGINT sum (order-independent, cross-engine
+    * exact; float log-prob sums would depend on partition order). The
+    * per-doc resubstitution report (score, prediction, truth) is the
+    * quality-classifier shape of a curation pipeline: swap the label
+    * column and the same plan trains any binary token-based gate.
+    * Scale: token->stats join shuffles on token; per-doc sum shuffles on
+    * doc_id — both combinable, nothing driver-side, vocab never
+    * collected.
+    */
+  def naiveBayes(docs: DataFrame): DataFrame = {
+    val toks = OpUtil.spread(docs)
+      .select(col("doc_id"),
+        (col("lang") === "en").cast("int").as("is_en"),
+        explode(split(col("text"), " ", -1)).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tokCounts = toks.groupBy("tok").agg(
+      sum(col("is_en")).as("cnt_en"),
+      sum(lit(1) - col("is_en")).as("cnt_ot"))
+    val clsStats = docs.agg(
+      sum((col("lang") === "en").cast("long")).as("n_en"),
+      sum((col("lang") =!= "en").cast("long")).as("n_ot"))
+    val tokStats = tokCounts.agg(
+      sum("cnt_en").as("tot_en"), sum("cnt_ot").as("tot_ot"),
+      count(lit(1)).as("v"))
+    val stats = clsStats.crossJoin(tokStats)
+    val tokLlr = tokCounts.crossJoin(broadcast(stats))
+      .select(col("tok"),
+        round((log((col("cnt_en") + 1.0) / (col("tot_en") + col("v")))
+          - log((col("cnt_ot") + 1.0) / (col("tot_ot") + col("v"))))
+          * 1000000).cast("long").as("llr_fp"))
+    val perDoc = toks.join(tokLlr, "tok")
+      .groupBy("doc_id").agg(sum("llr_fp").as("tok_llr"))
+    val prior = round(log(col("n_en").cast("double") / col("n_ot"))
+      * 1000000).cast("long")
+    docs.select(col("doc_id"), (col("lang") === "en").cast("int").as("is_en"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (prior + coalesce(col("tok_llr"), lit(0L))).as("llr_fp"),
+        col("is_en"))
+      .select(col("doc_id"), col("llr_fp"),
+        (col("llr_fp") >= 0).cast("int").as("pred_en"), col("is_en"))
+  }
+
+  def naiveBayesQuery(s: SparkSession, dir: String): DataFrame =
+    naiveBayes(Tables.documents(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_linreg_exact" -> (linregQuery _),
-    "ml_perceptron" -> (perceptronQuery _))
+    "ml_perceptron" -> (perceptronQuery _),
+    "ml_naive_bayes" -> (naiveBayesQuery _))
 
   private val linregOracle: String =
     """WITH b AS (
@@ -191,7 +244,46 @@ object MlOps {
       |UNION ALL SELECT 2, a0, a1, a2, a3, m FROM w2
       |UNION ALL SELECT 3, a0, a1, a2, a3, m FROM w3""".stripMargin
 
+  private val naiveBayesOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, is_en, tok FROM (
+      |    SELECT doc_id,
+      |      (CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_en,
+      |      unnest(string_split(text, ' ')) AS tok
+      |    FROM documents)
+      |  WHERE length(tok) > 0),
+      |tc AS (
+      |  SELECT tok, sum(is_en)::BIGINT AS cnt_en,
+      |    sum(1 - is_en)::BIGINT AS cnt_ot
+      |  FROM toks GROUP BY tok),
+      |cs AS (
+      |  SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+      |    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)::BIGINT AS n_ot
+      |  FROM documents),
+      |ts AS (
+      |  SELECT sum(cnt_en)::BIGINT AS tot_en, sum(cnt_ot)::BIGINT AS tot_ot,
+      |    count(*)::BIGINT AS v
+      |  FROM tc),
+      |tl AS (
+      |  SELECT tok,
+      |    round((ln((cnt_en + 1.0) / (tot_en + v))
+      |      - ln((cnt_ot + 1.0) / (tot_ot + v))) * 1000000)::BIGINT AS llr_fp
+      |  FROM tc CROSS JOIN ts),
+      |pd AS (
+      |  SELECT doc_id, sum(llr_fp)::BIGINT AS tok_llr
+      |  FROM toks JOIN tl USING (tok) GROUP BY doc_id),
+      |o AS (
+      |  SELECT d.doc_id,
+      |    (round(ln(n_en::DOUBLE / n_ot) * 1000000)::BIGINT
+      |      + coalesce(pd.tok_llr, 0))::BIGINT AS llr_fp,
+      |    (CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::INT AS is_en
+      |  FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id CROSS JOIN cs)
+      |SELECT doc_id, llr_fp,
+      |  (CASE WHEN llr_fp >= 0 THEN 1 ELSE 0 END)::INT AS pred_en, is_en
+      |FROM o""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ml_linreg_exact" -> linregOracle,
-    "ml_perceptron" -> perceptronOracle)
+    "ml_perceptron" -> perceptronOracle,
+    "ml_naive_bayes" -> naiveBayesOracle)
 }

@@ -24,7 +24,8 @@ object StreamQueries {
     "stream_hll_native" -> (EventStreams.hllDistinctStreamNative _),
     "stream_quantile" -> (EventStreams.quantileSketchStream _),
     "stream_gopher_rules" -> (EventStreams.gopherRulesStream _),
-    "stream_cdc_apply" -> (graft.streaming.ChangelogStream.cdcApplyStream _)
+    "stream_cdc_apply" -> (graft.streaming.ChangelogStream.cdcApplyStream _),
+    "stream_topk" -> (EventStreams.topkStream _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -88,6 +89,18 @@ object StreamQueries {
     "stream_dedup" ->
       """SELECT min(doc_id) AS doc_id, md5(text) AS text_md5,
         |  count(*) AS n_copies
-        |FROM documents GROUP BY text""".stripMargin
+        |FROM documents GROUP BY text""".stripMargin,
+    // batch top-k per event_type — the bounded O(k)-state stream must
+    // land exactly here regardless of batch boundaries
+    "stream_topk" ->
+      s"""WITH v AS (
+         |  SELECT event_type, event_id,
+         |    round(value * 100)::BIGINT AS value_fp
+         |  FROM events),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY event_type
+         |    ORDER BY value_fp DESC, event_id) AS rank FROM v)
+         |SELECT event_type, rank, event_id, value_fp
+         |FROM r WHERE rank <= ${graft.streaming.EventStreams.TopkK}""".stripMargin
   )
 }

@@ -203,6 +203,59 @@ object EventStreams {
     out.localCheckpoint(eager = true)
   }
 
+  final case class TkEv(event_type: String, event_id: Long, value_fp: Long)
+  final case class TopItem(value_fp: Long, event_id: Long)
+  final case class TopkSt(event_type: String, n_seen: Long, items: Seq[TopItem])
+
+  /** Streaming top-k per key kept as BOUNDED state: each key's state is
+    * its k best (value, id) pairs so far — merging a micro-batch into
+    * the kept set is lossless for top-k (an item once outside the
+    * running top-k can never re-enter it), so the final state equals
+    * the batch top-k no matter how the stream was chopped into batches
+    * or ordered. State per key is O(k) forever — the shape that
+    * replaces "sort the stream" (unbounded) for leaderboard/threshold
+    * queries. Values rank as exact cents (round(value*100) as BIGINT)
+    * with id tiebreak, so the ranking is integer-deterministic
+    * cross-engine.
+    */
+  val TopkK = 10
+
+  private[graft] def topkStats(events: DataFrame, k: Int): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val updateFn: (String, Iterator[TkEv], GroupState[TopkSt]) => TopkSt =
+      (et, evs, state) => {
+        val st = state.getOption.getOrElse(TopkSt(et, 0L, Seq.empty))
+        val batch = evs.map(e => TopItem(e.value_fp, e.event_id)).toArray
+        val merged = (st.items ++ batch)
+          .sortBy(i => (-i.value_fp, i.event_id)).take(k)
+        val next = TopkSt(et, st.n_seen + batch.length, merged)
+        state.update(next)
+        next
+      }
+    events
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("value_fp"))
+      .as[TkEv]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(updateFn)
+      .toDF()
+  }
+
+  /** Update mode re-emits a key per batch; the state with the largest
+    * n_seen is the final one. Ranks come from the state's own order.
+    */
+  private[graft] def finalizeTopk(sink: DataFrame): DataFrame =
+    sink.groupBy("event_type")
+      .agg(max(struct(col("n_seen"), col("items"))).as("last"))
+      .select(col("event_type"), posexplode(col("last.items")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.event_id").as("event_id"), col("col.value_fp").as("value_fp"))
+
+  def topkStream(s: SparkSession, dir: String): DataFrame =
+    finalizeTopk(runToMemorySink(s, topkStats(eventStream(s, dir), TopkK),
+      OutputMode.Update)).localCheckpoint(eager = true)
+
   final case class TimedEv(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class UserStatE(user_id: Long, n_events: Long, sum_value: Double,
     evicted: Boolean)

@@ -85,6 +85,30 @@ class RetrievalMlSpec extends SparkSpec {
       (3, 0L, 2L, 2L, 2L, 1L)))
   }
 
+  test("naive bayes replays the hand-computable 2-doc LLR") {
+    val docs = Seq(
+      (0L, "a a", "en"),
+      (1L, "b", "zh")).toDF("doc_id", "text", "lang")
+    val out = MlOps.naiveBayes(docs)
+      .as[(Long, Long, Int, Int)].collect().sortBy(_._1)
+    // vocab = {a, b}, tot_en = 2, tot_ot = 1, prior = ln(1/1) = 0
+    val llrA = math.round((math.log(3.0 / 4) - math.log(1.0 / 3)) * 1000000)
+    val llrB = math.round((math.log(1.0 / 4) - math.log(2.0 / 3)) * 1000000)
+    assert(out.toSeq == Seq(
+      (0L, 2 * llrA, 1, 1),   // two occurrences of 'a', en-positive
+      (1L, llrB, 0, 0)))
+  }
+
+  test("naive bayes on the fixture corpus beats the majority-class baseline") {
+    val out = MlOps.naiveBayes(Tables_documents)
+      .as[(Long, Long, Int, Int)].collect()
+    assert(out.length == Tables_documents.count())
+    val acc = out.count(r => r._3 == r._4).toDouble / out.length
+    val majority = out.map(_._4).sum.toDouble / out.length
+    // resubstitution accuracy must at least clear predicting all-en
+    assert(acc >= majority, s"acc $acc vs majority $majority")
+  }
+
   test("perceptron epoch deltas are sums: order/partitioning independent") {
     val docs = Tables_documents
     val a = MlOps.perceptron(docs).collect().map(_.toSeq).toSet

@@ -100,6 +100,41 @@ class StreamingStateSpec extends SparkSpec {
     assert(last(3L) == ((1L, 4.0)), last.toString)
   }
 
+  test("streaming top-k state is batch-chop independent and truly bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // 30 events, one key, values permuted so the top-10 spreads across
+    // batches; run once as 1 batch and once as 3 — identical final rows
+    val vals = (1 to 30).map(i => (i.toLong, ((i * 17) % 30 + 1) * 1.0))
+    def drive(chunks: Seq[Seq[(Long, Double)]]) = {
+      val mem = MemoryStream[(String, Long, Double)]
+      val in = mem.toDF().toDF("event_type", "event_id", "value")
+      val out = EventStreams.topkStats(in, 10)
+      val name = "topk_sink_" + chunks.length
+      val q = out.writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName(name).start()
+      try chunks.foreach { c =>
+        mem.addData(c.map { case (id, v) => ("click", id, v) })
+        q.processAllAvailable()
+      } finally q.stop()
+      val r = EventStreams.finalizeTopk(spark.table(name))
+        .as[(String, Int, Long, Long)].collect().toSeq.sorted
+      spark.catalog.dropTempView(name)
+      r
+    }
+    val oneShot = drive(Seq(vals))
+    val chopped = drive(Seq(vals.take(7), vals.slice(7, 19), vals.drop(19)))
+    assert(oneShot == chopped)
+    assert(oneShot.length == 10)
+    // the kept set is the true batch top-10 (cents fixed point, id tiebreak)
+    val expect = vals.map { case (id, v) => (math.round(v * 100), id) }
+      .sortBy(p => (-p._1, p._2)).take(10)
+      .zipWithIndex
+      .map { case ((fp, id), i) => ("click", i + 1, id, fp) }.sorted
+    assert(oneShot == expect)
+  }
+
   test("left-outer interval join emits watermark-evicted null rows, batch-equal") {
     val out = EventStreams.clickPurchaseLeftJoin(spark, sfDir)
       .collect()
