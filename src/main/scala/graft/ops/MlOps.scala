@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -168,10 +169,46 @@ object MlOps {
   def naiveBayesQuery(s: SparkSession, dir: String): DataFrame =
     naiveBayes(Tables.documents(s, dir))
 
+  /** Exact ROC-AUC of the [[naiveBayes]] scores via the Mann-Whitney
+    * rank statistic, ties handled by midrank — ALL in integer
+    * arithmetic: scores collapse to per-distinct-value (count, positive
+    * count) groups, a running-count window gives each group its
+    * [rmin, rmax] rank span, and 2U = sum over positives of
+    * (rmin + rmax) - P(P+1) stays a BIGINT (midranks are half-integers,
+    * so doubling clears the fraction). auc = 2U / (2 P N) emerges from
+    * ONE double division, rounded to 6 — no float accumulates across
+    * rows, so the classifier's headline quality metric is cross-engine
+    * exact. The global window runs over DISTINCT scores (bounded far
+    * below corpus size), not rows.
+    */
+  def aucReport(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val g = scored.groupBy(col(scoreCol).as("s")).agg(
+      count(lit(1)).as("cnt"),
+      sum(col(labelCol)).as("pos"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = g.select(col("s"), col("cnt"), col("pos"),
+      sum(col("cnt")).over(w).as("cum"))
+    val tot = ranked.agg(
+      sum(col("pos") * (lit(2) * col("cum") - col("cnt") + 1)).as("possum2"),
+      sum("pos").as("n_pos"),
+      sum(col("cnt") - col("pos")).as("n_neg"))
+    tot.select(
+      col("n_pos"), col("n_neg"),
+      (col("possum2") - col("n_pos") * (col("n_pos") + 1)).as("auc_num"),
+      (lit(2) * col("n_pos") * col("n_neg")).as("auc_den"))
+      .withColumn("auc", round(col("auc_num").cast("double")
+        / col("auc_den"), 6))
+  }
+
+  def aucQuery(s: SparkSession, dir: String): DataFrame =
+    aucReport(naiveBayes(Tables.documents(s, dir)), "llr_fp", "is_en")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_linreg_exact" -> (linregQuery _),
     "ml_perceptron" -> (perceptronQuery _),
-    "ml_naive_bayes" -> (naiveBayesQuery _))
+    "ml_naive_bayes" -> (naiveBayesQuery _),
+    "ml_auc_report" -> (aucQuery _))
 
   private val linregOracle: String =
     """WITH b AS (
@@ -282,8 +319,33 @@ object MlOps {
       |  (CASE WHEN llr_fp >= 0 THEN 1 ELSE 0 END)::INT AS pred_en, is_en
       |FROM o""".stripMargin
 
+  // the NB replay feeds the rank-statistic replay: distinct-score
+  // groups, running-count rank spans, midrank-doubled Mann-Whitney
+  private def aucOracle: String =
+    s"""WITH nb AS ($naiveBayesOracle),
+       |g AS (
+       |  SELECT llr_fp AS s, count(*)::BIGINT AS cnt,
+       |    sum(is_en)::BIGINT AS pos
+       |  FROM nb GROUP BY 1),
+       |r AS (
+       |  SELECT s, cnt, pos,
+       |    sum(cnt) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+       |  FROM g),
+       |t AS (
+       |  SELECT sum(pos * (2 * cum - cnt + 1))::BIGINT AS possum2,
+       |    sum(pos)::BIGINT AS n_pos, sum(cnt - pos)::BIGINT AS n_neg
+       |  FROM r)
+       |SELECT n_pos, n_neg,
+       |  (possum2 - n_pos * (n_pos + 1))::BIGINT AS auc_num,
+       |  (2 * n_pos * n_neg)::BIGINT AS auc_den,
+       |  round((possum2 - n_pos * (n_pos + 1))::DOUBLE
+       |    / (2 * n_pos * n_neg), 6) AS auc
+       |FROM t""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ml_linreg_exact" -> linregOracle,
     "ml_perceptron" -> perceptronOracle,
-    "ml_naive_bayes" -> naiveBayesOracle)
+    "ml_naive_bayes" -> naiveBayesOracle,
+    "ml_auc_report" -> aucOracle)
 }

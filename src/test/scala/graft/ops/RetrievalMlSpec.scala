@@ -109,6 +109,19 @@ class RetrievalMlSpec extends SparkSpec {
     assert(acc >= majority, s"acc $acc vs majority $majority")
   }
 
+  test("auc report handles ties by midrank: hand case 7/8") {
+    // pairs: pos(2) vs neg(1) win, pos(2) vs neg(2) tie=0.5,
+    // pos(3) beats both -> AUC = 3.5/4 = 0.875
+    val scored = Seq((1L, 0), (2L, 1), (2L, 0), (3L, 1))
+      .toDF("llr_fp", "is_en")
+    val r = MlOps.aucReport(scored, "llr_fp", "is_en").collect().head
+    assert(r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Long]("n_neg") == 2L)
+    assert(r.getAs[Long]("auc_num") == 7L)
+    assert(r.getAs[Long]("auc_den") == 8L)
+    assert(r.getAs[Double]("auc") == 0.875)
+  }
+
   test("perceptron epoch deltas are sums: order/partitioning independent") {
     val docs = Tables_documents
     val a = MlOps.perceptron(docs).collect().map(_.toSeq).toSet
