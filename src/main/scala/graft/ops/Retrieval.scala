@@ -57,13 +57,17 @@ object Retrieval {
     val toks = OpUtil.spread(docs)
       .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // ONE tokenize+shuffle builds tf; doc lengths and corpus totals are
+    // rollups OF tf (sum of a doc's term counts = its token count), so
+    // the corpus is tokenized once, not three times. tf is cached for
+    // its three consumers (df stats, candidates, rollups).
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).cache()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     // corpus stats as ONE broadcast row — avgdl is derived from the two
     // exact BIGINTs by a single double division, identically on both
     // engines (avg() would sum doubles in engine-dependent order)
     val stats = docs.agg(count(lit(1)).as("n_docs"))
-      .crossJoin(toks.agg(count(lit(1)).as("total_tokens")))
+      .crossJoin(dl.agg(sum(col("dl")).as("total_tokens")))
     val qterms = docs.filter(col("doc_id") < QueryDocs)
       .select(col("doc_id").as("query_id"),
         explode(slice(split(col("text"), " ", -1), 1, QueryTerms)).as("term"))

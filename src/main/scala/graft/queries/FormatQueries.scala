@@ -144,7 +144,10 @@ object FormatQueries {
     * the scratch dir is cleared first; double → string → double is
     * lossless, making the encode invisible to the aggregate.
     */
-  def fixedRoundTrip(s: SparkSession, d: String): DataFrame = {
+  /** Write lineitem as graft-fixed 100-byte records (shared by the
+    * round trip and the count-pushdown gate), returning the directory.
+    */
+  private def writeFixedLineitem(s: SparkSession, d: String): String = {
     // Spark's lpad TRUNCATES to len, so a >10-digit orderkey would be
     // silently corrupted at encode time and only surface as a downstream
     // oracle hash divergence. Fail the write loudly instead: 10 digits
@@ -163,6 +166,11 @@ object FormatQueries {
     li.write.format("graft-fixed")
       .option("keyLen", "10").option("valueLen", "90")
       .mode("append").save(dir)
+    dir
+  }
+
+  def fixedRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val dir = writeFixedLineitem(s, d)
     s.read.format("graft-fixed")
       .option("keyLen", "10").option("valueLen", "90").load(dir)
       .select(col("key").cast("string").cast("long").as("okey"),
@@ -276,8 +284,25 @@ object FormatQueries {
     "fmt_partitioned_prune" -> (partitionedPrune _),
     "fmt_fixed_roundtrip" -> (fixedRoundTrip _),
     "fmt_bucketed_join" -> (bucketedJoin _),
-    "fmt_dpp_prune" -> (dppPrune _)
+    "fmt_dpp_prune" -> (dppPrune _),
+    "fmt_count_pushdown" -> (countPushdown _)
   )
+
+  /** Global COUNT(*) through the DSv2 connector's aggregate pushdown:
+    * the plan's scan is the metadata-only [[graft.sources.FixedRecordCountScan]]
+    * — row count derived from file lengths, zero data bytes read, the
+    * listing-time answer a 100 TB fixed-record directory deserves. The
+    * oracle counts the ORIGINAL lineitem, so the gate proves the
+    * pushed count equals the true row count end-to-end (write + listing
+    * + length arithmetic). Plan shape (BatchScan is the count scan; no
+    * data read) is spec-asserted in `FixedRecordSourceSpec`.
+    */
+  def countPushdown(s: SparkSession, d: String): DataFrame = {
+    val dir = writeFixedLineitem(s, d)
+    s.read.format("graft-fixed")
+      .option("keyLen", "10").option("valueLen", "90").load(dir)
+      .agg(count(lit(1)).as("n_records"))
+  }
 
   /** Every oracle reads the ORIGINAL parquet table — a format round trip
     * is correct iff it is invisible to the aggregate.
@@ -332,6 +357,9 @@ object FormatQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    // the pushed metadata-only count must equal the true row count
+    "fmt_count_pushdown" ->
+      "SELECT count(*)::BIGINT AS n_records FROM lineitem"
   )
 }

@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
@@ -56,6 +57,24 @@ object FixedRecordSource {
   val DefaultKeyLen = 10
   val DefaultValueLen = 90
   val DefaultSplitSize: Long = 128L * 1024 * 1024
+
+  /** Shared data-file listing (path-sorted, staging/underscore files
+    * skipped) — both the record scan and the metadata-only count scan
+    * must see exactly the same file set.
+    */
+  private[sources] def listDataFiles(path: String): Array[org.apache.hadoop.fs.FileStatus] = {
+    val p = new Path(path)
+    // the session's Hadoop conf, not a bare Configuration — spark.hadoop.*
+    // (s3a credentials, HA nameservices, ...) must reach the filesystem
+    val fs = p.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(_.isFile)
+        .filterNot(f => f.getPath.getName.startsWith("_") ||
+          f.getPath.getName.startsWith(".")) // "." = in-progress staging
+        .sortBy(_.getPath.toString)
+    else Array(fs.getFileStatus(p))
+  }
 }
 
 final class FixedRecordTable(options: CaseInsensitiveStringMap)
@@ -185,12 +204,36 @@ final case class FixedRecordWriterFactory(path: String, queryId: String,
 }
 
 final class FixedRecordScanBuilder(options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = FixedRecordSource.fullSchema
+  private var pushedCountStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** COUNT(*) answered from the FILE LISTING alone: fixed-length records
+    * make row count a pure function of byte length (len / recordLen —
+    * the same invariant the split planner already requires), so a global
+    * count over 100 TB touches zero data bytes and runs in listing time.
+    * Only the bare global COUNT(*) shape is accepted; anything else
+    * (group-bys, other aggregates, counts of a column) scans normally.
+    * Counts are EXACT, so the pushdown is complete — Spark plans no
+    * re-aggregation on top.
+    */
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+    if (ok) pushedCountStar = true
+    ok
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions.head.isInstanceOf[CountStar]
 
   override def build(): Scan = {
     val keyLen = options.getInt("keyLen", FixedRecordSource.DefaultKeyLen)
@@ -198,7 +241,53 @@ final class FixedRecordScanBuilder(options: CaseInsensitiveStringMap)
     val split = options.getLong("splitSize", FixedRecordSource.DefaultSplitSize)
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-fixed: missing path"))
-    new FixedRecordScan(path, keyLen, valueLen, split, required)
+    if (pushedCountStar)
+      new FixedRecordCountScan(path, keyLen + valueLen)
+    else
+      new FixedRecordScan(path, keyLen, valueLen, split, required)
+  }
+}
+
+/** The metadata-only scan a pushed-down global COUNT(*) builds: the
+  * pushdown is COMPLETE (counts from file lengths are exact, Spark
+  * plans no re-aggregation), so the scan emits exactly ONE row holding
+  * the directory total, summed from the listing at plan time — no file
+  * is ever opened.
+  */
+final class FixedRecordCountScan(path: String, recordLen: Int)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = StructType(Seq(
+    StructField("count_star", org.apache.spark.sql.types.LongType,
+      nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-fixed COUNT(*) metadata-only pushdown path=$path record=$recordLen"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val total = FixedRecordSource.listDataFiles(path).map { f =>
+      require(f.getLen % recordLen == 0,
+        s"${f.getPath}: length ${f.getLen} not a multiple of record length $recordLen")
+      f.getLen / recordLen
+    }.sum
+    Array(FixedRecordCountPartition(total))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    FixedRecordCountReaderFactory
+}
+
+final case class FixedRecordCountPartition(count: Long) extends InputPartition
+
+object FixedRecordCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val n = partition.asInstanceOf[FixedRecordCountPartition].count
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](n))
+      override def close(): Unit = ()
+    }
   }
 }
 

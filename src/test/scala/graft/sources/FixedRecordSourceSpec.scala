@@ -95,6 +95,32 @@ class FixedRecordSourceSpec extends SparkSpec {
     }
   }
 
+  test("global COUNT(*) pushes down to the metadata-only scan; filters block it") {
+    withDir { dir =>
+      val out = s"$dir/records"
+      TeraIO.write(TeraGen.records(spark, 3000, numPartitions = 3).rdd, out)
+      val df = spark.read.format("graft-fixed").load(out)
+
+      val pushed = df.agg(count(lit(1)).as("n"))
+      assert(pushed.as[Long].head() == 3000L)
+      val plan = pushed.queryExecution.executedPlan.toString
+      assert(plan.contains("metadata-only pushdown"), s"no pushdown in:\n$plan")
+      assert(!plan.toLowerCase.contains("hashaggregate"),
+        s"complete pushdown must not re-aggregate:\n$plan")
+
+      // a filter means rows must actually be read — the pushdown must
+      // NOT fire and the answer must still be exact
+      val filtered = df.filter(length(col("key")) === 10).agg(count(lit(1)).as("n"))
+      assert(filtered.as[Long].head() == 3000L)
+      val fplan = filtered.queryExecution.executedPlan.toString
+      assert(!fplan.contains("metadata-only pushdown"), s"unexpected pushdown:\n$fplan")
+
+      // count of a COLUMN (null-sensitive) is not the CountStar shape
+      val colCount = df.agg(count(col("key")).as("n"))
+      assert(colCount.as[Long].head() == 3000L)
+    }
+  }
+
   test("splitSize fans a single file out to multiple partitions") {
     withDir { dir =>
       val out = s"$dir/records"
