@@ -121,6 +121,29 @@ class FixedRecordSourceSpec extends SparkSpec {
     }
   }
 
+  test("reported statistics make a small fixed table auto-broadcast") {
+    withDir { dir =>
+      val out = s"$dir/records"
+      TeraIO.write(TeraGen.records(spark, 1000, numPartitions = 1).rdd, out)
+      val fixed = spark.read.format("graft-fixed").load(out) // 100 KB
+      // exact stats surface to the optimizer
+      val stats = fixed.queryExecution.optimizedPlan.stats
+      assert(stats.sizeInBytes == BigInt(100000), stats.toString)
+      assert(stats.rowCount.contains(BigInt(1000)), stats.toString)
+      // and drive join planning: the probe side is RDD-backed (unknown,
+      // assumed-huge stats); no hint, yet the fixed side broadcasts
+      val keyRdd = TeraIO.read(spark, out).map(_._1)
+      val other = spark.createDataset(keyRdd)(
+          org.apache.spark.sql.Encoders.BINARY)
+        .toDF("key").crossJoin(spark.range(0, 50))
+      val joined = other.join(fixed, "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"expected auto-broadcast of the 100 KB side:\n$plan")
+      assert(joined.count() == 50000)
+    }
+  }
+
   test("splitSize fans a single file out to multiple partitions") {
     withDir { dir =>
       val out = s"$dir/records"
