@@ -38,16 +38,25 @@ object MlOps {
     * products to ~sf100_000; sums alone are int64-safe only to ~sf10,
     * hence decimal from the first partial aggregate on.
     */
-  def linregExact(lineitem: DataFrame): DataFrame = {
-    val base = lineitem.select(
+  /** The sufficient-statistics aggregation — works identically as a
+    * batch aggregate or a streaming one (the sums are combinable, so
+    * micro-batch accumulation IS the training).
+    */
+  private[graft] def linregSums(lineitem: DataFrame): DataFrame =
+    lineitem.select(
       col("l_quantity").cast("long").as("x"),
       round(col("l_extendedprice") * 100).cast("long").as("y"))
-    val sums = base.agg(
-      count(lit(1)).as("n"),
-      sum(col("x").cast(Dec)).as("sx"),
-      sum(col("y").cast(Dec)).as("sy"),
-      sum((col("x") * col("x")).cast(Dec)).as("sxx"),
-      sum((col("x") * col("y")).cast(Dec)).as("sxy"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(Dec)).as("sx"),
+        sum(col("y").cast(Dec)).as("sy"),
+        sum((col("x") * col("x")).cast(Dec)).as("sxx"),
+        sum((col("x") * col("y")).cast(Dec)).as("sxy"))
+
+  /** Cramer finalization over a single sums row (batch and stream share
+    * it, and therefore share the oracle).
+    */
+  private[graft] def linregFinalize(sums: DataFrame): DataFrame = {
     val n = col("n").cast(Dec)
     val det = n * col("sxx") - col("sx") * col("sx")
     val b0n = col("sxx") * col("sy") - col("sx") * col("sxy")
@@ -65,8 +74,30 @@ object MlOps {
       round(b1n.cast("double") / det.cast("double"), 6).as("beta1"))
   }
 
+  def linregExact(lineitem: DataFrame): DataFrame =
+    linregFinalize(linregSums(lineitem))
+
   def linregQuery(s: SparkSession, dir: String): DataFrame =
     linregExact(Tables.lineitem(s, dir))
+
+  /** STREAMING model training: the same sufficient statistics run AS
+    * the streaming aggregation (Complete mode, one refreshed totals row
+    * per micro-batch — state is five numbers, O(1) forever), finalized
+    * by the same Cramer code. Training a linear model on an unbounded
+    * feed reduces to keeping five sums current; stream/batch share the
+    * oracle verbatim, proving arrival-order independence of the fit.
+    */
+  def linregStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType)))
+    val li = graft.streaming.EventStreams.tableStream(s, dir, "lineitem", schema)
+    val sums = linregSums(li)
+    val sink = graft.streaming.EventStreams.runToMemorySink(s, sums,
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    linregFinalize(sink).localCheckpoint(eager = true)
+  }
 
   /** Integer document features for the language classifier: bias, char
     * count (the table's own n_chars), non-empty token count, digit
@@ -208,7 +239,8 @@ object MlOps {
     "ml_linreg_exact" -> (linregQuery _),
     "ml_perceptron" -> (perceptronQuery _),
     "ml_naive_bayes" -> (naiveBayesQuery _),
-    "ml_auc_report" -> (aucQuery _))
+    "ml_auc_report" -> (aucQuery _),
+    "stream_linreg" -> (linregStream _))
 
   private val linregOracle: String =
     """WITH b AS (
@@ -347,5 +379,8 @@ object MlOps {
     "ml_linreg_exact" -> linregOracle,
     "ml_perceptron" -> perceptronOracle,
     "ml_naive_bayes" -> naiveBayesOracle,
-    "ml_auc_report" -> aucOracle)
+    "ml_auc_report" -> aucOracle,
+    // stream/batch training equivalence: the streamed sums must finalize
+    // to the IDENTICAL exact fit
+    "stream_linreg" -> linregOracle)
 }

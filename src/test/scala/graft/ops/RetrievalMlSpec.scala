@@ -122,6 +122,30 @@ class RetrievalMlSpec extends SparkSpec {
     assert(r.getAs[Double]("auc") == 0.875)
   }
 
+  test("streamed linreg accumulates across micro-batches to the exact batch fit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pts = Seq((1.0, 0.03), (2.0, 0.05), (3.0, 0.07), (4.0, 0.09))
+    val mem = MemoryStream[(Double, Double)]
+    val in = mem.toDF().toDF("l_quantity", "l_extendedprice")
+    val name = "linreg_sink"
+    val q = MlOps.linregSums(in).writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name).start()
+    try {
+      mem.addData(pts.take(2)); q.processAllAvailable()
+      mem.addData(pts.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = MlOps.linregFinalize(spark.table(name))
+      .collect().head.toSeq
+    spark.catalog.dropTempView(name)
+    val batch = MlOps.linregExact(
+      pts.toDF("l_quantity", "l_extendedprice")).collect().head.toSeq
+    assert(streamed == batch)
+    // y = 0.01 + 0.02x exactly: beta checks the fit is the true one
+    assert(streamed(8) == 1.0 && streamed(9) == 2.0)
+  }
+
   test("perceptron epoch deltas are sums: order/partitioning independent") {
     val docs = Tables_documents
     val a = MlOps.perceptron(docs).collect().map(_.toSeq).toSet
