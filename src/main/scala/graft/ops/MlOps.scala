@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -98,6 +98,64 @@ object MlOps {
       org.apache.spark.sql.streaming.OutputMode.Complete)
     linregFinalize(sink).localCheckpoint(eager = true)
   }
+
+  /** Multi-feature exact least squares — y = b0 + b1*x1 + b2*x2 via the
+    * full 3x3 normal matrix and Cramer's rule, same exact-DECIMAL(38)
+    * discipline as [[linregExact]]: ONE pass accumulates the 9 sufficient
+    * statistics (all combinable), the driver-side work is zero, and the
+    * coefficient numerators/determinant come out as exact integers
+    * (strings across the gate). Fits price on quantity + discount.
+    * Capacity: the Cramer cofactor products reach ~5e32 at sf1 and grow
+    * linearly in each sum — exact to roughly sf10_000 for det, ~sf50 for
+    * the numerators before DECIMAL(38) overflows (Spark nulls on decimal
+    * overflow rather than wrapping, so exhaustion is loud; center the
+    * features to extend range).
+    */
+  def linregMulti(lineitem: DataFrame): DataFrame = {
+    val base = lineitem.select(
+      col("l_quantity").cast("long").as("x1"),
+      round(col("l_discount") * 100).cast("long").as("x2"),
+      round(col("l_extendedprice") * 100).cast("long").as("y"))
+    val sums = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("x1").cast(Dec)).as("sx1"),
+      sum(col("x2").cast(Dec)).as("sx2"),
+      sum((col("x1") * col("x1")).cast(Dec)).as("sx11"),
+      sum((col("x1") * col("x2")).cast(Dec)).as("sx12"),
+      sum((col("x2") * col("x2")).cast(Dec)).as("sx22"),
+      sum(col("y").cast(Dec)).as("sy"),
+      sum((col("x1") * col("y")).cast(Dec)).as("sx1y"),
+      sum((col("x2") * col("y")).cast(Dec)).as("sx2y"))
+    def det3(a: Column, b: Column, c: Column,
+        d: Column, e: Column, f: Column,
+        g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val n = col("n").cast(Dec)
+    val (sx1, sx2) = (col("sx1"), col("sx2"))
+    val (sx11, sx12, sx22) = (col("sx11"), col("sx12"), col("sx22"))
+    val (sy, sx1y, sx2y) = (col("sy"), col("sx1y"), col("sx2y"))
+    // A = [[n,sx1,sx2],[sx1,sx11,sx12],[sx2,sx12,sx22]], rhs = [sy,sx1y,sx2y]
+    val det = det3(n, sx1, sx2, sx1, sx11, sx12, sx2, sx12, sx22)
+    val b0n = det3(sy, sx1, sx2, sx1y, sx11, sx12, sx2y, sx12, sx22)
+    val b1n = det3(n, sy, sx2, sx1, sx1y, sx12, sx2, sx2y, sx22)
+    val b2n = det3(n, sx1, sy, sx1, sx11, sx1y, sx2, sx12, sx2y)
+    sums.select(
+      col("n"),
+      sx1.cast("string").as("sx1"), sx2.cast("string").as("sx2"),
+      sx11.cast("string").as("sx11"), sx12.cast("string").as("sx12"),
+      sx22.cast("string").as("sx22"), sy.cast("string").as("sy"),
+      sx1y.cast("string").as("sx1y"), sx2y.cast("string").as("sx2y"),
+      det.cast("string").as("det"),
+      b0n.cast("string").as("beta0_num"),
+      b1n.cast("string").as("beta1_num"),
+      b2n.cast("string").as("beta2_num"),
+      round(b0n.cast("double") / det.cast("double"), 6).as("beta0"),
+      round(b1n.cast("double") / det.cast("double"), 6).as("beta1"),
+      round(b2n.cast("double") / det.cast("double"), 6).as("beta2"))
+  }
+
+  def linregMultiQuery(s: SparkSession, dir: String): DataFrame =
+    linregMulti(Tables.lineitem(s, dir))
 
   /** Integer document features for the language classifier: bias, char
     * count (the table's own n_chars), non-empty token count, digit
@@ -240,6 +298,7 @@ object MlOps {
     "ml_perceptron" -> (perceptronQuery _),
     "ml_naive_bayes" -> (naiveBayesQuery _),
     "ml_auc_report" -> (aucQuery _),
+    "ml_linreg_multi" -> (linregMultiQuery _),
     "stream_linreg" -> (linregStream _))
 
   private val linregOracle: String =
@@ -351,6 +410,44 @@ object MlOps {
       |  (CASE WHEN llr_fp >= 0 THEN 1 ELSE 0 END)::INT AS pred_en, is_en
       |FROM o""".stripMargin
 
+  // same 3x3 Cramer expansion over HUGEINT sums; a(ei-fh)-b(di-fg)+c(dh-eg)
+  private val linregMultiOracle: String = {
+    def det3(a: String, b: String, c: String, d: String, e: String,
+        f: String, g: String, h: String, i: String): String =
+      s"$a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g)"
+    val det = det3("nh", "sx1", "sx2", "sx1", "sx11", "sx12", "sx2", "sx12", "sx22")
+    val b0n = det3("sy", "sx1", "sx2", "sx1y", "sx11", "sx12", "sx2y", "sx12", "sx22")
+    val b1n = det3("nh", "sy", "sx2", "sx1", "sx1y", "sx12", "sx2", "sx2y", "sx22")
+    val b2n = det3("nh", "sx1", "sy", "sx1", "sx11", "sx1y", "sx2", "sx12", "sx2y")
+    s"""WITH b AS (
+       |  SELECT l_quantity::BIGINT AS x1,
+       |    round(l_discount * 100)::BIGINT AS x2,
+       |    round(l_extendedprice * 100)::BIGINT AS y
+       |  FROM lineitem),
+       |s AS (
+       |  SELECT count(*)::BIGINT AS n, count(*)::HUGEINT AS nh,
+       |    sum(x1::HUGEINT) AS sx1, sum(x2::HUGEINT) AS sx2,
+       |    sum((x1 * x1)::HUGEINT) AS sx11, sum((x1 * x2)::HUGEINT) AS sx12,
+       |    sum((x2 * x2)::HUGEINT) AS sx22, sum(y::HUGEINT) AS sy,
+       |    sum((x1 * y)::HUGEINT) AS sx1y, sum((x2 * y)::HUGEINT) AS sx2y
+       |  FROM b),
+       |c AS (
+       |  SELECT n, sx1, sx2, sx11, sx12, sx22, sy, sx1y, sx2y,
+       |    $det AS det, $b0n AS beta0_num, $b1n AS beta1_num,
+       |    $b2n AS beta2_num
+       |  FROM s)
+       |SELECT n, sx1::VARCHAR AS sx1, sx2::VARCHAR AS sx2,
+       |  sx11::VARCHAR AS sx11, sx12::VARCHAR AS sx12,
+       |  sx22::VARCHAR AS sx22, sy::VARCHAR AS sy,
+       |  sx1y::VARCHAR AS sx1y, sx2y::VARCHAR AS sx2y,
+       |  det::VARCHAR AS det, beta0_num::VARCHAR AS beta0_num,
+       |  beta1_num::VARCHAR AS beta1_num, beta2_num::VARCHAR AS beta2_num,
+       |  round(beta0_num::DOUBLE / det::DOUBLE, 6) AS beta0,
+       |  round(beta1_num::DOUBLE / det::DOUBLE, 6) AS beta1,
+       |  round(beta2_num::DOUBLE / det::DOUBLE, 6) AS beta2
+       |FROM c""".stripMargin
+  }
+
   // the NB replay feeds the rank-statistic replay: distinct-score
   // groups, running-count rank spans, midrank-doubled Mann-Whitney
   private def aucOracle: String =
@@ -382,5 +479,6 @@ object MlOps {
     "ml_auc_report" -> aucOracle,
     // stream/batch training equivalence: the streamed sums must finalize
     // to the IDENTICAL exact fit
-    "stream_linreg" -> linregOracle)
+    "stream_linreg" -> linregOracle,
+    "ml_linreg_multi" -> linregMultiOracle)
 }

@@ -122,6 +122,22 @@ class RetrievalMlSpec extends SparkSpec {
     assert(r.getAs[Double]("auc") == 0.875)
   }
 
+  test("linregMulti recovers the plane y = 1 + 2*x1 + 3*x2 exactly") {
+    // (x1, x2, y cents): perfect fit, so Cramer ratios are exact integers
+    val li = Seq(
+      (1.0, 0.01, 0.06), (2.0, 0.01, 0.08),
+      (1.0, 0.02, 0.09), (3.0, 0.02, 0.13))
+      .toDF("l_quantity", "l_discount", "l_extendedprice")
+    val r = MlOps.linregMulti(li).collect().head
+    assert(r.getAs[Double]("beta0") == 1.0)
+    assert(r.getAs[Double]("beta1") == 2.0)
+    assert(r.getAs[Double]("beta2") == 3.0)
+    // numerators are det-multiples: b0n/det = 1 etc., det nonzero
+    assert(BigInt(r.getAs[String]("det")) != 0)
+    assert(BigInt(r.getAs[String]("beta1_num")) ==
+      2 * BigInt(r.getAs[String]("det")))
+  }
+
   test("streamed linreg accumulates across micro-batches to the exact batch fit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
