@@ -293,12 +293,41 @@ object MlOps {
   def aucQuery(s: SparkSession, dir: String): DataFrame =
     aucReport(naiveBayes(Tables.documents(s, dir)), "llr_fp", "is_en")
 
+  /** Calibration (reliability) report for the [[naiveBayes]] scores:
+    * predicted probability p = sigmoid(llr), binned into 10 equal-width
+    * probability bins; per bin the mean predicted confidence vs the
+    * observed positive rate — the diagram that says whether "0.9
+    * confident" means 90% right. p is rounded to 1e-6 fixed point PER
+    * DOC, after which binning (floor-div), confidence means and
+    * observed rates are pure integer arithmetic — combinable, exact,
+    * engine-independent. One shuffle on the 10-bin key.
+    */
+  def calibrationReport(scored: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val p = lit(1.0) / (lit(1.0) + exp(-(col(scoreCol).cast("double")
+      / 1000000.0)))
+    scored
+      .select(col(labelCol).cast("long").as("y"),
+        round(p * 1000000).cast("long").as("p_fp"))
+      .withColumn("bin", least(expr("p_fp div 100000"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+        sum("p_fp").as("sum_pfp"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("sum_pfp div n").as("conf_fp"),
+        expr("(n_pos * 1000000) div n").as("acc_fp"))
+  }
+
+  def calibrationQuery(s: SparkSession, dir: String): DataFrame =
+    calibrationReport(naiveBayes(Tables.documents(s, dir)), "llr_fp", "is_en")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_linreg_exact" -> (linregQuery _),
     "ml_perceptron" -> (perceptronQuery _),
     "ml_naive_bayes" -> (naiveBayesQuery _),
     "ml_auc_report" -> (aucQuery _),
     "ml_linreg_multi" -> (linregMultiQuery _),
+    "ml_calibration" -> (calibrationQuery _),
     "stream_linreg" -> (linregStream _))
 
   private val linregOracle: String =
@@ -472,6 +501,20 @@ object MlOps {
        |    / (2 * n_pos * n_neg), 6) AS auc
        |FROM t""".stripMargin
 
+  // sigmoid + 1e-6 rounding per doc, then pure integer bin arithmetic
+  private def calibrationOracle: String =
+    s"""WITH nb AS ($naiveBayesOracle),
+       |pb AS (
+       |  SELECT is_en::BIGINT AS y,
+       |    round(1.0 / (1.0 + exp(-(llr_fp / 1000000.0)))
+       |      * 1000000)::BIGINT AS p_fp
+       |  FROM nb),
+       |bb AS (SELECT least(p_fp // 100000, 9)::BIGINT AS bin, y, p_fp FROM pb)
+       |SELECT bin, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+       |  (sum(p_fp) // count(*))::BIGINT AS conf_fp,
+       |  ((sum(y) * 1000000) // count(*))::BIGINT AS acc_fp
+       |FROM bb GROUP BY bin""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ml_linreg_exact" -> linregOracle,
     "ml_perceptron" -> perceptronOracle,
@@ -480,5 +523,6 @@ object MlOps {
     // stream/batch training equivalence: the streamed sums must finalize
     // to the IDENTICAL exact fit
     "stream_linreg" -> linregOracle,
-    "ml_linreg_multi" -> linregMultiOracle)
+    "ml_linreg_multi" -> linregMultiOracle,
+    "ml_calibration" -> calibrationOracle)
 }

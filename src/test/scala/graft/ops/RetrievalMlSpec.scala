@@ -122,6 +122,16 @@ class RetrievalMlSpec extends SparkSpec {
     assert(r.getAs[Double]("auc") == 0.875)
   }
 
+  test("calibration bins: llr 0 lands mid-bin at 0.5, p=1 clamps to bin 9") {
+    val scored = Seq((0L, 1), (0L, 0), (20000000L, 1))
+      .toDF("llr_fp", "is_en")
+    val out = MlOps.calibrationReport(scored, "llr_fp", "is_en")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (5L, 2L, 1L, 500000L, 500000L),   // two p=0.5 docs, one positive
+      (9L, 1L, 1L, 1000000L, 1000000L)))  // saturated sigmoid clamps
+  }
+
   test("linregMulti recovers the plane y = 1 + 2*x1 + 3*x2 exactly") {
     // (x1, x2, y cents): perfect fit, so Cramer ratios are exact integers
     val li = Seq(
