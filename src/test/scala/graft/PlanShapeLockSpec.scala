@@ -51,7 +51,19 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "fmt_fixed_roundtrip" -> PlanShape(0, 0, 0, 0, 1),
     "cmeans_fixed_point" -> PlanShape(1, 7, 0, 0, 22),
     "ann_recall_pq" -> PlanShape(1, 0, 3, 0, 8),
-    "cmeans_clusters" -> PlanShape(0, 0, 0, 0, 1))
+    "cmeans_clusters" -> PlanShape(0, 0, 0, 0, 1),
+    // round-8 session-2 additions (retrieval/ML/pushdown). Notables:
+    // the linregs are ONE shuffle (a single combinable aggregation) and
+    // fmt_count_pushdown is ZERO of everything — the whole query is a
+    // metadata scan.
+    "text_bm25" -> PlanShape(0, 4, 2, 0, 17),
+    "ann_hybrid_rrf" -> PlanShape(1, 4, 3, 0, 22),
+    "ml_naive_bayes" -> PlanShape(1, 1, 4, 0, 12),
+    "ml_auc_report" -> PlanShape(1, 1, 4, 0, 14),
+    "ml_linreg_exact" -> PlanShape(0, 0, 0, 0, 1),
+    "ml_linreg_multi" -> PlanShape(0, 0, 0, 0, 1),
+    "ml_calibration" -> PlanShape(1, 1, 4, 0, 13),
+    "fmt_count_pushdown" -> PlanShape(0, 0, 0, 0, 0))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -62,7 +74,10 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "pipe_fuzzy_match", "ann_pq_refine", "dedup_semantic_clusters",
       "stats_table", "sketch_bloom_join", "ann_recall_srp",
       "dedup_minhash", "fmt_fixed_roundtrip", "cmeans_fixed_point",
-      "ann_recall_pq", "cmeans_clusters")
+      "ann_recall_pq", "cmeans_clusters",
+      "text_bm25", "ann_hybrid_rrf", "ml_naive_bayes", "ml_auc_report",
+      "ml_linreg_exact", "ml_linreg_multi", "ml_calibration",
+      "fmt_count_pushdown")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached
