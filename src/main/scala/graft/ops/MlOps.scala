@@ -267,17 +267,48 @@ object MlOps {
     * so doubling clears the fraction). auc = 2U / (2 P N) emerges from
     * ONE double division, rounded to 6 — no float accumulates across
     * rows, so the classifier's headline quality metric is cross-engine
-    * exact. The global window runs over DISTINCT scores (bounded far
-    * below corpus size), not rows.
+    * exact. The prefix sum over sorted distinct scores runs SHARDED
+    * (monotone equal-width score ranges + a driver exclusive scan over
+    * O(shards) totals — the pipe_pack pattern), so no row set funnels
+    * through a single-task global sort even when scores are continuous
+    * and |distinct| ~ |rows|.
     */
-  def aucReport(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+  val AucShards = 32
+
+  def aucReport(scored: DataFrame, scoreCol: String, labelCol: String,
+      shards: Int = AucShards): DataFrame = {
     val g = scored.groupBy(col(scoreCol).as("s")).agg(
       count(lit(1)).as("cnt"),
-      sum(col(labelCol)).as("pos"))
-    val w = Window.orderBy(col("s"))
+      sum(col(labelCol)).as("pos")).persist()
+    // The running count over sorted distinct scores is a prefix sum; a
+    // bare Window.orderBy would funnel EVERY distinct score through one
+    // task (continuous scores make |distinct| ~ |rows|, so that's a
+    // 100x cliff, not a constant). Same cure as pipe_pack: monotone
+    // equal-width score shards cumsum independently, the O(shards)
+    // shard totals take one driver exclusive scan, and the offsets
+    // broadcast back. Serial work is O(shards), config cardinality.
+    val mm = g.agg(min(col("s")).as("lo"), max(col("s")).as("hi")).head()
+    val lo = if (mm.isNullAt(0)) 0L else mm.getLong(0)
+    val hi = if (mm.isNullAt(1)) 0L else mm.getLong(1)
+    val width = (hi - lo) / shards + 1
+    val sharded = g.withColumn("shard", expr(s"(s - $lo) div $width"))
+    val totals = sharded.groupBy("shard").agg(sum(col("cnt")).as("tot"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var running = 0L
+    val offsetRows = totals.map { case (sh, tot) =>
+      val o = running; running += tot; (sh, o)
+    }.toSeq
+    val session = scored.sparkSession
+    import session.implicits._
+    val offsets = broadcast(offsetRows.toDF("shard", "offset"))
+    val wLocal = Window.partitionBy(col("shard")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = g.select(col("s"), col("cnt"), col("pos"),
-      sum(col("cnt")).over(w).as("cum"))
+    val ranked = sharded
+      .withColumn("local_cum", sum(col("cnt")).over(wLocal))
+      .join(offsets, "shard")
+      .select(col("s"), col("cnt"), col("pos"),
+        (col("offset") + col("local_cum")).as("cum"))
     val tot = ranked.agg(
       sum(col("pos") * (lit(2) * col("cum") - col("cnt") + 1)).as("possum2"),
       sum("pos").as("n_pos"),

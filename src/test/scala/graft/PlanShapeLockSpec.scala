@@ -59,7 +59,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "text_bm25" -> PlanShape(0, 4, 2, 0, 17),
     "ann_hybrid_rrf" -> PlanShape(1, 4, 3, 0, 22),
     "ml_naive_bayes" -> PlanShape(1, 1, 4, 0, 12),
-    "ml_auc_report" -> PlanShape(1, 1, 4, 0, 14),
+    "ml_auc_report" -> PlanShape(1, 4, 8, 0, 28),
     "ml_linreg_exact" -> PlanShape(0, 0, 0, 0, 1),
     "ml_linreg_multi" -> PlanShape(0, 0, 0, 0, 1),
     "ml_calibration" -> PlanShape(1, 1, 4, 0, 13),
