@@ -207,6 +207,18 @@ object OpScaleProbe {
                 .otherwise(lit("U")).as("op"),
               (col("o_totalprice") + lit(100.0)).as("new_price")))
       }
+      // retrieval/ML family (round-8 session 2). Scaled docs rewrite
+      // tokens with a copy prefix, so: bm25's candidate set stays
+      // bounded by the copy-0 query terms' df (the design claim — cost
+      // growth should be the linear tf/dl build, not the join); NB's
+      // vocabulary and token stream grow ~k; AUC's distinct-score set
+      // grows ~k through the sharded prefix sum.
+      timed(s"text_bm25 x$k") { graft.ops.Retrieval.bm25TopK(scaledDocs(k)) }
+      timed(s"ml_naive_bayes x$k") { graft.ops.MlOps.naiveBayes(scaledDocs(k)) }
+      timed(s"ml_auc x$k") {
+        graft.ops.MlOps.aucReport(
+          graft.ops.MlOps.naiveBayes(scaledDocs(k)), "llr_fp", "is_en")
+      }
     }
     spark.stop()
   }
