@@ -69,7 +69,17 @@ object StreamScaleProbe {
           lit("O").as("status"),
           ((col("value") % 100000) / 7.0).as("price"),
           lit("1-URGENT").as("priority"),
-          col("timestamp").as("odate")))))
+          col("timestamp").as("odate")))),
+    // the 4th state discipline: bounded O(k) per-key top-k — state
+    // NEVER grows past keys x k no matter the offered rate; throughput
+    // is the merge-and-truncate update path
+    ("topk", OutputMode.Update, r =>
+      graft.streaming.EventStreams.topkStats(
+        rateSource(s, r).select(
+          concat(lit("t"), col("value") % 8).as("event_type"),
+          col("value").as("event_id"),
+          ((col("value") % 9973) / 100.0).as("value")),
+        graft.streaming.EventStreams.TopkK)))
 
   private def median(xs: Seq[Double]): Double =
     if (xs.isEmpty) Double.NaN

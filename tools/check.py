@@ -84,7 +84,13 @@ def main():
     # with NO process qualifier, so concurrent check.py runs sharing one
     # directory truncate/delete each other's spill (observed as rc=134
     # aborts and phantom disk-full cascades in parallel sf1 compares)
-    con.execute(f"SET temp_directory='/tmp/duckdb_spill/{os.getpid()}'")
+    # DuckDB does not mkdir -p the temp_directory's missing PARENTS at
+    # spill time (observed: sf1 dedup oracles failing with "Failed to
+    # create directory" when /tmp/duckdb_spill itself was absent) —
+    # create the full path up front
+    spill = f"/tmp/duckdb_spill/{os.getpid()}"
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table: directory of part files
