@@ -568,7 +568,62 @@ object PipelineOps {
        |    base + (CASE WHEN rk <= k THEN 1 ELSE 0 END) AS alloc
        |  FROM ranked CROSS JOIN lo)""".stripMargin
 
+  /** Privacy budget for [[dpRelease]] (per-record epsilon of the
+    * geometric mechanism).
+    */
+  val DpEps = 1.0
+
+  /** Differentially-private release of per-source document counts — the
+    * governance step between a private corpus and a publishable stats
+    * table. Mechanism: two-sided geometric (discrete Laplace) noise,
+    * the exact-integer counterpart of Laplace for counting queries:
+    * noise = G1 - G2 with Gi = floor(ln(u_i)/ln(alpha)), alpha =
+    * exp(-eps). The uniforms derive from the 48-bit md5 hash of
+    * (group, salt), so the release is REPRODUCIBLE AND AUDITABLE given
+    * the salt — in production the salt is a per-release secret (a
+    * public salt would let noise be subtracted back out); the seeded
+    * determinism is also exactly what makes the mechanism
+    * oracle-checkable. alpha and ln(alpha) are precomputed driver-side
+    * and embedded as double literals in BOTH engines, so the only
+    * in-engine float work is ln(u)/lnAlpha — one division per group,
+    * floor-stable. Shape: one combinable count + per-group scalar math;
+    * no extra shuffle.
+    */
+  def dpRelease(docs: DataFrame, eps: Double = DpEps,
+      salt: String = "dp"): DataFrame = {
+    val alpha = math.exp(-eps)
+    val lnAlpha = math.log(alpha)
+    val denom = 281474976710656.0 // 2^48
+    def geom(tag: String): org.apache.spark.sql.Column =
+      floor(log((graft.ops.Sketches.h48(
+        concat(col("source"), lit(s"#$tag#$salt"))) + 1) / lit(denom))
+        / lit(lnAlpha))
+    docs.groupBy("source").agg(count(lit(1)).as("n_true"))
+      .withColumn("noise", (geom("1") - geom("2")).cast("long"))
+      .select(col("source"), col("n_true"), col("noise"),
+        greatest(lit(0L), col("n_true") + col("noise")).as("released"))
+  }
+
+  private[graft] def dpOracle(eps: Double = DpEps, salt: String = "dp"): String = {
+    val lnAlpha = math.log(math.exp(-eps))
+    def geom(tag: String): String =
+      s"floor(ln((${graft.ops.Sketches.sqlH48(s"source || '#$tag#$salt'")} + 1)" +
+        s" / 281474976710656.0) / $lnAlpha)"
+    s"""WITH c AS (
+       |  SELECT source, count(*)::BIGINT AS n_true
+       |  FROM documents GROUP BY source),
+       |n AS (
+       |  SELECT source, n_true,
+       |    (${geom("1")} - ${geom("2")})::BIGINT AS noise
+       |  FROM c)
+       |SELECT source, n_true, noise,
+       |  greatest(0, n_true + noise)::BIGINT AS released
+       |FROM n""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_dp_release" -> ((s: SparkSession, d: String) =>
+      dpRelease(Tables.documents(s, d))),
     "pipe_length_buckets" -> ((s: SparkSession, d: String) =>
       lengthBuckets(Tables.documents(s, d))),
     "pipe_curate_v2" -> (curateV2 _),
@@ -630,6 +685,7 @@ object PipelineOps {
          |  % 100 < least(20 + q.quality_points * 8, 100)""".stripMargin
 
   lazy val oracles: Map[String, String] = Map(
+    "pipe_dp_release" -> dpOracle(),
     "pipe_quality_sample" -> qualitySampleOracle,
     // the three stage oracles composed by concatenation — survivors of
     // gate ∩ sample get the shuffle/shard windows

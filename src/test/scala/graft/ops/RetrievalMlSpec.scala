@@ -122,6 +122,28 @@ class RetrievalMlSpec extends SparkSpec {
     assert(r.getAs[Double]("auc") == 0.875)
   }
 
+  test("dp release: noise follows the two-sided geometric it claims") {
+    // 10k single-doc sources => 10k independent noise draws; the
+    // mechanism's mean (0) and variance (2a/(1-a)^2, a = e^-1 => 1.842)
+    // must show up empirically, not just plumb through
+    val docs = (0 until 10000).map(i => (i.toLong, s"src$i"))
+      .toDF("doc_id", "source")
+    val noise = PipelineOps.dpRelease(docs)
+      .select("noise").as[Long].collect().map(_.toDouble)
+    assert(noise.length == 10000)
+    val mean = noise.sum / noise.length
+    val variance = noise.map(x => (x - mean) * (x - mean)).sum / noise.length
+    assert(math.abs(mean) < 0.06, s"mean $mean")
+    assert(variance > 1.5 && variance < 2.2, s"variance $variance")
+    // and the release is non-negative + deterministic
+    val rel = PipelineOps.dpRelease(docs.repartition(13))
+      .select("source", "released").as[(String, Long)].collect().toMap
+    val rel2 = PipelineOps.dpRelease(docs)
+      .select("source", "released").as[(String, Long)].collect().toMap
+    assert(rel == rel2)
+    assert(rel.values.forall(_ >= 0))
+  }
+
   test("calibration bins: llr 0 lands mid-bin at 0.5, p=1 clamps to bin 9") {
     val scored = Seq((0L, 1), (0L, 0), (20000000L, 1))
       .toDF("llr_fp", "is_en")
