@@ -217,7 +217,59 @@ object GraphOps {
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000 div d")).as("harmonic_fp"))
 
+  val LabelPropIters = 4
+
+  /** Deterministic community detection by K-round MIN-LABEL
+    * propagation: every node starts labeled with its own id, and each
+    * round adopts the minimum label among itself and its neighbors.
+    * (Classic LPA breaks frequency ties randomly and is therefore
+    * unreproducible; the min-label variant is the deterministic member
+    * of the family — after K rounds each node carries the smallest node
+    * id within K hops, so labels converge toward per-component minima
+    * and the K-round cut is a well-defined, oracle-checkable result.)
+    *
+    * Relational-Pregel shape, same as [[bfsLandmarks]]: adjacency
+    * cached and pre-partitioned on the probe key, each round ONE
+    * equi-join (neighbor label lookup) + ONE min-aggregation keyed by
+    * node — state per round is exactly |V| rows, never frontier
+    * blow-up, and rounds are a fixed config constant. Per-level cache
+    * because each level's frame is referenced by the next (lineage
+    * would otherwise re-evaluate 2^k times).
+    */
+  def labelPropagation(events: DataFrame): DataFrame =
+    minLabelProp(transitionEdges(events)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+
+  /** The K-round fold over an undirected edge list (a, b) — exposed so
+    * specs can drive hand-built graphs through the exact query path.
+    */
+  private[graft] def minLabelProp(und: DataFrame): DataFrame = {
+    val adj = und.select(col("a").as("node"), col("b").as("nb"))
+      .unionAll(und.select(col("b").as("node"), col("a").as("nb")))
+      .repartition(col("nb")) // every round's label lookup probes on nb
+      .cache()
+    var lab = adj.select(col("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (_ <- 1 to LabelPropIters) {
+      lab = lab.cache()
+      // every adj-derived node has >= 1 neighbor, so the inner join
+      // keeps exactly |V| groups
+      val nbMin = adj
+        .join(lab.select(col("node").as("nb"), col("lab").as("nb_lab")),
+          "nb")
+        .groupBy("node").agg(min(col("nb_lab")).as("nb_min"))
+      lab = lab.join(nbMin, "node")
+        .select(col("node"), least(col("lab"), col("nb_min")).as("lab"))
+    }
+    lab
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_label_prop" -> ((s: SparkSession, d: String) =>
+      labelPropagation(Tables.events(s, d))),
     "graph_harmonic" -> ((s: SparkSession, d: String) =>
       harmonicCentrality(Tables.events(s, d))),
     "graph_bfs_landmarks" -> ((s: SparkSession, d: String) =>
@@ -296,6 +348,14 @@ object GraphOps {
        |    FROM ew JOIN $prev ON $prev.node = ew.src
        |    GROUP BY ew.dst) m ON m.dst = nodes.node)""".stripMargin
 
+  private def lpIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT l.node, least(l.lab, min(nl.lab))::BIGINT AS lab
+       |  FROM $prev l
+       |  JOIN adj a ON a.node = l.node
+       |  JOIN $prev nl ON nl.node = a.nb
+       |  GROUP BY l.node, l.lab)""".stripMargin
+
   private def bfsIterSql(prev: String, cur: String): String =
     s"""$cur AS (
        |  SELECT lm, node, min(d)::BIGINT AS d FROM (
@@ -332,7 +392,33 @@ object GraphOps {
       (0 until BfsIters).map(i => bfsIterSql(s"d$i", s"d${i + 1}"))
         .mkString(",\n")
 
+  // the same und/adj derivation as the BFS family, then K min-label
+  // rounds unrolled as chained CTEs
+  private val lpCtes: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    (json_extract_string(props, '$$.k'))::BIGINT AS item
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |tr AS (
+       |  SELECT lag(item) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS src, item AS dst
+       |  FROM ev),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM tr WHERE src IS NOT NULL AND src != dst),
+       |adj AS (
+       |  SELECT a AS node, b AS nb FROM und
+       |  UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT DISTINCT node, node AS lab FROM adj),
+       |""".stripMargin +
+      (0 until LabelPropIters).map(i => lpIterSql(s"l$i", s"l${i + 1}"))
+        .mkString(",\n")
+
   val oracles: Map[String, String] = Map(
+    "graph_label_prop" ->
+      (lpCtes + s"""
+         |SELECT node, lab FROM l$LabelPropIters""".stripMargin),
     "graph_bfs_landmarks" ->
       (bfsCtes + s"""
          |SELECT lm, node, d FROM d$BfsIters""".stripMargin),

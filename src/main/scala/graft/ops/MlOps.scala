@@ -352,7 +352,85 @@ object MlOps {
   def calibrationQuery(s: SparkSession, dir: String): DataFrame =
     calibrationReport(naiveBayes(Tables.documents(s, dir)), "llr_fp", "is_en")
 
+  val StumpShards = 32
+
+  /** EXACT decision-stump training (the CART split search, depth 1):
+    * over every candidate threshold t of a numeric feature, the
+    * misclassification count of the split `feature <= t` when each side
+    * predicts its majority class — err(t) = min(posL, negL) +
+    * min(posR, negR) — minimized exactly, ties broken by the smallest
+    * threshold. The criterion is PURE INTEGER (unlike Gini/entropy
+    * whose float argmin can flip between engines in the last ulp), so
+    * the chosen split is oracle-checkable bit-for-bit; the reported
+    * accuracy is the one rounded division at the very end.
+    *
+    * Scale shape — the same hazard as [[aucReport]], cured the same
+    * way: the left-side counts over sorted distinct thresholds are a
+    * prefix sum, and a continuous feature makes |distinct| ~ |rows|, so
+    * a bare `Window.orderBy` would funnel the whole feature set through
+    * one task. Monotone equal-width threshold shards cumsum (cnt, pos)
+    * independently, the O(shards) shard totals take one driver
+    * exclusive scan, offsets broadcast back. The argmin is a
+    * TakeOrdered(1), never a global sort. Capacity: counts are row
+    * counts (int64 to 9e18 rows); err <= n.
+    *
+    * Feature is the price in cents (exact fixed point), label
+    * l_returnflag = 'R' — the "was this line returned" stump a returns
+    * triage pipeline would actually fit.
+    */
+  def decisionStump(labeled: DataFrame, shards: Int = StumpShards): DataFrame = {
+    val g = labeled.groupBy(col("f")).agg(
+      count(lit(1)).as("cnt"),
+      sum(col("y")).as("pos")).persist()
+    val mm = g.agg(min(col("f")).as("lo"), max(col("f")).as("hi")).head()
+    val lo = if (mm.isNullAt(0)) 0L else mm.getLong(0)
+    val hi = if (mm.isNullAt(1)) 0L else mm.getLong(1)
+    val width = (hi - lo) / shards + 1
+    val sharded = g.withColumn("shard", expr(s"(f - $lo) div $width"))
+    val totals = sharded.groupBy("shard")
+      .agg(sum(col("cnt")).as("tc"), sum(col("pos")).as("tp"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    var rc = 0L
+    var rp = 0L
+    val offsetRows = totals.map { case (sh, tc, tp) =>
+      val o = (sh, rc, rp); rc += tc; rp += tp; o
+    }.toSeq
+    val n = rc
+    val p = rp
+    val session = labeled.sparkSession
+    import session.implicits._
+    val offsets = broadcast(offsetRows.toDF("shard", "coff", "poff"))
+    val wLocal = Window.partitionBy(col("shard")).orderBy(col("f"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sharded
+      .withColumn("lc", sum(col("cnt")).over(wLocal))
+      .withColumn("lp", sum(col("pos")).over(wLocal))
+      .join(offsets, "shard")
+      .select(col("f"),
+        (col("coff") + col("lc")).as("nl"),
+        (col("poff") + col("lp")).as("pl"))
+      .filter(col("nl") < lit(n)) // the empty-right "split" is no split
+    val scored = cum.select(col("f"), col("nl"), col("pl"),
+      (lit(n) - col("nl")).as("nr"), (lit(p) - col("pl")).as("pr"))
+      .withColumn("err",
+        least(col("pl"), col("nl") - col("pl")) +
+          least(col("pr"), col("nr") - col("pr")))
+    scored.orderBy(col("err"), col("f")).limit(1)
+      .select(col("f").as("threshold_fp"), col("err"),
+        col("nl").as("n_left"), col("pl").as("pos_left"),
+        col("nr").as("n_right"), col("pr").as("pos_right"),
+        round((lit(n) - col("err")).cast("double") / lit(n.toDouble), 6)
+          .as("acc"))
+  }
+
+  def stumpQuery(s: SparkSession, dir: String): DataFrame =
+    decisionStump(Tables.lineitem(s, dir).select(
+      round(col("l_extendedprice") * 100).cast("long").as("f"),
+      when(col("l_returnflag") === lit("R"), 1L).otherwise(0L).as("y")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_decision_stump" -> (stumpQuery _),
     "ml_linreg_exact" -> (linregQuery _),
     "ml_perceptron" -> (perceptronQuery _),
     "ml_naive_bayes" -> (naiveBayesQuery _),
@@ -546,7 +624,36 @@ object MlOps {
        |  ((sum(y) * 1000000) // count(*))::BIGINT AS acc_fp
        |FROM bb GROUP BY bin""".stripMargin
 
+  // the identical prefix-sum split search, DuckDB's window doing the
+  // cumsum the engine shards; integer err argmin, one rounded division
+  private def stumpOracle: String =
+    """WITH ft AS (
+      |  SELECT round(l_extendedprice * 100)::BIGINT AS f,
+      |    (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS y
+      |  FROM lineitem),
+      |g AS (
+      |  SELECT f, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+      |  FROM ft GROUP BY 1),
+      |t AS (SELECT sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS p FROM g),
+      |c AS (
+      |  SELECT f,
+      |    sum(cnt) OVER w::BIGINT AS nl, sum(pos) OVER w::BIGINT AS pl
+      |  FROM g
+      |  WINDOW w AS (ORDER BY f
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |s AS (
+      |  SELECT c.f, c.nl, c.pl, t.n - c.nl AS nr, t.p - c.pl AS pr,
+      |    least(c.pl, c.nl - c.pl)
+      |      + least(t.p - c.pl, (t.n - c.nl) - (t.p - c.pl)) AS err,
+      |    t.n AS n
+      |  FROM c CROSS JOIN t WHERE c.nl < t.n)
+      |SELECT f AS threshold_fp, err, nl AS n_left, pl AS pos_left,
+      |  nr AS n_right, pr AS pos_right,
+      |  round((n - err)::DOUBLE / n, 6) AS acc
+      |FROM s ORDER BY err, f LIMIT 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ml_decision_stump" -> stumpOracle,
     "ml_linreg_exact" -> linregOracle,
     "ml_perceptron" -> perceptronOracle,
     "ml_naive_bayes" -> naiveBayesOracle,

@@ -182,10 +182,69 @@ object Warehouse {
         date_format(max(col("ts")), Ts).as("max_ts"))
   }
 
+  /** Three-day versioned changelog with FULL ROW IMAGES (the shape a
+    * Debezium/binlog feed with `after` images, or a lakehouse commit
+    * log, actually carries): version 0 inserts the snapshot, version 1
+    * replays the [[changeBatch]] day (price bump on keys ≡ 0..2 mod 10,
+    * delete keys ≡ 3), version 2 a second day that updates keys ≡ 0..1
+    * to +150, RESURRECTS the deleted keys ≡ 3 at their original image,
+    * and deletes keys ≡ 4. Derived from key residues so the DuckDB
+    * oracle replays it exactly — in production this is the commit log
+    * itself.
+    */
+  private def versionedLog(o: DataFrame): DataFrame = {
+    val k = col("o_orderkey") % 10
+    def img(ver: Int, op: Column, price: Column) =
+      Seq(col("o_orderkey"), lit(ver).as("version"), op.as("op"),
+        col("o_orderstatus"), price.as("o_totalprice"),
+        col("o_orderpriority"), col("o_orderdate"))
+    val v0 = o.select(img(0, lit("I"), col("o_totalprice")): _*)
+    val v1 = o.filter(k <= lit(3))
+      .select(img(1, when(k === lit(3), lit("D")).otherwise(lit("U")),
+        col("o_totalprice") + lit(100.0)): _*)
+    val v2 = o.filter(k <= lit(1) || k === lit(3) || k === lit(4))
+      .select(img(2,
+        when(k === lit(4), lit("D")).when(k === lit(3), lit("I"))
+          .otherwise(lit("U")),
+        when(k === lit(3), col("o_totalprice"))
+          .otherwise(col("o_totalprice") + lit(150.0))): _*)
+    v0.unionByName(v1).unionByName(v2)
+  }
+
+  /** Time travel: reconstruct the table AS OF changelog version
+    * `asof`. With full-image ops this is latest-op-wins — ONE
+    * combinable `max(struct(version, ...))` aggregation keyed by the
+    * primary key (versions are distinct per key, so the struct
+    * comparison never reads past the version field), then drop keys
+    * whose latest visible op is a delete. One Exchange on the key, no
+    * window sort, no join — the partial aggregate collapses each key's
+    * ops map-side, so the shuffle carries at most one row per (key,
+    * mapper). The gate reads as-of version 2, which exercises every
+    * path at once: double-update (keys ≡ 0..1), update-only history
+    * (≡ 2), delete-then-resurrect (≡ 3), late delete (≡ 4), untouched
+    * (≡ 5..9).
+    */
+  def snapshotAsOf(log: DataFrame, asof: Int): DataFrame =
+    log.filter(col("version") <= lit(asof))
+      .groupBy("o_orderkey")
+      .agg(max(struct(col("version"), col("op"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"), col("o_orderdate")))
+        .as("last"))
+      .filter(col("last.op") =!= lit("D"))
+      .select(col("o_orderkey"),
+        col("last.o_orderstatus").as("o_orderstatus"),
+        round(col("last.o_totalprice"), 2).as("o_totalprice"),
+        col("last.o_orderpriority").as("o_orderpriority"),
+        date_format(col("last.o_orderdate"), Ts).as("o_orderdate"))
+
+  def snapshotAsOfQuery(s: SparkSession, dir: String): DataFrame =
+    snapshotAsOf(versionedLog(Tables.orders(s, dir)), asof = 2)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wh_scd2" -> (scd2OrderStatus _),
     "wh_cdc_apply" -> (cdcApply _),
-    "wh_compact" -> (compactEvents _)
+    "wh_compact" -> (compactEvents _),
+    "wh_snapshot_asof" -> (snapshotAsOfQuery _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -230,6 +289,37 @@ object Warehouse {
         |  round(sum(value), 2) AS sum_value,
         |  sum(user_id)::BIGINT AS sum_user,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    // the same three-version full-image changelog, folded by
+    // latest-op-wins at version <= 2
+    "wh_snapshot_asof" ->
+      """WITH log AS (
+        |  SELECT o_orderkey, 0 AS version, 'I' AS op, o_orderstatus,
+        |    o_totalprice, o_orderpriority, o_orderdate
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 1,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'D' ELSE 'U' END,
+        |    o_orderstatus, o_totalprice + 100.0, o_orderpriority,
+        |    o_orderdate
+        |  FROM orders WHERE o_orderkey % 10 <= 3
+        |  UNION ALL
+        |  SELECT o_orderkey, 2,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN 'D'
+        |         WHEN o_orderkey % 10 = 3 THEN 'I' ELSE 'U' END,
+        |    o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice
+        |         ELSE o_totalprice + 150.0 END,
+        |    o_orderpriority, o_orderdate
+        |  FROM orders
+        |  WHERE o_orderkey % 10 <= 1 OR o_orderkey % 10 IN (3, 4)),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY version DESC) AS rn
+        |  FROM log WHERE version <= 2)
+        |SELECT o_orderkey, o_orderstatus,
+        |  round(o_totalprice, 2) AS o_totalprice, o_orderpriority,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
   )
 }
