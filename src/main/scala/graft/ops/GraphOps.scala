@@ -267,7 +267,57 @@ object GraphOps {
     lab
   }
 
+  /** Community-quality scoring: Newman modularity of the
+    * [[minLabelProp]] communities, held in EXACT integers. Per
+    * community c the modularity contribution is Q_c = within_c/m -
+    * (deg_c/2m)^2; multiplying through by the common denominator 4m^2
+    * gives q_num = 4*m*within_c - deg_c^2 — pure int64 (deg_c <= 2m,
+    * so q_num is safe while 4m^2 fits, i.e. to ~1.5e9 undirected
+    * edges; past that the sums move to DECIMAL(38) like the linreg
+    * family). Q = sum(q_num)/q_den with q_den = 4m^2 emitted alongside,
+    * so the engine never divides and the oracle check is bit-exact.
+    *
+    * Shape: the label fold is [[minLabelProp]]; scoring adds one
+    * within-edge count (edges join labels twice — broadcast-sized
+    * label frame at |V| rows), one degree aggregation, and a final
+    * per-label rollup. No all-pairs anything; every stage keys on node
+    * or label.
+    */
+  def modularity(events: DataFrame): DataFrame =
+    modularityOf(transitionEdges(events)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+
+  private[graft] def modularityOf(edges: DataFrame): DataFrame = {
+    val und = edges.cache()
+    val labs = minLabelProp(und).cache()
+    val m = und.count()
+    val within = und
+      .join(labs.select(col("node").as("a"), col("lab").as("lab_a")), "a")
+      .join(labs.select(col("node").as("b"), col("lab").as("lab_b")), "b")
+      .filter(col("lab_a") === col("lab_b"))
+      .groupBy(col("lab_a").as("lab"))
+      .agg(count(lit(1)).as("within_edges"))
+    val deg = und.select(col("a").as("node"))
+      .unionAll(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val byLab = labs.join(deg, "node")
+      .groupBy("lab")
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    byLab.join(within, Seq("lab"), "left_outer")
+      .select(col("lab"), col("n_nodes"),
+        coalesce(col("within_edges"), lit(0L)).as("within_edges"),
+        col("deg_sum"),
+        (lit(4L) * lit(m) * coalesce(col("within_edges"), lit(0L))
+          - col("deg_sum") * col("deg_sum")).as("q_num"),
+        lit(4L * m * m).as("q_den"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_modularity" -> ((s: SparkSession, d: String) =>
+      modularity(Tables.events(s, d))),
     "graph_label_prop" -> ((s: SparkSession, d: String) =>
       labelPropagation(Tables.events(s, d))),
     "graph_harmonic" -> ((s: SparkSession, d: String) =>
@@ -419,6 +469,31 @@ object GraphOps {
     "graph_label_prop" ->
       (lpCtes + s"""
          |SELECT node, lab FROM l$LabelPropIters""".stripMargin),
+    "graph_modularity" ->
+      (lpCtes + s""",
+         |m AS (SELECT count(*)::BIGINT AS m FROM und),
+         |wi AS (
+         |  SELECT la.lab, count(*)::BIGINT AS within_edges
+         |  FROM und u
+         |  JOIN l$LabelPropIters la ON la.node = u.a
+         |  JOIN l$LabelPropIters lb ON lb.node = u.b
+         |  WHERE la.lab = lb.lab GROUP BY 1),
+         |deg AS (
+         |  SELECT node, count(*)::BIGINT AS deg FROM (
+         |    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+         |  GROUP BY node),
+         |bl AS (
+         |  SELECT l.lab, count(*)::BIGINT AS n_nodes,
+         |    sum(d.deg)::BIGINT AS deg_sum
+         |  FROM l$LabelPropIters l JOIN deg d ON d.node = l.node
+         |  GROUP BY 1)
+         |SELECT bl.lab, bl.n_nodes,
+         |  coalesce(wi.within_edges, 0)::BIGINT AS within_edges,
+         |  bl.deg_sum,
+         |  (4 * m.m * coalesce(wi.within_edges, 0)
+         |    - bl.deg_sum * bl.deg_sum)::BIGINT AS q_num,
+         |  (4 * m.m * m.m)::BIGINT AS q_den
+         |FROM bl LEFT JOIN wi ON wi.lab = bl.lab CROSS JOIN m""".stripMargin),
     "graph_bfs_landmarks" ->
       (bfsCtes + s"""
          |SELECT lm, node, d FROM d$BfsIters""".stripMargin),

@@ -128,6 +128,23 @@ class Round8OpsSpec extends SparkSpec {
     assert(Seq(10L, 11L, 12L).forall(labs(_) == 10L))
   }
 
+  test("modularity is exact on a known two-community graph") {
+    import spark.implicits._
+    // two triangles-less paths: communities {1,2,3} and {10,11,12},
+    // m = 4, within = 2 each, deg_sum = 4 each ->
+    // q_num = 4*4*2 - 16 = 16 per community, q_den = 64, Q = 0.5
+    val und = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)).toDF("a", "b")
+    val rows = GraphOps.modularityOf(und).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(rows.keySet == Set(1L, 10L))
+    rows.values.foreach { case (nNodes, within, degSum, qNum, qDen) =>
+      assert(nNodes == 3L && within == 2L && degSum == 4L)
+      assert(qNum == 16L && qDen == 64L)
+    }
+    assert(rows.values.map(_._4).sum.toDouble / 64.0 == 0.5)
+  }
+
   test("label propagation emits one row per node of the transition graph") {
     val out = GraphOps.labelPropagation(graft.Tables.events(spark, sfDir))
     val nodes = out.select("node").distinct().count()
