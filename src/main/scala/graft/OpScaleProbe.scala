@@ -219,6 +219,30 @@ object OpScaleProbe {
         graft.ops.MlOps.aucReport(
           graft.ops.MlOps.naiveBayes(scaledDocs(k)), "llr_fp", "is_en")
       }
+      // round-8 session 3. The stump's risky dimension is the distinct-
+      // threshold cardinality feeding the sharded prefix sum: each order
+      // copy shifts its price range into a disjoint band (the copy index
+      // is o_orderkey div stride), so |thresholds| grows ~k like a real
+      // continuous feature would. Snapshot-asof is one combinable
+      // aggregation over a 2.15x-rows changelog; label-prop/modularity
+      // graphs grow ~k in nodes AND edges (disjoint item spaces).
+      timed(s"ml_stump x$k") {
+        graft.ops.MlOps.decisionStump(scaledOrders(k).select(
+          (round(col("o_totalprice") * 100).cast("long")
+            + (col("o_orderkey") / lit(okeyStride)).cast("long")
+              * lit(10000000L)).as("f"),
+          when(col("o_orderstatus") === lit("F"), 1L).otherwise(0L).as("y")))
+      }
+      timed(s"wh_snapshot x$k") {
+        graft.ops.Warehouse.snapshotAsOf(
+          graft.ops.Warehouse.versionedLog(scaledOrders(k)), asof = 2)
+      }
+      timed(s"graph_labelprop x$k") {
+        graft.ops.GraphOps.labelPropagation(scaledEvents(k))
+      }
+      timed(s"graph_modularity x$k") {
+        graft.ops.GraphOps.modularity(scaledEvents(k))
+      }
     }
     spark.stop()
   }

@@ -254,7 +254,10 @@ object GraphOps {
     var lab = adj.select(col("node")).distinct()
       .select(col("node"), col("node").as("lab"))
     for (_ <- 1 to LabelPropIters) {
-      lab = lab.cache()
+      // each level is consumed twice (label lookup + min-merge); an
+      // EAGER materialization computes the |V|-row level exactly once —
+      // a lazy .cache() lets the two consumers race the first compute
+      lab = lab.localCheckpoint(true)
       // every adj-derived node has >= 1 neighbor, so the inner join
       // keeps exactly |V| groups
       val nbMin = adj
@@ -292,8 +295,14 @@ object GraphOps {
 
   private[graft] def modularityOf(edges: DataFrame): DataFrame = {
     val und = edges.cache()
-    val labs = minLabelProp(und).cache()
-    val m = und.count()
+    val m = und.count() // also materializes the edge cache
+    // the label frame is consumed THREE times below (two sides of the
+    // within join + the degree rollup); a lazy .cache() lets those
+    // consumers race the first materialization and re-run the 4-round
+    // iterative lineage per consumer ("block already exists" churn,
+    // measured 3x the label-prop cost) — an EAGER localCheckpoint
+    // materializes the |V|-row frame once and cuts the lineage
+    val labs = minLabelProp(und).localCheckpoint(true)
     val within = und
       .join(labs.select(col("node").as("a"), col("lab").as("lab_a")), "a")
       .join(labs.select(col("node").as("b"), col("lab").as("lab_b")), "b")

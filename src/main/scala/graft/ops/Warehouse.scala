@@ -192,7 +192,7 @@ object Warehouse {
     * oracle replays it exactly — in production this is the commit log
     * itself.
     */
-  private def versionedLog(o: DataFrame): DataFrame = {
+  private[graft] def versionedLog(o: DataFrame): DataFrame = {
     val k = col("o_orderkey") % 10
     def img(ver: Int, op: Column, price: Column) =
       Seq(col("o_orderkey"), lit(ver).as("version"), op.as("op"),
