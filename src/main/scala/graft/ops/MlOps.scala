@@ -425,12 +425,51 @@ object MlOps {
   }
 
   def stumpQuery(s: SparkSession, dir: String): DataFrame =
-    decisionStump(Tables.lineitem(s, dir).select(
+    decisionStump(stumpInput(s, dir))
+
+  private def stumpInput(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
       round(col("l_extendedprice") * 100).cast("long").as("f"),
-      when(col("l_returnflag") === lit("R"), 1L).otherwise(0L).as("y")))
+      when(col("l_returnflag") === lit("R"), 1L).otherwise(0L).as("y"))
+
+  /** Train + APPLY + evaluate in one plan: the [[decisionStump]] model
+    * (one row) broadcasts against every labeled row — each side of the
+    * split predicts its majority class (ties predict 0) — and the
+    * confusion matrix rolls up as four integer sums, accuracy as the
+    * single rounded division. The evaluation primitive next to the AUC
+    * and calibration reports: tp/fp/tn/fn are what a curation pipeline
+    * thresholds on when the classifier gates data. Scoring is one
+    * broadcast join + one combinable aggregation — no extra shuffle
+    * beyond the training pass.
+    */
+  def stumpApply(labeled: DataFrame): DataFrame = {
+    val model = decisionStump(labeled)
+    val pred = when(col("f") <= col("threshold_fp"),
+      when(lit(2L) * col("pos_left") > col("n_left"), 1L).otherwise(0L))
+      .otherwise(
+        when(lit(2L) * col("pos_right") > col("n_right"), 1L).otherwise(0L))
+    labeled.crossJoin(broadcast(model))
+      .select(col("y"), pred.as("pred"))
+      .agg(
+        sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("y") === 0L && col("pred") === 1L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("y") === 0L && col("pred") === 0L, 1L).otherwise(0L))
+          .as("tn"),
+        sum(when(col("y") === 1L && col("pred") === 0L, 1L).otherwise(0L))
+          .as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        round((col("tp") + col("tn")).cast("double")
+          / (col("tp") + col("fp") + col("tn") + col("fn")), 6).as("acc"))
+  }
+
+  def stumpApplyQuery(s: SparkSession, dir: String): DataFrame =
+    stumpApply(stumpInput(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_decision_stump" -> (stumpQuery _),
+    "ml_stump_apply" -> (stumpApplyQuery _),
     "ml_linreg_exact" -> (linregQuery _),
     "ml_perceptron" -> (perceptronQuery _),
     "ml_naive_bayes" -> (naiveBayesQuery _),
@@ -626,7 +665,7 @@ object MlOps {
 
   // the identical prefix-sum split search, DuckDB's window doing the
   // cumsum the engine shards; integer err argmin, one rounded division
-  private def stumpOracle: String =
+  private val stumpCtes: String =
     """WITH ft AS (
       |  SELECT round(l_extendedprice * 100)::BIGINT AS f,
       |    (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS y
@@ -646,14 +685,42 @@ object MlOps {
       |    least(c.pl, c.nl - c.pl)
       |      + least(t.p - c.pl, (t.n - c.nl) - (t.p - c.pl)) AS err,
       |    t.n AS n
-      |  FROM c CROSS JOIN t WHERE c.nl < t.n)
+      |  FROM c CROSS JOIN t WHERE c.nl < t.n)""".stripMargin
+
+  private def stumpOracle: String = stumpCtes +
+    """
       |SELECT f AS threshold_fp, err, nl AS n_left, pl AS pos_left,
       |  nr AS n_right, pr AS pos_right,
       |  round((n - err)::DOUBLE / n, 6) AS acc
       |FROM s ORDER BY err, f LIMIT 1""".stripMargin
 
+  // train + apply replayed: the chosen split scores every row (each
+  // side predicts its majority class, ties to 0), confusion counts are
+  // integer sums, accuracy the one rounded division
+  private def stumpApplyOracle: String = stumpCtes +
+    """,
+      |best AS (SELECT f, nl, pl, nr, pr FROM s ORDER BY err, f LIMIT 1),
+      |scored AS (
+      |  SELECT ft.y,
+      |    CASE WHEN ft.f <= best.f
+      |      THEN (CASE WHEN 2 * best.pl > best.nl THEN 1 ELSE 0 END)
+      |      ELSE (CASE WHEN 2 * best.pr > best.nr THEN 1 ELSE 0 END)
+      |    END AS pred
+      |  FROM ft CROSS JOIN best),
+      |cm AS (
+      |  SELECT
+      |    sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)::BIGINT AS tp,
+      |    sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)::BIGINT AS fp,
+      |    sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)::BIGINT AS tn,
+      |    sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)::BIGINT AS fn
+      |  FROM scored)
+      |SELECT tp, fp, tn, fn,
+      |  round((tp + tn)::DOUBLE / (tp + fp + tn + fn), 6) AS acc
+      |FROM cm""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ml_decision_stump" -> stumpOracle,
+    "ml_stump_apply" -> stumpApplyOracle,
     "ml_linreg_exact" -> linregOracle,
     "ml_perceptron" -> perceptronOracle,
     "ml_naive_bayes" -> naiveBayesOracle,

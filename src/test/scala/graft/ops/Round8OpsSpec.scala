@@ -94,6 +94,27 @@ class Round8OpsSpec extends SparkSpec {
     assert(r.getLong(1) == best._1, s"err ${r.getLong(1)} vs $best")
   }
 
+  test("stump apply: perfect confusion matrix on separable data") {
+    import spark.implicits._
+    val labeled = Seq((10L, 0L), (20L, 0L), (30L, 1L), (40L, 1L), (50L, 1L))
+      .toDF("f", "y")
+    val r = MlOps.stumpApply(labeled).head()
+    assert(r.getLong(0) == 3L && r.getLong(1) == 0L) // tp, fp
+    assert(r.getLong(2) == 2L && r.getLong(3) == 0L) // tn, fn
+    assert(r.getDouble(4) == 1.0)
+  }
+
+  test("stump apply misclassifications equal the training err on lineitem") {
+    val labeled = graft.Tables.lineitem(spark, sfDir).select(
+      round(col("l_extendedprice") * 100).cast("long").as("f"),
+      when(col("l_returnflag") === lit("R"), 1L).otherwise(0L).as("y"))
+    val err = MlOps.decisionStump(labeled).head().getLong(1)
+    val cm = MlOps.stumpApply(labeled).head()
+    // majority-class predictions per side make fp + fn == err by
+    // construction; this ties the applied model back to the search
+    assert(cm.getLong(1) + cm.getLong(3) == err)
+  }
+
   test("stump plan has no global sort: cumsum windows are shard-local") {
     import spark.implicits._
     val labeled = Seq((1L, 0L), (2L, 1L)).toDF("f", "y")
