@@ -467,7 +467,62 @@ object MlOps {
   def stumpApplyQuery(s: SparkSession, dir: String): DataFrame =
     stumpApply(stumpInput(s, dir))
 
+  val KnnK = 5
+  val KnnHoldout = 25
+
+  /** k-NN classification over the embedding corpus — the
+    * label-propagation-by-similarity primitive a curation pipeline uses
+    * to extend a small labeled seed set ("find me more like these"):
+    * every held-out vector (vec_id % [[KnnHoldout]] == 0, the
+    * deterministic test fold) is scored against the remaining labeled
+    * corpus by exact cosine, its [[KnnK]] nearest vote, majority wins
+    * (vote ties break to the smaller label, rank-boundary cosine ties
+    * to the smaller neighbor id — both deterministic cross-engine).
+    *
+    * Scale shape is the [[graft.ops.Similarity.bruteForceTopK]] plan:
+    * the test fold broadcasts (1/holdout of the corpus — small by
+    * construction), the corpus streams through one codegen'd dot
+    * product per (row, query) with NO corpus-side shuffle, and the
+    * vote is a combinable count over k*|test| rows. Cosine is ranked
+    * at round-6 like the whole ANN family (raw last-bit doubles differ
+    * between engines; a near-tie at the rank-k boundary would
+    * otherwise flip set membership).
+    */
+  def knnClassify(emb: DataFrame, k: Int = KnnK,
+      holdout: Int = KnnHoldout): DataFrame = {
+    import graft.functions.VectorOps.{vec_dot, vec_unit}
+    val unit = emb.select(col("vec_id"), col("label").cast("long").as("label"),
+      vec_unit(transform(col("embedding"), _.cast("double"))).as("v"))
+    val test = unit.filter(col("vec_id") % holdout === 0)
+      .select(col("vec_id").as("query_id"),
+        col("label").as("true_label"), col("v").as("qv"))
+    val train = OpUtil.spread(unit).filter(col("vec_id") % holdout =!= 0)
+      .select(col("vec_id").as("neighbor_id"),
+        col("label").as("nb_label"), col("v").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val top = train.crossJoin(broadcast(test))
+      .select(col("query_id"), col("true_label"), col("neighbor_id"),
+        col("nb_label"), round(vec_dot(col("qv"), col("cv")), 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val votes = top.groupBy("query_id", "true_label", "nb_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val vw = Window.partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("nb_label"))
+    votes.withColumn("vr", row_number().over(vw))
+      .filter(col("vr") === 1)
+      .select(col("query_id"), col("true_label"),
+        col("nb_label").as("pred_label"), col("n_votes"),
+        when(col("nb_label") === col("true_label"), 1L).otherwise(0L)
+          .as("correct"))
+  }
+
+  def knnQuery(s: SparkSession, dir: String): DataFrame =
+    knnClassify(Tables.embeddings(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_knn_classify" -> (knnQuery _),
     "ml_decision_stump" -> (stumpQuery _),
     "ml_stump_apply" -> (stumpApplyQuery _),
     "ml_linreg_exact" -> (linregQuery _),
@@ -718,7 +773,42 @@ object MlOps {
       |  round((tp + tn)::DOUBLE / (tp + fp + tn + fn), 6) AS acc
       |FROM cm""".stripMargin
 
+  // exact-cosine top-k (the proven bruteforce round-6 equivalence,
+  // list_cosine_similarity vs the Spark unit-dot) then a pure integer
+  // vote: count per (query, label), majority with label-asc tie-break
+  private val knnOracle: String =
+    s"""WITH t AS (
+       |  SELECT vec_id AS query_id, label::BIGINT AS true_label,
+       |    embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id % $KnnHoldout = 0),
+       |tr AS (
+       |  SELECT vec_id AS neighbor_id, label::BIGINT AS nb_label,
+       |    embedding::DOUBLE[] AS cv
+       |  FROM embeddings WHERE vec_id % $KnnHoldout != 0),
+       |scored AS (
+       |  SELECT query_id, true_label, neighbor_id, nb_label,
+       |    round(list_cosine_similarity(qv, cv), 6) AS cos
+       |  FROM t CROSS JOIN tr),
+       |rk AS (
+       |  SELECT query_id, true_label, nb_label,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM scored),
+       |votes AS (
+       |  SELECT query_id, true_label, nb_label, count(*)::BIGINT AS n_votes
+       |  FROM rk WHERE rn <= $KnnK GROUP BY 1, 2, 3),
+       |vr AS (
+       |  SELECT query_id, true_label, nb_label, n_votes,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY n_votes DESC, nb_label) AS vrn
+       |  FROM votes)
+       |SELECT query_id, true_label, nb_label AS pred_label, n_votes,
+       |  (CASE WHEN nb_label = true_label THEN 1 ELSE 0 END)::BIGINT
+       |    AS correct
+       |FROM vr WHERE vrn = 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "ml_knn_classify" -> knnOracle,
     "ml_decision_stump" -> stumpOracle,
     "ml_stump_apply" -> stumpApplyOracle,
     "ml_linreg_exact" -> linregOracle,

@@ -204,4 +204,52 @@ class RetrievalMlSpec extends SparkSpec {
 
   private def Tables_documents =
     graft.Tables.documents(spark, sfDir)
+
+  test("knnClassify votes the majority label, ties to the smaller label") {
+    // holdout=2 -> even ids are queries, odd ids train. Query 0 along
+    // +x: nearest odd vectors are 1,3 (label 7) and 5 (label 9) -> 7
+    // wins 2-1 with k=3. Query 2 along +y: neighbors 7,9 (label 9) and
+    // 1 (label 7)... build so a 1-1 k=2 tie breaks to the SMALLER label.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (2L, Array(0.0f, 1.0f), 9),
+      (1L, Array(0.9f, 0.1f), 7), // cos~1 to q0
+      (3L, Array(0.8f, 0.2f), 7),
+      (5L, Array(0.7f, 0.3f), 9),
+      (7L, Array(0.1f, 0.9f), 9), // cos~1 to q2
+      (9L, Array(0.2f, 0.8f), 8)
+    ).toDF("vec_id", "embedding", "label")
+    val out = MlOps.knnClassify(emb, k = 3, holdout = 2)
+      .select("query_id", "true_label", "pred_label", "n_votes", "correct")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // q0 true=7: top-3 = ids 1,3 (7) + 5 (9) -> pred 7, correct
+    assert(out(0) == ((0L, 7L, 7L, 2L, 1L)))
+    // q2 true=9: top-3 = ids 7 (9), 9 (8), 5 (9) -> pred 9 with 2 votes
+    assert(out(1) == ((2L, 9L, 9L, 2L, 1L)))
+  }
+
+  test("knnClassify vote tie breaks to the smaller label") {
+    // k=2: query 0 sees one label-5 and one label-3 neighbor at the top
+    // -> 1-1 tie, pred must be 3 (smaller), marking the query wrong
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 5),
+      (1L, Array(0.99f, 0.01f), 5),
+      (3L, Array(0.98f, 0.02f), 3),
+      (5L, Array(-1.0f, 0.0f), 5)
+    ).toDF("vec_id", "embedding", "label")
+    val out = MlOps.knnClassify(emb, k = 2, holdout = 2)
+      .select("query_id", "pred_label", "n_votes", "correct")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((0L, 3L, 1L, 0L)))
+  }
+
+  test("ml_knn_classify on the fixture: one row per held-out id, correct flag consistent") {
+    val out = MlOps.knnQuery(spark, sfDir)
+      .select("query_id", "true_label", "pred_label", "correct")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.map(_._1).distinct.length == out.length)
+    assert(out.forall(r => r._1 % MlOps.KnnHoldout == 0))
+    assert(out.forall(r => (r._4 == 1L) == (r._2 == r._3)))
+  }
 }
