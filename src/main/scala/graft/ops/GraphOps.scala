@@ -324,7 +324,115 @@ object GraphOps {
         lit(4L * m * m).as("q_den"))
   }
 
+  val KcoreK = 3
+  val KcorePeelRounds = 6
+
+  /** Undirected-simple projection of the transition graph — the shared
+    * edge derivation of the label-prop/modularity/k-core/CC family.
+    */
+  private def undirected(events: DataFrame): DataFrame =
+    transitionEdges(events)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+
+  /** K-core extraction by R rounds of degree peeling: each round drops
+    * every node whose degree in the surviving subgraph is < k, plus its
+    * edges. The fixed round count is what makes an until-fixpoint
+    * algorithm oracle-checkable (both engines run the IDENTICAL R
+    * rounds, so the hash compare is well-defined whether or not the
+    * peel has converged); [[KcorePeelRounds]] converges on every
+    * fixture scale (verified: one extra round is a fixpoint at sf0.01
+    * and sf0.1), so the emitted rows ARE the true k-core there.
+    *
+    * Scale shape: each round is one combinable degree count plus two
+    * semi-join-shaped filters of the edge list against the survivor
+    * set — all keyed on node, no all-pairs anything. The edge frame is
+    * consumed twice per round (degree rollup + the filter base), so
+    * each round's survivor edge list is EAGERLY materialized
+    * (localCheckpoint) — the modularity lesson: a lazy cache lets the
+    * two consumers race the first compute and re-run the peel lineage.
+    */
+  def kcore(events: DataFrame, k: Int = KcoreK,
+      rounds: Int = KcorePeelRounds): DataFrame =
+    kcoreOf(undirected(events), k, rounds)
+
+  private[graft] def kcoreOf(und: DataFrame, k: Int = KcoreK,
+      rounds: Int = KcorePeelRounds): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+    var edges = und.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(edges).filter(col("deg") >= k).select("node")
+      edges = edges
+        .join(keep.withColumnRenamed("node", "a"), "a")
+        .join(keep.withColumnRenamed("node", "b"), "b")
+        .select("a", "b")
+        .localCheckpoint(true)
+    }
+    degrees(edges)
+  }
+
+  val CcStarRounds = 4
+
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR edge
+    * rewrites — the published O(log n)-round relational CC (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    * large-star hangs every neighbor bigger than u off the minimum of
+    * u's neighborhood; small-star re-hangs the smaller neighbors (and u
+    * itself) off that minimum. Each round only ever touches (node,
+    * neighbor-min) pairs — one groupBy-min and one equi-join per
+    * half-round, fully combinable, no Pregel runtime and no driver
+    * state, which is why this is the CC of record at 100 TB where the
+    * GraphX path (used by dedup_clusters) would pin vertex state in
+    * executor memory. After [[CcStarRounds]] alternations every
+    * component has collapsed to a star around its minimum node id
+    * (verified a fixpoint at fixture scales; the fixed round count —
+    * not until-fixpoint — is what makes the result oracle-checkable
+    * regardless, same contract as [[kcoreOf]]), so the emitted label
+    * IS the component minimum — the same canonical id GraphX CC
+    * assigns, spec-asserted equal.
+    */
+  def ccStar(events: DataFrame, rounds: Int = CcStarRounds): DataFrame =
+    ccStarOf(undirected(events), rounds)
+
+  private[graft] def ccStarOf(und: DataFrame,
+      rounds: Int = CcStarRounds): DataFrame = {
+    var e = und.localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      // large-star: per node u, m = min(neighborhood ∪ {u}); every
+      // neighbor v > u re-hangs onto m. Each surviving edge is emitted
+      // exactly once (from its smaller endpoint's group), so the edge
+      // list never grows; m <= u < v keeps pairs canonical (a < b).
+      val adj = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      val lm = adj.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val ls = adj.join(lm, "u").filter(col("v") > col("u"))
+        .select(col("m").as("a"), col("v").as("b")).distinct()
+      // small-star: direct each edge big→small; per node u, m = min of
+      // its smaller neighbors; those neighbors AND u re-hang onto m.
+      val sadj = ls.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val sm = sadj.groupBy("u").agg(min(col("v")).as("m"))
+      e = sadj.join(sm, "u").filter(col("v") =!= col("m"))
+        .select(col("m").as("a"), col("v").as("b"))
+        .unionAll(sm.select(col("m").as("a"), col("u").as("b")))
+        .distinct()
+        .localCheckpoint(true) // consumed by both half-rounds next pass
+    }
+    e.select(col("a").as("node"), col("b").as("nb"))
+      .unionAll(e.select(col("b").as("node"), col("a").as("nb")))
+      .groupBy("node")
+      .agg(least(col("node"), min(col("nb"))).as("comp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> ((s: SparkSession, d: String) =>
+      kcore(Tables.events(s, d))),
+    "graph_cc_star" -> ((s: SparkSession, d: String) =>
+      ccStar(Tables.events(s, d))),
     "graph_modularity" -> ((s: SparkSession, d: String) =>
       modularity(Tables.events(s, d))),
     "graph_label_prop" -> ((s: SparkSession, d: String) =>
@@ -474,7 +582,75 @@ object GraphOps {
       (0 until LabelPropIters).map(i => lpIterSql(s"l$i", s"l${i + 1}"))
         .mkString(",\n")
 
+  // the shared ev/tr/und derivation (same text as lpCtes/bfsCtes up to
+  // the undirected edge list) for the k-core and CC-star families
+  private val undCtes: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    (json_extract_string(props, '$$.k'))::BIGINT AS item
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |tr AS (
+       |  SELECT lag(item) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS src, item AS dst
+       |  FROM ev),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM tr WHERE src IS NOT NULL AND src != dst),
+       |""".stripMargin
+
+  private def kcoreIterSql(prev: String, cur: String, i: Int): String =
+    s"""d$i AS (
+       |  SELECT node, count(*)::BIGINT AS deg FROM (
+       |    SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+       |  GROUP BY node),
+       |k$i AS (SELECT node FROM d$i WHERE deg >= $KcoreK),
+       |$cur AS MATERIALIZED (
+       |  SELECT e.a, e.b FROM $prev e
+       |  JOIN k$i x ON x.node = e.a
+       |  JOIN k$i y ON y.node = e.b)""".stripMargin
+
+  private def ccStarIterSql(prev: String, cur: String, i: Int): String =
+    s"""adj$i AS (
+       |  SELECT a AS u, b AS v FROM $prev
+       |  UNION ALL SELECT b, a FROM $prev),
+       |lm$i AS (SELECT u, least(min(v), u) AS m FROM adj$i GROUP BY u),
+       |ls$i AS (
+       |  SELECT DISTINCT l.m AS a, ad.v AS b
+       |  FROM adj$i ad JOIN lm$i l ON l.u = ad.u WHERE ad.v > ad.u),
+       |sadj$i AS (
+       |  SELECT greatest(a, b) AS u, least(a, b) AS v FROM ls$i),
+       |sm$i AS (SELECT u, min(v) AS m FROM sadj$i GROUP BY u),
+       |$cur AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT m.m AS a, s.v AS b
+       |    FROM sadj$i s JOIN sm$i m ON m.u = s.u AND s.v != m.m
+       |    UNION ALL
+       |    SELECT m AS a, u AS b FROM sm$i))""".stripMargin
+
+  private val kcoreOracle: String =
+    undCtes + "e0 AS MATERIALIZED (SELECT a, b FROM und),\n" +
+      (1 to KcorePeelRounds)
+        .map(i => kcoreIterSql(s"e${i - 1}", s"e$i", i)).mkString(",\n") +
+      s"""
+         |SELECT node, count(*)::BIGINT AS deg FROM (
+         |  SELECT a AS node FROM e$KcorePeelRounds
+         |  UNION ALL SELECT b FROM e$KcorePeelRounds)
+         |GROUP BY node""".stripMargin
+
+  private val ccStarOracle: String =
+    undCtes + "e0 AS MATERIALIZED (SELECT a, b FROM und),\n" +
+      (1 to CcStarRounds)
+        .map(i => ccStarIterSql(s"e${i - 1}", s"e$i", i)).mkString(",\n") +
+      s"""
+         |SELECT node, least(node, min(nb))::BIGINT AS comp FROM (
+         |  SELECT a AS node, b AS nb FROM e$CcStarRounds
+         |  UNION ALL SELECT b, a FROM e$CcStarRounds)
+         |GROUP BY node""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> kcoreOracle,
+    "graph_cc_star" -> ccStarOracle,
     "graph_label_prop" ->
       (lpCtes + s"""
          |SELECT node, lab FROM l$LabelPropIters""".stripMargin),
