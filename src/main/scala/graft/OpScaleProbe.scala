@@ -243,6 +243,30 @@ object OpScaleProbe {
       timed(s"graph_modularity x$k") {
         graft.ops.GraphOps.modularity(scaledEvents(k))
       }
+      // round-8 session 4. k-core/CC-star graphs grow ~k in nodes AND
+      // edges like the label-prop probe. kNN holds the TEST fold
+      // constant (holdout scales with k) while the corpus grows ~k —
+      // the operator's contract is a broadcastable query fold against
+      // an arbitrarily large corpus, so the probe measures the
+      // corpus-side scan, not a quadratic both-sides blowup.
+      timed(s"graph_kcore x$k") {
+        graft.ops.GraphOps.kcore(scaledEvents(k))
+      }
+      timed(s"graph_ccstar x$k") {
+        graft.ops.GraphOps.ccStar(scaledEvents(k))
+      }
+      timed(s"ml_knn x$k") {
+        val embBase = Tables.embeddings(spark, sfDir)
+        val vecStride = embBase.agg(max(col("vec_id"))).head.getLong(0) + 1
+        val scaled = (0 until k).map { i =>
+          if (i == 0) embBase
+          else embBase.select(
+            (col("vec_id") + lit(i * vecStride)).as("vec_id"),
+            col("embedding"), col("label"))
+        }.reduce(_ unionByName _)
+        graft.ops.MlOps.knnClassify(scaled,
+          holdout = graft.ops.MlOps.KnnHoldout * k)
+      }
     }
     spark.stop()
   }

@@ -378,10 +378,18 @@ object MlOps {
     * l_returnflag = 'R' — the "was this line returned" stump a returns
     * triage pipeline would actually fit.
     */
-  def decisionStump(labeled: DataFrame, shards: Int = StumpShards): DataFrame = {
+  def decisionStump(labeled: DataFrame, shards: Int = StumpShards): DataFrame =
+    decisionStumpW(labeled.withColumn("w", lit(1L)), shards)
+
+  /** Weighted split search — identical sharded-prefix-sum plan with
+    * cnt/pos generalized to weight sums (sum(w), sum(w*y)); the
+    * unweighted stump is the w=1 special case. Integer weights keep the
+    * argmin exact, which is what the boosting chain needs.
+    */
+  def decisionStumpW(labeled: DataFrame, shards: Int = StumpShards): DataFrame = {
     val g = labeled.groupBy(col("f")).agg(
-      count(lit(1)).as("cnt"),
-      sum(col("y")).as("pos")).persist()
+      sum(col("w")).as("cnt"),
+      sum(col("y") * col("w")).as("pos")).persist()
     val mm = g.agg(min(col("f")).as("lo"), max(col("f")).as("hi")).head()
     val lo = if (mm.isNullAt(0)) 0L else mm.getLong(0)
     val hi = if (mm.isNullAt(1)) 0L else mm.getLong(1)
@@ -467,6 +475,72 @@ object MlOps {
   def stumpApplyQuery(s: SparkSession, dir: String): DataFrame =
     stumpApply(stumpInput(s, dir))
 
+  val BoostRounds = 3
+
+  /** Integer-exact boosting: [[BoostRounds]] weighted stumps chained by
+    * the deterministic doubling rule — every row a round's stump
+    * misclassifies has its weight multiplied by 2 (integer, so the
+    * weight trajectory is exact; classic AdaBoost's float α re-weights
+    * are what keep gradient boosting out of the oracle-checkable set) —
+    * and the ensemble predicts by MAJORITY of the three stumps (odd
+    * count: no vote ties to break). Weights stay <= 2^(rounds-1): no
+    * overflow for any feasible round count.
+    *
+    * Scale shape: each round is one [[decisionStumpW]] (groupBy-f
+    * weight sums + the sharded prefix sum) over the SAME base rows with
+    * a re-derived weight column — the model is a single collected row
+    * per round (contract-bounded, like the centroid collects), so
+    * per-row predictions compile to literal comparisons inside
+    * whole-stage codegen and the weight chain never shuffles. The base
+    * frame is eagerly materialized once ([[org.apache.spark.sql.Dataset
+    * .localCheckpoint]]) because all three rounds and the final scoring
+    * pass consume it.
+    */
+  def boostedStumps(labeled0: DataFrame): DataFrame = {
+    final case class M(t: Long, err: Long, nl: Long, pl: Long, nr: Long,
+      pr: Long)
+    def train(ft: DataFrame): M = {
+      val r = decisionStumpW(ft).head()
+      M(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }
+    // per-side majority resolves on the driver (the model is one row),
+    // so each stump's per-row prediction is a literal threshold compare
+    def pred(m: M) = when(col("f") <= m.t,
+      lit(if (2L * m.pl > m.nl) 1L else 0L))
+      .otherwise(lit(if (2L * m.pr > m.nr) 1L else 0L))
+
+    val ft1 = labeled0.withColumn("w", lit(1L)).localCheckpoint(true)
+    val m1 = train(ft1)
+    val ft2 = ft1.withColumn("w", col("w") *
+      when(pred(m1) =!= col("y"), 2L).otherwise(1L)).localCheckpoint(true)
+    val m2 = train(ft2)
+    val ft3 = ft2.withColumn("w", col("w") *
+      when(pred(m2) =!= col("y"), 2L).otherwise(1L)).localCheckpoint(true)
+    val m3 = train(ft3)
+    val maj = when(pred(m1) + pred(m2) + pred(m3) >= 2, 1L).otherwise(0L)
+    ft1.select(col("y"), maj.as("pred"))
+      .agg(
+        sum(when(col("y") === 1L && col("pred") === 1L, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("y") === 0L && col("pred") === 1L, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("y") === 0L && col("pred") === 0L, 1L).otherwise(0L))
+          .as("tn"),
+        sum(when(col("y") === 1L && col("pred") === 0L, 1L).otherwise(0L))
+          .as("fn"))
+      .select(
+        lit(m1.t).as("t1_fp"), lit(m1.err).as("err1"),
+        lit(m2.t).as("t2_fp"), lit(m2.err).as("err2_w"),
+        lit(m3.t).as("t3_fp"), lit(m3.err).as("err3_w"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        round((col("tp") + col("tn")).cast("double")
+          / (col("tp") + col("fp") + col("tn") + col("fn")), 6).as("acc"))
+  }
+
+  def boostedQuery(s: SparkSession, dir: String): DataFrame =
+    boostedStumps(stumpInput(s, dir))
+
   val KnnK = 5
   val KnnHoldout = 25
 
@@ -522,6 +596,7 @@ object MlOps {
     knnClassify(Tables.embeddings(s, dir))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_boosted_stumps" -> (boostedQuery _),
     "ml_knn_classify" -> (knnQuery _),
     "ml_decision_stump" -> (stumpQuery _),
     "ml_stump_apply" -> (stumpApplyQuery _),
@@ -773,6 +848,80 @@ object MlOps {
       |  round((tp + tn)::DOUBLE / (tp + fp + tn + fn), 6) AS acc
       |FROM cm""".stripMargin
 
+  // one weighted-stump search round: weight-sum groupBy, window cumsum,
+  // integer err argmin, then the next round's ft with doubled weights
+  // on this stump's misses. pr{r} is the stump's per-row prediction.
+  private def wstumpRound(r: Int): String = {
+    val ft = s"ft$r"
+    val pr = s"""(CASE WHEN ft.f <= b.f
+       |      THEN (CASE WHEN 2 * b.pl > b.nl THEN 1 ELSE 0 END)
+       |      ELSE (CASE WHEN 2 * b.pr > b.nr THEN 1 ELSE 0 END) END)"""
+      .stripMargin
+    s"""g$r AS (
+       |  SELECT f, sum(w)::BIGINT AS cnt, sum(y * w)::BIGINT AS pos
+       |  FROM $ft GROUP BY 1),
+       |t$r AS (SELECT sum(cnt)::BIGINT AS n, sum(pos)::BIGINT AS p
+       |  FROM g$r),
+       |c$r AS (
+       |  SELECT f, sum(cnt) OVER w_::BIGINT AS nl,
+       |    sum(pos) OVER w_::BIGINT AS pl
+       |  FROM g$r
+       |  WINDOW w_ AS (ORDER BY f
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |s$r AS (
+       |  SELECT c.f, c.nl, c.pl, t.n - c.nl AS nr, t.p - c.pl AS pr,
+       |    least(c.pl, c.nl - c.pl)
+       |      + least(t.p - c.pl, (t.n - c.nl) - (t.p - c.pl)) AS err
+       |  FROM c$r c CROSS JOIN t$r t WHERE c.nl < t.n),
+       |b$r AS (SELECT f, nl, pl, nr, pr, err FROM s$r
+       |  ORDER BY err, f LIMIT 1),
+       |ft${r + 1} AS (
+       |  SELECT ft.f, ft.y,
+       |    ft.w * (CASE WHEN $pr != ft.y THEN 2 ELSE 1 END) AS w
+       |  FROM $ft ft CROSS JOIN b$r b)""".stripMargin
+  }
+
+  // the three boosting rounds replayed; the ensemble is the literal
+  // majority of the three per-row stump predictions
+  private def boostedOracle: String = {
+    def p(r: Int): String =
+      s"""(CASE WHEN ft.f <= b$r.f
+         |      THEN (CASE WHEN 2 * b$r.pl > b$r.nl THEN 1 ELSE 0 END)
+         |      ELSE (CASE WHEN 2 * b$r.pr > b$r.nr THEN 1 ELSE 0 END)
+         |    END)""".stripMargin
+    s"""WITH ftb AS (
+       |  SELECT round(l_extendedprice * 100)::BIGINT AS f,
+       |    (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS y
+       |  FROM lineitem),
+       |ft1 AS (SELECT f, y, 1::BIGINT AS w FROM ftb),
+       |""".stripMargin +
+      (1 to BoostRounds).map(wstumpRound).mkString(",\n") +
+      s""",
+         |scored AS (
+         |  SELECT ft.y,
+         |    (CASE WHEN ${p(1)} + ${p(2)} + ${p(3)} >= 2
+         |      THEN 1 ELSE 0 END) AS pred
+         |  FROM ft1 ft CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3),
+         |cm AS (
+         |  SELECT
+         |    sum(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)::BIGINT
+         |      AS tp,
+         |    sum(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)::BIGINT
+         |      AS fp,
+         |    sum(CASE WHEN y = 0 AND pred = 0 THEN 1 ELSE 0 END)::BIGINT
+         |      AS tn,
+         |    sum(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)::BIGINT
+         |      AS fn
+         |  FROM scored)
+         |SELECT b1.f AS t1_fp, b1.err AS err1,
+         |  b2.f AS t2_fp, b2.err AS err2_w,
+         |  b3.f AS t3_fp, b3.err AS err3_w,
+         |  cm.tp, cm.fp, cm.tn, cm.fn,
+         |  round((cm.tp + cm.tn)::DOUBLE
+         |    / (cm.tp + cm.fp + cm.tn + cm.fn), 6) AS acc
+         |FROM cm CROSS JOIN b1 CROSS JOIN b2 CROSS JOIN b3""".stripMargin
+  }
+
   // exact-cosine top-k (the proven bruteforce round-6 equivalence,
   // list_cosine_similarity vs the Spark unit-dot) then a pure integer
   // vote: count per (query, label), majority with label-asc tie-break
@@ -808,6 +957,7 @@ object MlOps {
        |FROM vr WHERE vrn = 1""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ml_boosted_stumps" -> boostedOracle,
     "ml_knn_classify" -> knnOracle,
     "ml_decision_stump" -> stumpOracle,
     "ml_stump_apply" -> stumpApplyOracle,

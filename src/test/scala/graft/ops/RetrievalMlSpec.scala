@@ -205,6 +205,33 @@ class RetrievalMlSpec extends SparkSpec {
   private def Tables_documents =
     graft.Tables.documents(spark, sfDir)
 
+  test("boostedStumps replays the hand-computed doubling trajectory and fixes the single stump") {
+    // f=1..6, y=1,1,0,0,1,1: every single threshold errs on 2 rows
+    // (stump1 ties -> t=1, predicts all-1, misses f=3,4). Doubling the
+    // misses drives stump2 to t=2 (f<=2 -> 1 else 0; misses 5,6) and
+    // stump3 to t=4 (f<=4 -> 0 else 1; misses 1,2) — and the majority
+    // of the three classifies all 6 rows correctly. Hand-verified
+    // weighted prefix sums; the exact trajectory is the point.
+    val labeled = Seq((1L, 1L), (2L, 1L), (3L, 0L), (4L, 0L), (5L, 1L),
+      (6L, 1L)).toDF("f", "y")
+    val out = MlOps.boostedStumps(labeled).head()
+    assert(out.getLong(0) == 1L && out.getLong(1) == 2L) // t1, err1
+    assert(out.getLong(2) == 2L && out.getLong(3) == 2L) // t2, err2_w
+    assert(out.getLong(4) == 4L && out.getLong(5) == 2L) // t3, err3_w
+    assert((out.getLong(6), out.getLong(7), out.getLong(8),
+      out.getLong(9)) == ((4L, 0L, 2L, 0L))) // tp fp tn fn: perfect
+    assert(out.getDouble(10) == 1.0)
+  }
+
+  test("decisionStumpW with unit weights equals decisionStump") {
+    val labeled = Seq((10L, 1L), (20L, 0L), (30L, 1L), (40L, 0L))
+      .toDF("f", "y")
+    val a = MlOps.decisionStump(labeled).head().toSeq
+    val b = MlOps.decisionStumpW(labeled.withColumn("w",
+      org.apache.spark.sql.functions.lit(1L))).head().toSeq
+    assert(a == b)
+  }
+
   test("knnClassify votes the majority label, ties to the smaller label") {
     // holdout=2 -> even ids are queries, odd ids train. Query 0 along
     // +x: nearest odd vectors are 1,3 (label 7) and 5 (label 9) -> 7
