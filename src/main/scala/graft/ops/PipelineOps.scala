@@ -621,7 +621,46 @@ object PipelineOps {
        |FROM n""".stripMargin
   }
 
+  val Z2Threshold = 9L // 3-sigma, squared
+
+  /** Outlier flagging in EXACT integer arithmetic — the curation
+    * filter that drops anomalous records before training, with a
+    * cross-engine-checkable trajectory: z² > 9 (3σ on the population
+    * variance) rewritten by cross-multiplication so no division or
+    * float ever happens — flag x where (n·x − s)² > 9·(n·q − s²), with
+    * (n, s, q) = per-group (count, Σx, Σx²) over value cents. The
+    * squared terms pass through DECIMAL(38,0) (HUGEINT on the oracle
+    * side): |n·x − s| ≤ ~1e13 at sf1000, squared ~1e26 — exact to
+    * ~sf1e9, and Spark NULLs (loudly) on decimal overflow rather than
+    * wrapping.
+    *
+    * Scale shape: one combinable per-type aggregation (|event_type|
+    * rows), re-joined broadcast; the flag predicate is whole-stage
+    * codegen over the scan — no second shuffle.
+    */
+  def outlierFlags(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val b = events.select(col("event_id"), col("event_type"),
+      round(col("value") * 100).cast("long").as("x"))
+    val s = b.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum(col("x")).as("s"),
+      sum((col("x") * col("x")).cast(dec)).as("q"))
+    val diff = (col("x") * col("n") - col("s")).cast(dec)
+    val z2num = (diff * diff).as("z2n")
+    val varnum = (col("n").cast(dec) * col("q")
+      - col("s").cast(dec) * col("s").cast(dec)).as("vn")
+    b.join(broadcast(s), "event_type")
+      .select(col("event_id"), col("event_type"),
+        col("x").as("value_cents"), z2num, varnum)
+      .filter(col("z2n") > lit(Z2Threshold) * col("vn"))
+      .select(col("event_id"), col("event_type"), col("value_cents"),
+        col("z2n").cast("string").as("z2_num"),
+        col("vn").cast("string").as("var_num"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_outliers" -> ((s: SparkSession, d: String) =>
+      outlierFlags(Tables.events(s, d))),
     "pipe_dp_release" -> ((s: SparkSession, d: String) =>
       dpRelease(Tables.documents(s, d))),
     "pipe_length_buckets" -> ((s: SparkSession, d: String) =>
@@ -685,6 +724,24 @@ object PipelineOps {
          |  % 100 < least(20 + q.quality_points * 8, 100)""".stripMargin
 
   lazy val oracles: Map[String, String] = Map(
+    // the identical cross-multiplied integer z² predicate; HUGEINT is
+    // DuckDB's DECIMAL(38,0)-equivalent for the squared terms
+    "pipe_outliers" ->
+      s"""WITH b AS (
+         |  SELECT event_id, event_type, round(value * 100)::BIGINT AS x
+         |  FROM events),
+         |st AS (
+         |  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+         |    sum(x::HUGEINT * x) AS q
+         |  FROM b GROUP BY 1),
+         |j AS (
+         |  SELECT b.event_id, b.event_type, b.x,
+         |    (b.x * st.n - st.s)::HUGEINT * (b.x * st.n - st.s) AS z2n,
+         |    st.n::HUGEINT * st.q - st.s::HUGEINT * st.s AS vn
+         |  FROM b JOIN st USING (event_type))
+         |SELECT event_id, event_type, x AS value_cents,
+         |  z2n::VARCHAR AS z2_num, vn::VARCHAR AS var_num
+         |FROM j WHERE z2n > $Z2Threshold * vn""".stripMargin,
     "pipe_dp_release" -> dpOracle(),
     "pipe_quality_sample" -> qualitySampleOracle,
     // the three stage oracles composed by concatenation — survivors of

@@ -273,4 +273,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.exists(_._6.isEmpty), "some event precedes any purchase")
     assert(rows.exists(_._6.nonEmpty))
   }
+
+  test("outlierFlags applies the exact cross-multiplied 3-sigma predicate") {
+    // 12 zeros + one 13.00: n=13, s=1300, mean=100, population var
+    // = (13*1690000 - 1690000)/169; z^2 for the spike = 12 > 9 ->
+    // flagged; z^2 for each zero = 1/12 -> not. Exactly one row, with
+    // the exact integer numerators.
+    val ev = ((1L to 12L).map(i => (i, "t", 0.0)) :+ (13L, "t", 13.0))
+      .toDF("event_id", "event_type", "value")
+    val out = PipelineOps.outlierFlags(ev)
+      .select("event_id", "value_cents", "z2_num", "var_num")
+      .as[(Long, Long, String, String)].collect()
+    assert(out.toSeq == Seq((13L, 1300L, "243360000", "20280000")))
+    // raise the spike's group variance with a second spike: now neither
+    // reaches z^2 > 9 (two outliers split the deviation budget)
+    val ev2 = ev.unionByName(Seq((14L, "t", 13.0)).toDF(
+      "event_id", "event_type", "value"))
+    assert(PipelineOps.outlierFlags(ev2).count() == 0L)
+  }
 }
