@@ -638,18 +638,27 @@ object PipelineOps {
     * rows), re-joined broadcast; the flag predicate is whole-stage
     * codegen over the scan — no second shuffle.
     */
-  def outlierFlags(events: DataFrame): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val b = events.select(col("event_id"), col("event_type"),
+  private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
+  private def outlierBase(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("event_type"),
       round(col("value") * 100).cast("long").as("x"))
-    val s = b.groupBy("event_type").agg(
+
+  /** The per-type sufficient statistics (n, Σx, Σx²) — combinable, so
+    * they run identically as a batch aggregate or a Complete-mode
+    * streaming one (state = three numbers per type, O(types) forever).
+    */
+  private[graft] def outlierStats(b: DataFrame): DataFrame =
+    b.groupBy("event_type").agg(
       count(lit(1)).as("n"), sum(col("x")).as("s"),
-      sum((col("x") * col("x")).cast(dec)).as("q"))
-    val diff = (col("x") * col("n") - col("s")).cast(dec)
+      sum((col("x") * col("x")).cast(Dec38)).as("q"))
+
+  private[graft] def outlierJoin(b: DataFrame, stats: DataFrame): DataFrame = {
+    val diff = (col("x") * col("n") - col("s")).cast(Dec38)
     val z2num = (diff * diff).as("z2n")
-    val varnum = (col("n").cast(dec) * col("q")
-      - col("s").cast(dec) * col("s").cast(dec)).as("vn")
-    b.join(broadcast(s), "event_type")
+    val varnum = (col("n").cast(Dec38) * col("q")
+      - col("s").cast(Dec38) * col("s").cast(Dec38)).as("vn")
+    b.join(broadcast(stats), "event_type")
       .select(col("event_id"), col("event_type"),
         col("x").as("value_cents"), z2num, varnum)
       .filter(col("z2n") > lit(Z2Threshold) * col("vn"))
@@ -658,9 +667,30 @@ object PipelineOps {
         col("vn").cast("string").as("var_num"))
   }
 
+  def outlierFlags(events: DataFrame): DataFrame = {
+    val b = outlierBase(events)
+    outlierJoin(b, outlierStats(b))
+  }
+
+  /** STREAMING outlier detection: the [[outlierStats]] aggregation runs
+    * AS the stream (Complete mode, the [[graft.ops.MlOps.linregStream]]
+    * pattern), and the finalized per-type stats gate the batch table —
+    * proving the anomaly model trains arrival-order-independently on an
+    * unbounded feed. Shares the pipe_outliers oracle verbatim.
+    */
+  def outlierStream(s: SparkSession, dir: String): DataFrame = {
+    val streamed = outlierStats(outlierBase(
+      graft.streaming.EventStreams.eventStream(s, dir)))
+    val stats = graft.streaming.EventStreams.runToMemorySink(s, streamed,
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    outlierJoin(outlierBase(Tables.events(s, dir)), stats)
+      .localCheckpoint(true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_outliers" -> ((s: SparkSession, d: String) =>
       outlierFlags(Tables.events(s, d))),
+    "stream_outliers" -> (outlierStream _),
     "pipe_dp_release" -> ((s: SparkSession, d: String) =>
       dpRelease(Tables.documents(s, d))),
     "pipe_length_buckets" -> ((s: SparkSession, d: String) =>
@@ -723,25 +753,30 @@ object PipelineOps {
          |WHERE ${graft.ops.Sketches.sqlH48("'qw|' || d.doc_id::VARCHAR")}
          |  % 100 < least(20 + q.quality_points * 8, 100)""".stripMargin
 
+  private lazy val outliersOracle: String =
+    s"""WITH b AS (
+       |  SELECT event_id, event_type, round(value * 100)::BIGINT AS x
+       |  FROM events),
+       |st AS (
+       |  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
+       |    sum(x::HUGEINT * x) AS q
+       |  FROM b GROUP BY 1),
+       |j AS (
+       |  SELECT b.event_id, b.event_type, b.x,
+       |    (b.x * st.n - st.s)::HUGEINT * (b.x * st.n - st.s) AS z2n,
+       |    st.n::HUGEINT * st.q - st.s::HUGEINT * st.s AS vn
+       |  FROM b JOIN st USING (event_type))
+       |SELECT event_id, event_type, x AS value_cents,
+       |  z2n::VARCHAR AS z2_num, vn::VARCHAR AS var_num
+       |FROM j WHERE z2n > $Z2Threshold * vn""".stripMargin
+
   lazy val oracles: Map[String, String] = Map(
     // the identical cross-multiplied integer z² predicate; HUGEINT is
     // DuckDB's DECIMAL(38,0)-equivalent for the squared terms
-    "pipe_outliers" ->
-      s"""WITH b AS (
-         |  SELECT event_id, event_type, round(value * 100)::BIGINT AS x
-         |  FROM events),
-         |st AS (
-         |  SELECT event_type, count(*)::BIGINT AS n, sum(x)::BIGINT AS s,
-         |    sum(x::HUGEINT * x) AS q
-         |  FROM b GROUP BY 1),
-         |j AS (
-         |  SELECT b.event_id, b.event_type, b.x,
-         |    (b.x * st.n - st.s)::HUGEINT * (b.x * st.n - st.s) AS z2n,
-         |    st.n::HUGEINT * st.q - st.s::HUGEINT * st.s AS vn
-         |  FROM b JOIN st USING (event_type))
-         |SELECT event_id, event_type, x AS value_cents,
-         |  z2n::VARCHAR AS z2_num, vn::VARCHAR AS var_num
-         |FROM j WHERE z2n > $Z2Threshold * vn""".stripMargin,
+    "pipe_outliers" -> outliersOracle,
+    // stream/batch anomaly equivalence: the streamed stats must gate
+    // to the IDENTICAL flag set
+    "stream_outliers" -> outliersOracle,
     "pipe_dp_release" -> dpOracle(),
     "pipe_quality_sample" -> qualitySampleOracle,
     // the three stage oracles composed by concatenation — survivors of

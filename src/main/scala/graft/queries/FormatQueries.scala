@@ -277,7 +277,35 @@ object FormatQueries {
         sum(col("o_orderkey")).as("sum_okey"))
   }
 
+  /** Schema evolution through the parquet lake: generation 1 files
+    * predate the `o_orderpriority` column (even orderkeys), generation 2
+    * carries it — exactly how a long-lived table accretes columns. The
+    * mergeSchema read must reconcile the footers (missing column →
+    * NULL for old files, never a mis-bind), proven by aggregating on
+    * the evolved column with old rows coalesced to a sentinel while the
+    * oracle derives the same split straight from the original table.
+    * Scale note: mergeSchema footer reconciliation is a planning-time
+    * file-listing cost; the scan itself stays columnar and pruned.
+    */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val o = graft.Tables.orders(s, d)
+    val dir = scratch("sev_orders")
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/gen1")
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$dir/gen1", s"$dir/gen2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-evolution>"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n"),
+        money(sum(col("o_totalprice"))).as("sum_total"),
+        sum(col("o_orderkey")).as("sum_okey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_schema_evolution" -> (schemaEvolution _),
     "fmt_csv_roundtrip" -> (csvRoundTrip _),
     "fmt_json_roundtrip" -> (jsonRoundTrip _),
     "fmt_orc_roundtrip" -> (orcRoundTrip _),
@@ -308,6 +336,15 @@ object FormatQueries {
     * is correct iff it is invisible to the aggregate.
     */
   val oracles: Map[String, String] = Map(
+    // the evolved-column split derived straight from the source table:
+    // even keys are pre-evolution (priority lost to the old schema)
+    "fmt_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+        |  ELSE o_orderpriority END AS priority,
+        |  count(*)::BIGINT AS n,
+        |  round(sum(o_totalprice), 2) AS sum_total,
+        |  sum(o_orderkey)::BIGINT AS sum_okey
+        |FROM orders GROUP BY 1""".stripMargin,
     "fmt_csv_roundtrip" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -120,7 +120,7 @@ object EventStreams {
     else base.option("pathGlobFilter", s"$table.parquet").parquet(dir)
   }
 
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Streaming sources take a user schema on faith — declaring ts:Long
     // against a micros/INT96 file fails at read (or worse, silently

@@ -77,4 +77,16 @@ class FormatQueriesSpec extends SparkSpec {
     assert(!plan.contains("PushedFilters: [IsNotNull(o_orderstatus)"),
       "status filter degraded to a data-file filter")
   }
+
+  test("schemaEvolution: mergeSchema read reconciles pre-evolution files to NULL priority") {
+    val out = FormatQueries.schemaEvolution(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val o = graft.Tables.orders(spark, sfDir)
+    val nEven = o.filter(org.apache.spark.sql.functions
+      .col("o_orderkey") % 2 === 0).count()
+    assert(out("<pre-evolution>") == nEven)
+    assert(out.values.sum == o.count())
+    // every non-sentinel group is a real priority value from gen-2 rows
+    assert(out.keys.filter(_ != "<pre-evolution>").forall(_.nonEmpty))
+  }
 }

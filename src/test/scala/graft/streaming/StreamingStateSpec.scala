@@ -202,4 +202,12 @@ class StreamingStateSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty,
       s"stream $streamed vs batch $batch")
   }
+
+  test("stream_outliers equals the batch flag set (arrival-order independence)") {
+    val streamed = graft.ops.PipelineOps.outlierStream(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ops.PipelineOps.outlierFlags(
+      graft.Tables.events(spark, sfDir)).collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
