@@ -111,7 +111,7 @@ object MlOps {
     * overflow rather than wrapping, so exhaustion is loud; center the
     * features to extend range).
     */
-  def linregMulti(lineitem: DataFrame): DataFrame = {
+  def linregMulti(lineitem: DataFrame, ridgeLambda: Long = 0L): DataFrame = {
     val base = lineitem.select(
       col("l_quantity").cast("long").as("x1"),
       round(col("l_discount") * 100).cast("long").as("x2"),
@@ -134,11 +134,15 @@ object MlOps {
     val (sx1, sx2) = (col("sx1"), col("sx2"))
     val (sx11, sx12, sx22) = (col("sx11"), col("sx12"), col("sx22"))
     val (sy, sx1y, sx2y) = (col("sy"), col("sx1y"), col("sx2y"))
-    // A = [[n,sx1,sx2],[sx1,sx11,sx12],[sx2,sx12,sx22]], rhs = [sy,sx1y,sx2y]
-    val det = det3(n, sx1, sx2, sx1, sx11, sx12, sx2, sx12, sx22)
-    val b0n = det3(sy, sx1, sx2, sx1y, sx11, sx12, sx2y, sx12, sx22)
-    val b1n = det3(n, sy, sx2, sx1, sx1y, sx12, sx2, sx2y, sx22)
-    val b2n = det3(n, sx1, sy, sx1, sx11, sx1y, sx2, sx12, sx2y)
+    // A = [[n,sx1,sx2],[sx1,sx11+l,sx12],[sx2,sx12,sx22+l]], rhs =
+    // [sy,sx1y,sx2y] — l = ridgeLambda on the non-intercept diagonal
+    // (standard ridge: the intercept is not penalized); l = 0 is OLS
+    val lam = lit(ridgeLambda).cast(Dec)
+    val (lx11, lx22) = (sx11 + lam, sx22 + lam)
+    val det = det3(n, sx1, sx2, sx1, lx11, sx12, sx2, sx12, lx22)
+    val b0n = det3(sy, sx1, sx2, sx1y, lx11, sx12, sx2y, sx12, lx22)
+    val b1n = det3(n, sy, sx2, sx1, sx1y, sx12, sx2, sx2y, lx22)
+    val b2n = det3(n, sx1, sy, sx1, lx11, sx1y, sx2, sx12, sx2y)
     sums.select(
       col("n"),
       sx1.cast("string").as("sx1"), sx2.cast("string").as("sx2"),
@@ -156,6 +160,17 @@ object MlOps {
 
   def linregMultiQuery(s: SparkSession, dir: String): DataFrame =
     linregMulti(Tables.lineitem(s, dir))
+
+  val RidgeLambda = 100000L
+
+  /** Ridge regression, exactly: the same one-pass sufficient statistics
+    * as [[linregMulti]] with λ added to the non-intercept diagonal of
+    * the normal matrix before the Cramer solve — regularization costs
+    * ZERO extra passes and stays exact-integer, so the shrunk
+    * coefficients are oracle-checkable like the OLS ones.
+    */
+  def ridgeQuery(s: SparkSession, dir: String): DataFrame =
+    linregMulti(Tables.lineitem(s, dir), RidgeLambda)
 
   /** Integer document features for the language classifier: bias, char
     * count (the table's own n_chars), non-empty token count, digit
@@ -597,6 +612,7 @@ object MlOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_boosted_stumps" -> (boostedQuery _),
+    "ml_ridge_exact" -> (ridgeQuery _),
     "ml_knn_classify" -> (knnQuery _),
     "ml_decision_stump" -> (stumpQuery _),
     "ml_stump_apply" -> (stumpApplyQuery _),
@@ -718,14 +734,16 @@ object MlOps {
       |FROM o""".stripMargin
 
   // same 3x3 Cramer expansion over HUGEINT sums; a(ei-fh)-b(di-fg)+c(dh-eg)
-  private val linregMultiOracle: String = {
+  private def linregMultiOracle(lam: Long = 0L): String = {
     def det3(a: String, b: String, c: String, d: String, e: String,
         f: String, g: String, h: String, i: String): String =
       s"$a * ($e * $i - $f * $h) - $b * ($d * $i - $f * $g) + $c * ($d * $h - $e * $g)"
-    val det = det3("nh", "sx1", "sx2", "sx1", "sx11", "sx12", "sx2", "sx12", "sx22")
-    val b0n = det3("sy", "sx1", "sx2", "sx1y", "sx11", "sx12", "sx2y", "sx12", "sx22")
-    val b1n = det3("nh", "sy", "sx2", "sx1", "sx1y", "sx12", "sx2", "sx2y", "sx22")
-    val b2n = det3("nh", "sx1", "sy", "sx1", "sx11", "sx1y", "sx2", "sx12", "sx2y")
+    // the λ-augmented normal-matrix diagonal (λ=0 is plain OLS)
+    val (lx11, lx22) = (s"(sx11 + $lam::HUGEINT)", s"(sx22 + $lam::HUGEINT)")
+    val det = det3("nh", "sx1", "sx2", "sx1", lx11, "sx12", "sx2", "sx12", lx22)
+    val b0n = det3("sy", "sx1", "sx2", "sx1y", lx11, "sx12", "sx2y", "sx12", lx22)
+    val b1n = det3("nh", "sy", "sx2", "sx1", "sx1y", "sx12", "sx2", "sx2y", lx22)
+    val b2n = det3("nh", "sx1", "sy", "sx1", lx11, "sx1y", "sx2", "sx12", "sx2y")
     s"""WITH b AS (
        |  SELECT l_quantity::BIGINT AS x1,
        |    round(l_discount * 100)::BIGINT AS x2,
@@ -968,6 +986,7 @@ object MlOps {
     // stream/batch training equivalence: the streamed sums must finalize
     // to the IDENTICAL exact fit
     "stream_linreg" -> linregOracle,
-    "ml_linreg_multi" -> linregMultiOracle,
+    "ml_linreg_multi" -> linregMultiOracle(),
+    "ml_ridge_exact" -> linregMultiOracle(RidgeLambda),
     "ml_calibration" -> calibrationOracle)
 }

@@ -587,6 +587,33 @@ object Relational {
     * defines it). The declarative twin is a sorted collect_list; this
     * runs on `repartitionAndSortWithinPartitions` + run-cutting.
     */
+  /** Distributed grep through the MR facade — THE canonical MapReduce
+    * demo (Dean & Ghemawat §2.1 list it first): the map scans each
+    * document once and emits (doc_id, match count, first offset) for
+    * documents containing the literal pattern; non-matching docs emit
+    * nothing, so the shuffle carries only hits. Non-overlapping match
+    * semantics (advance by pattern length) to agree with regexp_count.
+    */
+  def mrGrep(s: SparkSession, dir: String,
+      pattern: String = "spark"): DataFrame = {
+    import s.implicits._
+    val rows = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)].rdd
+    val out = graft.core.MapReduceJob(rows) { case (id, text) =>
+      val first = text.indexOf(pattern)
+      if (first < 0) Iterator.empty
+      else {
+        var n = 0L
+        var j = first
+        while (j >= 0) { n += 1; j = text.indexOf(pattern, j + pattern.length) }
+        Iterator.single((id, (n, first + 1L)))
+      }
+    }.reduce[(Long, Long, Long)] { (k, vs) =>
+      val v = vs.next(); Iterator.single((k, v._1, v._2))
+    }
+    out.toDF("doc_id", "n_matches", "first_pos")
+  }
+
   def mrSecondarySort(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows = Tables.orders(s, dir)
@@ -704,6 +731,7 @@ object Relational {
     "q37_histogram" -> q37Histogram _,
     "q35_first_last" -> q35FirstLast _,
     "q36_bag_setops" -> q36BagSetOps _,
+    "mr_grep" -> ((s: SparkSession, d: String) => mrGrep(s, d)),
     "mr_secondary_sort" -> mrSecondarySort _,
     "mr_join" -> mrJoin _,
     "q34_full_outer" -> q34FullOuter _,
@@ -786,6 +814,12 @@ object Relational {
         |  FROM (SELECT * FROM big EXCEPT ALL SELECT * FROM urgent))
         |SELECT o_custkey, relation, count(*) AS multiplicity
         |FROM tagged GROUP BY 1, 2""".stripMargin,
+    "mr_grep" ->
+      """SELECT doc_id,
+        |  ((length(text) - length(replace(text, 'spark', '')))
+        |    // length('spark'))::BIGINT AS n_matches,
+        |  strpos(text, 'spark')::BIGINT AS first_pos
+        |FROM documents WHERE text LIKE '%spark%'""".stripMargin,
     "mr_secondary_sort" ->
       """SELECT o_custkey AS custkey,
         |  array_to_string((list(o_orderkey

@@ -232,6 +232,22 @@ class RetrievalMlSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ridge at lambda=0 is OLS; positive lambda shrinks the coefficient norm") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val ols = MlOps.linregMulti(li).head()
+    val ols0 = MlOps.linregMulti(li, 0L).head()
+    assert(ols.toSeq == ols0.toSeq)
+    val ridge = MlOps.linregMulti(li, MlOps.RidgeLambda).head()
+    def norm2(r: org.apache.spark.sql.Row) = {
+      val (b1, b2) = (r.getDouble(14), r.getDouble(15))
+      b1 * b1 + b2 * b2
+    }
+    // the penalized-coefficient norm is monotone non-increasing in
+    // lambda (standard ridge property), and the fit must actually move
+    assert(norm2(ridge) <= norm2(ols))
+    assert(ridge.getString(9) != ols.getString(9)) // det changed
+  }
+
   test("knnClassify votes the majority label, ties to the smaller label") {
     // holdout=2 -> even ids are queries, odd ids train. Query 0 along
     // +x: nearest odd vectors are 1,3 (label 7) and 5 (label 9) -> 7
