@@ -51,6 +51,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         HllRegsAgg(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("bitmap_distinct"),
+      new ExpressionInfo(classOf[BitmapDistinctAgg].getName, "bitmap_distinct"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        BitmapDistinctAgg(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       FunctionIdentifier("no_pushdown"),
       new ExpressionInfo(classOf[PushdownBarrier].getName, "no_pushdown"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

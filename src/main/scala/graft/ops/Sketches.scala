@@ -483,7 +483,45 @@ object Sketches {
     quantileFinalize(quantileBuckets(vals), vals)
   }
 
+  /** EXACT per-type distinct users via the native bitmap aggregate
+    * ([[graft.functions.BitmapDistinctAgg]]) — one pass, wordwise-OR
+    * combinable state, popcount finalize. The domain bound comes from a
+    * single O(1) max probe (dense driver-generated user ids; a
+    * production caller passes its dictionary size instead). The DuckDB
+    * oracle is plain count(DISTINCT) — the native aggregate must land
+    * on the exact answer, not an estimate.
+    */
+  def bitmapDistinctUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val maxU = ev.agg(max(col("user_id"))).head().getLong(0)
+    bitmapUsersOf(ev, maxU + 1)
+  }
+
+  private[graft] def bitmapUsersOf(ev: DataFrame, domain: Long): DataFrame =
+    ev.groupBy("event_type").agg(
+      graft.functions.BitmapDistinctAgg
+        .bitmap_distinct(col("user_id"), domain.toInt).as("n_users"))
+
+  /** The same bitmap aggregation run AS a stream (Complete mode): the
+    * per-type bitset IS the streaming state, merged across micro-batches
+    * by the state store — exact distinct counting over an unbounded
+    * feed, the thing HLL approximates, affordable while ids stay dense
+    * and bounded. Shares the batch oracle verbatim.
+    */
+  def bitmapDistinctUsersStream(s: SparkSession, dir: String): DataFrame = {
+    val maxU = Tables.events(s, dir).agg(max(col("user_id"))).head().getLong(0)
+    val streamed = graft.streaming.EventStreams.eventStream(s, dir)
+      .groupBy("event_type").agg(
+        graft.functions.BitmapDistinctAgg
+          .bitmap_distinct(col("user_id"), (maxU + 1).toInt).as("n_users"))
+    graft.streaming.EventStreams.runToMemorySink(s, streamed,
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+      .localCheckpoint(true)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_bitmap_distinct" -> (bitmapDistinctUsers _),
+    "stream_bitmap_distinct" -> (bitmapDistinctUsersStream _),
     "sketch_quantile" -> ((s: SparkSession, d: String) =>
       quantileSketch(Tables.orders(s, d))),
     "sketch_kmv_overlap" -> ((s: SparkSession, d: String) =>
@@ -501,6 +539,10 @@ object Sketches {
     "sketch_bloom_join" -> ((s: SparkSession, d: String) =>
       bloomJoinStats(Tables.customer(s, d), Tables.orders(s, d)))
   )
+
+  private val bitmapOracle: String =
+    """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+      |FROM events GROUP BY 1""".stripMargin
 
   private val kmvNumerator = (KmvK - 1).toLong * (1L << 48)
 
@@ -695,6 +737,10 @@ object Sketches {
     // the native-aggregate path builds IDENTICAL registers (same h48
     // input, same rho), so the same oracle checks it
     "sketch_hll_native" -> hllOracle,
+    "sketch_bitmap_distinct" -> bitmapOracle,
+    // stream/batch bitset equivalence: state-store merge must land on
+    // the identical exact counts
+    "stream_bitmap_distinct" -> bitmapOracle,
     "sketch_countmin" ->
       s"""WITH toks AS (
          |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
