@@ -63,7 +63,20 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "ml_linreg_exact" -> PlanShape(0, 0, 0, 0, 1),
     "ml_linreg_multi" -> PlanShape(0, 0, 0, 0, 1),
     "ml_calibration" -> PlanShape(1, 1, 4, 0, 13),
-    "fmt_count_pushdown" -> PlanShape(0, 0, 0, 0, 0))
+    "fmt_count_pushdown" -> PlanShape(0, 0, 0, 0, 0),
+    // round-8 session-4 additions. The iterative graph queries lock at
+    // ONE shuffle because localCheckpoint truncates each round's
+    // lineage out of the final static plan (the per-round cost is
+    // probed by OpScaleProbe instead); mr_grep is RDD-built (no SQL
+    // joins); knn's single broadcast NLJ is the test-fold broadcast.
+    "graph_kcore" -> PlanShape(0, 0, 0, 0, 1),
+    "graph_cc_star" -> PlanShape(0, 0, 0, 0, 1),
+    "ml_knn_classify" -> PlanShape(0, 0, 1, 0, 2),
+    "ml_boosted_stumps" -> PlanShape(0, 0, 0, 0, 1),
+    "ml_ridge_exact" -> PlanShape(0, 0, 0, 0, 1),
+    "pipe_outliers" -> PlanShape(0, 1, 0, 0, 1),
+    "sketch_bitmap_distinct" -> PlanShape(0, 0, 0, 0, 1),
+    "mr_grep" -> PlanShape(0, 0, 0, 0, 0))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -77,7 +90,10 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "ann_recall_pq", "cmeans_clusters",
       "text_bm25", "ann_hybrid_rrf", "ml_naive_bayes", "ml_auc_report",
       "ml_linreg_exact", "ml_linreg_multi", "ml_calibration",
-      "fmt_count_pushdown")
+      "fmt_count_pushdown",
+      "graph_kcore", "graph_cc_star", "ml_knn_classify",
+      "ml_boosted_stumps", "ml_ridge_exact", "pipe_outliers",
+      "sketch_bitmap_distinct", "mr_grep")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached
