@@ -255,6 +255,9 @@ object OpScaleProbe {
       timed(s"graph_ccstar x$k") {
         graft.ops.GraphOps.ccStar(scaledEvents(k))
       }
+      timed(s"graph_mst x$k") {
+        graft.ops.GraphOps.mst(scaledEvents(k))
+      }
       timed(s"ml_knn x$k") {
         val embBase = Tables.embeddings(spark, sfDir)
         val vecStride = embBase.agg(max(col("vec_id"))).head.getLong(0) + 1

@@ -428,7 +428,74 @@ object GraphOps {
       .agg(least(col("node"), min(col("nb"))).as("comp"))
   }
 
+  val MstRounds = 3
+
+  /** Minimum spanning forest via BORŮVKA with CC-star contraction —
+    * the third member of the relational-graph-algorithm family
+    * (label-prop communities, star CC, now MST): each round every
+    * current component picks its minimum outgoing edge under the
+    * STRICT total order (w, a, b) — per-component argmin is one
+    * window rank over label-keyed candidates — and the accumulated
+    * forest re-contracts with [[ccStarOf]] (log-round convergence,
+    * not diameter-bound pointer chasing). Under a strict total order
+    * the per-partition min-outgoing-edge set can never close a cycle
+    * (the max edge of a would-be cycle can't be any block's minimum),
+    * and the MST itself is UNIQUE — which is why the fixed-round
+    * replay is oracle-checkable: both engines walk identical rounds,
+    * and at convergence ([[MstRounds]] Borůvka rounds cover
+    * components of diameter 2^rounds; fixpoint verified at fixture
+    * scales) the emitted set IS the one true MSF. Cross-engine
+    * determinism needs no float anywhere: weights are transition
+    * counts (integers).
+    *
+    * Scale shape per round: two label joins + one combinable window
+    * argmin per label + the star-contraction joins — everything keyed
+    * by node or label, no Pregel runtime, no driver state beyond the
+    * loop counter; forest and labels are eagerly materialized per
+    * round (consumed by multiple stages — the modularity lesson).
+    */
+  def mst(events: DataFrame): DataFrame =
+    mstOf(transitionEdges(events)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(sum(col("w")).as("w")))
+
+  private[graft] def mstOf(edges: DataFrame,
+      rounds: Int = MstRounds): DataFrame = {
+    val e = edges.localCheckpoint(true)
+    val nodes = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node"))).distinct()
+      .localCheckpoint(true)
+    var lab = nodes.select(col("node"), col("node").as("lab"))
+    var forest = e.filter(lit(false)) // empty (a, b, w) frame
+    for (_ <- 1 to rounds) {
+      val el = e
+        .join(lab.select(col("node").as("a"), col("lab").as("la")), "a")
+        .join(lab.select(col("node").as("b"), col("lab").as("lb")), "b")
+        .filter(col("la") =!= col("lb"))
+      val cand = el.select(col("la").as("l"), col("w"), col("a"), col("b"))
+        .unionAll(el.select(col("lb").as("l"), col("w"), col("a"), col("b")))
+      val win = Window.partitionBy(col("l"))
+        .orderBy(col("w"), col("a"), col("b"))
+      val chosen = cand.withColumn("rn", row_number().over(win))
+        .filter(col("rn") === 1).select(col("a"), col("b"), col("w"))
+        .distinct() // two components may choose the same edge
+      forest = forest.unionAll(chosen).distinct().localCheckpoint(true)
+      // contract: component minima of the forest via the star fold;
+      // isolated nodes (no forest edge yet) keep their own label
+      val cc = ccStarOf(forest.select(col("a"), col("b")))
+      lab = nodes
+        .join(cc.select(col("node"), col("comp")), Seq("node"), "left_outer")
+        .select(col("node"), coalesce(col("comp"), col("node")).as("lab"))
+        .localCheckpoint(true)
+    }
+    forest
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_mst" -> ((s: SparkSession, d: String) =>
+      mst(Tables.events(s, d))),
     "graph_kcore" -> ((s: SparkSession, d: String) =>
       kcore(Tables.events(s, d))),
     "graph_cc_star" -> ((s: SparkSession, d: String) =>
@@ -610,23 +677,24 @@ object GraphOps {
        |  JOIN k$i x ON x.node = e.a
        |  JOIN k$i y ON y.node = e.b)""".stripMargin
 
-  private def ccStarIterSql(prev: String, cur: String, i: Int): String =
-    s"""adj$i AS (
+  private def ccStarIterSql(prev: String, cur: String, i: Int,
+      px: String = ""): String =
+    s"""${px}adj$i AS (
        |  SELECT a AS u, b AS v FROM $prev
        |  UNION ALL SELECT b, a FROM $prev),
-       |lm$i AS (SELECT u, least(min(v), u) AS m FROM adj$i GROUP BY u),
-       |ls$i AS (
+       |${px}lm$i AS (SELECT u, least(min(v), u) AS m FROM ${px}adj$i GROUP BY u),
+       |${px}ls$i AS (
        |  SELECT DISTINCT l.m AS a, ad.v AS b
-       |  FROM adj$i ad JOIN lm$i l ON l.u = ad.u WHERE ad.v > ad.u),
-       |sadj$i AS (
-       |  SELECT greatest(a, b) AS u, least(a, b) AS v FROM ls$i),
-       |sm$i AS (SELECT u, min(v) AS m FROM sadj$i GROUP BY u),
+       |  FROM ${px}adj$i ad JOIN ${px}lm$i l ON l.u = ad.u WHERE ad.v > ad.u),
+       |${px}sadj$i AS (
+       |  SELECT greatest(a, b) AS u, least(a, b) AS v FROM ${px}ls$i),
+       |${px}sm$i AS (SELECT u, min(v) AS m FROM ${px}sadj$i GROUP BY u),
        |$cur AS MATERIALIZED (
        |  SELECT DISTINCT a, b FROM (
        |    SELECT m.m AS a, s.v AS b
-       |    FROM sadj$i s JOIN sm$i m ON m.u = s.u AND s.v != m.m
+       |    FROM ${px}sadj$i s JOIN ${px}sm$i m ON m.u = s.u AND s.v != m.m
        |    UNION ALL
-       |    SELECT m AS a, u AS b FROM sm$i))""".stripMargin
+       |    SELECT m AS a, u AS b FROM ${px}sm$i))""".stripMargin
 
   private val kcoreOracle: String =
     undCtes + "e0 AS MATERIALIZED (SELECT a, b FROM und),\n" +
@@ -637,6 +705,67 @@ object GraphOps {
          |  SELECT a AS node FROM e$KcorePeelRounds
          |  UNION ALL SELECT b FROM e$KcorePeelRounds)
          |GROUP BY node""".stripMargin
+
+  // one Borůvka round replayed: label join, per-label (w, a, b) argmin,
+  // forest accumulate, CC-star re-contraction of the forest, relabel
+  private def mstRoundSql(r: Int): String = {
+    val (pl, pf) = (s"lab${r - 1}", s"f${r - 1}")
+    val ccChain = s"m${r}e0 AS MATERIALIZED (SELECT a, b FROM f$r),\n" +
+      (1 to CcStarRounds)
+        .map(i => ccStarIterSql(s"m${r}e${i - 1}", s"m${r}e$i", i, s"m$r"))
+        .mkString(",\n")
+    s"""el$r AS (
+       |  SELECT e.a, e.b, e.w, x.lab AS la, y.lab AS lb FROM we e
+       |  JOIN $pl x ON x.node = e.a
+       |  JOIN $pl y ON y.node = e.b
+       |  WHERE x.lab != y.lab),
+       |cand$r AS (
+       |  SELECT la AS l, w, a, b FROM el$r
+       |  UNION ALL SELECT lb, w, a, b FROM el$r),
+       |ch$r AS (
+       |  SELECT a, b, w FROM (
+       |    SELECT l, w, a, b,
+       |      row_number() OVER (PARTITION BY l ORDER BY w, a, b) AS rn
+       |    FROM cand$r) WHERE rn = 1),
+       |f$r AS MATERIALIZED (
+       |  SELECT DISTINCT a, b, w FROM (
+       |    SELECT a, b, w FROM $pf UNION ALL SELECT a, b, w FROM ch$r)),
+       |$ccChain,
+       |cc$r AS (
+       |  SELECT node, least(node, min(nb)) AS comp FROM (
+       |    SELECT a AS node, b AS nb FROM m${r}e$CcStarRounds
+       |    UNION ALL SELECT b, a FROM m${r}e$CcStarRounds) GROUP BY node),
+       |lab$r AS MATERIALIZED (
+       |  SELECT n.node, coalesce(c.comp, n.node) AS lab
+       |  FROM nodes n LEFT JOIN cc$r c ON c.node = n.node)""".stripMargin
+  }
+
+  private val mstOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    (json_extract_string(props, '$$.k'))::BIGINT AS item
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |tr AS (
+       |  SELECT lag(item) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS src, item AS dst
+       |  FROM ev),
+       |te AS (
+       |  SELECT src, dst, count(*)::BIGINT AS w FROM tr
+       |  WHERE src IS NOT NULL GROUP BY 1, 2),
+       |we AS MATERIALIZED (
+       |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+       |    sum(w)::BIGINT AS w
+       |  FROM te WHERE src != dst GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT a AS node FROM we UNION ALL SELECT b FROM we)),
+       |lab0 AS (SELECT node, node AS lab FROM nodes),
+       |f0 AS (SELECT a, b, w FROM we WHERE false),
+       |""".stripMargin +
+      (1 to MstRounds).map(mstRoundSql).mkString(",\n") +
+      s"""
+         |SELECT a, b, w FROM f$MstRounds""".stripMargin
 
   private val ccStarOracle: String =
     undCtes + "e0 AS MATERIALIZED (SELECT a, b FROM und),\n" +
@@ -649,6 +778,7 @@ object GraphOps {
          |GROUP BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_mst" -> mstOracle,
     "graph_kcore" -> kcoreOracle,
     "graph_cc_star" -> ccStarOracle,
     "graph_label_prop" ->

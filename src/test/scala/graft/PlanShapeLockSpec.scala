@@ -76,7 +76,8 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "ml_ridge_exact" -> PlanShape(0, 0, 0, 0, 1),
     "pipe_outliers" -> PlanShape(0, 1, 0, 0, 1),
     "sketch_bitmap_distinct" -> PlanShape(0, 0, 0, 0, 1),
-    "mr_grep" -> PlanShape(0, 0, 0, 0, 0))
+    "mr_grep" -> PlanShape(0, 0, 0, 0, 0),
+    "graph_mst" -> PlanShape(0, 0, 0, 0, 0))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -93,7 +94,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "fmt_count_pushdown",
       "graph_kcore", "graph_cc_star", "ml_knn_classify",
       "ml_boosted_stumps", "ml_ridge_exact", "pipe_outliers",
-      "sketch_bitmap_distinct", "mr_grep")
+      "sketch_bitmap_distinct", "mr_grep", "graph_mst")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

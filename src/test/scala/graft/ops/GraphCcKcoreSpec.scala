@@ -58,6 +58,52 @@ class GraphCcKcoreSpec extends SparkSpec {
     assert(star.nonEmpty && star == gx)
   }
 
+  test("mstOf finds the hand-computed minimum spanning tree") {
+    // square 1-2-3-4 with a heavy diagonal: MST must take the three
+    // cheapest sides (1-2:1, 3-4:2, 2-3:3) and skip 1-4:9 and 1-3:8
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 3L), (3L, 4L, 2L),
+      (1L, 4L, 9L), (1L, 3L, 8L)).toDF("a", "b", "w")
+    val out = GraphOps.mstOf(edges).as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq((1L, 2L, 1L), (2L, 3L, 3L), (3L, 4L, 2L)))
+  }
+
+  test("mstOf ties break on the (w, a, b) total order") {
+    // triangle with all weights equal: the unique MST under the total
+    // order keeps the two lexicographically smallest edges
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L))
+      .toDF("a", "b", "w")
+    val out = GraphOps.mstOf(edges).as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq((1L, 2L, 5L), (1L, 3L, 5L)))
+  }
+
+  test("fixture MST equals driver-side Kruskal: same size, same total weight, acyclic") {
+    val we = GraphOps.transitionEdges(graft.Tables.events(spark, sfDir))
+      .select(org.apache.spark.sql.functions.least($"src", $"dst").as("a"),
+        org.apache.spark.sql.functions.greatest($"src", $"dst").as("b"),
+        $"w")
+      .filter($"a" =!= $"b")
+      .groupBy("a", "b")
+      .agg(org.apache.spark.sql.functions.sum($"w").as("w"))
+    val all = we.as[(Long, Long, Long)].collect()
+    // reference Kruskal under the same (w, a, b) total order
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val kruskal = all.sortBy(e => (e._3, e._1, e._2)).filter { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra == rb) false else { parent(ra) = rb; true }
+    }
+    val mst = GraphOps.mstOf(we).as[(Long, Long, Long)].collect()
+    assert(mst.length == kruskal.length)
+    assert(mst.map(_._3).sum == kruskal.map(_._3).sum)
+    // unique MST under a strict total order -> exact set equality
+    assert(mst.toSet == kruskal.toSet)
+  }
+
   test("fixture kcore/ccStar are fixpoints at the configured round counts") {
     val ev = graft.Tables.events(spark, sfDir)
     def rows(df: org.apache.spark.sql.DataFrame) =
