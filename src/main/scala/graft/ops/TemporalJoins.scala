@@ -141,9 +141,71 @@ object TemporalJoins {
         round(col("purchase_value"), 2).as("purchase_value"))
   }
 
+  /** NEAREST as-of join (pandas merge_asof direction='nearest' with a
+    * tolerance): for each left row, the single right row with the same
+    * key minimizing |Δts|, searched within ±tolerance; ties prefer the
+    * BACKWARD match (the as-of convention), then the smaller right
+    * payload. Candidates come from time bucketing like
+    * [[rangeJoinBucketed]] — with bucket width = tolerance every
+    * qualifying right row lives in one of the left row's THREE
+    * consecutive buckets, so the inequality join is an equi-join on
+    * (key, bucket) + an exact |Δ| filter + one per-left-row argmin
+    * window. Fan-out bounded by bucket occupancy; one hash shuffle.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, key: String,
+      ts: String, tolMicros: Long, leftId: String,
+      rightCols: Seq[String]): DataFrame = {
+    val lus = unix_micros(col(ts))
+    val lb = floor(lus / tolMicros)
+    val lex = left.select(col(key), col(leftId), lus.as("__lus"),
+      explode(array(lb - 1, lb, lb + 1)).as("__bucket"))
+    val rus = unix_micros(col(ts))
+    val r = right.select(col(key).as("__rkey"), rus.as("__rus"),
+      floor(rus / tolMicros).as("__bucket"),
+      struct(rightCols.map(col): _*).as("__row"))
+    // a qualifying right row's bucket is exactly one of the left row's
+    // three exploded buckets — no duplicate candidates, no dedup
+    val cand = lex.join(r,
+        col(key) === col("__rkey") && lex("__bucket") === r("__bucket"))
+      .filter(abs(col("__rus") - col("__lus")) <= tolMicros)
+      .select(col(leftId).as("__lid"),
+        abs(col("__rus") - col("__lus")).as("__ad"),
+        when(col("__rus") > col("__lus"), 1).otherwise(0).as("__fwd"),
+        (col("__lus") - col("__rus")).as("__gap"), col("__row"))
+    val w = Window.partitionBy(col("__lid"))
+      .orderBy(col("__ad"), col("__fwd"), col("__row"))
+    val best = cand.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__lid"), col("__gap"), col("__row"))
+    left.join(best, col(leftId) === col("__lid"), "left_outer")
+      .select(
+        left.columns.map(col) ++ Seq(col("__gap").as("gap_us")) ++
+          rightCols.map(c => col("__row").getField(c).as(c)): _*)
+  }
+
+  val NearestTolMicros: Long = 3600L * 1000000L // ±1 hour
+
+  /** Driver query: each click matched to the NEAREST purchase within
+    * ±1 h (backward wins ties), with the signed gap in micros.
+    */
+  def asofNearestClickPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).cache()
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"),
+        round(col("value"), 2).as("purchase_value"))
+    asofNearest(clicks, purchases, "user_id", "ts", NearestTolMicros,
+        "event_id", Seq("purchase_id", "purchase_value"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("gap_us"),
+        col("purchase_id"), col("purchase_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_click_purchase" -> (asofClickPurchase _),
     "asof_exec_click_purchase" -> (asofExecClickPurchase _),
+    "asof_nearest" -> (asofNearestClickPurchase _),
     "range_signup_activity" -> (rangeSignupActivity _)
   )
 
@@ -156,6 +218,28 @@ object TemporalJoins {
       |  ON c.user_id = p.user_id AND c.ts >= p.ts""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // candidates within ±1 h, per-click argmin on (|Δ|, fwd-flag,
+    // payload) — backward wins ties, then smaller purchase_id
+    "asof_nearest" ->
+      """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+        |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+        |cand AS (
+        |  SELECT c.event_id, p.event_id AS purchase_id,
+        |    round(p.value, 2) AS purchase_value,
+        |    abs(epoch_us(c.ts) - epoch_us(p.ts)) AS ad,
+        |    (CASE WHEN p.ts > c.ts THEN 1 ELSE 0 END) AS fwd,
+        |    (epoch_us(c.ts) - epoch_us(p.ts)) AS gap_us
+        |  FROM c JOIN p ON p.user_id = c.user_id
+        |    AND p.ts >= c.ts - INTERVAL 1 HOUR
+        |    AND p.ts <= c.ts + INTERVAL 1 HOUR),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY ad, fwd, purchase_id, purchase_value) AS rn
+        |  FROM cand)
+        |SELECT c.event_id, c.user_id, c.ts, b.gap_us,
+        |  b.purchase_id, b.purchase_value
+        |FROM c LEFT JOIN (SELECT * FROM rk WHERE rn = 1) b
+        |  ON b.event_id = c.event_id""".stripMargin,
     "asof_exec_click_purchase" -> asofOracle,
     "asof_click_purchase" ->
       """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),

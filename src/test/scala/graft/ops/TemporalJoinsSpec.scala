@@ -162,4 +162,30 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop"), s"unexpected NLJ:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("asofNearest picks min |gap|, ties backward, respects tolerance") {
+    import org.apache.spark.sql.functions._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // click 1: purchases at -60s and +50s -> forward wins on |gap|
+    // click 2: purchases at -40s and +40s -> tie -> backward wins
+    // click 3: nearest purchase is 2h away -> outside +-1h -> nulls
+    val clicks = Seq((1L, ts(1000), 101L), (2L, ts(5000), 102L),
+      (3L, ts(9000), 103L)).toDF("user_id", "ts", "event_id")
+    val purch = Seq(
+      (1L, ts(940), 201L, 1.0), (1L, ts(1050), 202L, 2.0),
+      (2L, ts(4960), 203L, 3.0), (2L, ts(5040), 204L, 4.0),
+      (3L, ts(9000 + 7200), 205L, 5.0)
+    ).toDF("user_id", "ts", "purchase_id", "purchase_value")
+    val out = TemporalJoins.asofNearest(clicks, purch, "user_id", "ts",
+        TemporalJoins.NearestTolMicros, "event_id",
+        Seq("purchase_id", "purchase_value"))
+      .select("event_id", "gap_us", "purchase_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1)
+    assert(out(0) == ((101L, Some(-50L * 1000000L), Some(202L))))
+    assert(out(1) == ((102L, Some(40L * 1000000L), Some(203L))))
+    assert(out(2) == ((103L, None, None)))
+  }
 }
