@@ -579,6 +579,34 @@ object MlOps {
   def boostedQuery(s: SparkSession, dir: String): DataFrame =
     boostedStumps(stumpInput(s, dir))
 
+  /** Feature selection by split quality — the depth-1 "which column
+    * predicts the label" ranking a curation pipeline runs before
+    * training a gate classifier: the EXACT stump search
+    * ([[decisionStump]] — integer misclassification err, no float
+    * argmin to drift) runs once per candidate feature, and features
+    * rank by (err, name). Each feature is one independent
+    * groupBy-threshold aggregation; the candidate set is config-sized,
+    * so the whole ranking is |features| combinable passes.
+    */
+  def featureRank(lineitem: DataFrame): DataFrame = {
+    val y = when(col("l_returnflag") === lit("R"), 1L).otherwise(0L)
+    val feats: Seq[(String, Column)] = Seq(
+      ("price_cents", round(col("l_extendedprice") * 100).cast("long")),
+      ("quantity", col("l_quantity").cast("long")),
+      ("discount_cents", round(col("l_discount") * 100).cast("long")))
+    val stumps = feats.map { case (name, f) =>
+      decisionStump(lineitem.select(f.as("f"), y.as("y")))
+        .select(lit(name).as("feature"), col("threshold_fp"), col("err"),
+          col("acc"))
+    }.reduce(_ unionAll _)
+    val w = Window.orderBy(col("err"), col("feature"))
+    // 3-row frame: the global window is a no-op at scale
+    stumps.withColumn("rank", row_number().over(w))
+  }
+
+  def featureRankQuery(s: SparkSession, dir: String): DataFrame =
+    featureRank(Tables.lineitem(s, dir))
+
   val KnnK = 5
   val KnnHoldout = 25
 
@@ -635,6 +663,7 @@ object MlOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ml_boosted_stumps" -> (boostedQuery _),
+    "ml_feature_rank" -> (featureRankQuery _),
     "ml_ridge_exact" -> (ridgeQuery _),
     "ml_knn_classify" -> (knnQuery _),
     "ml_decision_stump" -> (stumpQuery _),
@@ -836,9 +865,9 @@ object MlOps {
 
   // the identical prefix-sum split search, DuckDB's window doing the
   // cumsum the engine shards; integer err argmin, one rounded division
-  private val stumpCtes: String =
-    """WITH ft AS (
-      |  SELECT round(l_extendedprice * 100)::BIGINT AS f,
+  private def stumpCtesFor(fExpr: String): String =
+    s"""WITH ft AS (
+      |  SELECT $fExpr AS f,
       |    (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS y
       |  FROM lineitem),
       |g AS (
@@ -857,6 +886,9 @@ object MlOps {
       |      + least(t.p - c.pl, (t.n - c.nl) - (t.p - c.pl)) AS err,
       |    t.n AS n
       |  FROM c CROSS JOIN t WHERE c.nl < t.n)""".stripMargin
+
+  private val stumpCtes: String =
+    stumpCtesFor("round(l_extendedprice * 100)::BIGINT")
 
   private def stumpOracle: String = stumpCtes +
     """
@@ -997,7 +1029,30 @@ object MlOps {
        |    AS correct
        |FROM vr WHERE vrn = 1""".stripMargin
 
+  // one stump oracle per candidate feature, unioned and ranked by
+  // (err, feature) — each arm is the full stump replay as a subquery
+  private def featureRankOracle: String = {
+    val feats = Seq(
+      ("price_cents", "round(l_extendedprice * 100)::BIGINT"),
+      ("quantity", "l_quantity::BIGINT"),
+      ("discount_cents", "round(l_discount * 100)::BIGINT"))
+    val arms = feats.map { case (name, fe) =>
+      s"SELECT '$name' AS feature, t.threshold_fp, t.err, t.acc FROM (\n" +
+        stumpCtesFor(fe) +
+        """
+          |SELECT f AS threshold_fp, err,
+          |  round((n - err)::DOUBLE / n, 6) AS acc
+          |FROM s ORDER BY err, f LIMIT 1""".stripMargin + "\n) t"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH all_f AS (
+       |$arms)
+       |SELECT feature, threshold_fp, err, acc,
+       |  row_number() OVER (ORDER BY err, feature) AS rank
+       |FROM all_f""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ml_feature_rank" -> featureRankOracle,
     "ml_boosted_stumps" -> boostedOracle,
     "ml_knn_classify" -> knnOracle,
     "ml_decision_stump" -> stumpOracle,

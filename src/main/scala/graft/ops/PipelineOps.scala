@@ -687,7 +687,27 @@ object PipelineOps {
       .localCheckpoint(true)
   }
 
+  /** Label-balanced resampling — the class-balancing step before
+    * training a classifier on skewed labels: every label keeps exactly
+    * cap = min class count rows, chosen by the content-addressed
+    * md5(vec_id) order (the [[sampleHash]] determinism stance: stable
+    * under repartitioning, retries, and engines). One window per label
+    * partition; the cap probe is a single O(|labels|) aggregate.
+    */
+  def classBalance(emb: DataFrame): DataFrame = {
+    val counts = emb.groupBy("label").agg(count(lit(1)).as("n"))
+    val cap = counts.agg(min(col("n"))).head().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    emb.select(col("vec_id"), col("label").cast("long").as("label"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_class_balance" -> ((s: SparkSession, d: String) =>
+      classBalance(Tables.embeddings(s, d))),
     "pipe_outliers" -> ((s: SparkSession, d: String) =>
       outlierFlags(Tables.events(s, d))),
     "stream_outliers" -> (outlierStream _),
@@ -777,6 +797,17 @@ object PipelineOps {
     // stream/batch anomaly equivalence: the streamed stats must gate
     // to the IDENTICAL flag set
     "stream_outliers" -> outliersOracle,
+    "pipe_class_balance" ->
+      """WITH cap AS (
+        |  SELECT min(n)::BIGINT AS cap FROM (
+        |    SELECT label, count(*) AS n FROM embeddings GROUP BY 1)),
+        |rk AS (
+        |  SELECT vec_id, label::BIGINT AS label,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY md5(vec_id::VARCHAR), vec_id) AS rk
+        |  FROM embeddings)
+        |SELECT vec_id, label, rk FROM rk CROSS JOIN cap
+        |WHERE rk <= cap""".stripMargin,
     "pipe_dp_release" -> dpOracle(),
     "pipe_quality_sample" -> qualitySampleOracle,
     // the three stage oracles composed by concatenation — survivors of

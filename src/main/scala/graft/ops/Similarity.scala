@@ -236,6 +236,35 @@ object Similarity {
   def annBruteForce(s: SparkSession, dir: String): DataFrame =
     bruteForceTopK(Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
 
+  val RangeTau = 0.3
+
+  /** RADIUS search — the other half of the similarity-search API next
+    * to top-k: every corpus vector with round-6 cosine >= tau of each
+    * query ("all near-duplicates of these seeds", the retrieval shape
+    * behind semantic dedup sweeps and blocklist expansion). Same
+    * broadcast-query / corpus-streams plan as [[bruteForceTopK]] — one
+    * codegen'd dot per (row, query), NO corpus shuffle, output bounded
+    * by the match count rather than k. Rank rides along (cos desc, id)
+    * for a deterministic presentation order.
+    */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame,
+      tau: Double = RangeTau): DataFrame = {
+    val c = OpUtil.spread(corpus)
+      .select(col("vec_id").as("neighbor_id"), asUnit(col("embedding")).as("cv"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      asUnit(col("embedding")).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(vec_dot(col("qv"), col("cv")), 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .withColumn("rank", row_number().over(w))
+  }
+
+  def annRangeSearch(s: SparkSession, dir: String): DataFrame =
+    rangeSearch(Tables.embeddings(s, dir), queryVectors(s, dir))
+
   def annLsh(s: SparkSession, dir: String): DataFrame =
     lshTopK(s, Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
 

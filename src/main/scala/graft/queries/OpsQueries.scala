@@ -222,6 +222,7 @@ object OpsQueries {
     "gmm_clusters" -> (gmmClusters _),
     "cmeans_clusters" -> (cmeansClusters _),
     "ann_bruteforce" -> (Similarity.annBruteForce _),
+    "ann_range_search" -> (Similarity.annRangeSearch _),
     "ann_ivf" -> (Similarity.annIvf _),
     "ann_lsh" -> (Similarity.annLsh _),
     "ann_centroid_assign" -> (Similarity.annCentroidAssign _),
@@ -783,6 +784,23 @@ object OpsQueries {
           |  AND srp.neighbor_id = ex.neighbor_id
           |GROUP BY ex.query_id""".stripMargin),
     "ann_bruteforce" -> bruteforceOracle,
+    // the radius variant of the proven bruteforce replay: threshold on
+    // the round-6 cosine instead of a rank cut
+    "ann_range_search" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    round(list_cosine_similarity(qv, e.embedding::DOUBLE[]), 6)
+         |      AS cos
+         |  FROM q JOIN embeddings e ON e.vec_id != query_id),
+         |hits AS (SELECT * FROM scored
+         |  WHERE cos >= ${graft.ops.Similarity.RangeTau})
+         |SELECT query_id, neighbor_id, cos,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |FROM hits""".stripMargin,
     // per-column base stats UNION'd + the shared HLL register replay
     // over the stringified column values
     "stats_table" -> {
