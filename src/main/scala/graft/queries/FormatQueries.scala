@@ -304,7 +304,54 @@ object FormatQueries {
         sum(col("o_orderkey")).as("sum_okey"))
   }
 
+  /** PERMISSIVE ingestion of a dirty CSV landing zone: one text file
+    * per partition mixing valid order lines with deterministically
+    * injected garbage (every o_orderkey % 10 == 0 row is replaced by an
+    * unparseable line carrying its key). The read declares the schema
+    * plus `_corrupt_record`; PERMISSIVE mode must null out the bad rows
+    * and capture their raw text instead of failing the scan — the
+    * production contract for "keep loading, quarantine the rest". The
+    * aggregate accounts both sides (valid rows by status with exact
+    * sums, corrupt rows recounted by parsing the key back OUT of the
+    * quarantined raw line), so the oracle can derive the identical
+    * split from the clean table: a lost or double-counted record on
+    * either side of the quarantine fails the hash.
+    */
+  def malformedCsv(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = graft.Tables.orders(s, d)
+    val dir = scratch("dirty_orders")
+    o.select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .as[(Long, String, Double)]
+      .map { case (k, st, tp) =>
+        if (k % 10 == 0) s"BAD#$k#unparseable" else s"$k,$st,$tp"
+      }
+      .write.mode("overwrite").text(dir)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val back = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir)
+    back.select(
+        when(col("_corrupt_record").isNull, col("o_orderstatus"))
+          .otherwise(lit("<quarantined>")).as("status"),
+        col("o_totalprice"),
+        when(col("_corrupt_record").isNull, col("o_orderkey"))
+          .otherwise(regexp_extract(col("_corrupt_record"),
+            "BAD#(\\d+)#", 1).cast("long")).as("key"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"),
+        money(sum(coalesce(col("o_totalprice"), lit(0.0)))).as("total"),
+        sum(col("key")).as("sum_okey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_malformed_csv" -> (malformedCsv _),
     "fmt_schema_evolution" -> (schemaEvolution _),
     "fmt_csv_roundtrip" -> (csvRoundTrip _),
     "fmt_json_roundtrip" -> (jsonRoundTrip _),
@@ -336,6 +383,16 @@ object FormatQueries {
     * is correct iff it is invisible to the aggregate.
     */
   val oracles: Map[String, String] = Map(
+    // valid rows by status, quarantined rows as one sentinel group —
+    // both derived from the clean table by the injection rule
+    "fmt_malformed_csv" ->
+      """SELECT CASE WHEN o_orderkey % 10 = 0 THEN '<quarantined>'
+        |    ELSE o_orderstatus END AS status,
+        |  count(*)::BIGINT AS n,
+        |  round(sum(CASE WHEN o_orderkey % 10 = 0 THEN 0
+        |    ELSE o_totalprice END), 2) AS total,
+        |  sum(o_orderkey)::BIGINT AS sum_okey
+        |FROM orders GROUP BY 1""".stripMargin,
     // the evolved-column split derived straight from the source table:
     // even keys are pre-evolution (priority lost to the old schema)
     "fmt_schema_evolution" ->

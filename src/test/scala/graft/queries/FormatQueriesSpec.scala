@@ -89,4 +89,22 @@ class FormatQueriesSpec extends SparkSpec {
     // every non-sentinel group is a real priority value from gen-2 rows
     assert(out.keys.filter(_ != "<pre-evolution>").forall(_.nonEmpty))
   }
+
+  test("malformedCsv quarantines exactly the injected rows, losing none") {
+    val out = FormatQueries.malformedCsv(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    val o = graft.Tables.orders(spark, sfDir)
+    val all = o.count()
+    val bad = o.filter(org.apache.spark.sql.functions
+      .col("o_orderkey") % 10 === 0).count()
+    val q = out.find(_._1 == "<quarantined>").get
+    assert(q._2 == bad)
+    assert(out.map(_._2).sum == all)
+    // the corrupt rows' keys were recovered from the quarantined text
+    val badKeySum = o.filter(org.apache.spark.sql.functions
+        .col("o_orderkey") % 10 === 0)
+      .agg(org.apache.spark.sql.functions.sum("o_orderkey"))
+      .head().getLong(0)
+    assert(q._3 == badKeySum)
+  }
 }
