@@ -15,6 +15,7 @@ object StreamQueries {
     "stream_events_hourly" -> (EventStreams.hourlyWindowed _),
     "stream_user_totals" -> (EventStreams.userTotals _),
     "stream_sessions" -> (EventStreams.sessionize _),
+    "stream_session_window" -> (EventStreams.sessionWindowStream _),
     "stream_dedup" -> (EventStreams.dedupExact _),
     "stream_dedup_minhash" -> (EventStreams.minhashDedupStream _),
     "stream_interval_join" -> (EventStreams.clickPurchaseJoin _),
@@ -48,6 +49,28 @@ object StreamQueries {
         |SELECT user_id, sum(new_s)::BIGINT AS n_sessions,
         |  count(*) AS n_events
         |FROM marked GROUP BY user_id""".stripMargin,
+    // batch lag/cumsum sessionization with the engine's window bounds
+    // (start = first event, end = last event + gap): the built-in
+    // session_window state machine must agree session-for-session
+    "stream_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0
+        |    END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |    AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     // batch equivalent of the watermarked stream-stream interval join
     "stream_interval_join" ->
       """SELECT c.event_id AS click_id, c.user_id,

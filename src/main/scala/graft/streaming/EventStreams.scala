@@ -445,6 +445,59 @@ object EventStreams {
       .localCheckpoint(eager = true)
   }
 
+  /** Gap-based sessionization through Spark's BUILT-IN session_window
+    * aggregation (the merging-interval state machine in the streaming
+    * engine itself) — the second implementation of the session contract
+    * next to the hand-rolled flatMapGroupsWithState fold
+    * ([[sessionize]]): per (user, session) event count and value sum,
+    * sessions closing as the watermark passes their end. Append mode
+    * only emits CLOSED sessions, so the run borrows the
+    * left-join family's sentinel discipline — far-future events advance
+    * the watermark past every real session, flushing all of them
+    * deterministically. The oracle is the batch lag/cumsum
+    * sessionization with Spark's window bounds (start = first event,
+    * end = last event + gap) — engine state machine vs SQL window
+    * arithmetic must agree session-for-session.
+    */
+  def sessionWindowStream(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val scratch =
+      java.nio.file.Files.createTempDirectory("graft_sw_sentinel").toString
+    val sentinelSchema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
+    val ev = eventStream(s, dir)
+      .unionByName(s.readStream.schema(sentinelSchema).parquet(scratch))
+      .withWatermark("ts", "1 hour")
+    val agg = ev
+      .groupBy(col("user_id"),
+        session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"), col("sum_value"))
+    val tMax = graft.Tables.events(s, dir)
+      .select(max(col("ts"))).first().getTimestamp(0)
+    def writeSentinel(days: Int): () => Unit = () => {
+      val base = tMax.toInstant.plus(java.time.Duration.ofDays(days.toLong))
+      Seq((-1L, java.sql.Timestamp.from(base), -1L, "click", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(1).write.mode("append").parquet(scratch)
+    }
+    runToMemorySinkPhased(s, agg, OutputMode.Append)(
+      Seq(writeSentinel(30), writeSentinel(60)))
+      .filter(col("user_id") >= 0)
+      .localCheckpoint(eager = true)
+  }
+
   /** documents schema for streaming reads — ONE definition shared by
     * every doc-driven stream query so a schema change can't silently
     * diverge one of them from its oracle.

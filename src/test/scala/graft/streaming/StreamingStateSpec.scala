@@ -210,4 +210,15 @@ class StreamingStateSpec extends SparkSpec {
       graft.Tables.events(spark, sfDir)).collect().map(_.toSeq).toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("built-in session_window agrees with the custom-state sessionize fold") {
+    import org.apache.spark.sql.functions._
+    val sw = EventStreams.sessionWindowStream(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fold = EventStreams.sessionize(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sw.nonEmpty && sw == fold)
+  }
 }
