@@ -16,6 +16,7 @@ object StreamQueries {
     "stream_user_totals" -> (EventStreams.userTotals _),
     "stream_sessions" -> (EventStreams.sessionize _),
     "stream_session_window" -> (EventStreams.sessionWindowStream _),
+    "stream_wordcount" -> (EventStreams.wordcountStream _),
     "stream_dedup" -> (EventStreams.dedupExact _),
     "stream_dedup_minhash" -> (EventStreams.minhashDedupStream _),
     "stream_interval_join" -> (EventStreams.clickPurchaseJoin _),
@@ -49,6 +50,9 @@ object StreamQueries {
         |SELECT user_id, sum(new_s)::BIGINT AS n_sessions,
         |  count(*) AS n_events
         |FROM marked GROUP BY user_id""".stripMargin,
+    // the reference app's batch oracle verbatim — stream/batch
+    // wordcount equivalence
+    "stream_wordcount" -> graft.queries.TextQueries.oracles("wordcount"),
     // batch lag/cumsum sessionization with the engine's window bounds
     // (start = first event, end = last event + gap): the built-in
     // session_window state machine must agree session-for-session

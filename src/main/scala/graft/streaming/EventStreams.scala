@@ -598,6 +598,18 @@ object EventStreams {
       .filter(length(col("tok")) > 0)
       .groupBy("source").agg(count_distinct(col("tok")).as("n_exact"))
 
+  /** The reference's flagship app as a STREAM: wordcount over the
+    * documents feed (Complete mode — per-word counts refresh each
+    * micro-batch; state is one long per distinct word, the same
+    * combinable sum the batch/MR flavors run). Shares the batch
+    * wordcount oracle verbatim: the reference's map/combine/reduce
+    * demo, arrival-order-independent on an unbounded corpus.
+    */
+  def wordcountStream(s: SparkSession, dir: String): DataFrame =
+    runToMemorySink(s,
+      graft.apps.WordCount.countWords(docStream(s, dir), "text"),
+      OutputMode.Complete).localCheckpoint(eager = true)
+
   def hllDistinctStream(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Sketches
     val reg = runToMemorySink(s, Sketches.hllRegisters(docTokenStream(s, dir)),
