@@ -77,7 +77,12 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "pipe_outliers" -> PlanShape(0, 1, 0, 0, 1),
     "sketch_bitmap_distinct" -> PlanShape(0, 0, 0, 0, 1),
     "mr_grep" -> PlanShape(0, 0, 0, 0, 0),
-    "graph_mst" -> PlanShape(0, 0, 0, 0, 0))
+    "graph_mst" -> PlanShape(0, 0, 0, 0, 0),
+    "asof_nearest" -> PlanShape(1, 1, 0, 0, 2),
+    "ml_feature_rank" -> PlanShape(0, 3, 0, 0, 9),
+    "ann_range_search" -> PlanShape(0, 0, 1, 0, 2),
+    "pipe_class_balance" -> PlanShape(0, 0, 0, 0, 1),
+    "fmt_malformed_csv" -> PlanShape(0, 0, 0, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -94,7 +99,9 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "fmt_count_pushdown",
       "graph_kcore", "graph_cc_star", "ml_knn_classify",
       "ml_boosted_stumps", "ml_ridge_exact", "pipe_outliers",
-      "sketch_bitmap_distinct", "mr_grep", "graph_mst")
+      "sketch_bitmap_distinct", "mr_grep", "graph_mst",
+      "asof_nearest", "ml_feature_rank", "ann_range_search",
+      "pipe_class_balance", "fmt_malformed_csv")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached
