@@ -73,6 +73,19 @@ object StreamScaleProbe {
     // the 4th state discipline: bounded O(k) per-key top-k — state
     // NEVER grows past keys x k no matter the offered rate; throughput
     // is the merge-and-truncate update path
+    // the 5th state discipline: MERGING-INTERVAL session state — every
+    // row extends or merges its user's open session_window; with all
+    // keys hot the windows never close, so state rows plateau at the
+    // key count while each update exercises the interval-merge path
+    ("session_window", OutputMode.Append, r =>
+      rateSource(s, r)
+        .select((col("value") % 15000).as("user_id"),
+          col("timestamp").as("ts"),
+          ((col("value") % 997) / 10.0).as("value"))
+        .withWatermark("ts", "10 seconds")
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "5 seconds").as("sw"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))),
     ("topk", OutputMode.Update, r =>
       graft.streaming.EventStreams.topkStats(
         rateSource(s, r).select(
