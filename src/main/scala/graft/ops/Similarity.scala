@@ -672,6 +672,49 @@ object Similarity {
   def cmeansFixedPointQuery(s: SparkSession, dir: String): DataFrame =
     cmeansFixedPoint(Tables.embeddings(s, dir))
 
+  val PcaScale = 1000000L
+  val PcaIters = 10
+
+  /** Dominant principal component by POWER ITERATION in integer fixed
+    * point — the dimensionality-reduction primitive (PCA top
+    * eigenvector of the uncentered second-moment matrix X'X) made
+    * exactly reproducible the same way the clustering twins are:
+    * coordinates quantize to floor(v·1000), each iteration computes
+    * y = Xv (per-row dot, descaled by 1000) then z = X'y (per-column
+    * combinable sum) then renormalizes to ~1e6 fixed point by the
+    * integer division z div (max|z| div 1e6 + 1) — every number a
+    * BIGINT, every divide truncating, so the iterate is bit-identical
+    * cross-engine (a float power method drifts in the last ulp per
+    * sum). The matrix is never materialized: each iteration is two
+    * combinable aggregations over the (vec, dim, q) long form plus one
+    * O(1) driver max — the textbook distributed power method.
+    * Overflow: |z| ≤ n·64·1e9-ish per column — int64-safe to ~1e8
+    * rows; past that the z sums move to DECIMAL(38) like the linregs.
+    */
+  def pcaPower(corpus: DataFrame): DataFrame = {
+    val el = OpUtil.spread(corpus)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("i"),
+        floor(col("v").cast("double") * FpScale).cast("long").as("q"))
+      .cache()
+    var v = el.select(col("i")).distinct()
+      .select(col("i"), lit(PcaScale).as("vq"))
+    for (_ <- 1 to PcaIters) {
+      val y = el.join(broadcast(v), "i")
+        .groupBy("vec_id")
+        .agg(expr(s"sum(q * vq) div $FpScale").as("yd"))
+      val z = el.join(y, "vec_id")
+        .groupBy("i").agg(sum(col("q") * col("yd")).as("z"))
+        .localCheckpoint(true) // consumed by the max probe AND the rescale
+      val d = z.agg(max(abs(col("z")))).head().getLong(0) / PcaScale + 1L
+      v = z.select(col("i"), expr(s"z div $d").as("vq"))
+    }
+    v
+  }
+
+  def pcaPowerQuery(s: SparkSession, dir: String): DataFrame =
+    pcaPower(Tables.embeddings(s, dir))
+
   /** Soft-EM mixture fitting in INTEGER FIXED POINT — the deterministic
     * twin of the float MLlib `gmm_clusters` (the same role
     * [[cmeansFixedPoint]] plays for cmeans, closing the last rows-only

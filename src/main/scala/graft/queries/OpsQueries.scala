@@ -232,6 +232,7 @@ object OpsQueries {
     "ann_srp_lsh" -> (Similarity.annSrpLsh _),
     "ann_ivf_fixed" -> (Similarity.annIvfFixed _),
     "cmeans_fixed_point" -> (Similarity.cmeansFixedPointQuery _),
+    "ml_pca_power" -> (Similarity.pcaPowerQuery _),
     "gmm_fixed_point" -> (Similarity.gmmFixedPointQuery _),
     // index QA in-engine: recall@k of each approximate index (SRP, IVF,
     // PQ/ADC) against the exact top-k, per query — both sides are
@@ -784,6 +785,37 @@ object OpsQueries {
           |  AND srp.neighbor_id = ex.neighbor_id
           |GROUP BY ex.query_id""".stripMargin),
     "ann_bruteforce" -> bruteforceOracle,
+    // the power method replayed: per-iteration Xv (descaled), X'y,
+    // then the integer renormalization by max|z| div 1e6 + 1
+    "ml_pca_power" -> {
+      val iters = (1 to Similarity.PcaIters).map { r =>
+        s"""y$r AS (
+           |  SELECT elq.vec_id,
+           |    (sum(elq.q * v.vq) // ${Similarity.FpScale})::BIGINT AS yd
+           |  FROM elq JOIN v${r - 1} v USING (i) GROUP BY 1),
+           |z$r AS MATERIALIZED (
+           |  SELECT elq.i, sum(elq.q * y.yd)::BIGINT AS z
+           |  FROM elq JOIN y$r y USING (vec_id) GROUP BY 1),
+           |m$r AS (
+           |  SELECT (max(abs(z)) // ${Similarity.PcaScale} + 1)::BIGINT
+           |    AS d
+           |  FROM z$r),
+           |v$r AS (
+           |  SELECT z.i, (z.z // m.d)::BIGINT AS vq
+           |  FROM z$r z CROSS JOIN m$r m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH el AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         |    unnest(embedding)::DOUBLE AS v
+         |  FROM embeddings),
+         |elq AS MATERIALIZED (
+         |  SELECT vec_id, i, floor(v * ${Similarity.FpScale})::BIGINT AS q
+         |  FROM el),
+         |v0 AS (SELECT DISTINCT i, ${Similarity.PcaScale}::BIGINT AS vq
+         |  FROM elq),
+         |$iters
+         |SELECT i, vq FROM v${Similarity.PcaIters}""".stripMargin
+    },
     // the radius variant of the proven bruteforce replay: threshold on
     // the round-6 cosine instead of a rank cut
     "ann_range_search" ->

@@ -63,4 +63,37 @@ class Session4OpsSpec extends SparkSpec {
       .select("label", "vec_id").as[(Long, Long)].collect()
     assert(out.sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("pcaPower concentrates on the dominant axis of a hand-built corpus") {
+    // 10 vectors hugging axis 1 (both signs), tiny noise on axis 0 —
+    // the top eigenvector of X'X is e1; the iterate's weight must land
+    // on index 1 and dwarf index 0
+    val rows = (0 until 10).map { k =>
+      val sgn = if (k % 2 == 0) 1.0f else -1.0f
+      (k.toLong, Array(0.01f * k, sgn * 3.0f))
+    }
+    val out = Similarity.pcaPower(rows.toDF("vec_id", "embedding"))
+      .as[(Int, Long)].collect().toMap
+    assert(math.abs(out(1)) > 100L * math.max(1L, math.abs(out(0))))
+  }
+
+  test("pcaPower on the fixture aligns with a float power iteration") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+    val vq = Similarity.pcaPower(emb).as[(Int, Long)].collect()
+      .sortBy(_._1).map(_._2.toDouble)
+    // driver-side float reference (tiny fixture: 50 x 64)
+    val x = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    var v = Array.fill(x.head.length)(1.0)
+    for (_ <- 1 to Similarity.PcaIters) {
+      val y = x.map(r => r.zip(v).map { case (a, b) => a * b }.sum)
+      val z = v.indices.map(j => x.zip(y).map { case (r, yi) => r(j) * yi }.sum).toArray
+      val n = math.sqrt(z.map(a => a * a).sum)
+      v = z.map(_ / n)
+    }
+    val dot = vq.zip(v).map { case (a, b) => a * b }.sum
+    val cos = math.abs(dot) /
+      (math.sqrt(vq.map(a => a * a).sum) * math.sqrt(v.map(a => a * a).sum))
+    assert(cos > 0.98, s"cos=$cos")
+  }
 }
