@@ -258,6 +258,17 @@ object OpScaleProbe {
       timed(s"graph_mst x$k") {
         graft.ops.GraphOps.mst(scaledEvents(k))
       }
+      timed(s"ml_pca x$k") {
+        val embBase = Tables.embeddings(spark, sfDir)
+        val vecStride = embBase.agg(max(col("vec_id"))).head.getLong(0) + 1
+        val scaled = (0 until k).map { i =>
+          if (i == 0) embBase
+          else embBase.select(
+            (col("vec_id") + lit(i * vecStride)).as("vec_id"),
+            col("embedding"), col("label"))
+        }.reduce(_ unionByName _)
+        graft.ops.Similarity.pcaPower(scaled)
+      }
       timed(s"ml_knn x$k") {
         val embBase = Tables.embeddings(spark, sfDir)
         val vecStride = embBase.agg(max(col("vec_id"))).head.getLong(0) + 1

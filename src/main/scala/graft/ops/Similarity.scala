@@ -692,10 +692,15 @@ object Similarity {
     * rows; past that the z sums move to DECIMAL(38) like the linregs.
     */
   def pcaPower(corpus: DataFrame): DataFrame = {
+    // Cache the long form ALREADY hash-partitioned on vec_id: every
+    // iteration's y-aggregation (groupBy vec_id) and y-join (on vec_id)
+    // then reuse the cached partitioning, so the ×10 iteration loop
+    // re-shuffles only the 64-row per-column partials, never the corpus.
     val el = OpUtil.spread(corpus)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "v")))
       .select(col("vec_id"), col("i"),
         floor(col("v").cast("double") * FpScale).cast("long").as("q"))
+      .repartition(col("vec_id"))
       .cache()
     var v = el.select(col("i")).distinct()
       .select(col("i"), lit(PcaScale).as("vq"))
