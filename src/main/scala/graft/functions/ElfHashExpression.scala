@@ -58,5 +58,9 @@ object GraftFunctions {
       "elf_hash", exprs => ElfHashExpr(exprs.head), "built-in")
     registry.createOrReplaceTempFunction(
       "vec_dot", exprs => VectorDot(exprs.head, exprs(1)), "built-in")
+    registry.createOrReplaceTempFunction(
+      "unicode_norm",
+      exprs => UnicodeNormExpr(exprs.head, exprs(1).eval(null).toString),
+      "built-in")
   }
 }

@@ -57,6 +57,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BitmapDistinctAgg(exprs.head,
           exprs(1).eval(null).asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      FunctionIdentifier("unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNormExpr].getName, "unicode_norm"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        UnicodeNormExpr(exprs.head,
+          exprs(1).eval(null).toString)))
+    ext.injectFunction((
       FunctionIdentifier("no_pushdown"),
       new ExpressionInfo(classOf[PushdownBarrier].getName, "no_pushdown"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -558,6 +558,36 @@ object TextAnalysis {
   def charEntropyQuery(s: SparkSession, dir: String): DataFrame =
     charEntropy(Tables.documents(s, dir))
 
+  /** Unicode normalization accounting (the ingest-side canonicalization
+    * pass): the fixture corpus is ASCII, so the query SYNTHESIZES mixed
+    * normal forms deterministically — every 'a' becomes the decomposed
+    * pair 'a'+U+0301 — then measures the engine's
+    * [[graft.functions.UnicodeNormExpr]] against it: NFC recomposes each
+    * pair to one codepoint, NFD+strip-marks removes the accents
+    * entirely (DuckDB's `strip_accents`). Per-language codepoint sums
+    * before/after make the whole transformation hash-checkable; the
+    * expression itself is row-local and fuses into whole-stage codegen.
+    */
+  def unicodeNormalize(docs: DataFrame): DataFrame = {
+    import graft.functions.UnicodeNormExpr.unicode_norm
+    OpUtil.spread(docs)
+      .select(col("lang"),
+        regexp_replace(substring(col("text"), 1, 80), "a", "a\u0301").as("dec"))
+      .select(col("lang"),
+        length(col("dec")).as("dl"),
+        length(unicode_norm(col("dec"), "NFC")).as("nl"),
+        length(regexp_replace(unicode_norm(col("dec"), "NFD"), "\\p{Mn}", ""))
+          .as("al"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("sum_decomposed_len"),
+        sum(col("nl")).as("sum_nfc_len"),
+        sum(col("al")).as("sum_stripped_len"))
+  }
+
+  def unicodeNormalizeQuery(s: SparkSession, dir: String): DataFrame =
+    unicodeNormalize(Tables.documents(s, dir))
+
   /** Skip-gram pair extraction (the word2vec/GloVe training-pair
     * generator): (center, context) for every context within
     * [[SkipgramWindow]] positions AFTER the center (forward-only —

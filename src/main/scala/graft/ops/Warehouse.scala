@@ -240,14 +240,61 @@ object Warehouse {
   def snapshotAsOfQuery(s: SparkSession, dir: String): DataFrame =
     snapshotAsOf(versionedLog(Tables.orders(s, dir)), asof = 2)
 
+  /** Right-to-be-forgotten propagation (the GDPR/CCPA deletion pass every
+    * user-data warehouse schedules): the request set is derived in-data —
+    * users whose LATEST event is an 'error' (a stand-in for an explicit
+    * deletion signal) — then every row of theirs is purged from the fact
+    * stream, with a per-event-type audit of kept/purged rows and purged
+    * users (the compliance report that proves the deletion ran).
+    *
+    * Scale shape: latest-per-user is ONE combinable max-of-struct
+    * aggregation (no window, partial agg map-side); the request set is a
+    * tiny fraction of users, so the purge join broadcasts under AQE and
+    * the facts never reshuffle. At 100 TB this is a metadata-sized join
+    * against a full scan — the minimum the semantics permit.
+    */
+  def forget(events: DataFrame): DataFrame = {
+    val requests = events
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+      .filter(col("last.event_type") === lit("error"))
+      .select(col("user_id"), lit(true).as("forgotten"))
+    events.join(requests, Seq("user_id"), "left")
+      .groupBy("event_type")
+      .agg(
+        count(when(col("forgotten").isNull, 1)).as("kept_events"),
+        count(col("forgotten")).as("purged_events"),
+        countDistinct(when(col("forgotten").isNotNull, col("user_id")))
+          .as("purged_users"))
+  }
+
+  def forgetQuery(s: SparkSession, dir: String): DataFrame =
+    forget(Tables.events(s, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wh_scd2" -> (scd2OrderStatus _),
     "wh_cdc_apply" -> (cdcApply _),
     "wh_compact" -> (compactEvents _),
-    "wh_snapshot_asof" -> (snapshotAsOfQuery _)
+    "wh_snapshot_asof" -> (snapshotAsOfQuery _),
+    "wh_forget" -> (forgetQuery _)
   )
 
   val oracles: Map[String, String] = Map(
+    "wh_forget" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |forget AS (
+        |  SELECT user_id FROM ranked WHERE rn = 1 AND event_type = 'error')
+        |SELECT e.event_type,
+        |  count(*) FILTER (WHERE f.user_id IS NULL) AS kept_events,
+        |  count(*) FILTER (WHERE f.user_id IS NOT NULL) AS purged_events,
+        |  count(DISTINCT CASE WHEN f.user_id IS NOT NULL
+        |                      THEN e.user_id END) AS purged_users
+        |FROM events e LEFT JOIN forget f ON e.user_id = f.user_id
+        |GROUP BY e.event_type""".stripMargin,
     "wh_scd2" ->
       """WITH h AS (
         |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,

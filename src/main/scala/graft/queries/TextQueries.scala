@@ -42,6 +42,7 @@ object TextQueries {
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
     }),
+    "text_normalize" -> (TextAnalysis.unicodeNormalizeQuery _),
     "text_bpe_pairs" -> (TextAnalysis.bpePairsQuery _),
     "text_bpe_merges" -> (TextAnalysis.bpeMergesQuery _),
     "text_vocab_encode" -> ((s: SparkSession, d: String) =>
@@ -71,6 +72,22 @@ object TextQueries {
   val oracles: Map[String, String] = Map(
     "wordcount" -> wcOracle,
     "wordcount_mr" -> wcOracle,
+    // DuckDB recomputes the same synthetic decomposition (every 'a' →
+    // 'a' + combining acute U+0301 = chr(769)), then its own
+    // nfc_normalize / strip_accents stand in for the engine's
+    // unicode_norm NFC / NFD+strip-marks — lengths agree codepoint for
+    // codepoint
+    "text_normalize" ->
+      """WITH dec AS (
+        |  SELECT lang,
+        |         regexp_replace(substr(text, 1, 80), 'a',
+        |                        'a' || chr(769), 'g') AS d
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |       sum(length(d))::BIGINT AS sum_decomposed_len,
+        |       sum(length(nfc_normalize(d)))::BIGINT AS sum_nfc_len,
+        |       sum(length(strip_accents(d)))::BIGINT AS sum_stripped_len
+        |FROM dec GROUP BY lang""".stripMargin,
     "text_inverted_index" ->
       """WITH terms AS (
         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term

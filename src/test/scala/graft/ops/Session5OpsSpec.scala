@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.UnicodeNormExpr.unicode_norm
+
+/** Round-8 session-5 additions: unicode normalization and deletion
+  * propagation.
+  */
+class Session5OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unicode_norm NFC recomposes, NFD decomposes, NFKC folds compatibility forms") {
+    // "café" with a DECOMPOSED final e + combining acute (U+0301), plus a
+    // compatibility ligature ﬁ (U+FB01) and fullwidth digit １ (U+FF11)
+    val decomposed = "café ﬁle １"
+    val out = Seq(decomposed).toDF("s")
+      .select(
+        length(col("s")).as("raw"),
+        length(unicode_norm(col("s"), "NFC")).as("nfc"),
+        unicode_norm(col("s"), "NFC").as("nfc_s"),
+        unicode_norm(col("s"), "NFKC").as("nfkc_s"),
+        length(regexp_replace(unicode_norm(col("s"), "NFD"), "\\p{Mn}", ""))
+          .as("stripped"))
+      .head()
+    assert(out.getAs[Int]("raw") == 11) // e+mark counted separately
+    assert(out.getAs[Int]("nfc") == 10) // recomposed é is one codepoint
+    assert(out.getAs[String]("nfc_s") == "café ﬁle １")
+    // NFKC additionally expands the ligature and de-widths the digit
+    assert(out.getAs[String]("nfkc_s") == "café file 1")
+    // NFD + strip marks drops the accent entirely
+    assert(out.getAs[Int]("stripped") == 10)
+  }
+
+  test("unicode_norm agrees between codegen and interpreted eval, null-safe") {
+    val df = Seq(Some("ábc"), Some("plain"), None).toDF("s")
+    val normed = df.select(unicode_norm(col("s"), "NFC").as("n"))
+      .as[Option[String]].collect().toSet
+    assert(normed == Set(Some("ábc"), Some("plain"), None))
+    // interpreted path (eval) through a filter that disables codegen fusion
+    val viaSql = {
+      graft.functions.GraftFunctions.register(spark)
+      df.createOrReplaceTempView("u5")
+      spark.sql("SELECT unicode_norm(s, 'NFC') FROM u5 WHERE s IS NOT NULL")
+        .as[String].collect().toSet
+    }
+    assert(viaSql == Set("ábc", "plain"))
+  }
+
+  test("forget purges exactly the users whose latest event is an error") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user 1: latest is error -> purged (2 events)
+    // user 2: error happened but NOT latest -> kept
+    // user 3: single error event -> purged
+    val ev = Seq(
+      (0L, t(0), 1L, "click"),
+      (1L, t(5), 1L, "error"),
+      (2L, t(0), 2L, "error"),
+      (3L, t(9), 2L, "purchase"),
+      (4L, t(2), 3L, "error"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val audit = Warehouse.forget(ev)
+      .select("event_type", "kept_events", "purged_events", "purged_users")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(audit("click") == ((0L, 1L, 1L)))
+    assert(audit("error") == ((1L, 2L, 2L)))
+    assert(audit("purchase") == ((1L, 0L, 0L)))
+  }
+}
