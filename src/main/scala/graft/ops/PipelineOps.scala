@@ -621,6 +621,38 @@ object PipelineOps {
        |FROM n""".stripMargin
   }
 
+  /** Class-size threshold for [[kAnonymity]]. */
+  val KAnonK = 5L
+
+  /** k-anonymity audit — the companion governance check to [[dpRelease]]:
+    * before a record-level release, every quasi-identifier equivalence
+    * class (event_type, hour-of-day, 5-unit value band) smaller than k
+    * must be suppressed. The audit reports, per event type, how many
+    * classes exist, how many rows suppression would drop, and how many
+    * survive — the number a privacy review signs off on. All arithmetic
+    * is integer (value rounds to cents, bands are `cents div 500`), so
+    * the audit hash-checks cross-engine.
+    *
+    * Scale shape: two chained combinable aggregations (rows → classes →
+    * per-type report); the first groups on the QI tuple with map-side
+    * partial agg, the second is |types|·|classes| sized. No joins, no
+    * windows — the cheapest shape the semantics allow.
+    */
+  def kAnonymity(events: DataFrame): DataFrame = {
+    val classes = events
+      .select(col("event_type"), hour(col("ts")).as("hr"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("vband", expr("cents div 500"))
+      .groupBy("event_type", "hr", "vband")
+      .agg(count(lit(1)).as("sz"))
+    classes.groupBy("event_type").agg(
+      count(lit(1)).as("n_classes"),
+      sum(when(col("sz") < KAnonK, 1L).otherwise(0L)).as("suppressed_classes"),
+      sum(when(col("sz") < KAnonK, col("sz")).otherwise(0L)).as("suppressed_rows"),
+      sum(when(col("sz") >= KAnonK, col("sz")).otherwise(0L)).as("published_rows"),
+      max(col("sz")).as("max_class_size"))
+  }
+
   val Z2Threshold = 9L // 3-sigma, squared
 
   /** Outlier flagging in EXACT integer arithmetic — the curation
@@ -713,6 +745,8 @@ object PipelineOps {
     "stream_outliers" -> (outlierStream _),
     "pipe_dp_release" -> ((s: SparkSession, d: String) =>
       dpRelease(Tables.documents(s, d))),
+    "pipe_k_anonymity" -> ((s: SparkSession, d: String) =>
+      kAnonymity(Tables.events(s, d))),
     "pipe_length_buckets" -> ((s: SparkSession, d: String) =>
       lengthBuckets(Tables.documents(s, d))),
     "pipe_curate_v2" -> (curateV2 _),
@@ -809,6 +843,22 @@ object PipelineOps {
         |SELECT vec_id, label, rk FROM rk CROSS JOIN cap
         |WHERE rk <= cap""".stripMargin,
     "pipe_dp_release" -> dpOracle(),
+    "pipe_k_anonymity" ->
+      """WITH cls AS (
+        |  SELECT event_type, hour(ts) AS hr,
+        |         cast(round(value * 100) AS BIGINT) // 500 AS vband,
+        |         count(*) AS sz
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT event_type,
+        |  count(*) AS n_classes,
+        |  sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT
+        |    AS suppressed_classes,
+        |  sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT
+        |    AS suppressed_rows,
+        |  sum(CASE WHEN sz >= 5 THEN sz ELSE 0 END)::BIGINT
+        |    AS published_rows,
+        |  max(sz) AS max_class_size
+        |FROM cls GROUP BY event_type""".stripMargin,
     "pipe_quality_sample" -> qualitySampleOracle,
     // the three stage oracles composed by concatenation — survivors of
     // gate ∩ sample get the shuffle/shard windows

@@ -27,6 +27,7 @@ object StreamQueries {
     "stream_quantile" -> (EventStreams.quantileSketchStream _),
     "stream_gopher_rules" -> (EventStreams.gopherRulesStream _),
     "stream_cdc_apply" -> (graft.streaming.ChangelogStream.cdcApplyStream _),
+    "stream_forget" -> (graft.streaming.ForgetStream.forgetStream _),
     "stream_topk" -> (EventStreams.topkStream _)
   )
 
@@ -108,6 +109,8 @@ object StreamQueries {
       graft.queries.TextQueries.oracles("text_gopher_rules"),
     // same oracle as batch wh_cdc_apply — stream/batch MERGE equivalence
     "stream_cdc_apply" -> graft.ops.Warehouse.oracles("wh_cdc_apply"),
+    // the streaming fold converges to the batch deletion audit verbatim
+    "stream_forget" -> graft.ops.Warehouse.oracles("wh_forget"),
     // same oracle as batch dedup_minhash — the streamed signature store
     // feeds the identical LSH + exact-Jaccard finalization
     "stream_dedup_minhash" ->

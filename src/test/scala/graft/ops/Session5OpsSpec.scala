@@ -48,6 +48,27 @@ class Session5OpsSpec extends SparkSpec {
     assert(viaSql == Set("ábc", "plain"))
   }
 
+  test("kAnonymity partitions rows exactly into suppressed and published") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:30:00")
+    // 6 rows in class (click, hour 10, band 0): published at k=5;
+    // 2 rows in class (click, hour 11, band 0): suppressed;
+    // 1 row in (view, hour 10, band 1): suppressed
+    val rows =
+      (0 until 6).map(i => (i.toLong, ts0, 1L, "click", 1.00)) ++
+        Seq(
+          (6L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), 2L, "click", 1.00),
+          (7L, java.sql.Timestamp.valueOf("2024-01-01 11:59:00"), 3L, "click", 2.00),
+          (8L, ts0, 4L, "view", 7.77))
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val audit = PipelineOps.kAnonymity(ev)
+      .select("event_type", "n_classes", "suppressed_classes",
+        "suppressed_rows", "published_rows", "max_class_size")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(audit("click") == ((2L, 1L, 2L, 6L, 6L)))
+    assert(audit("view") == ((1L, 1L, 1L, 0L, 1L)))
+  }
+
   test("forget purges exactly the users whose latest event is an error") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
