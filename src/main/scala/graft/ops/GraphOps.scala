@@ -493,7 +493,50 @@ object GraphOps {
     forest
   }
 
+  /** Per-user history cap for [[covisitation]] — bounds the self-join
+    * fan-out at C(cap, 2) pairs per user under ANY user skew.
+    */
+  val CovisitCap = 20
+  /** Neighbors kept per item in the co-visitation output. */
+  val CovisitTopK = 3
+
+  /** Item co-visitation graph (the item-item recommender primitive,
+    * "users who viewed A also viewed B"): project events to the
+    * user→item bipartite graph, cap each user's history at the
+    * [[CovisitCap]] most-visited items (what production recommenders do
+    * anyway — and the cap is what makes the self-join SKEW-SAFE: a bot
+    * user touching every item would otherwise contribute O(items²)
+    * pairs), then count co-visiting users per item pair and keep each
+    * item's [[CovisitTopK]] strongest neighbors.
+    *
+    * Scale shape: one combinable (user, item) count, one bounded
+    * per-user window, a self-join whose fan-out is ≤ C(20,2) = 190 rows
+    * per user, one combinable pair count, one per-item top-k window.
+    * All orderings carry deterministic (count desc, id) tiebreaks so the
+    * result hash-checks cross-engine.
+    */
+  def covisitation(events: DataFrame): DataFrame = {
+    val ui = itemEvents(events)
+      .groupBy(col("user_id"), col("item"))
+      .agg(count(lit(1)).as("n_visits"))
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("n_visits").desc, col("item"))
+    val hist = ui.withColumn("rk", row_number().over(wu))
+      .filter(col("rk") <= CovisitCap)
+      .select(col("user_id"), col("item"))
+    val pairs = hist.as("x").join(hist.as("y"), "user_id")
+      .filter(col("x.item") < col("y.item"))
+      .groupBy(col("x.item").as("item_a"), col("y.item").as("item_b"))
+      .agg(count(lit(1)).as("n_users"))
+    val wi = Window.partitionBy(col("item_a"))
+      .orderBy(col("n_users").desc, col("item_b"))
+    pairs.withColumn("rank", row_number().over(wi))
+      .filter(col("rank") <= CovisitTopK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_covisit" -> ((s: SparkSession, d: String) =>
+      covisitation(Tables.events(s, d))),
     "graph_mst" -> ((s: SparkSession, d: String) =>
       mst(Tables.events(s, d))),
     "graph_kcore" -> ((s: SparkSession, d: String) =>
@@ -778,6 +821,31 @@ object GraphOps {
          |GROUP BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_covisit" ->
+      s"""WITH ie AS (
+         |  SELECT user_id,
+         |    (json_extract_string(props, '$$.k'))::BIGINT AS item
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |ui AS (
+         |  SELECT user_id, item, count(*) AS n_visits
+         |  FROM ie GROUP BY 1, 2),
+         |hist AS (
+         |  SELECT user_id, item FROM (
+         |    SELECT user_id, item,
+         |      row_number() OVER (PARTITION BY user_id
+         |                         ORDER BY n_visits DESC, item) AS rk
+         |    FROM ui) WHERE rk <= $CovisitCap),
+         |pairs AS (
+         |  SELECT x.item AS item_a, y.item AS item_b,
+         |    count(*)::BIGINT AS n_users
+         |  FROM hist x JOIN hist y
+         |    ON x.user_id = y.user_id AND x.item < y.item
+         |  GROUP BY 1, 2)
+         |SELECT item_a, item_b, n_users, rank FROM (
+         |  SELECT *, (row_number() OVER (PARTITION BY item_a
+         |    ORDER BY n_users DESC, item_b))::INT AS rank
+         |  FROM pairs) WHERE rank <= $CovisitTopK""".stripMargin,
     "graph_mst" -> mstOracle,
     "graph_kcore" -> kcoreOracle,
     "graph_cc_star" -> ccStarOracle,

@@ -69,6 +69,30 @@ class Session5OpsSpec extends SparkSpec {
     assert(audit("view") == ((1L, 1L, 1L, 0L, 1L)))
   }
 
+  test("covisitation caps user history and ranks neighbors by co-count") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // users 1 and 2 both visit items {10, 11}; user 2 also visits 12;
+    // user 3 is a "bot" visiting CovisitCap + 5 items ONCE each — the
+    // cap keeps its 20 lowest item ids (all visit counts tie)
+    val rows =
+      Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (2L, 12L)) ++
+        (0 until GraphOps.CovisitCap + 5).map(i => (3L, 100L + i))
+    val ev = rows.zipWithIndex.map { case ((u, item), i) =>
+      (i.toLong, ts0, u, "view", s"""{"k": $item}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "props")
+    val out = GraphOps.covisitation(ev)
+      .select("item_a", "item_b", "n_users", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    // (10, 11) seen by both users 1 and 2 — rank 1 for item 10
+    assert(out.contains((10L, 11L, 2L, 1)))
+    assert(out.contains((10L, 12L, 1L, 2)))
+    // bot pairs exist but only within the capped 20-item window: no
+    // pair may involve the 5 highest item ids (119 < b <= 124 cut)
+    val botPairs = out.filter(_._1 >= 100L)
+    assert(botPairs.nonEmpty)
+    assert(botPairs.forall { case (a, b, _, _) => a <= 119L && b <= 119L })
+  }
+
   test("forget purges exactly the users whose latest event is an error") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
