@@ -258,6 +258,9 @@ object OpScaleProbe {
       timed(s"graph_mst x$k") {
         graft.ops.GraphOps.mst(scaledEvents(k))
       }
+      timed(s"graph_covisit x$k") {
+        graft.ops.GraphOps.covisitation(scaledEvents(k))
+      }
       timed(s"ml_pca x$k") {
         val embBase = Tables.embeddings(spark, sfDir)
         val vecStride = embBase.agg(max(col("vec_id"))).head.getLong(0) + 1

@@ -86,6 +86,16 @@ object StreamScaleProbe {
         .groupBy(col("user_id"),
           session_window(col("ts"), "5 seconds").as("sw"))
         .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))),
+    // the 6th discipline: per-key MAP state (type counts + latest-event
+    // marker per user) with a per-batch flatMap re-emission — bounded
+    // keys (15k users x ≤8 types), each update folds into a small map
+    ("forget", OutputMode.Update, r =>
+      graft.streaming.ForgetStream.audit(
+        rateSource(s, r).select(
+          col("value").as("event_id"),
+          col("timestamp").as("ts"),
+          (col("value") % 15000).as("user_id"),
+          concat(lit("t"), col("value") % 8).as("event_type")))),
     ("topk", OutputMode.Update, r =>
       graft.streaming.EventStreams.topkStats(
         rateSource(s, r).select(

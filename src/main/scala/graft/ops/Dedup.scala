@@ -459,6 +459,29 @@ object Dedup {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     clustersFromPairs(s, prefixJaccard(s, dir))
 
+  /** The curation ACTION a dedup pass ends with: per near-dup cluster,
+    * KEEP one canonical representative (longest doc, ties to the lower
+    * doc_id — the "keep the fullest version" rule crawl pipelines use)
+    * and account for what the drop saves. One combinable aggregation
+    * over the cluster labels: the winner rides along in a max-of-struct
+    * ((n_chars, -doc_id) — unique per doc, so the argmax is exact), and
+    * bytes_dropped = cluster total minus the winner's chars.
+    */
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val clusters = clustersFromPairs(s, prefixJaccard(s, dir))
+    clusters
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("canonical").as("cluster"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"),
+        sum(col("n_chars")).as("cluster_chars"))
+      .select(col("cluster"), col("n_docs"),
+        (-col("best.neg_id")).as("kept_doc"),
+        (col("cluster_chars") - col("best.n_chars")).as("bytes_dropped"))
+  }
+
   def clustersFromPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
     import org.apache.spark.graphx.Graph
     import s.implicits._

@@ -16,6 +16,7 @@ object DedupQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_minhash_error" -> (Dedup.minhashError _),
     "dedup_clusters" -> (Dedup.dedupClusters _),
+    "dedup_canonical" -> (Dedup.dedupCanonical _),
     "dedup_exact" -> (Dedup.exact _),
     "dedup_soft" -> (Dedup.softDedup _),
     "dedup_ngram_jaccard" -> (Dedup.ngramJaccard _),
@@ -233,6 +234,31 @@ object DedupQueries {
         |HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_clusters" -> clustersOracle,
+    // the cluster CTEs plus the keep-longest election and byte audit
+    "dedup_canonical" ->
+      (pairCtes +
+        """,
+          |edges AS MATERIALIZED (
+          |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+          |  UNION ALL
+          |  SELECT doc_b, doc_a FROM jpairs),
+          |reach(a, b) AS (
+          |  SELECT u, v FROM edges
+          |  UNION
+          |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+          |cc AS (
+          |  SELECT a AS doc_id, least(a, min(b)) AS canonical
+          |  FROM reach GROUP BY a),
+          |sized AS (
+          |  SELECT c.canonical, c.doc_id, d.n_chars,
+          |    row_number() OVER (PARTITION BY c.canonical
+          |                       ORDER BY d.n_chars DESC, c.doc_id) AS rn
+          |  FROM cc c JOIN documents d USING (doc_id))
+          |SELECT canonical AS cluster, count(*) AS n_docs,
+          |  max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc,
+          |  (sum(n_chars) - max(CASE WHEN rn = 1 THEN n_chars END))::BIGINT
+          |    AS bytes_dropped
+          |FROM sized GROUP BY canonical""".stripMargin),
     // same count-over-content-hash window, same integer weight
     "dedup_soft" ->
       """SELECT doc_id, md5(text) AS text_md5,

@@ -350,7 +350,28 @@ object FormatQueries {
         sum(col("key")).as("sum_okey"))
   }
 
+  /** lineitem → parquet under ZSTD → read back → aggregate. Codec choice
+    * is a first-order knob at 100 TB (zstd trades ~20-30 % smaller files
+    * for slightly higher CPU vs snappy); the round trip proves the
+    * non-default codec is readable and value-invisible, and
+    * `Session5OpsSpec` asserts the files really are zstd-compressed
+    * (codec suffix), not silently snappy.
+    */
+  def zstdRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+    val dir = scratch("zstd_lineitem")
+    li.write.mode("overwrite").option("compression", "zstd").parquet(dir)
+    s.read.parquet(dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        money(sum(col("l_quantity"))).as("sum_qty"),
+        money(sum(col("l_extendedprice"))).as("sum_price"),
+        sum(col("l_orderkey")).as("sum_okey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_zstd_roundtrip" -> (zstdRoundTrip _),
     "fmt_malformed_csv" -> (malformedCsv _),
     "fmt_schema_evolution" -> (schemaEvolution _),
     "fmt_csv_roundtrip" -> (csvRoundTrip _),
@@ -383,6 +404,13 @@ object FormatQueries {
     * is correct iff it is invisible to the aggregate.
     */
   val oracles: Map[String, String] = Map(
+    "fmt_zstd_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  sum(l_orderkey)::BIGINT AS sum_okey
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin,
     // valid rows by status, quarantined rows as one sentinel group —
     // both derived from the clean table by the injection rule
     "fmt_malformed_csv" ->

@@ -82,7 +82,18 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "ml_feature_rank" -> PlanShape(0, 3, 0, 0, 9),
     "ann_range_search" -> PlanShape(0, 0, 1, 0, 2),
     "pipe_class_balance" -> PlanShape(0, 0, 0, 0, 1),
-    "fmt_malformed_csv" -> PlanShape(0, 0, 0, 0, 1))
+    "fmt_malformed_csv" -> PlanShape(0, 0, 0, 0, 1),
+    // round-8 session-5 additions. pca locks all-zero for the same
+    // localCheckpoint reason as the iterative graph queries; covisit's
+    // one broadcast is the AQE-eligible pair join over the capped
+    // histories; forget's broadcast is the request-set purge join.
+    "ml_pca_power" -> PlanShape(0, 0, 0, 0, 0),
+    "graph_covisit" -> PlanShape(0, 1, 0, 0, 6),
+    "dedup_canonical" -> PlanShape(0, 1, 0, 0, 1),
+    "wh_forget" -> PlanShape(0, 1, 0, 0, 3),
+    "pipe_k_anonymity" -> PlanShape(0, 0, 0, 0, 2),
+    "text_normalize" -> PlanShape(0, 0, 0, 0, 2),
+    "fmt_zstd_roundtrip" -> PlanShape(0, 0, 0, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -101,7 +112,9 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "ml_boosted_stumps", "ml_ridge_exact", "pipe_outliers",
       "sketch_bitmap_distinct", "mr_grep", "graph_mst",
       "asof_nearest", "ml_feature_rank", "ann_range_search",
-      "pipe_class_balance", "fmt_malformed_csv")
+      "pipe_class_balance", "fmt_malformed_csv",
+      "ml_pca_power", "graph_covisit", "dedup_canonical", "wh_forget",
+      "pipe_k_anonymity", "text_normalize", "fmt_zstd_roundtrip")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

@@ -93,6 +93,42 @@ class Session5OpsSpec extends SparkSpec {
     assert(botPairs.forall { case (a, b, _, _) => a <= 119L && b <= 119L })
   }
 
+  test("dedupCanonical elects the longest doc per cluster, bytes audited") {
+    // independent recomputation: fold the cluster and length maps in
+    // plain Scala and compare against the Spark aggregation
+    val clusters = Dedup.dedupClusters(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    val chars = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expected = clusters.groupBy(_._2).map { case (canon, members) =>
+      val ids = members.keys.toSeq
+      val kept = ids.maxBy(id => (chars(id), -id))
+      canon -> ((ids.size.toLong, kept, ids.map(chars).sum - chars(kept)))
+    }
+    val out = Dedup.dedupCanonical(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == expected)
+    assert(out.nonEmpty)
+  }
+
+  test("zstd parquet files carry the codec suffix and round-trip exactly") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity")
+    val dir = java.nio.file.Files.createTempDirectory("zstd_spec").toString
+    li.write.mode("overwrite").option("compression", "zstd").parquet(dir)
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty &&
+      files.forall(_.getName.endsWith(".zstd.parquet")),
+      s"expected .zstd.parquet files, got ${files.map(_.getName).toSeq}")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    assert(back.agg(sum("l_orderkey")).head.getLong(0) ==
+      li.agg(sum("l_orderkey")).head.getLong(0))
+  }
+
   test("forget purges exactly the users whose latest event is an error") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
