@@ -113,6 +113,22 @@ class Session5OpsSpec extends SparkSpec {
     assert(out.nonEmpty)
   }
 
+  test("datasetCard reports exact volume, language, and dup statistics") {
+    val docs = Seq(
+      (0L, "alpha beta", "en", "s1", 10L),
+      (1L, "alpha beta", "en", "s1", 10L), // exact dup of doc 0
+      (2L, "gamma", "de", "s1", 5L),
+      (3L, "delta", "fr", "s2", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val card = PipelineOps.datasetCard(docs)
+      .select("source", "n_docs", "total_chars", "n_langs", "avg_chars",
+        "max_chars", "n_en", "n_unique_texts")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(card("s1") == (("s1", 3L, 25L, 2L, 8L, 10L, 2L, 2L)))
+    assert(card("s2") == (("s2", 1L, 5L, 1L, 5L, 5L, 0L, 1L)))
+  }
+
   test("zstd parquet files carry the codec suffix and round-trip exactly") {
     val li = graft.Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_quantity")
