@@ -261,6 +261,9 @@ object OpScaleProbe {
       timed(s"graph_covisit x$k") {
         graft.ops.GraphOps.covisitation(scaledEvents(k))
       }
+      timed(s"graph_hits x$k") {
+        graft.ops.GraphOps.hits(scaledEvents(k))
+      }
       timed(s"ml_pca x$k") {
         val embBase = Tables.embeddings(spark, sfDir)
         val vecStride = embBase.agg(max(col("vec_id"))).head.getLong(0) + 1

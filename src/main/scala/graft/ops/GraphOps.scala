@@ -537,6 +537,8 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_covisit" -> ((s: SparkSession, d: String) =>
       covisitation(Tables.events(s, d))),
+    "graph_hits" -> ((s: SparkSession, d: String) =>
+      hits(Tables.events(s, d))),
     "graph_mst" -> ((s: SparkSession, d: String) =>
       mst(Tables.events(s, d))),
     "graph_kcore" -> ((s: SparkSession, d: String) =>
@@ -560,6 +562,64 @@ object GraphOps {
     "graph_neighbor_jaccard" -> ((s: SparkSession, d: String) =>
       neighborJaccard(Tables.events(s, d)))
   )
+
+  val HitsIters = 4
+  val HitsScale = 1000000L
+
+  /** HITS hubs-and-authorities in integer fixed point — the DIRECTED
+    * centrality pair next to the damped `graph_pagerank` (Kleinberg's
+    * alternating iteration: hub = Σ w·auth over out-edges, auth =
+    * Σ w·hub over in-edges), made exactly reproducible with the same
+    * renormalize-by-integer-division discipline as `ml_pca_power`:
+    * after each half-step the vector rescales to ~1e6 fixed point by
+    * `x div (max(x) div 1e6 + 1)`, so every value stays a BIGINT and
+    * the whole 4-round trajectory hash-checks cross-engine.
+    *
+    * Shape at scale: the edge list is cached TWICE, pre-partitioned on
+    * dst and on src — each half-step's vector join lands on the matching
+    * copy with no edge reshuffle, and the following per-node sum
+    * partial-aggregates map-side, so per round only node-sized partials
+    * cross the wire (the alternating-key analog of pagerank's
+    * src-partitioned cache). Driver work per half-step is one O(1) max.
+    * Overflow: |Σ w·v| ≤ 1e6 · Σ in-weights — int64-safe to ~9e12
+    * weighted degree per node, then the sums move to DECIMAL(38).
+    */
+  def hits(events: DataFrame): DataFrame = {
+    val base = transitionEdges(events)
+    val edgesByDst = base.repartition(col("dst")).cache()
+    val edgesBySrc = base.repartition(col("src")).cache()
+    val nodes = edgesByDst.select(col("src").as("node"))
+      .unionAll(edgesByDst.select(col("dst").as("node")))
+      .distinct().cache()
+    if (nodes.isEmpty) {
+      return nodes.select(col("node"), lit(0L).as("hub_fp"),
+        lit(0L).as("auth_fp"))
+    }
+    var auth = nodes.select(col("node"), lit(HitsScale).as("a"))
+    var hub: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val hRaw = edgesByDst
+        .join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("w") * col("a")).as("hr"))
+        .localCheckpoint(true)
+      val hd = hRaw.agg(max(col("hr"))).head.getLong(0) / HitsScale + 1L
+      hub = hRaw.select(col("node"), expr(s"hr div $hd").as("h"))
+      val aRaw = edgesBySrc
+        .join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("w") * col("h")).as("ar"))
+        .localCheckpoint(true)
+      val ad = aRaw.agg(max(col("ar"))).head.getLong(0) / HitsScale + 1L
+      auth = aRaw.select(col("node"), expr(s"ar div $ad").as("a"))
+    }
+    nodes
+      .join(hub.select(col("node"), col("h")), Seq("node"), "left")
+      .join(auth.select(col("node"), col("a")), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("h"), lit(0L)).as("hub_fp"),
+        coalesce(col("a"), lit(0L)).as("auth_fp"))
+  }
 
   val NeighborJaccardMin = 0.75
 
@@ -624,6 +684,51 @@ object GraphOps {
        |        AS mass
        |    FROM ew JOIN $prev ON $prev.node = ew.src
        |    GROUP BY ew.dst) m ON m.dst = nodes.node)""".stripMargin
+
+  private def hitsIterSql(i: Int): String = {
+    val (prevA, hr, h, ar, a) = (s"a${i - 1}", s"hr$i", s"h$i", s"ar$i", s"a$i")
+    s"""$hr AS MATERIALIZED (
+       |  SELECT e.src AS node, sum(e.w * $prevA.v)::BIGINT AS r
+       |  FROM edges e JOIN $prevA ON $prevA.node = e.dst
+       |  GROUP BY 1),
+       |hd$i AS (SELECT max(r) // $HitsScale + 1 AS d FROM $hr),
+       |$h AS MATERIALIZED (
+       |  SELECT node, (r // d)::BIGINT AS v FROM $hr CROSS JOIN hd$i),
+       |$ar AS MATERIALIZED (
+       |  SELECT e.dst AS node, sum(e.w * $h.v)::BIGINT AS r
+       |  FROM edges e JOIN $h ON $h.node = e.src
+       |  GROUP BY 1),
+       |ad$i AS (SELECT max(r) // $HitsScale + 1 AS d FROM $ar),
+       |$a AS MATERIALIZED (
+       |  SELECT node, (r // d)::BIGINT AS v FROM $ar CROSS JOIN ad$i)""".stripMargin
+  }
+
+  private val hitsOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |    (json_extract_string(props, '$$.k'))::BIGINT AS item
+       |  FROM events
+       |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+       |tr AS (
+       |  SELECT lag(item) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS src, item AS dst
+       |  FROM ev),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst, count(*)::BIGINT AS w FROM tr
+       |  WHERE src IS NOT NULL GROUP BY 1, 2),
+       |nodes AS MATERIALIZED (
+       |  SELECT DISTINCT node FROM (
+       |    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+       |a0 AS (SELECT node, $HitsScale AS v FROM nodes),
+       |""".stripMargin +
+      (1 to HitsIters).map(hitsIterSql).mkString(",\n") +
+      s"""
+         |SELECT n.node,
+         |  coalesce(h.v, 0)::BIGINT AS hub_fp,
+         |  coalesce(a.v, 0)::BIGINT AS auth_fp
+         |FROM nodes n
+         |LEFT JOIN h$HitsIters h ON h.node = n.node
+         |LEFT JOIN a$HitsIters a ON a.node = n.node""".stripMargin
 
   private def lpIterSql(prev: String, cur: String): String =
     s"""$cur AS (
@@ -821,6 +926,7 @@ object GraphOps {
          |GROUP BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "graph_hits" -> hitsOracle,
     "graph_covisit" ->
       s"""WITH ie AS (
          |  SELECT user_id,

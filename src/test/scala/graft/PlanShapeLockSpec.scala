@@ -93,7 +93,11 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "wh_forget" -> PlanShape(0, 1, 0, 0, 3),
     "pipe_k_anonymity" -> PlanShape(0, 0, 0, 0, 2),
     "text_normalize" -> PlanShape(0, 0, 0, 0, 2),
-    "fmt_zstd_roundtrip" -> PlanShape(0, 0, 0, 0, 1))
+    "fmt_zstd_roundtrip" -> PlanShape(0, 0, 0, 0, 1),
+    // hits: the 2 SMJs are the final node ⋈ hub ⋈ auth left joins
+    // (both sides node-partitioned post-agg); the shuffle count is
+    // print multiplicity of the cached node-set subtree
+    "graph_hits" -> PlanShape(2, 0, 0, 0, 28))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -114,7 +118,8 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "asof_nearest", "ml_feature_rank", "ann_range_search",
       "pipe_class_balance", "fmt_malformed_csv",
       "ml_pca_power", "graph_covisit", "dedup_canonical", "wh_forget",
-      "pipe_k_anonymity", "text_normalize", "fmt_zstd_roundtrip")
+      "pipe_k_anonymity", "text_normalize", "fmt_zstd_roundtrip",
+      "graph_hits")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

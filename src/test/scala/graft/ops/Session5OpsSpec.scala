@@ -93,6 +93,35 @@ class Session5OpsSpec extends SparkSpec {
     assert(botPairs.forall { case (a, b, _, _) => a <= 119L && b <= 119L })
   }
 
+  test("hits ranks the fan-out node top hub and the fan-in node top authority") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user u walks item 5 → 6, 5 appearing before each target builds
+    // edges 5→6, 5→7, 5→8 (hub 5); users 1-3 each walk x→10 (authority
+    // 10 via edges 1→10, 2→10, 3→10)
+    val walks = Seq(
+      (100L, Seq(5L, 6L)), (101L, Seq(5L, 7L)), (102L, Seq(5L, 8L)),
+      (103L, Seq(1L, 10L)), (104L, Seq(2L, 10L)), (105L, Seq(3L, 10L)))
+    val ev = walks.flatMap { case (u, items) =>
+      items.zipWithIndex.map { case (item, i) =>
+        (u * 10 + i, t(i), u, "view", s"""{"k": $item}""")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "props")
+    val out = GraphOps.hits(ev)
+      .select("node", "hub_fp", "auth_fp")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // node 5 is the unique top hub, node 10 the unique top authority
+    val topHub = out.maxBy(_._2._1)
+    val topAuth = out.maxBy(_._2._2)
+    assert(topHub._1 == 5L && topAuth._1 == 10L)
+    // pure sources have zero authority; pure sinks zero hub
+    assert(out(5L)._2 == 0L && out(10L)._1 == 0L)
+    // the integer renorm x div (max div 1e6 + 1) lands the leader in
+    // [5e5, 1e6] (here max = 3e6 → divisor 4 → exactly 750000)
+    assert(topHub._2._1 > 500000L && topAuth._2._2 > 500000L)
+  }
+
   test("dedupCanonical elects the longest doc per cluster, bytes audited") {
     // independent recomputation: fold the cluster and length maps in
     // plain Scala and compare against the Spark aggregation
