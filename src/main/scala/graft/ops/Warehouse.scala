@@ -271,7 +271,47 @@ object Warehouse {
   def forgetQuery(s: SparkSession, dir: String): DataFrame =
     forget(Tables.events(s, dir))
 
+  /** Incremental view maintenance — the delta-apply path a materialized
+    * aggregate takes when a change batch lands, instead of recomputing
+    * from the fact table: the maintained view (orders per status:
+    * count + total in EXACT cents) absorbs the standard derived change
+    * batch (keys ≡ 0..2 mod 10 get +100.00, keys ≡ 3 mod 10 delete) as
+    * a per-group delta — deletes subtract their before-image, updates
+    * add their price delta — joined onto the old view at |groups| size.
+    *
+    * The ORACLE recomputes the view from the merged state from scratch;
+    * hash-equality of the two IS the IVM correctness statement
+    * (delta-apply ≡ recompute). Totals are integer cents so the
+    * incremental sum is bit-equal to the recomputed sum — the float
+    * version of this query is where addition order would leak.
+    *
+    * Scale shape: the maintenance pass scans ONLY the change batch and
+    * the |groups|-row view — the fact table is not touched (here the
+    * "stored" view is derived once, standing in for the materialized
+    * table a warehouse reads from disk).
+    */
+  def ivmAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val baseView = o.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n0"), sum(cents).as("c0"))
+    val changes = o.filter(col("o_orderkey") % 10 <= 3)
+      .select(col("o_orderstatus"),
+        when(col("o_orderkey") % 10 === 3, lit("D")).otherwise(lit("U"))
+          .as("op"),
+        cents.as("old_c"))
+    val delta = changes.groupBy("o_orderstatus").agg(
+      (-sum(when(col("op") === "D", 1L).otherwise(0L))).as("dn"),
+      sum(when(col("op") === "D", -col("old_c")).otherwise(lit(10000L)))
+        .as("dc"))
+    baseView.join(delta, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"),
+        (col("n0") + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (col("c0") + coalesce(col("dc"), lit(0L))).as("total_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wh_ivm_agg" -> (ivmAgg _),
     "wh_scd2" -> (scd2OrderStatus _),
     "wh_cdc_apply" -> (cdcApply _),
     "wh_compact" -> (compactEvents _),
@@ -280,6 +320,22 @@ object Warehouse {
   )
 
   val oracles: Map[String, String] = Map(
+    // full recompute from the merged state — equality with the engine's
+    // delta-apply is the IVM correctness statement
+    "wh_ivm_agg" ->
+      """WITH ch AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders WHERE o_orderkey % 10 <= 3),
+        |merged AS (
+        |  SELECT b.o_orderstatus,
+        |    CAST(round(b.o_totalprice * 100) AS BIGINT)
+        |      + CASE WHEN ch.op = 'U' THEN 10000 ELSE 0 END AS c
+        |  FROM orders b LEFT JOIN ch USING (o_orderkey)
+        |  WHERE ch.op IS NULL OR ch.op <> 'D')
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  sum(c)::BIGINT AS total_cents
+        |FROM merged GROUP BY 1""".stripMargin,
     "wh_forget" ->
       """WITH ranked AS (
         |  SELECT user_id, event_type,

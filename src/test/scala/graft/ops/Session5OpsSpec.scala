@@ -174,6 +174,26 @@ class Session5OpsSpec extends SparkSpec {
       li.agg(sum("l_orderkey")).head.getLong(0))
   }
 
+  test("ivmAgg delta-apply equals the from-scratch recompute") {
+    val o = graft.Tables.orders(spark, sfDir)
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    // full recompute over the merged (post-change) state
+    val recompute = o
+      .withColumn("op",
+        when(col("o_orderkey") % 10 === 3, "D")
+          .when(col("o_orderkey") % 10 <= 3, "U"))
+      .filter(col("op").isNull || col("op") =!= "D")
+      .withColumn("c",
+        cents + when(col("op") === "U", 10000L).otherwise(0L))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("total_cents"))
+      .orderBy("o_orderstatus").collect().map(_.toSeq).toSeq
+    val ivm = Warehouse.ivmAgg(spark, sfDir)
+      .orderBy("o_orderstatus").collect().map(_.toSeq).toSeq
+    assert(ivm == recompute)
+    assert(ivm.nonEmpty)
+  }
+
   test("forget purges exactly the users whose latest event is an error") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
