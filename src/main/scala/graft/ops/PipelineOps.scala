@@ -108,6 +108,65 @@ object PipelineOps {
           .as("overlap_ratio"))
   }
 
+  val BloomHashes = 4
+  val BloomLoadFactor = 16L
+  /** Candidate filter sizes: powers of two up to 2^28 — the range of one
+    * 7-hex-char (28-bit) md5 slice, which is what each of the 4 bit
+    * positions derives from.
+    */
+  private val BloomSizes: Seq[Long] = (16 to 28).map(1L << _)
+
+  /** Decontamination at scale — the BLOOM-FILTER variant of
+    * [[contamination]] (the Dolma/CCNet-style pass): the benchmark
+    * split's shingle set compresses to a bit filter (4 bit positions
+    * per shingle, 28-bit md5 slices mod m), sized m = smallest power of
+    * two ≥ [[BloomLoadFactor]]× the bench shingle count (ONE O(1)
+    * driver count picks it — fill stays ~22 %, FP ≈ 0.25 %). Train-side
+    * cost is 4 exploded bit rows per shingle against a BROADCAST bit
+    * table — the corpus never shuffles, which is the whole point at
+    * 100 TB where the exact variant's shingle join cannot broadcast.
+    * The report carries the EXACT overlap alongside (the fixture bench
+    * is broadcastable), so every row quantifies the filter's own false
+    * positives — bloom_flagged ≥ exact_contaminated always (no false
+    * negatives, spec-asserted).
+    */
+  def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // a 1/20th slice of src0 plays the benchmark (benchmarks are small;
+    // the full src0 at sf1 would be an unrealistic 5% of the corpus)
+    val bench = docs.filter(col("source") === "src0" &&
+      col("doc_id") % 20 === 0)
+    val train = docs.filter(col("source") =!= "src0")
+    val benchSh = Dedup.shingles(bench).select("shingle").distinct().cache()
+    val m = BloomSizes.find(
+      _ >= BloomLoadFactor * math.max(benchSh.count(), 1L)).getOrElse(1L << 28)
+    def bits(c: Column) = array((0 until BloomHashes).map(i =>
+      conv(substring(md5(c), i * 7 + 1, 7), 16, 10).cast("long") % m): _*)
+    val benchBits = benchSh
+      .select(explode(bits(col("shingle"))).as("bit")).distinct()
+    val trainSh = Dedup.shingles(train)
+    val bloomDocs = trainSh
+      .select(col("doc_id"), col("shingle"),
+        explode(bits(col("shingle"))).as("bit"))
+      .join(broadcast(benchBits), "bit")
+      .groupBy("doc_id", "shingle").agg(count(lit(1)).as("nb"))
+      .filter(col("nb") === BloomHashes)
+      .groupBy("doc_id").agg(count(lit(1)).as("bloom_hits"))
+    val exactDocs = trainSh.join(broadcast(benchSh), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("exact_hits"))
+    train.select(col("doc_id"), col("source"))
+      .join(bloomDocs, Seq("doc_id"), "left")
+      .join(exactDocs, Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("bloom_hits") > 0, 1L).otherwise(0L))
+          .as("bloom_flagged"),
+        sum(when(col("exact_hits") > 0, 1L).otherwise(0L))
+          .as("exact_contaminated"),
+        sum(when(col("bloom_hits") > 0 && col("exact_hits").isNull, 1L)
+          .otherwise(0L)).as("false_positives"))
+  }
+
   /** Stratified deterministic sampling: per stratum (source), keep the k
     * docs with the smallest md5(doc_id) — a reproducible per-group quota
     * (the "take N per domain" curation step). One window sort per
@@ -790,6 +849,7 @@ object PipelineOps {
     "pipe_scrub" -> (scrubQuery _),
     "pipe_repetition" -> (repetitionQuery _),
     "pipe_contamination" -> (contaminationQuery _),
+    "pipe_bloom_decontam" -> (bloomDecontam _),
     "pipe_stratified" -> (stratifiedQuery _),
     "pipe_pack" -> (packQuery _),
     "pipe_curate" -> (curate _),
@@ -844,6 +904,61 @@ object PipelineOps {
        |SELECT event_id, event_type, x AS value_cents,
        |  z2n::VARCHAR AS z2_num, vn::VARCHAR AS var_num
        |FROM j WHERE z2n > $Z2Threshold * vn""".stripMargin
+
+  /** DuckDB replay of [[bloomDecontam]]: same m selection (integer VALUES
+    * scan, no float log2), same 28-bit md5-slice bit positions via the
+    * nibble fold, same all-4-bits membership test.
+    */
+  private def bloomDecontamOracle: String = {
+    def fold(start: Int) =
+      s"list_reduce(list_transform(string_split(substr(md5(shingle), " +
+        s"$start, 7), ''), c -> (strpos('0123456789abcdef', c) - 1)::BIGINT), " +
+        "(a, b) -> a * 16 + b)"
+    val powers = (16 to 28).map(1L << _)
+      .map(p => s"($p::BIGINT)").mkString(", ")
+    val bitsArr = (0 until BloomHashes)
+      .map(i => s"${fold(i * 7 + 1)} % m").mkString("[", ", ", "]")
+    shingleCtes + s""",
+       |bench_sh AS MATERIALIZED (
+       |  SELECT DISTINCT shingle FROM sh
+       |  WHERE source = 'src0' AND doc_id % 20 = 0),
+       |train_sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, shingle FROM sh WHERE source != 'src0'),
+       |nb AS (SELECT greatest(count(*), 1)::BIGINT AS n FROM bench_sh),
+       |msel AS (
+       |  SELECT coalesce(min(p), ${1L << 28}) AS m
+       |  FROM (VALUES $powers) v(p)
+       |  CROSS JOIN nb WHERE p >= $BloomLoadFactor * n),
+       |bench_bits AS MATERIALIZED (
+       |  SELECT DISTINCT unnest($bitsArr) AS bit
+       |  FROM bench_sh CROSS JOIN msel),
+       |tb AS (
+       |  SELECT doc_id, shingle, unnest($bitsArr) AS bit
+       |  FROM train_sh CROSS JOIN msel),
+       |bp AS (
+       |  SELECT doc_id, shingle FROM tb JOIN bench_bits USING (bit)
+       |  GROUP BY doc_id, shingle HAVING count(*) = $BloomHashes),
+       |bloomdoc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS bloom_hits FROM bp
+       |  GROUP BY doc_id),
+       |exact AS (
+       |  SELECT t.doc_id, count(*)::BIGINT AS exact_hits
+       |  FROM train_sh t JOIN bench_sh b USING (shingle)
+       |  GROUP BY t.doc_id),
+       |meta AS (
+       |  SELECT doc_id, source FROM documents WHERE source != 'src0')
+       |SELECT m.source, count(*) AS n_docs,
+       |  sum(CASE WHEN bd.bloom_hits > 0 THEN 1 ELSE 0 END)::BIGINT
+       |    AS bloom_flagged,
+       |  sum(CASE WHEN e.exact_hits > 0 THEN 1 ELSE 0 END)::BIGINT
+       |    AS exact_contaminated,
+       |  sum(CASE WHEN bd.bloom_hits > 0 AND e.exact_hits IS NULL
+       |      THEN 1 ELSE 0 END)::BIGINT AS false_positives
+       |FROM meta m
+       |LEFT JOIN bloomdoc bd ON bd.doc_id = m.doc_id
+       |LEFT JOIN exact e ON e.doc_id = m.doc_id
+       |GROUP BY m.source""".stripMargin
+  }
 
   lazy val oracles: Map[String, String] = Map(
     // the identical cross-multiplied integer z² predicate; HUGEINT is
@@ -1111,6 +1226,7 @@ object PipelineOps {
           |    ELSE round(1.0 - coalesce(d.n_distinct, 0)::DOUBLE / t.n_shingles, 4)
           |  END AS rep_ratio
           |FROM tot t LEFT JOIN dis d ON t.doc_id = d.doc_id""".stripMargin),
+    "pipe_bloom_decontam" -> bloomDecontamOracle,
     "pipe_contamination" ->
       (shingleCtes +
         """,

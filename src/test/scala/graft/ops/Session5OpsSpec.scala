@@ -174,6 +174,20 @@ class Session5OpsSpec extends SparkSpec {
       li.agg(sum("l_orderkey")).head.getLong(0))
   }
 
+  test("bloomDecontam has no false negatives: flagged = exact + FP exactly") {
+    val out = PipelineOps.bloomDecontam(spark, sfDir)
+      .select("source", "n_docs", "bloom_flagged", "exact_contaminated",
+        "false_positives")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (src, n, bloom, exact, fp) =>
+      // every exactly-contaminated doc is bloom-flagged (Bloom filters
+      // cannot miss), so the flag count decomposes exactly
+      assert(bloom == exact + fp, s"$src: $bloom != $exact + $fp")
+      assert(bloom <= n)
+    }
+  }
+
   test("ivmAgg delta-apply equals the from-scratch recompute") {
     val o = graft.Tables.orders(spark, sfDir)
     val cents = round(col("o_totalprice") * 100).cast("long")
