@@ -539,6 +539,8 @@ object GraphOps {
       covisitation(Tables.events(s, d))),
     "graph_hits" -> ((s: SparkSession, d: String) =>
       hits(Tables.events(s, d))),
+    "graph_temporal_paths" -> ((s: SparkSession, d: String) =>
+      temporalPaths(Tables.events(s, d))),
     "graph_mst" -> ((s: SparkSession, d: String) =>
       mst(Tables.events(s, d))),
     "graph_kcore" -> ((s: SparkSession, d: String) =>
@@ -619,6 +621,42 @@ object GraphOps {
       .select(col("node"),
         coalesce(col("h"), lit(0L)).as("hub_fp"),
         coalesce(col("a"), lit(0L)).as("auth_fp"))
+  }
+
+  /** Window for [[temporalPaths]] — a follow-on transition counts only
+    * within this many microseconds (1 hour).
+    */
+  val TemporalPathWindow = 3600000000L
+
+  /** Temporal 2-hop path census — the time-RESPECTING reachability
+    * primitive (information flow, contact tracing): a→b at t₁ then
+    * b→c at t₂ ∈ (t₁, t₁+1h] counts as a temporal path a→b→c; a static
+    * 2-hop join would also count b→c transitions that happened BEFORE
+    * a→b, which no influence can traverse. Per source item: total
+    * temporal 2-paths and distinct mid-node partners.
+    *
+    * Scale shape: the inequality join rides the SAME bucketed
+    * range-join as `range_signup_activity`
+    * ([[TemporalJoins.rangeJoinBucketed]]): each occurrence probes two
+    * 1-hour buckets of its mid item, so the candidate fan-out is
+    * bounded by per-(item, hour) occupancy — never the all-pairs
+    * product an equality-only join on the mid item would build.
+    */
+  def temporalPaths(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val occ = itemEvents(events)
+      .select(lag(col("item"), 1).over(w).as("src"), col("item").as("dst"),
+        col("ts"))
+      .filter(col("src").isNotNull && col("src") =!= col("dst"))
+    val left = occ.select(col("dst").as("mid"), col("src"), col("ts"))
+    val right = occ.select(col("src").as("mid"), col("dst"), col("ts"))
+    TemporalJoins.rangeJoinBucketed(left, right, "mid", "ts",
+      TemporalPathWindow, "src",
+      Seq(count(col("__m")).as("n_paths")))
+      .groupBy(col("src").as("item"))
+      .agg(sum(col("n_paths")).as("n_2paths"),
+        sum(when(col("n_paths") > 0, 1L).otherwise(0L)).as("n_mid_partners"))
+      .filter(col("n_2paths") > 0)
   }
 
   val NeighborJaccardMin = 0.75
@@ -926,6 +964,35 @@ object GraphOps {
          |GROUP BY node""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // same two-bucket explode as the engine: an equality-only join on
+    // the mid item would build the all-pairs product per item
+    "graph_temporal_paths" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |    (json_extract_string(props, '$$.k'))::BIGINT AS item
+         |  FROM events
+         |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+         |occ0 AS (
+         |  SELECT lag(item) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id) AS src, item AS dst, ts
+         |  FROM ev),
+         |occ AS MATERIALIZED (
+         |  SELECT src, dst, epoch_us(ts) AS us FROM occ0
+         |  WHERE src IS NOT NULL AND src != dst),
+         |l AS (
+         |  SELECT dst AS mid, src, us, b
+         |  FROM occ, unnest([us // $TemporalPathWindow,
+         |                    us // $TemporalPathWindow + 1]) AS t(b)),
+         |r AS (
+         |  SELECT src AS mid, us, us // $TemporalPathWindow AS b FROM occ),
+         |pairs AS (
+         |  SELECT l.src, l.mid FROM l JOIN r ON l.mid = r.mid AND l.b = r.b
+         |  WHERE r.us > l.us AND r.us <= l.us + $TemporalPathWindow),
+         |agg AS (
+         |  SELECT src, mid, count(*)::BIGINT AS n FROM pairs GROUP BY 1, 2)
+         |SELECT src AS item, sum(n)::BIGINT AS n_2paths,
+         |  count(*)::BIGINT AS n_mid_partners
+         |FROM agg GROUP BY 1""".stripMargin,
     "graph_hits" -> hitsOracle,
     "graph_covisit" ->
       s"""WITH ie AS (

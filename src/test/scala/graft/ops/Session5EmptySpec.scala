@@ -16,6 +16,7 @@ class Session5EmptySpec extends SparkSpec {
   test("covisitation, hits, and forget tolerate an empty event stream") {
     assert(GraphOps.covisitation(noEvents).count() == 0)
     assert(GraphOps.hits(noEvents).count() == 0)
+    assert(GraphOps.temporalPaths(noEvents).count() == 0)
     assert(graft.ops.Warehouse.forget(noEvents).count() == 0)
   }
 

@@ -188,6 +188,37 @@ class Session5OpsSpec extends SparkSpec {
     }
   }
 
+  test("temporalPaths counts only time-respecting in-window 2-hop paths") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // user walks build transition occurrences (src→dst at the LATER ts):
+    //   u1: 1→2 at t10; u2: 2→3 at t40  (within 1h of t10 → path 1→2→3)
+    //   u3: 4→2 at t50; but u2's 2→3 at t40 precedes it → NO path 4→2→3
+    //   u4: 5→2 at t10; u5: 2→6 at t80 (70min later, beyond 1h → NO path)
+    val walks = Seq(
+      (1L, Seq((1L, 0), (2L, 10))), (2L, Seq((2L, 30), (3L, 40))),
+      (3L, Seq((4L, 45), (2L, 50))), (4L, Seq((5L, 5), (2L, 10))),
+      (5L, Seq((2L, 75), (6L, 80))))
+    val ev = walks.flatMap { case (u, items) =>
+      items.zipWithIndex.map { case ((item, minute), i) =>
+        (u * 10 + i, t(minute), u, "view", s"""{"k": $item}""")
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "props")
+    val out = GraphOps.temporalPaths(ev)
+      .select("item", "n_2paths", "n_mid_partners")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // 1→2 (t10) then 2→3 (t40): one in-window path
+    // 5→2 (t10) then 2→3 (t40): also in-window — 5 has one path too
+    // 4→2 (t50): only 2→6 (t80) follows within 1h → one path from 4
+    // 2→6 (t80): nothing follows → 2 has no outgoing temporal path
+    assert(out(1L) == ((1L, 1L)))
+    assert(out.get(2L).isEmpty)
+    assert(out(4L) == ((1L, 1L)))
+    assert(out(5L) == ((1L, 1L)))
+    assert(out.size == 3)
+  }
+
   test("ivmAgg delta-apply equals the from-scratch recompute") {
     val o = graft.Tables.orders(spark, sfDir)
     val cents = round(col("o_totalprice") * 100).cast("long")
