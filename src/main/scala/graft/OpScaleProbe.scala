@@ -264,6 +264,14 @@ object OpScaleProbe {
       timed(s"graph_hits x$k") {
         graft.ops.GraphOps.hits(scaledEvents(k))
       }
+      timed(s"graph_temporal x$k") {
+        graft.ops.GraphOps.temporalPaths(scaledEvents(k))
+      }
+      timed(s"pipe_bloom_decontam x$k") {
+        // scaled docs keep source labels, so the bench slice (src0 ∩
+        // doc_id%20) and the train side both grow with k
+        graft.ops.PipelineOps.bloomDecontamOn(scaledDocs(k))
+      }
       timed(s"ml_pca x$k") {
         val embBase = Tables.embeddings(spark, sfDir)
         val vecStride = embBase.agg(max(col("vec_id"))).head.getLong(0) + 1

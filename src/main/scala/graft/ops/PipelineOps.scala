@@ -130,8 +130,10 @@ object PipelineOps {
     * positives — bloom_flagged ≥ exact_contaminated always (no false
     * negatives, spec-asserted).
     */
-  def bloomDecontam(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  def bloomDecontam(s: SparkSession, dir: String): DataFrame =
+    bloomDecontamOn(Tables.documents(s, dir))
+
+  def bloomDecontamOn(docs: DataFrame): DataFrame = {
     // a 1/20th slice of src0 plays the benchmark (benchmarks are small;
     // the full src0 at sf1 would be an unrealistic 5% of the corpus)
     val bench = docs.filter(col("source") === "src0" &&
