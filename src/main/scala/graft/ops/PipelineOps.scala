@@ -108,6 +108,42 @@ object PipelineOps {
           .as("overlap_ratio"))
   }
 
+  /** Distribution-drift gate — the data-quality check a pipeline runs
+    * when a new corpus snapshot lands: compare the length distribution
+    * of the incoming data (every source but src0) against the reference
+    * split (src0) with a per-bucket Pearson χ² term, computed entirely
+    * in integers via cross-multiplication (expected mass is e·No/Ne, so
+    * the term (o − e·No/Ne)²/(e·No/Ne) rewrites to
+    * (o·Ne − e·No)²·10⁶ div (e·No·Ne), in parts-per-million). The
+    * squared difference passes through DECIMAL(38) (HUGEINT in the
+    * oracle) — |o·Ne − e·No| ≤ ~1e10 at sf1, squared ~1e20, ×10⁶ ~1e26:
+    * exact far past any realistic corpus. Buckets the reference never
+    * saw (e = 0) can't contribute a finite χ² term and are flagged as
+    * `new_mass` instead — the drift signal a χ² can't price.
+    *
+    * Scale shape: two combinable counts + one |buckets|-row full-outer
+    * join against broadcast 1-row totals. Nothing scales past the
+    * bucket count.
+    */
+  def driftChi2(docs: DataFrame): DataFrame = {
+    val bucket = least(floor(col("n_chars") / 100), lit(19)).cast("long")
+    val obs = docs.filter(col("source") =!= "src0")
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("o"))
+    val ref = docs.filter(col("source") === "src0")
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("e"))
+    val tot = obs.agg(sum(col("o")).as("no"))
+      .crossJoin(ref.agg(sum(col("e")).as("ne")))
+    obs.join(ref, Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("o", "e"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("o"), col("e"),
+        when(col("e") > 0,
+          expr("(CAST(o * ne - e * no AS DECIMAL(38, 0)) * (o * ne - e * no)" +
+            " * 1000000) div (e * no * ne)"))
+          .as("chi2_ppm"),
+        when(col("e") === 0 && col("o") > 0, 1L).otherwise(0L).as("new_mass"))
+  }
+
   val BloomHashes = 4
   val BloomLoadFactor = 16L
   /** Candidate filter sizes: powers of two up to 2^28 — the range of one
@@ -852,6 +888,8 @@ object PipelineOps {
     "pipe_repetition" -> (repetitionQuery _),
     "pipe_contamination" -> (contaminationQuery _),
     "pipe_bloom_decontam" -> (bloomDecontam _),
+    "pipe_drift_chi2" -> ((s: SparkSession, d: String) =>
+      driftChi2(Tables.documents(s, d))),
     "pipe_stratified" -> (stratifiedQuery _),
     "pipe_pack" -> (packQuery _),
     "pipe_curate" -> (curate _),
@@ -1229,6 +1267,30 @@ object PipelineOps {
           |  END AS rep_ratio
           |FROM tot t LEFT JOIN dis d ON t.doc_id = d.doc_id""".stripMargin),
     "pipe_bloom_decontam" -> bloomDecontamOracle,
+    "pipe_drift_chi2" ->
+      """WITH b AS (
+        |  SELECT least(n_chars // 100, 19)::BIGINT AS bucket, source
+        |  FROM documents),
+        |obs AS (
+        |  SELECT bucket, count(*)::BIGINT AS o FROM b
+        |  WHERE source != 'src0' GROUP BY 1),
+        |ref AS (
+        |  SELECT bucket, count(*)::BIGINT AS e FROM b
+        |  WHERE source = 'src0' GROUP BY 1),
+        |tot AS (
+        |  SELECT (SELECT sum(o)::BIGINT FROM obs) AS no,
+        |         (SELECT sum(e)::BIGINT FROM ref) AS ne),
+        |j AS (
+        |  SELECT coalesce(obs.bucket, ref.bucket) AS bucket,
+        |    coalesce(o, 0) AS o, coalesce(e, 0) AS e
+        |  FROM obs FULL OUTER JOIN ref ON obs.bucket = ref.bucket)
+        |SELECT bucket, o, e,
+        |  CASE WHEN e > 0 THEN
+        |    (((o * ne - e * no)::HUGEINT * (o * ne - e * no) * 1000000)
+        |      // (e * no * ne))::BIGINT
+        |  END AS chi2_ppm,
+        |  CASE WHEN e = 0 AND o > 0 THEN 1 ELSE 0 END::BIGINT AS new_mass
+        |FROM j CROSS JOIN tot""".stripMargin,
     "pipe_contamination" ->
       (shingleCtes +
         """,

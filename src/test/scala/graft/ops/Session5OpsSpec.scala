@@ -174,6 +174,28 @@ class Session5OpsSpec extends SparkSpec {
       li.agg(sum("l_orderkey")).head.getLong(0))
   }
 
+  test("driftChi2 terms match the hand-computed cross-multiplication") {
+    def doc(id: Long, len: Long, src: String) = (id, "x", "en", src, len)
+    val docs = (
+      (0 until 4).map(i => doc(i, 50, "src0")) ++
+        (4 until 8).map(i => doc(i, 150, "src0")) ++
+        (10 until 16).map(i => doc(i, 50, "src1")) ++
+        (16 until 18).map(i => doc(i, 150, "src1")) ++
+        (18 until 20).map(i => doc(i, 550, "src1")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = PipelineOps.driftChi2(docs)
+      .select("bucket", "o", "e", "chi2_ppm", "new_mass")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4)))).toMap
+    // No=10, Ne=8; bucket 0: (6*8-4*10)^2*1e6 div (4*10*8) = 200000
+    assert(out(0L) == ((6L, 4L, 200000L, 0L)))
+    // bucket 1: (2*8-4*10)^2*1e6 div 320 = 1800000
+    assert(out(1L) == ((2L, 4L, 1800000L, 0L)))
+    // bucket 5: reference never saw it — no finite term, flagged
+    assert(out(5L) == ((2L, 0L, -1L, 1L)))
+  }
+
   test("bloomDecontam has no false negatives: flagged = exact + FP exactly") {
     val out = PipelineOps.bloomDecontam(spark, sfDir)
       .select("source", "n_docs", "bloom_flagged", "exact_contaminated",
