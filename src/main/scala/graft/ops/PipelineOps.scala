@@ -138,8 +138,12 @@ object PipelineOps {
       .crossJoin(broadcast(tot))
       .select(col("bucket"), col("o"), col("e"),
         when(col("e") > 0,
+          // both sides promote BEFORE multiplying: the denominator
+          // e·No·Ne would overflow int64 around sf30 if left to long
+          // arithmetic (the numerator difference itself fits — its
+          // square is what needs DECIMAL(38))
           expr("(CAST(o * ne - e * no AS DECIMAL(38, 0)) * (o * ne - e * no)" +
-            " * 1000000) div (e * no * ne)"))
+            " * 1000000) div (CAST(e AS DECIMAL(38, 0)) * no * ne)"))
           .as("chi2_ppm"),
         when(col("e") === 0 && col("o") > 0, 1L).otherwise(0L).as("new_mass"))
   }
@@ -169,6 +173,12 @@ object PipelineOps {
   def bloomDecontam(s: SparkSession, dir: String): DataFrame =
     bloomDecontamOn(Tables.documents(s, dir))
 
+  /** NOTE the bench shingle set stays cached for the life of the query
+    * (it feeds the m-sizing count, the bit table, AND the exact-overlap
+    * join) — callers that loop (Bench, OpScaleProbe) clear caches
+    * between invocations, which is the same contract every cached
+    * operator here carries.
+    */
   def bloomDecontamOn(docs: DataFrame): DataFrame = {
     // a 1/20th slice of src0 plays the benchmark (benchmarks are small;
     // the full src0 at sf1 would be an unrealistic 5% of the corpus)
@@ -1287,7 +1297,7 @@ object PipelineOps {
         |SELECT bucket, o, e,
         |  CASE WHEN e > 0 THEN
         |    (((o * ne - e * no)::HUGEINT * (o * ne - e * no) * 1000000)
-        |      // (e * no * ne))::BIGINT
+        |      // (e::HUGEINT * no * ne))::BIGINT
         |  END AS chi2_ppm,
         |  CASE WHEN e = 0 AND o > 0 THEN 1 ELSE 0 END::BIGINT AS new_mass
         |FROM j CROSS JOIN tot""".stripMargin,
