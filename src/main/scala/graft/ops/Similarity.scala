@@ -378,18 +378,16 @@ object Similarity {
     * subspaces in order, so the whole index path is hash-checkable
     * against a DuckDB replay of encode + LUT + rank.
     */
-  def pqSearch(s: SparkSession, corpus: DataFrame, queries: DataFrame,
-      k: Int): DataFrame = {
+  /** The ADC scorer shared by [[pqSearch]] and [[ivfPqTopK]]: builds the
+    * per-query LUT driver-side (anchors and queries are tiny by contract
+    * — the codebook must broadcast for ANY PQ index; accumulation order
+    * matches vec_sqdist's sequential (a-b)² adds over the subspace
+    * slice) and returns the (query_id, codes) → distance UDF.
+    */
+  private def pqAdcScorer(s: SparkSession, emb: DataFrame,
+      queries: DataFrame): org.apache.spark.sql.expressions.UserDefinedFunction = {
     import s.implicits._
     val m = PqSubspaces
-    val emb = corpus.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
-    val codes = pqCodesWide(emb)
-      .select(col("vec_id").as("neighbor_id"),
-        array((0 until m).map(i => col(s"b$i.code").cast("int")): _*).as("codes"))
-    // LUT build: anchors and queries are tiny by contract (the codebook
-    // must broadcast for ANY PQ index); accumulation order matches
-    // vec_sqdist (sequential (a-b)^2 adds over the subspace slice)
     val anchors = emb.filter(col("vec_id") < PqCodebookSize)
       .orderBy(col("vec_id")).select(col("vec_id"), col("v"))
       .as[(Long, Seq[Double])].collect().map(_._2.toArray)
@@ -419,13 +417,25 @@ object Similarity {
       }
     }.toMap
     val lutB = s.sparkContext.broadcast(lut)
-    val adc = udf { (qid: Long, cs: Seq[Int]) =>
+    udf { (qid: Long, cs: Seq[Int]) =>
       val t = lutB.value(qid)
       var sum = 0.0
       var i = 0
       while (i < cs.length) { sum += t(i)(cs(i)); i += 1 }
       sum
     }
+  }
+
+  def pqSearch(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    import s.implicits._
+    val m = PqSubspaces
+    val emb = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val codes = pqCodesWide(emb)
+      .select(col("vec_id").as("neighbor_id"),
+        array((0 until m).map(i => col(s"b$i.code").cast("int")): _*).as("codes"))
+    val adc = pqAdcScorer(s, emb, queries)
     val qIds = queries.select(col("vec_id").as("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_raw"), col("neighbor_id"))
@@ -566,6 +576,50 @@ object Similarity {
   def annSrpLsh(s: SparkSession, dir: String): DataFrame =
     srpLshTopK(s, Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
 
+  /** IVF-PQ — the two layouts composed the way a production index
+    * (FAISS IVFPQ) actually ships: the coarse quantizer restricts each
+    * query to its [[IvfFixedProbe]] nearest cells, and WITHIN those
+    * cells candidates are scored by PQ asymmetric distance (codes + the
+    * broadcast per-query LUT) — the corpus is touched only as 4-bit
+    * codes, and only the probed fraction of it. Both stages are the
+    * deterministic variants (`fixedCells` + the md5-free fixed
+    * codebook), so the full composed path hash-checks against a DuckDB
+    * replay of assign → probe → candidate → ADC → rank.
+    *
+    * Scale shape: cells and codes are each ONE broadcast-join pass over
+    * the corpus (no shuffle but the per-cell groupings); per query the
+    * scan cost is corpus/cells × nprobe code lookups — the
+    * billion-scale layout's cost model, here with every stage exact.
+    */
+  def ivfPqTopK(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val m = PqSubspaces
+    val emb = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val qemb = queries.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val assigned = fixedCells(emb, OpUtil.spread(emb), "neighbor_id", 1)
+    val probed = fixedCells(emb, qemb, "query_id", IvfFixedProbe)
+    val codes = pqCodesWide(emb)
+      .select(col("vec_id").as("neighbor_id"),
+        array((0 until m).map(i => col(s"b$i.code").cast("int")): _*)
+          .as("codes"))
+    val adc = pqAdcScorer(s, emb, queries)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_raw"), col("neighbor_id"))
+    assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .join(codes, "neighbor_id")
+      .withColumn("adc_raw", adc(col("query_id"), col("codes")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("adc_raw"), 6).as("adc"), col("rank"))
+  }
+
+  def annIvfPq(s: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(s, Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
+
   /** IVF over DETERMINISTIC cells: the coarse quantizer is the
     * [[centroidAssign]] primitive (fixed lowest-id centroid vectors, not
     * k-means-trained), queries probe their [[IvfFixedProbe]] nearest
@@ -578,28 +632,36 @@ object Similarity {
     */
   val IvfFixedProbe = 2
 
-  def ivfFixedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  /** Deterministic coarse-cell assignment shared by [[ivfFixedTopK]] and
+    * [[ivfPqTopK]]: argmin (keep=1) or top-`keep` nearest of the fixed
+    * lowest-id centroids, ties to the lower centroid id.
+    */
+  private def fixedCells(emb: DataFrame, df: DataFrame, idCol: String,
+      keep: Int): DataFrame = {
     import graft.functions.VectorOps.vec_sqdist
-    val emb = corpus.select(col("vec_id"),
-      transform(col("embedding"), _.cast("double")).as("v"))
     val cents = broadcast(emb.filter(col("vec_id") < NumCentroids)
       .select(col("vec_id").as("centroid_id"), col("v").as("cv")))
-    def cellsOf(df: DataFrame, idCol: String, keep: Int): DataFrame = {
-      val scored = df.crossJoin(cents)
-        .select(col("vec_id").as(idCol), col("centroid_id"),
-          vec_sqdist(col("v"), col("cv")).as("d2"))
-      if (keep == 1)
-        scored.groupBy(idCol)
-          .agg(min(struct(col("d2"), col("centroid_id"))).as("best"))
-          .select(col(idCol), col("best.centroid_id").as("cell"))
-      else {
-        val w = Window.partitionBy(col(idCol))
-          .orderBy(col("d2"), col("centroid_id"))
-        scored.withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= keep)
-          .select(col(idCol), col("centroid_id").as("cell"))
-      }
+    val scored = df.crossJoin(cents)
+      .select(col("vec_id").as(idCol), col("centroid_id"),
+        vec_sqdist(col("v"), col("cv")).as("d2"))
+    if (keep == 1)
+      scored.groupBy(idCol)
+        .agg(min(struct(col("d2"), col("centroid_id"))).as("best"))
+        .select(col(idCol), col("best.centroid_id").as("cell"))
+    else {
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("d2"), col("centroid_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= keep)
+        .select(col(idCol), col("centroid_id").as("cell"))
     }
+  }
+
+  def ivfFixedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val emb = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    def cellsOf(df: DataFrame, idCol: String, keep: Int): DataFrame =
+      fixedCells(emb, df, idCol, keep)
     val assigned = cellsOf(OpUtil.spread(emb), "neighbor_id", 1)
       .join(corpus.select(col("vec_id").as("neighbor_id"),
         asUnit(col("embedding")).as("cv")), "neighbor_id")

@@ -231,6 +231,7 @@ object OpsQueries {
     "ann_pq_refine" -> (Similarity.annPqRefine _),
     "ann_srp_lsh" -> (Similarity.annSrpLsh _),
     "ann_ivf_fixed" -> (Similarity.annIvfFixed _),
+    "ann_ivfpq" -> (Similarity.annIvfPq _),
     "cmeans_fixed_point" -> (Similarity.cmeansFixedPointQuery _),
     "ml_pca_power" -> (Similarity.pcaPowerQuery _),
     "gmm_fixed_point" -> (Similarity.gmmFixedPointQuery _),
@@ -497,6 +498,53 @@ object OpsQueries {
        |SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc, rank
        |FROM rk WHERE rank <= ${Similarity.DefaultK}""".stripMargin
 
+  // the composed FAISS-style index path: PQ codes + per-query LUT
+  // (pqAdcCtes prefix) extended with the coarse-cell CTEs, ADC computed
+  // ONLY over cell-candidate pairs
+  private val ivfPqOracle: String = pqAdcCtes.stripSuffix(")").stripSuffix(
+    s"""adc AS (
+       |  SELECT lut.query_id, b.vec_id AS neighbor_id,
+       |    list_sum(list(lut.d2 ORDER BY b.s)) AS adc_raw
+       |  FROM b JOIN lut ON lut.s = b.s AND lut.code = b.code
+       |  WHERE b.vec_id != lut.query_id
+       |  GROUP BY 1, 2""".stripMargin) +
+    s"""cc AS (SELECT vec_id AS centroid_id, v AS cv FROM e
+       |      WHERE vec_id < ${Similarity.NumCentroids}),
+       |sc AS (
+       |  SELECT e.vec_id, cc.centroid_id,
+       |    list_sum(list_transform(range(1, len(cv) + 1),
+       |      i -> (e.v[i] - cv[i]) * (e.v[i] - cv[i]))) AS d2
+       |  FROM e CROSS JOIN cc),
+       |crk AS (
+       |  SELECT vec_id, centroid_id, d2,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY d2, centroid_id) AS rn
+       |  FROM sc),
+       |asn AS (SELECT vec_id AS neighbor_id, centroid_id AS cell
+       |        FROM crk WHERE rn = 1),
+       |probe AS (
+       |  SELECT vec_id AS query_id, centroid_id AS cell
+       |  FROM crk WHERE vec_id < 10 AND rn <= ${Similarity.IvfFixedProbe}),
+       |cand AS (
+       |  SELECT probe.query_id, asn.neighbor_id
+       |  FROM asn JOIN probe ON asn.cell = probe.cell
+       |  WHERE asn.neighbor_id != probe.query_id),
+       |adc AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    list_sum(list(lut.d2 ORDER BY b.s)) AS adc_raw
+       |  FROM cand
+       |  JOIN b ON b.vec_id = cand.neighbor_id
+       |  JOIN lut ON lut.query_id = cand.query_id
+       |    AND lut.s = b.s AND lut.code = b.code
+       |  GROUP BY 1, 2),
+       |prk AS (
+       |  SELECT query_id, neighbor_id, adc_raw,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_raw, neighbor_id) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc, rank
+       |FROM prk WHERE rank <= ${Similarity.DefaultK}""".stripMargin
+
   private val bruteforceOracle: String =
     """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -746,6 +794,7 @@ object OpsQueries {
     // centroid-assign oracle pattern), nprobe-nearest probe cells,
     // candidate join on cell, exact cosine re-rank
     "ann_ivf_fixed" -> ivfFixedOracle,
+    "ann_ivfpq" -> ivfPqOracle,
     // recall@k of the IVF index — same LEFT JOIN counting shape as the
     // SRP recall report, over the replayed IVF and exact subqueries
     "ann_recall_ivf" -> (

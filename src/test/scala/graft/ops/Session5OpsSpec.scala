@@ -174,6 +174,25 @@ class Session5OpsSpec extends SparkSpec {
       li.agg(sum("l_orderkey")).head.getLong(0))
   }
 
+  test("ivfPqTopK agrees with pqSearch ADC on every shared pair") {
+    val ivfpq = graft.SparkEntry.queries("ann_ivfpq")(spark, sfDir)
+      .select("query_id", "neighbor_id", "adc")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val pq = graft.SparkEntry.queries("ann_pq_search")(spark, sfDir)
+      .select("query_id", "neighbor_id", "adc")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(ivfpq.nonEmpty)
+    // the composed index scores with the SAME asymmetric distance: any
+    // pair both indexes return must carry an identical ADC value
+    val shared = ivfpq.keySet intersect pq.keySet
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(ivfpq(k) == pq(k), s"adc mismatch at $k"))
+    // 10 queries x top-5 with full cells at fixture scale
+    assert(ivfpq.keys.map(_._1).toSet.size == 10)
+  }
+
   test("driftChi2 terms match the hand-computed cross-multiplication") {
     def doc(id: Long, len: Long, src: String) = (id, "x", "en", src, len)
     val docs = (
