@@ -242,6 +242,7 @@ object OpsQueries {
     "ann_recall_srp" -> (recallReport(Similarity.annSrpLsh) _),
     "ann_recall_ivf" -> (recallReport(Similarity.annIvfFixed) _),
     "ann_recall_pq" -> (recallReport(Similarity.annPqSearch) _),
+    "ann_recall_ivfpq" -> (recallReport(Similarity.annIvfPq) _),
     "stats_table" -> (tableStats _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
@@ -755,6 +756,20 @@ object OpsQueries {
       "WITH ex AS (SELECT query_id, neighbor_id FROM (" +
         bruteforceOracle + ")),\n" +
         "pq AS (SELECT query_id, neighbor_id FROM (" + pqSearchOracle +
+        "))\n" +
+        """SELECT ex.query_id,
+          |  sum(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    ::BIGINT AS n_hits,
+          |  ((sum(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    ::BIGINT * 100) // count(*))::BIGINT AS recall_x100
+          |FROM ex LEFT JOIN pq
+          |  ON pq.query_id = ex.query_id
+          |  AND pq.neighbor_id = ex.neighbor_id
+          |GROUP BY ex.query_id""".stripMargin),
+    "ann_recall_ivfpq" -> (
+      "WITH ex AS (SELECT query_id, neighbor_id FROM (" +
+        bruteforceOracle + ")),\n" +
+        "pq AS (SELECT query_id, neighbor_id FROM (" + ivfPqOracle +
         "))\n" +
         """SELECT ex.query_id,
           |  sum(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
