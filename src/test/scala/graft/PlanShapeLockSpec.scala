@@ -97,7 +97,13 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // hits: the 2 SMJs are the final node ⋈ hub ⋈ auth left joins
     // (both sides node-partitioned post-agg); the shuffle count is
     // print multiplicity of the cached node-set subtree
-    "graph_hits" -> PlanShape(2, 0, 0, 0, 28))
+    "graph_hits" -> PlanShape(2, 0, 0, 0, 28),
+    "wh_ivm_agg" -> PlanShape(0, 1, 0, 0, 2),
+    "pipe_dataset_card" -> PlanShape(0, 0, 0, 0, 2),
+    "pipe_bloom_decontam" -> PlanShape(1, 3, 0, 0, 16),
+    "graph_temporal_paths" -> PlanShape(0, 1, 0, 0, 4),
+    "pipe_drift_chi2" -> PlanShape(1, 0, 2, 0, 6),
+    "ann_ivfpq" -> PlanShape(1, 1, 3, 0, 6))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -119,7 +125,9 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "pipe_class_balance", "fmt_malformed_csv",
       "ml_pca_power", "graph_covisit", "dedup_canonical", "wh_forget",
       "pipe_k_anonymity", "text_normalize", "fmt_zstd_roundtrip",
-      "graph_hits")
+      "graph_hits",
+      "wh_ivm_agg", "pipe_dataset_card", "pipe_bloom_decontam",
+      "graph_temporal_paths", "pipe_drift_chi2", "ann_ivfpq")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached
