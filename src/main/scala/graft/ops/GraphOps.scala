@@ -515,10 +515,17 @@ object GraphOps {
     * All orderings carry deterministic (count desc, id) tiebreaks so the
     * result hash-checks cross-engine.
     */
-  def covisitation(events: DataFrame): DataFrame = {
-    val ui = itemEvents(events)
+  def covisitation(events: DataFrame): DataFrame =
+    covisitFromCounts(itemEvents(events)
       .groupBy(col("user_id"), col("item"))
-      .agg(count(lit(1)).as("n_visits"))
+      .agg(count(lit(1)).as("n_visits")))
+
+  /** The cap → pair → top-k tail of [[covisitation]], from per-(user,
+    * item) visit counts — shared verbatim by the batch query and the
+    * streaming twin's finalize (which is what lets both hash against
+    * ONE oracle).
+    */
+  private[graft] def covisitFromCounts(ui: DataFrame): DataFrame = {
     val wu = Window.partitionBy(col("user_id"))
       .orderBy(col("n_visits").desc, col("item"))
     val hist = ui.withColumn("rk", row_number().over(wu))

@@ -28,6 +28,7 @@ object StreamQueries {
     "stream_gopher_rules" -> (EventStreams.gopherRulesStream _),
     "stream_cdc_apply" -> (graft.streaming.ChangelogStream.cdcApplyStream _),
     "stream_forget" -> (graft.streaming.ForgetStream.forgetStream _),
+    "stream_covisit" -> (graft.streaming.CovisitStream.covisitStream _),
     "stream_topk" -> (EventStreams.topkStream _)
   )
 
@@ -111,6 +112,8 @@ object StreamQueries {
     "stream_cdc_apply" -> graft.ops.Warehouse.oracles("wh_cdc_apply"),
     // the streaming fold converges to the batch deletion audit verbatim
     "stream_forget" -> graft.ops.Warehouse.oracles("wh_forget"),
+    // converged counts run the batch cap→pair→top-k tail verbatim
+    "stream_covisit" -> graft.ops.GraphOps.oracles("graph_covisit"),
     // same oracle as batch dedup_minhash — the streamed signature store
     // feeds the identical LSH + exact-Jaccard finalization
     "stream_dedup_minhash" ->

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
@@ -41,6 +42,38 @@ class ForgetStreamSpec extends SparkSpec {
     assert(audit("click") == ((1L, 1L, 1L)))
     assert(audit("error") == ((1L, 1L, 1L)))
     assert(audit("purchase") == ((1L, 0L, 0L)))
+  }
+
+  test("covisit stream converges across batches to the batch index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Long, String)]
+    val in = mem.toDF().toDF("user_id", "item", "tag")
+      .select(col("user_id"),
+        concat(lit("""{"k": """), col("item"), lit("}")).as("props"))
+    val name = "covisit_sink"
+    val q = CovisitStream.counts(in).writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName(name).start()
+    try {
+      // batch 1: users 1 and 2 both see item 10 — no pairs possible yet
+      mem.addData((1L, 10L, "a"), (2L, 10L, "a"))
+      q.processAllAvailable()
+      // batch 2: both also see item 11 — pair (10, 11) now has 2 users
+      mem.addData((1L, 11L, "b"), (2L, 11L, "b"), (2L, 12L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // checkpoint like runToMemorySink does: finalize self-joins the
+    // counts, and a memory-sink lineage reused on both sides trips
+    // Catalyst's conflicting-reference resolution
+    val idx = CovisitStream.finalizeIndex(
+      spark.table(name).localCheckpoint(true))
+      .select("item_a", "item_b", "n_users", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(idx.contains((10L, 11L, 2L, 1)))
+    assert(idx.contains((10L, 12L, 1L, 2)))
+    assert(idx.contains((11L, 12L, 1L, 1)))
   }
 
   test("streaming audit equals the batch forget on the driver table") {
