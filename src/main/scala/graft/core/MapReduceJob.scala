@@ -73,15 +73,18 @@ final class MapReduceJob[I, K: ClassTag, V: ClassTag] private (
         mapped.reduceByKey(part, c)
           .flatMap { case (k, v) => reduceFn(k, Iterator.single(v)) }
       case (Some(c), Some(ord)) =>
-        // reduceByKey already partitioned by `part`; sort in place rather
-        // than paying a second full shuffle (post-combine data is one
-        // record per distinct key — the same fits-a-task contract as
-        // `runsOf`)
-        mapped.reduceByKey(part, c)
-          .mapPartitions(
-            it => it.toArray.sortBy(_._1)(ord).iterator,
-            preservesPartitioning = true)
-          .flatMap { case (k, v) => reduceFn(k, Iterator.single(v)) }
+        // Hadoop's combiner+sort contract in ONE shuffle: map-side
+        // combine, reduce-side combiner merge, then the shuffle reader's
+        // ExternalSorter orders the keys — spilling to disk past memory,
+        // so a partition never has to fit on the heap (the reference
+        // buffers whole partitions in `keyvals_t`; Spark's sort shuffle
+        // is the scale-safe version of the same plan).
+        val combined = new org.apache.spark.rdd.ShuffledRDD[K, V, V](mapped, part)
+          .setKeyOrdering(ord)
+          .setAggregator(new org.apache.spark.Aggregator[K, V, V](
+            (v: V) => v, c, c))
+          .setMapSideCombine(true)
+        combined.flatMap { case (k, v) => reduceFn(k, Iterator.single(v)) }
       case (None, Some(ord)) =>
         implicit val o: Ordering[K] = ord
         val sameRun = grouping.getOrElse(ord.equiv _)

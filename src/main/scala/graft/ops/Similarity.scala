@@ -751,7 +751,9 @@ object Similarity {
     * combinable aggregations over the (vec, dim, q) long form plus one
     * O(1) driver max — the textbook distributed power method.
     * Overflow: |z| ≤ n·64·1e9-ish per column — int64-safe to ~1e8
-    * rows; past that the z sums move to DECIMAL(38) like the linregs.
+    * rows. Past that the CALLER must cast the products to DECIMAL(38,0)
+    * before summing (as linregMulti does): sum() over LongType stays
+    * LongType and wraps silently in non-ANSI Spark — no auto promotion.
     */
   def pcaPower(corpus: DataFrame): DataFrame = {
     // Cache the long form ALREADY hash-partitioned on vec_id: every

@@ -497,10 +497,15 @@ object Sketches {
     bitmapUsersOf(ev, maxU + 1)
   }
 
-  private[graft] def bitmapUsersOf(ev: DataFrame, domain: Long): DataFrame =
+  private[graft] def bitmapUsersOf(ev: DataFrame, domain: Long): DataFrame = {
+    require(domain >= 1 && domain <= Int.MaxValue,
+      s"bitmap_distinct domain $domain exceeds Int.MaxValue — the dense " +
+        "bitset path only holds for id domains under 2^31; use sketch_hll " +
+        "(bounded-error) for wider id spaces")
     ev.groupBy("event_type").agg(
       graft.functions.BitmapDistinctAgg
         .bitmap_distinct(col("user_id"), domain.toInt).as("n_users"))
+  }
 
   /** The same bitmap aggregation run AS a stream (Complete mode): the
     * per-type bitset IS the streaming state, merged across micro-batches
@@ -510,6 +515,9 @@ object Sketches {
     */
   def bitmapDistinctUsersStream(s: SparkSession, dir: String): DataFrame = {
     val maxU = Tables.events(s, dir).agg(max(col("user_id"))).head().getLong(0)
+    require(maxU + 1 <= Int.MaxValue,
+      s"bitmap_distinct domain ${maxU + 1} exceeds Int.MaxValue — use the " +
+        "HLL path for id spaces wider than 2^31")
     val streamed = graft.streaming.EventStreams.eventStream(s, dir)
       .groupBy("event_type").agg(
         graft.functions.BitmapDistinctAgg

@@ -308,6 +308,9 @@ object Warehouse {
       .select(col("o_orderstatus"),
         (col("n0") + coalesce(col("dn"), lit(0L))).as("n_orders"),
         (col("c0") + coalesce(col("dc"), lit(0L))).as("total_cents"))
+      // standard IVM group-deletion: a group whose rows are all deleted
+      // leaves the view (the recompute oracle never sees it either)
+      .filter(col("n_orders") > 0)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

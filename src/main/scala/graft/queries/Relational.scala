@@ -606,7 +606,9 @@ object Relational {
         var n = 0L
         var j = first
         while (j >= 0) { n += 1; j = text.indexOf(pattern, j + pattern.length) }
-        Iterator.single((id, (n, first + 1L)))
+        // 1-based CHARACTER position (code points, not UTF-16 units) so
+        // the offset agrees with DuckDB's strpos on non-BMP text too
+        Iterator.single((id, (n, text.codePointCount(0, first) + 1L)))
       }
     }.reduce[(Long, Long, Long)] { (k, vs) =>
       val v = vs.next(); Iterator.single((k, v._1, v._2))

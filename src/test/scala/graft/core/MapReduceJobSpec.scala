@@ -50,6 +50,33 @@ class MapReduceJobSpec extends SparkSpec {
     assert(out == expect)
   }
 
+  test("combiner + ordering: partition-sized key set stays sorted and exact") {
+    // 200k distinct keys funneled into 2 partitions — the shape that used
+    // to materialize a whole partition on the heap via toArray.sortBy;
+    // the sort-shuffle path (ShuffledRDD + keyOrdering) spills instead.
+    val n = 200000
+    val input = spark.sparkContext.parallelize(1 to (2 * n), 16)
+    val shuffled = MapReduceJob(input)(i =>
+        Iterator.single(((i - 1) % n, i.toLong)))
+      .withCombiner(_ + _)
+      .withPartitioner(new org.apache.spark.HashPartitioner(2))
+      .withOrdering(Ordering[Int])
+    // per-partition key streams must be sorted and each key seen once
+    val perPart = shuffled
+      .reduce((k, vs) => Iterator.single((k, vs.sum)))
+      .mapPartitionsWithIndex { (p, it) =>
+        val keys = it.map(_._1).toArray
+        Iterator.single((p, keys.length, keys.sameElements(keys.sorted)))
+      }.collect()
+    assert(perPart.map(_._2).sum == n)
+    assert(perPart.forall(_._3), "keys not sorted within a partition")
+    // values: each key k (0-based) sums (k+1) + (k+1+n)
+    val out = shuffled.reduce((k, vs) => Iterator.single((k, vs.sum)))
+      .collect().toMap
+    assert(out.size == n)
+    assert(out(0) == 1L + (1L + n) && out(n - 1) == n.toLong + 2L * n)
+  }
+
   test("grouped returns all values per key") {
     val input = spark.sparkContext.parallelize(Seq(1, 2, 3, 4, 5, 6), 2)
     val groups = MapReduceJob(input)(i => Iterator.single((i % 2, i)))
