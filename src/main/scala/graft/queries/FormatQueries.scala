@@ -370,7 +370,48 @@ object FormatQueries {
         sum(col("l_orderkey")).as("sum_okey"))
   }
 
+  /** Snapshot ISOLATION through the manifest layer
+    * ([[graft.sources.SnapshotTable]]): commit orders as snapshot v1,
+    * capture a reader PINNED at v1, then commit an append batch (keys
+    * % 10 <= 2 re-inserted with price+100) as v2 — and only then
+    * evaluate everything. The result joins three scans per status:
+    * the pinned v1 reader (evaluated AFTER v2 committed — an unpinned
+    * directory scan would see v2's files here and fail the hash), the
+    * current v2 reader, and O(1) time travel back to v1 (`readAt(1)`,
+    * one manifest read, which must agree with the pinned reader
+    * column-for-column). The DuckDB oracle derives both versions
+    * straight from the orders table by the append rule.
+    *
+    * Scale note: the isolation/time-travel cost is ONE small-file read
+    * per version regardless of table size — the property that makes
+    * concurrent readers free at 100 TB; data files are immutable so no
+    * reader ever blocks a writer.
+    */
+  def snapshotIsolation(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_orders")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SnapshotTable.commit(o, root) // v1
+    val pinnedV1 = SnapshotTable.read(s, root) // pinned BEFORE v2 exists
+    SnapshotTable.commit( // v2: the append batch
+      o.filter(col("o_orderkey") % 10 <= 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0),
+      root)
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          money(sum(col("o_totalprice"))).as(s"total_$tag"),
+          sum(col("o_orderkey")).as(s"okey_$tag"))
+    agg(pinnedV1, "v1")
+      .join(agg(SnapshotTable.read(s, root), "v2"), "o_orderstatus")
+      .join(agg(SnapshotTable.readAt(s, root, 1L), "travel")
+        .select(col("o_orderstatus"), col("n_travel")), "o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_snapshot_isolation" -> (snapshotIsolation _),
     "fmt_zstd_roundtrip" -> (zstdRoundTrip _),
     "fmt_malformed_csv" -> (malformedCsv _),
     "fmt_schema_evolution" -> (schemaEvolution _),
@@ -404,6 +445,27 @@ object FormatQueries {
     * is correct iff it is invisible to the aggregate.
     */
   val oracles: Map[String, String] = Map(
+    // v1 = the table; v2 = the table plus the derived append batch; the
+    // pinned reader and O(1) time travel must both still see exactly v1
+    "fmt_snapshot_isolation" ->
+      """WITH v1 AS (
+        |  SELECT o_orderstatus, count(*)::BIGINT AS n_v1,
+        |    round(sum(o_totalprice), 2) AS total_v1,
+        |    sum(o_orderkey)::BIGINT AS okey_v1
+        |  FROM orders GROUP BY 1),
+        |v2rows AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice + 100.0
+        |  FROM orders WHERE o_orderkey % 10 <= 2),
+        |v2 AS (
+        |  SELECT o_orderstatus, count(*)::BIGINT AS n_v2,
+        |    round(sum(o_totalprice), 2) AS total_v2,
+        |    sum(o_orderkey)::BIGINT AS okey_v2
+        |  FROM v2rows GROUP BY 1)
+        |SELECT o_orderstatus, n_v1, total_v1, okey_v1,
+        |  n_v2, total_v2, okey_v2, n_v1 AS n_travel
+        |FROM v1 JOIN v2 USING (o_orderstatus)""".stripMargin,
     "fmt_zstd_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -1,0 +1,117 @@
+package graft.sources
+
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The manifest layer's contracts: atomic snapshot visibility under a
+  * concurrent writer, O(1) time travel, overwrite semantics that keep
+  * pinned readers alive, and loud conflict detection.
+  */
+class SnapshotTableSpec extends SparkSpec {
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+
+  test("reader sees only complete snapshots while a writer commits") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val batchRows = 500
+    val nCommits = 5
+    val failure = new AtomicReference[String](null)
+    @volatile var writerDone = false
+    val seen = scala.collection.mutable.Set.empty[Long]
+
+    val reader = new Thread(() => {
+      try {
+        while (!writerDone && failure.get == null) {
+          val id = SnapshotTable.currentSnapshot(spark, root)
+          if (id > 0) {
+            // a torn commit would surface as a count that is not an
+            // exact multiple of the batch — or a missing-file crash
+            val n = SnapshotTable.readAt(spark, root, id).count()
+            if (n != id * batchRows)
+              failure.set(s"snapshot v$id read ${n} rows, " +
+                s"expected ${id * batchRows}")
+            seen.synchronized { seen += id }
+          }
+        }
+      } catch {
+        case e: Throwable => failure.set(s"reader crashed: ${e.getMessage}")
+      }
+    })
+    reader.start()
+    (1 to nCommits).foreach { i =>
+      val df = (1 to batchRows).map(r => (i.toLong, r.toLong))
+        .toDF("commit_id", "row_id")
+      SnapshotTable.commit(df, root)
+    }
+    writerDone = true
+    reader.join(30000)
+    assert(failure.get == null, s"${failure.get}")
+    assert(seen.synchronized(seen.nonEmpty),
+      "reader never observed a snapshot — not a concurrency test")
+    // final state: every snapshot is an exact prefix of the commits
+    (1 to nCommits).foreach { i =>
+      val snap = SnapshotTable.readAt(spark, root, i.toLong)
+      assert(snap.count() == i * batchRows)
+      assert(snap.agg(max(col("commit_id"))).head().getLong(0) == i.toLong)
+    }
+  }
+
+  test("time travel is one manifest read; overwrite keeps old snapshots alive") {
+    import spark.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root)
+    SnapshotTable.commit(Seq((3L, "c")).toDF("k", "v"), root)
+    assert(SnapshotTable.currentSnapshot(spark, root) == 2L)
+    assert(SnapshotTable.readAt(spark, root, 1L).count() == 2)
+    assert(SnapshotTable.readAt(spark, root, 2L).count() == 3)
+    // compaction-style overwrite: v3 replaces the file list...
+    SnapshotTable.commit(Seq((9L, "z")).toDF("k", "v"), root, overwrite = true)
+    assert(SnapshotTable.read(spark, root).collect().map(_.getLong(0)).toSeq
+      == Seq(9L))
+    // ...but earlier snapshots (and any reader pinned on them) still read
+    assert(SnapshotTable.readAt(spark, root, 2L)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    // the overwrite manifest lists ONLY its own files (strictly fewer
+    // than the appended v2 list) — time travel cost is manifest-sized
+    assert(SnapshotTable.fileList(spark, root, 3L).size
+      < SnapshotTable.fileList(spark, root, 2L).size)
+  }
+
+  test("a pinned reader is immune to commits that happen before evaluation") {
+    import spark.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit((1 to 10).map(i => (i.toLong, "x")).toDF("k", "v"), root)
+    val pinned = SnapshotTable.read(spark, root) // captured at v1
+    SnapshotTable.commit((11 to 30).map(i => (i.toLong, "y")).toDF("k", "v"), root)
+    // evaluated AFTER v2: still exactly v1's rows
+    assert(pinned.count() == 10)
+    assert(SnapshotTable.read(spark, root).count() == 30)
+  }
+
+  test("conflicting commit fails loudly instead of dropping the winner") {
+    import spark.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    // simulate a racing writer that already renamed v2 into place
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val winner = new org.apache.hadoop.fs.Path(root, "_manifests/v2.manifest")
+    val out = fs.create(winner, false)
+    out.write("data/winner.parquet".getBytes("UTF-8")); out.close()
+    // this writer prepared its commit against base v1 — exactly the
+    // state a real race produces (both writers read current=1)
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.commit(Seq((2L, "b")).toDF("k", "v"), root,
+        expectedBase = Some(1L))
+    }
+    assert(e.getMessage.contains("conflict"))
+    // the winner's manifest survives untouched
+    assert(SnapshotTable.fileList(spark, root, 2L)
+      == Seq("data/winner.parquet"))
+  }
+}
