@@ -733,6 +733,59 @@ object TextAnalysis {
   def bpeMergesQuery(s: SparkSession, dir: String): DataFrame =
     bpeMerges(Tables.documents(s, dir))
 
+  /** BPE APPLY — the pass a training-data pipeline runs LAST: encode the
+    * corpus with the merge table [[bpeMerges]] trained (tokenizer-apply,
+    * corpus → token ids under the learned BPE). The merge table is ≤
+    * [[BpeMergeRounds]] driver literals; applying it is the same
+    * two-space-separator replace as training, run in merge-priority
+    * order over the DISTINCT-word vocabulary (so the per-word encode
+    * cost is vocabulary-bounded — a word seen a billion times encodes
+    * once), then joined back onto the corpus. Token ids are assigned
+    * deterministically (dense rank over the final symbol set), and each
+    * doc reports its whitespace token count, BPE token count (the
+    * compression the tokenizer buys), and the sum of its token ids — an
+    * order-insensitive checksum of the full encoded stream, so any
+    * mis-applied merge in any word of any doc fails the hash.
+    *
+    * Scale shape: one word-count shuffle + k vocabulary-local replaces +
+    * one broadcast-sized join (the per-word stats are |vocab| rows) +
+    * one per-doc aggregation. Nothing iterates over the corpus; the
+    * merge loop touches only the vocabulary.
+    */
+  def bpeEncode(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val merges = bpeMerges(docs).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = OpUtil.spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
+      .filter(length(col("w")) > 0)
+    val vocab0 = words.select("w").distinct()
+      .select(col("w"), concat(rtrim(concat(lit(" "),
+        regexp_replace(col("w"), "(.)", "$1  "))), lit(" ")).as("seq"))
+    val encoded = merges.foldLeft(vocab0) { case (df, (l, r)) =>
+      df.withColumn("seq",
+        replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
+    }
+    val wordSyms = encoded.select(col("w"),
+      explode(split(trim(col("seq")), "  ")).as("sym"))
+    // symbol-set-sized window: the id table is the tokenizer's vocab
+    val vocabIds = wordSyms.select("sym").distinct()
+      .withColumn("token_id", dense_rank().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("sym")))
+        .cast("long"))
+    val wordStats = wordSyms.join(vocabIds, "sym")
+      .groupBy("w")
+      .agg(count(lit(1)).as("n_sym"), sum(col("token_id")).as("sum_id"))
+    words.join(broadcast(wordStats), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ws_tokens"),
+        sum(col("n_sym")).as("n_tokens"),
+        sum(col("sum_id")).as("sum_token_id"))
+  }
+
+  def bpeEncodeQuery(s: SparkSession, dir: String): DataFrame =
+    bpeEncode(Tables.documents(s, dir))
+
   /** Corpus rollup by language/source metadata: the report a pipeline
     * operator would feed a curation dashboard.
     */

@@ -45,6 +45,7 @@ object TextQueries {
     "text_normalize" -> (TextAnalysis.unicodeNormalizeQuery _),
     "text_bpe_pairs" -> (TextAnalysis.bpePairsQuery _),
     "text_bpe_merges" -> (TextAnalysis.bpeMergesQuery _),
+    "text_bpe_encode" -> (TextAnalysis.bpeEncodeQuery _),
     "text_vocab_encode" -> ((s: SparkSession, d: String) =>
       TextAnalysis.vocabEncode(graft.Tables.documents(s, d))),
     // the reference's default partitioner (ELF hash of key bytes mod
@@ -174,6 +175,68 @@ object TextQueries {
           s"""SELECT ${i + 1} AS merge_rank, l AS "left", r AS "right",
              |  pair_count
              |FROM b$i""".stripMargin).mkString("\nUNION ALL\n")
+    },
+    // the merge training chain verbatim (same b0..b3 winners), then the
+    // APPLY chain v0..v4 re-running the replaces with the word kept, a
+    // dense-rank token-id vocabulary over the final symbols, and the
+    // per-doc rollup — identical arithmetic to the Spark encode
+    "text_bpe_encode" -> {
+      def round(i: Int): String =
+        s"""p$i AS (
+           |  SELECT sym[j] AS l, sym[j + 1] AS r, sum(c)::BIGINT AS pair_count
+           |  FROM (
+           |    SELECT sym, c, unnest(range(1, len(sym))) AS j
+           |    FROM (SELECT string_split(trim(seq), '  ') AS sym, c FROM s$i))
+           |  GROUP BY 1, 2),
+           |b$i AS (
+           |  SELECT l, r FROM p$i
+           |  ORDER BY pair_count DESC, l, r LIMIT 1),
+           |s${i + 1} AS (
+           |  SELECT replace(seq, ' ' || b.l || '  ' || b.r || ' ',
+           |    ' ' || b.l || b.r || ' ') AS seq, c
+           |  FROM s$i CROSS JOIN b$i b)""".stripMargin
+      def applyRound(i: Int): String =
+        s"""v${i + 1} AS (
+           |  SELECT w, replace(seq, ' ' || b.l || '  ' || b.r || ' ',
+           |    ' ' || b.l || b.r || ' ') AS seq
+           |  FROM v$i CROSS JOIN b$i b)""".stripMargin
+      val k = TextAnalysis.BpeMergeRounds
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |wc AS (
+         |  SELECT w, count(*)::BIGINT AS c FROM toks
+         |  WHERE length(w) > 0 GROUP BY w),
+         |s0 AS (
+         |  SELECT rtrim(' ' || regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+         |    AS seq, c
+         |  FROM wc),
+         |""".stripMargin +
+        (0 until k).map(round).mkString(",\n") + ",\n" +
+        // s-interpolated so \\1 collapses to the \1 DuckDB expects (the
+        // plain-""" form would ship a double backslash)
+        s"""v0 AS (
+           |  SELECT w, rtrim(' ' || regexp_replace(w, '(.)', '\\1  ', 'g'))
+           |    || ' ' AS seq
+           |  FROM wc),
+           |""".stripMargin +
+        (0 until k).map(applyRound).mkString(",\n") + ",\n" +
+        s"""wsym AS (
+           |  SELECT w, unnest(string_split(trim(seq), '  ')) AS sym FROM v$k),
+           |vocab AS (
+           |  SELECT sym, dense_rank() OVER (ORDER BY sym)::BIGINT AS token_id
+           |  FROM (SELECT DISTINCT sym FROM wsym)),
+           |wstat AS (
+           |  SELECT w, count(*)::BIGINT AS n_sym,
+           |    sum(token_id)::BIGINT AS sum_id
+           |  FROM wsym JOIN vocab USING (sym) GROUP BY w),
+           |dw AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |  FROM documents)
+           |SELECT doc_id, count(*)::BIGINT AS n_ws_tokens,
+           |  sum(n_sym)::BIGINT AS n_tokens,
+           |  sum(sum_id)::BIGINT AS sum_token_id
+           |FROM dw JOIN wstat USING (w)
+           |GROUP BY doc_id""".stripMargin
     },
     "text_bpe_pairs" ->
       """WITH w AS (
