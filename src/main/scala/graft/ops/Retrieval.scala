@@ -110,12 +110,33 @@ object Retrieval {
     * Absent-arm ranks surface as 0 (a doc found by only one arm simply
     * contributes one term).
     */
-  def hybridRrf(s: SparkSession, dir: String): DataFrame = {
+  def hybridRrf(s: SparkSession, dir: String): DataFrame =
+    hybridFusion(s, dir,
+      Similarity.bruteForceTopK(
+        Tables.embeddings(s, dir), Similarity.queryVectors(s, dir),
+        Similarity.DefaultK))
+
+  /** The PRODUCTION fusion: same RRF arithmetic, but the vector arm is
+    * the composed IVF+PQ index ([[Similarity.ivfPqTopK]] — coarse cells
+    * + ADC codes) instead of the exact linear scan. At 100 TB the exact
+    * arm reads every embedding per query; this arm reads 4-bit codes
+    * for the probed fraction of the corpus only. Rank fusion is
+    * index-agnostic (integer arithmetic on ranks), so swapping arms
+    * changes NO fusion code — and because the IVFPQ arm is itself
+    * hash-checked (`ann_ivfpq`), the fused ranking hash-checks
+    * end-to-end too.
+    */
+  def hybridIvfPq(s: SparkSession, dir: String): DataFrame =
+    hybridFusion(s, dir, Similarity.annIvfPq(s, dir))
+
+  /** Shared fusion body: any vector arm with (query_id, neighbor_id,
+    * rank) fuses with the BM25 arm by reciprocal-rank arithmetic.
+    */
+  private def hybridFusion(s: SparkSession, dir: String,
+      vecArm: => DataFrame): DataFrame = {
     val lex = bm25TopK(Tables.documents(s, dir))
       .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
-    val vec = Similarity.bruteForceTopK(
-        Tables.embeddings(s, dir), Similarity.queryVectors(s, dir),
-        Similarity.DefaultK)
+    val vec = vecArm
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("vec_rank"))
     val armFp = (rank: Column) =>
@@ -134,9 +155,29 @@ object Retrieval {
       .filter(col("rank") <= FuseK)
   }
 
+  /** Recall of the production fusion against the exact-exact fusion —
+    * the hybrid twin of the ann_recall_* family: how much of the
+    * (BM25 + exact cosine) fused top-[[FuseK]] does the
+    * (BM25 + IVFPQ) fusion retain, per query. Same LEFT JOIN counting
+    * shape as every other recall report.
+    */
+  def recallHybrid(s: SparkSession, dir: String): DataFrame = {
+    val exact = hybridRrf(s, dir).select("query_id", "doc_id")
+    val approx = hybridIvfPq(s, dir)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("query_id", "doc_id"), "left_outer")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("k"))
+      .select(col("query_id"), col("n_hits"),
+        expr("n_hits * 100 div k").as("recall_x100"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> (bm25Query _),
-    "ann_hybrid_rrf" -> (hybridRrf _))
+    "ann_hybrid_rrf" -> (hybridRrf _),
+    "ann_hybrid_ivfpq" -> (hybridIvfPq _),
+    "ann_recall_hybrid" -> (recallHybrid _))
 
   /** The BM25 replay: same tokenization, same fixed-point contribution
     * rounding, same (score_fp DESC, doc_id) rank — as a reusable CTE

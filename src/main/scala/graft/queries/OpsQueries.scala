@@ -969,5 +969,23 @@ object OpsQueries {
     */
   val retrievalOracles: Map[String, String] = Map(
     "text_bm25" -> graft.ops.Retrieval.bm25Oracle,
-    "ann_hybrid_rrf" -> graft.ops.Retrieval.rrfOracle(bruteforceOracle))
+    "ann_hybrid_rrf" -> graft.ops.Retrieval.rrfOracle(bruteforceOracle),
+    // the production fusion: identical RRF arithmetic, the IVFPQ arm's
+    // already-verified replay swapped in for the exact scan
+    "ann_hybrid_ivfpq" -> graft.ops.Retrieval.rrfOracle(ivfPqOracle),
+    // exact-exact fusion LEFT JOIN production fusion, hit-counted per
+    // query — the hybrid member of the recall-report family
+    "ann_recall_hybrid" -> (
+      "WITH exf AS (SELECT query_id, doc_id FROM (" +
+        graft.ops.Retrieval.rrfOracle(bruteforceOracle) + ")),\n" +
+        "apf AS (SELECT query_id, doc_id FROM (" +
+        graft.ops.Retrieval.rrfOracle(ivfPqOracle) + "))\n" +
+        """SELECT exf.query_id,
+          |  sum(CASE WHEN apf.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    ::BIGINT AS n_hits,
+          |  ((sum(CASE WHEN apf.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    ::BIGINT * 100) // count(*))::BIGINT AS recall_x100
+          |FROM exf LEFT JOIN apf
+          |  ON apf.query_id = exf.query_id AND apf.doc_id = exf.doc_id
+          |GROUP BY exf.query_id""".stripMargin))
 }
