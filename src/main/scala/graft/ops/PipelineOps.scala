@@ -622,6 +622,69 @@ object PipelineOps {
     shuffleShard(kept)
   }
 
+  /** The FULL governance curation pipeline composed end-to-end — the
+    * round-8 additions chained the way a corpus release actually runs,
+    * with NO re-materialization between stages (each stage is a lazy
+    * frame over the previous one; one job computes the lot):
+    *
+    *   1. QUALITY gate: Gopher structural rules drop junk docs;
+    *   2. DEDUP canonicalization over the gated corpus: near-dup
+    *      clusters (prefix-filtered Jaccard + connected components)
+    *      collapse to their keep-longest winner, losers drop;
+    *   3. DECONTAMINATION: docs sharing any shingle with the benchmark
+    *      split (the src0 slice) drop — the exact-verification arm of
+    *      `pipe_bloom_decontam`;
+    *   4. the survivors get a DP-RELEASED DATASET CARD (per-source doc/
+    *      char/unique counts with the geometric-noise released count) and
+    *   5. an EPOCH-ORDER training schedule, summarized per source
+    *      (scheduled rows, epochs, position checksum).
+    *
+    * Every stage is an already-oracle-checked operator; this query
+    * hash-checks the COMPOSITION — the property a pipeline user needs:
+    * operators that verify alone must verify chained, including the
+    * places where one stage's survivor set changes the next stage's
+    * statistics (the schedule's apportionment shifts when dedup drops a
+    * source's tokens, the card's unique counts see post-dedup text).
+    */
+  def curateV3(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{Dedup, TextAnalysis}
+    val docs = Tables.documents(s, dir)
+    // 1. quality gate — cached: feeds the pair chain, the election, the
+    // decontam shingles and the survivor joins
+    val gated = docs.join(
+      TextAnalysis.gopherRules(docs).filter(col("pass") === 1)
+        .select("doc_id"), "doc_id").cache()
+    // 2. near-dup canonicalization over the GATED corpus
+    val clusters = Dedup.clustersFromPairs(s, Dedup.prefixJaccardDocs(gated))
+    val losers = clusters.join(
+        Dedup.canonicalFromLabels(gated, clusters)
+          .select(col("cluster").as("canonical"), col("kept_doc")),
+        "canonical")
+      .filter(col("doc_id") =!= col("kept_doc"))
+      .select("doc_id")
+    val deduped = gated.join(losers, Seq("doc_id"), "left_anti")
+    // 3. exact decontamination against the benchmark slice
+    val bench = deduped.filter(col("source") === "src0" &&
+      col("doc_id") % 20 === 0)
+    val benchSh = Dedup.shingles(bench).select("shingle").distinct()
+    val contaminated = Dedup.shingles(deduped.filter(col("source") =!= "src0"))
+      .join(broadcast(benchSh), "shingle")
+      .select("doc_id").distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti").cache()
+    // 4 + 5. card, DP release, schedule summary over the survivors
+    val card = clean.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("total_chars"),
+      countDistinct(md5(col("text"))).as("n_unique_texts"))
+    val dp = dpRelease(clean)
+      .select(col("source"), col("noise"), col("released"))
+    val sched = epochOrder(clean).groupBy("source").agg(
+      count(lit(1)).as("n_sched"),
+      countDistinct(col("epoch")).as("n_epochs"),
+      sum(col("pos")).as("sched_checksum"))
+    card.join(dp, "source").join(sched, "source")
+  }
+
   /** Length-bucketed batching report: docs pad to the next power-of-two
     * token length (the bucketed-batching scheme that bounds padding at
     * <= 2x), and the report shows per-bucket volume and the padding
@@ -645,10 +708,12 @@ object PipelineOps {
 
   // the Hamilton-apportionment CTE chain ending at
   // allocs(source, w, n_tokens, alloc) — shared by the token-budget
-  // report and the epoch-order schedule oracle. tt carries per-doc
-  // tokens + the shuffle hash so the schedule CTEs can continue from it
-  private lazy val tokenBudgetCtes: String =
-    s"""WITH tt AS (
+  // report, the epoch-order schedule oracle, and the composed curation
+  // oracle (which runs it over a staged corpus CTE instead of the raw
+  // table). tt carries per-doc tokens + the shuffle hash so the
+  // schedule CTEs can continue from it
+  private[graft] def tokenBudgetCtesOver(table: String): String =
+    s"""tt AS (
        |  SELECT doc_id, source,
        |    (coalesce(try_cast(regexp_extract(source, '(\\d+)', 1) AS INT),
        |      0) % 4 + 1)::BIGINT AS w,
@@ -656,7 +721,7 @@ object PipelineOps {
        |      ELSE len(regexp_split_to_array(trim(text), '\\s+'))
        |      END)::BIGINT AS tk,
        |    ${graft.ops.Sketches.sqlH48("'shuf|' || doc_id::VARCHAR")} AS h
-       |  FROM documents),
+       |  FROM $table),
        |src AS (
        |  SELECT source, w, sum(tk)::BIGINT AS n_tokens FROM tt
        |  GROUP BY 1, 2 HAVING sum(tk) > 0),
@@ -674,6 +739,33 @@ object PipelineOps {
        |  SELECT source, w, n_tokens,
        |    base + (CASE WHEN rk <= k THEN 1 ELSE 0 END) AS alloc
        |  FROM ranked CROSS JOIN lo)""".stripMargin
+
+  // the epoch-schedule CTE chain continuing from tt + allocs, ending at
+  // sched(doc_id, source, epoch, pos) — shared the same way
+  private[graft] val scheduleCtes: String =
+    """cum AS (
+      |  SELECT doc_id, source, h,
+      |    sum(tk) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+      |      AS cum
+      |  FROM tt),
+      |j AS (
+      |  SELECT c.doc_id, c.source, c.h, c.cum,
+      |    a.alloc // a.n_tokens AS passes, a.alloc % a.n_tokens AS rem
+      |  FROM cum c JOIN allocs a USING (source)
+      |  WHERE a.n_tokens > 0),
+      |e AS (
+      |  SELECT doc_id, source, h, cum, passes, rem,
+      |    unnest(generate_series(0, passes)) AS epoch
+      |  FROM j),
+      |sched AS (
+      |  SELECT doc_id, source, epoch,
+      |    row_number() OVER (PARTITION BY source, epoch
+      |      ORDER BY h, doc_id) AS pos
+      |  FROM e WHERE epoch < passes OR cum <= rem)""".stripMargin
+
+  private lazy val tokenBudgetCtes: String =
+    "WITH " + tokenBudgetCtesOver("documents")
 
   /** Privacy budget for [[dpRelease]] (per-record epsilon of the
     * geometric mechanism).
@@ -1214,26 +1306,8 @@ object PipelineOps {
     // totals in shuffle-hash order, inclusive generate_series epochs,
     // the same (e < passes OR cum <= rem) keep rule
     "pipe_epoch_order" ->
-      (tokenBudgetCtes + """,
-        |cum AS (
-        |  SELECT doc_id, source, h,
-        |    sum(tk) OVER (PARTITION BY source ORDER BY h, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
-        |      AS cum
-        |  FROM tt),
-        |j AS (
-        |  SELECT c.doc_id, c.source, c.h, c.cum,
-        |    a.alloc // a.n_tokens AS passes, a.alloc % a.n_tokens AS rem
-        |  FROM cum c JOIN allocs a USING (source)
-        |  WHERE a.n_tokens > 0),
-        |e AS (
-        |  SELECT doc_id, source, h, cum, passes, rem,
-        |    unnest(generate_series(0, passes)) AS epoch
-        |  FROM j)
-        |SELECT doc_id, source, epoch,
-        |  row_number() OVER (PARTITION BY source, epoch
-        |    ORDER BY h, doc_id) AS pos
-        |FROM e WHERE epoch < passes OR cum <= rem""".stripMargin),
+      (tokenBudgetCtes + ",\n" + scheduleCtes +
+        "\nSELECT doc_id, source, epoch, pos FROM sched"),
     // same integer priority w*2^48/(h+1), same clamp, same tiebreak
     "pipe_weighted_sample" ->
       s"""WITH t AS (
