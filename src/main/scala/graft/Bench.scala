@@ -46,6 +46,10 @@ object Bench {
     // of retained blocks turned the tail of the run into a GC/eviction
     // fight — later queries measured 5x slower than standalone
     def clearCaches(): Unit = {
+      // shared-label memo first: without this, GraphX CC runs once at
+      // frame construction and every later timed run of the dedup
+      // cluster pair measures a warm memo instead of the pipeline
+      graft.ops.Dedup.clearShared()
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -459,24 +459,73 @@ object Dedup {
   def dedupClusters(s: SparkSession, dir: String): DataFrame =
     sharedClusters(s, dir)
 
-  /** Cluster labels computed ONCE per (session, dir) and shared by
-    * `dedup_clusters` and `dedup_canonical` — a production pipeline runs
-    * the prefix-join + CC chain once and feeds both the cluster report
-    * and the keep/drop election from the same labels, instead of paying
-    * the candidate generation twice. The label table is O(clustered
-    * docs) rows, so caching it is metadata-sized at any corpus scale.
+  /** Cluster labels computed ONCE per (session, dir, file-set) and
+    * shared by `dedup_clusters` and `dedup_canonical` — a production
+    * pipeline runs the prefix-join + CC chain once and feeds both the
+    * cluster report and the keep/drop election from the same labels,
+    * instead of paying the candidate generation twice. The label table
+    * is O(clustered docs) rows, so caching it is metadata-sized at any
+    * corpus scale.
+    *
+    * STALENESS CONTRACT: the memo key includes a signature of the
+    * documents file set (names, lengths, mtimes — one driver-side
+    * listing per access), so regenerating the data under `dir`
+    * invalidates the entry instead of silently serving stale labels.
+    * Entries for stopped sessions are dropped on the next access, and
+    * [[clearShared]] (called by the bench harness between timed runs)
+    * drops everything so a timed run always measures recomputation.
     */
-  private val clusterCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val clusterCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, String), DataFrame]
+
+  /** Drop every memoized label frame (unpersisting its plan). The bench
+    * harness calls this from its inter-run cache hygiene; pipeline
+    * callers may call it after a corpus rewrite instead of relying on
+    * the file-set signature alone.
+    */
+  def clearShared(): Unit =
+    clusterCache.keys.toSeq.foreach { k =>
+      clusterCache.remove(k).foreach(_.unpersist(blocking = false))
+    }
+
+  /** One driver-side listing of `dir/documents.parquet`: a regenerated
+    * corpus changes some (name, length, mtime) triple and thereby the
+    * memo key.
+    */
+  private def docsSignature(s: SparkSession, dir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else {
+      val st = fs.getFileStatus(p)
+      val parts =
+        if (st.isDirectory) fs.listStatus(p).sortBy(_.getPath.getName)
+        else Array(st)
+      parts.iterator
+        .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+        .mkString(",")
+    }
+  }
 
   def sharedClusters(s: SparkSession, dir: String): DataFrame = {
-    val df = clusterCache.getOrElseUpdate((s, dir),
-      clustersFromPairs(s, prefixJaccard(s, dir)))
-    // the suite's cache hygiene may have evicted the labels between
-    // queries — re-pin rather than silently recomputing per consumer
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.cache()
-    df
+    // drop entries pinned to stopped sessions so the map never keeps a
+    // dead SparkSession (and its plans) reachable for the JVM lifetime
+    clusterCache.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+    val key = (s, dir, docsSignature(s, dir))
+    clusterCache.get(key) match {
+      case Some(df)
+          if df.storageLevel != org.apache.spark.storage.StorageLevel.NONE =>
+        df
+      case _ =>
+        // REBUILD (not just re-pin) when absent or evicted: the pair
+        // chain registers inner caches (shingle sets, prefix buckets)
+        // at construction; re-executing an evicted old frame would pay
+        // the doubled self-join its own scaladoc warns about
+        val df = clustersFromPairs(s, prefixJaccard(s, dir)).cache()
+        clusterCache.update(key, df)
+        df
+    }
   }
 
   /** The curation ACTION a dedup pass ends with: per near-dup cluster,

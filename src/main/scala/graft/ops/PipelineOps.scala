@@ -446,24 +446,72 @@ object PipelineOps {
     * position (rank in md5-hash order) and a shard (hash mod
     * [[ShuffleShards]]) with its position inside that shard, so any
     * data-loader worker can reconstruct its exact read order from the
-    * doc ids alone. The global rank is a window over the hash order —
-    * at cluster scale the same op is `repartitionByRange(hash)` +
-    * per-partition zipWithIndex with partition-offset reconstruction;
-    * the semantics pinned here are what that implementation must match.
+    * doc ids alone.
+    *
+    * The global rank is the [[packSequences]] sharded-prefix-sum shape,
+    * NOT a global window: the 48-bit hash space splits into
+    * [[RankShards]] equal-width monotone ranges (every h in range i
+    * sorts before every h in range i+1, and equal hashes share a
+    * range), each range ranks independently under `partitionBy(range)`,
+    * and one O(ranges × shards) count aggregate comes to the driver for
+    * the exclusive scans that broadcast back as offsets — global rank =
+    * range offset + local rank, shard position = per-shard range offset
+    * + local per-shard rank. No corpus row passes through a
+    * single-partition sort; the serial piece is O(ranges × shards), so
+    * the identical plan holds on 100 TB with ranges sized to the
+    * cluster.
     */
   val ShuffleShards = 8
+  val RankShards = 32
 
   def shuffleShard(docs: DataFrame): DataFrame = {
     import graft.ops.Sketches.h48
-    val h = h48(concat(lit("shuf|"), col("doc_id")))
-    val global = Window.orderBy(col("h"), col("doc_id"))
-    val perShard = Window.partitionBy(col("shard"))
-      .orderBy(col("h"), col("doc_id"))
-    docs.select(col("doc_id"), h.as("h"))
+    val rangeWidth = (1L << 48) / RankShards
+    // 3-col projection cached once: the count pass and the rank pass
+    // both reuse it instead of re-running the upstream pipeline (the
+    // curate compositions feed multi-stage inputs through here)
+    val base = docs
+      .select(col("doc_id"), h48(concat(lit("shuf|"), col("doc_id"))).as("h"))
       .withColumn("shard", pmod(col("h"), lit(ShuffleShards)))
+      .withColumn("rg", expr(s"h div $rangeWidth"))
+      .persist()
+    // pass 1 drives pass 2: (range, shard) counts → driver exclusive
+    // scans (bounded: RankShards × ShuffleShards rows) → broadcast
+    val counts = base.groupBy("rg", "shard").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getAs[Number]("rg").longValue,
+        r.getAs[Number]("shard").longValue), r.getAs[Long]("n")))
+      .toMap
+    val ranges = counts.keys.map(_._1).toSeq.distinct.sorted
+    val shards = counts.keys.map(_._2).toSeq.distinct.sorted
+    var g = 0L
+    val perShardRun = scala.collection.mutable.Map
+      .empty[Long, Long].withDefaultValue(0L)
+    val offsetRows = ranges.flatMap { rg =>
+      val goff = g
+      g += shards.iterator.map(sh => counts.getOrElse((rg, sh), 0L)).sum
+      shards.flatMap { sh =>
+        counts.get((rg, sh)).map { n =>
+          val soff = perShardRun(sh)
+          perShardRun(sh) = soff + n
+          (rg, sh, goff, soff)
+        }
+      }
+    }
+    val s = docs.sparkSession
+    import s.implicits._
+    val offsets = broadcast(offsetRows.toDF("rg", "shard", "goff", "soff"))
+    val wRange = Window.partitionBy(col("rg"))
+      .orderBy(col("h"), col("doc_id"))
+    val wRangeShard = Window.partitionBy(col("rg"), col("shard"))
+      .orderBy(col("h"), col("doc_id"))
+    base
+      .withColumn("lr", row_number().over(wRange).cast("long"))
+      .withColumn("ls", row_number().over(wRangeShard).cast("long"))
+      .join(offsets, Seq("rg", "shard"))
       .select(col("doc_id"), col("shard"),
-        row_number().over(global).as("shuffle_rank"),
-        row_number().over(perShard).as("pos_in_shard"))
+        (col("goff") + col("lr")).as("shuffle_rank"),
+        (col("soff") + col("ls")).as("pos_in_shard"))
   }
 
   /** Quality-WEIGHTED sampling: each doc's keep probability scales with

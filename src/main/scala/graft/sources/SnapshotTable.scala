@@ -65,9 +65,17 @@ object SnapshotTable {
       .foldLeft(0L)(math.max)
   }
 
-  /** Snapshot N's file list (root-relative), one manifest read. */
+  /** Snapshot N's file list (root-relative), one manifest read. Fails
+    * loudly (not with a bare FileNotFound) when the id was expired by
+    * [[expireSnapshots]] or never committed.
+    */
   def fileList(s: SparkSession, root: String, id: Long): Seq[String] = {
     val fs = fsOf(s, new Path(root))
+    if (!fs.exists(manifestPath(root, id)))
+      throw new IllegalArgumentException(
+        s"snapshot v$id of $root does not exist: it was expired by " +
+          s"expireSnapshots or was never committed " +
+          s"(current = ${currentSnapshot(s, root)})")
     val in = fs.open(manifestPath(root, id))
     try new String(org.apache.commons.io.IOUtils.toByteArray(in),
       StandardCharsets.UTF_8).split("\n").iterator
@@ -116,19 +124,78 @@ object SnapshotTable {
     val out = fs.create(tmp, false)
     try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // explicit existence check first: HDFS rename refuses an existing
-    // destination, but the local FS clobbers it — the check makes the
-    // conflict deterministic on both (the residual check-to-rename window
-    // is closed by HDFS semantics; a local-FS deployment is single-node
-    // single-writer by construction)
+    // claim the id ATOMICALLY before the rename: HDFS rename refuses an
+    // existing destination, but the local FS clobbers it, so exists+
+    // rename alone leaves a check-to-rename window where two same-base
+    // writers both succeed and one manifest is silently overwritten. On
+    // the local FS, File.createNewFile is O_CREAT|O_EXCL — exactly one
+    // claimer wins; on other filesystems FileSystem.createNewFile plus
+    // the no-clobber rename below serve the same role. Claim files are
+    // dot-prefixed so snapshot listings never see them; expireSnapshots
+    // sweeps completed ones.
     val target = manifestPath(root, id)
-    if (fs.exists(target) || !fs.rename(tmp, target)) {
+    val claim = new Path(manifestDir(root), s".claim-v$id")
+    val claimed =
+      if (fs.getScheme == "file")
+        new java.io.File(claim.toUri.getPath).createNewFile()
+      else
+        try fs.createNewFile(claim) catch { case _: java.io.IOException => false }
+    if (!claimed || fs.exists(target) || !fs.rename(tmp, target)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(
         s"snapshot commit conflict: v$id already committed by a concurrent " +
           s"writer (root=$root); retry from the new current snapshot")
     }
     id
+  }
+
+  /** Expire everything older than the last `keepLast` snapshots: delete
+    * their manifests, then every data file no SURVIVING manifest
+    * references (plus the completed commit-claim markers). This is the
+    * vacuum half of the capability class — without it a table that
+    * compacts (overwrite commits) grows without bound because commits
+    * never delete, by design, for the benefit of pinned readers.
+    *
+    * Contract: a reader pinned at any KEPT snapshot is untouched (its
+    * files all appear in a surviving manifest); a `readAt` of an expired
+    * id fails loudly (the manifest is gone, see [[fileList]]). The
+    * caller picks `keepLast` as its pinned-reader horizon — the same
+    * contract as Iceberg's expire_snapshots. Cost: O(kept manifests)
+    * reads + one data-directory listing; no data file is ever read.
+    *
+    * Returns (expired manifest count, deleted data file count).
+    */
+  def expireSnapshots(s: SparkSession, root: String,
+      keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val fs = fsOf(s, new Path(root))
+    val cur = currentSnapshot(s, root)
+    val cutoff = cur - keepLast // expire ids <= cutoff
+    if (cutoff < 1L) return (0, 0)
+    val live: Set[String] =
+      ((cutoff + 1) to cur).flatMap(id => fileList(s, root, id)).toSet
+    val mdir = manifestDir(root)
+    var nManifests = 0
+    fs.listStatus(mdir).foreach { st =>
+      val n = st.getPath.getName
+      val expiredManifest = n.startsWith("v") && n.endsWith(".manifest") &&
+        n.stripPrefix("v").stripSuffix(".manifest").toLong <= cutoff
+      // completed claims (id <= current) are inert — the manifest's own
+      // existence blocks re-commit of the id; in-flight claims (> cur)
+      // stay
+      val doneClaim = n.startsWith(".claim-v") &&
+        n.stripPrefix(".claim-v").toLong <= cur
+      if (expiredManifest) { fs.delete(st.getPath, false); nManifests += 1 }
+      else if (doneClaim) fs.delete(st.getPath, false)
+    }
+    val dataDir = new Path(root, "data")
+    var nData = 0
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
+      if (!live.contains(s"data/${st.getPath.getName}")) {
+        fs.delete(st.getPath, false); nData += 1
+      }
+    }
+    (nManifests, nData)
   }
 
   /** Read snapshot `id` — O(1) metadata: one manifest, exactly its files. */

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.SparkSpec
+
+/** Round-10 contracts: the sharded-prefix-sum shuffle ranks equal the
+  * global-window reference form row-for-row while keeping every corpus
+  * row out of single-partition exchanges, and the dedup label memo
+  * invalidates on clearShared.
+  */
+class Round10Spec extends SparkSpec {
+
+  test("shuffleShard: sharded prefix-sum ranks equal the global-window " +
+      "reference semantics") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val got = PipelineOps.shuffleShard(docs)
+      .orderBy("shuffle_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // the semantics the scaladoc pins: rank in (h48, doc_id) order,
+    // shard = h48 mod ShuffleShards, per-shard position in same order
+    import graft.ops.Sketches.h48
+    val h = h48(concat(lit("shuf|"), col("doc_id")))
+    val expect = docs.select(col("doc_id"), h.as("h"))
+      .withColumn("shard", pmod(col("h"), lit(PipelineOps.ShuffleShards)))
+      .select(col("doc_id"), col("shard"),
+        row_number().over(Window.orderBy(col("h"), col("doc_id")))
+          .cast("long").as("shuffle_rank"),
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col("h"), col("doc_id"))).cast("long").as("pos_in_shard"))
+      .orderBy("shuffle_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == expect.length && got.length > 0)
+    assert(got.sameElements(expect))
+  }
+
+  test("shuffleShard plan: no corpus row crosses a single-partition " +
+      "exchange; the offset table broadcasts") {
+    val df = PipelineOps.shuffleShard(graft.Tables.documents(spark, sfDir))
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      "a global window would serialize the corpus through one task: " + p)
+    assert(p.contains("BroadcastExchange"),
+      "the O(ranges x shards) offset table should broadcast: " + p)
+  }
+
+  test("clearShared drops the label memo so the chain recomputes") {
+    val a = Dedup.sharedClusters(spark, sfDir)
+    assert(Dedup.sharedClusters(spark, sfDir) eq a) // memo hit
+    Dedup.clearShared()
+    val b = Dedup.sharedClusters(spark, sfDir)
+    assert(!(b eq a), "clearShared must force a rebuilt frame")
+    assert(b.collect().toSet == a.collect().toSet)
+  }
+}

@@ -114,4 +114,68 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.fileList(spark, root, 2L)
       == Seq("data/winner.parquet"))
   }
+
+  test("a racing writer inside the claim window fails loudly too") {
+    import spark.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    // simulate a racer that CLAIMED v2 but has not renamed its manifest
+    // yet — the exists-check alone cannot see it; the exclusive-create
+    // claim must
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val claim = new org.apache.hadoop.fs.Path(root, "_manifests/.claim-v2")
+    assert(new java.io.File(claim.toUri.getPath).createNewFile())
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.commit(Seq((2L, "b")).toDF("k", "v"), root,
+        expectedBase = Some(1L))
+    }
+    assert(e.getMessage.contains("conflict"))
+    assert(SnapshotTable.currentSnapshot(spark, root) == 1L)
+    // claim files never surface as snapshots
+    assert(fs.exists(claim))
+  }
+
+  test("expire keeps pinned readers in the window, fails expired readAt " +
+      "loudly, and deletes only unreferenced data files") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(root, "data"))
+        .map(_.getPath.getName).toSet
+    SnapshotTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root) // v1
+    SnapshotTable.commit(Seq((3L, "c")).toDF("k", "v"), root) // v2 = append
+    SnapshotTable.commit(Seq((9L, "z")).toDF("k", "v"), root,
+      overwrite = true) // v3 = compaction
+    val allFiles = dataFiles()
+    val v3Files = SnapshotTable.fileList(spark, root, 3L)
+      .map(_.stripPrefix("data/")).toSet
+    val pinnedV2 = SnapshotTable.readAt(spark, root, 2L) // inside kept window
+
+    // keepLast = 2 keeps v2+v3: v1's manifest goes, but its files are
+    // referenced by the surviving v2 manifest → zero data deletions
+    val (m1, d1) = SnapshotTable.expireSnapshots(spark, root, keepLast = 2)
+    assert(m1 == 1 && d1 == 0, s"($m1, $d1)")
+    assert(pinnedV2.collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.readAt(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("expired"))
+
+    // keepLast = 1 keeps only the compacted v3: the v1/v2 files are now
+    // unreferenced and exactly they are deleted
+    val (m2, d2) = SnapshotTable.expireSnapshots(spark, root, keepLast = 1)
+    assert(m2 == 1, s"$m2")
+    assert(d2 == (allFiles -- v3Files).size, s"$d2")
+    assert(dataFiles() == v3Files)
+    assert(SnapshotTable.read(spark, root).collect().map(_.getLong(0)).toSeq
+      == Seq(9L))
+    // a fresh commit after vacuum continues the id sequence
+    SnapshotTable.commit(Seq((10L, "w")).toDF("k", "v"), root)
+    assert(SnapshotTable.currentSnapshot(spark, root) == 4L)
+    assert(SnapshotTable.read(spark, root).count() == 2)
+  }
 }
