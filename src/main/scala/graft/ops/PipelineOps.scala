@@ -688,20 +688,35 @@ object PipelineOps {
     *      (scheduled rows, epochs, position checksum).
     *
     * Every stage is an already-oracle-checked operator; this query
-    * hash-checks the COMPOSITION — the property a pipeline user needs:
+    * (`pipe_curate_v3`, hash-gated against the composed DuckDB oracle)
+    * checks the COMPOSITION — the property a pipeline user needs:
     * operators that verify alone must verify chained, including the
     * places where one stage's survivor set changes the next stage's
     * statistics (the schedule's apportionment shifts when dedup drops a
     * source's tokens, the card's unique counts see post-dedup text).
+    *
+    * Cache contract: `gated`/`clean` pin under the suite's documented
+    * per-query hygiene (Verify/Bench clear the SQL cache after every
+    * query); a long-lived session embedding this pipeline owns the
+    * unpersist of the two frames once the result is consumed.
     */
-  def curateV3(s: SparkSession, dir: String): DataFrame = {
+  def curateV3(s: SparkSession, dir: String): DataFrame =
+    curateV3Staged(s, dir, identity)
+
+  /** [[curateV3]] with a barrier hook applied after each stage — prod is
+    * `identity` (one lazy plan end-to-end); the composition spec passes
+    * `_.localCheckpoint(true)` to force stage-by-stage materialization
+    * and asserts the results are identical.
+    */
+  private[graft] def curateV3Staged(s: SparkSession, dir: String,
+      barrier: DataFrame => DataFrame): DataFrame = {
     import graft.ops.{Dedup, TextAnalysis}
     val docs = Tables.documents(s, dir)
     // 1. quality gate — cached: feeds the pair chain, the election, the
     // decontam shingles and the survivor joins
-    val gated = docs.join(
+    val gated = barrier(docs.join(
       TextAnalysis.gopherRules(docs).filter(col("pass") === 1)
-        .select("doc_id"), "doc_id").cache()
+        .select("doc_id"), "doc_id").cache())
     // 2. near-dup canonicalization over the GATED corpus
     val clusters = Dedup.clustersFromPairs(s, Dedup.prefixJaccardDocs(gated))
     val losers = clusters.join(
@@ -710,7 +725,7 @@ object PipelineOps {
         "canonical")
       .filter(col("doc_id") =!= col("kept_doc"))
       .select("doc_id")
-    val deduped = gated.join(losers, Seq("doc_id"), "left_anti")
+    val deduped = barrier(gated.join(losers, Seq("doc_id"), "left_anti"))
     // 3. exact decontamination against the benchmark slice
     val bench = deduped.filter(col("source") === "src0" &&
       col("doc_id") % 20 === 0)
@@ -718,7 +733,8 @@ object PipelineOps {
     val contaminated = Dedup.shingles(deduped.filter(col("source") =!= "src0"))
       .join(broadcast(benchSh), "shingle")
       .select("doc_id").distinct()
-    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti").cache()
+    val clean =
+      barrier(deduped.join(contaminated, Seq("doc_id"), "left_anti").cache())
     // 4 + 5. card, DP release, schedule summary over the survivors
     val card = clean.groupBy("source").agg(
       count(lit(1)).as("n_docs"),
@@ -851,14 +867,15 @@ object PipelineOps {
         greatest(lit(0L), col("n_true") + col("noise")).as("released"))
   }
 
-  private[graft] def dpOracle(eps: Double = DpEps, salt: String = "dp"): String = {
+  private[graft] def dpOracle(eps: Double = DpEps, salt: String = "dp",
+      table: String = "documents"): String = {
     val lnAlpha = math.log(math.exp(-eps))
     def geom(tag: String): String =
       s"floor(ln((${graft.ops.Sketches.sqlH48(s"source || '#$tag#$salt'")} + 1)" +
         s" / 281474976710656.0) / $lnAlpha)"
     s"""WITH c AS (
        |  SELECT source, count(*)::BIGINT AS n_true
-       |  FROM documents GROUP BY source),
+       |  FROM $table GROUP BY source),
        |n AS (
        |  SELECT source, n_true,
        |    (${geom("1")} - ${geom("2")})::BIGINT AS noise
@@ -1018,6 +1035,7 @@ object PipelineOps {
     "pipe_length_buckets" -> ((s: SparkSession, d: String) =>
       lengthBuckets(Tables.documents(s, d))),
     "pipe_curate_v2" -> (curateV2 _),
+    "pipe_curate_v3" -> (curateV3 _),
     "pipe_quality_sample" -> ((s: SparkSession, d: String) =>
       qualityWeightedSample(Tables.documents(s, d))),
     "pipe_shuffle_shard" -> ((s: SparkSession, d: String) =>
@@ -1150,7 +1168,78 @@ object PipelineOps {
        |GROUP BY m.source""".stripMargin
   }
 
+  /** The composed governance-pipeline oracle: gopher gate CTE → the
+    * shared near-dup pair chain over the GATED corpus
+    * ([[graft.queries.DedupQueries.pairCteBodyOver]]) → CC + keep-longest
+    * election → exact decontamination → card / DP release / schedule
+    * CTEs over the survivors ([[dpOracle]], [[tokenBudgetCtesOver]],
+    * [[scheduleCtes]] — the same chains the standalone gates run, here
+    * parameterized by the staged-corpus CTE instead of the raw table).
+    */
+  private[graft] lazy val curateV3Oracle: String = {
+    val gopher = graft.queries.TextQueries.oracles("text_gopher_rules")
+    val pairs =
+      graft.queries.DedupQueries.pairCteBodyOver("gd", "a.doc_id < b.doc_id")
+    s"""WITH RECURSIVE g AS (
+       |  SELECT doc_id FROM ($gopher) WHERE pass = 1),
+       |gd AS MATERIALIZED (
+       |  SELECT d.* FROM documents d JOIN g USING (doc_id)),
+       |""".stripMargin +
+      pairs + ",\n" +
+      s"""edges AS MATERIALIZED (
+         |  SELECT doc_a AS u, doc_b AS v FROM jpairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM jpairs),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+         |cc AS (
+         |  SELECT a AS doc_id, least(a, min(b)) AS canonical
+         |  FROM reach GROUP BY a),
+         |sized AS (
+         |  SELECT c.canonical, c.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.canonical
+         |                       ORDER BY d.n_chars DESC, c.doc_id) AS rn
+         |  FROM cc c JOIN gd d USING (doc_id)),
+         |dd AS MATERIALIZED (
+         |  SELECT * FROM gd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM sized WHERE rn > 1)),
+         |dsm AS MATERIALIZED (SELECT doc_id, shingle FROM ds),
+         |benchsh AS (
+         |  SELECT DISTINCT s.shingle FROM dsm s JOIN dd d USING (doc_id)
+         |  WHERE d.source = 'src0' AND d.doc_id % 20 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM dsm s JOIN dd d USING (doc_id)
+         |  WHERE d.source != 'src0'
+         |    AND s.shingle IN (SELECT shingle FROM benchsh)),
+         |clean AS MATERIALIZED (
+         |  SELECT * FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |card AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(n_chars)::BIGINT AS total_chars,
+         |    count(DISTINCT md5(text))::BIGINT AS n_unique_texts
+         |  FROM clean GROUP BY source),
+         |dpo AS (
+         |  SELECT source, noise, released FROM (
+         |${dpOracle(table = "clean")})),
+         |""".stripMargin +
+      tokenBudgetCtesOver("clean") + ",\n" + scheduleCtes + ",\n" +
+      """schedsum AS (
+        |  SELECT source, count(*)::BIGINT AS n_sched,
+        |    count(DISTINCT epoch)::BIGINT AS n_epochs,
+        |    sum(pos)::BIGINT AS sched_checksum
+        |  FROM sched GROUP BY source)
+        |SELECT c.source, c.n_docs, c.total_chars, c.n_unique_texts,
+        |  p.noise, p.released, s.n_sched, s.n_epochs, s.sched_checksum
+        |FROM card c
+        |JOIN dpo p USING (source)
+        |JOIN schedsum s USING (source)""".stripMargin
+  }
+
   lazy val oracles: Map[String, String] = Map(
+    "pipe_curate_v3" -> curateV3Oracle,
     // the identical cross-multiplied integer z² predicate; HUGEINT is
     // DuckDB's DECIMAL(38,0)-equivalent for the squared terms
     "pipe_outliers" -> outliersOracle,

@@ -751,23 +751,79 @@ object TextAnalysis {
     * one broadcast-sized join (the per-word stats are |vocab| rows) +
     * one per-doc aggregation. Nothing iterates over the corpus; the
     * merge loop touches only the vocabulary.
+    *
+    * Two apply arms, same semantics (spec-locked equal, probe-measured
+    * in `BpeScaleProbe`): tables ≤ [[BpeFoldMaxMerges]] fold as chained
+    * codegen `replace` columns; a REALISTIC vocabulary-scale table
+    * (1k–50k merges) would build a 1k-deep expression tree — past the
+    * JIT/codegen sweet spot — so the large arm broadcasts the merge
+    * array and applies it per DISTINCT WORD in one `mapPartitions`
+    * pass. Either way the cost is |vocab| × |merges|, never corpus ×
+    * |merges|.
     */
+  val BpeFoldMaxMerges = 64
+
+  /** One left-to-right merge pass: adjacent (l, r) symbols collapse to
+    * l+r, non-overlapping, scan resuming after each replacement —
+    * exactly the two-space-separator string `replace` semantics of the
+    * fold arm.
+    */
+  private def bpeApplyOne(syms: Array[String], l: String,
+      r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private[graft] def bpeApplyAll(w: String,
+      merges: Array[(String, String)]): Array[String] = {
+    var syms: Array[String] = w.map(_.toString).toArray
+    var k = 0
+    while (k < merges.length && syms.length > 1) {
+      syms = bpeApplyOne(syms, merges(k)._1, merges(k)._2)
+      k += 1
+    }
+    syms
+  }
+
   def bpeEncode(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
     val merges = bpeMerges(docs).collect()
       .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeEncodeWith(docs, merges)
+  }
+
+  private[graft] def bpeEncodeWith(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
     val words = OpUtil.spread(docs)
       .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("w"))
       .filter(length(col("w")) > 0)
-    val vocab0 = words.select("w").distinct()
-      .select(col("w"), concat(rtrim(concat(lit(" "),
-        regexp_replace(col("w"), "(.)", "$1  "))), lit(" ")).as("seq"))
-    val encoded = merges.foldLeft(vocab0) { case (df, (l, r)) =>
-      df.withColumn("seq",
-        replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
+    val vocabWords = words.select("w").distinct()
+    val wordSyms = if (merges.size <= BpeFoldMaxMerges) {
+      val vocab0 = vocabWords
+        .select(col("w"), concat(rtrim(concat(lit(" "),
+          regexp_replace(col("w"), "(.)", "$1  "))), lit(" ")).as("seq"))
+      val encoded = merges.foldLeft(vocab0) { case (df, (l, r)) =>
+        df.withColumn("seq",
+          replace(col("seq"), lit(s" $l  $r "), lit(s" $l$r ")))
+      }
+      encoded.select(col("w"),
+        explode(split(trim(col("seq")), "  ")).as("sym"))
+    } else {
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(merges.toArray)
+      vocabWords.select(col("w")).as[String]
+        .mapPartitions { it =>
+          val m = bc.value
+          it.flatMap(w => bpeApplyAll(w, m).iterator.map(sym => (w, sym)))
+        }
+        .toDF("w", "sym")
     }
-    val wordSyms = encoded.select(col("w"),
-      explode(split(trim(col("seq")), "  ")).as("sym"))
     // symbol-set-sized window: the id table is the tokenizer's vocab
     val vocabIds = wordSyms.select("sym").distinct()
       .withColumn("token_id", dense_rank().over(

@@ -59,10 +59,18 @@ object DedupQueries {
     * variant provably shares the same shingle/score definitions.
     */
   private def pairCtesWith(pairPred: String) =
-    s"""WITH RECURSIVE toks AS (
+    "WITH RECURSIVE " + pairCteBodyOver("documents", pairPred)
+
+  /** The same CTE chain as a WITH-list BODY over an arbitrary table/CTE
+    * (no `WITH RECURSIVE` prefix), so composed oracles — the curation
+    * pipeline runs the pair chain over its GATED corpus CTE — provably
+    * share the shingle/score definitions with the standalone gates.
+    */
+  private[graft] def pairCteBodyOver(table: String, pairPred: String) =
+    s"""toks AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
       |         generate_subscripts(string_split(text, ' '), 1) AS pos
-      |  FROM documents
+      |  FROM $table
       |), sh AS (
       |  SELECT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
       |  FROM toks a

@@ -410,8 +410,82 @@ object FormatQueries {
         .select(col("o_orderstatus"), col("n_travel")), "o_orderstatus")
   }
 
+  /** The vacuum lifecycle end-to-end ([[graft.sources.SnapshotTable
+    * .expireSnapshots]]): commit v1, append v2, COMPACT the current
+    * logical table as the overwrite v3, then expire everything but the
+    * last snapshot — v1/v2's manifests and their now-unreferenced data
+    * files are deleted — and read current. The hash gate proves the
+    * compact+expire cycle is invisible to the data (current still equals
+    * the v2 logical content, derived independently by the oracle), while
+    * the audit columns pin the metadata effects: exactly two manifests
+    * expired, and a time travel to the expired v1 fails loudly rather
+    * than returning anything.
+    */
+  def snapshotExpire(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_expire")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SnapshotTable.commit(o, root) // v1
+    SnapshotTable.commit( // v2: the same append rule as the isolation gate
+      o.filter(col("o_orderkey") % 10 <= 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0),
+      root)
+    SnapshotTable.commit( // v3: compaction — rewrite current, one file
+      SnapshotTable.read(s, root).coalesce(1), root, overwrite = true)
+    val (nManifests, _) = SnapshotTable.expireSnapshots(s, root, keepLast = 1)
+    val expiredReadFails =
+      try { SnapshotTable.readAt(s, root, 1L); 0L }
+      catch { case _: IllegalArgumentException => 1L }
+    SnapshotTable.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_cur"),
+        money(sum(col("o_totalprice"))).as("total_cur"),
+        sum(col("o_orderkey")).as("okey_cur"))
+      .withColumn("n_expired_manifests", lit(nManifests.toLong))
+      .withColumn("expired_read_fails", lit(expiredReadFails))
+  }
+
+  /** The DSv2 reader surface over the same layer
+    * ([[graft.sources.SnapshotSource]], `format("graft-snap")`): commit
+    * v1 and the v2 append exactly as the isolation gate does, then read
+    * BOTH versions through `spark.read.format("graft-snap")` — time
+    * travel via `option("snapshot", 1)`, current via plain load — plus
+    * the snapshot catalog listing folded to audit columns. Shares the
+    * isolation gate's oracle derivation, so the DSv2 path is hash-gated
+    * against the same truth the library path is; the library-vs-DSv2
+    * row equality is additionally spec-locked (`SnapshotSourceSpec`).
+    */
+  def snapshotDsv2(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SnapshotSource, SnapshotTable}
+    val root = scratch("snap_dsv2")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SnapshotTable.commit(o, root) // v1
+    SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 10 <= 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0),
+      root) // v2
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          money(sum(col("o_totalprice"))).as(s"total_$tag"),
+          sum(col("o_orderkey")).as(s"okey_$tag"))
+    val travel = s.read.format("graft-snap").option("snapshot", "1").load(root)
+    val current = s.read.format("graft-snap").load(root)
+    val catalog = SnapshotSource.snapshots(s, root)
+      .agg(count(lit(1)).as("n_snapshots"), max("snapshot_id").as("max_id"))
+    agg(travel, "v1")
+      .join(agg(current, "v2"), "o_orderstatus")
+      .crossJoin(broadcast(catalog))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_snapshot_isolation" -> (snapshotIsolation _),
+    "fmt_snapshot_expire" -> (snapshotExpire _),
+    "fmt_snapshot_dsv2" -> (snapshotDsv2 _),
     "fmt_zstd_roundtrip" -> (zstdRoundTrip _),
     "fmt_malformed_csv" -> (malformedCsv _),
     "fmt_schema_evolution" -> (schemaEvolution _),
@@ -465,6 +539,43 @@ object FormatQueries {
         |  FROM v2rows GROUP BY 1)
         |SELECT o_orderstatus, n_v1, total_v1, okey_v1,
         |  n_v2, total_v2, okey_v2, n_v1 AS n_travel
+        |FROM v1 JOIN v2 USING (o_orderstatus)""".stripMargin,
+    // current-after-expire = the v2 logical content (the compact v3
+    // rewrote exactly it); the audit columns are protocol constants:
+    // two expired manifests, expired time travel fails
+    "fmt_snapshot_expire" ->
+      """WITH v2rows AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice + 100.0
+        |  FROM orders WHERE o_orderkey % 10 <= 2)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_cur,
+        |  round(sum(o_totalprice), 2) AS total_cur,
+        |  sum(o_orderkey)::BIGINT AS okey_cur,
+        |  2::BIGINT AS n_expired_manifests,
+        |  1::BIGINT AS expired_read_fails
+        |FROM v2rows GROUP BY 1""".stripMargin,
+    // same v1/v2 derivation as the isolation gate, read back through
+    // the DSv2 connector; the catalog columns are protocol constants
+    "fmt_snapshot_dsv2" ->
+      """WITH v1 AS (
+        |  SELECT o_orderstatus, count(*)::BIGINT AS n_v1,
+        |    round(sum(o_totalprice), 2) AS total_v1,
+        |    sum(o_orderkey)::BIGINT AS okey_v1
+        |  FROM orders GROUP BY 1),
+        |v2rows AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice + 100.0
+        |  FROM orders WHERE o_orderkey % 10 <= 2),
+        |v2 AS (
+        |  SELECT o_orderstatus, count(*)::BIGINT AS n_v2,
+        |    round(sum(o_totalprice), 2) AS total_v2,
+        |    sum(o_orderkey)::BIGINT AS okey_v2
+        |  FROM v2rows GROUP BY 1)
+        |SELECT o_orderstatus, n_v1, total_v1, okey_v1,
+        |  n_v2, total_v2, okey_v2,
+        |  2::BIGINT AS n_snapshots, 2::BIGINT AS max_id
         |FROM v1 JOIN v2 USING (o_orderstatus)""".stripMargin,
     "fmt_zstd_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -118,14 +118,16 @@ class PipelineOpsSpec extends SparkSpec {
   test("shuffle-shard: rank is a permutation, shard positions dense, repartition-invariant") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = PipelineOps.shuffleShard(docs)
-      .as[(Long, Long, Int, Int)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     val n = out.length
-    assert(out.map(_._3).sorted.toSeq == (1 to n), "global rank is a permutation")
+    assert(out.map(_._3).sorted.toSeq == (1L to n.toLong),
+      "global rank is a permutation")
     out.groupBy(_._2).foreach { case (shard, rs) =>
-      assert(rs.map(_._4).sorted.toSeq == (1 to rs.length), s"shard $shard dense")
+      assert(rs.map(_._4).sorted.toSeq == (1L to rs.length.toLong),
+        s"shard $shard dense")
     }
     val again = PipelineOps.shuffleShard(docs.repartition(5))
-      .as[(Long, Long, Int, Int)].collect().sorted.toSeq
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
     assert(again == out.sorted.toSeq)
   }
 
@@ -222,14 +224,15 @@ class PipelineOpsSpec extends SparkSpec {
   test("curate v2: survivors = gate AND sample, with a clean shard assignment") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = PipelineOps.curateV2(spark, sfDir)
-      .as[(Long, Long, Int, Int)].collect()
+      .as[(Long, Long, Long, Long)].collect()
     assert(out.nonEmpty)
     val gate = TextAnalysis.gopherRules(docs).filter(col("pass") === 1)
       .select("doc_id").as[Long].collect().toSet
     val sample = PipelineOps.qualityWeightedSample(docs)
       .select("doc_id").as[Long].collect().toSet
     assert(out.map(_._1).toSet == (gate & sample), "exactly the intersection")
-    assert(out.map(_._3).sorted.toSeq == (1 to out.length), "dense shuffle ranks")
+    assert(out.map(_._3).sorted.toSeq == (1L to out.length.toLong),
+      "dense shuffle ranks")
   }
 
   test("length buckets: pad-to-power-of-two edges and waste, hand-checked") {

@@ -46,6 +46,40 @@ class Round10Spec extends SparkSpec {
       "the O(ranges x shards) offset table should broadcast: " + p)
   }
 
+  test("curateV3: the lazy end-to-end composition equals stage-by-stage " +
+      "materialization") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString)
+    val lazyRun = rows(PipelineOps.curateV3(spark, sfDir))
+    val staged = rows(
+      PipelineOps.curateV3Staged(spark, sfDir, _.localCheckpoint(true)))
+    assert(lazyRun.nonEmpty)
+    assert(lazyRun.sameElements(staged))
+  }
+
+  test("bpe encode: the mapPartitions arm equals the fold arm on the " +
+      "same merge table") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val merges = TextAnalysis.bpeMerges(docs).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.nonEmpty && merges.size <= TextAnalysis.BpeFoldMaxMerges)
+    def rows(mx: Seq[(String, String)], forceScala: Boolean) = {
+      // pad with no-op merges (a control-char symbol no corpus char or
+      // prior merge can produce) to push the table over the threshold
+      // without changing the encoding
+      val padded = if (forceScala)
+        mx ++ (1 to TextAnalysis.BpeFoldMaxMerges).map(i =>
+          (s"$i", s"$i"))
+      else mx
+      TextAnalysis.bpeEncodeWith(docs, padded)
+        .collect().map(_.toSeq).sortBy(_.toString)
+    }
+    val fold = rows(merges, forceScala = false)
+    val scala = rows(merges, forceScala = true)
+    assert(fold.nonEmpty)
+    assert(fold.sameElements(scala))
+  }
+
   test("clearShared drops the label memo so the chain recomputes") {
     val a = Dedup.sharedClusters(spark, sfDir)
     assert(Dedup.sharedClusters(spark, sfDir) eq a) // memo hit
