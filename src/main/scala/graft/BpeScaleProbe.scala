@@ -69,7 +69,13 @@ object BpeScaleProbe {
       println(s"# dir=$dir vocab=$vocabSize bigrams=${bigrams.size}")
 
       sizes.foreach { k =>
-        val merges = bigrams.take(k)
+        // the synthetic corpus has only ~82 real bigrams — pad the table
+        // to the requested size with guaranteed-miss pairs (control-char
+        // symbols no word contains): a miss pass costs the same
+        // per-merge scan as a hit pass, so the padded table measures the
+        // true per-merge loop cost at production table sizes
+        val merges = bigrams.take(k) ++
+          (bigrams.size until k).map(i => (s"$i", ""))
         def run(forceArm: String): Double = {
           val t0 = System.nanoTime()
           // route by threshold: pass the table through unchanged for the
@@ -79,18 +85,53 @@ object BpeScaleProbe {
             if (forceArm == "fold" && k <= TextAnalysis.BpeFoldMaxMerges)
               TextAnalysis.bpeEncodeWith(docs, merges)
             else if (forceArm == "fold") foldArm(docs, merges)
-            else scalaArm(docs, merges)
+            else scalaArm(
+              docs.select(explode(split(col("text"), " ", -1)).as("w"))
+                .filter(length(col("w")) > 0).distinct(),
+              merges)
           df.write.format("noop").mode("overwrite").save()
           val dt = (System.nanoTime() - t0) / 1e9
           spark.sharedState.cacheManager.clearCache()
           dt
         }
         arms.toSeq.sorted.foreach { arm =>
-          // the fold arm past 1024 merges can take minutes in codegen —
-          // still probed, that IS the measurement
-          val t = run(arm)
-          println(f"""{"probe":"bpe_apply","dir":"$dir","merges":$k,"arm":"$arm","sec":$t%.2f}""")
+          // the fold arm fails STRUCTURALLY at production table sizes:
+          // ~1024 chained withColumns build a plan whose recursive
+          // clone/transform overflows the JVM stack (StackOverflowError
+          // in LogicalPlan.clone) before codegen even starts — the probe
+          // records that as the measurement it is
+          try {
+            val t = run(arm)
+            println(f"""{"probe":"bpe_apply","dir":"$dir","merges":$k,"arm":"$arm","sec":$t%.2f}""")
+          } catch { case e: Throwable =>
+            println(s"""{"probe":"bpe_apply","dir":"$dir","merges":$k,""" +
+              s""""arm":"$arm","sec":-1,"failed":"${e.getClass.getSimpleName}"}""")
+          }
         }
+      }
+    }
+
+    // the |vocab| axis at realistic scale: a corpus at 100 TB carries a
+    // multi-million-word vocabulary; encode cost must be |vocab| ×
+    // |merges| with a tractable constant. Synthetic distinct words
+    // (32-hex md5 strings — real bigram hits from the 256-pair hex
+    // alphabet) decouple vocabulary size from the fixture corpus.
+    val vocabSizes = sys.env.getOrElse("BPE_VOCABS", "10000,100000")
+      .split(",").map(_.toInt).toSeq
+    val hexMerges: Seq[(String, String)] = {
+      val hex = "0123456789abcdef"
+      (for (a <- hex; b <- hex) yield (a.toString, b.toString)) ++
+        (256 until sizes.max).map(i => (s"$i", ""))
+    }
+    vocabSizes.foreach { n =>
+      val words = spark.range(n.toLong)
+        .select(md5(concat(lit("w|"), col("id"))).as("w"))
+      sizes.filter(_ >= 256).foreach { k =>
+        val t0 = System.nanoTime()
+        scalaArm(words, hexMerges.take(k))
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"""{"probe":"bpe_apply_vocab","vocab":$n,"merges":$k,"arm":"scala","sec":$dt%.2f}""")
       }
     }
     spark.stop()
@@ -116,14 +157,13 @@ object BpeScaleProbe {
       .agg(sum(col("n_sym")).as("total_syms"), count(lit(1)).as("n_words"))
   }
 
-  private def scalaArm(docs: org.apache.spark.sql.DataFrame,
+  // vocab: a frame with one distinct word per row in column "w"
+  private def scalaArm(vocab: org.apache.spark.sql.DataFrame,
       merges: Seq[(String, String)]) = {
-    val spark = docs.sparkSession
+    val spark = vocab.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges.toArray)
-    docs.select(explode(split(col("text"), " ", -1)).as("w"))
-      .filter(length(col("w")) > 0).distinct()
-      .select(col("w")).as[String]
+    vocab.select(col("w")).as[String]
       .mapPartitions { it =>
         val m = bc.value
         it.map(w => TextAnalysis.bpeApplyAll(w, m).length.toLong)

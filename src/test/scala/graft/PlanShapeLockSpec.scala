@@ -101,6 +101,15 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "wh_ivm_agg" -> PlanShape(0, 1, 0, 0, 2),
     "pipe_dataset_card" -> PlanShape(0, 0, 0, 0, 2),
     "pipe_bloom_decontam" -> PlanShape(1, 3, 0, 0, 16),
+    // round-10: shuffle ranks = 1 broadcast (offsets) + 1 shuffle (the
+    // per-range windows share one hash exchange); curate_v3's big print
+    // counts are the composed chain's subtree multiplicity (static dump
+    // repeats shared stages), deterministic for fixed code+fixtures;
+    // the DSv2 snapshot read is a stock parquet scan + the two-version
+    // join, no extra exchanges from the connector
+    "pipe_shuffle_shard" -> PlanShape(0, 1, 0, 0, 1),
+    "pipe_curate_v3" -> PlanShape(42, 122, 3, 0, 124),
+    "fmt_snapshot_dsv2" -> PlanShape(0, 1, 1, 0, 3),
     "graph_temporal_paths" -> PlanShape(0, 1, 0, 0, 4),
     "pipe_drift_chi2" -> PlanShape(1, 0, 2, 0, 6),
     "ann_ivfpq" -> PlanShape(1, 1, 3, 0, 6))
@@ -127,7 +136,10 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "pipe_k_anonymity", "text_normalize", "fmt_zstd_roundtrip",
       "graph_hits",
       "wh_ivm_agg", "pipe_dataset_card", "pipe_bloom_decontam",
-      "graph_temporal_paths", "pipe_drift_chi2", "ann_ivfpq")
+      "graph_temporal_paths", "pipe_drift_chi2", "ann_ivfpq",
+      // round-10 additions: the de-serialized shuffle ranks, the
+      // composed governance pipeline, and the DSv2 snapshot read path
+      "pipe_shuffle_shard", "pipe_curate_v3", "fmt_snapshot_dsv2")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached
