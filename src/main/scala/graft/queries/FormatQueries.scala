@@ -482,7 +482,78 @@ object FormatQueries {
       .crossJoin(broadcast(catalog))
   }
 
+  /** Incremental consumption off the manifest layer
+    * ([[graft.sources.SnapshotTable.changesBetween]]): commit v1, then
+    * two derived APPEND batches as v2 and v3, and read "what changed
+    * since v1" — which must be exactly the two appended batches, never
+    * re-delivering v1's rows. The scan is file-level metadata (added
+    * files = v3's list minus v1's): at 100 TB a catch-up consumer reads
+    * the appended files only, not the table. The audit column pins the
+    * safety half: after an overwrite (compaction) commit, the same
+    * incremental read REFUSES loudly instead of serving rewritten rows
+    * as new.
+    */
+  def snapshotChanges(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_changes")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SnapshotTable.commit(o, root) // v1
+    SnapshotTable.commit( // v2: append batch A
+      o.filter(col("o_orderkey") % 10 <= 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0),
+      root)
+    SnapshotTable.commit( // v3: append batch B
+      o.filter(col("o_orderkey") % 10 === 3 || col("o_orderkey") % 10 === 4)
+        .withColumn("o_totalprice", col("o_totalprice") + 200.0),
+      root)
+    val changes = SnapshotTable.changesBetween(s, root, 1L, 3L)
+    SnapshotTable.commit( // v4: compaction — invalidates incremental reads
+      SnapshotTable.read(s, root).coalesce(1), root, overwrite = true)
+    val nonAppendRefused =
+      try { SnapshotTable.changesBetween(s, root, 1L, 4L); 0L }
+      catch { case _: IllegalStateException => 1L }
+    changes.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_changed"),
+        money(sum(col("o_totalprice"))).as("total_changed"),
+        sum(col("o_orderkey")).as("okey_changed"))
+      .withColumn("nonappend_refused", lit(nonAppendRefused))
+  }
+
+  /** The manifest-level file-skipping index
+    * ([[graft.sources.SnapshotTable.readWhere]]): commit lineitem
+    * range-clustered on `l_orderkey` with `statsCol` so every data file
+    * carries its footer min/max in the manifest, then answer a narrow
+    * key-range aggregate through the pruned read. The hash gate proves
+    * exactness (prune is sound, the residual filter completes it — the
+    * oracle filters the original table); the audit column pins that
+    * pruning actually dropped files, and the spec additionally locks
+    * kept < total with exact counts. At 100 TB this is the difference
+    * between opening a few files and opening all of them — before
+    * Spark's own row-group pruning even starts, and orthogonal to it.
+    */
+  def snapshotSkip(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_skip")
+    graft.tera.TeraIO.delete(s, root)
+    val li = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    SnapshotTable.commit(
+      li.repartitionByRange(16, col("l_orderkey")), root,
+      statsCol = Some("l_orderkey"))
+    val (_, kept, total) =
+      SnapshotTable.pruneFiles(s, root, 1L, "l_orderkey", 1000L, 5000L)
+    SnapshotTable.readWhere(s, root, 1L, "l_orderkey", 1000L, 5000L)
+      .agg(count(lit(1)).as("n_rows"),
+        money(sum(col("l_quantity"))).as("sum_qty"),
+        money(sum(col("l_extendedprice"))).as("sum_price"))
+      .withColumn("pruned_some", lit(if (kept < total) 1L else 0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_snapshot_changes" -> (snapshotChanges _),
+    "fmt_snapshot_skip" -> (snapshotSkip _),
     "fmt_snapshot_isolation" -> (snapshotIsolation _),
     "fmt_snapshot_expire" -> (snapshotExpire _),
     "fmt_snapshot_dsv2" -> (snapshotDsv2 _),
@@ -519,6 +590,30 @@ object FormatQueries {
     * is correct iff it is invisible to the aggregate.
     */
   val oracles: Map[String, String] = Map(
+    // the incremental read between v1 and v3 is exactly the two derived
+    // append batches; the refusal flag is a protocol constant (the
+    // overwrite v4 invalidates file-level incremental reads, loudly)
+    "fmt_snapshot_changes" ->
+      """WITH changed AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice + 100.0 AS p
+        |  FROM orders WHERE o_orderkey % 10 <= 2
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice + 200.0
+        |  FROM orders WHERE o_orderkey % 10 IN (3, 4))
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_changed,
+        |  round(sum(p), 2) AS total_changed,
+        |  sum(o_orderkey)::BIGINT AS okey_changed,
+        |  1::BIGINT AS nonappend_refused
+        |FROM changed GROUP BY 1""".stripMargin,
+    // the pruned ranged read must equal the plain filter on the
+    // original table (prune sound + residual filter exact); the audit
+    // flag pins that the index actually dropped files
+    "fmt_snapshot_skip" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  1::BIGINT AS pruned_some
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000""".stripMargin,
     // v1 = the table; v2 = the table plus the derived append batch; the
     // pinned reader and O(1) time travel must both still see exactly v1
     "fmt_snapshot_isolation" ->

@@ -29,7 +29,8 @@ object StreamQueries {
     "stream_cdc_apply" -> (graft.streaming.ChangelogStream.cdcApplyStream _),
     "stream_forget" -> (graft.streaming.ForgetStream.forgetStream _),
     "stream_covisit" -> (graft.streaming.CovisitStream.covisitStream _),
-    "stream_topk" -> (EventStreams.topkStream _)
+    "stream_topk" -> (EventStreams.topkStream _),
+    "stream_snapshot_sink" -> (EventStreams.snapshotSinkStream _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -134,6 +135,13 @@ object StreamQueries {
          |  SELECT *, row_number() OVER (PARTITION BY event_type
          |    ORDER BY value_fp DESC, event_id) AS rank FROM v)
          |SELECT event_type, rank, event_id, value_fp
-         |FROM r WHERE rank <= ${graft.streaming.EventStreams.TopkK}""".stripMargin
+         |FROM r WHERE rank <= ${graft.streaming.EventStreams.TopkK}""".stripMargin,
+    // the snapshot-table ingest must hold the stream exactly once: the
+    // final table aggregates to the source table's truth, and the
+    // redelivered batch is a protocol-constant no-op
+    "stream_snapshot_sink" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  round(sum(value), 2) AS sum_value, 0::BIGINT AS replay_advanced
+        |FROM events GROUP BY 1""".stripMargin
   )
 }

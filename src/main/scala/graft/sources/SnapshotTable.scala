@@ -43,8 +43,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * two racing commits are detected, not merged — the loser's manifest
   * rename fails because the name is taken, and it throws rather than
   * silently dropping the winner's files.
+  *
+  * MANIFEST FORMAT (line-oriented, append-compatible with the v1 format
+  * of pure path lines):
+  *
+  *   `#prop <key>=<value>`                        snapshot properties
+  *       (URL-encoded; carried by streaming commits for exactly-once
+  *       bookkeeping, see [[SnapshotStreamSink]])
+  *   `data/<file>`                                a data file, no stats
+  *   `data/<file>\t<col>\t<tag>\t<min>\t<max>`    a data file with the
+  *       commit-time parquet-footer min/max of `<col>` (tag i=integer,
+  *       d=double, s=string; values URL-encoded) — the file-skipping
+  *       index [[readWhere]] prunes on
+  *
+  * Readers that only need paths ([[fileList]]) see both formats
+  * identically; appends carry the previous snapshot's entry lines
+  * VERBATIM, so stats survive any number of later commits without
+  * being recomputed.
   */
 object SnapshotTable {
+
+  private def enc(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+  private def dec(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
 
   private def fsOf(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -65,11 +87,11 @@ object SnapshotTable {
       .foldLeft(0L)(math.max)
   }
 
-  /** Snapshot N's file list (root-relative), one manifest read. Fails
-    * loudly (not with a bare FileNotFound) when the id was expired by
-    * [[expireSnapshots]] or never committed.
+  /** All manifest lines of snapshot N, one read. Fails loudly (not with
+    * a bare FileNotFound) when the id was expired by [[expireSnapshots]]
+    * or never committed.
     */
-  def fileList(s: SparkSession, root: String, id: Long): Seq[String] = {
+  private def rawLines(s: SparkSession, root: String, id: Long): Seq[String] = {
     val fs = fsOf(s, new Path(root))
     if (!fs.exists(manifestPath(root, id)))
       throw new IllegalArgumentException(
@@ -83,6 +105,24 @@ object SnapshotTable {
     finally in.close()
   }
 
+  /** Snapshot N's data-file entry lines (path + optional stats fields),
+    * excluding property headers.
+    */
+  private def entryLines(s: SparkSession, root: String, id: Long): Seq[String] =
+    rawLines(s, root, id).filterNot(_.startsWith("#"))
+
+  /** Snapshot N's file list (root-relative), one manifest read. */
+  def fileList(s: SparkSession, root: String, id: Long): Seq[String] =
+    entryLines(s, root, id).map(_.split("\t", -1)(0))
+
+  /** Snapshot N's properties (`#prop` header lines), one manifest read. */
+  def snapshotProps(s: SparkSession, root: String, id: Long): Map[String, String] =
+    rawLines(s, root, id).iterator
+      .filter(_.startsWith("#prop "))
+      .map(_.stripPrefix("#prop ").split("=", 2))
+      .collect { case Array(k, v) => dec(k) -> dec(v) }
+      .toMap
+
   /** Commit `df` as the next snapshot; returns the new snapshot id.
     * `overwrite = false` appends to the previous file list (the new
     * snapshot sees old + new files); `overwrite = true` replaces it
@@ -94,7 +134,8 @@ object SnapshotTable {
     * the retry-from-new-base loop is the caller's.
     */
   def commit(df: DataFrame, root: String, overwrite: Boolean = false,
-      expectedBase: Option[Long] = None): Long = {
+      expectedBase: Option[Long] = None, statsCol: Option[String] = None,
+      props: Map[String, String] = Map.empty): Long = {
     val s = df.sparkSession
     val rootP = new Path(root)
     val fs = fsOf(s, rootP)
@@ -112,17 +153,36 @@ object SnapshotTable {
         s"data/$name"
       }.toSeq
     fs.delete(staging, true)
+    // the file-skipping index: this commit's files get the parquet
+    // footer's min/max of statsCol as manifest fields — O(new files)
+    // FOOTER reads (metadata only, never data pages), once, at commit;
+    // every later reader prunes from the manifest alone
+    val movedEntries = statsCol match {
+      case None => moved
+      case Some(c) => moved.map { rel =>
+        footerStats(s, new Path(rootP, rel), c) match {
+          case Some((tag, mn, mx)) =>
+            s"$rel\t${enc(c)}\t$tag\t${enc(mn)}\t${enc(mx)}"
+          case None => rel // no stats in footer → never pruned
+        }
+      }
+    }
     val prev = expectedBase.getOrElse(currentSnapshot(s, root))
+    // appends carry the previous snapshot's entry lines VERBATIM so
+    // earlier commits' stats survive without recomputation
     val files =
-      (if (overwrite || prev == 0L) Seq.empty else fileList(s, root, prev)) ++
-        moved
+      (if (overwrite || prev == 0L) Seq.empty
+       else entryLines(s, root, prev)) ++ movedEntries
     val id = prev + 1
     // manifest content first to a temp name, then the atomic rename that
     // IS the commit; a taken name means a concurrent writer won the race
     fs.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root), s".tmp-$commitId")
+    val lines =
+      props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" } ++ files
     val out = fs.create(tmp, false)
-    try out.write(files.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
     // claim the id ATOMICALLY before the rename: HDFS rename refuses an
     // existing destination, but the local FS clobbers it, so exists+
@@ -211,4 +271,125 @@ object SnapshotTable {
     */
   def read(s: SparkSession, root: String): DataFrame =
     readAt(s, root, currentSnapshot(s, root))
+
+  /** Merged min/max of `colName` across a parquet file's row groups,
+    * from the FOOTER only (no data pages). Tagged by compare domain:
+    * i = integer (INT32/INT64), d = double (FLOAT/DOUBLE), s = UTF-8
+    * string (BINARY). None when the footer carries no usable stats —
+    * the file is then simply never pruned.
+    */
+  private def footerStats(s: SparkSession, p: Path,
+      colName: String): Option[(String, String, String)] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.column.statistics._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(p, s.sparkContext.hadoopConfiguration)
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val sts = (for {
+        b <- rdr.getFooter.getBlocks.asScala.toSeq
+        c <- b.getColumns.asScala if c.getPath.toDotString == colName
+      } yield c.getStatistics).filter(st =>
+        st != null && !st.isEmpty && st.hasNonNullValue)
+      if (sts.isEmpty) None
+      else sts.head match {
+        case _: LongStatistics => Some(("i",
+          sts.map(_.asInstanceOf[LongStatistics].getMin).min.toString,
+          sts.map(_.asInstanceOf[LongStatistics].getMax).max.toString))
+        case _: IntStatistics => Some(("i",
+          sts.map(_.asInstanceOf[IntStatistics].getMin.toLong).min.toString,
+          sts.map(_.asInstanceOf[IntStatistics].getMax.toLong).max.toString))
+        case _: DoubleStatistics => Some(("d",
+          sts.map(_.asInstanceOf[DoubleStatistics].getMin).min.toString,
+          sts.map(_.asInstanceOf[DoubleStatistics].getMax).max.toString))
+        case _: FloatStatistics => Some(("d",
+          sts.map(_.asInstanceOf[FloatStatistics].getMin.toDouble).min.toString,
+          sts.map(_.asInstanceOf[FloatStatistics].getMax.toDouble).max.toString))
+        case _: BinaryStatistics => Some(("s",
+          sts.map(_.asInstanceOf[BinaryStatistics]
+            .genericGetMin.toStringUsingUTF8).min,
+          sts.map(_.asInstanceOf[BinaryStatistics]
+            .genericGetMax.toStringUsingUTF8).max))
+        case _ => None
+      }
+    } finally rdr.close()
+  }
+
+  private def rangesOverlap(tag: String, mn: String, mx: String,
+      lo: String, hi: String): Boolean = tag match {
+    case "i" => !(mx.toLong < lo.toLong || mn.toLong > hi.toLong)
+    case "d" => !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
+    case _   => !(mx < lo || mn > hi)
+  }
+
+  /** Snapshot N's files partitioned by the skipping index: (kept paths,
+    * kept count, total count). A file is DROPPED only when it carries
+    * `colName` stats proving no row can satisfy `colName ∈ [lo, hi]` —
+    * sound (never drops a matching row), not complete (stat-less files
+    * and overlapping ranges are kept), exactly the partition-pruning
+    * contract. `lo`/`hi` must live in the stats column's domain
+    * (integer / double / string per the commit-time tag).
+    */
+  def pruneFiles(s: SparkSession, root: String, id: Long, colName: String,
+      lo: Any, hi: Any): (Seq[String], Int, Int) = {
+    val entries = entryLines(s, root, id)
+    val kept = entries.filter { line =>
+      line.split("\t", -1) match {
+        case Array(_, c, tag, mn, mx) if dec(c) == colName =>
+          rangesOverlap(tag, dec(mn), dec(mx), lo.toString, hi.toString)
+        case _ => true
+      }
+    }.map(_.split("\t", -1)(0))
+    (kept, kept.size, entries.size)
+  }
+
+  /** `readAt(id).where(colName between lo and hi)` with MANIFEST-LEVEL
+    * file skipping first: only files whose commit-time footer stats
+    * overlap [lo, hi] are opened — at 100 TB a selective range over a
+    * clustered commit key turns a full-table scan into a few files,
+    * before Spark's own row-group pruning even starts. The residual
+    * filter keeps the result exact whatever the index missed.
+    */
+  def readWhere(s: SparkSession, root: String, id: Long, colName: String,
+      lo: Any, hi: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _, _) = pruneFiles(s, root, id, colName, lo, hi)
+    val base =
+      if (kept.isEmpty) readAt(s, root, id).limit(0)
+      else s.read.parquet(kept.map(f => s"$root/$f"): _*)
+    base.where(col(colName).between(lit(lo), lit(hi)))
+  }
+
+  /** Rows ADDED between snapshots `fromId` (exclusive) and `toId`
+    * (inclusive) — the incremental-consumption read: a downstream job
+    * that processed up to snapshot N catches up by reading
+    * `changesBetween(N, current)` instead of re-scanning the table.
+    * File-level and O(metadata): added files = toId's list minus
+    * fromId's, valid only across APPEND commits — an overwrite
+    * (compaction / rewrite) in the range rewrites history, so the scan
+    * REFUSES it loudly (per-step superset check) rather than returning
+    * rewritten rows as if they were new. `fromId = 0` reads everything
+    * up to `toId`.
+    */
+  def changesBetween(s: SparkSession, root: String, fromId: Long,
+      toId: Long): DataFrame = {
+    require(0 <= fromId && fromId < toId,
+      s"changesBetween needs 0 <= fromId < toId, got ($fromId, $toId]")
+    val base: Set[String] =
+      if (fromId == 0L) Set.empty else fileList(s, root, fromId).toSet
+    var prev = base
+    ((fromId + 1) to toId).foreach { id =>
+      val cur = fileList(s, root, id).toSet
+      if (!prev.subsetOf(cur))
+        throw new IllegalStateException(
+          s"changesBetween($fromId, $toId) crosses non-append snapshot " +
+            s"v$id of $root: an overwrite/compaction rewrote the file set, " +
+            "so file-level incremental reads are invalid across it; " +
+            "re-baseline the consumer from a full snapshot read instead")
+      prev = cur
+    }
+    val added = fileList(s, root, toId).filterNot(base)
+    if (added.isEmpty) readAt(s, root, toId).limit(0)
+    else s.read.parquet(added.map(f => s"$root/$f"): _*)
+  }
 }

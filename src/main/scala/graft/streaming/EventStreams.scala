@@ -677,4 +677,46 @@ object EventStreams {
         when(col("n_kept") < Sketches.KmvK, col("n_kept"))
           .otherwise(expr(s"$numerator div kth_hash")))
   }
+
+  /** Exactly-once streaming ingest into the snapshot layer
+    * ([[graft.sources.SnapshotStreamSink]]): stream the events table
+    * through `foreachBatch` into a [[graft.sources.SnapshotTable]] —
+    * each micro-batch an atomic append snapshot carrying its batch id —
+    * then read the FINAL table and aggregate, which the batch oracle
+    * checks against the source table directly: the ingested table must
+    * be the stream, exactly once. The replay audit drives the
+    * post-restart path in-query: a FRESH writer (forced to recover its
+    * floor from the manifest headers, as a restarted query would)
+    * redelivers batch 0, and the table must not advance. The full
+    * checkpoint-stop-restart discipline is spec-locked
+    * (`SnapshotSinkSpec`) on top of this gate.
+    */
+  def snapshotSinkStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{SnapshotStreamSink, SnapshotTable}
+    // unique root per invocation: the table is the OUTPUT under test, so
+    // bench/verify re-runs must start from an empty one, not append
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_snapsink").toString
+    val root = s"$base/table"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val src = tableStream(s, dir, "events", schema)
+    withStreamPartitions(s) {
+      val q = src.writeStream
+        .foreachBatch(SnapshotStreamSink.writer(root, "events"))
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val before = SnapshotTable.currentSnapshot(s, root)
+    val replayWriter = SnapshotStreamSink.writer(root, "events")
+    replayWriter(SnapshotTable.read(s, root).limit(1), 0L)
+    val advanced = SnapshotTable.currentSnapshot(s, root) - before
+    SnapshotTable.read(s, root)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("replay_advanced", lit(advanced))
+  }
 }
