@@ -110,6 +110,10 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "pipe_shuffle_shard" -> PlanShape(0, 1, 0, 0, 1),
     "pipe_curate_v3" -> PlanShape(42, 122, 3, 0, 124),
     "fmt_snapshot_dsv2" -> PlanShape(0, 1, 1, 0, 3),
+    // round-10 session-2: both are a pruned-file-list parquet scan into
+    // one aggregation — no joins, the one exchange is the final agg
+    "fmt_snapshot_changes" -> PlanShape(0, 0, 0, 0, 1),
+    "fmt_snapshot_skip" -> PlanShape(0, 0, 0, 0, 1),
     "graph_temporal_paths" -> PlanShape(0, 1, 0, 0, 4),
     "pipe_drift_chi2" -> PlanShape(1, 0, 2, 0, 6),
     "ann_ivfpq" -> PlanShape(1, 1, 3, 0, 6))
@@ -139,7 +143,11 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "graph_temporal_paths", "pipe_drift_chi2", "ann_ivfpq",
       // round-10 additions: the de-serialized shuffle ranks, the
       // composed governance pipeline, and the DSv2 snapshot read path
-      "pipe_shuffle_shard", "pipe_curate_v3", "fmt_snapshot_dsv2")
+      "pipe_shuffle_shard", "pipe_curate_v3", "fmt_snapshot_dsv2",
+      // round-10 session-2: the incremental file-level read and the
+      // stats-pruned ranged read (the stream sink gate is excluded like
+      // every stream query — building it runs a streaming query)
+      "fmt_snapshot_changes", "fmt_snapshot_skip")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

@@ -178,4 +178,91 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.currentSnapshot(spark, root) == 4L)
     assert(SnapshotTable.read(spark, root).count() == 2)
   }
+
+  test("changesBetween reads exactly the appended rows and refuses " +
+    "non-append ranges") {
+    import spark.implicits._
+    val root = tmpRoot()
+    SnapshotTable.commit(Seq(1L, 2L).toDF("k"), root) // v1
+    SnapshotTable.commit(Seq(3L).toDF("k"), root) // v2
+    SnapshotTable.commit(Seq(4L, 5L).toDF("k"), root) // v3
+    def ks(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    assert(ks(SnapshotTable.changesBetween(spark, root, 1L, 3L))
+      == Set(3L, 4L, 5L))
+    assert(ks(SnapshotTable.changesBetween(spark, root, 2L, 3L))
+      == Set(4L, 5L))
+    // fromId = 0 is "everything up to toId"
+    assert(ks(SnapshotTable.changesBetween(spark, root, 0L, 1L))
+      == Set(1L, 2L))
+    // an overwrite (compaction) inside the range rewrites the file set:
+    // the incremental read must refuse, not serve rewritten rows as new
+    SnapshotTable.commit(
+      SnapshotTable.read(spark, root).coalesce(1), root, overwrite = true)
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.changesBetween(spark, root, 1L, 4L)
+    }
+    assert(e.getMessage.contains("non-append snapshot v4"))
+    // but a range entirely after the compaction is fine again
+    SnapshotTable.commit(Seq(6L).toDF("k"), root) // v5
+    assert(ks(SnapshotTable.changesBetween(spark, root, 4L, 5L)) == Set(6L))
+  }
+
+  test("stats-bearing commits prune files exactly; readWhere stays exact " +
+    "with and without stats") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = spark.range(0L, 1000L).select(col("id").as("k"),
+      (col("id") % 7).as("v"))
+    SnapshotTable.commit(df.repartitionByRange(10, col("k")), root,
+      statsCol = Some("k"))
+    val (keptFiles, kept, total) =
+      SnapshotTable.pruneFiles(spark, root, 1L, "k", 100L, 199L)
+    assert(total == 10, s"expected 10 range files, got $total")
+    // a 100-wide range over 10 ~100-wide partitions touches at most 2
+    assert(kept <= 2 && kept >= 1, s"kept $kept of $total")
+    assert(keptFiles.size == kept)
+    val pruned = SnapshotTable.readWhere(spark, root, 1L, "k", 100L, 199L)
+    assert(pruned.count() == 100L)
+    assert(pruned.agg(sum(col("k"))).head().getLong(0)
+      == (100L to 199L).sum)
+    // stats survive appends verbatim: the old files keep pruning
+    SnapshotTable.commit(
+      spark.range(2000L, 2100L).select(col("id").as("k"),
+        lit(0L).as("v")).coalesce(1),
+      root, statsCol = Some("k"))
+    val (_, kept2, total2) =
+      SnapshotTable.pruneFiles(spark, root, 2L, "k", 2000L, 2050L)
+    assert(total2 == 11 && kept2 == 1, s"($kept2, $total2)")
+    // a stat-less commit is never pruned, and readWhere stays exact
+    val root2 = tmpRoot()
+    SnapshotTable.commit(df.repartition(4), root2)
+    val (_, kept3, total3) =
+      SnapshotTable.pruneFiles(spark, root2, 1L, "k", 100L, 199L)
+    assert(kept3 == total3, "stat-less files must never be pruned")
+    assert(SnapshotTable.readWhere(spark, root2, 1L, "k", 100L, 199L)
+      .count() == 100L)
+  }
+
+  test("string stats prune lexically; snapshot props round-trip " +
+    "URL-encoding") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val df = Seq("apple", "banana", "cherry", "melon", "peach", "plum")
+      .toDF("w")
+    SnapshotTable.commit(df.repartitionByRange(3, col("w")), root,
+      statsCol = Some("w"),
+      props = Map("writer" -> "spec run=1 k=v", "note" -> "a=b&c"))
+    val (_, kept, total) =
+      SnapshotTable.pruneFiles(spark, root, 1L, "w", "a", "b")
+    assert(total == 3 && kept < total, s"($kept, $total)")
+    val got = SnapshotTable.readWhere(spark, root, 1L, "w", "a", "bz")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("apple", "banana"))
+    val props = SnapshotTable.snapshotProps(spark, root, 1L)
+    assert(props == Map("writer" -> "spec run=1 k=v", "note" -> "a=b&c"))
+    // props are per-snapshot, not inherited by later commits
+    SnapshotTable.commit(Seq("quince").toDF("w"), root)
+    assert(SnapshotTable.snapshotProps(spark, root, 2L).isEmpty)
+  }
 }
