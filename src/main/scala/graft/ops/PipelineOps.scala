@@ -331,6 +331,87 @@ object PipelineOps {
     packSequences(sampled, PackBudget)
   }
 
+  /** Incremental curation on the snapshot layer — the operational form
+    * of [[curate]]'s gate+dedup stages at 100 TB, where re-curating the
+    * corpus for every arriving batch is the thing you must never do.
+    * The standing curated table lives in a [[graft.sources
+    * .SnapshotTable]]; when a delta arrives, the pipeline (1) quality-
+    * gates ONLY the delta (the gate is per-doc, so it commutes with the
+    * split), (2) drops delta docs whose text digest already exists in
+    * the curated table (incremental exact dedup — first arrival wins,
+    * by anti-join against the state, not by re-clustering history),
+    * (3) dedups within the delta (min-doc_id keeper), and (4) APPENDS
+    * the survivors as the next snapshot. The DuckDB oracle recomputes
+    * the whole thing from scratch with a first-arrival keeper rank —
+    * the hash gate is therefore the incremental-equals-batch proof,
+    * and `n_appended` (counted off [[graft.sources.SnapshotTable
+    * .changesBetween]], the incremental read of exactly the appended
+    * files) pins that the delta commit holds precisely the new docs.
+    *
+    * Scale: per increment the work is gate(|delta|) + one anti-join of
+    * the delta's digests against the curated digest column — shuffle
+    * bounded by |delta| + |state digests|; a production table would
+    * bucket by digest so the anti-join co-locates (and [[curate]]'s
+    * sampling/packing stages run downstream unchanged, as in the
+    * composed pipelines). Day split: doc_id % 5 == 0 plays the
+    * arriving batch.
+    */
+  /** One incremental-curation step against a standing curated
+    * [[graft.sources.SnapshotTable]] at `root`: quality-gate the
+    * arriving `delta` (doc_id, source, text), drop docs whose text
+    * digest already exists in the table (first arrival wins — an
+    * anti-join against state, never a re-cluster of history), dedup
+    * within the delta (min-doc_id keeper), APPEND the survivors as the
+    * next snapshot, and return its id. The first step against an empty
+    * table is the bootstrap — no state to join. [[curateIncremental]]
+    * gates the two-step form; `Round10Spec` proves a three-step run
+    * equals the from-scratch first-arrival batch recompute.
+    */
+  def curateStep(s: SparkSession, delta: DataFrame, root: String,
+      watermark: String): Long = {
+    import graft.sources.SnapshotTable
+    val gated = delta.join(
+      TextAnalysis.qualityScore(delta).filter(col("quality_points") >= 6),
+      "doc_id").select(col("doc_id"), col("source"), col("text"))
+    val fresh =
+      if (SnapshotTable.currentSnapshot(s, root) == 0L) gated
+      else {
+        val standing = SnapshotTable.read(s, root)
+          .select(md5(col("text")).as("__digest"))
+        gated.join(standing, md5(col("text")) === col("__digest"),
+          "left_anti")
+      }
+    val keeperW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val kept = fresh.withColumn("__rn", row_number().over(keeperW))
+      .filter(col("__rn") === 1).drop("__rn")
+    SnapshotTable.commit(kept, root, props = Map("watermark" -> watermark))
+  }
+
+  def curateIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    // fresh root per invocation: the curated table is the unit under
+    // test, so bench/verify re-runs must start empty, not append
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_curate_inc").toString + "/curated"
+    val docs = Tables.documents(s, dir)
+      .select("doc_id", "source", "text")
+    // the synthetic corpus has no exact text dups, so the arriving
+    // batch PLANTS them deterministically: every doc_id % 7 doc is
+    // re-submitted under a shifted id (a crawler re-fetch) — day-1
+    // originals must be dropped by the state anti-join, day-2 originals
+    // by the within-delta keeper; a broken drop path shifts sum_doc_id
+    // by the planted ids and fails the hash
+    val day2 = docs.filter(col("doc_id") % 5 === 0)
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    curateStep(s, docs.filter(col("doc_id") % 5 =!= 0), root, "day1")
+    val v2 = curateStep(s, day2, root, "day2")
+    val nAppended = SnapshotTable.changesBetween(s, root, v2 - 1, v2).count()
+    SnapshotTable.read(s, root).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+      .withColumn("n_appended", lit(nAppended))
+  }
+
   /** Fuzzy self-match: pairs of records whose names are within
     * `maxDist` edits — the entity-resolution primitive (merge variant
     * spellings before dedup). Blocking: levenshtein(a,b) >= |len(a) -
@@ -1061,6 +1142,7 @@ object PipelineOps {
     "pipe_stratified" -> (stratifiedQuery _),
     "pipe_pack" -> (packQuery _),
     "pipe_curate" -> (curate _),
+    "pipe_curate_incremental" -> (curateIncremental _),
     "pipe_fuzzy_match" -> (fuzzyQuery _)
   )
 
@@ -1383,6 +1465,54 @@ object PipelineOps {
         |  ((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // 2048)::BIGINT
         |    AS bin
         |FROM sampled""".stripMargin,
+    // from-scratch recomputation with a FIRST-ARRIVAL keeper (day1
+    // before day2, then doc_id) over the same arrival stream, planted
+    // re-fetches included: the incremental gate+state-anti-join+append
+    // path must land exactly here; n_appended = the day-2 keepers
+    "pipe_curate_incremental" ->
+      """WITH arrivals AS (
+        |  SELECT doc_id, source, text, 1 AS day
+        |  FROM documents WHERE doc_id % 5 != 0
+        |  UNION ALL
+        |  SELECT doc_id, source, text, 2
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, source, text, 2
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |base AS (
+        |  SELECT doc_id, source, text, day,
+        |    length(text)::BIGINT AS n_chars,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS n_punct,
+        |    len(regexp_extract_all(text,
+        |      '(?i)\b(the|a|an|of|and|or|to|in|is|it|that|this|for|on|with|as|at|by|be)\b'))::BIGINT AS n_stop
+        |  FROM arrivals),
+        |q AS (
+        |  SELECT doc_id, source, day, (
+        |    (CASE WHEN n_chars BETWEEN 200 AND 5000 THEN 3
+        |          WHEN n_chars >= 100 THEN 2
+        |          WHEN n_chars >= 20 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN n_tokens = 0 THEN 0
+        |          WHEN n_chars >= n_tokens * 3 AND n_chars < n_tokens * 9 THEN 3
+        |          WHEN n_chars >= n_tokens * 2 THEN 1 ELSE 0 END) +
+        |    (CASE WHEN n_punct * 10 <= n_chars THEN 3
+        |          WHEN n_punct * 4 <= n_chars THEN 1 ELSE 0 END) +
+        |    (CASE WHEN n_stop * 5 >= n_tokens THEN 3
+        |          WHEN n_stop * 20 >= n_tokens THEN 1 ELSE 0 END)) AS pts,
+        |    text
+        |  FROM base),
+        |good AS (SELECT doc_id, source, text, day FROM q WHERE pts >= 6),
+        |ranked AS (
+        |  SELECT doc_id, source, day,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY day, doc_id) AS rn
+        |  FROM good),
+        |kept AS (SELECT doc_id, source, day FROM ranked WHERE rn = 1)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(doc_id)::BIGINT AS sum_doc_id,
+        |  (SELECT count(*) FROM kept WHERE day = 2)::BIGINT AS n_appended
+        |FROM kept GROUP BY source""".stripMargin,
     "pipe_stratified" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

@@ -88,4 +88,43 @@ class Round10Spec extends SparkSpec {
     assert(!(b eq a), "clearShared must force a rebuilt frame")
     assert(b.collect().toSet == a.collect().toSet)
   }
+
+  test("curateStep over three increments equals the first-arrival batch " +
+      "recompute, and each append is exactly the step's survivors") {
+    import spark.implicits._
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_step").toString + "/curated"
+    // texts that clear the quality gate (length, stopword, punct bands)
+    // vs junk that fails it; duplicates planted across increments
+    def prose(tag: String) =
+      (s"the story of $tag is that it was good for all of them and " +
+        "then the end came to pass as it should in a town by the sea ") * 3
+    val b1 = Seq((10L, "s1", prose("alpha")), (11L, "s1", prose("beta")),
+      (12L, "s2", "xx")).toDF("doc_id", "source", "text")
+    val b2 = Seq((20L, "s2", prose("alpha")), // dup of doc 10 → dropped
+      (21L, "s2", prose("gamma")),
+      (22L, "s1", prose("gamma"))) // in-batch dup → min doc_id keeps 21
+      .toDF("doc_id", "source", "text")
+    val b3 = Seq((30L, "s3", prose("gamma")), // dup of kept 21 → dropped
+      (31L, "s3", prose("delta")),
+      (32L, "s3", "yy")).toDF("doc_id", "source", "text")
+    val ids = Seq(b1, b2, b3).zipWithIndex.map { case (b, i) =>
+      PipelineOps.curateStep(spark, b, root, s"w$i")
+    }
+    assert(ids == Seq(1L, 2L, 3L))
+    val got = SnapshotTable.read(spark, root).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // first-arrival truth: 10, 11 (batch 1), 21 (batch 2), 31 (batch 3)
+    assert(got == Set(10L, 11L, 21L, 31L))
+    // each step's append holds exactly its survivors
+    def added(v: Long) = SnapshotTable.changesBetween(spark, root, v - 1, v)
+      .collect().map(_.getLong(0)).toSet
+    assert(added(1L) == Set(10L, 11L))
+    assert(added(2L) == Set(21L))
+    assert(added(3L) == Set(31L))
+    // watermarks recorded per step
+    assert(SnapshotTable.snapshotProps(spark, root, 3L)
+      == Map("watermark" -> "w2"))
+  }
 }
