@@ -551,9 +551,49 @@ object FormatQueries {
       .withColumn("pruned_some", lit(if (kept < total) 1L else 0L))
   }
 
+  /** Copy-on-write MERGE through the manifest's stats index
+    * ([[graft.sources.SnapshotTable.merge]]): commit orders
+    * range-clustered on `o_orderkey` with per-file stats, then upsert a
+    * batch that UPDATES a contiguous key band (prices +500) and INSERTS
+    * keys beyond the table's range. Only files whose stats band
+    * intersects an update key are rewritten — everything else is
+    * carried verbatim — and the hash gate proves the merged table
+    * equals the SQL merge truth while `n_v1` pins that time travel to
+    * the pre-merge snapshot still works (a merge rewrites the PRESENT,
+    * never history). At 100 TB the rewrite IO is touched files + the
+    * delta, never the table; exact touched/carried counts are
+    * spec-locked (`SnapshotTableSpec`).
+    */
+  def snapshotMerge(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_merge")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val v1 = SnapshotTable.commit(
+      o.repartitionByRange(16, col("o_orderkey")), root,
+      statsCol = Some("o_orderkey"))
+    val updates = o.filter(col("o_orderkey").between(1000, 3000))
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      .unionByName(o.filter(col("o_orderkey") < 500)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    val (v2, nRewritten, nCarried) =
+      SnapshotTable.merge(updates, root, "o_orderkey")
+    val merged = SnapshotTable.readAt(s, root, v2)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_merged"),
+        money(sum(col("o_totalprice"))).as("total_merged"),
+        sum(col("o_orderkey")).as("okey_merged"))
+    val preMerge = SnapshotTable.readAt(s, root, v1)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_v1"))
+    merged.join(preMerge, "o_orderstatus")
+      .withColumn("pruned_some", lit(if (nCarried > nRewritten) 1L else 0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fmt_snapshot_changes" -> (snapshotChanges _),
     "fmt_snapshot_skip" -> (snapshotSkip _),
+    "fmt_snapshot_merge" -> (snapshotMerge _),
     "fmt_snapshot_isolation" -> (snapshotIsolation _),
     "fmt_snapshot_expire" -> (snapshotExpire _),
     "fmt_snapshot_dsv2" -> (snapshotDsv2 _),
@@ -605,6 +645,33 @@ object FormatQueries {
         |  sum(o_orderkey)::BIGINT AS okey_changed,
         |  1::BIGINT AS nonappend_refused
         |FROM changed GROUP BY 1""".stripMargin,
+    // SQL merge truth: stored rows outside the updated key band, plus
+    // the updated band at +500, plus the inserted beyond-range keys;
+    // n_v1 pins pre-merge time travel, the prune flag that the stats
+    // index left most files untouched
+    "fmt_snapshot_merge" ->
+      """WITH up AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 500.0 AS p
+        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey < 500),
+        |merged AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 3000
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey, p FROM up),
+        |m AS (
+        |  SELECT o_orderstatus, count(*)::BIGINT AS n_merged,
+        |    round(sum(p), 2) AS total_merged,
+        |    sum(o_orderkey)::BIGINT AS okey_merged
+        |  FROM merged GROUP BY 1),
+        |v1 AS (
+        |  SELECT o_orderstatus, count(*)::BIGINT AS n_v1
+        |  FROM orders GROUP BY 1)
+        |SELECT m.o_orderstatus, m.n_merged, m.total_merged,
+        |  m.okey_merged, v1.n_v1, 1::BIGINT AS pruned_some
+        |FROM m JOIN v1 USING (o_orderstatus)""".stripMargin,
     // the pruned ranged read must equal the plain filter on the
     // original table (prune sound + residual filter exact); the audit
     // flag pins that the index actually dropped files

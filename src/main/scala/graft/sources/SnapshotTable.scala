@@ -137,6 +137,25 @@ object SnapshotTable {
       expectedBase: Option[Long] = None, statsCol: Option[String] = None,
       props: Map[String, String] = Map.empty): Long = {
     val s = df.sparkSession
+    val prev = expectedBase.getOrElse(currentSnapshot(s, root))
+    // appends carry the previous snapshot's entry lines VERBATIM so
+    // earlier commits' stats survive without recomputation
+    val carried =
+      if (overwrite || prev == 0L) Seq.empty[String]
+      else entryLines(s, root, prev)
+    commitWithCarried(df, root, carried, prev, statsCol, props)
+  }
+
+  /** The commit core: write `df`'s files, then publish a manifest of
+    * `carried` entry lines (kept VERBATIM — paths and stats untouched)
+    * plus the new files' entries, as snapshot `prev + 1`. [[commit]]
+    * carries all-or-none of the previous snapshot; [[merge]] carries
+    * exactly the untouched files.
+    */
+  private def commitWithCarried(df: DataFrame, root: String,
+      carried: Seq[String], prev: Long, statsCol: Option[String],
+      props: Map[String, String]): Long = {
+    val s = df.sparkSession
     val rootP = new Path(root)
     val fs = fsOf(s, rootP)
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -167,12 +186,7 @@ object SnapshotTable {
         }
       }
     }
-    val prev = expectedBase.getOrElse(currentSnapshot(s, root))
-    // appends carry the previous snapshot's entry lines VERBATIM so
-    // earlier commits' stats survive without recomputation
-    val files =
-      (if (overwrite || prev == 0L) Seq.empty
-       else entryLines(s, root, prev)) ++ movedEntries
+    val files = carried ++ movedEntries
     val id = prev + 1
     // manifest content first to a temp name, then the atomic rename that
     // IS the commit; a taken name means a concurrent writer won the race
@@ -391,5 +405,80 @@ object SnapshotTable {
     val added = fileList(s, root, toId).filterNot(base)
     if (added.isEmpty) readAt(s, root, toId).limit(0)
     else s.read.parquet(added.map(f => s"$root/$f"): _*)
+  }
+
+  /** Copy-on-write MERGE (upsert) by `keyCol`: rows of `updates` whose
+    * key exists in the table REPLACE the stored row; new keys are
+    * inserted. Only files that can contain an updated key are
+    * rewritten — decided from the MANIFEST's stats fields alone (a file
+    * is touched iff some update key falls in its [min, max]; stat-less
+    * files are conservatively rewritten) — every other file is carried
+    * into the new manifest VERBATIM, stats included. The rewrite is
+    * `touched-files anti-join update-keys` plus the updates themselves;
+    * old snapshots still see the pre-merge files (time travel is
+    * unaffected; vacuum reclaims them later), and the commit pins
+    * `expectedBase` so a racing writer fails loudly.
+    *
+    * Returns (new snapshot id, files rewritten, files carried).
+    *
+    * Contract: `updates`' DISTINCT keys are collected to the driver to
+    * drive the per-file pruning — the updates batch is the SMALL side
+    * of a merge (the delta), which is what makes copy-on-write merge
+    * cheap at 100 TB: IO = touched files + delta, never the table. A
+    * merge whose keys genuinely don't fit driver memory wants the
+    * per-file range-join form of the same pruning (the stats fields
+    * support it — nothing in the manifest format would change).
+    * Because a merge rewrites history, [[changesBetween]] ranges that
+    * cross it refuse, by design.
+    */
+  def merge(updates: DataFrame, root: String,
+      keyCol: String): (Long, Int, Int) = {
+    val s = updates.sparkSession
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"merge into empty table $root: commit first")
+    val entries = entryLines(s, root, cur)
+    val keys: Array[Any] = updates.select(keyCol).distinct()
+      .collect().map(_.get(0))
+    require(keys.nonEmpty, "merge with an empty updates batch")
+    // typed sorted key array for the per-file containment probe
+    def anyKeyIn(tag: String, mn: String, mx: String): Boolean = tag match {
+      case "i" =>
+        val sorted = keys.map(_.asInstanceOf[Number].longValue).sorted
+        val lo = mn.toLong; val hi = mx.toLong
+        val i = java.util.Arrays.binarySearch(sorted, lo)
+        val at = if (i >= 0) i else -i - 1
+        at < sorted.length && sorted(at) <= hi
+      case "d" =>
+        val sorted = keys.map(_.asInstanceOf[Number].doubleValue).sorted
+        val lo = mn.toDouble; val hi = mx.toDouble
+        val i = java.util.Arrays.binarySearch(sorted, lo)
+        val at = if (i >= 0) i else -i - 1
+        at < sorted.length && sorted(at) <= hi
+      case _ =>
+        val sorted = keys.map(_.toString).sorted
+        val at = {
+          val i = java.util.Arrays.binarySearch(
+            sorted.asInstanceOf[Array[AnyRef]], mn)
+          if (i >= 0) i else -i - 1
+        }
+        at < sorted.length && sorted(at) <= mx
+    }
+    val (touched, carried) = entries.partition { line =>
+      line.split("\t", -1) match {
+        case Array(_, c, tag, mn, mx) if dec(c) == keyCol =>
+          anyKeyIn(tag, dec(mn), dec(mx))
+        case _ => true // no usable stats → conservatively rewrite
+      }
+    }
+    import org.apache.spark.sql.functions.col
+    val survivors =
+      if (touched.isEmpty) updates.limit(0)
+      else s.read.parquet(
+          touched.map(l => s"$root/${l.split("\t", -1)(0)}"): _*)
+        .join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
+          "left_anti")
+    val id = commitWithCarried(survivors.unionByName(updates), root,
+      carried, cur, Some(keyCol), Map("merge.key" -> keyCol))
+    (id, touched.size, carried.size)
   }
 }
