@@ -355,17 +355,34 @@ object PipelineOps {
     * sampling/packing stages run downstream unchanged, as in the
     * composed pipelines). Day split: doc_id % 5 == 0 plays the
     * arriving batch.
+    *
+    * The anti-join reads the table's PERSISTED `digest` column
+    * ([[standingDigests]]) — committed by [[curateStep]] alongside the
+    * survivors — so no increment ever re-reads or re-hashes the
+    * standing corpus's text bytes.
     */
   /** One incremental-curation step against a standing curated
     * [[graft.sources.SnapshotTable]] at `root`: quality-gate the
     * arriving `delta` (doc_id, source, text), drop docs whose text
     * digest already exists in the table (first arrival wins — an
     * anti-join against state, never a re-cluster of history), dedup
-    * within the delta (min-doc_id keeper), APPEND the survivors as the
-    * next snapshot, and return its id. The first step against an empty
-    * table is the bootstrap — no state to join. [[curateIncremental]]
-    * gates the two-step form; `Round10Spec` proves a three-step run
-    * equals the from-scratch first-arrival batch recompute.
+    * within the delta (min-doc_id keeper), APPEND the survivors — WITH
+    * their digest as a stored column — as the next snapshot, and
+    * return its id. The first step against an empty table is the
+    * bootstrap — no state to join. [[curateIncremental]] gates the
+    * two-step form; `Round10Spec` proves a three-step run equals the
+    * from-scratch first-arrival batch recompute.
+    *
+    * Cost per increment: gate(|delta|) + one anti-join of the delta's
+    * digests against [[standingDigests]] — the PERSISTED `digest`
+    * column, a narrow columnar scan that never touches the standing
+    * corpus's `text` bytes (parquet column pruning skips the text
+    * pages entirely). The digest is computed ONCE, at commit time, on
+    * exactly the rows that survive; it is never re-derived from state.
+    * At 100 TB that is the difference between O(|delta| + |state
+    * digests|) and re-reading the corpus per arriving batch.
+    * `CurateStateSpec` locks the state read's schema to the digest
+    * column alone.
     */
   def curateStep(s: SparkSession, delta: DataFrame, root: String,
       watermark: String): Long = {
@@ -373,19 +390,22 @@ object PipelineOps {
     val gated = delta.join(
       TextAnalysis.qualityScore(delta).filter(col("quality_points") >= 6),
       "doc_id").select(col("doc_id"), col("source"), col("text"))
+      .withColumn("digest", md5(col("text")))
     val fresh =
       if (SnapshotTable.currentSnapshot(s, root) == 0L) gated
-      else {
-        val standing = SnapshotTable.read(s, root)
-          .select(md5(col("text")).as("__digest"))
-        gated.join(standing, md5(col("text")) === col("__digest"),
-          "left_anti")
-      }
-    val keeperW = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      else gated.join(standingDigests(s, root), Seq("digest"), "left_anti")
+    val keeperW = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
     val kept = fresh.withColumn("__rn", row_number().over(keeperW))
       .filter(col("__rn") === 1).drop("__rn")
     SnapshotTable.commit(kept, root, props = Map("watermark" -> watermark))
   }
+
+  /** The standing curated table's dedup state: the stored `digest`
+    * column, nothing else. Schema = (digest) by construction — the
+    * spec-locked contract that keeps [[curateStep]]'s anti-join narrow.
+    */
+  def standingDigests(s: SparkSession, root: String): DataFrame =
+    graft.sources.SnapshotTable.read(s, root).select("digest")
 
   def curateIncremental(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.SnapshotTable

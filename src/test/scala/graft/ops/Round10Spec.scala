@@ -119,7 +119,7 @@ class Round10Spec extends SparkSpec {
     assert(got == Set(10L, 11L, 21L, 31L))
     // each step's append holds exactly its survivors
     def added(v: Long) = SnapshotTable.changesBetween(spark, root, v - 1, v)
-      .collect().map(_.getLong(0)).toSet
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(added(1L) == Set(10L, 11L))
     assert(added(2L) == Set(21L))
     assert(added(3L) == Set(31L))
