@@ -295,6 +295,41 @@ object OpScaleProbe {
         graft.ops.MlOps.knnClassify(scaled,
           holdout = graft.ops.MlOps.KnnHoldout * k)
       }
+      // round-11. Copy-on-write merge, both pruning forms, with the
+      // TABLE FIXED and the DELTA growing xk (keys spread across the
+      // whole key range, so the touched-file set saturates immediately
+      // and the curve isolates the delta-dependent cost): the collect
+      // form ships every distinct key to the driver, the join form
+      // range-joins keys against the broadcast per-file stats frame —
+      // both must stay ~flat because merge cost is touched-files +
+      // delta, never delta-squared; the join form additionally holds
+      // driver memory at O(files) whatever k does.
+      if (wanted("snap_merge")) {
+        import graft.sources.SnapshotTable
+        Seq(
+          ("collect", (u: DataFrame, r: String) =>
+            SnapshotTable.merge(u, r, "o_orderkey")),
+          ("join", (u: DataFrame, r: String) =>
+            SnapshotTable.mergeLarge(u, r, "o_orderkey"))
+        ).foreach { case (tag, doMerge) =>
+          val root = java.nio.file.Files
+            .createTempDirectory(s"graft_snapm_${tag}_x$k").toString + "/t"
+          val base = ordBase
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          SnapshotTable.commit(
+            base.repartitionByRange(16, col("o_orderkey")), root,
+            statsCol = Some("o_orderkey"))
+          val updates = base
+            .filter(col("o_orderkey") % lit(math.max(1200 / k, 1)) === 0)
+            .withColumn("o_totalprice", lit(0.0))
+          val t0 = System.nanoTime()
+          val (_, touched, carried) = doMerge(updates, root)
+          val dt = (System.nanoTime() - t0) / 1e9
+          println(f"snap_merge_$tag%-13s x$k $dt%8.1f s " +
+            s"touched=$touched carried=$carried")
+          spark.sharedState.cacheManager.clearCache()
+        }
+      }
     }
     spark.stop()
   }

@@ -248,6 +248,12 @@ object PipelineOps {
     * the identical plan holds on 100 TB with shards sized to the
     * cluster. Integer `div` (not float floor) keeps bins exact past
     * 2^53 cumulative tokens.
+    *
+    * Cache contract: the 2-col `base` projection pins under the suite's
+    * documented per-query hygiene (Verify/Bench clear the SQL cache
+    * after every query); a long-lived session embedding this operator
+    * owns the unpersist of that frame once the result is consumed —
+    * same contract as [[curateV3]]'s pinned stages.
     */
   def packSequences(docs: DataFrame, budget: Long,
       shards: Int = PackShards): DataFrame = {
@@ -561,6 +567,12 @@ object PipelineOps {
     * single-partition sort; the serial piece is O(ranges × shards), so
     * the identical plan holds on 100 TB with ranges sized to the
     * cluster.
+    *
+    * Cache contract: the 3-col `base` projection pins under the suite's
+    * documented per-query hygiene (Verify/Bench clear the SQL cache
+    * after every query); a long-lived session embedding this operator
+    * owns the unpersist of that frame once the result is consumed —
+    * same contract as [[curateV3]]'s pinned stages.
     */
   val ShuffleShards = 8
   val RankShards = 32

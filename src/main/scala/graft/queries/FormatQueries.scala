@@ -590,7 +590,190 @@ object FormatQueries {
       .withColumn("pruned_some", lit(if (nCarried > nRewritten) 1L else 0L))
   }
 
+  /** Row-level change feed across a MERGE
+    * ([[graft.sources.SnapshotTable.changeFeed]] /
+    * [[graft.sources.SnapshotTable.applyChanges]]): commit v1, append
+    * v2, MERGE v3 — then a consumer pinned at v1 catches up by folding
+    * the change feed (append rows as op `A`; the merge's recorded
+    * change frame, op `U` replaced / `I` inserted) over its state
+    * instead of re-baselining with a full-table read. The hash gate
+    * proves the folded state equals the direct post-merge truth (the
+    * oracle recomputes it from the orders table); the op-count audit
+    * columns pin that the merge's frame recorded exactly the updated
+    * band as U and the beyond-range inserts as I. At 100 TB the feed
+    * is delta-priced — the merge already materialized those rows.
+    */
+  def snapshotCdf(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_cdf")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SnapshotTable.commit(o.repartitionByRange(16, col("o_orderkey")), root,
+      statsCol = Some("o_orderkey")) // v1
+    SnapshotTable.commit( // v2: append batch
+      o.filter(col("o_orderkey") % 10 <= 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0),
+      root, statsCol = Some("o_orderkey"))
+    val updates = o.filter(col("o_orderkey").between(1000, 3000))
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      .unionByName(o.filter(col("o_orderkey") < 500)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    val (v3, _, _) = SnapshotTable.merge(updates, root, "o_orderkey")
+    val feed = SnapshotTable.changeFeed(s, root, 1L, v3)
+    val folded = SnapshotTable.applyChanges(
+      SnapshotTable.readAt(s, root, 1L), feed, "o_orderkey")
+    val opCounts = feed.filter(col("_commit") === v3).agg(
+      sum(when(col("_op") === "U", 1L).otherwise(0L)).as("n_replaced"),
+      sum(when(col("_op") === "I", 1L).otherwise(0L)).as("n_inserted"))
+    folded.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_fold"),
+        money(sum(col("o_totalprice"))).as("total_fold"),
+        sum(col("o_orderkey")).as("okey_fold"))
+      .crossJoin(broadcast(opCounts))
+  }
+
+  /** Schema evolution THROUGH the snapshot layer: gen-1 commits orders
+    * without `o_orderpriority`, gen-2 appends it — the recorded schema
+    * evolves by name ([[graft.sources.SnapshotTable.mergeSchemas]]),
+    * gen-1 files read the new column as NULL deterministically, and
+    * time travel to v1 sees v1's OWN two-column schema. Read back
+    * through BOTH the library and the `graft-snap` DSv2 connector
+    * (`SnapshotSource` pins the stored schema into Spark's parquet
+    * FileTable, so no footer sampling decides what a mixed-schema
+    * manifest means) — the gate hash-checks both against one oracle
+    * derivation. At 100 TB: schema is O(1) manifest metadata, never a
+    * mergeSchema scan of every footer.
+    */
+  def snapshotEvolve(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_evolve")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+    SnapshotTable.commit( // v1: pre-evolution schema, even keys
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice"), root)
+    SnapshotTable.commit( // v2: appends the o_orderpriority column
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+          "o_orderpriority"), root)
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.withColumn("priority",
+          coalesce(col("o_orderpriority"), lit("<pre-evolution>")))
+        .groupBy("priority")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          money(sum(col("o_totalprice"))).as(s"total_$tag"),
+          sum(col("o_orderkey")).as(s"okey_$tag"))
+    val nV1 = SnapshotTable.readAt(s, root, 1L)
+      .agg(count(lit(1)).as("n_v1"))
+    agg(SnapshotTable.read(s, root), "lib")
+      .join(agg(s.read.format("graft-snap").load(root), "dsv2"), "priority")
+      .crossJoin(broadcast(nV1))
+  }
+
+  /** Manifest row counts → COUNT(*) pushdown
+    * ([[graft.sources.SnapshotTable.rowCount]]): every commit records
+    * each file's parquet-footer row count as a manifest `rc=` field
+    * (carried VERBATIM by later commits), so a bare COUNT(*) over any
+    * snapshot is driver arithmetic over one manifest read — ZERO data
+    * files opened at any table size (`SnapshotRound11Spec` proves it by
+    * answering with the data directory deleted). The oracle counts the
+    * same logical content from the source table.
+    */
+  def snapshotCount(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_count")
+    graft.tera.TeraIO.delete(s, root)
+    val li = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity")
+    SnapshotTable.commit(li.repartition(8), root) // v1
+    SnapshotTable.commit(li.filter(col("l_orderkey") % 10 === 0), root) // v2
+    val cur = SnapshotTable.currentSnapshot(s, root)
+    val n = SnapshotTable.rowCount(s, root, cur).getOrElse(
+      sys.error("manifest row counts missing"))
+    val nV1 = SnapshotTable.rowCount(s, root, 1L).getOrElse(-1L)
+    s.range(1).select(lit(n).as("n_rows"), lit(nV1).as("n_rows_v1"),
+      lit(1L).as("from_manifest"))
+  }
+
+  /** The DSv2 WRITE path (`df.write.format("graft-snap")`,
+    * [[graft.sources.SnapshotSource]]): bootstrap the table with a
+    * plain DataFrame append (empty root → v1 from the data's schema),
+    * append v2, then compact as a DSv2 overwrite with
+    * `option("statsCol", …)` flowing into the skipping index — all
+    * three are real atomic snapshot commits (claim + no-clobber
+    * rename), no library call anywhere. The gate reads the result back
+    * through the connector against the oracle's derivation; audit
+    * columns pin the snapshot count and that the overwrite's files
+    * carry a working stats index.
+    */
+  def snapshotWrite(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_write")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    o.write.format("graft-snap").mode("append").save(root) // v1: bootstrap
+    o.filter(col("o_orderkey") % 10 <= 2) // v2: append
+      .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+      .write.format("graft-snap").mode("append").save(root)
+    SnapshotTable.read(s, root) // v3: compaction as a DSv2 overwrite
+      .repartitionByRange(8, col("o_orderkey"))
+      .write.format("graft-snap").mode("overwrite")
+      .option("statsCol", "o_orderkey").save(root)
+    val (_, kept, total) =
+      SnapshotTable.pruneFiles(s, root, 3L, "o_orderkey", 1000L, 2000L)
+    s.read.format("graft-snap").load(root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_cur"),
+        money(sum(col("o_totalprice"))).as("total_cur"),
+        sum(col("o_orderkey")).as("okey_cur"))
+      .withColumn("n_snapshots",
+        lit(SnapshotTable.currentSnapshot(s, root)))
+      .withColumn("pruned_some", lit(if (kept < total) 1L else 0L))
+  }
+
+  /** [[graft.sources.SnapshotTable.mergeLarge]] — the big-delta merge
+    * whose touched-file pruning is a range JOIN against the manifest
+    * stats frame (update keys never collected to the driver) — run on
+    * the exact fixture of `fmt_snapshot_merge` and hash-gated against
+    * the SAME oracle: the two merge forms are interchangeable by
+    * construction (`SnapshotRound11Spec` additionally proves the
+    * touched/carried splits identical). This is the form a 100 TB
+    * merge with a billion-key delta uses.
+    */
+  def snapshotMergeLarge(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_merge_lg")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val v1 = SnapshotTable.commit(
+      o.repartitionByRange(16, col("o_orderkey")), root,
+      statsCol = Some("o_orderkey"))
+    val updates = o.filter(col("o_orderkey").between(1000, 3000))
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      .unionByName(o.filter(col("o_orderkey") < 500)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L))
+    val (v2, nRewritten, nCarried) =
+      SnapshotTable.mergeLarge(updates, root, "o_orderkey")
+    val merged = SnapshotTable.readAt(s, root, v2)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_merged"),
+        money(sum(col("o_totalprice"))).as("total_merged"),
+        sum(col("o_orderkey")).as("okey_merged"))
+    val preMerge = SnapshotTable.readAt(s, root, v1)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_v1"))
+    merged.join(preMerge, "o_orderstatus")
+      .withColumn("pruned_some", lit(if (nCarried > nRewritten) 1L else 0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_snapshot_cdf" -> (snapshotCdf _),
+    "fmt_snapshot_evolve" -> (snapshotEvolve _),
+    "fmt_snapshot_count" -> (snapshotCount _),
+    "fmt_snapshot_write" -> (snapshotWrite _),
+    "fmt_snapshot_merge_large" -> (snapshotMergeLarge _),
     "fmt_snapshot_changes" -> (snapshotChanges _),
     "fmt_snapshot_skip" -> (snapshotSkip _),
     "fmt_snapshot_merge" -> (snapshotMerge _),
@@ -630,6 +813,95 @@ object FormatQueries {
     * is correct iff it is invisible to the aggregate.
     */
   val oracles: Map[String, String] = Map(
+    // the folded consumer state = (v1 ∪ v2 appends) with the updated
+    // band replaced and the beyond-range keys inserted — the direct
+    // post-merge truth; the op counts are the band/insert cardinalities
+    "fmt_snapshot_cdf" ->
+      """WITH allrows AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice AS p FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice + 100.0
+        |  FROM orders WHERE o_orderkey % 10 <= 2),
+        |up AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice + 500.0 AS p
+        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey + 10000000, o_totalprice
+        |  FROM orders WHERE o_orderkey < 500),
+        |fin AS (
+        |  SELECT * FROM allrows WHERE o_orderkey NOT BETWEEN 1000 AND 3000
+        |  UNION ALL SELECT * FROM up)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_fold,
+        |  round(sum(p), 2) AS total_fold,
+        |  sum(o_orderkey)::BIGINT AS okey_fold,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey BETWEEN 1000 AND 3000)::BIGINT AS n_replaced,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey < 500)::BIGINT AS n_inserted
+        |FROM fin GROUP BY 1""".stripMargin,
+    // even keys predate the column (NULL → the sentinel bucket); the
+    // library and DSv2 reads must agree with the one derivation, and
+    // v1's time travel count is the even-key cardinality
+    "fmt_snapshot_evolve" ->
+      """WITH cur AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
+        |    ELSE o_orderpriority END AS priority,
+        |    o_totalprice AS p, o_orderkey AS k FROM orders)
+        |SELECT priority, count(*)::BIGINT AS n_lib,
+        |  round(sum(p), 2) AS total_lib, sum(k)::BIGINT AS okey_lib,
+        |  count(*)::BIGINT AS n_dsv2,
+        |  round(sum(p), 2) AS total_dsv2, sum(k)::BIGINT AS okey_dsv2,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey % 2 = 0)::BIGINT AS n_v1
+        |FROM cur GROUP BY 1""".stripMargin,
+    // the manifest-only count must equal the true row count of both
+    // committed batches; from_manifest is a protocol constant
+    "fmt_snapshot_count" ->
+      """SELECT
+        |  (SELECT count(*) FROM lineitem)::BIGINT +
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_orderkey % 10 = 0)::BIGINT AS n_rows,
+        |  (SELECT count(*) FROM lineitem)::BIGINT AS n_rows_v1,
+        |  1::BIGINT AS from_manifest""".stripMargin,
+    // after bootstrap + append + compacting overwrite, the current
+    // content is the v2 logical table; the audit constants pin three
+    // snapshots and a working stats index on the overwrite's files
+    "fmt_snapshot_write" ->
+      """WITH v2rows AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice + 100.0
+        |  FROM orders WHERE o_orderkey % 10 <= 2)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_cur,
+        |  round(sum(o_totalprice), 2) AS total_cur,
+        |  sum(o_orderkey)::BIGINT AS okey_cur,
+        |  3::BIGINT AS n_snapshots, 1::BIGINT AS pruned_some
+        |FROM v2rows GROUP BY 1""".stripMargin,
+    // mergeLarge shares fmt_snapshot_merge's fixture AND truth: the
+    // two pruning forms must be observationally identical
+    "fmt_snapshot_merge_large" ->
+      """WITH up AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 500.0 AS p
+        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey < 500),
+        |merged AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice AS p
+        |  FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 3000
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey, p FROM up),
+        |m AS (
+        |  SELECT o_orderstatus, count(*)::BIGINT AS n_merged,
+        |    round(sum(p), 2) AS total_merged,
+        |    sum(o_orderkey)::BIGINT AS okey_merged
+        |  FROM merged GROUP BY 1),
+        |v1 AS (
+        |  SELECT o_orderstatus, count(*)::BIGINT AS n_v1
+        |  FROM orders GROUP BY 1)
+        |SELECT m.o_orderstatus, m.n_merged, m.total_merged,
+        |  m.okey_merged, v1.n_v1, 1::BIGINT AS pruned_some
+        |FROM m JOIN v1 USING (o_orderstatus)""".stripMargin,
     // the incremental read between v1 and v3 is exactly the two derived
     // append batches; the refusal flag is a protocol constant (the
     // overwrite v4 invalidates file-level incremental reads, loudly)

@@ -3,59 +3,158 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.connector.catalog.{Table, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** SQL/DataFrame-reader surface for [[SnapshotTable]] — time travel
+/** SQL/DataFrame surface for [[SnapshotTable]] — the snapshot protocol
   * without the library API:
   *
   * {{{
   * spark.read.format("graft-snap").load(root)                  // current
   * spark.read.format("graft-snap").option("snapshot", 3).load(root)
+  * df.write.format("graft-snap").mode("append").save(root)     // commit
+  * df.write.format("graft-snap").mode("overwrite")             // rewrite
+  *   .option("statsCol", "o_orderkey").save(root)
   * }}}
   *
-  * The provider resolves the manifest ONCE at table-creation time (the
-  * pinning contract: later commits never change what this frame sees)
-  * and hands the resolved file list to Spark's own parquet `FileTable`
-  * — so the scan is the stock vectorized parquet scan with filter/
-  * column pushdown, partition planning, and whole-stage codegen; the
-  * snapshot layer contributes exactly what it should, file pruning, and
-  * nothing else. At 100 TB this is one manifest read of metadata on the
-  * driver; no directory listing of `data/` ever happens.
+  * READ: the provider resolves the manifest ONCE per load (the pinning
+  * contract: `inferSchema` and `getTable` see the SAME snapshot even if
+  * a commit lands between them — the resolved id/file list/schema are
+  * cached on the provider instance, which Spark creates fresh per load)
+  * and hands the file list to Spark's own parquet `FileTable` under the
+  * snapshot's RECORDED schema — so the scan is the stock vectorized
+  * parquet scan with filter/column pushdown and whole-stage codegen,
+  * mixed-schema file sets read deterministically (missing → NULL), and
+  * the snapshot layer contributes exactly what it should — the file
+  * list — and nothing else. At 100 TB this is one manifest read of
+  * metadata on the driver; no directory listing of `data/` ever
+  * happens. An unknown or expired snapshot id fails at load() time.
   *
-  * An unknown or expired snapshot id fails at load() time with the
-  * [[SnapshotTable.fileList]] error, not with an empty scan.
+  * WRITE: the standard DSv2 V1Write bridge (the same one Spark's JDBC
+  * connector uses) maps `mode("append")` to [[SnapshotTable.commit]]
+  * (append) and `mode("overwrite")` to an overwrite commit — SQL and
+  * DataFrame users get the atomic table-version commit, conflict
+  * detection, carried stats, and the skipping index (`statsCol`
+  * option) without touching the library. Writing to an EMPTY root is
+  * bootstrapped from the data's own schema.
   */
 class SnapshotSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-snap"
 
-  private def resolvedTable(options: CaseInsensitiveStringMap): ParquetTable = {
-    val root = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft-snap: .load(<table root>) is required"))
-    val spark = SparkSession.active
-    val id = Option(options.get("snapshot")).map(_.toLong)
-      .getOrElse(SnapshotTable.currentSnapshot(spark, root))
-    val files = SnapshotTable.fileList(spark, root, id).map(f => s"$root/$f")
-    ParquetTable(s"graft-snap $root@v$id", spark, options, files,
-      userSpecifiedSchema = None, classOf[ParquetFileFormat])
+  override def supportsExternalMetadata(): Boolean = true
+
+  import SnapshotSource.Pinned
+
+  // the resolve-once pin: one manifest resolution per provider instance
+  // (Spark instantiates one per read/write), shared by inferSchema and
+  // getTable so a commit landing between the two cannot split the
+  // schema and the file list across different snapshots
+  private var pinned: Option[Pinned] = None
+
+  private def resolve(options: CaseInsensitiveStringMap): Pinned =
+    synchronized {
+      val root = Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException(
+          "graft-snap: .load(<table root>) / .save(<table root>) is required"))
+      val snapOpt = Option(options.get("snapshot"))
+      pinned match {
+        case Some(p) if p.root == root && p.snapOpt == snapOpt => p
+        case _ =>
+          val spark = SparkSession.active
+          val id = snapOpt.map(_.toLong)
+            .getOrElse(SnapshotTable.currentSnapshot(spark, root))
+          val p =
+            if (id == 0L) Pinned(root, snapOpt, 0L, Seq.empty, None)
+            else Pinned(root, snapOpt, id,
+              SnapshotTable.fileList(spark, root, id).map(f => s"$root/$f"),
+              SnapshotTable.storedSchema(spark, root, id))
+          pinned = Some(p)
+          p
+      }
+    }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val p = resolve(options)
+    p.schema.getOrElse {
+      if (p.files.isEmpty) new StructType() // empty table: a write will
+      // bootstrap from the data's schema; a read fails in the scan
+      else ParquetTable(s"graft-snap ${p.root}@v${p.id}",
+        SparkSession.active, options, p.files,
+        userSpecifiedSchema = None, classOf[ParquetFileFormat]).schema
+    }
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolvedTable(options).schema
-
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    resolvedTable(new CaseInsensitiveStringMap(properties))
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val p = resolve(options)
+    new SnapshotSourceTable(p.root, p.id, p.files, schema, options)
+  }
+}
+
+/** The resolved table: reads delegate to Spark's parquet `FileTable`
+  * over the pinned file list under the pinned schema; writes go through
+  * the V1Write bridge straight to [[SnapshotTable.commit]].
+  */
+private[sources] class SnapshotSourceTable(root: String, id: Long,
+    files: Seq[String], tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+
+  override def name(): String = s"graft-snap $root@v$id"
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      // BATCH_WRITE routes DataFrameWriter down the V2 path; the
+      // V1_BATCH_WRITE marker then lets the planner execute our
+      // V1Write bridge (AppendDataExecV1 / OverwriteByExpressionExecV1)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
+    require(files.nonEmpty,
+      s"graft-snap: table at $root is empty (no committed snapshot); " +
+        "write one first")
+    // honor the resolved schema: the pinned stored schema (or the
+    // user-supplied one) flows to the parquet table, never re-inferred
+    ParquetTable(name(), SparkSession.active, options, files,
+      userSpecifiedSchema = Some(tableSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(opts)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+              SnapshotTable.commit(data, root,
+                overwrite = overwrite || overwriteFlag,
+                statsCol = Option(options.get("statsCol")))
+              ()
+            }
+          }
+      }
+    }
 }
 
 object SnapshotSource {
+
+  private[sources] final case class Pinned(root: String,
+      snapOpt: Option[String], id: Long, files: Seq[String],
+      schema: Option[StructType])
 
   /** Snapshot catalog listing — the metadata query a `VERSION AS OF`
     * user starts from: one row per live snapshot (id, file count), one

@@ -34,13 +34,18 @@ object SnapshotStreamSink {
   def lastCommittedBatch(s: SparkSession, root: String, tag: String): Long = {
     val cur = SnapshotTable.currentSnapshot(s, root)
     if (cur == 0L) -1L
-    else (1L to cur).iterator.flatMap { id =>
-      // expired ids in the kept window are gone — skip, their batch ids
-      // are necessarily below a surviving commit's
-      try SnapshotTable.snapshotProps(s, root, id).get(propKey(tag))
-        .map(_.toLong)
-      catch { case _: IllegalArgumentException => None }
-    }.foldLeft(-1L)(math.max)
+    else {
+      // stream.* props are carried forward into EVERY later commit
+      // (SnapshotTable.commitWithCarried), so the floor survives
+      // compaction, merge, and expiration — the CURRENT manifest alone
+      // is authoritative; scanning the rest only picks up pre-carry
+      // history and skips expired ids
+      (1L to cur).iterator.flatMap { id =>
+        try SnapshotTable.snapshotProps(s, root, id).get(propKey(tag))
+          .map(_.toLong)
+        catch { case _: IllegalArgumentException => None }
+      }.foldLeft(-1L)(math.max)
+    }
   }
 
   /** A `foreachBatch` function committing each micro-batch as an APPEND

@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Minimal file-level snapshot/manifest table — the metadata half of the
   * warehouse story (`wh_snapshot_asof` reconstructs AS-OF from a row
@@ -24,7 +25,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      task-level atomicity);
   *   2. move the part files into `data/` under commit-unique names —
   *      unreferenced files are invisible, so a crash mid-move leaks
-  *      garbage but never corrupts a reader;
+  *      garbage but never corrupts a reader ([[removeOrphans]] is the
+  *      age-gated sweeper for exactly that garbage);
   *   3. write `v<N+1>.manifest` (previous list ± this commit's files) to
   *      a temp name and RENAME it into place — the one atomic step.
   *      Rename-to-fresh-name is atomic on POSIX and HDFS; an object
@@ -40,26 +42,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * manifest read, no changelog replay, no directory diffing.
   *
   * Concurrency: single writer by design (the common table contract);
-  * two racing commits are detected, not merged — the loser's manifest
-  * rename fails because the name is taken, and it throws rather than
-  * silently dropping the winner's files.
+  * two racing commits are detected, not merged — the loser fails the
+  * exclusive-create claim (or the no-clobber rename) and throws rather
+  * than silently dropping the winner's files. A writer that CRASHES
+  * between claiming an id and publishing its manifest leaves an orphan
+  * claim; a later writer takes it over once it is older than
+  * `graft.snapshot.claim.ttl.ms` (default 10 min — set it above any
+  * plausible writer pause, the standard lease tradeoff) and
+  * [[expireSnapshots]] sweeps such stale claims too, so an orphan can
+  * never wedge the table permanently.
   *
   * MANIFEST FORMAT (line-oriented, append-compatible with the v1 format
   * of pure path lines):
   *
   *   `#prop <key>=<value>`                        snapshot properties
-  *       (URL-encoded; carried by streaming commits for exactly-once
-  *       bookkeeping, see [[SnapshotStreamSink]])
+  *       (URL-encoded). Three property families are load-bearing:
+  *       `stream.*` exactly-once floors ([[SnapshotStreamSink]]) are
+  *       CARRIED FORWARD into every later commit so a compaction or
+  *       merge never erases a floor; `schema` is the snapshot's
+  *       Spark schema as JSON, recorded at commit time and evolved by
+  *       name on append ([[mergeSchemas]]) so a mixed-schema file set
+  *       reads deterministically (missing columns → NULL) at every
+  *       version; `merge.key` tags merge commits and `cdf.dir` points
+  *       at a merge's recorded row-level change frame ([[changeFeed]]).
   *   `data/<file>`                                a data file, no stats
-  *   `data/<file>\t<col>\t<tag>\t<min>\t<max>`    a data file with the
+  *   `data/<file>\trc=<n>`                        + its row count
+  *   `data/<file>\t<col>\t<tag>\t<min>\t<max>[\trc=<n>]` + the
   *       commit-time parquet-footer min/max of `<col>` (tag i=integer,
   *       d=double, s=string; values URL-encoded) — the file-skipping
-  *       index [[readWhere]] prunes on
+  *       index [[readWhere]] prunes on. String stats compare in
+  *       UNSIGNED UTF-8 BYTE order ([[utf8Cmp]]) — the order parquet's
+  *       BinaryStatistics and Spark's UTF8String both use; Java String
+  *       (UTF-16 code unit) order diverges for supplementary-plane
+  *       characters and would prune files that contain matching rows.
   *
-  * Readers that only need paths ([[fileList]]) see both formats
+  * Row counts make bare COUNT(*) a manifest-only answer
+  * ([[rowCount]]): zero data files opened, at any table size.
+  * Readers that only need paths ([[fileList]]) see every format
   * identically; appends carry the previous snapshot's entry lines
-  * VERBATIM, so stats survive any number of later commits without
-  * being recomputed.
+  * VERBATIM, so stats and counts survive any number of later commits
+  * without being recomputed.
   */
 object SnapshotTable {
 
@@ -75,6 +97,57 @@ object SnapshotTable {
 
   private def manifestPath(root: String, id: Long) =
     new Path(manifestDir(root), s"v$id.manifest")
+
+  /** Unsigned UTF-8 byte order — the comparison domain of parquet
+    * BinaryStatistics min/max AND Spark's UTF8String, so driver-side
+    * stats decisions agree with what the executors actually filter.
+    * Java's String.compareTo (UTF-16 code units) disagrees above the
+    * BMP: U+1F600 is F0 9F 98 80 in UTF-8 (sorts after U+FFFD's
+    * EF BF BD) but D83D DE00 in UTF-16 (sorts before FFFD).
+    */
+  private[sources] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+  private[sources] val Utf8Ord: Ordering[String] =
+    (a: String, b: String) => utf8Cmp(a, b)
+
+  /** One manifest entry: a data file path plus its optional skipping
+    * stats and row count. Parses every historical line shape; renders
+    * the newest.
+    */
+  private[sources] final case class FileStats(
+      col: String, tag: String, mn: String, mx: String)
+  private[sources] final case class FileEntry(
+      path: String, stats: Option[FileStats], rows: Option[Long]) {
+    def render: String = {
+      val st = stats.map(t =>
+        s"\t${enc(t.col)}\t${t.tag}\t${enc(t.mn)}\t${enc(t.mx)}").getOrElse("")
+      val rc = rows.map(n => s"\trc=$n").getOrElse("")
+      s"$path$st$rc"
+    }
+  }
+  private[sources] def parseEntry(line: String): FileEntry = {
+    val f = line.split("\t", -1)
+    val rc =
+      if (f.length > 1 && f.last.startsWith("rc="))
+        Some(f.last.stripPrefix("rc=").toLong)
+      else None
+    val mid = if (rc.isDefined) f.slice(1, f.length - 1) else f.drop(1)
+    val stats = mid match {
+      case Array(c, tag, mn, mx) => Some(FileStats(dec(c), tag, dec(mn), dec(mx)))
+      case _ => None
+    }
+    FileEntry(f(0), stats, rc)
+  }
 
   /** Highest committed snapshot id (0 = empty table, no commits yet). */
   def currentSnapshot(s: SparkSession, root: String): Long = {
@@ -111,9 +184,13 @@ object SnapshotTable {
   private def entryLines(s: SparkSession, root: String, id: Long): Seq[String] =
     rawLines(s, root, id).filterNot(_.startsWith("#"))
 
+  private[sources] def entries(s: SparkSession, root: String,
+      id: Long): Seq[FileEntry] =
+    entryLines(s, root, id).map(parseEntry)
+
   /** Snapshot N's file list (root-relative), one manifest read. */
   def fileList(s: SparkSession, root: String, id: Long): Seq[String] =
-    entryLines(s, root, id).map(_.split("\t", -1)(0))
+    entries(s, root, id).map(_.path)
 
   /** Snapshot N's properties (`#prop` header lines), one manifest read. */
   def snapshotProps(s: SparkSession, root: String, id: Long): Map[String, String] =
@@ -122,6 +199,44 @@ object SnapshotTable {
       .map(_.stripPrefix("#prop ").split("=", 2))
       .collect { case Array(k, v) => dec(k) -> dec(v) }
       .toMap
+
+  /** Snapshot N's recorded schema — the commit-time Spark schema,
+    * evolved by name across appends. None for manifests written before
+    * schema recording existed (readers then fall back to inference).
+    */
+  def storedSchema(s: SparkSession, root: String, id: Long): Option[StructType] =
+    snapshotProps(s, root, id).get("schema")
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
+  /** Snapshot N's exact row count from the manifest ALONE — defined iff
+    * every entry carries a commit-time `rc=` field (all commits since
+    * counts were recorded). Zero data files are opened; at 100 TB a
+    * bare COUNT(*) is driver arithmetic over one small-file read.
+    */
+  def rowCount(s: SparkSession, root: String, id: Long): Option[Long] = {
+    val es = entries(s, root, id)
+    if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.rows).sum) else None
+  }
+
+  /** Name-based append-time schema evolution: base columns keep their
+    * position and type; genuinely new columns append. A type CHANGE is
+    * refused loudly — this layer does column add, not column mutate.
+    */
+  private[sources] def mergeSchemas(base: StructType, add: StructType): StructType = {
+    val addByName = add.fields.map(f => f.name -> f).toMap
+    base.fields.foreach { bf =>
+      addByName.get(bf.name).foreach { af =>
+        require(af.dataType == bf.dataType,
+          s"snapshot schema evolution: column '${bf.name}' cannot change " +
+            s"type ${bf.dataType.simpleString} -> ${af.dataType.simpleString}")
+      }
+    }
+    val have = base.fieldNames.toSet
+    StructType(base.fields ++ add.fields.filterNot(f => have(f.name)))
+  }
+
+  private def asNullable(st: StructType): StructType =
+    StructType(st.fields.map(_.copy(nullable = true)))
 
   /** Commit `df` as the next snapshot; returns the new snapshot id.
     * `overwrite = false` appends to the previous file list (the new
@@ -139,22 +254,31 @@ object SnapshotTable {
     val s = df.sparkSession
     val prev = expectedBase.getOrElse(currentSnapshot(s, root))
     // appends carry the previous snapshot's entry lines VERBATIM so
-    // earlier commits' stats survive without recomputation
+    // earlier commits' stats and row counts survive without
+    // recomputation — and the previous schema evolves by name; an
+    // overwrite replaces both the file set and the schema
     val carried =
       if (overwrite || prev == 0L) Seq.empty[String]
       else entryLines(s, root, prev)
-    commitWithCarried(df, root, carried, prev, statsCol, props)
+    val baseSchema =
+      if (overwrite || prev == 0L) None else storedSchema(s, root, prev)
+    commitWithCarried(df, root, carried, prev, statsCol, props, baseSchema)
   }
 
   /** The commit core: write `df`'s files, then publish a manifest of
-    * `carried` entry lines (kept VERBATIM — paths and stats untouched)
-    * plus the new files' entries, as snapshot `prev + 1`. [[commit]]
-    * carries all-or-none of the previous snapshot; [[merge]] carries
-    * exactly the untouched files.
+    * `carried` entry lines (kept VERBATIM — paths, stats, and row
+    * counts untouched) plus the new files' entries, as snapshot
+    * `prev + 1`. [[commit]] carries all-or-none of the previous
+    * snapshot; [[merge]] carries exactly the untouched files.
+    * `baseSchema` (the carried files' schema) evolves by name with
+    * `df`'s; the previous snapshot's `stream.*` properties are always
+    * carried forward (new `props` win) so exactly-once floors survive
+    * compaction, merge, and expiration.
     */
   private def commitWithCarried(df: DataFrame, root: String,
       carried: Seq[String], prev: Long, statsCol: Option[String],
-      props: Map[String, String]): Long = {
+      props: Map[String, String],
+      baseSchema: Option[StructType] = None): Long = {
     val s = df.sparkSession
     val rootP = new Path(root)
     val fs = fsOf(s, rootP)
@@ -172,70 +296,123 @@ object SnapshotTable {
         s"data/$name"
       }.toSeq
     fs.delete(staging, true)
-    // the file-skipping index: this commit's files get the parquet
-    // footer's min/max of statsCol as manifest fields — O(new files)
-    // FOOTER reads (metadata only, never data pages), once, at commit;
-    // every later reader prunes from the manifest alone
-    val movedEntries = statsCol match {
-      case None => moved
-      case Some(c) => moved.map { rel =>
-        footerStats(s, new Path(rootP, rel), c) match {
-          case Some((tag, mn, mx)) =>
-            s"$rel\t${enc(c)}\t$tag\t${enc(mn)}\t${enc(mx)}"
-          case None => rel // no stats in footer → never pruned
-        }
-      }
+    // the file-skipping index and row counts: one parquet FOOTER read
+    // per new file (metadata only, never data pages), once, at commit;
+    // every later reader prunes and counts from the manifest alone
+    val movedEntries = moved.map { rel =>
+      val (stats, rows) = footerInfo(s, new Path(rootP, rel), statsCol)
+      FileEntry(rel, stats, Some(rows)).render
     }
     val files = carried ++ movedEntries
     val id = prev + 1
+    // exactly-once stream floors survive every commit shape: carry the
+    // previous snapshot's stream.* props unless this commit sets them
+    val carriedProps: Map[String, String] =
+      if (prev == 0L) Map.empty
+      else snapshotProps(s, root, prev).filter(_._1.startsWith("stream."))
+    val schemaJson = asNullable(baseSchema
+      .map(b => mergeSchemas(b, df.schema)).getOrElse(df.schema)).json
+    val allProps = carriedProps ++ Map("schema" -> schemaJson) ++ props
     // manifest content first to a temp name, then the atomic rename that
     // IS the commit; a taken name means a concurrent writer won the race
     fs.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root), s".tmp-$commitId")
     val lines =
-      props.toSeq.sortBy(_._1)
+      allProps.toSeq.sortBy(_._1)
         .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" } ++ files
     val out = fs.create(tmp, false)
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    // claim the id ATOMICALLY before the rename: HDFS rename refuses an
-    // existing destination, but the local FS clobbers it, so exists+
-    // rename alone leaves a check-to-rename window where two same-base
-    // writers both succeed and one manifest is silently overwritten. On
-    // the local FS, File.createNewFile is O_CREAT|O_EXCL — exactly one
-    // claimer wins; on other filesystems FileSystem.createNewFile plus
-    // the no-clobber rename below serve the same role. Claim files are
-    // dot-prefixed so snapshot listings never see them; expireSnapshots
-    // sweeps completed ones.
-    val target = manifestPath(root, id)
-    val claim = new Path(manifestDir(root), s".claim-v$id")
-    val claimed =
-      if (fs.getScheme == "file")
-        new java.io.File(claim.toUri.getPath).createNewFile()
-      else
-        try fs.createNewFile(claim) catch { case _: java.io.IOException => false }
-    if (!claimed || fs.exists(target) || !fs.rename(tmp, target)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"snapshot commit conflict: v$id already committed by a concurrent " +
-          s"writer (root=$root); retry from the new current snapshot")
-    }
+    publishManifest(s, fs, root, id, tmp)
     id
   }
 
+  /** Claim the id ATOMICALLY, then rename the manifest into place.
+    * HDFS rename refuses an existing destination, but the local FS
+    * clobbers it, so exists+rename alone leaves a check-to-rename
+    * window where two same-base writers both succeed and one manifest
+    * is silently overwritten. On the local FS, File.createNewFile is
+    * O_CREAT|O_EXCL — exactly one claimer wins; elsewhere
+    * FileSystem.createNewFile plus the no-clobber rename serve the
+    * same role. Claim files are dot-prefixed so snapshot listings
+    * never see them.
+    *
+    * Liveness: the claim is DELETED on every exit path of this method
+    * (success included — once the manifest exists, its own existence
+    * blocks any re-commit of the id), so only a crashed writer leaves
+    * one behind. A later writer takes over a claim older than
+    * `graft.snapshot.claim.ttl.ms` (default 600000) whose manifest
+    * never appeared, and [[expireSnapshots]] sweeps such stale claims
+    * too — an orphan claim can delay commits by one TTL, never wedge
+    * the table. The TTL is a lease: set it above any plausible writer
+    * stall, because a takeover racing a stalled-but-alive writer is
+    * the one window this protocol (like every lease protocol) cannot
+    * close without an external lock service; the pre-rename existence
+    * re-check shrinks it to the check-to-rename gap.
+    */
+  private def publishManifest(s: SparkSession, fs: FileSystem, root: String,
+      id: Long, tmp: Path): Unit = {
+    val target = manifestPath(root, id)
+    val claim = new Path(manifestDir(root), s".claim-v$id")
+    def tryClaim(): Boolean =
+      if (fs.getScheme == "file")
+        new java.io.File(claim.toUri.getPath).createNewFile()
+      else
+        try fs.createNewFile(claim)
+        catch { case _: java.io.IOException => false }
+    def fail(msg: String, dropClaim: Boolean): Nothing = {
+      fs.delete(tmp, false)
+      if (dropClaim) fs.delete(claim, false)
+      throw new IllegalStateException(msg)
+    }
+    var claimed = tryClaim()
+    if (!claimed && !fs.exists(target)) {
+      // an existing claim with no manifest: either an in-flight writer
+      // or a crashed one's orphan — take over iff older than the lease
+      val ttlMs = s.conf.get("graft.snapshot.claim.ttl.ms", "600000").toLong
+      val age =
+        try System.currentTimeMillis() - fs.getFileStatus(claim).getModificationTime
+        catch { case _: java.io.IOException => -1L } // claim just vanished
+      if (age > ttlMs || !fs.exists(claim)) {
+        fs.delete(claim, false)
+        claimed = tryClaim()
+      }
+    }
+    if (!claimed)
+      fail(s"snapshot commit conflict: v$id is being committed by a " +
+        s"concurrent writer (root=$root); retry from the new current " +
+        "snapshot", dropClaim = false)
+    if (fs.exists(target))
+      fail(s"snapshot commit conflict: v$id already committed by a " +
+        s"concurrent writer (root=$root); retry from the new current " +
+        "snapshot", dropClaim = true)
+    if (!fs.rename(tmp, target))
+      fail(s"snapshot commit: rename to $target failed (filesystem " +
+        "error, not a conflict); the claim was released — retry the " +
+        "commit", dropClaim = true)
+    fs.delete(claim, false)
+  }
+
   /** Expire everything older than the last `keepLast` snapshots: delete
-    * their manifests, then every data file no SURVIVING manifest
-    * references (plus the completed commit-claim markers). This is the
-    * vacuum half of the capability class — without it a table that
-    * compacts (overwrite commits) grows without bound because commits
-    * never delete, by design, for the benefit of pinned readers.
+    * their manifests, then every data file the EXPIRED manifests
+    * reference that no surviving manifest does — the expired file lists
+    * are read BEFORE their manifests are deleted, and nothing else in
+    * `data/` is touched. That scoping is what makes vacuum safe against
+    * a concurrent in-flight commit: its freshly-moved files are in
+    * `data/` but in no manifest yet, and a listing-based sweep would
+    * delete them out from under the about-to-publish manifest
+    * (corrupting the snapshot); here they are simply not in scope.
+    * Garbage from CRASHED commits (files referenced by no manifest
+    * ever) is the separate, age-gated [[removeOrphans]].
     *
     * Contract: a reader pinned at any KEPT snapshot is untouched (its
     * files all appear in a surviving manifest); a `readAt` of an expired
     * id fails loudly (the manifest is gone, see [[fileList]]). The
     * caller picks `keepLast` as its pinned-reader horizon — the same
-    * contract as Iceberg's expire_snapshots. Cost: O(kept manifests)
-    * reads + one data-directory listing; no data file is ever read.
+    * contract as Iceberg's expire_snapshots. Cost: O(expired + kept
+    * manifests) small-file reads; no data file is ever read. Also
+    * sweeps completed commit-claim markers and stale orphaned ones
+    * (claim older than the TTL whose manifest never appeared).
     *
     * Returns (expired manifest count, deleted data file count).
     */
@@ -245,38 +422,98 @@ object SnapshotTable {
     val fs = fsOf(s, new Path(root))
     val cur = currentSnapshot(s, root)
     val cutoff = cur - keepLast // expire ids <= cutoff
+    val ttlMs = s.conf.get("graft.snapshot.claim.ttl.ms", "600000").toLong
+    val mdir = manifestDir(root)
     if (cutoff < 1L) return (0, 0)
     val live: Set[String] =
       ((cutoff + 1) to cur).flatMap(id => fileList(s, root, id)).toSet
-    val mdir = manifestDir(root)
+    // read the expired manifests BEFORE deleting them: only files THEY
+    // reference are deletion candidates — never a bare data/ listing
+    val expiredIds = (1L to cutoff).filter(id =>
+      fs.exists(manifestPath(root, id)))
+    val candidates: Set[String] =
+      expiredIds.flatMap(id => fileList(s, root, id)).toSet
+    val keptCdf: Set[String] = ((cutoff + 1) to cur)
+      .flatMap(id => snapshotProps(s, root, id).get("cdf.dir")).toSet
+    val expiredCdf: Set[String] =
+      expiredIds.flatMap(id => snapshotProps(s, root, id).get("cdf.dir")).toSet
     var nManifests = 0
     fs.listStatus(mdir).foreach { st =>
       val n = st.getPath.getName
       val expiredManifest = n.startsWith("v") && n.endsWith(".manifest") &&
         n.stripPrefix("v").stripSuffix(".manifest").toLong <= cutoff
-      // completed claims (id <= current) are inert — the manifest's own
-      // existence blocks re-commit of the id; in-flight claims (> cur)
-      // stay
-      val doneClaim = n.startsWith(".claim-v") &&
-        n.stripPrefix(".claim-v").toLong <= cur
+      // claims: completed ones (id <= current) are inert — the
+      // manifest's own existence blocks re-commit of the id; an
+      // in-flight claim (id > cur) is swept only once it is stale
+      // (older than the lease TTL with no manifest — a crashed writer)
+      val claimId = if (n.startsWith(".claim-v"))
+        Some(n.stripPrefix(".claim-v").toLong) else None
+      val doneClaim = claimId.exists(_ <= cur)
+      val staleClaim = claimId.exists(id => id > cur &&
+        !fs.exists(manifestPath(root, id)) &&
+        System.currentTimeMillis() - st.getModificationTime > ttlMs)
       if (expiredManifest) { fs.delete(st.getPath, false); nManifests += 1 }
-      else if (doneClaim) fs.delete(st.getPath, false)
+      else if (doneClaim || staleClaim) fs.delete(st.getPath, false)
     }
-    val dataDir = new Path(root, "data")
     var nData = 0
-    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
-      if (!live.contains(s"data/${st.getPath.getName}")) {
-        fs.delete(st.getPath, false); nData += 1
-      }
+    candidates.diff(live).foreach { rel =>
+      if (fs.delete(new Path(root, rel), false)) nData += 1
+    }
+    // change-feed dirs of expired merge snapshots (read above, before
+    // the manifest deletions) — reclaimed unless a kept snapshot still
+    // references them
+    (expiredCdf -- keptCdf).foreach { rel =>
+      fs.delete(new Path(root, rel), true)
     }
     (nManifests, nData)
   }
 
-  /** Read snapshot `id` — O(1) metadata: one manifest, exactly its files. */
+  /** Delete data files referenced by NO live manifest and older than
+    * `olderThanMs` — the garbage a commit that crashed between moving
+    * its files into `data/` and publishing its manifest leaves behind.
+    * This is the ONLY listing-based deletion in the layer, and the age
+    * gate is what makes it safe: an in-flight commit's files are
+    * unreferenced too, but they are young; pick the threshold above
+    * any plausible commit duration (Iceberg's remove_orphan_files
+    * makes the same contract). Returns the deleted file count.
+    */
+  def removeOrphans(s: SparkSession, root: String,
+      olderThanMs: Long): Int = {
+    val fs = fsOf(s, new Path(root))
+    val mdir = manifestDir(root)
+    val liveIds =
+      if (!fs.exists(mdir)) Seq.empty[Long]
+      else fs.listStatus(mdir).iterator.map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+          n.stripPrefix("v").stripSuffix(".manifest").toLong }.toSeq
+    val referenced: Set[String] =
+      liveIds.flatMap(id => fileList(s, root, id)).toSet
+    val dataDir = new Path(root, "data")
+    var n = 0
+    val now = System.currentTimeMillis()
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
+      if (!referenced.contains(s"data/${st.getPath.getName}") &&
+          now - st.getModificationTime > olderThanMs) {
+        fs.delete(st.getPath, false); n += 1
+      }
+    }
+    n
+  }
+
+  /** Read snapshot `id` — O(1) metadata: one manifest, exactly its
+    * files, under the snapshot's RECORDED schema (so a file written
+    * before a column existed reads it as NULL, deterministically, and
+    * time travel sees each version's own schema — no footer sampling,
+    * no mergeSchema scan of every file).
+    */
   def readAt(s: SparkSession, root: String, id: Long): DataFrame = {
     val files = fileList(s, root, id)
     require(files.nonEmpty, s"snapshot v$id of $root lists no files")
-    s.read.parquet(files.map(f => s"$root/$f"): _*)
+    val paths = files.map(f => s"$root/$f")
+    storedSchema(s, root, id) match {
+      case Some(sch) => s.read.schema(sch).parquet(paths: _*)
+      case None => s.read.parquet(paths: _*)
+    }
   }
 
   /** Read the current snapshot, PINNED at call time: later commits do
@@ -286,46 +523,53 @@ object SnapshotTable {
   def read(s: SparkSession, root: String): DataFrame =
     readAt(s, root, currentSnapshot(s, root))
 
-  /** Merged min/max of `colName` across a parquet file's row groups,
-    * from the FOOTER only (no data pages). Tagged by compare domain:
-    * i = integer (INT32/INT64), d = double (FLOAT/DOUBLE), s = UTF-8
-    * string (BINARY). None when the footer carries no usable stats —
-    * the file is then simply never pruned.
+  /** Merged min/max of `colName` across a parquet file's row groups
+    * plus the file's row count, from the FOOTER only (no data pages).
+    * Stats are tagged by compare domain: i = integer (INT32/INT64),
+    * d = double (FLOAT/DOUBLE), s = UTF-8 string (BINARY, min/max
+    * merged in unsigned byte order to match parquet's own comparator).
+    * Stats are None when `colName` is absent or the footer carries no
+    * usable statistics — the file is then simply never pruned.
     */
-  private def footerStats(s: SparkSession, p: Path,
-      colName: String): Option[(String, String, String)] = {
+  private def footerInfo(s: SparkSession, p: Path,
+      colName: Option[String]): (Option[FileStats], Long) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.column.statistics._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(p, s.sparkContext.hadoopConfiguration)
     val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try {
-      val sts = (for {
-        b <- rdr.getFooter.getBlocks.asScala.toSeq
-        c <- b.getColumns.asScala if c.getPath.toDotString == colName
-      } yield c.getStatistics).filter(st =>
-        st != null && !st.isEmpty && st.hasNonNullValue)
-      if (sts.isEmpty) None
-      else sts.head match {
-        case _: LongStatistics => Some(("i",
-          sts.map(_.asInstanceOf[LongStatistics].getMin).min.toString,
-          sts.map(_.asInstanceOf[LongStatistics].getMax).max.toString))
-        case _: IntStatistics => Some(("i",
-          sts.map(_.asInstanceOf[IntStatistics].getMin.toLong).min.toString,
-          sts.map(_.asInstanceOf[IntStatistics].getMax.toLong).max.toString))
-        case _: DoubleStatistics => Some(("d",
-          sts.map(_.asInstanceOf[DoubleStatistics].getMin).min.toString,
-          sts.map(_.asInstanceOf[DoubleStatistics].getMax).max.toString))
-        case _: FloatStatistics => Some(("d",
-          sts.map(_.asInstanceOf[FloatStatistics].getMin.toDouble).min.toString,
-          sts.map(_.asInstanceOf[FloatStatistics].getMax.toDouble).max.toString))
-        case _: BinaryStatistics => Some(("s",
-          sts.map(_.asInstanceOf[BinaryStatistics]
-            .genericGetMin.toStringUsingUTF8).min,
-          sts.map(_.asInstanceOf[BinaryStatistics]
-            .genericGetMax.toStringUsingUTF8).max))
-        case _ => None
+      val blocks = rdr.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = colName.flatMap { c =>
+        val sts = (for {
+          b <- blocks
+          col <- b.getColumns.asScala if col.getPath.toDotString == c
+        } yield col.getStatistics).filter(st =>
+          st != null && !st.isEmpty && st.hasNonNullValue)
+        if (sts.isEmpty) None
+        else sts.head match {
+          case _: LongStatistics => Some(FileStats(c, "i",
+            sts.map(_.asInstanceOf[LongStatistics].getMin).min.toString,
+            sts.map(_.asInstanceOf[LongStatistics].getMax).max.toString))
+          case _: IntStatistics => Some(FileStats(c, "i",
+            sts.map(_.asInstanceOf[IntStatistics].getMin.toLong).min.toString,
+            sts.map(_.asInstanceOf[IntStatistics].getMax.toLong).max.toString))
+          case _: DoubleStatistics => Some(FileStats(c, "d",
+            sts.map(_.asInstanceOf[DoubleStatistics].getMin).min.toString,
+            sts.map(_.asInstanceOf[DoubleStatistics].getMax).max.toString))
+          case _: FloatStatistics => Some(FileStats(c, "d",
+            sts.map(_.asInstanceOf[FloatStatistics].getMin.toDouble).min.toString,
+            sts.map(_.asInstanceOf[FloatStatistics].getMax.toDouble).max.toString))
+          case _: BinaryStatistics => Some(FileStats(c, "s",
+            sts.map(_.asInstanceOf[BinaryStatistics]
+              .genericGetMin.toStringUsingUTF8).min(Utf8Ord),
+            sts.map(_.asInstanceOf[BinaryStatistics]
+              .genericGetMax.toStringUsingUTF8).max(Utf8Ord)))
+          case _ => None
+        }
       }
+      (stats, rows)
     } finally rdr.close()
   }
 
@@ -333,7 +577,7 @@ object SnapshotTable {
       lo: String, hi: String): Boolean = tag match {
     case "i" => !(mx.toLong < lo.toLong || mn.toLong > hi.toLong)
     case "d" => !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
-    case _   => !(mx < lo || mn > hi)
+    case _   => !(utf8Cmp(mx, lo) < 0 || utf8Cmp(mn, hi) > 0)
   }
 
   /** Snapshot N's files partitioned by the skipping index: (kept paths,
@@ -346,15 +590,15 @@ object SnapshotTable {
     */
   def pruneFiles(s: SparkSession, root: String, id: Long, colName: String,
       lo: Any, hi: Any): (Seq[String], Int, Int) = {
-    val entries = entryLines(s, root, id)
-    val kept = entries.filter { line =>
-      line.split("\t", -1) match {
-        case Array(_, c, tag, mn, mx) if dec(c) == colName =>
-          rangesOverlap(tag, dec(mn), dec(mx), lo.toString, hi.toString)
+    val es = entries(s, root, id)
+    val kept = es.filter { e =>
+      e.stats match {
+        case Some(FileStats(c, tag, mn, mx)) if c == colName =>
+          rangesOverlap(tag, mn, mx, lo.toString, hi.toString)
         case _ => true
       }
-    }.map(_.split("\t", -1)(0))
-    (kept, kept.size, entries.size)
+    }.map(_.path)
+    (kept, kept.size, es.size)
   }
 
   /** `readAt(id).where(colName between lo and hi)` with MANIFEST-LEVEL
@@ -370,7 +614,13 @@ object SnapshotTable {
     val (kept, _, _) = pruneFiles(s, root, id, colName, lo, hi)
     val base =
       if (kept.isEmpty) readAt(s, root, id).limit(0)
-      else s.read.parquet(kept.map(f => s"$root/$f"): _*)
+      else {
+        val paths = kept.map(f => s"$root/$f")
+        storedSchema(s, root, id) match {
+          case Some(sch) => s.read.schema(sch).parquet(paths: _*)
+          case None => s.read.parquet(paths: _*)
+        }
+      }
     base.where(col(colName).between(lit(lo), lit(hi)))
   }
 
@@ -382,8 +632,9 @@ object SnapshotTable {
     * fromId's, valid only across APPEND commits — an overwrite
     * (compaction / rewrite) in the range rewrites history, so the scan
     * REFUSES it loudly (per-step superset check) rather than returning
-    * rewritten rows as if they were new. `fromId = 0` reads everything
-    * up to `toId`.
+    * rewritten rows as if they were new; a MERGE in the range refuses
+    * the same way, and [[changeFeed]] is the row-level read that
+    * survives it. `fromId = 0` reads everything up to `toId`.
     */
   def changesBetween(s: SparkSession, root: String, fromId: Long,
       toId: Long): DataFrame = {
@@ -399,12 +650,17 @@ object SnapshotTable {
           s"changesBetween($fromId, $toId) crosses non-append snapshot " +
             s"v$id of $root: an overwrite/compaction rewrote the file set, " +
             "so file-level incremental reads are invalid across it; " +
-            "re-baseline the consumer from a full snapshot read instead")
+            "use changeFeed (row-level, merge-aware) or re-baseline the " +
+            "consumer from a full snapshot read instead")
       prev = cur
     }
     val added = fileList(s, root, toId).filterNot(base)
     if (added.isEmpty) readAt(s, root, toId).limit(0)
-    else s.read.parquet(added.map(f => s"$root/$f"): _*)
+    else storedSchema(s, root, toId) match {
+      case Some(sch) =>
+        s.read.schema(sch).parquet(added.map(f => s"$root/$f"): _*)
+      case None => s.read.parquet(added.map(f => s"$root/$f"): _*)
+    }
   }
 
   /** Copy-on-write MERGE (upsert) by `keyCol`: rows of `updates` whose
@@ -424,61 +680,241 @@ object SnapshotTable {
     * Contract: `updates`' DISTINCT keys are collected to the driver to
     * drive the per-file pruning — the updates batch is the SMALL side
     * of a merge (the delta), which is what makes copy-on-write merge
-    * cheap at 100 TB: IO = touched files + delta, never the table. A
-    * merge whose keys genuinely don't fit driver memory wants the
-    * per-file range-join form of the same pruning (the stats fields
-    * support it — nothing in the manifest format would change).
-    * Because a merge rewrites history, [[changesBetween]] ranges that
-    * cross it refuse, by design.
+    * cheap at 100 TB: IO = touched files + delta, never the table.
+    * [[mergeLarge]] is the same merge with the pruning done as a
+    * range JOIN against the manifest stats (no driver key collect) for
+    * deltas whose distinct keys don't fit driver memory. Because a
+    * merge rewrites history, [[changesBetween]] ranges that cross it
+    * refuse, by design; the row-level [[changeFeed]] survives it.
     */
   def merge(updates: DataFrame, root: String,
       keyCol: String): (Long, Int, Int) = {
     val s = updates.sparkSession
-    val cur = currentSnapshot(s, root)
-    require(cur > 0L, s"merge into empty table $root: commit first")
-    val entries = entryLines(s, root, cur)
     val keys: Array[Any] = updates.select(keyCol).distinct()
       .collect().map(_.get(0))
     require(keys.nonEmpty, "merge with an empty updates batch")
     // typed sorted key array for the per-file containment probe
-    def anyKeyIn(tag: String, mn: String, mx: String): Boolean = tag match {
+    def anyKeyIn(st: FileStats): Boolean = st.tag match {
       case "i" =>
         val sorted = keys.map(_.asInstanceOf[Number].longValue).sorted
-        val lo = mn.toLong; val hi = mx.toLong
+        val lo = st.mn.toLong; val hi = st.mx.toLong
         val i = java.util.Arrays.binarySearch(sorted, lo)
         val at = if (i >= 0) i else -i - 1
         at < sorted.length && sorted(at) <= hi
       case "d" =>
         val sorted = keys.map(_.asInstanceOf[Number].doubleValue).sorted
-        val lo = mn.toDouble; val hi = mx.toDouble
+        val lo = st.mn.toDouble; val hi = st.mx.toDouble
         val i = java.util.Arrays.binarySearch(sorted, lo)
         val at = if (i >= 0) i else -i - 1
         at < sorted.length && sorted(at) <= hi
       case _ =>
-        val sorted = keys.map(_.toString).sorted
-        val at = {
-          val i = java.util.Arrays.binarySearch(
-            sorted.asInstanceOf[Array[AnyRef]], mn)
-          if (i >= 0) i else -i - 1
+        // unsigned UTF-8 order end-to-end: the sort, the insertion
+        // search, and the upper-bound check all in the stats' domain
+        val sorted = keys.map(_.toString).sorted(Utf8Ord)
+        var lo = 0; var hi = sorted.length
+        while (lo < hi) { // lower_bound of st.mn under Utf8Ord
+          val mid = (lo + hi) >>> 1
+          if (utf8Cmp(sorted(mid), st.mn) < 0) lo = mid + 1 else hi = mid
         }
-        at < sorted.length && sorted(at) <= mx
+        lo < sorted.length && utf8Cmp(sorted(lo), st.mx) <= 0
     }
-    val (touched, carried) = entries.partition { line =>
-      line.split("\t", -1) match {
-        case Array(_, c, tag, mn, mx) if dec(c) == keyCol =>
-          anyKeyIn(tag, dec(mn), dec(mx))
+    mergeCore(updates, root, keyCol, es => es.partition { e =>
+      e.stats match {
+        case Some(st) if st.col == keyCol => anyKeyIn(st)
         case _ => true // no usable stats → conservatively rewrite
       }
+    })
+  }
+
+  /** The shared merge core: `split` partitions the current entries into
+    * (touched, carried); touched files are rewritten as
+    * anti-join(updates' keys) ∪ updates, carried entries pass through
+    * VERBATIM, and the whole thing commits with `expectedBase` pinned
+    * to the merge's base snapshot so a racing writer fails loudly.
+    */
+  private def mergeCore(updates: DataFrame, root: String, keyCol: String,
+      split: Seq[FileEntry] => (Seq[FileEntry], Seq[FileEntry])): (Long, Int, Int) = {
+    val s = updates.sparkSession
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"merge into empty table $root: commit first")
+    val (touched, carried) = split(entries(s, root, cur))
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val schema = storedSchema(s, root, cur)
+    val updKeys = updates.select(col(keyCol)).distinct()
+    val base: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else Some {
+        val paths = touched.map(e => s"$root/${e.path}")
+        schema match {
+          case Some(sch) => s.read.schema(sch).parquet(paths: _*)
+          case None => s.read.parquet(paths: _*)
+        }
+      }
+    val survivors = base match {
+      case None => updates.limit(0)
+      case Some(b) => b.join(updKeys, Seq(keyCol), "left_anti")
     }
-    import org.apache.spark.sql.functions.col
-    val survivors =
-      if (touched.isEmpty) updates.limit(0)
-      else s.read.parquet(
-          touched.map(l => s"$root/${l.split("\t", -1)(0)}"): _*)
-        .join(updates.select(col(keyCol)).distinct(), Seq(keyCol),
-          "left_anti")
+    // the CHANGE FEED: merge already materializes exactly the touched
+    // rows, so emitting them is delta-priced — each update row tagged U
+    // (its key existed in a touched file: a replacement) or I (a fresh
+    // insert). Written to changes/<uuid> BEFORE the manifest publish
+    // and referenced only by the new snapshot's cdf.dir prop, so a
+    // failed commit leaves invisible garbage, never a dangling feed.
+    // Row-level consumers fold this over their pre-merge state
+    // ([[changeFeed]] / [[applyChanges]]) instead of re-baselining.
+    val existedKeys = base match {
+      case None => updKeys.limit(0)
+      case Some(b) =>
+        b.select(col(keyCol)).join(updKeys, Seq(keyCol), "left_semi")
+          .distinct()
+    }
+    val changes = updates
+      .join(existedKeys.withColumn("_op", lit("U")), Seq(keyCol), "left")
+      .withColumn("_op", coalesce(col("_op"), lit("I")))
+    val cdfRel = s"changes/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    changes.write.mode("overwrite").parquet(s"$root/$cdfRel")
     val id = commitWithCarried(survivors.unionByName(updates), root,
-      carried, cur, Some(keyCol), Map("merge.key" -> keyCol))
+      carried.map(_.render), cur, Some(keyCol),
+      Map("merge.key" -> keyCol, "cdf.dir" -> cdfRel), baseSchema = schema)
     (id, touched.size, carried.size)
+  }
+
+  /** Row-level change feed over `(fromId, toId]` — the incremental read
+    * that SURVIVES a merge: per commit, an APPEND contributes its added
+    * files' rows as op `A`; a MERGE contributes its recorded change
+    * frame (op `U` replaced / `I` inserted, exactly the update rows —
+    * written by [[merge]]/[[mergeLarge]] at delta price); an overwrite
+    * or compaction still refuses loudly (it rewrites history without a
+    * row-level record, so a consumer must re-baseline — the same
+    * boundary Delta's CDF draws). Output = table columns (unioned by
+    * name across schema evolution, missing → NULL) + `_op` + `_commit`.
+    * Cost: O(metadata) planning plus exactly the added/changed files —
+    * never the table.
+    */
+  def changeFeed(s: SparkSession, root: String, fromId: Long,
+      toId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(0 <= fromId && fromId < toId,
+      s"changeFeed needs 0 <= fromId < toId, got ($fromId, $toId]")
+    var prev: Set[String] =
+      if (fromId == 0L) Set.empty else fileList(s, root, fromId).toSet
+    val steps = ((fromId + 1) to toId).map { id =>
+      val cur = fileList(s, root, id).toSet
+      val props = snapshotProps(s, root, id)
+      val step = props.get("cdf.dir") match {
+        case Some(rel) => // a merge: its recorded change frame
+          s.read.parquet(s"$root/$rel").withColumn("_commit", lit(id))
+        case None if prev.subsetOf(cur) => // an append: the added files
+          val added = (cur -- prev).toSeq.sorted
+          val df =
+            if (added.isEmpty) readAt(s, root, id).limit(0)
+            else storedSchema(s, root, id) match {
+              case Some(sch) =>
+                s.read.schema(sch).parquet(added.map(f => s"$root/$f"): _*)
+              case None => s.read.parquet(added.map(f => s"$root/$f"): _*)
+            }
+          df.withColumn("_op", lit("A")).withColumn("_commit", lit(id))
+        case None =>
+          throw new IllegalStateException(
+            s"changeFeed($fromId, $toId) crosses snapshot v$id of $root, " +
+              "an overwrite/compaction with no recorded change frame: " +
+              "row-level incremental reads are invalid across it; " +
+              "re-baseline the consumer from a full snapshot read")
+      }
+      prev = cur
+      step
+    }
+    steps.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
+  /** Fold a [[changeFeed]] over a consumer's `state`: commits apply in
+    * order; an append step unions its rows, a merge step replaces its
+    * keys (anti-join on `keyCol`) then unions its rows — after the last
+    * step the frame row-for-row equals a direct read of the feed's
+    * `toId` snapshot (the `fmt_snapshot_cdf` hash gate). One lazy plan,
+    * one join per merge step — feeds are delta-sized by construction.
+    */
+  def applyChanges(state: DataFrame, feed: DataFrame,
+      keyCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val commits = feed.select("_commit").distinct()
+      .collect().map(_.getLong(0)).sorted
+    commits.foldLeft(state) { (acc, id) =>
+      val step = feed.filter(col("_commit") === id)
+      val rows = step.drop("_op", "_commit")
+      val isMergeStep = step.filter(col("_op") =!= "A").limit(1).count() > 0
+      if (!isMergeStep) acc.unionByName(rows, allowMissingColumns = true)
+      else acc
+        .join(step.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .unionByName(rows, allowMissingColumns = true)
+    }
+  }
+
+  /** [[merge]] for BIG deltas: identical semantics and commit, but the
+    * touched-file decision is a range JOIN of the manifest's per-file
+    * [min, max] entries (a small driver-resident frame — the manifest
+    * is already driver metadata) against the updates' distinct keys as
+    * a DataFrame — the update keys are never collected to the driver.
+    * The join output is just the touched FILE set (O(files), aggregated
+    * distinct), so driver memory scales with the table's file count,
+    * not the delta. `MergeLargeSpec` proves the touched/carried split
+    * identical to [[merge]]'s collect form; the OpScaleProbe axis pins
+    * the join form flat as the delta grows ×100.
+    */
+  def mergeLarge(updates: DataFrame, root: String,
+      keyCol: String): (Long, Int, Int) = {
+    val s = updates.sparkSession
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"merge into empty table $root: commit first")
+    val touchedPaths = touchedFiles(updates, root, keyCol)
+    mergeCore(updates, root, keyCol, allEs => allEs.partition { e =>
+      e.stats match {
+        case Some(st) if st.col == keyCol => touchedPaths.contains(e.path)
+        case _ => true // no usable stats → conservatively rewrite
+      }
+    })
+  }
+
+  /** The files of the CURRENT snapshot a merge keyed on `keyCol` would
+    * rewrite, decided by range-joining the manifest's per-file
+    * [min, max] stats (a driver-resident frame — the manifest is
+    * already driver metadata) against `updates`' distinct keys — the
+    * keys are never collected to the driver, so this scales to deltas
+    * of any size. Files without `keyCol` stats are NOT returned here;
+    * [[mergeLarge]] conservatively rewrites them regardless.
+    */
+  def touchedFiles(updates: DataFrame, root: String,
+      keyCol: String): Set[String] = {
+    val s = updates.sparkSession
+    val cur = currentSnapshot(s, root)
+    val statful = entries(s, root, cur)
+      .filter(e => e.stats.exists(_.col == keyCol))
+    if (statful.isEmpty) Set.empty
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      import s.implicits._
+      val tag = statful.head.stats.get.tag
+      val keysDf = updates.select(col(keyCol).as("k")).distinct()
+      // per-tag typed bounds frame; string bounds compare as Spark
+      // UTF8String = unsigned UTF-8 bytes, the stats' own domain
+      val boundsDf = tag match {
+        case "i" => statful.map(e =>
+          (e.path, e.stats.get.mn.toLong, e.stats.get.mx.toLong))
+          .toDF("path", "mn", "mx")
+        case "d" => statful.map(e =>
+          (e.path, e.stats.get.mn.toDouble, e.stats.get.mx.toDouble))
+          .toDF("path", "mn", "mx")
+        case _ => statful.map(e =>
+          (e.path, e.stats.get.mn, e.stats.get.mx))
+          .toDF("path", "mn", "mx")
+      }
+      // keys STREAM against the broadcast bounds frame (files are
+      // driver metadata, always the small side); the distinct
+      // collapses to the touched-file set — O(files) on the driver,
+      // never O(keys)
+      keysDf.join(broadcast(boundsDf),
+          col("k") >= col("mn") && col("k") <= col("mx"))
+        .select("path").distinct().as[String].collect().toSet
+    }
   }
 }

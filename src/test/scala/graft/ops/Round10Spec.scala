@@ -124,7 +124,7 @@ class Round10Spec extends SparkSpec {
     assert(added(2L) == Set(21L))
     assert(added(3L) == Set(31L))
     // watermarks recorded per step
-    assert(SnapshotTable.snapshotProps(spark, root, 3L)
+    assert(SnapshotTable.snapshotProps(spark, root, 3L) - "schema"
       == Map("watermark" -> "w2"))
   }
 }

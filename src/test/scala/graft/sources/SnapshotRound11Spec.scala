@@ -1,0 +1,274 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-11 snapshot-layer contracts: UTF-8 stats ordering, claim
+  * liveness, vacuum scoping, stream-floor carry-forward, manifest row
+  * counts, the big-delta merge, the merge change feed, schema
+  * evolution, and the DSv2 write path.
+  */
+class SnapshotRound11Spec extends SparkSpec {
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_r11_$tag").toString + "/t"
+
+  test("utf8Cmp orders supplementary-plane strings by UTF-8 bytes, " +
+      "not UTF-16 code units") {
+    val emoji = "😀" // U+1F600, UTF-8 F0 9F 98 80
+    val fffd = "�"        // U+FFFD,  UTF-8 EF BF BD
+    assert(emoji.compareTo(fffd) < 0)          // Java order: emoji first
+    assert(SnapshotTable.utf8Cmp(emoji, fffd) > 0) // byte order: emoji last
+    assert(SnapshotTable.utf8Cmp("a", "b") < 0)
+    assert(SnapshotTable.utf8Cmp("ab", "a") > 0)
+    assert(SnapshotTable.utf8Cmp("x", "x") == 0)
+  }
+
+  test("string-stats pruning never drops a file whose rows match — " +
+      "supplementary-plane range that Java ordering would mis-prune") {
+    import spark.implicits._
+    val emoji = "😀x"
+    val fffd = "�y"
+    val root = tmpRoot("utf8")
+    SnapshotTable.commit(Seq((emoji, 1L)).toDF("k", "v").coalesce(1),
+      root, statsCol = Some("k")) // file A: min=max=emoji
+    SnapshotTable.commit(Seq((fffd, 2L)).toDF("k", "v").coalesce(1),
+      root, statsCol = Some("k")) // file B: min=max=fffd
+    // range ["�", emoji]: valid in UTF-8 byte order (the domain
+    // Spark's UTF8String filters in); Java ordering calls file A's
+    // max < lo and would prune the emoji row away
+    val got = SnapshotTable.readWhere(spark, root, 2L, "k", "�", emoji)
+      .select("v").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("an orphaned commit claim cannot wedge the table: fresh claims " +
+      "block (conflict), stale ones are taken over after the TTL") {
+    import spark.implicits._
+    val root = tmpRoot("claim")
+    SnapshotTable.commit(Seq(1L).toDF("v"), root) // v1
+    val claim = new java.io.File(
+      new java.net.URI(s"file:$root/_manifests/.claim-v2").getPath)
+    assert(claim.createNewFile())
+    // default TTL (10 min): the claim is presumed in-flight — conflict
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.commit(Seq(2L).toDF("v"), root)
+    }
+    assert(e.getMessage.contains("conflict"))
+    // past the TTL with no manifest: a crashed writer's orphan — the
+    // next commit takes the claim over and succeeds
+    spark.conf.set("graft.snapshot.claim.ttl.ms", "1")
+    try {
+      Thread.sleep(50)
+      assert(SnapshotTable.commit(Seq(2L).toDF("v"), root) == 2L)
+      assert(SnapshotTable.read(spark, root).as[Long].collect().toSet
+        == Set(1L, 2L))
+    } finally spark.conf.unset("graft.snapshot.claim.ttl.ms")
+  }
+
+  test("vacuum deletes ONLY files the expired manifests reference — an " +
+      "in-flight commit's unreferenced data file survives; removeOrphans " +
+      "is the age-gated sweep for crashed-commit garbage") {
+    import spark.implicits._
+    val root = tmpRoot("vac")
+    SnapshotTable.commit(Seq(1L, 2L).toDF("v").coalesce(1), root) // v1
+    SnapshotTable.commit(Seq(3L).toDF("v").coalesce(1), root)     // v2
+    SnapshotTable.commit( // v3: compaction
+      SnapshotTable.read(spark, root).coalesce(1), root, overwrite = true)
+    // simulate a concurrent commit mid-publish: files moved into data/,
+    // manifest not yet renamed
+    val inflight = new java.io.File(
+      new java.net.URI(s"file:$root/data/inflight-0.parquet").getPath)
+    assert(inflight.createNewFile())
+    val (nM, nD) = SnapshotTable.expireSnapshots(spark, root, keepLast = 1)
+    assert(nM == 2, s"expired $nM manifests")
+    assert(nD >= 2, s"deleted $nD data files") // v1+v2's rewritten files
+    assert(inflight.exists(), "vacuum must not touch unreferenced files")
+    assert(SnapshotTable.read(spark, root).as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+    // the orphan sweep: age-gated listing-based deletion
+    Thread.sleep(50)
+    assert(SnapshotTable.removeOrphans(spark, root, olderThanMs = 1) == 1)
+    assert(!inflight.exists())
+    assert(SnapshotTable.removeOrphans(spark, root,
+      olderThanMs = 3600000L) == 0) // young files always survive
+    assert(SnapshotTable.read(spark, root).as[Long].collect().toSet
+      == Set(1L, 2L, 3L))
+  }
+
+  test("stream.* floors survive compaction AND expiration: the floor is " +
+      "carried into every later manifest") {
+    import spark.implicits._
+    val root = tmpRoot("floor")
+    SnapshotTable.commit(Seq(1L).toDF("v").coalesce(1), root,
+      props = Map("stream.t.batch" -> "5"))
+    SnapshotTable.commit( // compaction: no props of its own
+      SnapshotTable.read(spark, root).coalesce(1), root, overwrite = true)
+    SnapshotTable.expireSnapshots(spark, root, keepLast = 1)
+    assert(SnapshotStreamSink.lastCommittedBatch(spark, root, "t") == 5L)
+    // a fresh writer must skip the redelivered batch 5 and accept 6
+    val w = SnapshotStreamSink.writer(root, "t")
+    val cur = SnapshotTable.currentSnapshot(spark, root)
+    w(Seq(99L).toDF("v"), 5L)
+    assert(SnapshotTable.currentSnapshot(spark, root) == cur,
+      "redelivered batch must not advance the table")
+    w(Seq(100L).toDF("v"), 6L)
+    assert(SnapshotTable.currentSnapshot(spark, root) == cur + 1)
+  }
+
+  test("rowCount answers from the manifest alone — correct with the " +
+      "data directory DELETED (zero data-file reads, by construction)") {
+    import spark.implicits._
+    val root = tmpRoot("rc")
+    SnapshotTable.commit(spark.range(1000).toDF("v").repartition(4), root)
+    SnapshotTable.commit(spark.range(50).toDF("v").repartition(2), root)
+    assert(SnapshotTable.rowCount(spark, root, 1L) == Some(1000L))
+    assert(SnapshotTable.rowCount(spark, root, 2L) == Some(1050L))
+    // the proof there is no hidden data read: remove the data files
+    val dd = new java.io.File(new java.net.URI(s"file:$root/data").getPath)
+    dd.listFiles().foreach(_.delete()); dd.delete()
+    assert(SnapshotTable.rowCount(spark, root, 2L) == Some(1050L))
+  }
+
+  test("mergeLarge (range-join pruning, no driver key collect) produces " +
+      "the identical touched/carried split and final content as merge") {
+    import spark.implicits._
+    def build(tag: String): String = {
+      val root = tmpRoot(s"ml$tag")
+      SnapshotTable.commit(
+        spark.range(0, 10000).toDF("k")
+          .withColumn("p", col("k") * 2)
+          .repartitionByRange(8, col("k")),
+        root, statsCol = Some("k"))
+      root
+    }
+    val updates = spark.range(2000, 2500).toDF("k")
+      .withColumn("p", lit(-1L))
+      .unionByName(spark.range(100000, 100100).toDF("k")
+        .withColumn("p", lit(-2L)))
+    val rootA = build("a"); val rootB = build("b")
+    val (idA, touchedA, carriedA) = SnapshotTable.merge(updates, rootA, "k")
+    val (idB, touchedB, carriedB) =
+      SnapshotTable.mergeLarge(updates, rootB, "k")
+    assert((touchedA, carriedA) == (touchedB, carriedB))
+    assert(touchedA > 0 && carriedA > 0, s"($touchedA, $carriedA)")
+    val a = SnapshotTable.readAt(spark, rootA, idA)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val b = SnapshotTable.readAt(spark, rootB, idB)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(a == b)
+  }
+
+  test("changeFeed + applyChanges: a consumer folds appends and a merge " +
+      "over its pinned state and lands row-for-row on the direct read; " +
+      "an overwrite still refuses") {
+    import spark.implicits._
+    val root = tmpRoot("cdf")
+    SnapshotTable.commit( // v1
+      spark.range(0, 100).toDF("k").withColumn("p", col("k") * 10)
+        .repartitionByRange(4, col("k")),
+      root, statsCol = Some("k"))
+    SnapshotTable.commit( // v2: append
+      spark.range(100, 120).toDF("k").withColumn("p", col("k") * 10),
+      root, statsCol = Some("k"))
+    val updates = spark.range(50, 60).toDF("k").withColumn("p", lit(-5L))
+      .unionByName(
+        spark.range(500, 505).toDF("k").withColumn("p", lit(-6L)))
+    val (v3, _, _) = SnapshotTable.merge(updates, root, "k") // v3
+    // the recorded change frame distinguishes replacements from inserts
+    val feed = SnapshotTable.changeFeed(spark, root, 1L, v3)
+    val ops = feed.filter(col("_commit") === v3)
+      .groupBy("_op").count().as[(String, Long)].collect().toMap
+    assert(ops == Map("U" -> 10L, "I" -> 5L), ops.toString)
+    // fold over the pinned v1 state == direct read of v3
+    val folded = SnapshotTable.applyChanges(
+      SnapshotTable.readAt(spark, root, 1L), feed, "k")
+      .as[(Long, Long)].collect().sorted.toSeq
+    val direct = SnapshotTable.readAt(spark, root, v3)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(folded == direct)
+    // an overwrite has no row-level record: refuse, don't guess
+    SnapshotTable.commit(SnapshotTable.read(spark, root).coalesce(1),
+      root, overwrite = true)
+    intercept[IllegalStateException] {
+      SnapshotTable.changeFeed(spark, root, 1L, v3 + 1).count()
+    }
+  }
+
+  test("schema evolution: append with a new column evolves the recorded " +
+      "schema by name; old files read the column as NULL; time travel " +
+      "sees each version's own schema; type changes are refused") {
+    import spark.implicits._
+    val root = tmpRoot("evo")
+    SnapshotTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), root)
+    SnapshotTable.commit(
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("k", "s", "extra"), root)
+    val cur = SnapshotTable.read(spark, root)
+    assert(cur.columns.toSeq == Seq("k", "s", "extra"))
+    val rows = cur.select("k", "extra").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(30L),
+      4L -> Some(40L)))
+    assert(SnapshotTable.readAt(spark, root, 1L).columns.toSeq
+      == Seq("k", "s"))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(Seq(("x", "y", 1L)).toDF("k", "s", "extra"), root)
+    }
+  }
+
+  test("DSv2 write path: append and overwrite through " +
+      "format(\"graft-snap\") are real snapshot commits, statsCol flows " +
+      "to the skipping index, and the read back equals the library path") {
+    import spark.implicits._
+    val root = tmpRoot("dsv2w")
+    // bootstrap through the library (the DSv2-bootstrap twin test
+    // covers the empty-root first write)...
+    SnapshotTable.commit(
+      spark.range(0, 100).toDF("k").withColumn("p", col("k") + 1L), root)
+    // ...then DSv2 append and overwrite
+    spark.range(100, 150).toDF("k").withColumn("p", col("k") + 1L)
+      .write.format("graft-snap").mode("append").save(root)
+    assert(SnapshotTable.currentSnapshot(spark, root) == 2L)
+    assert(SnapshotTable.read(spark, root).count() == 150L)
+    spark.range(0, 30).toDF("k").withColumn("p", lit(7L))
+      .repartitionByRange(3, col("k"))
+      .write.format("graft-snap").mode("overwrite")
+      .option("statsCol", "k").save(root)
+    assert(SnapshotTable.currentSnapshot(spark, root) == 3L)
+    // statsCol flowed: the skipping index prunes the overwrite's files
+    val (_, kept, total) =
+      SnapshotTable.pruneFiles(spark, root, 3L, "k", 0L, 5L)
+    assert(kept < total, s"($kept, $total)")
+    // DSv2 read == library read, and time travel still works
+    val viaDsv2 = spark.read.format("graft-snap").load(root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    val viaLib = SnapshotTable.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(viaDsv2 == viaLib && viaDsv2.size == 30)
+    assert(spark.read.format("graft-snap").option("snapshot", "2")
+      .load(root).count() == 150L)
+  }
+
+  test("DSv2 write bootstraps an EMPTY root: the first append creates " +
+      "snapshot v1 from the data's own schema") {
+    import spark.implicits._
+    val root = tmpRoot("boot")
+    spark.range(0, 25).toDF("k").withColumn("s", lit("x"))
+      .write.format("graft-snap").mode("append").save(root)
+    assert(SnapshotTable.currentSnapshot(spark, root) == 1L)
+    val back = spark.read.format("graft-snap").load(root)
+    assert(back.columns.toSeq == Seq("k", "s") && back.count() == 25L)
+  }
+
+  test("DSv2 read is pinned at load time: a commit after load() does " +
+      "not change what the frame sees") {
+    import spark.implicits._
+    val root = tmpRoot("pin")
+    SnapshotTable.commit(spark.range(0, 10).toDF("v"), root)
+    val pinnedFrame = spark.read.format("graft-snap").load(root)
+    SnapshotTable.commit(spark.range(10, 30).toDF("v"), root)
+    assert(pinnedFrame.count() == 10L)
+    assert(spark.read.format("graft-snap").load(root).count() == 30L)
+  }
+}

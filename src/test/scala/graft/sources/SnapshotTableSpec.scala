@@ -259,10 +259,12 @@ class SnapshotTableSpec extends SparkSpec {
     val got = SnapshotTable.readWhere(spark, root, 1L, "w", "a", "bz")
       .collect().map(_.getString(0)).toSet
     assert(got == Set("apple", "banana"))
-    val props = SnapshotTable.snapshotProps(spark, root, 1L)
+    // the `schema` prop is commit-maintained metadata, not a user prop
+    val props = SnapshotTable.snapshotProps(spark, root, 1L) - "schema"
     assert(props == Map("writer" -> "spec run=1 k=v", "note" -> "a=b&c"))
-    // props are per-snapshot, not inherited by later commits
+    // user props are per-snapshot, not inherited by later commits
+    // (only the schema and stream.* floors carry forward)
     SnapshotTable.commit(Seq("quince").toDF("w"), root)
-    assert(SnapshotTable.snapshotProps(spark, root, 2L).isEmpty)
+    assert((SnapshotTable.snapshotProps(spark, root, 2L) - "schema").isEmpty)
   }
 }
