@@ -824,11 +824,41 @@ object TextAnalysis {
         }
         .toDF("w", "sym")
     }
-    // symbol-set-sized window: the id table is the tokenizer's vocab
-    val vocabIds = wordSyms.select("sym").distinct()
-      .withColumn("token_id", dense_rank().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("sym")))
-        .cast("long"))
+    // symbol-id assignment via the engine's standard sharded prefix-sum
+    // rank (packSequences / shuffleShard shape): symbols shard by their
+    // first character — monotone under Spark's byte-wise string order,
+    // so global rank = shard offset + local per-shard rank — each shard
+    // ranks independently, and the serial piece is the O(shards) driver
+    // exclusive scan (sorted in unsigned UTF-8 byte order, the order
+    // Spark's orderBy uses, so the ids equal the global dense_rank
+    // exactly). No single task ever sorts the whole symbol table: a
+    // 1 M-symbol production vocab spreads over its first-character
+    // shards instead of one window partition.
+    val syms = wordSyms.select("sym").distinct()
+      .withColumn("rg", substring(col("sym"), 1, 1))
+    val utf8Ord: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0; var d = 0
+      while (i < n && d == 0) { d = (x(i) & 0xff) - (y(i) & 0xff); i += 1 }
+      if (d != 0) d else x.length - y.length
+    }
+    val rgCounts = syms.groupBy("rg").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)(utf8Ord)
+    var run = 0L
+    val offRows = rgCounts.map { case (rg, n) =>
+      val o = run; run += n; (rg, o)
+    }.toSeq
+    import spark.implicits._
+    val offs = broadcast(offRows.toDF("rg", "off"))
+    val wShard = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rg")).orderBy(col("sym"))
+    val vocabIds = syms
+      .withColumn("lr", row_number().over(wShard).cast("long"))
+      .join(offs, "rg")
+      .select(col("sym"), (col("off") + col("lr")).as("token_id"))
     val wordStats = wordSyms.join(vocabIds, "sym")
       .groupBy("w")
       .agg(count(lit(1)).as("n_sym"), sum(col("token_id")).as("sum_id"))

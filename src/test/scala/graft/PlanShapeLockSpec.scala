@@ -116,7 +116,20 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "fmt_snapshot_skip" -> PlanShape(0, 0, 0, 0, 1),
     "graph_temporal_paths" -> PlanShape(0, 1, 0, 0, 4),
     "pipe_drift_chi2" -> PlanShape(1, 0, 2, 0, 6),
-    "ann_ivfpq" -> PlanShape(1, 1, 3, 0, 6))
+    "ann_ivfpq" -> PlanShape(1, 1, 3, 0, 6),
+    // round-11. bpe_encode: still 3 shuffles after the sharded-rank
+    // change (the per-shard window shares the distinct's exchange);
+    // curate_incremental's final read is one agg over the committed
+    // snapshot (the per-step work ran at construction); snapshot_count
+    // is ZERO of everything — the count is manifest arithmetic;
+    // cdf/evolve lock the fold join + the broadcast audit columns
+    "text_bpe_encode" -> PlanShape(0, 3, 0, 0, 9),
+    "pipe_curate_incremental" -> PlanShape(0, 0, 0, 0, 1),
+    "fmt_snapshot_cdf" -> PlanShape(0, 2, 1, 0, 4),
+    "fmt_snapshot_evolve" -> PlanShape(0, 1, 1, 0, 3),
+    "fmt_snapshot_count" -> PlanShape(0, 0, 0, 0, 0),
+    "fmt_snapshot_write" -> PlanShape(0, 0, 0, 0, 1),
+    "fmt_snapshot_merge_large" -> PlanShape(0, 1, 0, 0, 2))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -147,7 +160,15 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // round-10 session-2: the incremental file-level read and the
       // stats-pruned ranged read (the stream sink gate is excluded like
       // every stream query — building it runs a streaming query)
-      "fmt_snapshot_changes", "fmt_snapshot_skip")
+      "fmt_snapshot_changes", "fmt_snapshot_skip",
+      // round-11 additions: the BPE encode (sharded-prefix-sum token
+      // ids replaced the global dense_rank window), the digest-column
+      // incremental curation, and the new snapshot-layer gates (change
+      // feed fold, schema evolution, manifest count, DSv2 write path,
+      // join-form merge)
+      "text_bpe_encode", "pipe_curate_incremental", "fmt_snapshot_cdf",
+      "fmt_snapshot_evolve", "fmt_snapshot_count", "fmt_snapshot_write",
+      "fmt_snapshot_merge_large")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached
