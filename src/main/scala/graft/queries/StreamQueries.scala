@@ -30,7 +30,8 @@ object StreamQueries {
     "stream_forget" -> (graft.streaming.ForgetStream.forgetStream _),
     "stream_covisit" -> (graft.streaming.CovisitStream.covisitStream _),
     "stream_topk" -> (EventStreams.topkStream _),
-    "stream_snapshot_sink" -> (EventStreams.snapshotSinkStream _)
+    "stream_snapshot_sink" -> (EventStreams.snapshotSinkStream _),
+    "stream_snapshot_source" -> (EventStreams.snapshotSourceStream _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -142,6 +143,21 @@ object StreamQueries {
     "stream_snapshot_sink" ->
       """SELECT event_type, count(*)::BIGINT AS n,
         |  round(sum(value), 2) AS sum_value, 0::BIGINT AS replay_advanced
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+    // the snapshot-table TAIL must deliver the three pre-start commits
+    // (= the whole orders table) plus the mid-stream fourth, exactly
+    // once; the mid-stream audit is that batch's cardinality
+    "stream_snapshot_source" ->
+      """WITH rows4 AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice + 100.0
+        |  FROM orders WHERE o_orderkey % 10 = 0)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  sum(o_orderkey)::BIGINT AS sum_okey,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey % 10 = 0)::BIGINT AS mid_stream_rows
+        |FROM rows4 GROUP BY 1""".stripMargin
   )
 }

@@ -719,4 +719,56 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .withColumn("replay_advanced", lit(advanced))
   }
+
+  /** The snapshot-table STREAM SOURCE end-to-end
+    * ([[graft.sources.SnapshotStreamSourceProvider]],
+    * `readStream.format("graft-snap-stream")`) — the read twin of
+    * [[snapshotSinkStream]], closing the incremental loop: three append
+    * commits land BEFORE the stream starts and a fourth lands
+    * MID-STREAM; the tail delivers all four exactly once into a memory
+    * sink (offsets are snapshot ids in the checkpoint, each micro-batch
+    * reads only the appended files via `changesBetween` — O(metadata)
+    * planning, never a table scan). The hash gate proves the delivered
+    * rows equal the four batches' union; `mid_stream_rows` pins that
+    * the post-start commit was tailed incrementally, not re-read.
+    */
+  def snapshotSourceStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    // unique root + memory-sink name per invocation: the tail is the
+    // unit under test, so bench/verify re-runs must start fresh
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_snapsrc").toString
+    val root = s"$base/table"
+    val sinkName = s"snap_src_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val o = graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 10 <= 3), root)
+    SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 10 >= 4 && col("o_orderkey") % 10 <= 6),
+      root)
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 10 >= 7), root)
+    val (delivered, midRows) = withStreamPartitions(s) {
+      val q = s.readStream.format("graft-snap-stream").load(root)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try {
+        q.processAllAvailable()
+        val before = s.table(sinkName).count()
+        SnapshotTable.commit( // v4: lands while the query is running
+          o.filter(col("o_orderkey") % 10 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + 100.0),
+          root)
+        q.processAllAvailable()
+        (s.table(sinkName), s.table(sinkName).count() - before)
+      } finally q.stop()
+    }
+    delivered.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        sum(col("o_orderkey")).as("sum_okey"))
+      .withColumn("mid_stream_rows", lit(midRows))
+  }
 }

@@ -261,6 +261,48 @@ class SnapshotRound11Spec extends SparkSpec {
     assert(back.columns.toSeq == Seq("k", "s") && back.count() == 25L)
   }
 
+  test("stream source: a checkpointed restart delivers ONLY snapshots " +
+      "committed while the query was down, exactly once; an overwrite " +
+      "in the tail refuses loudly") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_r11_tail").toString
+    val root = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    SnapshotTable.commit(spark.range(0, 10).toDF("v"), root) // v1
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def runTail(): Unit = {
+      val q = spark.readStream.format("graft-snap-stream").load(root)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          got.synchronized { got ++= df.select("v").as[Long].collect() }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runTail()
+    assert(got.sorted == (0L until 10L), s"first drain got $got")
+    // two commits land while the query is DOWN...
+    SnapshotTable.commit(spark.range(10, 25).toDF("v"), root) // v2
+    SnapshotTable.commit(spark.range(25, 30).toDF("v"), root) // v3
+    runTail()
+    // ...and the restart delivers exactly them: no gap, no redelivery
+    assert(got.sorted == (0L until 30L), s"after restart got $got")
+    // an overwrite rewrites history: the tail refuses, never re-serves
+    SnapshotTable.commit(SnapshotTable.read(spark, root).coalesce(1),
+      root, overwrite = true) // v4
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runTail()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("re-baseline")), messages(e))
+  }
+
   test("DSv2 read is pinned at load time: a commit after load() does " +
       "not change what the frame sees") {
     import spark.implicits._
