@@ -768,7 +768,51 @@ object FormatQueries {
       .withColumn("pruned_some", lit(if (nCarried > nRewritten) 1L else 0L))
   }
 
+  /** OPTIMIZE ZORDER BY through the snapshot layer
+    * ([[graft.sources.SnapshotTable.compactZorder]] + multi-column
+    * manifest stats): commit lineitem in a random 16-file layout, then
+    * compact it clustered on the Morton curve over
+    * (l_partkey, l_suppkey) with BOTH columns' footer stats recorded —
+    * after which a selective band on EITHER dimension prunes files
+    * from the manifest alone (audit columns pin both), while the hash
+    * gate proves the ranged reads stay exact against the oracle's
+    * plain filters. A single-column range layout gives one prunable
+    * dimension; the space-filling curve is what makes the second one
+    * real — the Delta/Iceberg OPTIMIZE ZORDER capability, here as one
+    * overwrite commit whose old snapshot still time-travels. Bands are
+    * derived from each key's max (5–15%), so the gate scales from
+    * sf0.001 to sf1 without retuning.
+    */
+  def snapshotZorder(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_zorder")
+    graft.tera.TeraIO.delete(s, root)
+    val li = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    SnapshotTable.commit(li.repartition(16), root) // v1: unclustered
+    val maxes = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head
+    val (maxPk, maxSk) = (maxes.getLong(0), maxes.getLong(1))
+    val v2 = SnapshotTable.compactZorder(s, root,
+      "l_partkey", "l_suppkey", numFiles = 16)
+    val (xlo, xhi) = (maxPk / 20, maxPk * 3 / 20)
+    val (ylo, yhi) = (maxSk / 20, maxSk * 3 / 20)
+    val (_, keptX, total) =
+      SnapshotTable.pruneFiles(s, root, v2, "l_partkey", xlo, xhi)
+    val (_, keptY, _) =
+      SnapshotTable.pruneFiles(s, root, v2, "l_suppkey", ylo, yhi)
+    val aggX = SnapshotTable.readWhere(s, root, v2, "l_partkey", xlo, xhi)
+      .agg(count(lit(1)).as("n_x"),
+        money(sum(col("l_quantity"))).as("qty_x"))
+    val aggY = SnapshotTable.readWhere(s, root, v2, "l_suppkey", ylo, yhi)
+      .agg(count(lit(1)).as("n_y"),
+        money(sum(col("l_quantity"))).as("qty_y"))
+    aggX.crossJoin(aggY)
+      .withColumn("pruned_x", lit(if (keptX < total) 1L else 0L))
+      .withColumn("pruned_y", lit(if (keptY < total) 1L else 0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_snapshot_zorder" -> (snapshotZorder _),
     "fmt_snapshot_cdf" -> (snapshotCdf _),
     "fmt_snapshot_evolve" -> (snapshotEvolve _),
     "fmt_snapshot_count" -> (snapshotCount _),
@@ -813,6 +857,26 @@ object FormatQueries {
     * is correct iff it is invisible to the aggregate.
     */
   val oracles: Map[String, String] = Map(
+    // both z-ordered ranged reads must equal plain filters on the
+    // original table (prune sound + residual exact on each dimension);
+    // the audit flags pin that the curve layout made BOTH dims prune
+    "fmt_snapshot_zorder" ->
+      """WITH bx AS (
+        |  SELECT (max(l_partkey) // 20) AS lo,
+        |    (max(l_partkey) * 3 // 20) AS hi FROM lineitem),
+        |bs AS (
+        |  SELECT (max(l_suppkey) // 20) AS lo,
+        |    (max(l_suppkey) * 3 // 20) AS hi FROM lineitem)
+        |SELECT
+        |  (SELECT count(*) FROM lineitem, bx
+        |   WHERE l_partkey BETWEEN bx.lo AND bx.hi)::BIGINT AS n_x,
+        |  (SELECT round(sum(l_quantity), 2) FROM lineitem, bx
+        |   WHERE l_partkey BETWEEN bx.lo AND bx.hi) AS qty_x,
+        |  (SELECT count(*) FROM lineitem, bs
+        |   WHERE l_suppkey BETWEEN bs.lo AND bs.hi)::BIGINT AS n_y,
+        |  (SELECT round(sum(l_quantity), 2) FROM lineitem, bs
+        |   WHERE l_suppkey BETWEEN bs.lo AND bs.hi) AS qty_y,
+        |  1::BIGINT AS pruned_x, 1::BIGINT AS pruned_y""".stripMargin,
     // the folded consumer state = (v1 ∪ v2 appends) with the updated
     // band replaced and the beyond-range keys inserted — the direct
     // post-merge truth; the op counts are the band/insert cardinalities

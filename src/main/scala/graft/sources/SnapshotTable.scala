@@ -67,10 +67,13 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *       at a merge's recorded row-level change frame ([[changeFeed]]).
   *   `data/<file>`                                a data file, no stats
   *   `data/<file>\trc=<n>`                        + its row count
-  *   `data/<file>\t<col>\t<tag>\t<min>\t<max>[\trc=<n>]` + the
-  *       commit-time parquet-footer min/max of `<col>` (tag i=integer,
-  *       d=double, s=string; values URL-encoded) — the file-skipping
-  *       index [[readWhere]] prunes on. String stats compare in
+  *   `data/<file>[\t<col>\t<tag>\t<min>\t<max>]*[\trc=<n>]` + the
+  *       commit-time parquet-footer min/max of each stats column (tag
+  *       i=integer, d=double, s=string; values URL-encoded; repeat the
+  *       4-field group per column — `statsCol = "a,b"` records both,
+  *       the multi-dimensional index of a z-ordered layout) — the
+  *       file-skipping index [[readWhere]] prunes on. String stats
+  *       compare in
   *       UNSIGNED UTF-8 BYTE order ([[utf8Cmp]]) — the order parquet's
   *       BinaryStatistics and Spark's UTF8String both use; Java String
   *       (UTF-16 code unit) order diverges for supplementary-plane
@@ -120,17 +123,20 @@ object SnapshotTable {
   private[sources] val Utf8Ord: Ordering[String] =
     (a: String, b: String) => utf8Cmp(a, b)
 
-  /** One manifest entry: a data file path plus its optional skipping
-    * stats and row count. Parses every historical line shape; renders
-    * the newest.
+  /** One manifest entry: a data file path plus its skipping stats (any
+    * number of columns — `statsCol = "a,b"` records both, the
+    * multi-dimensional index a z-ordered layout wants) and row count.
+    * Parses every historical line shape; renders the newest.
     */
   private[sources] final case class FileStats(
       col: String, tag: String, mn: String, mx: String)
   private[sources] final case class FileEntry(
-      path: String, stats: Option[FileStats], rows: Option[Long]) {
+      path: String, stats: Seq[FileStats], rows: Option[Long]) {
+    def statsFor(colName: String): Option[FileStats] =
+      stats.find(_.col == colName)
     def render: String = {
       val st = stats.map(t =>
-        s"\t${enc(t.col)}\t${t.tag}\t${enc(t.mn)}\t${enc(t.mx)}").getOrElse("")
+        s"\t${enc(t.col)}\t${t.tag}\t${enc(t.mn)}\t${enc(t.mx)}").mkString
       val rc = rows.map(n => s"\trc=$n").getOrElse("")
       s"$path$st$rc"
     }
@@ -142,10 +148,9 @@ object SnapshotTable {
         Some(f.last.stripPrefix("rc=").toLong)
       else None
     val mid = if (rc.isDefined) f.slice(1, f.length - 1) else f.drop(1)
-    val stats = mid match {
-      case Array(c, tag, mn, mx) => Some(FileStats(dec(c), tag, dec(mn), dec(mx)))
-      case _ => None
-    }
+    val stats = mid.grouped(4).collect {
+      case Array(c, tag, mn, mx) => FileStats(dec(c), tag, dec(mn), dec(mx))
+    }.toSeq
     FileEntry(f(0), stats, rc)
   }
 
@@ -298,9 +303,13 @@ object SnapshotTable {
     fs.delete(staging, true)
     // the file-skipping index and row counts: one parquet FOOTER read
     // per new file (metadata only, never data pages), once, at commit;
-    // every later reader prunes and counts from the manifest alone
+    // every later reader prunes and counts from the manifest alone.
+    // statsCol takes a comma-separated list for multi-column indexes
+    // (the z-ordered layout's case: both dimensions prune)
+    val statsCols = statsCol.toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     val movedEntries = moved.map { rel =>
-      val (stats, rows) = footerInfo(s, new Path(rootP, rel), statsCol)
+      val (stats, rows) = footerInfo(s, new Path(rootP, rel), statsCols)
       FileEntry(rel, stats, Some(rows)).render
     }
     val files = carried ++ movedEntries
@@ -523,16 +532,17 @@ object SnapshotTable {
   def read(s: SparkSession, root: String): DataFrame =
     readAt(s, root, currentSnapshot(s, root))
 
-  /** Merged min/max of `colName` across a parquet file's row groups
-    * plus the file's row count, from the FOOTER only (no data pages).
-    * Stats are tagged by compare domain: i = integer (INT32/INT64),
-    * d = double (FLOAT/DOUBLE), s = UTF-8 string (BINARY, min/max
-    * merged in unsigned byte order to match parquet's own comparator).
-    * Stats are None when `colName` is absent or the footer carries no
-    * usable statistics — the file is then simply never pruned.
+  /** Merged min/max of each of `colNames` across a parquet file's row
+    * groups plus the file's row count, from the FOOTER only (no data
+    * pages). Stats are tagged by compare domain: i = integer
+    * (INT32/INT64), d = double (FLOAT/DOUBLE), s = UTF-8 string
+    * (BINARY, min/max merged in unsigned byte order to match parquet's
+    * own comparator). A column is skipped when absent or when the
+    * footer carries no usable statistics — the file is then simply
+    * never pruned on that column.
     */
   private def footerInfo(s: SparkSession, p: Path,
-      colName: Option[String]): (Option[FileStats], Long) = {
+      colNames: Seq[String]): (Seq[FileStats], Long) = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.column.statistics._
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
@@ -541,7 +551,7 @@ object SnapshotTable {
     try {
       val blocks = rdr.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val stats = colName.flatMap { c =>
+      val stats = colNames.flatMap { c =>
         val sts = (for {
           b <- blocks
           col <- b.getColumns.asScala if col.getPath.toDotString == c
@@ -592,10 +602,10 @@ object SnapshotTable {
       lo: Any, hi: Any): (Seq[String], Int, Int) = {
     val es = entries(s, root, id)
     val kept = es.filter { e =>
-      e.stats match {
-        case Some(FileStats(c, tag, mn, mx)) if c == colName =>
+      e.statsFor(colName) match {
+        case Some(FileStats(_, tag, mn, mx)) =>
           rangesOverlap(tag, mn, mx, lo.toString, hi.toString)
-        case _ => true
+        case None => true
       }
     }.map(_.path)
     (kept, kept.size, es.size)
@@ -719,9 +729,9 @@ object SnapshotTable {
         lo < sorted.length && utf8Cmp(sorted(lo), st.mx) <= 0
     }
     mergeCore(updates, root, keyCol, es => es.partition { e =>
-      e.stats match {
-        case Some(st) if st.col == keyCol => anyKeyIn(st)
-        case _ => true // no usable stats → conservatively rewrite
+      e.statsFor(keyCol) match {
+        case Some(st) => anyKeyIn(st)
+        case None => true // no usable stats → conservatively rewrite
       }
     })
   }
@@ -868,11 +878,46 @@ object SnapshotTable {
     require(cur > 0L, s"merge into empty table $root: commit first")
     val touchedPaths = touchedFiles(updates, root, keyCol)
     mergeCore(updates, root, keyCol, allEs => allEs.partition { e =>
-      e.stats match {
-        case Some(st) if st.col == keyCol => touchedPaths.contains(e.path)
-        case _ => true // no usable stats → conservatively rewrite
+      e.statsFor(keyCol) match {
+        case Some(_) => touchedPaths.contains(e.path)
+        case None => true // no usable stats → conservatively rewrite
       }
     })
+  }
+
+  /** OPTIMIZE ZORDER BY for the snapshot layer: rewrite the current
+    * snapshot as an overwrite commit clustered on the z-order (Morton)
+    * curve over `(xCol, yCol)` — [[graft.ops.PipelineOps.zorderIndex]],
+    * pure codegen'd bit arithmetic — recording BOTH columns' per-file
+    * stats, so [[readWhere]] prunes on EITHER dimension (a
+    * single-column range layout gives one). Each dimension is first
+    * RANGE-NORMALIZED onto the curve's 2^bits domain from its own
+    * min/max (one aggregate) — without that, the wider-ranged column's
+    * high bits dominate the interleave and the narrow column never
+    * clusters (the classic z-order pitfall; Delta's OPTIMIZE makes the
+    * same normalization). Pruning stays SOUND whatever the layout: the
+    * recorded stats are always the files' true min/max. Time travel to
+    * pre-compaction snapshots is unaffected; vacuum reclaims the old
+    * files later. Returns the new snapshot id.
+    */
+  def compactZorder(s: SparkSession, root: String, xCol: String,
+      yCol: String, numFiles: Int, bits: Int = 12): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val cur = read(s, root)
+    val b = cur.agg(min(col(xCol)), max(col(xCol)),
+      min(col(yCol)), max(col(yCol))).head
+    def lv(i: Int): Long = b.getAs[Number](i).longValue
+    val (xmn, xmx, ymn, ymx) = (lv(0), lv(1), lv(2), lv(3))
+    def norm(c: String, mn: Long, mx: Long) =
+      if (mx > mn)
+        (col(c).cast("long") - mn) * (1L << bits) / (mx - mn + 1)
+      else col(c).cast("long") * 0L
+    val z = graft.ops.PipelineOps.zorderIndex(
+      norm(xCol, xmn, xmx), norm(yCol, ymn, ymx), bits)
+    commit(
+      cur.repartitionByRange(numFiles, z)
+        .sortWithinPartitions(z, col(xCol), col(yCol)),
+      root, overwrite = true, statsCol = Some(s"$xCol,$yCol"))
   }
 
   /** The files of the CURRENT snapshot a merge keyed on `keyCol` would
@@ -888,25 +933,22 @@ object SnapshotTable {
     val s = updates.sparkSession
     val cur = currentSnapshot(s, root)
     val statful = entries(s, root, cur)
-      .filter(e => e.stats.exists(_.col == keyCol))
+      .flatMap(e => e.statsFor(keyCol).map(st => (e.path, st)))
     if (statful.isEmpty) Set.empty
     else {
       import org.apache.spark.sql.functions.{broadcast, col}
       import s.implicits._
-      val tag = statful.head.stats.get.tag
+      val tag = statful.head._2.tag
       val keysDf = updates.select(col(keyCol).as("k")).distinct()
       // per-tag typed bounds frame; string bounds compare as Spark
       // UTF8String = unsigned UTF-8 bytes, the stats' own domain
       val boundsDf = tag match {
-        case "i" => statful.map(e =>
-          (e.path, e.stats.get.mn.toLong, e.stats.get.mx.toLong))
-          .toDF("path", "mn", "mx")
-        case "d" => statful.map(e =>
-          (e.path, e.stats.get.mn.toDouble, e.stats.get.mx.toDouble))
-          .toDF("path", "mn", "mx")
-        case _ => statful.map(e =>
-          (e.path, e.stats.get.mn, e.stats.get.mx))
-          .toDF("path", "mn", "mx")
+        case "i" => statful.map { case (p, st) =>
+          (p, st.mn.toLong, st.mx.toLong) }.toDF("path", "mn", "mx")
+        case "d" => statful.map { case (p, st) =>
+          (p, st.mn.toDouble, st.mx.toDouble) }.toDF("path", "mn", "mx")
+        case _ => statful.map { case (p, st) =>
+          (p, st.mn, st.mx) }.toDF("path", "mn", "mx")
       }
       // keys STREAM against the broadcast bounds frame (files are
       // driver metadata, always the small side); the distinct

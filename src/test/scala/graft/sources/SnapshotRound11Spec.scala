@@ -261,6 +261,38 @@ class SnapshotRound11Spec extends SparkSpec {
     assert(back.columns.toSeq == Seq("k", "s") && back.count() == 25L)
   }
 
+  test("compactZorder records BOTH dimensions' stats per file (parse " +
+      "round-trips), both dimensions prune, and the ranged reads are " +
+      "exact") {
+    import spark.implicits._
+    val root = tmpRoot("zorder")
+    // a full 64x64 grid, committed in a layout random in both dims
+    val grid = spark.range(0, 4096)
+      .select((col("id") % 64).as("x"), expr("id div 64").as("y"))
+    SnapshotTable.commit(grid.repartition(8), root)
+    val v2 = SnapshotTable.compactZorder(spark, root, "x", "y",
+      numFiles = 16, bits = 6)
+    val es = SnapshotTable.entries(spark, root, v2)
+    assert(es.nonEmpty)
+    es.foreach { e =>
+      assert(e.statsFor("x").isDefined && e.statsFor("y").isDefined &&
+        e.rows.isDefined, e.render)
+      assert(SnapshotTable.parseEntry(e.render) == e)
+    }
+    // 16 files over a normalized 2-D curve ≈ 4x4 tiles: a one-tile
+    // band on EITHER dimension keeps ~4 files, never all 16
+    val (_, keptX, total) =
+      SnapshotTable.pruneFiles(spark, root, v2, "x", 0L, 15L)
+    val (_, keptY, _) =
+      SnapshotTable.pruneFiles(spark, root, v2, "y", 0L, 15L)
+    assert(total == 16 && keptX < total && keptY < total,
+      s"keptX=$keptX keptY=$keptY total=$total")
+    assert(SnapshotTable.readWhere(spark, root, v2, "x", 0L, 15L)
+      .count() == 16L * 64)
+    assert(SnapshotTable.readWhere(spark, root, v2, "y", 0L, 15L)
+      .count() == 16L * 64)
+  }
+
   test("stream source: a checkpointed restart delivers ONLY snapshots " +
       "committed while the query was down, exactly once; an overwrite " +
       "in the tail refuses loudly") {
