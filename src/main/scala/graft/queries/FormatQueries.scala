@@ -811,7 +811,44 @@ object FormatQueries {
       .withColumn("pruned_y", lit(if (keptY < total) 1L else 0L))
   }
 
+  /** TRANSPARENT file skipping on the DSv2 read path
+    * ([[graft.sources.SnapshotScanBuilder]]): commit orders
+    * range-clustered on `o_orderkey` with its stats recorded, then run
+    * a PLAIN `read.format("graft-snap").load(root).filter(...)` — no
+    * library call — and Catalyst's own pushed filters prune the
+    * manifest's file list before the parquet scan is built. The band
+    * (25–50% of the key's max) must keep a strict subset of the 8
+    * range files (`pruned` audit flag from
+    * [[graft.sources.SnapshotSource.lastPrune]]); the residual
+    * non-stats predicate (`o_orderstatus`) rides along unpruned,
+    * proving mixed filters stay exact. The hash gate checks the
+    * filtered aggregate against the oracle's plain WHERE — the
+    * skipping is correct iff it is invisible to the result.
+    */
+  def snapshotPushdown(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SnapshotSource, SnapshotTable}
+    val root = scratch("snap_pushdown")
+    graft.tera.TeraIO.delete(s, root)
+    val ord = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    SnapshotTable.commit(
+      ord.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      root, statsCol = Some("o_orderkey"))
+    val maxK = ord.agg(max(col("o_orderkey"))).head.getLong(0)
+    val (lo, hi) = (maxK / 4, maxK / 2)
+    val df = s.read.format("graft-snap").load(root)
+      .filter(col("o_orderkey").between(lo, hi) &&
+        col("o_orderstatus") === "O")
+    df.queryExecution.executedPlan // force pushdown planning for the audit
+    val (kept, total) = SnapshotSource.lastPrune(root).getOrElse((0, 0))
+    df.agg(count(lit(1)).as("n"), money(sum(col("o_totalprice"))).as("rev"))
+      .withColumn("pruned",
+        lit(if (kept > 0 && kept < total) 1L else 0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_snapshot_pushdown" -> (snapshotPushdown _),
     "fmt_snapshot_zorder" -> (snapshotZorder _),
     "fmt_snapshot_cdf" -> (snapshotCdf _),
     "fmt_snapshot_evolve" -> (snapshotEvolve _),
@@ -857,6 +894,19 @@ object FormatQueries {
     * is correct iff it is invisible to the aggregate.
     */
   val oracles: Map[String, String] = Map(
+    // the transparently-skipped filtered read must equal a plain WHERE
+    // over the original table; the audit flag pins that a strict
+    // subset of the range files was opened
+    "fmt_snapshot_pushdown" ->
+      """WITH b AS (
+        |  SELECT (max(o_orderkey) // 4) AS lo,
+        |    (max(o_orderkey) // 2) AS hi FROM orders)
+        |SELECT count(*)::BIGINT AS n,
+        |  round(sum(o_totalprice), 2) AS rev,
+        |  1::BIGINT AS pruned
+        |FROM orders, b
+        |WHERE o_orderkey BETWEEN b.lo AND b.hi
+        |  AND o_orderstatus = 'O'""".stripMargin,
     // both z-ordered ranged reads must equal plain filters on the
     // original table (prune sound + residual exact on each dimension);
     // the audit flags pin that the curve layout made BOTH dims prune

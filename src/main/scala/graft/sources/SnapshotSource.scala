@@ -74,7 +74,7 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
           val p =
             if (id == 0L) Pinned(root, snapOpt, 0L, Seq.empty, None)
             else Pinned(root, snapOpt, id,
-              SnapshotTable.fileList(spark, root, id).map(f => s"$root/$f"),
+              SnapshotTable.entries(spark, root, id),
               SnapshotTable.storedSchema(spark, root, id))
           pinned = Some(p)
           p
@@ -84,10 +84,10 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val p = resolve(options)
     p.schema.getOrElse {
-      if (p.files.isEmpty) new StructType() // empty table: a write will
+      if (p.entries.isEmpty) new StructType() // empty table: a write will
       // bootstrap from the data's schema; a read fails in the scan
       else ParquetTable(s"graft-snap ${p.root}@v${p.id}",
-        SparkSession.active, options, p.files,
+        SparkSession.active, options, p.paths,
         userSpecifiedSchema = None, classOf[ParquetFileFormat]).schema
     }
   }
@@ -96,16 +96,19 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val p = resolve(options)
-    new SnapshotSourceTable(p.root, p.id, p.files, schema, options)
+    new SnapshotSourceTable(p.root, p.id, p.entries, schema, options)
   }
 }
 
 /** The resolved table: reads delegate to Spark's parquet `FileTable`
-  * over the pinned file list under the pinned schema; writes go through
-  * the V1Write bridge straight to [[SnapshotTable.commit]].
+  * over the pinned file list under the pinned schema — behind a
+  * [[SnapshotScanBuilder]] that first prunes that list against the
+  * manifest's per-file stats using the query's own pushed filters;
+  * writes go through the V1Write bridge straight to
+  * [[SnapshotTable.commit]].
   */
 private[sources] class SnapshotSourceTable(root: String, id: Long,
-    files: Seq[String], tableSchema: StructType,
+    entries: Seq[SnapshotTable.FileEntry], tableSchema: StructType,
     options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite {
 
@@ -122,14 +125,10 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
-    require(files.nonEmpty,
+    require(entries.nonEmpty,
       s"graft-snap: table at $root is empty (no committed snapshot); " +
         "write one first")
-    // honor the resolved schema: the pinned stored schema (or the
-    // user-supplied one) flows to the parquet table, never re-inferred
-    ParquetTable(name(), SparkSession.active, options, files,
-      userSpecifiedSchema = Some(tableSchema), classOf[ParquetFileFormat])
-      .newScanBuilder(opts)
+    new SnapshotScanBuilder(root, id, name(), entries, tableSchema, options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -150,11 +149,102 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
     }
 }
 
+/** The DSv2 scan builder that makes the manifest's file-skipping index
+  * TRANSPARENT: Catalyst pushes the query's data filters here
+  * (`SupportsPushDownCatalystFilters` — the same hook Spark's own file
+  * sources use), each pushed conjunct is tested against every manifest
+  * entry's commit-time min/max ([[SnapshotTable.filterExcludes]] —
+  * sound: a file is dropped only when the stats PROVE it holds no
+  * matching row), and the stock vectorized parquet scan is then built
+  * over only the surviving files — so a plain
+  * `read.format("graft-snap").load(root).filter(...)` gets manifest-
+  * level skipping with no library call, and parquet's own row-group
+  * pruning, column pruning, and aggregate pushdown still run (every
+  * pushdown interface forwards to the parquet builder). At 100 TB a
+  * selective band over the commit's `statsCol` clustering opens a few
+  * files instead of the table; an unprunable query degrades to exactly
+  * the old full-list scan. The (kept, total) decision is recorded in
+  * [[SnapshotSource.lastPrune]] for audits and specs.
+  */
+private[sources] class SnapshotScanBuilder(root: String, id: Long,
+    tableName: String, entries: Seq[SnapshotTable.FileEntry],
+    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
+
+  private def parquetBuilder(paths: Seq[String]): FileScanBuilder =
+    ParquetTable(tableName, SparkSession.active, options, paths,
+      userSpecifiedSchema = Some(tableSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(options).asInstanceOf[FileScanBuilder]
+
+  // Catalyst pushes filters (if any) BEFORE column pruning and build;
+  // a filterless scan never sees pushFilters, so the delegate is built
+  // lazily over the full pinned list in that case
+  private var delegate: FileScanBuilder = null
+  private def ensure(): FileScanBuilder = {
+    if (delegate == null)
+      delegate = parquetBuilder(entries.map(e => s"$root/${e.path}"))
+    delegate
+  }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    // the top-level Seq is a conjunction: ANY conjunct proving a file
+    // empty excludes it
+    val kept = entries.filterNot(e =>
+      filters.exists(f => SnapshotTable.filterExcludes(e, f)))
+    SnapshotSource.pruneLog.put(root, (kept.size, entries.size))
+    delegate = parquetBuilder(kept.map(e => s"$root/${e.path}"))
+    delegate.pushFilters(filters)
+  }
+
+  override def pushedFilters(): Array[Predicate] = ensure().pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    ensure().pruneColumns(requiredSchema)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    ensure() match {
+      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+        a.pushAggregation(aggregation)
+      case _ => false
+    }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    ensure() match {
+      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+        a.supportCompletePushDown(aggregation)
+      case _ => false
+    }
+
+  override def build(): Scan = ensure().build()
+}
+
 object SnapshotSource {
 
   private[sources] final case class Pinned(root: String,
-      snapOpt: Option[String], id: Long, files: Seq[String],
-      schema: Option[StructType])
+      snapOpt: Option[String], id: Long,
+      entries: Seq[SnapshotTable.FileEntry],
+      schema: Option[StructType]) {
+    def paths: Seq[String] = entries.map(e => s"$root/${e.path}")
+  }
+
+  // the last (kept files, total files) skipping decision per table
+  // root — driver-side observability for gates and specs; the scan
+  // itself never reads it
+  private[sources] val pruneLog =
+    new scala.collection.concurrent.TrieMap[String, (Int, Int)]
+
+  /** The most recent DSv2 file-skipping decision for `root`:
+    * (files kept, files in snapshot). None before any filtered scan.
+    */
+  def lastPrune(root: String): Option[(Int, Int)] = pruneLog.get(root)
 
   /** Snapshot catalog listing — the metadata query a `VERSION AS OF`
     * user starts from: one row per live snapshot (id, file count), one

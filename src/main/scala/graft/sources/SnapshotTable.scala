@@ -590,6 +590,82 @@ object SnapshotTable {
     case _   => !(utf8Cmp(mx, lo) < 0 || utf8Cmp(mn, hi) > 0)
   }
 
+  /** Does Catalyst filter `f` PROVE entry `e` holds no matching row?
+    * The evaluator behind the DSv2 transparent file skipping
+    * ([[SnapshotScanBuilder]]): sound, never complete — `true` only
+    * when the file's commit-time stats and the literal land in the
+    * same compare domain (integer / double / unsigned-UTF-8 string —
+    * date/timestamp literals are their internal int/long encodings, so
+    * they compare in the "i" domain stats already live in) and the
+    * proof is airtight; anything unrecognized (casts, UDFs, null
+    * probes — min/max say nothing about nulls) keeps the file.
+    * `And`/`Or` recurse with the exclusion algebra (And: either side
+    * proves; Or: both sides must prove); null-semantics note: a
+    * comparison is never true on a null cell, so stats over the
+    * non-null population are exactly the right evidence.
+    */
+  private[sources] def filterExcludes(e: FileEntry,
+      f: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.unsafe.types.UTF8String
+    // sign of (stat - v) in the stats column's domain; None = no proof
+    def cmp(tag: String, stat: String, v: Any): Option[Int] = (tag, v) match {
+      case ("i", n @ (_: java.lang.Byte | _: java.lang.Short |
+          _: java.lang.Integer | _: java.lang.Long)) =>
+        Some(java.lang.Long.compare(stat.toLong,
+          n.asInstanceOf[Number].longValue))
+      case ("d", n: Number) =>
+        Some(java.lang.Double.compare(stat.toDouble, n.doubleValue))
+      case ("s", u: UTF8String) => Some(utf8Cmp(stat, u.toString))
+      case _ => None
+    }
+    // (sign(min - v), sign(max - v)) when provable on this entry
+    def bounds(colName: String, v: Any): Option[(Int, Int)] =
+      if (v == null) None
+      else e.statsFor(colName).flatMap { st =>
+        for (a <- cmp(st.tag, st.mn, v); b <- cmp(st.tag, st.mx, v))
+          yield (a, b)
+      }
+    def outside(c: String, v: Any): Boolean =     // v < min || v > max
+      bounds(c, v).exists { case (mnC, mxC) => mnC > 0 || mxC < 0 }
+    def maxLe(c: String, v: Any): Boolean =       // max <= v: col>v empty
+      bounds(c, v).exists(_._2 <= 0)
+    def maxLt(c: String, v: Any): Boolean =       // max < v: col>=v empty
+      bounds(c, v).exists(_._2 < 0)
+    def minGe(c: String, v: Any): Boolean =       // min >= v: col<v empty
+      bounds(c, v).exists(_._1 >= 0)
+    def minGt(c: String, v: Any): Boolean =       // min > v: col<=v empty
+      bounds(c, v).exists(_._1 > 0)
+    def excl(x: Expression): Boolean = x match {
+      case EqualTo(a: AttributeReference, Literal(v, _)) => outside(a.name, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) => outside(a.name, v)
+      case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
+        outside(a.name, v)
+      case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
+        outside(a.name, v)
+      case GreaterThan(a: AttributeReference, Literal(v, _)) => maxLe(a.name, v)
+      case GreaterThan(Literal(v, _), a: AttributeReference) => minGe(a.name, v)
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        maxLt(a.name, v)
+      case GreaterThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        minGt(a.name, v)
+      case LessThan(a: AttributeReference, Literal(v, _)) => minGe(a.name, v)
+      case LessThan(Literal(v, _), a: AttributeReference) => maxLe(a.name, v)
+      case LessThanOrEqual(a: AttributeReference, Literal(v, _)) =>
+        minGt(a.name, v)
+      case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
+        maxLt(a.name, v)
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.nonEmpty && vs.forall(l => outside(a.name, l.asInstanceOf[Literal].value))
+      case InSet(a: AttributeReference, hset) =>
+        hset.nonEmpty && hset.forall(v => outside(a.name, v))
+      case And(l, r) => excl(l) || excl(r)
+      case Or(l, r) => excl(l) && excl(r)
+      case _ => false
+    }
+    excl(f)
+  }
+
   /** Snapshot N's files partitioned by the skipping index: (kept paths,
     * kept count, total count). A file is DROPPED only when it carries
     * `colName` stats proving no row can satisfy `colName ∈ [lo, hi]` —

@@ -132,7 +132,9 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "fmt_snapshot_merge_large" -> PlanShape(0, 1, 0, 0, 2),
     // zorder: the two manifest-pruned ranged reads cross-join (BNLJ on
     // two 1-row aggregates) — the compaction itself ran at construction
-    "fmt_snapshot_zorder" -> PlanShape(0, 0, 1, 0, 2))
+    "fmt_snapshot_zorder" -> PlanShape(0, 0, 1, 0, 2),
+    // pushdown: one agg over the transparently-pruned DSv2 scan
+    "fmt_snapshot_pushdown" -> PlanShape(0, 0, 0, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -171,7 +173,8 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // join-form merge)
       "text_bpe_encode", "pipe_curate_incremental", "fmt_snapshot_cdf",
       "fmt_snapshot_evolve", "fmt_snapshot_count", "fmt_snapshot_write",
-      "fmt_snapshot_merge_large", "fmt_snapshot_zorder")
+      "fmt_snapshot_merge_large", "fmt_snapshot_zorder",
+      "fmt_snapshot_pushdown")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

@@ -293,6 +293,42 @@ class SnapshotRound11Spec extends SparkSpec {
       .count() == 16L * 64)
   }
 
+  test("DSv2 read path prunes files from pushed Catalyst filters: " +
+      "bands, equality, IN, OR all skip soundly; non-stats and " +
+      "unprovable filters keep every file; results stay exact") {
+    import spark.implicits._
+    val root = tmpRoot("pushdown")
+    val grid = spark.range(0, 4096)
+      .select((col("id") % 64).as("x"), expr("id div 64").as("y"))
+    SnapshotTable.commit(
+      grid.repartitionByRange(8, col("x")).sortWithinPartitions("x"),
+      root, statsCol = Some("x"))
+    def load() = spark.read.format("graft-snap").load(root)
+    def prune(): (Int, Int) = SnapshotSource.lastPrune(root).get
+    // a one-eighth band: strict subset of the 8 range files, exact count
+    assert(load().filter(col("x") < 8).count() == 8L * 64)
+    val (k1, t1) = prune()
+    assert(t1 == 8 && k1 < t1, s"band kept $k1/$t1")
+    // equality on one key: at most a couple of files survive
+    assert(load().filter(col("x") === 63).count() == 64L)
+    val (k2, _) = prune()
+    assert(k2 <= 2, s"equality kept $k2")
+    // IN over one end of the range
+    assert(load().filter(col("x").isin(0, 1, 2)).count() == 3L * 64)
+    val (k3, _) = prune()
+    assert(k3 < t1, s"IN kept $k3")
+    // OR of the two ends skips the middle files but keeps both ends
+    assert(load().filter(col("x") < 4 || col("x") >= 60).count() == 8L * 64)
+    val (k4, _) = prune()
+    assert(k4 >= 2 && k4 < t1, s"OR kept $k4")
+    // a filter on a NON-stats column proves nothing: every file opens
+    assert(load().filter(col("y") === 5).count() == 64L)
+    assert(prune() == ((8, 8)))
+    // an unprunable shape (cast) degrades to the full list, still exact
+    assert(load().filter(col("x").cast("string") === "7").count() == 64L)
+    assert(prune() == ((8, 8)))
+  }
+
   test("stream source: a checkpointed restart delivers ONLY snapshots " +
       "committed while the query was down, exactly once; an overwrite " +
       "in the tail refuses loudly") {
