@@ -847,7 +847,42 @@ object FormatQueries {
         lit(if (kept > 0 && kept < total) 1L else 0L))
   }
 
+  /** The pure-SQL catalog lifecycle over snapshot tables
+    * ([[graft.sources.SnapshotCatalog]]): register the catalog, CTAS
+    * the even-key half of customer into `db.cust`, INSERT INTO the odd
+    * half, then answer one row entirely through SQL — the current
+    * table's count/balance plus `VERSION AS OF 2` (the CTAS commit,
+    * before the insert) proving time travel reads the pre-insert
+    * state. Every step is plain Spark SQL against the catalog — no
+    * library call, no `format(...)` — and the oracle is the same
+    * arithmetic over the raw table, so the gate holds iff CREATE TABLE
+    * / CTAS / INSERT INTO / SELECT / VERSION AS OF all hit the same
+    * atomic snapshot protocol the library writes.
+    */
+  def snapshotSql(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotCatalog
+    val wh = scratch("snap_cat_wh")
+    graft.tera.TeraIO.delete(s, wh)
+    s.conf.set("spark.sql.catalog.gsnap", classOf[SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsnap.warehouse", wh)
+    graft.Tables.customer(s, d)
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+      .createOrReplaceTempView("snap_sql_customer_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsnap.db")
+    s.sql("DROP TABLE IF EXISTS gsnap.db.cust")
+    s.sql("CREATE TABLE gsnap.db.cust AS SELECT * FROM " +
+      "snap_sql_customer_src WHERE c_custkey % 2 = 0")
+    s.sql("INSERT INTO gsnap.db.cust SELECT * FROM " +
+      "snap_sql_customer_src WHERE c_custkey % 2 = 1")
+    val cur = s.sql("SELECT * FROM gsnap.db.cust")
+      .agg(count(lit(1)).as("n_all"), money(sum(col("c_acctbal"))).as("bal_all"))
+    val v2 = s.sql("SELECT * FROM gsnap.db.cust VERSION AS OF 2")
+      .agg(count(lit(1)).as("n_even"))
+    cur.crossJoin(v2)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_snapshot_sql" -> (snapshotSql _),
     "fmt_snapshot_pushdown" -> (snapshotPushdown _),
     "fmt_snapshot_zorder" -> (snapshotZorder _),
     "fmt_snapshot_cdf" -> (snapshotCdf _),
@@ -894,6 +929,15 @@ object FormatQueries {
     * is correct iff it is invisible to the aggregate.
     */
   val oracles: Map[String, String] = Map(
+    // the SQL-built table (CTAS evens + INSERT odds) must hold exactly
+    // the raw customer table, and VERSION AS OF 2 exactly the CTAS
+    // half — time travel reads the pre-insert state
+    "fmt_snapshot_sql" ->
+      """SELECT count(*)::BIGINT AS n_all,
+        |  round(sum(c_acctbal), 2) AS bal_all,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey % 2 = 0)::BIGINT AS n_even
+        |FROM customer""".stripMargin,
     // the transparently-skipped filtered read must equal a plain WHERE
     // over the original table; the audit flag pins that a strict
     // subset of the range files was opened

@@ -1,0 +1,197 @@
+package graft.sources
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark `TableCatalog` over [[SnapshotTable]] roots — the pure-SQL
+  * surface of the snapshot layer:
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.snap", classOf[SnapshotCatalog].getName)
+  * spark.conf.set("spark.sql.catalog.snap.warehouse", "/w")
+  * spark.sql("CREATE NAMESPACE snap.db")
+  * spark.sql("CREATE TABLE snap.db.t (k BIGINT, v STRING)")
+  * spark.sql("INSERT INTO snap.db.t SELECT ...")      // atomic commit
+  * spark.sql("SELECT * FROM snap.db.t WHERE k < 10")  // + file skipping
+  * spark.sql("SELECT * FROM snap.db.t VERSION AS OF 1") // time travel
+  * spark.sql("CREATE TABLE snap.db.t2 AS SELECT ...") // CTAS
+  * }}}
+  *
+  * Layout: a table `db.t` lives at `<warehouse>/db/t` as a plain
+  * snapshot-table root — the SAME protocol the library and
+  * `format("graft-snap")` speak, so every access path sees every
+  * commit. All catalog state is the filesystem: a namespace is a
+  * directory, a table is a directory with `_manifests/` — no metastore
+  * service, which is exactly what survives 1000 concurrent executors
+  * (commits race on the manifest claim protocol, not on a catalog
+  * lock). Reads resolve the snapshot once per `loadTable` and go
+  * through [[SnapshotScanBuilder]] (transparent manifest file
+  * skipping); writes ride the V1Write bridge into
+  * [[SnapshotTable.commit]], so `INSERT INTO` is an atomic
+  * table-version commit with conflict detection. `VERSION AS OF n`
+  * resolves `loadTable(ident, "n")` against snapshot n's own manifest
+  * and schema. `CREATE TABLE` commits an empty v1 snapshot carrying
+  * the declared schema, so a fresh table reads as an empty relation
+  * under exactly its DDL schema.
+  */
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name: spark.sql.catalog.$name.warehouse is required"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def nsPath(namespace: Array[String]): Path =
+    namespace.foldLeft(new Path(warehouse))((p, n) => new Path(p, n))
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name)
+  private def isTableDir(p: Path): Boolean =
+    fs(p).exists(new Path(p, "_manifests"))
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs(p).exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs(p).listStatus(p).iterator
+      .filter(st => st.isDirectory && isTableDir(st.getPath))
+      .map(st => Identifier.of(namespace, st.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table =
+    loadAt(ident, None)
+
+  /** `VERSION AS OF <v>` — the version string is a snapshot id. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadAt(ident, Some(version.toLong))
+
+  private def loadAt(ident: Identifier, version: Option[Long]): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val root = p.toString
+    val id = version.getOrElse(SnapshotTable.currentSnapshot(spark, root))
+    val entries =
+      if (id == 0L) Seq.empty[SnapshotTable.FileEntry]
+      else SnapshotTable.entries(spark, root, id) // missing id fails here
+    val schema = (if (id == 0L) None
+      else SnapshotTable.storedSchema(spark, root, id))
+      .getOrElse(throw new NoSuchTableException(ident))
+    val opts = new util.HashMap[String, String]()
+    opts.put("path", root)
+    new SnapshotSourceTable(root, id, entries, schema,
+      new CaseInsensitiveStringMap(opts))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-snap catalog: PARTITIONED BY is not supported — commit " +
+        "clustered (repartitionByRange / compactZorder) and let the " +
+        "manifest stats prune instead")
+    val p = tablePath(ident)
+    if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
+    val ns = nsPath(ident.namespace)
+    if (!fs(ns).exists(ns)) throw new NoSuchNamespaceException(ident.namespace)
+    // an empty v1 snapshot carrying the DDL schema: zero data files,
+    // schema recorded as a manifest prop like every other commit
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    SnapshotTable.commit(empty, p.toString)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-snap catalog: ALTER TABLE is not supported; appends evolve " +
+        "the schema by name at commit time")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) false else fs(p).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = tablePath(oldIdent)
+    if (!isTableDir(from)) throw new NoSuchTableException(oldIdent)
+    val to = tablePath(newIdent)
+    if (isTableDir(to)) throw new TableAlreadyExistsException(newIdent)
+    require(fs(from).rename(from, to),
+      s"graft-snap catalog: rename $from -> $to failed")
+  }
+
+  // ---- namespaces (directories) ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val w = new Path(warehouse)
+    if (!fs(w).exists(w)) Array.empty
+    else fs(w).listStatus(w).iterator
+      .filter(st => st.isDirectory && !isTableDir(st.getPath))
+      .map(st => Array(st.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val p = nsPath(namespace)
+      if (!fs(p).exists(p)) throw new NoSuchNamespaceException(namespace)
+      fs(p).listStatus(p).iterator
+        .filter(st => st.isDirectory && !isTableDir(st.getPath))
+        .map(st => namespace :+ st.getPath.getName).toArray
+    }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    val p = nsPath(namespace)
+    if (!fs(p).exists(p)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val p = nsPath(namespace)
+    if (fs(p).exists(p)) throw new NamespaceAlreadyExistsException(namespace)
+    fs(p).mkdirs(p)
+    ()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft-snap catalog: namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val p = nsPath(namespace)
+    if (!fs(p).exists(p)) false
+    else {
+      if (!cascade && fs(p).listStatus(p).nonEmpty)
+        throw new IllegalStateException(
+          s"namespace ${namespace.mkString(".")} is not empty")
+      fs(p).delete(p, true)
+    }
+  }
+}

@@ -125,7 +125,10 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
-    require(entries.nonEmpty,
+    // a zero-file snapshot with a KNOWN schema (a freshly created
+    // catalog table, or an empty commit) reads as an empty relation;
+    // only a schemaless empty root has nothing to scan
+    require(entries.nonEmpty || tableSchema.nonEmpty,
       s"graft-snap: table at $root is empty (no committed snapshot); " +
         "write one first")
     new SnapshotScanBuilder(root, id, name(), entries, tableSchema, options)

@@ -134,7 +134,10 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // two 1-row aggregates) — the compaction itself ran at construction
     "fmt_snapshot_zorder" -> PlanShape(0, 0, 1, 0, 2),
     // pushdown: one agg over the transparently-pruned DSv2 scan
-    "fmt_snapshot_pushdown" -> PlanShape(0, 0, 0, 0, 1))
+    "fmt_snapshot_pushdown" -> PlanShape(0, 0, 0, 0, 1),
+    // sql: current-version agg × VERSION AS OF 2 agg (BNLJ on 1-row
+    // frames) — the DDL/DML ran at construction through the catalog
+    "fmt_snapshot_sql" -> PlanShape(0, 0, 1, 0, 2))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -174,7 +177,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "text_bpe_encode", "pipe_curate_incremental", "fmt_snapshot_cdf",
       "fmt_snapshot_evolve", "fmt_snapshot_count", "fmt_snapshot_write",
       "fmt_snapshot_merge_large", "fmt_snapshot_zorder",
-      "fmt_snapshot_pushdown")
+      "fmt_snapshot_pushdown", "fmt_snapshot_sql")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

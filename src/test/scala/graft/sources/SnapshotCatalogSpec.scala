@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The pure-SQL catalog surface over snapshot tables: DDL, DML, time
+  * travel, and the shared-protocol contract (the catalog, the library,
+  * and `format("graft-snap")` all see the same commits).
+  */
+class SnapshotCatalogSpec extends SparkSpec {
+
+  private lazy val wh =
+    java.nio.file.Files.createTempDirectory("graft_cat_wh").toString
+
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.snapspec",
+      classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapspec.warehouse", wh)
+    "snapspec"
+  }
+
+  test("CREATE NAMESPACE / CREATE TABLE / empty SELECT / SHOW TABLES") {
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING)")
+    val empty = spark.sql(s"SELECT * FROM $cat.db.t")
+    assert(empty.columns.toSeq == Seq("k", "v") && empty.count() == 0L)
+    val shown = spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .map(_.getString(1)).toSet
+    assert(shown == Set("t"))
+    // creating it again refuses; creating in a missing namespace refuses
+    intercept[Exception](spark.sql(s"CREATE TABLE $cat.db.t (x INT)"))
+    intercept[Exception](spark.sql(s"CREATE TABLE $cat.nope.t2 (x INT)"))
+  }
+
+  test("INSERT INTO commits atomically; SELECT sees each version; " +
+      "VERSION AS OF time-travels; the library sees the same table") {
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('v', id) " +
+      "FROM range(0, 100)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('w', id) " +
+      "FROM range(100, 150)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head.getLong(0) == 150L)
+    // CREATE TABLE was snapshot 1; the inserts are 2 and 3
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF 1")
+      .head.getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t VERSION AS OF 2")
+      .head.getLong(0) == 100L)
+    // same root, same protocol: the library reads the catalog's commits
+    val root = s"$wh/db/t"
+    assert(SnapshotTable.currentSnapshot(spark, root) == 3L)
+    assert(SnapshotTable.read(spark, root).count() == 150L)
+    // and a library commit is visible to SQL immediately
+    import spark.implicits._
+    SnapshotTable.commit(Seq((999L, "lib")).toDF("k", "v"), root)
+    assert(spark.sql(s"SELECT v FROM $cat.db.t WHERE k = 999")
+      .head.getString(0) == "lib")
+  }
+
+  test("CTAS materializes the query as a snapshot table; filters on " +
+      "the result are exact") {
+    spark.sql(s"CREATE TABLE $cat.db.squares AS " +
+      "SELECT id AS n, id * id AS sq FROM range(0, 50)")
+    assert(spark.sql(s"SELECT sum(sq) FROM $cat.db.squares WHERE n < 10")
+      .head.getLong(0) == (0 until 10).map(i => i * i).sum.toLong)
+    val root = s"$wh/db/squares"
+    // CTAS = create (v1, empty) + append (v2, the data)
+    assert(SnapshotTable.currentSnapshot(spark, root) == 2L)
+  }
+
+  test("RENAME and DROP are filesystem moves; a dropped table is gone " +
+      "from SQL and the listing") {
+    spark.sql(s"CREATE TABLE $cat.db.tmp (x INT)")
+    spark.sql(s"ALTER TABLE $cat.db.tmp RENAME TO db.tmp2")
+    assert(spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .map(_.getString(1)).toSet.contains("tmp2"))
+    spark.sql(s"DROP TABLE $cat.db.tmp2")
+    assert(!spark.sql(s"SHOW TABLES IN $cat.db").collect()
+      .map(_.getString(1)).toSet.contains("tmp2"))
+    intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.tmp2").collect())
+  }
+
+  test("SQL filters prune files through the manifest stats (the " +
+      "transparent skipping rides the catalog path too)") {
+    import spark.implicits._
+    val root = s"$wh/db/clustered"
+    spark.sql(s"CREATE TABLE $cat.db.clustered (x BIGINT, y BIGINT)")
+    SnapshotTable.commit(
+      spark.range(0, 4096)
+        .select((col("id") % 64).as("x"), expr("id div 64").as("y"))
+        .repartitionByRange(8, col("x")).sortWithinPartitions("x"),
+      root, statsCol = Some("x"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.clustered WHERE x < 8")
+      .head.getLong(0) == 8L * 64)
+    // 9 entries: 8 range-clustered data files + CREATE TABLE's empty
+    // schema-preserving file (stat-less, so it is conservatively kept)
+    val (kept, total) = SnapshotSource.lastPrune(root).get
+    assert(total == 9 && kept <= 3, s"kept $kept/$total")
+  }
+}
