@@ -488,10 +488,24 @@ object PipelineOps {
   val ZBits = 8
 
   def zorderIndex(x: Column, y: Column, bits: Int = ZBits): Column =
-    (0 until bits).map { b =>
-      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b)
-        .bitwiseOR(shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
-    }.reduce(_ bitwiseOR _)
+    zorderIndexN(Seq(x, y), bits)
+
+  /** N-dimensional Morton interleave: bit `b` of dimension `i` lands
+    * at position `b * N + i`, so the curve tiles the N-cube and a
+    * range-partitioned layout on it clusters EVERY dimension at once.
+    * Still a pure codegen'd shift/and/or chain; `bits * N` must fit a
+    * signed long.
+    */
+  def zorderIndexN(dims: Seq[Column], bits: Int = ZBits): Column = {
+    require(dims.nonEmpty && bits * dims.size <= 63,
+      s"zorderIndexN: ${dims.size} dims x $bits bits must fit a long")
+    val n = dims.size
+    (for {
+      b <- 0 until bits
+      (d, i) <- dims.zipWithIndex
+    } yield shiftleft(shiftright(d, b).bitwiseAND(lit(1L)), b * n + i))
+      .reduce(_ bitwiseOR _)
+  }
 
   /** Z-bucket layout report over lineitem (part x supplier dims): each
     * z div 256 bucket is a 16x16 tile in (x, y) space — the x/y min/max

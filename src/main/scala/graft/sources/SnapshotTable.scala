@@ -977,23 +977,34 @@ object SnapshotTable {
     * files later. Returns the new snapshot id.
     */
   def compactZorder(s: SparkSession, root: String, xCol: String,
-      yCol: String, numFiles: Int, bits: Int = 12): Long = {
+      yCol: String, numFiles: Int, bits: Int = 12): Long =
+    compactZorder(s, root, Seq(xCol, yCol), numFiles, bits)
+
+  /** The N-dimensional form: cluster on the Morton curve over any
+    * number of columns (`bits * N <= 63`), recording every
+    * dimension's per-file stats — after which a selective band on ANY
+    * clustered column prunes files from the manifest alone.
+    */
+  def compactZorder(s: SparkSession, root: String, cols: Seq[String],
+      numFiles: Int, bits: Int): Long = {
     import org.apache.spark.sql.functions.{col, max, min}
+    require(cols.nonEmpty, "compactZorder: at least one column")
     val cur = read(s, root)
-    val b = cur.agg(min(col(xCol)), max(col(xCol)),
-      min(col(yCol)), max(col(yCol))).head
+    // one aggregate: min(c0), max(c0), min(c1), max(c1), ...
+    val aggs = cols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val b = cur.agg(aggs.head, aggs.tail: _*).head
     def lv(i: Int): Long = b.getAs[Number](i).longValue
-    val (xmn, xmx, ymn, ymx) = (lv(0), lv(1), lv(2), lv(3))
-    def norm(c: String, mn: Long, mx: Long) =
+    val normed = cols.zipWithIndex.map { case (c, i) =>
+      val (mn, mx) = (lv(2 * i), lv(2 * i + 1))
       if (mx > mn)
         (col(c).cast("long") - mn) * (1L << bits) / (mx - mn + 1)
       else col(c).cast("long") * 0L
-    val z = graft.ops.PipelineOps.zorderIndex(
-      norm(xCol, xmn, xmx), norm(yCol, ymn, ymx), bits)
+    }
+    val z = graft.ops.PipelineOps.zorderIndexN(normed, bits)
     commit(
       cur.repartitionByRange(numFiles, z)
-        .sortWithinPartitions(z, col(xCol), col(yCol)),
-      root, overwrite = true, statsCol = Some(s"$xCol,$yCol"))
+        .sortWithinPartitions(z +: cols.map(col): _*),
+      root, overwrite = true, statsCol = Some(cols.mkString(",")))
   }
 
   /** The files of the CURRENT snapshot a merge keyed on `keyCol` would

@@ -293,6 +293,34 @@ class SnapshotRound11Spec extends SparkSpec {
       .count() == 16L * 64)
   }
 
+  test("N-dimensional compactZorder: a 3-column curve layout prunes " +
+      "on EVERY dimension, and the ranged reads stay exact") {
+    import spark.implicits._
+    val root = tmpRoot("zorder3")
+    // the full 16x16x16 cube, committed in a dimension-random layout
+    val cube = spark.range(0, 4096).select(
+      (col("id") % 16).as("x"),
+      expr("(id div 16) % 16").as("y"),
+      expr("id div 256").as("z"))
+    SnapshotTable.commit(cube.repartition(8), root)
+    val v2 = SnapshotTable.compactZorder(spark, root,
+      Seq("x", "y", "z"), numFiles = 8, bits = 4)
+    val es = SnapshotTable.entries(spark, root, v2)
+    es.foreach { e =>
+      assert(Seq("x", "y", "z").forall(c => e.statsFor(c).isDefined),
+        e.render)
+    }
+    // 8 files over the 3-D curve = 2x2x2 octants: a half-range band
+    // on ANY dimension keeps ~4 files, never all 8
+    for (c <- Seq("x", "y", "z")) {
+      val (_, kept, total) =
+        SnapshotTable.pruneFiles(spark, root, v2, c, 0L, 7L)
+      assert(total == 8 && kept < total, s"$c kept $kept/$total")
+      assert(SnapshotTable.readWhere(spark, root, v2, c, 0L, 7L)
+        .count() == 2048L, c)
+    }
+  }
+
   test("DSv2 read path prunes files from pushed Catalyst filters: " +
       "bands, equality, IN, OR all skip soundly; non-stats and " +
       "unprovable filters keep every file; results stay exact") {
