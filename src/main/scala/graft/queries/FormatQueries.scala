@@ -881,7 +881,56 @@ object FormatQueries {
     cur.crossJoin(v2)
   }
 
+  /** SQL `DELETE FROM` over a snapshot table
+    * ([[graft.sources.SnapshotTable.deleteWhere]] via `SupportsDelete`)
+    * — copy-on-write at FILE granularity, decided on the manifest:
+    * commit customer range-clustered on `c_custkey`, DELETE the lower
+    * half of the key space through pure SQL, and the manifest stats
+    * prove most files all-match (dropped, metadata-only — null-count
+    * sound) or none-match (carried verbatim), leaving at most the
+    * boundary file to rewrite. The audit flags pin that BOTH fast
+    * paths fired; `n_before` reads `VERSION AS OF` the pre-delete
+    * snapshot, proving the delete is one more time-travelable commit.
+    * The hash gate checks the remainder against the oracle's plain
+    * `WHERE NOT (...)`.
+    */
+  def snapshotDelete(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SnapshotCatalog, SnapshotTable}
+    val wh = scratch("snap_del_wh")
+    graft.tera.TeraIO.delete(s, wh)
+    s.conf.set("spark.sql.catalog.gsnapd", classOf[SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsnapd.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsnapd.db")
+    s.sql("DROP TABLE IF EXISTS gsnapd.db.cust")
+    s.sql("CREATE TABLE gsnapd.db.cust " +
+      "(c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE)")
+    val root = s"$wh/db/cust"
+    val cust = graft.Tables.customer(s, d)
+      .select(col("c_custkey").cast("bigint").as("c_custkey"),
+        col("c_nationkey").cast("bigint").as("c_nationkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+    SnapshotTable.commit(
+      cust.repartitionByRange(8, col("c_custkey"))
+        .sortWithinPartitions("c_custkey"),
+      root, statsCol = Some("c_custkey"))
+    val preDelete = SnapshotTable.currentSnapshot(s, root)
+    val hi = cust.agg(max(col("c_custkey"))).head.getLong(0) / 2
+    s.sql(s"DELETE FROM gsnapd.db.cust WHERE c_custkey <= $hi")
+    val (dropped, _, carried) =
+      SnapshotTable.lastDeleteStats(root).getOrElse((0, 0, 0))
+    val after = s.sql("SELECT * FROM gsnapd.db.cust")
+      .agg(count(lit(1)).as("n_after"),
+        money(sum(col("c_acctbal"))).as("bal_after"))
+    val before = s.sql(
+      s"SELECT * FROM gsnapd.db.cust VERSION AS OF $preDelete")
+      .agg(count(lit(1)).as("n_before"))
+    after.crossJoin(before)
+      .withColumn("dropped_some", lit(if (dropped >= 1) 1L else 0L))
+      .withColumn("carried_some", lit(if (carried >= 1) 1L else 0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_snapshot_delete" -> (snapshotDelete _),
     "fmt_snapshot_sql" -> (snapshotSql _),
     "fmt_snapshot_pushdown" -> (snapshotPushdown _),
     "fmt_snapshot_zorder" -> (snapshotZorder _),
@@ -929,6 +978,19 @@ object FormatQueries {
     * is correct iff it is invisible to the aggregate.
     */
   val oracles: Map[String, String] = Map(
+    // the post-DELETE table must hold exactly the oracle's remainder;
+    // VERSION AS OF the pre-delete snapshot must still hold every row;
+    // the audit flags pin the metadata-drop and carry-verbatim paths
+    "fmt_snapshot_delete" ->
+      """WITH b AS (SELECT (max(c_custkey) // 2) AS hi FROM customer)
+        |SELECT
+        |  (SELECT count(*) FROM customer, b
+        |   WHERE c_custkey > b.hi)::BIGINT AS n_after,
+        |  (SELECT round(sum(c_acctbal), 2) FROM customer, b
+        |   WHERE c_custkey > b.hi) AS bal_after,
+        |  (SELECT count(*) FROM customer)::BIGINT AS n_before,
+        |  1::BIGINT AS dropped_some, 1::BIGINT AS carried_some"""
+        .stripMargin,
     // the SQL-built table (CTAS evens + INSERT odds) must hold exactly
     // the raw customer table, and VERSION AS OF 2 exactly the CTAS
     // half — time travel reads the pre-insert state

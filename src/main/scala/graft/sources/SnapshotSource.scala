@@ -110,7 +110,24 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
 private[sources] class SnapshotSourceTable(root: String, id: Long,
     entries: Seq[SnapshotTable.FileEntry], tableSchema: StructType,
     options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** SQL `DELETE FROM` — [[SnapshotTable.deleteWhere]]'s copy-on-write
+    * at file granularity: stats-proven files drop from the manifest
+    * alone, boundary files rewrite, the rest carry verbatim. Refuses
+    * (via `canDeleteWhere` → Spark's analysis error) when a predicate
+    * shape is untranslatable, instead of guessing.
+    */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    SnapshotTable.canDelete(filters.toIndexedSeq)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    SnapshotTable.deleteWhere(SparkSession.active, root, filters.toIndexedSeq)
+    ()
+  }
 
   override def name(): String = s"graft-snap $root@v$id"
 

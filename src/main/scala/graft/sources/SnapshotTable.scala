@@ -128,8 +128,19 @@ object SnapshotTable {
     * multi-dimensional index a z-ordered layout wants) and row count.
     * Parses every historical line shape; renders the newest.
     */
+  /** Per-column stats. `tag` = compare-domain letter (i/d/s) plus an
+    * OPTIONAL null count ("i0" = integer, zero nulls; "i17" = 17
+    * nulls; bare "i" = historical entry, nulls unknown). The null
+    * count is what makes whole-file proofs sound: min/max say nothing
+    * about null cells, so "every row matches `pred`" (the metadata-
+    * delete proof) additionally needs nulls == 0.
+    */
   private[sources] final case class FileStats(
-      col: String, tag: String, mn: String, mx: String)
+      col: String, tag: String, mn: String, mx: String) {
+    def domain: String = tag.take(1)
+    def nulls: Option[Long] =
+      if (tag.length > 1) Some(tag.drop(1).toLong) else None
+  }
   private[sources] final case class FileEntry(
       path: String, stats: Seq[FileStats], rows: Option[Long]) {
     def statsFor(colName: String): Option[FileStats] =
@@ -552,26 +563,36 @@ object SnapshotTable {
       val blocks = rdr.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
       val stats = colNames.flatMap { c =>
-        val sts = (for {
+        val all = (for {
           b <- blocks
           col <- b.getColumns.asScala if col.getPath.toDotString == c
-        } yield col.getStatistics).filter(st =>
+        } yield col.getStatistics).toSeq
+        // null count: summed over EVERY chunk (an all-null chunk has
+        // no min/max but does count); unknown unless every chunk set it
+        val nulls: Option[Long] =
+          if (all.nonEmpty && all.forall(st =>
+              st != null && !st.isEmpty && st.isNumNullsSet))
+            Some(all.map(_.getNumNulls).sum)
+          else None
+        val tagOf: String => String =
+          letter => letter + nulls.map(_.toString).getOrElse("")
+        val sts = all.filter(st =>
           st != null && !st.isEmpty && st.hasNonNullValue)
         if (sts.isEmpty) None
         else sts.head match {
-          case _: LongStatistics => Some(FileStats(c, "i",
+          case _: LongStatistics => Some(FileStats(c, tagOf("i"),
             sts.map(_.asInstanceOf[LongStatistics].getMin).min.toString,
             sts.map(_.asInstanceOf[LongStatistics].getMax).max.toString))
-          case _: IntStatistics => Some(FileStats(c, "i",
+          case _: IntStatistics => Some(FileStats(c, tagOf("i"),
             sts.map(_.asInstanceOf[IntStatistics].getMin.toLong).min.toString,
             sts.map(_.asInstanceOf[IntStatistics].getMax.toLong).max.toString))
-          case _: DoubleStatistics => Some(FileStats(c, "d",
+          case _: DoubleStatistics => Some(FileStats(c, tagOf("d"),
             sts.map(_.asInstanceOf[DoubleStatistics].getMin).min.toString,
             sts.map(_.asInstanceOf[DoubleStatistics].getMax).max.toString))
-          case _: FloatStatistics => Some(FileStats(c, "d",
+          case _: FloatStatistics => Some(FileStats(c, tagOf("d"),
             sts.map(_.asInstanceOf[FloatStatistics].getMin.toDouble).min.toString,
             sts.map(_.asInstanceOf[FloatStatistics].getMax.toDouble).max.toString))
-          case _: BinaryStatistics => Some(FileStats(c, "s",
+          case _: BinaryStatistics => Some(FileStats(c, tagOf("s"),
             sts.map(_.asInstanceOf[BinaryStatistics]
               .genericGetMin.toStringUsingUTF8).min(Utf8Ord),
             sts.map(_.asInstanceOf[BinaryStatistics]
@@ -584,7 +605,7 @@ object SnapshotTable {
   }
 
   private def rangesOverlap(tag: String, mn: String, mx: String,
-      lo: String, hi: String): Boolean = tag match {
+      lo: String, hi: String): Boolean = tag.take(1) match {
     case "i" => !(mx.toLong < lo.toLong || mn.toLong > hi.toLong)
     case "d" => !(mx.toDouble < lo.toDouble || mn.toDouble > hi.toDouble)
     case _   => !(utf8Cmp(mx, lo) < 0 || utf8Cmp(mn, hi) > 0)
@@ -609,7 +630,7 @@ object SnapshotTable {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.unsafe.types.UTF8String
     // sign of (stat - v) in the stats column's domain; None = no proof
-    def cmp(tag: String, stat: String, v: Any): Option[Int] = (tag, v) match {
+    def cmp(tag: String, stat: String, v: Any): Option[Int] = (tag.take(1), v) match {
       case ("i", n @ (_: java.lang.Byte | _: java.lang.Short |
           _: java.lang.Integer | _: java.lang.Long)) =>
         Some(java.lang.Long.compare(stat.toLong,
@@ -780,7 +801,7 @@ object SnapshotTable {
       .collect().map(_.get(0))
     require(keys.nonEmpty, "merge with an empty updates batch")
     // typed sorted key array for the per-file containment probe
-    def anyKeyIn(st: FileStats): Boolean = st.tag match {
+    def anyKeyIn(st: FileStats): Boolean = st.domain match {
       case "i" =>
         val sorted = keys.map(_.asInstanceOf[Number].longValue).sorted
         val lo = st.mn.toLong; val hi = st.mx.toLong
@@ -976,6 +997,209 @@ object SnapshotTable {
     * pre-compaction snapshots is unaffected; vacuum reclaims the old
     * files later. Returns the new snapshot id.
     */
+  /** Copy-on-write DELETE at FILE granularity — the Iceberg/Delta
+    * `DELETE FROM` cost model, decided entirely on the manifest:
+    * every file is classified by its commit-time stats against the
+    * conjunction `filters` (Spark DSv2 `sources.Filter`s, the shapes
+    * SQL `DELETE FROM ... WHERE` pushes down) —
+    *
+    *   - PROVEN NO ROW MATCHES  → carried verbatim (not even opened);
+    *   - PROVEN EVERY ROW MATCHES → dropped from the manifest — a
+    *     METADATA-ONLY delete, no data read or written. Sound only
+    *     with the stats' null count: min/max say nothing about null
+    *     cells and a null never satisfies a comparison, so the
+    *     whole-file proof additionally requires zero nulls
+    *     ([[FileStats.nulls]], recorded from the footer at commit);
+    *   - undecidable → rewritten: read, keep `NOT cond` rows, commit.
+    *
+    * At 100 TB a key-range delete over a clustered table drops most
+    * files from metadata alone and rewrites only the boundary files —
+    * the whole point of keeping stats in the manifest. The commit is
+    * the same atomic manifest publish as every other write; time
+    * travel to the pre-delete snapshot is unaffected. Returns
+    * (new snapshot id, files dropped, files rewritten, files carried).
+    * Throws if any filter shape is untranslatable ([[SnapshotSourceTable]]
+    * gates that with `canDeleteWhere` so SQL refuses loudly instead).
+    * A delete commit rewrites history without a row-level record, so
+    * [[changeFeed]] across it refuses like any overwrite (re-baseline).
+    */
+  def deleteWhere(s: SparkSession, root: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): (Long, Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"delete from empty table $root: commit first")
+    require(filters.nonEmpty && canDelete(filters),
+      s"deleteWhere: untranslatable filter in ${filters.mkString(", ")}")
+    val cond = filters.flatMap(filterToColumn).reduce(_ && _)
+    val es = entries(s, root, cur)
+    val keep = es.filter(e => filters.exists(f => v1ProvesNone(e, f)))
+    val rest = es.diff(keep)
+    // a zero-row file (rc=0) is trivially all-match: dropping it is
+    // free garbage collection
+    val drop = rest.filter(e => e.rows.contains(0L) ||
+      filters.forall(f => v1ProvesAll(e, f)))
+    val rewrite = rest.diff(drop)
+    val schema = storedSchema(s, root, cur)
+    val survivors =
+      if (rewrite.isEmpty) {
+        // metadata-only: nothing read; the empty frame just carries
+        // the schema into the commit
+        readAt(s, root, cur).limit(0)
+      } else {
+        val paths = rewrite.map(e => s"$root/${e.path}")
+        val base = schema match {
+          case Some(sch) => s.read.schema(sch).parquet(paths: _*)
+          case None => s.read.parquet(paths: _*)
+        }
+        // DELETE removes rows where cond is TRUE; a NULL cond (null
+        // cell in a comparison) keeps the row — three-valued logic, so
+        // the survivor predicate is NOT(coalesce(cond, false)), not
+        // NOT(cond)
+        base.where(not(coalesce(cond, lit(false))))
+      }
+    val statsCols = rewrite.flatMap(_.stats.map(_.col)).distinct
+    val id = commitWithCarried(survivors, root, keep.map(_.render), cur,
+      if (statsCols.isEmpty) None else Some(statsCols.mkString(",")),
+      Map("delete.cond" -> filters.mkString(" AND ")),
+      baseSchema = schema)
+    lastDelete.put(root, (drop.size, rewrite.size, keep.size))
+    (id, drop.size, rewrite.size, keep.size)
+  }
+
+  // the last (dropped, rewritten, carried) delete decision per root —
+  // driver-side observability for gates and specs
+  private[sources] val lastDelete =
+    new scala.collection.concurrent.TrieMap[String, (Int, Int, Int)]
+
+  /** The most recent [[deleteWhere]] decision for `root`:
+    * (files dropped metadata-only, files rewritten, files carried).
+    */
+  def lastDeleteStats(root: String): Option[(Int, Int, Int)] =
+    lastDelete.get(root)
+
+  /** Can [[deleteWhere]] run this filter set? True iff every conjunct
+    * translates to an evaluable predicate — the `canDeleteWhere`
+    * contract: refuse BEFORE mutating anything.
+    */
+  private[sources] def canDelete(
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => filterToColumn(f).isDefined)
+
+  /** DSv2 `sources.Filter` → evaluable `Column`, for the shapes SQL
+    * DELETE pushes; None = unsupported shape (the caller refuses).
+    */
+  private def filterToColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(c, v) => Some(col(c) === lit(v))
+      case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+      case GreaterThan(c, v) => Some(col(c) > lit(v))
+      case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+      case LessThan(c, v) => Some(col(c) < lit(v))
+      case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+      case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+      case IsNull(c) => Some(col(c).isNull)
+      case IsNotNull(c) => Some(col(c).isNotNull)
+      case And(l, r) =>
+        for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a && b
+      case Or(l, r) =>
+        for (a <- filterToColumn(l); b <- filterToColumn(r)) yield a || b
+      case Not(g) => filterToColumn(g).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  // sign of (stat - v) for a v1 Filter's EXTERNAL-typed value (String,
+  // boxed numerics — unlike [[filterExcludes]]' internal UTF8String)
+  private def cmpV1(domain: String, stat: String, v: Any): Option[Int] =
+    (domain, v) match {
+      case ("i", n @ (_: java.lang.Byte | _: java.lang.Short |
+          _: java.lang.Integer | _: java.lang.Long)) =>
+        Some(java.lang.Long.compare(stat.toLong,
+          n.asInstanceOf[Number].longValue))
+      case ("d", n: Number) =>
+        Some(java.lang.Double.compare(stat.toDouble, n.doubleValue))
+      case ("s", str: String) => Some(utf8Cmp(stat, str))
+      case _ => None
+    }
+
+  /** Does `f` provably match NO row of `e`? (the carry-verbatim side) */
+  private[sources] def v1ProvesNone(e: FileEntry,
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def bounds(c: String, v: Any): Option[(Int, Int)] =
+      if (v == null) None
+      else e.statsFor(c).flatMap(st =>
+        for (a <- cmpV1(st.domain, st.mn, v); b <- cmpV1(st.domain, st.mx, v))
+          yield (a, b))
+    def outside(c: String, v: Any) =
+      bounds(c, v).exists { case (mnC, mxC) => mnC > 0 || mxC < 0 }
+    def zeroNulls(c: String) = e.statsFor(c).flatMap(_.nulls).contains(0L)
+    def allNull(c: String) = (for {
+      st <- e.statsFor(c); nn <- st.nulls; rc <- e.rows
+    } yield nn == rc).getOrElse(false)
+    f match {
+      case EqualTo(c, v) => outside(c, v)
+      case EqualNullSafe(c, null) => zeroNulls(c)
+      case EqualNullSafe(c, v) => outside(c, v)
+      case GreaterThan(c, v) => bounds(c, v).exists(_._2 <= 0)
+      case GreaterThanOrEqual(c, v) => bounds(c, v).exists(_._2 < 0)
+      case LessThan(c, v) => bounds(c, v).exists(_._1 >= 0)
+      case LessThanOrEqual(c, v) => bounds(c, v).exists(_._1 > 0)
+      case In(c, vs) => vs.nonEmpty && vs.forall(v => outside(c, v))
+      case IsNull(c) => zeroNulls(c)
+      case IsNotNull(c) => allNull(c)
+      case And(l, r) => v1ProvesNone(e, l) || v1ProvesNone(e, r)
+      case Or(l, r) => v1ProvesNone(e, l) && v1ProvesNone(e, r)
+      case Not(g) => v1ProvesAll(e, g)
+      case _: AlwaysFalse => true
+      case _ => false
+    }
+  }
+
+  /** Does `f` provably match EVERY row of `e`? (the metadata-drop
+    * side; comparison proofs additionally require ZERO nulls — a null
+    * cell never satisfies a comparison, so it must not be dropped)
+    */
+  private[sources] def v1ProvesAll(e: FileEntry,
+      f: org.apache.spark.sql.sources.Filter): Boolean = {
+    import org.apache.spark.sql.sources._
+    def bounds(c: String, v: Any): Option[(Int, Int)] =
+      if (v == null) None
+      else e.statsFor(c).flatMap(st =>
+        for (a <- cmpV1(st.domain, st.mn, v); b <- cmpV1(st.domain, st.mx, v))
+          yield (a, b))
+    def zeroNulls(c: String) = e.statsFor(c).flatMap(_.nulls).contains(0L)
+    def allNull(c: String) = (for {
+      st <- e.statsFor(c); nn <- st.nulls; rc <- e.rows
+    } yield nn == rc).getOrElse(false)
+    def whole(c: String, v: Any)(p: ((Int, Int)) => Boolean) =
+      zeroNulls(c) && bounds(c, v).exists(p)
+    f match {
+      case EqualTo(c, v) => whole(c, v) { case (a, b) => a == 0 && b == 0 }
+      case EqualNullSafe(c, null) => allNull(c)
+      case EqualNullSafe(c, v) => whole(c, v) { case (a, b) => a == 0 && b == 0 }
+      case GreaterThan(c, v) => whole(c, v)(_._1 > 0)
+      case GreaterThanOrEqual(c, v) => whole(c, v)(_._1 >= 0)
+      case LessThan(c, v) => whole(c, v)(_._2 < 0)
+      case LessThanOrEqual(c, v) => whole(c, v)(_._2 <= 0)
+      case In(c, vs) => // provable only when the file is single-valued
+        vs.nonEmpty && zeroNulls(c) &&
+          vs.exists(v => bounds(c, v).contains((0, 0)))
+      case IsNull(c) => allNull(c)
+      case IsNotNull(c) => zeroNulls(c)
+      case And(l, r) => v1ProvesAll(e, l) && v1ProvesAll(e, r)
+      case Or(l, r) => v1ProvesAll(e, l) || v1ProvesAll(e, r)
+      case Not(g) => v1ProvesNone(e, g)
+      case _: AlwaysTrue => true
+      case _ => false
+    }
+  }
+
   def compactZorder(s: SparkSession, root: String, xCol: String,
       yCol: String, numFiles: Int, bits: Int = 12): Long =
     compactZorder(s, root, Seq(xCol, yCol), numFiles, bits)
@@ -1025,7 +1249,7 @@ object SnapshotTable {
     else {
       import org.apache.spark.sql.functions.{broadcast, col}
       import s.implicits._
-      val tag = statful.head._2.tag
+      val tag = statful.head._2.domain
       val keysDf = updates.select(col(keyCol).as("k")).distinct()
       // per-tag typed bounds frame; string bounds compare as Spark
       // UTF8String = unsigned UTF-8 bytes, the stats' own domain

@@ -137,7 +137,9 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "fmt_snapshot_pushdown" -> PlanShape(0, 0, 0, 0, 1),
     // sql: current-version agg × VERSION AS OF 2 agg (BNLJ on 1-row
     // frames) — the DDL/DML ran at construction through the catalog
-    "fmt_snapshot_sql" -> PlanShape(0, 0, 1, 0, 2))
+    "fmt_snapshot_sql" -> PlanShape(0, 0, 1, 0, 2),
+    // delete: post-delete agg × pre-delete time-travel agg
+    "fmt_snapshot_delete" -> PlanShape(0, 0, 1, 0, 2))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -177,7 +179,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "text_bpe_encode", "pipe_curate_incremental", "fmt_snapshot_cdf",
       "fmt_snapshot_evolve", "fmt_snapshot_count", "fmt_snapshot_write",
       "fmt_snapshot_merge_large", "fmt_snapshot_zorder",
-      "fmt_snapshot_pushdown", "fmt_snapshot_sql")
+      "fmt_snapshot_pushdown", "fmt_snapshot_sql", "fmt_snapshot_delete")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

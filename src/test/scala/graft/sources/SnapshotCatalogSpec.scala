@@ -20,6 +20,9 @@ class SnapshotCatalogSpec extends SparkSpec {
     "snapspec"
   }
 
+  private def ensureDb(): Unit =
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+
   test("CREATE NAMESPACE / CREATE TABLE / empty SELECT / SHOW TABLES") {
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING)")
@@ -79,9 +82,89 @@ class SnapshotCatalogSpec extends SparkSpec {
     intercept[Exception](spark.sql(s"SELECT * FROM $cat.db.tmp2").collect())
   }
 
+  test("SQL DELETE FROM: stats-proven files drop from the manifest " +
+      "alone, boundary files rewrite, results stay exact, and the " +
+      "pre-delete snapshot still time-travels") {
+    import spark.implicits._
+    ensureDb()
+    val root = s"$wh/db/del"
+    spark.sql(s"CREATE TABLE $cat.db.del (x BIGINT, y BIGINT)")
+    SnapshotTable.commit(
+      spark.range(0, 4096)
+        .select((col("id") % 64).as("x"), expr("id div 64").as("y"))
+        .repartitionByRange(8, col("x")).sortWithinPartitions("x"),
+      root, statsCol = Some("x"))
+    val preDelete = SnapshotTable.currentSnapshot(spark, root)
+    // x < 20: files covering x in [0,16) drop wholesale, the file
+    // straddling 20 rewrites, the rest carry verbatim
+    spark.sql(s"DELETE FROM $cat.db.del WHERE x < 20")
+    val (dropped, rewritten, carried) = SnapshotTable.lastDelete(root)
+    assert(dropped >= 2 && rewritten <= 2 && carried >= 4,
+      s"dropped=$dropped rewritten=$rewritten carried=$carried")
+    assert(spark.sql(s"SELECT count(*), min(x) FROM $cat.db.del").head
+      .toSeq == Seq(44L * 64, 20L))
+    // time travel still sees the pre-delete rows
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.del VERSION AS OF $preDelete")
+      .head.getLong(0) == 4096L)
+    // a second delete keyed on BOTH columns: conjunction semantics
+    spark.sql(s"DELETE FROM $cat.db.del WHERE x >= 60 AND y = 0")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.del").head.getLong(0)
+      == 44L * 64 - 4)
+  }
+
+  test("DELETE null soundness: a file whose non-null range is inside " +
+      "the band but which holds null cells is REWRITTEN, not dropped " +
+      "- the nulls survive") {
+    import spark.implicits._
+    ensureDb()
+    val root = s"$wh/db/delnull"
+    spark.sql(s"CREATE TABLE $cat.db.delnull (x BIGINT, v STRING)")
+    // one file: x in [0,9] plus two NULL-x rows
+    val rows = (0L to 9L).map(i => (Some(i), s"v$i")) ++
+      Seq((None, "n1"), (None, "n2"))
+    SnapshotTable.commit(
+      rows.toDF("x", "v").coalesce(1), root, statsCol = Some("x"))
+    spark.sql(s"DELETE FROM $cat.db.delnull WHERE x < 100")
+    // the one DATA file must be rewritten (its null cells bar the
+    // whole-file proof); the only droppable entry is CREATE TABLE's
+    // zero-row schema file, collected by the rc=0 fast path
+    val (dropped, rewritten, _) = SnapshotTable.lastDelete(root)
+    assert(dropped <= 1 && rewritten == 1,
+      s"dropped=$dropped rewritten=$rewritten")
+    val left = spark.sql(s"SELECT v FROM $cat.db.delnull").collect()
+      .map(_.getString(0)).toSet
+    assert(left == Set("n1", "n2"))
+    // and IS NULL deletes exactly the null rows (all-null proof needs
+    // the recorded null count)
+    spark.sql(s"DELETE FROM $cat.db.delnull WHERE x IS NULL")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.delnull")
+      .head.getLong(0) == 0L)
+  }
+
+  test("DELETE with an untranslatable predicate refuses loudly; " +
+      "changeFeed across a delete refuses like an overwrite") {
+    import spark.implicits._
+    ensureDb()
+    val root = s"$wh/db/delrefuse"
+    spark.sql(s"CREATE TABLE $cat.db.delrefuse (x BIGINT)")
+    SnapshotTable.commit(spark.range(0, 100).select(col("id").as("x")),
+      root, statsCol = Some("x"))
+    val before = SnapshotTable.currentSnapshot(spark, root)
+    intercept[Exception](
+      spark.sql(s"DELETE FROM $cat.db.delrefuse WHERE x % 2 = 0"))
+    assert(SnapshotTable.currentSnapshot(spark, root) == before)
+    spark.sql(s"DELETE FROM $cat.db.delrefuse WHERE x < 50")
+    val ex = intercept[Exception](
+      SnapshotTable.changeFeed(spark, root, before, before + 1).collect())
+    assert(ex.getMessage.toLowerCase.contains("re-baseline") ||
+      ex.getMessage.toLowerCase.contains("overwrite"), ex.getMessage)
+  }
+
   test("SQL filters prune files through the manifest stats (the " +
       "transparent skipping rides the catalog path too)") {
     import spark.implicits._
+    ensureDb()
     val root = s"$wh/db/clustered"
     spark.sql(s"CREATE TABLE $cat.db.clustered (x BIGINT, y BIGINT)")
     SnapshotTable.commit(
