@@ -330,6 +330,42 @@ object OpScaleProbe {
           spark.sharedState.cacheManager.clearCache()
         }
       }
+      // round-11 session 2. Manifest-metadata scaling: DATA FIXED, the
+      // FILE COUNT growing xk (16 -> 1600 files) — the axis that
+      // stresses the driver-side skipping machinery itself. (a) the
+      // transparent DSv2 pushdown read of a 10% key band must stay
+      // ~flat (it opens ~10% of files whatever their count; the
+      // per-entry stats test is O(files) driver arithmetic); (b) a 40%
+      // key-band DELETE must stay ~flat with dropped ~= 0.4 x files
+      // growing xk while rewritten stays O(1) boundary files — the
+      // decision is manifest arithmetic, the rewrite cost tracks data
+      // volume, never file count.
+      if (wanted("snap_meta")) {
+        import graft.sources.{SnapshotSource, SnapshotTable}
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_snapmeta_x$k").toString + "/t"
+        val base = ordBase.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        SnapshotTable.commit(
+          base.repartitionByRange(16 * k, col("o_orderkey")), root,
+          statsCol = Some("o_orderkey"))
+        val hi = base.agg(max(col("o_orderkey"))).head.getLong(0)
+        val t0 = System.nanoTime()
+        val n = spark.read.format("graft-snap").load(root)
+          .filter(col("o_orderkey") >= hi / 2 &&
+            col("o_orderkey") < hi * 6 / 10).count()
+        val dtRead = (System.nanoTime() - t0) / 1e9
+        val (kept, total) = SnapshotSource.lastPrune(root).getOrElse((0, 0))
+        val t1 = System.nanoTime()
+        val (_, dropped, rewritten, carried) = SnapshotTable.deleteWhere(
+          spark, root, Seq(org.apache.spark.sql.sources.LessThan(
+            "o_orderkey", hi * 4 / 10)))
+        val dtDel = (System.nanoTime() - t1) / 1e9
+        println(f"snap_meta_read  x$k $dtRead%8.1f s rows=$n " +
+          s"kept=$kept/$total")
+        println(f"snap_meta_del   x$k $dtDel%8.1f s dropped=$dropped " +
+          s"rewritten=$rewritten carried=$carried")
+        spark.sharedState.cacheManager.clearCache()
+      }
     }
     spark.stop()
   }
