@@ -929,7 +929,91 @@ object FormatQueries {
       .withColumn("carried_some", lit(if (carried >= 1) 1L else 0L))
   }
 
+  /** SQL `UPDATE` over a snapshot table — the copy-on-write row-level
+    * operation ([[graft.sources.SnapshotRowLevelOperation]]): commit
+    * customer range-clustered on `c_custkey`, UPDATE a 25–50% key band
+    * to a sentinel balance through pure SQL, and the pushed condition
+    * prunes the rewrite to the band's files — every other file's
+    * manifest line carries VERBATIM into the new snapshot
+    * (`carried_some` audits the file-set intersection). The statement
+    * is one atomic commit through the real DSv2 `BatchWrite`
+    * (executor-staged parquet + claim-protocol publish); the hash gate
+    * checks the post-update table against the oracle's CASE.
+    */
+  def snapshotUpdate(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SnapshotCatalog, SnapshotTable}
+    val wh = scratch("snap_upd_wh")
+    graft.tera.TeraIO.delete(s, wh)
+    s.conf.set("spark.sql.catalog.gsnapu", classOf[SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsnapu.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsnapu.db")
+    s.sql("DROP TABLE IF EXISTS gsnapu.db.cust")
+    s.sql("CREATE TABLE gsnapu.db.cust (c_custkey BIGINT, c_acctbal DOUBLE)")
+    val root = s"$wh/db/cust"
+    val cust = graft.Tables.customer(s, d)
+      .select(col("c_custkey").cast("bigint").as("c_custkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+    SnapshotTable.commit(
+      cust.repartitionByRange(8, col("c_custkey"))
+        .sortWithinPartitions("c_custkey"),
+      root, statsCol = Some("c_custkey"))
+    val pre = SnapshotTable.currentSnapshot(s, root)
+    val filesBefore = SnapshotTable.fileList(s, root, pre).toSet
+    val maxK = cust.agg(max(col("c_custkey"))).head.getLong(0)
+    val (lo, hi) = (maxK / 4, maxK / 2)
+    s.sql("UPDATE gsnapu.db.cust SET c_acctbal = -99999.0 " +
+      s"WHERE c_custkey BETWEEN $lo AND $hi")
+    val filesAfter = SnapshotTable
+      .fileList(s, root, SnapshotTable.currentSnapshot(s, root)).toSet
+    val carried = filesBefore.intersect(filesAfter).size
+    s.sql("SELECT * FROM gsnapu.db.cust")
+      .agg(count(lit(1)).as("n_all"),
+        money(sum(col("c_acctbal"))).as("bal_after"),
+        sum(when(col("c_acctbal") === -99999.0, 1L).otherwise(0L))
+          .as("n_marked"))
+      .withColumn("carried_some", lit(if (carried >= 1) 1L else 0L))
+  }
+
+  /** SQL `MERGE INTO` over a snapshot table: the target holds the
+    * even-key half of customer, the source is the whole table with
+    * shifted balances — matched rows UPDATE to the shifted value,
+    * unmatched INSERT it — and the entire statement lands as ONE
+    * atomic snapshot commit (`one_commit` audits pre+1). The hash
+    * gate checks the merged table equals the oracle's full-table
+    * arithmetic.
+    */
+  def snapshotMergeSql(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SnapshotCatalog, SnapshotTable}
+    val wh = scratch("snap_mrgsql_wh")
+    graft.tera.TeraIO.delete(s, wh)
+    s.conf.set("spark.sql.catalog.gsnapm", classOf[SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsnapm.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsnapm.db")
+    s.sql("DROP TABLE IF EXISTS gsnapm.db.cust")
+    s.sql("CREATE TABLE gsnapm.db.cust (c_custkey BIGINT, c_acctbal DOUBLE)")
+    val root = s"$wh/db/cust"
+    val cust = graft.Tables.customer(s, d)
+      .select(col("c_custkey").cast("bigint").as("c_custkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+    SnapshotTable.commit(cust.filter(col("c_custkey") % 2 === 0), root)
+    val pre = SnapshotTable.currentSnapshot(s, root)
+    cust.withColumn("c_acctbal", col("c_acctbal") + 1000000.0)
+      .createOrReplaceTempView("snap_mrgsql_src")
+    s.sql("""MERGE INTO gsnapm.db.cust t USING snap_mrgsql_src s
+      ON t.c_custkey = s.c_custkey
+      WHEN MATCHED THEN UPDATE SET c_acctbal = s.c_acctbal
+      WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal)
+        VALUES (s.c_custkey, s.c_acctbal)""")
+    val oneCommit = SnapshotTable.currentSnapshot(s, root) == pre + 1
+    s.sql("SELECT * FROM gsnapm.db.cust")
+      .agg(count(lit(1)).as("n_all"),
+        money(sum(col("c_acctbal"))).as("bal_after"))
+      .withColumn("one_commit", lit(if (oneCommit) 1L else 0L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_snapshot_update" -> (snapshotUpdate _),
+    "fmt_snapshot_merge_sql" -> (snapshotMergeSql _),
     "fmt_snapshot_delete" -> (snapshotDelete _),
     "fmt_snapshot_sql" -> (snapshotSql _),
     "fmt_snapshot_pushdown" -> (snapshotPushdown _),
@@ -978,6 +1062,27 @@ object FormatQueries {
     * is correct iff it is invisible to the aggregate.
     */
   val oracles: Map[String, String] = Map(
+    // the post-UPDATE table = the oracle's CASE over the raw table;
+    // carried_some pins the file-granular copy-on-write (untouched
+    // files' manifest lines survive verbatim)
+    "fmt_snapshot_update" ->
+      """WITH b AS (SELECT (max(c_custkey) // 4) AS lo,
+        |  (max(c_custkey) // 2) AS hi FROM customer)
+        |SELECT count(*)::BIGINT AS n_all,
+        |  round(sum(CASE WHEN c_custkey BETWEEN b.lo AND b.hi
+        |    THEN -99999.0 ELSE c_acctbal END), 2) AS bal_after,
+        |  sum(CASE WHEN c_custkey BETWEEN b.lo AND b.hi
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_marked,
+        |  1::BIGINT AS carried_some
+        |FROM customer, b""".stripMargin,
+    // the post-MERGE table = every customer with the shifted balance
+    // (matched evens updated, odd keys inserted); one_commit pins the
+    // whole MERGE as a single atomic snapshot
+    "fmt_snapshot_merge_sql" ->
+      """SELECT count(*)::BIGINT AS n_all,
+        |  round(sum(c_acctbal + 1000000.0), 2) AS bal_after,
+        |  1::BIGINT AS one_commit
+        |FROM customer""".stripMargin,
     // the post-DELETE table must hold exactly the oracle's remainder;
     // VERSION AS OF the pre-delete snapshot must still hold every row;
     // the audit flags pin the metadata-drop and carry-verbatim paths

@@ -102,7 +102,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     val opts = new util.HashMap[String, String]()
     opts.put("path", root)
     new SnapshotSourceTable(root, id, entries, schema,
-      new CaseInsensitiveStringMap(opts))
+      new CaseInsensitiveStringMap(opts), acceptAnySchema = false)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

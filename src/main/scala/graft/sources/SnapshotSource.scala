@@ -109,9 +109,27 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
   */
 private[sources] class SnapshotSourceTable(root: String, id: Long,
     entries: Seq[SnapshotTable.FileEntry], tableSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    // ACCEPT_ANY_SCHEMA suits only the PATH-based provider (it admits
+    // evolve-by-name appends through format("graft-snap")); a CATALOG
+    // table must NOT set it — the capability disables Spark's INSERT
+    // column alignment (positional SELECTs would store their own
+    // column names) and marks row-level assignments unalignable, which
+    // blocks the UPDATE/MERGE rewrites entirely.
+    acceptAnySchema: Boolean = true)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL UPDATE / MERGE INTO (and group-rewrite DELETE fallback) —
+    * one [[SnapshotRowLevelOperation]] per statement, pinned at this
+    * table's resolved snapshot.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new SnapshotRowLevelOperation(root, id, entries, tableSchema,
+      info.command, options)
 
   /** SQL `DELETE FROM` — [[SnapshotTable.deleteWhere]]'s copy-on-write
     * at file granularity: stats-proven files drop from the manifest
@@ -133,13 +151,16 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
 
   override def schema(): StructType = tableSchema
 
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ,
-      // BATCH_WRITE routes DataFrameWriter down the V2 path; the
-      // V1_BATCH_WRITE marker then lets the planner execute our
-      // V1Write bridge (AppendDataExecV1 / OverwriteByExpressionExecV1)
+  override def capabilities(): util.Set[TableCapability] = {
+    // BATCH_WRITE routes DataFrameWriter down the V2 path; the
+    // V1_BATCH_WRITE marker then lets the planner execute our
+    // V1Write bridge (AppendDataExecV1 / OverwriteByExpressionExecV1)
+    val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA)
+      TableCapability.TRUNCATE)
+    if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
+    caps
+  }
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     // a zero-file snapshot with a KNOWN schema (a freshly created
@@ -188,7 +209,15 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
   */
 private[sources] class SnapshotScanBuilder(root: String, id: Long,
     tableName: String, entries: Seq[SnapshotTable.FileEntry],
-    tableSchema: StructType, options: CaseInsensitiveStringMap)
+    tableSchema: StructType, options: CaseInsensitiveStringMap,
+    // GROUP mode (row-level operations): pushed filters select FILES
+    // only — they are NOT applied at row level (neither forwarded to
+    // parquet nor claimed as pushed), because a copy-on-write rewrite
+    // must read back every row of a replaced file, matching or not.
+    // keptSink reports the surviving file set to the operation so its
+    // write carries exactly the complement.
+    groupMode: Boolean = false,
+    keptSink: Seq[SnapshotTable.FileEntry] => Unit = _ => ())
     extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
@@ -220,11 +249,14 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
     val kept = entries.filterNot(e =>
       filters.exists(f => SnapshotTable.filterExcludes(e, f)))
     SnapshotSource.pruneLog.put(root, (kept.size, entries.size))
+    keptSink(kept)
     delegate = parquetBuilder(kept.map(e => s"$root/${e.path}"))
-    delegate.pushFilters(filters)
+    if (groupMode) filters // file selection only: every row comes back
+    else delegate.pushFilters(filters)
   }
 
-  override def pushedFilters(): Array[Predicate] = ensure().pushedFilters
+  override def pushedFilters(): Array[Predicate] =
+    if (groupMode) Array.empty else ensure().pushedFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     ensure().pruneColumns(requiredSchema)

@@ -297,10 +297,32 @@ object SnapshotTable {
       baseSchema: Option[StructType] = None): Long = {
     val s = df.sparkSession
     val rootP = new Path(root)
-    val fs = fsOf(s, rootP)
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
     val staging = new Path(rootP, s"_staging/$commitId")
     df.write.mode("overwrite").parquet(staging.toString)
+    val schema = asNullable(baseSchema
+      .map(b => mergeSchemas(b, df.schema)).getOrElse(df.schema))
+    val statsCols = statsCol.toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    publishStaged(s, root, commitId, staging, carried, prev, statsCols,
+      props, schema)
+  }
+
+  /** The publish half of a commit, shared by every write path (the
+    * library's [[commitWithCarried]] after its `df.write`, and the V2
+    * [[SnapshotBatchWrite]] whose executors staged the files
+    * themselves): move the staged part files into `data/` under
+    * commit-unique names, record their footer stats and row counts,
+    * carry the previous snapshot's `stream.*` props, and publish the
+    * manifest through the atomic claim+rename protocol. Returns the
+    * new snapshot id; throws on a concurrent-commit conflict.
+    */
+  private[sources] def publishStaged(s: SparkSession, root: String,
+      commitId: String, staging: Path, carried: Seq[String], prev: Long,
+      statsCols: Seq[String], props: Map[String, String],
+      schema: StructType): Long = {
+    val rootP = new Path(root)
+    val fs = fsOf(s, rootP)
     val dataDir = new Path(rootP, "data")
     fs.mkdirs(dataDir)
     val moved = fs.listStatus(staging).iterator
@@ -315,10 +337,8 @@ object SnapshotTable {
     // the file-skipping index and row counts: one parquet FOOTER read
     // per new file (metadata only, never data pages), once, at commit;
     // every later reader prunes and counts from the manifest alone.
-    // statsCol takes a comma-separated list for multi-column indexes
-    // (the z-ordered layout's case: both dimensions prune)
-    val statsCols = statsCol.toSeq
-      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    // statsCols takes a list for multi-column indexes (the z-ordered
+    // layout's case: every dimension prunes)
     val movedEntries = moved.map { rel =>
       val (stats, rows) = footerInfo(s, new Path(rootP, rel), statsCols)
       FileEntry(rel, stats, Some(rows)).render
@@ -330,9 +350,7 @@ object SnapshotTable {
     val carriedProps: Map[String, String] =
       if (prev == 0L) Map.empty
       else snapshotProps(s, root, prev).filter(_._1.startsWith("stream."))
-    val schemaJson = asNullable(baseSchema
-      .map(b => mergeSchemas(b, df.schema)).getOrElse(df.schema)).json
-    val allProps = carriedProps ++ Map("schema" -> schemaJson) ++ props
+    val allProps = carriedProps ++ Map("schema" -> schema.json) ++ props
     // manifest content first to a temp name, then the atomic rename that
     // IS the commit; a taken name means a concurrent writer won the race
     fs.mkdirs(manifestDir(root))

@@ -1,0 +1,182 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** A REAL DSv2 `BatchWrite` for snapshot tables — executors write
+  * parquet part files straight into the table's `_staging/<uuid>`
+  * through Spark's own `ParquetFileFormat` writer factory (the exact
+  * writer every Spark file sink uses, so type fidelity, compression,
+  * and timestamp semantics are Spark's own), and the driver-side
+  * `commit` publishes them through [[SnapshotTable.publishStaged]] —
+  * the same move + footer-stats + claim-protocol manifest rename as
+  * every library commit. Needed because Spark's row-level operation
+  * executor (`ReplaceDataExec`) calls `Write.toBatch` directly — the
+  * V1 `InsertableRelation` bridge the plain append path rides is not
+  * accepted there.
+  *
+  * `carried` = the entry lines of the files this write does NOT
+  * replace (rendered verbatim: stats and row counts survive);
+  * `expectedBase` pins the snapshot the caller planned against, so a
+  * concurrent commit landing between plan and publish fails the claim
+  * protocol loudly instead of silently dropping its files.
+  */
+private[sources] class SnapshotBatchWrite(root: String,
+    carried: Seq[String], expectedBase: Long, schema: StructType,
+    statsCols: Seq[String], props: Map[String, String])
+    extends Write with BatchWrite with Serializable {
+
+  private val commitId =
+    java.util.UUID.randomUUID().toString.replace("-", "")
+  private val stagingDir = s"$root/_staging/$commitId"
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    // prepareWrite wires every parquet conf Spark's own sinks set
+    // (legacy format, timestamp type, rebase modes, field ids) into
+    // the job conf and returns the executor-side writer factory
+    val owf = new ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, schema)
+    new SnapshotDataWriterFactory(stagingDir, schema, owf,
+      new SerializableConfiguration(job.getConfiguration))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    SnapshotTable.publishStaged(spark, root, commitId,
+      new Path(stagingDir), carried, expectedBase, statsCols, props,
+      schema)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val p = new Path(stagingDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+}
+
+private[sources] class SnapshotDataWriterFactory(stagingDir: String,
+    schema: StructType, owf: OutputWriterFactory,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+      taskId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(stagingDir, schema, owf, conf, partitionId,
+      taskId)
+}
+
+/** One task's writer: a single parquet part file under the staging
+  * dir, named like Spark's own (`part-<partition>-...`) so
+  * [[SnapshotTable.publishStaged]] picks it up with the same filter it
+  * applies to `df.write` output. Files are created lazily — an empty
+  * partition stages nothing.
+  */
+private[sources] class SnapshotDataWriter(stagingDir: String,
+    schema: StructType, owf: OutputWriterFactory,
+    conf: SerializableConfiguration, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private var out: org.apache.spark.sql.execution.datasources.OutputWriter = _
+
+  // Spark 4's group-based row-level rewrites (UPDATE / MERGE / DELETE
+  // fallback) prepend a `__row_operation` int column to every row and
+  // — when the operation declares no metadata attributes — hand those
+  // rows to the plain writing task with the write schema UNCHANGED;
+  // the data source is expected to skip the marker. Detected by arity
+  // (schema + 1) and projected away with Spark's own row projection.
+  private lazy val opColProjection =
+    org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
+      (1 to schema.length).toIndexedSeq)
+
+  private def ensure() = {
+    if (out == null) {
+      val ctx = new TaskAttemptContextImpl(conf.value,
+        new TaskAttemptID(new TaskID(
+          new org.apache.hadoop.mapreduce.JobID("graftsnap", 0),
+          TaskType.MAP, partitionId), taskId.toInt & Int.MaxValue))
+      val path =
+        f"$stagingDir/part-$partitionId%05d-$taskId-graft.parquet"
+      out = owf.newInstance(path, schema, ctx)
+    }
+    out
+  }
+
+  override def write(record: InternalRow): Unit =
+    if (record.numFields == schema.length + 1) {
+      opColProjection.project(record)
+      ensure().write(opColProjection)
+    } else ensure().write(record)
+
+  override def commit(): WriterCommitMessage = {
+    if (out != null) out.close()
+    new WriterCommitMessage {}
+  }
+
+  override def abort(): Unit = if (out != null) out.close()
+
+  override def close(): Unit = ()
+}
+
+/** Copy-on-write row-level operations (SQL UPDATE / MERGE INTO, and
+  * DELETE shapes the metadata path can't prove) at FILE granularity:
+  *
+  *   1. Spark plans the operation and pushes its condition into
+  *      [[SnapshotScanBuilder]] in GROUP mode — the filters prune the
+  *      manifest's file list (candidate files) but are NOT applied at
+  *      row level, because the write must put back every surviving row
+  *      of a replaced file, matching or not (the group contract
+  *      Iceberg's copy-on-write scan follows);
+  *   2. the scan records exactly which files it kept;
+  *   3. [[SnapshotBatchWrite]] writes the operation's output rows and
+  *      commits them with `carried` = every file the scan did NOT
+  *      read, pinned at the snapshot the scan planned against — a
+  *      concurrent commit in between fails the claim protocol loudly.
+  *
+  * At 100 TB an UPDATE keyed into a clustered table reads and rewrites
+  * only the files whose stats admit the condition; everything else is
+  * a carried manifest line.
+  */
+private[sources] class SnapshotRowLevelOperation(root: String,
+    pinnedId: Long, entries: Seq[SnapshotTable.FileEntry],
+    tableSchema: StructType, cmd: RowLevelOperation.Command,
+    options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+    extends RowLevelOperation {
+
+  // the files the group scan kept — replaced by the write; everything
+  // else is carried verbatim. Defaults to ALL files (an unconditioned
+  // operation rewrites the table).
+  @volatile private var scanned: Seq[SnapshotTable.FileEntry] = entries
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(
+      opts: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new SnapshotScanBuilder(root, pinnedId, s"graft-snap $root@v$pinnedId " +
+      s"[${cmd.toString.toLowerCase}]", entries, tableSchema, options,
+      groupMode = true, keptSink = kept => { scanned = kept })
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = {
+        val carried = entries.diff(scanned).map(_.render)
+        val statsCols = scanned.flatMap(_.stats.map(_.col)).distinct
+        new SnapshotBatchWrite(root, carried, pinnedId, tableSchema,
+          statsCols, Map("rowlevel.op" -> cmd.toString))
+      }
+    }
+}

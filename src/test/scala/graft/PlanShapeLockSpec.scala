@@ -139,7 +139,11 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // frames) — the DDL/DML ran at construction through the catalog
     "fmt_snapshot_sql" -> PlanShape(0, 0, 1, 0, 2),
     // delete: post-delete agg × pre-delete time-travel agg
-    "fmt_snapshot_delete" -> PlanShape(0, 0, 1, 0, 2))
+    "fmt_snapshot_delete" -> PlanShape(0, 0, 1, 0, 2),
+    // update / merge-sql: one agg over the post-DML read (the DML
+    // itself — COW rewrite + atomic commit — ran at construction)
+    "fmt_snapshot_update" -> PlanShape(0, 0, 0, 0, 1),
+    "fmt_snapshot_merge_sql" -> PlanShape(0, 0, 0, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -179,7 +183,8 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "text_bpe_encode", "pipe_curate_incremental", "fmt_snapshot_cdf",
       "fmt_snapshot_evolve", "fmt_snapshot_count", "fmt_snapshot_write",
       "fmt_snapshot_merge_large", "fmt_snapshot_zorder",
-      "fmt_snapshot_pushdown", "fmt_snapshot_sql", "fmt_snapshot_delete")
+      "fmt_snapshot_pushdown", "fmt_snapshot_sql", "fmt_snapshot_delete",
+      "fmt_snapshot_update", "fmt_snapshot_merge_sql")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

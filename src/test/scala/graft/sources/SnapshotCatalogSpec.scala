@@ -142,8 +142,8 @@ class SnapshotCatalogSpec extends SparkSpec {
       .head.getLong(0) == 0L)
   }
 
-  test("DELETE with an untranslatable predicate refuses loudly; " +
-      "changeFeed across a delete refuses like an overwrite") {
+  test("library deleteWhere refuses an untranslatable filter before " +
+      "mutating; changeFeed across a delete refuses like an overwrite") {
     import spark.implicits._
     ensureDb()
     val root = s"$wh/db/delrefuse"
@@ -151,14 +151,89 @@ class SnapshotCatalogSpec extends SparkSpec {
     SnapshotTable.commit(spark.range(0, 100).select(col("id").as("x")),
       root, statsCol = Some("x"))
     val before = SnapshotTable.currentSnapshot(spark, root)
-    intercept[Exception](
-      spark.sql(s"DELETE FROM $cat.db.delrefuse WHERE x % 2 = 0"))
+    // the LIBRARY metadata path refuses shapes it can't evaluate (SQL
+    // now falls back to the group rewrite instead — spec'd separately)
+    intercept[IllegalArgumentException](SnapshotTable.deleteWhere(
+      spark, root, Seq(org.apache.spark.sql.sources.StringStartsWith(
+        "x", "nope"))))
     assert(SnapshotTable.currentSnapshot(spark, root) == before)
     spark.sql(s"DELETE FROM $cat.db.delrefuse WHERE x < 50")
     val ex = intercept[Exception](
       SnapshotTable.changeFeed(spark, root, before, before + 1).collect())
     assert(ex.getMessage.toLowerCase.contains("re-baseline") ||
       ex.getMessage.toLowerCase.contains("overwrite"), ex.getMessage)
+  }
+
+  test("SQL UPDATE rewrites only the files whose stats admit the " +
+      "condition; results exact; pre-update snapshot time-travels") {
+    import spark.implicits._
+    ensureDb()
+    val root = s"$wh/db/upd"
+    spark.sql(s"CREATE TABLE $cat.db.upd (x BIGINT, v BIGINT)")
+    SnapshotTable.commit(
+      spark.range(0, 4096).select((col("id") % 64).as("x"),
+        col("id").as("v"))
+        .repartitionByRange(8, col("x")).sortWithinPartitions("x"),
+      root, statsCol = Some("x"))
+    val pre = SnapshotTable.currentSnapshot(spark, root)
+    val filesBefore = SnapshotTable.fileList(spark, root, pre).toSet
+    spark.sql(s"UPDATE $cat.db.upd SET v = -1 WHERE x < 8")
+    // exactly the matching band updated, everything else intact
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.upd WHERE v = -1")
+      .head.getLong(0) == 8L * 64)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.upd").head.getLong(0)
+      == 4096L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.upd WHERE x >= 8 AND v < 0")
+      .head.getLong(0) == 0L)
+    // file-granular COW: most pre-update files survive VERBATIM in the
+    // new manifest (carried lines), only the condition's files changed
+    val cur = SnapshotTable.currentSnapshot(spark, root)
+    val filesAfter = SnapshotTable.fileList(spark, root, cur).toSet
+    val survivors = filesBefore.intersect(filesAfter)
+    assert(cur == pre + 1 && survivors.size >= 6,
+      s"carried ${survivors.size} of ${filesBefore.size}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.upd VERSION AS OF $pre " +
+      "WHERE v = -1").head.getLong(0) == 0L)
+  }
+
+  test("SQL MERGE INTO: matched rows update, unmatched insert; the " +
+      "whole statement is one atomic snapshot commit") {
+    import spark.implicits._
+    ensureDb()
+    val root = s"$wh/db/mrg"
+    spark.sql(s"CREATE TABLE $cat.db.mrg (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.mrg SELECT id, concat('old', id) " +
+      "FROM range(0, 100)")
+    val pre = SnapshotTable.currentSnapshot(spark, root)
+    spark.range(50, 150)
+      .select(col("id").as("k"), concat(lit("new"), col("id")).as("v"))
+      .createOrReplaceTempView("mrg_src")
+    spark.sql(s"""MERGE INTO $cat.db.mrg t USING mrg_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(SnapshotTable.currentSnapshot(spark, root) == pre + 1)
+    val got = spark.sql(s"SELECT k, v FROM $cat.db.mrg").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 150)
+    assert(got(10L) == "old10" && got(50L) == "new50" &&
+      got(149L) == "new149")
+    // time travel: the pre-merge state is untouched
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.mrg VERSION AS OF $pre")
+      .head.getLong(0) == 100L)
+  }
+
+  test("DELETE with a predicate the metadata path cannot translate " +
+      "now falls back to the group rewrite and succeeds exactly") {
+    import spark.implicits._
+    ensureDb()
+    val root = s"$wh/db/delgrp"
+    spark.sql(s"CREATE TABLE $cat.db.delgrp (x BIGINT)")
+    SnapshotTable.commit(spark.range(0, 100).select(col("id").as("x")),
+      root, statsCol = Some("x"))
+    spark.sql(s"DELETE FROM $cat.db.delgrp WHERE x % 2 = 0")
+    assert(spark.sql(s"SELECT count(*), min(x) FROM $cat.db.delgrp").head
+      .toSeq == Seq(50L, 1L))
   }
 
   test("SQL filters prune files through the manifest stats (the " +

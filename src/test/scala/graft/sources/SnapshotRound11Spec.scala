@@ -134,20 +134,29 @@ class SnapshotRound11Spec extends SparkSpec {
   test("mergeLarge (range-join pruning, no driver key collect) produces " +
       "the identical touched/carried split and final content as merge") {
     import spark.implicits._
-    def build(tag: String): String = {
-      val root = tmpRoot(s"ml$tag")
-      SnapshotTable.commit(
-        spark.range(0, 10000).toDF("k")
-          .withColumn("p", col("k") * 2)
-          .repartitionByRange(8, col("k")),
-        root, statsCol = Some("k"))
-      root
+    val rootA = tmpRoot("mla")
+    SnapshotTable.commit(
+      spark.range(0, 10000).toDF("k")
+        .withColumn("p", col("k") * 2)
+        .repartitionByRange(8, col("k")),
+      rootA, statsCol = Some("k"))
+    // the two roots must share ONE physical layout (repartitionByRange
+    // SAMPLES its boundaries, so two independent commits can split
+    // the key space differently and the touched counts would diverge
+    // for honest reasons): copy A's directory verbatim
+    val rootB = tmpRoot("mlb")
+    def cp(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs(); src.listFiles().foreach(f =>
+          cp(f, new java.io.File(dst, f.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
     }
+    cp(new java.io.File(new java.net.URI(s"file:$rootA").getPath),
+      new java.io.File(new java.net.URI(s"file:$rootB").getPath))
     val updates = spark.range(2000, 2500).toDF("k")
       .withColumn("p", lit(-1L))
       .unionByName(spark.range(100000, 100100).toDF("k")
         .withColumn("p", lit(-2L)))
-    val rootA = build("a"); val rootB = build("b")
     val (idA, touchedA, carriedA) = SnapshotTable.merge(updates, rootA, "k")
     val (idB, touchedB, carriedB) =
       SnapshotTable.mergeLarge(updates, rootB, "k")
