@@ -1011,7 +1011,48 @@ object FormatQueries {
       .withColumn("one_commit", lit(if (oneCommit) 1L else 0L))
   }
 
+  /** `TIMESTAMP AS OF` + the `.snapshots` metadata table
+    * ([[graft.sources.SnapshotCatalog]]): build the table in two SQL
+    * commits (evens, then odds), capture a wall-clock instant between
+    * them, and answer one row proving (a) `TIMESTAMP AS OF` the
+    * captured instant reads exactly the first commit — resolution is
+    * the manifest's atomic-rename publish time, the commit instant
+    * itself; (b) the metadata table reports the final row count from
+    * manifests alone. Wall-clock appears only as a resolver input —
+    * every output column is deterministic, so the oracle is plain
+    * arithmetic over the raw table.
+    */
+  def snapshotTimeTravel(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SnapshotCatalog, SnapshotTable}
+    val wh = scratch("snap_tt_wh")
+    graft.tera.TeraIO.delete(s, wh)
+    s.conf.set("spark.sql.catalog.gsnapt", classOf[SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsnapt.warehouse", wh)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsnapt.db")
+    s.sql("DROP TABLE IF EXISTS gsnapt.db.cust")
+    graft.Tables.customer(s, d)
+      .select(col("c_custkey").cast("bigint").as("c_custkey"),
+        col("c_acctbal").cast("double").as("c_acctbal"))
+      .createOrReplaceTempView("snap_tt_src")
+    s.sql("CREATE TABLE gsnapt.db.cust AS SELECT * FROM snap_tt_src " +
+      "WHERE c_custkey % 2 = 0")
+    Thread.sleep(20)
+    val betweenTs = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    s.sql("INSERT INTO gsnapt.db.cust SELECT * FROM snap_tt_src " +
+      "WHERE c_custkey % 2 = 1")
+    val atTs = s.sql("SELECT * FROM gsnapt.db.cust " +
+      s"TIMESTAMP AS OF '$betweenTs'")
+      .agg(count(lit(1)).as("n_at_ts"))
+    val now = s.sql("SELECT * FROM gsnapt.db.cust")
+      .agg(count(lit(1)).as("n_now"))
+    val meta = s.sql("SELECT * FROM gsnapt.db.cust.snapshots")
+      .agg(count(lit(1)).as("n_snapshots"), max(col("n_rows")).as("rows_final"))
+    atTs.crossJoin(now).crossJoin(meta)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fmt_snapshot_timetravel" -> (snapshotTimeTravel _),
     "fmt_snapshot_update" -> (snapshotUpdate _),
     "fmt_snapshot_merge_sql" -> (snapshotMergeSql _),
     "fmt_snapshot_delete" -> (snapshotDelete _),
@@ -1062,6 +1103,16 @@ object FormatQueries {
     * is correct iff it is invisible to the aggregate.
     */
   val oracles: Map[String, String] = Map(
+    // TIMESTAMP AS OF the instant between the two commits reads the
+    // CTAS half; the metadata table's max row count = the final table
+    "fmt_snapshot_timetravel" ->
+      """SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey % 2 = 0)::BIGINT AS n_at_ts,
+        |  count(*)::BIGINT AS n_now,
+        |  3::BIGINT AS n_snapshots,
+        |  count(*)::BIGINT AS rows_final
+        |FROM customer""".stripMargin,
     // the post-UPDATE table = the oracle's CASE over the raw table;
     // carried_some pins the file-granular copy-on-write (untouched
     // files' manifest lines survive verbatim)

@@ -81,12 +81,29 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def tableExists(ident: Identifier): Boolean =
     isTableDir(tablePath(ident))
 
-  override def loadTable(ident: Identifier): Table =
-    loadAt(ident, None)
+  override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata table: `db.t.snapshots` (namespace ends
+    // in a real table dir) lists the table's live snapshots — id,
+    // file count, row count, publish time — from manifests alone
+    if (ident.name == "snapshots" && ident.namespace.nonEmpty &&
+        isTableDir(nsPath(ident.namespace)))
+      new SnapshotsMetadataTable(nsPath(ident.namespace).toString)
+    else loadAt(ident, None)
+  }
 
   /** `VERSION AS OF <v>` — the version string is a snapshot id. */
   override def loadTable(ident: Identifier, version: String): Table =
     loadAt(ident, Some(version.toLong))
+
+  /** `TIMESTAMP AS OF <t>` — resolved against manifest publish times
+    * (the commit's atomic rename instant); `timestamp` is micros.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    loadAt(ident, Some(
+      SnapshotTable.snapshotAtTime(spark, p.toString, timestamp / 1000L)))
+  }
 
   private def loadAt(ident: Identifier, version: Option[Long]): Table = {
     val p = tablePath(ident)
@@ -182,6 +199,58 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException(
       "graft-snap catalog: namespaces carry no metadata")
+
+  /** `SELECT * FROM cat.db.t.snapshots` — one row per live snapshot
+    * (id, file count, row count, publish time), answered from the
+    * manifest directory alone: one listing plus one manifest read per
+    * snapshot, zero data files opened at any table size.
+    */
+  private class SnapshotsMetadataTable(root: String) extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead {
+    import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+    import org.apache.spark.sql.types._
+
+    private val metaSchema = StructType(Seq(
+      StructField("snapshot_id", LongType),
+      StructField("n_files", LongType),
+      StructField("n_rows", LongType),
+      StructField("published_at", TimestampType)))
+
+    override def name(): String = s"graft-snap $root#snapshots"
+    override def schema(): StructType = metaSchema
+    override def capabilities(): util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+      util.EnumSet.of(
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+    override def newScanBuilder(
+        opts: CaseInsensitiveStringMap): ScanBuilder = () =>
+      new LocalScan {
+        override def readSchema(): StructType = metaSchema
+        override def rows()
+            : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          val mdir = new Path(root, "_manifests")
+          val f = fs(mdir)
+          if (!f.exists(mdir))
+            Array.empty[org.apache.spark.sql.catalyst.InternalRow]
+          else f.listStatus(mdir).iterator
+            .filter { st =>
+              val n = st.getPath.getName
+              n.startsWith("v") && n.endsWith(".manifest")
+            }
+            .map { st =>
+              val id = st.getPath.getName
+                .stripPrefix("v").stripSuffix(".manifest").toLong
+              val es = SnapshotTable.entries(spark, root, id)
+              val rowsKnown = es.flatMap(_.rows)
+              org.apache.spark.sql.catalyst.InternalRow(
+                id, es.size.toLong,
+                if (rowsKnown.size == es.size) rowsKnown.sum else -1L,
+                st.getModificationTime * 1000L)
+            }.toArray.sortBy(_.getLong(0))
+        }
+      }
+  }
 
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {

@@ -176,6 +176,32 @@ object SnapshotTable {
       .foldLeft(0L)(math.max)
   }
 
+  /** The latest snapshot whose manifest was PUBLISHED at or before
+    * `millis` (epoch ms) — `TIMESTAMP AS OF` resolution: the manifest
+    * rename is the commit instant, so its modification time is the
+    * authoritative publish time (the property Iceberg time travel
+    * leans on too). One directory listing; fails loudly when the table
+    * has no snapshot that old (the caller asked for pre-history).
+    */
+  def snapshotAtTime(s: SparkSession, root: String, millis: Long): Long = {
+    val fs = fsOf(s, new Path(root))
+    val dir = manifestDir(root)
+    val best =
+      if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).iterator
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("v") && n.endsWith(".manifest") &&
+            st.getModificationTime <= millis
+        }
+        .map(_.getPath.getName.stripPrefix("v").stripSuffix(".manifest").toLong)
+        .foldLeft(0L)(math.max)
+    require(best > 0L,
+      s"time travel: no snapshot of $root existed at or before " +
+        s"${java.time.Instant.ofEpochMilli(millis)}")
+    best
+  }
+
   /** All manifest lines of snapshot N, one read. Fails loudly (not with
     * a bare FileNotFound) when the id was expired by [[expireSnapshots]]
     * or never committed.

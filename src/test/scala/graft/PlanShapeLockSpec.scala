@@ -143,7 +143,10 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // update / merge-sql: one agg over the post-DML read (the DML
     // itself — COW rewrite + atomic commit — ran at construction)
     "fmt_snapshot_update" -> PlanShape(0, 0, 0, 0, 1),
-    "fmt_snapshot_merge_sql" -> PlanShape(0, 0, 0, 0, 1))
+    "fmt_snapshot_merge_sql" -> PlanShape(0, 0, 0, 0, 1),
+    // timetravel: three 1-row aggs (as-of read, current read, the
+    // LocalScan metadata table) cross-joined
+    "fmt_snapshot_timetravel" -> PlanShape(0, 0, 2, 0, 3))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -184,7 +187,8 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "fmt_snapshot_evolve", "fmt_snapshot_count", "fmt_snapshot_write",
       "fmt_snapshot_merge_large", "fmt_snapshot_zorder",
       "fmt_snapshot_pushdown", "fmt_snapshot_sql", "fmt_snapshot_delete",
-      "fmt_snapshot_update", "fmt_snapshot_merge_sql")
+      "fmt_snapshot_update", "fmt_snapshot_merge_sql",
+      "fmt_snapshot_timetravel")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

@@ -236,6 +236,40 @@ class SnapshotCatalogSpec extends SparkSpec {
       .toSeq == Seq(50L, 1L))
   }
 
+  test("TIMESTAMP AS OF resolves against manifest publish times; the " +
+      ".snapshots metadata table lists ids/files/rows from manifests " +
+      "alone; TRUNCATE TABLE is a metadata-only delete") {
+    import spark.implicits._
+    ensureDb()
+    val root = s"$wh/db/tt"
+    spark.sql(s"CREATE TABLE $cat.db.tt (x BIGINT)")
+    SnapshotTable.commit(spark.range(0, 100).select(col("id").as("x")), root)
+    Thread.sleep(20)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(20)
+    SnapshotTable.commit(spark.range(100, 150).select(col("id").as("x")), root)
+    val ts = new java.sql.Timestamp(betweenMs)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.tt TIMESTAMP AS OF '$ts'")
+      .head.getLong(0) == 100L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.tt").head.getLong(0)
+      == 150L)
+    // pre-history refuses loudly
+    intercept[Exception](spark.sql(s"SELECT count(*) FROM $cat.db.tt " +
+      "TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
+    // the metadata table: 3 snapshots (create/append/append), row
+    // counts straight from manifests
+    val snaps = spark.sql(s"SELECT * FROM $cat.db.tt.snapshots").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(snaps == Map(1L -> 0L, 2L -> 100L, 3L -> 150L), snaps)
+    // TRUNCATE: AlwaysTrue proves every file all-match → all dropped
+    spark.sql(s"TRUNCATE TABLE $cat.db.tt")
+    val (dropped, rewritten, _) = SnapshotTable.lastDelete(root)
+    assert(rewritten == 0 && dropped >= 1, s"$dropped/$rewritten")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.tt").head.getLong(0)
+      == 0L)
+  }
+
   test("SQL filters prune files through the manifest stats (the " +
       "transparent skipping rides the catalog path too)") {
     import spark.implicits._
