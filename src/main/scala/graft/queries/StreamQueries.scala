@@ -31,6 +31,7 @@ object StreamQueries {
     "stream_covisit" -> (graft.streaming.CovisitStream.covisitStream _),
     "stream_topk" -> (EventStreams.topkStream _),
     "stream_snapshot_sink" -> (EventStreams.snapshotSinkStream _),
+    "stream_snapshot_totable" -> (EventStreams.snapshotToTableStream _),
     "stream_snapshot_source" -> (EventStreams.snapshotSourceStream _)
   )
 
@@ -141,6 +142,12 @@ object StreamQueries {
     // final table aggregates to the source table's truth, and the
     // redelivered batch is a protocol-constant no-op
     "stream_snapshot_sink" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  round(sum(value), 2) AS sum_value, 0::BIGINT AS replay_advanced
+        |FROM events GROUP BY 1""".stripMargin,
+    // writeStream.toTable must land the whole events table exactly
+    // once; the checkpointed restart (no new data) commits nothing
+    "stream_snapshot_totable" ->
       """SELECT event_type, count(*)::BIGINT AS n,
         |  round(sum(value), 2) AS sum_value, 0::BIGINT AS replay_advanced
         |FROM events GROUP BY 1""".stripMargin,

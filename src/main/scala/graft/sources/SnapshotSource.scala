@@ -157,7 +157,7 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
     // V1Write bridge (AppendDataExecV1 / OverwriteByExpressionExecV1)
     val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
     if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
@@ -186,6 +186,16 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
               ()
             }
           }
+        // writeStream.toTable / .format("graft-snap"): each micro-batch
+        // is an atomic append snapshot, exactly-once via the
+        // stream.<tag>.batch floor ([[SnapshotStreamingWrite]])
+        override def toStreaming: org.apache.spark.sql.connector.write
+            .streaming.StreamingWrite = {
+          val statsCols = Option(options.get("statsCol")).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          new SnapshotStreamingWrite(root, info.schema(), statsCols,
+            Option(options.get("streamTag")).getOrElse("sql"))
+        }
       }
     }
 }

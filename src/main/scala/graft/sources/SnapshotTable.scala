@@ -223,7 +223,7 @@ object SnapshotTable {
   /** Snapshot N's data-file entry lines (path + optional stats fields),
     * excluding property headers.
     */
-  private def entryLines(s: SparkSession, root: String, id: Long): Seq[String] =
+  private[sources] def entryLines(s: SparkSession, root: String, id: Long): Seq[String] =
     rawLines(s, root, id).filterNot(_.startsWith("#"))
 
   private[sources] def entries(s: SparkSession, root: String,
@@ -277,7 +277,7 @@ object SnapshotTable {
     StructType(base.fields ++ add.fields.filterNot(f => have(f.name)))
   }
 
-  private def asNullable(st: StructType): StructType =
+  private[sources] def asNullable(st: StructType): StructType =
     StructType(st.fields.map(_.copy(nullable = true)))
 
   /** Commit `df` as the next snapshot; returns the new snapshot id.

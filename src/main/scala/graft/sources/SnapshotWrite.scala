@@ -131,6 +131,96 @@ private[sources] class SnapshotDataWriter(stagingDir: String,
   override def close(): Unit = ()
 }
 
+/** Exactly-once V2 STREAMING write —
+  * `df.writeStream.toTable("cat.db.t")` (and
+  * `.format("graft-snap").option("path", root)`) lands every
+  * micro-batch as an atomic APPEND snapshot: executors stage each
+  * epoch's parquet under `_staging/<uuid>/epoch-<id>`, and the
+  * driver-side `commit(epochId)` publishes it with the
+  * `stream.<tag>.batch` floor property — the SAME idempotence
+  * protocol as [[SnapshotStreamSink]]'s foreachBatch writer, so a
+  * checkpoint-restart redelivery of an already-visible epoch is a
+  * no-op (its staging is discarded), and the floor survives
+  * compaction and expiration because `stream.*` props carry forward
+  * into every commit. One writer per (table, tag), per the layer's
+  * single-writer contract.
+  */
+private[sources] class SnapshotStreamingWrite(root: String,
+    writeSchema: StructType, statsCols: Seq[String], tag: String)
+    extends Write
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val writeId =
+    java.util.UUID.randomUUID().toString.replace("-", "")
+  private val stagingBase = s"$root/_staging/$writeId"
+  // the redelivery floor, discovered once per writer lifetime on the
+  // first commit (against the restarted table state), then tracked
+  private var floor: Option[Long] = None
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    val owf = new ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, writeSchema)
+    val conf = new SerializableConfiguration(job.getConfiguration)
+    val (base, schema) = (stagingBase, writeSchema)
+    new StreamingDataWriterFactory {
+      override def createWriter(partitionId: Int, taskId: Long,
+          epochId: Long): DataWriter[InternalRow] =
+        new SnapshotDataWriter(s"$base/epoch-$epochId", schema, owf,
+          conf, partitionId, taskId)
+    }
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val epochStaging = new Path(s"$stagingBase/epoch-$epochId")
+    val fs = epochStaging.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lo = floor.getOrElse {
+      val v = SnapshotStreamSink.lastCommittedBatch(spark, root, tag)
+      floor = Some(v)
+      v
+    }
+    if (epochId <= lo) {
+      // checkpoint-restart redelivery of a visible epoch: exactly-once
+      // skip — the staged files are garbage, not data
+      fs.delete(epochStaging, true)
+    } else {
+      val prev = SnapshotTable.currentSnapshot(spark, root)
+      val carried =
+        if (prev == 0L) Seq.empty[String]
+        else SnapshotTable.entryLines(spark, root, prev)
+      val baseSchema =
+        if (prev == 0L) None else SnapshotTable.storedSchema(spark, root, prev)
+      val schema = SnapshotTable.asNullable(baseSchema
+        .map(b => SnapshotTable.mergeSchemas(b, writeSchema))
+        .getOrElse(writeSchema))
+      if (!fs.exists(epochStaging)) fs.mkdirs(epochStaging) // empty epoch
+      SnapshotTable.publishStaged(spark, root, s"$writeId-e$epochId",
+        epochStaging, carried, prev, statsCols,
+        Map(s"stream.$tag.batch" -> epochId.toString), schema)
+      floor = Some(epochId)
+    }
+    ()
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val epochStaging = new Path(s"$stagingBase/epoch-$epochId")
+    epochStaging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(epochStaging, true)
+    ()
+  }
+}
+
 /** Copy-on-write row-level operations (SQL UPDATE / MERGE INTO, and
   * DELETE shapes the metadata path can't prove) at FILE granularity:
   *

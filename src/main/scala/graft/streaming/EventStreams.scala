@@ -720,6 +720,51 @@ object EventStreams {
       .withColumn("replay_advanced", lit(advanced))
   }
 
+  /** `writeStream.toTable` INTO A CATALOG SNAPSHOT TABLE — the pure-SQL
+    * twin of [[snapshotSinkStream]]: no foreachBatch, no library call;
+    * the V2 `StreamingWrite` ([[graft.sources.SnapshotStreamingWrite]])
+    * lands every micro-batch as an atomic append snapshot with the
+    * `stream.<tag>.batch` floor recorded, and the catalog read path
+    * (with its transparent file skipping) serves the result. The
+    * replay audit drives a SECOND query over the same checkpoint —
+    * nothing redelivers, so the snapshot id must not advance.
+    */
+  def snapshotToTableStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{SnapshotCatalog, SnapshotTable}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_snaptt").toString
+    s.conf.set("spark.sql.catalog.gsnapst", classOf[SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsnapst.warehouse", s"$base/wh")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsnapst.db")
+    s.sql("CREATE TABLE gsnapst.db.ev " +
+      "(event_id BIGINT, event_type STRING, value DOUBLE)")
+    val root = s"$base/wh/db/ev"
+    val schema = StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    withStreamPartitions(s) {
+      val q = tableStream(s, dir, "events", schema).writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .toTable("gsnapst.db.ev")
+      try q.processAllAvailable() finally q.stop()
+    }
+    val before = SnapshotTable.currentSnapshot(s, root)
+    withStreamPartitions(s) {
+      // same checkpoint, no new data: every epoch is below the floor →
+      // the restarted query must commit NOTHING
+      val q = tableStream(s, dir, "events", schema).writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .toTable("gsnapst.db.ev")
+      try q.processAllAvailable() finally q.stop()
+    }
+    val advanced = SnapshotTable.currentSnapshot(s, root) - before
+    s.sql("SELECT * FROM gsnapst.db.ev")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("replay_advanced", lit(advanced))
+  }
+
   /** The snapshot-table STREAM SOURCE end-to-end
     * ([[graft.sources.SnapshotStreamSourceProvider]],
     * `readStream.format("graft-snap-stream")`) — the read twin of
