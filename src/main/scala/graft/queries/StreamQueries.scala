@@ -32,7 +32,8 @@ object StreamQueries {
     "stream_topk" -> (EventStreams.topkStream _),
     "stream_snapshot_sink" -> (EventStreams.snapshotSinkStream _),
     "stream_snapshot_totable" -> (EventStreams.snapshotToTableStream _),
-    "stream_snapshot_source" -> (EventStreams.snapshotSourceStream _)
+    "stream_snapshot_source" -> (EventStreams.snapshotSourceStream _),
+    "stream_snapshot_readtable" -> (EventStreams.snapshotReadTableStream _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,6 +166,17 @@ object StreamQueries {
         |  sum(o_orderkey)::BIGINT AS sum_okey,
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderkey % 10 = 0)::BIGINT AS mid_stream_rows
-        |FROM rows4 GROUP BY 1""".stripMargin
+        |FROM rows4 GROUP BY 1""".stripMargin,
+    // readStream.table over the catalog: three commits partition the
+    // orders table by key decile (<=4, 5-8, mid-stream 9) — delivered
+    // exactly once, so the union is the whole table; the audit is the
+    // mid-stream batch's cardinality
+    "stream_snapshot_readtable" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  sum(o_orderkey)::BIGINT AS sum_okey,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey % 10 = 9)::BIGINT AS mid_stream_rows
+        |FROM orders GROUP BY 1""".stripMargin
   )
 }

@@ -157,7 +157,8 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
     // V1Write bridge (AppendDataExecV1 / OverwriteByExpressionExecV1)
     val caps = util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
     if (acceptAnySchema) caps.add(TableCapability.ACCEPT_ANY_SCHEMA)
     caps
   }
@@ -268,6 +269,33 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
   override def pushedFilters(): Array[Predicate] =
     if (groupMode) Array.empty else ensure().pushedFilters
 
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val delegate = ensure().build()
+    // wrap so the SAME scan serves batch (delegating to the stock
+    // parquet Batch over the pruned list) and micro-batch streaming
+    // (readStream.table: snapshot-id offsets, appended-files batches).
+    // Statistics MUST forward too — hiding them defaults the size
+    // estimate to "huge" and demotes broadcast joins to sort-merge.
+    new org.apache.spark.sql.connector.read.SupportsReportStatistics {
+      override def readSchema(): StructType = delegate.readSchema()
+      override def description(): String = delegate.description()
+      override def toBatch: org.apache.spark.sql.connector.read.Batch =
+        delegate.toBatch
+      override def estimateStatistics()
+          : org.apache.spark.sql.connector.read.Statistics = delegate match {
+        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+          s.estimateStatistics()
+        case _ => new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes() = java.util.OptionalLong.empty()
+          override def numRows() = java.util.OptionalLong.empty()
+        }
+      }
+      override def toMicroBatchStream(checkpointLocation: String)
+          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+        new SnapshotMicroBatchStream(root, delegate.readSchema(), options)
+    }
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     ensure().pruneColumns(requiredSchema)
 
@@ -285,7 +313,68 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
       case _ => false
     }
 
-  override def build(): Scan = ensure().build()
+}
+
+/** Micro-batch streaming READ for `spark.readStream.table("cat.db.t")`
+  * — the catalog twin of the path-based `graft-snap-stream` source,
+  * sharing its contract: offsets ARE snapshot ids (checkpointed, so a
+  * restart resumes at the last committed id and each appended row is
+  * delivered exactly once), each batch `(from, to]` plans as exactly
+  * the files those append commits added
+  * ([[SnapshotTable.addedFilesBetween]] — O(metadata), never a table
+  * scan), and an overwrite/compaction in the tailed range refuses
+  * loudly instead of re-serving rewritten history. Each batch's rows
+  * come through the stock vectorized parquet reader under the scan's
+  * (column-pruned) resolution-time schema; the reader factory is
+  * file-list independent, so one factory serves every batch.
+  */
+private[sources] class SnapshotMicroBatchStream(root: String,
+    readSchema: StructType, options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory}
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private case class SnapOffset(id: Long) extends Offset {
+    override def json: String = id.toString
+  }
+  private def toId(o: Offset): Long = o match {
+    case SnapOffset(id) => id
+    case other => other.json.trim.toLong
+  }
+  private def spark = SparkSession.active
+
+  private def parquetBatch(paths: Seq[String]): Batch =
+    ParquetTable(s"graft-snap-stream $root", spark, options, paths,
+      userSpecifiedSchema = Some(readSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(options).build().toBatch
+
+  override def initialOffset(): Offset = SnapOffset(
+    Option(options.get("startSnapshot")).map(_.toLong).getOrElse(0L))
+
+  override def latestOffset(): Offset =
+    SnapOffset(SnapshotTable.currentSnapshot(spark, root))
+
+  override def deserializeOffset(json: String): Offset =
+    SnapOffset(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val (a, b) = (toId(start), toId(end))
+    if (b <= a) Array.empty
+    else {
+      val files = SnapshotTable.addedFilesBetween(spark, root, a, b)
+      if (files.isEmpty) Array.empty
+      else parquetBatch(files.map(f => s"$root/$f")).planInputPartitions()
+    }
+  }
+
+  // built over an empty file list: the parquet reader factory depends
+  // only on conf + schemas, never on which files it will be handed
+  override def createReaderFactory(): PartitionReaderFactory =
+    parquetBatch(Seq.empty).createReaderFactory()
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 object SnapshotSource {

@@ -787,10 +787,13 @@ object SnapshotTable {
     * the same way, and [[changeFeed]] is the row-level read that
     * survives it. `fromId = 0` reads everything up to `toId`.
     */
-  def changesBetween(s: SparkSession, root: String, fromId: Long,
-      toId: Long): DataFrame = {
-    require(0 <= fromId && fromId < toId,
-      s"changesBetween needs 0 <= fromId < toId, got ($fromId, $toId]")
+  /** The root-relative files ADDED over `(fromId, toId]`, verifying
+    * every step is an APPEND (throws across overwrites/compactions —
+    * the changesBetween contract shared by the batch incremental read
+    * and both streaming tails).
+    */
+  private[sources] def addedFilesBetween(s: SparkSession, root: String,
+      fromId: Long, toId: Long): Seq[String] = {
     val base: Set[String] =
       if (fromId == 0L) Set.empty else fileList(s, root, fromId).toSet
     var prev = base
@@ -805,7 +808,14 @@ object SnapshotTable {
             "consumer from a full snapshot read instead")
       prev = cur
     }
-    val added = fileList(s, root, toId).filterNot(base)
+    fileList(s, root, toId).filterNot(base)
+  }
+
+  def changesBetween(s: SparkSession, root: String, fromId: Long,
+      toId: Long): DataFrame = {
+    require(0 <= fromId && fromId < toId,
+      s"changesBetween needs 0 <= fromId < toId, got ($fromId, $toId]")
+    val added = addedFilesBetween(s, root, fromId, toId)
     if (added.isEmpty) readAt(s, root, toId).limit(0)
     else storedSchema(s, root, toId) match {
       case Some(sch) =>

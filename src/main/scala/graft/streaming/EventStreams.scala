@@ -816,4 +816,53 @@ object EventStreams {
         sum(col("o_orderkey")).as("sum_okey"))
       .withColumn("mid_stream_rows", lit(midRows))
   }
+
+  /** `spark.readStream.table("cat.db.t")` — the catalog twin of
+    * [[snapshotSourceStream]] (same contract: snapshot-id offsets,
+    * appended-files batches, exactly-once), through the table's own
+    * `MicroBatchStream` instead of the path-based provider: two
+    * commits land before the stream starts, a third lands mid-stream;
+    * everything delivers exactly once into a memory sink.
+    */
+  def snapshotReadTableStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{SnapshotCatalog, SnapshotTable}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_snaprt").toString
+    s.conf.set("spark.sql.catalog.gsnaprt", classOf[SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsnaprt.warehouse", s"$base/wh")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsnaprt.db")
+    s.sql("CREATE TABLE gsnaprt.db.ord " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+    val root = s"$base/wh/db/ord"
+    val sinkName = s"snap_rt_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val o = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    SnapshotTable.commit(o.filter(col("o_orderkey") % 10 <= 4), root)
+    SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 10 >= 5 && col("o_orderkey") % 10 <= 8),
+      root)
+    val (delivered, midRows) = withStreamPartitions(s) {
+      val q = s.readStream.table("gsnaprt.db.ord")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try {
+        q.processAllAvailable()
+        val before = s.table(sinkName).count()
+        SnapshotTable.commit( // lands while the query is running
+          o.filter(col("o_orderkey") % 10 === 9), root)
+        q.processAllAvailable()
+        (s.table(sinkName), s.table(sinkName).count() - before)
+      } finally q.stop()
+    }
+    delivered.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"),
+        sum(col("o_orderkey")).as("sum_okey"))
+      .withColumn("mid_stream_rows", lit(midRows))
+  }
 }

@@ -312,6 +312,40 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(floor >= 1L, s"floor=$floor")
   }
 
+  test("readStream.table tails a catalog snapshot table: pre-start " +
+      "and mid-stream commits deliver exactly once; a checkpointed " +
+      "restart resumes after the last delivered snapshot") {
+    import spark.implicits._
+    ensureDb()
+    val root = s"$wh/db/tail"
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_cat_tail_ckpt").toString
+    spark.sql(s"CREATE TABLE $cat.db.tail (v BIGINT)")
+    SnapshotTable.commit(spark.range(0, 10).select(col("id").as("v")), root)
+    SnapshotTable.commit(spark.range(10, 30).select(col("id").as("v")), root)
+    // foreachBatch sink: supports checkpoint recovery (memory doesn't)
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream.table(s"$cat.db.tail").writeStream
+      .foreachBatch((df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        df.as[Long].collect().foreach(got.add))
+      .option("checkpointLocation", ckpt).start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      SnapshotTable.commit(spark.range(30, 35).select(col("id").as("v")), root)
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSeq.sorted == (0L until 35L))
+    // restart from the checkpoint: only the while-down commit arrives
+    SnapshotTable.commit(spark.range(35, 40).select(col("id").as("v")), root)
+    got.clear()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(got.asScala.toSeq.sorted == (35L until 40L))
+  }
+
   test("SQL filters prune files through the manifest stats (the " +
       "transparent skipping rides the catalog path too)") {
     import spark.implicits._

@@ -312,19 +312,22 @@ class SnapshotRound11Spec extends SparkSpec {
       expr("(id div 16) % 16").as("y"),
       expr("id div 256").as("z"))
     SnapshotTable.commit(cube.repartition(8), root)
+    // 16 files over the 512-cell bits=3 curve: ~32 consecutive cells
+    // per file, while each dimension's half-range alternates in
+    // 64-cell blocks — so whatever boundaries repartitionByRange
+    // SAMPLES, at least half the files sit cleanly inside one block
+    // and prune (an 8-file/bits=4 layout left this to sampling luck)
     val v2 = SnapshotTable.compactZorder(spark, root,
-      Seq("x", "y", "z"), numFiles = 8, bits = 4)
+      Seq("x", "y", "z"), numFiles = 16, bits = 3)
     val es = SnapshotTable.entries(spark, root, v2)
     es.foreach { e =>
       assert(Seq("x", "y", "z").forall(c => e.statsFor(c).isDefined),
         e.render)
     }
-    // 8 files over the 3-D curve = 2x2x2 octants: a half-range band
-    // on ANY dimension keeps ~4 files, never all 8
     for (c <- Seq("x", "y", "z")) {
       val (_, kept, total) =
         SnapshotTable.pruneFiles(spark, root, v2, c, 0L, 7L)
-      assert(total == 8 && kept < total, s"$c kept $kept/$total")
+      assert(total == 16 && kept < total, s"$c kept $kept/$total")
       assert(SnapshotTable.readWhere(spark, root, v2, c, 0L, 7L)
         .count() == 2048L, c)
     }
