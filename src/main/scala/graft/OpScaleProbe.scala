@@ -364,6 +364,29 @@ object OpScaleProbe {
           s"kept=$kept/$total")
         println(f"snap_meta_del   x$k $dtDel%8.1f s dropped=$dropped " +
           s"rewritten=$rewritten carried=$carried")
+        // (c) a 10% key-band SQL UPDATE through the row-level COW
+        // path: the pushed condition prunes the group scan to the
+        // band's files, so the rewrite must track the BAND's data
+        // volume (fixed) while carried grows with the file count
+        // unique catalog name per k: catalog instances cache by name,
+        // so a shared name would pin the first iteration's warehouse
+        spark.conf.set(s"spark.sql.catalog.gsnapp$k",
+          classOf[graft.sources.SnapshotCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.gsnapp$k.warehouse",
+          new java.io.File(root).getParent)
+        val filesBefore = SnapshotTable
+          .fileList(spark, root, SnapshotTable.currentSnapshot(spark, root))
+          .toSet
+        val t2 = System.nanoTime()
+        spark.sql(s"UPDATE gsnapp$k.t SET o_totalprice = 0.0 WHERE " +
+          s"o_orderkey >= ${hi * 7 / 10} AND o_orderkey < ${hi * 8 / 10}")
+        val dtUpd = (System.nanoTime() - t2) / 1e9
+        val filesAfter = SnapshotTable
+          .fileList(spark, root, SnapshotTable.currentSnapshot(spark, root))
+          .toSet
+        println(f"snap_meta_upd   x$k $dtUpd%8.1f s " +
+          s"carried=${filesBefore.intersect(filesAfter).size}/" +
+          s"${filesBefore.size}")
         spark.sharedState.cacheManager.clearCache()
       }
     }

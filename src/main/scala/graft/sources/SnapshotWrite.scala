@@ -236,9 +236,15 @@ private[sources] class SnapshotStreamingWrite(root: String,
   *      read, pinned at the snapshot the scan planned against — a
   *      concurrent commit in between fails the claim protocol loudly.
   *
-  * At 100 TB an UPDATE keyed into a clustered table reads and rewrites
-  * only the files whose stats admit the condition; everything else is
-  * a carried manifest line.
+  * At 100 TB an UPDATE or DELETE keyed into a clustered table reads
+  * and rewrites only the files whose stats admit the STATIC condition;
+  * everything else is a carried manifest line. SQL MERGE has no static
+  * target condition, so its group scan keeps every file and the
+  * statement rewrites the whole table — correct, but O(table); the
+  * delta-priced path at scale is the library's stats-pruned
+  * [[SnapshotTable.merge]]/[[SnapshotTable.mergeLarge]] (runtime group
+  * filtering via a `_file` metadata column is the known upgrade and is
+  * deliberately not claimed here).
   */
 private[sources] class SnapshotRowLevelOperation(root: String,
     pinnedId: Long, entries: Seq[SnapshotTable.FileEntry],
