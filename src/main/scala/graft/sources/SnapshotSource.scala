@@ -254,6 +254,11 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
     delegate
   }
 
+  // group mode: the statically-kept set, handed to the runtime-
+  // filterable group scan at build (pushFilters may never run when
+  // the operation has no static condition — SQL MERGE's case)
+  private var groupKept: Seq[SnapshotTable.FileEntry] = entries
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     // the top-level Seq is a conjunction: ANY conjunct proving a file
     // empty excludes it
@@ -261,6 +266,7 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
       filters.exists(f => SnapshotTable.filterExcludes(e, f)))
     SnapshotSource.pruneLog.put(root, (kept.size, entries.size))
     keptSink(kept)
+    groupKept = kept
     delegate = parquetBuilder(kept.map(e => s"$root/${e.path}"))
     if (groupMode) filters // file selection only: every row comes back
     else delegate.pushFilters(filters)
@@ -270,6 +276,12 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
     if (groupMode) Array.empty else ensure().pushedFilters
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    if (groupMode)
+      // row-level operations: the runtime-filterable group scan (its
+      // static kept set is what pushFilters pruned; SQL MERGE prunes
+      // further at execution time from the source's join keys)
+      return new SnapshotGroupScan(root, tableName, tableSchema, options,
+        groupKept, keptSink)
     val delegate = ensure().build()
     // wrap so the SAME scan serves batch (delegating to the stock
     // parquet Batch over the pruned list) and micro-batch streaming

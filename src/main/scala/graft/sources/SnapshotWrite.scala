@@ -30,7 +30,7 @@ import org.apache.spark.util.SerializableConfiguration
   * protocol loudly instead of silently dropping its files.
   */
 private[sources] class SnapshotBatchWrite(root: String,
-    carried: Seq[String], expectedBase: Long, schema: StructType,
+    carried: () => Seq[String], expectedBase: Long, schema: StructType,
     statsCols: Seq[String], props: Map[String, String])
     extends Write with BatchWrite with Serializable {
 
@@ -55,8 +55,11 @@ private[sources] class SnapshotBatchWrite(root: String,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
+    // carried is a THUNK evaluated here, at commit: runtime group
+    // filtering can shrink the scanned set after the write is built,
+    // and every file the scan did not ultimately read must carry
     SnapshotTable.publishStaged(spark, root, commitId,
-      new Path(stagingDir), carried, expectedBase, statsCols, props,
+      new Path(stagingDir), carried(), expectedBase, statsCols, props,
       schema)
     ()
   }
@@ -221,6 +224,104 @@ private[sources] class SnapshotStreamingWrite(root: String,
   }
 }
 
+/** The group-mode Scan behind row-level operations, with RUNTIME group
+  * filtering ([[org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering]]
+  * — the hook Iceberg's copy-on-write scan uses): for SQL MERGE, whose
+  * target has no static condition, Spark computes the SOURCE's join-key
+  * values at execution time and pushes them here as IN/EQ predicates;
+  * every file whose manifest stats prove no key present drops from the
+  * scan — and therefore from the rewrite — before a single task runs.
+  * `toBatch` plans over the CURRENT kept set each call (runtime
+  * filtering happens between scan creation and batch planning), and the
+  * write's `carried` thunk reads the final set at commit, so a
+  * runtime-pruned file is carried verbatim, never lost. Pushed
+  * predicates are never applied at row level (the COW contract: a
+  * replaced file's every surviving row must come back).
+  */
+private[sources] class SnapshotGroupScan(root: String, tableName: String,
+    tableSchema: StructType, options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
+    initialKept: Seq[SnapshotTable.FileEntry],
+    keptSink: Seq[SnapshotTable.FileEntry] => Unit)
+    extends org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+  import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+  import org.apache.spark.sql.connector.read.Batch
+  import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+  import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+
+  @volatile private var kept: Seq[SnapshotTable.FileEntry] = initialKept
+
+  override def readSchema(): StructType = tableSchema
+  override def description(): String = tableName
+
+  override def filterAttributes(): Array[NamedReference] =
+    kept.flatMap(_.stats.map(_.col)).distinct
+      .map(c => Expressions.column(c)).toArray
+
+  /** Runtime predicates → the stats-proof evaluator. Only shapes we
+    * can PROVE on (IN / = over literals, AND/OR) prune; anything else
+    * keeps every file — sound by construction.
+    */
+  override def filter(predicates: Array[V2Predicate]): Unit = {
+    def toV1(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[org.apache.spark.sql.sources.Filter] = e match {
+      case p: V2Predicate => (p.name, p.children.toSeq) match {
+        case ("IN", (f: NamedReference) +: vs)
+            if vs.forall(_.isInstanceOf[V2Literal[_]]) =>
+          Some(org.apache.spark.sql.sources.In(f.fieldNames.mkString("."),
+            vs.map { case l: V2Literal[_] => external(l) }.toArray))
+        case ("=", Seq(f: NamedReference, l: V2Literal[_])) =>
+          Some(org.apache.spark.sql.sources.EqualTo(
+            f.fieldNames.mkString("."), external(l)))
+        case ("=", Seq(l: V2Literal[_], f: NamedReference)) =>
+          Some(org.apache.spark.sql.sources.EqualTo(
+            f.fieldNames.mkString("."), external(l)))
+        case ("AND", Seq(l, r)) =>
+          for (a <- toV1(l); b <- toV1(r))
+            yield org.apache.spark.sql.sources.And(a, b)
+        case ("OR", Seq(l, r)) =>
+          for (a <- toV1(l); b <- toV1(r))
+            yield org.apache.spark.sql.sources.Or(a, b)
+        case _ => None
+      }
+      case _ => None
+    }
+    val v1s = predicates.flatMap(p => toV1(p))
+    if (v1s.nonEmpty) {
+      val k2 = kept.filterNot(e =>
+        v1s.exists(f => SnapshotTable.v1ProvesNone(e, f)))
+      SnapshotSource.pruneLog.put(root, (k2.size, initialKept.size))
+      kept = k2
+      keptSink(k2)
+    }
+  }
+
+  // v2 literal (internal representation) → the external value the v1
+  // Filter algebra compares with
+  private def external(l: V2Literal[_]): Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(l.dataType)(l.value)
+
+  // planned over the CURRENT kept set — called after runtime filtering
+  override def toBatch: Batch =
+    ParquetTable(tableName, SparkSession.active, options,
+      kept.map(e => s"$root/${e.path}"),
+      userSpecifiedSchema = Some(tableSchema), classOf[ParquetFileFormat])
+      .newScanBuilder(options).build().toBatch
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = {
+        val rs = kept.flatMap(_.rows)
+        if (rs.size == kept.size) java.util.OptionalLong.of(rs.sum)
+        else java.util.OptionalLong.empty()
+      }
+    }
+}
+
 /** Copy-on-write row-level operations (SQL UPDATE / MERGE INTO, and
   * DELETE shapes the metadata path can't prove) at FILE granularity:
   *
@@ -239,12 +340,13 @@ private[sources] class SnapshotStreamingWrite(root: String,
   * At 100 TB an UPDATE or DELETE keyed into a clustered table reads
   * and rewrites only the files whose stats admit the STATIC condition;
   * everything else is a carried manifest line. SQL MERGE has no static
-  * target condition, so its group scan keeps every file and the
-  * statement rewrites the whole table — correct, but O(table); the
-  * delta-priced path at scale is the library's stats-pruned
-  * [[SnapshotTable.merge]]/[[SnapshotTable.mergeLarge]] (runtime group
-  * filtering via a `_file` metadata column is the known upgrade and is
-  * deliberately not claimed here).
+  * target condition, so its pruning happens at RUNTIME instead: the
+  * group scan implements `SupportsRuntimeV2Filtering`
+  * ([[SnapshotGroupScan]]), Spark computes the source's join-key
+  * values before planning the rewrite, and the manifest stats drop
+  * every file provably holding none of them — the merge rewrites the
+  * touched files, like the library's stats-pruned
+  * [[SnapshotTable.merge]]/[[SnapshotTable.mergeLarge]].
   */
 private[sources] class SnapshotRowLevelOperation(root: String,
     pinnedId: Long, entries: Seq[SnapshotTable.FileEntry],
@@ -269,10 +371,10 @@ private[sources] class SnapshotRowLevelOperation(root: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = {
-        val carried = entries.diff(scanned).map(_.render)
-        val statsCols = scanned.flatMap(_.stats.map(_.col)).distinct
-        new SnapshotBatchWrite(root, carried, pinnedId, tableSchema,
-          statsCols, Map("rowlevel.op" -> cmd.toString))
+        val statsCols = entries.flatMap(_.stats.map(_.col)).distinct
+        new SnapshotBatchWrite(root,
+          () => entries.diff(scanned).map(_.render), pinnedId,
+          tableSchema, statsCols, Map("rowlevel.op" -> cmd.toString))
       }
     }
 }

@@ -346,6 +346,40 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(got.asScala.toSeq.sorted == (35L until 40L))
   }
 
+  test("SQL MERGE runtime group filtering: the source's join keys " +
+      "prune the target rewrite to the touched files; untouched " +
+      "files carry verbatim; results stay exact") {
+    import spark.implicits._
+    ensureDb()
+    val root = s"$wh/db/mrgrt"
+    spark.sql(s"CREATE TABLE $cat.db.mrgrt (k BIGINT, v BIGINT)")
+    SnapshotTable.commit(
+      spark.range(0, 4096).select(col("id").as("k"), col("id").as("v"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+      root, statsCol = Some("k"))
+    val pre = SnapshotTable.currentSnapshot(spark, root)
+    val filesBefore = SnapshotTable.fileList(spark, root, pre).toSet
+    // source touches only k in [0, 256): one-two target files
+    spark.range(0, 256).select(col("id").as("k"), lit(-1L).as("v"))
+      .createOrReplaceTempView("mrgrt_src")
+    spark.sql(s"""MERGE INTO $cat.db.mrgrt t USING mrgrt_src s
+      ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    // correctness first: the band updated, everything else intact
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.mrgrt WHERE v = -1")
+      .head.getLong(0) == 256L)
+    assert(spark.sql(s"SELECT count(*), sum(k) FROM $cat.db.mrgrt").head
+      .toSeq == Seq(4096L, 4096L * 4095 / 2))
+    // the runtime filter pruned the rewrite: most pre-merge files
+    // survive VERBATIM in the post-merge manifest
+    val cur = SnapshotTable.currentSnapshot(spark, root)
+    val survivors = filesBefore
+      .intersect(SnapshotTable.fileList(spark, root, cur).toSet)
+    assert(cur == pre + 1 && survivors.size >= 5,
+      s"carried ${survivors.size} of ${filesBefore.size}")
+  }
+
   test("SQL filters prune files through the manifest stats (the " +
       "transparent skipping rides the catalog path too)") {
     import spark.implicits._
