@@ -346,13 +346,18 @@ object SnapshotTable {
   private[sources] def publishStaged(s: SparkSession, root: String,
       commitId: String, staging: Path, carried: Seq[String], prev: Long,
       statsCols: Seq[String], props: Map[String, String],
-      schema: StructType): Long = {
+      schema: StructType, only: Option[Set[String]] = None): Long = {
     val rootP = new Path(root)
     val fs = fsOf(s, rootP)
     val dataDir = new Path(rootP, "data")
     fs.mkdirs(dataDir)
+    // `only` = the COMMITTED task attempts' files (from their commit
+    // messages): a retried task's crashed first attempt can leave a
+    // partial part file in staging that never saw abort(), and moving
+    // it would duplicate rows — the V2 writers pass the exact set
     val moved = fs.listStatus(staging).iterator
       .filter(_.getPath.getName.startsWith("part-"))
+      .filter(st => only.forall(_.contains(st.getPath.getName)))
       .zipWithIndex.map { case (st, i) =>
         val name = s"$commitId-$i.parquet"
         require(fs.rename(st.getPath, new Path(dataDir, name)),

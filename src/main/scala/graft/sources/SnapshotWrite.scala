@@ -58,9 +58,12 @@ private[sources] class SnapshotBatchWrite(root: String,
     // carried is a THUNK evaluated here, at commit: runtime group
     // filtering can shrink the scanned set after the write is built,
     // and every file the scan did not ultimately read must carry
+    val committed = messages.collect {
+      case SnapStagedFile(Some(n)) => n
+    }.toSet
     SnapshotTable.publishStaged(spark, root, commitId,
       new Path(stagingDir), carried(), expectedBase, statsCols, props,
-      schema)
+      schema, only = Some(committed))
     ()
   }
 
@@ -72,6 +75,14 @@ private[sources] class SnapshotBatchWrite(root: String,
     ()
   }
 }
+
+/** A committed task attempt's staged file name (None = the attempt
+  * wrote no rows). The driver moves EXACTLY the named files — a
+  * crashed attempt's partial file, which never reached abort(), is
+  * thereby excluded instead of duplicating rows after a task retry.
+  */
+private[sources] case class SnapStagedFile(name: Option[String])
+    extends WriterCommitMessage
 
 private[sources] class SnapshotDataWriterFactory(stagingDir: String,
     schema: StructType, owf: OutputWriterFactory,
@@ -105,15 +116,16 @@ private[sources] class SnapshotDataWriter(stagingDir: String,
     org.apache.spark.sql.catalyst.ProjectingInternalRow(schema,
       (1 to schema.length).toIndexedSeq)
 
+  private val fileName =
+    f"part-$partitionId%05d-$taskId-graft.parquet"
+
   private def ensure() = {
     if (out == null) {
       val ctx = new TaskAttemptContextImpl(conf.value,
         new TaskAttemptID(new TaskID(
           new org.apache.hadoop.mapreduce.JobID("graftsnap", 0),
           TaskType.MAP, partitionId), taskId.toInt & Int.MaxValue))
-      val path =
-        f"$stagingDir/part-$partitionId%05d-$taskId-graft.parquet"
-      out = owf.newInstance(path, schema, ctx)
+      out = owf.newInstance(s"$stagingDir/$fileName", schema, ctx)
     }
     out
   }
@@ -126,10 +138,17 @@ private[sources] class SnapshotDataWriter(stagingDir: String,
 
   override def commit(): WriterCommitMessage = {
     if (out != null) out.close()
-    new WriterCommitMessage {}
+    SnapStagedFile(if (out != null) Some(fileName) else None)
   }
 
-  override def abort(): Unit = if (out != null) out.close()
+  // a failed attempt deletes its own partial file; the task retry
+  // writes under a fresh taskId, so the two never collide
+  override def abort(): Unit = if (out != null) {
+    out.close()
+    val p = new Path(s"$stagingDir/$fileName")
+    p.getFileSystem(conf.value).delete(p, false)
+    ()
+  }
 
   override def close(): Unit = ()
 }
@@ -206,9 +225,13 @@ private[sources] class SnapshotStreamingWrite(root: String,
         .map(b => SnapshotTable.mergeSchemas(b, writeSchema))
         .getOrElse(writeSchema))
       if (!fs.exists(epochStaging)) fs.mkdirs(epochStaging) // empty epoch
+      val committed = messages.collect {
+        case SnapStagedFile(Some(n)) => n
+      }.toSet
       SnapshotTable.publishStaged(spark, root, s"$writeId-e$epochId",
         epochStaging, carried, prev, statsCols,
-        Map(s"stream.$tag.batch" -> epochId.toString), schema)
+        Map(s"stream.$tag.batch" -> epochId.toString), schema,
+        only = Some(committed))
       floor = Some(epochId)
     }
     ()

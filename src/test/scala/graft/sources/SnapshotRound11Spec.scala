@@ -369,6 +369,56 @@ class SnapshotRound11Spec extends SparkSpec {
     assert(prune() == ((8, 8)))
   }
 
+  test("V2 write task-retry safety: publishStaged moves ONLY the " +
+      "committed attempts' files, and a writer abort deletes its own " +
+      "partial file") {
+    import spark.implicits._
+    val root = tmpRoot("retry")
+    // seed the table so the commit has a base
+    SnapshotTable.commit(Seq((1L, "a")).toDF("k", "v"), root)
+    // stage two parquet files; only one is in the committed set — the
+    // other plays a crashed first attempt that never reached abort()
+    val staging = new org.apache.hadoop.fs.Path(root, "_staging/retrytest")
+    val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((2L, "b")).toDF("k", "v").coalesce(1).write
+      .mode("overwrite").parquet(s"$root/_staging/tmp1")
+    Seq((666L, "dup")).toDF("k", "v").coalesce(1).write
+      .mode("overwrite").parquet(s"$root/_staging/tmp2")
+    fs.mkdirs(staging)
+    def movePart(src: String, name: String): Unit = {
+      val f = fs.listStatus(new org.apache.hadoop.fs.Path(src))
+        .find(_.getPath.getName.startsWith("part-")).get.getPath
+      fs.rename(f, new org.apache.hadoop.fs.Path(staging, name))
+      ()
+    }
+    movePart(s"$root/_staging/tmp1", "part-00000-7-graft.parquet")
+    movePart(s"$root/_staging/tmp2", "part-00000-3-graft.parquet")
+    val id = SnapshotTable.publishStaged(spark, root, "retrytest",
+      staging, SnapshotTable.entryLines(spark, root, 1L), 1L, Seq.empty,
+      Map.empty, SnapshotTable.read(spark, root).schema,
+      only = Some(Set("part-00000-7-graft.parquet")))
+    val rows = SnapshotTable.readAt(spark, root, id)
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b")), rows) // the stray never lands
+    // a writer abort removes its partial file from staging
+    val write = new SnapshotBatchWrite(root, () => Seq.empty, id,
+      SnapshotTable.read(spark, root).schema, Seq.empty, Map.empty)
+    val factory = write.createBatchWriterFactory(null)
+    val w = factory.createWriter(0, 42L)
+    val row = org.apache.spark.sql.catalyst.InternalRow(
+      9L, org.apache.spark.unsafe.types.UTF8String.fromString("x"))
+    w.write(row)
+    w.abort()
+    val leftover = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$root/_staging")).toSeq.flatMap { d =>
+        if (d.isDirectory)
+          fs.listStatus(d.getPath).toSeq.map(_.getPath.getName)
+        else Seq.empty[String]
+      }.filter(_.contains("-42-"))
+    assert(leftover.isEmpty, leftover)
+    write.abort(Array.empty)
+  }
+
   test("stream source: a checkpointed restart delivers ONLY snapshots " +
       "committed while the query was down, exactly once; an overwrite " +
       "in the tail refuses loudly") {
