@@ -88,6 +88,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     if (ident.name == "snapshots" && ident.namespace.nonEmpty &&
         isTableDir(nsPath(ident.namespace)))
       new SnapshotsMetadataTable(nsPath(ident.namespace).toString)
+    else if (ident.name == "files" && ident.namespace.nonEmpty &&
+        isTableDir(nsPath(ident.namespace)))
+      new FilesMetadataTable(nsPath(ident.namespace).toString)
     else loadAt(ident, None)
   }
 
@@ -141,10 +144,33 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-snap catalog: ALTER TABLE is not supported; appends evolve " +
-        "the schema by name at commit time")
+  /** `ALTER TABLE ... ADD COLUMNS (...)` — an empty append commit
+    * carrying the evolved schema, exactly how data appends evolve it:
+    * old files read the new column as NULL at every version from this
+    * snapshot on, the change time-travels like any other commit, and
+    * no data file is touched. Every other ALTER shape (drop / rename /
+    * retype / reposition) refuses — those need rewrite semantics this
+    * layer deliberately does not fake.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.types.StructField
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn
+          if a.fieldNames.length == 1 && a.position == null =>
+        StructField(a.fieldNames.head, a.dataType, a.isNullable)
+      case other => throw new UnsupportedOperationException(
+        s"graft-snap catalog: only top-level ADD COLUMNS is supported " +
+          s"(appends evolve the schema by name); got $other")
+    }
+    val root = p.toString
+    val cur = SnapshotTable.read(spark, root)
+    val evolved = StructType(cur.schema.fields ++ adds)
+    SnapshotTable.commit(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], evolved), root)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = tablePath(ident)
@@ -199,6 +225,51 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       changes: NamespaceChange*): Unit =
     throw new UnsupportedOperationException(
       "graft-snap catalog: namespaces carry no metadata")
+
+  /** `SELECT * FROM cat.db.t.files` — the CURRENT snapshot's file
+    * inventory: path, row count, and the skipping index's per-column
+    * (min, max, nulls) stats, straight from one manifest read. The
+    * inspection surface for "why did/didn't this file prune".
+    */
+  private class FilesMetadataTable(root: String) extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead {
+    import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+    import org.apache.spark.sql.types._
+
+    private val metaSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("n_rows", LongType),
+      StructField("stats", StringType)))
+
+    override def name(): String = s"graft-snap $root#files"
+    override def schema(): StructType = metaSchema
+    override def capabilities(): util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+      util.EnumSet.of(
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+    override def newScanBuilder(
+        opts: CaseInsensitiveStringMap): ScanBuilder = () =>
+      new LocalScan {
+        override def readSchema(): StructType = metaSchema
+        override def rows()
+            : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          import org.apache.spark.unsafe.types.UTF8String
+          val cur = SnapshotTable.currentSnapshot(spark, root)
+          if (cur == 0L)
+            Array.empty[org.apache.spark.sql.catalyst.InternalRow]
+          else SnapshotTable.entries(spark, root, cur).map { e =>
+            val st = e.stats.map(t => s"${t.col}[${t.mn}..${t.mx}" +
+              t.nulls.map(n => s", nulls=$n").getOrElse("") + "]")
+              .mkString("; ")
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(e.path),
+              e.rows.getOrElse(-1L),
+              UTF8String.fromString(st))
+          }.toArray
+        }
+      }
+  }
 
   /** `SELECT * FROM cat.db.t.snapshots` — one row per live snapshot
     * (id, file count, row count, publish time), answered from the

@@ -380,6 +380,39 @@ class SnapshotCatalogSpec extends SparkSpec {
       s"carried ${survivors.size} of ${filesBefore.size}")
   }
 
+  test("ALTER TABLE ADD COLUMNS evolves the schema as an empty " +
+      "time-travelable commit; other ALTER shapes refuse; the .files " +
+      "metadata table lists the skipping index") {
+    import spark.implicits._
+    ensureDb()
+    val root = s"$wh/db/alt"
+    spark.sql(s"CREATE TABLE $cat.db.alt (k BIGINT)")
+    SnapshotTable.commit(
+      spark.range(0, 10).select(col("id").as("k")), root,
+      statsCol = Some("k"))
+    val pre = SnapshotTable.currentSnapshot(spark, root)
+    spark.sql(s"ALTER TABLE $cat.db.alt ADD COLUMNS (tag STRING)")
+    // old rows read the new column as NULL; the change time-travels
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.alt WHERE tag IS NULL")
+      .head.getLong(0) == 10L)
+    assert(spark.sql(s"SELECT * FROM $cat.db.alt VERSION AS OF $pre")
+      .columns.toSeq == Seq("k"))
+    spark.sql(s"INSERT INTO $cat.db.alt SELECT id, concat('t', id) " +
+      "FROM range(10, 15)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.alt WHERE tag IS " +
+      "NOT NULL").head.getLong(0) == 5L)
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.db.alt DROP COLUMN tag"))
+    // .files: one row per file of the CURRENT snapshot, stats rendered
+    val files = spark.sql(s"SELECT * FROM $cat.db.alt.files").collect()
+    assert(files.nonEmpty)
+    // the seeded commit's files carry k stats with recorded null
+    // counts; rendered as col[min..max, nulls=n]
+    val statted = files.filter(f =>
+      f.getString(2).startsWith("k[") && f.getString(2).contains("nulls=0"))
+    assert(statted.nonEmpty, files.map(_.getString(2)).mkString("|"))
+  }
+
   test("SQL filters prune files through the manifest stats (the " +
       "transparent skipping rides the catalog path too)") {
     import spark.implicits._
