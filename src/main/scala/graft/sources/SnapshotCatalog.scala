@@ -20,8 +20,17 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * spark.sql("CREATE TABLE snap.db.t (k BIGINT, v STRING)")
   * spark.sql("INSERT INTO snap.db.t SELECT ...")      // atomic commit
   * spark.sql("SELECT * FROM snap.db.t WHERE k < 10")  // + file skipping
-  * spark.sql("SELECT * FROM snap.db.t VERSION AS OF 1") // time travel
+  * spark.sql("SELECT * FROM snap.db.t VERSION AS OF 1")     // time travel
+  * spark.sql("SELECT * FROM snap.db.t TIMESTAMP AS OF '…'") // by publish time
   * spark.sql("CREATE TABLE snap.db.t2 AS SELECT ...") // CTAS
+  * spark.sql("DELETE FROM snap.db.t WHERE k < 10")  // metadata-only drops
+  * spark.sql("UPDATE snap.db.t SET v = '…' WHERE k = 7")    // COW rewrite
+  * spark.sql("MERGE INTO snap.db.t t USING s ON …")  // runtime-pruned COW
+  * spark.sql("ALTER TABLE snap.db.t ADD COLUMNS (c DOUBLE)")
+  * spark.sql("SELECT * FROM snap.db.t.snapshots")    // metadata tables
+  * spark.sql("SELECT * FROM snap.db.t.files")
+  * df.writeStream.toTable("snap.db.t")               // exactly-once ingest
+  * spark.readStream.table("snap.db.t")               // exactly-once tail
   * }}}
   *
   * Layout: a table `db.t` lives at `<warehouse>/db/t` as a plain
