@@ -633,6 +633,44 @@ object FormatQueries {
       .crossJoin(broadcast(opCounts))
   }
 
+  /** Snapshot ROLLBACK ([[graft.sources.SnapshotTable.rollback]]): the
+    * bad-batch recovery story — commit v1 (the good table), append v2
+    * (a corrupted batch: duplicated keys at poisoned prices), then
+    * `rollback(v1)` publishes v3 carrying v1's file list VERBATIM, a
+    * pure manifest write (no data file read, written, or moved). The
+    * hash gate proves the restored head equals the original table
+    * exactly; the audit flags pin that (a) the bad version is STILL
+    * time-travelable — rollback moves the head, never erases history —
+    * and (b) the restored head is a new, higher snapshot id (v3), so
+    * pinned readers and the snapshot log stay monotone. At 100 TB a
+    * rollback is two manifest reads + one manifest write — table size
+    * never enters the cost.
+    */
+  def snapshotRollback(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_rollback")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SnapshotTable.commit(
+      o.repartitionByRange(8, col("o_orderkey")), root,
+      statsCol = Some("o_orderkey")) // v1: the good table
+    SnapshotTable.commit( // v2: the bad batch — dup keys, poisoned price
+      o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", lit(-1.0)), root)
+    val v3 = SnapshotTable.rollback(s, root, 1L)
+    val nGood = SnapshotTable.rowCount(s, root, 1L).getOrElse(-1L)
+    val nBadVersion = SnapshotTable.rowCount(s, root, 2L).getOrElse(-1L)
+    SnapshotTable.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        money(sum(col("o_totalprice"))).as("total_price"),
+        sum(col("o_orderkey")).as("okey_sum"))
+      .withColumn("history_kept",
+        lit(if (nBadVersion > nGood && nGood > 0L) 1L else 0L))
+      .withColumn("head_advanced", lit(if (v3 == 3L) 1L else 0L))
+  }
+
   /** Schema evolution THROUGH the snapshot layer: gen-1 commits orders
     * without `o_orderpriority`, gen-2 appends it — the recorded schema
     * evolves by name ([[graft.sources.SnapshotTable.mergeSchemas]]),
@@ -1060,6 +1098,7 @@ object FormatQueries {
     "fmt_snapshot_pushdown" -> (snapshotPushdown _),
     "fmt_snapshot_zorder" -> (snapshotZorder _),
     "fmt_snapshot_cdf" -> (snapshotCdf _),
+    "fmt_snapshot_rollback" -> (snapshotRollback _),
     "fmt_snapshot_evolve" -> (snapshotEvolve _),
     "fmt_snapshot_count" -> (snapshotCount _),
     "fmt_snapshot_write" -> (snapshotWrite _),
@@ -1293,6 +1332,15 @@ object FormatQueries {
         |  sum(o_orderkey)::BIGINT AS okey_changed,
         |  1::BIGINT AS nonappend_refused
         |FROM changed GROUP BY 1""".stripMargin,
+    // the restored head must equal the ORIGINAL table exactly (the bad
+    // batch fully gone); the flags pin history retention and the
+    // monotone head id
+    "fmt_snapshot_rollback" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  sum(o_orderkey)::BIGINT AS okey_sum,
+        |  1::BIGINT AS history_kept, 1::BIGINT AS head_advanced
+        |FROM orders GROUP BY 1""".stripMargin,
     // SQL merge truth: stored rows outside the updated key band, plus
     // the updated band at +500, plus the inserted beyond-range keys;
     // n_v1 pins pre-merge time travel, the prune flag that the stats

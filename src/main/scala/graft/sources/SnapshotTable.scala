@@ -569,6 +569,45 @@ object SnapshotTable {
     n
   }
 
+  /** Restore snapshot `toId`'s table state as a NEW snapshot
+    * (id = current + 1): the rollback commit carries `toId`'s entry
+    * lines and schema VERBATIM — a pure manifest write; no data file is
+    * read, written, or moved, and history is untouched (the
+    * rolled-back-over snapshots stay time-travelable until
+    * [[expireSnapshots]] reclaims them — rollback moves the table HEAD,
+    * it never erases versions, the same contract as Iceberg's
+    * rollback_to_snapshot). Exactly-once `stream.*` floors are carried
+    * from the CURRENT snapshot, not the restore target: a floor must
+    * never regress, or a restarted stream writer would re-deliver
+    * batches the table already absorbed (their rows are gone with the
+    * rollback — by design, that is what rolling back means — but a
+    * regressed floor would then DOUBLE-apply any batch replayed after
+    * the next legitimate append). [[changesBetween]] and streaming
+    * tails that cross a rollback refuse by the usual non-append
+    * contract: the file set shrank. Cost: two manifest reads and one
+    * manifest write — O(metadata) at any table size.
+    */
+  def rollback(s: SparkSession, root: String, toId: Long): Long = {
+    val cur = currentSnapshot(s, root)
+    require(toId >= 1 && toId < cur,
+      s"rollback: target v$toId must be an existing snapshot earlier " +
+        s"than current v$cur of $root")
+    val carried = entryLines(s, root, toId)
+    val schema = storedSchema(s, root, toId).getOrElse(
+      readAt(s, root, toId).schema)
+    // the restore target's table-shape props (partitioning) travel with
+    // its file list; stream floors do NOT (publishStaged carries the
+    // CURRENT snapshot's, see above)
+    val shapeProps = snapshotProps(s, root, toId)
+      .filter { case (k, _) => k.startsWith("partition.") }
+    val fs = fsOf(s, new Path(root))
+    val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new Path(new Path(root), s"_staging/$commitId")
+    fs.mkdirs(staging) // empty: a manifest-only commit moves no files
+    publishStaged(s, root, commitId, staging, carried, cur, Seq.empty,
+      shapeProps + ("rollback.of" -> toId.toString), schema)
+  }
+
   /** Read snapshot `id` — O(1) metadata: one manifest, exactly its
     * files, under the snapshot's RECORDED schema (so a file written
     * before a column existed reads it as NULL, deterministically, and
