@@ -633,6 +633,113 @@ object FormatQueries {
       .crossJoin(broadcast(opCounts))
   }
 
+  /** PARTITIONED snapshot table
+    * ([[graft.sources.SnapshotTable.commit]]'s `partitionBy`): commit
+    * lineitem partitioned by `l_returnflag` — the staging write splits
+    * rows into VALUE-PURE files and the manifest records exact
+    * (min == max, zero-null) partition stats, so the stats index IS the
+    * partition index (partition metadata lives in the manifest, not in
+    * directory names — the hidden-partitioning layout). The query reads
+    * one partition back through the DSv2 connector; the audit flags pin
+    * (a) every file is value-pure and (b) the partition predicate
+    * prunes files from the manifest alone. At 100 TB a partition-
+    * selective query opens that partition's files, full stop — and the
+    * same index serves range queries on `statsCol` columns, which
+    * hive-style directory partitioning cannot.
+    */
+  def snapshotPartitioned(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_part")
+    graft.tera.TeraIO.delete(s, root)
+    val li = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+    SnapshotTable.commit(li, root, statsCol = Some("l_orderkey"),
+      partitionBy = Seq("l_returnflag"))
+    val pure = SnapshotTable.partitionPure(s, root, 1L)
+    val (_, nKept, nTotal) =
+      SnapshotTable.pruneFiles(s, root, 1L, "l_returnflag", "R", "R")
+    s.read.format("graft-snap").load(root)
+      .filter(col("l_returnflag") === "R")
+      .agg(count(lit(1)).as("n_rows"),
+        money(sum(col("l_quantity"))).as("sum_qty"),
+        money(sum(col("l_extendedprice"))).as("sum_price"))
+      .withColumn("value_pure", lit(if (pure) 1L else 0L))
+      .withColumn("part_pruned", lit(if (nKept < nTotal) 1L else 0L))
+  }
+
+  /** Dynamic partition overwrite
+    * ([[graft.sources.SnapshotTable.commitReplace]]): the incremental-
+    * pipeline commit shape — recompute ONE partition, swap it in
+    * atomically, leave every other partition untouched. Orders
+    * partitioned by `o_orderstatus`; the replace swaps the 'F'
+    * partition for a repriced recomputation. On a value-pure table the
+    * manifest stats PROVE each file all-match or none-match, so the
+    * swap is metadata-only: matched files drop from the manifest,
+    * everything else carries verbatim, zero rewrites — the audit flag
+    * pins it. The oracle recomputes the post-replace table from the
+    * original orders; `n_v1` proves the pre-replace snapshot still
+    * time-travels. At 100 TB the IO is the incoming partition, never
+    * the table.
+    */
+  def snapshotReplace(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_replace")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SnapshotTable.commit(o, root, statsCol = Some("o_orderkey"),
+      partitionBy = Seq("o_orderstatus"))
+    val repl = o.filter(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val (_, dropped, rewritten, _) =
+      SnapshotTable.commitReplace(repl, root, statsCol = Some("o_orderkey"))
+    val nV1 = SnapshotTable.rowCount(s, root, 1L).getOrElse(-1L)
+    SnapshotTable.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        money(sum(col("o_totalprice"))).as("total_price"),
+        sum(col("o_orderkey")).as("okey_sum"))
+      .withColumn("metadata_only",
+        lit(if (rewritten == 0 && dropped >= 1) 1L else 0L))
+      .withColumn("n_v1", lit(nV1))
+  }
+
+  /** The SQL spelling of partitioned snapshot tables: `CREATE TABLE ...
+    * PARTITIONED BY (col) AS SELECT` through the catalog, `INSERT INTO`
+    * inheriting the declared shape, and a partition-predicate SELECT
+    * that prunes files from the manifest — pure SQL end to end, no
+    * library call. The flags pin value purity of the catalog-written
+    * files and the manifest-level prune for one partition value.
+    */
+  def snapshotPartSql(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SnapshotCatalog, SnapshotTable}
+    val wh = scratch("snap_part_wh")
+    graft.tera.TeraIO.delete(s, wh)
+    s.conf.set("spark.sql.catalog.gpart", classOf[SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.gpart.warehouse", wh)
+    graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice")
+      .createOrReplaceTempView("part_sql_li_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gpart.db")
+    s.sql("DROP TABLE IF EXISTS gpart.db.li")
+    s.sql("CREATE TABLE gpart.db.li PARTITIONED BY (l_returnflag) AS " +
+      "SELECT * FROM part_sql_li_src WHERE l_orderkey % 2 = 0")
+    s.sql("INSERT INTO gpart.db.li " +
+      "SELECT * FROM part_sql_li_src WHERE l_orderkey % 2 = 1")
+    val root = s"$wh/db/li"
+    val cur = SnapshotTable.currentSnapshot(s, root)
+    val pure = SnapshotTable.partitionPure(s, root, cur)
+    val (_, nKept, nTotal) =
+      SnapshotTable.pruneFiles(s, root, cur, "l_returnflag", "A", "A")
+    s.sql("SELECT l_returnflag, count(*) AS n_rows, " +
+        "round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_price " +
+        "FROM gpart.db.li WHERE l_returnflag IN ('A', 'N') " +
+        "GROUP BY l_returnflag")
+      .withColumn("value_pure", lit(if (pure) 1L else 0L))
+      .withColumn("part_pruned", lit(if (nKept < nTotal) 1L else 0L))
+  }
+
   /** Snapshot ROLLBACK ([[graft.sources.SnapshotTable.rollback]]): the
     * bad-batch recovery story — commit v1 (the good table), append v2
     * (a corrupted batch: duplicated keys at poisoned prices), then
@@ -1099,6 +1206,9 @@ object FormatQueries {
     "fmt_snapshot_zorder" -> (snapshotZorder _),
     "fmt_snapshot_cdf" -> (snapshotCdf _),
     "fmt_snapshot_rollback" -> (snapshotRollback _),
+    "fmt_snapshot_partitioned" -> (snapshotPartitioned _),
+    "fmt_snapshot_replace" -> (snapshotReplace _),
+    "fmt_snapshot_part_sql" -> (snapshotPartSql _),
     "fmt_snapshot_evolve" -> (snapshotEvolve _),
     "fmt_snapshot_count" -> (snapshotCount _),
     "fmt_snapshot_write" -> (snapshotWrite _),
@@ -1332,6 +1442,39 @@ object FormatQueries {
         |  sum(o_orderkey)::BIGINT AS okey_changed,
         |  1::BIGINT AS nonappend_refused
         |FROM changed GROUP BY 1""".stripMargin,
+    // one partition read back must equal the plain filter; the flags
+    // pin value purity and the manifest-level partition prune
+    "fmt_snapshot_partitioned" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  1::BIGINT AS value_pure, 1::BIGINT AS part_pruned
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+    // post-replace truth: untouched partitions verbatim, the 'F'
+    // partition repriced; metadata_only pins the zero-rewrite swap,
+    // n_v1 the pre-replace time travel
+    "fmt_snapshot_replace" ->
+      """WITH cur AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice
+        |  FROM orders WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice + 1000.0
+        |  FROM orders WHERE o_orderstatus = 'F')
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  sum(o_orderkey)::BIGINT AS okey_sum,
+        |  1::BIGINT AS metadata_only,
+        |  (SELECT count(*) FROM orders)::BIGINT AS n_v1
+        |FROM cur GROUP BY 1""".stripMargin,
+    // the catalog-partitioned table holds ALL of lineitem (CTAS half +
+    // INSERT half); the two-partition group-by must match the original
+    "fmt_snapshot_part_sql" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  1::BIGINT AS value_pure, 1::BIGINT AS part_pruned
+        |FROM lineitem WHERE l_returnflag IN ('A', 'N')
+        |GROUP BY 1""".stripMargin,
     // the restored head must equal the ORIGINAL table exactly (the bad
     // batch fully gone); the flags pin history retention and the
     // monotone head id

@@ -137,10 +137,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-snap catalog: PARTITIONED BY is not supported — commit " +
-        "clustered (repartitionByRange / compactZorder) and let the " +
-        "manifest stats prune instead")
+    // PARTITIONED BY (col, ...) — identity transforms only: the layer's
+    // partitioning IS the manifest's exact-value stats index over
+    // value-pure files ([[SnapshotTable.commit]]'s partitionBy), so a
+    // transform (bucket/days/truncate) would need a derived column;
+    // declare it as a column and partition on that
+    val partCols = partitions.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft-snap catalog: only identity PARTITIONED BY columns are " +
+          s"supported; got $other")
+    }.toSeq
+    val missing = partCols.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"graft-snap catalog: PARTITIONED BY columns not in schema: " +
+        missing.mkString(", "))
     val p = tablePath(ident)
     if (isTableDir(p)) throw new TableAlreadyExistsException(ident)
     val ns = nsPath(ident.namespace)
@@ -149,7 +161,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     // schema recorded as a manifest prop like every other commit
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    SnapshotTable.commit(empty, p.toString)
+    SnapshotTable.commit(empty, p.toString, partitionBy = partCols)
     loadTable(ident)
   }
 

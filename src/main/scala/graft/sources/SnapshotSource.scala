@@ -151,6 +151,20 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
 
   override def schema(): StructType = tableSchema
 
+  // the table's declared partition columns (the `partition.cols`
+  // manifest prop), resolved once per loaded table — DESCRIBE/SHOW and
+  // the writes below read this, Spark's scan never needs to (partition
+  // pruning is the stats index's job)
+  private lazy val partCols: Seq[String] =
+    if (id == 0L) Seq.empty
+    else SnapshotTable.partitionColsOf(SparkSession.active, root, id)
+
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+      .toArray
+
   override def capabilities(): util.Set[TableCapability] = {
     // BATCH_WRITE routes DataFrameWriter down the V2 path; the
     // V1_BATCH_WRITE marker then lets the planner execute our
@@ -181,9 +195,21 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+              // a catalog/DSv2 table's declared partitioning persists
+              // across INSERT OVERWRITE / TRUNCATE: restate it, since a
+              // bare overwrite commit would otherwise un-partition
+              // option("partitionBy", "a,b") sets the shape on a fresh
+              // root or an overwrite (the DataFrame-API spelling of
+              // commit's partitionBy); an existing table's declared
+              // shape wins
+              val declared =
+                if (partCols.nonEmpty) partCols
+                else Option(options.get("partitionBy")).toSeq
+                  .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
               SnapshotTable.commit(data, root,
                 overwrite = overwrite || overwriteFlag,
-                statsCol = Option(options.get("statsCol")))
+                statsCol = Option(options.get("statsCol")),
+                partitionBy = declared)
               ()
             }
           }

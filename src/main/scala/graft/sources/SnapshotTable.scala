@@ -292,9 +292,25 @@ object SnapshotTable {
     */
   def commit(df: DataFrame, root: String, overwrite: Boolean = false,
       expectedBase: Option[Long] = None, statsCol: Option[String] = None,
-      props: Map[String, String] = Map.empty): Long = {
+      props: Map[String, String] = Map.empty,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val s = df.sparkSession
     val prev = expectedBase.getOrElse(currentSnapshot(s, root))
+    // partitioning is TABLE SHAPE: set at creation or overwrite, then
+    // sticky — appends inherit it from the previous snapshot's
+    // `partition.cols` prop (and may restate it, but never change it;
+    // re-partitioning an existing table is an overwrite/compaction)
+    val stored = partitionColsOf(s, root, prev)
+    val parts =
+      if (overwrite || prev == 0L) partitionBy
+      else if (partitionBy.isEmpty) stored
+      else {
+        require(partitionBy == stored,
+          s"append partitioning [${partitionBy.mkString(",")}] does not " +
+            s"match table partitioning [${stored.mkString(",")}] of " +
+            s"$root — change partitioning with overwrite = true")
+        partitionBy
+      }
     // appends carry the previous snapshot's entry lines VERBATIM so
     // earlier commits' stats and row counts survive without
     // recomputation — and the previous schema evolves by name; an
@@ -304,8 +320,40 @@ object SnapshotTable {
       else entryLines(s, root, prev)
     val baseSchema =
       if (overwrite || prev == 0L) None else storedSchema(s, root, prev)
-    commitWithCarried(df, root, carried, prev, statsCol, props, baseSchema)
+    // overwrite RESTATES the prop even when empty, so an overwrite
+    // without partitionBy genuinely un-partitions the table (the
+    // carried-prop default would otherwise resurrect it)
+    val partProp =
+      if (parts.nonEmpty || overwrite)
+        Map("partition.cols" -> parts.mkString(","))
+      else Map.empty[String, String]
+    commitWithCarried(df, root, carried, prev, statsCol, partProp ++ props,
+      baseSchema, parts)
   }
+
+  /** True iff snapshot `id` is partitioned and EVERY file carries exact
+    * (min == max, zero-null) stats for every partition column — the
+    * value-purity invariant partitioned commits maintain, under which
+    * partition pruning, partition drops, and [[commitReplace]] are all
+    * provable from the manifest alone. A COW rewrite can break purity
+    * for the files it rewrites (correctness is unaffected — the stats
+    * degrade to ranges); an overwrite commit restores it.
+    */
+  def partitionPure(s: SparkSession, root: String, id: Long): Boolean = {
+    val parts = partitionColsOf(s, root, id)
+    parts.nonEmpty && entries(s, root, id).forall(e =>
+      parts.forall(c => e.statsFor(c).exists(st =>
+        st.mn == st.mx && st.nulls.contains(0L))))
+  }
+
+  /** The table's partition columns as of snapshot `id` (empty = the
+    * table is unpartitioned). Recorded as the `partition.cols` manifest
+    * prop, carried forward by every commit shape.
+    */
+  def partitionColsOf(s: SparkSession, root: String, id: Long): Seq[String] =
+    if (id == 0L) Seq.empty
+    else snapshotProps(s, root, id).get("partition.cols").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
   /** The commit core: write `df`'s files, then publish a manifest of
     * `carried` entry lines (kept VERBATIM — paths, stats, and row
@@ -320,12 +368,34 @@ object SnapshotTable {
   private def commitWithCarried(df: DataFrame, root: String,
       carried: Seq[String], prev: Long, statsCol: Option[String],
       props: Map[String, String],
-      baseSchema: Option[StructType] = None): Long = {
+      baseSchema: Option[StructType] = None,
+      partitionCols: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.col
     val s = df.sparkSession
     val rootP = new Path(root)
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
     val staging = new Path(rootP, s"_staging/$commitId")
-    df.write.mode("overwrite").parquet(staging.toString)
+    if (partitionCols.nonEmpty && partitionCols.forall(df.columns.contains)) {
+      // VALUE-PURE staging: partitionBy on DUPLICATE columns splits each
+      // task's rows into one file per partition value and strips only
+      // the duplicates — the real columns stay in the data, so every
+      // read path stays the plain flat parquet scan and the commit-time
+      // footer stats are exact single-value (min == max) entries. The
+      // manifest stats index IS the partition index (the hidden-
+      // partitioning argument: partition data lives in metadata, not in
+      // directory names the reader must understand), so partition
+      // pruning, partition drops (deleteWhere's all-match proof), and
+      // dynamic partition overwrite ([[commitReplace]]) all run on the
+      // machinery that already exists. The repartition keeps the file
+      // count at O(values), not O(tasks x values).
+      val dups = partitionCols.map(c => s"__gp_$c")
+      val staged = partitionCols.zip(dups).foldLeft(df) {
+        case (acc, (c, d)) => acc.withColumn(d, col(c))
+      }
+      staged.repartition(partitionCols.map(col): _*)
+        .write.partitionBy(dups: _*).mode("overwrite")
+        .parquet(staging.toString)
+    } else df.write.mode("overwrite").parquet(staging.toString)
     val schema = asNullable(baseSchema
       .map(b => mergeSchemas(b, df.schema)).getOrElse(df.schema))
     val statsCols = statsCol.toSeq
@@ -355,7 +425,14 @@ object SnapshotTable {
     // messages): a retried task's crashed first attempt can leave a
     // partial part file in staging that never saw abort(), and moving
     // it would duplicate rows — the V2 writers pass the exact set
-    val moved = fs.listStatus(staging).iterator
+    // partitioned staging nests value directories — walk them; the
+    // flat move erases the directory layout on purpose (partition
+    // values live in the manifest stats, not in paths)
+    def walk(p: Path): Iterator[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).iterator.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath) else Iterator.single(st)
+      }
+    val moved = walk(staging)
       .filter(_.getPath.getName.startsWith("part-"))
       .filter(st => only.forall(_.contains(st.getPath.getName)))
       .zipWithIndex.map { case (st, i) =>
@@ -370,17 +447,25 @@ object SnapshotTable {
     // every later reader prunes and counts from the manifest alone.
     // statsCols takes a list for multi-column indexes (the z-ordered
     // layout's case: every dimension prunes)
+    // exactly-once stream floors and the table's partition shape
+    // survive every commit path: carry the previous snapshot's
+    // `stream.*` / `partition.cols` props unless this commit sets them
+    val carriedProps: Map[String, String] =
+      if (prev == 0L) Map.empty
+      else snapshotProps(s, root, prev).filter(p =>
+        p._1.startsWith("stream.") || p._1 == "partition.cols")
+    // partition columns ALWAYS join the stats index (whatever the
+    // commit path — V1, V2 executor-staged, COW rewrites): a file that
+    // lost its partition-value stats would silently stop pruning
+    val partCols = (carriedProps ++ props).getOrElse("partition.cols", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val effStatsCols = (statsCols ++ partCols).distinct
     val movedEntries = moved.map { rel =>
-      val (stats, rows) = footerInfo(s, new Path(rootP, rel), statsCols)
+      val (stats, rows) = footerInfo(s, new Path(rootP, rel), effStatsCols)
       FileEntry(rel, stats, Some(rows)).render
     }
     val files = carried ++ movedEntries
     val id = prev + 1
-    // exactly-once stream floors survive every commit shape: carry the
-    // previous snapshot's stream.* props unless this commit sets them
-    val carriedProps: Map[String, String] =
-      if (prev == 0L) Map.empty
-      else snapshotProps(s, root, prev).filter(_._1.startsWith("stream."))
     val allProps = carriedProps ++ Map("schema" -> schema.json) ++ props
     // manifest content first to a temp name, then the atomic rename that
     // IS the commit; a taken name means a concurrent writer won the race
@@ -596,10 +681,12 @@ object SnapshotTable {
     val schema = storedSchema(s, root, toId).getOrElse(
       readAt(s, root, toId).schema)
     // the restore target's table-shape props (partitioning) travel with
-    // its file list; stream floors do NOT (publishStaged carries the
-    // CURRENT snapshot's, see above)
-    val shapeProps = snapshotProps(s, root, toId)
-      .filter { case (k, _) => k.startsWith("partition.") }
+    // its file list — RESTATED even when empty, so rolling back from a
+    // partitioned head to a pre-partitioning snapshot does not let the
+    // carried-prop default resurrect the head's shape; stream floors do
+    // NOT travel (publishStaged carries the CURRENT snapshot's, above)
+    val shapeProps = Map("partition.cols" ->
+      partitionColsOf(s, root, toId).mkString(","))
     val fs = fsOf(s, new Path(root))
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
     val staging = new Path(new Path(root), s"_staging/$commitId")
@@ -980,7 +1067,8 @@ object SnapshotTable {
     changes.write.mode("overwrite").parquet(s"$root/$cdfRel")
     val id = commitWithCarried(survivors.unionByName(updates), root,
       carried.map(_.render), cur, Some(keyCol),
-      Map("merge.key" -> keyCol, "cdf.dir" -> cdfRel), baseSchema = schema)
+      Map("merge.key" -> keyCol, "cdf.dir" -> cdfRel), baseSchema = schema,
+      partitionCols = partitionColsOf(s, root, cur))
     (id, touched.size, carried.size)
   }
 
@@ -1159,7 +1247,7 @@ object SnapshotTable {
     val id = commitWithCarried(survivors, root, keep.map(_.render), cur,
       if (statsCols.isEmpty) None else Some(statsCols.mkString(",")),
       Map("delete.cond" -> filters.mkString(" AND ")),
-      baseSchema = schema)
+      baseSchema = schema, partitionCols = partitionColsOf(s, root, cur))
     lastDelete.put(root, (drop.size, rewrite.size, keep.size))
     (id, drop.size, rewrite.size, keep.size)
   }
@@ -1174,6 +1262,90 @@ object SnapshotTable {
     */
   def lastDeleteStats(root: String): Option[(Int, Int, Int)] =
     lastDelete.get(root)
+
+  /** Dynamic partition overwrite: atomically REPLACE exactly the
+    * partitions present in `df` and leave every other partition
+    * untouched — the incremental-pipeline commit shape (recompute one
+    * day/source/shard, swap it in) that plain `overwrite` (whole table)
+    * and `commit` (append-only) cannot express. Decided entirely from
+    * the manifest's partition-value stats: a value-pure file (the
+    * invariant every partitioned commit maintains) whose tuple matches
+    * an incoming partition DROPS from the manifest with zero IO; a file
+    * whose stats prove no overlap CARRIES verbatim; only an impure file
+    * that MIGHT mix replaced and kept partitions (possible after a COW
+    * rewrite) is read back and filtered. On a pure table the replace is
+    * metadata-only drops plus the new files — at 100 TB the IO is the
+    * incoming partitions, never the table.
+    *
+    * Contract: `df`'s distinct partition tuples are collected to the
+    * driver (the replaced-partition set is small — the delta — by the
+    * same contract as [[merge]]); null partition values refuse.
+    * Returns (new snapshot id, files dropped, files rewritten, files
+    * carried); the decision is also recorded for
+    * [[lastReplaceStats]].
+    */
+  def commitReplace(df: DataFrame, root: String,
+      statsCol: Option[String] = None): (Long, Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    import org.apache.spark.sql.sources.{And, EqualTo, Filter, Or}
+    val s = df.sparkSession
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"commitReplace into empty table $root: commit first")
+    val parts = partitionColsOf(s, root, cur)
+    require(parts.nonEmpty,
+      s"commitReplace needs a partitioned table; $root has no " +
+        "partition.cols (create it with commit(..., partitionBy = ...))")
+    require(parts.forall(df.columns.contains),
+      s"commitReplace: frame is missing partition columns " +
+        s"${parts.filterNot(df.columns.contains).mkString(", ")}")
+    val tuples: Array[Seq[Any]] = df.select(parts.map(col): _*)
+      .distinct().collect().map(r => parts.indices.map(r.get))
+    require(tuples.nonEmpty, "commitReplace with an empty frame")
+    require(tuples.forall(_.forall(_ != null)),
+      "commitReplace: null partition values are not supported")
+    // "row belongs to a replaced partition" as a v1 filter tree — the
+    // same machinery deleteWhere proves drops and carries with
+    val repFilter: Filter = tuples.map { t =>
+      parts.zip(t).map { case (c, v) => EqualTo(c, v): Filter }
+        .reduce[Filter](And(_, _))
+    }.reduce[Filter](Or(_, _))
+    val es = entries(s, root, cur)
+    val keep = es.filter(e => v1ProvesNone(e, repFilter))
+    val rest = es.diff(keep)
+    val drop = rest.filter(e =>
+      e.rows.contains(0L) || v1ProvesAll(e, repFilter))
+    val rewrite = rest.diff(drop)
+    val schema = storedSchema(s, root, cur)
+    val incoming =
+      if (rewrite.isEmpty) df
+      else {
+        val paths = rewrite.map(e => s"$root/${e.path}")
+        val base = schema match {
+          case Some(sch) => s.read.schema(sch).parquet(paths: _*)
+          case None => s.read.parquet(paths: _*)
+        }
+        val cond = filterToColumn(repFilter).getOrElse(
+          throw new IllegalStateException(
+            "commitReplace: untranslatable partition tuple filter"))
+        // keep the impure files' rows OUTSIDE the replaced partitions
+        // (three-valued logic: a null comparison keeps the row)
+        base.where(not(coalesce(cond, lit(false)))).unionByName(df)
+      }
+    val id = commitWithCarried(incoming, root, keep.map(_.render), cur,
+      statsCol, Map("replace.partitions" -> tuples.length.toString),
+      baseSchema = schema, partitionCols = parts)
+    lastReplace.put(root, (drop.size, rewrite.size, keep.size))
+    (id, drop.size, rewrite.size, keep.size)
+  }
+
+  private[sources] val lastReplace =
+    new scala.collection.concurrent.TrieMap[String, (Int, Int, Int)]
+
+  /** The most recent [[commitReplace]] decision for `root`:
+    * (files dropped metadata-only, files rewritten, files carried).
+    */
+  def lastReplaceStats(root: String): Option[(Int, Int, Int)] =
+    lastReplace.get(root)
 
   /** Can [[deleteWhere]] run this filter set? True iff every conjunct
     * translates to an evaluable predicate — the `canDeleteWhere`
