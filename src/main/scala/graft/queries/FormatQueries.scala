@@ -740,6 +740,81 @@ object FormatQueries {
       .withColumn("part_pruned", lit(if (nKept < nTotal) 1L else 0L))
   }
 
+  /** Merge-on-read DELETE
+    * ([[graft.sources.SnapshotTable.deleteWhereMor]]): point deletes
+    * without rewriting a single data file — the matching rows are
+    * marked in a delete VECTOR (a delta-sized parquet of (file, pos)
+    * pairs) and every read subtracts it by a broadcast anti-join on the
+    * scan's own `_metadata` file/row-index columns. The fixture deletes
+    * on `l_quantity`, a column the k-clustered stats cannot prune, so
+    * the copy-on-write path would rewrite EVERY file — here zero files
+    * rewrite (the audit flag pins it) and the delete costs one scan +
+    * a vector write. `n_meta` is the manifest-only row count
+    * (data rows − vector rows), hash-checked against the oracle's
+    * count — the arithmetic that only holds because marking reads
+    * through existing vectors and never records a pair twice. At
+    * 100 TB this is the GDPR-erasure shape: IO is the candidate files
+    * once, not the table rewritten.
+    */
+  def snapshotDv(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.sources.LessThan
+    val root = scratch("snap_dv")
+    graft.tera.TeraIO.delete(s, root)
+    val li = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    SnapshotTable.commit(li.repartitionByRange(16, col("l_orderkey")),
+      root, statsCol = Some("l_orderkey"))
+    val (v2, dropped, marked, _) = SnapshotTable.deleteWhereMor(
+      s, root, Seq(LessThan("l_quantity", 5.0)))
+    val nMeta = SnapshotTable.rowCount(s, root, v2).getOrElse(-1L)
+    SnapshotTable.read(s, root)
+      .agg(count(lit(1)).as("n_rows"),
+        money(sum(col("l_quantity"))).as("sum_qty"),
+        money(sum(col("l_extendedprice"))).as("sum_price"))
+      .withColumn("n_meta", lit(nMeta))
+      .withColumn("vector_only",
+        lit(if (dropped == 0 && marked > 0) 1L else 0L))
+  }
+
+  /** Settling merge-on-read's debt
+    * ([[graft.sources.SnapshotTable.rewriteDeletes]]): after two
+    * OVERLAPPING vector deletes (the second marks through the first's
+    * vector — pairs are never duplicated), the DSv2/SQL scan REFUSES
+    * the vectored snapshot (it cannot subtract vectors; resurrecting
+    * deleted rows is the failure mode refused away), and the fold
+    * rewrites exactly the vector-referenced files, drops the vectors,
+    * and re-opens the stock vectorized scan — which this gate then
+    * reads for the hash check. The flags pin the pre-fold refusal and
+    * the vector-free post-fold manifest. At 100 TB: deletes are cheap
+    * and immediate, the fold is amortized compaction on only the
+    * touched files.
+    */
+  def snapshotDvRewrite(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.sources.LessThan
+    val root = scratch("snap_dvrw")
+    graft.tera.TeraIO.delete(s, root)
+    val li = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    SnapshotTable.commit(li.repartitionByRange(16, col("l_orderkey")),
+      root, statsCol = Some("l_orderkey"))
+    SnapshotTable.deleteWhereMor(s, root, Seq(LessThan("l_quantity", 5.0)))
+    val refused =
+      try { s.read.format("graft-snap").load(root).count(); 0L }
+      catch { case _: IllegalArgumentException => 1L }
+    SnapshotTable.deleteWhereMor(s, root, Seq(LessThan("l_orderkey", 1000L)))
+    val v = SnapshotTable.rewriteDeletes(s, root)
+    val folded =
+      !SnapshotTable.fileList(s, root, v).exists(_.startsWith("deletes/"))
+    s.read.format("graft-snap").load(root)
+      .agg(count(lit(1)).as("n_rows"),
+        money(sum(col("l_quantity"))).as("sum_qty"),
+        money(sum(col("l_extendedprice"))).as("sum_price"))
+      .withColumn("refused_pre_fold", lit(refused))
+      .withColumn("vectors_folded", lit(if (folded) 1L else 0L))
+  }
+
   /** Snapshot ROLLBACK ([[graft.sources.SnapshotTable.rollback]]): the
     * bad-batch recovery story — commit v1 (the good table), append v2
     * (a corrupted batch: duplicated keys at poisoned prices), then
@@ -1207,6 +1282,8 @@ object FormatQueries {
     "fmt_snapshot_cdf" -> (snapshotCdf _),
     "fmt_snapshot_rollback" -> (snapshotRollback _),
     "fmt_snapshot_partitioned" -> (snapshotPartitioned _),
+    "fmt_snapshot_dv" -> (snapshotDv _),
+    "fmt_snapshot_dv_rewrite" -> (snapshotDvRewrite _),
     "fmt_snapshot_replace" -> (snapshotReplace _),
     "fmt_snapshot_part_sql" -> (snapshotPartSql _),
     "fmt_snapshot_evolve" -> (snapshotEvolve _),
@@ -1442,6 +1519,23 @@ object FormatQueries {
         |  sum(o_orderkey)::BIGINT AS okey_changed,
         |  1::BIGINT AS nonappend_refused
         |FROM changed GROUP BY 1""".stripMargin,
+    // the vector-subtracted read must equal the plain NOT-filter;
+    // n_meta doubles as the manifest-arithmetic check (= n_rows)
+    "fmt_snapshot_dv" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  count(*)::BIGINT AS n_meta, 1::BIGINT AS vector_only
+        |FROM lineitem WHERE NOT (l_quantity < 5)""".stripMargin,
+    // both overlapping deletes applied, then read through the stock
+    // DSv2 scan after the fold; flags pin refusal + vector-free head
+    "fmt_snapshot_dv_rewrite" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  1::BIGINT AS refused_pre_fold, 1::BIGINT AS vectors_folded
+        |FROM lineitem
+        |WHERE NOT (l_quantity < 5) AND NOT (l_orderkey < 1000)""".stripMargin,
     // one partition read back must equal the plain filter; the flags
     // pin value purity and the manifest-level partition prune
     "fmt_snapshot_partitioned" ->

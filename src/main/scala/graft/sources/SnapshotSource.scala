@@ -184,6 +184,15 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
     require(entries.nonEmpty || tableSchema.nonEmpty,
       s"graft-snap: table at $root is empty (no committed snapshot); " +
         "write one first")
+    // merge-on-read delete vectors subtract rows at read time; this
+    // scan hands files to Spark's stock parquet reader, which cannot —
+    // refuse loudly rather than resurrect deleted rows. The library
+    // read ([[SnapshotTable.read]]) applies vectors; rewriteDeletes
+    // folds them and re-opens this path.
+    require(!entries.exists(_.isDelete),
+      s"graft-snap: snapshot v$id of $root carries merge-on-read " +
+        "delete vectors; read via SnapshotTable.read / readAt, or fold " +
+        "them with SnapshotTable.rewriteDeletes first")
     new SnapshotScanBuilder(root, id, name(), entries, tableSchema, options)
   }
 

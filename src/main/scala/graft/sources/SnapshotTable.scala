@@ -143,6 +143,18 @@ object SnapshotTable {
   }
   private[sources] final case class FileEntry(
       path: String, stats: Seq[FileStats], rows: Option[Long]) {
+    /** A DELETE-VECTOR entry: a parquet file of (file, pos) pairs under
+      * `deletes/` naming rows of DATA files that are no longer live —
+      * the merge-on-read delete shape ([[deleteWhereMor]]). The path
+      * prefix IS the marker, so delete entries ride the existing
+      * carry/expire machinery verbatim.
+      */
+    def isDelete: Boolean = path.startsWith("deletes/")
+    /** The bare file name — what `_metadata.file_name` reports, and the
+      * join domain delete vectors use (data file names are commit-
+      * unique, so the name alone identifies the file within the table).
+      */
+    def fileName: String = path.substring(path.lastIndexOf('/') + 1)
     def statsFor(colName: String): Option[FileStats] =
       stats.find(_.col == colName)
     def render: String = {
@@ -257,7 +269,13 @@ object SnapshotTable {
     */
   def rowCount(s: SparkSession, root: String, id: Long): Option[Long] = {
     val es = entries(s, root, id)
-    if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.rows).sum) else None
+    // delete-vector rows each name exactly one still-live data row
+    // ([[deleteWhereMor]] marks through the existing vectors, so pairs
+    // are never duplicated), hence live = data rows − DV rows
+    if (es.forall(_.rows.isDefined))
+      Some(es.flatMap(e =>
+        e.rows.map(n => if (e.isDelete) -n else n)).sum)
+    else None
   }
 
   /** Name-based append-time schema evolution: base columns keep their
@@ -341,7 +359,7 @@ object SnapshotTable {
     */
   def partitionPure(s: SparkSession, root: String, id: Long): Boolean = {
     val parts = partitionColsOf(s, root, id)
-    parts.nonEmpty && entries(s, root, id).forall(e =>
+    parts.nonEmpty && entries(s, root, id).filterNot(_.isDelete).forall(e =>
       parts.forall(c => e.statsFor(c).exists(st =>
         st.mn == st.mx && st.nulls.contains(0L))))
   }
@@ -642,13 +660,18 @@ object SnapshotTable {
           n.stripPrefix("v").stripSuffix(".manifest").toLong }.toSeq
     val referenced: Set[String] =
       liveIds.flatMap(id => fileList(s, root, id)).toSet
-    val dataDir = new Path(root, "data")
     var n = 0
     val now = System.currentTimeMillis()
-    if (fs.exists(dataDir)) fs.listStatus(dataDir).foreach { st =>
-      if (!referenced.contains(s"data/${st.getPath.getName}") &&
-          now - st.getModificationTime > olderThanMs) {
-        fs.delete(st.getPath, false); n += 1
+    // data files AND delete-vector files: a deleteWhereMor that crashed
+    // between publishing its vector and renaming its manifest leaves
+    // the same shape of garbage in deletes/ as a crashed commit in data/
+    Seq("data", "deletes").foreach { sub =>
+      val dir = new Path(root, sub)
+      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
+        if (!referenced.contains(s"$sub/${st.getPath.getName}") &&
+            now - st.getModificationTime > olderThanMs) {
+          fs.delete(st.getPath, false); n += 1
+        }
       }
     }
     n
@@ -702,13 +725,45 @@ object SnapshotTable {
     * no mergeSchema scan of every file).
     */
   def readAt(s: SparkSession, root: String, id: Long): DataFrame = {
-    val files = fileList(s, root, id)
-    require(files.nonEmpty, s"snapshot v$id of $root lists no files")
-    val paths = files.map(f => s"$root/$f")
-    storedSchema(s, root, id) match {
+    val es = entries(s, root, id)
+    require(es.nonEmpty, s"snapshot v$id of $root lists no files")
+    val (dvs, data) = es.partition(_.isDelete)
+    val base = readData(s, root, data.map(_.path),
+      storedSchema(s, root, id))
+    applyDeleteVectors(s, root, base, dvs)
+  }
+
+  private def readData(s: SparkSession, root: String,
+      rels: Seq[String], schema: Option[StructType]): DataFrame = {
+    val paths = rels.map(f => s"$root/$f")
+    schema match {
       case Some(sch) => s.read.schema(sch).parquet(paths: _*)
       case None => s.read.parquet(paths: _*)
     }
+  }
+
+  /** Subtract the snapshot's delete vectors from a data scan: each DV
+    * file holds (file, pos) pairs naming dead rows, and the read
+    * anti-joins them against the scan's own (`_metadata.file_name`,
+    * `_metadata.row_index`) — Spark's constant-cost file-source
+    * metadata columns, no row ids stored in the data. The DV side is
+    * delta-sized by construction, so the anti-join is a broadcast:
+    * at 100 TB the cost of merge-on-read is a hash probe per row,
+    * never a shuffle of the table.
+    */
+  private def applyDeleteVectors(s: SparkSession, root: String,
+      base: DataFrame, dvs: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (dvs.isEmpty) return base
+    val dv = s.read.parquet(dvs.map(e => s"$root/${e.path}"): _*)
+    val keep = base.columns.toSeq
+    val tagged = base.select(col("*"),
+      col("_metadata.file_name").as("__dv_file"),
+      col("_metadata.row_index").as("__dv_pos"))
+    tagged.join(broadcast(dv),
+        tagged("__dv_file") === dv("file") && tagged("__dv_pos") === dv("pos"),
+        "left_anti")
+      .select(keep.map(col): _*)
   }
 
   /** Read the current snapshot, PINNED at call time: later commits do
@@ -872,7 +927,7 @@ object SnapshotTable {
     */
   def pruneFiles(s: SparkSession, root: String, id: Long, colName: String,
       lo: Any, hi: Any): (Seq[String], Int, Int) = {
-    val es = entries(s, root, id)
+    val es = entries(s, root, id).filterNot(_.isDelete)
     val kept = es.filter { e =>
       e.statsFor(colName) match {
         case Some(FileStats(_, tag, mn, mx)) =>
@@ -896,13 +951,9 @@ object SnapshotTable {
     val (kept, _, _) = pruneFiles(s, root, id, colName, lo, hi)
     val base =
       if (kept.isEmpty) readAt(s, root, id).limit(0)
-      else {
-        val paths = kept.map(f => s"$root/$f")
-        storedSchema(s, root, id) match {
-          case Some(sch) => s.read.schema(sch).parquet(paths: _*)
-          case None => s.read.parquet(paths: _*)
-        }
-      }
+      else applyDeleteVectors(s, root,
+        readData(s, root, kept, storedSchema(s, root, id)),
+        entries(s, root, id).filter(_.isDelete))
     base.where(col(colName).between(lit(lo), lit(hi)))
   }
 
@@ -939,7 +990,18 @@ object SnapshotTable {
             "consumer from a full snapshot read instead")
       prev = cur
     }
-    fileList(s, root, toId).filterNot(base)
+    val added = fileList(s, root, toId).filterNot(base)
+    // a merge-on-read delete ADDS a vector file while keeping every
+    // data file — it passes the superset check but changes row
+    // visibility, and serving the vector parquet as data rows would be
+    // nonsense; refuse like any other non-append
+    if (added.exists(_.startsWith("deletes/")))
+      throw new IllegalStateException(
+        s"changesBetween($fromId, $toId) crosses a merge-on-read DELETE " +
+          s"of $root: row visibility changed without an append; " +
+          "re-baseline the consumer from a full snapshot read (or fold " +
+          "vectors with rewriteDeletes before tailing)")
+    added
   }
 
   def changesBetween(s: SparkSession, root: String, fromId: Long,
@@ -1029,6 +1091,8 @@ object SnapshotTable {
     val s = updates.sparkSession
     val cur = currentSnapshot(s, root)
     require(cur > 0L, s"merge into empty table $root: commit first")
+    requireNoDv(s, root, cur, "merge") // the COW rewrite reads files
+    // raw and would resurrect vector-deleted rows
     val (touched, carried) = split(entries(s, root, cur))
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val schema = storedSchema(s, root, cur)
@@ -1099,6 +1163,13 @@ object SnapshotTable {
           s.read.parquet(s"$root/$rel").withColumn("_commit", lit(id))
         case None if prev.subsetOf(cur) => // an append: the added files
           val added = (cur -- prev).toSeq.sorted
+          if (added.exists(_.startsWith("deletes/")))
+            throw new IllegalStateException(
+              s"changeFeed($fromId, $toId) crosses a merge-on-read " +
+                s"DELETE (snapshot v$id of $root): the deleted rows are " +
+                "not recorded as a change frame; re-baseline the " +
+                "consumer, or fold vectors with rewriteDeletes before " +
+                "tailing")
           val df =
             if (added.isEmpty) readAt(s, root, id).limit(0)
             else storedSchema(s, root, id) match {
@@ -1214,6 +1285,8 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val cur = currentSnapshot(s, root)
     require(cur > 0L, s"delete from empty table $root: commit first")
+    requireNoDv(s, root, cur, "deleteWhere") // the COW rewrite reads
+    // files raw and would resurrect vector-deleted rows
     require(filters.nonEmpty && canDelete(filters),
       s"deleteWhere: untranslatable filter in ${filters.mkString(", ")}")
     val cond = filters.flatMap(filterToColumn).reduce(_ && _)
@@ -1263,6 +1336,159 @@ object SnapshotTable {
   def lastDeleteStats(root: String): Option[(Int, Int, Int)] =
     lastDelete.get(root)
 
+  private def requireNoDv(s: SparkSession, root: String, id: Long,
+      op: String): Unit =
+    require(!entries(s, root, id).exists(_.isDelete),
+      s"$op: snapshot v$id of $root carries merge-on-read delete " +
+        "vectors; fold them first with rewriteDeletes")
+
+  /** Merge-on-read DELETE: instead of rewriting the boundary files a
+    * copy-on-write delete must ([[deleteWhere]]'s `rewrite` set), mark
+    * the dead rows in a DELETE VECTOR — a small parquet of
+    * (file, pos) pairs committed under `deletes/` and subtracted from
+    * every read by a broadcast anti-join on the scan's own
+    * (`_metadata.file_name`, `_metadata.row_index`). The fast paths are
+    * unchanged: stats-proven all-match files still DROP from the
+    * manifest (metadata-only — unless an existing vector already names
+    * rows in them, which would corrupt [[rowCount]]'s arithmetic; such
+    * files mark through the vector instead), none-match files CARRY
+    * verbatim; only the ambiguous files' matching rows are marked, and
+    * NO data file is ever rewritten. Marking reads the ambiguous files
+    * WITH the existing vectors applied, so a pair is never recorded
+    * twice and live = data rows − vector rows stays exact.
+    *
+    * This is the point-delete shape (GDPR erasure, row retractions) at
+    * 100 TB: IO = the ambiguous files once + a delta-sized vector
+    * write, vs copy-on-write's full rewrite of every touched file. The
+    * debt is read-side (one broadcast probe per row) and is settled by
+    * [[rewriteDeletes]] (fold vectors into the affected files) or any
+    * overwrite compaction. Readers that cannot apply vectors — the
+    * DSv2/SQL scan, merge, copy-on-write delete, commitReplace, and
+    * file-level incremental reads — refuse loudly rather than
+    * resurrecting deleted rows.
+    *
+    * Returns (new snapshot id, files dropped, files marked via the
+    * vector, files carried untouched); also recorded for
+    * [[lastMorStats]].
+    */
+  def deleteWhereMor(s: SparkSession, root: String,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): (Long, Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"delete from empty table $root: commit first")
+    require(filters.nonEmpty && canDelete(filters),
+      s"deleteWhereMor: untranslatable filter in ${filters.mkString(", ")}")
+    val cond = filters.flatMap(filterToColumn).reduce(_ && _)
+    val es = entries(s, root, cur)
+    val (dvs, data) = es.partition(_.isDelete)
+    // file names an existing vector references: read once, delta-sized
+    val dvRefNames: Set[String] =
+      if (dvs.isEmpty) Set.empty
+      else s.read.parquet(dvs.map(e => s"$root/${e.path}"): _*)
+        .select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+    val keep = data.filter(e => filters.exists(f => v1ProvesNone(e, f)))
+    val rest = data.diff(keep)
+    val drop = rest.filter(e =>
+      (e.rows.contains(0L) || filters.forall(f => v1ProvesAll(e, f))) &&
+        !dvRefNames.contains(e.fileName))
+    val ambiguous = rest.diff(drop)
+    val schema = storedSchema(s, root, cur)
+    val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val newDvLine: Option[String] =
+      if (ambiguous.isEmpty) None
+      else {
+        val base = readData(s, root, ambiguous.map(_.path), schema)
+        val keepCols = base.columns.toSeq
+        val tagged = base.select(col("*"),
+          col("_metadata.file_name").as("__dv_file"),
+          col("_metadata.row_index").as("__dv_pos"))
+        val live =
+          if (dvs.isEmpty) tagged
+          else {
+            val dv = s.read.parquet(dvs.map(e => s"$root/${e.path}"): _*)
+            tagged.join(broadcast(dv),
+              tagged("__dv_file") === dv("file") &&
+                tagged("__dv_pos") === dv("pos"), "left_anti")
+          }
+        // DELETE marks rows where cond is TRUE (null cond keeps)
+        val marks = live.where(coalesce(cond, lit(false)))
+          .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+        val fs = fsOf(s, new Path(root))
+        val tmpDir = new Path(new Path(root), s"_staging/dv-$commitId")
+        marks.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+        val part = fs.listStatus(tmpDir)
+          .find(_.getPath.getName.startsWith("part-"))
+        val line = part.flatMap { st =>
+          val (_, n) = footerInfo(s, st.getPath, Seq.empty)
+          if (n == 0L) None // nothing matched: no vector needed
+          else {
+            val rel = s"deletes/$commitId.parquet"
+            fs.mkdirs(new Path(root, "deletes"))
+            require(fs.rename(st.getPath, new Path(root, rel)),
+              s"deleteWhereMor: failed to publish $rel")
+            Some(FileEntry(rel, Seq.empty, Some(n)).render)
+          }
+        }
+        fs.delete(tmpDir, true)
+        line
+      }
+    // manifest-only commit: every surviving data entry (and every
+    // existing vector) carries VERBATIM; the only new line is the
+    // vector's
+    val carried = (keep ++ ambiguous ++ dvs).map(_.render) ++ newDvLine
+    val fs = fsOf(s, new Path(root))
+    val staging = new Path(new Path(root), s"_staging/$commitId")
+    fs.mkdirs(staging)
+    val id = publishStaged(s, root, commitId, staging, carried, cur,
+      Seq.empty, Map("delete.mor" -> filters.mkString(" AND ")),
+      schema.getOrElse(readAt(s, root, cur).schema))
+    lastMor.put(root, (drop.size, newDvLine.size, keep.size + ambiguous.size))
+    (id, drop.size, if (newDvLine.isDefined) ambiguous.size else 0,
+      keep.size)
+  }
+
+  private[sources] val lastMor =
+    new scala.collection.concurrent.TrieMap[String, (Int, Int, Int)]
+
+  /** The most recent [[deleteWhereMor]] decision for `root`:
+    * (files dropped metadata-only, delete-vector files written,
+    * files carried verbatim).
+    */
+  def lastMorStats(root: String): Option[(Int, Int, Int)] =
+    lastMor.get(root)
+
+  /** Fold the table's delete vectors into its data files: every data
+    * file a vector references is rewritten WITHOUT its dead rows, every
+    * untouched file carries verbatim, and the new snapshot lists no
+    * vectors — the compaction that settles merge-on-read's read-side
+    * debt and re-opens the vector-refusing paths (DSv2/SQL scans,
+    * merge, copy-on-write delete). IO = the referenced files once; the
+    * old files and vectors stay for time travel until
+    * [[expireSnapshots]]. No-op (returns the current id) when the
+    * table has no vectors.
+    */
+  def rewriteDeletes(s: SparkSession, root: String): Long = {
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"rewriteDeletes on empty table $root")
+    val es = entries(s, root, cur)
+    val (dvs, data) = es.partition(_.isDelete)
+    if (dvs.isEmpty) return cur
+    val refNames: Set[String] =
+      s.read.parquet(dvs.map(e => s"$root/${e.path}"): _*)
+        .select("file").distinct()
+        .collect().map(_.getString(0)).toSet
+    val (affected, untouched) = data.partition(e => refNames(e.fileName))
+    val schema = storedSchema(s, root, cur)
+    val survivors = applyDeleteVectors(s, root,
+      readData(s, root, affected.map(_.path), schema), dvs)
+    val statsCols = affected.flatMap(_.stats.map(_.col)).distinct
+    commitWithCarried(survivors, root, untouched.map(_.render), cur,
+      if (statsCols.isEmpty) None else Some(statsCols.mkString(",")),
+      Map("rewrite.deletes" -> dvs.size.toString), baseSchema = schema,
+      partitionCols = partitionColsOf(s, root, cur))
+  }
+
   /** Dynamic partition overwrite: atomically REPLACE exactly the
     * partitions present in `df` and leave every other partition
     * untouched — the incremental-pipeline commit shape (recompute one
@@ -1291,6 +1517,7 @@ object SnapshotTable {
     val s = df.sparkSession
     val cur = currentSnapshot(s, root)
     require(cur > 0L, s"commitReplace into empty table $root: commit first")
+    requireNoDv(s, root, cur, "commitReplace")
     val parts = partitionColsOf(s, root, cur)
     require(parts.nonEmpty,
       s"commitReplace needs a partitioned table; $root has no " +

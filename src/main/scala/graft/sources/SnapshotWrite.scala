@@ -386,10 +386,18 @@ private[sources] class SnapshotRowLevelOperation(root: String,
 
   override def newScanBuilder(
       opts: org.apache.spark.sql.util.CaseInsensitiveStringMap)
-      : org.apache.spark.sql.connector.read.ScanBuilder =
+      : org.apache.spark.sql.connector.read.ScanBuilder = {
+    // the copy-on-write group rewrite reads replaced files through the
+    // stock parquet scan, which cannot subtract merge-on-read delete
+    // vectors — refuse rather than resurrect deleted rows
+    require(!entries.exists(_.isDelete),
+      s"$cmd on $root: snapshot v$pinnedId carries merge-on-read " +
+        "delete vectors; fold them with SnapshotTable.rewriteDeletes " +
+        "first")
     new SnapshotScanBuilder(root, pinnedId, s"graft-snap $root@v$pinnedId " +
       s"[${cmd.toString.toLowerCase}]", entries, tableSchema, options,
       groupMode = true, keptSink = kept => { scanned = kept })
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
