@@ -389,6 +389,59 @@ object OpScaleProbe {
           s"${filesBefore.size}")
         spark.sharedState.cacheManager.clearCache()
       }
+      // merge-on-read delete vectors vs file count (orders fixed at
+      // sf0.1, file count x1/x10/x100): (a) a 20% key-band MOR delete
+      // must stay metadata-priced (whole files drop, ONE boundary file
+      // marks — never rewrites) and its fold must rewrite exactly the
+      // referenced boundary file at every count; (b) a scattered
+      // (stats-blind) MOR delete pays one scan of the table ONCE at
+      // delete time, and the vector-subtracting read's overhead over a
+      // plain read must stay a broadcast hash probe, flat in file count
+      if (wanted("snap_dv")) {
+        import graft.sources.SnapshotTable
+        import org.apache.spark.sql.sources.LessThan
+        val base = ordBase.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val hi = base.agg(max(col("o_orderkey"))).head.getLong(0)
+        // (a) band delete + fold on its own table
+        val rootA = java.nio.file.Files
+          .createTempDirectory(s"graft_snapdv_a_x$k").toString + "/t"
+        SnapshotTable.commit(
+          base.repartitionByRange(16 * k, col("o_orderkey")), rootA,
+          statsCol = Some("o_orderkey"))
+        val t0 = System.nanoTime()
+        val (_, dropped, marked, carried) = SnapshotTable.deleteWhereMor(
+          spark, rootA, Seq(LessThan("o_orderkey", hi * 2 / 10)))
+        val dtBand = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val vFold = SnapshotTable.rewriteDeletes(spark, rootA)
+        val dtFold = (System.nanoTime() - t1) / 1e9
+        val nowFiles = SnapshotTable.fileList(spark, rootA, vFold).size
+        println(f"snap_dv_band    x$k $dtBand%8.1f s dropped=$dropped " +
+          s"marked=$marked carried=$carried")
+        println(f"snap_dv_fold    x$k $dtFold%8.1f s rewrote=" +
+          s"${marked} files_now=$nowFiles")
+        // (b) scattered delete + read overhead on a fresh table
+        val rootB = java.nio.file.Files
+          .createTempDirectory(s"graft_snapdv_b_x$k").toString + "/t"
+        SnapshotTable.commit(
+          base.repartitionByRange(16 * k, col("o_orderkey")), rootB,
+          statsCol = Some("o_orderkey"))
+        val p10 = base.stat.approxQuantile("o_totalprice", Array(0.1), 0.01)(0)
+        val tr0 = System.nanoTime()
+        val n0 = SnapshotTable.read(spark, rootB).count()
+        val dtRead0 = (System.nanoTime() - tr0) / 1e9
+        val t2 = System.nanoTime()
+        val (_, _, markedB, _) = SnapshotTable.deleteWhereMor(
+          spark, rootB, Seq(LessThan("o_totalprice", p10)))
+        val dtScat = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
+        val n1 = SnapshotTable.read(spark, rootB).count()
+        val dtRead1 = (System.nanoTime() - t3) / 1e9
+        println(f"snap_dv_scatter x$k $dtScat%8.1f s marked_files=$markedB")
+        println(f"snap_dv_read    x$k plain=$dtRead0%.1f s (rows=$n0) " +
+          f"vectored=$dtRead1%.1f s (rows=$n1)")
+        spark.sharedState.cacheManager.clearCache()
+      }
     }
     spark.stop()
   }

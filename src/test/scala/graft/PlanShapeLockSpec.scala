@@ -146,7 +146,21 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "fmt_snapshot_merge_sql" -> PlanShape(0, 0, 0, 0, 1),
     // timetravel: three 1-row aggs (as-of read, current read, the
     // LocalScan metadata table) cross-joined
-    "fmt_snapshot_timetravel" -> PlanShape(0, 0, 2, 0, 3))
+    "fmt_snapshot_timetravel" -> PlanShape(0, 0, 2, 0, 3),
+    // round-11 session-3. rollback/partitioned/replace/part_sql: one
+    // agg over the (restored / partition-pruned / replaced) head — the
+    // commits and the manifest-only restore ran at construction, and
+    // partition pruning is a file-list decision, invisible as plan
+    // nodes. dv: the ONE BroadcastHashJoin is the vector anti-join —
+    // broadcast by design, never a shuffle of the table; dv_rewrite
+    // reads the folded head through the stock DSv2 scan — back to the
+    // join-free single-agg shape, which is the point of the fold.
+    "fmt_snapshot_rollback" -> PlanShape(0, 0, 0, 0, 1),
+    "fmt_snapshot_partitioned" -> PlanShape(0, 0, 0, 0, 1),
+    "fmt_snapshot_replace" -> PlanShape(0, 0, 0, 0, 1),
+    "fmt_snapshot_part_sql" -> PlanShape(0, 0, 0, 0, 1),
+    "fmt_snapshot_dv" -> PlanShape(0, 1, 0, 0, 1),
+    "fmt_snapshot_dv_rewrite" -> PlanShape(0, 0, 0, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -188,7 +202,13 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "fmt_snapshot_merge_large", "fmt_snapshot_zorder",
       "fmt_snapshot_pushdown", "fmt_snapshot_sql", "fmt_snapshot_delete",
       "fmt_snapshot_update", "fmt_snapshot_merge_sql",
-      "fmt_snapshot_timetravel")
+      "fmt_snapshot_timetravel",
+      // round-11 session-3: rollback (manifest-only restore),
+      // partitioned tables (library + replace + SQL), merge-on-read
+      // delete vectors (the vector-subtracting read) and their fold
+      "fmt_snapshot_rollback", "fmt_snapshot_partitioned",
+      "fmt_snapshot_replace", "fmt_snapshot_part_sql",
+      "fmt_snapshot_dv", "fmt_snapshot_dv_rewrite")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached
