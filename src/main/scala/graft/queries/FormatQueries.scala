@@ -740,6 +740,61 @@ object FormatQueries {
       .withColumn("part_pruned", lit(if (nKept < nTotal) 1L else 0L))
   }
 
+  /** Storage-partitioned JOIN over snapshot tables
+    * ([[graft.sources.SnapshotScanWrapper]]'s `KeyGroupedPartitioning`
+    * report): orders and customer are committed co-partitioned on
+    * `bucket = custkey % 16`, and the DSv2 scan derives each file's
+    * partition key from the manifest's exact-value stats — so under
+    * `spark.sql.sources.v2.bucketing.enabled` the join plans with
+    * ZERO shuffle exchanges: both sides' matching buckets zip
+    * task-to-task, the bucketed-join shape Spark otherwise only gets
+    * from its own managed bucketed tables. The `spj_no_shuffle` flag
+    * is computed from the EXECUTED plan under those confs (then
+    * restored); the hash gate checks the per-nation join aggregate
+    * against the oracle's plain join. At 100 TB this deletes the
+    * single largest cost of a big-big join — the two table-sized
+    * shuffles — for tables that share a bucketing column.
+    */
+  def snapshotSpj(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val rootA = scratch("snap_spj_o")
+    val rootB = scratch("snap_spj_c")
+    graft.tera.TeraIO.delete(s, rootA)
+    graft.tera.TeraIO.delete(s, rootB)
+    val o = graft.Tables.orders(s, d)
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      .withColumn("bucket", col("custkey") % 16)
+    val c = graft.Tables.customer(s, d)
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+      .withColumn("bucket", col("custkey") % 16)
+    SnapshotTable.commit(o, rootA, partitionBy = Seq("bucket"))
+    SnapshotTable.commit(c, rootB, partitionBy = Seq("bucket"))
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    val spjShape =
+      try {
+        confs.foreach { case (k, v) => s.conf.set(k, v) }
+        val j = s.read.format("graft-snap").load(rootA)
+          .join(s.read.format("graft-snap").load(rootB),
+            Seq("bucket", "custkey"))
+        graft.PlanAudit.executedShape(j)
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    s.read.format("graft-snap").load(rootA)
+      .join(s.read.format("graft-snap").load(rootB), Seq("bucket", "custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(col("o_totalprice"))).as("revenue"))
+      .withColumn("spj_no_shuffle",
+        lit(if (spjShape.shuffle == 0 && spjShape.smj >= 1) 1L else 0L))
+  }
+
   /** Merge-on-read DELETE
     * ([[graft.sources.SnapshotTable.deleteWhereMor]]): point deletes
     * without rewriting a single data file — the matching rows are
@@ -1283,6 +1338,7 @@ object FormatQueries {
     "fmt_snapshot_rollback" -> (snapshotRollback _),
     "fmt_snapshot_partitioned" -> (snapshotPartitioned _),
     "fmt_snapshot_dv" -> (snapshotDv _),
+    "fmt_snapshot_spj" -> (snapshotSpj _),
     "fmt_snapshot_dv_rewrite" -> (snapshotDvRewrite _),
     "fmt_snapshot_replace" -> (snapshotReplace _),
     "fmt_snapshot_part_sql" -> (snapshotPartSql _),
@@ -1519,6 +1575,13 @@ object FormatQueries {
         |  sum(o_orderkey)::BIGINT AS okey_changed,
         |  1::BIGINT AS nonappend_refused
         |FROM changed GROUP BY 1""".stripMargin,
+    // the shuffle-free co-partitioned join must equal the plain join
+    "fmt_snapshot_spj" ->
+      """SELECT c_nationkey, count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  1::BIGINT AS spj_no_shuffle
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     // the vector-subtracted read must equal the plain NOT-filter;
     // n_meta doubles as the manifest-arithmetic check (= n_rows)
     "fmt_snapshot_dv" ->

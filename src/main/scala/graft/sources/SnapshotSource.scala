@@ -293,6 +293,11 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
   // filterable group scan at build (pushFilters may never run when
   // the operation has no static condition — SQL MERGE's case)
   private var groupKept: Seq[SnapshotTable.FileEntry] = entries
+  // the entries the built scan actually covers (post-prune), and
+  // whether an aggregate was pushed (which changes the output schema
+  // and rules out the keyed-partition report)
+  private var scanEntries: Seq[SnapshotTable.FileEntry] = entries
+  private var aggPushed = false
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     // the top-level Seq is a conjunction: ANY conjunct proving a file
@@ -302,6 +307,7 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
     SnapshotSource.pruneLog.put(root, (kept.size, entries.size))
     keptSink(kept)
     groupKept = kept
+    scanEntries = kept
     delegate = parquetBuilder(kept.map(e => s"$root/${e.path}"))
     if (groupMode) filters // file selection only: every row comes back
     else delegate.pushFilters(filters)
@@ -317,30 +323,65 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
       // further at execution time from the source's join keys)
       return new SnapshotGroupScan(root, tableName, tableSchema, options,
         groupKept, keptSink)
-    val delegate = ensure().build()
     // wrap so the SAME scan serves batch (delegating to the stock
     // parquet Batch over the pruned list) and micro-batch streaming
     // (readStream.table: snapshot-id offsets, appended-files batches).
     // Statistics MUST forward too — hiding them defaults the size
     // estimate to "huge" and demotes broadcast joins to sort-merge.
-    new org.apache.spark.sql.connector.read.SupportsReportStatistics {
-      override def readSchema(): StructType = delegate.readSchema()
-      override def description(): String = delegate.description()
-      override def toBatch: org.apache.spark.sql.connector.read.Batch =
-        delegate.toBatch
-      override def estimateStatistics()
-          : org.apache.spark.sql.connector.read.Statistics = delegate match {
-        case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-          s.estimateStatistics()
-        case _ => new org.apache.spark.sql.connector.read.Statistics {
-          override def sizeInBytes() = java.util.OptionalLong.empty()
-          override def numRows() = java.util.OptionalLong.empty()
+    new SnapshotScanWrapper(root, ensure().build(), options,
+      spjKeys(), tableSchema)
+  }
+
+  /** The storage-partitioned-join report: when the scanned file set is
+    * VALUE-PURE on the table's partition columns (every file's
+    * partition stats are exact min == max, zero nulls — the invariant
+    * partitioned commits maintain), each file maps to its partition
+    * KEY from the manifest alone, and the scan can declare
+    * `KeyGroupedPartitioning` over those keys. Spark then plans a join
+    * of two co-partitioned snapshot tables with ZERO exchanges (under
+    * `spark.sql.sources.v2.bucketing.enabled`) — the shuffle the join
+    * would otherwise pay at 100 TB simply disappears. Returns
+    * (partition column names, file name → key values); None when the
+    * table is unpartitioned, purity is broken, a pushed aggregate
+    * changed the output schema, or a partition type is outside the
+    * stats domains.
+    */
+  private def spjKeys()
+      : Option[(Seq[String], Map[String, Seq[Any]])] = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    if (aggPushed) return None
+    val spark = SparkSession.active
+    val partCols =
+      if (id == 0L) Seq.empty
+      else SnapshotTable.partitionColsOf(spark, root, id)
+    if (partCols.isEmpty) return None
+    val types: Seq[DataType] = partCols.map(c =>
+      tableSchema.find(_.name == c).map(_.dataType).getOrElse(NullType))
+    def conv(dt: DataType, v: String): Option[Any] = dt match {
+      case LongType => Some(v.toLong)
+      case IntegerType => Some(v.toInt)
+      case ShortType => Some(v.toShort)
+      case ByteType => Some(v.toByte)
+      case StringType => Some(UTF8String.fromString(v))
+      case DoubleType => Some(v.toDouble)
+      case FloatType => Some(v.toFloat)
+      case DateType => Some(v.toInt)
+      case _ => None
+    }
+    val mapped = scanEntries.filterNot(_.isDelete).map { e =>
+      val key = partCols.zip(types).map { case (c, dt) =>
+        e.statsFor(c) match {
+          case Some(st) if st.mn == st.mx && st.nulls.contains(0L) =>
+            conv(dt, st.mn)
+          case _ => None
         }
       }
-      override def toMicroBatchStream(checkpointLocation: String)
-          : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-        new SnapshotMicroBatchStream(root, delegate.readSchema(), options)
+      if (key.forall(_.isDefined)) Some(e.fileName -> key.map(_.get))
+      else None
     }
+    if (mapped.isEmpty || mapped.exists(_.isEmpty)) None
+    else Some((partCols, mapped.flatten.toMap))
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -349,7 +390,10 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
   override def pushAggregation(aggregation: Aggregation): Boolean =
     ensure() match {
       case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
-        a.pushAggregation(aggregation)
+        val pushed = a.pushAggregation(aggregation)
+        if (pushed) aggPushed = true // output schema is now the agg's —
+        // the keyed-partition report no longer applies
+        pushed
       case _ => false
     }
 
@@ -360,6 +404,123 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
       case _ => false
     }
 
+}
+
+/** The built snapshot scan: batch reads delegate to the stock parquet
+  * Batch over the pruned file list; micro-batch streaming serves
+  * `readStream.table`; statistics forward (hiding them demotes
+  * broadcast joins); and a value-pure PARTITIONED snapshot reports
+  * `KeyGroupedPartitioning` — each input partition carries its
+  * partition key ([[KeyedFilePartition]]), derived from the manifest's
+  * exact-value stats with no extra planning: the delegate's planned
+  * file splits are simply regrouped by key. A join of two tables
+  * partitioned on the same columns then runs with ZERO exchanges
+  * (storage-partitioned join), which at 100 TB removes the single
+  * largest cost of a big-big join. The tradeoff is task granularity —
+  * one task per partition value (exactly bucketed-join semantics);
+  * Spark's partially-clustered distribution splits skewed values when
+  * enabled.
+  */
+private[sources] class SnapshotScanWrapper(root: String,
+    delegate: org.apache.spark.sql.connector.read.Scan,
+    options: CaseInsensitiveStringMap,
+    spj: Option[(Seq[String], Map[String, Seq[Any]])],
+    tableSchema: StructType)
+    extends org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+  import org.apache.spark.sql.connector.read.{Batch, InputPartition}
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def description(): String = delegate.description()
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spj match {
+      case Some((cols, byName)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            cols.map(c => org.apache.spark.sql.connector.expressions
+              .Expressions.identity(c)
+              : org.apache.spark.sql.connector.expressions.Expression)
+              .toArray,
+            byName.values.toSet.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
+
+  override def toBatch: Batch = spj match {
+    case None => delegate.toBatch
+    case Some((_, byName)) => new Batch {
+      private val db = delegate.toBatch
+      override def planInputPartitions(): Array[InputPartition] = {
+        // the delegate already planned (and split) the files under the
+        // pushed filters and pruned columns. Each split must hold ONE
+        // key's files (a declared KeyGroupedPartitioning requires every
+        // partition to carry its key), but splits are NOT merged per
+        // key here: Spark's BatchScanExec groups same-key splits
+        // itself, and ONLY when `v2.bucketing.enabled` engages the
+        // keyed report — so an ordinary scan or aggregation keeps full
+        // split-level parallelism, and the one-task-per-value shape is
+        // paid exactly when a storage-partitioned join buys back two
+        // table-sized shuffles for it.
+        val chunks = db.planInputPartitions().flatMap {
+          case fp: FilePartition => fp.files
+          case other => throw new IllegalStateException(
+            s"snapshot SPJ: unexpected non-file input partition $other")
+        }
+        val spark = SparkSession.active
+        val maxBytes = spark.sessionState.conf.filesMaxPartitionBytes
+        chunks.groupBy(pf => byName.getOrElse(
+            pf.filePath.toPath.getName,
+            throw new IllegalStateException(
+              s"snapshot SPJ: no partition key for ${pf.filePath}")))
+          .toSeq.sortBy(_._1.map(String.valueOf).mkString(" "))
+          .flatMap { case (key, files) =>
+            val row = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(key.toArray)
+            FilePartition
+              .getFilePartitions(spark, files.toIndexedSeq, maxBytes)
+              .map(fp => (row, fp.files))
+          }
+          .zipWithIndex.map { case ((row, files), i) =>
+            new KeyedFilePartition(i, files, row)
+          }.toArray
+      }
+      override def createReaderFactory()
+          : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        db.createReaderFactory()
+    }
+  }
+
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = delegate match {
+    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+      s.estimateStatistics()
+    case _ => new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SnapshotMicroBatchStream(root, delegate.readSchema(), options)
+}
+
+/** A parquet file partition that knows its partition KEY — what a scan
+  * declaring `KeyGroupedPartitioning` must emit. Plain subclass of
+  * Spark's `FilePartition` so the stock parquet reader factory accepts
+  * it unchanged.
+  */
+private[sources] class KeyedFilePartition(idx: Int,
+    fileSplits: Array[org.apache.spark.sql.execution.datasources.PartitionedFile],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.execution.datasources.FilePartition(
+      idx, fileSplits)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
 }
 
 /** Micro-batch streaming READ for `spark.readStream.table("cat.db.t")`

@@ -156,11 +156,21 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // reads the folded head through the stock DSv2 scan — back to the
     // join-free single-agg shape, which is the point of the fold.
     "fmt_snapshot_rollback" -> PlanShape(0, 0, 0, 0, 1),
-    "fmt_snapshot_partitioned" -> PlanShape(0, 0, 0, 0, 1),
+    // partitioned / part_sql lock at ZERO exchanges since the SPJ
+    // report landed: the scan declares KeyGroupedPartitioning over the
+    // manifest's exact partition values, and v2 bucketing (default-on
+    // in Spark 4) lets the partition-column aggregation skip its
+    // shuffle entirely — grouped tasks hold complete groups
+    "fmt_snapshot_partitioned" -> PlanShape(0, 0, 0, 0, 0),
     "fmt_snapshot_replace" -> PlanShape(0, 0, 0, 0, 1),
-    "fmt_snapshot_part_sql" -> PlanShape(0, 0, 0, 0, 1),
+    "fmt_snapshot_part_sql" -> PlanShape(0, 0, 0, 0, 0),
     "fmt_snapshot_dv" -> PlanShape(0, 1, 0, 0, 1),
-    "fmt_snapshot_dv_rewrite" -> PlanShape(0, 0, 0, 0, 1))
+    "fmt_snapshot_dv_rewrite" -> PlanShape(0, 0, 0, 0, 1),
+    // spj: the RETURN frame is the plain-conf join (broadcast at spec
+    // scale) + the final agg exchange; the zero-exchange SPJ plan runs
+    // inside the gate under the bucketing confs and is value-checked
+    // by the oracle through the spj_no_shuffle flag at both gate scales
+    "fmt_snapshot_spj" -> PlanShape(0, 1, 0, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -208,7 +218,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // delete vectors (the vector-subtracting read) and their fold
       "fmt_snapshot_rollback", "fmt_snapshot_partitioned",
       "fmt_snapshot_replace", "fmt_snapshot_part_sql",
-      "fmt_snapshot_dv", "fmt_snapshot_dv_rewrite")
+      "fmt_snapshot_dv", "fmt_snapshot_dv_rewrite", "fmt_snapshot_spj")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached
