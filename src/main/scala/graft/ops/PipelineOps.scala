@@ -438,6 +438,58 @@ object PipelineOps {
       .withColumn("n_appended", lit(nAppended))
   }
 
+  /** Incremental materialized-view maintenance ([[IncrementalView]]):
+    * the per-(source, lang) docs/chars dashboard of a curated corpus,
+    * BOOTSTRAPPED once from the v1 table and then MAINTAINED purely
+    * from the snapshot layer's row-level change feed — through an
+    * append (fresh keys), a merge (band re-chunking grows `n_chars`;
+    * the feed's `UB` pre-images are what let the view subtract the old
+    * sizes), a copy-on-write key-band delete, and a merge-on-read
+    * stats-blind delete. The hash gate proves the maintained view
+    * equals the oracle's from-scratch recompute of the final corpus;
+    * `used_preimages` pins that the merge step actually exercised the
+    * pre-image path (a feed without `UB` rows could only pass by
+    * accident). At 100 TB the rebuild scans the corpus; this scans the
+    * increments — work per step is O(|delta| + |view|), the bound that
+    * makes a per-commit dashboard affordable.
+    */
+  def imvQuery(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan, LessThanOrEqual}
+    // fresh root per invocation: the table is the unit under test
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_imv").toString + "/corpus"
+    val docs = Tables.documents(s, dir)
+      .select("doc_id", "source", "lang", "n_chars")
+    val mx = docs.agg(max("doc_id")).head.getAs[Number](0).longValue
+    val (m1, m2, m3, m4) = (mx / 5, mx * 2 / 5, mx * 3 / 5, mx * 4 / 5)
+    SnapshotTable.commit(docs.repartitionByRange(8, col("doc_id")), root,
+      statsCol = Some("doc_id")) // v1
+    val view1 = IncrementalView.build(SnapshotTable.readAt(s, root, 1L),
+      Seq("source", "lang"), Seq("n_chars"))
+    SnapshotTable.commit( // v2: append, fresh keys
+      docs.filter(col("doc_id") % 7 === 3)
+        .withColumn("doc_id", col("doc_id") + 10000000L)
+        .withColumn("n_chars", col("n_chars") + 11L),
+      root, statsCol = Some("doc_id"))
+    val updates = docs // v3: band re-chunk + beyond-range inserts
+      .filter(col("doc_id") > m1 && col("doc_id") <= m2)
+      .withColumn("n_chars", col("n_chars") + 1000L)
+      .unionByName(docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000000L))
+    SnapshotTable.merge(updates, root, "doc_id")
+    SnapshotTable.deleteWhere(s, root, // v4: COW key-band delete
+      Seq(GreaterThan("doc_id", m3), LessThanOrEqual("doc_id", m4)))
+    val (v5, _, _, _) = SnapshotTable.deleteWhereMor(s, root, // v5: MOR
+      Seq(LessThan("n_chars", 400L)))
+    val feed = SnapshotTable.changeFeed(s, root, 1L, v5)
+    val maintained = IncrementalView.maintain(feed = feed, view = view1,
+      groupCols = Seq("source", "lang"), sumCols = Seq("n_chars"))
+    val nUb = feed.filter(col("_op") === "UB").limit(1).count()
+    maintained
+      .withColumn("used_preimages", lit(if (nUb > 0) 1L else 0L))
+  }
+
   /** Fuzzy self-match: pairs of records whose names are within
     * `maxDist` edits — the entity-resolution primitive (merge variant
     * spellings before dedup). Blocking: levenshtein(a,b) >= |len(a) -
@@ -1189,6 +1241,7 @@ object PipelineOps {
     "pipe_pack" -> (packQuery _),
     "pipe_curate" -> (curate _),
     "pipe_curate_incremental" -> (curateIncremental _),
+    "pipe_imv" -> (imvQuery _),
     "pipe_fuzzy_match" -> (fuzzyQuery _)
   )
 
@@ -1559,6 +1612,34 @@ object PipelineOps {
         |  sum(doc_id)::BIGINT AS sum_doc_id,
         |  (SELECT count(*) FROM kept WHERE day = 2)::BIGINT AS n_appended
         |FROM kept GROUP BY source""".stripMargin,
+    // the maintained view must equal a from-scratch recompute of the
+    // final corpus (append + band-merge + COW band delete + MOR
+    // stats-blind delete); used_preimages pins that the merge step's
+    // UB pre-images were present in the feed
+    "pipe_imv" ->
+      """WITH b AS (SELECT max(doc_id)//5 AS m1, max(doc_id)*2//5 AS m2,
+        |  max(doc_id)*3//5 AS m3, max(doc_id)*4//5 AS m4 FROM documents),
+        |s1 AS (
+        |  SELECT doc_id AS k, source, lang, n_chars AS c FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, source, lang, n_chars + 11
+        |  FROM documents WHERE doc_id % 7 = 3),
+        |up AS (
+        |  SELECT doc_id AS k, source, lang, n_chars + 1000 AS c
+        |  FROM documents, b WHERE doc_id > b.m1 AND doc_id <= b.m2
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, source, lang, n_chars
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |s2 AS (
+        |  SELECT s1.* FROM s1, b WHERE NOT (k > b.m1 AND k <= b.m2)
+        |  UNION ALL SELECT * FROM up),
+        |s3 AS (SELECT s2.* FROM s2, b
+        |  WHERE NOT (k > b.m3 AND k <= b.m4)),
+        |s4 AS (SELECT * FROM s3 WHERE NOT (c < 400))
+        |SELECT source, lang, count(*)::BIGINT AS n_rows,
+        |  sum(c)::BIGINT AS sum_n_chars,
+        |  1::BIGINT AS used_preimages
+        |FROM s4 GROUP BY 1, 2""".stripMargin,
     "pipe_stratified" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,

@@ -633,6 +633,74 @@ object FormatQueries {
       .crossJoin(broadcast(opCounts))
   }
 
+  /** The COMPLETE change feed ([[graft.sources.SnapshotTable.changeFeed]]
+    * across every row-changing commit kind): commit v1, append v2
+    * (fresh keys), MERGE v3 (band update + beyond-range inserts — the
+    * frame now records `UB` pre-images alongside `U`/`I`), copy-on-write
+    * DELETE v4 (a key band: boundary rewrites record their dead rows as
+    * op `D`, whole-file drops are named in the manifest and read lazily
+    * by the FEED, so the delete stays metadata-only), merge-on-read
+    * DELETE v5 (a stats-blind price predicate: the marking scan's rows
+    * ARE the `D` frame, and the delete vector derives from it — one
+    * scan serves both), vector fold v6 (a logical no-op: the feed
+    * crosses it as an EMPTY step instead of refusing), append v7. A
+    * consumer pinned at v1 folds the whole feed
+    * ([[graft.sources.SnapshotTable.applyChanges]]) and the hash gate
+    * proves the folded state equals the direct post-v7 truth, which the
+    * oracle recomputes from the orders table; the audit columns pin the
+    * pre-image/delete-row cardinalities and that the fold step emitted
+    * zero rows. At 100 TB every frame is delta-priced at commit time;
+    * the only deferred cost is reading a dropped file's rows, paid by
+    * the consumer that wants them.
+    */
+  def snapshotCdfFull(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan, LessThanOrEqual}
+    val root = scratch("snap_cdf_full")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val mx = o.agg(max("o_orderkey")).head.getAs[Number](0).longValue
+    val (lo2, hi2) = (mx * 2 / 5, mx * 3 / 5)
+    SnapshotTable.commit(o.repartitionByRange(16, col("o_orderkey")), root,
+      statsCol = Some("o_orderkey")) // v1
+    SnapshotTable.commit( // v2: append, FRESH keys (the fold's key contract)
+      o.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_totalprice", col("o_totalprice") + 50.0),
+      root, statsCol = Some("o_orderkey"))
+    val updates = o.filter(col("o_orderkey").between(1000, 3000))
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      .unionByName(o.filter(col("o_orderkey") < 300)
+        .withColumn("o_orderkey", col("o_orderkey") + 20000000L))
+    val (v3, _, _) = SnapshotTable.merge(updates, root, "o_orderkey")
+    val (v4, _, _, _) = SnapshotTable.deleteWhere(s, root,
+      Seq(GreaterThan("o_orderkey", lo2), LessThanOrEqual("o_orderkey", hi2)))
+    val (v5, _, _, _) = SnapshotTable.deleteWhereMor(s, root,
+      Seq(LessThan("o_totalprice", 2000.0)))
+    val v6 = SnapshotTable.rewriteDeletes(s, root)
+    val v7 = SnapshotTable.commit( // append again, fresh keys
+      o.filter(col("o_orderkey") % 10 === 9)
+        .withColumn("o_orderkey", col("o_orderkey") + 40000000L)
+        .withColumn("o_totalprice", col("o_totalprice") + 70.0),
+      root, statsCol = Some("o_orderkey"))
+    val feed = SnapshotTable.changeFeed(s, root, 1L, v7)
+    val folded = SnapshotTable.applyChanges(
+      SnapshotTable.readAt(s, root, 1L), feed, "o_orderkey")
+    val audits = feed.agg(
+      sum(when(col("_op") === "UB", 1L).otherwise(0L)).as("n_ub"),
+      sum(when(col("_op") === "D" && col("_commit") === v4, 1L)
+        .otherwise(0L)).as("n_d_cow"),
+      sum(when(col("_op") === "D" && col("_commit") === v5, 1L)
+        .otherwise(0L)).as("n_d_mor"),
+      sum(when(col("_commit") === v6, 1L).otherwise(0L)).as("n_noop_rows"))
+    folded.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_fold"),
+        money(sum(col("o_totalprice"))).as("total_fold"),
+        sum(col("o_orderkey")).as("okey_fold"))
+      .crossJoin(broadcast(audits))
+  }
+
   /** PARTITIONED snapshot table
     * ([[graft.sources.SnapshotTable.commit]]'s `partitionBy`): commit
     * lineitem partitioned by `l_returnflag` — the staging write splits
@@ -1335,6 +1403,7 @@ object FormatQueries {
     "fmt_snapshot_pushdown" -> (snapshotPushdown _),
     "fmt_snapshot_zorder" -> (snapshotZorder _),
     "fmt_snapshot_cdf" -> (snapshotCdf _),
+    "fmt_snapshot_cdf_full" -> (snapshotCdfFull _),
     "fmt_snapshot_rollback" -> (snapshotRollback _),
     "fmt_snapshot_partitioned" -> (snapshotPartitioned _),
     "fmt_snapshot_dv" -> (snapshotDv _),
@@ -1497,6 +1566,49 @@ object FormatQueries {
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderkey < 500)::BIGINT AS n_inserted
         |FROM fin GROUP BY 1""".stripMargin,
+    // the folded consumer state across append + merge (with UB
+    // pre-images) + COW delete + MOR delete + vector fold + append
+    // equals the direct recomputation; the audit counts pin the
+    // pre-image and per-delete-kind row cardinalities, and that the
+    // fold (a logical no-op) contributed zero feed rows
+    "fmt_snapshot_cdf_full" ->
+      """WITH b AS (SELECT max(o_orderkey)*2//5 AS lo2,
+        |  max(o_orderkey)*3//5 AS hi2 FROM orders),
+        |s1 AS (
+        |  SELECT o_orderstatus AS st, o_orderkey AS k,
+        |    o_totalprice AS p FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey + 10000000,
+        |    o_totalprice + 50.0
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |up AS (
+        |  SELECT o_orderstatus AS st, o_orderkey AS k,
+        |    o_totalprice + 500.0 AS p
+        |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey + 20000000, o_totalprice
+        |  FROM orders WHERE o_orderkey < 300),
+        |s2 AS (
+        |  SELECT * FROM s1 WHERE k NOT BETWEEN 1000 AND 3000
+        |  UNION ALL SELECT * FROM up),
+        |s3 AS (SELECT s2.* FROM s2, b
+        |  WHERE NOT (k > b.lo2 AND k <= b.hi2)),
+        |s4 AS (SELECT * FROM s3 WHERE NOT (p < 2000.0)),
+        |s5 AS (
+        |  SELECT * FROM s4
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey + 40000000,
+        |    o_totalprice + 70.0
+        |  FROM orders WHERE o_orderkey % 10 = 9)
+        |SELECT st AS o_orderstatus, count(*)::BIGINT AS n_fold,
+        |  round(sum(p), 2) AS total_fold, sum(k)::BIGINT AS okey_fold,
+        |  (SELECT count(*) FROM s1
+        |   WHERE k BETWEEN 1000 AND 3000)::BIGINT AS n_ub,
+        |  (SELECT count(*) FROM s2, b
+        |   WHERE k > b.lo2 AND k <= b.hi2)::BIGINT AS n_d_cow,
+        |  (SELECT count(*) FROM s3 WHERE p < 2000.0)::BIGINT AS n_d_mor,
+        |  0::BIGINT AS n_noop_rows
+        |FROM s5 GROUP BY 1""".stripMargin,
     // even keys predate the column (NULL → the sentinel bucket); the
     // library and DSv2 reads must agree with the one derivation, and
     // v1's time travel count is the even-key cardinality

@@ -1113,9 +1113,13 @@ object SnapshotTable {
     // the CHANGE FEED: merge already materializes exactly the touched
     // rows, so emitting them is delta-priced — each update row tagged U
     // (its key existed in a touched file: a replacement) or I (a fresh
-    // insert). Written to changes/<uuid> BEFORE the manifest publish
-    // and referenced only by the new snapshot's cdf.dir prop, so a
-    // failed commit leaves invisible garbage, never a dangling feed.
+    // insert), plus each replaced key's OLD row tagged UB (the
+    // pre-image — the semi-join of the touched files against the
+    // delta's keys, also delta-sized), so aggregate consumers can
+    // subtract what a replacement removed, not just add what it wrote.
+    // Written to changes/<uuid> BEFORE the manifest publish and
+    // referenced only by the new snapshot's cdf.dir prop, so a failed
+    // commit leaves invisible garbage, never a dangling feed.
     // Row-level consumers fold this over their pre-merge state
     // ([[changeFeed]] / [[applyChanges]]) instead of re-baselining.
     val existedKeys = base match {
@@ -1124,9 +1128,15 @@ object SnapshotTable {
         b.select(col(keyCol)).join(updKeys, Seq(keyCol), "left_semi")
           .distinct()
     }
+    val preImages = base match {
+      case None => updates.limit(0)
+      case Some(b) => b.join(updKeys, Seq(keyCol), "left_semi")
+    }
     val changes = updates
       .join(existedKeys.withColumn("_op", lit("U")), Seq(keyCol), "left")
       .withColumn("_op", coalesce(col("_op"), lit("I")))
+      .unionByName(preImages.withColumn("_op", lit("UB")),
+        allowMissingColumns = true)
     val cdfRel = s"changes/${java.util.UUID.randomUUID().toString.replace("-", "")}"
     changes.write.mode("overwrite").parquet(s"$root/$cdfRel")
     val id = commitWithCarried(survivors.unionByName(updates), root,
@@ -1137,54 +1147,89 @@ object SnapshotTable {
   }
 
   /** Row-level change feed over `(fromId, toId]` — the incremental read
-    * that SURVIVES a merge: per commit, an APPEND contributes its added
-    * files' rows as op `A`; a MERGE contributes its recorded change
-    * frame (op `U` replaced / `I` inserted, exactly the update rows —
-    * written by [[merge]]/[[mergeLarge]] at delta price); an overwrite
-    * or compaction still refuses loudly (it rewrites history without a
-    * row-level record, so a consumer must re-baseline — the same
-    * boundary Delta's CDF draws). Output = table columns (unioned by
-    * name across schema evolution, missing → NULL) + `_op` + `_commit`.
-    * Cost: O(metadata) planning plus exactly the added/changed files —
-    * never the table.
+    * that survives every row-changing commit the layer can make. Per
+    * commit:
+    *
+    *  - an APPEND contributes its added files' rows as op `A`;
+    *  - a MERGE contributes its recorded change frame — op `U`
+    *    (replaced, post-image) / `I` (inserted), plus op `UB` (the
+    *    replaced keys' PRE-images), all delta-priced at merge time;
+    *  - a DELETE (copy-on-write or merge-on-read) contributes op `D`:
+    *    the row-level frame its boundary scan recorded, plus the rows
+    *    of its metadata-only dropped files — those are read LAZILY
+    *    here, at the consumer's expense, so the delete itself stays
+    *    metadata-only;
+    *  - a vector fold ([[rewriteDeletes]]) and an OPTIMIZE ZORDER
+    *    compaction are logical NO-OPS (they rewrite layout, not rows)
+    *    and contribute an empty step;
+    *  - any other overwrite (full rewrite, rollback, partition
+    *    replace) still refuses loudly — it rewrites history without a
+    *    row-level record, so a consumer must re-baseline (the same
+    *    boundary Delta's CDF draws).
+    *
+    * Output = table columns (unioned by name across schema evolution,
+    * missing → NULL) + `_op` + `_commit`. Cost: O(metadata) planning
+    * plus exactly the added/changed/dropped files — never the table.
+    * Horizon: the frames and dropped files a feed reads live until
+    * [[expireSnapshots]] sweeps their snapshots — a feed older than
+    * the expire horizon fails on the missing manifest, like any
+    * expired read.
     */
   def changeFeed(s: SparkSession, root: String, fromId: Long,
       toId: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
     require(0 <= fromId && fromId < toId,
       s"changeFeed needs 0 <= fromId < toId, got ($fromId, $toId]")
+    def readFiles(rels: Seq[String], id: Long): DataFrame =
+      storedSchema(s, root, id) match {
+        case Some(sch) =>
+          s.read.schema(sch).parquet(rels.map(f => s"$root/$f"): _*)
+        case None => s.read.parquet(rels.map(f => s"$root/$f"): _*)
+      }
     var prev: Set[String] =
       if (fromId == 0L) Set.empty else fileList(s, root, fromId).toSet
     val steps = ((fromId + 1) to toId).map { id =>
       val cur = fileList(s, root, id).toSet
       val props = snapshotProps(s, root, id)
-      val step = props.get("cdf.dir") match {
-        case Some(rel) => // a merge: its recorded change frame
-          s.read.parquet(s"$root/$rel").withColumn("_commit", lit(id))
-        case None if prev.subsetOf(cur) => // an append: the added files
-          val added = (cur -- prev).toSeq.sorted
-          if (added.exists(_.startsWith("deletes/")))
+      def emptyStep = readAt(s, root, id).limit(0)
+        .withColumn("_op", lit("A")).withColumn("_commit", lit(id))
+      val isDelete =
+        props.contains("delete.cond") || props.contains("delete.mor")
+      val step =
+        if (props.contains("rewrite.deletes") ||
+            props.contains("compact.zorder")) emptyStep
+        else if (isDelete) {
+          val frames =
+            props.get("cdf.dir").map(rel =>
+              s.read.parquet(s"$root/$rel")
+                .drop("__dv_file", "__dv_pos")).toSeq ++
+            props.get("cdf.del.files").map { names =>
+              readFiles(names.split(",").filter(_.nonEmpty).toSeq, id)
+                .withColumn("_op", lit("D"))
+            }.toSeq
+          if (frames.isEmpty) emptyStep
+          else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+            .withColumn("_commit", lit(id))
+        } else props.get("cdf.dir") match {
+          case Some(rel) => // a merge: its recorded change frame
+            s.read.parquet(s"$root/$rel").withColumn("_commit", lit(id))
+          case None if prev.subsetOf(cur) => // an append: the added files
+            val added = (cur -- prev).toSeq.sorted
+            require(!added.exists(_.startsWith("deletes/")),
+              s"changeFeed($fromId, $toId): snapshot v$id of $root adds " +
+                "a delete vector outside a delete commit — unrecorded " +
+                "row removal; re-baseline the consumer")
+            val df =
+              if (added.isEmpty) readAt(s, root, id).limit(0)
+              else readFiles(added, id)
+            df.withColumn("_op", lit("A")).withColumn("_commit", lit(id))
+          case None =>
             throw new IllegalStateException(
-              s"changeFeed($fromId, $toId) crosses a merge-on-read " +
-                s"DELETE (snapshot v$id of $root): the deleted rows are " +
-                "not recorded as a change frame; re-baseline the " +
-                "consumer, or fold vectors with rewriteDeletes before " +
-                "tailing")
-          val df =
-            if (added.isEmpty) readAt(s, root, id).limit(0)
-            else storedSchema(s, root, id) match {
-              case Some(sch) =>
-                s.read.schema(sch).parquet(added.map(f => s"$root/$f"): _*)
-              case None => s.read.parquet(added.map(f => s"$root/$f"): _*)
-            }
-          df.withColumn("_op", lit("A")).withColumn("_commit", lit(id))
-        case None =>
-          throw new IllegalStateException(
-            s"changeFeed($fromId, $toId) crosses snapshot v$id of $root, " +
-              "an overwrite/compaction with no recorded change frame: " +
-              "row-level incremental reads are invalid across it; " +
-              "re-baseline the consumer from a full snapshot read")
-      }
+              s"changeFeed($fromId, $toId) crosses snapshot v$id of $root, " +
+                "an overwrite/compaction with no recorded change frame: " +
+                "row-level incremental reads are invalid across it; " +
+                "re-baseline the consumer from a full snapshot read")
+        }
       prev = cur
       step
     }
@@ -1192,11 +1237,15 @@ object SnapshotTable {
   }
 
   /** Fold a [[changeFeed]] over a consumer's `state`: commits apply in
-    * order; an append step unions its rows, a merge step replaces its
-    * keys (anti-join on `keyCol`) then unions its rows — after the last
-    * step the frame row-for-row equals a direct read of the feed's
-    * `toId` snapshot (the `fmt_snapshot_cdf` hash gate). One lazy plan,
-    * one join per merge step — feeds are delta-sized by construction.
+    * order; an append step unions its `A` rows; a merge step removes
+    * its touched keys (anti-join on `keyCol` over the `U`/`UB` rows)
+    * then unions the post-image `U`/`I` rows; a delete step removes
+    * its `D` rows' keys and unions nothing — after the last step the
+    * frame row-for-row equals a direct read of the feed's `toId`
+    * snapshot (the `fmt_snapshot_cdf` / `fmt_snapshot_cdf_full` hash
+    * gates). Contract: `keyCol` is a row key (unique per row), the
+    * same contract [[merge]] keys on. One lazy plan, one join per
+    * row-removing step — feeds are delta-sized by construction.
     */
   def applyChanges(state: DataFrame, feed: DataFrame,
       keyCol: String): DataFrame = {
@@ -1205,11 +1254,14 @@ object SnapshotTable {
       .collect().map(_.getLong(0)).sorted
     commits.foldLeft(state) { (acc, id) =>
       val step = feed.filter(col("_commit") === id)
-      val rows = step.drop("_op", "_commit")
-      val isMergeStep = step.filter(col("_op") =!= "A").limit(1).count() > 0
-      if (!isMergeStep) acc.unionByName(rows, allowMissingColumns = true)
+      val rows = step.filter(col("_op").isin("A", "I", "U"))
+        .drop("_op", "_commit")
+      val removesRows =
+        step.filter(col("_op") =!= "A").limit(1).count() > 0
+      if (!removesRows) acc.unionByName(rows, allowMissingColumns = true)
       else acc
-        .join(step.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+        .join(step.filter(col("_op").isin("U", "UB", "D"))
+          .select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .unionByName(rows, allowMissingColumns = true)
     }
   }
@@ -1317,9 +1369,33 @@ object SnapshotTable {
         base.where(not(coalesce(cond, lit(false))))
       }
     val statsCols = rewrite.flatMap(_.stats.map(_.col)).distinct
+    // the CHANGE FEED: the rows a rewrite removes (cond TRUE, the same
+    // three-valued predicate the survivors complement) are written as
+    // an op-`D` frame — delta-priced: the rewrite set is already being
+    // read for the survivors. Whole-file drops stay metadata-only: the
+    // manifest's cdf.del.files prop NAMES them and [[changeFeed]] reads
+    // their rows lazily, at the consumer's expense, never the delete's.
+    val cdfRel: Option[String] =
+      if (rewrite.isEmpty) None
+      else {
+        val paths = rewrite.map(e => s"$root/${e.path}")
+        val base = schema match {
+          case Some(sch) => s.read.schema(sch).parquet(paths: _*)
+          case None => s.read.parquet(paths: _*)
+        }
+        val rel = s"changes/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        base.where(coalesce(cond, lit(false)))
+          .withColumn("_op", lit("D"))
+          .write.mode("overwrite").parquet(s"$root/$rel")
+        Some(rel)
+      }
+    val cdfProps =
+      cdfRel.map("cdf.dir" -> _).toMap ++
+        (if (drop.isEmpty) Map.empty[String, String]
+         else Map("cdf.del.files" -> drop.map(_.path).mkString(",")))
     val id = commitWithCarried(survivors, root, keep.map(_.render), cur,
       if (statsCols.isEmpty) None else Some(statsCols.mkString(",")),
-      Map("delete.cond" -> filters.mkString(" AND ")),
+      Map("delete.cond" -> filters.mkString(" AND ")) ++ cdfProps,
       baseSchema = schema, partitionCols = partitionColsOf(s, root, cur))
     lastDelete.put(root, (drop.size, rewrite.size, keep.size))
     (id, drop.size, rewrite.size, keep.size)
@@ -1395,11 +1471,16 @@ object SnapshotTable {
     val ambiguous = rest.diff(drop)
     val schema = storedSchema(s, root, cur)
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
+    // the marking scan now lands as the commit's CHANGE FRAME (full
+    // rows + op `D` + the (file, pos) tag columns), and the delete
+    // VECTOR is derived from that delta-sized frame — one scan of the
+    // ambiguous files serves both. Whole-file drops stay metadata-only
+    // via cdf.del.files, read lazily by [[changeFeed]] consumers.
+    var cdfRel: Option[String] = None
     val newDvLine: Option[String] =
       if (ambiguous.isEmpty) None
       else {
         val base = readData(s, root, ambiguous.map(_.path), schema)
-        val keepCols = base.columns.toSeq
         val tagged = base.select(col("*"),
           col("_metadata.file_name").as("__dv_file"),
           col("_metadata.row_index").as("__dv_pos"))
@@ -1411,27 +1492,34 @@ object SnapshotTable {
               tagged("__dv_file") === dv("file") &&
                 tagged("__dv_pos") === dv("pos"), "left_anti")
           }
-        // DELETE marks rows where cond is TRUE (null cond keeps)
-        val marks = live.where(coalesce(cond, lit(false)))
-          .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
         val fs = fsOf(s, new Path(root))
-        val tmpDir = new Path(new Path(root), s"_staging/dv-$commitId")
-        marks.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
-        val part = fs.listStatus(tmpDir)
-          .find(_.getPath.getName.startsWith("part-"))
-        val line = part.flatMap { st =>
-          val (_, n) = footerInfo(s, st.getPath, Seq.empty)
-          if (n == 0L) None // nothing matched: no vector needed
-          else {
-            val rel = s"deletes/$commitId.parquet"
-            fs.mkdirs(new Path(root, "deletes"))
-            require(fs.rename(st.getPath, new Path(root, rel)),
-              s"deleteWhereMor: failed to publish $rel")
-            Some(FileEntry(rel, Seq.empty, Some(n)).render)
-          }
+        // DELETE marks rows where cond is TRUE (null cond keeps)
+        val rel = s"changes/$commitId"
+        live.where(coalesce(cond, lit(false)))
+          .withColumn("_op", lit("D"))
+          .write.mode("overwrite").parquet(s"$root/$rel")
+        val frame = s.read.parquet(s"$root/$rel")
+        val n = frame.count() // delta-sized by construction
+        if (n == 0L) { // nothing matched: no vector, no frame
+          fs.delete(new Path(root, rel), true)
+          None
+        } else {
+          cdfRel = Some(rel)
+          val tmpDir = new Path(new Path(root), s"_staging/dv-$commitId")
+          frame.select(col("__dv_file").as("file"),
+              col("__dv_pos").as("pos"))
+            .coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+          val part = fs.listStatus(tmpDir)
+            .find(_.getPath.getName.startsWith("part-"))
+            .getOrElse(throw new IllegalStateException(
+              s"deleteWhereMor: vector write produced no part file"))
+          val dvRel = s"deletes/$commitId.parquet"
+          fs.mkdirs(new Path(root, "deletes"))
+          require(fs.rename(part.getPath, new Path(root, dvRel)),
+            s"deleteWhereMor: failed to publish $dvRel")
+          fs.delete(tmpDir, true)
+          Some(FileEntry(dvRel, Seq.empty, Some(n)).render)
         }
-        fs.delete(tmpDir, true)
-        line
       }
     // manifest-only commit: every surviving data entry (and every
     // existing vector) carries VERBATIM; the only new line is the
@@ -1440,8 +1528,12 @@ object SnapshotTable {
     val fs = fsOf(s, new Path(root))
     val staging = new Path(new Path(root), s"_staging/$commitId")
     fs.mkdirs(staging)
+    val cdfProps =
+      cdfRel.map("cdf.dir" -> _).toMap ++
+        (if (drop.isEmpty) Map.empty[String, String]
+         else Map("cdf.del.files" -> drop.map(_.path).mkString(",")))
     val id = publishStaged(s, root, commitId, staging, carried, cur,
-      Seq.empty, Map("delete.mor" -> filters.mkString(" AND ")),
+      Seq.empty, Map("delete.mor" -> filters.mkString(" AND ")) ++ cdfProps,
       schema.getOrElse(readAt(s, root, cur).schema))
     lastMor.put(root, (drop.size, newDvLine.size, keep.size + ambiguous.size))
     (id, drop.size, if (newDvLine.isDefined) ambiguous.size else 0,
@@ -1725,7 +1817,10 @@ object SnapshotTable {
     commit(
       cur.repartitionByRange(numFiles, z)
         .sortWithinPartitions(z +: cols.map(col): _*),
-      root, overwrite = true, statsCol = Some(cols.mkString(",")))
+      root, overwrite = true, statsCol = Some(cols.mkString(",")),
+      // a compaction rewrites LAYOUT, not rows: the prop lets
+      // [[changeFeed]] cross it as an empty step instead of refusing
+      props = Map("compact.zorder" -> cols.mkString(",")))
   }
 
   /** The files of the CURRENT snapshot a merge keyed on `keyCol` would

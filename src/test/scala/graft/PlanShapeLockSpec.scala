@@ -170,7 +170,17 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // scale) + the final agg exchange; the zero-exchange SPJ plan runs
     // inside the gate under the bucketing confs and is value-checked
     // by the oracle through the spj_no_shuffle flag at both gate scales
-    "fmt_snapshot_spj" -> PlanShape(0, 1, 0, 0, 1))
+    "fmt_snapshot_spj" -> PlanShape(0, 1, 0, 0, 1),
+    // round-11 session-4. cdf_full: the fold's per-step key anti-joins
+    // are all BROADCAST (feeds are delta-sized by construction — never
+    // a shuffle of the consumer's state), the one BNLJ is the 1-row
+    // audit cross-join; static print multiplicity repeats the shared
+    // feed subtree. imv: maintain is JOIN-FREE — the feed collapses to
+    // a per-group delta in one map-side-combined agg, the second agg
+    // folds (view ∪ delta); two exchanges total, exactly the shape the
+    // operator's cost model claims.
+    "fmt_snapshot_cdf_full" -> PlanShape(0, 9, 1, 0, 11),
+    "pipe_imv" -> PlanShape(0, 0, 0, 0, 2))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -218,7 +228,11 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // delete vectors (the vector-subtracting read) and their fold
       "fmt_snapshot_rollback", "fmt_snapshot_partitioned",
       "fmt_snapshot_replace", "fmt_snapshot_part_sql",
-      "fmt_snapshot_dv", "fmt_snapshot_dv_rewrite", "fmt_snapshot_spj")
+      "fmt_snapshot_dv", "fmt_snapshot_dv_rewrite", "fmt_snapshot_spj",
+      // round-11 session-4: the complete change feed (UB pre-images,
+      // delete D frames, no-op folds) and the incrementally-maintained
+      // aggregate view over it
+      "fmt_snapshot_cdf_full", "pipe_imv")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

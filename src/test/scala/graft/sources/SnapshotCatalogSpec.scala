@@ -143,7 +143,7 @@ class SnapshotCatalogSpec extends SparkSpec {
   }
 
   test("library deleteWhere refuses an untranslatable filter before " +
-      "mutating; changeFeed across a delete refuses like an overwrite") {
+      "mutating; changeFeed serves a SQL DELETE's rows as op D") {
     import spark.implicits._
     ensureDb()
     val root = s"$wh/db/delrefuse"
@@ -158,10 +158,12 @@ class SnapshotCatalogSpec extends SparkSpec {
         "x", "nope"))))
     assert(SnapshotTable.currentSnapshot(spark, root) == before)
     spark.sql(s"DELETE FROM $cat.db.delrefuse WHERE x < 50")
-    val ex = intercept[Exception](
-      SnapshotTable.changeFeed(spark, root, before, before + 1).collect())
-    assert(ex.getMessage.toLowerCase.contains("re-baseline") ||
-      ex.getMessage.toLowerCase.contains("overwrite"), ex.getMessage)
+    // a SQL DELETE is CDF-recorded like the library path: the feed
+    // serves exactly the deleted rows as op D instead of refusing
+    val feed = SnapshotTable.changeFeed(spark, root, before, before + 1)
+    assert(feed.filter(col("_op") =!= "D").count() == 0L)
+    assert(feed.select("x").as[Long].collect().toSet ==
+      (0L until 50L).toSet)
   }
 
   test("SQL UPDATE rewrites only the files whose stats admit the " +

@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, GreaterThan, LessThan, LessThanOrEqual}
+
+import graft.SparkSpec
+
+/** The COMPLETE row-level change feed: merge pre-images (`UB`), delete
+  * change frames (`D`) from both the copy-on-write and merge-on-read
+  * paths, lazily-read rows of metadata-only dropped files, no-op
+  * steps for vector folds and zorder compactions, and
+  * [[SnapshotTable.applyChanges]] folding all of it back to the exact
+  * table state.
+  */
+class SnapshotCdfFullSpec extends SparkSpec {
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_cdff_$tag").toString + "/t"
+
+  // 20 rows over 4 range-clustered files, stats on k
+  private def seed(root: String): Unit = {
+    import spark.implicits._
+    val df = (1L to 20L).map(k => (k, k % 3, s"r$k")).toDF("k", "m", "v")
+    SnapshotTable.commit(df.repartitionByRange(4, col("k")), root,
+      statsCol = Some("k"))
+  }
+
+  test("a merge's change frame records UB pre-images: exactly the " +
+      "replaced keys' OLD rows, alongside the U post-images") {
+    import spark.implicits._
+    val root = tmpRoot("ub")
+    seed(root)
+    val updates = Seq((5L, 99L, "new5"), (6L, 99L, "new6"),
+      (100L, 99L, "fresh")).toDF("k", "m", "v")
+    val (v2, _, _) = SnapshotTable.merge(updates, root, "k")
+    val feed = SnapshotTable.changeFeed(spark, root, 1L, v2)
+    val ub = feed.filter(col("_op") === "UB")
+      .select("k", "m", "v").as[(Long, Long, String)].collect().toSet
+    // the pre-images are the OLD rows of the keys that existed
+    assert(ub == Set((5L, 5L % 3, "r5"), (6L, 6L % 3, "r6")))
+    val post = feed.filter(col("_op") === "U")
+      .select("v").as[String].collect().toSet
+    assert(post == Set("new5", "new6"))
+    assert(feed.filter(col("_op") === "I").count() == 1L)
+  }
+
+  test("a COW delete feeds op D: the boundary rewrite's dead rows from " +
+      "its recorded frame, the dropped files' rows read lazily — and " +
+      "the dropped files are NAMED in the manifest, not copied") {
+    import spark.implicits._
+    val root = tmpRoot("cow")
+    seed(root)
+    // k <= 7: low files all-match (drop metadata-only), one boundary
+    // file rewrites, high files carry
+    val (v2, dropped, rewritten, _) = SnapshotTable.deleteWhere(
+      spark, root, Seq(LessThanOrEqual("k", 7L)))
+    assert(dropped >= 1 && rewritten >= 1)
+    val props = SnapshotTable.snapshotProps(spark, root, v2)
+    val named = props.get("cdf.del.files").toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty)
+    assert(named.size == dropped)
+    val feed = SnapshotTable.changeFeed(spark, root, 1L, v2)
+    val d = feed.filter(col("_op") === "D")
+      .select("k").as[Long].collect().toSet
+    assert(d == (1L to 7L).toSet) // frame rows ∪ dropped-file rows
+    assert(feed.filter(col("_op") =!= "D").count() == 0L)
+  }
+
+  test("a MOR delete's D frame holds exactly the marked rows — the " +
+      "same cardinality as the delete vector it derives") {
+    import spark.implicits._
+    val root = tmpRoot("mor")
+    seed(root)
+    // m = 1: scattered, stats-blind on k → pure vector delete
+    val (v2, dropped, marked, _) = SnapshotTable.deleteWhereMor(
+      spark, root, Seq(EqualTo("m", 1L)))
+    assert(dropped == 0 && marked > 0)
+    val vecRows = SnapshotTable.entries(spark, root, v2)
+      .filter(_.isDelete).flatMap(_.rows).sum
+    val feed = SnapshotTable.changeFeed(spark, root, 1L, v2)
+    val d = feed.filter(col("_op") === "D")
+      .select("k").as[Long].collect().toSet
+    assert(d == (1L to 20L).filter(_ % 3 == 1).toSet)
+    assert(d.size.toLong == vecRows)
+  }
+
+  test("vector folds and zorder compactions are logical no-ops: the " +
+      "feed crosses them with zero rows instead of refusing") {
+    val root = tmpRoot("noop")
+    seed(root)
+    SnapshotTable.deleteWhereMor(spark, root, Seq(EqualTo("m", 1L)))
+    val v3 = SnapshotTable.rewriteDeletes(spark, root)
+    val v4 = SnapshotTable.compactZorder(spark, root, Seq("k"), 2, 8)
+    val feed = SnapshotTable.changeFeed(spark, root, v3 - 1, v4)
+    assert(feed.filter(col("_commit").isin(v3, v4)).count() == 0L)
+    // and the fold across them reproduces the table
+    val folded = SnapshotTable.applyChanges(
+      SnapshotTable.readAt(spark, root, v3 - 1), feed, "k")
+    import spark.implicits._
+    assert(folded.select("k").as[Long].collect().sorted.toSeq ==
+      SnapshotTable.read(spark, root).select("k")
+        .as[Long].collect().sorted.toSeq)
+  }
+
+  test("applyChanges folds a mixed append/merge/COW/MOR/fold/append " +
+      "history to the exact current state") {
+    import spark.implicits._
+    val root = tmpRoot("fold")
+    seed(root)
+    SnapshotTable.commit( // v2: append fresh keys
+      Seq((30L, 0L, "a30"), (31L, 1L, "a31")).toDF("k", "m", "v"), root)
+    SnapshotTable.merge( // v3: replace 2, insert 1
+      Seq((10L, 7L, "m10"), (40L, 7L, "m40")).toDF("k", "m", "v"),
+      root, "k")
+    SnapshotTable.deleteWhere(spark, root, // v4: COW band
+      Seq(GreaterThan("k", 15L), LessThanOrEqual("k", 20L)))
+    SnapshotTable.deleteWhereMor(spark, root, // v5: MOR scattered
+      Seq(EqualTo("m", 2L)))
+    SnapshotTable.rewriteDeletes(spark, root) // v6: no-op fold
+    val v7 = SnapshotTable.commit(
+      Seq((50L, 9L, "a50")).toDF("k", "m", "v"), root)
+    val feed = SnapshotTable.changeFeed(spark, root, 1L, v7)
+    val folded = SnapshotTable.applyChanges(
+      SnapshotTable.readAt(spark, root, 1L), feed, "k")
+    val direct = SnapshotTable.read(spark, root)
+      .select("k", "m", "v").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(folded.select("k", "m", "v").as[(Long, Long, String)]
+      .collect().sorted.toSeq == direct)
+    assert(direct.nonEmpty)
+  }
+
+  test("a delete that matches nothing records no frame and the feed " +
+      "crosses it empty; an overwrite still refuses") {
+    import spark.implicits._
+    val root = tmpRoot("none")
+    seed(root)
+    val (v2, _, _, _) = SnapshotTable.deleteWhereMor(spark, root,
+      Seq(GreaterThan("k", 999L)))
+    assert(!SnapshotTable.snapshotProps(spark, root, v2)
+      .contains("cdf.dir"))
+    assert(SnapshotTable.changeFeed(spark, root, 1L, v2).count() == 0L)
+    val v3 = SnapshotTable.commit( // plain overwrite: history rewrite
+      Seq((1L, 0L, "x")).toDF("k", "m", "v"), root, overwrite = true)
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.changeFeed(spark, root, v2, v3).count()
+    }
+    assert(e.getMessage.contains("re-baseline"))
+  }
+}

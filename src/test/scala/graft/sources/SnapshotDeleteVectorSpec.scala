@@ -105,9 +105,13 @@ class SnapshotDeleteVectorSpec extends SparkSpec {
     assert(intercept[IllegalStateException] {
       SnapshotTable.changesBetween(spark, root, 1L, 2L).collect()
     }.getMessage.contains("merge-on-read"))
-    assert(intercept[IllegalStateException] {
-      SnapshotTable.changeFeed(spark, root, 1L, 2L).collect()
-    }.getMessage.contains("merge-on-read"))
+    // the ROW-level feed, by contrast, records the MOR delete: it
+    // serves exactly the vector's rows as op D (SnapshotCdfFullSpec
+    // pins the content) — only the FILE-level read above refuses
+    import org.apache.spark.sql.functions.col
+    val feed = SnapshotTable.changeFeed(spark, root, 1L, 2L)
+    assert(feed.filter(col("_op") =!= "D").count() == 0L)
+    assert(feed.count() == (1L to 20L).count(_ % 3 == 1).toLong)
   }
 
   test("rewriteDeletes folds vectors into the referenced files only, " +

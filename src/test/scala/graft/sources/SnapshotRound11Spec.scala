@@ -189,7 +189,8 @@ class SnapshotRound11Spec extends SparkSpec {
     val feed = SnapshotTable.changeFeed(spark, root, 1L, v3)
     val ops = feed.filter(col("_commit") === v3)
       .groupBy("_op").count().as[(String, Long)].collect().toMap
-    assert(ops == Map("U" -> 10L, "I" -> 5L), ops.toString)
+    // 10 replaced (post-image U + pre-image UB), 5 fresh inserts
+    assert(ops == Map("U" -> 10L, "UB" -> 10L, "I" -> 5L), ops.toString)
     // fold over the pinned v1 state == direct read of v3
     val folded = SnapshotTable.applyChanges(
       SnapshotTable.readAt(spark, root, 1L), feed, "k")
