@@ -1224,6 +1224,67 @@ object FormatQueries {
     cur.crossJoin(v2)
   }
 
+  /** SQL `CALL` maintenance lifecycle over a snapshot catalog table
+    * ([[graft.sources.SnapshotCatalog]]'s ProcedureCatalog): CTAS the
+    * orders table, INSERT a bad batch, `CALL system.rollback` it away
+    * (manifest-only restore), INSERT the good batch, `CALL
+    * system.optimize_zorder` (content-preserving compaction whose
+    * clustered key then prunes files from the manifest alone), and
+    * `CALL system.expire_snapshots` (vacuum down to the kept window) —
+    * the whole table lifecycle with no library call. The hash gate
+    * proves the final content equals the oracle's recomputation (CTAS
+    * ∪ good batch, bad batch gone — a wrong rollback or a lossy
+    * compaction shifts the sums); the audit columns pin the rollback's
+    * returned head, the zorder prune, and the post-vacuum live-snapshot
+    * count read from the `.snapshots` metadata table. These are the
+    * operational verbs a 100 TB table needs on a schedule; every one
+    * is driver-side metadata work plus (for the compaction) one
+    * bounded rewrite.
+    */
+  def snapshotCall(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SnapshotCatalog, SnapshotTable}
+    val wh = scratch("snap_call_wh")
+    graft.tera.TeraIO.delete(s, wh)
+    s.conf.set("spark.sql.catalog.gsnapp", classOf[SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsnapp.warehouse", wh)
+    graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("snap_call_orders_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsnapp.db")
+    s.sql("DROP TABLE IF EXISTS gsnapp.db.ord")
+    s.sql("CREATE TABLE gsnapp.db.ord AS " +
+      "SELECT * FROM snap_call_orders_src") // v1 (empty) + v2 (CTAS)
+    s.sql("INSERT INTO gsnapp.db.ord " + // v3: the bad batch
+      "SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice + 999.0 " +
+      "FROM snap_call_orders_src WHERE o_orderkey % 10 = 4")
+    val restored = s.sql("CALL gsnapp.system.rollback('db.ord', 2)")
+      .head.getLong(0) // v4 = the restored head
+    s.sql("INSERT INTO gsnapp.db.ord " + // v5: the good batch
+      "SELECT o_orderkey + 20000000, o_orderstatus, o_totalprice + 100.0 " +
+      "FROM snap_call_orders_src WHERE o_orderkey % 10 = 6")
+    val compacted = s.sql(
+      "CALL gsnapp.system.optimize_zorder('db.ord', 'o_orderkey', 8)")
+      .head.getLong(0) // v6
+    s.sql("CALL gsnapp.system.expire_snapshots('db.ord', 2)").collect()
+    val root = s"$wh/db/ord"
+    val mx = graft.Tables.orders(s, d)
+      .agg(max("o_orderkey")).head.getAs[Number](0).longValue
+    val (_, nKept, nTotal) = SnapshotTable.pruneFiles(s, root, compacted,
+      "o_orderkey", mx / 20, mx * 3 / 20)
+    val nLive = s.sql("SELECT count(*) FROM gsnapp.db.ord.snapshots")
+      .head.getLong(0)
+    s.sql("SELECT * FROM gsnapp.db.ord")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        money(sum(col("o_totalprice"))).as("total_price"),
+        sum(col("o_orderkey")).as("okey_sum"))
+      .withColumn("rolled_to_head",
+        lit(if (restored == 4L) 1L else 0L))
+      .withColumn("zorder_pruned",
+        lit(if (nKept < nTotal) 1L else 0L))
+      .withColumn("n_live", lit(nLive))
+  }
+
   /** SQL `DELETE FROM` over a snapshot table
     * ([[graft.sources.SnapshotTable.deleteWhere]] via `SupportsDelete`)
     * — copy-on-write at FILE granularity, decided on the manifest:
@@ -1404,6 +1465,7 @@ object FormatQueries {
     "fmt_snapshot_zorder" -> (snapshotZorder _),
     "fmt_snapshot_cdf" -> (snapshotCdf _),
     "fmt_snapshot_cdf_full" -> (snapshotCdfFull _),
+    "fmt_snapshot_call" -> (snapshotCall _),
     "fmt_snapshot_rollback" -> (snapshotRollback _),
     "fmt_snapshot_partitioned" -> (snapshotPartitioned _),
     "fmt_snapshot_dv" -> (snapshotDv _),
@@ -1565,6 +1627,23 @@ object FormatQueries {
         |   WHERE o_orderkey BETWEEN 1000 AND 3000)::BIGINT AS n_replaced,
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderkey < 500)::BIGINT AS n_inserted
+        |FROM fin GROUP BY 1""".stripMargin,
+    // the post-lifecycle table = CTAS ∪ good batch (the bad batch was
+    // rolled away; the zorder compaction preserved content); the audit
+    // columns pin the restored head id, the clustered-key prune, and
+    // the post-vacuum live-snapshot count
+    "fmt_snapshot_call" ->
+      """WITH fin AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey + 20000000,
+        |    o_totalprice + 100.0
+        |  FROM orders WHERE o_orderkey % 10 = 6)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  sum(o_orderkey)::BIGINT AS okey_sum,
+        |  1::BIGINT AS rolled_to_head, 1::BIGINT AS zorder_pruned,
+        |  2::BIGINT AS n_live
         |FROM fin GROUP BY 1""".stripMargin,
     // the folded consumer state across append + merge (with UB
     // pre-images) + COW delete + MOR delete + vector fold + append

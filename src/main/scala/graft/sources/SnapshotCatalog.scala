@@ -50,7 +50,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the declared schema, so a fresh table reads as an empty relation
   * under exactly its DDL schema.
   */
-class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -355,4 +356,145 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
       fs(p).delete(p, true)
     }
   }
+
+  // ---- maintenance procedures (`CALL cat.system.<proc>(...)`) ----
+  //
+  // The table-maintenance verbs SQL has no statement for — expire,
+  // orphan sweep, rollback, vector fold, zorder compaction — exposed
+  // through Spark 4's DSv2 ProcedureCatalog, so an operator runs the
+  // whole lifecycle from SQL (the shape Iceberg's system procedures
+  // established). Each procedure resolves its `table` argument
+  // ('db.t') against THIS catalog's warehouse, delegates to the
+  // library call, and returns a one-row result scan summarizing what
+  // happened — all driver-side metadata work.
+
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+
+  /** `table` argument → snapshot root under this catalog's warehouse. */
+  private def rootOf(table: String): String = {
+    val parts = table.split("\\.")
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"procedure table argument must be 'db.table', got '$table'")
+    val ident = Identifier.of(parts.init, parts.last)
+    val p = tablePath(ident)
+    if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    p.toString
+  }
+
+  /** One self-bound procedure: fixed IN parameters (name, type,
+    * optional SQL default), a one-row result schema, and the action.
+    */
+  private case class Proc(procName: String, describe: String,
+      params: Seq[(String, org.apache.spark.sql.types.DataType, Option[String])],
+      out: Seq[(String, org.apache.spark.sql.types.DataType)],
+      run: Seq[Any] => Seq[Any])
+      extends UnboundProcedure with BoundProcedure {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    override def name(): String = procName
+    override def description(): String = describe
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false // side-effecting
+    override def parameters(): Array[ProcedureParameter] =
+      params.map { case (n, dt, dflt) =>
+        val b = ProcedureParameter.in(n, dt)
+        dflt.foreach(b.defaultValue)
+        b.build()
+      }.toArray
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val args = params.zipWithIndex.map { case ((n, dt, _), i) =>
+        require(!input.isNullAt(i), s"$procName: argument $n is null")
+        dt match {
+          case StringType => input.getUTF8String(i).toString
+          case LongType => input.getLong(i)
+          case IntegerType => input.getInt(i)
+          case other => throw new IllegalStateException(
+            s"$procName: unsupported parameter type $other")
+        }
+      }
+      val result = run(args)
+      val schema = StructType(out.map { case (n, dt) =>
+        StructField(n, dt, nullable = false) })
+      util.List.of[Scan](new LocalScan {
+        override def readSchema(): StructType = schema
+        override def rows(): Array[InternalRow] = Array(
+          InternalRow.fromSeq(result.map {
+            case s: String => UTF8String.fromString(s)
+            case x => x
+          }))
+      }).iterator()
+    }
+  }
+
+  private lazy val procedures: Map[String, Proc] = {
+    import org.apache.spark.sql.types._
+    Seq(
+      Proc("expire_snapshots",
+        "drop snapshots older than the kept window and their " +
+          "unreferenced files (vacuum); pinned readers of expired ids " +
+          "fail loudly afterwards",
+        Seq(("table", StringType, None), ("keep_last", IntegerType, None)),
+        Seq(("expired_snapshots", IntegerType),
+          ("deleted_files", IntegerType)),
+        { case Seq(t: String, keep: Integer) =>
+          val (nSnaps, nFiles) =
+            SnapshotTable.expireSnapshots(spark, rootOf(t), keep)
+          Seq(nSnaps, nFiles) }),
+      Proc("remove_orphans",
+        "delete data files no live snapshot references and older than " +
+          "the age gate — the crash-debris sweep expire_snapshots " +
+          "deliberately leaves to an explicit, age-gated call",
+        Seq(("table", StringType, None),
+          ("older_than_ms", LongType, None)),
+        Seq(("deleted_files", IntegerType)),
+        { case Seq(t: String, age: java.lang.Long) =>
+          Seq(Int.box(SnapshotTable.removeOrphans(spark, rootOf(t), age))) }),
+      Proc("rollback",
+        "restore an earlier snapshot as the new head (manifest-only; " +
+          "the bad versions stay time-travelable)",
+        Seq(("table", StringType, None), ("to_version", LongType, None)),
+        Seq(("current_version", LongType)),
+        { case Seq(t: String, v: java.lang.Long) =>
+          Seq(Long.box(SnapshotTable.rollback(spark, rootOf(t), v))) }),
+      Proc("rewrite_deletes",
+        "fold merge-on-read delete vectors into their data files, " +
+          "re-opening the vector-refusing scan paths",
+        Seq(("table", StringType, None)),
+        Seq(("current_version", LongType)),
+        { case Seq(t: String) =>
+          Seq(Long.box(SnapshotTable.rewriteDeletes(spark, rootOf(t)))) }),
+      Proc("optimize_zorder",
+        "compact the table clustered on the Morton curve over the " +
+          "given columns so selective bands on ANY of them prune files " +
+          "from the manifest alone",
+        Seq(("table", StringType, None), ("cols", StringType, None),
+          ("num_files", IntegerType, None),
+          ("bits", IntegerType, Some("12"))),
+        Seq(("current_version", LongType)),
+        { case Seq(t: String, cols: String, nf: Integer, bits: Integer) =>
+          Seq(Long.box(SnapshotTable.compactZorder(spark, rootOf(t),
+            cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+            nf, bits))) })
+    ).map(p => p.procName -> p).toMap
+  }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"catalog $catalogName: procedures live under the 'system' " +
+        s"namespace, got ${ident.namespace.mkString(".")}")
+    procedures.getOrElse(ident.name,
+      throw new IllegalArgumentException(
+        s"catalog $catalogName: unknown procedure ${ident.name} " +
+          s"(have: ${procedures.keys.toSeq.sorted.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      procedures.keys.toSeq.sorted
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 }

@@ -180,7 +180,10 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // folds (view ∪ delta); two exchanges total, exactly the shape the
     // operator's cost model claims.
     "fmt_snapshot_cdf_full" -> PlanShape(0, 9, 1, 0, 11),
-    "pipe_imv" -> PlanShape(0, 0, 0, 0, 2))
+    "pipe_imv" -> PlanShape(0, 0, 0, 0, 2),
+    // call: the returned frame is one agg over the compacted head —
+    // every CALL (rollback/zorder/expire) ran at construction
+    "fmt_snapshot_call" -> PlanShape(0, 0, 0, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -232,7 +235,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // round-11 session-4: the complete change feed (UB pre-images,
       // delete D frames, no-op folds) and the incrementally-maintained
       // aggregate view over it
-      "fmt_snapshot_cdf_full", "pipe_imv")
+      "fmt_snapshot_cdf_full", "pipe_imv", "fmt_snapshot_call")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

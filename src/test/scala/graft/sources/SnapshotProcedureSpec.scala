@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.EqualTo
+
+import graft.SparkSpec
+
+/** SQL `CALL` maintenance procedures ([[SnapshotCatalog]]'s
+  * ProcedureCatalog): rollback, expire_snapshots, remove_orphans,
+  * rewrite_deletes, optimize_zorder — the lifecycle verbs SQL has no
+  * statement for, each returning a one-row summary scan.
+  */
+class SnapshotProcedureSpec extends SparkSpec {
+
+  private lazy val wh =
+    java.nio.file.Files.createTempDirectory("graft_proc_wh").toString
+
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.snapproc",
+      classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapproc.warehouse", wh)
+    "snapproc"
+  }
+
+  private def ensureDb(): Unit =
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+
+  test("CALL rollback restores the head and reports the new version; " +
+      "the bad batch stays time-travelable") {
+    ensureDb()
+    spark.sql(s"CREATE TABLE $cat.db.rb (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.rb SELECT id FROM range(0, 10)")
+    spark.sql(s"INSERT INTO $cat.db.rb SELECT id FROM range(100, 200)")
+    val out = spark.sql(s"CALL $cat.system.rollback('db.rb', 2)").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(4L)) // v4 = restored head
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.rb")
+      .head.getLong(0) == 10L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.rb VERSION AS OF 3")
+      .head.getLong(0) == 110L)
+  }
+
+  test("CALL expire_snapshots vacuums; expired version reads then fail") {
+    ensureDb()
+    spark.sql(s"CREATE TABLE $cat.db.exp (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.exp SELECT id FROM range(0, 10)")
+    spark.sql(s"INSERT INTO $cat.db.exp SELECT id FROM range(10, 20)")
+    spark.sql(s"INSERT INTO $cat.db.exp SELECT id FROM range(20, 30)")
+    val out = spark.sql(
+      s"CALL $cat.system.expire_snapshots('db.exp', 2)").head
+    assert(out.getInt(0) >= 1) // at least v1/v2 expired
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.exp")
+      .head.getLong(0) == 30L)
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.db.exp VERSION AS OF 1").collect())
+  }
+
+  test("CALL rewrite_deletes folds vectors and re-opens the SQL scan; " +
+      "remove_orphans sweeps planted debris under the age gate only") {
+    ensureDb()
+    spark.sql(s"CREATE TABLE $cat.db.dv (k BIGINT, m BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.dv SELECT id, id % 3 FROM range(0, 30)")
+    val root = s"$wh/db/dv"
+    SnapshotTable.deleteWhereMor(spark, root, Seq(EqualTo("m", 1L)))
+    // the stock SQL scan refuses on vectors; the CALL re-opens it
+    intercept[Exception](
+      spark.sql(s"SELECT count(*) FROM $cat.db.dv").collect())
+    spark.sql(s"CALL $cat.system.rewrite_deletes('db.dv')").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.dv")
+      .head.getLong(0) == 20L)
+    // planted orphan: too young for a large age gate, swept at zero
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(root, "data/orphan.parquet")
+    fs.create(orphan).close()
+    assert(spark.sql(
+      s"CALL $cat.system.remove_orphans('db.dv', ${86400L * 1000L})")
+      .head.getInt(0) == 0)
+    assert(spark.sql(s"CALL $cat.system.remove_orphans('db.dv', 0)")
+      .head.getInt(0) >= 1)
+    assert(!fs.exists(orphan))
+  }
+
+  test("CALL optimize_zorder compacts with the default bits parameter " +
+      "and the clustered dimensions both prune") {
+    ensureDb()
+    spark.sql(s"CREATE TABLE $cat.db.zo (x BIGINT, y BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.zo " +
+      "SELECT id % 64, (id * 37) % 64 FROM range(0, 4096)")
+    val v = spark.sql(
+      s"CALL $cat.system.optimize_zorder('db.zo', 'x,y', 16)")
+      .head.getLong(0)
+    val root = s"$wh/db/zo"
+    assert(SnapshotTable.currentSnapshot(spark, root) == v)
+    val (_, keptX, totX) = SnapshotTable.pruneFiles(spark, root, v, "x", 0L, 7L)
+    val (_, keptY, totY) = SnapshotTable.pruneFiles(spark, root, v, "y", 0L, 7L)
+    assert(keptX < totX && keptY < totY,
+      s"zorder layout failed to prune: x $keptX/$totX, y $keptY/$totY")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.zo")
+      .head.getLong(0) == 4096L)
+  }
+
+  test("unknown procedure and bad table arguments fail loudly; " +
+      "procedures are listable") {
+    ensureDb()
+    intercept[Exception](
+      spark.sql(s"CALL $cat.system.no_such_proc('db.rb')").collect())
+    intercept[Exception](
+      spark.sql(s"CALL $cat.system.rollback('db.missing', 1)").collect())
+    val c = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[SnapshotCatalog]
+    val listed = c.listProcedures(Array("system")).map(_.name()).toSet
+    assert(listed == Set("expire_snapshots", "remove_orphans", "rollback",
+      "rewrite_deletes", "optimize_zorder"))
+  }
+}
