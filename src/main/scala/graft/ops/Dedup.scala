@@ -107,6 +107,63 @@ object Dedup {
   def spanQuery(s: SparkSession, dir: String): DataFrame =
     duplicatedSpans(Tables.documents(s, dir))
 
+  /** The REMOVAL step of exact-substring dedup (Lee et al. 2022's
+    * ExactSubstr, windowed form — [[duplicatedSpans]] finds the
+    * duplicated windows; this scrubs them): per document, every token
+    * covered by ANY cross-doc-duplicated K-token window is marked, the
+    * marks merge into maximal spans (gaps-and-islands: overlapping
+    * windows collapse — a 40-token repeat is ONE span, not 33), and
+    * the per-source report carries docs hit, spans, duplicated tokens,
+    * and surviving clean tokens. Symmetric removal (every occurrence
+    * scrubbed) keeps the operator join-order-independent and
+    * oracle-exact; keep-one-canonical is the [[duplicatedSpans]]
+    * `min_doc` column composed with this same coverage frame.
+    *
+    * Scale: one flatMap (no shuffle) emits position-tagged windows;
+    * duplicates are one combinable aggregation on the span; coverage
+    * explodes ≤ K rows per duplicated window (bounded by K × corpus
+    * tokens, linear); the islands window partitions BY DOCUMENT — no
+    * global sort anywhere.
+    */
+  def spanScrub(docs: DataFrame): DataFrame = {
+    val session = docs.sparkSession
+    import session.implicits._
+    val grams = OpUtil.spread(docs.select(col("doc_id"), col("text")))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        text.split(" ", -1).iterator.sliding(SpanTokens).withPartial(false)
+          .zipWithIndex.map { case (w, i) => (id, i + 1L, w.mkString(" ")) }
+      }
+      .toDF("doc_id", "p", "span")
+    val dup = grams.groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("span")
+    val covered = grams.join(dup, Seq("span"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("p"), col("p") + (SpanTokens - 1))).as("pos"))
+      .distinct()
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val perDoc = covered
+      .withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy("doc_id", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("doc_id").agg(sum(col("len")).as("dup_toks"),
+        count(lit(1)).as("n_spans"))
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).as("n_toks"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        sum(when(col("dup_toks").isNotNull, 1L).otherwise(0L))
+          .as("n_docs_hit"),
+        sum(coalesce(col("n_spans"), lit(0L))).as("n_spans"),
+        sum(coalesce(col("dup_toks"), lit(0L))).as("dup_tokens"),
+        (sum(col("n_toks")) - sum(coalesce(col("dup_toks"), lit(0L))))
+          .as("clean_tokens"))
+  }
+
+  def spanScrubQuery(s: SparkSession, dir: String): DataFrame =
+    spanScrub(Tables.documents(s, dir))
+
   /** Content-defined chunk dedup (the storage-dedup/CDC family applied to
     * token streams): a token CLOSES a chunk iff its md5 starts with hex
     * '0' (P = 1/16, so chunks average 16 tokens), making boundaries a

@@ -25,6 +25,7 @@ object DedupQueries {
     "dedup_simhash" -> (Dedup.simhash _),
     "dedup_embedding" -> (Dedup.embeddingNearDup _),
     "dedup_span" -> (Dedup.spanQuery _),
+    "dedup_span_scrub" -> (Dedup.spanScrubQuery _),
     "dedup_cdc" -> (Dedup.cdcQuery _),
     "dedup_incremental" -> (Dedup.incrementalQuery _),
     // syndicated-content detection at FINGERPRINT granularity: docs
@@ -216,6 +217,49 @@ object DedupQueries {
          |SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs,
          |  count(*)::BIGINT AS n_occurrences, min(doc_id) AS min_doc
          |FROM s GROUP BY span HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
+    // the scrub replayed relationally: position-tagged windows (the
+    // parallel unnest aligns span and start), cross-doc duplicates,
+    // per-position coverage (DISTINCT collapses overlapping windows),
+    // gaps-and-islands to maximal spans, per-source rollup
+    "dedup_span_scrub" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_transform(range(1, len(toks) - ${Dedup.SpanTokens - 2}),
+         |      i -> array_to_string(toks[i:i + ${Dedup.SpanTokens - 1}], ' ')))
+         |      AS span,
+         |    unnest(range(1, len(toks) - ${Dedup.SpanTokens - 2})) AS p
+         |  FROM t),
+         |dup AS (
+         |  SELECT span FROM s GROUP BY span
+         |  HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (
+         |  SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT doc_id,
+         |      unnest(range(p, p + ${Dedup.SpanTokens})) AS pos
+         |    FROM s WHERE span IN (SELECT span FROM dup))),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS grp
+         |  FROM cov),
+         |perdoc AS (
+         |  SELECT doc_id, sum(len)::BIGINT AS dup_toks,
+         |    count(*)::BIGINT AS n_spans
+         |  FROM (SELECT doc_id, grp, count(*) AS len
+         |        FROM isl GROUP BY 1, 2)
+         |  GROUP BY doc_id)
+         |SELECT source,
+         |  sum(CASE WHEN dup_toks IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_docs_hit,
+         |  sum(coalesce(n_spans, 0))::BIGINT AS n_spans,
+         |  sum(coalesce(dup_toks, 0))::BIGINT AS dup_tokens,
+         |  (sum(len(toks)) - sum(coalesce(dup_toks, 0)))::BIGINT
+         |    AS clean_tokens
+         |FROM t LEFT JOIN perdoc USING (doc_id)
+         |GROUP BY source""".stripMargin,
     // Content-defined chunking replayed relationally: boundary flag per
     // token (md5 first nibble = '0'), chunk index = running boundary
     // count over PRECEDING tokens, chunk text reassembled in token order.

@@ -183,7 +183,13 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "pipe_imv" -> PlanShape(0, 0, 0, 0, 2),
     // call: the returned frame is one agg over the compacted head —
     // every CALL (rollback/zorder/expire) ran at construction
-    "fmt_snapshot_call" -> PlanShape(0, 0, 0, 0, 1))
+    "fmt_snapshot_call" -> PlanShape(0, 0, 0, 0, 1),
+    // span_scrub: both joins BROADCAST (the duplicated-span set and
+    // the per-doc rollup are small next to the token stream); the 7
+    // exchanges are the span agg, coverage distinct, islands window,
+    // and the per-doc/per-source rollups — all doc- or span-keyed,
+    // never a global sort
+    "dedup_span_scrub" -> PlanShape(0, 2, 0, 0, 7))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -235,7 +241,8 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // round-11 session-4: the complete change feed (UB pre-images,
       // delete D frames, no-op folds) and the incrementally-maintained
       // aggregate view over it
-      "fmt_snapshot_cdf_full", "pipe_imv", "fmt_snapshot_call")
+      "fmt_snapshot_cdf_full", "pipe_imv", "fmt_snapshot_call",
+      "dedup_span_scrub")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

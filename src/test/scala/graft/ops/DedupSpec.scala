@@ -231,6 +231,31 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains(("b", "a")))
   }
 
+  test("span scrub merges overlapping duplicated windows into maximal " +
+      "islands and reports exact per-source token arithmetic") {
+    // K = 8. shared (10 toks) duplicates A<->B: its three 8-windows
+    // overlap into ONE island of 10; shared2 (exactly 8) duplicates
+    // A<->D: one window, one island. C is untouched.
+    val shared = (1 to 10).map(i => s"s$i")
+    val shared2 = (1 to 8).map(i => s"t$i")
+    val docA = ((1 to 4).map(i => s"a$i") ++ shared ++
+      (5 to 10).map(i => s"a$i") ++ shared2).mkString(" ") // 28 toks
+    val docB = (shared ++ (1 to 12).map(i => s"b$i")).mkString(" ") // 22
+    val docC = (1 to 15).map(i => s"c$i").mkString(" ") // 15, clean
+    val docD = (shared2 ++ (1 to 7).map(i => s"d$i")).mkString(" ") // 15
+    val docs = Seq(
+      (1L, "x", docA), (2L, "x", docB),
+      (3L, "y", docC), (4L, "y", docD)).toDF("doc_id", "source", "text")
+    val out = Dedup.spanScrub(docs)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // x: A has islands [5..14] + [21..28] (2 spans, 18 toks), B one
+    // island of 10 → hit 2, spans 3, dup 28, clean (28+22)-28 = 22
+    assert(out("x") == ((2L, 3L, 28L, 22L)))
+    // y: only D's one 8-token island → clean (15+15)-8 = 22
+    assert(out("y") == ((1L, 1L, 8L, 22L)))
+  }
+
   test("embedding cosine is exact (agrees with a local computation)") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
