@@ -442,6 +442,50 @@ object OpScaleProbe {
           f"vectored=$dtRead1%.1f s (rows=$n1)")
         spark.sharedState.cacheManager.clearCache()
       }
+      // round-11 session 4. Incremental view maintenance vs table size:
+      // TABLE grows xk (rows AND files), the DELTA stays FIXED (a
+      // 1000-key band merge confined to the first copy, so the touched-
+      // file set is constant). The maintained refresh (change feed →
+      // per-group delta → fold into the view) must stay ~flat — the
+      // feed plans O(metadata) and scans only the merge's change frame
+      // — while the from-scratch rebuild grows with the table. This is
+      // the O(|delta| + |view|) vs O(table) separation the operator's
+      // scaladoc claims.
+      if (wanted("snap_imv")) {
+        import graft.ops.IncrementalView
+        import graft.sources.SnapshotTable
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_snapimv_x$k").toString + "/t"
+        val scaled = scaledOrders(k)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        SnapshotTable.commit(
+          scaled.repartitionByRange(16 * k, col("o_orderkey")), root,
+          statsCol = Some("o_orderkey"))
+        val view = IncrementalView.build(
+          SnapshotTable.readAt(spark, root, 1L),
+          Seq("o_orderstatus"), Seq("o_orderkey")).persist()
+        view.count() // the standing view: per-group partials, tiny
+        val updates = ordBase
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .filter(col("o_orderkey").between(1000, 9000)) // first copy only
+          .withColumn("o_totalprice", lit(0.0))
+        val nUpd = updates.count()
+        val (v2, touched, _) = SnapshotTable.merge(updates, root, "o_orderkey")
+        val t0 = System.nanoTime()
+        val feed = SnapshotTable.changeFeed(spark, root, 1L, v2)
+        val n = IncrementalView.maintain(view, feed,
+          Seq("o_orderstatus"), Seq("o_orderkey")).count()
+        val dtMaint = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        IncrementalView.build(SnapshotTable.read(spark, root),
+          Seq("o_orderstatus"), Seq("o_orderkey")).count()
+        val dtRebuild = (System.nanoTime() - t1) / 1e9
+        view.unpersist(blocking = false)
+        println(f"snap_imv_maint  x$k $dtMaint%8.1f s groups=$n " +
+          s"delta=$nUpd touched=$touched")
+        println(f"snap_imv_rebuild x$k $dtRebuild%7.1f s")
+        spark.sharedState.cacheManager.clearCache()
+      }
     }
     spark.stop()
   }

@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: a rebuild scans the corpus; maintenance scans the
   * increment. Work per step is O(|delta| + |view|), never O(table) —
-  * the bound that makes a per-commit dashboard refresh affordable.
+  * the bound that makes a per-commit dashboard refresh affordable,
+  * measured by the `snap_imv` probe (maintain flat across a ×100
+  * table, rebuild growing with it). `wh_ivm_agg` proves the same view
+  * algebra on a hand-built change frame; this operator runs it over
+  * the snapshot layer's REAL feed, pre-images and deletes included.
   * Reference: the reference engine has no incremental layer at all
   * (every job recomputes, `panda_mapreduce.cc` lifecycle); this is the
   * north-star extension surface (SURVEY §2.5).
