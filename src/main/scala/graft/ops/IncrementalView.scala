@@ -51,14 +51,17 @@ object IncrementalView {
 
   /** Advance `view` (a [[build]] result) by `feed` (a
     * [[graft.sources.SnapshotTable.changeFeed]] frame). Signed
-    * contributions: `A`/`I`/`U` rows +1, `UB`/`D` rows −1; a group
-    * whose row count reaches zero leaves the view. The result equals
-    * `build(<table at the feed's toId>)` row for row.
+    * contributions: `A`/`I`/`U`/`XA` rows +1, `UB`/`D`/`XB` rows −1
+    * (a row a file-diff step carried unchanged appears on both sides
+    * and cancels exactly); a group whose row count reaches zero
+    * leaves the view. The result equals `build(<table at the feed's
+    * toId>)` row for row.
     */
   def maintain(view: DataFrame, feed: DataFrame, groupCols: Seq[String],
       sumCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty, "IncrementalView: at least one group column")
-    val w = when(col("_op").isin("A", "I", "U"), lit(1L)).otherwise(lit(-1L))
+    val w = when(col("_op").isin("A", "I", "U", "XA"), lit(1L))
+      .otherwise(lit(-1L))
     val deltaAggs = sum(w).as("n_rows") +:
       sumCols.map(c => sum(col(c) * w).as(sumAlias(c)))
     val delta = feed.groupBy(groupCols.map(col): _*)

@@ -701,6 +701,76 @@ object FormatQueries {
       .crossJoin(broadcast(audits))
   }
 
+  /** The change feed across SQL row-level DML
+    * ([[graft.sources.SnapshotTable.changeFeed]]'s file-diff steps): a
+    * catalog table takes a SQL `UPDATE` (band repricing) and a SQL
+    * `MERGE INTO` (matched update + not-matched insert) — group
+    * rewrites that replace FILES wholesale — and a consumer pinned
+    * before both folds the feed's `XB`/`XA` (exchanged-before/-after)
+    * frames and lands exactly on the direct post-DML read, which the
+    * oracle recomputes from the orders table. Rows the rewrites
+    * carried unchanged appear on both sides of the diff and cancel in
+    * the key algebra, so no per-row instrumentation of Spark's
+    * row-level execution is needed: the feed is derived lazily from
+    * the manifests' file diff, priced at the rewrite's own
+    * runtime-pruned touched set. The audit flags pin that both ops
+    * produced both frame kinds and that each statement was one atomic
+    * snapshot. (`XB`/`XA` ROW counts are file-layout-dependent —
+    * `repartitionByRange` samples boundaries — so the gate pins
+    * presence, not cardinality; content equality is the hash.)
+    */
+  def snapshotCdfSql(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SnapshotCatalog, SnapshotTable}
+    val wh = scratch("snap_cdfsql_wh")
+    graft.tera.TeraIO.delete(s, wh)
+    s.conf.set("spark.sql.catalog.gsnapc", classOf[SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsnapc.warehouse", wh)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val mx = o.agg(max("o_orderkey")).head.getAs[Number](0).longValue
+    val (b1lo, b1hi, b2lo, b2hi) =
+      (mx / 10, mx * 2 / 10, mx * 3 / 10, mx * 4 / 10)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsnapc.db")
+    s.sql("DROP TABLE IF EXISTS gsnapc.db.ord")
+    s.sql("CREATE TABLE gsnapc.db.ord " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+    val root = s"$wh/db/ord"
+    val v2 = SnapshotTable.commit( // stats → the DML rewrites prune
+      o.repartitionByRange(16, col("o_orderkey")), root,
+      statsCol = Some("o_orderkey"))
+    s.sql("UPDATE gsnapc.db.ord SET o_totalprice = o_totalprice + 500.0 " +
+      s"WHERE o_orderkey > $b1lo AND o_orderkey <= $b1hi") // v3
+    val v3 = SnapshotTable.currentSnapshot(s, root)
+    o.filter(col("o_orderkey") > b2lo && col("o_orderkey") <= b2hi)
+      .unionByName(o.filter(col("o_orderkey") % 10 === 5)
+        .withColumn("o_orderkey", col("o_orderkey") + 30000000L))
+      .createOrReplaceTempView("snap_cdfsql_src")
+    s.sql("MERGE INTO gsnapc.db.ord t USING snap_cdfsql_src s " +
+      "ON t.o_orderkey = s.o_orderkey " +
+      "WHEN MATCHED THEN UPDATE SET o_totalprice = t.o_totalprice + 100.0 " +
+      "WHEN NOT MATCHED THEN INSERT *") // v4
+    val v4 = SnapshotTable.currentSnapshot(s, root)
+    val feed = SnapshotTable.changeFeed(s, root, v2, v4)
+    val folded = SnapshotTable.applyChanges(
+      SnapshotTable.readAt(s, root, v2), feed, "o_orderkey")
+    val audits = feed.agg(
+      max(when(col("_op") === "XB" && col("_commit") === v3, 1L)
+        .otherwise(0L)).as("upd_xb"),
+      max(when(col("_op") === "XA" && col("_commit") === v3, 1L)
+        .otherwise(0L)).as("upd_xa"),
+      max(when(col("_op") === "XB" && col("_commit") === v4, 1L)
+        .otherwise(0L)).as("mrg_xb"),
+      max(when(col("_op") === "XA" && col("_commit") === v4, 1L)
+        .otherwise(0L)).as("mrg_xa"))
+    folded.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_fold"),
+        money(sum(col("o_totalprice"))).as("total_fold"),
+        sum(col("o_orderkey")).as("okey_fold"))
+      .crossJoin(broadcast(audits))
+      .withColumn("atomic_dml",
+        lit(if (v3 == v2 + 1 && v4 == v3 + 1) 1L else 0L))
+  }
+
   /** PARTITIONED snapshot table
     * ([[graft.sources.SnapshotTable.commit]]'s `partitionBy`): commit
     * lineitem partitioned by `l_returnflag` — the staging write splits
@@ -1466,6 +1536,7 @@ object FormatQueries {
     "fmt_snapshot_cdf" -> (snapshotCdf _),
     "fmt_snapshot_cdf_full" -> (snapshotCdfFull _),
     "fmt_snapshot_call" -> (snapshotCall _),
+    "fmt_snapshot_cdf_sql" -> (snapshotCdfSql _),
     "fmt_snapshot_rollback" -> (snapshotRollback _),
     "fmt_snapshot_partitioned" -> (snapshotPartitioned _),
     "fmt_snapshot_dv" -> (snapshotDv _),
@@ -1627,6 +1698,30 @@ object FormatQueries {
         |   WHERE o_orderkey BETWEEN 1000 AND 3000)::BIGINT AS n_replaced,
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderkey < 500)::BIGINT AS n_inserted
+        |FROM fin GROUP BY 1""".stripMargin,
+    // the folded consumer state across SQL UPDATE + SQL MERGE INTO
+    // (file-diff XB/XA steps) = the oracle's direct recomputation;
+    // bands are disjoint so each reprice applies to original prices
+    "fmt_snapshot_cdf_sql" ->
+      """WITH b AS (SELECT max(o_orderkey)//10 AS b1lo,
+        |  max(o_orderkey)*2//10 AS b1hi, max(o_orderkey)*3//10 AS b2lo,
+        |  max(o_orderkey)*4//10 AS b2hi FROM orders),
+        |fin AS (
+        |  SELECT o_orderstatus AS st, o_orderkey AS k,
+        |    CASE WHEN o_orderkey > b.b1lo AND o_orderkey <= b.b1hi
+        |      THEN o_totalprice + 500.0
+        |      WHEN o_orderkey > b.b2lo AND o_orderkey <= b.b2hi
+        |      THEN o_totalprice + 100.0
+        |      ELSE o_totalprice END AS p
+        |  FROM orders, b
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey + 30000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 5)
+        |SELECT st AS o_orderstatus, count(*)::BIGINT AS n_fold,
+        |  round(sum(p), 2) AS total_fold, sum(k)::BIGINT AS okey_fold,
+        |  1::BIGINT AS upd_xb, 1::BIGINT AS upd_xa,
+        |  1::BIGINT AS mrg_xb, 1::BIGINT AS mrg_xa,
+        |  1::BIGINT AS atomic_dml
         |FROM fin GROUP BY 1""".stripMargin,
     // the post-lifecycle table = CTAS ∪ good batch (the bad batch was
     // rolled away; the zorder compaction preserved content); the audit

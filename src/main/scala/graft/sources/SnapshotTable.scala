@@ -1162,6 +1162,14 @@ object SnapshotTable {
     *  - a vector fold ([[rewriteDeletes]]) and an OPTIMIZE ZORDER
     *    compaction are logical NO-OPS (they rewrite layout, not rows)
     *    and contribute an empty step;
+    *  - a SQL row-level rewrite (UPDATE / MERGE INTO / group DELETE —
+    *    the `rowlevel.op` commits, which replace FILES wholesale)
+    *    contributes a FILE-DIFF step: the replaced files' rows as op
+    *    `XB` (exchanged-before), the new files' rows as op `XA` —
+    *    both read lazily here, priced at the rewrite's own touched
+    *    set (runtime-pruned, delta-shaped). The key algebra is exact:
+    *    a row unchanged by the rewrite appears in both and cancels;
+    *    `XB` without `XA` is a delete, `XA` without `XB` an insert;
     *  - any other overwrite (full rewrite, rollback, partition
     *    replace) still refuses loudly — it rewrites history without a
     *    row-level record, so a consumer must re-baseline (the same
@@ -1198,7 +1206,23 @@ object SnapshotTable {
       val step =
         if (props.contains("rewrite.deletes") ||
             props.contains("compact.zorder")) emptyStep
-        else if (isDelete) {
+        else if (props.contains("rowlevel.op")) {
+          // file-diff step: replaced files XB, new files XA (vectors
+          // cannot appear — row-level rewrites refuse vectored tables)
+          val removed = (prev -- cur).toSeq.sorted
+            .filterNot(_.startsWith("deletes/"))
+          val added = (cur -- prev).toSeq.sorted
+            .filterNot(_.startsWith("deletes/"))
+          val frames =
+            (if (removed.isEmpty) Seq.empty
+             else Seq(readFiles(removed, id)
+               .withColumn("_op", lit("XB")))) ++
+            (if (added.isEmpty) Seq.empty
+             else Seq(readFiles(added, id).withColumn("_op", lit("XA"))))
+          if (frames.isEmpty) emptyStep
+          else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+            .withColumn("_commit", lit(id))
+        } else if (isDelete) {
           val frames =
             props.get("cdf.dir").map(rel =>
               s.read.parquet(s"$root/$rel")
@@ -1240,12 +1264,15 @@ object SnapshotTable {
     * order; an append step unions its `A` rows; a merge step removes
     * its touched keys (anti-join on `keyCol` over the `U`/`UB` rows)
     * then unions the post-image `U`/`I` rows; a delete step removes
-    * its `D` rows' keys and unions nothing — after the last step the
-    * frame row-for-row equals a direct read of the feed's `toId`
-    * snapshot (the `fmt_snapshot_cdf` / `fmt_snapshot_cdf_full` hash
-    * gates). Contract: `keyCol` is a row key (unique per row), the
-    * same contract [[merge]] keys on. One lazy plan, one join per
-    * row-removing step — feeds are delta-sized by construction.
+    * its `D` rows' keys and unions nothing; a file-diff step (SQL
+    * row-level rewrites) removes the `XB` rows' keys and unions the
+    * `XA` rows — after the last step the frame row-for-row equals a
+    * direct read of the feed's `toId` snapshot (the
+    * `fmt_snapshot_cdf` / `fmt_snapshot_cdf_full` /
+    * `fmt_snapshot_cdf_sql` hash gates). Contract: `keyCol` is a row
+    * key (unique per row), the same contract [[merge]] keys on. One
+    * lazy plan, one join per row-removing step — feeds are priced at
+    * each commit's own churn, never the table.
     */
   def applyChanges(state: DataFrame, feed: DataFrame,
       keyCol: String): DataFrame = {
@@ -1254,13 +1281,13 @@ object SnapshotTable {
       .collect().map(_.getLong(0)).sorted
     commits.foldLeft(state) { (acc, id) =>
       val step = feed.filter(col("_commit") === id)
-      val rows = step.filter(col("_op").isin("A", "I", "U"))
+      val rows = step.filter(col("_op").isin("A", "I", "U", "XA"))
         .drop("_op", "_commit")
       val removesRows =
         step.filter(col("_op") =!= "A").limit(1).count() > 0
       if (!removesRows) acc.unionByName(rows, allowMissingColumns = true)
       else acc
-        .join(step.filter(col("_op").isin("U", "UB", "D"))
+        .join(step.filter(col("_op").isin("U", "UB", "D", "XB"))
           .select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
         .unionByName(rows, allowMissingColumns = true)
     }

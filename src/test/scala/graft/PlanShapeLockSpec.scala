@@ -189,7 +189,12 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // exchanges are the span agg, coverage distinct, islands window,
     // and the per-doc/per-source rollups — all doc- or span-keyed,
     // never a global sort
-    "dedup_span_scrub" -> PlanShape(0, 2, 0, 0, 7))
+    "dedup_span_scrub" -> PlanShape(0, 2, 0, 0, 7),
+    // cdf_sql: the SQL-DML feed folds like the library one — every
+    // anti-join BROADCAST (the XB/XA frames are priced at the
+    // rewrites' touched files, never the table), the BNLJ is the
+    // 1-row audit cross-join
+    "fmt_snapshot_cdf_sql" -> PlanShape(0, 3, 1, 0, 5))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -242,7 +247,10 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // delete D frames, no-op folds) and the incrementally-maintained
       // aggregate view over it
       "fmt_snapshot_cdf_full", "pipe_imv", "fmt_snapshot_call",
-      "dedup_span_scrub")
+      "dedup_span_scrub",
+      // round-11 session-5: the change feed across SQL row-level DML
+      // (XB/XA file-diff steps)
+      "fmt_snapshot_cdf_sql")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

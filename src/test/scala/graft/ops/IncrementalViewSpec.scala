@@ -55,6 +55,33 @@ class IncrementalViewSpec extends SparkSpec {
       Seq(EqualTo("g", "odd")))._1)
   }
 
+  test("maintain folds a SQL row-level rewrite's XB/XA file-diff step " +
+      "— carried-unchanged rows cancel, changed rows move the sums") {
+    import spark.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_imv_sqlwh").toString
+    spark.conf.set("spark.sql.catalog.imvsql",
+      classOf[graft.sources.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.imvsql.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS imvsql.db")
+    spark.sql("CREATE TABLE imvsql.db.t (k BIGINT, g STRING, x BIGINT)")
+    val root = s"$wh/db/t"
+    val df = (1L to 20L)
+      .map(k => (k, if (k % 2 == 0) "even" else "odd", k * 10L))
+      .toDF("k", "g", "x")
+    val v2 = SnapshotTable.commit(df.repartitionByRange(4, col("k")),
+      root, statsCol = Some("k"))
+    val view = IncrementalView.build(
+      SnapshotTable.readAt(spark, root, v2), Seq("g"), Seq("x"))
+    spark.sql("UPDATE imvsql.db.t SET x = x + 100 WHERE k > 5 AND k <= 10")
+    val v3 = SnapshotTable.currentSnapshot(spark, root)
+    val feed = SnapshotTable.changeFeed(spark, root, v2, v3)
+    val after = IncrementalView.maintain(view, feed, Seq("g"), Seq("x"))
+    val rebuilt = IncrementalView.build(
+      SnapshotTable.read(spark, root), Seq("g"), Seq("x"))
+    assert(collectView(after) == collectView(rebuilt))
+  }
+
   test("a group whose last row is deleted leaves the view entirely") {
     import spark.implicits._
     val root = tmpRoot("gone")

@@ -129,6 +129,60 @@ class SnapshotCdfFullSpec extends SparkSpec {
     assert(direct.nonEmpty)
   }
 
+  test("a SQL UPDATE crosses the feed as a file-diff step: XB " +
+      "pre-images and XA post-images priced at the rewrite's touched " +
+      "files, and rows the rewrite carried unchanged cancel in the fold") {
+    import spark.implicits._
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_cdff_sqlwh").toString
+    spark.conf.set("spark.sql.catalog.cdffsql",
+      classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.cdffsql.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS cdffsql.db")
+    spark.sql("CREATE TABLE cdffsql.db.t (k BIGINT, m BIGINT, v STRING)")
+    val root = s"$wh/db/t"
+    val df = (1L to 20L).map(k => (k, k % 3, s"r$k")).toDF("k", "m", "v")
+    val v2 = SnapshotTable.commit(df.repartitionByRange(4, col("k")),
+      root, statsCol = Some("k"))
+    spark.sql("UPDATE cdffsql.db.t SET v = 'upd' WHERE k > 5 AND k <= 8")
+    val v3 = SnapshotTable.currentSnapshot(spark, root)
+    assert(v3 == v2 + 1) // one atomic snapshot per statement
+    val feed = SnapshotTable.changeFeed(spark, root, v2, v3)
+    assert(feed.select("_op").distinct().as[String].collect().toSet ==
+      Set("XB", "XA"))
+    // priced at the touched set: the stats-pruned rewrite replaced a
+    // strict subset of the 4 files, and the feed scans exactly the
+    // diffed files (replaced + new), never the carried ones
+    val before = SnapshotTable.fileList(spark, root, v2).toSet
+    val after = SnapshotTable.fileList(spark, root, v3).toSet
+    val diffed = (before -- after).size + (after -- before).size
+    assert((before -- after).size < before.size, "rewrite was not pruned")
+    val scanned = feed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }.sum
+    assert(scanned == diffed,
+      s"feed scanned $scanned files, expected the $diffed diffed ones")
+    // unchanged rows appear as both XB and XA and cancel exactly
+    val folded = SnapshotTable.applyChanges(
+      SnapshotTable.readAt(spark, root, v2), feed, "k")
+    assert(folded.select("k", "m", "v").as[(Long, Long, String)]
+      .collect().sorted.toSeq ==
+      SnapshotTable.read(spark, root).select("k", "m", "v")
+        .as[(Long, Long, String)].collect().sorted.toSeq)
+    val xb = feed.filter(col("_op") === "XB").select("k", "m", "v")
+      .as[(Long, Long, String)].collect().toSet
+    val xa = feed.filter(col("_op") === "XA").select("k", "m", "v")
+      .as[(Long, Long, String)].collect().toSet
+    // the full-row intersection is exactly the rewrite's carried-
+    // unchanged rows: every XB row outside the updated band reappears
+    // verbatim in XA (and cancels in the key algebra)
+    assert((xb intersect xa) == xb.filterNot(r => r._1 > 5 && r._1 <= 8),
+      "carried-unchanged rows must appear on both sides of the diff")
+    assert(xb.map(_._1) == xa.map(_._1),
+      "an UPDATE rewrites values, never the key set")
+  }
+
   test("a delete that matches nothing records no frame and the feed " +
       "crosses it empty; an overwrite still refuses") {
     import spark.implicits._
