@@ -33,7 +33,8 @@ object StreamQueries {
     "stream_snapshot_sink" -> (EventStreams.snapshotSinkStream _),
     "stream_snapshot_totable" -> (EventStreams.snapshotToTableStream _),
     "stream_snapshot_source" -> (EventStreams.snapshotSourceStream _),
-    "stream_snapshot_readtable" -> (EventStreams.snapshotReadTableStream _)
+    "stream_snapshot_readtable" -> (EventStreams.snapshotReadTableStream _),
+    "stream_snapshot_cdf" -> (EventStreams.snapshotCdfStream _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -177,6 +178,33 @@ object StreamQueries {
         |  sum(o_orderkey)::BIGINT AS sum_okey,
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderkey % 10 = 9)::BIGINT AS mid_stream_rows
-        |FROM orders GROUP BY 1""".stripMargin
+        |FROM orders GROUP BY 1""".stripMargin,
+    // the STREAMED change feed maintains an incremental view through
+    // merge (+500 reprice of deciles 2-3, +30M-key inserts), COW
+    // key-band delete, and append — the maintained view must equal
+    // this direct recomputation of the final table state; sums are
+    // integer cents so the view algebra is exact
+    "stream_snapshot_cdf" ->
+      """WITH b AS (SELECT max(o_orderkey)//2 AS dlo,
+        |  max(o_orderkey)*6//10 AS dhi FROM orders),
+        |v2 AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 IN (2, 3) THEN o_totalprice + 500.0
+        |      ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 10 <= 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |v3 AS (SELECT v2.* FROM v2, b
+        |  WHERE NOT (o_orderkey > b.dlo AND o_orderkey <= b.dhi)),
+        |fin AS (SELECT * FROM v3
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 9)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+        |  sum(CAST(round(p * 100) AS BIGINT))::BIGINT AS total_cents,
+        |  sum(o_orderkey)::BIGINT AS sum_okey,
+        |  3::BIGINT AS n_commits, 'A,D,I,U,UB' AS ops_seen
+        |FROM fin GROUP BY 1""".stripMargin
   )
 }

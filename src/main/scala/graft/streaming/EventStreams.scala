@@ -817,6 +817,87 @@ object EventStreams {
       .withColumn("mid_stream_rows", lit(midRows))
   }
 
+  /** STREAMING change-feed consumption end-to-end
+    * (`readStream.format("graft-snap-stream")
+    * .option("readChangeFeed", "true")`): a snapshot table takes a
+    * merge (`UB`/`U`/`I`), a copy-on-write delete (`D`), and an append
+    * (`A`) while a CDF tail is running; the delivered change frames
+    * maintain an [[graft.ops.IncrementalView]] bootstrapped at the
+    * stream's start snapshot, and the maintained view hash-equals the
+    * oracle's from-scratch recomputation of the final table state.
+    * This is the capability the batch gates can't show: derived state
+    * kept consistent through row-level churn WITHOUT re-reading the
+    * table — each micro-batch plans O(metadata) and scans only the
+    * commit's own churn, and the append tail's refusal on merges and
+    * deletes does not apply (the feed crosses them as ordinary
+    * delta-priced steps). Sums are integer cents, so the maintained
+    * algebra is exact regardless of micro-batch boundaries. The audit
+    * pins the three commits and the full op vocabulary crossing the
+    * wire.
+    */
+  def snapshotCdfStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.IncrementalView
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_snapcdfs").toString
+    val root = s"$base/table"
+    val sinkName = s"snap_cdfs_${java.util.UUID.randomUUID()
+      .toString.replace("-", "")}"
+    val o = graft.Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val mx = o.agg(max("o_orderkey")).head.getAs[Number](0).longValue
+    val (dlo, dhi) = (mx / 2, mx * 6 / 10)
+    // exact view algebra: integer cents, derived per-row on both the
+    // bootstrap read and the feed (round-trips double repricing exactly)
+    def cents(df: DataFrame): DataFrame =
+      df.withColumn("cents", round(col("o_totalprice") * 100).cast("long"))
+    val v1 = SnapshotTable.commit(
+      o.filter(col("o_orderkey") % 10 <= 3)
+        .repartitionByRange(8, col("o_orderkey")),
+      root, statsCol = Some("o_orderkey"))
+    val view0 = IncrementalView.build(
+      cents(SnapshotTable.readAt(s, root, v1)),
+      Seq("o_orderstatus"), Seq("cents", "o_orderkey"))
+    val feed = withStreamPartitions(s) {
+      val q = s.readStream.format("graft-snap-stream")
+        .option("readChangeFeed", "true")
+        .option("startSnapshot", v1.toString)
+        .load(root)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try {
+        SnapshotTable.merge( // v2: reprice %10∈{2,3} (+500), insert +30M
+          o.filter(col("o_orderkey") % 10 === 2 ||
+              col("o_orderkey") % 10 === 3)
+            .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+            .unionByName(o.filter(col("o_orderkey") % 10 === 7)
+              .withColumn("o_orderkey", col("o_orderkey") + 30000000L)),
+          root, "o_orderkey")
+        q.processAllAvailable()
+        SnapshotTable.deleteWhere(s, root, // v3: COW key-band delete
+          Seq(GreaterThan("o_orderkey", dlo),
+            LessThanOrEqual("o_orderkey", dhi)))
+        q.processAllAvailable()
+        SnapshotTable.commit( // v4: plain append
+          o.filter(col("o_orderkey") % 10 === 9), root)
+        q.processAllAvailable()
+        s.table(sinkName)
+      } finally q.stop()
+    }
+    val maintained = IncrementalView.maintain(view0, cents(feed),
+      Seq("o_orderstatus"), Seq("cents", "o_orderkey"))
+    val audits = feed.agg(
+      countDistinct(col("_commit")).as("n_commits"),
+      concat_ws(",", sort_array(collect_set(col("_op")))).as("ops_seen"))
+    maintained.select(col("o_orderstatus"), col("n_rows"),
+        col("sum_cents").as("total_cents"),
+        col("sum_o_orderkey").as("sum_okey"))
+      .crossJoin(broadcast(audits))
+  }
+
   /** `spark.readStream.table("cat.db.t")` — the catalog twin of
     * [[snapshotSourceStream]] (same contract: snapshot-id offsets,
     * appended-files batches, exactly-once), through the table's own

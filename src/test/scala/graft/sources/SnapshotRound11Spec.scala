@@ -472,4 +472,64 @@ class SnapshotRound11Spec extends SparkSpec {
     assert(pinnedFrame.count() == 10L)
     assert(spark.read.format("graft-snap").load(root).count() == 30L)
   }
+
+  test("CDF stream: tails the merges and deletes the append tail " +
+      "refuses, a checkpointed restart delivers only the missed " +
+      "commits, and a view maintained from the frames equals a rebuild") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_r11_cdfs").toString
+    val root = s"$base/table"
+    val ckpt = s"$base/ckpt"
+    val df = (1L to 20L)
+      .map(k => (k, if (k % 2 == 0) "even" else "odd", k * 10L))
+      .toDF("k", "g", "x")
+    SnapshotTable.commit(df.repartitionByRange(4, col("k")), root,
+      statsCol = Some("k")) // v1
+    val got = scala.collection.mutable
+      .ArrayBuffer.empty[(Long, String, Long, String, Long)]
+    def drain(): Set[Long] = { // returns the commit ids this run saw
+      val seen = scala.collection.mutable.Set.empty[Long]
+      val q = spark.readStream.format("graft-snap-stream")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val rows = b.select("k", "g", "x", "_op", "_commit")
+            .as[(Long, String, Long, String, Long)].collect()
+          got.synchronized { got ++= rows; seen ++= rows.map(_._5) }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try { q.processAllAvailable(); seen.toSet } finally q.stop()
+    }
+    SnapshotTable.merge( // v2: the append tail would refuse this
+      Seq((4L, "even", 1L), (50L, "odd", 2L)).toDF("k", "g", "x"),
+      root, "k")
+    assert(drain() == Set(1L, 2L))
+    // ...and these two land while the query is DOWN
+    SnapshotTable.deleteWhere(spark, root, // v3
+      Seq(GreaterThan("k", 10L), LessThanOrEqual("k", 14L)))
+    SnapshotTable.commit( // v4
+      Seq((60L, "even", 3L)).toDF("k", "g", "x"), root)
+    assert(drain() == Set(3L, 4L), "restart must deliver exactly v3, v4")
+    val ops = got.map(_._4).toSet
+    assert(Set("A", "U", "UB", "I", "D").subsetOf(ops), ops)
+    // the delivered frames maintain an empty-bootstrapped view to the
+    // exact final state
+    val feed = got.toSeq.toDF("k", "g", "x", "_op", "_commit")
+    val view0 = graft.ops.IncrementalView.build(
+      SnapshotTable.readAt(spark, root, 1L).limit(0), Seq("g"), Seq("x"))
+    val maintained = graft.ops.IncrementalView
+      .maintain(view0, feed, Seq("g"), Seq("x"))
+      .select("g", "n_rows", "sum_x").as[(String, Long, Long)]
+      .collect().toSet
+    val rebuilt = graft.ops.IncrementalView.build(
+      SnapshotTable.read(spark, root), Seq("g"), Seq("x"))
+      .select("g", "n_rows", "sum_x").as[(String, Long, Long)]
+      .collect().toSet
+    assert(maintained == rebuilt)
+  }
 }
