@@ -771,6 +771,70 @@ object FormatQueries {
         lit(if (v3 == v2 + 1 && v4 == v3 + 1) 1L else 0L))
   }
 
+  /** WRITE-AUDIT-PUBLISH staging
+    * ([[graft.sources.SnapshotTable.commitWap]] /
+    * [[graft.sources.SnapshotTable.publishWap]] /
+    * [[graft.sources.SnapshotTable.dropWap]]): ingest earns its way
+    * onto the serving path. A good batch stages invisibly (the head
+    * and readers still see the base), its audit reads the CANDIDATE
+    * state via `readWap`, and publish is an O(metadata) fast-forward —
+    * the expensive write happened once, off-path. A bad batch
+    * (negative prices) stages, FAILS its audit, and drops without the
+    * table ever seeing it. A stale stage (the table advanced past its
+    * base) refuses to publish rather than silently dropping the
+    * interleaved commit's rows. The final table = base ∪ good batch ∪
+    * interleaved batch, which the oracle recomputes directly; audit
+    * flags pin invisibility, the failed-audit drop, and the
+    * divergence refusal.
+    */
+  def snapshotWap(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_wap")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val v1 = SnapshotTable.commit( // base: deciles 0-5
+      o.filter(col("o_orderkey") % 10 <= 5)
+        .repartitionByRange(8, col("o_orderkey")),
+      root, statsCol = Some("o_orderkey"))
+    // GOOD batch: stage deciles 6-7, audit the candidate state, publish
+    SnapshotTable.commitWap(
+      o.filter(col("o_orderkey") % 10 === 6 || col("o_orderkey") % 10 === 7),
+      root, "good")
+    val stagedInvisible =
+      if (SnapshotTable.currentSnapshot(s, root) == v1) 1L else 0L
+    val auditGood = SnapshotTable.readWap(s, root, "good")
+      .filter(col("o_totalprice") < 0).limit(1).count() == 0L
+    val v2 = if (auditGood) SnapshotTable.publishWap(s, root, "good") else v1
+    // BAD batch: negative prices — the audit fails, the stage drops
+    SnapshotTable.commitWap(
+      o.filter(col("o_orderkey") % 10 === 8)
+        .withColumn("o_totalprice", -col("o_totalprice")),
+      root, "bad")
+    val auditBad = SnapshotTable.readWap(s, root, "bad")
+      .filter(col("o_totalprice") < 0).limit(1).count() == 0L
+    val droppedBad =
+      if (!auditBad && SnapshotTable.dropWap(s, root, "bad") >= 1) 1L else 0L
+    // STALE stage: the table advances past its base before publish
+    SnapshotTable.commitWap(
+      o.filter(col("o_orderkey") % 10 === 9), root, "stale")
+    SnapshotTable.commit( // the interleaved main commit the audit missed
+      o.filter(col("o_orderkey") % 10 === 8), root,
+      expectedBase = Some(v2))
+    val refusedStale =
+      try { SnapshotTable.publishWap(s, root, "stale"); 0L }
+      catch { case _: IllegalStateException => 1L }
+    SnapshotTable.dropWap(s, root, "stale")
+    SnapshotTable.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        money(sum(col("o_totalprice"))).as("total"),
+        sum(col("o_orderkey")).as("sum_okey"))
+      .withColumn("staged_invisible", lit(stagedInvisible))
+      .withColumn("dropped_bad", lit(droppedBad))
+      .withColumn("refused_stale", lit(refusedStale))
+  }
+
   /** PARTITIONED snapshot table
     * ([[graft.sources.SnapshotTable.commit]]'s `partitionBy`): commit
     * lineitem partitioned by `l_returnflag` — the staging write splits
@@ -1537,6 +1601,7 @@ object FormatQueries {
     "fmt_snapshot_cdf_full" -> (snapshotCdfFull _),
     "fmt_snapshot_call" -> (snapshotCall _),
     "fmt_snapshot_cdf_sql" -> (snapshotCdfSql _),
+    "fmt_snapshot_wap" -> (snapshotWap _),
     "fmt_snapshot_rollback" -> (snapshotRollback _),
     "fmt_snapshot_partitioned" -> (snapshotPartitioned _),
     "fmt_snapshot_dv" -> (snapshotDv _),
@@ -1723,6 +1788,17 @@ object FormatQueries {
         |  1::BIGINT AS mrg_xb, 1::BIGINT AS mrg_xa,
         |  1::BIGINT AS atomic_dml
         |FROM fin GROUP BY 1""".stripMargin,
+    // write-audit-publish: the final table = base (deciles 0-5) ∪
+    // published good batch (6-7) ∪ interleaved commit (8); the bad
+    // batch (negated prices) failed its audit and dropped, the stale
+    // stage (decile 9) refused to publish — neither reaches the table
+    "fmt_snapshot_wap" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  sum(o_orderkey)::BIGINT AS sum_okey,
+        |  1::BIGINT AS staged_invisible, 1::BIGINT AS dropped_bad,
+        |  1::BIGINT AS refused_stale
+        |FROM orders WHERE o_orderkey % 10 <= 8 GROUP BY 1""".stripMargin,
     // the post-lifecycle table = CTAS ∪ good batch (the bad batch was
     // rolled away; the zorder compaction preserved content); the audit
     // columns pin the restored head id, the clustered-key prune, and

@@ -225,12 +225,41 @@ object SnapshotTable {
         s"snapshot v$id of $root does not exist: it was expired by " +
           s"expireSnapshots or was never committed " +
           s"(current = ${currentSnapshot(s, root)})")
-    val in = fs.open(manifestPath(root, id))
+    manifestLines(fs, manifestPath(root, id))
+  }
+
+  private def manifestLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
     try new String(org.apache.commons.io.IOUtils.toByteArray(in),
       StandardCharsets.UTF_8).split("\n").iterator
       .map(_.trim).filter(_.nonEmpty).toSeq
     finally in.close()
   }
+
+  /** A STAGED (write-audit-publish) snapshot's manifest: named by the
+    * caller's wap id, invisible to [[currentSnapshot]] / readers /
+    * time travel until [[publishWap]] fast-forwards it onto the head.
+    */
+  private def wapPath(root: String, wapId: String) =
+    new Path(manifestDir(root), s"wap-${enc(wapId)}.manifest")
+
+  private def wapLines(s: SparkSession, root: String,
+      wapId: String): Seq[String] = {
+    val fs = fsOf(s, new Path(root))
+    if (!fs.exists(wapPath(root, wapId)))
+      throw new IllegalArgumentException(
+        s"staged snapshot '$wapId' of $root does not exist: it was " +
+          "published, dropped, or never staged")
+    manifestLines(fs, wapPath(root, wapId))
+  }
+
+  private def wapProps(s: SparkSession, root: String,
+      wapId: String): Map[String, String] =
+    wapLines(s, root, wapId).iterator
+      .filter(_.startsWith("#prop "))
+      .map(_.stripPrefix("#prop ").split("=", 2))
+      .collect { case Array(k, v) => dec(k) -> dec(v) }
+      .toMap
 
   /** Snapshot N's data-file entry lines (path + optional stats fields),
     * excluding property headers.
@@ -387,7 +416,8 @@ object SnapshotTable {
       carried: Seq[String], prev: Long, statsCol: Option[String],
       props: Map[String, String],
       baseSchema: Option[StructType] = None,
-      partitionCols: Seq[String] = Seq.empty): Long = {
+      partitionCols: Seq[String] = Seq.empty,
+      wapId: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
     val s = df.sparkSession
     val rootP = new Path(root)
@@ -419,7 +449,7 @@ object SnapshotTable {
     val statsCols = statsCol.toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     publishStaged(s, root, commitId, staging, carried, prev, statsCols,
-      props, schema)
+      props, schema, wapTarget = wapId.map(w => wapPath(root, w)))
   }
 
   /** The publish half of a commit, shared by every write path (the
@@ -434,7 +464,8 @@ object SnapshotTable {
   private[sources] def publishStaged(s: SparkSession, root: String,
       commitId: String, staging: Path, carried: Seq[String], prev: Long,
       statsCols: Seq[String], props: Map[String, String],
-      schema: StructType, only: Option[Set[String]] = None): Long = {
+      schema: StructType, only: Option[Set[String]] = None,
+      wapTarget: Option[Path] = None): Long = {
     val rootP = new Path(root)
     val fs = fsOf(s, rootP)
     val dataDir = new Path(rootP, "data")
@@ -495,8 +526,26 @@ object SnapshotTable {
     val out = fs.create(tmp, false)
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    publishManifest(s, fs, root, id, tmp)
-    id
+    wapTarget match {
+      case Some(target) =>
+        // a STAGED snapshot: publish under the wap name (no head
+        // advance, no claim — the name itself is the exclusivity: a
+        // taken wap id fails loudly rather than replacing an audit's
+        // subject under it)
+        if (fs.exists(target) || !fs.rename(tmp, target)) {
+          fs.delete(tmp, false)
+          // this stage's files were already moved into data/ — delete
+          // exactly that set rather than leaving orphans
+          moved.foreach(rel => fs.delete(new Path(rootP, rel), false))
+          throw new IllegalStateException(
+            s"staged snapshot '${target.getName}' of $root already " +
+              "exists: publish or drop it before re-staging")
+        }
+        prev
+      case None =>
+        publishManifest(s, fs, root, id, tmp)
+        id
+    }
   }
 
   /** Claim the id ATOMICALLY, then rename the manifest into place.
@@ -653,13 +702,19 @@ object SnapshotTable {
       olderThanMs: Long): Int = {
     val fs = fsOf(s, new Path(root))
     val mdir = manifestDir(root)
-    val liveIds =
-      if (!fs.exists(mdir)) Seq.empty[Long]
-      else fs.listStatus(mdir).iterator.map(_.getPath.getName)
-        .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
-          n.stripPrefix("v").stripSuffix(".manifest").toLong }.toSeq
+    val manifests =
+      if (!fs.exists(mdir)) Seq.empty[Path]
+      else fs.listStatus(mdir).iterator.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          // staged (wap-*) snapshots are LIVE referencers too: their
+          // files await an audit verdict, not garbage collection
+          (n.startsWith("v") || n.startsWith("wap-")) &&
+            n.endsWith(".manifest")
+        }.toSeq
     val referenced: Set[String] =
-      liveIds.flatMap(id => fileList(s, root, id)).toSet
+      manifests.flatMap(p => manifestLines(fs, p)
+        .filterNot(_.startsWith("#")).map(parseEntry(_).path)).toSet
     var n = 0
     val now = System.currentTimeMillis()
     // data files AND delete-vector files: a deleteWhereMor that crashed
@@ -716,6 +771,117 @@ object SnapshotTable {
     fs.mkdirs(staging) // empty: a manifest-only commit moves no files
     publishStaged(s, root, commitId, staging, carried, cur, Seq.empty,
       shapeProps + ("rollback.of" -> toId.toString), schema)
+  }
+
+  /** Stage an append as a WRITE-AUDIT-PUBLISH snapshot: the files are
+    * written and the manifest is fully formed (carried base entries,
+    * stats index, row counts, evolved schema) but published under the
+    * caller's `wapId` instead of the next version number — INVISIBLE
+    * to [[currentSnapshot]], readers, time travel, streams, and the
+    * change feed until [[publishWap]] fast-forwards it onto the head.
+    * The audit step reads the staged state with [[readWap]] (exactly
+    * what the table WOULD become), runs its quality gates, then either
+    * publishes (an O(metadata) manifest move — the data files are
+    * already in place, nothing is rewritten) or [[dropWap]]s the stage
+    * (the base table was never touched). A taken wapId refuses rather
+    * than replacing an audit's subject under it. Returns the BASE
+    * snapshot id the stage was built against.
+    *
+    * At 100 TB this is how ingest earns trust: the expensive write
+    * happens once, off the serving path; the gate reads the candidate
+    * state; publish is one rename. The same pattern as Iceberg's
+    * `spark.wap.id` staged commits. Single-writer contract per wapId;
+    * concurrent MAIN commits are allowed while a stage is open —
+    * publish then refuses with the divergence error instead of
+    * silently dropping the interleaved commit's rows.
+    */
+  def commitWap(df: DataFrame, root: String, wapId: String,
+      statsCol: Option[String] = None,
+      props: Map[String, String] = Map.empty): Long = {
+    val s = df.sparkSession
+    val prev = currentSnapshot(s, root)
+    require(prev >= 1L,
+      s"wap staging needs an existing table at $root (commit v1 first)")
+    commitWithCarried(df, root, entryLines(s, root, prev), prev, statsCol,
+      props ++ Map("wap.id" -> wapId, "wap.base" -> prev.toString),
+      storedSchema(s, root, prev), partitionColsOf(s, root, prev),
+      wapId = Some(wapId))
+  }
+
+  /** Read staged snapshot `wapId` — the exact table state a
+    * [[publishWap]] would make current: base files plus the staged
+    * commit's, under the staged (evolved) schema, delete vectors
+    * applied. The audit gate's input.
+    */
+  def readWap(s: SparkSession, root: String, wapId: String): DataFrame = {
+    val es = wapLines(s, root, wapId)
+      .filterNot(_.startsWith("#")).map(parseEntry)
+    require(es.nonEmpty, s"staged snapshot '$wapId' of $root lists no files")
+    val schema = wapProps(s, root, wapId).get("schema")
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    val (dvs, data) = es.partition(_.isDelete)
+    applyDeleteVectors(s, root, readData(s, root, data.map(_.path), schema),
+      dvs)
+  }
+
+  /** The base snapshot id staged snapshot `wapId` was built against. */
+  def wapBase(s: SparkSession, root: String, wapId: String): Long =
+    wapProps(s, root, wapId).getOrElse("wap.base",
+      throw new IllegalStateException(
+        s"staged snapshot '$wapId' of $root carries no wap.base")).toLong
+
+  /** FAST-FORWARD publish of staged snapshot `wapId`: its manifest
+    * content becomes snapshot `base + 1` through the same atomic
+    * claim+rename protocol as any commit, and the wap manifest is
+    * removed. O(metadata) — no data file is read, written, or moved;
+    * the rows were in place since [[commitWap]]. REFUSES when the
+    * table advanced past the stage's base (the audit validated a state
+    * that would now silently drop the interleaved commits' rows —
+    * re-stage against the new head and re-audit; same contract as a
+    * failed Iceberg fast-forward). The published manifest keeps
+    * `wap.id` as provenance and drops `wap.base`. Returns the new
+    * snapshot id.
+    */
+  def publishWap(s: SparkSession, root: String, wapId: String): Long = {
+    val fs = fsOf(s, new Path(root))
+    val lines = wapLines(s, root, wapId)
+    val base = wapBase(s, root, wapId)
+    val cur = currentSnapshot(s, root)
+    if (cur != base)
+      throw new IllegalStateException(
+        s"wap publish of '$wapId' on $root: staged against v$base but " +
+          s"the table is at v$cur — the audit no longer describes what " +
+          "publish would create; drop the stage and re-stage against " +
+          "the current head")
+    val kept = lines.filterNot(_.startsWith(
+      s"#prop ${enc("wap.base")}="))
+    val tmp = new Path(manifestDir(root),
+      s".tmp-wappub-${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    val out = fs.create(tmp, false)
+    try out.write(kept.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    publishManifest(s, fs, root, base + 1, tmp)
+    fs.delete(wapPath(root, wapId), false)
+    base + 1
+  }
+
+  /** Drop staged snapshot `wapId`: delete its manifest and the data
+    * files it ADDED over its base (the carried base files are live and
+    * untouched). The failed-audit exit — the table never saw the
+    * stage. Returns the deleted data-file count.
+    */
+  def dropWap(s: SparkSession, root: String, wapId: String): Int = {
+    val fs = fsOf(s, new Path(root))
+    val staged = wapLines(s, root, wapId)
+      .filterNot(_.startsWith("#")).map(parseEntry).map(_.path).toSet
+    val base = wapBase(s, root, wapId)
+    val baseFiles = fileList(s, root, base).toSet
+    var n = 0
+    (staged -- baseFiles).foreach { rel =>
+      if (fs.delete(new Path(root, rel), false)) n += 1
+    }
+    fs.delete(wapPath(root, wapId), false)
+    n
   }
 
   /** Read snapshot `id` — O(1) metadata: one manifest, exactly its

@@ -194,7 +194,11 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // anti-join BROADCAST (the XB/XA frames are priced at the
     // rewrites' touched files, never the table), the BNLJ is the
     // 1-row audit cross-join
-    "fmt_snapshot_cdf_sql" -> PlanShape(0, 3, 1, 0, 5))
+    "fmt_snapshot_cdf_sql" -> PlanShape(0, 3, 1, 0, 5),
+    // wap: the returned frame is ONE aggregation over the final table
+    // read — every stage/audit/publish/drop/refusal ran at
+    // construction, each O(metadata) except the staged writes
+    "fmt_snapshot_wap" -> PlanShape(0, 0, 0, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -249,8 +253,8 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "fmt_snapshot_cdf_full", "pipe_imv", "fmt_snapshot_call",
       "dedup_span_scrub",
       // round-11 session-5: the change feed across SQL row-level DML
-      // (XB/XA file-diff steps)
-      "fmt_snapshot_cdf_sql")
+      // (XB/XA file-diff steps) and write-audit-publish staging
+      "fmt_snapshot_cdf_sql", "fmt_snapshot_wap")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Write-audit-publish staged snapshots: invisible until published,
+  * fast-forward publish is manifest-only, divergence refuses, a
+  * dropped stage leaves the base untouched, and staged files are safe
+  * from orphan removal while the audit is pending.
+  */
+class SnapshotWapSpec extends SparkSpec {
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_wap_$tag").toString + "/t"
+
+  private def seed(root: String): Unit = {
+    import spark.implicits._
+    val df = (1L to 20L).map(k => (k, s"r$k")).toDF("k", "v")
+    SnapshotTable.commit(df.repartitionByRange(4, col("k")), root,
+      statsCol = Some("k"))
+  }
+
+  private def keys(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    import df.sparkSession.implicits._
+    df.select("k").as[Long].collect().sorted.toSeq
+  }
+
+  test("a staged snapshot is invisible to head, readers, and time " +
+      "travel; readWap sees the candidate state; publish fast-forwards " +
+      "and the published version IS an append for the change feed") {
+    import spark.implicits._
+    val root = tmpRoot("pub")
+    seed(root)
+    val base = SnapshotTable.commitWap(
+      Seq((30L, "w30"), (31L, "w31")).toDF("k", "v"), root, "batch_a")
+    assert(base == 1L)
+    assert(SnapshotTable.currentSnapshot(spark, root) == 1L) // invisible
+    assert(keys(SnapshotTable.read(spark, root)) == (1L to 20L))
+    assert(keys(SnapshotTable.readWap(spark, root, "batch_a")) ==
+      ((1L to 20L) ++ Seq(30L, 31L)))
+    val v2 = SnapshotTable.publishWap(spark, root, "batch_a")
+    assert(v2 == 2L)
+    assert(keys(SnapshotTable.read(spark, root)) ==
+      ((1L to 20L) ++ Seq(30L, 31L)))
+    assert(keys(SnapshotTable.readAt(spark, root, 1L)) == (1L to 20L))
+    // provenance survives; the wap manifest is gone
+    assert(SnapshotTable.snapshotProps(spark, root, v2)
+      .get("wap.id").contains("batch_a"))
+    intercept[IllegalArgumentException] {
+      SnapshotTable.readWap(spark, root, "batch_a")
+    }
+    // downstream incremental consumers cross the publish as an append
+    val feed = SnapshotTable.changeFeed(spark, root, 1L, v2)
+    assert(feed.filter(col("_op") === "A").select("k")
+      .as[Long].collect().sorted.toSeq == Seq(30L, 31L))
+  }
+
+  test("publish refuses when the table advanced past the stage's " +
+      "base; a fresh stage against the new head publishes") {
+    import spark.implicits._
+    val root = tmpRoot("div")
+    seed(root)
+    SnapshotTable.commitWap(
+      Seq((40L, "w40")).toDF("k", "v"), root, "stale")
+    SnapshotTable.commit( // an interleaved main commit: v2
+      Seq((50L, "a50")).toDF("k", "v"), root)
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.publishWap(spark, root, "stale")
+    }
+    assert(e.getMessage.contains("re-stage"))
+    assert(SnapshotTable.dropWap(spark, root, "stale") >= 1)
+    SnapshotTable.commitWap(
+      Seq((40L, "w40")).toDF("k", "v"), root, "retry")
+    assert(SnapshotTable.publishWap(spark, root, "retry") == 3L)
+    assert(keys(SnapshotTable.read(spark, root)) ==
+      ((1L to 20L) ++ Seq(40L, 50L)))
+  }
+
+  test("dropWap deletes exactly the staged files, the base is " +
+      "untouched, and a pending stage survives removeOrphans; a taken " +
+      "wapId refuses re-staging") {
+    import spark.implicits._
+    val root = tmpRoot("drop")
+    seed(root)
+    SnapshotTable.commitWap(
+      Seq((60L, "bad")).toDF("k", "v"), root, "audit_me")
+    intercept[IllegalStateException] { // the stage is the audit subject
+      SnapshotTable.commitWap(
+        Seq((61L, "other")).toDF("k", "v"), root, "audit_me")
+    }
+    // pending stage: its files are referenced, orphan removal keeps them
+    assert(SnapshotTable.removeOrphans(spark, root, olderThanMs = 0L) == 0)
+    assert(keys(SnapshotTable.readWap(spark, root, "audit_me")) ==
+      ((1L to 20L) :+ 60L))
+    val dropped = SnapshotTable.dropWap(spark, root, "audit_me")
+    assert(dropped >= 1)
+    assert(SnapshotTable.currentSnapshot(spark, root) == 1L)
+    assert(keys(SnapshotTable.read(spark, root)) == (1L to 20L))
+    // the dropped stage's data files are gone from data/ too
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val live = SnapshotTable.fileList(spark, root, 1L)
+      .map(_.stripPrefix("data/")).toSet
+    val onDisk = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/data"))
+      .map(_.getPath.getName).toSet
+    assert(onDisk == live)
+  }
+}
