@@ -31,6 +31,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * spark.sql("SELECT * FROM snap.db.t.files")
   * df.writeStream.toTable("snap.db.t")               // exactly-once ingest
   * spark.readStream.table("snap.db.t")               // exactly-once tail
+  * // write-audit-publish: with graft.wap.id set, INSERT INTO stages
+  * // invisibly; publish or drop by CALL after the audit
+  * spark.conf.set("graft.wap.id", "batch7")
+  * spark.sql("INSERT INTO snap.db.t SELECT ...")     // staged, invisible
+  * spark.sql("CALL snap.system.publish_wap('db.t', 'batch7')")
+  * spark.sql("CALL snap.system.drop_wap('db.t', 'batch7')")
   * }}}
   *
   * Layout: a table `db.t` lives at `<warehouse>/db/t` as a plain
@@ -360,7 +366,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   // ---- maintenance procedures (`CALL cat.system.<proc>(...)`) ----
   //
   // The table-maintenance verbs SQL has no statement for — expire,
-  // orphan sweep, rollback, vector fold, zorder compaction — exposed
+  // orphan sweep, rollback, vector fold, zorder compaction, and the
+  // write-audit-publish verdicts (publish_wap / drop_wap) — exposed
   // through Spark 4's DSv2 ProcedureCatalog, so an operator runs the
   // whole lifecycle from SQL (the shape Iceberg's system procedures
   // established). Each procedure resolves its `table` argument
@@ -467,6 +474,21 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         Seq(("current_version", LongType)),
         { case Seq(t: String) =>
           Seq(Long.box(SnapshotTable.rewriteDeletes(spark, rootOf(t)))) }),
+      Proc("publish_wap",
+        "fast-forward a staged (graft.wap.id) snapshot onto the table " +
+          "head — manifest-only; refuses if the table advanced past " +
+          "the stage's base",
+        Seq(("table", StringType, None), ("wap_id", StringType, None)),
+        Seq(("current_version", LongType)),
+        { case Seq(t: String, w: String) =>
+          Seq(Long.box(SnapshotTable.publishWap(spark, rootOf(t), w))) }),
+      Proc("drop_wap",
+        "drop a staged snapshot whose audit failed: delete its " +
+          "manifest and the files it added; the table never saw it",
+        Seq(("table", StringType, None), ("wap_id", StringType, None)),
+        Seq(("deleted_files", IntegerType)),
+        { case Seq(t: String, w: String) =>
+          Seq(Int.box(SnapshotTable.dropWap(spark, rootOf(t), w))) }),
       Proc("optimize_zorder",
         "compact the table clustered on the Morton curve over the " +
           "given columns so selective bands on ANY of them prune files " +

@@ -215,7 +215,20 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
                 if (partCols.nonEmpty) partCols
                 else Option(options.get("partitionBy")).toSeq
                   .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-              SnapshotTable.commit(data, root,
+              // write-audit-publish from SQL: with graft.wap.id set in
+              // the session conf, an INSERT INTO stages instead of
+              // committing (invisible until CALL system.publish_wap) —
+              // the same switch as Iceberg's spark.wap.id
+              val wapId = data.sparkSession.conf
+                .get("graft.wap.id", null: String)
+              if (wapId != null && wapId.nonEmpty) {
+                require(!(overwrite || overwriteFlag),
+                  "graft.wap.id stages APPENDS only: an overwrite " +
+                    "rewrites the base the audit would compare against; " +
+                    "unset graft.wap.id to overwrite")
+                SnapshotTable.commitWap(data, root, wapId,
+                  statsCol = Option(options.get("statsCol")))
+              } else SnapshotTable.commit(data, root,
                 overwrite = overwrite || overwriteFlag,
                 statsCol = Option(options.get("statsCol")),
                 partitionBy = declared)

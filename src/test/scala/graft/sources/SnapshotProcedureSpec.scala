@@ -54,6 +54,42 @@ class SnapshotProcedureSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM $cat.db.exp VERSION AS OF 1").collect())
   }
 
+  test("graft.wap.id stages SQL INSERTs invisibly; CALL publish_wap " +
+      "fast-forwards one and drop_wap discards another — pure-SQL " +
+      "write-audit-publish") {
+    ensureDb()
+    spark.sql(s"CREATE TABLE $cat.db.wap (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.wap SELECT id FROM range(0, 10)")
+    spark.conf.set("graft.wap.id", "cand_a")
+    try {
+      spark.sql(s"INSERT INTO $cat.db.wap SELECT id FROM range(10, 15)")
+      spark.conf.set("graft.wap.id", "cand_b")
+      spark.sql(s"INSERT INTO $cat.db.wap SELECT id FROM range(100, 200)")
+    } finally spark.conf.unset("graft.wap.id")
+    // both stages invisible: the table still reads as the base insert
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.wap")
+      .head.getLong(0) == 10L)
+    // audit verdict: cand_a publishes, cand_b drops
+    val pub = spark.sql(
+      s"CALL $cat.system.publish_wap('db.wap', 'cand_a')").head
+    assert(pub.getLong(0) == 3L) // CREATE=1, insert=2, publish=3
+    val drop = spark.sql(
+      s"CALL $cat.system.drop_wap('db.wap', 'cand_b')").head
+    assert(drop.getInt(0) >= 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.wap")
+      .head.getLong(0) == 15L)
+    // an overwrite under a wap id refuses: staging is append-shaped
+    spark.conf.set("graft.wap.id", "cand_c")
+    try {
+      val e = intercept[Exception](spark.sql(
+        s"INSERT OVERWRITE $cat.db.wap SELECT id FROM range(0, 3)"))
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("APPENDS only")), msgs(e))
+    } finally spark.conf.unset("graft.wap.id")
+  }
+
   test("CALL rewrite_deletes folds vectors and re-opens the SQL scan; " +
       "remove_orphans sweeps planted debris under the age gate only") {
     ensureDb()
@@ -110,6 +146,6 @@ class SnapshotProcedureSpec extends SparkSpec {
       .asInstanceOf[SnapshotCatalog]
     val listed = c.listProcedures(Array("system")).map(_.name()).toSet
     assert(listed == Set("expire_snapshots", "remove_orphans", "rollback",
-      "rewrite_deletes", "optimize_zorder"))
+      "rewrite_deletes", "optimize_zorder", "publish_wap", "drop_wap"))
   }
 }
