@@ -486,6 +486,40 @@ object OpScaleProbe {
         println(f"snap_imv_rebuild x$k $dtRebuild%7.1f s")
         spark.sharedState.cacheManager.clearCache()
       }
+      // round-11 session 5. Write-audit-publish cost vs table size:
+      // TABLE grows xk (rows AND files — so the carried manifest grows
+      // too), the staged DELTA stays FIXED. Stage cost is the delta
+      // write plus one manifest render (the carried lines are copied
+      // verbatim, never re-stat'd); publish is one manifest move —
+      // both must stay ~flat while the table grows x100, or the
+      // "ingest earns trust off the serving path" claim fails exactly
+      // when staging matters.
+      if (wanted("snap_wap")) {
+        import graft.sources.SnapshotTable
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_snapwap_x$k").toString + "/t"
+        val scaled = scaledOrders(k)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        SnapshotTable.commit(
+          scaled.repartitionByRange(16 * k, col("o_orderkey")), root,
+          statsCol = Some("o_orderkey"))
+        val delta = ordBase
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .filter(col("o_orderkey").between(1000, 9000))
+          .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+        val nDelta = delta.count()
+        val t0 = System.nanoTime()
+        SnapshotTable.commitWap(delta, root, "probe")
+        val dtStage = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val v2 = SnapshotTable.publishWap(spark, root, "probe")
+        val dtPub = (System.nanoTime() - t1) / 1e9
+        val files = SnapshotTable.fileList(spark, root, v2).size
+        println(f"snap_wap_stage  x$k $dtStage%8.1f s delta=$nDelta " +
+          s"carried_files=${files}")
+        println(f"snap_wap_publish x$k $dtPub%7.3f s")
+        spark.sharedState.cacheManager.clearCache()
+      }
     }
     spark.stop()
   }

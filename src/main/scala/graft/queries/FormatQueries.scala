@@ -811,7 +811,10 @@ object FormatQueries {
       o.filter(col("o_orderkey") % 10 === 8)
         .withColumn("o_totalprice", -col("o_totalprice")),
       root, "bad")
-    val auditBad = SnapshotTable.readWap(s, root, "bad")
+    // this audit runs over the DSv2 staged read — the SQL auditor's
+    // path (option("wap") pins the candidate state)
+    val auditBad = s.read.format("graft-snap").option("wap", "bad")
+      .load(root)
       .filter(col("o_totalprice") < 0).limit(1).count() == 0L
     val droppedBad =
       if (!auditBad && SnapshotTable.dropWap(s, root, "bad") >= 1) 1L else 0L

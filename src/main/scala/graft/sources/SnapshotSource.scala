@@ -64,18 +64,31 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
       val root = Option(options.get("path")).getOrElse(
         throw new IllegalArgumentException(
           "graft-snap: .load(<table root>) / .save(<table root>) is required"))
+      // option("wap", id) pins READS at a STAGED (write-audit-publish)
+      // snapshot — the audit's SQL view of the candidate state;
+      // mutually exclusive with "snapshot" (a stage has no version)
+      val wapOpt = Option(options.get("wap"))
       val snapOpt = Option(options.get("snapshot"))
+      require(wapOpt.isEmpty || snapOpt.isEmpty,
+        "graft-snap: options 'wap' and 'snapshot' are mutually exclusive")
+      val pinKey = snapOpt.orElse(wapOpt.map("wap:" + _))
       pinned match {
-        case Some(p) if p.root == root && p.snapOpt == snapOpt => p
+        case Some(p) if p.root == root && p.snapOpt == pinKey => p
         case _ =>
           val spark = SparkSession.active
-          val id = snapOpt.map(_.toLong)
-            .getOrElse(SnapshotTable.currentSnapshot(spark, root))
-          val p =
-            if (id == 0L) Pinned(root, snapOpt, 0L, Seq.empty, None)
-            else Pinned(root, snapOpt, id,
-              SnapshotTable.entries(spark, root, id),
-              SnapshotTable.storedSchema(spark, root, id))
+          val p = wapOpt match {
+            case Some(w) =>
+              Pinned(root, pinKey, SnapshotTable.wapBase(spark, root, w),
+                SnapshotTable.wapEntries(spark, root, w),
+                SnapshotTable.wapStoredSchema(spark, root, w))
+            case None =>
+              val id = snapOpt.map(_.toLong)
+                .getOrElse(SnapshotTable.currentSnapshot(spark, root))
+              if (id == 0L) Pinned(root, pinKey, 0L, Seq.empty, None)
+              else Pinned(root, pinKey, id,
+                SnapshotTable.entries(spark, root, id),
+                SnapshotTable.storedSchema(spark, root, id))
+          }
           pinned = Some(p)
           p
       }

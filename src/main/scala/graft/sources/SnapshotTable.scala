@@ -261,6 +261,15 @@ object SnapshotTable {
       .collect { case Array(k, v) => dec(k) -> dec(v) }
       .toMap
 
+  private[sources] def wapEntries(s: SparkSession, root: String,
+      wapId: String): Seq[FileEntry] =
+    wapLines(s, root, wapId).filterNot(_.startsWith("#")).map(parseEntry)
+
+  private[sources] def wapStoredSchema(s: SparkSession, root: String,
+      wapId: String): Option[StructType] =
+    wapProps(s, root, wapId).get("schema")
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+
   /** Snapshot N's data-file entry lines (path + optional stats fields),
     * excluding property headers.
     */

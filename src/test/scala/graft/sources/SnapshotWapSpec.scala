@@ -77,6 +77,25 @@ class SnapshotWapSpec extends SparkSpec {
       ((1L to 20L) ++ Seq(40L, 50L)))
   }
 
+  test("the DSv2 read pins at a staged snapshot via option(\"wap\"): " +
+      "the audit sees the candidate state through plain SQL while " +
+      "the default read still sees the base") {
+    import spark.implicits._
+    val root = tmpRoot("dsv2")
+    seed(root)
+    SnapshotTable.commitWap(
+      Seq((70L, "w70")).toDF("k", "v"), root, "sqlaudit")
+    val staged = spark.read.format("graft-snap")
+      .option("wap", "sqlaudit").load(root)
+    assert(keys(staged) == ((1L to 20L) :+ 70L))
+    assert(keys(spark.read.format("graft-snap").load(root)) == (1L to 20L))
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-snap").option("wap", "sqlaudit")
+        .option("snapshot", "1").load(root).collect()
+    }
+    SnapshotTable.dropWap(spark, root, "sqlaudit")
+  }
+
   test("dropWap deletes exactly the staged files, the base is " +
       "untouched, and a pending stage survives removeOrphans; a taken " +
       "wapId refuses re-staging") {
