@@ -1176,6 +1176,45 @@ object FormatQueries {
       lit(1L).as("from_manifest"))
   }
 
+  /** Manifest-complete aggregate pushdown
+    * ([[graft.sources.SnapshotScanBuilder]].`manifestAnswer`): an
+    * unfiltered `SELECT min(k), max(k), min(p), max(p), count(*),
+    * count(p)` over the DSv2 snapshot read plans as a DRIVER-LOCAL
+    * single row — the per-file min/max/null-count/row-count stats the
+    * commit already paid for fold to the global answer in one manifest
+    * read; zero data files open, zero tasks run. At 100 TB this is the
+    * difference between a million footer reads (parquet's own
+    * pushdown) and driver arithmetic. The `from_manifest` audit pins
+    * the plan shape (LocalTableScan, no BatchScan); the oracle
+    * recomputes the aggregates from the raw table.
+    */
+  def snapshotMinmax(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_minmax")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SnapshotTable.commit(o.repartitionByRange(8, col("o_orderkey")), root,
+      statsCol = Some("o_orderkey,o_totalprice")) // v1
+    SnapshotTable.commit( // v2: a second commit — stats fold ACROSS
+      o.filter(col("o_orderkey") % 10 === 3) // commits' entries too
+        .withColumn("o_orderkey", col("o_orderkey") + 50000000L),
+      root, statsCol = Some("o_orderkey,o_totalprice"))
+    val t = s.read.format("graft-snap").load(root)
+    val agg = t.agg(
+      min(col("o_orderkey")).as("min_okey"),
+      max(col("o_orderkey")).as("max_okey"),
+      money(min(col("o_totalprice"))).as("min_price"),
+      money(max(col("o_totalprice"))).as("max_price"),
+      count(lit(1)).as("n_rows"),
+      count(col("o_totalprice")).as("n_price"))
+    val plan = agg.queryExecution.executedPlan.toString
+    val fromManifest =
+      if (plan.contains("LocalTableScan") && !plan.contains("BatchScan"))
+        1L else 0L
+    agg.withColumn("from_manifest", lit(fromManifest))
+  }
+
   /** The DSv2 WRITE path (`df.write.format("graft-snap")`,
     * [[graft.sources.SnapshotSource]]): bootstrap the table with a
     * plain DataFrame append (empty root → v1 from the data's schema),
@@ -1614,6 +1653,7 @@ object FormatQueries {
     "fmt_snapshot_part_sql" -> (snapshotPartSql _),
     "fmt_snapshot_evolve" -> (snapshotEvolve _),
     "fmt_snapshot_count" -> (snapshotCount _),
+    "fmt_snapshot_minmax" -> (snapshotMinmax _),
     "fmt_snapshot_write" -> (snapshotWrite _),
     "fmt_snapshot_merge_large" -> (snapshotMergeLarge _),
     "fmt_snapshot_changes" -> (snapshotChanges _),
@@ -1791,6 +1831,22 @@ object FormatQueries {
         |  1::BIGINT AS mrg_xb, 1::BIGINT AS mrg_xa,
         |  1::BIGINT AS atomic_dml
         |FROM fin GROUP BY 1""".stripMargin,
+    // manifest-complete aggregates over base ∪ shifted-decile-3 copy;
+    // every value must equal DuckDB's recomputation from the raw rows
+    "fmt_snapshot_minmax" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 3)
+        |SELECT min(o_orderkey)::BIGINT AS min_okey,
+        |  max(o_orderkey)::BIGINT AS max_okey,
+        |  round(min(o_totalprice), 2) AS min_price,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  count(*)::BIGINT AS n_rows,
+        |  count(o_totalprice)::BIGINT AS n_price,
+        |  1::BIGINT AS from_manifest
+        |FROM t""".stripMargin,
     // write-audit-publish: the final table = base (deciles 0-5) ∪
     // published good batch (6-7) ∪ interleaved commit (8); the bad
     // batch (negated prices) failed its audit and dropped, the stale

@@ -324,8 +324,13 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
   // and rules out the keyed-partition report)
   private var scanEntries: Seq[SnapshotTable.FileEntry] = entries
   private var aggPushed = false
+  private var filtered = false
+  // a manifest-complete aggregate answer: (schema, the single row)
+  private var manifestAgg: Option[(StructType,
+    org.apache.spark.sql.catalyst.InternalRow)] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    filtered = filtered || filters.nonEmpty
     // the top-level Seq is a conjunction: ANY conjunct proving a file
     // empty excludes it
     val kept = entries.filterNot(e =>
@@ -343,6 +348,17 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
     if (groupMode) Array.empty else ensure().pushedFilters
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    manifestAgg match {
+      case Some((sch, row)) =>
+        // the aggregate was answered from the manifest: the scan is a
+        // driver-local single row — no file is opened, no task runs
+        return new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = sch
+          override def rows(): Array[
+            org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+        }
+      case None =>
+    }
     if (groupMode)
       // row-level operations: the runtime-filterable group scan (its
       // static kept set is what pushFilters pruned; SQL MERGE prunes
@@ -411,24 +427,124 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    ensure().pruneColumns(requiredSchema)
+    if (manifestAgg.isEmpty) ensure().pruneColumns(requiredSchema)
 
-  override def pushAggregation(aggregation: Aggregation): Boolean =
-    ensure() match {
-      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
-        val pushed = a.pushAggregation(aggregation)
-        if (pushed) aggPushed = true // output schema is now the agg's —
-        // the keyed-partition report no longer applies
-        pushed
-      case _ => false
+  /** Answer an unfiltered, ungrouped COUNT(*) / COUNT(col) / MIN(col) /
+    * MAX(col) aggregation from the MANIFEST alone: per-file row counts
+    * sum to the table count, per-file null counts give COUNT(col), and
+    * the commit-time min/max stats fold to the global extrema — one
+    * small-file read on the driver, zero data files opened, zero
+    * tasks. At 100 TB this turns `SELECT min(k), max(k), count(*)` on
+    * a million-file table from a million footer reads into driver
+    * arithmetic the manifest already paid for at commit. Declines
+    * (falls back to the parquet delegate's own footer-level pushdown)
+    * whenever exactness is not PROVABLE: pushed filters, group-bys,
+    * delete vectors, a file missing row counts or the column's stats,
+    * non-numeric min/max domains (string footer stats may be
+    * truncated by writers — never trusted for extrema), or a type
+    * outside the integer/double stats domains.
+    */
+  private def manifestAnswer(agg: Aggregation)
+      : Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types._
+    if (groupMode || filtered || agg.groupByExpressions.nonEmpty) return None
+    val data = entries.filterNot(_.isDelete)
+    if (entries.exists(_.isDelete)) return None // MOR rows are subtracted
+    if (data.isEmpty || data.exists(_.rows.isEmpty)) return None
+    val total = data.map(_.rows.get).sum
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames().length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
     }
+    def typeOf(c: String): Option[DataType] =
+      tableSchema.find(_.name == c).map(_.dataType)
+    // None = cannot answer; Some(None) = all rows null (SQL NULL);
+    // Some(Some(v)) = the extremum as the column's internal value
+    def extremum(c: String, wantMin: Boolean): Option[Option[Any]] = {
+      val dt = typeOf(c).getOrElse(return None)
+      val dom = dt match {
+        case LongType | IntegerType | DateType | TimestampType => "i"
+        case DoubleType | FloatType => "d"
+        case _ => return None
+      }
+      val sts = data.map(e => e.statsFor(c).map(st => (st, e.rows.get)))
+      if (sts.exists(_.isEmpty)) return None
+      val good = sts.flatten
+      if (good.exists { case (st, _) =>
+        st.domain != dom || st.nulls.isEmpty }) return None
+      // footer min/max cover non-null values only; a file whose rows
+      // are all null contributes nothing to the extremum
+      val nonNull = good.filter { case (st, rc) => st.nulls.get < rc }
+      if (nonNull.isEmpty) return Some(None)
+      val v: Any = dom match {
+        case "i" =>
+          val vs = nonNull.map { case (st, _) =>
+            (if (wantMin) st.mn else st.mx).toLong }
+          val x = if (wantMin) vs.min else vs.max
+          dt match {
+            case IntegerType | DateType => x.toInt
+            case _ => x
+          }
+        case "d" =>
+          val vs = nonNull.map { case (st, _) =>
+            (if (wantMin) st.mn else st.mx).toDouble }
+          val x = if (wantMin) vs.min else vs.max
+          dt match { case FloatType => x.toFloat; case _ => x }
+      }
+      Some(Some(v))
+    }
+    val outs: Seq[Option[(DataType, Any)]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some((LongType: DataType, total: Any))
+        case c: Count if !c.isDistinct =>
+          colOf(c.column).flatMap { col =>
+            val sts = data.map(_.statsFor(col))
+            if (sts.exists(s => s.isEmpty || s.get.nulls.isEmpty)) None
+            else Some((LongType,
+              total - sts.flatten.map(_.nulls.get).sum))
+          }
+        case m: Min => colOf(m.column).flatMap(c =>
+          extremum(c, wantMin = true).map(v =>
+            (typeOf(c).get, v.orNull)))
+        case m: Max => colOf(m.column).flatMap(c =>
+          extremum(c, wantMin = false).map(v =>
+            (typeOf(c).get, v.orNull)))
+        case _ => None
+      }
+    if (outs.exists(_.isEmpty)) return None
+    val fields = outs.flatten.zipWithIndex.map { case ((dt, _), i) =>
+      StructField(s"agg_$i", dt, nullable = true) }
+    Some((StructType(fields), InternalRow.fromSeq(outs.flatten.map(_._2))))
+  }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    manifestAnswer(aggregation) match {
+      case some @ Some(_) =>
+        manifestAgg = some
+        aggPushed = true
+        true
+      case None => ensure() match {
+        case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
+          val pushed = a.pushAggregation(aggregation)
+          if (pushed) aggPushed = true // output schema is now the agg's —
+          // the keyed-partition report no longer applies
+          pushed
+        case _ => false
+      }
+    }
+  }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    ensure() match {
+    manifestAnswer(aggregation).isDefined || (ensure() match {
       case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates =>
         a.supportCompletePushDown(aggregation)
       case _ => false
-    }
+    })
 
 }
 

@@ -136,17 +136,22 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // pushdown: one agg over the transparently-pruned DSv2 scan
     "fmt_snapshot_pushdown" -> PlanShape(0, 0, 0, 0, 1),
     // sql: current-version agg × VERSION AS OF 2 agg (BNLJ on 1-row
-    // frames) — the DDL/DML ran at construction through the catalog
-    "fmt_snapshot_sql" -> PlanShape(0, 0, 1, 0, 2),
-    // delete: post-delete agg × pre-delete time-travel agg
-    "fmt_snapshot_delete" -> PlanShape(0, 0, 1, 0, 2),
+    // frames) — the DDL/DML ran at construction through the catalog.
+    // Re-recorded in session 5: one arm's unfiltered COUNT now folds
+    // from the manifest (LocalTableScan) and its exchange disappears
+    "fmt_snapshot_sql" -> PlanShape(0, 0, 1, 0, 1),
+    // delete: post-delete agg × pre-delete time-travel agg (one arm
+    // manifest-folded since session 5, as above)
+    "fmt_snapshot_delete" -> PlanShape(0, 0, 1, 0, 1),
     // update / merge-sql: one agg over the post-DML read (the DML
     // itself — COW rewrite + atomic commit — ran at construction)
     "fmt_snapshot_update" -> PlanShape(0, 0, 0, 0, 1),
     "fmt_snapshot_merge_sql" -> PlanShape(0, 0, 0, 0, 1),
     // timetravel: three 1-row aggs (as-of read, current read, the
-    // LocalScan metadata table) cross-joined
-    "fmt_snapshot_timetravel" -> PlanShape(0, 0, 2, 0, 3),
+    // LocalScan metadata table) cross-joined; since session 5 two of
+    // them are manifest-local rows, so one BNLJ degrades to a
+    // cartesian of locals and two exchanges disappear
+    "fmt_snapshot_timetravel" -> PlanShape(0, 0, 1, 1, 1),
     // round-11 session-3. rollback/partitioned/replace/part_sql: one
     // agg over the (restored / partition-pruned / replaced) head — the
     // commits and the manifest-only restore ran at construction, and
@@ -198,7 +203,10 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // wap: the returned frame is ONE aggregation over the final table
     // read — every stage/audit/publish/drop/refusal ran at
     // construction, each O(metadata) except the staged writes
-    "fmt_snapshot_wap" -> PlanShape(0, 0, 0, 0, 1))
+    "fmt_snapshot_wap" -> PlanShape(0, 0, 0, 0, 1),
+    // minmax: ZERO of everything — the whole aggregation is a
+    // driver-local row folded from the manifest stats
+    "fmt_snapshot_minmax" -> PlanShape(0, 0, 0, 0, 0))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -253,8 +261,9 @@ class PlanShapeLockSpec extends AnyFunSuite {
       "fmt_snapshot_cdf_full", "pipe_imv", "fmt_snapshot_call",
       "dedup_span_scrub",
       // round-11 session-5: the change feed across SQL row-level DML
-      // (XB/XA file-diff steps) and write-audit-publish staging
-      "fmt_snapshot_cdf_sql", "fmt_snapshot_wap")
+      // (XB/XA file-diff steps), write-audit-publish staging, and
+      // manifest-complete aggregate pushdown
+      "fmt_snapshot_cdf_sql", "fmt_snapshot_wap", "fmt_snapshot_minmax")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

@@ -96,6 +96,38 @@ class SnapshotWapSpec extends SparkSpec {
     SnapshotTable.dropWap(spark, root, "sqlaudit")
   }
 
+  test("unfiltered MIN/MAX/COUNT aggregate to a driver-local row from " +
+      "the manifest: no file scan in the plan, exact values incl. " +
+      "null-aware COUNT(col) — string extrema and filters fall back") {
+    import spark.implicits._
+    val root = tmpRoot("agg")
+    val df = (1L to 20L).map(k =>
+      (k, k * 1.5, if (k % 2 == 0) null else s"v$k")).toDF("k", "d", "s")
+    SnapshotTable.commit(df.repartitionByRange(4, col("k")), root,
+      statsCol = Some("k,d,s"))
+    val t = spark.read.format("graft-snap").load(root)
+    val out = t.agg(min("k"), max("k"), count(lit(1)), count(col("d")),
+      min("d"), max("d"), count(col("s")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan"), plan)
+    assert(!plan.contains("Scan parquet") && !plan.contains("BatchScan"),
+      plan)
+    assert(out.as[(Long, Long, Long, Long, Double, Double, Long)]
+      .head() == ((1L, 20L, 20L, 20L, 1.5, 30.0, 10L)))
+    // string extrema are DECLINED (footer string stats may be
+    // truncated by writers — never trusted): real scan, right answer
+    val sm = t.agg(max("s"))
+    assert(!sm.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(sm.as[String].head() == "v9")
+    // a filter makes exactness unprovable from stats: the aggregate
+    // must come from a real scan and still be right
+    val f = t.filter(col("k") <= 7).agg(max("k"))
+    assert(!f.queryExecution.executedPlan.toString
+      .contains("LocalTableScan"))
+    assert(f.as[Long].head() == 7L)
+  }
+
   test("dropWap deletes exactly the staged files, the base is " +
       "untouched, and a pending stage survives removeOrphans; a taken " +
       "wapId refuses re-staging") {
