@@ -391,7 +391,18 @@ object PipelineOps {
     * column alone.
     */
   def curateStep(s: SparkSession, delta: DataFrame, root: String,
-      watermark: String): Long = {
+      watermark: String): Long =
+    graft.sources.SnapshotTable.commit(curedDelta(s, delta, root), root,
+      props = Map("watermark" -> watermark))
+
+  /** The curation of one arriving delta against the standing table at
+    * `root`, WITHOUT the commit: quality gate, state anti-join on the
+    * persisted digest column, within-delta min-doc_id keeper. The
+    * frame [[curateStep]] appends — and the frame [[wapCurate]] STAGES
+    * for audit instead.
+    */
+  private def curedDelta(s: SparkSession, delta: DataFrame,
+      root: String): DataFrame = {
     import graft.sources.SnapshotTable
     val gated = delta.join(
       TextAnalysis.qualityScore(delta).filter(col("quality_points") >= 6),
@@ -401,9 +412,8 @@ object PipelineOps {
       if (SnapshotTable.currentSnapshot(s, root) == 0L) gated
       else gated.join(standingDigests(s, root), Seq("digest"), "left_anti")
     val keeperW = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
-    val kept = fresh.withColumn("__rn", row_number().over(keeperW))
+    fresh.withColumn("__rn", row_number().over(keeperW))
       .filter(col("__rn") === 1).drop("__rn")
-    SnapshotTable.commit(kept, root, props = Map("watermark" -> watermark))
   }
 
   /** The standing curated table's dedup state: the stored `digest`
@@ -436,6 +446,63 @@ object PipelineOps {
     SnapshotTable.read(s, root).groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
       .withColumn("n_appended", lit(nAppended))
+  }
+
+  /** Governance-gated ingest: [[curateIncremental]]'s pipeline with
+    * the snapshot layer's write-audit-publish staging as the
+    * enforcement point — the curated day-2 delta is STAGED
+    * ([[graft.sources.SnapshotTable.commitWap]]), the audit checks the
+    * curation's own invariant on the CANDIDATE state (globally unique
+    * text digests — a narrow digest-column scan, text pages never
+    * read), and only a clean candidate publishes. A raw day-3
+    * resubmission of already-curated docs (the crawler re-fetch that
+    * skipped the pipeline) stages, FAILS the same audit on its
+    * duplicate digests, and drops — the standing table never saw it.
+    * The final table therefore equals the two-day incremental curation
+    * exactly (the oracle recomputes it from scratch with a
+    * first-arrival keeper); `published_clean` / `dropped_raw` pin both
+    * verdicts. This is the operational loop at 100 TB: curation
+    * produces candidates, the audit enforces table invariants BEFORE
+    * visibility, and a bad batch costs its own write — never a
+    * rollback of the serving table.
+    */
+  def wapCurate(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_wap_curate").toString + "/curated"
+    val docs = Tables.documents(s, dir)
+      .select("doc_id", "source", "text")
+    curateStep(s, docs.filter(col("doc_id") % 5 =!= 0), root, "day1")
+    // day 2 arrives (incl. planted % 7 re-fetches under shifted ids);
+    // the curated delta is staged, not committed
+    val day2 = docs.filter(col("doc_id") % 5 === 0)
+      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    SnapshotTable.commitWap(curedDelta(s, day2, root), root, "day2")
+    def dupDigests(wapId: String): Long =
+      SnapshotTable.readWap(s, root, wapId)
+        .groupBy("digest").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+    val published =
+      if (dupDigests("day2") == 0L) {
+        SnapshotTable.publishWap(s, root, "day2"); 1L
+      } else 0L
+    // day 3: a raw batch that SKIPPED curation — resubmitted copies of
+    // standing texts under fresh ids; its duplicate digests fail the
+    // audit and the stage drops
+    SnapshotTable.commitWap(
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 3 === 0)
+        .withColumn("doc_id", col("doc_id") + 2000000L)
+        .withColumn("digest", md5(col("text"))),
+      root, "day3_raw")
+    val droppedRaw =
+      if (dupDigests("day3_raw") > 0L) {
+        SnapshotTable.dropWap(s, root, "day3_raw"); 1L
+      } else 0L
+    SnapshotTable.read(s, root).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_id"))
+      .withColumn("published_clean", lit(published))
+      .withColumn("dropped_raw", lit(droppedRaw))
   }
 
   /** Incremental materialized-view maintenance ([[IncrementalView]]):
@@ -1241,6 +1308,7 @@ object PipelineOps {
     "pipe_pack" -> (packQuery _),
     "pipe_curate" -> (curate _),
     "pipe_curate_incremental" -> (curateIncremental _),
+    "pipe_wap_curate" -> (wapCurate _),
     "pipe_imv" -> (imvQuery _),
     "pipe_fuzzy_match" -> (fuzzyQuery _)
   )
@@ -1265,6 +1333,52 @@ object PipelineOps {
     (0 until ZBits).map { b =>
       s"((((x >> $b) & 1) << ${2 * b}) | (((y >> $b) & 1) << ${2 * b + 1}))"
     }.mkString(" | ")
+
+  /** The two-day incremental-curation truth, as CTEs shared by the
+    * `pipe_curate_incremental` and `pipe_wap_curate` oracles: arrivals
+    * (day-1 split, day-2 split, planted %7 re-fetches), the quality
+    * gate, and the first-arrival keeper over md5(text).
+    */
+  private lazy val curateIncCtes: String =
+    """WITH arrivals AS (
+      |  SELECT doc_id, source, text, 1 AS day
+      |  FROM documents WHERE doc_id % 5 != 0
+      |  UNION ALL
+      |  SELECT doc_id, source, text, 2
+      |  FROM documents WHERE doc_id % 5 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, source, text, 2
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |base AS (
+      |  SELECT doc_id, source, text, day,
+      |    length(text)::BIGINT AS n_chars,
+      |    (CASE WHEN length(trim(text)) = 0 THEN 0
+      |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens,
+      |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS n_punct,
+      |    len(regexp_extract_all(text,
+      |      '(?i)\b(the|a|an|of|and|or|to|in|is|it|that|this|for|on|with|as|at|by|be)\b'))::BIGINT AS n_stop
+      |  FROM arrivals),
+      |q AS (
+      |  SELECT doc_id, source, day, (
+      |    (CASE WHEN n_chars BETWEEN 200 AND 5000 THEN 3
+      |          WHEN n_chars >= 100 THEN 2
+      |          WHEN n_chars >= 20 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_tokens = 0 THEN 0
+      |          WHEN n_chars >= n_tokens * 3 AND n_chars < n_tokens * 9 THEN 3
+      |          WHEN n_chars >= n_tokens * 2 THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_punct * 10 <= n_chars THEN 3
+      |          WHEN n_punct * 4 <= n_chars THEN 1 ELSE 0 END) +
+      |    (CASE WHEN n_stop * 5 >= n_tokens THEN 3
+      |          WHEN n_stop * 20 >= n_tokens THEN 1 ELSE 0 END)) AS pts,
+      |    text
+      |  FROM base),
+      |good AS (SELECT doc_id, source, text, day FROM q WHERE pts >= 6),
+      |ranked AS (
+      |  SELECT doc_id, source, day,
+      |    row_number() OVER (PARTITION BY md5(text)
+      |      ORDER BY day, doc_id) AS rn
+      |  FROM good),
+      |kept AS (SELECT doc_id, source, day FROM ranked WHERE rn = 1)""".stripMargin
 
   // quality oracle wrapped as a subquery (concatenated, not
   // stripMargin-interpolated: the regex alternations contain pipes)
@@ -1568,50 +1682,21 @@ object PipelineOps {
     // before day2, then doc_id) over the same arrival stream, planted
     // re-fetches included: the incremental gate+state-anti-join+append
     // path must land exactly here; n_appended = the day-2 keepers
-    "pipe_curate_incremental" ->
-      """WITH arrivals AS (
-        |  SELECT doc_id, source, text, 1 AS day
-        |  FROM documents WHERE doc_id % 5 != 0
-        |  UNION ALL
-        |  SELECT doc_id, source, text, 2
-        |  FROM documents WHERE doc_id % 5 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 1000000, source, text, 2
-        |  FROM documents WHERE doc_id % 7 = 0),
-        |base AS (
-        |  SELECT doc_id, source, text, day,
-        |    length(text)::BIGINT AS n_chars,
-        |    (CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)::BIGINT AS n_tokens,
-        |    len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::BIGINT AS n_punct,
-        |    len(regexp_extract_all(text,
-        |      '(?i)\b(the|a|an|of|and|or|to|in|is|it|that|this|for|on|with|as|at|by|be)\b'))::BIGINT AS n_stop
-        |  FROM arrivals),
-        |q AS (
-        |  SELECT doc_id, source, day, (
-        |    (CASE WHEN n_chars BETWEEN 200 AND 5000 THEN 3
-        |          WHEN n_chars >= 100 THEN 2
-        |          WHEN n_chars >= 20 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN n_tokens = 0 THEN 0
-        |          WHEN n_chars >= n_tokens * 3 AND n_chars < n_tokens * 9 THEN 3
-        |          WHEN n_chars >= n_tokens * 2 THEN 1 ELSE 0 END) +
-        |    (CASE WHEN n_punct * 10 <= n_chars THEN 3
-        |          WHEN n_punct * 4 <= n_chars THEN 1 ELSE 0 END) +
-        |    (CASE WHEN n_stop * 5 >= n_tokens THEN 3
-        |          WHEN n_stop * 20 >= n_tokens THEN 1 ELSE 0 END)) AS pts,
-        |    text
-        |  FROM base),
-        |good AS (SELECT doc_id, source, text, day FROM q WHERE pts >= 6),
-        |ranked AS (
-        |  SELECT doc_id, source, day,
-        |    row_number() OVER (PARTITION BY md5(text)
-        |      ORDER BY day, doc_id) AS rn
-        |  FROM good),
-        |kept AS (SELECT doc_id, source, day FROM ranked WHERE rn = 1)
+    "pipe_curate_incremental" -> (curateIncCtes +
+      """
         |SELECT source, count(*)::BIGINT AS n_docs,
         |  sum(doc_id)::BIGINT AS sum_doc_id,
         |  (SELECT count(*) FROM kept WHERE day = 2)::BIGINT AS n_appended
-        |FROM kept GROUP BY source""".stripMargin,
+        |FROM kept GROUP BY source""".stripMargin),
+    // WAP-gated ingest lands on the SAME final state as the two-day
+    // incremental curation (the raw day-3 batch dropped at its audit);
+    // the flags pin the publish and the drop
+    "pipe_wap_curate" -> (curateIncCtes +
+      """
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(doc_id)::BIGINT AS sum_doc_id,
+        |  1::BIGINT AS published_clean, 1::BIGINT AS dropped_raw
+        |FROM kept GROUP BY source""".stripMargin),
     // the maintained view must equal a from-scratch recompute of the
     // final corpus (append + band-merge + COW band delete + MOR
     // stats-blind delete); used_preimages pins that the merge step's

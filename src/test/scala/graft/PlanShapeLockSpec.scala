@@ -206,7 +206,11 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "fmt_snapshot_wap" -> PlanShape(0, 0, 0, 0, 1),
     // minmax: ZERO of everything — the whole aggregation is a
     // driver-local row folded from the manifest stats
-    "fmt_snapshot_minmax" -> PlanShape(0, 0, 0, 0, 0))
+    "fmt_snapshot_minmax" -> PlanShape(0, 0, 0, 0, 0),
+    // wap_curate: one agg over the final table — the curation steps,
+    // both audits (narrow digest-column scans), the publish, and the
+    // drop all ran at construction
+    "pipe_wap_curate" -> PlanShape(0, 0, 0, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -263,7 +267,8 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // round-11 session-5: the change feed across SQL row-level DML
       // (XB/XA file-diff steps), write-audit-publish staging, and
       // manifest-complete aggregate pushdown
-      "fmt_snapshot_cdf_sql", "fmt_snapshot_wap", "fmt_snapshot_minmax")
+      "fmt_snapshot_cdf_sql", "fmt_snapshot_wap", "fmt_snapshot_minmax",
+      "pipe_wap_curate")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached
