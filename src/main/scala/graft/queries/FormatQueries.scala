@@ -1215,6 +1215,55 @@ object FormatQueries {
     agg.withColumn("from_manifest", lit(fromManifest))
   }
 
+  /** Bin-pack compaction
+    * ([[graft.sources.SnapshotTable.compactSmallFiles]]): a table
+    * accumulates small-file debt (six tiny appends — the shape a
+    * streaming sink leaves) on top of two large base files; the
+    * compaction rewrites ONLY the small files into target-sized ones,
+    * decided from the manifest's recorded row counts alone. The audit
+    * pins that the two large files were carried VERBATIM (same
+    * manifest paths before and after — their bytes were never read),
+    * that the small-file count collapsed, and that the change feed
+    * crosses the compaction as an EMPTY step (layout, not rows);
+    * the hash is the content surviving untouched. At 100 TB this is
+    * the maintenance verb that keeps scan open-file overhead flat
+    * without ever paying a table rewrite.
+    */
+  def snapshotBinpack(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_binpack")
+    graft.tera.TeraIO.delete(s, root)
+    val li = graft.Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val n = li.count()
+    SnapshotTable.commit( // v1: the standing bulk, two large files
+      li.filter(col("l_orderkey") % 4 =!= 0).repartition(2), root,
+      statsCol = Some("l_orderkey"))
+    (0 until 6).foreach { i => // six small appends: streaming debt
+      SnapshotTable.commit(
+        li.filter(col("l_orderkey") % 4 === 0 &&
+          (col("l_orderkey") / 4) % 6 === i).coalesce(1), root)
+    }
+    val before = SnapshotTable.currentSnapshot(s, root)
+    val filesBefore = SnapshotTable.fileList(s, root, before).toSet
+    val (after, packed, written) = SnapshotTable.compactSmallFiles(
+      s, root, minRows = n / 10, targetRows = n)
+    val filesAfter = SnapshotTable.fileList(s, root, after).toSet
+    val carriedLarge =
+      if ((filesBefore intersect filesAfter).size == 2) 1L else 0L
+    val feedEmpty =
+      if (SnapshotTable.changeFeed(s, root, before, after)
+        .limit(1).count() == 0L) 1L else 0L
+    SnapshotTable.read(s, root).groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("l_orderkey")).as("sum_okey"))
+      .withColumn("packed_files", lit(packed.toLong))
+      .withColumn("written_files", lit(written.toLong))
+      .withColumn("carried_large", lit(carriedLarge))
+      .withColumn("feed_empty", lit(feedEmpty))
+  }
+
   /** The DSv2 WRITE path (`df.write.format("graft-snap")`,
     * [[graft.sources.SnapshotSource]]): bootstrap the table with a
     * plain DataFrame append (empty root → v1 from the data's schema),
@@ -1654,6 +1703,7 @@ object FormatQueries {
     "fmt_snapshot_evolve" -> (snapshotEvolve _),
     "fmt_snapshot_count" -> (snapshotCount _),
     "fmt_snapshot_minmax" -> (snapshotMinmax _),
+    "fmt_snapshot_binpack" -> (snapshotBinpack _),
     "fmt_snapshot_write" -> (snapshotWrite _),
     "fmt_snapshot_merge_large" -> (snapshotMergeLarge _),
     "fmt_snapshot_changes" -> (snapshotChanges _),
@@ -1847,6 +1897,17 @@ object FormatQueries {
         |  count(o_totalprice)::BIGINT AS n_price,
         |  1::BIGINT AS from_manifest
         |FROM t""".stripMargin,
+    // bin-pack compaction rewrites layout, never rows: the content is
+    // the whole lineitem table; the audit constants pin 6 smalls → 1
+    // packed file, both large files carried verbatim, and the feed
+    // crossing the compaction empty
+    "fmt_snapshot_binpack" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n,
+        |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+        |  sum(l_orderkey)::BIGINT AS sum_okey,
+        |  6::BIGINT AS packed_files, 1::BIGINT AS written_files,
+        |  1::BIGINT AS carried_large, 1::BIGINT AS feed_empty
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // write-audit-publish: the final table = base (deciles 0-5) ∪
     // published good batch (6-7) ∪ interleaved commit (8); the bad
     // batch (negated prices) failed its audit and dropped, the stale

@@ -366,8 +366,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   // ---- maintenance procedures (`CALL cat.system.<proc>(...)`) ----
   //
   // The table-maintenance verbs SQL has no statement for — expire,
-  // orphan sweep, rollback, vector fold, zorder compaction, and the
-  // write-audit-publish verdicts (publish_wap / drop_wap) — exposed
+  // orphan sweep, rollback, vector fold, zorder and bin-pack
+  // compaction, and the write-audit-publish verdicts
+  // (publish_wap / drop_wap) — exposed
   // through Spark 4's DSv2 ProcedureCatalog, so an operator runs the
   // whole lifecycle from SQL (the shape Iceberg's system procedures
   // established). Each procedure resolves its `table` argument
@@ -474,6 +475,18 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         Seq(("current_version", LongType)),
         { case Seq(t: String) =>
           Seq(Long.box(SnapshotTable.rewriteDeletes(spark, rootOf(t)))) }),
+      Proc("compact_small_files",
+        "bin-pack files below min_rows into ~target_rows files; " +
+          "larger files are carried verbatim (never read) and the " +
+          "change feed crosses the compaction as an empty step",
+        Seq(("table", StringType, None), ("min_rows", LongType, None),
+          ("target_rows", LongType, None)),
+        Seq(("current_version", LongType), ("packed_files", IntegerType),
+          ("written_files", IntegerType)),
+        { case Seq(t: String, mn: java.lang.Long, tg: java.lang.Long) =>
+          val (v, p, w) = SnapshotTable.compactSmallFiles(
+            spark, rootOf(t), mn, tg)
+          Seq(Long.box(v), Int.box(p), Int.box(w)) }),
       Proc("publish_wap",
         "fast-forward a staged (graft.wap.id) snapshot onto the table " +
           "head — manifest-only; refuses if the table advanced past " +

@@ -370,8 +370,16 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
     // (readStream.table: snapshot-id offsets, appended-files batches).
     // Statistics MUST forward too — hiding them defaults the size
     // estimate to "huge" and demotes broadcast joins to sort-merge.
+    // With no row-level filters pushed, the manifest's recorded row
+    // counts give the scan's EXACT cardinality — handed to the planner
+    // in place of parquet's size-derived estimate.
+    val manifestRows =
+      if (!filtered && !scanEntries.exists(_.isDelete) &&
+          scanEntries.nonEmpty && scanEntries.forall(_.rows.isDefined))
+        Some(scanEntries.map(_.rows.get).sum)
+      else None
     new SnapshotScanWrapper(root, ensure().build(), options,
-      spjKeys(), tableSchema)
+      spjKeys(), tableSchema, manifestRows)
   }
 
   /** The storage-partitioned-join report: when the scanned file set is
@@ -567,7 +575,8 @@ private[sources] class SnapshotScanWrapper(root: String,
     delegate: org.apache.spark.sql.connector.read.Scan,
     options: CaseInsensitiveStringMap,
     spj: Option[(Seq[String], Map[String, Seq[Any]])],
-    tableSchema: StructType)
+    tableSchema: StructType,
+    manifestRows: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.connector.read.{Batch, InputPartition}
@@ -637,12 +646,23 @@ private[sources] class SnapshotScanWrapper(root: String,
   }
 
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics = delegate match {
-    case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
-      s.estimateStatistics()
-    case _ => new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes() = java.util.OptionalLong.empty()
-      override def numRows() = java.util.OptionalLong.empty()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val base = delegate match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => new org.apache.spark.sql.connector.read.Statistics {
+        override def sizeInBytes() = java.util.OptionalLong.empty()
+        override def numRows() = java.util.OptionalLong.empty()
+      }
+    }
+    // the delegate's size estimate + the manifest's EXACT row count
+    // (recorded at commit; available when no row-level filter was
+    // pushed) — better CBO/AQE cardinality than size/row-width math
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes() = base.sizeInBytes()
+      override def numRows() = manifestRows
+        .map(java.util.OptionalLong.of)
+        .getOrElse(base.numRows())
     }
   }
 

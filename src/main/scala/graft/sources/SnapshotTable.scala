@@ -1334,9 +1334,10 @@ object SnapshotTable {
     *    of its metadata-only dropped files — those are read LAZILY
     *    here, at the consumer's expense, so the delete itself stays
     *    metadata-only;
-    *  - a vector fold ([[rewriteDeletes]]) and an OPTIMIZE ZORDER
-    *    compaction are logical NO-OPS (they rewrite layout, not rows)
-    *    and contribute an empty step;
+    *  - a vector fold ([[rewriteDeletes]]), an OPTIMIZE ZORDER
+    *    compaction, and a bin-pack compaction ([[compactSmallFiles]])
+    *    are logical NO-OPS (they rewrite layout, not rows) and
+    *    contribute an empty step;
     *  - a SQL row-level rewrite (UPDATE / MERGE INTO / group DELETE —
     *    the `rowlevel.op` commits, which replace FILES wholesale)
     *    contributes a FILE-DIFF step: the replaced files' rows as op
@@ -1380,7 +1381,8 @@ object SnapshotTable {
         props.contains("delete.cond") || props.contains("delete.mor")
       val step =
         if (props.contains("rewrite.deletes") ||
-            props.contains("compact.zorder")) emptyStep
+            props.contains("compact.zorder") ||
+            props.contains("compact.binpack")) emptyStep
         else if (props.contains("rowlevel.op")) {
           // file-diff step: replaced files XB, new files XA (vectors
           // cannot appear — row-level rewrites refuse vectored tables)
@@ -2023,6 +2025,56 @@ object SnapshotTable {
       // a compaction rewrites LAYOUT, not rows: the prop lets
       // [[changeFeed]] cross it as an empty step instead of refusing
       props = Map("compact.zorder" -> cols.mkString(",")))
+  }
+
+  /** Bin-pack compaction: rewrite ONLY the files below `minRows` rows
+    * into ~`targetRows`-row files; every file already at size is
+    * CARRIED VERBATIM (its manifest line — path, stats, row count —
+    * copied untouched; the bytes are never read). The small-file debt
+    * a streaming sink or frequent small appends accumulate is the
+    * classic lakehouse failure mode — a million tiny files turn every
+    * scan into open-file overhead — and the fix must not cost a
+    * table rewrite: work here is O(small-file rows) + one manifest
+    * write, decided from the manifest's recorded row counts alone (no
+    * listing, no footer reads). The compaction is layout-only, so
+    * [[changeFeed]] crosses it as an EMPTY step (`compact.binpack`
+    * prop) and incremental consumers are undisturbed. A partitioned
+    * table re-splits the packed rows per partition value, preserving
+    * the value-purity invariant. Refuses merge-on-read delete vectors
+    * (fold first — rewriting a vectored file's rows would resurrect
+    * its deleted ones; the same contract as the SQL row-level ops).
+    * Returns (new snapshot id, files packed, files written); packing
+    * 0 or 1 small files is a no-op returning the current id.
+    */
+  def compactSmallFiles(s: SparkSession, root: String, minRows: Long,
+      targetRows: Long): (Long, Int, Int) = {
+    require(minRows >= 1 && targetRows >= 1,
+      s"compactSmallFiles: thresholds must be positive")
+    val cur = currentSnapshot(s, root)
+    val es = entries(s, root, cur)
+    require(!es.exists(_.isDelete),
+      s"compactSmallFiles on $root: snapshot v$cur carries merge-on-read " +
+        "delete vectors; fold them with rewriteDeletes first")
+    require(es.forall(_.rows.isDefined),
+      s"compactSmallFiles on $root: snapshot v$cur has entries without " +
+        "recorded row counts")
+    val (small, large) = es.partition(_.rows.get < minRows)
+    if (small.size <= 1) return (cur, 0, es.size)
+    val smallRows = small.map(_.rows.get).sum
+    val nOut = math.max(1L,
+      (smallRows + targetRows - 1) / targetRows).toInt
+    val statsCols = es.flatMap(_.stats.map(_.col)).distinct
+    val parts = partitionColsOf(s, root, cur)
+    val packed0 = readData(s, root, small.map(_.path),
+      storedSchema(s, root, cur))
+    // partitioned staging re-splits by value itself; flat tables pack
+    // into the target file count directly
+    val packed = if (parts.nonEmpty) packed0 else packed0.repartition(nOut)
+    val id = commitWithCarried(packed, root, large.map(_.render), cur,
+      Some(statsCols.mkString(",")),
+      Map("compact.binpack" -> s"$minRows,$targetRows"),
+      storedSchema(s, root, cur), parts)
+    (id, small.size, fileList(s, root, id).size - large.size)
   }
 
   /** The files of the CURRENT snapshot a merge keyed on `keyCol` would

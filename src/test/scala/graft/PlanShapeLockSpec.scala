@@ -210,7 +210,10 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // wap_curate: one agg over the final table — the curation steps,
     // both audits (narrow digest-column scans), the publish, and the
     // drop all ran at construction
-    "pipe_wap_curate" -> PlanShape(0, 0, 0, 0, 1))
+    "pipe_wap_curate" -> PlanShape(0, 0, 0, 0, 1),
+    // binpack: one agg over the compacted table — the pack (reading
+    // ONLY the small files) ran at construction
+    "fmt_snapshot_binpack" -> PlanShape(0, 0, 0, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -268,7 +271,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // (XB/XA file-diff steps), write-audit-publish staging, and
       // manifest-complete aggregate pushdown
       "fmt_snapshot_cdf_sql", "fmt_snapshot_wap", "fmt_snapshot_minmax",
-      "pipe_wap_curate")
+      "pipe_wap_curate", "fmt_snapshot_binpack")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

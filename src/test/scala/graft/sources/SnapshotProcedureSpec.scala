@@ -146,6 +146,7 @@ class SnapshotProcedureSpec extends SparkSpec {
       .asInstanceOf[SnapshotCatalog]
     val listed = c.listProcedures(Array("system")).map(_.name()).toSet
     assert(listed == Set("expire_snapshots", "remove_orphans", "rollback",
-      "rewrite_deletes", "optimize_zorder", "publish_wap", "drop_wap"))
+      "rewrite_deletes", "optimize_zorder", "publish_wap", "drop_wap",
+      "compact_small_files"))
   }
 }
