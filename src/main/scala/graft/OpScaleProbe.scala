@@ -520,6 +520,43 @@ object OpScaleProbe {
         println(f"snap_wap_publish x$k $dtPub%7.3f s")
         spark.sharedState.cacheManager.clearCache()
       }
+      // round-11 session 5. Bin-pack compaction vs table size: the
+      // LARGE bulk grows xk (rows AND files), the small-file debt
+      // stays FIXED (24 tiny appends). Pack cost must track the SMALL
+      // rows — flat — while the large files are carried as manifest
+      // lines; a compaction that reads the table would grow xk and
+      // fail the operator's own O(small rows) claim.
+      if (wanted("snap_binpack")) {
+        import graft.sources.SnapshotTable
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_snapbp_x$k").toString + "/t"
+        val scaled = scaledOrders(k)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        SnapshotTable.commit(
+          scaled.repartitionByRange(16 * k, col("o_orderkey")), root,
+          statsCol = Some("o_orderkey"))
+        val small = ordBase
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .filter(col("o_orderkey") % 100 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 900000000L)
+        (0 until 24).foreach { i =>
+          SnapshotTable.commit(
+            small.filter((col("o_orderkey") / 100) % 24 === i)
+              .coalesce(1), root)
+        }
+        val nFiles = SnapshotTable.fileList(spark,
+          root, SnapshotTable.currentSnapshot(spark, root)).size
+        // large files hold ~9k rows at every k (files scale with the
+        // bulk), smalls ~60 — a fixed 1000-row threshold splits them
+        val minRows = 1000L
+        val t0 = System.nanoTime()
+        val (_, packed, written) = SnapshotTable.compactSmallFiles(
+          spark, root, minRows, targetRows = Long.MaxValue / 2)
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"snap_binpack    x$k $dt%8.1f s packed=$packed " +
+          s"written=$written carried=${nFiles - packed}")
+        spark.sharedState.cacheManager.clearCache()
+      }
     }
     spark.stop()
   }
