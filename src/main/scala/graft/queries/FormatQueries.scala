@@ -1264,6 +1264,50 @@ object FormatQueries {
       .withColumn("feed_empty", lit(feedEmpty))
   }
 
+  /** Streaming CDC apply
+    * ([[graft.sources.SnapshotStreamSink.upsertWriter]]): a changelog
+    * lands batch by batch as exactly-once copy-on-write MERGEs — last
+    * write per key wins across batches, the highest-seq row wins
+    * within a batch (the planted decile-3 double-update), a
+    * redelivered batch id is a no-op (the floor protocol
+    * `stream_snapshot_sink` proves under a live query; this gate
+    * drives the same foreachBatch function directly so the batch
+    * boundaries are deterministic at any scale). Each merge costs
+    * touched-files + batch via the manifest stats pruning. The oracle
+    * recomputes the last-writer-wins state from the raw table;
+    * `replay_advanced` pins the redelivery no-op.
+    */
+  def snapshotUpsert(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SnapshotStreamSink, SnapshotTable}
+    val root = scratch("snap_upsert")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val w = SnapshotStreamSink.upsertWriter(root, "cdc", "o_orderkey",
+      seqCol = Some("seq"))
+    w(o.withColumn("seq", lit(1L)), 0) // bootstrap: the full keyspace
+    w(o.filter(col("o_orderkey") % 10 === 2 || col("o_orderkey") % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      .withColumn("seq", lit(2L))
+      .unionByName(o.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 30000000L)
+        .withColumn("seq", lit(2L))), 1) // reprice + fresh inserts
+    w(o.filter(col("o_orderkey") % 10 === 3) // two versions of one key
+      .withColumn("o_totalprice", col("o_totalprice") + 666.0)
+      .withColumn("seq", lit(3L))
+      .unionByName(o.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 900.0)
+        .withColumn("seq", lit(4L))), 2) // seq 4 wins within the batch
+    val before = SnapshotTable.currentSnapshot(s, root)
+    w(o.limit(5).withColumn("seq", lit(9L)), 2) // redelivered id: no-op
+    val replay = SnapshotTable.currentSnapshot(s, root) - before
+    SnapshotTable.read(s, root).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        money(sum(col("o_totalprice"))).as("total"),
+        sum(col("o_orderkey")).as("sum_okey"))
+      .withColumn("replay_advanced", lit(replay))
+  }
+
   /** The DSv2 WRITE path (`df.write.format("graft-snap")`,
     * [[graft.sources.SnapshotSource]]): bootstrap the table with a
     * plain DataFrame append (empty root → v1 from the data's schema),
@@ -1704,6 +1748,7 @@ object FormatQueries {
     "fmt_snapshot_count" -> (snapshotCount _),
     "fmt_snapshot_minmax" -> (snapshotMinmax _),
     "fmt_snapshot_binpack" -> (snapshotBinpack _),
+    "fmt_snapshot_upsert" -> (snapshotUpsert _),
     "fmt_snapshot_write" -> (snapshotWrite _),
     "fmt_snapshot_merge_large" -> (snapshotMergeLarge _),
     "fmt_snapshot_changes" -> (snapshotChanges _),
@@ -1897,6 +1942,24 @@ object FormatQueries {
         |  count(o_totalprice)::BIGINT AS n_price,
         |  1::BIGINT AS from_manifest
         |FROM t""".stripMargin,
+    // streaming CDC apply: last writer wins per key — decile 2
+    // repriced +500 at batch 1, decile 3 repriced twice in batch 2
+    // with the seq-4 (+900) version winning, decile-7 copies inserted
+    // under +30M keys; the redelivered batch advanced nothing
+    "fmt_snapshot_upsert" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 2 THEN o_totalprice + 500.0
+        |         WHEN o_orderkey % 10 = 3 THEN o_totalprice + 900.0
+        |         ELSE o_totalprice END AS p
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 = 7)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |  round(sum(p), 2) AS total, sum(o_orderkey)::BIGINT AS sum_okey,
+        |  0::BIGINT AS replay_advanced
+        |FROM fin GROUP BY 1""".stripMargin,
     // bin-pack compaction rewrites layout, never rows: the content is
     // the whole lineitem table; the audit constants pin 6 smalls → 1
     // packed file, both large files carried verbatim, and the feed

@@ -75,4 +75,54 @@ object SnapshotStreamSink {
       // else: redelivery of an already-visible batch — exactly-once skip
     }
   }
+
+  /** A `foreachBatch` function applying each micro-batch as a
+    * copy-on-write MERGE by `keyCol` — streaming CDC apply into the
+    * table, exactly-once: last write per key wins across batches, the
+    * batch-id floor makes a redelivered batch a no-op (re-merging it
+    * would be content-idempotent anyway — same keys, same rows — but
+    * the skip keeps it snapshot-idempotent too: no spurious version).
+    * Each batch costs `touched files + batch` IO via the manifest
+    * stats pruning, never the table — the property that makes a
+    * per-minute CDC stream affordable at 100 TB. A batch against an
+    * EMPTY table bootstraps with a plain commit (stats on `keyCol`,
+    * so later merges prune); an empty batch advances nothing. Same
+    * single-writer contract as [[writer]].
+    *
+    * `seqCol`: a CDC batch may carry several versions of one key; when
+    * set, only the highest-`seqCol` row per key is applied and the
+    * column itself is dropped before the merge (transport metadata,
+    * not table data — the contract that (key, seq) is unique). When
+    * None, the caller promises key-unique batches (merge would land
+    * duplicate keys otherwise).
+    */
+  def upsertWriter(root: String, tag: String, keyCol: String,
+      seqCol: Option[String] = None): (DataFrame, Long) => Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    var last: Option[Long] = None
+    (df: DataFrame, batchId: Long) => {
+      val s = df.sparkSession
+      val floor = last.getOrElse {
+        val v = lastCommittedBatch(s, root, tag)
+        last = Some(v)
+        v
+      }
+      if (batchId > floor && !df.isEmpty) {
+        val batch = seqCol match {
+          case Some(sc) =>
+            val w = Window.partitionBy(col(keyCol)).orderBy(col(sc).desc)
+            df.withColumn("__sq", row_number().over(w))
+              .filter(col("__sq") === 1).drop("__sq", sc)
+          case None => df
+        }
+        val props = Map(propKey(tag) -> batchId.toString)
+        if (SnapshotTable.currentSnapshot(s, root) == 0L)
+          SnapshotTable.commit(batch, root, statsCol = Some(keyCol),
+            props = props)
+        else SnapshotTable.merge(batch, root, keyCol, extraProps = props)
+        last = Some(batchId)
+      }
+    }
+  }
 }

@@ -1216,8 +1216,8 @@ object SnapshotTable {
     * merge rewrites history, [[changesBetween]] ranges that cross it
     * refuse, by design; the row-level [[changeFeed]] survives it.
     */
-  def merge(updates: DataFrame, root: String,
-      keyCol: String): (Long, Int, Int) = {
+  def merge(updates: DataFrame, root: String, keyCol: String,
+      extraProps: Map[String, String] = Map.empty): (Long, Int, Int) = {
     val s = updates.sparkSession
     val keys: Array[Any] = updates.select(keyCol).distinct()
       .collect().map(_.get(0))
@@ -1252,7 +1252,7 @@ object SnapshotTable {
         case Some(st) => anyKeyIn(st)
         case None => true // no usable stats → conservatively rewrite
       }
-    })
+    }, extraProps)
   }
 
   /** The shared merge core: `split` partitions the current entries into
@@ -1262,7 +1262,8 @@ object SnapshotTable {
     * to the merge's base snapshot so a racing writer fails loudly.
     */
   private def mergeCore(updates: DataFrame, root: String, keyCol: String,
-      split: Seq[FileEntry] => (Seq[FileEntry], Seq[FileEntry])): (Long, Int, Int) = {
+      split: Seq[FileEntry] => (Seq[FileEntry], Seq[FileEntry]),
+      extraProps: Map[String, String] = Map.empty): (Long, Int, Int) = {
     val s = updates.sparkSession
     val cur = currentSnapshot(s, root)
     require(cur > 0L, s"merge into empty table $root: commit first")
@@ -1316,7 +1317,8 @@ object SnapshotTable {
     changes.write.mode("overwrite").parquet(s"$root/$cdfRel")
     val id = commitWithCarried(survivors.unionByName(updates), root,
       carried.map(_.render), cur, Some(keyCol),
-      Map("merge.key" -> keyCol, "cdf.dir" -> cdfRel), baseSchema = schema,
+      Map("merge.key" -> keyCol, "cdf.dir" -> cdfRel) ++ extraProps,
+      baseSchema = schema,
       partitionCols = partitionColsOf(s, root, cur))
     (id, touched.size, carried.size)
   }

@@ -213,7 +213,10 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "pipe_wap_curate" -> PlanShape(0, 0, 0, 0, 1),
     // binpack: one agg over the compacted table — the pack (reading
     // ONLY the small files) ran at construction
-    "fmt_snapshot_binpack" -> PlanShape(0, 0, 0, 0, 1))
+    "fmt_snapshot_binpack" -> PlanShape(0, 0, 0, 0, 1),
+    // upsert: one agg over the final table — the three CDC merges and
+    // the redelivery no-op ran at construction
+    "fmt_snapshot_upsert" -> PlanShape(0, 0, 0, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -271,7 +274,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // (XB/XA file-diff steps), write-audit-publish staging, and
       // manifest-complete aggregate pushdown
       "fmt_snapshot_cdf_sql", "fmt_snapshot_wap", "fmt_snapshot_minmax",
-      "pipe_wap_curate", "fmt_snapshot_binpack")
+      "pipe_wap_curate", "fmt_snapshot_binpack", "fmt_snapshot_upsert")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached

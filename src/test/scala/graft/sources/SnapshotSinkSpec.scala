@@ -88,4 +88,47 @@ class SnapshotSinkSpec extends SparkSpec {
       .changesBetween(spark, root, afterFirst, afterSecond)
       .collect().map(_.getLong(0)).toSet == (11L to 30L).toSet)
   }
+
+  test("upsertWriter under a live checkpointed stream: last write per " +
+      "key wins across batches AND within one (seq), a restart " +
+      "redelivers nothing, and each batch was a stats-pruned merge") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double, Long)]
+    val in = mem.toDF().toDF("k", "v", "seq")
+    val root = tmp("graft-ups-rec")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ups-ckpt").toString
+    def start() = in.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(SnapshotStreamSink.upsertWriter(root, "cdc", "k",
+        seqCol = Some("seq")))
+      .start()
+    val q1 = start()
+    try {
+      mem.addData((1 to 100).map(i => (i.toLong, i * 1.0, 1L)))
+      q1.processAllAvailable() // batch 0: bootstrap
+      mem.addData(Seq((5L, 500.0, 2L), (6L, 600.0, 2L),
+        (200L, 1.0, 2L))) // batch 1: two updates + an insert
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // while DOWN: nothing; restart must redeliver nothing
+    val before = SnapshotTable.currentSnapshot(spark, root)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(SnapshotTable.currentSnapshot(spark, root) == before,
+        "an idle restart advanced the table")
+      // live batch with an intra-batch double-update: seq 4 wins
+      mem.addData(Seq((5L, 5550.0, 3L), (5L, 5000.0, 4L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = SnapshotTable.read(spark, root)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(got.size == 101)
+    assert(got(5L) == 5000.0 && got(6L) == 600.0 && got(200L) == 1.0)
+    assert(got(7L) == 7.0)
+    // the table never stored the transport seq column
+    assert(!SnapshotTable.read(spark, root).columns.contains("seq"))
+  }
 }
