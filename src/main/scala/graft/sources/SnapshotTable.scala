@@ -1341,17 +1341,19 @@ object SnapshotTable {
     *    are logical NO-OPS (they rewrite layout, not rows) and
     *    contribute an empty step;
     *  - a SQL row-level rewrite (UPDATE / MERGE INTO / group DELETE —
-    *    the `rowlevel.op` commits, which replace FILES wholesale)
-    *    contributes a FILE-DIFF step: the replaced files' rows as op
+    *    the `rowlevel.op` commits, which replace FILES wholesale) and
+    *    a PARTITION REPLACE ([[commitReplace]], `replace.partitions`)
+    *    contribute a FILE-DIFF step: the replaced files' rows as op
     *    `XB` (exchanged-before), the new files' rows as op `XA` —
     *    both read lazily here, priced at the rewrite's own touched
-    *    set (runtime-pruned, delta-shaped). The key algebra is exact:
-    *    a row unchanged by the rewrite appears in both and cancels;
-    *    `XB` without `XA` is a delete, `XA` without `XB` an insert;
-    *  - any other overwrite (full rewrite, rollback, partition
-    *    replace) still refuses loudly — it rewrites history without a
-    *    row-level record, so a consumer must re-baseline (the same
-    *    boundary Delta's CDF draws).
+    *    set (runtime-pruned / partition-pruned, delta-shaped). The key
+    *    algebra is exact: a row unchanged by the rewrite appears in
+    *    both and cancels; `XB` without `XA` is a delete, `XA` without
+    *    `XB` an insert;
+    *  - any other overwrite (full rewrite, rollback) still refuses
+    *    loudly — it rewrites history without a row-level record, so a
+    *    consumer must re-baseline (the same boundary Delta's CDF
+    *    draws).
     *
     * Output = table columns (unioned by name across schema evolution,
     * missing → NULL) + `_op` + `_commit`. Cost: O(metadata) planning
@@ -1385,9 +1387,11 @@ object SnapshotTable {
         if (props.contains("rewrite.deletes") ||
             props.contains("compact.zorder") ||
             props.contains("compact.binpack")) emptyStep
-        else if (props.contains("rowlevel.op")) {
+        else if (props.contains("rowlevel.op") ||
+            props.contains("replace.partitions")) {
           // file-diff step: replaced files XB, new files XA (vectors
-          // cannot appear — row-level rewrites refuse vectored tables)
+          // cannot appear — row-level rewrites and partition replaces
+          // refuse vectored tables)
           val removed = (prev -- cur).toSeq.sorted
             .filterNot(_.startsWith("deletes/"))
           val added = (cur -- prev).toSeq.sorted

@@ -183,6 +183,36 @@ class SnapshotCdfFullSpec extends SparkSpec {
       "an UPDATE rewrites values, never the key set")
   }
 
+  test("a partition replace crosses the feed as a file-diff step: the " +
+      "old partition's rows XB, the new content XA — shrinking " +
+      "replaces fold to deletes, and carried partitions never move") {
+    import spark.implicits._
+    val root = tmpRoot("rep")
+    val df = (1L to 20L)
+      .map(k => (k, if (k % 2 == 0) "e" else "o", s"r$k"))
+      .toDF("k", "p", "v")
+    SnapshotTable.commit(df, root, statsCol = Some("k"),
+      partitionBy = Seq("p")) // v1
+    // replace partition e with FEWER, different rows
+    val (v2, _, _, carried) = SnapshotTable.commitReplace(
+      Seq((100L, "e", "new100"), (102L, "e", "new102")).toDF("k", "p", "v"),
+      root)
+    assert(carried >= 1) // partition o untouched
+    val feed = SnapshotTable.changeFeed(spark, root, 1L, v2)
+    assert(feed.select("_op").distinct().as[String].collect().toSet ==
+      Set("XB", "XA"))
+    val xb = feed.filter(col("_op") === "XB").select("k")
+      .as[Long].collect().toSet
+    assert(xb == (1L to 20L).filter(_ % 2 == 0).toSet,
+      "XB must be exactly the replaced partition's old rows")
+    val folded = SnapshotTable.applyChanges(
+      SnapshotTable.readAt(spark, root, 1L), feed, "k")
+    assert(folded.select("k", "p", "v").as[(Long, String, String)]
+      .collect().sorted.toSeq ==
+      SnapshotTable.read(spark, root).select("k", "p", "v")
+        .as[(Long, String, String)].collect().sorted.toSeq)
+  }
+
   test("a delete that matches nothing records no frame and the feed " +
       "crosses it empty; an overwrite still refuses") {
     import spark.implicits._
