@@ -225,6 +225,42 @@ class SnapshotCatalogSpec extends SparkSpec {
       .head.getLong(0) == 100L)
   }
 
+  test("SQL MERGE with a conditional DELETE clause: matched-and-stale " +
+      "rows drop, other matches update, unmatched insert — one atomic " +
+      "snapshot, and the feed crosses it as a file-diff step") {
+    import spark.implicits._
+    ensureDb()
+    val root = s"$wh/db/mrgdel"
+    spark.sql(s"CREATE TABLE $cat.db.mrgdel (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.mrgdel SELECT id, concat('old', id) " +
+      "FROM range(0, 100)")
+    val pre = SnapshotTable.currentSnapshot(spark, root)
+    spark.range(50, 150)
+      .select(col("id").as("k"),
+        when(col("id") % 2 === 0, lit("DROP"))
+          .otherwise(concat(lit("new"), col("id"))).as("v"))
+      .createOrReplaceTempView("mrgdel_src")
+    spark.sql(s"""MERGE INTO $cat.db.mrgdel t USING mrgdel_src s
+      ON t.k = s.k
+      WHEN MATCHED AND s.v = 'DROP' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    val post = SnapshotTable.currentSnapshot(spark, root)
+    assert(post == pre + 1)
+    val got = spark.sql(s"SELECT k, v FROM $cat.db.mrgdel").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 0-49 old, 50-99 even deleted / odd updated, 100-149 all inserted
+    assert(got.size == 50 + 25 + 50)
+    assert(got(10L) == "old10" && !got.contains(50L) &&
+      got(51L) == "new51" && got(100L) == "DROP" && got(149L) == "new149")
+    // the feed folds the merge-with-delete exactly
+    val feed = SnapshotTable.changeFeed(spark, root, pre, post)
+    val folded = SnapshotTable.applyChanges(
+      SnapshotTable.readAt(spark, root, pre), feed, "k")
+    assert(folded.select("k", "v").as[(Long, String)].collect().toMap
+      == got)
+  }
+
   test("DELETE with a predicate the metadata path cannot translate " +
       "now falls back to the group rewrite and succeeds exactly") {
     import spark.implicits._
