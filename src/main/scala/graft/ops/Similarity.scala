@@ -504,6 +504,68 @@ object Similarity {
   val SrpBits = 6
 
   /** +1/-1 from the first md5 hex nibble's parity of "t|b|i". */
+  /** Scalar quantization (SQ8, faiss's `SQ8` / Milvus `SQ8` layout):
+    * each dimension is uniformly quantized to one byte against the
+    * corpus's per-dimension [min, max] — a 4x/8x memory cut that, at
+    * 100 TB, is the difference between an index that fits the fleet's
+    * RAM and one that doesn't. Search is ASYMMETRIC: the query stays
+    * float, each corpus vector is scored against its dequantized form
+    * `mn_i + (code_i + 0.5) * (mx_i - mn_i)/256` — one multiply-add per
+    * dimension off a byte, no float vector read at scan time. The
+    * per-dimension stats are a DIMS-sized frame collected once
+    * (broadcast as literals — the SQ codebook, tiny by construction,
+    * same contract as the PQ anchors); scoring is a sequential
+    * zip_with/aggregate fold so the oracle's ordered `list_sum` replays
+    * it exactly, and ranks order by the ROUND-6 distance then
+    * neighbor_id so ties are engine-stable. Complements [[pqSearch]]:
+    * SQ8 preserves per-dimension resolution (better recall, more
+    * memory); PQ compresses subspaces (less memory, coarser). The
+    * recall report (`ann_recall_sq8`) is hash-gated like every index
+    * family's.
+    */
+  def sq8TopK(s: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    import s.implicits._
+    val emb = corpus.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val stats = emb.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").as[(Int, Double, Double)].collect()
+    val mnA = array(stats.map(t => lit(t._2)).toIndexedSeq: _*)
+    val rngA = array(stats.map(t => lit(t._3 - t._2)).toIndexedSeq: _*)
+    val scA = array(stats.map(t => lit((t._3 - t._2) / 256.0))
+      .toIndexedSeq: _*)
+    val codes = emb
+      .withColumn("codes", transform(col("v"), (x, i) => {
+        val mn = element_at(mnA, i + 1)
+        val rng = element_at(rngA, i + 1)
+        when(rng <= 0, lit(0)).otherwise(
+          least(lit(255), greatest(lit(0),
+            floor((x - mn) / rng * 255).cast("int"))))
+      }))
+      // the dequantized view, derived from codes + the broadcast stats
+      // (the float vector column is NOT read past encode)
+      .withColumn("deq", transform(col("codes"), (c, i) =>
+        element_at(mnA, i + 1) +
+          (c.cast("double") + lit(0.5)) * element_at(scA, i + 1)))
+      .select(col("vec_id").as("neighbor_id"), col("deq"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    codes.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", round(aggregate(
+        zip_with(col("qv"), col("deq"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
+  }
+
+  def annSq8(s: SparkSession, dir: String): DataFrame =
+    sq8TopK(s, Tables.embeddings(s, dir), queryVectors(s, dir), DefaultK)
+
   def srpSign(t: Int, b: Int, i: Int): Int = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val h = md.digest(s"$t|$b|$i".getBytes("UTF-8"))

@@ -243,6 +243,8 @@ object OpsQueries {
     "ann_recall_ivf" -> (recallReport(Similarity.annIvfFixed) _),
     "ann_recall_pq" -> (recallReport(Similarity.annPqSearch) _),
     "ann_recall_ivfpq" -> (recallReport(Similarity.annIvfPq) _),
+    "ann_sq8" -> (Similarity.annSq8 _),
+    "ann_recall_sq8" -> (recallReport(Similarity.annSq8) _),
     "stats_table" -> (tableStats _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
@@ -546,6 +548,44 @@ object OpsQueries {
        |SELECT query_id, neighbor_id, round(adc_raw, 6) AS adc, rank
        |FROM prk WHERE rank <= ${Similarity.DefaultK}""".stripMargin
 
+  /** SQ8 replayed: per-dimension corpus [min, max] → byte codes →
+    * midpoint dequantization → ordered-list L2 against the float
+    * query; ranks on the ROUND-6 distance then neighbor_id, the same
+    * tie algebra the Spark side uses.
+    */
+  private val sq8Oracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding) AS d
+       |  FROM embeddings),
+       |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i
+       |      FROM e),
+       |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+       |arrs AS (SELECT list(mn ORDER BY i) AS mns,
+       |  list(mx - mn ORDER BY i) AS rngs,
+       |  list((mx - mn) / 256.0 ORDER BY i) AS scs FROM st),
+       |deq AS (
+       |  SELECT e.vec_id, list_transform(range(1, e.d + 1), i ->
+       |    arrs.mns[i] + (CAST(CASE WHEN arrs.rngs[i] <= 0 THEN 0
+       |      ELSE least(255, greatest(0,
+       |        floor((e.v[i] - arrs.mns[i]) / arrs.rngs[i] * 255)))
+       |      END AS INT) + 0.5) * arrs.scs[i]) AS dq
+       |  FROM e, arrs),
+       |q AS (SELECT vec_id AS query_id, v AS qv, d FROM e
+       |      WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, deq.vec_id AS neighbor_id,
+       |    round(list_sum(list_transform(range(1, q.d + 1),
+       |      i -> (q.qv[i] - deq.dq[i]) * (q.qv[i] - deq.dq[i]))), 6)
+       |      AS adc
+       |  FROM q JOIN deq ON deq.vec_id != q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc, neighbor_id) AS rn
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, adc, rn AS rank
+       |FROM ranked WHERE rn <= ${Similarity.DefaultK}""".stripMargin
+
   private val bruteforceOracle: String =
     """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -750,6 +790,23 @@ object OpsQueries {
     // LUT with the same per-subspace list_sum accumulation, ADC summed
     // in subspace order (list ORDER BY s), argmin ties by neighbor id
     "ann_pq_search" -> pqSearchOracle,
+    // per-dimension byte quantization replayed end to end: stats →
+    // codes → midpoint dequantization → ordered L2 → round-6 rank
+    "ann_sq8" -> sq8Oracle,
+    "ann_recall_sq8" -> (
+      "WITH ex AS (SELECT query_id, neighbor_id FROM (" +
+        bruteforceOracle + ")),\n" +
+        "pq AS (SELECT query_id, neighbor_id FROM (" + sq8Oracle +
+        "))\n" +
+        """SELECT ex.query_id,
+          |  sum(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    ::BIGINT AS n_hits,
+          |  ((sum(CASE WHEN pq.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+          |    ::BIGINT * 100) // count(*))::BIGINT AS recall_x100
+          |FROM ex LEFT JOIN pq
+          |  ON pq.query_id = ex.query_id
+          |  AND pq.neighbor_id = ex.neighbor_id
+          |GROUP BY ex.query_id""".stripMargin),
     // exact top-k LEFT JOIN pq top-k, hit-counted per query — both
     // sides are the already-verified oracles above wrapped as subqueries
     "ann_recall_pq" -> (

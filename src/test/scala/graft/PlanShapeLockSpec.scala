@@ -216,7 +216,12 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "fmt_snapshot_binpack" -> PlanShape(0, 0, 0, 0, 1),
     // upsert: one agg over the final table — the three CDC merges and
     // the redelivery no-op ran at construction
-    "fmt_snapshot_upsert" -> PlanShape(0, 0, 0, 0, 1))
+    "fmt_snapshot_upsert" -> PlanShape(0, 0, 0, 0, 1),
+    // sq8: one BROADCAST of the tiny query set against the codes scan
+    // (the stats/codebook is literal arrays — no join for it at all);
+    // the recall report joins exact × sq8 like the other families
+    "ann_sq8" -> PlanShape(0, 0, 1, 0, 1),
+    "ann_recall_sq8" -> PlanShape(1, 0, 2, 0, 6))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -274,7 +279,8 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // (XB/XA file-diff steps), write-audit-publish staging, and
       // manifest-complete aggregate pushdown
       "fmt_snapshot_cdf_sql", "fmt_snapshot_wap", "fmt_snapshot_minmax",
-      "pipe_wap_curate", "fmt_snapshot_binpack", "fmt_snapshot_upsert")
+      "pipe_wap_curate", "fmt_snapshot_binpack", "fmt_snapshot_upsert",
+      "ann_sq8", "ann_recall_sq8")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached
