@@ -161,6 +161,62 @@ object MlOps {
   def linregMultiQuery(s: SparkSession, dir: String): DataFrame =
     linregMulti(Tables.lineitem(s, dir))
 
+  val IrlsIters = 3
+  val LogregXScale = 100000.0
+
+  /** Logistic regression trained in-engine by IRLS (iteratively
+    * reweighted least squares — Newton's method on the log-likelihood):
+    * y = P(o_orderstatus = 'F') on scaled price. Each of the
+    * [[IrlsIters]] fixed iterations is ONE combinable aggregation over
+    * the table (five running sums: the 2x2 weighted normal matrix and
+    * the score vector), the 2x2 Newton solve is driver arithmetic on
+    * five doubles, and the next iteration embeds the refreshed betas
+    * as literals — so training cost is `iters` codegen'd passes, no
+    * shuffle beyond each aggregation's, the exact shape that scales to
+    * 100 TB (the linreg family's discipline, extended to a model with
+    * no closed form). Unlike the DECIMAL-exact linregs, the sigmoid
+    * forces float sums; determinism comes from the betas being RATIOS
+    * of same-pass sums (relative error ~1e-10 regardless of row
+    * count), so the round-6 betas and round-6 MEAN log-likelihood are
+    * engine-stable and the whole fit is DuckDB-replayable, iteration
+    * by iteration.
+    */
+  def logregIrls(orders: DataFrame): DataFrame = {
+    val base = orders.select(
+      (col("o_totalprice") / LogregXScale).as("x"),
+      when(col("o_orderstatus") === "F", 1.0).otherwise(0.0).as("y"))
+    var b0 = 0.0
+    var b1 = 0.0
+    for (_ <- 1 to IrlsIters) {
+      val z = lit(b0) + lit(b1) * col("x")
+      val p = lit(1.0) / (lit(1.0) + exp(-z))
+      val w = p * (lit(1.0) - p)
+      val r = base.agg(
+        sum(w).as("sw"),
+        sum(w * col("x")).as("swx"),
+        sum(w * col("x") * col("x")).as("swxx"),
+        sum(col("y") - p).as("g0"),
+        sum((col("y") - p) * col("x")).as("g1")).head
+      val (sw, swx, swxx, g0, g1) = (r.getDouble(0), r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val det = sw * swxx - swx * swx
+      b0 += (swxx * g0 - swx * g1) / det
+      b1 += (sw * g1 - swx * g0) / det
+    }
+    val z = lit(b0) + lit(b1) * col("x")
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    base.agg(count(lit(1)).as("n"),
+        round(sum(col("y") * log(p) +
+          (lit(1.0) - col("y")) * log(lit(1.0) - p)) / count(lit(1)), 6)
+          .as("mean_ll"))
+      .withColumn("beta0", round(lit(b0), 6))
+      .withColumn("beta1", round(lit(b1), 6))
+      .select("n", "beta0", "beta1", "mean_ll")
+  }
+
+  def logregQuery(s: SparkSession, dir: String): DataFrame =
+    logregIrls(Tables.orders(s, dir))
+
   val RidgeLambda = 100000L
 
   /** Ridge regression, exactly: the same one-pass sufficient statistics
@@ -674,6 +730,7 @@ object MlOps {
     "ml_auc_report" -> (aucQuery _),
     "ml_linreg_multi" -> (linregMultiQuery _),
     "ml_calibration" -> (calibrationQuery _),
+    "ml_logreg_irls" -> (logregQuery _),
     "stream_linreg" -> (linregStream _))
 
   private val linregOracle: String =
@@ -1051,7 +1108,52 @@ object MlOps {
        |FROM all_f""".stripMargin
   }
 
+  /** The IRLS fit replayed iteration by iteration: each round's five
+    * float sums, the 2x2 Newton solve, betas threaded through CTEs.
+    * Expression shapes mirror the Spark side exactly (same
+    * associativity, same sigmoid form) so the round-6 betas and mean
+    * log-likelihood land on the same values.
+    */
+  private val logregOracle: String = {
+    def iter(n: Int, prev: String): String =
+      s"""p$n AS (
+         |  SELECT b.x, b.y,
+         |    1.0 / (1.0 + exp(-($prev.b0 + $prev.b1 * b.x))) AS p
+         |  FROM base b, $prev),
+         |i$n AS (
+         |  SELECT sum(p * (1.0 - p)) AS sw, sum(p * (1.0 - p) * x) AS swx,
+         |    sum(p * (1.0 - p) * x * x) AS swxx,
+         |    sum(y - p) AS g0, sum((y - p) * x) AS g1
+         |  FROM p$n),
+         |b$n AS (
+         |  SELECT $prev.b0 + (i$n.swxx * i$n.g0 - i$n.swx * i$n.g1)
+         |      / (i$n.sw * i$n.swxx - i$n.swx * i$n.swx) AS b0,
+         |    $prev.b1 + (i$n.sw * i$n.g1 - i$n.swx * i$n.g0)
+         |      / (i$n.sw * i$n.swxx - i$n.swx * i$n.swx) AS b1
+         |  FROM $prev, i$n)""".stripMargin
+    val iters = (1 to IrlsIters)
+      .map(n => iter(n, if (n == 1) "b0cte" else s"b${n - 1}"))
+      .mkString(",\n")
+    val fin = s"b$IrlsIters"
+    s"""WITH base AS (
+       |  SELECT o_totalprice / $LogregXScale AS x,
+       |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM orders),
+       |b0cte AS (SELECT 0.0 AS b0, 0.0 AS b1),
+       |$iters,
+       |pf AS (
+       |  SELECT b.y,
+       |    1.0 / (1.0 + exp(-($fin.b0 + $fin.b1 * b.x))) AS p
+       |  FROM base b, $fin)
+       |SELECT (SELECT count(*) FROM base)::BIGINT AS n,
+       |  round($fin.b0, 6) AS beta0, round($fin.b1, 6) AS beta1,
+       |  (SELECT round(sum(y * ln(p) + (1.0 - y) * ln(1.0 - p))
+       |     / count(*), 6) FROM pf) AS mean_ll
+       |FROM $fin""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "ml_logreg_irls" -> logregOracle,
     "ml_feature_rank" -> featureRankOracle,
     "ml_boosted_stumps" -> boostedOracle,
     "ml_knn_classify" -> knnOracle,

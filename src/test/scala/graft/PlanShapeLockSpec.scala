@@ -221,7 +221,11 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // (the stats/codebook is literal arrays — no join for it at all);
     // the recall report joins exact × sq8 like the other families
     "ann_sq8" -> PlanShape(0, 0, 1, 0, 1),
-    "ann_recall_sq8" -> PlanShape(1, 0, 2, 0, 6))
+    "ann_recall_sq8" -> PlanShape(1, 0, 2, 0, 6),
+    // logreg: the returned frame is the final log-likelihood pass —
+    // each IRLS iteration was one combinable aggregation at
+    // construction, the Newton solve driver arithmetic
+    "ml_logreg_irls" -> PlanShape(0, 0, 0, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -280,7 +284,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // manifest-complete aggregate pushdown
       "fmt_snapshot_cdf_sql", "fmt_snapshot_wap", "fmt_snapshot_minmax",
       "pipe_wap_curate", "fmt_snapshot_binpack", "fmt_snapshot_upsert",
-      "ann_sq8", "ann_recall_sq8")
+      "ann_sq8", "ann_recall_sq8", "ml_logreg_irls")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached
