@@ -104,6 +104,59 @@ object GraphOps {
         (lit(base) + coalesce(col("mass"), lit(0L))).as("rank_fp"))
   }
 
+  val PprSeedMod = 50L
+
+  /** PERSONALIZED PageRank: the same damped fixed-point iteration as
+    * [[pagerank]] with the teleport concentrated on a SEED SET (items
+    * ≡ 0 mod [[PprSeedMod]]) instead of uniform — the relevance
+    * measure behind "related to THESE items" recommendation and seed
+    * expansion (random-walk-with-restart). Identical plan economics:
+    * the edge list is cached pre-partitioned on src, each iteration
+    * moves only the mass vector, all arithmetic is the 1e12 integer
+    * fixed point, so the ranks are engine-exact and the oracle replays
+    * the iteration verbatim. Non-seed nodes hold only flowed-in mass;
+    * a node unreachable from the seeds ranks exactly 0 — the signature
+    * that distinguishes PPR from global PageRank.
+    */
+  def personalizedPagerank(events: DataFrame): DataFrame = {
+    val ev = itemEvents(events).cache()
+    val edges = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.select(lag(col("item"), 1).over(w).as("src"), col("item").as("dst"))
+        .filter(col("src").isNotNull)
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+    }
+    val outw = edges.groupBy("src").agg(sum(col("w")).as("out_w"))
+    val ew = edges.join(outw, "src")
+      .withColumn("tel_src",
+        (col("src") % PprSeedMod === 0).cast("long"))
+      .repartition(col("src")).cache()
+    val nodes = ev.select(col("item").as("node")).distinct().cache()
+    val nSeeds = nodes.filter(col("node") % PprSeedMod === 0).count()
+    if (nSeeds == 0)
+      return nodes.select(col("node"), lit(0L).as("rank_fp"))
+    val init = PrScale / nSeeds
+    val baseSeed = (1000L - PrDampNum) * init / 1000L
+    var mass: DataFrame = null
+    for (it <- 1 to PrIters) {
+      val joined =
+        if (it == 1) ew.withColumn("rank", col("tel_src") * init)
+        else ew.join(mass.select(col("mdst").as("src"), col("mass")),
+            Seq("src"), "left_outer")
+          .withColumn("rank",
+            col("tel_src") * baseSeed + coalesce(col("mass"), lit(0L)))
+      mass = joined
+        .select(col("dst"),
+          expr(s"((rank div out_w) * w) * $PrDampNum div 1000").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("mass"))
+        .select(col("dst").as("mdst"), col("mass"))
+    }
+    nodes.join(mass, col("node") === col("mdst"), "left_outer")
+      .select(col("node"),
+        ((col("node") % PprSeedMod === 0).cast("long") * baseSeed
+          + coalesce(col("mass"), lit(0L))).as("rank_fp"))
+  }
+
   /** Triangle census of the undirected transition graph — the classic
     * MapReduce graph benchmark (clustering-coefficient numerator,
     * community-density signal). Edges are oriented low→high by
@@ -564,6 +617,8 @@ object GraphOps {
       bfsLandmarks(Tables.events(s, d))),
     "graph_pagerank" -> ((s: SparkSession, d: String) =>
       pagerank(Tables.events(s, d))),
+    "graph_ppr" -> ((s: SparkSession, d: String) =>
+      personalizedPagerank(Tables.events(s, d))),
     "graph_triangles" -> ((s: SparkSession, d: String) =>
       triangleCensus(Tables.events(s, d))),
     "graph_degrees" -> ((s: SparkSession, d: String) =>
@@ -721,6 +776,19 @@ object GraphOps {
       .select(lit(label).as("direction"), col("fanout"), col("n_nodes"))
     side("src", "out").unionAll(side("dst", "in"))
   }
+
+  private def pprIterSql(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT nodes.node,
+       |    (CASE WHEN nodes.node % $PprSeedMod = 0 THEN bs.b ELSE 0 END)
+       |      + coalesce(m.mass, 0) AS rank
+       |  FROM nodes CROSS JOIN bs
+       |  LEFT JOIN (
+       |    SELECT ew.dst,
+       |      sum((($prev.rank // ew.out_w) * ew.w) * $PrDampNum // 1000)::BIGINT
+       |        AS mass
+       |    FROM ew JOIN $prev ON $prev.node = ew.src
+       |    GROUP BY ew.dst) m ON m.dst = nodes.node)""".stripMargin
 
   private def iterSql(prev: String, cur: String): String =
     s"""$cur AS (
@@ -1171,6 +1239,42 @@ object GraphOps {
           |  SELECT node, $PrScale // n AS rank FROM nodes CROSS JOIN nn),
           |""".stripMargin
         + (0 until PrIters).map(i => iterSql(s"r$i", s"r${i + 1}"))
+          .mkString(",\n") +
+        s"""
+           |SELECT node, rank AS rank_fp FROM r$PrIters""".stripMargin),
+    // PPR: the same damped fixed point with the teleport concentrated
+    // on the seed set (node % PprSeedMod = 0); non-seeds hold only
+    // flowed-in mass, unreachable nodes rank exactly 0
+    "graph_ppr" ->
+      (s"""WITH ev AS (
+          |  SELECT user_id, ts, event_id,
+          |    (json_extract_string(props, '$$.k'))::BIGINT AS item
+          |  FROM events
+          |  WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+          |tr AS (
+          |  SELECT lag(item) OVER (PARTITION BY user_id
+          |    ORDER BY ts, event_id) AS src, item AS dst
+          |  FROM ev),
+          |edges AS (
+          |  SELECT src, dst, count(*)::BIGINT AS w FROM tr
+          |  WHERE src IS NOT NULL GROUP BY 1, 2),
+          |outw AS (SELECT src, sum(w)::BIGINT AS out_w FROM edges GROUP BY src),
+          |ew AS (
+          |  SELECT e.src, e.dst, e.w, o.out_w
+          |  FROM edges e JOIN outw o USING (src)),
+          |nodes AS (SELECT DISTINCT item AS node FROM ev),
+          |ns AS (SELECT count(*)::BIGINT AS n FROM nodes
+          |       WHERE node % $PprSeedMod = 0),
+          |bs AS (
+          |  SELECT (${1000L - PrDampNum} * ($PrScale // n)) // 1000 AS b,
+          |    $PrScale // n AS init
+          |  FROM ns),
+          |r0 AS (
+          |  SELECT node,
+          |    CASE WHEN node % $PprSeedMod = 0 THEN bs.init ELSE 0 END AS rank
+          |  FROM nodes CROSS JOIN bs),
+          |""".stripMargin
+        + (0 until PrIters).map(i => pprIterSql(s"r$i", s"r${i + 1}"))
           .mkString(",\n") +
         s"""
            |SELECT node, rank AS rank_fp FROM r$PrIters""".stripMargin)

@@ -225,7 +225,10 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // logreg: the returned frame is the final log-likelihood pass —
     // each IRLS iteration was one combinable aggregation at
     // construction, the Newton solve driver arithmetic
-    "ml_logreg_irls" -> PlanShape(0, 0, 0, 0, 1))
+    "ml_logreg_irls" -> PlanShape(0, 0, 0, 0, 1),
+    // ppr: identical shape to graph_pagerank — same loop, only the
+    // teleport vector differs
+    "graph_ppr" -> PlanShape(0, 10, 0, 0, 37))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -284,7 +287,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // manifest-complete aggregate pushdown
       "fmt_snapshot_cdf_sql", "fmt_snapshot_wap", "fmt_snapshot_minmax",
       "pipe_wap_curate", "fmt_snapshot_binpack", "fmt_snapshot_upsert",
-      "ann_sq8", "ann_recall_sq8", "ml_logreg_irls")
+      "ann_sq8", "ann_recall_sq8", "ml_logreg_irls", "graph_ppr")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached
