@@ -557,6 +557,36 @@ object OpScaleProbe {
           s"written=$written carried=${nFiles - packed}")
         spark.sharedState.cacheManager.clearCache()
       }
+      // round-11 session 5. Streaming CDC upsert vs table size: the
+      // table grows xk (rows AND range-clustered files), each applied
+      // batch stays FIXED (a 2001-key band confined to the first
+      // copy). Per-batch cost must track touched files + batch — flat
+      // — or the "per-minute CDC stream affordable at 100 TB" claim
+      // fails exactly where CDC matters.
+      if (wanted("snap_upsert")) {
+        import graft.sources.{SnapshotStreamSink, SnapshotTable}
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_snapups_x$k").toString + "/t"
+        val scaled = scaledOrders(k)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        SnapshotTable.commit(
+          scaled.repartitionByRange(16 * k, col("o_orderkey")), root,
+          statsCol = Some("o_orderkey"))
+        val w = SnapshotStreamSink.upsertWriter(root, "probe", "o_orderkey")
+        val batch = ordBase
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .filter(col("o_orderkey").between(1000, 3000)) // first copy
+          .withColumn("o_totalprice", lit(1.0))
+        val nBatch = batch.count()
+        val t0 = System.nanoTime()
+        (1 to 3).foreach(i => w(batch, i.toLong))
+        val dt = (System.nanoTime() - t0) / 1e9 / 3
+        val files = SnapshotTable.fileList(spark, root,
+          SnapshotTable.currentSnapshot(spark, root)).size
+        println(f"snap_upsert     x$k $dt%8.1f s/batch batch=$nBatch " +
+          s"files=$files")
+        spark.sharedState.cacheManager.clearCache()
+      }
     }
     spark.stop()
   }
