@@ -341,10 +341,12 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
               val id = st.getPath.getName
                 .stripPrefix("v").stripSuffix(".manifest").toLong
               val es = SnapshotTable.entries(spark, root, id)
-              val rowsKnown = es.flatMap(_.rows)
+              // live rows via the manifest arithmetic (DV entries count
+              // NEGATIVE): a plain sum would overstate a merge-on-read
+              // delete by 2x the deleted rows
               org.apache.spark.sql.catalyst.InternalRow(
                 id, es.size.toLong,
-                if (rowsKnown.size == es.size) rowsKnown.sum else -1L,
+                SnapshotTable.rowCount(spark, root, id).getOrElse(-1L),
                 st.getModificationTime * 1000L)
             }.toArray.sortBy(_.getLong(0))
         }

@@ -616,11 +616,40 @@ object SnapshotTable {
       fail(s"snapshot commit conflict: v$id already committed by a " +
         s"concurrent writer (root=$root); retry from the new current " +
         "snapshot", dropClaim = true)
+    // capture the published bytes BEFORE the rename consumes tmp: the
+    // lease-TTL takeover window means a stalled-but-alive original
+    // writer can still race this publish, and the local FS rename
+    // clobbers an existing destination — so verify-after-publish below
+    // turns the unavoidable race from silent loss into a loud conflict
+    val published = readFully(fs, tmp)
     if (!fs.rename(tmp, target))
       fail(s"snapshot commit: rename to $target failed (filesystem " +
         "error, not a conflict); the claim was released — retry the " +
         "commit", dropClaim = true)
+    // re-read the target and confirm it carries exactly the bytes this
+    // writer published. A mismatch means a concurrent (lease-raced)
+    // writer's rename clobbered ours after it landed: OUR data files
+    // are now unreferenced (removeOrphans reclaims them), and the
+    // caller must observe a failed — not silently lost — commit.
+    val landed =
+      try readFully(fs, target)
+      catch { case _: java.io.IOException => Array.empty[Byte] }
+    if (!java.util.Arrays.equals(published, landed)) {
+      fs.delete(claim, false)
+      throw new IllegalStateException(
+        s"snapshot commit conflict: manifest v$id was overwritten by a " +
+          s"concurrent lease-raced writer after publish (root=$root); " +
+          "this commit is LOST — retry from the new current snapshot")
+    }
     fs.delete(claim, false)
+  }
+
+  private def readFully(fs: FileSystem, p: Path): Array[Byte] = {
+    val len = fs.getFileStatus(p).getLen.toInt
+    val buf = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, buf) finally in.close()
+    buf
   }
 
   /** Expire everything older than the last `keepLast` snapshots: delete
@@ -736,6 +765,23 @@ object SnapshotTable {
             now - st.getModificationTime > olderThanMs) {
           fs.delete(st.getPath, false); n += 1
         }
+      }
+    }
+    // change-feed dirs: a merge/deleteWhere that wrote its changes/<uuid>
+    // frame and then failed the manifest publish leaves a CDF dir no
+    // manifest's `cdf.dir` prop ever references — the same crashed-commit
+    // shape, swept under the same age gate. Live and WAP-staged manifests
+    // both count as referencers (a staged merge's feed awaits its audit).
+    val referencedCdf: Set[String] =
+      manifests.flatMap(p => manifestLines(fs, p)
+        .filter(_.startsWith("#prop "))
+        .map(_.stripPrefix("#prop ").split("=", 2))
+        .collect { case Array(k, v) if dec(k) == "cdf.dir" => dec(v) }).toSet
+    val chDir = new Path(root, "changes")
+    if (fs.exists(chDir)) fs.listStatus(chDir).foreach { st =>
+      if (!referencedCdf.contains(s"changes/${st.getPath.getName}") &&
+          now - st.getModificationTime > olderThanMs) {
+        fs.delete(st.getPath, true); n += 1
       }
     }
     n
