@@ -587,6 +587,46 @@ object OpScaleProbe {
           s"files=$files")
         spark.sharedState.cacheManager.clearCache()
       }
+
+      // round 12. applyChanges catch-up vs COMMIT COUNT: a consumer
+      // resuming after 2*k row-removing commits folds one anti-join +
+      // union per commit; the depth barrier (graft.cdf.fold.barrier)
+      // localCheckpoints every K steps so plan analysis stays
+      // O(barrier) deep however long the feed. The fold must grow
+      // ~linearly in commit count (each barrier materializes a
+      // state-sized frame) — superlinear growth or a StackOverflow is
+      // the unbarriered failure, the BPE fold-arm lesson. The feed is
+      // synthetic (the fold consumes only the frame contract) so the
+      // axis isolates fold cost from commit I/O; BARRIER_EVERY
+      // overrides for K experiments.
+      if (wanted("snap_cdf_fold")) {
+        import graft.sources.SnapshotTable
+        sys.env.get("BARRIER_EVERY").foreach(v =>
+          spark.conf.set("graft.cdf.fold.barrier", v))
+        val nCommits = 2 * k
+        val state0 = ordBase
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val nKeys = okeyStride
+        val stepFrames = (1 to nCommits).map { c =>
+          ordBase.select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .filter(col("o_orderkey") % 97 === c % 97)
+            .withColumn("o_totalprice", lit(c.toDouble))
+            .withColumn("_op", lit("U"))
+            .withColumn("_commit", lit(c.toLong))
+        }
+        val feed = stepFrames.reduce(_ unionByName _)
+          .localCheckpoint(eager = true) // isolate fold cost from feed build
+        val t0 = System.nanoTime()
+        val folded = SnapshotTable.applyChanges(state0, feed, "o_orderkey")
+        folded.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"snap_cdf_fold   x$k $dt%8.1f s commits=$nCommits " +
+          s"keys=$nKeys barrier=" +
+          spark.conf.get("graft.cdf.fold.barrier", "16"))
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     spark.stop()
   }

@@ -1500,14 +1500,34 @@ object SnapshotTable {
     * `fmt_snapshot_cdf` / `fmt_snapshot_cdf_full` /
     * `fmt_snapshot_cdf_sql` hash gates). Contract: `keyCol` is a row
     * key (unique per row), the same contract [[merge]] keys on. One
-    * lazy plan, one join per row-removing step — feeds are priced at
-    * each commit's own churn, never the table.
+    * join per row-removing step — feeds are priced at each commit's
+    * own churn, never the table.
+    *
+    * PLAN DEPTH IS BOUNDED: a consumer catching up across hundreds of
+    * commits would otherwise fold one anti-join + union PER COMMIT
+    * into a single lazy plan — the structural class that
+    * StackOverflowed the BPE fold arm at ~1k merges (SURVEY §6.9) and
+    * that Catalyst analyzes superlinearly. Every
+    * `graft.cdf.fold.barrier` row-removing steps (default 16 —
+    * probed on the OpScaleProbe `snap_cdf_fold` axis, 200 commits
+    * over a 150k-key state: K=8 126 s, K=16 118 s, K=32 133 s, K=64
+    * 169 s; small K pays barrier materialization, large K pays the
+    * O(K²)-pushed-join segments) the accumulated state is
+    * materialized with `localCheckpoint`, truncating the lineage so a
+    * catch-up of ANY commit count analyzes O(barrier)-deep plans and
+    * fold cost grows ~linearly in commit count (2 / 20 / 200 commits
+    * → 2.2 / 7.5 / 118 s on the probe).
+    * Append-only steps never force a barrier — unions are flat and
+    * coalesce in Catalyst; only join depth counts.
     */
   def applyChanges(state: DataFrame, feed: DataFrame,
       keyCol: String): DataFrame = {
     import org.apache.spark.sql.functions.col
+    val s = state.sparkSession
+    val barrier = s.conf.get("graft.cdf.fold.barrier", "16").toInt
     val commits = feed.select("_commit").distinct()
       .collect().map(_.getLong(0)).sorted
+    var joinsSinceBarrier = 0
     commits.foldLeft(state) { (acc, id) =>
       val step = feed.filter(col("_commit") === id)
       val rows = step.filter(col("_op").isin("A", "I", "U", "XA"))
@@ -1515,10 +1535,17 @@ object SnapshotTable {
       val removesRows =
         step.filter(col("_op") =!= "A").limit(1).count() > 0
       if (!removesRows) acc.unionByName(rows, allowMissingColumns = true)
-      else acc
-        .join(step.filter(col("_op").isin("U", "UB", "D", "XB"))
-          .select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        .unionByName(rows, allowMissingColumns = true)
+      else {
+        joinsSinceBarrier += 1
+        val stepped = acc
+          .join(step.filter(col("_op").isin("U", "UB", "D", "XB"))
+            .select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+          .unionByName(rows, allowMissingColumns = true)
+        if (joinsSinceBarrier >= barrier) {
+          joinsSinceBarrier = 0
+          stepped.localCheckpoint(eager = true)
+        } else stepped
+      }
     }
   }
 

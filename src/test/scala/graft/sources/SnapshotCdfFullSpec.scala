@@ -230,4 +230,52 @@ class SnapshotCdfFullSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("re-baseline"))
   }
+
+  test("applyChanges bounds plan depth across a 120-commit catch-up: " +
+      "the barrier truncates lineage so the final plan is O(barrier) " +
+      "deep, and the fold is exact regardless of where barriers land") {
+    import spark.implicits._
+    // synthetic feed (applyChanges consumes only the frame contract:
+    // _commit/_op + row columns) — 120 row-removing merge steps, each
+    // replacing two keys, is the long-catch-up shape the batch API
+    // takes when a consumer resumes after days away
+    val nCommits = 120
+    val keys = 1L to 200L
+    val state0 = keys.map(k => (k, s"r$k")).toDF("k", "v")
+    val steps = (1 to nCommits).flatMap { c =>
+      val k1 = (c * 7L) % 200L + 1L
+      val k2 = (c * 13L) % 200L + 1L
+      Seq((k1, s"old", "UB", c.toLong), (k1, s"c$c-a", "U", c.toLong)) ++
+        (if (k2 != k1)
+          Seq((k2, s"old", "UB", c.toLong), (k2, s"c$c-b", "U", c.toLong))
+        else Seq.empty)
+    }
+    val feed = steps.toDF("k", "v", "_op", "_commit")
+    val folded = SnapshotTable.applyChanges(state0, feed, "k")
+    // exactness: last writer per key wins; untouched keys keep r$k
+    val expected = keys.map { k =>
+      val last = (1 to nCommits).reverse.find(c =>
+        (c * 7L) % 200L + 1L == k || (c * 13L) % 200L + 1L == k)
+      k -> last.map { c =>
+        if ((c * 7L) % 200L + 1L == k) s"c$c-a" else s"c$c-b"
+      }.getOrElse(s"r$k")
+    }.sorted.toSeq
+    assert(folded.as[(Long, String)].collect().sorted.toSeq == expected)
+    // depth bound: the plan above the LAST barrier NESTS at most
+    // `barrier` joins; without the barrier it would nest all 120.
+    // (Total join COUNT in the optimized tail is O(barrier^2) — the
+    // optimizer pushes each anti-join through the union into every
+    // appended branch — but nesting depth is what Catalyst analysis
+    // and the JVM stack pay for, and it is what the barrier bounds.)
+    val barrier = spark.conf.get("graft.cdf.fold.barrier", "16").toInt
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    def joinDepth(p: LogicalPlan): Int = {
+      val self = p match { case _: Join => 1; case _ => 0 }
+      self + (if (p.children.isEmpty) 0
+              else p.children.map(joinDepth).max)
+    }
+    val depth = joinDepth(folded.queryExecution.optimizedPlan)
+    assert(depth <= barrier,
+      s"plan nests $depth joins — the depth barrier is not truncating")
+  }
 }
