@@ -1117,13 +1117,17 @@ object FormatQueries {
     * without `o_orderpriority`, gen-2 appends it — the recorded schema
     * evolves by name ([[graft.sources.SnapshotTable.mergeSchemas]]),
     * gen-1 files read the new column as NULL deterministically, and
-    * time travel to v1 sees v1's OWN two-column schema. Read back
-    * through BOTH the library and the `graft-snap` DSv2 connector
-    * (`SnapshotSource` pins the stored schema into Spark's parquet
-    * FileTable, so no footer sampling decides what a mixed-schema
-    * manifest means) — the gate hash-checks both against one oracle
-    * derivation. At 100 TB: schema is O(1) manifest metadata, never a
-    * mergeSchema scan of every footer.
+    * time travel to v1 sees v1's OWN two-column schema. Then the
+    * RENAME leg: `o_totalprice` → `price` as a METADATA-ONLY commit
+    * through the column mapping
+    * ([[graft.sources.SnapshotTable.renameColumn]] — the audit column
+    * pins that the file list moved not at all), and a post-rename
+    * append lands under the new logical name, so the final read mixes
+    * THREE file epochs (pre-priority, pre-rename, post-rename) under
+    * one logical schema. Read back through BOTH the library and the
+    * `graft-snap` DSv2 connector — the gate hash-checks both against
+    * one oracle derivation. At 100 TB: schema and rename are O(1)
+    * manifest metadata, never a mergeSchema scan or a table rewrite.
     */
   def snapshotEvolve(s: SparkSession, d: String): DataFrame = {
     import graft.sources.SnapshotTable
@@ -1133,22 +1137,32 @@ object FormatQueries {
     SnapshotTable.commit( // v1: pre-evolution schema, even keys
       o.filter(col("o_orderkey") % 2 === 0)
         .select("o_orderkey", "o_orderstatus", "o_totalprice"), root)
-    SnapshotTable.commit( // v2: appends the o_orderpriority column
+    val v2 = SnapshotTable.commit( // v2: appends the o_orderpriority column
       o.filter(col("o_orderkey") % 2 === 1)
         .select("o_orderkey", "o_orderstatus", "o_totalprice",
           "o_orderpriority"), root)
+    val v3 = SnapshotTable.renameColumn(s, root, "o_totalprice", "price")
+    val metaOnly = SnapshotTable.fileList(s, root, v3) ==
+      SnapshotTable.fileList(s, root, v2)
+    SnapshotTable.commit( // v4: append UNDER the renamed schema
+      o.filter(col("o_orderkey") % 10 === 7)
+        .select((col("o_orderkey") + 30000000L).as("o_orderkey"),
+          col("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("price"),
+          col("o_orderpriority")), root)
     def agg(df: DataFrame, tag: String): DataFrame =
       df.withColumn("priority",
           coalesce(col("o_orderpriority"), lit("<pre-evolution>")))
         .groupBy("priority")
         .agg(count(lit(1)).as(s"n_$tag"),
-          money(sum(col("o_totalprice"))).as(s"total_$tag"),
+          money(sum(col("price"))).as(s"total_$tag"),
           sum(col("o_orderkey")).as(s"okey_$tag"))
     val nV1 = SnapshotTable.readAt(s, root, 1L)
       .agg(count(lit(1)).as("n_v1"))
     agg(SnapshotTable.read(s, root), "lib")
       .join(agg(s.read.format("graft-snap").load(root), "dsv2"), "priority")
       .crossJoin(broadcast(nV1))
+      .withColumn("rename_meta_only", lit(if (metaOnly) 1L else 0L))
   }
 
   /** Manifest row counts → COUNT(*) pushdown
@@ -2043,19 +2057,26 @@ object FormatQueries {
         |  0::BIGINT AS n_noop_rows
         |FROM s5 GROUP BY 1""".stripMargin,
     // even keys predate the column (NULL → the sentinel bucket); the
-    // library and DSv2 reads must agree with the one derivation, and
-    // v1's time travel count is the even-key cardinality
+    // post-rename append shifts its keys +30M and reprices +1000; the
+    // library and DSv2 reads must agree with the one derivation, v1's
+    // time travel count is the even-key cardinality, and the rename
+    // audit is a protocol constant (file list untouched)
     "fmt_snapshot_evolve" ->
       """WITH cur AS (
         |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<pre-evolution>'
         |    ELSE o_orderpriority END AS priority,
-        |    o_totalprice AS p, o_orderkey AS k FROM orders)
+        |    o_totalprice AS p, o_orderkey AS k FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority AS priority,
+        |    o_totalprice + 1000.0 AS p, o_orderkey + 30000000 AS k
+        |  FROM orders WHERE o_orderkey % 10 = 7)
         |SELECT priority, count(*)::BIGINT AS n_lib,
         |  round(sum(p), 2) AS total_lib, sum(k)::BIGINT AS okey_lib,
         |  count(*)::BIGINT AS n_dsv2,
         |  round(sum(p), 2) AS total_dsv2, sum(k)::BIGINT AS okey_dsv2,
         |  (SELECT count(*) FROM orders
-        |   WHERE o_orderkey % 2 = 0)::BIGINT AS n_v1
+        |   WHERE o_orderkey % 2 = 0)::BIGINT AS n_v1,
+        |  1::BIGINT AS rename_meta_only
         |FROM cur GROUP BY 1""".stripMargin,
     // the manifest-only count must equal the true row count of both
     // committed batches; from_manifest is a protocol constant

@@ -176,23 +176,37 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * carrying the evolved schema, exactly how data appends evolve it:
     * old files read the new column as NULL at every version from this
     * snapshot on, the change time-travels like any other commit, and
-    * no data file is touched. Every other ALTER shape (drop / rename /
-    * retype / reposition) refuses — those need rewrite semantics this
-    * layer deliberately does not fake.
+    * no data file is touched. `RENAME COLUMN` and `DROP COLUMN` are
+    * METADATA-ONLY commits through the column mapping
+    * ([[SnapshotTable.renameColumn]] / [[SnapshotTable.dropColumn]]):
+    * physical file names never change, no data is read or written at
+    * any table size, and time travel sees each snapshot's own names.
+    * Retype / reposition still refuse — those need rewrite semantics
+    * this layer deliberately does not fake.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import org.apache.spark.sql.types.StructField
     val p = tablePath(ident)
     if (!isTableDir(p)) throw new NoSuchTableException(ident)
+    val root = p.toString
+    changes match {
+      case Seq(r: TableChange.RenameColumn) if r.fieldNames.length == 1 =>
+        SnapshotTable.renameColumn(spark, root, r.fieldNames.head,
+          r.newName)
+        return loadTable(ident)
+      case Seq(d: TableChange.DeleteColumn) if d.fieldNames.length == 1 =>
+        SnapshotTable.dropColumn(spark, root, d.fieldNames.head)
+        return loadTable(ident)
+      case _ =>
+    }
     val adds = changes.map {
       case a: TableChange.AddColumn
           if a.fieldNames.length == 1 && a.position == null =>
         StructField(a.fieldNames.head, a.dataType, a.isNullable)
       case other => throw new UnsupportedOperationException(
-        s"graft-snap catalog: only top-level ADD COLUMNS is supported " +
-          s"(appends evolve the schema by name); got $other")
+        s"graft-snap catalog: only top-level ADD COLUMNS, RENAME " +
+          s"COLUMN, and DROP COLUMN are supported; got $other")
     }
-    val root = p.toString
     val cur = SnapshotTable.read(spark, root)
     val evolved = StructType(cur.schema.fields ++ adds)
     SnapshotTable.commit(spark.createDataFrame(

@@ -300,9 +300,36 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
   import org.apache.spark.sql.connector.read.Scan
   import org.apache.spark.sql.execution.datasources.v2.FileScanBuilder
 
+  // column mapping (rename/drop as metadata — [[SnapshotTable.physMapOf]]):
+  // the parquet delegate works entirely in PHYSICAL names (what every
+  // file carries, whatever its write epoch); this builder translates at
+  // the boundary — schemas and pushed filters go logical→physical in,
+  // readSchema comes physical→logical out. Rows are positional, so the
+  // rename costs nothing at execution. Empty map (no rename ever) is
+  // the identity fast path on every branch.
+  private val physMap: Map[String, String] =
+    if (id == 0L) Map.empty
+    else SnapshotTable.physMapOf(SparkSession.active, root, id)
+  private val logicalOf: Map[String, String] = physMap.map(_.swap)
+
+  private def toPhysExpr(e: Expression): Expression =
+    if (physMap.isEmpty) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if physMap.contains(a.name) => a.withName(physMap(a.name))
+    }
+  private def toLogicalExpr(e: Expression): Expression =
+    if (logicalOf.isEmpty) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if logicalOf.contains(a.name) => a.withName(logicalOf(a.name))
+    }
+
   private def parquetBuilder(paths: Seq[String]): FileScanBuilder =
     ParquetTable(tableName, SparkSession.active, options, paths,
-      userSpecifiedSchema = Some(tableSchema), classOf[ParquetFileFormat])
+      userSpecifiedSchema =
+        Some(SnapshotTable.physSchema(tableSchema, physMap)),
+      classOf[ParquetFileFormat])
       .newScanBuilder(options).asInstanceOf[FileScanBuilder]
 
   // Catalyst pushes filters (if any) BEFORE column pruning and build;
@@ -331,17 +358,19 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     filtered = filtered || filters.nonEmpty
+    // manifest stats and parquet files both live in PHYSICAL names
+    val phys = filters.map(toPhysExpr)
     // the top-level Seq is a conjunction: ANY conjunct proving a file
     // empty excludes it
     val kept = entries.filterNot(e =>
-      filters.exists(f => SnapshotTable.filterExcludes(e, f)))
+      phys.exists(f => SnapshotTable.filterExcludes(e, f)))
     SnapshotSource.pruneLog.put(root, (kept.size, entries.size))
     keptSink(kept)
     groupKept = kept
     scanEntries = kept
     delegate = parquetBuilder(kept.map(e => s"$root/${e.path}"))
     if (groupMode) filters // file selection only: every row comes back
-    else delegate.pushFilters(filters)
+    else delegate.pushFilters(phys).map(toLogicalExpr)
   }
 
   override def pushedFilters(): Array[Predicate] =
@@ -364,7 +393,7 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
       // static kept set is what pushFilters pruned; SQL MERGE prunes
       // further at execution time from the source's join keys)
       return new SnapshotGroupScan(root, tableName, tableSchema, options,
-        groupKept, keptSink)
+        groupKept, keptSink, physMap)
     // wrap so the SAME scan serves batch (delegating to the stock
     // parquet Batch over the pruned list) and micro-batch streaming
     // (readStream.table: snapshot-id offsets, appended-files batches).
@@ -379,7 +408,7 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
         Some(scanEntries.map(_.rows.get).sum)
       else None
     new SnapshotScanWrapper(root, ensure().build(), options,
-      spjKeys(), tableSchema, manifestRows)
+      spjKeys(), tableSchema, manifestRows, logicalOf)
   }
 
   /** The storage-partitioned-join report: when the scanned file set is
@@ -435,7 +464,9 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (manifestAgg.isEmpty) ensure().pruneColumns(requiredSchema)
+    if (manifestAgg.isEmpty)
+      ensure().pruneColumns(
+        SnapshotTable.physSchema(requiredSchema, physMap))
 
   /** Answer an unfiltered, ungrouped COUNT(*) / COUNT(col) / MIN(col) /
     * MAX(col) aggregation from the MANIFEST alone: per-file row counts
@@ -480,7 +511,8 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
         case DoubleType | FloatType => "d"
         case _ => return None
       }
-      val sts = data.map(e => e.statsFor(c).map(st => (st, e.rows.get)))
+      val sts = data.map(e =>
+        e.statsFor(physMap.getOrElse(c, c)).map(st => (st, e.rows.get)))
       if (sts.exists(_.isEmpty)) return None
       val good = sts.flatten
       if (good.exists { case (st, _) =>
@@ -511,7 +543,7 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
         case _: CountStar => Some((LongType: DataType, total: Any))
         case c: Count if !c.isDistinct =>
           colOf(c.column).flatMap { col =>
-            val sts = data.map(_.statsFor(col))
+            val sts = data.map(_.statsFor(physMap.getOrElse(col, col)))
             if (sts.exists(s => s.isEmpty || s.get.nulls.isEmpty)) None
             else Some((LongType,
               total - sts.flatten.map(_.nulls.get).sum))
@@ -576,13 +608,23 @@ private[sources] class SnapshotScanWrapper(root: String,
     options: CaseInsensitiveStringMap,
     spj: Option[(Seq[String], Map[String, Seq[Any]])],
     tableSchema: StructType,
-    manifestRows: Option[Long] = None)
+    manifestRows: Option[Long] = None,
+    logicalOf: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   import org.apache.spark.sql.connector.read.{Batch, InputPartition}
   import org.apache.spark.sql.execution.datasources.FilePartition
 
-  override def readSchema(): StructType = delegate.readSchema()
+  // the delegate prunes and reads in PHYSICAL names (column mapping);
+  // Spark resolves this scan's output against the table's LOGICAL
+  // schema by name, so the reported read schema translates back — rows
+  // are positional and unaffected
+  override def readSchema(): StructType = {
+    val sch = delegate.readSchema()
+    if (logicalOf.isEmpty) sch
+    else StructType(sch.fields.map(f =>
+      f.copy(name = logicalOf.getOrElse(f.name, f.name))))
+  }
   override def description(): String = delegate.description()
 
   override def outputPartitioning()
@@ -715,7 +757,12 @@ private[sources] class SnapshotMicroBatchStream(root: String,
 
   private def parquetBatch(paths: Seq[String]): Batch =
     ParquetTable(s"graft-snap-stream $root", spark, options, paths,
-      userSpecifiedSchema = Some(readSchema), classOf[ParquetFileFormat])
+      // a mapped table's files carry PHYSICAL names; the stream's
+      // declared schema is logical, and rows are positional
+      userSpecifiedSchema = Some(SnapshotTable.physSchema(readSchema,
+        SnapshotTable.physMapOf(spark, root,
+          SnapshotTable.currentSnapshot(spark, root)))),
+      classOf[ParquetFileFormat])
       .newScanBuilder(options).build().toBatch
 
   override def initialOffset(): Offset = SnapOffset(

@@ -300,6 +300,69 @@ object SnapshotTable {
     snapshotProps(s, root, id).get("schema")
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
 
+  /** Snapshot N's logical→physical column-name mapping (only entries
+    * that differ; empty = identity, the common case and the pre-rename
+    * fast path every reader keeps). The layer's RENAME/DROP COLUMN is
+    * Delta-style column mapping: a column's PHYSICAL name — what its
+    * parquet files and manifest stats carry — is fixed at creation and
+    * NEVER changes; [[renameColumn]] moves only the logical name in
+    * this map, so the rename is one metadata commit and every file
+    * ever written stays readable under whatever logical name the
+    * reader's snapshot prescribes (time travel sees each version's own
+    * names). Carried forward by every commit shape; reset by a full
+    * overwrite (the old files left the manifest). Prop `col.phys`.
+    */
+  def physMapOf(s: SparkSession, root: String, id: Long): Map[String, String] =
+    if (id == 0L) Map.empty
+    else parsePhysMap(snapshotProps(s, root, id).get("col.phys"))
+
+  private def parsePhysMap(v: Option[String]): Map[String, String] =
+    v.toSeq.flatMap(_.split(";")).filter(_.nonEmpty).map { tok =>
+      val Array(l, p) = tok.split(":", 2)
+      dec(l) -> dec(p)
+    }.toMap
+
+  private def renderPhysMap(m: Map[String, String]): String =
+    m.toSeq.sortBy(_._1).map { case (l, p) => s"${enc(l)}:${enc(p)}" }
+      .mkString(";")
+
+  /** Physical names RETIRED by [[dropColumn]]: live files still carry
+    * their data, so a later ADD COLUMN reusing one would silently
+    * resurrect dropped cells — schema evolution refuses these names
+    * (prop `cols.retired`, carried forward; reset by overwrite).
+    */
+  def retiredOf(s: SparkSession, root: String, id: Long): Set[String] =
+    if (id == 0L) Set.empty
+    else snapshotProps(s, root, id).get("cols.retired").toSeq
+      .flatMap(_.split(",")).filter(_.nonEmpty).map(dec).toSet
+
+  /** Monotone schema-evolution epoch: bumped by every rename/drop
+    * commit (prop `col.evo`). The change feed and the incremental
+    * append tail compare epochs across their range and REFUSE when a
+    * rename/drop happened inside it — recorded change frames carry
+    * each commit's own logical names, so a consumer folding across a
+    * rename would misalign columns; it re-baselines instead (the same
+    * boundary Delta draws for CDF across column-mapping changes).
+    */
+  def evoEpochOf(s: SparkSession, root: String, id: Long): Long =
+    if (id == 0L) 0L
+    else snapshotProps(s, root, id).get("col.evo").map(_.toLong).getOrElse(0L)
+
+  private[sources] def physSchema(schema: StructType,
+      map: Map[String, String]): StructType =
+    if (map.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = map.getOrElse(f.name, f.name))))
+
+  /** Rename `df`'s columns logical→physical before a file write.
+    * Position-preserving, so rows are untouched; identity when no
+    * rename ever happened.
+    */
+  private def toPhysical(df: DataFrame,
+      map: Map[String, String]): DataFrame =
+    if (map.isEmpty || !df.columns.exists(map.contains)) df
+    else df.toDF(df.columns.map(c => map.getOrElse(c, c)): _*)
+
   /** Snapshot N's exact row count from the manifest ALONE — defined iff
     * every entry carries a commit-time `rc=` field (all commits since
     * counts were recorded). Zero data files are opened; at 100 TB a
@@ -383,8 +446,33 @@ object SnapshotTable {
       if (parts.nonEmpty || overwrite)
         Map("partition.cols" -> parts.mkString(","))
       else Map.empty[String, String]
-    commitWithCarried(df, root, carried, prev, statsCol, partProp ++ props,
-      baseSchema, parts)
+    // column mapping: a full overwrite replaces every manifest file
+    // with freshly-written ones (physical = logical again), so the
+    // mapping and the retired-name bars RESET — restated empty, like
+    // the partition shape. Appends instead guard evolution: a NEW
+    // column's physical name is its logical name, which must not
+    // collide with a live physical name (a renamed column's files
+    // carry it) or a retired one (a dropped column's files still do).
+    // (col.evo stays MONOTONE — carried, never reset: a feed spanning
+    // rename→compaction must still see the epoch change and refuse)
+    val mapProps =
+      if (overwrite) Map("col.phys" -> "", "cols.retired" -> "")
+      else Map.empty[String, String]
+    if (!overwrite && prev > 0L) {
+      val map = physMapOf(s, root, prev)
+      val retired = retiredOf(s, root, prev)
+      if (map.nonEmpty || retired.nonEmpty) {
+        val baseNames = baseSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+        val livePhys = baseNames.map(c => map.getOrElse(c, c))
+        df.schema.fieldNames.filterNot(baseNames).foreach(n =>
+          require(!livePhys.contains(n) && !retired.contains(n),
+            s"schema evolution: new column '$n' collides with a live or " +
+              s"retired PHYSICAL column name of $root — existing files " +
+              "carry data under it; pick another name or overwrite"))
+      }
+    }
+    commitWithCarried(df, root, carried, prev, statsCol,
+      mapProps ++ partProp ++ props, baseSchema, parts)
   }
 
   /** True iff snapshot `id` is partitioned and EVERY file carries exact
@@ -421,14 +509,23 @@ object SnapshotTable {
     * carried forward (new `props` win) so exactly-once floors survive
     * compaction, merge, and expiration.
     */
-  private def commitWithCarried(df: DataFrame, root: String,
+  private def commitWithCarried(df0: DataFrame, root: String,
       carried: Seq[String], prev: Long, statsCol: Option[String],
       props: Map[String, String],
       baseSchema: Option[StructType] = None,
       partitionCols: Seq[String] = Seq.empty,
       wapId: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.col
-    val s = df.sparkSession
+    val s = df0.sparkSession
+    // files are written under PHYSICAL names (stable since each
+    // column's creation — see [[physMapOf]]); identity when no rename
+    // ever happened. An explicit props reset ("col.phys" -> "", the
+    // overwrite path) wins over the carried mapping.
+    val physMap = parsePhysMap(
+      props.get("col.phys").orElse(
+        if (prev == 0L) None
+        else snapshotProps(s, root, prev).get("col.phys")))
+    val df = toPhysical(df0, physMap)
     val rootP = new Path(root)
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
     val staging = new Path(rootP, s"_staging/$commitId")
@@ -453,8 +550,10 @@ object SnapshotTable {
         .write.partitionBy(dups: _*).mode("overwrite")
         .parquet(staging.toString)
     } else df.write.mode("overwrite").parquet(staging.toString)
+    // the recorded schema is LOGICAL (df0's names) — the physical
+    // rename above affects only what the parquet files carry
     val schema = asNullable(baseSchema
-      .map(b => mergeSchemas(b, df.schema)).getOrElse(df.schema))
+      .map(b => mergeSchemas(b, df0.schema)).getOrElse(df0.schema))
     val statsCols = statsCol.toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     publishStaged(s, root, commitId, staging, carried, prev, statsCols,
@@ -511,13 +610,19 @@ object SnapshotTable {
     val carriedProps: Map[String, String] =
       if (prev == 0L) Map.empty
       else snapshotProps(s, root, prev).filter(p =>
-        p._1.startsWith("stream.") || p._1 == "partition.cols")
+        p._1.startsWith("stream.") || p._1 == "partition.cols" ||
+          p._1 == "col.phys" || p._1 == "cols.retired" || p._1 == "col.evo")
     // partition columns ALWAYS join the stats index (whatever the
     // commit path — V1, V2 executor-staged, COW rewrites): a file that
     // lost its partition-value stats would silently stop pruning
     val partCols = (carriedProps ++ props).getOrElse("partition.cols", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // stats are recorded under PHYSICAL names — what the staged files
+    // carry and what every pre-rename entry already holds, so one
+    // lookup domain serves the whole manifest whatever the epoch
+    val physMap = parsePhysMap((carriedProps ++ props).get("col.phys"))
     val effStatsCols = (statsCols ++ partCols).distinct
+      .map(c => physMap.getOrElse(c, c))
     val movedEntries = moved.map { rel =>
       val (stats, rows) = footerInfo(s, new Path(rootP, rel), effStatsCols)
       FileEntry(rel, stats, Some(rows)).render
@@ -825,7 +930,108 @@ object SnapshotTable {
     val staging = new Path(new Path(root), s"_staging/$commitId")
     fs.mkdirs(staging) // empty: a manifest-only commit moves no files
     publishStaged(s, root, commitId, staging, carried, cur, Seq.empty,
-      shapeProps + ("rollback.of" -> toId.toString), schema)
+      shapeProps + ("rollback.of" -> toId.toString) +
+        // the target's column mapping travels with its file list
+        // (RESTATED even when empty — the head's mapping must not
+        // leak through the carried-prop default); retired names stay
+        // the head's superset via the normal carry (monotone: a name
+        // once barred stays barred)
+        ("col.phys" -> renderPhysMap(physMapOf(s, root, toId))),
+      schema)
+  }
+
+  /** METADATA-ONLY column rename (`from` → `to`): one manifest commit
+    * carrying the file list VERBATIM — no data file is read, written,
+    * or moved at any table size. The column's PHYSICAL name (what its
+    * files and stats carry) never changes; only the logical name in
+    * the `col.phys` mapping moves, so every reader — current, time
+    * travel (which sees each snapshot's own names), stats pruning,
+    * row-level rewrites — resolves through the mapping
+    * ([[physMapOf]]). Refused: renaming a partition column (the
+    * partition-shape props and value-pure staging key on the name),
+    * renaming onto a live logical or physical name, or onto a name
+    * [[dropColumn]] retired. Type and position are untouched — retype
+    * / reposition still refuse loudly everywhere. Returns the new
+    * snapshot id.
+    */
+  def renameColumn(s: SparkSession, root: String, from: String,
+      to: String): Long = {
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"rename on empty table $root: commit first")
+    val schema = storedSchema(s, root, cur).getOrElse(
+      throw new IllegalStateException(
+        s"renameColumn: $root v$cur records no schema (pre-recording " +
+          "manifest) — rewrite the table to rename"))
+    require(schema.fieldNames.contains(from),
+      s"renameColumn: no column '$from' in ${schema.fieldNames.mkString(",")}")
+    require(!schema.fieldNames.contains(to),
+      s"renameColumn: column '$to' already exists")
+    require(!partitionColsOf(s, root, cur).contains(from),
+      s"renameColumn: '$from' is a partition column — partition shape " +
+        "keys on the name; rewrite the table to rename it")
+    val map = physMapOf(s, root, cur)
+    val livePhys = schema.fieldNames.map(c => map.getOrElse(c, c)).toSet
+    require(!livePhys.contains(to) && !retiredOf(s, root, cur).contains(to),
+      s"renameColumn: '$to' collides with a live or retired PHYSICAL " +
+        s"column name of $root — live files carry data under it; pick " +
+        "another name or rewrite the table")
+    val phys = map.getOrElse(from, from)
+    val newMap = map - from + (to -> phys)
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    metadataOnlyCommit(s, root, cur, newSchema, Map(
+      "col.phys" -> renderPhysMap(newMap),
+      "col.evo" -> (evoEpochOf(s, root, cur) + 1).toString,
+      "rename.col" -> s"${enc(from)}>${enc(to)}"))
+  }
+
+  /** METADATA-ONLY column drop: one manifest commit, file list
+    * VERBATIM — the data stays in the files (time travel to any
+    * earlier snapshot still reads it) but every read from this
+    * snapshot on projects it away at the parquet scan (the column is
+    * simply not requested). The dropped column's PHYSICAL name is
+    * RETIRED ([[retiredOf]]): a later ADD COLUMN reusing it would
+    * silently resurrect the dropped cells from old files, so schema
+    * evolution refuses it loudly. Refused: partition columns and the
+    * last column. Returns the new snapshot id.
+    */
+  def dropColumn(s: SparkSession, root: String, name: String): Long = {
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"drop column on empty table $root: commit first")
+    val schema = storedSchema(s, root, cur).getOrElse(
+      throw new IllegalStateException(
+        s"dropColumn: $root v$cur records no schema (pre-recording " +
+          "manifest) — rewrite the table to drop"))
+    require(schema.fieldNames.contains(name),
+      s"dropColumn: no column '$name' in ${schema.fieldNames.mkString(",")}")
+    require(schema.fields.length > 1,
+      s"dropColumn: cannot drop the last column of $root")
+    require(!partitionColsOf(s, root, cur).contains(name),
+      s"dropColumn: '$name' is a partition column — drop the partition " +
+        "shape with an overwrite instead")
+    val map = physMapOf(s, root, cur)
+    val newSchema = StructType(schema.fields.filterNot(_.name == name))
+    metadataOnlyCommit(s, root, cur, newSchema, Map(
+      "col.phys" -> renderPhysMap(map - name),
+      "cols.retired" -> (retiredOf(s, root, cur) + map.getOrElse(name, name))
+        .toSeq.sorted.map(enc).mkString(","),
+      "col.evo" -> (evoEpochOf(s, root, cur) + 1).toString,
+      "drop.col" -> enc(name)))
+  }
+
+  /** A commit that changes only metadata: entry lines carried
+    * VERBATIM, empty staging (no file moves), `props` layered over the
+    * normal carried set. The rename/drop shape; rollback keeps its own
+    * variant (it restates shape props from the restore target).
+    */
+  private def metadataOnlyCommit(s: SparkSession, root: String, cur: Long,
+      schema: StructType, props: Map[String, String]): Long = {
+    val fs = fsOf(s, new Path(root))
+    val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new Path(new Path(root), s"_staging/$commitId")
+    fs.mkdirs(staging)
+    publishStaged(s, root, commitId, staging, entryLines(s, root, cur),
+      cur, Seq.empty, props, schema)
   }
 
   /** Stage an append as a WRITE-AUDIT-PUBLISH snapshot: the files are
@@ -875,8 +1081,8 @@ object SnapshotTable {
     val schema = wapProps(s, root, wapId).get("schema")
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
     val (dvs, data) = es.partition(_.isDelete)
-    applyDeleteVectors(s, root, readData(s, root, data.map(_.path), schema),
-      dvs)
+    applyDeleteVectors(s, root, readData(s, root, data.map(_.path), schema,
+      parsePhysMap(wapProps(s, root, wapId).get("col.phys"))), dvs)
   }
 
   /** The base snapshot id staged snapshot `wapId` was built against. */
@@ -950,15 +1156,27 @@ object SnapshotTable {
     require(es.nonEmpty, s"snapshot v$id of $root lists no files")
     val (dvs, data) = es.partition(_.isDelete)
     val base = readData(s, root, data.map(_.path),
-      storedSchema(s, root, id))
+      storedSchema(s, root, id), physMapOf(s, root, id))
     applyDeleteVectors(s, root, base, dvs)
   }
 
+  /** Read data files under `schema`'s LOGICAL names. With an active
+    * column mapping the parquet scan requests the PHYSICAL names (what
+    * every file carries, whatever its write epoch) and one
+    * position-preserving projection renames them back — by-name parquet
+    * resolution still null-fills columns a file predates, exactly as
+    * before. `physMap` empty (no rename ever) is the untouched fast
+    * path: no extra Project node, plan shapes unchanged.
+    */
   private def readData(s: SparkSession, root: String,
-      rels: Seq[String], schema: Option[StructType]): DataFrame = {
+      rels: Seq[String], schema: Option[StructType],
+      physMap: Map[String, String] = Map.empty): DataFrame = {
     val paths = rels.map(f => s"$root/$f")
     schema match {
-      case Some(sch) => s.read.schema(sch).parquet(paths: _*)
+      case Some(sch) =>
+        val raw = s.read.schema(physSchema(sch, physMap)).parquet(paths: _*)
+        if (physMap.isEmpty || !sch.fieldNames.exists(physMap.contains)) raw
+        else raw.toDF(sch.fieldNames: _*)
       case None => s.read.parquet(paths: _*)
     }
   }
@@ -1149,8 +1367,10 @@ object SnapshotTable {
   def pruneFiles(s: SparkSession, root: String, id: Long, colName: String,
       lo: Any, hi: Any): (Seq[String], Int, Int) = {
     val es = entries(s, root, id).filterNot(_.isDelete)
+    // stats live under PHYSICAL names — one domain whatever the epoch
+    val physCol = physMapOf(s, root, id).getOrElse(colName, colName)
     val kept = es.filter { e =>
-      e.statsFor(colName) match {
+      e.statsFor(physCol) match {
         case Some(FileStats(_, tag, mn, mx)) =>
           rangesOverlap(tag, mn, mx, lo.toString, hi.toString)
         case None => true
@@ -1173,7 +1393,8 @@ object SnapshotTable {
     val base =
       if (kept.isEmpty) readAt(s, root, id).limit(0)
       else applyDeleteVectors(s, root,
-        readData(s, root, kept, storedSchema(s, root, id)),
+        readData(s, root, kept, storedSchema(s, root, id),
+          physMapOf(s, root, id)),
         entries(s, root, id).filter(_.isDelete))
     base.where(col(colName).between(lit(lo), lit(hi)))
   }
@@ -1231,11 +1452,8 @@ object SnapshotTable {
       s"changesBetween needs 0 <= fromId < toId, got ($fromId, $toId]")
     val added = addedFilesBetween(s, root, fromId, toId)
     if (added.isEmpty) readAt(s, root, toId).limit(0)
-    else storedSchema(s, root, toId) match {
-      case Some(sch) =>
-        s.read.schema(sch).parquet(added.map(f => s"$root/$f"): _*)
-      case None => s.read.parquet(added.map(f => s"$root/$f"): _*)
-    }
+    else readData(s, root, added, storedSchema(s, root, toId),
+      physMapOf(s, root, toId))
   }
 
   /** Copy-on-write MERGE (upsert) by `keyCol`: rows of `updates` whose
@@ -1293,8 +1511,10 @@ object SnapshotTable {
         }
         lo < sorted.length && utf8Cmp(sorted(lo), st.mx) <= 0
     }
+    val physKey = physMapOf(s, root, currentSnapshot(s, root))
+      .getOrElse(keyCol, keyCol)
     mergeCore(updates, root, keyCol, es => es.partition { e =>
-      e.statsFor(keyCol) match {
+      e.statsFor(physKey) match {
         case Some(st) => anyKeyIn(st)
         case None => true // no usable stats → conservatively rewrite
       }
@@ -1321,13 +1541,8 @@ object SnapshotTable {
     val updKeys = updates.select(col(keyCol)).distinct()
     val base: Option[DataFrame] =
       if (touched.isEmpty) None
-      else Some {
-        val paths = touched.map(e => s"$root/${e.path}")
-        schema match {
-          case Some(sch) => s.read.schema(sch).parquet(paths: _*)
-          case None => s.read.parquet(paths: _*)
-        }
-      }
+      else Some(readData(s, root, touched.map(_.path), schema,
+        physMapOf(s, root, cur)))
     val survivors = base match {
       case None => updates.limit(0)
       case Some(b) => b.join(updKeys, Seq(keyCol), "left_anti")
@@ -1414,12 +1629,19 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.lit
     require(0 <= fromId && fromId < toId,
       s"changeFeed needs 0 <= fromId < toId, got ($fromId, $toId]")
+    // a rename/drop inside the range would misalign the fold: recorded
+    // change frames carry each commit's own LOGICAL names, and steps of
+    // different naming epochs cannot union by name. Refuse — the
+    // consumer re-baselines (the boundary Delta draws for CDF across
+    // column-mapping changes). Appends/adds stay fine: epoch unchanged.
+    require(evoEpochOf(s, root, fromId.max(1L)) == evoEpochOf(s, root, toId),
+      s"changeFeed($fromId, $toId) crosses a column rename/drop of " +
+        s"$root: recorded change frames carry their commit's own " +
+        "column names; re-baseline the consumer from a full snapshot " +
+        "read")
     def readFiles(rels: Seq[String], id: Long): DataFrame =
-      storedSchema(s, root, id) match {
-        case Some(sch) =>
-          s.read.schema(sch).parquet(rels.map(f => s"$root/$f"): _*)
-        case None => s.read.parquet(rels.map(f => s"$root/$f"): _*)
-      }
+      readData(s, root, rels, storedSchema(s, root, id),
+        physMapOf(s, root, id))
     var prev: Set[String] =
       if (fromId == 0L) Set.empty else fileList(s, root, fromId).toSet
     val steps = ((fromId + 1) to toId).map { id =>
@@ -1626,12 +1848,13 @@ object SnapshotTable {
       s"deleteWhere: untranslatable filter in ${filters.mkString(", ")}")
     val cond = filters.flatMap(filterToColumn).reduce(_ && _)
     val es = entries(s, root, cur)
-    val keep = es.filter(e => filters.exists(f => v1ProvesNone(e, f)))
+    val pm = physMapOf(s, root, cur) // filter names are LOGICAL
+    val keep = es.filter(e => filters.exists(f => v1ProvesNone(e, f, pm)))
     val rest = es.diff(keep)
     // a zero-row file (rc=0) is trivially all-match: dropping it is
     // free garbage collection
     val drop = rest.filter(e => e.rows.contains(0L) ||
-      filters.forall(f => v1ProvesAll(e, f)))
+      filters.forall(f => v1ProvesAll(e, f, pm)))
     val rewrite = rest.diff(drop)
     val schema = storedSchema(s, root, cur)
     val survivors =
@@ -1640,11 +1863,8 @@ object SnapshotTable {
         // the schema into the commit
         readAt(s, root, cur).limit(0)
       } else {
-        val paths = rewrite.map(e => s"$root/${e.path}")
-        val base = schema match {
-          case Some(sch) => s.read.schema(sch).parquet(paths: _*)
-          case None => s.read.parquet(paths: _*)
-        }
+        val base = readData(s, root, rewrite.map(_.path), schema,
+          physMapOf(s, root, cur))
         // DELETE removes rows where cond is TRUE; a NULL cond (null
         // cell in a comparison) keeps the row — three-valued logic, so
         // the survivor predicate is NOT(coalesce(cond, false)), not
@@ -1661,11 +1881,8 @@ object SnapshotTable {
     val cdfRel: Option[String] =
       if (rewrite.isEmpty) None
       else {
-        val paths = rewrite.map(e => s"$root/${e.path}")
-        val base = schema match {
-          case Some(sch) => s.read.schema(sch).parquet(paths: _*)
-          case None => s.read.parquet(paths: _*)
-        }
+        val base = readData(s, root, rewrite.map(_.path), schema,
+          physMapOf(s, root, cur))
         val rel = s"changes/${java.util.UUID.randomUUID().toString.replace("-", "")}"
         base.where(coalesce(cond, lit(false)))
           .withColumn("_op", lit("D"))
@@ -1746,10 +1963,11 @@ object SnapshotTable {
       else s.read.parquet(dvs.map(e => s"$root/${e.path}"): _*)
         .select("file").distinct()
         .collect().map(_.getString(0)).toSet
-    val keep = data.filter(e => filters.exists(f => v1ProvesNone(e, f)))
+    val pm = physMapOf(s, root, cur) // filter names are LOGICAL
+    val keep = data.filter(e => filters.exists(f => v1ProvesNone(e, f, pm)))
     val rest = data.diff(keep)
     val drop = rest.filter(e =>
-      (e.rows.contains(0L) || filters.forall(f => v1ProvesAll(e, f))) &&
+      (e.rows.contains(0L) || filters.forall(f => v1ProvesAll(e, f, pm))) &&
         !dvRefNames.contains(e.fileName))
     val ambiguous = rest.diff(drop)
     val schema = storedSchema(s, root, cur)
@@ -1856,7 +2074,8 @@ object SnapshotTable {
     val (affected, untouched) = data.partition(e => refNames(e.fileName))
     val schema = storedSchema(s, root, cur)
     val survivors = applyDeleteVectors(s, root,
-      readData(s, root, affected.map(_.path), schema), dvs)
+      readData(s, root, affected.map(_.path), schema,
+        physMapOf(s, root, cur)), dvs)
     val statsCols = affected.flatMap(_.stats.map(_.col)).distinct
     commitWithCarried(survivors, root, untouched.map(_.render), cur,
       if (statsCols.isEmpty) None else Some(statsCols.mkString(",")),
@@ -1912,20 +2131,18 @@ object SnapshotTable {
         .reduce[Filter](And(_, _))
     }.reduce[Filter](Or(_, _))
     val es = entries(s, root, cur)
-    val keep = es.filter(e => v1ProvesNone(e, repFilter))
+    val pm = physMapOf(s, root, cur)
+    val keep = es.filter(e => v1ProvesNone(e, repFilter, pm))
     val rest = es.diff(keep)
     val drop = rest.filter(e =>
-      e.rows.contains(0L) || v1ProvesAll(e, repFilter))
+      e.rows.contains(0L) || v1ProvesAll(e, repFilter, pm))
     val rewrite = rest.diff(drop)
     val schema = storedSchema(s, root, cur)
     val incoming =
       if (rewrite.isEmpty) df
       else {
-        val paths = rewrite.map(e => s"$root/${e.path}")
-        val base = schema match {
-          case Some(sch) => s.read.schema(sch).parquet(paths: _*)
-          case None => s.read.parquet(paths: _*)
-        }
+        val base = readData(s, root, rewrite.map(_.path), schema,
+          physMapOf(s, root, cur))
         val cond = filterToColumn(repFilter).getOrElse(
           throw new IllegalStateException(
             "commitReplace: untranslatable partition tuple filter"))
@@ -2001,18 +2218,19 @@ object SnapshotTable {
 
   /** Does `f` provably match NO row of `e`? (the carry-verbatim side) */
   private[sources] def v1ProvesNone(e: FileEntry,
-      f: org.apache.spark.sql.sources.Filter): Boolean = {
+      f: org.apache.spark.sql.sources.Filter,
+      physMap: Map[String, String] = Map.empty): Boolean = {
     import org.apache.spark.sql.sources._
     def bounds(c: String, v: Any): Option[(Int, Int)] =
       if (v == null) None
-      else e.statsFor(c).flatMap(st =>
+      else e.statsFor(physMap.getOrElse(c, c)).flatMap(st =>
         for (a <- cmpV1(st.domain, st.mn, v); b <- cmpV1(st.domain, st.mx, v))
           yield (a, b))
     def outside(c: String, v: Any) =
       bounds(c, v).exists { case (mnC, mxC) => mnC > 0 || mxC < 0 }
-    def zeroNulls(c: String) = e.statsFor(c).flatMap(_.nulls).contains(0L)
+    def zeroNulls(c: String) = e.statsFor(physMap.getOrElse(c, c)).flatMap(_.nulls).contains(0L)
     def allNull(c: String) = (for {
-      st <- e.statsFor(c); nn <- st.nulls; rc <- e.rows
+      st <- e.statsFor(physMap.getOrElse(c, c)); nn <- st.nulls; rc <- e.rows
     } yield nn == rc).getOrElse(false)
     f match {
       case EqualTo(c, v) => outside(c, v)
@@ -2025,9 +2243,9 @@ object SnapshotTable {
       case In(c, vs) => vs.nonEmpty && vs.forall(v => outside(c, v))
       case IsNull(c) => zeroNulls(c)
       case IsNotNull(c) => allNull(c)
-      case And(l, r) => v1ProvesNone(e, l) || v1ProvesNone(e, r)
-      case Or(l, r) => v1ProvesNone(e, l) && v1ProvesNone(e, r)
-      case Not(g) => v1ProvesAll(e, g)
+      case And(l, r) => v1ProvesNone(e, l, physMap) || v1ProvesNone(e, r, physMap)
+      case Or(l, r) => v1ProvesNone(e, l, physMap) && v1ProvesNone(e, r, physMap)
+      case Not(g) => v1ProvesAll(e, g, physMap)
       case _: AlwaysFalse => true
       case _ => false
     }
@@ -2038,16 +2256,17 @@ object SnapshotTable {
     * cell never satisfies a comparison, so it must not be dropped)
     */
   private[sources] def v1ProvesAll(e: FileEntry,
-      f: org.apache.spark.sql.sources.Filter): Boolean = {
+      f: org.apache.spark.sql.sources.Filter,
+      physMap: Map[String, String] = Map.empty): Boolean = {
     import org.apache.spark.sql.sources._
     def bounds(c: String, v: Any): Option[(Int, Int)] =
       if (v == null) None
-      else e.statsFor(c).flatMap(st =>
+      else e.statsFor(physMap.getOrElse(c, c)).flatMap(st =>
         for (a <- cmpV1(st.domain, st.mn, v); b <- cmpV1(st.domain, st.mx, v))
           yield (a, b))
-    def zeroNulls(c: String) = e.statsFor(c).flatMap(_.nulls).contains(0L)
+    def zeroNulls(c: String) = e.statsFor(physMap.getOrElse(c, c)).flatMap(_.nulls).contains(0L)
     def allNull(c: String) = (for {
-      st <- e.statsFor(c); nn <- st.nulls; rc <- e.rows
+      st <- e.statsFor(physMap.getOrElse(c, c)); nn <- st.nulls; rc <- e.rows
     } yield nn == rc).getOrElse(false)
     def whole(c: String, v: Any)(p: ((Int, Int)) => Boolean) =
       zeroNulls(c) && bounds(c, v).exists(p)
@@ -2064,9 +2283,9 @@ object SnapshotTable {
           vs.exists(v => bounds(c, v).contains((0, 0)))
       case IsNull(c) => allNull(c)
       case IsNotNull(c) => zeroNulls(c)
-      case And(l, r) => v1ProvesAll(e, l) && v1ProvesAll(e, r)
-      case Or(l, r) => v1ProvesAll(e, l) || v1ProvesAll(e, r)
-      case Not(g) => v1ProvesNone(e, g)
+      case And(l, r) => v1ProvesAll(e, l, physMap) && v1ProvesAll(e, r, physMap)
+      case Or(l, r) => v1ProvesAll(e, l, physMap) || v1ProvesAll(e, r, physMap)
+      case Not(g) => v1ProvesNone(e, g, physMap)
       case _: AlwaysTrue => true
       case _ => false
     }
@@ -2145,7 +2364,7 @@ object SnapshotTable {
     val statsCols = es.flatMap(_.stats.map(_.col)).distinct
     val parts = partitionColsOf(s, root, cur)
     val packed0 = readData(s, root, small.map(_.path),
-      storedSchema(s, root, cur))
+      storedSchema(s, root, cur), physMapOf(s, root, cur))
     // partitioned staging re-splits by value itself; flat tables pack
     // into the target file count directly
     val packed = if (parts.nonEmpty) packed0 else packed0.repartition(nOut)
@@ -2168,8 +2387,9 @@ object SnapshotTable {
       keyCol: String): Set[String] = {
     val s = updates.sparkSession
     val cur = currentSnapshot(s, root)
+    val physKey = physMapOf(s, root, cur).getOrElse(keyCol, keyCol)
     val statful = entries(s, root, cur)
-      .flatMap(e => e.statsFor(keyCol).map(st => (e.path, st)))
+      .flatMap(e => e.statsFor(physKey).map(st => (e.path, st)))
     if (statful.isEmpty) Set.empty
     else {
       import org.apache.spark.sql.functions.{broadcast, col}

@@ -31,7 +31,8 @@ import org.apache.spark.util.SerializableConfiguration
   */
 private[sources] class SnapshotBatchWrite(root: String,
     carried: () => Seq[String], expectedBase: Long, schema: StructType,
-    statsCols: Seq[String], props: Map[String, String])
+    statsCols: Seq[String], props: Map[String, String],
+    physMap: Map[String, String] = Map.empty)
     extends Write with BatchWrite with Serializable {
 
   private val commitId =
@@ -47,9 +48,13 @@ private[sources] class SnapshotBatchWrite(root: String,
     // prepareWrite wires every parquet conf Spark's own sinks set
     // (legacy format, timestamp type, rebase modes, field ids) into
     // the job conf and returns the executor-side writer factory
+    // files carry PHYSICAL names (column mapping — stable across
+    // renames); the manifest schema below stays LOGICAL. Rows are
+    // positional, so only the parquet field names change.
+    val fileSchema = SnapshotTable.physSchema(schema, physMap)
     val owf = new ParquetFileFormat()
-      .prepareWrite(spark, job, Map.empty, schema)
-    new SnapshotDataWriterFactory(stagingDir, schema, owf,
+      .prepareWrite(spark, job, Map.empty, fileSchema)
+    new SnapshotDataWriterFactory(stagingDir, fileSchema, owf,
       new SerializableConfiguration(job.getConfiguration))
   }
 
@@ -187,10 +192,14 @@ private[sources] class SnapshotStreamingWrite(root: String,
       info: PhysicalWriteInfo): StreamingDataWriterFactory = {
     val spark = SparkSession.active
     val job = Job.getInstance(spark.sparkContext.hadoopConfiguration)
+    // a mapped sink table's files carry PHYSICAL names too
+    val streamPhysMap = SnapshotTable.physMapOf(spark, root,
+      SnapshotTable.currentSnapshot(spark, root))
+    val fileSchema = SnapshotTable.physSchema(writeSchema, streamPhysMap)
     val owf = new ParquetFileFormat()
-      .prepareWrite(spark, job, Map.empty, writeSchema)
+      .prepareWrite(spark, job, Map.empty, fileSchema)
     val conf = new SerializableConfiguration(job.getConfiguration)
-    val (base, schema) = (stagingBase, writeSchema)
+    val (base, schema) = (stagingBase, fileSchema)
     new StreamingDataWriterFactory {
       override def createWriter(partitionId: Int, taskId: Long,
           epochId: Long): DataWriter[InternalRow] =
@@ -264,7 +273,8 @@ private[sources] class SnapshotStreamingWrite(root: String,
 private[sources] class SnapshotGroupScan(root: String, tableName: String,
     tableSchema: StructType, options: org.apache.spark.sql.util.CaseInsensitiveStringMap,
     initialKept: Seq[SnapshotTable.FileEntry],
-    keptSink: Seq[SnapshotTable.FileEntry] => Unit)
+    keptSink: Seq[SnapshotTable.FileEntry] => Unit,
+    physMap: Map[String, String] = Map.empty)
     extends org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference}
@@ -278,9 +288,13 @@ private[sources] class SnapshotGroupScan(root: String, tableName: String,
   override def readSchema(): StructType = tableSchema
   override def description(): String = tableName
 
-  override def filterAttributes(): Array[NamedReference] =
+  override def filterAttributes(): Array[NamedReference] = {
+    // stats live under PHYSICAL names; Spark pushes runtime predicates
+    // in the table's LOGICAL names, so report those (column mapping)
+    val logicalOf = physMap.map(_.swap)
     kept.flatMap(_.stats.map(_.col)).distinct
-      .map(c => Expressions.column(c)).toArray
+      .map(c => Expressions.column(logicalOf.getOrElse(c, c))).toArray
+  }
 
   /** Runtime predicates → the stats-proof evaluator. Only shapes we
     * can PROVE on (IN / = over literals, AND/OR) prune; anything else
@@ -313,7 +327,7 @@ private[sources] class SnapshotGroupScan(root: String, tableName: String,
     val v1s = predicates.flatMap(p => toV1(p))
     if (v1s.nonEmpty) {
       val k2 = kept.filterNot(e =>
-        v1s.exists(f => SnapshotTable.v1ProvesNone(e, f)))
+        v1s.exists(f => SnapshotTable.v1ProvesNone(e, f, physMap)))
       SnapshotSource.pruneLog.put(root, (k2.size, initialKept.size))
       kept = k2
       keptSink(k2)
@@ -330,7 +344,9 @@ private[sources] class SnapshotGroupScan(root: String, tableName: String,
   override def toBatch: Batch =
     ParquetTable(tableName, SparkSession.active, options,
       kept.map(e => s"$root/${e.path}"),
-      userSpecifiedSchema = Some(tableSchema), classOf[ParquetFileFormat])
+      userSpecifiedSchema =
+        Some(SnapshotTable.physSchema(tableSchema, physMap)),
+      classOf[ParquetFileFormat])
       .newScanBuilder(options).build().toBatch
 
   override def estimateStatistics()
@@ -405,7 +421,8 @@ private[sources] class SnapshotRowLevelOperation(root: String,
         val statsCols = entries.flatMap(_.stats.map(_.col)).distinct
         new SnapshotBatchWrite(root,
           () => entries.diff(scanned).map(_.render), pinnedId,
-          tableSchema, statsCols, Map("rowlevel.op" -> cmd.toString))
+          tableSchema, statsCols, Map("rowlevel.op" -> cmd.toString),
+          SnapshotTable.physMapOf(SparkSession.active, root, pinnedId))
       }
     }
 }
