@@ -438,6 +438,22 @@ object FormatQueries {
     val expiredReadFails =
       try { SnapshotTable.readAt(s, root, 1L); 0L }
       catch { case _: IllegalArgumentException => 1L }
+    // TIME-BASED retention leg ([[SnapshotTable.expireSnapshotsOlderThan]]
+    // — "expire older than T, keep at least N", the production policy):
+    // v4 appends, the v3 manifest is AGED past the horizon, and the age
+    // expire drops exactly it — v4 survives on keep_at_least whatever
+    // its age would be; v3's files stay (v4 references them), so the
+    // read below is untouched by which manifests were vacuumed
+    SnapshotTable.commit( // v4
+      o.filter(col("o_orderkey") % 10 === 9)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0),
+      root)
+    val v3Manifest = new java.io.File(s"$root/_manifests/v3.manifest")
+    require(v3Manifest.setLastModified(
+      System.currentTimeMillis() - 60000L), "aging v3 failed")
+    val (nByAge, _) = SnapshotTable.expireSnapshotsOlderThan(
+      s, root, olderThanMs = 30000L, keepAtLeast = 1)
+    val liveByAge = graft.sources.SnapshotSource.snapshots(s, root).count()
     SnapshotTable.read(s, root)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n_cur"),
@@ -445,6 +461,8 @@ object FormatQueries {
         sum(col("o_orderkey")).as("okey_cur"))
       .withColumn("n_expired_manifests", lit(nManifests.toLong))
       .withColumn("expired_read_fails", lit(expiredReadFails))
+      .withColumn("n_expired_by_age", lit(nByAge.toLong))
+      .withColumn("n_live_by_age", lit(liveByAge))
   }
 
   /** The DSv2 reader surface over the same layer
@@ -2268,17 +2286,22 @@ object FormatQueries {
     // rewrote exactly it); the audit columns are protocol constants:
     // two expired manifests, expired time travel fails
     "fmt_snapshot_expire" ->
-      """WITH v2rows AS (
+      """WITH v4rows AS (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
         |  UNION ALL
         |  SELECT o_orderstatus, o_orderkey, o_totalprice + 100.0
-        |  FROM orders WHERE o_orderkey % 10 <= 2)
+        |  FROM orders WHERE o_orderkey % 10 <= 2
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice + 500.0
+        |  FROM orders WHERE o_orderkey % 10 = 9)
         |SELECT o_orderstatus, count(*)::BIGINT AS n_cur,
         |  round(sum(o_totalprice), 2) AS total_cur,
         |  sum(o_orderkey)::BIGINT AS okey_cur,
         |  2::BIGINT AS n_expired_manifests,
-        |  1::BIGINT AS expired_read_fails
-        |FROM v2rows GROUP BY 1""".stripMargin,
+        |  1::BIGINT AS expired_read_fails,
+        |  1::BIGINT AS n_expired_by_age,
+        |  1::BIGINT AS n_live_by_age
+        |FROM v4rows GROUP BY 1""".stripMargin,
     // same v1/v2 derivation as the isolation gate, read back through
     // the DSv2 connector; the catalog columns are protocol constants
     "fmt_snapshot_dsv2" ->

@@ -458,15 +458,26 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     import org.apache.spark.sql.types._
     Seq(
       Proc("expire_snapshots",
-        "drop snapshots older than the kept window and their " +
-          "unreferenced files (vacuum); pinned readers of expired ids " +
-          "fail loudly afterwards",
-        Seq(("table", StringType, None), ("keep_last", IntegerType, None)),
+        "vacuum by COUNT (keep_last => n) or by AGE (older_than_ms => " +
+          "t, keep_at_least => n): drop snapshots outside the kept " +
+          "window and their unreferenced files; pinned readers of " +
+          "expired ids fail loudly afterwards",
+        Seq(("table", StringType, None),
+          ("keep_last", IntegerType, Some("-1")),
+          ("older_than_ms", LongType, Some("-1")),
+          ("keep_at_least", IntegerType, Some("1"))),
         Seq(("expired_snapshots", IntegerType),
           ("deleted_files", IntegerType)),
-        { case Seq(t: String, keep: Integer) =>
+        { case Seq(t: String, keep: Integer, age: java.lang.Long,
+              atLeast: Integer) =>
+          require((keep >= 1) != (age >= 0L),
+            "expire_snapshots: pass exactly one of keep_last => n (count" +
+              " retention) or older_than_ms => t (time retention)")
           val (nSnaps, nFiles) =
-            SnapshotTable.expireSnapshots(spark, rootOf(t), keep)
+            if (keep >= 1)
+              SnapshotTable.expireSnapshots(spark, rootOf(t), keep)
+            else SnapshotTable.expireSnapshotsOlderThan(
+              spark, rootOf(t), age, atLeast)
           Seq(nSnaps, nFiles) }),
       Proc("remove_orphans",
         "delete data files no live snapshot references and older than " +

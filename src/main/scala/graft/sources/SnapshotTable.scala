@@ -783,9 +783,42 @@ object SnapshotTable {
   def expireSnapshots(s: SparkSession, root: String,
       keepLast: Int): (Int, Int) = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    expireBelow(s, root, currentSnapshot(s, root) - keepLast)
+  }
+
+  /** TIME-BASED retention — the production policy shape ("expire
+    * snapshots older than T, keep at least N", Iceberg's
+    * expireSnapshots API): expire every snapshot whose manifest was
+    * PUBLISHED more than `olderThanMs` ago, except the most recent
+    * `keepAtLeast` (default 1), which survive whatever their age.
+    * Publish times are monotone in snapshot id (ids are claimed in
+    * order), so the age horizon is a prefix of the id range — found by
+    * one upward scan of manifest mtimes that stops at the first young
+    * one; already-expired ids (manifest gone) count as old. Same
+    * deletion scoping, pinned-reader contract, and stream-floor
+    * carry-forward as the count form — both funnel into
+    * [[expireBelow]]. Returns (expired manifests, deleted data files).
+    */
+  def expireSnapshotsOlderThan(s: SparkSession, root: String,
+      olderThanMs: Long, keepAtLeast: Int = 1): (Int, Int) = {
+    require(olderThanMs >= 0L,
+      s"olderThanMs must be >= 0, got $olderThanMs")
+    require(keepAtLeast >= 1, s"keepAtLeast must be >= 1, got $keepAtLeast")
     val fs = fsOf(s, new Path(root))
     val cur = currentSnapshot(s, root)
-    val cutoff = cur - keepLast // expire ids <= cutoff
+    val now = System.currentTimeMillis()
+    val ageCutoff = (1L to cur).takeWhile { id =>
+      val p = manifestPath(root, id)
+      !fs.exists(p) ||
+        now - fs.getFileStatus(p).getModificationTime > olderThanMs
+    }.lastOption.getOrElse(0L)
+    expireBelow(s, root, math.min(ageCutoff, cur - keepAtLeast))
+  }
+
+  private def expireBelow(s: SparkSession, root: String,
+      cutoff: Long): (Int, Int) = {
+    val fs = fsOf(s, new Path(root))
+    val cur = currentSnapshot(s, root)
     val ttlMs = s.conf.get("graft.snapshot.claim.ttl.ms", "600000").toLong
     val mdir = manifestDir(root)
     if (cutoff < 1L) return (0, 0)

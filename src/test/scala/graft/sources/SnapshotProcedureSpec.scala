@@ -54,6 +54,34 @@ class SnapshotProcedureSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM $cat.db.exp VERSION AS OF 1").collect())
   }
 
+  test("CALL expire_snapshots with named TIME-retention args: " +
+      "older_than_ms expires aged snapshots, keep_at_least survives, " +
+      "and mixing the two retention modes refuses") {
+    ensureDb()
+    spark.sql(s"CREATE TABLE $cat.db.texp (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.texp SELECT id FROM range(0, 10)")
+    spark.sql(s"INSERT INTO $cat.db.texp SELECT id FROM range(10, 20)")
+    spark.sql(s"INSERT INTO $cat.db.texp SELECT id FROM range(20, 30)")
+    (1L to 2L).foreach { id => // age v1/v2 past the horizon
+      val f = new java.io.File(s"$wh/db/texp/_manifests/v$id.manifest")
+      assert(f.exists && f.setLastModified(
+        System.currentTimeMillis() - 60000L))
+    }
+    val out = spark.sql(s"CALL $cat.system.expire_snapshots(" +
+      "table => 'db.texp', older_than_ms => 30000, " +
+      "keep_at_least => 3)").head
+    assert(out.getInt(0) == 1, out.toString) // v1 only: v2 kept by count
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.texp")
+      .head.getLong(0) == 30L)
+    intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.db.texp VERSION AS OF 1").collect())
+    // both retention modes at once refuses loudly
+    val e = intercept[Exception](spark.sql(
+      s"CALL $cat.system.expire_snapshots(table => 'db.texp', " +
+        "keep_last => 2, older_than_ms => 30000)").collect())
+    assert(e.getMessage.contains("exactly one"))
+  }
+
   test("graft.wap.id stages SQL INSERTs invisibly; CALL publish_wap " +
       "fast-forwards one and drop_wap discards another — pure-SQL " +
       "write-audit-publish") {

@@ -179,6 +179,41 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 2)
   }
 
+  test("time-based expire: snapshots older than T go, keep_at_least " +
+      "survives whatever the age, and the floor/pinned contracts match " +
+      "the count form") {
+    import spark.implicits._
+    val root = tmpRoot()
+    (1 to 4).foreach(i =>
+      SnapshotTable.commit(Seq((i.toLong, s"r$i")).toDF("k", "v"), root))
+    def ageManifest(id: Long, ms: Long): Unit = {
+      val f = new java.io.File(s"$root/_manifests/v$id.manifest")
+      assert(f.exists && f.setLastModified(System.currentTimeMillis() - ms))
+    }
+    ageManifest(1L, 60000L)
+    ageManifest(2L, 60000L)
+    // v1/v2 are older than 30s, v3/v4 young → exactly v1/v2 expire
+    val (m1, _) = SnapshotTable.expireSnapshotsOlderThan(
+      spark, root, olderThanMs = 30000L, keepAtLeast = 1)
+    assert(m1 == 2, s"$m1")
+    assert(SnapshotTable.readAt(spark, root, 3L).count() == 3L)
+    assert(intercept[IllegalArgumentException](
+      SnapshotTable.readAt(spark, root, 2L)).getMessage.contains("expired"))
+    // keep_at_least dominates age: ALL remaining manifests are old,
+    // but the most recent two survive
+    ageManifest(3L, 60000L)
+    ageManifest(4L, 60000L)
+    val (m2, _) = SnapshotTable.expireSnapshotsOlderThan(
+      spark, root, olderThanMs = 30000L, keepAtLeast = 2)
+    assert(m2 == 0, s"$m2")
+    assert(SnapshotTable.readAt(spark, root, 3L).count() == 3L)
+    // nothing older than a huge horizon: no-op even with keepAtLeast=1
+    val (m3, _) = SnapshotTable.expireSnapshotsOlderThan(
+      spark, root, olderThanMs = 3600000L)
+    assert(m3 == 0)
+    assert(SnapshotTable.read(spark, root).count() == 4L)
+  }
+
   test("changesBetween reads exactly the appended rows and refuses " +
     "non-append ranges") {
     import spark.implicits._
