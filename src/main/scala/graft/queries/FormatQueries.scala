@@ -465,6 +465,58 @@ object FormatQueries {
       .withColumn("n_live_by_age", lit(liveByAge))
   }
 
+  /** Named refs end-to-end ([[graft.sources.SnapshotTable.createTag]] /
+    * `createBranch` / `advanceBranch`): tag `baseline` pins v1, branch
+    * `audit` is created at v2 and fast-forwarded to v3, the head moves
+    * on to v4, and `expire_snapshots(keep_last = 1)` then vacuums —
+    * dropping exactly the one snapshot (v2) that is neither in the
+    * kept window nor under a ref. The gate reads the TAG through the
+    * library (`readRef`) and the BRANCH through the DSv2 `option("ref",
+    * name)` AFTER the vacuum, proving refs keep their snapshots alive
+    * (manifest, files, and all) whatever the retention window — the
+    * Iceberg ref contract. Audit columns pin the expired count and the
+    * ref listing; at 100 TB every ref operation is one tiny `_refs/`
+    * file, O(1) metadata.
+    */
+  def snapshotRefs(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_refs")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SnapshotTable.commit(o, root) // v1
+    SnapshotTable.createTag(s, root, "baseline") // pins v1
+    SnapshotTable.commit( // v2
+      o.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0), root)
+    SnapshotTable.createBranch(s, root, "audit", 2L)
+    SnapshotTable.commit( // v3
+      o.filter(col("o_orderkey") % 10 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 200.0), root)
+    SnapshotTable.advanceBranch(s, root, "audit", 3L)
+    SnapshotTable.commit( // v4
+      o.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 300.0), root)
+    val (nExpired, _) = SnapshotTable.expireSnapshots(s, root, keepLast = 1)
+    def scalars(df: DataFrame, tag: String): DataFrame =
+      df.agg(count(lit(1)).as(s"n_$tag"),
+        money(sum(col("o_totalprice"))).as(s"total_$tag"))
+    val tagAgg = scalars(SnapshotTable.readRef(s, root, "baseline"), "tag")
+    val brAgg = scalars(
+      s.read.format("graft-snap").option("ref", "audit").load(root),
+      "branch")
+    val nRefs = SnapshotTable.listRefs(s, root).size.toLong
+    SnapshotTable.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_cur"),
+        money(sum(col("o_totalprice"))).as("total_cur"),
+        sum(col("o_orderkey")).as("okey_cur"))
+      .crossJoin(broadcast(tagAgg))
+      .crossJoin(broadcast(brAgg))
+      .withColumn("n_expired", lit(nExpired.toLong))
+      .withColumn("n_refs", lit(nRefs))
+  }
+
   /** The DSv2 reader surface over the same layer
     * ([[graft.sources.SnapshotSource]], `format("graft-snap")`): commit
     * v1 and the v2 append exactly as the isolation gate does, then read
@@ -1788,6 +1840,7 @@ object FormatQueries {
     "fmt_snapshot_merge" -> (snapshotMerge _),
     "fmt_snapshot_isolation" -> (snapshotIsolation _),
     "fmt_snapshot_expire" -> (snapshotExpire _),
+    "fmt_snapshot_refs" -> (snapshotRefs _),
     "fmt_snapshot_dsv2" -> (snapshotDsv2 _),
     "fmt_zstd_roundtrip" -> (zstdRoundTrip _),
     "fmt_malformed_csv" -> (malformedCsv _),
@@ -2285,6 +2338,34 @@ object FormatQueries {
     // current-after-expire = the v2 logical content (the compact v3
     // rewrote exactly it); the audit columns are protocol constants:
     // two expired manifests, expired time travel fails
+    // the tag reads v1 (raw orders), the branch reads v3 (orders +
+    // the first two repriced batches), the head reads v4; expired=1
+    // (only untagged v2) and n_refs=2 are protocol constants
+    "fmt_snapshot_refs" ->
+      """WITH b2 AS (SELECT o_orderstatus, o_orderkey,
+        |    o_totalprice + 100.0 AS p FROM orders WHERE o_orderkey % 10 = 1),
+        |  b3 AS (SELECT o_orderstatus, o_orderkey,
+        |    o_totalprice + 200.0 AS p FROM orders WHERE o_orderkey % 10 = 2),
+        |  b4 AS (SELECT o_orderstatus, o_orderkey,
+        |    o_totalprice + 300.0 AS p FROM orders WHERE o_orderkey % 10 = 3),
+        |  cur AS (
+        |    SELECT o_orderstatus, o_orderkey, o_totalprice AS p FROM orders
+        |    UNION ALL SELECT * FROM b2
+        |    UNION ALL SELECT * FROM b3
+        |    UNION ALL SELECT * FROM b4),
+        |  br AS (
+        |    SELECT o_totalprice AS p FROM orders
+        |    UNION ALL SELECT p FROM b2
+        |    UNION ALL SELECT p FROM b3)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_cur,
+        |  round(sum(p), 2) AS total_cur,
+        |  sum(o_orderkey)::BIGINT AS okey_cur,
+        |  (SELECT count(*) FROM orders)::BIGINT AS n_tag,
+        |  (SELECT round(sum(o_totalprice), 2) FROM orders) AS total_tag,
+        |  (SELECT count(*) FROM br)::BIGINT AS n_branch,
+        |  (SELECT round(sum(p), 2) FROM br) AS total_branch,
+        |  1::BIGINT AS n_expired, 2::BIGINT AS n_refs
+        |FROM cur GROUP BY 1""".stripMargin,
     "fmt_snapshot_expire" ->
       """WITH v4rows AS (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders

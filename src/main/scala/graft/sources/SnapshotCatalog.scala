@@ -107,12 +107,25 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.name == "files" && ident.namespace.nonEmpty &&
         isTableDir(nsPath(ident.namespace)))
       new FilesMetadataTable(nsPath(ident.namespace).toString)
+    else if (ident.name == "refs" && ident.namespace.nonEmpty &&
+        isTableDir(nsPath(ident.namespace)))
+      new RefsMetadataTable(nsPath(ident.namespace).toString)
     else loadAt(ident, None)
   }
 
-  /** `VERSION AS OF <v>` — the version string is a snapshot id. */
+  /** `VERSION AS OF <v>` — a snapshot id, or a NAMED ref (tag/branch)
+    * when the string is not numeric: `VERSION AS OF 'release-1'`
+    * resolves through [[SnapshotTable.resolveRef]].
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadAt(ident, Some(version.toLong))
+    loadAt(ident, Some(version.toLongOption.getOrElse {
+      val p = tablePath(ident)
+      if (!isTableDir(p)) throw new NoSuchTableException(ident)
+      SnapshotTable.resolveRef(spark, p.toString, version).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-snap catalog: '$version' is neither a snapshot id " +
+            s"nor a ref name of ${ident.name}"))
+    }))
 
   /** `TIMESTAMP AS OF <t>` — resolved against manifest publish times
     * (the commit's atomic rename instant); `timestamp` is micros.
@@ -367,6 +380,40 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       }
   }
 
+  /** `SELECT * FROM cat.db.t.refs` — one row per named ref (name,
+    * kind, snapshot id), answered from one `_refs/` listing.
+    */
+  private class RefsMetadataTable(root: String) extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead {
+    import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    private val metaSchema = StructType(Seq(
+      StructField("name", StringType),
+      StructField("kind", StringType),
+      StructField("snapshot_id", LongType)))
+
+    override def name(): String = s"graft-snap $root#refs"
+    override def schema(): StructType = metaSchema
+    override def capabilities(): util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+      util.EnumSet.of(
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+    override def newScanBuilder(
+        opts: CaseInsensitiveStringMap): ScanBuilder = () =>
+      new LocalScan {
+        override def readSchema(): StructType = metaSchema
+        override def rows()
+            : Array[org.apache.spark.sql.catalyst.InternalRow] =
+          SnapshotTable.listRefs(spark, root).map { case (n, k, id) =>
+            org.apache.spark.sql.catalyst.InternalRow(
+              UTF8String.fromString(n), UTF8String.fromString(k), id)
+          }.toArray
+      }
+  }
+
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
     val p = nsPath(namespace)
@@ -479,6 +526,40 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             else SnapshotTable.expireSnapshotsOlderThan(
               spark, rootOf(t), age, atLeast)
           Seq(nSnaps, nFiles) }),
+      Proc("create_tag",
+        "pin snapshot `version` (default: current) under an immutable " +
+          "name; expire keeps tagged snapshots alive until drop_ref",
+        Seq(("table", StringType, None), ("name", StringType, None),
+          ("version", LongType, Some("-1"))),
+        Seq(("snapshot_id", LongType)),
+        { case Seq(t: String, n: String, v: java.lang.Long) =>
+          Seq(Long.box(SnapshotTable.createTag(spark, rootOf(t), n, v))) }),
+      Proc("create_branch",
+        "create a fast-forward branch at snapshot `version` (default: " +
+          "current); advance with fast_forward, never backward",
+        Seq(("table", StringType, None), ("name", StringType, None),
+          ("version", LongType, Some("-1"))),
+        Seq(("snapshot_id", LongType)),
+        { case Seq(t: String, n: String, v: java.lang.Long) =>
+          Seq(Long.box(
+            SnapshotTable.createBranch(spark, rootOf(t), n, v))) }),
+      Proc("fast_forward",
+        "advance a branch to snapshot `version` (default: current); " +
+          "tags and backward moves refuse",
+        Seq(("table", StringType, None), ("name", StringType, None),
+          ("version", LongType, Some("-1"))),
+        Seq(("snapshot_id", LongType)),
+        { case Seq(t: String, n: String, v: java.lang.Long) =>
+          Seq(Long.box(
+            SnapshotTable.advanceBranch(spark, rootOf(t), n, v))) }),
+      Proc("drop_ref",
+        "delete a tag or branch by name; its snapshot rejoins the " +
+          "normal retention window",
+        Seq(("table", StringType, None), ("name", StringType, None)),
+        Seq(("existed", IntegerType)),
+        { case Seq(t: String, n: String) =>
+          Seq(Int.box(
+            if (SnapshotTable.dropRef(spark, rootOf(t), n)) 1 else 0)) }),
       Proc("remove_orphans",
         "delete data files no live snapshot references and older than " +
           "the age gate — the crash-debris sweep expire_snapshots " +

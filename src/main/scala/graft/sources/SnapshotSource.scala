@@ -66,12 +66,17 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
           "graft-snap: .load(<table root>) / .save(<table root>) is required"))
       // option("wap", id) pins READS at a STAGED (write-audit-publish)
       // snapshot — the audit's SQL view of the candidate state;
-      // mutually exclusive with "snapshot" (a stage has no version)
+      // option("ref", name) pins at a NAMED tag/branch
+      // ([[SnapshotTable.resolveRef]]); all three pins are mutually
+      // exclusive ways to choose the one snapshot the read sees
       val wapOpt = Option(options.get("wap"))
       val snapOpt = Option(options.get("snapshot"))
-      require(wapOpt.isEmpty || snapOpt.isEmpty,
-        "graft-snap: options 'wap' and 'snapshot' are mutually exclusive")
+      val refOpt = Option(options.get("ref"))
+      require(Seq(wapOpt, snapOpt, refOpt).count(_.isDefined) <= 1,
+        "graft-snap: options 'wap', 'snapshot', and 'ref' are mutually " +
+          "exclusive")
       val pinKey = snapOpt.orElse(wapOpt.map("wap:" + _))
+        .orElse(refOpt.map("ref:" + _))
       pinned match {
         case Some(p) if p.root == root && p.snapOpt == pinKey => p
         case _ =>
@@ -83,6 +88,10 @@ class SnapshotSource extends TableProvider with DataSourceRegister {
                 SnapshotTable.wapStoredSchema(spark, root, w))
             case None =>
               val id = snapOpt.map(_.toLong)
+                .orElse(refOpt.map(n =>
+                  SnapshotTable.resolveRef(spark, root, n).getOrElse(
+                    throw new IllegalArgumentException(
+                      s"graft-snap: no ref named '$n' on $root"))))
                 .getOrElse(SnapshotTable.currentSnapshot(spark, root))
               if (id == 0L) Pinned(root, pinKey, 0L, Seq.empty, None)
               else Pinned(root, pinKey, id,

@@ -822,23 +822,33 @@ object SnapshotTable {
     val ttlMs = s.conf.get("graft.snapshot.claim.ttl.ms", "600000").toLong
     val mdir = manifestDir(root)
     if (cutoff < 1L) return (0, 0)
+    // ref'd snapshots are PROTECTED whatever the retention window
+    // ([[createTag]]/[[createBranch]]): their manifests survive, their
+    // files and change frames count live — a tag is a promise that
+    // readers can come back (the Iceberg ref contract); dropRef first
+    // if the pin should stop holding storage
+    val protectedIds: Set[Long] = listRefs(s, root).map(_._3).toSet
+    val keptIds = ((cutoff + 1) to cur) ++
+      protectedIds.filter(_ <= cutoff).toSeq
     val live: Set[String] =
-      ((cutoff + 1) to cur).flatMap(id => fileList(s, root, id)).toSet
+      keptIds.flatMap(id => fileList(s, root, id)).toSet
     // read the expired manifests BEFORE deleting them: only files THEY
     // reference are deletion candidates — never a bare data/ listing
-    val expiredIds = (1L to cutoff).filter(id =>
-      fs.exists(manifestPath(root, id)))
+    val expiredIds = (1L to cutoff).filterNot(protectedIds)
+      .filter(id => fs.exists(manifestPath(root, id)))
     val candidates: Set[String] =
       expiredIds.flatMap(id => fileList(s, root, id)).toSet
-    val keptCdf: Set[String] = ((cutoff + 1) to cur)
+    val keptCdf: Set[String] = keptIds
       .flatMap(id => snapshotProps(s, root, id).get("cdf.dir")).toSet
     val expiredCdf: Set[String] =
       expiredIds.flatMap(id => snapshotProps(s, root, id).get("cdf.dir")).toSet
     var nManifests = 0
     fs.listStatus(mdir).foreach { st =>
       val n = st.getPath.getName
-      val expiredManifest = n.startsWith("v") && n.endsWith(".manifest") &&
-        n.stripPrefix("v").stripSuffix(".manifest").toLong <= cutoff
+      val expiredManifest = n.startsWith("v") && n.endsWith(".manifest") && {
+        val id = n.stripPrefix("v").stripSuffix(".manifest").toLong
+        id <= cutoff && !protectedIds(id)
+      }
       // claims: completed ones (id <= current) are inert — the
       // manifest's own existence blocks re-commit of the id; an
       // in-flight claim (id > cur) is swept only once it is stale
@@ -1066,6 +1076,129 @@ object SnapshotTable {
     publishStaged(s, root, commitId, staging, entryLines(s, root, cur),
       cur, Seq.empty, props, schema)
   }
+
+  // ---- named refs: tags (immutable pins) and branches (fast-forward
+  // pointers) ----------------------------------------------------------
+  //
+  // A ref is one tiny file under `_refs/` holding a snapshot id:
+  // `tag-<name>` never moves once created (audit pins, release marks);
+  // `branch-<name>` fast-forwards monotonically (a consumer's published
+  // line — WAP covers DIVERGING staged work, so branches here never
+  // fork the id sequence). Consumers address snapshots by NAME —
+  // `option("ref", name)` on DSv2 reads, `VERSION AS OF '<name>'`
+  // through the catalog — and [[expireSnapshots]]/[[expireSnapshotsOlderThan]]
+  // keep every ref'd snapshot alive whatever the retention window, the
+  // same contract as Iceberg refs. O(1) metadata everywhere.
+
+  private def refsDir(root: String): Path = new Path(root, "_refs")
+
+  private def refPath(root: String, kind: String, name: String): Path = {
+    require(name.matches("[A-Za-z0-9][A-Za-z0-9._-]*"),
+      s"ref name '$name' must match [A-Za-z0-9][A-Za-z0-9._-]*")
+    new Path(refsDir(root), s"$kind-$name")
+  }
+
+  private def writeRefFile(fs: FileSystem, p: Path, id: Long,
+      overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(id.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readRefFile(fs: FileSystem, p: Path): Long = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+    finally in.close()
+  }
+
+  /** Create immutable tag `name` at snapshot `id` (default: current).
+    * Refuses an existing ref of either kind under the name, and a
+    * target with no live manifest.
+    */
+  def createTag(s: SparkSession, root: String, name: String,
+      id: Long = -1L): Long = createRef(s, root, "tag", name, id)
+
+  /** Create branch `name` at snapshot `id` (default: current). Same
+    * existence rules as [[createTag]]; moves only via
+    * [[advanceBranch]].
+    */
+  def createBranch(s: SparkSession, root: String, name: String,
+      id: Long = -1L): Long = createRef(s, root, "branch", name, id)
+
+  private def createRef(s: SparkSession, root: String, kind: String,
+      name: String, id: Long): Long = {
+    val fs = fsOf(s, new Path(root))
+    val target =
+      if (id >= 1L) id else currentSnapshot(s, root)
+    require(target >= 1L && fs.exists(manifestPath(root, target)),
+      s"$kind '$name': snapshot v$target of $root does not exist")
+    require(resolveRef(s, root, name).isEmpty,
+      s"$kind '$name' of $root: a ref with this name already exists " +
+        "(refs never silently move; dropRef first, or advanceBranch " +
+        "for a branch)")
+    fs.mkdirs(refsDir(root))
+    writeRefFile(fs, refPath(root, kind, name), target, overwrite = false)
+    target
+  }
+
+  /** Fast-forward branch `name` to `toId` (default: current). Refuses
+    * moving BACKWARD (a branch is a consumer's published line — going
+    * back would un-publish) and refuses tags entirely.
+    */
+  def advanceBranch(s: SparkSession, root: String, name: String,
+      toId: Long = -1L): Long = {
+    val fs = fsOf(s, new Path(root))
+    val p = refPath(root, "branch", name)
+    require(fs.exists(p), {
+      val isTag = fs.exists(refPath(root, "tag", name))
+      if (isTag) s"'$name' of $root is a TAG — tags never move"
+      else s"branch '$name' of $root does not exist"
+    })
+    val target = if (toId >= 1L) toId else currentSnapshot(s, root)
+    require(fs.exists(manifestPath(root, target)),
+      s"branch '$name': snapshot v$target of $root does not exist")
+    val at = readRefFile(fs, p)
+    require(target >= at,
+      s"branch '$name' of $root: cannot move backward v$at -> v$target")
+    writeRefFile(fs, p, target, overwrite = true)
+    target
+  }
+
+  /** Delete ref `name` (either kind). Returns whether one existed. */
+  def dropRef(s: SparkSession, root: String, name: String): Boolean = {
+    val fs = fsOf(s, new Path(root))
+    Seq("tag", "branch").map(k => fs.delete(refPath(root, k, name), false))
+      .exists(identity)
+  }
+
+  /** The snapshot id ref `name` points at, tag first. */
+  def resolveRef(s: SparkSession, root: String, name: String): Option[Long] = {
+    val fs = fsOf(s, new Path(root))
+    Seq("tag", "branch").map(k => refPath(root, k, name))
+      .find(fs.exists).map(readRefFile(fs, _))
+  }
+
+  /** Every ref of the table: (name, kind, snapshot id). One listing. */
+  def listRefs(s: SparkSession, root: String): Seq[(String, String, Long)] = {
+    val fs = fsOf(s, new Path(root))
+    val dir = refsDir(root)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      Seq("tag", "branch").collectFirst {
+        case k if n.startsWith(s"$k-") =>
+          (n.stripPrefix(s"$k-"), k, readRefFile(fs, st.getPath))
+      }
+    }.sortBy(_._1)
+  }
+
+  /** Read the snapshot ref `name` pins — O(1) metadata then a normal
+    * [[readAt]].
+    */
+  def readRef(s: SparkSession, root: String, name: String): DataFrame =
+    readAt(s, root, resolveRef(s, root, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no ref named '$name' on $root")))
 
   /** Stage an append as a WRITE-AUDIT-PUBLISH snapshot: the files are
     * written and the manifest is fully formed (carried base entries,

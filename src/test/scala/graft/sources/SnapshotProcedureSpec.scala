@@ -175,6 +175,7 @@ class SnapshotProcedureSpec extends SparkSpec {
     val listed = c.listProcedures(Array("system")).map(_.name()).toSet
     assert(listed == Set("expire_snapshots", "remove_orphans", "rollback",
       "rewrite_deletes", "optimize_zorder", "publish_wap", "drop_wap",
-      "compact_small_files"))
+      "compact_small_files", "create_tag", "create_branch",
+      "fast_forward", "drop_ref"))
   }
 }
