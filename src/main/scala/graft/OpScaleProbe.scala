@@ -599,6 +599,63 @@ object OpScaleProbe {
       // synthetic (the fold consumes only the frame contract) so the
       // axis isolates fold cost from commit I/O; BARRIER_EVERY
       // overrides for K experiments.
+      // round 12. Incremental ANN maintenance vs corpus size: the
+      // corpus grows xk (disjoint vec_id spaces per copy), the CHURN
+      // stays fixed (one merge repricing a 2001-key band of the first
+      // copy + inserting 500 shifted vectors, one COW delete of a
+      // 101-key band). Maintain must stay ~flat — it prices the churn
+      // through the change feed, never the corpus — while the rebuild
+      // (buildSq8Index: codebook scan + full quantize) grows with the
+      // corpus. The gap IS the reason the index is maintained.
+      if (wanted("snap_annmaint")) {
+        import graft.ops.AnnIndex
+        import graft.sources.SnapshotTable
+        import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual}
+        val embBase = Tables.embeddings(spark, sfDir)
+          .select("vec_id", "embedding")
+        val embStride = embBase.agg(max(col("vec_id"))).head.getLong(0) + 1
+        def scaledEmb(k2: Int): DataFrame =
+          (0 until k2).map { i =>
+            if (i == 0) embBase
+            else embBase.select(
+              (col("vec_id") + lit(i * embStride)).as("vec_id"),
+              col("embedding"))
+          }.reduce(_ unionByName _)
+        val b = java.nio.file.Files
+          .createTempDirectory(s"graft_annm_x$k").toString
+        val corpusRoot = s"$b/corpus"
+        val indexRoot = s"$b/index"
+        SnapshotTable.commit(
+          scaledEmb(k).repartitionByRange(
+            math.max(8, 8 * k / 4), col("vec_id")),
+          corpusRoot, statsCol = Some("vec_id"))
+        val t0 = System.nanoTime()
+        AnnIndex.buildSq8Index(spark, corpusRoot, indexRoot)
+        val dtBuild = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        // fixed churn, confined to the first copy
+        SnapshotTable.merge(
+          embBase.filter(col("vec_id").between(1000, 3000))
+            .withColumn("embedding",
+              transform(col("embedding"), x => x * lit(2.0f)))
+            .unionByName(embBase.filter(col("vec_id") < 500)
+              .select((col("vec_id") + 900000000L).as("vec_id"),
+                col("embedding"))),
+          corpusRoot, "vec_id")
+        SnapshotTable.deleteWhere(spark, corpusRoot,
+          Seq(GreaterThan("vec_id", 500L), LessThanOrEqual("vec_id", 601L)))
+        val t1 = System.nanoTime()
+        AnnIndex.maintainSq8Index(spark, corpusRoot, indexRoot)
+        val dtMaint = (System.nanoTime() - t1) / 1e9
+        val nIdx = SnapshotTable.rowCount(spark, indexRoot,
+          SnapshotTable.currentSnapshot(spark, indexRoot)).getOrElse(-1L)
+        println(f"snap_annmaint   x$k maintain=$dtMaint%8.1f s " +
+          f"rebuild=$dtBuild%8.1f s index_rows=$nIdx")
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
+
       if (wanted("snap_cdf_fold")) {
         import graft.sources.SnapshotTable
         sys.env.get("BARRIER_EVERY").foreach(v =>

@@ -1,0 +1,261 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** INCREMENTAL ANN index maintenance — the synthesis of the engine's
+  * two flagship layers: the SQ8 index ([[Similarity.sq8TopK]]'s
+  * byte-quantized layout) lives AS a snapshot table and is maintained
+  * from the CORPUS table's change feed, so the index never rebuilds
+  * from scratch:
+  *
+  *   - corpus appends/merge-inserts → quantize the new vectors with
+  *     the FROZEN codebook and merge them into the index;
+  *   - corpus updates (merge post-images, SQL rewrite XA rows) →
+  *     the same merge replaces the stale codes by key;
+  *   - corpus deletes → a keyed copy-on-write delete on the index.
+  *
+  * The CODEBOOK (per-dimension [min, range] over the build-time
+  * corpus) is frozen at [[buildSq8Index]] — exactly how production
+  * vector stores work (faiss/Milvus train the quantizer offline and
+  * re-train on drift, never per-insert, because re-quantizing the
+  * whole index on every batch IS the rebuild this module exists to
+  * avoid). It travels as an index-table prop, so search and
+  * maintenance always agree on it. Freezing makes maintenance
+  * CONFLUENT: a maintained index hash-equals an index rebuilt from
+  * the final corpus under the same codebook — the
+  * `ann_sq8_maintained` gate and `AnnIndexSpec` prove exactly that
+  * (and the gate's DuckDB oracle recomputes the whole pipeline from
+  * the raw table, codebook included).
+  *
+  * Exactly-once: the corpus snapshot a maintenance pass folded
+  * through rides the index table's own `stream.annmaint.batch` floor
+  * (the same carried-forward prop every streaming sink uses), so a
+  * replayed pass is a no-op and a crashed one resumes from the floor.
+  *
+  * At 100 TB: maintenance cost is O(churn) — the feed is delta-priced
+  * by construction, quantization is one codegen'd projection over the
+  * delta, the merge prunes by the index's `vec_id` stats, and the
+  * delete rewrites only the files whose stats admit the removed keys.
+  * The OpScaleProbe `snap_annmaint` axis pins maintain flat vs
+  * rebuild growing as the corpus scales ×1/×10/×100.
+  */
+object AnnIndex {
+
+  private val FloorTag = "annmaint"
+  private val StatsProp = "ann.sq8.stats"
+
+  /** Per-dimension (min, range) over `corpus` — the SQ8 codebook. */
+  private def codebook(corpus: DataFrame): Seq[(Double, Double)] = {
+    import corpus.sparkSession.implicits._
+    corpus
+      .select(posexplode(transform(col("embedding"), _.cast("double")))
+        .as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("i").as[(Int, Double, Double)].collect()
+      .map(t => (t._2, t._3 - t._2)).toSeq
+  }
+
+  private def renderStats(st: Seq[(Double, Double)]): String =
+    st.map { case (mn, rng) =>
+      s"${java.lang.Double.toString(mn)}:${java.lang.Double.toString(rng)}"
+    }.mkString(";")
+
+  private def parseStats(v: String): Seq[(Double, Double)] =
+    v.split(";").toSeq.filter(_.nonEmpty).map { tok =>
+      val Array(mn, rng) = tok.split(":", 2)
+      (mn.toDouble, rng.toDouble)
+    }
+
+  /** Quantize `(vec_id, embedding)` rows to `(vec_id, codes)` under
+    * the frozen codebook — [[Similarity.sq8TopK]]'s exact encode
+    * expression, one codegen'd projection.
+    */
+  private[ops] def quantize(df: DataFrame,
+      st: Seq[(Double, Double)]): DataFrame = {
+    val mnA = array(st.map(t => lit(t._1)).toIndexedSeq: _*)
+    val rngA = array(st.map(t => lit(t._2)).toIndexedSeq: _*)
+    df.select(col("vec_id"),
+      transform(transform(col("embedding"), _.cast("double")), (x, i) => {
+        val mn = element_at(mnA, i + 1)
+        val rng = element_at(rngA, i + 1)
+        when(rng <= 0, lit(0)).otherwise(
+          least(lit(255), greatest(lit(0),
+            floor((x - mn) / rng * 255).cast("int"))))
+      }).as("codes"))
+  }
+
+  /** Build the index at the CORPUS table's current snapshot: quantize
+    * every live vector, commit `(vec_id, codes)` with `vec_id` stats
+    * (the merge/delete pruning index), freeze the codebook and the
+    * maintenance floor as table props. Returns the index snapshot id.
+    */
+  def buildSq8Index(s: SparkSession, corpusRoot: String,
+      indexRoot: String): Long = {
+    val srcSnap = SnapshotTable.currentSnapshot(s, corpusRoot)
+    val corpus = SnapshotTable.readAt(s, corpusRoot, srcSnap)
+    val st = codebook(corpus)
+    // file count tracks the corpus (~64k codes per range-clustered
+    // file, from the manifest's free row count): maintenance rewrites
+    // whole touched FILES, so a fixed small file count would make a
+    // fixed churn rewrite a fixed FRACTION of the index — O(corpus),
+    // not O(churn) — as the corpus grows (the x1000 probe caught
+    // exactly that: 8 files meant every merge rewrote 250k codes)
+    val nRows = SnapshotTable.rowCount(s, corpusRoot, srcSnap)
+      .getOrElse(corpus.count())
+    val nFiles = math.max(8L, (nRows + 65535L) / 65536L).toInt
+    SnapshotTable.commit(
+      quantize(corpus, st).repartitionByRange(nFiles, col("vec_id")),
+      indexRoot, statsCol = Some("vec_id"),
+      props = Map(StatsProp -> renderStats(st),
+        s"stream.$FloorTag.batch" -> srcSnap.toString))
+  }
+
+  /** The frozen codebook of an index table — every snapshot carries
+    * it: `ann.*` props ride the same carried-forward set as stream
+    * floors, and each maintenance cycle restates it besides.
+    */
+  private[ops] def statsOf(s: SparkSession, indexRoot: String): Seq[(Double, Double)] = {
+    val cur = SnapshotTable.currentSnapshot(s, indexRoot)
+    parseStats(SnapshotTable.snapshotProps(s, indexRoot, cur)
+      .getOrElse(StatsProp, throw new IllegalStateException(
+        s"$indexRoot is not an SQ8 index table (no $StatsProp prop)")))
+  }
+
+  /** The corpus snapshot the index has folded through. */
+  def maintainedThrough(s: SparkSession, indexRoot: String): Long = {
+    val cur = SnapshotTable.currentSnapshot(s, indexRoot)
+    SnapshotTable.snapshotProps(s, indexRoot, cur)
+      .getOrElse(s"stream.$FloorTag.batch", "0").toLong
+  }
+
+  /** Fold the corpus change feed since the last maintenance into the
+    * index: one keyed COW delete for keys that LEFT the corpus, one
+    * merge of freshly-quantized codes for keys that arrived or
+    * changed. O(churn) — the corpus is never re-read, the index never
+    * rebuilt. Idempotent via the floor; returns the corpus snapshot
+    * maintained through (no-op when already current).
+    */
+  def maintainSq8Index(s: SparkSession, corpusRoot: String,
+      indexRoot: String): Long = {
+    val from = maintainedThrough(s, indexRoot)
+    val to = SnapshotTable.currentSnapshot(s, corpusRoot)
+    if (to <= from) return from
+    val st = statsOf(s, indexRoot)
+    val feed = SnapshotTable.changeFeed(s, corpusRoot, from, to)
+      .localCheckpoint(eager = true) // two consumers below, one read
+    // a key's FINAL disposition is its LAST commit's: a key replaced
+    // at v2 and deleted at v3 must come out deleted, so the fold keys
+    // on max(_commit) per vec_id before splitting into adds and
+    // removals. Within one commit add-ops win (a replacement carries
+    // both its UB pre-image and its U post-image).
+    val lastTouch = feed.groupBy(col("vec_id").as("_lk"))
+      .agg(max(col("_commit")).as("_lc"))
+    // both sides are churn-sized; AQE picks the join strategy
+    val finalOps = feed.join(lastTouch,
+      col("vec_id") === col("_lk") && col("_commit") === col("_lc"))
+      .select(col("vec_id"), col("embedding"), col("_op"))
+    val addRows = finalOps.filter(col("_op").isin("A", "I", "U", "XA"))
+      .select("vec_id", "embedding")
+    // keys that left the corpus for good: removed minus re-added
+    // (replaced keys are handled by the merge itself)
+    val removedOnly = finalOps.filter(col("_op").isin("UB", "D", "XB"))
+      .select("vec_id").distinct()
+      .join(addRows.select("vec_id").distinct(), Seq("vec_id"),
+        "left_anti")
+    import s.implicits._
+    val delKeys = removedOnly.as[Long].collect().sorted
+    if (delKeys.nonEmpty)
+      SnapshotTable.deleteWhere(s, indexRoot,
+        Seq(org.apache.spark.sql.sources.In("vec_id",
+          delKeys.map(k => k: Any).toArray)))
+    val floor = Map(s"stream.$FloorTag.batch" -> to.toString,
+      StatsProp -> renderStats(st))
+    if (addRows.limit(1).count() > 0)
+      SnapshotTable.merge(quantize(addRows, st), indexRoot, "vec_id",
+        extraProps = floor)
+    else // deletes only: advance the floor with an empty append
+      SnapshotTable.commit(
+        SnapshotTable.read(s, indexRoot).limit(0), indexRoot,
+        props = floor)
+    to
+  }
+
+  /** The `ann_sq8_maintained` gate: corpus snapshot table → frozen
+    * index → churn (merge replacing the `%10==3` vectors doubled and
+    * inserting shifted copies of `%10==7`, then a COW delete of the
+    * (100, 200] id band) → ONE maintenance pass → search. The DuckDB
+    * oracle recomputes the whole pipeline from the raw table —
+    * codebook from the ORIGINAL corpus, quantization of the FINAL
+    * corpus, ADC ranks — so the hash gate holds iff the maintained
+    * index equals a from-scratch rebuild under the frozen codebook;
+    * the audit columns additionally pin that equality in-engine
+    * (row-for-row except-diff) and the index cardinality.
+    */
+  def annSq8Maintained(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual}
+    val b = java.nio.file.Files
+      .createTempDirectory("graft_annmaint").toString
+    val corpusRoot = s"$b/corpus"
+    val indexRoot = s"$b/index"
+    val emb = graft.Tables.embeddings(s, dir).select("vec_id", "embedding")
+    SnapshotTable.commit(emb.repartitionByRange(8, col("vec_id")),
+      corpusRoot, statsCol = Some("vec_id"))
+    AnnIndex.buildSq8Index(s, corpusRoot, indexRoot)
+    val mods = emb.filter(col("vec_id") % 10 === 3)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(2.0f)))
+    val ins = emb.filter(col("vec_id") % 10 === 7)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    SnapshotTable.merge(mods.unionByName(ins), corpusRoot, "vec_id")
+    SnapshotTable.deleteWhere(s, corpusRoot,
+      Seq(GreaterThan("vec_id", 100L), LessThanOrEqual("vec_id", 200L)))
+    AnnIndex.maintainSq8Index(s, corpusRoot, indexRoot)
+    val frozen = statsOf(s, indexRoot)
+    val maintained = SnapshotTable.read(s, indexRoot)
+      .select(col("vec_id"), col("codes").cast("string").as("c"))
+    val rebuilt = quantize(SnapshotTable.read(s, corpusRoot), frozen)
+      .select(col("vec_id"), col("codes").cast("string").as("c"))
+    val nIndex = maintained.count()
+    val diff = maintained.exceptAll(rebuilt).count() +
+      rebuilt.exceptAll(maintained).count()
+    searchSq8Index(s, indexRoot,
+        Similarity.queryVectors(s, dir), Similarity.DefaultK)
+      .withColumn("index_matches_rebuild",
+        lit(if (diff == 0L) 1L else 0L))
+      .withColumn("n_index_rows", lit(nIndex))
+  }
+
+  /** Asymmetric ADC search over the index table — float queries
+    * against dequantized byte codes, [[Similarity.sq8TopK]]'s exact
+    * scoring (round-6 distance, id tiebreak), but off the MAINTAINED
+    * codes: no float corpus vector is read, ever.
+    */
+  def searchSq8Index(s: SparkSession, indexRoot: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val st = statsOf(s, indexRoot)
+    val mnA = array(st.map(t => lit(t._1)).toIndexedSeq: _*)
+    val scA = array(st.map(t => lit(t._2 / 256.0)).toIndexedSeq: _*)
+    val deq = SnapshotTable.read(s, indexRoot)
+      .select(col("vec_id").as("neighbor_id"),
+        transform(col("codes"), (c, i) =>
+          element_at(mnA, i + 1) +
+            (c.cast("double") + lit(0.5)) * element_at(scA, i + 1))
+          .as("deq"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), _.cast("double")).as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    deq.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", round(aggregate(
+        zip_with(col("qv"), col("deq"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc"), col("rank"))
+  }
+}

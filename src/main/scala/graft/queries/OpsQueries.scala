@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Audio, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.ops.{AnnIndex, Audio, Multimodal, Similarity, Sketches, TextAnalysis}
 
 /** Driver registrations for similarity search, text analysis, and
   * multimodal plumbing. Everything here carries a DuckDB oracle except
@@ -245,6 +245,7 @@ object OpsQueries {
     "ann_recall_ivfpq" -> (recallReport(Similarity.annIvfPq) _),
     "ann_sq8" -> (Similarity.annSq8 _),
     "ann_recall_sq8" -> (recallReport(Similarity.annSq8) _),
+    "ann_sq8_maintained" -> (AnnIndex.annSq8Maintained _),
     "stats_table" -> (tableStats _),
     "text_corpus_stats" -> (TextAnalysis.corpusStatsQuery _),
     "text_token_stats" -> (TextAnalysis.tokenStatsQuery _),
@@ -793,6 +794,54 @@ object OpsQueries {
     // per-dimension byte quantization replayed end to end: stats →
     // codes → midpoint dequantization → ordered L2 → round-6 rank
     "ann_sq8" -> sq8Oracle,
+    // the incrementally-MAINTAINED index: codebook from the ORIGINAL
+    // corpus (frozen at build), quantization of the FINAL corpus
+    // (replace %10==3 doubled, insert %10==7 shifted +10M, delete the
+    // (100, 200] band), same ADC ranks — the oracle IS the rebuild the
+    // maintenance must equal; audits are protocol constants
+    "ann_sq8_maintained" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding) AS d
+         |  FROM embeddings),
+         |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i
+         |      FROM base),
+         |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+         |arrs AS (SELECT list(mn ORDER BY i) AS mns,
+         |  list(mx - mn ORDER BY i) AS rngs,
+         |  list((mx - mn) / 256.0 ORDER BY i) AS scs FROM st),
+         |merged AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 10 = 3
+         |      THEN list_transform(v, x -> x * 2) ELSE v END AS v, d
+         |  FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 10000000, v, d FROM base WHERE vec_id % 10 = 7),
+         |fc AS (SELECT * FROM merged
+         |       WHERE NOT (vec_id > 100 AND vec_id <= 200)),
+         |deq AS (
+         |  SELECT fc.vec_id, list_transform(range(1, fc.d + 1), i ->
+         |    arrs.mns[i] + (CAST(CASE WHEN arrs.rngs[i] <= 0 THEN 0
+         |      ELSE least(255, greatest(0,
+         |        floor((fc.v[i] - arrs.mns[i]) / arrs.rngs[i] * 255)))
+         |      END AS INT) + 0.5) * arrs.scs[i]) AS dq
+         |  FROM fc, arrs),
+         |q AS (SELECT vec_id AS query_id, v AS qv, d FROM base
+         |      WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, deq.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, q.d + 1),
+         |      i -> (q.qv[i] - deq.dq[i]) * (q.qv[i] - deq.dq[i]))), 6)
+         |      AS adc
+         |  FROM q JOIN deq ON deq.vec_id != q.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adc, rn AS rank,
+         |  1::BIGINT AS index_matches_rebuild,
+         |  (SELECT count(*) FROM fc)::BIGINT AS n_index_rows
+         |FROM ranked WHERE rn <= ${Similarity.DefaultK}""".stripMargin,
     "ann_recall_sq8" -> (
       "WITH ex AS (SELECT query_id, neighbor_id FROM (" +
         bruteforceOracle + ")),\n" +

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
 /** Minimal file-level snapshot/manifest table — the metadata half of the
   * warehouse story (`wh_snapshot_asof` reconstructs AS-OF from a row
@@ -384,10 +384,22 @@ object SnapshotTable {
     * refused loudly — this layer does column add, not column mutate.
     */
   private[sources] def mergeSchemas(base: StructType, add: StructType): StructType = {
+    // type equality modulo NULLABILITY at every nesting level: an
+    // array<int> written containsNull=false is the same column as one
+    // written containsNull=true (parquet round-trips flip these), and
+    // only a genuine retype should refuse
+    def norm(dt: DataType): DataType = dt match {
+      case ArrayType(et, _) => ArrayType(norm(et), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(norm(k), norm(v), valueContainsNull = true)
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = norm(f.dataType), nullable = true)))
+      case other => other
+    }
     val addByName = add.fields.map(f => f.name -> f).toMap
     base.fields.foreach { bf =>
       addByName.get(bf.name).foreach { af =>
-        require(af.dataType == bf.dataType,
+        require(norm(af.dataType) == norm(bf.dataType),
           s"snapshot schema evolution: column '${bf.name}' cannot change " +
             s"type ${bf.dataType.simpleString} -> ${af.dataType.simpleString}")
       }
@@ -610,7 +622,8 @@ object SnapshotTable {
     val carriedProps: Map[String, String] =
       if (prev == 0L) Map.empty
       else snapshotProps(s, root, prev).filter(p =>
-        p._1.startsWith("stream.") || p._1 == "partition.cols" ||
+        p._1.startsWith("stream.") || p._1.startsWith("ann.") ||
+          p._1 == "partition.cols" ||
           p._1 == "col.phys" || p._1 == "cols.retired" || p._1 == "col.evo")
     // partition columns ALWAYS join the stats index (whatever the
     // commit path — V1, V2 executor-staged, COW rewrites): a file that
