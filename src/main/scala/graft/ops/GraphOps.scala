@@ -49,7 +49,14 @@ object GraphOps {
       .groupBy("src", "dst").agg(count(lit(1)).as("w"))
   }
 
-  /** Five damped PageRank iterations in 1e12 fixed point. */
+  /** Five damped PageRank iterations in 1e12 fixed point.
+    *
+    * CACHE CONTRACT: the event/edge/node frames stay cached for the
+    * iteration's reuse and cannot unpersist before the returned lazy
+    * frame is consumed; repeat callers in one JVM (Bench, probes)
+    * clear caches between invocations (Verify/Bench/OpScaleProbe all
+    * do).
+    */
   def pagerank(events: DataFrame): DataFrame = {
     val ev = itemEvents(events).cache()
     val edges = {
@@ -117,6 +124,12 @@ object GraphOps {
     * the iteration verbatim. Non-seed nodes hold only flowed-in mass;
     * a node unreachable from the seeds ranks exactly 0 — the signature
     * that distinguishes PPR from global PageRank.
+    *
+    * Same CACHE CONTRACT as [[pagerank]] and `prefixJaccardDocs`: the
+    * event/edge/node frames stay cached for the iteration's reuse and
+    * cannot unpersist before the returned lazy frame is consumed;
+    * repeat callers in one JVM (Bench, probes) clear caches between
+    * invocations (Verify/Bench/OpScaleProbe all do).
     */
   def personalizedPagerank(events: DataFrame): DataFrame = {
     val ev = itemEvents(events).cache()

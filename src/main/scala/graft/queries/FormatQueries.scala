@@ -517,6 +517,73 @@ object FormatQueries {
       .withColumn("n_refs", lit(nRefs))
   }
 
+  /** Per-file membership BLOOMS feeding RUNTIME join pruning
+    * ([[graft.sources.SnapshotTable.buildBloomIndex]] + the scan's
+    * `SupportsRuntimeV2Filtering`): the fact table's join key is
+    * SCATTERED (round-robin files, every [min, max] band covers the
+    * whole key space — the layout where band pruning is useless), its
+    * keys are all EVEN, and a bloom index is built over it as one
+    * read-only scan + one metadata-only commit. Two joins against a
+    * dim filtered by a NON-key predicate (nothing constant-folds —
+    * only Spark's runtime filter can push the dim's keys into the
+    * fact scan):
+    *
+    *   - the ABSENT leg joins on all-ODD dim keys: the runtime IN
+    *     probes reach the scan, every file's bloom refutes them, and
+    *     the audit pins that files were pruned where the bands could
+    *     prove nothing (`absent_pruned`, with zero result rows);
+    *   - the PRESENT leg joins on matching keys: blooms never refute
+    *     a present value (soundness), and the result hash-matches the
+    *     oracle's plain join.
+    *
+    * At 100 TB this is the selective-dim star join on a fact NOT
+    * clustered by the dim key — the case neither partition pruning
+    * nor min/max can touch; per-file blooms are what Iceberg ships as
+    * puffin NDV/bloom metadata for.
+    */
+  def snapshotBloom(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{SnapshotSource, SnapshotTable}
+    val root = scratch("snap_bloom")
+    graft.tera.TeraIO.delete(s, root)
+    // fact key = (custkey mod 4096) * 2: EVEN, bounded per-file NDV
+    // (blooms saturate past ~13k distinct per file — the honest limit
+    // of per-file equality blooms; a higher-NDV key wants clustering
+    // instead), scattered round-robin so every band covers everything
+    val o = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 4096 * 2).as("o_ck2"),
+        col("o_orderstatus"), col("o_totalprice"))
+    SnapshotTable.commit(o.repartition(16), root, statsCol = Some("o_ck2"))
+    SnapshotTable.buildBloomIndex(s, root, "o_ck2")
+    // the dim filter is on the SOURCE column, never the join key —
+    // nothing constant-folds, only the runtime filter can prune — and
+    // selects a FIXED ~40 keys at every scale (false positives
+    // accumulate per probe key, so a scale-growing key set would
+    // saturate the refutation; 40 keys x ~0.1% FP prunes ~95%+)
+    val cust = graft.Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val dimAbsent = cust.filter(col("c_custkey") <= 40)
+      .select((col("c_custkey") % 4096 * 2 + 1).as("ck")) // ODD: absent
+    val dimPresent = cust.filter(col("c_custkey") <= 40)
+      .select((col("c_custkey") % 4096 * 2).as("ck"))
+    val fact = s.read.format("graft-snap").load(root)
+    // lastPrune reflects the absent leg's final skipping decision: its
+    // scan's own pushFilters logs first (no pruning), then the runtime
+    // bloom refutation overwrites with the pruned set
+    val nAbsent = fact.join(dimAbsent, fact("o_ck2") === dimAbsent("ck"))
+      .count()
+    val (kept, total) = SnapshotSource.lastPrune(root).getOrElse((-1, -1))
+    val present = fact.join(dimPresent, fact("o_ck2") === dimPresent("ck"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_join"),
+        money(sum(col("o_totalprice"))).as("total_join"),
+        sum(col("o_orderkey")).as("okey_join"))
+    present
+      .withColumn("n_absent_rows", lit(nAbsent))
+      .withColumn("absent_pruned",
+        lit(if (kept >= 0 && kept < total) 1L else 0L))
+  }
+
   /** The DSv2 reader surface over the same layer
     * ([[graft.sources.SnapshotSource]], `format("graft-snap")`): commit
     * v1 and the v2 append exactly as the isolation gate does, then read
@@ -1841,6 +1908,7 @@ object FormatQueries {
     "fmt_snapshot_isolation" -> (snapshotIsolation _),
     "fmt_snapshot_expire" -> (snapshotExpire _),
     "fmt_snapshot_refs" -> (snapshotRefs _),
+    "fmt_snapshot_bloom" -> (snapshotBloom _),
     "fmt_snapshot_dsv2" -> (snapshotDsv2 _),
     "fmt_zstd_roundtrip" -> (zstdRoundTrip _),
     "fmt_malformed_csv" -> (malformedCsv _),
@@ -2366,6 +2434,18 @@ object FormatQueries {
         |  (SELECT round(sum(p), 2) FROM br) AS total_branch,
         |  1::BIGINT AS n_expired, 2::BIGINT AS n_refs
         |FROM cur GROUP BY 1""".stripMargin,
+    // the PRESENT leg is a plain custkey join under the doubled-key
+    // encoding; the ABSENT leg is empty by construction and its prune
+    // audit is a protocol constant (runtime bloom refutation fires)
+    "fmt_snapshot_bloom" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_join,
+        |  round(sum(o_totalprice), 2) AS total_join,
+        |  sum(o_orderkey)::BIGINT AS okey_join,
+        |  0::BIGINT AS n_absent_rows, 1::BIGINT AS absent_pruned
+        |FROM orders o JOIN customer c
+        |  ON (o.o_custkey % 4096) = (c.c_custkey % 4096)
+        |WHERE c.c_custkey <= 40
+        |GROUP BY 1""".stripMargin,
     "fmt_snapshot_expire" ->
       """WITH v4rows AS (
         |  SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders

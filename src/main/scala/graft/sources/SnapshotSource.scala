@@ -364,6 +364,10 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
   // a manifest-complete aggregate answer: (schema, the single row)
   private var manifestAgg: Option[(StructType,
     org.apache.spark.sql.catalyst.InternalRow)] = None
+  // what was pushed/pruned, replayed when runtime join filtering
+  // replans the delegate over a narrower file list
+  private var pushedPhys: Seq[Expression] = Seq.empty
+  private var prunedPhysSchema: Option[StructType] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     filtered = filtered || filters.nonEmpty
@@ -379,7 +383,7 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
     scanEntries = kept
     delegate = parquetBuilder(kept.map(e => s"$root/${e.path}"))
     if (groupMode) filters // file selection only: every row comes back
-    else delegate.pushFilters(phys).map(toLogicalExpr)
+    else { pushedPhys = phys; delegate.pushFilters(phys).map(toLogicalExpr) }
   }
 
   override def pushedFilters(): Array[Predicate] =
@@ -416,8 +420,19 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
           scanEntries.nonEmpty && scanEntries.forall(_.rows.isDefined))
         Some(scanEntries.map(_.rows.get).sum)
       else None
+    // the runtime-refilter replan: a fresh parquet builder over the
+    // narrowed list with the SAME pushdown state as the original
+    def rebuild(paths: Seq[String])
+        : org.apache.spark.sql.connector.read.Scan = {
+      val b = parquetBuilder(paths)
+      if (pushedPhys.nonEmpty) b.pushFilters(pushedPhys)
+      prunedPhysSchema.foreach(b.pruneColumns)
+      b.build()
+    }
     new SnapshotScanWrapper(root, ensure().build(), options,
-      spjKeys(), tableSchema, manifestRows, logicalOf)
+      spjKeys(), tableSchema, manifestRows, logicalOf,
+      runtimeEntries = scanEntries, physMap = physMap,
+      rebuild = rebuild)
   }
 
   /** The storage-partitioned-join report: when the scanned file set is
@@ -473,9 +488,11 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
   }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (manifestAgg.isEmpty)
-      ensure().pruneColumns(
-        SnapshotTable.physSchema(requiredSchema, physMap))
+    if (manifestAgg.isEmpty) {
+      val phys = SnapshotTable.physSchema(requiredSchema, physMap)
+      prunedPhysSchema = Some(phys)
+      ensure().pruneColumns(phys)
+    }
 
   /** Answer an unfiltered, ungrouped COUNT(*) / COUNT(col) / MIN(col) /
     * MAX(col) aggregation from the MANIFEST alone: per-file row counts
@@ -613,16 +630,63 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
   * enabled.
   */
 private[sources] class SnapshotScanWrapper(root: String,
-    delegate: org.apache.spark.sql.connector.read.Scan,
+    delegate0: org.apache.spark.sql.connector.read.Scan,
     options: CaseInsensitiveStringMap,
     spj: Option[(Seq[String], Map[String, Seq[Any]])],
     tableSchema: StructType,
     manifestRows: Option[Long] = None,
-    logicalOf: Map[String, String] = Map.empty)
+    logicalOf: Map[String, String] = Map.empty,
+    // RUNTIME join filtering: the scanned entries, the column mapping,
+    // and a thunk that replans the parquet delegate over a narrower
+    // file list with the SAME pushed filters and pruned columns
+    runtimeEntries: Seq[SnapshotTable.FileEntry] = Seq.empty,
+    physMap: Map[String, String] = Map.empty,
+    rebuild: Seq[String] => org.apache.spark.sql.connector.read.Scan = null)
     extends org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   import org.apache.spark.sql.connector.read.{Batch, InputPartition}
   import org.apache.spark.sql.execution.datasources.FilePartition
+
+  @volatile private var delegate
+      : org.apache.spark.sql.connector.read.Scan = delegate0
+
+  /** RUNTIME file skipping for plain JOIN queries — the hook Spark's
+    * dynamic pruning uses on DSv2 scans (the same one the row-level
+    * group scan implements): when the other side of a selective join
+    * materializes its key values, Spark pushes them here as IN/EQ
+    * predicates before planning this side's batch, and every file
+    * whose manifest stats — min/max bands AND membership blooms
+    * ([[SnapshotTable.buildBloomIndex]]) — refute all of them drops
+    * from the scan. On a table not clustered by the join key the bands
+    * prune nothing (every file covers everything) and the BLOOM is
+    * what saves the scan. Declared only when a rebuild thunk exists
+    * and the scan is not SPJ-keyed (a runtime-narrowed file set would
+    * desynchronize the declared KeyGroupedPartitioning).
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (rebuild == null || spj.isDefined) Array.empty
+    else runtimeEntries.filterNot(_.isDelete)
+      .flatMap(_.stats.map(_.col)).distinct
+      .map(c => if (c.startsWith("#bloom:")) c.stripPrefix("#bloom:") else c)
+      .distinct
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .column(logicalOf.getOrElse(c, c))).toArray
+
+  override def filter(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    if (rebuild == null || spj.isDefined) return
+    val v1s = predicates.flatMap(p => SnapshotTable.v2PredicateToV1(p))
+    if (v1s.isEmpty) return
+    val data = runtimeEntries.filterNot(_.isDelete)
+    val kept = data.filterNot(e =>
+      v1s.exists(f => SnapshotTable.v1ProvesNone(e, f, physMap)))
+    if (kept.size < data.size) {
+      SnapshotSource.pruneLog.put(root, (kept.size, data.size))
+      delegate = rebuild(kept.map(e => s"$root/${e.path}"))
+    }
+  }
 
   // the delegate prunes and reads in PHYSICAL names (column mapping);
   // Spark resolves this scan's output against the table's LOGICAL

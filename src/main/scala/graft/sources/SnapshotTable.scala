@@ -157,6 +157,17 @@ object SnapshotTable {
     def fileName: String = path.substring(path.lastIndexOf('/') + 1)
     def statsFor(colName: String): Option[FileStats] =
       stats.find(_.col == colName)
+    /** The file's membership BLOOM over `colName`
+      * ([[buildBloomIndex]]), if one was built — stored as a
+      * pseudo-stats tuple (`#bloom:<col>`, tag `b<hashes>`, mn =
+      * base64 bits) so it rides the existing entry format, carry
+      * machinery, and prop-free parsing untouched. Returns
+      * (bit array, hash count).
+      */
+    def bloomFor(colName: String): Option[(Array[Byte], Int)] =
+      stats.find(_.col == s"#bloom:$colName").map(st =>
+        (java.util.Base64.getDecoder.decode(st.mn),
+          st.tag.stripPrefix("b").toInt))
     def render: String = {
       val st = stats.map(t =>
         s"\t${enc(t.col)}\t${t.tag}\t${enc(t.mn)}\t${enc(t.mx)}").mkString
@@ -1213,6 +1224,158 @@ object SnapshotTable {
       throw new IllegalArgumentException(
         s"no ref named '$name' on $root")))
 
+  /** Runtime V2 predicate → the V1 Filter algebra the stats proofs
+    * evaluate. Only shapes the proofs can use (IN / = over literals,
+    * AND/OR) translate; anything else drops — sound, never prunes.
+    * Shared by the group scan's runtime filtering and the plain read
+    * scan's.
+    */
+  private[sources] def v2PredicateToV1(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference}
+    import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+    def external(l: V2Literal[_]): Any =
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(l.dataType)(l.value)
+    e match {
+      case p: V2Predicate => (p.name, p.children.toSeq) match {
+        case ("IN", (f: NamedReference) +: vs)
+            if vs.forall(_.isInstanceOf[V2Literal[_]]) =>
+          Some(org.apache.spark.sql.sources.In(f.fieldNames.mkString("."),
+            vs.map { case l: V2Literal[_] => external(l) }.toArray))
+        case ("=", Seq(f: NamedReference, l: V2Literal[_])) =>
+          Some(org.apache.spark.sql.sources.EqualTo(
+            f.fieldNames.mkString("."), external(l)))
+        case ("=", Seq(l: V2Literal[_], f: NamedReference)) =>
+          Some(org.apache.spark.sql.sources.EqualTo(
+            f.fieldNames.mkString("."), external(l)))
+        case ("AND", Seq(l, r)) =>
+          for (a <- v2PredicateToV1(l); b <- v2PredicateToV1(r))
+            yield org.apache.spark.sql.sources.And(a, b)
+        case ("OR", Seq(l, r)) =>
+          for (a <- v2PredicateToV1(l); b <- v2PredicateToV1(r))
+            yield org.apache.spark.sql.sources.Or(a, b)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  // ---- per-file membership BLOOMS: the stats group beyond min/max ---
+  //
+  // Min/max bands prune RANGES; a selective JOIN probes MEMBERSHIP —
+  // and on a table not clustered by the join key, every file's band
+  // covers everything and the bands prune nothing. [[buildBloomIndex]]
+  // adds a small per-file bloom over a chosen column (one read-only
+  // scan, one metadata-only commit augmenting the entry lines), and
+  // every stats-proof path — static pushdown, COW deletes, merges, and
+  // the scan's RUNTIME join filtering — then refutes `col = v` / `col
+  // IN (...)` per file in O(hashes) bit probes. False positives only
+  // (a bloom never excludes a present value), so pruning stays sound.
+
+  /** Deterministic bloom bit positions for a value's canonical string:
+    * md5-derived double hashing, identical on the build (executor) and
+    * probe (driver) sides. Canonical string = Spark's `CAST(v AS
+    * STRING)`, which matches `Long.toString`/`Double.toString`/String
+    * identity for every stats domain.
+    */
+  private[sources] def bloomPositions(v: String, bits: Int,
+      hashes: Int): Array[Int] = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes(StandardCharsets.UTF_8))
+    def longAt(o: Int): Long =
+      (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (h(o + i) & 0xffL))
+    val h1 = longAt(0)
+    val h2 = longAt(8) | 1L
+    Array.tabulate(hashes)(i => (((h1 + i * h2) % bits + bits) % bits).toInt)
+  }
+
+  private[sources] def bloomMightContain(bloom: Array[Byte], hashes: Int,
+      v: String): Boolean = {
+    val bits = bloom.length * 8
+    if (bits == 0) return true // malformed: never prune on it
+    bloomPositions(v, bits, hashes)
+      .forall(p => (bloom(p >> 3) & (1 << (p & 7))) != 0)
+  }
+
+  /** Build (or refresh) the per-file membership bloom over `colName`
+    * for the CURRENT snapshot: ONE read-only column scan of the
+    * snapshot's data files (grouped by `_metadata.file_name` — the
+    * same constant-cost metadata column the delete vectors join on)
+    * and one METADATA-ONLY commit whose entry lines carry the bloom as
+    * a `#bloom:<physical col>` pseudo-stats tuple. No data file is
+    * written or moved; a rewrite (merge, delete, compaction) simply
+    * DROPS the rewritten files' blooms — stale blooms never exist,
+    * they only disappear until the next build. A file whose column is
+    * entirely null (or that predates the column) records the all-zero
+    * bloom, which correctly refutes every equality. Geometry: `bits`
+    * auto-sizes (default) to the next power of two covering ~10 bits
+    * per distinct value of the WIDEST file (≈1% false positives —
+    * measured: 1000 NDV/file under a fixed 4096 bits saturates to 70%
+    * fill and 17% FP, pruning nothing), floored at 4096 and capped at
+    * 2^17 (16 KB per entry line; files beyond ~13k NDV keep a
+    * saturated — useless but sound — bloom, the signal to cluster by
+    * the key instead). One extra NDV aggregation pays for the sizing.
+    * Returns the new snapshot id.
+    */
+  def buildBloomIndex(s: SparkSession, root: String, colName: String,
+      bits: Int = -1, hashes: Int = 5): Long = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, collect_set, explode, max, udf}
+    require(bits == -1 || (bits % 8 == 0 && bits > 0),
+      s"buildBloomIndex: bits must be -1 (auto) or a positive multiple of 8")
+    require(hashes >= 1, "buildBloomIndex: hashes must be >= 1")
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"bloom index on empty table $root: commit first")
+    val es = entries(s, root, cur)
+    val (dvs, data) = es.partition(_.isDelete)
+    val physCol = physMapOf(s, root, cur).getOrElse(colName, colName)
+    val df = readData(s, root, data.map(_.path),
+      storedSchema(s, root, cur), physMapOf(s, root, cur))
+    require(df.columns.contains(colName),
+      s"buildBloomIndex: no column '$colName' in $root")
+    val effBits: Int =
+      if (bits > 0) bits
+      else {
+        val maxNdv = df
+          .select(col("_metadata.file_name").as("f"), col(colName).as("v"))
+          .groupBy("f").agg(approx_count_distinct(col("v")).as("ndv"))
+          .agg(max(col("ndv"))).collect().headOption
+          .collect { case r if !r.isNullAt(0) => r.getLong(0) }
+          .getOrElse(0L)
+        math.min(1 << 17,
+          math.max(4096L, java.lang.Long.highestOneBit(
+            math.max(1L, 10L * maxNdv) * 2 - 1))).toInt
+      }
+    val posUdf = udf { (v: String) =>
+      if (v == null) Array.empty[Int]
+      else bloomPositions(v, effBits, hashes)
+    }
+    val perFile: Map[String, Array[Int]] = df
+      .select(col("_metadata.file_name").as("f"),
+        explode(posUdf(col(colName).cast("string"))).as("p"))
+      .groupBy("f").agg(collect_set(col("p")).as("ps"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Int](1).toArray).toMap // O(files x bits) driver memory
+    val b64 = java.util.Base64.getEncoder
+    def render(e: FileEntry): String = {
+      val bytes = new Array[Byte](effBits / 8)
+      perFile.getOrElse(e.fileName, Array.empty[Int]).foreach(p =>
+        bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte)
+      val others = e.stats.filterNot(_.col == s"#bloom:$physCol")
+      e.copy(stats = others :+ FileStats(s"#bloom:$physCol",
+        s"b$hashes", b64.encodeToString(bytes), "")).render
+    }
+    val fs = fsOf(s, new Path(root))
+    val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new Path(new Path(root), s"_staging/$commitId")
+    fs.mkdirs(staging) // empty: metadata-only commit
+    publishStaged(s, root, commitId, staging,
+      data.map(render) ++ dvs.map(_.render), cur, Seq.empty,
+      Map("bloom.col" -> colName),
+      storedSchema(s, root, cur).getOrElse(df.schema))
+  }
+
   /** Stage an append as a WRITE-AUDIT-PUBLISH snapshot: the files are
     * written and the manifest is fully formed (carried base entries,
     * stats index, row counts, evolved schema) but published under the
@@ -1497,6 +1660,12 @@ object SnapshotTable {
       }
     def outside(c: String, v: Any): Boolean =     // v < min || v > max
       bounds(c, v).exists { case (mnC, mxC) => mnC > 0 || mxC < 0 }
+    // membership refutation beyond the band ([[buildBloomIndex]]);
+    // attribute names arrive already-physical here (callers translate)
+    def bloomNone(c: String, v: Any): Boolean =
+      v != null && e.bloomFor(c).exists { case (bytes, k) =>
+        !bloomMightContain(bytes, k, v.toString)
+      }
     def maxLe(c: String, v: Any): Boolean =       // max <= v: col>v empty
       bounds(c, v).exists(_._2 <= 0)
     def maxLt(c: String, v: Any): Boolean =       // max < v: col>=v empty
@@ -1506,12 +1675,14 @@ object SnapshotTable {
     def minGt(c: String, v: Any): Boolean =       // min > v: col<=v empty
       bounds(c, v).exists(_._1 > 0)
     def excl(x: Expression): Boolean = x match {
-      case EqualTo(a: AttributeReference, Literal(v, _)) => outside(a.name, v)
-      case EqualTo(Literal(v, _), a: AttributeReference) => outside(a.name, v)
+      case EqualTo(a: AttributeReference, Literal(v, _)) =>
+        outside(a.name, v) || bloomNone(a.name, v)
+      case EqualTo(Literal(v, _), a: AttributeReference) =>
+        outside(a.name, v) || bloomNone(a.name, v)
       case EqualNullSafe(a: AttributeReference, Literal(v, _)) if v != null =>
-        outside(a.name, v)
+        outside(a.name, v) || bloomNone(a.name, v)
       case EqualNullSafe(Literal(v, _), a: AttributeReference) if v != null =>
-        outside(a.name, v)
+        outside(a.name, v) || bloomNone(a.name, v)
       case GreaterThan(a: AttributeReference, Literal(v, _)) => maxLe(a.name, v)
       case GreaterThan(Literal(v, _), a: AttributeReference) => minGe(a.name, v)
       case GreaterThanOrEqual(a: AttributeReference, Literal(v, _)) =>
@@ -1525,9 +1696,13 @@ object SnapshotTable {
       case LessThanOrEqual(Literal(v, _), a: AttributeReference) =>
         maxLt(a.name, v)
       case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.nonEmpty && vs.forall(l => outside(a.name, l.asInstanceOf[Literal].value))
+        vs.nonEmpty && vs.forall { l =>
+          val v = l.asInstanceOf[Literal].value
+          outside(a.name, v) || bloomNone(a.name, v)
+        }
       case InSet(a: AttributeReference, hset) =>
-        hset.nonEmpty && hset.forall(v => outside(a.name, v))
+        hset.nonEmpty &&
+          hset.forall(v => outside(a.name, v) || bloomNone(a.name, v))
       case And(l, r) => excl(l) || excl(r)
       case Or(l, r) => excl(l) && excl(r)
       case _ => false
@@ -2407,19 +2582,27 @@ object SnapshotTable {
           yield (a, b))
     def outside(c: String, v: Any) =
       bounds(c, v).exists { case (mnC, mxC) => mnC > 0 || mxC < 0 }
+    // membership refutation beyond the band: a per-file bloom
+    // ([[buildBloomIndex]]) proves `c = v` empty even when the file's
+    // [min, max] covers v — the selective-join case bands cannot prune
+    def bloomNone(c: String, v: Any): Boolean =
+      v != null && e.bloomFor(physMap.getOrElse(c, c)).exists {
+        case (bytes, k) => !bloomMightContain(bytes, k, v.toString)
+      }
     def zeroNulls(c: String) = e.statsFor(physMap.getOrElse(c, c)).flatMap(_.nulls).contains(0L)
     def allNull(c: String) = (for {
       st <- e.statsFor(physMap.getOrElse(c, c)); nn <- st.nulls; rc <- e.rows
     } yield nn == rc).getOrElse(false)
     f match {
-      case EqualTo(c, v) => outside(c, v)
+      case EqualTo(c, v) => outside(c, v) || bloomNone(c, v)
       case EqualNullSafe(c, null) => zeroNulls(c)
-      case EqualNullSafe(c, v) => outside(c, v)
+      case EqualNullSafe(c, v) => outside(c, v) || bloomNone(c, v)
       case GreaterThan(c, v) => bounds(c, v).exists(_._2 <= 0)
       case GreaterThanOrEqual(c, v) => bounds(c, v).exists(_._2 < 0)
       case LessThan(c, v) => bounds(c, v).exists(_._1 >= 0)
       case LessThanOrEqual(c, v) => bounds(c, v).exists(_._1 > 0)
-      case In(c, vs) => vs.nonEmpty && vs.forall(v => outside(c, v))
+      case In(c, vs) =>
+        vs.nonEmpty && vs.forall(v => outside(c, v) || bloomNone(c, v))
       case IsNull(c) => zeroNulls(c)
       case IsNotNull(c) => allNull(c)
       case And(l, r) => v1ProvesNone(e, l, physMap) || v1ProvesNone(e, r, physMap)

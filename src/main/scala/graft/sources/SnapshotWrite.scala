@@ -301,30 +301,7 @@ private[sources] class SnapshotGroupScan(root: String, tableName: String,
     * keeps every file — sound by construction.
     */
   override def filter(predicates: Array[V2Predicate]): Unit = {
-    def toV1(e: org.apache.spark.sql.connector.expressions.Expression)
-        : Option[org.apache.spark.sql.sources.Filter] = e match {
-      case p: V2Predicate => (p.name, p.children.toSeq) match {
-        case ("IN", (f: NamedReference) +: vs)
-            if vs.forall(_.isInstanceOf[V2Literal[_]]) =>
-          Some(org.apache.spark.sql.sources.In(f.fieldNames.mkString("."),
-            vs.map { case l: V2Literal[_] => external(l) }.toArray))
-        case ("=", Seq(f: NamedReference, l: V2Literal[_])) =>
-          Some(org.apache.spark.sql.sources.EqualTo(
-            f.fieldNames.mkString("."), external(l)))
-        case ("=", Seq(l: V2Literal[_], f: NamedReference)) =>
-          Some(org.apache.spark.sql.sources.EqualTo(
-            f.fieldNames.mkString("."), external(l)))
-        case ("AND", Seq(l, r)) =>
-          for (a <- toV1(l); b <- toV1(r))
-            yield org.apache.spark.sql.sources.And(a, b)
-        case ("OR", Seq(l, r)) =>
-          for (a <- toV1(l); b <- toV1(r))
-            yield org.apache.spark.sql.sources.Or(a, b)
-        case _ => None
-      }
-      case _ => None
-    }
-    val v1s = predicates.flatMap(p => toV1(p))
+    val v1s = predicates.flatMap(p => SnapshotTable.v2PredicateToV1(p))
     if (v1s.nonEmpty) {
       val k2 = kept.filterNot(e =>
         v1s.exists(f => SnapshotTable.v1ProvesNone(e, f, physMap)))
@@ -333,12 +310,6 @@ private[sources] class SnapshotGroupScan(root: String, tableName: String,
       keptSink(k2)
     }
   }
-
-  // v2 literal (internal representation) → the external value the v1
-  // Filter algebra compares with
-  private def external(l: V2Literal[_]): Any =
-    org.apache.spark.sql.catalyst.CatalystTypeConverters
-      .createToScalaConverter(l.dataType)(l.value)
 
   // planned over the CURRENT kept set — called after runtime filtering
   override def toBatch: Batch =

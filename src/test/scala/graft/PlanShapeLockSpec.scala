@@ -228,7 +228,14 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "ml_logreg_irls" -> PlanShape(0, 0, 0, 0, 1),
     // ppr: identical shape to graph_pagerank — same loop, only the
     // teleport vector differs
-    "graph_ppr" -> PlanShape(0, 10, 0, 0, 37))
+    "graph_ppr" -> PlanShape(0, 10, 0, 0, 37),
+    // round-12: refs gate = head groupBy + two broadcast scalar audits;
+    // bloom gate = the present-leg broadcast join (the absent leg runs
+    // before the returned plan); maintained-index search = one ADC
+    // window over the index scan with the broadcast query side
+    "fmt_snapshot_refs" -> PlanShape(0, 0, 2, 0, 3),
+    "fmt_snapshot_bloom" -> PlanShape(0, 1, 0, 0, 1),
+    "ann_sq8_maintained" -> PlanShape(0, 0, 1, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")
@@ -287,7 +294,11 @@ class PlanShapeLockSpec extends AnyFunSuite {
       // manifest-complete aggregate pushdown
       "fmt_snapshot_cdf_sql", "fmt_snapshot_wap", "fmt_snapshot_minmax",
       "pipe_wap_curate", "fmt_snapshot_binpack", "fmt_snapshot_upsert",
-      "ann_sq8", "ann_recall_sq8", "ml_logreg_irls", "graph_ppr")
+      "ann_sq8", "ann_recall_sq8", "ml_logreg_irls", "graph_ppr",
+      // round-12: named refs (tag + branch reads after vacuum), the
+      // bloom-pruned runtime join, and the incrementally-maintained
+      // SQ8 index (feed fold + keyed delete + merge + ADC search)
+      "fmt_snapshot_refs", "fmt_snapshot_bloom", "ann_sq8_maintained")
     val shapes = targets.map { name =>
       spark.sharedState.cacheManager.clearCache()
       // STATIC shape, not executed: execution materializes cached
