@@ -144,9 +144,23 @@ object AnnIndex {
     val from = maintainedThrough(s, indexRoot)
     val to = SnapshotTable.currentSnapshot(s, corpusRoot)
     if (to <= from) return from
+    applyFeed(s, indexRoot,
+      SnapshotTable.changeFeed(s, corpusRoot, from, to), to)
+  }
+
+  /** Fold one change-feed FRAME into the index — the shared core of
+    * batch catch-up ([[maintainSq8Index]]) and STREAMING maintenance
+    * (a CDF tail's `foreachBatch` hands each micro-batch here, with
+    * `throughSnapshot` = the batch's last commit). Idempotent: a
+    * replayed frame at or below the floor is skipped whole — the
+    * exactly-once contract a restarted stream needs.
+    */
+  def applyFeed(s: SparkSession, indexRoot: String, feedFrame: DataFrame,
+      throughSnapshot: Long): Long = {
+    val from = maintainedThrough(s, indexRoot)
+    if (throughSnapshot <= from) return from
     val st = statsOf(s, indexRoot)
-    val feed = SnapshotTable.changeFeed(s, corpusRoot, from, to)
-      .localCheckpoint(eager = true) // two consumers below, one read
+    val feed = feedFrame.localCheckpoint(eager = true) // two consumers
     // a key's FINAL disposition is its LAST commit's: a key replaced
     // at v2 and deleted at v3 must come out deleted, so the fold keys
     // on max(_commit) per vec_id before splitting into adds and
@@ -172,7 +186,7 @@ object AnnIndex {
       SnapshotTable.deleteWhere(s, indexRoot,
         Seq(org.apache.spark.sql.sources.In("vec_id",
           delKeys.map(k => k: Any).toArray)))
-    val floor = Map(s"stream.$FloorTag.batch" -> to.toString,
+    val floor = Map(s"stream.$FloorTag.batch" -> throughSnapshot.toString,
       StatsProp -> renderStats(st))
     if (addRows.limit(1).count() > 0)
       SnapshotTable.merge(quantize(addRows, st), indexRoot, "vec_id",
@@ -181,7 +195,7 @@ object AnnIndex {
       SnapshotTable.commit(
         SnapshotTable.read(s, indexRoot).limit(0), indexRoot,
         props = floor)
-    to
+    throughSnapshot
   }
 
   /** The `ann_sq8_maintained` gate: corpus snapshot table → frozen
@@ -214,19 +228,28 @@ object AnnIndex {
     SnapshotTable.deleteWhere(s, corpusRoot,
       Seq(GreaterThan("vec_id", 100L), LessThanOrEqual("vec_id", 200L)))
     AnnIndex.maintainSq8Index(s, corpusRoot, indexRoot)
-    val frozen = statsOf(s, indexRoot)
-    val maintained = SnapshotTable.read(s, indexRoot)
-      .select(col("vec_id"), col("codes").cast("string").as("c"))
-    val rebuilt = quantize(SnapshotTable.read(s, corpusRoot), frozen)
-      .select(col("vec_id"), col("codes").cast("string").as("c"))
-    val nIndex = maintained.count()
-    val diff = maintained.exceptAll(rebuilt).count() +
-      rebuilt.exceptAll(maintained).count()
+    val (nIndex, diff) = confluenceAudit(s, corpusRoot, indexRoot)
     searchSq8Index(s, indexRoot,
         Similarity.queryVectors(s, dir), Similarity.DefaultK)
       .withColumn("index_matches_rebuild",
         lit(if (diff == 0L) 1L else 0L))
       .withColumn("n_index_rows", lit(nIndex))
+  }
+
+  /** (index rows, row-for-row except-diff vs a from-scratch rebuild of
+    * the corpus under the FROZEN codebook) — the in-engine confluence
+    * audit both maintained-index gates pin to zero.
+    */
+  def confluenceAudit(s: SparkSession, corpusRoot: String,
+      indexRoot: String): (Long, Long) = {
+    val frozen = statsOf(s, indexRoot)
+    val maintained = SnapshotTable.read(s, indexRoot)
+      .select(col("vec_id"), col("codes").cast("string").as("c"))
+    val rebuilt = quantize(SnapshotTable.read(s, corpusRoot), frozen)
+      .select(col("vec_id"), col("codes").cast("string").as("c"))
+    (maintained.count(),
+      maintained.exceptAll(rebuilt).count() +
+        rebuilt.exceptAll(maintained).count())
   }
 
   /** Asymmetric ADC search over the index table — float queries

@@ -34,7 +34,8 @@ object StreamQueries {
     "stream_snapshot_totable" -> (EventStreams.snapshotToTableStream _),
     "stream_snapshot_source" -> (EventStreams.snapshotSourceStream _),
     "stream_snapshot_readtable" -> (EventStreams.snapshotReadTableStream _),
-    "stream_snapshot_cdf" -> (EventStreams.snapshotCdfStream _)
+    "stream_snapshot_cdf" -> (EventStreams.snapshotCdfStream _),
+    "stream_ann_maintain" -> (EventStreams.annMaintainStream _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -205,6 +206,58 @@ object StreamQueries {
         |  sum(CAST(round(p * 100) AS BIGINT))::BIGINT AS total_cents,
         |  sum(o_orderkey)::BIGINT AS sum_okey,
         |  3::BIGINT AS n_commits, 'A,D,I,U,UB' AS ops_seen
-        |FROM fin GROUP BY 1""".stripMargin
+        |FROM fin GROUP BY 1""".stripMargin,
+    // the STREAMED maintained SQ8 index: codebook from the ORIGINAL
+    // corpus, quantization of the final churned corpus (merge replaces
+    // %10==3 doubled + inserts %10==7 shifted +10M, COW-deletes the
+    // (100,200] band, appends %10==1 shifted +20M), ADC ranks — the
+    // oracle IS the rebuild the per-micro-batch maintenance must
+    // equal; audits are protocol constants (confluence held, index
+    // cardinality = final corpus)
+    "stream_ann_maintain" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v, len(embedding) AS d
+         |  FROM embeddings),
+         |x AS (SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS i
+         |      FROM base),
+         |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+         |arrs AS (SELECT list(mn ORDER BY i) AS mns,
+         |  list(mx - mn ORDER BY i) AS rngs,
+         |  list((mx - mn) / 256.0 ORDER BY i) AS scs FROM st),
+         |merged AS (
+         |  SELECT vec_id,
+         |    CASE WHEN vec_id % 10 = 3
+         |      THEN list_transform(v, x -> x * 2) ELSE v END AS v, d
+         |  FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 10000000, v, d FROM base WHERE vec_id % 10 = 7),
+         |fc AS (
+         |  SELECT * FROM merged WHERE NOT (vec_id > 100 AND vec_id <= 200)
+         |  UNION ALL
+         |  SELECT vec_id + 20000000, v, d FROM base WHERE vec_id % 10 = 1),
+         |deq AS (
+         |  SELECT fc.vec_id, list_transform(range(1, fc.d + 1), i ->
+         |    arrs.mns[i] + (CAST(CASE WHEN arrs.rngs[i] <= 0 THEN 0
+         |      ELSE least(255, greatest(0,
+         |        floor((fc.v[i] - arrs.mns[i]) / arrs.rngs[i] * 255)))
+         |      END AS INT) + 0.5) * arrs.scs[i]) AS dq
+         |  FROM fc, arrs),
+         |q AS (SELECT vec_id AS query_id, v AS qv, d FROM base
+         |      WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, deq.vec_id AS neighbor_id,
+         |    round(list_sum(list_transform(range(1, q.d + 1),
+         |      i -> (q.qv[i] - deq.dq[i]) * (q.qv[i] - deq.dq[i]))), 6)
+         |      AS adc
+         |  FROM q JOIN deq ON deq.vec_id != q.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, adc,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY adc, neighbor_id) AS rn
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, adc, rn AS rank,
+         |  1::BIGINT AS index_matches_rebuild,
+         |  (SELECT count(*) FROM fc)::BIGINT AS n_index_rows
+         |FROM ranked WHERE rn <= ${graft.ops.Similarity.DefaultK}""".stripMargin
   )
 }

@@ -452,6 +452,19 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     p.toString
   }
 
+  /** [[rootOf]] for a table a procedure may CREATE (an index build's
+    * target): the namespace must exist, the table itself need not.
+    */
+  private def newRootOf(table: String): String = {
+    val parts = table.split("\\.")
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"procedure table argument must be 'db.table', got '$table'")
+    val ident = Identifier.of(parts.init, parts.last)
+    val ns = nsPath(ident.namespace)
+    if (!fs(ns).exists(ns)) throw new NoSuchNamespaceException(ident.namespace)
+    tablePath(ident).toString
+  }
+
   /** One self-bound procedure: fixed IN parameters (name, type,
     * optional SQL default), a one-row result schema, and the action.
     */
@@ -526,6 +539,35 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             else SnapshotTable.expireSnapshotsOlderThan(
               spark, rootOf(t), age, atLeast)
           Seq(nSnaps, nFiles) }),
+      Proc("build_bloom",
+        "build (or refresh) the per-file membership bloom over a " +
+          "column: one read-only scan + one metadata-only commit; " +
+          "static pushdown, DELETE/MERGE proofs, and runtime join " +
+          "filtering then refute equalities per file where min/max " +
+          "bands cannot",
+        Seq(("table", StringType, None), ("column", StringType, None)),
+        Seq(("current_version", LongType)),
+        { case Seq(t: String, c: String) =>
+          Seq(Long.box(
+            SnapshotTable.buildBloomIndex(spark, rootOf(t), c))) }),
+      Proc("build_sq8_index",
+        "build the SQ8 ANN index of `table`'s embedding column as a " +
+          "NEW snapshot table (codebook frozen at build); maintain it " +
+          "incrementally with maintain_sq8_index",
+        Seq(("table", StringType, None), ("index_table", StringType, None)),
+        Seq(("index_version", LongType)),
+        { case Seq(t: String, ix: String) =>
+          Seq(Long.box(graft.ops.AnnIndex.buildSq8Index(
+            spark, rootOf(t), newRootOf(ix)))) }),
+      Proc("maintain_sq8_index",
+        "fold the corpus table's change feed since the last " +
+          "maintenance into the SQ8 index — O(churn), exactly-once, " +
+          "never a rebuild; returns the corpus snapshot folded through",
+        Seq(("table", StringType, None), ("index_table", StringType, None)),
+        Seq(("maintained_through", LongType)),
+        { case Seq(t: String, ix: String) =>
+          Seq(Long.box(graft.ops.AnnIndex.maintainSq8Index(
+            spark, rootOf(t), rootOf(ix)))) }),
       Proc("create_tag",
         "pin snapshot `version` (default: current) under an immutable " +
           "name; expire keeps tagged snapshots alive until drop_ref",

@@ -930,6 +930,83 @@ object EventStreams {
       .crossJoin(broadcast(audits))
   }
 
+  /** STREAMING ANN index maintenance — the live form of
+    * [[graft.ops.AnnIndex]]'s batch catch-up: a change-feed tail over
+    * the corpus snapshot table drives `foreachBatch`, and every
+    * micro-batch folds into the SQ8 index through
+    * [[graft.ops.AnnIndex.applyFeed]] (quantize-and-merge the arrived
+    * keys under the FROZEN codebook, keyed-delete the departed ones,
+    * last-commit-wins within the batch) while the corpus takes a
+    * merge, a COW band delete, and an append mid-stream. Exactly-once
+    * rides the index's own maintenance floor, so a replayed batch is
+    * a no-op — the index is a downstream TABLE of the stream, never a
+    * recomputation. The hash gate replays the whole pipeline in the
+    * oracle (codebook from the original corpus, quantization of the
+    * final churned corpus, ADC ranks), and the audit pins in-engine
+    * confluence: the streamed index row-for-row equals a from-scratch
+    * rebuild under the frozen codebook. At 100 TB this is the vector
+    * index that FOLLOWS the corpus within a micro-batch — per-batch
+    * cost O(churn), the index never rebuilt, search always served
+    * from a consistent snapshot.
+    */
+  def annMaintainStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.{AnnIndex, Similarity}
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_annstream").toString
+    val corpusRoot = s"$base/corpus"
+    val indexRoot = s"$base/index"
+    val emb = graft.Tables.embeddings(s, dir).select("vec_id", "embedding")
+    val v1 = SnapshotTable.commit(
+      emb.repartitionByRange(8, col("vec_id")), corpusRoot,
+      statsCol = Some("vec_id"))
+    AnnIndex.buildSq8Index(s, corpusRoot, indexRoot)
+    withStreamPartitions(s) {
+      val q = s.readStream.format("graft-snap-stream")
+        .option("readChangeFeed", "true")
+        .option("startSnapshot", v1.toString)
+        .load(corpusRoot)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val through = batch.agg(max(col("_commit"))).head.getLong(0)
+            AnnIndex.applyFeed(s, indexRoot, batch, through)
+            ()
+          }
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try {
+        SnapshotTable.merge( // v2: replace %10==3 doubled, insert +10M
+          emb.filter(col("vec_id") % 10 === 3)
+            .withColumn("embedding",
+              transform(col("embedding"), x => x * lit(2.0f)))
+            .unionByName(emb.filter(col("vec_id") % 10 === 7)
+              .select((col("vec_id") + 10000000L).as("vec_id"),
+                col("embedding"))),
+          corpusRoot, "vec_id")
+        q.processAllAvailable()
+        SnapshotTable.deleteWhere(s, corpusRoot, // v3: COW band delete
+          Seq(GreaterThan("vec_id", 100L), LessThanOrEqual("vec_id", 200L)))
+        q.processAllAvailable()
+        SnapshotTable.commit( // v4: plain append of shifted copies
+          emb.filter(col("vec_id") % 10 === 1)
+            .select((col("vec_id") + 20000000L).as("vec_id"),
+              col("embedding")),
+          corpusRoot)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    // in-engine confluence audit + the oracle-replayed search
+    val (nIndex, diff) = AnnIndex.confluenceAudit(s, corpusRoot, indexRoot)
+    AnnIndex.searchSq8Index(s, indexRoot,
+        Similarity.queryVectors(s, dir), Similarity.DefaultK)
+      .withColumn("index_matches_rebuild",
+        lit(if (diff == 0L) 1L else 0L))
+      .withColumn("n_index_rows", lit(nIndex))
+  }
+
   /** `spark.readStream.table("cat.db.t")` — the catalog twin of
     * [[snapshotSourceStream]] (same contract: snapshot-id offsets,
     * appended-files batches, exactly-once), through the table's own

@@ -176,6 +176,51 @@ class SnapshotProcedureSpec extends SparkSpec {
     assert(listed == Set("expire_snapshots", "remove_orphans", "rollback",
       "rewrite_deletes", "optimize_zorder", "publish_wap", "drop_wap",
       "compact_small_files", "create_tag", "create_branch",
-      "fast_forward", "drop_ref"))
+      "fast_forward", "drop_ref", "build_bloom", "build_sq8_index",
+      "maintain_sq8_index"))
+  }
+
+  test("CALL build_sq8_index creates the index table in the catalog, " +
+      "maintain_sq8_index follows SQL DML on the corpus (confluence " +
+      "holds), and build_bloom returns a new metadata-only version") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    ensureDb()
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding")
+    SnapshotTable.commit(emb.repartitionByRange(4, col("vec_id")),
+      s"$wh/db/corp", statsCol = Some("vec_id"))
+    assert(spark.sql(s"CALL $cat.system.build_sq8_index(" +
+      "'db.corp', 'db.corpidx')").head.getLong(0) == 1L)
+    // the index IS a catalog table now
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.corpidx")
+      .head.getLong(0) == emb.count())
+    // churn through SQL DML: insert shifted copies, delete a band
+    emb.filter(col("vec_id") % 10 === 2)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      .createOrReplaceTempView("proc_ann_ins")
+    spark.sql(s"INSERT INTO $cat.db.corp SELECT * FROM proc_ann_ins")
+    spark.sql(s"DELETE FROM $cat.db.corp " +
+      "WHERE vec_id > 300 AND vec_id <= 350")
+    val through = spark.sql(s"CALL $cat.system.maintain_sq8_index(" +
+      "'db.corp', 'db.corpidx')").head.getLong(0)
+    assert(through == SnapshotTable.currentSnapshot(spark, s"$wh/db/corp"))
+    val (nIdx, diff) = graft.ops.AnnIndex.confluenceAudit(
+      spark, s"$wh/db/corp", s"$wh/db/corpidx")
+    assert(diff == 0L, s"maintained index diverged by $diff rows")
+    assert(nIdx == spark.sql(s"SELECT count(*) FROM $cat.db.corp")
+      .head.getLong(0))
+    // replay is a no-op
+    assert(spark.sql(s"CALL $cat.system.maintain_sq8_index(" +
+      "'db.corp', 'db.corpidx')").head.getLong(0) == through)
+    // bloom build: metadata-only version bump on the corpus
+    val before = SnapshotTable.currentSnapshot(spark, s"$wh/db/corp")
+    val v = spark.sql(s"CALL $cat.system.build_bloom(" +
+      "'db.corp', 'vec_id')").head.getLong(0)
+    assert(v == before + 1)
+    assert(SnapshotTable.fileList(spark, s"$wh/db/corp", v) ==
+      SnapshotTable.fileList(spark, s"$wh/db/corp", before))
+    assert(SnapshotTable.entries(spark, s"$wh/db/corp", v)
+      .filterNot(_.isDelete).forall(_.bloomFor("vec_id").isDefined))
   }
 }
