@@ -656,6 +656,38 @@ object OpScaleProbe {
           .foreach(_.unpersist(blocking = false))
       }
 
+      // round 12. Bloom index build + runtime-refuted read vs corpus
+      // size: the build is the documented one-read-only-scan cost
+      // (grows with the corpus — an index build, paid once), while an
+      // absent-key IN read over the SCATTERED table must stay ~flat:
+      // every file refutes from the manifest bloom alone, zero data
+      // files open, whatever the table size.
+      if (wanted("snap_bloom")) {
+        import graft.sources.SnapshotTable
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_snapbl_x$k").toString + "/t"
+        val scaled = scaledOrders(k)
+          .select(col("o_orderkey"),
+            (col("o_custkey") % 4096 * 2).as("ck2"), col("o_totalprice"))
+        SnapshotTable.commit(scaled.repartition(partsFor(k)), root,
+          statsCol = Some("ck2"))
+        val t0 = System.nanoTime()
+        SnapshotTable.buildBloomIndex(spark, root, "ck2")
+        val dtBuild = (System.nanoTime() - t0) / 1e9
+        spark.sharedState.cacheManager.clearCache()
+        // absent ODD keys inside every band: bloom-only refutation
+        val t1 = System.nanoTime()
+        val n = spark.read.format("graft-snap").load(root)
+          .filter(col("ck2").isin(101L, 1001L, 2001L, 3001L))
+          .count()
+        val dtRead = (System.nanoTime() - t1) / 1e9
+        val (kept, total) = graft.sources.SnapshotSource.lastPrune(root)
+          .getOrElse((-1, -1))
+        println(f"snap_bloom      x$k build=$dtBuild%8.1f s " +
+          f"absent_read=$dtRead%6.2f s rows=$n kept=$kept/$total")
+        spark.sharedState.cacheManager.clearCache()
+      }
+
       if (wanted("snap_cdf_fold")) {
         import graft.sources.SnapshotTable
         sys.env.get("BARRIER_EVERY").foreach(v =>
