@@ -231,6 +231,43 @@ class SnapshotColumnMappingSpec extends SparkSpec {
       .as[Long].head() == 21L)
   }
 
+  test("maintenance ops compose with the mapping: binpack packs " +
+      "mixed-epoch files under physical names, zorder (a full " +
+      "overwrite) resets the mapping, and a WAP stage reads through it") {
+    import spark.implicits._
+    val root = tmpRoot("maint")
+    seed(root)
+    SnapshotTable.renameColumn(spark, root, "k", "key")
+    // post-rename small appends: physical files under the OLD name
+    (21L to 24L).foreach(k => SnapshotTable.commit(
+      Seq((k, k % 3, s"r$k")).toDF("key", "m", "v"), root,
+      statsCol = Some("key")))
+    // binpack packs the small files; reads stay correct and stats stay
+    // in the one physical domain
+    val (vBp, packed, _) = SnapshotTable.compactSmallFiles(
+      spark, root, minRows = 3L, targetRows = 100L)
+    assert(packed >= 4)
+    assert(SnapshotTable.read(spark, root).select("key")
+      .as[Long].collect().sorted.toSeq == (1L to 24L))
+    val statCols = SnapshotTable.entries(spark, root, vBp)
+      .flatMap(_.stats.map(_.col)).distinct
+    assert(statCols == Seq("k"), s"got $statCols")
+    // a WAP stage built on the mapped table reads through the mapping
+    SnapshotTable.commitWap(
+      Seq((30L, 0L, "w30")).toDF("key", "m", "v"), root, "cmwap")
+    assert(SnapshotTable.readWap(spark, root, "cmwap")
+      .filter(col("key") === 30L).count() == 1L)
+    SnapshotTable.dropWap(spark, root, "cmwap")
+    // zorder = overwrite: the mapping resets, files carry the CURRENT
+    // logical names, reads unchanged
+    val vZ = SnapshotTable.compactZorder(spark, root, Seq("key"), 2, 8)
+    assert(SnapshotTable.physMapOf(spark, root, vZ).isEmpty)
+    assert(SnapshotTable.read(spark, root).select("key")
+      .as[Long].collect().sorted.toSeq == (1L to 24L))
+    assert(SnapshotTable.entries(spark, root, vZ)
+      .flatMap(_.stats.map(_.col)).distinct == Seq("key"))
+  }
+
   test("manifest-complete aggregate pushdown answers through the " +
       "mapping: MIN/MAX of a renamed column from the manifest alone") {
     import spark.implicits._
