@@ -838,6 +838,66 @@ object FormatQueries {
       .crossJoin(broadcast(audits))
   }
 
+  /** The change feed across a FULL OVERWRITE and a ROLLBACK
+    * ([[graft.sources.SnapshotTable.changeFeed]]'s blind-rewrite
+    * file-diff steps — the boundary earlier rounds documented as a
+    * refusal, now priced like Delta's CDF for blind overwrites):
+    * v1 commits a base, v2 appends, v3 OVERWRITES the table with
+    * repriced content, v4 appends on the new baseline, v5 ROLLS BACK
+    * to v3. A consumer pinned at v1 folds the whole range — the
+    * overwrite step emits every pre-overwrite row as `XB` (deletes in
+    * the key algebra) and the new content as `XA`, the rollback step
+    * emits the undone v4 batch as `XB` — and lands exactly on the
+    * direct head read, which the oracle recomputes from orders. The
+    * audits pin the step pricing: `xb_ovw` = the two pre-overwrite
+    * batches, `xa_ovw` = the overwrite's content, `xb_rb` = the
+    * rolled-back batch, `xa_rb` = 0 (a rollback to the previous
+    * snapshot only removes). At 100 TB the overwrite step costs
+    * O(old + new) — the honest price of a blind rewrite, loud in the
+    * plan instead of a refusal.
+    */
+  def snapshotCdfOverwrite(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_cdf_ovw")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SnapshotTable.commit( // v1: even keys
+      o.filter(col("o_orderkey") % 4 === 0)
+        .repartitionByRange(8, col("o_orderkey")), root,
+      statsCol = Some("o_orderkey"))
+    SnapshotTable.commit( // v2: append another slice
+      o.filter(col("o_orderkey") % 4 === 1), root,
+      statsCol = Some("o_orderkey"))
+    val v3 = SnapshotTable.commit( // v3: BLIND OVERWRITE, repriced
+      o.filter(col("o_orderkey") % 4 <= 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+        .repartitionByRange(8, col("o_orderkey")), root,
+      overwrite = true, statsCol = Some("o_orderkey"))
+    val v4 = SnapshotTable.commit( // v4: the batch the rollback undoes
+      o.filter(col("o_orderkey") % 4 === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L), root,
+      statsCol = Some("o_orderkey"))
+    val v5 = SnapshotTable.rollback(s, root, v3)
+    val feed = SnapshotTable.changeFeed(s, root, 1L, v5)
+    val folded = SnapshotTable.applyChanges(
+      SnapshotTable.readAt(s, root, 1L), feed, "o_orderkey")
+    val audits = feed.agg(
+      sum(when(col("_op") === "XB" && col("_commit") === v3, 1L)
+        .otherwise(0L)).as("xb_ovw"),
+      sum(when(col("_op") === "XA" && col("_commit") === v3, 1L)
+        .otherwise(0L)).as("xa_ovw"),
+      sum(when(col("_op") === "XB" && col("_commit") === v5, 1L)
+        .otherwise(0L)).as("xb_rb"),
+      sum(when(col("_op") === "XA" && col("_commit") === v5, 1L)
+        .otherwise(0L)).as("xa_rb"))
+    folded.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_fold"),
+        money(sum(col("o_totalprice"))).as("total_fold"),
+        sum(col("o_orderkey")).as("okey_fold"))
+      .crossJoin(broadcast(audits))
+  }
+
   /** The change feed across SQL row-level DML
     * ([[graft.sources.SnapshotTable.changeFeed]]'s file-diff steps): a
     * catalog table takes a SQL `UPDATE` (band repricing) and a SQL
@@ -1300,6 +1360,70 @@ object FormatQueries {
       .join(agg(s.read.format("graft-snap").load(root), "dsv2"), "priority")
       .crossJoin(broadcast(nV1))
       .withColumn("rename_meta_only", lit(if (metaOnly) 1L else 0L))
+  }
+
+  /** TYPE WIDENING through the snapshot layer
+    * ([[graft.sources.SnapshotTable.widenColumn]]): v1 commits a
+    * NARROW schema (int key, float qty, decimal(12,2) price), three
+    * `widenColumn` commits promote them to bigint / double /
+    * decimal(18,2) — each METADATA-ONLY (the audit pins the file list
+    * byte-identical across all three), then v5 appends rows only the
+    * WIDENED table can hold (keys past int32's 2^31) and v6 appends
+    * under the ORIGINAL narrow frame types (accepted — the recorded
+    * wider type wins, [[graft.sources.SnapshotTable.mergeSchemas]]).
+    * The final scan mixes narrow and wide parquet files under one
+    * LongType/DoubleType/decimal(18,2) schema with NO read-time cast:
+    * Spark 4's Parquet readers promote narrow files natively. Read
+    * back through BOTH the library and the `graft-snap` DSv2 connector
+    * against one oracle derivation; `tt_narrow` pins that time travel
+    * to v1 still sees v1's own narrow types. At 100 TB: a retype that
+    * Iceberg/Delta users expect to be `ALTER TABLE` is one manifest
+    * write here too — never a table rewrite, never a cast in the scan.
+    */
+  def snapshotWiden(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType,
+      IntegerType, LongType}
+    val root = scratch("snap_widen")
+    graft.tera.TeraIO.delete(s, root)
+    val li = graft.Tables.lineitem(s, d)
+    def narrow(df: DataFrame): DataFrame =
+      df.select(col("l_orderkey").cast("int").as("okey"),
+        col("l_quantity").cast("float").as("qty"),
+        (col("l_orderkey") % 1000).cast("decimal(12,2)").as("price"),
+        col("l_returnflag").as("flag"))
+    SnapshotTable.commit( // v1: the narrow table
+      narrow(li).repartitionByRange(8, col("okey")), root,
+      statsCol = Some("okey"))
+    SnapshotTable.widenColumn(s, root, "okey", LongType) // v2
+    SnapshotTable.widenColumn(s, root, "qty", DoubleType) // v3
+    val v4 = SnapshotTable.widenColumn(s, root, "price", DecimalType(18, 2))
+    val metaOnly = SnapshotTable.fileList(s, root, v4) ==
+      SnapshotTable.fileList(s, root, 1L)
+    SnapshotTable.commit( // v5: values only the widened types can hold
+      li.filter(col("l_orderkey") % 10 === 3)
+        .select((col("l_orderkey") + 3000000000L).as("okey"),
+          (col("l_quantity") + 0.5).as("qty"),
+          (col("l_orderkey") % 1000 + 10000).cast("decimal(18,2)")
+            .as("price"),
+          col("l_returnflag").as("flag")), root, statsCol = Some("okey"))
+    SnapshotTable.commit( // v6: a narrow-typed late writer, still fine
+      narrow(li.filter(col("l_orderkey") % 100 === 7)), root,
+      statsCol = Some("okey"))
+    val v1Schema = SnapshotTable.readAt(s, root, 1L).schema
+    val ttNarrow = v1Schema("okey").dataType == IntegerType &&
+      v1Schema("qty").dataType == FloatType &&
+      v1Schema("price").dataType == DecimalType(12, 2)
+    def agg(df: DataFrame, tag: String): DataFrame =
+      df.groupBy("flag")
+        .agg(count(lit(1)).as(s"n_$tag"),
+          sum(col("okey")).as(s"okey_$tag"),
+          money(sum(col("qty"))).as(s"qty_$tag"),
+          money(sum(col("price")).cast("double")).as(s"price_$tag"))
+    agg(SnapshotTable.read(s, root), "lib")
+      .join(agg(s.read.format("graft-snap").load(root), "dsv2"), "flag")
+      .withColumn("widen_meta_only", lit(if (metaOnly) 1L else 0L))
+      .withColumn("tt_narrow", lit(if (ttNarrow) 1L else 0L))
   }
 
   /** Manifest row counts → COUNT(*) pushdown
@@ -1885,6 +2009,7 @@ object FormatQueries {
     "fmt_snapshot_zorder" -> (snapshotZorder _),
     "fmt_snapshot_cdf" -> (snapshotCdf _),
     "fmt_snapshot_cdf_full" -> (snapshotCdfFull _),
+    "fmt_snapshot_cdf_ovw" -> (snapshotCdfOverwrite _),
     "fmt_snapshot_call" -> (snapshotCall _),
     "fmt_snapshot_cdf_sql" -> (snapshotCdfSql _),
     "fmt_snapshot_wap" -> (snapshotWap _),
@@ -1896,6 +2021,7 @@ object FormatQueries {
     "fmt_snapshot_replace" -> (snapshotReplace _),
     "fmt_snapshot_part_sql" -> (snapshotPartSql _),
     "fmt_snapshot_evolve" -> (snapshotEvolve _),
+    "fmt_snapshot_widen" -> (snapshotWiden _),
     "fmt_snapshot_count" -> (snapshotCount _),
     "fmt_snapshot_minmax" -> (snapshotMinmax _),
     "fmt_snapshot_binpack" -> (snapshotBinpack _),
@@ -2216,6 +2342,57 @@ object FormatQueries {
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderkey % 2 = 0)::BIGINT AS n_v1,
         |  1::BIGINT AS rename_meta_only
+        |FROM cur GROUP BY 1""".stripMargin,
+    // the fold across overwrite+rollback lands on the overwrite's
+    // content (the rollback undid v4); the audits are the file-diff
+    // cardinalities: XB at the overwrite = both pre-overwrite batches,
+    // XA = the overwrite content, XB at the rollback = the undone
+    // batch, XA at the rollback = nothing
+    "fmt_snapshot_cdf_ovw" ->
+      """WITH cur AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice + 500.0 AS p
+        |  FROM orders WHERE o_orderkey % 4 <= 1)
+        |SELECT o_orderstatus, count(*)::BIGINT AS n_fold,
+        |  round(sum(p), 2) AS total_fold,
+        |  sum(o_orderkey)::BIGINT AS okey_fold,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey % 4 <= 1)::BIGINT AS xb_ovw,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey % 4 <= 1)::BIGINT AS xa_ovw,
+        |  (SELECT count(*) FROM orders
+        |   WHERE o_orderkey % 4 = 2)::BIGINT AS xb_rb,
+        |  0::BIGINT AS xa_rb
+        |FROM cur GROUP BY 1""".stripMargin,
+    // the widened table = narrow v1 + the wide v5 leg + the narrow v6
+    // late-writer leg, all under the promoted types; library and DSv2
+    // reads must agree with the one derivation, and the audits are
+    // protocol constants (file list untouched by three widens; v1 time
+    // travel still narrow)
+    "fmt_snapshot_widen" ->
+      """WITH v1 AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS okey,
+        |    CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) AS qty,
+        |    CAST(l_orderkey % 1000 AS DECIMAL(18,2)) AS price,
+        |    l_returnflag AS flag FROM lineitem),
+        |v5 AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) + 3000000000 AS okey,
+        |    CAST(l_quantity AS DOUBLE) + 0.5 AS qty,
+        |    CAST(l_orderkey % 1000 + 10000 AS DECIMAL(18,2)) AS price,
+        |    l_returnflag AS flag FROM lineitem WHERE l_orderkey % 10 = 3),
+        |v6 AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS okey,
+        |    CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) AS qty,
+        |    CAST(l_orderkey % 1000 AS DECIMAL(18,2)) AS price,
+        |    l_returnflag AS flag FROM lineitem WHERE l_orderkey % 100 = 7),
+        |cur AS (SELECT * FROM v1 UNION ALL SELECT * FROM v5
+        |        UNION ALL SELECT * FROM v6)
+        |SELECT flag, count(*)::BIGINT AS n_lib,
+        |  sum(okey)::BIGINT AS okey_lib, round(sum(qty), 2) AS qty_lib,
+        |  round(CAST(sum(price) AS DOUBLE), 2) AS price_lib,
+        |  count(*)::BIGINT AS n_dsv2,
+        |  sum(okey)::BIGINT AS okey_dsv2, round(sum(qty), 2) AS qty_dsv2,
+        |  round(CAST(sum(price) AS DOUBLE), 2) AS price_dsv2,
+        |  1::BIGINT AS widen_meta_only, 1::BIGINT AS tt_narrow
         |FROM cur GROUP BY 1""".stripMargin,
     // the manifest-only count must equal the true row count of both
     // committed batches; from_manifest is a protocol constant

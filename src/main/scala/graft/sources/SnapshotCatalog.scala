@@ -194,8 +194,12 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * ([[SnapshotTable.renameColumn]] / [[SnapshotTable.dropColumn]]):
     * physical file names never change, no data is read or written at
     * any table size, and time travel sees each snapshot's own names.
-    * Retype / reposition still refuse — those need rewrite semantics
-    * this layer deliberately does not fake.
+    * `ALTER COLUMN ... TYPE` is metadata-only for the LOSSLESS
+    * widening lattice ([[SnapshotTable.widenColumn]] — Spark 4's
+    * Parquet readers promote narrow files natively, so no rewrite and
+    * no read-time cast). Narrowing / other retypes / reposition still
+    * refuse — those need rewrite semantics this layer deliberately
+    * does not fake.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import org.apache.spark.sql.types.StructField
@@ -210,6 +214,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       case Seq(d: TableChange.DeleteColumn) if d.fieldNames.length == 1 =>
         SnapshotTable.dropColumn(spark, root, d.fieldNames.head)
         return loadTable(ident)
+      case Seq(u: TableChange.UpdateColumnType) if u.fieldNames.length == 1 =>
+        // ALTER COLUMN ... TYPE — metadata-only for the lossless
+        // widening lattice ([[SnapshotTable.widenColumn]]); any other
+        // retype refuses loudly there
+        SnapshotTable.widenColumn(spark, root, u.fieldNames.head,
+          u.newDataType)
+        return loadTable(ident)
       case _ =>
     }
     val adds = changes.map {
@@ -218,7 +229,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         StructField(a.fieldNames.head, a.dataType, a.isNullable)
       case other => throw new UnsupportedOperationException(
         s"graft-snap catalog: only top-level ADD COLUMNS, RENAME " +
-          s"COLUMN, and DROP COLUMN are supported; got $other")
+          s"COLUMN, DROP COLUMN, and widening ALTER COLUMN TYPE are " +
+          s"supported; got $other")
     }
     val cur = SnapshotTable.read(spark, root)
     val evolved = StructType(cur.schema.fields ++ adds)

@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DecimalType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType, StructType}
 
 /** Minimal file-level snapshot/manifest table — the metadata half of the
   * warehouse story (`wh_snapshot_asof` reconstructs AS-OF from a row
@@ -390,9 +390,34 @@ object SnapshotTable {
     else None
   }
 
+  /** Is `to` a LOSSLESS widening of `from`? The Iceberg V2 promotion
+    * lattice — integral upcasts, float→double, and same-scale decimal
+    * precision growth — exactly the set Spark 4's Parquet readers
+    * promote natively (SPARK-40876 type widening), so a widened column
+    * needs no read-time cast: old files answer the wider read schema
+    * directly from the vectorized reader. int→double is deliberately
+    * excluded (Iceberg excludes it; the layer only promises promotions
+    * every engine agrees are value-preserving).
+    */
+  private[sources] def isWiden(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType)            => true
+      case (IntegerType, LongType)                        => true
+      case (FloatType, DoubleType)                        => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale == f.scale && t.precision > f.precision &&
+          t.precision <= DecimalType.MAX_PRECISION
+      case _ => false
+    }
+
   /** Name-based append-time schema evolution: base columns keep their
-    * position and type; genuinely new columns append. A type CHANGE is
-    * refused loudly — this layer does column add, not column mutate.
+    * position and type; genuinely new columns append. An incoming
+    * column NARROWER than the recorded one is accepted (the recorded
+    * wider type wins — the file carries the narrow values and reads
+    * promote, the normal state after [[widenColumn]]); an incoming
+    * WIDER or otherwise retyped column is refused loudly — widen the
+    * table first, this layer never narrows or mutates silently.
     */
   private[sources] def mergeSchemas(base: StructType, add: StructType): StructType = {
     // type equality modulo NULLABILITY at every nesting level: an
@@ -410,9 +435,13 @@ object SnapshotTable {
     val addByName = add.fields.map(f => f.name -> f).toMap
     base.fields.foreach { bf =>
       addByName.get(bf.name).foreach { af =>
-        require(norm(af.dataType) == norm(bf.dataType),
+        require(norm(af.dataType) == norm(bf.dataType) ||
+            isWiden(norm(af.dataType), norm(bf.dataType)),
           s"snapshot schema evolution: column '${bf.name}' cannot change " +
-            s"type ${bf.dataType.simpleString} -> ${af.dataType.simpleString}")
+            s"type ${bf.dataType.simpleString} -> ${af.dataType.simpleString}" +
+            (if (isWiden(norm(bf.dataType), norm(af.dataType)))
+              " — widen the table first (widenColumn / ALTER COLUMN TYPE)"
+            else ""))
       }
     }
     val have = base.fieldNames.toSet
@@ -1084,6 +1113,52 @@ object SnapshotTable {
         .toSeq.sorted.map(enc).mkString(","),
       "col.evo" -> (evoEpochOf(s, root, cur) + 1).toString,
       "drop.col" -> enc(name)))
+  }
+
+  /** METADATA-ONLY type widening: one manifest commit, file list
+    * VERBATIM — `ALTER COLUMN ... TYPE` for the lossless promotion
+    * lattice ([[isWiden]]: integral upcasts, float→double, same-scale
+    * decimal precision growth). No file is read, cast, or rewritten at
+    * any table size: Spark 4's Parquet readers promote narrow files to
+    * the wider read schema natively, so old int32 files and new int64
+    * files answer one LongType scan together, and time travel still
+    * sees each snapshot's own (narrower) type. The manifest stats
+    * index survives untouched — stats compare in their recorded
+    * i/d domain whatever the declared width, so file skipping on the
+    * widened column keeps pruning. The change feed does NOT
+    * re-baseline across a widen (unlike rename/drop, names are
+    * unchanged): pre-widen change frames union into post-widen ones
+    * through Spark's set-operation type coercion, exactness
+    * spec-pinned. Refused: narrowing or any other retype, partition
+    * columns (partition-shape staging and replace tuples key on the
+    * recorded value rendering), and pre-schema-recording manifests.
+    * Returns the new snapshot id.
+    */
+  def widenColumn(s: SparkSession, root: String, name: String,
+      to: DataType): Long = {
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"widen on empty table $root: commit first")
+    val schema = storedSchema(s, root, cur).getOrElse(
+      throw new IllegalStateException(
+        s"widenColumn: $root v$cur records no schema (pre-recording " +
+          "manifest) — rewrite the table to retype"))
+    val field = schema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"widenColumn: no column '$name' in ${schema.fieldNames.mkString(",")}"))
+    require(isWiden(field.dataType, to),
+      s"widenColumn: ${field.dataType.simpleString} -> ${to.simpleString} " +
+        "is not a lossless widening (allowed: byte/short/int -> wider " +
+        "integral, float -> double, decimal(p,s) -> decimal(p+,s)); " +
+        "rewrite the table for any other retype")
+    require(!partitionColsOf(s, root, cur).contains(name),
+      s"widenColumn: '$name' is a partition column — partition staging " +
+        "and replace tuples key on its recorded values; rewrite the " +
+        "table to retype it")
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    metadataOnlyCommit(s, root, cur, newSchema, Map(
+      "widen.col" ->
+        s"${enc(name)}:${field.dataType.catalogString}>${to.catalogString}"))
   }
 
   /** A commit that changes only metadata: entry lines carried
@@ -1965,10 +2040,14 @@ object SnapshotTable {
     *    algebra is exact: a row unchanged by the rewrite appears in
     *    both and cancels; `XB` without `XA` is a delete, `XA` without
     *    `XB` an insert;
-    *  - any other overwrite (full rewrite, rollback) still refuses
-    *    loudly — it rewrites history without a row-level record, so a
-    *    consumer must re-baseline (the same boundary Delta's CDF
-    *    draws).
+    *  - a FULL OVERWRITE or ROLLBACK contributes the same file-diff
+    *    step, priced at O(old + new) for that step — dropped files'
+    *    rows (minus the prior snapshot's delete vectors) as `XB`, new
+    *    files' rows (minus the new snapshot's vectors) as `XA` —
+    *    exactly how Delta prices CDF for blind overwrites. The one
+    *    residual refusal: a rollback that changes delete vectors on
+    *    files it carries forward (row visibility changed with no file
+    *    diff) — the consumer re-baselines.
     *
     * Output = table columns (unioned by name across schema evolution,
     * missing → NULL) + `_op` + `_commit`. Cost: O(metadata) planning
@@ -2053,11 +2132,52 @@ object SnapshotTable {
               else readFiles(added, id)
             df.withColumn("_op", lit("A")).withColumn("_commit", lit(id))
           case None =>
-            throw new IllegalStateException(
-              s"changeFeed($fromId, $toId) crosses snapshot v$id of $root, " +
-                "an overwrite/compaction with no recorded change frame: " +
-                "row-level incremental reads are invalid across it; " +
-                "re-baseline the consumer from a full snapshot read")
+            // a FULL OVERWRITE or ROLLBACK: no recorded frame, but the
+            // file diff is still row-exact — the dropped files' rows
+            // (minus the PREVIOUS snapshot's delete vectors) are the
+            // pre-images `XB`, the new files' rows (minus the CURRENT
+            // snapshot's vectors) the post-images `XA`; a row carried
+            // through unchanged appears in both and cancels in the key
+            // algebra. This is exactly how Delta prices CDF for blind
+            // overwrites: O(old + new table) for THIS step — loud in
+            // the plan, never silent. Pre-images read under the
+            // PREVIOUS snapshot's own schema (an overwrite may restate
+            // the schema arbitrarily); unionByName null-fills across.
+            // One residual boundary: a rollback that changes delete
+            // vectors on files surviving into the new snapshot changes
+            // row VISIBILITY without a file diff — refused, the
+            // consumer re-baselines.
+            val removedData = (prev -- cur).toSeq.sorted
+              .filterNot(_.startsWith("deletes/"))
+            val addedData = (cur -- prev).toSeq.sorted
+              .filterNot(_.startsWith("deletes/"))
+            val commonData = (prev intersect cur)
+              .filterNot(_.startsWith("deletes/"))
+            val dvChanged =
+              prev.filter(_.startsWith("deletes/")) !=
+                cur.filter(_.startsWith("deletes/"))
+            if (dvChanged && commonData.nonEmpty)
+              throw new IllegalStateException(
+                s"changeFeed($fromId, $toId): snapshot v$id of $root " +
+                  "changes delete vectors on files it carries forward " +
+                  "(a rollback across a merge-on-read delete) — row " +
+                  "visibility changed without a file diff; re-baseline " +
+                  "the consumer from a full snapshot read")
+            def dvsAt(atId: Long): Seq[FileEntry] =
+              if (atId < 1L) Seq.empty
+              else entries(s, root, atId).filter(_.isDelete)
+            val frames =
+              (if (removedData.isEmpty) Seq.empty
+               else Seq(applyDeleteVectors(s, root,
+                   readFiles(removedData, id - 1), dvsAt(id - 1))
+                 .withColumn("_op", lit("XB")))) ++
+              (if (addedData.isEmpty) Seq.empty
+               else Seq(applyDeleteVectors(s, root,
+                   readFiles(addedData, id), dvsAt(id))
+                 .withColumn("_op", lit("XA"))))
+            if (frames.isEmpty) emptyStep
+            else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+              .withColumn("_commit", lit(id))
         }
       prev = cur
       step
@@ -2188,8 +2308,9 @@ object SnapshotTable {
     * (new snapshot id, files dropped, files rewritten, files carried).
     * Throws if any filter shape is untranslatable ([[SnapshotSourceTable]]
     * gates that with `canDeleteWhere` so SQL refuses loudly instead).
-    * A delete commit rewrites history without a row-level record, so
-    * [[changeFeed]] across it refuses like any overwrite (re-baseline).
+    * The dropped and rewritten files are named in the manifest's CDF
+    * props, so [[changeFeed]] crosses the delete as exact `D` /
+    * file-diff steps.
     */
   def deleteWhere(s: SparkSession, root: String,
       filters: Seq[org.apache.spark.sql.sources.Filter]): (Long, Int, Int, Int) = {

@@ -214,7 +214,7 @@ class SnapshotCdfFullSpec extends SparkSpec {
   }
 
   test("a delete that matches nothing records no frame and the feed " +
-      "crosses it empty; an overwrite still refuses") {
+      "crosses it empty") {
     import spark.implicits._
     val root = tmpRoot("none")
     seed(root)
@@ -223,12 +223,72 @@ class SnapshotCdfFullSpec extends SparkSpec {
     assert(!SnapshotTable.snapshotProps(spark, root, v2)
       .contains("cdf.dir"))
     assert(SnapshotTable.changeFeed(spark, root, 1L, v2).count() == 0L)
-    val v3 = SnapshotTable.commit( // plain overwrite: history rewrite
-      Seq((1L, 0L, "x")).toDF("k", "m", "v"), root, overwrite = true)
+  }
+
+  test("a FULL OVERWRITE crosses the feed as a file-diff step: every " +
+      "old row XB, every new row XA, and the fold equals the table") {
+    import spark.implicits._
+    val root = tmpRoot("ovw")
+    seed(root) // v1
+    val v2 = SnapshotTable.commit( // blind overwrite: new content
+      (100L to 104L).map(k => (k, k % 3, s"n$k")).toDF("k", "m", "v"),
+      root, overwrite = true)
+    val feed = SnapshotTable.changeFeed(spark, root, 1L, v2)
+    assert(feed.filter(col("_op") === "XB").select("k")
+      .as[Long].collect().toSet == (1L to 20L).toSet,
+      "XB must be exactly the overwritten table's rows")
+    assert(feed.filter(col("_op") === "XA").select("k")
+      .as[Long].collect().toSet == (100L to 104L).toSet)
+    val folded = SnapshotTable.applyChanges(
+      SnapshotTable.readAt(spark, root, 1L), feed, "k")
+    assert(folded.select("k", "v").as[(Long, String)]
+      .collect().sorted.toSeq ==
+      SnapshotTable.read(spark, root).select("k", "v")
+        .as[(Long, String)].collect().sorted.toSeq)
+  }
+
+  test("a ROLLBACK crosses the feed as a file-diff step: the undone " +
+      "batch's rows come back as XB (deletes in the key algebra); a " +
+      "rollback across a MOR delete refuses (visibility changed with " +
+      "no file diff); pre-images subtract prior delete vectors") {
+    import spark.implicits._
+    val root = tmpRoot("rb")
+    seed(root) // v1
+    SnapshotTable.commit( // v2: the bad batch
+      Seq((100L, 0L, "bad")).toDF("k", "m", "v"), root)
+    val v3 = SnapshotTable.rollback(spark, root, 1L)
+    val feed = SnapshotTable.changeFeed(spark, root, 2L, v3)
+    assert(feed.filter(col("_op") === "XB").select("k")
+      .as[Long].collect().toSeq == Seq(100L),
+      "the rollback's XB must be exactly the undone batch")
+    assert(feed.filter(col("_op") === "XA").count() == 0L)
+    val folded = SnapshotTable.applyChanges(
+      SnapshotTable.readAt(spark, root, 2L), feed, "k")
+    assert(folded.select("k").as[Long].collect().sorted.toSeq ==
+      (1L to 20L))
+    // MOR delete at v4, rollback across it: the restored snapshot
+    // drops the vector while carrying the data files — refused
+    val (v4, _, _, _) = SnapshotTable.deleteWhereMor(spark, root,
+      Seq(LessThanOrEqual("k", 3L)))
+    assert(SnapshotTable.fileList(spark, root, v4)
+      .exists(_.startsWith("deletes/")), "v4 must carry a vector")
+    val v5 = SnapshotTable.rollback(spark, root, v3)
     val e = intercept[IllegalStateException] {
-      SnapshotTable.changeFeed(spark, root, v2, v3).count()
+      SnapshotTable.changeFeed(spark, root, v4, v5).count()
     }
     assert(e.getMessage.contains("re-baseline"))
+    // an overwrite directly after a VECTORED snapshot prices the
+    // pre-images vector-exactly: the MOR-deleted keys never reach XB
+    val root2 = tmpRoot("rbdv")
+    seed(root2) // v1
+    val (w2, _, _, _) = SnapshotTable.deleteWhereMor(spark, root2,
+      Seq(LessThanOrEqual("k", 3L)))
+    val w3 = SnapshotTable.commit(
+      Seq((200L, 0L, "z")).toDF("k", "m", "v"), root2, overwrite = true)
+    val xb = SnapshotTable.changeFeed(spark, root2, w2, w3)
+      .filter(col("_op") === "XB").select("k").as[Long].collect().toSet
+    assert(xb == (4L to 20L).toSet,
+      s"XB must subtract the prior snapshot's delete vectors; got $xb")
   }
 
   test("applyChanges bounds plan depth across a 120-commit catch-up: " +

@@ -171,7 +171,8 @@ class SnapshotRound11Spec extends SparkSpec {
 
   test("changeFeed + applyChanges: a consumer folds appends and a merge " +
       "over its pinned state and lands row-for-row on the direct read; " +
-      "an overwrite still refuses") {
+      "an overwrite crosses as a file-diff step and the fold still " +
+      "lands on the head") {
     import spark.implicits._
     val root = tmpRoot("cdf")
     SnapshotTable.commit( // v1
@@ -198,12 +199,21 @@ class SnapshotRound11Spec extends SparkSpec {
     val direct = SnapshotTable.readAt(spark, root, v3)
       .as[(Long, Long)].collect().sorted.toSeq
     assert(folded == direct)
-    // an overwrite has no row-level record: refuse, don't guess
-    SnapshotTable.commit(SnapshotTable.read(spark, root).coalesce(1),
+    // an overwrite has no row-level record, but its FILE DIFF is
+    // row-exact: every pre-overwrite row XB, every new row XA, and
+    // the fold across the whole range still equals the head
+    val v4 = SnapshotTable.commit(
+      SnapshotTable.read(spark, root).coalesce(1),
       root, overwrite = true)
-    intercept[IllegalStateException] {
-      SnapshotTable.changeFeed(spark, root, 1L, v3 + 1).count()
-    }
+    val feed2 = SnapshotTable.changeFeed(spark, root, 1L, v4)
+    assert(feed2.filter(col("_commit") === v4)
+      .groupBy("_op").count().as[(String, Long)].collect().toMap
+      .keySet == Set("XB", "XA"))
+    val folded2 = SnapshotTable.applyChanges(
+      SnapshotTable.readAt(spark, root, 1L), feed2, "k")
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(folded2 == SnapshotTable.read(spark, root)
+      .as[(Long, Long)].collect().sorted.toSeq)
   }
 
   test("schema evolution: append with a new column evolves the recorded " +
