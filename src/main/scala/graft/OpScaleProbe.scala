@@ -588,6 +588,43 @@ object OpScaleProbe {
         spark.sharedState.cacheManager.clearCache()
       }
 
+      // round 12 session 2. EQUALITY-DELETE upsert vs table size: the
+      // zero-read CDC write ([[SnapshotTable.upsertEq]]) must be FLAT
+      // in the table — each batch writes its own files plus a
+      // delta-sized key file and reads NOTHING — where the merge-based
+      // sink above pays the touched-file read-back. The debt moves to
+      // the read (two broadcast probes) and the fold (touched files
+      // once): both timed so the trade is priced, not asserted.
+      if (wanted("snap_eqdelete")) {
+        import graft.sources.SnapshotTable
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_snapeq_x$k").toString + "/t"
+        val scaled = scaledOrders(k)
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        SnapshotTable.commit(
+          scaled.repartitionByRange(16 * k, col("o_orderkey")), root,
+          statsCol = Some("o_orderkey"))
+        val batch = ordBase
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .filter(col("o_orderkey").between(1000, 3000)) // first copy
+          .withColumn("o_totalprice", lit(1.0))
+        val nBatch = batch.count()
+        val t0 = System.nanoTime()
+        (1 to 3).foreach(_ =>
+          SnapshotTable.upsertEq(batch, root, Seq("o_orderkey")))
+        val dtWrite = (System.nanoTime() - t0) / 1e9 / 3
+        val t1 = System.nanoTime()
+        val nRead = SnapshotTable.read(spark, root).count()
+        val dtRead = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        SnapshotTable.rewriteDeletes(spark, root)
+        val dtFold = (System.nanoTime() - t2) / 1e9
+        println(f"snap_eqdelete   x$k write=$dtWrite%6.2f s/batch " +
+          f"read=$dtRead%6.1f s (rows=$nRead) fold=$dtFold%6.1f s " +
+          s"batch=$nBatch")
+        spark.sharedState.cacheManager.clearCache()
+      }
+
       // round 12. applyChanges catch-up vs COMMIT COUNT: a consumer
       // resuming after 2*k row-removing commits folds one anti-join +
       // union per commit; the depth barrier (graft.cdf.fold.barrier)

@@ -838,6 +838,67 @@ object FormatQueries {
       .crossJoin(broadcast(audits))
   }
 
+  /** EQUALITY DELETES — the zero-read CDC write
+    * ([[graft.sources.SnapshotTable.upsertEq]] /
+    * [[graft.sources.SnapshotTable.deleteByKeysEq]], Iceberg-v2's
+    * Flink-CDC shape): two stacked upserts reprice overlapping key
+    * bands (latest wins by the sequence rule) and a key retraction
+    * erases a third band — each commit publishes a delta-sized
+    * `deletes/eq-*` key file plus (for upserts) its own new data
+    * files, reading NOTHING of the table: the audit pins every
+    * previous manifest line carried byte-verbatim through all three
+    * commits. The debt is read-side (two broadcast probes,
+    * [[graft.sources.SnapshotTable.applyEqDeletes]]) and the manifest
+    * row count honestly goes undefined; `rewriteDeletes` then settles
+    * it — stats-refuted files carry verbatim — and the gate reads the
+    * FOLDED table through the DSv2 connector (which refuses the
+    * unfolded one) against the oracle's latest-wins derivation. At
+    * 100 TB this is the CDC ingestion shape: write cost O(delta) per
+    * batch whatever the table size, amortized fold on the touched
+    * files only.
+    */
+  def snapshotEqDelete(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_eqdel")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val v1 = SnapshotTable.commit(
+      o.repartitionByRange(8, col("o_orderkey")), root,
+      statsCol = Some("o_orderkey"))
+    SnapshotTable.upsertEq( // v2: reprice one band + fresh keys
+      o.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+        .unionByName(o.filter(col("o_orderkey") % 100 === 13)
+          .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+          .withColumn("o_totalprice", col("o_totalprice") + 50.0)),
+      root, Seq("o_orderkey"))
+    SnapshotTable.upsertEq( // v3: overlapping band — latest wins
+      o.filter(col("o_orderkey") % 20 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 900.0),
+      root, Seq("o_orderkey"))
+    val v4 = SnapshotTable.deleteByKeysEq( // v4: retract a third band
+      o.filter(col("o_orderkey") % 25 === 0).select("o_orderkey"), root)
+    val carried = SnapshotTable.fileList(s, root, v1)
+      .forall(SnapshotTable.fileList(s, root, v4).contains)
+    val countUndef = SnapshotTable.rowCount(s, root, v4).isEmpty
+    val refused =
+      try { s.read.format("graft-snap").load(root).count(); 0L }
+      catch { case _: IllegalArgumentException => 1L }
+    val v5 = SnapshotTable.rewriteDeletes(s, root)
+    val foldedClean = !SnapshotTable.fileList(s, root, v5)
+      .exists(_.startsWith("deletes/"))
+    s.read.format("graft-snap").load(root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        money(sum(col("o_totalprice"))).as("total_price"),
+        sum(col("o_orderkey")).as("okey_sum"))
+      .withColumn("carried_verbatim", lit(if (carried) 1L else 0L))
+      .withColumn("count_undefined", lit(if (countUndef) 1L else 0L))
+      .withColumn("dsv2_refused", lit(refused))
+      .withColumn("folded_clean", lit(if (foldedClean) 1L else 0L))
+  }
+
   /** The change feed across a FULL OVERWRITE and a ROLLBACK
     * ([[graft.sources.SnapshotTable.changeFeed]]'s blind-rewrite
     * file-diff steps — the boundary earlier rounds documented as a
@@ -2010,6 +2071,7 @@ object FormatQueries {
     "fmt_snapshot_cdf" -> (snapshotCdf _),
     "fmt_snapshot_cdf_full" -> (snapshotCdfFull _),
     "fmt_snapshot_cdf_ovw" -> (snapshotCdfOverwrite _),
+    "fmt_snapshot_eqdelete" -> (snapshotEqDelete _),
     "fmt_snapshot_call" -> (snapshotCall _),
     "fmt_snapshot_cdf_sql" -> (snapshotCdfSql _),
     "fmt_snapshot_wap" -> (snapshotWap _),
@@ -2342,6 +2404,28 @@ object FormatQueries {
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderkey % 2 = 0)::BIGINT AS n_v1,
         |  1::BIGINT AS rename_meta_only
+        |FROM cur GROUP BY 1""".stripMargin,
+    // latest-wins over the stacked upserts: the retraction band
+    // (%25) erases every version, the second upsert (%20) outranks
+    // the first (%10), the fresh keys ride along; the four audit
+    // flags are protocol constants (zero-read carry, honest count
+    // withdrawal, DSv2 refusal pre-fold, clean manifest post-fold)
+    "fmt_snapshot_eqdelete" ->
+      """WITH fresh AS (
+        |  SELECT o_orderkey + 20000000 AS k, o_orderstatus AS s,
+        |    o_totalprice + 50.0 AS p
+        |  FROM orders WHERE o_orderkey % 100 = 13),
+        |base AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS s,
+        |    CASE WHEN o_orderkey % 20 = 0 THEN o_totalprice + 900.0
+        |         WHEN o_orderkey % 10 = 0 THEN o_totalprice + 500.0
+        |         ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey % 25 <> 0),
+        |cur AS (SELECT * FROM base UNION ALL SELECT * FROM fresh)
+        |SELECT s AS o_orderstatus, count(*)::BIGINT AS n_rows,
+        |  round(sum(p), 2) AS total_price, sum(k)::BIGINT AS okey_sum,
+        |  1::BIGINT AS carried_verbatim, 1::BIGINT AS count_undefined,
+        |  1::BIGINT AS dsv2_refused, 1::BIGINT AS folded_clean
         |FROM cur GROUP BY 1""".stripMargin,
     // the fold across overwrite+rollback lands on the overwrite's
     // content (the rollback undid v4); the audits are the file-diff

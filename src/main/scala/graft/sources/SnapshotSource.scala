@@ -213,8 +213,9 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
     // folds them and re-opens this path.
     require(!entries.exists(_.isDelete),
       s"graft-snap: snapshot v$id of $root carries merge-on-read " +
-        "delete vectors; read via SnapshotTable.read / readAt, or fold " +
-        "them with SnapshotTable.rewriteDeletes first")
+        "delete vectors or equality deletes; read via " +
+        "SnapshotTable.read / readAt, or fold them with " +
+        "SnapshotTable.rewriteDeletes first")
     new SnapshotScanBuilder(root, id, name(), entries, tableSchema, options)
   }
 

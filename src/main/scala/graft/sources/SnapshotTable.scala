@@ -141,8 +141,18 @@ object SnapshotTable {
     def nulls: Option[Long] =
       if (tag.length > 1) Some(tag.drop(1).toLong) else None
   }
+  /** One manifest entry. `seq` is the entry's DATA SEQUENCE — the
+    * snapshot id whose commit added the file, rendered as a trailing
+    * `sq=` field (like `rc=`) by every commit since equality deletes
+    * exist. An equality delete with sequence S applies only to data
+    * files with sequence < S, so an upsert's own new rows survive its
+    * delete half. Entries written before sequencing default to 0: they
+    * predate every possible equality delete, which is exactly the
+    * semantics.
+    */
   private[sources] final case class FileEntry(
-      path: String, stats: Seq[FileStats], rows: Option[Long]) {
+      path: String, stats: Seq[FileStats], rows: Option[Long],
+      seq: Long = 0L) {
     /** A DELETE-VECTOR entry: a parquet file of (file, pos) pairs under
       * `deletes/` naming rows of DATA files that are no longer live —
       * the merge-on-read delete shape ([[deleteWhereMor]]). The path
@@ -150,6 +160,15 @@ object SnapshotTable {
       * carry/expire machinery verbatim.
       */
     def isDelete: Boolean = path.startsWith("deletes/")
+    /** An EQUALITY-DELETE entry ([[upsertEq]] / [[deleteByKeysEq]]): a
+      * parquet file of KEY VALUES under `deletes/eq-*` that kills every
+      * matching row of data files SEQUENCED BEFORE it (Iceberg-v2
+      * equality deletes — the Flink-CDC write shape). Living under
+      * `deletes/` means every existing vector guard (DSv2 refusal,
+      * merge/DML/compaction fences, carry and expiry machinery) covers
+      * it with no new code path to forget.
+      */
+    def isEqDelete: Boolean = isDelete && fileName.startsWith("eq-")
     /** The bare file name — what `_metadata.file_name` reports, and the
       * join domain delete vectors use (data file names are commit-
       * unique, so the name alone identifies the file within the table).
@@ -171,21 +190,26 @@ object SnapshotTable {
     def render: String = {
       val st = stats.map(t =>
         s"\t${enc(t.col)}\t${t.tag}\t${enc(t.mn)}\t${enc(t.mx)}").mkString
+      val sq = if (seq > 0L) s"\tsq=$seq" else ""
       val rc = rows.map(n => s"\trc=$n").getOrElse("")
-      s"$path$st$rc"
+      s"$path$st$sq$rc"
     }
   }
   private[sources] def parseEntry(line: String): FileEntry = {
-    val f = line.split("\t", -1)
+    var f = line.split("\t", -1).toSeq
+    // trailing scalar fields pop in reverse render order: rc=, then sq=
     val rc =
-      if (f.length > 1 && f.last.startsWith("rc="))
-        Some(f.last.stripPrefix("rc=").toLong)
-      else None
-    val mid = if (rc.isDefined) f.slice(1, f.length - 1) else f.drop(1)
-    val stats = mid.grouped(4).collect {
-      case Array(c, tag, mn, mx) => FileStats(dec(c), tag, dec(mn), dec(mx))
+      if (f.length > 1 && f.last.startsWith("rc=")) {
+        val v = f.last.stripPrefix("rc=").toLong; f = f.init; Some(v)
+      } else None
+    val sq =
+      if (f.length > 1 && f.last.startsWith("sq=")) {
+        val v = f.last.stripPrefix("sq=").toLong; f = f.init; v
+      } else 0L
+    val stats = f.drop(1).grouped(4).collect {
+      case Seq(c, tag, mn, mx) => FileStats(dec(c), tag, dec(mn), dec(mx))
     }.toSeq
-    FileEntry(f(0), stats, rc)
+    FileEntry(f.head, stats, rc, sq)
   }
 
   /** Highest committed snapshot id (0 = empty table, no commits yet). */
@@ -383,8 +407,12 @@ object SnapshotTable {
     val es = entries(s, root, id)
     // delete-vector rows each name exactly one still-live data row
     // ([[deleteWhereMor]] marks through the existing vectors, so pairs
-    // are never duplicated), hence live = data rows − DV rows
-    if (es.forall(_.rows.isDefined))
+    // are never duplicated), hence live = data rows − DV rows. An
+    // EQUALITY delete's keys match zero-or-many rows, so a table
+    // carrying one has no manifest-derivable count: None, honestly
+    // (settle with [[rewriteDeletes]] to restore it).
+    if (es.exists(_.isEqDelete)) None
+    else if (es.forall(_.rows.isDefined))
       Some(es.flatMap(e =>
         e.rows.map(n => if (e.isDelete) -n else n)).sum)
     else None
@@ -676,12 +704,16 @@ object SnapshotTable {
     val physMap = parsePhysMap((carriedProps ++ props).get("col.phys"))
     val effStatsCols = (statsCols ++ partCols).distinct
       .map(c => physMap.getOrElse(c, c))
+    val id = prev + 1
+    // every new data entry is stamped with its DATA SEQUENCE (= this
+    // snapshot id) as a trailing `sq=` field — what scopes equality
+    // deletes to strictly-older files ([[FileEntry.seq]]); carried
+    // entries keep their original stamp verbatim
     val movedEntries = moved.map { rel =>
       val (stats, rows) = footerInfo(s, new Path(rootP, rel), effStatsCols)
-      FileEntry(rel, stats, Some(rows)).render
+      FileEntry(rel, stats, Some(rows), id).render
     }
     val files = carried ++ movedEntries
-    val id = prev + 1
     val allProps = carriedProps ++ Map("schema" -> schema.json) ++ props
     // manifest content first to a temp name, then the atomic rename that
     // IS the commit; a taken name means a concurrent writer won the race
@@ -1497,6 +1529,9 @@ object SnapshotTable {
     require(es.nonEmpty, s"staged snapshot '$wapId' of $root lists no files")
     val schema = wapProps(s, root, wapId).get("schema")
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    require(!es.exists(_.isEqDelete),
+      s"readWap: staged snapshot '$wapId' of $root carries equality " +
+        "deletes — equality-delete commits do not stage through WAP")
     val (dvs, data) = es.partition(_.isDelete)
     applyDeleteVectors(s, root, readData(s, root, data.map(_.path), schema,
       parsePhysMap(wapProps(s, root, wapId).get("col.phys"))), dvs)
@@ -1571,10 +1606,13 @@ object SnapshotTable {
   def readAt(s: SparkSession, root: String, id: Long): DataFrame = {
     val es = entries(s, root, id)
     require(es.nonEmpty, s"snapshot v$id of $root lists no files")
-    val (dvs, data) = es.partition(_.isDelete)
+    val (dels, data) = es.partition(_.isDelete)
+    val (eqs, dvs) = dels.partition(_.isEqDelete)
     val base = readData(s, root, data.map(_.path),
       storedSchema(s, root, id), physMapOf(s, root, id))
-    applyDeleteVectors(s, root, base, dvs)
+    applyEqDeletes(s, root,
+      applyDeleteVectors(s, root, base, dvs), eqs, data,
+      physMapOf(s, root, id))
   }
 
   /** Read data files under `schema`'s LOGICAL names. With an active
@@ -1619,6 +1657,43 @@ object SnapshotTable {
     tagged.join(broadcast(dv),
         tagged("__dv_file") === dv("file") && tagged("__dv_pos") === dv("pos"),
         "left_anti")
+      .select(keep.map(col): _*)
+  }
+
+  /** Subtract the snapshot's EQUALITY deletes from a data scan: each
+    * `deletes/eq-*` file holds key values stamped with the commit's
+    * sequence, and a data row dies iff some delete carries its key AND
+    * a sequence STRICTLY ABOVE the row's file's ([[FileEntry.seq]]) —
+    * so an upsert's own appended rows survive its delete half, and
+    * later appends are never touched by earlier deletes. The plan is
+    * two broadcast probes over the scan — a (file → seq) map join on
+    * `_metadata.file_name` (O(files), metadata-sized) and the
+    * delta-sized key anti-join — never a shuffle of the table. Key
+    * files store PHYSICAL column names (stable across renames); the
+    * snapshot's own mapping renames them back here.
+    */
+  private def applyEqDeletes(s: SparkSession, root: String,
+      base: DataFrame, eqs: Seq[FileEntry], dataEntries: Seq[FileEntry],
+      physMap: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
+    if (eqs.isEmpty) return base
+    val logicalOf = physMap.map(_.swap)
+    val dels = eqs.map { e =>
+      val df = s.read.parquet(s"$root/${e.path}")
+      df.toDF(df.columns.map(c => logicalOf.getOrElse(c, c)): _*)
+        .withColumn("__eq_sq", lit(e.seq))
+    }.reduce(_.unionByName(_))
+    val keyCols = dels.columns.filterNot(_ == "__eq_sq").toSeq
+    import s.implicits._
+    val fileSeq = broadcast(dataEntries.map(e => (e.fileName, e.seq))
+      .toDF("__sq_file", "__sq"))
+    val keep = base.columns.toSeq
+    val tagged = base
+      .select(col("*"), col("_metadata.file_name").as("__eq_file"))
+      .join(fileSeq, col("__eq_file") === col("__sq_file"), "left")
+    val cond = keyCols.map(k => tagged(k) <=> dels(k)).reduce(_ && _) &&
+      coalesce(tagged("__sq"), lit(0L)) < dels("__eq_sq")
+    tagged.join(broadcast(dels), cond, "left_anti")
       .select(keep.map(col): _*)
   }
 
@@ -1819,12 +1894,17 @@ object SnapshotTable {
       lo: Any, hi: Any): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _, _) = pruneFiles(s, root, id, colName, lo, hi)
+    val keptSet = kept.toSet
+    val (dels, dataEs) = entries(s, root, id).partition(_.isDelete)
+    val (eqs, dvs) = dels.partition(_.isEqDelete)
     val base =
       if (kept.isEmpty) readAt(s, root, id).limit(0)
-      else applyDeleteVectors(s, root,
-        readData(s, root, kept, storedSchema(s, root, id),
-          physMapOf(s, root, id)),
-        entries(s, root, id).filter(_.isDelete))
+      else applyEqDeletes(s, root,
+        applyDeleteVectors(s, root,
+          readData(s, root, kept, storedSchema(s, root, id),
+            physMapOf(s, root, id)),
+          dvs),
+        eqs, dataEs.filter(e => keptSet(e.path)), physMapOf(s, root, id))
     base.where(col(colName).between(lit(lo), lit(hi)))
   }
 
@@ -2088,7 +2168,24 @@ object SnapshotTable {
         if (props.contains("rewrite.deletes") ||
             props.contains("compact.zorder") ||
             props.contains("compact.binpack")) emptyStep
-        else if (props.contains("rowlevel.op") ||
+        else if (props.contains("delete.eq")) {
+          // an equality-delete / CDC-upsert commit ([[upsertEq]] /
+          // [[deleteByKeysEq]]): the write never read pre-images — the
+          // whole point — so the `D` rows carry ONLY the key columns
+          // (others null via the union), which is exactly what the key
+          // algebra consumes; the upsert's appended files follow as `I`
+          val lom = physMapOf(s, root, id).map(_.swap)
+          val raw = s.read.parquet(s"$root/${props("eq.file")}")
+          val delKeys = raw.toDF(
+            raw.columns.map(c => lom.getOrElse(c, c)): _*)
+          val added = (cur -- prev).toSeq.sorted
+            .filterNot(_.startsWith("deletes/"))
+          val frames = Seq(delKeys.withColumn("_op", lit("D"))) ++
+            (if (added.isEmpty) Seq.empty
+             else Seq(readFiles(added, id).withColumn("_op", lit("I"))))
+          frames.reduce(_.unionByName(_, allowMissingColumns = true))
+            .withColumn("_commit", lit(id))
+        } else if (props.contains("rowlevel.op") ||
             props.contains("replace.partitions")) {
           // file-diff step: replaced files XB, new files XA (vectors
           // cannot appear — row-level rewrites and partition replaces
@@ -2163,17 +2260,26 @@ object SnapshotTable {
                   "(a rollback across a merge-on-read delete) — row " +
                   "visibility changed without a file diff; re-baseline " +
                   "the consumer from a full snapshot read")
-            def dvsAt(atId: Long): Seq[FileEntry] =
-              if (atId < 1L) Seq.empty
-              else entries(s, root, atId).filter(_.isDelete)
+            // rows VISIBLE at `atId` within `rels`: position vectors
+            // and equality deletes both subtracted, so the diff prices
+            // exactly what a reader of each side saw
+            def visibleAt(atId: Long, rels: Seq[String]): DataFrame = {
+              val relSet = rels.toSet
+              val (dels, dataEs) =
+                (if (atId < 1L) Seq.empty[FileEntry]
+                 else entries(s, root, atId)).partition(_.isDelete)
+              val (eqs, dvs) = dels.partition(_.isEqDelete)
+              applyEqDeletes(s, root,
+                applyDeleteVectors(s, root, readFiles(rels, atId), dvs),
+                eqs, dataEs.filter(e => relSet(e.path)),
+                physMapOf(s, root, atId))
+            }
             val frames =
               (if (removedData.isEmpty) Seq.empty
-               else Seq(applyDeleteVectors(s, root,
-                   readFiles(removedData, id - 1), dvsAt(id - 1))
+               else Seq(visibleAt(id - 1, removedData)
                  .withColumn("_op", lit("XB")))) ++
               (if (addedData.isEmpty) Seq.empty
-               else Seq(applyDeleteVectors(s, root,
-                   readFiles(addedData, id), dvsAt(id))
+               else Seq(visibleAt(id, addedData)
                  .withColumn("_op", lit("XA"))))
             if (frames.isEmpty) emptyStep
             else frames.reduce(_.unionByName(_, allowMissingColumns = true))
@@ -2391,7 +2497,7 @@ object SnapshotTable {
       op: String): Unit =
     require(!entries(s, root, id).exists(_.isDelete),
       s"$op: snapshot v$id of $root carries merge-on-read delete " +
-        "vectors; fold them first with rewriteDeletes")
+        "vectors or equality deletes; fold them first with rewriteDeletes")
 
   /** Merge-on-read DELETE: instead of rewriting the boundary files a
     * copy-on-write delete must ([[deleteWhere]]'s `rewrite` set), mark
@@ -2431,6 +2537,9 @@ object SnapshotTable {
       s"deleteWhereMor: untranslatable filter in ${filters.mkString(", ")}")
     val cond = filters.flatMap(filterToColumn).reduce(_ && _)
     val es = entries(s, root, cur)
+    require(!es.exists(_.isEqDelete),
+      s"deleteWhereMor: snapshot v$cur of $root carries equality " +
+        "deletes; fold them first with rewriteDeletes")
     val (dvs, data) = es.partition(_.isDelete)
     // file names an existing vector references: read once, delta-sized
     val dvRefNames: Set[String] =
@@ -2526,6 +2635,112 @@ object SnapshotTable {
   def lastMorStats(root: String): Option[(Int, Int, Int)] =
     lastMor.get(root)
 
+  /** CDC UPSERT with ZERO table read at write time (Iceberg-v2
+    * EQUALITY DELETES — the Flink-CDC write shape): one commit that
+    * (a) publishes a delta-sized key file under `deletes/eq-*` killing
+    * every OLDER row carrying an incoming key, and (b) appends
+    * `updates`' rows as ordinary data files. Nothing about the table
+    * is read, scanned, or rewritten — write cost is O(delta) whatever
+    * the table size, vs [[merge]]'s read-back of every touched file.
+    * The debt moves to readers (two broadcast probes per scan,
+    * [[applyEqDeletes]]) and is settled by [[rewriteDeletes]]; the
+    * vector-refusing paths (DSv2/SQL scans, merge, COW delete,
+    * commitReplace, compaction, file-level incremental reads) refuse
+    * equality-delete tables the same way, so a stale reader can never
+    * resurrect a replaced row. Sequencing: the commit's new files and
+    * its delete share the new snapshot id as their data sequence, and
+    * a delete applies only to STRICTLY older files — the upsert's own
+    * rows survive, later appends are never touched. Null keys refuse
+    * (a null never equality-matches, so the delete half would silently
+    * miss). Returns the new snapshot id.
+    */
+  def upsertEq(updates: DataFrame, root: String,
+      keyCols: Seq[String]): Long = {
+    val s = updates.sparkSession
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"upsertEq into empty table $root: commit first")
+    require(keyCols.nonEmpty && keyCols.forall(updates.columns.contains),
+      s"upsertEq: key columns ${keyCols.mkString(",")} must exist in " +
+        s"the updates frame [${updates.columns.mkString(",")}]")
+    val line = writeEqDeleteFile(s, root, cur,
+      updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
+      "upsertEq")
+    commitWithCarried(updates, root,
+      entryLines(s, root, cur) :+ line, cur,
+      statsCol = Some(keyCols.mkString(",")),
+      props = Map("delete.eq" -> keyCols.mkString(","),
+        "eq.file" -> eqRelOf(line)),
+      baseSchema = storedSchema(s, root, cur),
+      partitionCols = partitionColsOf(s, root, cur))
+  }
+
+  /** Row retraction by KEY with zero table read ([[upsertEq]]'s delete
+    * half alone): publish a delta-sized equality-delete file of
+    * `keys`' rows — every older row matching one dies at read time.
+    * `keys`' columns ARE the key columns (a subset of the table's).
+    * The GDPR-erasure / CDC-retraction shape at 100 TB: the write
+    * costs the key file, never a scan. Returns the new snapshot id.
+    */
+  def deleteByKeysEq(keys: DataFrame, root: String): Long = {
+    val s = keys.sparkSession
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"deleteByKeysEq from empty table $root: commit first")
+    val schema = storedSchema(s, root, cur).getOrElse(
+      throw new IllegalStateException(
+        s"deleteByKeysEq: $root v$cur records no schema"))
+    require(keys.columns.nonEmpty &&
+        keys.columns.forall(schema.fieldNames.contains),
+      s"deleteByKeysEq: key columns [${keys.columns.mkString(",")}] must " +
+        s"be a subset of the table's [${schema.fieldNames.mkString(",")}]")
+    val line = writeEqDeleteFile(s, root, cur, keys, "deleteByKeysEq")
+    val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val fs = fsOf(s, new Path(root))
+    val staging = new Path(new Path(root), s"_staging/$commitId")
+    fs.mkdirs(staging) // manifest-only: no data file moves
+    publishStaged(s, root, commitId, staging,
+      entryLines(s, root, cur) :+ line, cur, Seq.empty,
+      Map("delete.eq" -> keys.columns.mkString(","),
+        "eq.file" -> eqRelOf(line)),
+      schema)
+  }
+
+  private def eqRelOf(entryLine: String): String =
+    parseEntry(entryLine).path
+
+  /** Write `keys` (deduplicated, PHYSICAL names, null-refused) as a
+    * `deletes/eq-*` parquet and return its rendered manifest entry,
+    * stamped with the upcoming snapshot's sequence.
+    */
+  private def writeEqDeleteFile(s: SparkSession, root: String, cur: Long,
+      keys: DataFrame, op: String): String = {
+    import org.apache.spark.sql.functions.col
+    val pm = physMapOf(s, root, cur)
+    val distinctKeys = keys.distinct()
+    val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val fs = fsOf(s, new Path(root))
+    val tmpDir = new Path(new Path(root), s"_staging/eq-$commitId")
+    toPhysical(distinctKeys, pm).coalesce(1)
+      .write.mode("overwrite").parquet(tmpDir.toString)
+    val eqRel = s"deletes/eq-$commitId.parquet"
+    val written = s.read.parquet(tmpDir.toString)
+    val n = written.count()
+    require(n > 0L, s"$op: empty key frame")
+    require(written.na.drop("any").count() == n,
+      s"$op: null key values are not supported — a null never " +
+        "equality-matches, so the delete would silently miss")
+    val part = fs.listStatus(tmpDir)
+      .find(_.getPath.getName.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(
+        s"$op: key write produced no part file"))
+    fs.mkdirs(new Path(root, "deletes"))
+    require(fs.rename(part.getPath, new Path(root, eqRel)),
+      s"$op: failed to publish $eqRel")
+    fs.delete(tmpDir, true)
+    // publishStaged commits exactly prev + 1 or throws, so the stamp
+    // is deterministic at build time
+    FileEntry(eqRel, Seq.empty, Some(n), cur + 1).render
+  }
+
   /** Fold the table's delete vectors into its data files: every data
     * file a vector references is rewritten WITHOUT its dead rows, every
     * untouched file carries verbatim, and the new snapshot lists no
@@ -2537,24 +2752,67 @@ object SnapshotTable {
     * table has no vectors.
     */
   def rewriteDeletes(s: SparkSession, root: String): Long = {
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin}
     val cur = currentSnapshot(s, root)
     require(cur > 0L, s"rewriteDeletes on empty table $root")
     val es = entries(s, root, cur)
-    val (dvs, data) = es.partition(_.isDelete)
-    if (dvs.isEmpty) return cur
+    val (dels, data) = es.partition(_.isDelete)
+    if (dels.isEmpty) return cur
+    val (eqs, dvs) = dels.partition(_.isEqDelete)
+    val pm = physMapOf(s, root, cur)
+    // position vectors name their files outright; delta-sized read
     val refNames: Set[String] =
-      s.read.parquet(dvs.map(e => s"$root/${e.path}"): _*)
+      if (dvs.isEmpty) Set.empty
+      else s.read.parquet(dvs.map(e => s"$root/${e.path}"): _*)
         .select("file").distinct()
         .collect().map(_.getString(0)).toSet
-    val (affected, untouched) = data.partition(e => refNames(e.fileName))
+    // equality deletes name KEYS, not files: a data file needs the
+    // rewrite iff some delete outranks its sequence AND the manifest
+    // stats cannot refute overlap on the first key column (sound —
+    // refuting one conjunct refutes the key match; the bounds are the
+    // union over every delete's keys, one delta-sized aggregation)
+    val eqNames: Set[String] =
+      if (eqs.isEmpty) Set.empty
+      else {
+        val delKeys = eqs.map(e => s.read.parquet(s"$root/${e.path}"))
+          .reduce(_.unionByName(_))
+        val k0 = delKeys.columns.head // PHYSICAL name as written
+        val r = delKeys.agg(smin(col(k0)), smax(col(k0))).head
+        val bounds: Option[(String, String)] =
+          if (r.isNullAt(0)) None
+          else Some((r.get(0).toString, r.get(1).toString))
+        data.filter(e => eqs.exists(_.seq > e.seq)).filterNot { e =>
+          (e.statsFor(k0), bounds) match {
+            case (Some(st), Some((lo, hi))) =>
+              !rangesOverlap(st.tag, st.mn, st.mx, lo, hi)
+            case _ => false // no stats → cannot refute → rewrite
+          }
+        }.map(_.fileName).toSet
+      }
+    val (affected, untouched) = data.partition(e =>
+      refNames(e.fileName) || eqNames(e.fileName))
     val schema = storedSchema(s, root, cur)
-    val survivors = applyDeleteVectors(s, root,
-      readData(s, root, affected.map(_.path), schema,
-        physMapOf(s, root, cur)), dvs)
+    if (affected.isEmpty) {
+      // every delete was refuted by stats (or named nothing): settle
+      // is METADATA-ONLY — the del lines drop, the data carries verbatim
+      val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
+      val fs = fsOf(s, new Path(root))
+      val staging = new Path(new Path(root), s"_staging/$commitId")
+      fs.mkdirs(staging)
+      return publishStaged(s, root, commitId, staging,
+        data.map(_.render), cur, Seq.empty,
+        Map("rewrite.deletes" -> dels.size.toString),
+        schema.getOrElse(readAt(s, root, cur).schema))
+    }
+    val survivors = applyEqDeletes(s, root,
+      applyDeleteVectors(s, root,
+        readData(s, root, affected.map(_.path), schema, pm), dvs),
+      eqs, affected, pm)
     val statsCols = affected.flatMap(_.stats.map(_.col)).distinct
+      .filterNot(_.startsWith("#"))
     commitWithCarried(survivors, root, untouched.map(_.render), cur,
       if (statsCols.isEmpty) None else Some(statsCols.mkString(",")),
-      Map("rewrite.deletes" -> dvs.size.toString), baseSchema = schema,
+      Map("rewrite.deletes" -> dels.size.toString), baseSchema = schema,
       partitionCols = partitionColsOf(s, root, cur))
   }
 
