@@ -838,6 +838,60 @@ object FormatQueries {
       .crossJoin(broadcast(audits))
   }
 
+  /** PARTITION SPEC EVOLUTION
+    * ([[graft.sources.SnapshotTable.evolvePartitioning]], Iceberg's
+    * signature table-shape verb): v1 commits orders partitioned by
+    * STATUS, one metadata-only commit re-partitions the table by
+    * PRIORITY going forward (the audit pins the untouched file list),
+    * an append stages value-pure on the new key, and a partition
+    * replace of one priority value runs on the MIXED-SPEC table —
+    * new-spec files of the replaced value drop from metadata alone,
+    * old-spec files (status-pure, priority-impure) pay the exact
+    * read-and-filter rewrite, other new-spec files carry verbatim, and
+    * the rewrite's re-staging HEALS value-purity under the new spec
+    * (`pure_after` pins it: the NEXT replace is zero-IO again). Sound
+    * because partitioning is HIDDEN — per-file manifest stats, not
+    * directory paths — so the mixed-spec state degrades every consumer
+    * exactly right. At 100 TB: the re-partition a user expects to be a
+    * table rewrite is one manifest write; the replace prices exactly
+    * the impure overlap, never the table.
+    */
+  def snapshotPartEvolve(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_pevo")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice")
+    val v1 = SnapshotTable.commit(o, root, statsCol = Some("o_orderkey"),
+      partitionBy = Seq("o_orderstatus"))
+    val v2 = SnapshotTable.evolvePartitioning(s, root,
+      Seq("o_orderpriority"))
+    val metaOnly = SnapshotTable.fileList(s, root, v2) ==
+      SnapshotTable.fileList(s, root, v1)
+    SnapshotTable.commit( // v3: stages value-pure on the NEW key
+      o.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_totalprice", col("o_totalprice") + 50.0),
+      root, statsCol = Some("o_orderkey"))
+    val (v4, dropped, rewritten, carried) = SnapshotTable.commitReplace(
+      o.filter(col("o_orderkey") % 5 === 2)
+        .withColumn("o_orderkey", col("o_orderkey") + 30000000L)
+        .withColumn("o_orderpriority", lit("1-URGENT"))
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0),
+      root, statsCol = Some("o_orderkey"))
+    val pureAfter = SnapshotTable.partitionPure(s, root, v4)
+    SnapshotTable.read(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        money(sum(col("o_totalprice"))).as("total_price"),
+        sum(col("o_orderkey")).as("okey_sum"))
+      .withColumn("evolve_meta_only", lit(if (metaOnly) 1L else 0L))
+      .withColumn("rep_shape", lit(
+        if (dropped >= 1 && rewritten >= 1 && carried >= 1) 1L else 0L))
+      .withColumn("pure_after", lit(if (pureAfter) 1L else 0L))
+  }
+
   /** EQUALITY DELETES — the zero-read CDC write
     * ([[graft.sources.SnapshotTable.upsertEq]] /
     * [[graft.sources.SnapshotTable.deleteByKeysEq]], Iceberg-v2's
@@ -2072,6 +2126,7 @@ object FormatQueries {
     "fmt_snapshot_cdf_full" -> (snapshotCdfFull _),
     "fmt_snapshot_cdf_ovw" -> (snapshotCdfOverwrite _),
     "fmt_snapshot_eqdelete" -> (snapshotEqDelete _),
+    "fmt_snapshot_part_evolve" -> (snapshotPartEvolve _),
     "fmt_snapshot_call" -> (snapshotCall _),
     "fmt_snapshot_cdf_sql" -> (snapshotCdfSql _),
     "fmt_snapshot_wap" -> (snapshotWap _),
@@ -2404,6 +2459,29 @@ object FormatQueries {
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderkey % 2 = 0)::BIGINT AS n_v1,
         |  1::BIGINT AS rename_meta_only
+        |FROM cur GROUP BY 1""".stripMargin,
+    // after the spec evolution and the priority replace, the table is
+    // base-outside-urgent + appended-outside-urgent + the replacement
+    // content; the audit flags are protocol constants (metadata-only
+    // evolution, drop/rewrite/carry replace shape, purity healed)
+    "fmt_snapshot_part_evolve" ->
+      """WITH cur AS (
+        |  SELECT o_orderpriority AS pr, o_totalprice AS p,
+        |    o_orderkey AS k FROM orders
+        |  WHERE o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderpriority AS pr, o_totalprice + 50.0 AS p,
+        |    o_orderkey + 10000000 AS k
+        |  FROM orders WHERE o_orderkey % 10 = 7
+        |    AND o_orderpriority <> '1-URGENT'
+        |  UNION ALL
+        |  SELECT '1-URGENT' AS pr, o_totalprice + 100.0 AS p,
+        |    o_orderkey + 30000000 AS k
+        |  FROM orders WHERE o_orderkey % 5 = 2)
+        |SELECT pr AS o_orderpriority, count(*)::BIGINT AS n_rows,
+        |  round(sum(p), 2) AS total_price, sum(k)::BIGINT AS okey_sum,
+        |  1::BIGINT AS evolve_meta_only, 1::BIGINT AS rep_shape,
+        |  1::BIGINT AS pure_after
         |FROM cur GROUP BY 1""".stripMargin,
     // latest-wins over the stacked upserts: the retraction band
     // (%25) erases every version, the second upsert (%20) outranks

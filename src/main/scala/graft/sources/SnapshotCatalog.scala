@@ -664,6 +664,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         Seq(("deleted_files", IntegerType)),
         { case Seq(t: String, w: String) =>
           Seq(Int.box(SnapshotTable.dropWap(spark, rootOf(t), w))) }),
+      Proc("evolve_partitioning",
+        "change the table's partition columns GOING FORWARD as one " +
+          "metadata-only commit (Iceberg-style spec evolution): old " +
+          "files keep their layout, new writes stage on the new key, " +
+          "every reader degrades exactly right on the mixed-spec table; " +
+          "empty cols un-partitions",
+        Seq(("table", StringType, None), ("cols", StringType, None)),
+        Seq(("current_version", LongType)),
+        { case Seq(t: String, cols: String) =>
+          Seq(Long.box(SnapshotTable.evolvePartitioning(spark, rootOf(t),
+            cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))) }),
       Proc("optimize_zorder",
         "compact the table clustered on the Morton curve over the " +
           "given columns so selective bands on ANY of them prune files " +

@@ -1193,6 +1193,47 @@ object SnapshotTable {
         s"${enc(name)}:${field.dataType.catalogString}>${to.catalogString}"))
   }
 
+  /** PARTITION SPEC EVOLUTION (Iceberg's signature table-shape verb):
+    * change the partition columns GOING FORWARD as one metadata-only
+    * commit — no file is read, moved, or rewritten at any table size.
+    * Old files keep their layout; appends from this snapshot on stage
+    * value-pure on the new key. Sound because partitioning here is
+    * HIDDEN — partition data lives in per-file manifest stats, not in
+    * directory paths a reader must understand — so every consumer
+    * degrades exactly right on a mixed-spec table: reads never cared;
+    * stats pruning on the new key skips new-spec files and keeps
+    * old-spec ones conservatively (they carry no single-value stats on
+    * it); storage-partitioned joins withdraw their KeyGroupedPartitioning
+    * report until the table is value-pure again ([[partitionPure]]);
+    * [[commitReplace]] still proves drops/carries on new-spec files and
+    * falls back to the exact read-and-filter rewrite for old-spec files
+    * that MIGHT mix replaced values — the same impure-file path a COW
+    * rewrite already exercises. Purity (and with it zero-IO replaces
+    * and SPJ) is restored by any overwrite compaction under the new
+    * spec. `newCols` empty un-partitions going forward. Refuses a
+    * no-op and unknown columns. Returns the new snapshot id.
+    */
+  def evolvePartitioning(s: SparkSession, root: String,
+      newCols: Seq[String]): Long = {
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"evolvePartitioning on empty table $root: commit first")
+    val schema = storedSchema(s, root, cur).getOrElse(
+      throw new IllegalStateException(
+        s"evolvePartitioning: $root v$cur records no schema"))
+    require(newCols.forall(schema.fieldNames.contains),
+      s"evolvePartitioning: unknown columns " +
+        s"${newCols.filterNot(schema.fieldNames.contains).mkString(",")} " +
+        s"(schema: ${schema.fieldNames.mkString(",")})")
+    val old = partitionColsOf(s, root, cur)
+    require(newCols != old,
+      s"evolvePartitioning: table already partitioned by " +
+        s"[${old.mkString(",")}]")
+    metadataOnlyCommit(s, root, cur, schema, Map(
+      "partition.cols" -> newCols.mkString(","),
+      "partition.evolve" ->
+        s"${old.mkString("+")}>${newCols.mkString("+")}"))
+  }
+
   /** A commit that changes only metadata: entry lines carried
     * VERBATIM, empty staging (no file moves), `props` layered over the
     * normal carried set. The rename/drop shape; rollback keeps its own
