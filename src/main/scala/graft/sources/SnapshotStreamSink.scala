@@ -125,4 +125,46 @@ object SnapshotStreamSink {
       }
     }
   }
+
+  /** [[upsertWriter]]'s ZERO-READ sibling: each micro-batch lands as an
+    * EQUALITY-DELETE upsert ([[SnapshotTable.upsertEq]] — a delta-sized
+    * key file plus the batch's own data files, nothing of the table
+    * read), under the same exactly-once `stream.<tag>.batch` floor and
+    * the same within-batch last-wins collapse. The CDC-at-100 TB sink:
+    * per-batch write cost is O(batch) whatever the table size (probed
+    * flat ×1/×10/×100 where the merge sink pays the touched-file
+    * read-back); the read-side debt is settled by a periodic
+    * `rewriteDeletes` — the caller's maintenance cadence, exactly like
+    * Flink→Iceberg deployments compact equality deletes.
+    */
+  def upsertEqWriter(root: String, tag: String, keyCol: String,
+      seqCol: Option[String] = None): (DataFrame, Long) => Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, row_number}
+    var last: Option[Long] = None
+    (df: DataFrame, batchId: Long) => {
+      val s = df.sparkSession
+      val floor = last.getOrElse {
+        val v = lastCommittedBatch(s, root, tag)
+        last = Some(v)
+        v
+      }
+      if (batchId > floor && !df.isEmpty) {
+        val batch = seqCol match {
+          case Some(sc) =>
+            val w = Window.partitionBy(col(keyCol)).orderBy(col(sc).desc)
+            df.withColumn("__sq", row_number().over(w))
+              .filter(col("__sq") === 1).drop("__sq", sc)
+          case None => df
+        }
+        val props = Map(propKey(tag) -> batchId.toString)
+        if (SnapshotTable.currentSnapshot(s, root) == 0L)
+          SnapshotTable.commit(batch, root, statsCol = Some(keyCol),
+            props = props)
+        else SnapshotTable.upsertEq(batch, root, Seq(keyCol),
+          extraProps = props)
+        last = Some(batchId)
+      }
+    }
+  }
 }

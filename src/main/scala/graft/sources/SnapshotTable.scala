@@ -2695,8 +2695,8 @@ object SnapshotTable {
     * (a null never equality-matches, so the delete half would silently
     * miss). Returns the new snapshot id.
     */
-  def upsertEq(updates: DataFrame, root: String,
-      keyCols: Seq[String]): Long = {
+  def upsertEq(updates: DataFrame, root: String, keyCols: Seq[String],
+      extraProps: Map[String, String] = Map.empty): Long = {
     val s = updates.sparkSession
     val cur = currentSnapshot(s, root)
     require(cur > 0L, s"upsertEq into empty table $root: commit first")
@@ -2709,7 +2709,7 @@ object SnapshotTable {
     commitWithCarried(updates, root,
       entryLines(s, root, cur) :+ line, cur,
       statsCol = Some(keyCols.mkString(",")),
-      props = Map("delete.eq" -> keyCols.mkString(","),
+      props = extraProps ++ Map("delete.eq" -> keyCols.mkString(","),
         "eq.file" -> eqRelOf(line)),
       baseSchema = storedSchema(s, root, cur),
       partitionCols = partitionColsOf(s, root, cur))

@@ -176,4 +176,49 @@ class SnapshotEqDeleteSpec extends SparkSpec {
       .collect().sorted.toSeq ==
       cur.select("k", "v").as[(Long, String)].collect().sorted.toSeq)
   }
+
+  test("upsertEqWriter under a live checkpointed stream: zero-read " +
+      "CDC batches land exactly-once (an idle restart redelivers " +
+      "nothing), last write per key wins, and a periodic fold settles " +
+      "the debt without disturbing the floor") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, Double, Long)]
+    val in = mem.toDF().toDF("k", "v", "seq")
+    val root = tmpRoot("sink")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-eqsink-ckpt").toString
+    def start() = in.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch(SnapshotStreamSink.upsertEqWriter(root, "eqcdc", "k",
+        seqCol = Some("seq")))
+      .start()
+    val q1 = start()
+    try {
+      mem.addData((1 to 50).map(i => (i.toLong, i * 1.0, 1L)))
+      q1.processAllAvailable() // batch 0: bootstrap (plain commit)
+      mem.addData(Seq((5L, 500.0, 2L), (60L, 60.0, 2L)))
+      q1.processAllAvailable() // batch 1: first eq upsert
+    } finally q1.stop()
+    val before = SnapshotTable.currentSnapshot(spark, root)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(SnapshotTable.currentSnapshot(spark, root) == before,
+        "an idle restart advanced the table")
+      mem.addData(Seq((5L, 5550.0, 3L), (5L, 5000.0, 4L))) // seq 4 wins
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val got = SnapshotTable.read(spark, root)
+      .select("k", "v").as[(Long, Double)].collect().toMap
+    assert(got.size == 51)
+    assert(got(5L) == 5000.0 && got(60L) == 60.0 && got(7L) == 7.0)
+    // settle the read-side debt; the exactly-once floor survives
+    SnapshotTable.rewriteDeletes(spark, root)
+    assert(SnapshotTable.rowCount(spark, root,
+      SnapshotTable.currentSnapshot(spark, root)).contains(51L))
+    assert(SnapshotStreamSink.lastCommittedBatch(spark, root, "eqcdc") >= 2L,
+      "the fold must carry the stream floor forward")
+  }
 }
