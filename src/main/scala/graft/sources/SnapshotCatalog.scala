@@ -110,6 +110,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.name == "refs" && ident.namespace.nonEmpty &&
         isTableDir(nsPath(ident.namespace)))
       new RefsMetadataTable(nsPath(ident.namespace).toString)
+    else if (ident.name == "partitions" && ident.namespace.nonEmpty &&
+        isTableDir(nsPath(ident.namespace)))
+      new PartitionsMetadataTable(nsPath(ident.namespace).toString)
     else loadAt(ident, None)
   }
 
@@ -423,6 +426,66 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             org.apache.spark.sql.catalyst.InternalRow(
               UTF8String.fromString(n), UTF8String.fromString(k), id)
           }.toArray
+      }
+  }
+
+  /** `SELECT * FROM cat.db.t.partitions` — per partition-value file
+    * and row counts of the CURRENT snapshot, from one manifest read
+    * (the value-pure single-value stats ARE the partition index; a
+    * file that lost purity — a COW-rewrite survivor or an old-spec
+    * file after [[SnapshotTable.evolvePartitioning]] — groups under
+    * `<multi>`, the honest rendering of a file the manifest cannot
+    * place in one partition). Empty for an unpartitioned table.
+    */
+  private class PartitionsMetadataTable(root: String) extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead {
+    import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    private val metaSchema = StructType(Seq(
+      StructField("partition", StringType),
+      StructField("n_files", LongType),
+      StructField("n_rows", LongType)))
+
+    override def name(): String = s"graft-snap $root#partitions"
+    override def schema(): StructType = metaSchema
+    override def capabilities(): util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+      util.EnumSet.of(
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+    override def newScanBuilder(
+        opts: CaseInsensitiveStringMap): ScanBuilder = () =>
+      new LocalScan {
+        override def readSchema(): StructType = metaSchema
+        override def rows()
+            : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          val cur = SnapshotTable.currentSnapshot(spark, root)
+          if (cur == 0L)
+            return Array.empty[org.apache.spark.sql.catalyst.InternalRow]
+          val parts = SnapshotTable.partitionColsOf(spark, root, cur)
+          if (parts.isEmpty)
+            return Array.empty[org.apache.spark.sql.catalyst.InternalRow]
+          val pm = SnapshotTable.physMapOf(spark, root, cur)
+          SnapshotTable.entries(spark, root, cur)
+            .filterNot(_.isDelete)
+            .groupBy { e =>
+              parts.map { c =>
+                val st = e.statsFor(pm.getOrElse(c, c))
+                val v = st.collect {
+                  case t if t.mn == t.mx && t.nulls.forall(_ == 0L) => t.mn
+                }.getOrElse("<multi>")
+                s"$c=$v"
+              }.mkString("/")
+            }
+            .toSeq.sortBy(_._1)
+            .map { case (tuple, es) =>
+              org.apache.spark.sql.catalyst.InternalRow(
+                UTF8String.fromString(tuple), es.size.toLong,
+                es.flatMap(_.rows).sum)
+            }.toArray
+        }
       }
   }
 

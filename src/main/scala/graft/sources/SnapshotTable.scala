@@ -1188,9 +1188,20 @@ object SnapshotTable {
         "table to retype it")
     val newSchema = StructType(schema.fields.map(f =>
       if (f.name == name) f.copy(dataType = to) else f))
+    // the widened column's BLOOMS drop: bloom bits hash each value's
+    // build-time string rendering, and a float widened to double
+    // renders differently (0.1f reads as 0.10000000149...), so a kept
+    // bloom would wrongly REFUTE files — the one stats group widening
+    // invalidates. Dropping is sound (blooms only ever prune) and
+    // consistent with rewrites; rebuild with buildBloomIndex. Min/max
+    // stats keep their i/d domain and stay.
+    val phys = physMapOf(s, root, cur).getOrElse(name, name)
+    val lines = entries(s, root, cur).map(e =>
+      e.copy(stats = e.stats.filterNot(_.col == s"#bloom:$phys")).render)
     metadataOnlyCommit(s, root, cur, newSchema, Map(
       "widen.col" ->
-        s"${enc(name)}:${field.dataType.catalogString}>${to.catalogString}"))
+        s"${enc(name)}:${field.dataType.catalogString}>${to.catalogString}"),
+      lines = Some(lines))
   }
 
   /** PARTITION SPEC EVOLUTION (Iceberg's signature table-shape verb):
@@ -1240,12 +1251,14 @@ object SnapshotTable {
     * variant (it restates shape props from the restore target).
     */
   private def metadataOnlyCommit(s: SparkSession, root: String, cur: Long,
-      schema: StructType, props: Map[String, String]): Long = {
+      schema: StructType, props: Map[String, String],
+      lines: Option[Seq[String]] = None): Long = {
     val fs = fsOf(s, new Path(root))
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
     val staging = new Path(new Path(root), s"_staging/$commitId")
     fs.mkdirs(staging)
-    publishStaged(s, root, commitId, staging, entryLines(s, root, cur),
+    publishStaged(s, root, commitId, staging,
+      lines.getOrElse(entryLines(s, root, cur)),
       cur, Seq.empty, props, schema)
   }
 

@@ -131,6 +131,16 @@ class SnapshotPartEvolveSpec extends SparkSpec {
     spark.sql("INSERT INTO pevocat.db.t VALUES (3, 'p'), (4, 'r')")
     assert(spark.sql("SELECT count(*) FROM pevocat.db.t").head()
       .getLong(0) == 4L)
+    // the .partitions metadata table groups value-pure files by their
+    // single-value stats and renders impure (pre-evolution) files as
+    // <multi> — one manifest read, zero data files opened
+    val partsMeta = spark.sql(
+        "SELECT partition, n_files, n_rows FROM pevocat.db.t.partitions")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(partsMeta.keySet == Set("b=p", "b=r", "b=<multi>"),
+      s"got ${partsMeta.keySet}")
+    assert(partsMeta("b=p") == 1L && partsMeta("b=r") == 1L &&
+      partsMeta("b=<multi>") == 2L, s"got $partsMeta")
     // the evolution commit crosses the feed as an empty step
     val v2 = SnapshotTable.evolvePartitioning(spark, root, Seq("b"))
     val feed = SnapshotTable.changeFeed(spark, root, v1, v2)

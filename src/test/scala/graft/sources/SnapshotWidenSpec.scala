@@ -96,6 +96,25 @@ class SnapshotWidenSpec extends SparkSpec {
       Seq("wide"))
   }
 
+  test("a widen DROPS the widened column's blooms — bloom bits hash " +
+      "the build-time string rendering, and a float widened to double " +
+      "renders differently — while other columns' blooms survive") {
+    import spark.implicits._
+    val root = tmpRoot("bloom")
+    seed(root)
+    SnapshotTable.buildBloomIndex(spark, root, "k")
+    SnapshotTable.buildBloomIndex(spark, root, "m")
+    val v = SnapshotTable.widenColumn(spark, root, "m", DoubleType)
+    val es = SnapshotTable.entries(spark, root, v).filterNot(_.isDelete)
+    assert(es.forall(_.bloomFor("m").isEmpty),
+      "the widened float column's blooms must drop (frozen renderings " +
+        "would wrongly refute files)")
+    assert(es.exists(_.bloomFor("k").isDefined),
+      "other columns' blooms must survive the widen")
+    assert(SnapshotTable.read(spark, root).agg(sum("m")).as[Double]
+      .head() == (1 to 20).map(_ / 2.0).sum)
+  }
+
   test("refusals: narrowing, non-widen retype, scale change, partition " +
       "column, unknown column; appending WIDER than recorded refuses " +
       "with the widen hint") {
