@@ -181,10 +181,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val ns = nsPath(ident.namespace)
     if (!fs(ns).exists(ns)) throw new NoSuchNamespaceException(ident.namespace)
     // an empty v1 snapshot carrying the DDL schema: zero data files,
-    // schema recorded as a manifest prop like every other commit
+    // schema recorded as a manifest prop like every other commit.
+    // TBLPROPERTIES land as carried `user.` props (Spark's reserved
+    // bookkeeping entries — provider/owner/location/... — are not the
+    // user's and stay out)
+    import scala.jdk.CollectionConverters._
+    val reserved = Set("provider", "owner", "location", "comment",
+      "external")
+    val userProps = properties.asScala.toMap
+      .filterNot { case (k, _) =>
+        reserved(k) || k.startsWith("option.") || k.startsWith("spark.")
+      }
+      .map { case (k, v) => s"user.$k" -> v }
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    SnapshotTable.commit(empty, p.toString, partitionBy = partCols)
+    SnapshotTable.commit(empty, p.toString, partitionBy = partCols,
+      props = userProps)
     loadTable(ident)
   }
 
@@ -225,6 +237,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           u.newDataType)
         return loadTable(ident)
       case _ =>
+    }
+    // SET / UNSET TBLPROPERTIES — user properties as carried manifest
+    // props (`user.` prefix), one metadata-only commit per statement
+    val propSets = changes.collect { case p: TableChange.SetProperty => p }
+    val propRemoves = changes.collect {
+      case r: TableChange.RemoveProperty => r
+    }
+    if (changes.nonEmpty &&
+        propSets.size + propRemoves.size == changes.size) {
+      if (propSets.nonEmpty)
+        SnapshotTable.setTableProps(spark, root,
+          propSets.map(p => p.property -> p.value).toMap)
+      if (propRemoves.nonEmpty)
+        SnapshotTable.unsetTableProps(spark, root,
+          propRemoves.map(_.property))
+      return loadTable(ident)
     }
     val adds = changes.map {
       case a: TableChange.AddColumn

@@ -173,6 +173,18 @@ private[sources] class SnapshotSourceTable(root: String, id: Long,
 
   override def schema(): StructType = tableSchema
 
+  /** User table properties (`SET TBLPROPERTIES`), resolved at this
+    * table's pinned snapshot — SHOW TBLPROPERTIES and DESCRIBE
+    * EXTENDED read these; time travel sees each version's own set.
+    */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    if (id > 0L)
+      SnapshotTable.tablePropsOf(SparkSession.active, root, id)
+        .foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
   // the table's declared partition columns (the `partition.cols`
   // manifest prop), resolved once per loaded table — DESCRIBE/SHOW and
   // the writes below read this, Spark's scan never needs to (partition

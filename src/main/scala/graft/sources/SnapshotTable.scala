@@ -691,6 +691,7 @@ object SnapshotTable {
       if (prev == 0L) Map.empty
       else snapshotProps(s, root, prev).filter(p =>
         p._1.startsWith("stream.") || p._1.startsWith("ann.") ||
+          p._1.startsWith("user.") || // SET TBLPROPERTIES: table-level
           p._1 == "partition.cols" ||
           p._1 == "col.phys" || p._1 == "cols.retired" || p._1 == "col.evo")
     // partition columns ALWAYS join the stats index (whatever the
@@ -1261,6 +1262,55 @@ object SnapshotTable {
       lines.getOrElse(entryLines(s, root, cur)),
       cur, Seq.empty, props, schema)
   }
+
+  /** USER TABLE PROPERTIES (`ALTER TABLE ... SET TBLPROPERTIES`):
+    * key→value pairs a user attaches to the table, stored as
+    * `user.`-prefixed manifest props so they can never collide with
+    * the layer's protocol props, CARRIED by every commit shape
+    * (including overwrites — they are table-level, like Delta's), and
+    * versioned like everything else: time travel sees each snapshot's
+    * own properties. One metadata-only commit per change.
+    */
+  def setTableProps(s: SparkSession, root: String,
+      props: Map[String, String]): Long = {
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"setTableProps on empty table $root: commit first")
+    require(props.nonEmpty, "setTableProps: no properties given")
+    require(props.values.forall(_.nonEmpty),
+      "setTableProps: empty values are the unset encoding — use " +
+        "unsetTableProps to remove a property")
+    metadataOnlyCommit(s, root, cur,
+      storedSchema(s, root, cur).getOrElse(readAt(s, root, cur).schema),
+      props.map { case (k, v) => s"user.$k" -> v })
+  }
+
+  /** Remove user table properties; unknown keys refuse loudly. */
+  def unsetTableProps(s: SparkSession, root: String,
+      keys: Seq[String]): Long = {
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"unsetTableProps on empty table $root: commit first")
+    val have = tablePropsOf(s, root, cur)
+    val missing = keys.filterNot(have.contains)
+    require(missing.isEmpty,
+      s"unsetTableProps: no such propert${if (missing.size == 1) "y" else "ies"} " +
+        s"${missing.mkString(", ")} on $root")
+    // a carried prop cannot be un-carried by omission — restate EMPTY
+    // (the parse filters empty values out of the user view)
+    metadataOnlyCommit(s, root, cur,
+      storedSchema(s, root, cur).getOrElse(readAt(s, root, cur).schema),
+      keys.map(k => s"user.$k" -> "").toMap)
+  }
+
+  /** Snapshot `id`'s user table properties (`user.` prefix stripped,
+    * unset — empty-valued — keys filtered).
+    */
+  def tablePropsOf(s: SparkSession, root: String,
+      id: Long): Map[String, String] =
+    if (id == 0L) Map.empty
+    else snapshotProps(s, root, id).collect {
+      case (k, v) if k.startsWith("user.") && v.nonEmpty =>
+        k.stripPrefix("user.") -> v
+    }
 
   // ---- named refs: tags (immutable pins) and branches (fast-forward
   // pointers) ----------------------------------------------------------

@@ -471,4 +471,40 @@ class SnapshotCatalogSpec extends SparkSpec {
     val (kept, total) = SnapshotSource.lastPrune(root).get
     assert(total == 9 && kept <= 3, s"kept $kept/$total")
   }
+
+  test("TBLPROPERTIES: set at CREATE, carried across commits, ALTER " +
+      "SET/UNSET as metadata-only commits, versioned under time " +
+      "travel, surfaced by SHOW TBLPROPERTIES") {
+    ensureDb()
+    spark.sql(s"CREATE TABLE $cat.db.props (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('quality'='gold', 'team'='data')")
+    def show(): Map[String, String] = spark
+      .sql(s"SHOW TBLPROPERTIES $cat.db.props").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(show().get("quality").contains("gold"))
+    assert(show().get("team").contains("data"))
+    assert(!show().contains("owner") && !show().contains("provider"),
+      "Spark's reserved bookkeeping entries are not user properties")
+    spark.sql(s"INSERT INTO $cat.db.props VALUES (1, 'a')")
+    assert(show().get("quality").contains("gold"),
+      "properties must carry across data commits")
+    spark.sql(s"ALTER TABLE $cat.db.props " +
+      "SET TBLPROPERTIES ('quality'='platinum')")
+    assert(show().get("quality").contains("platinum"))
+    spark.sql(s"ALTER TABLE $cat.db.props UNSET TBLPROPERTIES ('team')")
+    val after = show()
+    assert(!after.contains("team") &&
+      after.get("quality").contains("platinum"))
+    // versioned: the pre-ALTER snapshot still answers 'gold'
+    val root = s"$wh/db/props"
+    assert(SnapshotTable.tablePropsOf(spark, root, 2L)
+      .get("quality").contains("gold"))
+    assert(SnapshotTable.tablePropsOf(spark, root,
+      SnapshotTable.currentSnapshot(spark, root)) ==
+      Map("quality" -> "platinum"))
+    // the ALTERs were metadata-only: file list byte-verbatim
+    val cur = SnapshotTable.currentSnapshot(spark, root)
+    assert(SnapshotTable.fileList(spark, root, cur) ==
+      SnapshotTable.fileList(spark, root, 2L))
+  }
 }
