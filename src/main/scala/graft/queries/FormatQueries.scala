@@ -838,6 +838,63 @@ object FormatQueries {
       .crossJoin(broadcast(audits))
   }
 
+  /** CHECK CONSTRAINTS through table properties
+    * ([[graft.sources.SnapshotTable.setTableProps]] `constraint.*` →
+    * write-time enforcement in `publishStaged`, the one choke point
+    * every commit shape funnels through): v1 commits clean orders,
+    * adding `constraint.positive` validates the STANDING table (one
+    * scan, Delta's ADD CONSTRAINT semantics — the audit pins that a
+    * constraint the data violates is REFUSED at set time), a clean
+    * append passes, a poisoned append (negative prices) refuses
+    * WHOLESALE before any file moves — the audit pins the table
+    * unchanged — and a NULL-bearing append passes (SQL CHECK
+    * semantics: NULL is not FALSE). At 100 TB: enforcement costs one
+    * read of each commit's own new files, never the table; the
+    * invariant "every row satisfies every constraint" is maintained by
+    * set-time validation + write-time refusal, so readers never
+    * re-check.
+    */
+  def snapshotConstraint(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_cons")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    SnapshotTable.commit(o.repartitionByRange(8, col("o_orderkey")),
+      root, statsCol = Some("o_orderkey")) // v1: clean
+    // a constraint the standing data VIOLATES refuses at set time
+    val setRefused =
+      try {
+        SnapshotTable.setTableProps(s, root,
+          Map("constraint.absurd" -> "o_totalprice > 1000000000"))
+        0L
+      } catch { case _: IllegalArgumentException => 1L }
+    SnapshotTable.setTableProps(s, root,
+      Map("constraint.positive" -> "o_totalprice > 0"))
+    SnapshotTable.commit( // clean append: passes
+      o.filter(col("o_orderkey") % 10 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L),
+      root, statsCol = Some("o_orderkey"))
+    val before = SnapshotTable.currentSnapshot(s, root)
+    val writeRefused =
+      try { // poisoned append: refused wholesale
+        SnapshotTable.commit(
+          o.filter(col("o_orderkey") % 100 === 3)
+            .withColumn("o_totalprice", lit(-1.0)), root)
+        0L
+      } catch { case _: IllegalArgumentException => 1L }
+    val unchanged =
+      SnapshotTable.currentSnapshot(s, root) == before
+    SnapshotTable.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        money(sum(col("o_totalprice"))).as("total_price"),
+        sum(col("o_orderkey")).as("okey_sum"))
+      .withColumn("set_refused", lit(setRefused))
+      .withColumn("write_refused", lit(writeRefused))
+      .withColumn("table_unchanged", lit(if (unchanged) 1L else 0L))
+  }
+
   /** PARTITION SPEC EVOLUTION
     * ([[graft.sources.SnapshotTable.evolvePartitioning]], Iceberg's
     * signature table-shape verb): v1 commits orders partitioned by
@@ -2127,6 +2184,7 @@ object FormatQueries {
     "fmt_snapshot_cdf_ovw" -> (snapshotCdfOverwrite _),
     "fmt_snapshot_eqdelete" -> (snapshotEqDelete _),
     "fmt_snapshot_part_evolve" -> (snapshotPartEvolve _),
+    "fmt_snapshot_constraint" -> (snapshotConstraint _),
     "fmt_snapshot_call" -> (snapshotCall _),
     "fmt_snapshot_cdf_sql" -> (snapshotCdfSql _),
     "fmt_snapshot_wap" -> (snapshotWap _),
@@ -2459,6 +2517,23 @@ object FormatQueries {
         |  (SELECT count(*) FROM orders
         |   WHERE o_orderkey % 2 = 0)::BIGINT AS n_v1,
         |  1::BIGINT AS rename_meta_only
+        |FROM cur GROUP BY 1""".stripMargin,
+    // the enforced table = the clean base + the clean append (the
+    // poisoned batch never landed); the three audit flags are protocol
+    // constants (violating constraint refused at set, poisoned write
+    // refused, head unchanged by the refusal)
+    "fmt_snapshot_constraint" ->
+      """WITH cur AS (
+        |  SELECT o_orderstatus AS st, o_totalprice AS p,
+        |    o_orderkey AS k FROM orders
+        |  UNION ALL
+        |  SELECT o_orderstatus AS st, o_totalprice AS p,
+        |    o_orderkey + 10000000 AS k
+        |  FROM orders WHERE o_orderkey % 10 = 7)
+        |SELECT st AS o_orderstatus, count(*)::BIGINT AS n_rows,
+        |  round(sum(p), 2) AS total_price, sum(k)::BIGINT AS okey_sum,
+        |  1::BIGINT AS set_refused, 1::BIGINT AS write_refused,
+        |  1::BIGINT AS table_unchanged
         |FROM cur GROUP BY 1""".stripMargin,
     // after the spec evolution and the priority replace, the table is
     // base-outside-urgent + appended-outside-urgent + the replacement

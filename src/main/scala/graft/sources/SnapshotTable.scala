@@ -669,15 +669,53 @@ object SnapshotTable {
       fs.listStatus(p).iterator.flatMap { st =>
         if (st.isDirectory) walk(st.getPath) else Iterator.single(st)
       }
-    val moved = walk(staging)
+    val staged = walk(staging)
       .filter(_.getPath.getName.startsWith("part-"))
       .filter(st => only.forall(_.contains(st.getPath.getName)))
-      .zipWithIndex.map { case (st, i) =>
-        val name = s"$commitId-$i.parquet"
-        require(fs.rename(st.getPath, new Path(dataDir, name)),
-          s"snapshot commit: failed to move ${st.getPath} into data/")
-        s"data/$name"
-      }.toSeq
+      .toSeq
+    // CHECK constraints (`user.constraint.<name>` table properties,
+    // [[setTableProps]]): every commit shape funnels through here, so
+    // write-time enforcement has ONE choke point — the staged files
+    // are read back once (O(new data), only when constraints exist)
+    // and a row where any constraint evaluates to FALSE (SQL CHECK
+    // semantics: NULL passes) refuses the WHOLE commit before a single
+    // file moves; the staging dir is then ordinary crash debris for
+    // the orphan sweep. Rewrite shapes (merge, COW delete, compaction)
+    // re-validate only the rows they restage — sound because
+    // [[setTableProps]] validated the standing table when the
+    // constraint was added.
+    val carriedForChecks: Map[String, String] =
+      if (prev == 0L) Map.empty
+      else snapshotProps(s, root, prev).filter(_._1.startsWith("user."))
+    val constraints = (carriedForChecks ++ props).collect {
+      case (k, v) if k.startsWith("user.constraint.") && v.nonEmpty =>
+        k.stripPrefix("user.constraint.") -> v
+    }
+    if (constraints.nonEmpty && staged.nonEmpty) {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val physMapV = parsePhysMap(props.get("col.phys").orElse(
+        if (prev == 0L) None
+        else snapshotProps(s, root, prev).get("col.phys")))
+      val raw = s.read.schema(physSchema(asNullable(schema), physMapV))
+        .parquet(staged.map(_.getPath.toString): _*)
+      val frame =
+        if (physMapV.isEmpty) raw else raw.toDF(schema.fieldNames: _*)
+      constraints.toSeq.sortBy(_._1).foreach { case (n, ex) =>
+        val bad = frame.where(not(coalesce(expr(ex), lit(true)))).count()
+        if (bad > 0L) {
+          fs.delete(staging, true)
+          throw new IllegalArgumentException(
+            s"CHECK constraint '$n' ($ex) violated by $bad staged " +
+              s"row(s) — commit to $root refused")
+        }
+      }
+    }
+    val moved = staged.zipWithIndex.map { case (st, i) =>
+      val name = s"$commitId-$i.parquet"
+      require(fs.rename(st.getPath, new Path(dataDir, name)),
+        s"snapshot commit: failed to move ${st.getPath} into data/")
+      s"data/$name"
+    }
     fs.delete(staging, true)
     // the file-skipping index and row counts: one parquet FOOTER read
     // per new file (metadata only, never data pages), once, at commit;
@@ -1279,6 +1317,22 @@ object SnapshotTable {
     require(props.values.forall(_.nonEmpty),
       "setTableProps: empty values are the unset encoding — use " +
         "unsetTableProps to remove a property")
+    // a NEW `constraint.<name>` must hold on the STANDING table (one
+    // validation scan now, exactly like Delta's ADD CONSTRAINT) — the
+    // write-time enforcement in [[publishStaged]] only ever sees new
+    // rows, so this is what makes "every row of the table satisfies
+    // every constraint" an invariant rather than a hope
+    props.foreach { case (k, v) =>
+      if (k.startsWith("constraint.")) {
+        import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+        val bad = readAt(s, root, cur)
+          .where(not(coalesce(expr(v), lit(true)))).count()
+        require(bad == 0L,
+          s"setTableProps: CHECK constraint '${k.stripPrefix("constraint.")}' " +
+            s"($v) is violated by $bad existing row(s) of $root — " +
+            "clean the data first")
+      }
+    }
     metadataOnlyCommit(s, root, cur,
       storedSchema(s, root, cur).getOrElse(readAt(s, root, cur).schema),
       props.map { case (k, v) => s"user.$k" -> v })

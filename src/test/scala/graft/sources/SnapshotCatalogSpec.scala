@@ -507,4 +507,56 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(SnapshotTable.fileList(spark, root, cur) ==
       SnapshotTable.fileList(spark, root, 2L))
   }
+
+  test("CHECK constraints ride TBLPROPERTIES: enforced at the one " +
+      "write choke point (SQL and library alike), NULL passes, adding " +
+      "a constraint validates standing data, UNSET lifts enforcement") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    ensureDb()
+    spark.sql(s"CREATE TABLE $cat.db.cons (k BIGINT, p DOUBLE) " +
+      "TBLPROPERTIES ('constraint.positive'='p > 0')")
+    spark.sql(s"INSERT INTO $cat.db.cons VALUES (1, 1.5), (2, 2.5)")
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.db.cons VALUES (3, -1.0)")
+    }
+    assert(msgs(e).exists(_.contains("CHECK constraint 'positive'")),
+      msgs(e).mkString(" | "))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.cons").head()
+      .getLong(0) == 2L, "a refused insert must leave the table unchanged")
+    // NULL passes — SQL CHECK semantics
+    spark.sql(s"INSERT INTO $cat.db.cons VALUES (4, NULL)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.cons").head()
+      .getLong(0) == 3L)
+    // a new constraint the STANDING data violates refuses at SET time
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.cons " +
+        "SET TBLPROPERTIES ('constraint.keyband'='k < 3')")
+    }
+    assert(msgs(e2).exists(_.contains("violated by 1 existing row")),
+      msgs(e2).mkString(" | "))
+    // one that holds lands, and then enforces
+    spark.sql(s"ALTER TABLE $cat.db.cons " +
+      "SET TBLPROPERTIES ('constraint.keyband'='k < 100')")
+    val e3 = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.db.cons VALUES (500, 1.0)")
+    }
+    assert(msgs(e3).exists(_.contains("CHECK constraint 'keyband'")))
+    // the LIBRARY write path hits the same choke point
+    val root = s"$wh/db/cons"
+    val e4 = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(
+        Seq((5L, -9.0)).toDF("k", "p"), root)
+    }
+    assert(e4.getMessage.contains("CHECK constraint 'positive'"))
+    // UNSET lifts enforcement
+    spark.sql(s"ALTER TABLE $cat.db.cons " +
+      "UNSET TBLPROPERTIES ('constraint.keyband')")
+    spark.sql(s"INSERT INTO $cat.db.cons VALUES (500, 1.0)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.cons").head()
+      .getLong(0) == 4L)
+  }
 }
