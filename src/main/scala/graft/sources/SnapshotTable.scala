@@ -692,7 +692,7 @@ object SnapshotTable {
         k.stripPrefix("user.constraint.") -> v
     }
     if (constraints.nonEmpty && staged.nonEmpty) {
-      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not, sum, when}
       val physMapV = parsePhysMap(props.get("col.phys").orElse(
         if (prev == 0L) None
         else snapshotProps(s, root, prev).get("col.phys")))
@@ -700,8 +700,17 @@ object SnapshotTable {
         .parquet(staged.map(_.getPath.toString): _*)
       val frame =
         if (physMapV.isEmpty) raw else raw.toDF(schema.fieldNames: _*)
-      constraints.toSeq.sortBy(_._1).foreach { case (n, ex) =>
-        val bad = frame.where(not(coalesce(expr(ex), lit(true)))).count()
+      // every constraint counts its violations in ONE pass over the
+      // staged files — N constraints never means N scans
+      val ordered = constraints.toSeq.sortBy(_._1)
+      val counts = frame.agg(
+        sum(when(not(coalesce(expr(ordered.head._2), lit(true))), 1L)
+          .otherwise(0L)),
+        ordered.tail.map { case (_, ex) =>
+          sum(when(not(coalesce(expr(ex), lit(true))), 1L).otherwise(0L))
+        }: _*).head()
+      ordered.zipWithIndex.foreach { case ((n, ex), i) =>
+        val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
         if (bad > 0L) {
           fs.delete(staging, true)
           throw new IllegalArgumentException(
