@@ -1845,12 +1845,17 @@ object SnapshotTable {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
     if (eqs.isEmpty) return base
     val logicalOf = physMap.map(_.swap)
-    val dels = eqs.map { e =>
+    // deletes keyed by DIFFERENT column sets cannot share one
+    // anti-join: group by key set (almost always a single group — a
+    // table's CDC key is stable), one delta-sized broadcast anti-join
+    // per distinct set
+    val frames = eqs.map { e =>
       val df = s.read.parquet(s"$root/${e.path}")
       df.toDF(df.columns.map(c => logicalOf.getOrElse(c, c)): _*)
         .withColumn("__eq_sq", lit(e.seq))
-    }.reduce(_.unionByName(_))
-    val keyCols = dels.columns.filterNot(_ == "__eq_sq").toSeq
+    }
+    val groups = frames.groupBy(_.columns.filterNot(_ == "__eq_sq")
+      .sorted.toSeq).values.map(_.reduce(_.unionByName(_))).toSeq
     import s.implicits._
     val fileSeq = broadcast(dataEntries.map(e => (e.fileName, e.seq))
       .toDF("__sq_file", "__sq"))
@@ -1858,10 +1863,12 @@ object SnapshotTable {
     val tagged = base
       .select(col("*"), col("_metadata.file_name").as("__eq_file"))
       .join(fileSeq, col("__eq_file") === col("__sq_file"), "left")
-    val cond = keyCols.map(k => tagged(k) <=> dels(k)).reduce(_ && _) &&
-      coalesce(tagged("__sq"), lit(0L)) < dels("__eq_sq")
-    tagged.join(broadcast(dels), cond, "left_anti")
-      .select(keep.map(col): _*)
+    groups.foldLeft(tagged) { (acc, dels) =>
+      val keyCols = dels.columns.filterNot(_ == "__eq_sq").toSeq
+      val cond = keyCols.map(k => acc(k) <=> dels(k)).reduce(_ && _) &&
+        coalesce(acc("__sq"), lit(0L)) < dels("__eq_sq")
+      acc.join(broadcast(dels), cond, "left_anti")
+    }.select(keep.map(col): _*)
   }
 
   /** Read the current snapshot, PINNED at call time: later commits do
@@ -2941,18 +2948,27 @@ object SnapshotTable {
     val eqNames: Set[String] =
       if (eqs.isEmpty) Set.empty
       else {
-        val delKeys = eqs.map(e => s.read.parquet(s"$root/${e.path}"))
-          .reduce(_.unionByName(_))
-        val k0 = delKeys.columns.head // PHYSICAL name as written
-        val r = delKeys.agg(smin(col(k0)), smax(col(k0))).head
-        val bounds: Option[(String, String)] =
-          if (r.isNullAt(0)) None
-          else Some((r.get(0).toString, r.get(1).toString))
-        data.filter(e => eqs.exists(_.seq > e.seq)).filterNot { e =>
-          (e.statsFor(k0), bounds) match {
-            case (Some(st), Some((lo, hi))) =>
-              !rangesOverlap(st.tag, st.mn, st.mx, lo, hi)
-            case _ => false // no stats → cannot refute → rewrite
+        // per KEY-SET group (deletes keyed by different column sets
+        // never share bounds): first-key min/max over that group's
+        // keys, one delta-sized aggregation each
+        val groups: Seq[(Seq[FileEntry], String, Option[(String, String)])] =
+          eqs.map(e => e -> s.read.parquet(s"$root/${e.path}"))
+            .groupBy(_._2.columns.sorted.toSeq).values.map { g =>
+              val delKeys = g.map(_._2).reduce(_.unionByName(_))
+              val k0 = delKeys.columns.head // PHYSICAL name as written
+              val r = delKeys.agg(smin(col(k0)), smax(col(k0))).head
+              val bounds =
+                if (r.isNullAt(0)) None
+                else Some((r.get(0).toString, r.get(1).toString))
+              (g.map(_._1), k0, bounds)
+            }.toSeq
+        data.filter { e =>
+          groups.exists { case (ents, k0, bounds) =>
+            ents.exists(_.seq > e.seq) && ((e.statsFor(k0), bounds) match {
+              case (Some(st), Some((lo, hi))) =>
+                rangesOverlap(st.tag, st.mn, st.mx, lo, hi)
+              case _ => true // no stats → cannot refute → rewrite
+            })
           }
         }.map(_.fileName).toSet
       }

@@ -177,6 +177,28 @@ class SnapshotEqDeleteSpec extends SparkSpec {
       cur.select("k", "v").as[(Long, String)].collect().sorted.toSeq)
   }
 
+  test("deletes keyed by DIFFERENT column sets compose: one anti-join " +
+      "per key set at read time, and the fold settles every group") {
+    import spark.implicits._
+    val root = tmpRoot("mixedkeys")
+    seed(root) // (k, m = k*10, v)
+    SnapshotTable.upsertEq( // keyed by k
+      Seq((5L, 99L, "u5")).toDF("k", "m", "v"), root, Seq("k"))
+    SnapshotTable.deleteByKeysEq( // keyed by the (k, m) PAIR
+      Seq((6L, 60L), (7L, 70L), (5L, 50L)).toDF("k", "m"), root)
+    val cur = SnapshotTable.read(spark, root)
+    // 6 and 7 die on the pair; (5, 50) matches nothing — the upsert
+    // already replaced key 5 with m=99 and pair deletes are exact
+    assert(cur.count() == 18L)
+    assert(cur.filter(col("k").isin(6L, 7L)).count() == 0L)
+    assert(cur.filter(col("k") === 5L).select("m").as[Long]
+      .collect().toSeq == Seq(99L))
+    val v4 = SnapshotTable.rewriteDeletes(spark, root)
+    assert(SnapshotTable.rowCount(spark, root, v4).contains(18L))
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("k") === 5L).select("v").as[String].head() == "u5")
+  }
+
   test("upsertEqWriter under a live checkpointed stream: zero-read " +
       "CDC batches land exactly-once (an idle restart redelivers " +
       "nothing), last write per key wins, and a periodic fold settles " +
