@@ -180,12 +180,13 @@ object AnnIndex {
       .select("vec_id").distinct()
       .join(addRows.select("vec_id").distinct(), Seq("vec_id"),
         "left_anti")
-    import s.implicits._
-    val delKeys = removedOnly.as[Long].collect().sorted
-    if (delKeys.nonEmpty)
-      SnapshotTable.deleteWhere(s, indexRoot,
-        Seq(org.apache.spark.sql.sources.In("vec_id",
-          delKeys.map(k => k: Any).toArray)))
+    // departed keys stay a FRAME: [[SnapshotTable.deleteByKeys]]
+    // range-joins them against the index's per-file vec_id stats (the
+    // mergeLarge pattern), so a mass-retraction batch (a GDPR sweep)
+    // never collects to the driver — driver memory is O(index files),
+    // not O(departed keys)
+    if (removedOnly.limit(1).count() > 0)
+      SnapshotTable.deleteByKeys(removedOnly, indexRoot, "vec_id")
     val floor = Map(s"stream.$FloorTag.batch" -> throughSnapshot.toString,
       StatsProp -> renderStats(st))
     if (addRows.limit(1).count() > 0)

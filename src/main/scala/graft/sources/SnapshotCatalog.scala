@@ -324,10 +324,31 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException(
       "graft-snap catalog: namespaces carry no metadata")
 
+  /** Delete-vector rows per DATA-file name — the per-file subtraction
+    * the metadata tables' row counts owe a merge-on-read table. One
+    * delta-sized parquet read (the vectors), collected grouped: the
+    * result is O(marked files), driver-bounded by the same contract
+    * that makes the vectors broadcastable on the read path.
+    */
+  private def dvRowsByFile(root: String,
+      dvs: Seq[SnapshotTable.FileEntry]): Map[String, Long] =
+    if (dvs.isEmpty) Map.empty
+    else spark.read.parquet(dvs.map(e => s"$root/${e.path}"): _*)
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** `SELECT * FROM cat.db.t.files` — the CURRENT snapshot's file
-    * inventory: path, row count, and the skipping index's per-column
-    * (min, max, nulls) stats, straight from one manifest read. The
+    * inventory: path, LIVE row count, and the skipping index's
+    * per-column (min, max, nulls) stats, straight from one manifest
+    * read (plus the delta-sized delete vectors when present). The
     * inspection surface for "why did/didn't this file prune".
+    * Row-count honesty matches [[SnapshotTable.rowCount]]: a data
+    * file's n_rows subtracts its delete-vector rows, and is NULL —
+    * undefined until [[SnapshotTable.rewriteDeletes]] folds — when an
+    * equality delete outranks the file's sequence (its keys match
+    * zero-or-many rows, so no manifest-derivable count exists);
+    * delete entries report their own recorded counts; -1 = a
+    * pre-row-count manifest entry.
     */
   private class FilesMetadataTable(root: String) extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead {
@@ -356,15 +377,27 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           val cur = SnapshotTable.currentSnapshot(spark, root)
           if (cur == 0L)
             Array.empty[org.apache.spark.sql.catalyst.InternalRow]
-          else SnapshotTable.entries(spark, root, cur).map { e =>
-            val st = e.stats.map(t => s"${t.col}[${t.mn}..${t.mx}" +
-              t.nulls.map(n => s", nulls=$n").getOrElse("") + "]")
-              .mkString("; ")
-            org.apache.spark.sql.catalyst.InternalRow(
-              UTF8String.fromString(e.path),
-              e.rows.getOrElse(-1L),
-              UTF8String.fromString(st))
-          }.toArray
+          else {
+            val es = SnapshotTable.entries(spark, root, cur)
+            val eqs = es.filter(_.isEqDelete)
+            val dvCounts = dvRowsByFile(root,
+              es.filter(e => e.isDelete && !e.isEqDelete))
+            es.map { e =>
+              val st = e.stats.map(t => s"${t.col}[${t.mn}..${t.mx}" +
+                t.nulls.map(n => s", nulls=$n").getOrElse("") + "]")
+                .mkString("; ")
+              val nRows: Any =
+                if (e.isDelete) e.rows.getOrElse(-1L)
+                else if (eqs.exists(_.seq > e.seq)) null // undefined
+                // until rewriteDeletes folds — rowCount's honesty
+                else e.rows.map(_ - dvCounts.getOrElse(e.fileName, 0L))
+                  .getOrElse(-1L)
+              org.apache.spark.sql.catalyst.InternalRow(
+                UTF8String.fromString(e.path),
+                nRows,
+                UTF8String.fromString(st))
+            }.toArray
+          }
         }
       }
   }
@@ -463,7 +496,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * file that lost purity — a COW-rewrite survivor or an old-spec
     * file after [[SnapshotTable.evolvePartitioning]] — groups under
     * `<multi>`, the honest rendering of a file the manifest cannot
-    * place in one partition). Empty for an unpartitioned table.
+    * place in one partition). Row counts subtract delete-vector rows
+    * per file and read NULL while an equality delete is carried
+    * (undefined until rewriteDeletes folds — the same honesty as
+    * [[SnapshotTable.rowCount]]). Empty for an unpartitioned table.
     */
   private class PartitionsMetadataTable(root: String) extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead {
@@ -496,8 +532,19 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           if (parts.isEmpty)
             return Array.empty[org.apache.spark.sql.catalyst.InternalRow]
           val pm = SnapshotTable.physMapOf(spark, root, cur)
-          SnapshotTable.entries(spark, root, cur)
-            .filterNot(_.isDelete)
+          val all = SnapshotTable.entries(spark, root, cur)
+          // row-count honesty, matching [[SnapshotTable.rowCount]]:
+          // delete-vector rows subtract per file (each names exactly
+          // one still-live row of one data file); an equality delete
+          // matches zero-or-many rows, so while one is carried the
+          // partition counts are UNDEFINED until rewriteDeletes folds
+          // — surfaced as NULL, never as a silent overcount. Files
+          // without recorded counts also yield NULL (a partial sum
+          // would misstate the partition).
+          val eqBurdened = all.exists(_.isEqDelete)
+          val dvCounts = dvRowsByFile(root,
+            all.filter(e => e.isDelete && !e.isEqDelete))
+          all.filterNot(_.isDelete)
             .groupBy { e =>
               parts.map { c =>
                 val st = e.statsFor(pm.getOrElse(c, c))
@@ -509,9 +556,12 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             }
             .toSeq.sortBy(_._1)
             .map { case (tuple, es) =>
+              val nRows: Any =
+                if (eqBurdened || es.exists(_.rows.isEmpty)) null
+                else es.map(e =>
+                  e.rows.get - dvCounts.getOrElse(e.fileName, 0L)).sum
               org.apache.spark.sql.catalyst.InternalRow(
-                UTF8String.fromString(tuple), es.size.toLong,
-                es.flatMap(_.rows).sum)
+                UTF8String.fromString(tuple), es.size.toLong, nRows)
             }.toArray
         }
       }

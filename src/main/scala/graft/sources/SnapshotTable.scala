@@ -649,11 +649,27 @@ object SnapshotTable {
     * manifest through the atomic claim+rename protocol. Returns the
     * new snapshot id; throws on a concurrent-commit conflict.
     */
+  /** Working column names the read-side delete machinery joins on
+    * ([[applyDeleteVectors]] / [[applyEqDeletes]]): a table or
+    * eq-delete key frame that carried one would silently corrupt the
+    * join conditions and key-set grouping (e.g. a key column named
+    * `__eq_sq` is filtered out of the group key), so every commit
+    * shape refuses them at the publish choke point instead.
+    */
+  private[sources] val ReservedCols: Set[String] =
+    Set("__dv_file", "__dv_pos", "__eq_file", "__eq_sq", "__sq",
+      "__sq_file")
+
   private[sources] def publishStaged(s: SparkSession, root: String,
       commitId: String, staging: Path, carried: Seq[String], prev: Long,
       statsCols: Seq[String], props: Map[String, String],
       schema: StructType, only: Option[Set[String]] = None,
       wapTarget: Option[Path] = None): Long = {
+    val reservedHit = schema.fieldNames.filter(ReservedCols)
+    require(reservedHit.isEmpty,
+      s"snapshot commit to $root refused: column name(s) " +
+        s"${reservedHit.mkString(", ")} are reserved for the layer's " +
+        "merge-on-read join machinery — rename them before committing")
     val rootP = new Path(root)
     val fs = fsOf(s, rootP)
     val dataDir = new Path(rootP, "data")
@@ -1130,10 +1146,39 @@ object SnapshotTable {
     * / reposition still refuse loudly everywhere. Returns the new
     * snapshot id.
     */
+  /** Names of CHECK constraints (`user.constraint.*`) whose expression
+    * references column `col` at snapshot `id` — the guard rename/drop
+    * consults: a constraint left pointing at a vanished name would
+    * fail EVERY later commit at the publish choke point (an
+    * unresolved-column AnalysisException recoverable only by
+    * unsetTableProps), so the schema change refuses loudly instead —
+    * the same contract as Delta's rename/drop-vs-constraint check.
+    * Resolution is by parsed attribute reference (case-insensitive,
+    * Spark's default), never substring.
+    */
+  private def constraintsReferencing(s: SparkSession, root: String,
+      id: Long, col: String): Seq[String] =
+    tablePropsOf(s, root, id).toSeq.collect {
+      case (k, v) if k.startsWith("constraint.") &&
+          (try s.sessionState.sqlParser.parseExpression(v).collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.head.toLowerCase
+          }.contains(col.toLowerCase)
+          catch { case _: Exception => true }) => // unparseable: refuse
+        k.stripPrefix("constraint.")
+    }.sorted
+
   def renameColumn(s: SparkSession, root: String, from: String,
       to: String): Long = {
     val cur = currentSnapshot(s, root)
     require(cur > 0L, s"rename on empty table $root: commit first")
+    val refd = constraintsReferencing(s, root, cur, from)
+    require(refd.isEmpty,
+      s"renameColumn: column '$from' is referenced by CHECK " +
+        s"constraint(s) ${refd.mkString(", ")} of $root — every later " +
+        "commit would fail the constraint check on the vanished name; " +
+        "drop the constraint first (unsetTableProps / ALTER TABLE " +
+        "UNSET TBLPROPERTIES) and re-add it under the new name")
     val schema = storedSchema(s, root, cur).getOrElse(
       throw new IllegalStateException(
         s"renameColumn: $root v$cur records no schema (pre-recording " +
@@ -1174,6 +1219,13 @@ object SnapshotTable {
   def dropColumn(s: SparkSession, root: String, name: String): Long = {
     val cur = currentSnapshot(s, root)
     require(cur > 0L, s"drop column on empty table $root: commit first")
+    val refd = constraintsReferencing(s, root, cur, name)
+    require(refd.isEmpty,
+      s"dropColumn: column '$name' is referenced by CHECK " +
+        s"constraint(s) ${refd.mkString(", ")} of $root — every later " +
+        "commit would fail the constraint check on the vanished name; " +
+        "drop the constraint first (unsetTableProps / ALTER TABLE " +
+        "UNSET TBLPROPERTIES)")
     val schema = storedSchema(s, root, cur).getOrElse(
       throw new IllegalStateException(
         s"dropColumn: $root v$cur records no schema (pre-recording " +
@@ -1812,17 +1864,41 @@ object SnapshotTable {
     * at 100 TB the cost of merge-on-read is a hash probe per row,
     * never a shuffle of the table.
     */
+  /** Is a forced broadcast of `rows` delete-state rows safe? Delete
+    * debt is DELTA-sized by contract, so the broadcast hint is the
+    * right default — but a high-churn CDC table that defers
+    * [[rewriteDeletes]] accumulates unboundedly many vector/eq-delete
+    * rows, and an unconditional `broadcast()` would force them into
+    * driver + every executor's memory with no fallback. Past
+    * `graft.snapshot.delete.broadcast.max.rows` (default 5M — ~tens
+    * of MB of key state, the classic autoBroadcastJoinThreshold
+    * ballpark) or when a pre-rc manifest entry leaves the size
+    * unknown, the anti-joins run WITHOUT the hint: Spark plans a
+    * shuffle join whose memory profile is flat in the debt (AQE may
+    * still choose broadcast if the actual bytes are small). The sizes
+    * come from the manifest's own `rc=` arithmetic — no data read.
+    */
+  private def deleteBroadcastOk(s: SparkSession,
+      rows: Option[Long]): Boolean =
+    rows.exists(_ <= s.conf.get(
+      "graft.snapshot.delete.broadcast.max.rows", "5000000").toLong)
+
   private def applyDeleteVectors(s: SparkSession, root: String,
       base: DataFrame, dvs: Seq[FileEntry]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col}
     if (dvs.isEmpty) return base
     val dv = s.read.parquet(dvs.map(e => s"$root/${e.path}"): _*)
+    val dvRows: Option[Long] =
+      if (dvs.forall(_.rows.isDefined)) Some(dvs.flatMap(_.rows).sum)
+      else None
+    val dvSide = if (deleteBroadcastOk(s, dvRows)) broadcast(dv) else dv
     val keep = base.columns.toSeq
     val tagged = base.select(col("*"),
       col("_metadata.file_name").as("__dv_file"),
       col("_metadata.row_index").as("__dv_pos"))
-    tagged.join(broadcast(dv),
-        tagged("__dv_file") === dv("file") && tagged("__dv_pos") === dv("pos"),
+    tagged.join(dvSide,
+        tagged("__dv_file") === dvSide("file") &&
+          tagged("__dv_pos") === dvSide("pos"),
         "left_anti")
       .select(keep.map(col): _*)
   }
@@ -1835,9 +1911,12 @@ object SnapshotTable {
     * later appends are never touched by earlier deletes. The plan is
     * two broadcast probes over the scan — a (file → seq) map join on
     * `_metadata.file_name` (O(files), metadata-sized) and the
-    * delta-sized key anti-join — never a shuffle of the table. Key
-    * files store PHYSICAL column names (stable across renames); the
-    * snapshot's own mapping renames them back here.
+    * delta-sized key anti-join — never a shuffle of the table while
+    * debt stays under the [[deleteBroadcastOk]] guardrail (past it,
+    * the key anti-join drops the hint and shuffles instead of
+    * overflowing executor memory). Key files store PHYSICAL column
+    * names (stable across renames); the snapshot's own mapping
+    * renames them back here.
     */
   private def applyEqDeletes(s: SparkSession, root: String,
       base: DataFrame, eqs: Seq[FileEntry], dataEntries: Seq[FileEntry],
@@ -1848,26 +1927,38 @@ object SnapshotTable {
     // deletes keyed by DIFFERENT column sets cannot share one
     // anti-join: group by key set (almost always a single group — a
     // table's CDC key is stable), one delta-sized broadcast anti-join
-    // per distinct set
+    // per distinct set — broadcast GUARDED by the manifest's rc=
+    // arithmetic ([[deleteBroadcastOk]]): accumulated debt past the
+    // threshold anti-joins without the hint instead of forcing an
+    // unbounded key frame into every executor's memory
     val frames = eqs.map { e =>
       val df = s.read.parquet(s"$root/${e.path}")
-      df.toDF(df.columns.map(c => logicalOf.getOrElse(c, c)): _*)
-        .withColumn("__eq_sq", lit(e.seq))
+      (df.toDF(df.columns.map(c => logicalOf.getOrElse(c, c)): _*)
+        .withColumn("__eq_sq", lit(e.seq)), e.rows)
     }
-    val groups = frames.groupBy(_.columns.filterNot(_ == "__eq_sq")
-      .sorted.toSeq).values.map(_.reduce(_.unionByName(_))).toSeq
+    val groups = frames.groupBy(_._1.columns.filterNot(_ == "__eq_sq")
+      .sorted.toSeq).values.map { g =>
+        val df = g.map(_._1).reduce(_.unionByName(_))
+        val rows =
+          if (g.forall(_._2.isDefined)) Some(g.flatMap(_._2).sum)
+          else None
+        (df, rows)
+      }.toSeq
     import s.implicits._
+    // the (file -> seq) map is O(files) METADATA, never debt: always
+    // broadcast
     val fileSeq = broadcast(dataEntries.map(e => (e.fileName, e.seq))
       .toDF("__sq_file", "__sq"))
     val keep = base.columns.toSeq
     val tagged = base
       .select(col("*"), col("_metadata.file_name").as("__eq_file"))
       .join(fileSeq, col("__eq_file") === col("__sq_file"), "left")
-    groups.foldLeft(tagged) { (acc, dels) =>
+    groups.foldLeft(tagged) { case (acc, (dels, rows)) =>
       val keyCols = dels.columns.filterNot(_ == "__eq_sq").toSeq
       val cond = keyCols.map(k => acc(k) <=> dels(k)).reduce(_ && _) &&
         coalesce(acc("__sq"), lit(0L)) < dels("__eq_sq")
-      acc.join(broadcast(dels), cond, "left_anti")
+      val delSide = if (deleteBroadcastOk(s, rows)) broadcast(dels) else dels
+      acc.join(delSide, cond, "left_anti")
     }.select(keep.map(col): _*)
   }
 
@@ -1937,6 +2028,40 @@ object SnapshotTable {
       }
       (stats, rows)
     } finally rdr.close()
+  }
+
+  /** Render an EXTERNAL Row value of Spark type `dt` into the manifest
+    * stats compare domain it belongs to: (domain letter, rendering).
+    * Integral types compare as longs; date/timestamp keys live in the
+    * "i" domain their parquet INT32/INT64 stats are recorded in (days
+    * since epoch / micros); float widens to double exactly like the
+    * footer's FloatStatistics recording; None for any type (decimal,
+    * boolean, binary, nested) the stats proofs have no sound rendering
+    * for — the caller must then treat the bound as unprovable.
+    */
+  private[sources] def statDomainBound(dt: DataType,
+      v: Any): Option[(String, String)] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(("i", v.asInstanceOf[Number].longValue.toString))
+    case org.apache.spark.sql.types.DateType => v match {
+      case d: java.sql.Date => Some(("i", d.toLocalDate.toEpochDay.toString))
+      case ld: java.time.LocalDate => Some(("i", ld.toEpochDay.toString))
+      case _ => None
+    }
+    case org.apache.spark.sql.types.TimestampType => v match {
+      case t: java.sql.Timestamp => Some(("i",
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .fromJavaTimestamp(t).toString))
+      case i: java.time.Instant => Some(("i",
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .instantToMicros(i).toString))
+      case _ => None
+    }
+    case FloatType | DoubleType =>
+      Some(("d", v.asInstanceOf[Number].doubleValue.toString))
+    case org.apache.spark.sql.types.StringType =>
+      Some(("s", v.toString))
+    case _ => None
   }
 
   private def rangesOverlap(tag: String, mn: String, mx: String,
@@ -2799,6 +2924,57 @@ object SnapshotTable {
       keep.size)
   }
 
+  /** Copy-on-write DELETE by KEY FRAME — the retraction shape whose
+    * key set never visits the driver: `keys` (one column, `keyCol`)
+    * is range-joined against the manifest's per-file [min, max]
+    * stats ([[touchedFiles]] — the [[mergeLarge]] pattern) to pick
+    * the files that CAN hold a doomed row; those are rewritten as an
+    * anti-join of the key frame, everything else carries VERBATIM.
+    * Driver memory is O(files), whatever the retraction size — the
+    * mass-GDPR-sweep case an `In(collect())` delete would make
+    * driver-bound. The removed rows land as the commit's op-`D`
+    * change frame (delta-priced: the touched files are already being
+    * read), so [[changeFeed]] crosses it exactly like a
+    * [[deleteWhere]]. Refuses vectored tables like every COW rewrite.
+    * Returns (new snapshot id, files rewritten, files carried);
+    * a key set provably absent everywhere is a no-op returning the
+    * current id.
+    */
+  def deleteByKeys(keys: DataFrame, root: String,
+      keyCol: String): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val s = keys.sparkSession
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"deleteByKeys from empty table $root: commit first")
+    requireNoDv(s, root, cur, "deleteByKeys")
+    val keyFrame = keys.select(col(keyCol)).distinct()
+    val physKey = physMapOf(s, root, cur).getOrElse(keyCol, keyCol)
+    val touchedPaths = touchedFiles(keyFrame, root, keyCol)
+    val es = entries(s, root, cur)
+    val (touched, carried) = es.partition(e => e.statsFor(physKey) match {
+      case Some(_) => touchedPaths.contains(e.path)
+      case None => true // no usable stats → conservatively rewrite
+    })
+    if (touched.isEmpty) return (cur, 0, es.size)
+    val schema = storedSchema(s, root, cur)
+    val base = readData(s, root, touched.map(_.path), schema,
+      physMapOf(s, root, cur))
+    val survivors = base.join(keyFrame, Seq(keyCol), "left_anti")
+    val cdfRel =
+      s"changes/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    base.join(keyFrame, Seq(keyCol), "left_semi")
+      .withColumn("_op", lit("D"))
+      .write.mode("overwrite").parquet(s"$root/$cdfRel")
+    val statsCols = touched.flatMap(_.stats.map(_.col)).distinct
+      .filterNot(_.startsWith("#"))
+    val id = commitWithCarried(survivors, root, carried.map(_.render), cur,
+      if (statsCols.isEmpty) None else Some(statsCols.mkString(",")),
+      Map("delete.cond" -> s"keysIn($keyCol)", "cdf.dir" -> cdfRel),
+      baseSchema = schema, partitionCols = partitionColsOf(s, root, cur))
+    lastDelete.put(root, (0, touched.size, carried.size))
+    (id, touched.size, carried.size)
+  }
+
   private[sources] val lastMor =
     new scala.collection.concurrent.TrieMap[String, (Int, Int, Int)]
 
@@ -2888,6 +3064,11 @@ object SnapshotTable {
   private def writeEqDeleteFile(s: SparkSession, root: String, cur: Long,
       keys: DataFrame, op: String): String = {
     import org.apache.spark.sql.functions.col
+    val reservedHit = keys.columns.filter(ReservedCols)
+    require(reservedHit.isEmpty,
+      s"$op: key column name(s) ${reservedHit.mkString(", ")} are " +
+        "reserved for the layer's merge-on-read join machinery — " +
+        "rename them first")
     val pm = physMapOf(s, root, cur)
     val distinctKeys = keys.distinct()
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
@@ -2950,24 +3131,39 @@ object SnapshotTable {
       else {
         // per KEY-SET group (deletes keyed by different column sets
         // never share bounds): first-key min/max over that group's
-        // keys, one delta-sized aggregation each
-        val groups: Seq[(Seq[FileEntry], String, Option[(String, String)])] =
+        // keys, one delta-sized aggregation each. Bounds are rendered
+        // INTO THE STATS DOMAIN from the key column's Spark type
+        // ([[statDomainBound]]): footer stats of a FloatType column
+        // are float-widened-to-double strings ("0.10000000149...")
+        // while Row#toString of the same key renders "0.1", so a
+        // string-rendered bound can wrongly REFUTE a file that holds
+        // the key (silently resurrecting deleted rows), and a date /
+        // timestamp key's "2024-01-01" rendering crashes the "i"
+        // comparison outright. Types outside the conversion lattice
+        // (or a domain that disagrees with the file's recorded tag)
+        // yield no refutation — the file rewrites conservatively.
+        val groups: Seq[(Seq[FileEntry], String, Option[(String, String, String)])] =
           eqs.map(e => e -> s.read.parquet(s"$root/${e.path}"))
             .groupBy(_._2.columns.sorted.toSeq).values.map { g =>
               val delKeys = g.map(_._2).reduce(_.unionByName(_))
               val k0 = delKeys.columns.head // PHYSICAL name as written
+              val dt = delKeys.schema(k0).dataType
               val r = delKeys.agg(smin(col(k0)), smax(col(k0))).head
               val bounds =
                 if (r.isNullAt(0)) None
-                else Some((r.get(0).toString, r.get(1).toString))
+                else for {
+                  (dom, lo) <- statDomainBound(dt, r.get(0))
+                  (_, hi) <- statDomainBound(dt, r.get(1))
+                } yield (dom, lo, hi)
               (g.map(_._1), k0, bounds)
             }.toSeq
         data.filter { e =>
           groups.exists { case (ents, k0, bounds) =>
             ents.exists(_.seq > e.seq) && ((e.statsFor(k0), bounds) match {
-              case (Some(st), Some((lo, hi))) =>
+              case (Some(st), Some((dom, lo, hi))) if st.domain == dom =>
                 rangesOverlap(st.tag, st.mn, st.mx, lo, hi)
-              case _ => true // no stats → cannot refute → rewrite
+              case _ => true // no stats / untyped bound / domain
+              // mismatch → cannot refute → rewrite
             })
           }
         }.map(_.fileName).toSet
