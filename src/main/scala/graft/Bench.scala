@@ -95,9 +95,23 @@ object Bench {
       "fmt_snapshot_upsert", "fmt_snapshot_cdf_full",
       "fmt_snapshot_cdf_sql", "stream_interval_left_join",
       "ann_sq8_maintained", "stream_ann_maintain")
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .sortBy { case (name, _) => (!heavy(name), name) }
+    // FIXED-WORK CALIBRATION: a synthetic constant-cost query (no
+    // table input — 100M codegen'd hashes through one 1024-group
+    // shuffle) timed like every other entry and recorded in the JSON.
+    // Cross-round totals drift with machine state (r11 showed a 7x
+    // heavy tail, r12 a uniform x1.27 on identical bytecode); dividing
+    // a round's numbers by its own calibration median normalizes that
+    // drift instead of re-adjudicating it by hand. Runs FIRST, on the
+    // post-warmup heap.
+    import org.apache.spark.sql.functions.{col, hash, sum}
+    val calibration: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, _) => s.range(0, 100000000L)
+        .select(hash(col("id")).as("h"), (col("id") % 1024).as("g"))
+        .groupBy("g").agg(sum("h").as("s"))
+    val ordered = ("calibration" -> calibration) +:
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .sortBy { case (name, _) => (!heavy(name), name) }
     val results = ordered.map { case (name, fn) =>
       val isolate = heavy(name)
       def once(): Double = {

@@ -29,6 +29,7 @@ object SparkEntry {
       graft.ops.GraphOps.queries ++
       graft.ops.Warehouse.queries ++
       graft.ops.Retrieval.queries ++
+      graft.ops.Bm25Index.queries ++
       graft.ops.MlOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.ops.GraphOps.oracles ++
       graft.ops.Warehouse.oracles ++
       graft.queries.OpsQueries.retrievalOracles ++
+      graft.ops.Bm25Index.oracles ++
       graft.ops.MlOps.oracles
 }

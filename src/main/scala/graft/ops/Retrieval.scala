@@ -68,11 +68,32 @@ object Retrieval {
     // engines (avg() would sum doubles in engine-dependent order)
     val stats = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum(col("dl")).as("total_tokens")))
-    val qterms = docs.filter(col("doc_id") < QueryDocs)
+    bm25Core(tf, dl, stats, queryTermsOf(docs), k)
+  }
+
+  /** The standing query set's (query_id, term) pairs — first
+    * [[QueryTerms]] tokens of each doc below [[QueryDocs]]. Shared by
+    * the from-scratch scorer and the maintained-index search
+    * ([[Bm25Index.searchBm25Index]]), which reads them from the LIVE
+    * corpus (delta-small: a pruned read of [[QueryDocs]] docs).
+    */
+  private[ops] def queryTermsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") < QueryDocs)
       .select(col("doc_id").as("query_id"),
         explode(slice(split(col("text"), " ", -1), 1, QueryTerms)).as("term"))
       .filter(length(col("term")) > 0)
       .distinct()
+
+  /** The scoring core over MATERIALIZED statistics — (doc_id, term,
+    * tf), (doc_id, dl) and the one-row (n_docs, total_tokens) frame —
+    * shared verbatim by [[bm25TopK]] (which derives them from the raw
+    * corpus in one tokenize pass) and [[Bm25Index]] (which maintains
+    * them AS snapshot tables from the corpus change feed), so the
+    * maintained-index search is expression-for-expression the gated
+    * scorer.
+    */
+  private[ops] def bm25Core(tf: DataFrame, dl: DataFrame,
+      stats: DataFrame, qterms: DataFrame, k: Int): DataFrame = {
     // df restricted to the query terms first, so the per-term stats join
     // below is a broadcast of O(|queries| * QueryTerms) rows, not a
     // shuffle of the full vocabulary

@@ -272,6 +272,31 @@ object Sketches {
     */
   val HllLcThreshold: Long = 5L * HllBuckets / 2
 
+  /** DRIVER-side register finalize — the exact integer arithmetic of
+    * [[hllFinalize]] over one in-memory register array (the manifest
+    * NDV stats group's consumer, [[graft.sources.SnapshotTable.ndvOf]]):
+    * same numerator literal, same fixed divide order, same
+    * [[HllLcTable]] correction, so a driver estimate from manifest
+    * registers is BIT-IDENTICAL to the query-level `hll_regs` path
+    * over the same rows — what lets the NDV gate hash-check against
+    * the DuckDB oracle.
+    */
+  def estimateFromRegs(regs: Array[Int]): Long = {
+    val maxRho = HllRemBits + 1
+    val used = regs.filter(_ > 0)
+    val mUsed = used.length.toLong
+    val sUsed = used.map(r => 1L << (maxRho - r)).sum
+    val est = HllNumerator /
+      (sUsed + (HllBuckets - mUsed) * (1L << maxRho))
+    if (HllBuckets - mUsed > 0 && est <= HllLcThreshold)
+      HllLcTable((HllBuckets - mUsed).toInt - 1)
+    else est
+  }
+
+  /** Merge register arrays: slot-wise max (HLL's union). */
+  def mergeRegs(a: Array[Int], b: Array[Int]): Array[Int] =
+    Array.tabulate(HllBuckets)(i => math.max(a(i), b(i)))
+
   /** Fold registers into the integer raw estimate (plus the
     * linear-counting-corrected `hll_lc`) and join the exact reference:
     * (source, n_exact, m_used, hll_est, hll_lc, err_pct).

@@ -2210,6 +2210,7 @@ object FormatQueries {
     "fmt_snapshot_expire" -> (snapshotExpire _),
     "fmt_snapshot_refs" -> (snapshotRefs _),
     "fmt_snapshot_bloom" -> (snapshotBloom _),
+    "fmt_snapshot_ndv" -> (snapshotNdv _),
     "fmt_snapshot_dsv2" -> (snapshotDsv2 _),
     "fmt_zstd_roundtrip" -> (zstdRoundTrip _),
     "fmt_malformed_csv" -> (malformedCsv _),
@@ -2223,6 +2224,43 @@ object FormatQueries {
     "fmt_dpp_prune" -> (dppPrune _),
     "fmt_count_pushdown" -> (countPushdown _)
   )
+
+  /** The manifest NDV stats group end-to-end
+    * ([[graft.sources.SnapshotTable.buildNdvIndex]]): commit orders as
+    * a snapshot table, build per-file HLL registers over a
+    * high-cardinality key and a low-cardinality dimension, then report
+    * the TABLE-level distinct-count estimates folded on the driver
+    * from the manifest ALONE (zero data reads at estimate time —
+    * [[graft.sources.SnapshotTable.ndvOf]]) next to the exact
+    * distincts. The DuckDB oracle recomputes both estimates from the
+    * raw table through the identical integer HLL arithmetic
+    * ([[graft.ops.Sketches.sqlHllEstCtes]]; register merge across
+    * files = registers over all rows, max is associative), so the
+    * hash gate proves the manifest registers are bit-exact — the
+    * column statistic CBO join sizing consumes
+    * (`SnapshotNdvSpec` locks the broadcast-decision plan shape).
+    */
+  def snapshotNdv(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_ndv")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    SnapshotTable.commit(o.repartition(8), root,
+      statsCol = Some("o_custkey"))
+    SnapshotTable.buildNdvIndex(s, root, "o_custkey")
+    SnapshotTable.buildNdvIndex(s, root, "o_orderstatus")
+    val cur = SnapshotTable.currentSnapshot(s, root)
+    val ndvCust = SnapshotTable.ndvOf(s, root, cur, "o_custkey")
+      .getOrElse(-1L)
+    val ndvStatus = SnapshotTable.ndvOf(s, root, cur, "o_orderstatus")
+      .getOrElse(-1L)
+    graft.Tables.orders(s, d).agg(
+        countDistinct(col("o_custkey")).as("exact_custkey"),
+        countDistinct(col("o_orderstatus")).as("exact_status"))
+      .withColumn("ndv_custkey", lit(ndvCust))
+      .withColumn("ndv_status", lit(ndvStatus))
+  }
 
   /** Global COUNT(*) through the DSv2 connector's aggregate pushdown:
     * the plan's scan is the metadata-only [[graft.sources.FixedRecordCountScan]]
@@ -2244,6 +2282,25 @@ object FormatQueries {
     * is correct iff it is invisible to the aggregate.
     */
   val oracles: Map[String, String] = Map(
+    // the manifest NDV estimates recomputed from the raw table through
+    // the identical integer HLL arithmetic (register merge across
+    // files == registers over all rows), next to the exact distincts
+    "fmt_snapshot_ndv" ->
+      s"""WITH toks AS (
+         |  SELECT 'ck' AS source, o_custkey::VARCHAR AS tok FROM orders
+         |  UNION ALL
+         |  SELECT 'st', o_orderstatus FROM orders),
+         |d AS (SELECT source, ${graft.ops.Sketches.sqlH48("tok")} AS h
+         |  FROM toks),
+         |${graft.ops.Sketches.sqlHllEstCtes},
+         |lc AS (SELECT source, ${graft.ops.Sketches.sqlHllLc("est")}
+         |  AS ndv FROM est)
+         |SELECT
+         |  count(DISTINCT o_custkey)::BIGINT AS exact_custkey,
+         |  count(DISTINCT o_orderstatus)::BIGINT AS exact_status,
+         |  (SELECT ndv FROM lc WHERE source = 'ck') AS ndv_custkey,
+         |  (SELECT ndv FROM lc WHERE source = 'st') AS ndv_status
+         |FROM orders""".stripMargin,
     // TIMESTAMP AS OF the instant between the two commits reads the
     // CTAS half; the metadata table's max row count = the final table
     "fmt_snapshot_timetravel" ->

@@ -703,6 +703,18 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         { case Seq(t: String, c: String) =>
           Seq(Long.box(
             SnapshotTable.buildBloomIndex(spark, rootOf(t), c))) }),
+      Proc("build_ndv",
+        "build (or refresh) the per-file HLL NDV stats group over a " +
+          "column: one read-only scan + one metadata-only commit; the " +
+          "scan then reports the column's distinct count to the " +
+          "planner (CBO join sizing) from the manifest alone",
+        Seq(("table", StringType, None), ("column", StringType, None)),
+        Seq(("current_version", LongType), ("ndv_estimate", LongType)),
+        { case Seq(t: String, c: String) =>
+          val root = rootOf(t)
+          val v = SnapshotTable.buildNdvIndex(spark, root, c)
+          Seq(Long.box(v), Long.box(
+            SnapshotTable.ndvOf(spark, root, v, c).getOrElse(-1L))) }),
       Proc("build_sq8_index",
         "build the SQ8 ANN index of `table`'s embedding column as a " +
           "NEW snapshot table (codebook frozen at build); maintain it " +

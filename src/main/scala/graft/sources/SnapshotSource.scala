@@ -382,8 +382,23 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
   private var pushedPhys: Seq[Expression] = Seq.empty
   private var prunedPhysSchema: Option[StructType] = None
 
+  // IsNotNull-ONLY pushdown bookkeeping: a join on a column pushes
+  // IsNotNull(key) into its scans, which would otherwise void the
+  // exact manifest row count the planner (CBO join sizing) feeds on —
+  // but "rows where c IS NOT NULL" IS manifest-exact: total minus the
+  // column's recorded null counts. Tracked as (physical cols seen,
+  // whether anything beyond IsNotNull was pushed).
+  private var notNullCols: Seq[String] = Seq.empty
+  private var nonNotNullPushed = false
+
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     filtered = filtered || filters.nonEmpty
+    filters.foreach {
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          a: org.apache.spark.sql.catalyst.expressions.AttributeReference) =>
+        notNullCols :+= physMap.getOrElse(a.name, a.name)
+      case _ => nonNotNullPushed = true
+    }
     // manifest stats and parquet files both live in PHYSICAL names
     val phys = filters.map(toPhysExpr)
     // the top-level Seq is a conjunction: ANY conjunct proving a file
@@ -428,10 +443,18 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
     // With no row-level filters pushed, the manifest's recorded row
     // counts give the scan's EXACT cardinality — handed to the planner
     // in place of parquet's size-derived estimate.
-    val manifestRows =
-      if (!filtered && !scanEntries.exists(_.isDelete) &&
-          scanEntries.nonEmpty && scanEntries.forall(_.rows.isDefined))
-        Some(scanEntries.map(_.rows.get).sum)
+    val manifestRows: Option[Long] =
+      if (scanEntries.exists(_.isDelete) || scanEntries.isEmpty ||
+          !scanEntries.forall(_.rows.isDefined)) None
+      else if (!filtered) Some(scanEntries.map(_.rows.get).sum)
+      else if (!nonNotNullPushed && notNullCols.distinct.size == 1 &&
+          scanEntries.forall(e =>
+            e.statsFor(notNullCols.head).exists(_.nulls.isDefined)))
+        // IsNotNull-only pushdown on ONE column: still EXACT — total
+        // minus the column's commit-time null counts (a join's pushed
+        // IsNotNull(key) must not cost the planner its cardinality)
+        Some(scanEntries.map(e => e.rows.get -
+          e.statsFor(notNullCols.head).get.nulls.get).sum)
       else None
     // the runtime-refilter replan: a fresh parquet builder over the
     // narrowed list with the SAME pushdown state as the original
@@ -683,6 +706,9 @@ private[sources] class SnapshotScanWrapper(root: String,
     else runtimeEntries.filterNot(_.isDelete)
       .flatMap(_.stats.map(_.col)).distinct
       .map(c => if (c.startsWith("#bloom:")) c.stripPrefix("#bloom:") else c)
+      // other pseudo-stats groups (#ndv: registers) carry no runtime
+      // refutation evidence — only bands and blooms prune
+      .filterNot(_.startsWith("#"))
       .distinct
       .map(c => org.apache.spark.sql.connector.expressions.Expressions
         .column(logicalOf.getOrElse(c, c))).toArray
@@ -785,13 +811,60 @@ private[sources] class SnapshotScanWrapper(root: String,
     }
     // the delegate's size estimate + the manifest's EXACT row count
     // (recorded at commit; available when no row-level filter was
-    // pushed) — better CBO/AQE cardinality than size/row-width math
+    // pushed) — better CBO/AQE cardinality than size/row-width math —
+    // + COLUMN stats (NDV from the manifest's HLL register group,
+    // [[SnapshotTable.buildNdvIndex]], and null counts): Spark's
+    // transformV2Stats folds these into catalyst ColumnStat, so with
+    // CBO enabled the planner estimates join/aggregate output sizes
+    // from real distinct counts — the broadcast-or-not decision on a
+    // dimension join made without ever scanning the fact
+    val colStats = manifestColumnStats()
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes() = base.sizeInBytes()
       override def numRows() = manifestRows
         .map(java.util.OptionalLong.of)
         .getOrElse(base.numRows())
+      override def columnStats() = colStats
     }
+  }
+
+  /** Manifest-derived per-column statistics for the SCANNED file set:
+    * distinctCount = the slot-wise-merged HLL registers of every data
+    * file (complete sets only — a file missing the group, e.g. one a
+    * rewrite refreshed after the index build, withdraws that column's
+    * stat rather than under-reporting); nullCount = summed footer null
+    * counts. Physical names map back to the snapshot's logical names.
+    * Empty on eq-burdened scans (live counts undefined until fold).
+    */
+  private def manifestColumnStats(): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.expressions.{Expressions => V2Ex}
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    val data = runtimeEntries.filterNot(_.isDelete)
+    if (data.isEmpty || runtimeEntries.exists(_.isEqDelete)) return out
+    val physCols = data.head.stats.map(_.col)
+      .filter(_.startsWith("#ndv:")).map(_.stripPrefix("#ndv:"))
+    physCols.foreach { pc =>
+      val regs = data.map(_.ndvRegsFor(pc))
+      if (regs.forall(_.isDefined)) {
+        val ndv = graft.ops.Sketches.estimateFromRegs(
+          regs.flatten.reduce(graft.ops.Sketches.mergeRegs))
+        val nulls = data.map(_.statsFor(pc).flatMap(_.nulls))
+        val nullsTotal =
+          if (nulls.forall(_.isDefined)) Some(nulls.flatten.sum) else None
+        out.put(V2Ex.column(logicalOf.getOrElse(pc, pc)),
+          new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+            override def distinctCount() = java.util.OptionalLong.of(ndv)
+            override def nullCount() = nullsTotal
+              .map(java.util.OptionalLong.of)
+              .getOrElse(java.util.OptionalLong.empty())
+          })
+      }
+    }
+    out
   }
 
   override def toMicroBatchStream(checkpointLocation: String)

@@ -65,7 +65,15 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DecimalType, D
   *       reads deterministically (missing columns → NULL) at every
   *       version; `merge.key` tags merge commits and `cdf.dir` points
   *       at a merge's recorded row-level change frame ([[changeFeed]]).
-  *   `data/<file>`                                a data file, no stats
+  *   `#shard s-<uuid>.shard`                      a manifest SHARD ref:
+ *       the named immutable file under `_manifests/` holds entry
+ *       lines (never props) that expand in place — the manifest-list
+ *       layer that makes commit text O(delta): appends carry the
+ *       previous head's refs verbatim and roll only their own new
+ *       entries into one new shard; rewrite shapes inline only the
+ *       survivors of shards they touched. Pre-shard manifests (pure
+ *       inline lines) parse unchanged.
+ *   `data/<file>`                                a data file, no stats
   *   `data/<file>\trc=<n>`                        + its row count
   *   `data/<file>[\t<col>\t<tag>\t<min>\t<max>]*[\trc=<n>]` + the
   *       commit-time parquet-footer min/max of each stats column (tag
@@ -187,6 +195,14 @@ object SnapshotTable {
       stats.find(_.col == s"#bloom:$colName").map(st =>
         (java.util.Base64.getDecoder.decode(st.mn),
           st.tag.stripPrefix("b").toInt))
+    /** The file's HLL NDV registers over `colName`
+      * ([[buildNdvIndex]]) — 64 one-byte registers as base64 in a
+      * `#ndv:<col>` pseudo-stats tuple (tag `h`), mergeable slot-wise
+      * for table-level NDV without a scan.
+      */
+    def ndvRegsFor(colName: String): Option[Array[Int]] =
+      stats.find(_.col == s"#ndv:$colName").map(st =>
+        java.util.Base64.getDecoder.decode(st.mn).map(_.toInt & 0xff))
     def render: String = {
       val st = stats.map(t =>
         s"\t${enc(t.col)}\t${t.tag}\t${enc(t.mn)}\t${enc(t.mx)}").mkString
@@ -271,6 +287,107 @@ object SnapshotTable {
     finally in.close()
   }
 
+  // ---- manifest SHARDS: the O(delta)-commit manifest tree ------------
+  //
+  // A flat per-snapshot manifest re-renders one line per live file on
+  // EVERY commit — O(files) driver text that grows with the TABLE, not
+  // the delta: at 100 TB (~800k files at 128 MB/file) each append
+  // would rewrite hundreds of MB of manifest. Instead, a snapshot's
+  // entry section may reference immutable SHARD files:
+  //
+  //   `#shard s-<uuid>.shard`     (under `_manifests/`, entry lines
+  //                                only — never props)
+  //
+  // A commit writes AT MOST one new shard (its own new/inlined
+  // entries, once they outgrow `graft.snapshot.manifest.shard.min.lines`)
+  // plus a small head of carried REFS — the Iceberg manifest-list
+  // shape. Appends, WAP stages, rollbacks, and metadata-only commits
+  // carry the previous head's refs VERBATIM ([[headEntryLines]]);
+  // rewrite shapes (merge, deletes, compaction) carry untouched shards
+  // as refs and inline only the survivors of shards they touched
+  // ([[rewriteHeadLines]]) — commit text tracks the TOUCHED set.
+  // Shards are immutable and uuid-named (never reused), so a
+  // driver-side cache makes re-expansion across snapshots one read per
+  // shard; pre-shard manifests (pure inline lines) expand as identity.
+  // Lifecycle: [[expireBelow]] deletes shards referenced only by
+  // expired heads; a crashed commit's never-referenced shard is
+  // ordinary age-gated [[removeOrphans]] debris.
+
+  private val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def shardLinesOf(fs: FileSystem, root: String,
+      name: String): Seq[String] = {
+    val key = new Path(manifestDir(root), name).toString
+    val hit = shardCache.get(key)
+    if (hit != null) hit
+    else {
+      val lines = manifestLines(fs, new Path(manifestDir(root), name))
+      if (shardCache.size > 4096) shardCache.clear() // bound the memo
+      shardCache.put(key, lines)
+      lines
+    }
+  }
+
+  /** The entry SECTION of head lines: every non-prop line, `#shard`
+    * refs included (unexpanded).
+    */
+  private def entrySectionOf(lines: Seq[String]): Seq[String] =
+    lines.filter(l => !l.startsWith("#") || l.startsWith("#shard "))
+
+  /** Expand `#shard` refs into their entry lines, in place (order
+    * preserved); plain entry lines pass through — identity on
+    * pre-shard manifests.
+    */
+  private def expandEntrySection(fs: FileSystem, root: String,
+      lines: Seq[String]): Seq[String] =
+    lines.flatMap {
+      case l if l.startsWith("#shard ") =>
+        shardLinesOf(fs, root, l.stripPrefix("#shard ").trim)
+      case l => Seq(l)
+    }
+
+  /** Snapshot `id`'s entry-section head lines UNEXPANDED (shard refs +
+    * inline entry lines) — what an append-shaped commit carries so its
+    * manifest write is O(delta + shards), never O(files).
+    */
+  private[sources] def headEntryLines(s: SparkSession, root: String,
+      id: Long): Seq[String] =
+    entrySectionOf(rawLines(s, root, id))
+
+  private def shardRefsIn(lines: Seq[String]): Seq[String] =
+    lines.collect {
+      case l if l.startsWith("#shard ") => l.stripPrefix("#shard ").trim
+    }
+
+  /** Head lines for a commit that DROPS or REWRITES some of snapshot
+    * `id`'s entries: `f` maps each entry to None (drop) or its
+    * replacement; a shard whose every line survives UNCHANGED carries
+    * as its ref (one head line, zero re-render), a touched shard
+    * inlines its survivors, inline lines map individually. The commit
+    * text therefore tracks the touched set — on a clustered table a
+    * keyed merge leaves all but the boundary shards as refs.
+    */
+  private def rewriteHeadLines(s: SparkSession, root: String, id: Long)(
+      f: FileEntry => Option[FileEntry]): Seq[String] = {
+    val fs = fsOf(s, new Path(root))
+    def apply(ln: String): Option[String] = f(parseEntry(ln)).map(_.render)
+    headEntryLines(s, root, id).flatMap {
+      case l if l.startsWith("#shard ") =>
+        val lines = shardLinesOf(fs, root, l.stripPrefix("#shard ").trim)
+        val mapped = lines.map(ln => ln -> apply(ln))
+        if (mapped.forall { case (ln, m) => m.contains(ln) }) Seq(l)
+        else mapped.flatMap(_._2)
+      case l => apply(l).toSeq
+    }
+  }
+
+  /** [[rewriteHeadLines]] for the pure keep/drop case. */
+  private[sources] def carriedHeadLines(s: SparkSession, root: String,
+      id: Long, keepPath: String => Boolean): Seq[String] =
+    rewriteHeadLines(s, root, id)(e =>
+      if (keepPath(e.path)) Some(e) else None)
+
   /** A STAGED (write-audit-publish) snapshot's manifest: named by the
     * caller's wap id, invisible to [[currentSnapshot]] / readers /
     * time travel until [[publishWap]] fast-forwards it onto the head.
@@ -298,7 +415,8 @@ object SnapshotTable {
 
   private[sources] def wapEntries(s: SparkSession, root: String,
       wapId: String): Seq[FileEntry] =
-    wapLines(s, root, wapId).filterNot(_.startsWith("#")).map(parseEntry)
+    expandEntrySection(fsOf(s, new Path(root)), root,
+      entrySectionOf(wapLines(s, root, wapId))).map(parseEntry)
 
   private[sources] def wapStoredSchema(s: SparkSession, root: String,
       wapId: String): Option[StructType] =
@@ -309,7 +427,8 @@ object SnapshotTable {
     * excluding property headers.
     */
   private[sources] def entryLines(s: SparkSession, root: String, id: Long): Seq[String] =
-    rawLines(s, root, id).filterNot(_.startsWith("#"))
+    expandEntrySection(fsOf(s, new Path(root)), root,
+      entrySectionOf(rawLines(s, root, id)))
 
   private[sources] def entries(s: SparkSession, root: String,
       id: Long): Seq[FileEntry] =
@@ -516,7 +635,7 @@ object SnapshotTable {
     // overwrite replaces both the file set and the schema
     val carried =
       if (overwrite || prev == 0L) Seq.empty[String]
-      else entryLines(s, root, prev)
+      else headEntryLines(s, root, prev) // shard refs: O(delta) commit
     val baseSchema =
       if (overwrite || prev == 0L) None else storedSchema(s, root, prev)
     // overwrite RESTATES the prop even when empty, so an overwrite
@@ -777,11 +896,33 @@ object SnapshotTable {
       val (stats, rows) = footerInfo(s, new Path(rootP, rel), effStatsCols)
       FileEntry(rel, stats, Some(rows), id).render
     }
-    val files = carried ++ movedEntries
+    // SHARD the entry section: carried `#shard` refs pass through
+    // verbatim (O(1) head text per shard, whatever it lists); inline
+    // lines — this commit's new entries plus any inline carries — roll
+    // into AT MOST one new shard once they outgrow the threshold, so
+    // head size stays O(shards + threshold) and commit text is
+    // O(delta) at any table size. A conflict-failed commit's shard is
+    // never referenced — ordinary age-gated orphan debris.
+    fs.mkdirs(manifestDir(root))
+    val shardMin =
+      s.conf.get("graft.snapshot.manifest.shard.min.lines", "32").toInt
+    val (carriedRefs, carriedInline) =
+      carried.partition(_.startsWith("#shard "))
+    val inlineAll = carriedInline ++ movedEntries
+    val files =
+      if (inlineAll.length > shardMin) {
+        val shardName = s"s-$commitId.shard"
+        val sp = new Path(manifestDir(root), shardName)
+        val so = fs.create(sp, false)
+        try so.write(inlineAll.mkString("\n")
+          .getBytes(StandardCharsets.UTF_8))
+        finally so.close()
+        shardCache.put(sp.toString, inlineAll)
+        carriedRefs :+ s"#shard $shardName"
+      } else carriedRefs ++ inlineAll
     val allProps = carriedProps ++ Map("schema" -> schema.json) ++ props
     // manifest content first to a temp name, then the atomic rename that
     // IS the commit; a taken name means a concurrent writer won the race
-    fs.mkdirs(manifestDir(root))
     val tmp = new Path(manifestDir(root), s".tmp-$commitId")
     val lines =
       allProps.toSeq.sortBy(_._1)
@@ -991,6 +1132,24 @@ object SnapshotTable {
       .flatMap(id => snapshotProps(s, root, id).get("cdf.dir")).toSet
     val expiredCdf: Set[String] =
       expiredIds.flatMap(id => snapshotProps(s, root, id).get("cdf.dir")).toSet
+    // manifest SHARDS referenced by kept heads (and WAP stages, whose
+    // audit is still pending) survive; shards referenced ONLY by
+    // expired heads are this sweep's garbage — read before deletion,
+    // like the file lists above. Never-referenced shards (crashed
+    // commits) are removeOrphans' age-gated debris, not expire's.
+    def refsOf(id: Long): Seq[String] =
+      if (!fs.exists(manifestPath(root, id))) Seq.empty
+      else shardRefsIn(headEntryLines(s, root, id))
+    val wapShards: Set[String] =
+      if (!fs.exists(mdir)) Set.empty
+      else fs.listStatus(mdir).iterator
+        .filter(st => st.getPath.getName.startsWith("wap-") &&
+          st.getPath.getName.endsWith(".manifest"))
+        .flatMap(st => shardRefsIn(manifestLines(fs, st.getPath)))
+        .toSet
+    val keptShards: Set[String] =
+      keptIds.flatMap(refsOf).toSet ++ wapShards
+    val expiredShards: Set[String] = expiredIds.flatMap(refsOf).toSet
     var nManifests = 0
     fs.listStatus(mdir).foreach { st =>
       val n = st.getPath.getName
@@ -1021,6 +1180,10 @@ object SnapshotTable {
     (expiredCdf -- keptCdf).foreach { rel =>
       fs.delete(new Path(root, rel), true)
     }
+    (expiredShards -- keptShards).foreach { name =>
+      fs.delete(new Path(mdir, name), false)
+      shardCache.remove(new Path(mdir, name).toString)
+    }
     (nManifests, nData)
   }
 
@@ -1047,11 +1210,26 @@ object SnapshotTable {
           (n.startsWith("v") || n.startsWith("wap-")) &&
             n.endsWith(".manifest")
         }.toSeq
+    val headLines: Seq[Seq[String]] =
+      manifests.map(p => manifestLines(fs, p))
     val referenced: Set[String] =
-      manifests.flatMap(p => manifestLines(fs, p)
-        .filterNot(_.startsWith("#")).map(parseEntry(_).path)).toSet
+      headLines.flatMap(ls => expandEntrySection(fs, root,
+        entrySectionOf(ls)).map(parseEntry(_).path)).toSet
     var n = 0
     val now = System.currentTimeMillis()
+    // manifest shards referenced by NO head (v-* or wap-*) — a commit
+    // that wrote its shard and crashed before the head rename — are
+    // the same age-gated crash debris as unreferenced data files
+    val refShards: Set[String] = headLines.flatMap(shardRefsIn).toSet
+    if (fs.exists(mdir)) fs.listStatus(mdir).foreach { st =>
+      val nm = st.getPath.getName
+      if (nm.startsWith("s-") && nm.endsWith(".shard") &&
+          !refShards(nm) && now - st.getModificationTime > olderThanMs) {
+        fs.delete(st.getPath, false)
+        shardCache.remove(st.getPath.toString)
+        n += 1
+      }
+    }
     // data files AND delete-vector files: a deleteWhereMor that crashed
     // between publishing its vector and renaming its manifest leaves
     // the same shape of garbage in deletes/ as a crashed commit in data/
@@ -1107,7 +1285,7 @@ object SnapshotTable {
     require(toId >= 1 && toId < cur,
       s"rollback: target v$toId must be an existing snapshot earlier " +
         s"than current v$cur of $root")
-    val carried = entryLines(s, root, toId)
+    val carried = headEntryLines(s, root, toId)
     val schema = storedSchema(s, root, toId).getOrElse(
       readAt(s, root, toId).schema)
     // the restore target's table-shape props (partitioning) travel with
@@ -1296,8 +1474,10 @@ object SnapshotTable {
     // consistent with rewrites; rebuild with buildBloomIndex. Min/max
     // stats keep their i/d domain and stay.
     val phys = physMapOf(s, root, cur).getOrElse(name, name)
-    val lines = entries(s, root, cur).map(e =>
-      e.copy(stats = e.stats.filterNot(_.col == s"#bloom:$phys")).render)
+    // shard-aware: only shards that actually carry the widened
+    // column's bloom inline their lines; the rest carry as refs
+    val lines = rewriteHeadLines(s, root, cur)(e =>
+      Some(e.copy(stats = e.stats.filterNot(_.col == s"#bloom:$phys"))))
     metadataOnlyCommit(s, root, cur, newSchema, Map(
       "widen.col" ->
         s"${enc(name)}:${field.dataType.catalogString}>${to.catalogString}"),
@@ -1358,7 +1538,7 @@ object SnapshotTable {
     val staging = new Path(new Path(root), s"_staging/$commitId")
     fs.mkdirs(staging)
     publishStaged(s, root, commitId, staging,
-      lines.getOrElse(entryLines(s, root, cur)),
+      lines.getOrElse(headEntryLines(s, root, cur)),
       cur, Seq.empty, props, schema)
   }
 
@@ -1684,22 +1864,103 @@ object SnapshotTable {
       .collect().map(r => r.getString(0) ->
         r.getSeq[Int](1).toArray).toMap // O(files x bits) driver memory
     val b64 = java.util.Base64.getEncoder
-    def render(e: FileEntry): String = {
+    def withBloom(e: FileEntry): FileEntry = {
       val bytes = new Array[Byte](effBits / 8)
       perFile.getOrElse(e.fileName, Array.empty[Int]).foreach(p =>
         bytes(p >> 3) = (bytes(p >> 3) | (1 << (p & 7))).toByte)
       val others = e.stats.filterNot(_.col == s"#bloom:$physCol")
       e.copy(stats = others :+ FileStats(s"#bloom:$physCol",
-        s"b$hashes", b64.encodeToString(bytes), "")).render
+        s"b$hashes", b64.encodeToString(bytes), ""))
     }
     val fs = fsOf(s, new Path(root))
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
     val staging = new Path(new Path(root), s"_staging/$commitId")
     fs.mkdirs(staging) // empty: metadata-only commit
     publishStaged(s, root, commitId, staging,
-      data.map(render) ++ dvs.map(_.render), cur, Seq.empty,
+      rewriteHeadLines(s, root, cur)(e =>
+        Some(if (e.isDelete) e else withBloom(e))),
+      cur, Seq.empty,
       Map("bloom.col" -> colName),
       storedSchema(s, root, cur).getOrElse(df.schema))
+  }
+
+  /** Build (or refresh) the per-file NDV stats group over `colName`:
+    * the engine's own 64-register HLL ([[graft.functions.HllRegsAgg]],
+    * 64 bytes/column/file) computed in ONE read-only scan grouped by
+    * `_metadata.file_name` and committed metadata-only as a
+    * `#ndv:<physical col>` pseudo-stats tuple — the fourth stats group
+    * after min/max, null counts, and blooms. Registers are slot-wise
+    * mergeable, so [[ndvOf]] folds them on the driver into a
+    * table-level distinct-count estimate with ZERO data reads — the
+    * column statistic join-size estimation (CBO broadcast decisions)
+    * wants and a plain scan can never afford at 100 TB. Hash domain =
+    * the value's canonical string through [[graft.ops.Sketches.h48]],
+    * identical to the `sketch_hll` query path, so estimates
+    * hash-check against it. A rewrite's NEW files simply lack the
+    * tuple (entries are immutable) — [[ndvOf]] then returns None
+    * (stale index, rebuild) rather than a silently-partial estimate.
+    * Returns the new snapshot id.
+    */
+  def buildNdvIndex(s: SparkSession, root: String, colName: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"NDV index on empty table $root: commit first")
+    val es = entries(s, root, cur)
+    val physCol = physMapOf(s, root, cur).getOrElse(colName, colName)
+    val data = es.filterNot(_.isDelete)
+    val df = readData(s, root, data.map(_.path),
+      storedSchema(s, root, cur), physMapOf(s, root, cur))
+    require(df.columns.contains(colName),
+      s"buildNdvIndex: no column '$colName' in $root")
+    val perFile: Map[String, Array[Int]] = df
+      .select(col("_metadata.file_name").as("f"),
+        graft.ops.Sketches.h48(col(colName).cast("string")).as("h"))
+      .groupBy("f")
+      .agg(graft.functions.HllRegsAgg.hll_regs(col("h")).as("reg"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[Int](1).toArray).toMap // O(files x 64 B) driver memory
+    val b64 = java.util.Base64.getEncoder
+    def withNdv(e: FileEntry): FileEntry = {
+      val regs = perFile.getOrElse(e.fileName,
+        new Array[Int](graft.ops.Sketches.HllBuckets)) // all-null file:
+      // zero registers, estimating 0 distinct — exactly right
+      val others = e.stats.filterNot(_.col == s"#ndv:$physCol")
+      e.copy(stats = others :+ FileStats(s"#ndv:$physCol", "h",
+        b64.encodeToString(regs.map(_.toByte)), ""))
+    }
+    val fs = fsOf(s, new Path(root))
+    val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val staging = new Path(new Path(root), s"_staging/$commitId")
+    fs.mkdirs(staging) // empty: metadata-only commit
+    publishStaged(s, root, commitId, staging,
+      rewriteHeadLines(s, root, cur)(e =>
+        Some(if (e.isDelete) e else withNdv(e))),
+      cur, Seq.empty,
+      Map("ndv.col" -> colName),
+      storedSchema(s, root, cur).getOrElse(df.schema))
+  }
+
+  /** Snapshot `id`'s table-level NDV estimate for `colName` from the
+    * manifest ALONE: slot-wise max over every data file's registers
+    * ([[buildNdvIndex]]), finalized with the engine's exact integer
+    * HLL arithmetic. None — honestly — when any data file lacks the
+    * registers (the index predates it, or a rewrite refreshed the
+    * file: rebuild) or when an equality delete is carried (live
+    * distinctness is undefined until [[rewriteDeletes]] folds, the
+    * same boundary as [[rowCount]]). Delete VECTORS are allowed: the
+    * estimate is then an upper bound over the physical rows, the
+    * useful direction for join planning.
+    */
+  def ndvOf(s: SparkSession, root: String, id: Long,
+      colName: String): Option[Long] = {
+    val es = entries(s, root, id)
+    if (es.exists(_.isEqDelete)) return None
+    val physCol = physMapOf(s, root, id).getOrElse(colName, colName)
+    val data = es.filterNot(_.isDelete)
+    val regs = data.map(_.ndvRegsFor(physCol))
+    if (data.isEmpty || regs.exists(_.isEmpty)) None
+    else Some(graft.ops.Sketches.estimateFromRegs(
+      regs.flatten.reduce(graft.ops.Sketches.mergeRegs)))
   }
 
   /** Stage an append as a WRITE-AUDIT-PUBLISH snapshot: the files are
@@ -1731,7 +1992,8 @@ object SnapshotTable {
     val prev = currentSnapshot(s, root)
     require(prev >= 1L,
       s"wap staging needs an existing table at $root (commit v1 first)")
-    commitWithCarried(df, root, entryLines(s, root, prev), prev, statsCol,
+    commitWithCarried(df, root, headEntryLines(s, root, prev), prev,
+      statsCol,
       props ++ Map("wap.id" -> wapId, "wap.base" -> prev.toString),
       storedSchema(s, root, prev), partitionColsOf(s, root, prev),
       wapId = Some(wapId))
@@ -1743,8 +2005,7 @@ object SnapshotTable {
     * applied. The audit gate's input.
     */
   def readWap(s: SparkSession, root: String, wapId: String): DataFrame = {
-    val es = wapLines(s, root, wapId)
-      .filterNot(_.startsWith("#")).map(parseEntry)
+    val es = wapEntries(s, root, wapId)
     require(es.nonEmpty, s"staged snapshot '$wapId' of $root lists no files")
     val schema = wapProps(s, root, wapId).get("schema")
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
@@ -1804,8 +2065,7 @@ object SnapshotTable {
     */
   def dropWap(s: SparkSession, root: String, wapId: String): Int = {
     val fs = fsOf(s, new Path(root))
-    val staged = wapLines(s, root, wapId)
-      .filterNot(_.startsWith("#")).map(parseEntry).map(_.path).toSet
+    val staged = wapEntries(s, root, wapId).map(_.path).toSet
     val base = wapBase(s, root, wapId)
     val baseFiles = fileList(s, root, base).toSet
     var n = 0
@@ -2384,8 +2644,9 @@ object SnapshotTable {
         allowMissingColumns = true)
     val cdfRel = s"changes/${java.util.UUID.randomUUID().toString.replace("-", "")}"
     changes.write.mode("overwrite").parquet(s"$root/$cdfRel")
+    val carriedPaths = carried.map(_.path).toSet
     val id = commitWithCarried(survivors.unionByName(updates), root,
-      carried.map(_.render), cur, Some(keyCol),
+      carriedHeadLines(s, root, cur, carriedPaths), cur, Some(keyCol),
       Map("merge.key" -> keyCol, "cdf.dir" -> cdfRel) ++ extraProps,
       baseSchema = schema,
       partitionCols = partitionColsOf(s, root, cur))
@@ -2773,7 +3034,9 @@ object SnapshotTable {
       cdfRel.map("cdf.dir" -> _).toMap ++
         (if (drop.isEmpty) Map.empty[String, String]
          else Map("cdf.del.files" -> drop.map(_.path).mkString(",")))
-    val id = commitWithCarried(survivors, root, keep.map(_.render), cur,
+    val keepPaths = keep.map(_.path).toSet
+    val id = commitWithCarried(survivors, root,
+      carriedHeadLines(s, root, cur, keepPaths), cur,
       if (statsCols.isEmpty) None else Some(statsCols.mkString(",")),
       Map("delete.cond" -> filters.mkString(" AND ")) ++ cdfProps,
       baseSchema = schema, partitionCols = partitionColsOf(s, root, cur))
@@ -2908,7 +3171,8 @@ object SnapshotTable {
     // manifest-only commit: every surviving data entry (and every
     // existing vector) carries VERBATIM; the only new line is the
     // vector's
-    val carried = (keep ++ ambiguous ++ dvs).map(_.render) ++ newDvLine
+    val keepPaths = (keep ++ ambiguous ++ dvs).map(_.path).toSet
+    val carried = carriedHeadLines(s, root, cur, keepPaths) ++ newDvLine
     val fs = fsOf(s, new Path(root))
     val staging = new Path(new Path(root), s"_staging/$commitId")
     fs.mkdirs(staging)
@@ -2967,7 +3231,8 @@ object SnapshotTable {
       .write.mode("overwrite").parquet(s"$root/$cdfRel")
     val statsCols = touched.flatMap(_.stats.map(_.col)).distinct
       .filterNot(_.startsWith("#"))
-    val id = commitWithCarried(survivors, root, carried.map(_.render), cur,
+    val id = commitWithCarried(survivors, root,
+      carriedHeadLines(s, root, cur, carried.map(_.path).toSet), cur,
       if (statsCols.isEmpty) None else Some(statsCols.mkString(",")),
       Map("delete.cond" -> s"keysIn($keyCol)", "cdf.dir" -> cdfRel),
       baseSchema = schema, partitionCols = partitionColsOf(s, root, cur))
@@ -3016,7 +3281,7 @@ object SnapshotTable {
       updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*),
       "upsertEq")
     commitWithCarried(updates, root,
-      entryLines(s, root, cur) :+ line, cur,
+      headEntryLines(s, root, cur) :+ line, cur,
       statsCol = Some(keyCols.mkString(",")),
       props = extraProps ++ Map("delete.eq" -> keyCols.mkString(","),
         "eq.file" -> eqRelOf(line)),
@@ -3048,7 +3313,7 @@ object SnapshotTable {
     val staging = new Path(new Path(root), s"_staging/$commitId")
     fs.mkdirs(staging) // manifest-only: no data file moves
     publishStaged(s, root, commitId, staging,
-      entryLines(s, root, cur) :+ line, cur, Seq.empty,
+      headEntryLines(s, root, cur) :+ line, cur, Seq.empty,
       Map("delete.eq" -> keys.columns.mkString(","),
         "eq.file" -> eqRelOf(line)),
       schema)
@@ -3179,7 +3444,8 @@ object SnapshotTable {
       val staging = new Path(new Path(root), s"_staging/$commitId")
       fs.mkdirs(staging)
       return publishStaged(s, root, commitId, staging,
-        data.map(_.render), cur, Seq.empty,
+        carriedHeadLines(s, root, cur, data.map(_.path).toSet),
+        cur, Seq.empty,
         Map("rewrite.deletes" -> dels.size.toString),
         schema.getOrElse(readAt(s, root, cur).schema))
     }
@@ -3189,7 +3455,8 @@ object SnapshotTable {
       eqs, affected, pm)
     val statsCols = affected.flatMap(_.stats.map(_.col)).distinct
       .filterNot(_.startsWith("#"))
-    commitWithCarried(survivors, root, untouched.map(_.render), cur,
+    commitWithCarried(survivors, root,
+      carriedHeadLines(s, root, cur, untouched.map(_.path).toSet), cur,
       if (statsCols.isEmpty) None else Some(statsCols.mkString(",")),
       Map("rewrite.deletes" -> dels.size.toString), baseSchema = schema,
       partitionCols = partitionColsOf(s, root, cur))
@@ -3262,7 +3529,8 @@ object SnapshotTable {
         // (three-valued logic: a null comparison keeps the row)
         base.where(not(coalesce(cond, lit(false)))).unionByName(df)
       }
-    val id = commitWithCarried(incoming, root, keep.map(_.render), cur,
+    val id = commitWithCarried(incoming, root,
+      carriedHeadLines(s, root, cur, keep.map(_.path).toSet), cur,
       statsCol, Map("replace.partitions" -> tuples.length.toString),
       baseSchema = schema, partitionCols = parts)
     lastReplace.put(root, (drop.size, rewrite.size, keep.size))
@@ -3488,7 +3756,8 @@ object SnapshotTable {
     // partitioned staging re-splits by value itself; flat tables pack
     // into the target file count directly
     val packed = if (parts.nonEmpty) packed0 else packed0.repartition(nOut)
-    val id = commitWithCarried(packed, root, large.map(_.render), cur,
+    val id = commitWithCarried(packed, root,
+      carriedHeadLines(s, root, cur, large.map(_.path).toSet), cur,
       Some(statsCols.mkString(",")),
       Map("compact.binpack" -> s"$minRows,$targetRows"),
       storedSchema(s, root, cur), parts)

@@ -227,7 +227,7 @@ private[sources] class SnapshotStreamingWrite(root: String,
       val prev = SnapshotTable.currentSnapshot(spark, root)
       val carried =
         if (prev == 0L) Seq.empty[String]
-        else SnapshotTable.entryLines(spark, root, prev)
+        else SnapshotTable.headEntryLines(spark, root, prev) // O(delta)
       val baseSchema =
         if (prev == 0L) None else SnapshotTable.storedSchema(spark, root, prev)
       val schema = SnapshotTable.asNullable(baseSchema
@@ -391,7 +391,11 @@ private[sources] class SnapshotRowLevelOperation(root: String,
       override def build(): Write = {
         val statsCols = entries.flatMap(_.stats.map(_.col)).distinct
         new SnapshotBatchWrite(root,
-          () => entries.diff(scanned).map(_.render), pinnedId,
+          // shard-aware carry: untouched shards stay refs, only shards
+          // the rewrite touched inline their survivors
+          () => SnapshotTable.carriedHeadLines(SparkSession.active,
+            root, pinnedId,
+            entries.diff(scanned).map(_.path).toSet), pinnedId,
           tableSchema, statsCols, Map("rowlevel.op" -> cmd.toString),
           SnapshotTable.physMapOf(SparkSession.active, root, pinnedId))
       }

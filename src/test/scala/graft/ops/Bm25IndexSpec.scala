@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.SnapshotTable
+
+/** The maintained BM25 index ([[Bm25Index]]):
+  *
+  *  - confluence: after append / merge-update / insert / COW-delete
+  *    churn, one maintenance pass leaves tf/dl row-for-row equal to a
+  *    from-scratch tokenize of the final corpus;
+  *  - search equality: the maintained-index search equals
+  *    [[Retrieval.bm25TopK]] over the final corpus, row-for-row;
+  *  - idempotence: a replayed pass below the floor is a no-op;
+  *  - honesty: dl counts token-less docs with dl = 0 so n_docs never
+  *    drifts.
+  */
+class Bm25IndexSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_bm25ix").toString
+
+  test("maintained tf/dl are confluent with a rebuild, and the index " +
+      "search equals the from-scratch scorer after churn") {
+    import spark.implicits._
+    val b = tmp()
+    val corpusRoot = s"$b/corpus"
+    val indexRoot = s"$b/ix"
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    SnapshotTable.commit(docs.repartitionByRange(4, col("doc_id")),
+      corpusRoot, statsCol = Some("doc_id"))
+    Bm25Index.buildBm25Index(spark, corpusRoot, indexRoot)
+    // zero-churn audit first
+    val (_, diff0) = Bm25Index.confluenceAudit(spark, corpusRoot, indexRoot)
+    assert(diff0 == 0L)
+    // churn: update, insert (including an EMPTY-text doc), delete
+    val mods = docs.filter(col("doc_id") % 7 === 2)
+      .withColumn("text", concat(lit("prepended "), col("text")))
+    val ins = Seq((20000001L, "fresh tokens here"), (20000002L, ""))
+      .toDF("doc_id", "text")
+    SnapshotTable.merge(mods.unionByName(ins), corpusRoot, "doc_id")
+    SnapshotTable.deleteWhere(spark, corpusRoot,
+      Seq(org.apache.spark.sql.sources.GreaterThan("doc_id", 50L),
+        org.apache.spark.sql.sources.LessThanOrEqual("doc_id", 90L)))
+    val through = Bm25Index.maintainBm25Index(spark, corpusRoot, indexRoot)
+    assert(through == SnapshotTable.currentSnapshot(spark, corpusRoot))
+    val (nTf, diff) = Bm25Index.confluenceAudit(spark, corpusRoot, indexRoot)
+    assert(diff == 0L, s"maintained index diverged from rebuild by $diff")
+    assert(nTf > 0L)
+    // the empty-text doc must be IN dl (dl = 0) so n_docs is exact
+    assert(SnapshotTable.read(spark, Bm25Index.dlRoot(indexRoot))
+      .filter(col("doc_id") === 20000002L).head.getLong(1) == 0L)
+    // search equality vs the gated from-scratch scorer on the final
+    // corpus
+    val fromIndex = Bm25Index.searchBm25Index(spark, corpusRoot, indexRoot)
+      .orderBy("query_id", "rank").collect().toSeq
+    val fromScratch = Retrieval.bm25TopK(
+        SnapshotTable.read(spark, corpusRoot))
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(fromIndex == fromScratch)
+    // idempotence: replaying below the floor is a no-op
+    val tfV = SnapshotTable.currentSnapshot(spark,
+      Bm25Index.tfRoot(indexRoot))
+    assert(Bm25Index.maintainBm25Index(spark, corpusRoot, indexRoot)
+      == through)
+    assert(SnapshotTable.currentSnapshot(spark,
+      Bm25Index.tfRoot(indexRoot)) == tfV)
+  }
+
+  test("a crashed pass replays idempotently: re-applying the same " +
+      "feed below an un-advanced floor converges to the same tables") {
+    import spark.implicits._
+    val b = tmp()
+    val corpusRoot = s"$b/corpus"
+    val indexRoot = s"$b/ix"
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "d"))
+      .toDF("doc_id", "text")
+    SnapshotTable.commit(docs, corpusRoot, statsCol = Some("doc_id"))
+    Bm25Index.buildBm25Index(spark, corpusRoot, indexRoot)
+    SnapshotTable.merge(Seq((2L, "x y"), (4L, "z")).toDF("doc_id", "text"),
+      corpusRoot, "doc_id")
+    val from = Bm25Index.maintainedThrough(spark, indexRoot)
+    val to = SnapshotTable.currentSnapshot(spark, corpusRoot)
+    val feed = SnapshotTable.changeFeed(spark, corpusRoot, from, to)
+    // simulate the crash: apply the tf half only (delete + append),
+    // floor NOT advanced — then run the real pass over the same feed
+    SnapshotTable.deleteByKeys(
+      feed.select("doc_id").distinct(), Bm25Index.tfRoot(indexRoot),
+      "doc_id")
+    Bm25Index.applyFeed(spark, indexRoot, feed, to)
+    val (_, diff) = Bm25Index.confluenceAudit(spark, corpusRoot, indexRoot)
+    assert(diff == 0L,
+      "replay over a half-applied pass must converge, not double-apply")
+  }
+}

@@ -1,0 +1,124 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The manifest NDV stats group ([[SnapshotTable.buildNdvIndex]] /
+  * [[SnapshotTable.ndvOf]]) and its consumer, the scan's V2 column
+  * statistics:
+  *
+  *  - per-file registers in the manifest are BIT-EQUAL to the
+  *    query-level `hll_regs` aggregate over the same rows, and the
+  *    driver-side merge+finalize equals the query-level estimate over
+  *    all rows (max is associative);
+  *  - honesty: ndvOf withdraws (None) when a rewrite refreshed a file
+  *    after the build, and on eq-burdened tables;
+  *  - CBO: with the index built, the planner sees the grouping
+  *    column's distinct count, estimates the aggregate side small, and
+  *    BROADCASTS a join it would otherwise sort-merge — the join-size
+  *    decision made from manifest metadata, zero fact scans.
+  */
+class SnapshotNdvSpec extends SparkSpec {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_ndv").toString
+
+  test("per-file manifest registers equal the query-level hll_regs; " +
+      "the driver merge equals the whole-column estimate") {
+    val root = s"${tmp()}/t"
+    SnapshotTable.commit(
+      spark.range(0, 5000).select(col("id").as("k"),
+          (col("id") % 97).as("g"))
+        .repartitionByRange(4, col("k")),
+      root, statsCol = Some("k"))
+    SnapshotTable.buildNdvIndex(spark, root, "g")
+    val cur = SnapshotTable.currentSnapshot(spark, root)
+    // query-level per-file registers over the same canonical strings
+    val perFile = SnapshotTable.read(spark, root)
+      .select(col("_metadata.file_name").as("f"),
+        graft.ops.Sketches.h48(col("g").cast("string")).as("h"))
+      .groupBy("f")
+      .agg(graft.functions.HllRegsAgg.hll_regs(col("h")).as("reg"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toArray)
+      .toMap
+    val es = SnapshotTable.entries(spark, root, cur)
+      .filterNot(_.isDelete)
+    assert(es.nonEmpty)
+    es.foreach { e =>
+      val manifest = e.ndvRegsFor("g").get.toSeq
+      assert(manifest == perFile(e.fileName).toSeq,
+        s"register drift on ${e.fileName}")
+    }
+    // driver merge+finalize == query-level estimate over ALL rows
+    val allRegs = SnapshotTable.read(spark, root)
+      .select(graft.ops.Sketches.h48(col("g").cast("string")).as("h"))
+      .agg(graft.functions.HllRegsAgg.hll_regs(col("h")).as("reg"))
+      .head.getSeq[Int](0).toArray
+    assert(SnapshotTable.ndvOf(spark, root, cur, "g")
+      .contains(graft.ops.Sketches.estimateFromRegs(allRegs)))
+  }
+
+  test("ndvOf withdraws honestly: None when a rewrite refreshed a " +
+      "file after the build, and on eq-burdened tables") {
+    import spark.implicits._
+    val root = s"${tmp()}/t"
+    SnapshotTable.commit(
+      spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") % 10).as("g")), root, statsCol = Some("k"))
+    SnapshotTable.buildNdvIndex(spark, root, "g")
+    val v2 = SnapshotTable.currentSnapshot(spark, root)
+    assert(SnapshotTable.ndvOf(spark, root, v2, "g").isDefined)
+    // a merge rewrites a file: the new file lacks the group → None
+    SnapshotTable.merge(Seq((5L, 99L)).toDF("k", "g"), root, "k")
+    val v3 = SnapshotTable.currentSnapshot(spark, root)
+    assert(SnapshotTable.ndvOf(spark, root, v3, "g").isEmpty,
+      "a stale index must withdraw, never under-report")
+    // rebuild restores it; an eq delete then withdraws again
+    SnapshotTable.buildNdvIndex(spark, root, "g")
+    val v4 = SnapshotTable.currentSnapshot(spark, root)
+    assert(SnapshotTable.ndvOf(spark, root, v4, "g").isDefined)
+    SnapshotTable.deleteByKeysEq(Seq(7L).toDF("k"), root)
+    val v5 = SnapshotTable.currentSnapshot(spark, root)
+    assert(SnapshotTable.ndvOf(spark, root, v5, "g").isEmpty)
+  }
+
+  test("CBO broadcast decision from manifest NDV: the grouped fact " +
+      "side broadcasts only once the index tells the planner its " +
+      "distinct count") {
+    val base = tmp()
+    val factRoot = s"$base/fact"
+    val dimRoot = s"$base/other"
+    // both sides well past the (lowered) broadcast threshold by SIZE
+    val payload = md5(col("id").cast("string"))
+    SnapshotTable.commit(
+      spark.range(0, 60000).select(col("id").as("k"),
+        (col("id") % 16).as("g"), payload.as("p")), factRoot,
+      statsCol = Some("g"))
+    SnapshotTable.commit(
+      spark.range(0, 60000).select((col("id") % 16).as("g"),
+        payload.as("q")), dimRoot, statsCol = Some("g"))
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "65536")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      def plan(): String = {
+        val agg = spark.read.format("graft-snap").load(factRoot)
+          .groupBy("g").agg(sum(col("k")).as("s"))
+        val joined = agg.join(
+          spark.read.format("graft-snap").load(dimRoot), "g")
+        joined.queryExecution.sparkPlan.toString
+      }
+      assert(!plan().contains("BroadcastHashJoin"),
+        "without NDV stats both sides exceed the size threshold")
+      SnapshotTable.buildNdvIndex(spark, factRoot, "g")
+      assert(plan().contains("BroadcastHashJoin"),
+        "with the index, CBO estimates the 16-group aggregate tiny " +
+          "and must broadcast it")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+    }
+  }
+}

@@ -176,7 +176,8 @@ class SnapshotProcedureSpec extends SparkSpec {
     assert(listed == Set("expire_snapshots", "remove_orphans", "rollback",
       "rewrite_deletes", "optimize_zorder", "publish_wap", "drop_wap",
       "compact_small_files", "create_tag", "create_branch",
-      "fast_forward", "drop_ref", "build_bloom", "build_sq8_index",
+      "fast_forward", "drop_ref", "build_bloom", "build_ndv",
+      "build_sq8_index",
       "maintain_sq8_index", "evolve_partitioning"))
   }
 
