@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapshotTable
+
+/** Round-13 manifest-shard evidence: commit cost must track the DELTA,
+  * not the table. Builds snapshot tables of growing FILE COUNT (×1k /
+  * ×4k / ×10k entries — the ~800k-file 100 TB table's shape, scaled to
+  * what a local box writes in minutes), then measures at each size:
+  *
+  *  - single-file APPEND commit latency (median of 5) — the number
+  *    that was O(files) under the flat manifest (every commit
+  *    re-rendered one line per live file) and must now be FLAT;
+  *  - the HEAD's size in bytes vs the total entry text (what the flat
+  *    format would rewrite per commit) — the written-bytes ratio;
+  *  - cold and warm full entry-list parse (readers still expand all
+  *    shards; the immutable-shard cache amortizes repeat reads).
+  *
+  * Run: runMain graft.ManifestScaleProbe   [FILES_AXIS=1000,4000,10000]
+  */
+object ManifestScaleProbe {
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val axis = sys.env.getOrElse("FILES_AXIS", "1000,4000,10000")
+      .split(",").map(_.trim.toInt).toSeq
+
+    axis.foreach { n =>
+      val root =
+        java.nio.file.Files.createTempDirectory("graft_mprobe").toString + "/t"
+      // build the table in 1k-file batches (each its own shard — the
+      // streaming-ingest shape that accretes shards over time)
+      val batch = 1000
+      val (_, buildSec) = time {
+        (0 until n / batch).foreach { i =>
+          SnapshotTable.commit(
+            spark.range(i.toLong * batch, (i + 1).toLong * batch)
+              .select(col("id").as("k"), (col("id") * 7).as("v"))
+              .repartition(batch),
+            root, statsCol = Some("k"))
+        }
+      }
+      val cur = SnapshotTable.currentSnapshot(spark, root)
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def headBytes(id: Long): Long =
+        fs.getFileStatus(new Path(s"$root/_manifests/v$id.manifest")).getLen
+      // what a FLAT manifest would rewrite per commit ≈ the total
+      // entry text = every live shard's bytes (all are referenced
+      // here) plus the head's own entry section
+      val entryBytes = fs.listStatus(new Path(s"$root/_manifests"))
+        .filter(_.getPath.getName.endsWith(".shard"))
+        .map(_.getLen).sum
+      // single-file append latency, median of 5
+      val appends = (1 to 5).map { i =>
+        time(SnapshotTable.commit(
+          Seq((1000000L + i, 1L)).toDF("k", "v").coalesce(1),
+          root, statsCol = Some("k")))._2
+      }.sorted
+      val newCur = SnapshotTable.currentSnapshot(spark, root)
+      // reader cost: cold parse (fresh JVM state approximated by the
+      // first call after the appends touched the head) vs warm cache
+      val (files1, coldSec) = time(
+        SnapshotTable.fileList(spark, root, newCur).size)
+      val (_, warmSec) = time(
+        SnapshotTable.fileList(spark, root, newCur).size)
+      println(f"[manifest-probe] files=$n%6d build=$buildSec%7.1fs " +
+        f"append_median=${appends(2)}%6.3fs " +
+        f"head_bytes=${headBytes(newCur)}%8d " +
+        f"flat_equiv_bytes=$entryBytes%10d " +
+        f"list_cold=$coldSec%6.3fs list_warm=$warmSec%6.3fs " +
+        f"n_listed=$files1%6d")
+    }
+    spark.stop()
+  }
+}

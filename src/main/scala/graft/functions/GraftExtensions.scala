@@ -24,6 +24,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // custom operators: as-of join logical node → sort-merge exec
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
+    // SQL views for the snapshot catalog: stock Spark refuses view DDL
+    // on non-session V2 catalogs and never reads V2 views, so the
+    // parser hook routes CREATE/DROP VIEW to SnapshotCatalog's
+    // ViewCatalog API and the resolution rule expands stored views on
+    // the read side (graft.plans.SnapViews)
+    ext.injectParser((session, delegate) =>
+      new graft.plans.SnapViewParser(session, delegate))
+    ext.injectResolutionRule(session =>
+      graft.plans.ResolveSnapViews(session))
     ext.injectFunction((
       FunctionIdentifier("elf_hash"),
       new ExpressionInfo(classOf[ElfHashExpr].getName, "elf_hash"),

@@ -2211,6 +2211,8 @@ object FormatQueries {
     "fmt_snapshot_refs" -> (snapshotRefs _),
     "fmt_snapshot_bloom" -> (snapshotBloom _),
     "fmt_snapshot_ndv" -> (snapshotNdv _),
+    "fmt_snapshot_group" -> (snapshotGroup _),
+    "fmt_snapshot_view" -> (snapshotView _),
     "fmt_snapshot_dsv2" -> (snapshotDsv2 _),
     "fmt_zstd_roundtrip" -> (zstdRoundTrip _),
     "fmt_malformed_csv" -> (malformedCsv _),
@@ -2262,6 +2264,87 @@ object FormatQueries {
       .withColumn("ndv_status", lit(ndvStatus))
   }
 
+  /** Pure-SQL VIEWS over the snapshot catalog
+    * ([[graft.plans.SnapViews]] — CREATE VIEW / SELECT / DROP VIEW on
+    * a V2 catalog, which stock Spark refuses): name a governed read
+    * (the price-filtered fact and its per-status rollup) once, then
+    * answer through the VIEW — including a second SELECT after a
+    * further INSERT, proving the view re-resolves to the table's
+    * CURRENT snapshot. The oracle recomputes both view bodies from raw
+    * orders.
+    */
+  def snapshotView(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotCatalog
+    val wh = scratch("snap_view_wh")
+    graft.tera.TeraIO.delete(s, wh)
+    s.conf.set("spark.sql.catalog.gsnapv", classOf[SnapshotCatalog].getName)
+    s.conf.set("spark.sql.catalog.gsnapv.warehouse", wh)
+    graft.Tables.orders(s, d)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("snap_view_orders_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gsnapv.db")
+    s.sql("DROP VIEW IF EXISTS gsnapv.db.big")
+    s.sql("DROP TABLE IF EXISTS gsnapv.db.ord")
+    s.sql("CREATE TABLE gsnapv.db.ord AS SELECT * FROM " +
+      "snap_view_orders_src WHERE o_orderkey % 2 = 0")
+    s.sql("CREATE VIEW gsnapv.db.big AS " +
+      "SELECT o_orderstatus, count(*) AS n_big, " +
+      "round(sum(o_totalprice), 2) AS total_big " +
+      "FROM gsnapv.db.ord WHERE o_totalprice >= 50000.0 " +
+      "GROUP BY o_orderstatus")
+    // first read (odd half absent) — folded into an audit flag only
+    val pre = s.sql("SELECT sum(n_big) FROM gsnapv.db.big").head
+    val preBig = if (pre.isNullAt(0)) 0L else pre.getLong(0)
+    s.sql("INSERT INTO gsnapv.db.ord SELECT * FROM " +
+      "snap_view_orders_src WHERE o_orderkey % 2 = 1")
+    val postBig = s.sql("SELECT sum(n_big) FROM gsnapv.db.big")
+      .head.getLong(0)
+    // the view now sees the full table — the hash-gated read
+    s.sql("SELECT * FROM gsnapv.db.big")
+      .withColumn("view_tracked_commit",
+        lit(if (preBig > 0L && preBig < postBig) 1L else 0L))
+  }
+
+  /** Multi-table ATOMIC publish ([[graft.sources.CommitGroup]]): a
+    * curate-style pass derives TWO output tables from orders — the
+    * cleaned fact (price floor) and its per-status scorecard — stages
+    * both under one commit group (invisible; the audit columns pin
+    * that), then publishes both heads in one fenced pass and reads the
+    * results back JOINED, so a mismatch between the members (the torn
+    * state commit groups exist to prevent) breaks the hash. The DuckDB
+    * oracle recomputes both tables from raw orders.
+    * `CommitGroupSpec` drives the crash-between-publishes recovery.
+    */
+  def snapshotGroup(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.{CommitGroup, SnapshotTable}
+    val rootA = scratch("snap_grp_clean")
+    val rootB = scratch("snap_grp_score")
+    Seq(rootA, rootB).foreach(graft.tera.TeraIO.delete(s, _))
+    val o = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    // v1 seeds: empty tables carrying the schemas
+    SnapshotTable.commit(o.limit(0), rootA)
+    val score0 = o.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(col("o_totalprice"))).as("total_price"))
+    SnapshotTable.commit(score0.limit(0), rootB)
+    CommitGroup.stage(o.filter(col("o_totalprice") >= 1000.0), rootA,
+      "curate1")
+    CommitGroup.stage(score0, rootB, "curate1")
+    // both staged = both still empty (all-or-nothing starts invisible)
+    val preA = SnapshotTable.read(s, rootA).count()
+    val preB = SnapshotTable.read(s, rootB).count()
+    CommitGroup.publish(s, "curate1", Seq(rootA, rootB))
+    val clean = SnapshotTable.read(s, rootA)
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_clean"))
+    SnapshotTable.read(s, rootB)
+      .join(clean, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"), col("n_orders"), col("total_price"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"))
+      .withColumn("staged_invisible",
+        lit(if (preA == 0L && preB == 0L) 1L else 0L))
+  }
+
   /** Global COUNT(*) through the DSv2 connector's aggregate pushdown:
     * the plan's scan is the metadata-only [[graft.sources.FixedRecordCountScan]]
     * — row count derived from file lengths, zero data bytes read, the
@@ -2301,6 +2384,28 @@ object FormatQueries {
          |  (SELECT ndv FROM lc WHERE source = 'ck') AS ndv_custkey,
          |  (SELECT ndv FROM lc WHERE source = 'st') AS ndv_status
          |FROM orders""".stripMargin,
+    // the view body recomputed over the full raw table, plus the
+    // re-resolution audit flag (pre-insert sum was smaller, nonzero)
+    "fmt_snapshot_view" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_big,
+        |  round(sum(o_totalprice), 2) AS total_big,
+        |  1::BIGINT AS view_tracked_commit
+        |FROM orders WHERE o_totalprice >= 50000.0
+        |GROUP BY o_orderstatus""".stripMargin,
+    // both group members recomputed from raw orders, joined — plus the
+    // staged-invisible audit constant
+    "fmt_snapshot_group" ->
+      """WITH score AS (
+        |  SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |    round(sum(o_totalprice), 2) AS total_price
+        |  FROM orders GROUP BY 1),
+        |clean AS (
+        |  SELECT o_orderstatus, count(*)::BIGINT AS n_clean
+        |  FROM orders WHERE o_totalprice >= 1000.0 GROUP BY 1)
+        |SELECT s.o_orderstatus, s.n_orders, s.total_price,
+        |  coalesce(c.n_clean, 0)::BIGINT AS n_clean,
+        |  1::BIGINT AS staged_invisible
+        |FROM score s LEFT JOIN clean c USING (o_orderstatus)""".stripMargin,
     // TIMESTAMP AS OF the instant between the two commits reads the
     // CTAS half; the metadata table's max row count = the final table
     "fmt_snapshot_timetravel" ->

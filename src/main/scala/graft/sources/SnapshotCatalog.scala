@@ -57,7 +57,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * under exactly its DDL schema.
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -290,7 +291,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val w = new Path(warehouse)
     if (!fs(w).exists(w)) Array.empty
     else fs(w).listStatus(w).iterator
-      .filter(st => st.isDirectory && !isTableDir(st.getPath))
+      .filter(st => st.isDirectory && !isTableDir(st.getPath) &&
+        !st.getPath.getName.startsWith("_")) // _views is catalog state
       .map(st => Array(st.getPath.getName)).toArray
   }
 
@@ -300,7 +302,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       val p = nsPath(namespace)
       if (!fs(p).exists(p)) throw new NoSuchNamespaceException(namespace)
       fs(p).listStatus(p).iterator
-        .filter(st => st.isDirectory && !isTableDir(st.getPath))
+        .filter(st => st.isDirectory && !isTableDir(st.getPath) &&
+          !st.getPath.getName.startsWith("_")) // _views is catalog state
         .map(st => namespace :+ st.getPath.getName).toArray
     }
 
@@ -567,6 +570,129 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       }
   }
 
+  // ---- views (`CREATE VIEW cat.db.v AS SELECT ...`) -----------------
+  //
+  // A view is one tiny prop file at `<warehouse>/<ns>/_views/<name>.view`
+  // holding the SQL text, the definition-time catalog/namespace (so
+  // unqualified table names in the query resolve where the AUTHOR
+  // meant, not where the reader happens to sit), the captured schema,
+  // and the query's output column names — exactly the fields Spark's
+  // V2 view resolution re-parses and re-validates on every read. All
+  // catalog state stays the filesystem, like tables; pure-SQL users
+  // can now NAME governed reads (the eq-delete-settled view, the
+  // current-quality-tier view) instead of repeating the query.
+
+  import org.apache.spark.sql.connector.catalog.{View, ViewChange, ViewInfo}
+  import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, ViewAlreadyExistsException}
+
+  private def viewPath(ident: Identifier): Path =
+    new Path(new Path(nsPath(ident.namespace), "_views"),
+      s"${ident.name}.view")
+
+  private def encV(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+  private def decV(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
+
+  override def listViews(namespace: String*): Array[Identifier] = {
+    val dir = new Path(nsPath(namespace.toArray), "_views")
+    if (!fs(dir).exists(dir)) Array.empty
+    else fs(dir).listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".view"))
+      .map(n => Identifier.of(namespace.toArray, n.stripSuffix(".view")))
+      .toArray
+  }
+
+  override def viewExists(ident: Identifier): Boolean = {
+    val p = viewPath(ident)
+    fs(p).exists(p)
+  }
+
+  override def loadView(ident: Identifier): View = {
+    val p = viewPath(ident)
+    if (!fs(p).exists(p)) throw new NoSuchViewException(ident)
+    val in = fs(p).open(p)
+    val props: Map[String, String] =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty)
+        .map(_.split("=", 2)).collect { case Array(k, v) =>
+          decV(k) -> decV(v) }.toMap
+      finally in.close()
+    def arr(k: String): Array[String] =
+      props.get(k).toSeq.flatMap(_.split(",")).filter(_.nonEmpty)
+        .map(decV).toArray
+    new View {
+      override def name(): String =
+        (ident.namespace :+ ident.name).mkString(".")
+      override def query(): String = props("sql")
+      override def currentCatalog(): String = props("currentCatalog")
+      override def currentNamespace(): Array[String] =
+        arr("currentNamespace")
+      override def schema(): StructType =
+        org.apache.spark.sql.types.DataType.fromJson(props("schema"))
+          .asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] =
+        arr("queryColumnNames")
+      override def columnAliases(): Array[String] = arr("columnAliases")
+      override def columnComments(): Array[String] = Array.empty
+      override def properties(): util.Map[String, String] = {
+        val m = new util.HashMap[String, String]()
+        props.filter(_._1.startsWith("user.")).foreach { case (k, v) =>
+          m.put(k.stripPrefix("user."), v) }
+        m
+      }
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    val ns = nsPath(ident.namespace)
+    if (!fs(ns).exists(ns)) throw new NoSuchNamespaceException(ident.namespace)
+    import scala.jdk.CollectionConverters._
+    def csv(a: Array[String]): String =
+      Option(a).getOrElse(Array.empty[String]).map(encV).mkString(",")
+    val lines = Seq(
+      "sql" -> info.sql,
+      "currentCatalog" -> info.currentCatalog,
+      "currentNamespace" -> csv(info.currentNamespace),
+      "schema" -> info.schema.json,
+      "queryColumnNames" -> csv(info.queryColumnNames),
+      "columnAliases" -> csv(info.columnAliases)) ++
+      info.properties.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"user.$k" -> v }
+    val p = viewPath(ident)
+    fs(p).mkdirs(p.getParent)
+    val out = fs(p).create(p, false)
+    try out.write(lines.map { case (k, v) => s"${encV(k)}=${encV(v)}" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View =
+    throw new UnsupportedOperationException(
+      "graft-snap catalog: ALTER VIEW is not supported — drop and " +
+        "recreate (views are one immutable definition file)")
+
+  override def dropView(ident: Identifier): Boolean = {
+    val p = viewPath(ident)
+    fs(p).delete(p, false)
+  }
+
+  override def renameView(from: Identifier, to: Identifier): Unit = {
+    if (!viewExists(from)) throw new NoSuchViewException(from)
+    if (viewExists(to) || tableExists(to))
+      throw new ViewAlreadyExistsException(to)
+    val ns = nsPath(to.namespace)
+    if (!fs(ns).exists(ns)) throw new NoSuchNamespaceException(to.namespace)
+    fs(viewPath(to)).mkdirs(viewPath(to).getParent)
+    require(fs(viewPath(from)).rename(viewPath(from), viewPath(to)),
+      s"graft-snap catalog: rename view $from -> $to failed")
+  }
+
   override def dropNamespace(namespace: Array[String],
       cascade: Boolean): Boolean = {
     val p = nsPath(namespace)
@@ -802,6 +928,33 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           val (v, p, w) = SnapshotTable.compactSmallFiles(
             spark, rootOf(t), mn, tg)
           Seq(Long.box(v), Int.box(p), Int.box(w)) }),
+      Proc("publish_group",
+        "publish a COMMIT GROUP atomically: every member table's " +
+          "staged (wap id 'grp-<group>') snapshot fast-forwards in one " +
+          "marker-fenced pass — all-or-nothing under crash recovery " +
+          "(recover_group rolls an interrupted pass forward)",
+        Seq(("tables", StringType, None), ("group", StringType, None)),
+        Seq(("published_members", IntegerType)),
+        { case Seq(ts: String, g: String) =>
+          val roots = ts.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(rootOf).toSeq
+          Seq(Int.box(CommitGroup.publish(spark, g, roots).size)) }),
+      Proc("recover_group",
+        "roll an interrupted commit-group publish FORWARD from any " +
+          "member's marker; no-op when no marker exists",
+        Seq(("table", StringType, None), ("group", StringType, None)),
+        Seq(("recovered_members", IntegerType)),
+        { case Seq(t: String, g: String) =>
+          Seq(Int.box(CommitGroup.recover(spark, rootOf(t), g).size)) }),
+      Proc("drop_group",
+        "drop every member's stage of a commit group (failed audit): " +
+          "no table ever saw it",
+        Seq(("tables", StringType, None), ("group", StringType, None)),
+        Seq(("deleted_files", IntegerType)),
+        { case Seq(ts: String, g: String) =>
+          val roots = ts.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(rootOf).toSeq
+          Seq(Int.box(CommitGroup.dropGroup(spark, g, roots))) }),
       Proc("publish_wap",
         "fast-forward a staged (graft.wap.id) snapshot onto the table " +
           "head — manifest-only; refuses if the table advanced past " +

@@ -177,7 +177,7 @@ class SnapshotProcedureSpec extends SparkSpec {
       "rewrite_deletes", "optimize_zorder", "publish_wap", "drop_wap",
       "compact_small_files", "create_tag", "create_branch",
       "fast_forward", "drop_ref", "build_bloom", "build_ndv",
-      "build_sq8_index",
+      "build_sq8_index", "publish_group", "recover_group", "drop_group",
       "maintain_sq8_index", "evolve_partitioning"))
   }
 
