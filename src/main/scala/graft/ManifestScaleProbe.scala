@@ -50,7 +50,8 @@ object ManifestScaleProbe {
           SnapshotTable.commit(
             spark.range(i.toLong * batch, (i + 1).toLong * batch)
               .select(col("id").as("k"), (col("id") * 7).as("v"))
-              .repartition(batch),
+              .repartitionByRange(batch, col("k")), // every partition
+            // non-empty → the file count IS the axis label
             root, statsCol = Some("k"))
         }
       }

@@ -230,12 +230,12 @@ object Bm25Index {
     "text_bm25_maintained" -> (bm25Maintained _))
 
   /** Oracle: the final corpus reconstructed in SQL (update + insert +
-    * band delete, matching the gate's churn recipe), then
+    * band delete — `extraUnion` adds the streaming gate's extra append
+    * — matching the gates' churn recipes), then
     * [[Retrieval.bm25Oracle]]'s pipeline over it, plus the audit
     * constants (tf row count recomputed; confluence flag 1).
     */
-  val oracles: Map[String, String] = Map(
-    "text_bm25_maintained" ->
+  private def maintainedOracle(extraUnion: String): String =
       s"""WITH fdocs AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 10 = 3 THEN text || ' zzupdatedtoken'
@@ -244,7 +244,7 @@ object Bm25Index {
          |  WHERE NOT (doc_id > 100 AND doc_id <= 200)
          |  UNION ALL
          |  SELECT doc_id + 10000000 AS doc_id, text
-         |  FROM documents WHERE doc_id % 10 = 7),
+         |  FROM documents WHERE doc_id % 10 = 7$extraUnion),
          |tk AS (
          |  SELECT doc_id, term FROM (
          |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
@@ -281,5 +281,13 @@ object Bm25Index {
          |SELECT query_id, doc_id, n_terms, score_fp, rank,
          |  1::BIGINT AS index_matches_rebuild,
          |  (SELECT count(*) FROM tf)::BIGINT AS n_tf_rows
-         |FROM r WHERE rank <= ${Retrieval.TopK}""".stripMargin)
+         |FROM r WHERE rank <= ${Retrieval.TopK}""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "text_bm25_maintained" -> maintainedOracle(""),
+    "stream_bm25_maintain" -> maintainedOracle(
+      s"""
+         |  UNION ALL
+         |  SELECT doc_id + 20000000 AS doc_id, text
+         |  FROM documents WHERE doc_id % 10 = 1""".stripMargin))
 }

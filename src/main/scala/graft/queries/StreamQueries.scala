@@ -35,7 +35,8 @@ object StreamQueries {
     "stream_snapshot_source" -> (EventStreams.snapshotSourceStream _),
     "stream_snapshot_readtable" -> (EventStreams.snapshotReadTableStream _),
     "stream_snapshot_cdf" -> (EventStreams.snapshotCdfStream _),
-    "stream_ann_maintain" -> (EventStreams.annMaintainStream _)
+    "stream_ann_maintain" -> (EventStreams.annMaintainStream _),
+    "stream_bm25_maintain" -> (EventStreams.bm25MaintainStream _)
   )
 
   val oracles: Map[String, String] = Map(

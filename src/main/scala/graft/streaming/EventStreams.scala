@@ -1007,6 +1007,70 @@ object EventStreams {
       .withColumn("n_index_rows", lit(nIndex))
   }
 
+  /** STREAMING lexical-index maintenance — [[annMaintainStream]]'s
+    * retrieval twin ([[graft.ops.Bm25Index]]): the corpus table's live
+    * change feed drives per-micro-batch tf/dl folds (`applyFeed` —
+    * delete+append per touched doc, exactly-once on the dl floor)
+    * through merge, COW band-delete, and plain-append churn; the gate
+    * returns the maintained-index BM25 search plus the in-engine
+    * confluence audit, and the DuckDB oracle replays the whole
+    * pipeline over the reconstructed final corpus.
+    */
+  def bm25MaintainStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Bm25Index
+    import graft.sources.SnapshotTable
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_bm25stream").toString
+    val corpusRoot = s"$base/corpus"
+    val indexRoot = s"$base/bm25"
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+    val v1 = SnapshotTable.commit(
+      docs.repartitionByRange(8, col("doc_id")), corpusRoot,
+      statsCol = Some("doc_id"))
+    Bm25Index.buildBm25Index(s, corpusRoot, indexRoot)
+    withStreamPartitions(s) {
+      val q = s.readStream.format("graft-snap-stream")
+        .option("readChangeFeed", "true")
+        .option("startSnapshot", v1.toString)
+        .load(corpusRoot)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val through = batch.agg(max(col("_commit"))).head.getLong(0)
+            Bm25Index.applyFeed(s, indexRoot, batch, through)
+            ()
+          }
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .start()
+      try {
+        SnapshotTable.merge( // v2: rewrite %10==3 texts, insert +10M
+          docs.filter(col("doc_id") % 10 === 3)
+            .withColumn("text",
+              concat(col("text"), lit(" zzupdatedtoken")))
+            .unionByName(docs.filter(col("doc_id") % 10 === 7)
+              .select((col("doc_id") + 10000000L).as("doc_id"),
+                col("text"))),
+          corpusRoot, "doc_id")
+        q.processAllAvailable()
+        SnapshotTable.deleteWhere(s, corpusRoot, // v3: COW band delete
+          Seq(GreaterThan("doc_id", 100L), LessThanOrEqual("doc_id", 200L)))
+        q.processAllAvailable()
+        SnapshotTable.commit( // v4: plain append of shifted copies
+          docs.filter(col("doc_id") % 10 === 1)
+            .select((col("doc_id") + 20000000L).as("doc_id"), col("text")),
+          corpusRoot)
+        q.processAllAvailable()
+      } finally q.stop()
+    }
+    val (nTf, diff) = Bm25Index.confluenceAudit(s, corpusRoot, indexRoot)
+    Bm25Index.searchBm25Index(s, corpusRoot, indexRoot)
+      .withColumn("index_matches_rebuild",
+        lit(if (diff == 0L) 1L else 0L))
+      .withColumn("n_tf_rows", lit(nTf))
+  }
+
   /** `spark.readStream.table("cat.db.t")` — the catalog twin of
     * [[snapshotSourceStream]] (same contract: snapshot-id offsets,
     * appended-files batches, exactly-once), through the table's own
