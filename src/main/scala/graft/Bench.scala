@@ -95,7 +95,9 @@ object Bench {
       // mid-suite (fmt_snapshot_upsert 12.4 in-suite vs 3.9 isolated)
       "fmt_snapshot_upsert", "fmt_snapshot_cdf_full",
       "fmt_snapshot_cdf_sql", "stream_interval_left_join",
-      "ann_sq8_maintained", "stream_ann_maintain")
+      "ann_sq8_maintained", "stream_ann_maintain",
+      // r13: the BM25 lifecycle gates share the maintained-index shape
+      "text_bm25_maintained", "stream_bm25_maintain")
     // FIXED-WORK CALIBRATION: a synthetic constant-cost query (no
     // table input — 100M codegen'd hashes through one 1024-group
     // shuffle) timed like every other entry and recorded in the JSON.

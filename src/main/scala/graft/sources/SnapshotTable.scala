@@ -873,6 +873,7 @@ object SnapshotTable {
       if (prev == 0L) Map.empty
       else snapshotProps(s, root, prev).filter(p =>
         p._1.startsWith("stream.") || p._1.startsWith("ann.") ||
+          p._1.startsWith("stats.") || // maintained stats groups (NDV)
           p._1.startsWith("user.") || // SET TBLPROPERTIES: table-level
           p._1 == "partition.cols" ||
           p._1 == "col.phys" || p._1 == "cols.retired" || p._1 == "col.evo")
@@ -892,9 +893,47 @@ object SnapshotTable {
     // snapshot id) as a trailing `sq=` field — what scopes equality
     // deletes to strictly-older files ([[FileEntry.seq]]); carried
     // entries keep their original stamp verbatim
+    // MAINTAINED NDV ([[buildNdvIndex]] sets `stats.ndv.cols`, carried
+    // by every commit shape): each commit computes the HLL registers
+    // of ITS OWN new files — one O(new data) scan — so the table-level
+    // estimate stays defined across appends, merges, and compactions
+    // without ever rebuilding (carried entries keep their registers
+    // verbatim). The cost is the commit's delta, never the table;
+    // disable for one commit by passing props("stats.ndv.cols" -> "").
+    val ndvCols: Seq[String] = (carriedProps ++ props)
+      .getOrElse("stats.ndv.cols", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq // PHYSICAL names
+    val newRegs: Map[String, Map[String, Array[Int]]] =
+      if (ndvCols.isEmpty || moved.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.col
+        val df = s.read.parquet(moved.map(rel => s"$root/$rel"): _*)
+        val present = ndvCols.filter(df.columns.contains)
+        if (present.isEmpty) Map.empty
+        else {
+          val aggs = present.map(c => graft.functions.HllRegsAgg
+            .hll_regs(graft.ops.Sketches.h48(col(c).cast("string")))
+            .as(s"r_$c"))
+          df.select((col("_metadata.file_name").as("f") +:
+              present.map(col)): _*)
+            .groupBy("f").agg(aggs.head, aggs.tail: _*)
+            .collect().map(r => r.getString(0) ->
+              present.zipWithIndex.map { case (c, i) =>
+                c -> r.getSeq[Int](i + 1).toArray }.toMap).toMap
+        }
+      }
+    val b64ndv = java.util.Base64.getEncoder
     val movedEntries = moved.map { rel =>
       val (stats, rows) = footerInfo(s, new Path(rootP, rel), effStatsCols)
-      FileEntry(rel, stats, Some(rows), id).render
+      val name = rel.substring(rel.lastIndexOf('/') + 1)
+      // a new file MISSING an indexed column entirely (schema-evolution
+      // append) reads it as all-null: zero registers, estimating 0
+      // extra distincts — exactly right
+      val ndvStats = ndvCols.map(c => FileStats(s"#ndv:$c", "h",
+        b64ndv.encodeToString(newRegs.get(name).flatMap(_.get(c))
+          .getOrElse(new Array[Int](graft.ops.Sketches.HllBuckets))
+          .map(_.toByte)), ""))
+      FileEntry(rel, stats ++ ndvStats, Some(rows), id).render
     }
     // SHARD the entry section: carried `#shard` refs pass through
     // verbatim (O(1) head text per shard, whatever it lists); inline
@@ -1896,9 +1935,13 @@ object SnapshotTable {
     * wants and a plain scan can never afford at 100 TB. Hash domain =
     * the value's canonical string through [[graft.ops.Sketches.h48]],
     * identical to the `sketch_hll` query path, so estimates
-    * hash-check against it. A rewrite's NEW files simply lack the
-    * tuple (entries are immutable) — [[ndvOf]] then returns None
-    * (stale index, rebuild) rather than a silently-partial estimate.
+    * hash-check against it. The group is MAINTAINED from here on: the
+    * column joins the carried `stats.ndv.cols` prop and every later
+    * commit computes registers for its OWN new files (O(delta) —
+    * [[publishStaged]]), so appends/merges/compactions keep the
+    * estimate defined without rebuilds; a file that nonetheless lacks
+    * the tuple (a commit that explicitly disabled the group) makes
+    * [[ndvOf]] return None rather than a silently-partial estimate.
     * Returns the new snapshot id.
     */
   def buildNdvIndex(s: SparkSession, root: String, colName: String): Long = {
@@ -1932,11 +1975,20 @@ object SnapshotTable {
     val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
     val staging = new Path(new Path(root), s"_staging/$commitId")
     fs.mkdirs(staging) // empty: metadata-only commit
+    // record the column (PHYSICAL name) in the carried `stats.ndv.cols`
+    // prop: every later commit then computes registers for ITS new
+    // files ([[publishStaged]]), keeping [[ndvOf]] defined across
+    // appends/merges/compactions without rebuilds — a MAINTAINED
+    // stats group, not a one-shot index
+    val already = (if (cur == 0L) "" else snapshotProps(s, root, cur)
+      .getOrElse("stats.ndv.cols", ""))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     publishStaged(s, root, commitId, staging,
       rewriteHeadLines(s, root, cur)(e =>
         Some(if (e.isDelete) e else withNdv(e))),
       cur, Seq.empty,
-      Map("ndv.col" -> colName),
+      Map("ndv.col" -> colName,
+        "stats.ndv.cols" -> (already :+ physCol).distinct.mkString(",")),
       storedSchema(s, root, cur).getOrElse(df.schema))
   }
 
@@ -1944,8 +1996,9 @@ object SnapshotTable {
     * manifest ALONE: slot-wise max over every data file's registers
     * ([[buildNdvIndex]]), finalized with the engine's exact integer
     * HLL arithmetic. None — honestly — when any data file lacks the
-    * registers (the index predates it, or a rewrite refreshed the
-    * file: rebuild) or when an equality delete is carried (live
+    * registers (a commit that explicitly disabled the maintained
+    * group; otherwise every post-build commit stamps its own files)
+    * or when an equality delete is carried (live
     * distinctness is undefined until [[rewriteDeletes]] folds, the
     * same boundary as [[rowCount]]). Delete VECTORS are allowed: the
     * estimate is then an upper bound over the physical rows, the

@@ -59,8 +59,9 @@ class SnapshotNdvSpec extends SparkSpec {
       .contains(graft.ops.Sketches.estimateFromRegs(allRegs)))
   }
 
-  test("ndvOf withdraws honestly: None when a rewrite refreshed a " +
-      "file after the build, and on eq-burdened tables") {
+  test("the NDV group is MAINTAINED: appends and merges stamp their " +
+      "own files (estimate stays defined and exact-to-the-arithmetic); " +
+      "explicit disable and eq-burden withdraw honestly") {
     import spark.implicits._
     val root = s"${tmp()}/t"
     SnapshotTable.commit(
@@ -69,18 +70,35 @@ class SnapshotNdvSpec extends SparkSpec {
     SnapshotTable.buildNdvIndex(spark, root, "g")
     val v2 = SnapshotTable.currentSnapshot(spark, root)
     assert(SnapshotTable.ndvOf(spark, root, v2, "g").isDefined)
-    // a merge rewrites a file: the new file lacks the group → None
+    // a MERGE rewrites a file; an APPEND adds new values: both commits
+    // stamp their own files' registers, so the estimate stays defined
+    // and tracks the data — no rebuild
     SnapshotTable.merge(Seq((5L, 99L)).toDF("k", "g"), root, "k")
-    val v3 = SnapshotTable.currentSnapshot(spark, root)
-    assert(SnapshotTable.ndvOf(spark, root, v3, "g").isEmpty,
-      "a stale index must withdraw, never under-report")
-    // rebuild restores it; an eq delete then withdraws again
-    SnapshotTable.buildNdvIndex(spark, root, "g")
+    SnapshotTable.commit(
+      spark.range(2000, 2100).select(col("id").as("k"),
+        (col("id") % 1000 + 100).as("g")), root)
     val v4 = SnapshotTable.currentSnapshot(spark, root)
-    assert(SnapshotTable.ndvOf(spark, root, v4, "g").isDefined)
-    SnapshotTable.deleteByKeysEq(Seq(7L).toDF("k"), root)
+    val est = SnapshotTable.ndvOf(spark, root, v4, "g")
+    assert(est.isDefined, "maintained group must survive merge+append")
+    // ... and equals the whole-column register arithmetic
+    val allRegs = SnapshotTable.read(spark, root)
+      .select(graft.ops.Sketches.h48(col("g").cast("string")).as("h"))
+      .agg(graft.functions.HllRegsAgg.hll_regs(col("h")).as("reg"))
+      .head.getSeq[Int](0).toArray
+    assert(est.contains(graft.ops.Sketches.estimateFromRegs(allRegs)))
+    // a commit that explicitly DISABLES the group leaves an unstamped
+    // file → None (never a silently-partial estimate)
+    SnapshotTable.commit(Seq((9000L, 1L)).toDF("k", "g"), root,
+      props = Map("stats.ndv.cols" -> ""))
     val v5 = SnapshotTable.currentSnapshot(spark, root)
     assert(SnapshotTable.ndvOf(spark, root, v5, "g").isEmpty)
+    // rebuild restores; an eq delete then withdraws again
+    SnapshotTable.buildNdvIndex(spark, root, "g")
+    assert(SnapshotTable.ndvOf(spark, root,
+      SnapshotTable.currentSnapshot(spark, root), "g").isDefined)
+    SnapshotTable.deleteByKeysEq(Seq(7L).toDF("k"), root)
+    assert(SnapshotTable.ndvOf(spark, root,
+      SnapshotTable.currentSnapshot(spark, root), "g").isEmpty)
   }
 
   test("CBO broadcast decision from manifest NDV: the grouped fact " +
