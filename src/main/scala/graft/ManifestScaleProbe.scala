@@ -79,12 +79,24 @@ object ManifestScaleProbe {
         SnapshotTable.fileList(spark, root, newCur).size)
       val (_, warmSec) = time(
         SnapshotTable.fileList(spark, root, newCur).size)
+      // MAINTAINED-NDV overhead: with the group on, every commit scans
+      // its own new files once (O(delta)); the per-append premium must
+      // be flat in the TABLE size
+      val (_, ndvBuildSec) = time(
+        SnapshotTable.buildNdvIndex(spark, root, "k"))
+      val ndvAppends = (1 to 5).map { i =>
+        time(SnapshotTable.commit(
+          Seq((2000000L + i, 1L)).toDF("k", "v").coalesce(1),
+          root, statsCol = Some("k")))._2
+      }.sorted
       println(f"[manifest-probe] files=$n%6d build=$buildSec%7.1fs " +
         f"append_median=${appends(2)}%6.3fs " +
         f"head_bytes=${headBytes(newCur)}%8d " +
         f"flat_equiv_bytes=$entryBytes%10d " +
         f"list_cold=$coldSec%6.3fs list_warm=$warmSec%6.3fs " +
-        f"n_listed=$files1%6d")
+        f"n_listed=$files1%6d " +
+        f"ndv_build=$ndvBuildSec%7.1fs " +
+        f"ndv_append_median=${ndvAppends(2)}%6.3fs")
     }
     spark.stop()
   }
