@@ -2309,11 +2309,14 @@ object FormatQueries {
     * curate-style pass derives TWO output tables from orders — the
     * cleaned fact (price floor) and its per-status scorecard — stages
     * both under one commit group (invisible; the audit columns pin
-    * that), then publishes both heads in one fenced pass and reads the
-    * results back JOINED, so a mismatch between the members (the torn
-    * state commit groups exist to prevent) breaks the hash. The DuckDB
-    * oracle recomputes both tables from raw orders.
-    * `CommitGroupSpec` drives the crash-between-publishes recovery.
+    * that), publishes both heads in one fenced pass, then reads the
+    * results back JOINED through the GROUP-CONSISTENT
+    * [[graft.sources.CommitGroup.readAll]] — pinned at the group's
+    * published snapshots, so a later unrelated commit on one member
+    * (driven here) and any torn state stay invisible; leakage breaks
+    * the hash. The DuckDB oracle recomputes both tables from raw
+    * orders. `CommitGroupSpec` drives the crash-recovery and
+    * marker-fencing paths.
     */
   def snapshotGroup(s: SparkSession, d: String): DataFrame = {
     import graft.sources.{CommitGroup, SnapshotTable}
@@ -2335,14 +2338,26 @@ object FormatQueries {
     val preA = SnapshotTable.read(s, rootA).count()
     val preB = SnapshotTable.read(s, rootB).count()
     CommitGroup.publish(s, "curate1", Seq(rootA, rootB))
-    val clean = SnapshotTable.read(s, rootA)
+    // an unrelated LATER commit moves one member's head; the GROUP read
+    // ([[CommitGroup.readAll]]) pins every member at its group-published
+    // snapshot, so the junk stays invisible to the joined result (the
+    // oracle recomputes from raw orders — head leakage breaks the hash)
+    SnapshotTable.commit(
+      s.range(0, 7).select((col("id") + 900000000L).as("o_orderkey"),
+        lit("X").as("o_orderstatus"), lit(1.0).as("o_totalprice")), rootA)
+    val pinned = CommitGroup.readAll(s, "curate1", Seq(rootA, rootB))
+    val headA = SnapshotTable.read(s, rootA).count()
+    val pinnedA = pinned(rootA).count()
+    val clean = pinned(rootA)
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n_clean"))
-    SnapshotTable.read(s, rootB)
+    pinned(rootB)
       .join(clean, Seq("o_orderstatus"), "left")
       .select(col("o_orderstatus"), col("n_orders"), col("total_price"),
         coalesce(col("n_clean"), lit(0L)).as("n_clean"))
       .withColumn("staged_invisible",
         lit(if (preA == 0L && preB == 0L) 1L else 0L))
+      .withColumn("group_pinned",
+        lit(if (headA == pinnedA + 7L) 1L else 0L))
   }
 
   /** Global COUNT(*) through the DSv2 connector's aggregate pushdown:
@@ -2404,7 +2419,8 @@ object FormatQueries {
         |  FROM orders WHERE o_totalprice >= 1000.0 GROUP BY 1)
         |SELECT s.o_orderstatus, s.n_orders, s.total_price,
         |  coalesce(c.n_clean, 0)::BIGINT AS n_clean,
-        |  1::BIGINT AS staged_invisible
+        |  1::BIGINT AS staged_invisible,
+        |  1::BIGINT AS group_pinned
         |FROM score s LEFT JOIN clean c USING (o_orderstatus)""".stripMargin,
     // TIMESTAMP AS OF the instant between the two commits reads the
     // CTAS half; the metadata table's max row count = the final table

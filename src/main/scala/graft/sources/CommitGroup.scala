@@ -18,18 +18,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      the serving path, auditable via [[SnapshotTable.readWap]]);
   *   2. [[publish]] validates EVERY stage against its base first
   *      (all-or-nothing starts by refusing a doomed pass outright),
-  *      writes the marker — membership lines `<root>TAB<wapId>` — into
-  *      every member's `_manifests/` (so recovery from ANY member sees
-  *      the full group), then fast-forwards each member
-  *      ([[SnapshotTable.publishWap]], O(metadata) each), then removes
-  *      the markers;
-  *   3. a crash anywhere in step 2 leaves the marker: [[recover]]
-  *      rolls the group FORWARD (presumed commit — the marker exists
-  *      only after every stage validated), republishing still-staged
-  *      members and skipping already-published ones, converging to
-  *      all-visible; a crash BEFORE the marker leaves plain WAP stages
-  *      that [[dropGroup]] discards — all-invisible. All-or-nothing
-  *      either way.
+  *      writes the marker — membership lines `<root>TAB<wapId>TAB<base>`
+  *      — into every member's `_manifests/` (so recovery from ANY
+  *      member sees the full group), then fast-forwards each member
+  *      ([[SnapshotTable.publishWap]], O(metadata) each), records the
+  *      published (root -> snapshot) map in every member (the pinned
+  *      input of [[readAll]]), then removes the markers;
+  *   3. the FIRST marker create is the commit decision: any surviving
+  *      marker means PRESUMED COMMIT — [[recover]] rolls the group
+  *      FORWARD (the markers are written only after every stage
+  *      validated), republishing still-staged members and skipping
+  *      already-published ones, converging to all-visible; and
+  *      [[dropGroup]] REFUSES once any marker exists (a crash midway
+  *      through the marker-write loop leaves markers on a prefix of
+  *      members — without the refusal, the operator's choice of entry
+  *      point would decide commit vs abort for the same crash state).
+  *      A crash BEFORE the first marker leaves plain WAP stages that
+  *      [[dropGroup]] discards — all-invisible. All-or-nothing either
+  *      way, with the decision point a single atomic file create.
   *
   * Boundary (stated, not hidden): atomicity holds against CRASHES, not
   * against a concurrent interleaved commit on a member table between
@@ -39,14 +45,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * silently dropping anything. Same single-writer-per-table contract
   * as every commit shape; Iceberg has no multi-table transactions at
   * all, Delta's are engine-level. Readers between two member publishes
-  * of a HEALTHY pass can observe the intermediate state for the
-  * milliseconds the loop runs — the marker bounds how long a crash can
-  * stretch that window, and recovery closes it.
+  * of a HEALTHY pass can observe the intermediate state on the HEADS
+  * for the milliseconds the loop runs — [[readAll]] closes that window
+  * too: it pins every member at its group-consistent snapshot (the
+  * bases while a marker is live, the recorded published map after), so
+  * a group-aware reader observes all-old or all-new, never mixed.
   */
 object CommitGroup {
 
   private def markerPath(root: String, group: String): Path =
     new Path(new Path(root, "_manifests"), s"grp-${enc(group)}.group")
+
+  /** The persisted (root -> published snapshot) record of the group's
+    * LAST completed publish — written to every member after the final
+    * member fast-forwards, before the markers clear. What [[readAll]]
+    * pins on; overwritten if the group id is reused for a later pass.
+    */
+  private def publishedPath(root: String, group: String): Path =
+    new Path(new Path(root, "_manifests"), s"grp-${enc(group)}.published")
 
   private def enc(v: String): String =
     java.net.URLEncoder.encode(v, "UTF-8")
@@ -75,12 +91,16 @@ object CommitGroup {
       roots: Seq[String]): Map[String, Long] =
     publishCrashable(s, group, roots, crashAfter = Int.MaxValue)
 
-  /** [[publish]] with a fault-injection point for the recovery spec:
-    * throws after `crashAfter` member publishes, markers in place —
-    * exactly the crash window [[recover]] exists for.
+  /** [[publish]] with fault-injection points for the recovery specs:
+    * `crashAfter` throws after that many member publishes (markers in
+    * place — exactly the crash window [[recover]] exists for);
+    * `crashAfterMarkers` throws after that many MARKER writes (the
+    * prefix-marker state where [[dropGroup]] must refuse and recovery
+    * from a marker-bearing member must still converge the full group).
     */
   private[sources] def publishCrashable(s: SparkSession, group: String,
-      roots: Seq[String], crashAfter: Int): Map[String, Long] = {
+      roots: Seq[String], crashAfter: Int,
+      crashAfterMarkers: Int = Int.MaxValue): Map[String, Long] = {
     require(roots.nonEmpty, "commit group with no members")
     require(roots.distinct.size == roots.size,
       s"commit group '$group': duplicate member roots")
@@ -88,21 +108,28 @@ object CommitGroup {
     // validate EVERY stage before touching anything: each must exist
     // and still sit on its table's current head — a doomed pass
     // refuses here, before any member becomes visible
-    ordered.foreach { root =>
+    val bases: Map[String, Long] = ordered.map { root =>
       val base = SnapshotTable.wapBase(s, root, wapIdOf(group))
       val cur = SnapshotTable.currentSnapshot(s, root)
       require(cur == base,
         s"commit group '$group': member $root advanced to v$cur past " +
           s"its stage's base v$base — drop the group and re-stage " +
           "against the new heads")
-    }
-    // the marker IS the commit decision: written to every member (so
-    // recovery from any one sees the whole group) before the first
-    // publish; a crash before the last marker write leaves only
-    // plain stages (all-invisible, dropGroup's debris)
-    val body = ordered.map(r => s"$r\t${wapIdOf(group)}")
+      root -> base
+    }.toMap
+    // the FIRST marker create IS the commit decision: markers go to
+    // every member in sorted order (so recovery from any marker-bearing
+    // one sees the whole group), each line `<root>TAB<wapId>TAB<base>`;
+    // a crash mid-loop leaves markers on a prefix — still a decided
+    // commit ([[dropGroup]] refuses, [[recover]] rolls forward)
+    val body = ordered.map(r => s"$r\t${wapIdOf(group)}\t${bases(r)}")
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
-    ordered.foreach { root =>
+    ordered.zipWithIndex.foreach { case (root, i) =>
+      if (i >= crashAfterMarkers)
+        throw new IllegalStateException(
+          s"commit group '$group': injected crash after " +
+            s"$crashAfterMarkers marker write(s) — the commit is " +
+            "decided; recover() from a marker-bearing member")
       val p = markerPath(root, group)
       val fs = fsOf(s, p)
       val out = fs.create(p, false) // a taken marker = the group id is
@@ -116,36 +143,70 @@ object CommitGroup {
             "member publish(es) — recover() rolls the group forward")
       root -> publishMember(s, root, group)
     }.toMap
+    recordPublished(s, group, published)
     ordered.foreach(root =>
       fsOf(s, markerPath(root, group)).delete(markerPath(root, group), false))
     published
   }
 
-  /** Publish one member idempotently: still-staged → fast-forward;
-    * already published under this group's wap id (a crash between a
-    * member's manifest rename and its wap-file cleanup, or a resumed
-    * recovery) → converge silently.
+  /** Persist the group's published (root -> snapshot) map into every
+    * member's `_manifests/` — the pin set [[readAll]] serves. Written
+    * after the last member fast-forwards and BEFORE the markers clear,
+    * so a reader always finds either a live marker (publish in flight:
+    * pin the bases) or the record of the last completed pass.
+    */
+  private def recordPublished(s: SparkSession, group: String,
+      published: Map[String, Long]): Unit = {
+    val body = published.toSeq.sorted.map { case (r, id) => s"$r\t$id" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8)
+    published.keys.foreach { root =>
+      val p = publishedPath(root, group)
+      val fs = fsOf(s, p)
+      val out = fs.create(p, true) // overwrite: group-id reuse replaces
+      try out.write(body) finally out.close()
+    }
+  }
+
+  /** Publish one member idempotently. The decisive evidence is the
+    * STAGE itself, not the head's provenance: a stage whose `wap.base`
+    * equals the current head is a NEW stage that must fast-forward —
+    * even when the head already carries this group's wap id from an
+    * earlier pass (group-id REUSE: stage, publish, re-stage, publish
+    * again with no intervening commit). Only when the stage is absent,
+    * or predates the head, does a head carrying the group's wap id
+    * mean "already published" (a crash between a member's manifest
+    * rename and its wap-file cleanup, or a resumed recovery) —
+    * converge silently, dropping the stale stage manifest if the
+    * cleanup half also crashed.
     */
   private def publishMember(s: SparkSession, root: String,
       group: String): Long = {
     val wapId = wapIdOf(group)
     val cur = SnapshotTable.currentSnapshot(s, root)
-    val headWap = SnapshotTable.snapshotProps(s, root, cur).get("wap.id")
-    if (headWap.contains(wapId)) {
-      // this member already published (crash after its rename): drop
-      // the leftover stage manifest if the cleanup half also crashed
-      val stale = new Path(new Path(root, "_manifests"),
-        s"wap-${enc(wapId)}.manifest")
-      fsOf(s, stale).delete(stale, false)
-      cur
-    } else SnapshotTable.publishWap(s, root, wapId)
+    if (SnapshotTable.wapExists(s, root, wapId) &&
+        SnapshotTable.wapBase(s, root, wapId) == cur)
+      SnapshotTable.publishWap(s, root, wapId)
+    else {
+      val headWap = SnapshotTable.snapshotProps(s, root, cur).get("wap.id")
+      if (headWap.contains(wapId)) {
+        val stale = new Path(new Path(root, "_manifests"),
+          s"wap-${enc(wapId)}.manifest")
+        fsOf(s, stale).delete(stale, false)
+        cur
+      } else SnapshotTable.publishWap(s, root, wapId) // absent or
+      // diverged stage: fails loudly with the precise error (never
+      // staged / table advanced past the base) instead of guessing
+    }
   }
 
   /** Roll an interrupted group FORWARD from any member's marker:
     * republish every member the crash left staged (presumed commit —
-    * the marker exists only after full validation), converge the ones
-    * already published, then clear the markers. Returns the recovered
-    * membership (empty = no marker, nothing to do).
+    * the first marker is written only after full validation), converge
+    * the ones already published, re-record the published map, then
+    * clear the markers. Returns the recovered membership (empty = no
+    * marker on THIS member; if the crash hit mid-marker-loop, probe
+    * the other members or use the `roots` overload — any marker in the
+    * group carries the full membership).
     */
   def recover(s: SparkSession, anyMemberRoot: String,
       group: String): Map[String, Long] = {
@@ -161,19 +222,101 @@ object CommitGroup {
     val published = members.sorted.map { root =>
       root -> publishMember(s, root, group)
     }.toMap
+    recordPublished(s, group, published)
     members.foreach(root =>
       fsOf(s, markerPath(root, group)).delete(markerPath(root, group), false))
     published
   }
 
-  /** The failed-audit exit: drop every member's stage (their added
-    * files included) and any markers; no table ever saw the group.
-    * Returns deleted staged-file count.
+  /** [[recover]] that scans the candidate roots for the first
+    * marker-bearing member — the operator's entry point after a crash
+    * whose marker loop may have stopped on any prefix. Empty = no
+    * marker anywhere: the group never reached its commit decision
+    * ([[dropGroup]] is the exit).
     */
-  def dropGroup(s: SparkSession, group: String, roots: Seq[String]): Int =
+  def recover(s: SparkSession, group: String,
+      roots: Seq[String]): Map[String, Long] =
+    roots.sorted.iterator
+      .map(r => recover(s, r, group))
+      .find(_.nonEmpty)
+      .getOrElse(Map.empty)
+
+  /** The failed-audit exit: drop every member's stage (their added
+    * files included) and any `.published` debris; no table ever saw
+    * the group. REFUSES once any member carries the group's marker —
+    * a marker means the commit was DECIDED ([[publishCrashable]]
+    * writes the first one only after every stage validated), and the
+    * one legal continuation is [[recover]]; honoring a drop here would
+    * let the operator's entry point decide commit vs abort for the
+    * same crash state. Returns deleted staged-file count.
+    */
+  def dropGroup(s: SparkSession, group: String, roots: Seq[String]): Int = {
+    val marked = roots.sorted
+      .filter(r => fsOf(s, markerPath(r, group)).exists(markerPath(r, group)))
+    require(marked.isEmpty,
+      s"commit group '$group': member(s) ${marked.mkString(", ")} carry " +
+        "the group marker — the commit is decided; recover() the group " +
+        "forward instead of dropping it")
     roots.sorted.map { root =>
-      fsOf(s, markerPath(root, group)).delete(markerPath(root, group), false)
+      fsOf(s, publishedPath(root, group))
+        .delete(publishedPath(root, group), false)
       try SnapshotTable.dropWap(s, root, wapIdOf(group))
       catch { case _: IllegalArgumentException => 0 } // never staged
     }.sum
+  }
+
+  /** GROUP-CONSISTENT read: every member pinned at its group snapshot,
+    * so a reader racing a publish (or a crash) observes all-old or
+    * all-new, NEVER member 1's new head next to member 2's old one.
+    * Resolution order, checked per the protocol's own fencing:
+    *
+    *   - a live marker on any root (publish in flight or crashed
+    *     mid-pass): pin every member at its marker-recorded BASE —
+    *     all-old, exactly what the group looked like before the pass
+    *     (the publishes may already have advanced some heads; the
+    *     pinned reads don't care);
+    *   - else the `.published` record (the last completed pass): pin
+    *     every member at its recorded snapshot — all-new as of the
+    *     group's publish, immune to later unrelated commits;
+    *   - else the group is unknown here — refuse loudly.
+    *
+    * Returns root -> pinned DataFrame ([[SnapshotTable.readAt]] — the
+    * ordinary snapshot read, manifest pruning included).
+    */
+  def readAll(s: SparkSession, group: String,
+      roots: Seq[String]): Map[String, DataFrame] = {
+    val ordered = roots.sorted
+    val markerOf = ordered.iterator.map { r =>
+      val p = markerPath(r, group)
+      (fsOf(s, p), p)
+    }.find { case (fs, p) => fs.exists(p) }
+    markerOf match {
+      case Some((fs, p)) =>
+        val in = fs.open(p)
+        val bases =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.trim).filter(_.nonEmpty).map { ln =>
+              val f = ln.split("\t"); f(0) -> f(2).toLong
+            }.toMap
+          finally in.close()
+        bases.map { case (r, base) =>
+          r -> SnapshotTable.readAt(s, r, base) }
+      case None =>
+        val rec = ordered.iterator.map(r => (fsOf(s,
+          publishedPath(r, group)), publishedPath(r, group)))
+          .find { case (fs, p) => fs.exists(p) }
+          .getOrElse(throw new IllegalArgumentException(
+            s"commit group '$group': no marker and no published record " +
+              s"on any of ${ordered.mkString(", ")} — the group never " +
+              "published here (or its record was cleaned)"))
+        val in = rec._1.open(rec._2)
+        val ids =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.trim).filter(_.nonEmpty).map { ln =>
+              val f = ln.split("\t"); f(0) -> f(1).toLong
+            }.toMap
+          finally in.close()
+        ids.map { case (r, id) => r -> SnapshotTable.readAt(s, r, id) }
+    }
+  }
 }

@@ -2070,6 +2070,10 @@ object SnapshotTable {
       parsePhysMap(wapProps(s, root, wapId).get("col.phys"))), dvs)
   }
 
+  /** Whether a staged snapshot named `wapId` currently exists. */
+  def wapExists(s: SparkSession, root: String, wapId: String): Boolean =
+    fsOf(s, new Path(root)).exists(wapPath(root, wapId))
+
   /** The base snapshot id staged snapshot `wapId` was built against. */
   def wapBase(s: SparkSession, root: String, wapId: String): Long =
     wapProps(s, root, wapId).getOrElse("wap.base",

@@ -39,11 +39,98 @@ class CommitGroupSpec extends SparkSpec {
     val fs = new Path(b).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     roots.foreach { r =>
+      // the `.published` record deliberately survives (readAll's pin
+      // set); markers and stages must be consumed
       val leftovers = fs.listStatus(new Path(r, "_manifests"))
         .map(_.getPath.getName)
-        .filter(n => n.contains("grp-") || n.startsWith("wap-"))
+        .filter(n => (n.contains("grp-") && !n.endsWith(".published")) ||
+          n.startsWith("wap-"))
       assert(leftovers.isEmpty, leftovers.mkString(","))
     }
+  }
+
+  test("group-id REUSE publishes the new stage instead of silently " +
+      "discarding it as crash debris") {
+    val b = tmp()
+    val roots = Seq(s"$b/r1", s"$b/r2")
+    roots.foreach(seed(_, 4))
+    // pass 1: stage + publish under group id "gr"
+    roots.foreach(r => CommitGroup.stage(
+      spark.range(100, 103).select(col("id").as("k")), r, "gr"))
+    val first = CommitGroup.publish(spark, "gr", roots)
+    assert(first.values.toSet == Set(2L))
+    // pass 2, SAME group id, no intervening commit: every head still
+    // carries wap.id grp-gr — the old code deleted the fresh stage as
+    // stale and reported success at the old snapshot
+    roots.foreach(r => CommitGroup.stage(
+      spark.range(200, 210).select(col("id").as("k")), r, "gr"))
+    val second = CommitGroup.publish(spark, "gr", roots)
+    assert(second.values.toSet == Set(3L),
+      "the re-staged pass must fast-forward, not converge to the old head")
+    roots.foreach { r =>
+      assert(SnapshotTable.read(spark, r).count() == 4L + 3L + 10L, r)
+      assert(SnapshotTable.currentSnapshot(spark, r) == 3L, r)
+    }
+  }
+
+  test("crash mid-MARKER-loop: the commit is decided — dropGroup " +
+      "refuses, recover from the membership converges all-new") {
+    val b = tmp()
+    val roots = Seq(s"$b/p", s"$b/q", s"$b/r")
+    roots.foreach(seed(_, 5))
+    roots.foreach(r => CommitGroup.stage(
+      spark.range(50, 56).select(col("id").as("k")), r, "gm"))
+    // crash after ONE marker write: marker on the first sorted member
+    // only, zero publishes — the prefix state the ADVICE flagged
+    intercept[IllegalStateException](CommitGroup.publishCrashable(
+      spark, "gm", roots, crashAfter = Int.MaxValue, crashAfterMarkers = 1))
+    roots.foreach(r =>
+      assert(SnapshotTable.read(spark, r).count() == 5L, r))
+    // the operator cannot abort a decided commit, whatever entry point
+    val e = intercept[IllegalArgumentException](
+      CommitGroup.dropGroup(spark, "gm", roots))
+    assert(e.getMessage.contains("recover"), e.getMessage)
+    // recover from the membership scan (the marker-bearing member may
+    // be any prefix element) converges the WHOLE group forward
+    val rec = CommitGroup.recover(spark, "gm", roots)
+    assert(rec.keySet == roots.toSet)
+    roots.foreach(r =>
+      assert(SnapshotTable.read(spark, r).count() == 11L, r))
+    // no marker anywhere: a later recover scan is a no-op
+    assert(CommitGroup.recover(spark, "gm", roots).isEmpty)
+  }
+
+  test("readAll is group-consistent: all-old while a crashed pass " +
+      "holds the marker, all-new after recovery, pinned against later " +
+      "unrelated commits") {
+    val b = tmp()
+    val roots = Seq(s"$b/u", s"$b/v", s"$b/w")
+    roots.foreach(seed(_, 7))
+    roots.foreach(r => CommitGroup.stage(
+      spark.range(0, 3).select(col("id").as("k")), r, "gc"))
+    intercept[IllegalStateException](
+      CommitGroup.publishCrashable(spark, "gc", roots, crashAfter = 1))
+    // HEADS are torn (first member published) ...
+    assert(SnapshotTable.read(spark, roots.sorted.head).count() == 10L)
+    assert(SnapshotTable.read(spark, roots.sorted.last).count() == 7L)
+    // ... but the pinned read is all-OLD: every member at its base
+    val mid = CommitGroup.readAll(spark, "gc", roots)
+    assert(mid.keySet == roots.toSet)
+    mid.foreach { case (r, df) => assert(df.count() == 7L, r) }
+    CommitGroup.recover(spark, "gc", roots)
+    // now all-NEW ...
+    CommitGroup.readAll(spark, "gc", roots)
+      .foreach { case (r, df) => assert(df.count() == 10L, r) }
+    // ... and pinned: an unrelated commit on one member moves its head
+    // but not the group read
+    SnapshotTable.commit(
+      spark.range(900, 950).select(col("id").as("k")), roots.sorted.head)
+    assert(SnapshotTable.read(spark, roots.sorted.head).count() == 60L)
+    CommitGroup.readAll(spark, "gc", roots)
+      .foreach { case (r, df) => assert(df.count() == 10L, r) }
+    // an unknown group refuses rather than guessing heads
+    intercept[IllegalArgumentException](
+      CommitGroup.readAll(spark, "never-published", roots))
   }
 
   test("crash between member publishes: recover() rolls the group " +
