@@ -2269,9 +2269,11 @@ object FormatQueries {
     * a V2 catalog, which stock Spark refuses): name a governed read
     * (the price-filtered fact and its per-status rollup) once, then
     * answer through the VIEW — including a second SELECT after a
-    * further INSERT, proving the view re-resolves to the table's
-    * CURRENT snapshot. The oracle recomputes both view bodies from raw
-    * orders.
+    * further INSERT (the view re-resolves to the table's CURRENT
+    * snapshot), an in-place `ALTER VIEW ... AS` (atomic definition
+    * swap, no drop window), and a `VERSION AS OF` read through the
+    * view pinned at the CTAS snapshot. The oracle recomputes the view
+    * body from raw orders; the audit flags pin the lifecycle.
     */
   def snapshotView(s: SparkSession, d: String): DataFrame = {
     import graft.sources.SnapshotCatalog
@@ -2299,10 +2301,27 @@ object FormatQueries {
       "snap_view_orders_src WHERE o_orderkey % 2 = 1")
     val postBig = s.sql("SELECT sum(n_big) FROM gsnapv.db.big")
       .head.getLong(0)
+    // ALTER VIEW ... AS replaces the definition IN PLACE (one atomic
+    // file swap — no drop window): same semantics, new text; the
+    // altered view must keep serving the hash-gated read below
+    s.sql("ALTER VIEW gsnapv.db.big AS " +
+      "SELECT o_orderstatus, count(*) AS n_big, " +
+      "round(sum(o_totalprice), 2) AS total_big " +
+      "FROM gsnapv.db.ord " +
+      "WHERE o_totalprice >= 50000.0 AND o_orderkey >= 0 " +
+      "GROUP BY o_orderstatus")
+    // view TIME TRAVEL: AS OF the CTAS data snapshot (v1 is the CREATE
+    // TABLE empty seed, v2 the CTAS rows) the view aggregates only the
+    // even half — must reproduce the pre-insert sum
+    val asOf = s.sql(
+      "SELECT sum(n_big) FROM gsnapv.db.big VERSION AS OF 2")
+      .head.getLong(0)
     // the view now sees the full table — the hash-gated read
     s.sql("SELECT * FROM gsnapv.db.big")
       .withColumn("view_tracked_commit",
         lit(if (preBig > 0L && preBig < postBig) 1L else 0L))
+      .withColumn("view_asof_pinned",
+        lit(if (asOf == preBig) 1L else 0L))
   }
 
   /** Multi-table ATOMIC publish ([[graft.sources.CommitGroup]]): a
@@ -2404,7 +2423,8 @@ object FormatQueries {
     "fmt_snapshot_view" ->
       """SELECT o_orderstatus, count(*)::BIGINT AS n_big,
         |  round(sum(o_totalprice), 2) AS total_big,
-        |  1::BIGINT AS view_tracked_commit
+        |  1::BIGINT AS view_tracked_commit,
+        |  1::BIGINT AS view_asof_pinned
         |FROM orders WHERE o_totalprice >= 50000.0
         |GROUP BY o_orderstatus""".stripMargin,
     // both group members recomputed from raw orders, joined — plus the

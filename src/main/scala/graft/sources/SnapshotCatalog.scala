@@ -644,17 +644,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  override def createView(info: ViewInfo): View = {
-    val ident = info.ident
-    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
-    if (tableExists(ident))
-      throw new TableAlreadyExistsException(ident)
-    val ns = nsPath(ident.namespace)
-    if (!fs(ns).exists(ns)) throw new NoSuchNamespaceException(ident.namespace)
+  private def viewLines(info: ViewInfo): Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._
     def csv(a: Array[String]): String =
       Option(a).getOrElse(Array.empty[String]).map(encV).mkString(",")
-    val lines = Seq(
+    Seq(
       "sql" -> info.sql,
       "currentCatalog" -> info.currentCatalog,
       "currentNamespace" -> csv(info.currentNamespace),
@@ -663,19 +657,92 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       "columnAliases" -> csv(info.columnAliases)) ++
       info.properties.asScala.toSeq.sortBy(_._1)
         .map { case (k, v) => s"user.$k" -> v }
+  }
+
+  private def writeViewFile(ident: Identifier,
+      lines: Seq[(String, String)], replace: Boolean): Unit = {
     val p = viewPath(ident)
     fs(p).mkdirs(p.getParent)
-    val out = fs(p).create(p, false)
-    try out.write(lines.map { case (k, v) => s"${encV(k)}=${encV(v)}" }
-      .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    val body = lines.map { case (k, v) => s"${encV(k)}=${encV(v)}" }
+      .mkString("\n").getBytes("UTF-8")
+    if (!replace) {
+      val out = fs(p).create(p, false)
+      try out.write(body) finally out.close()
+    } else {
+      // IN-PLACE replace (ALTER VIEW): full new definition to a temp
+      // name, then one rename — a concurrent reader loads either the
+      // old complete file or the new complete file, never a torn write
+      // (drop-and-recreate had a window where the view didn't exist)
+      val tmp = new Path(p.getParent, s".tmp-${ident.name}.view")
+      val out = fs(p).create(tmp, true)
+      try out.write(body) finally out.close()
+      if (fs(p).getScheme == "file") {
+        // Hadoop's checksum-wrapped LocalFileSystem refuses a clobber
+        // rename; the raw POSIX rename is the atomic swap we want.
+        // The checksum SIDECAR (.name.crc) must move in step: drop the
+        // destination's first (a data file without a crc reads fine),
+        // swap the data file atomically, then move the new crc in.
+        def crcOf(x: Path) = new java.io.File(
+          new java.io.File(x.toUri.getPath).getParent, s".${x.getName}.crc")
+        crcOf(p).delete()
+        require(new java.io.File(tmp.toUri.getPath)
+            .renameTo(new java.io.File(p.toUri.getPath)),
+          s"graft-snap catalog: replace of view $ident failed")
+        if (crcOf(tmp).exists()) crcOf(tmp).renameTo(crcOf(p))
+      } else {
+        fs(p).delete(p, false)
+        require(fs(p).rename(tmp, p),
+          s"graft-snap catalog: replace of view $ident failed")
+      }
+    }
+  }
+
+  override def createView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (viewExists(ident)) throw new ViewAlreadyExistsException(ident)
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    val ns = nsPath(ident.namespace)
+    if (!fs(ns).exists(ns)) throw new NoSuchNamespaceException(ident.namespace)
+    writeViewFile(ident, viewLines(info), replace = false)
     loadView(ident)
   }
 
-  override def alterView(ident: Identifier, changes: ViewChange*): View =
-    throw new UnsupportedOperationException(
-      "graft-snap catalog: ALTER VIEW is not supported — drop and " +
-        "recreate (views are one immutable definition file)")
+  /** Replace `ident`'s ENTIRE definition in place (`ALTER VIEW ... AS`):
+    * one atomic definition-file swap, so the view never stops existing
+    * mid-alter the way drop-and-recreate made it. The caller passes the
+    * full new ViewInfo (new body, new schema, new definition context);
+    * stored user properties are the caller's to carry or drop.
+    */
+  def replaceView(info: ViewInfo): View = {
+    val ident = info.ident
+    if (!viewExists(ident)) throw new NoSuchViewException(ident)
+    writeViewFile(ident, viewLines(info), replace = true)
+    loadView(ident)
+  }
+
+  /** Property changes in place (the V2 `ViewChange` surface: set /
+    * remove view properties) — read the stored definition, apply, one
+    * atomic file swap. Body/schema edits go through [[replaceView]].
+    */
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    if (!viewExists(ident)) throw new NoSuchViewException(ident)
+    val v = loadView(ident)
+    import scala.jdk.CollectionConverters._
+    val props = new java.util.HashMap[String, String](v.properties())
+    changes.foreach {
+      case sp: ViewChange.SetProperty => props.put(sp.property(), sp.value())
+      case rp: ViewChange.RemoveProperty => props.remove(rp.property())
+      case other => throw new UnsupportedOperationException(
+        s"graft-snap catalog: unsupported view change $other — " +
+          "properties alter in place; body changes are ALTER VIEW ... AS")
+    }
+    writeViewFile(ident, viewLines(new ViewInfo(ident, v.query,
+      v.currentCatalog, v.currentNamespace, v.schema,
+      v.queryColumnNames, v.columnAliases, Array.empty, props)),
+      replace = true)
+    loadView(ident)
+  }
 
   override def dropView(ident: Identifier): Boolean = {
     val p = viewPath(ident)

@@ -66,4 +66,94 @@ class SnapshotViewSpec extends SparkSpec {
     assert(!spark.sql(s"SHOW NAMESPACES IN $cat").collect()
       .map(_.getString(0)).contains("_views"))
   }
+
+  test("definition-context capture: an unqualified body name resolves " +
+      "where the AUTHOR sat — the reader's USE state and same-named " +
+      "temp views cannot redirect the view") {
+    ensure()
+    spark.sql(s"CREATE TABLE $cat.db.ctxbase (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.ctxbase VALUES (1), (2), (3)")
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name
+    try {
+      spark.sql(s"USE $cat.db")
+      spark.sql("CREATE VIEW ctxv AS SELECT count(*) AS n FROM ctxbase")
+    } finally spark.sql(s"USE $prevCat")
+    // the reader sits elsewhere AND shadows the base name with a temp
+    // view — the stored context must win on both axes
+    spark.range(0, 50).toDF("k").createOrReplaceTempView("ctxbase")
+    try {
+      assert(spark.sql(s"SELECT n FROM $cat.db.ctxv").head.getLong(0) == 3L,
+        "view body resolved in the READER's context, not the author's")
+    } finally spark.catalog.dropTempView("ctxbase")
+    // CTE names inside the body stay lexical — qualification must not
+    // rewrite them into (nonexistent) catalog tables
+    spark.sql(s"CREATE VIEW $cat.db.ctev AS " +
+      s"WITH c AS (SELECT k FROM $cat.db.ctxbase WHERE k >= 2) " +
+      "SELECT count(*) AS n FROM c")
+    assert(spark.sql(s"SELECT n FROM $cat.db.ctev").head.getLong(0) == 2L)
+  }
+
+  test("a persistent view may not capture a TEMP view — refused at " +
+      "create and at alter") {
+    ensure()
+    spark.range(0, 5).toDF("k").createOrReplaceTempView("ephemeral")
+    try {
+      val e = intercept[Exception](spark.sql(
+        s"CREATE VIEW $cat.db.leaky AS SELECT k FROM ephemeral"))
+      assert(e.getMessage.contains("TEMP view"), e.getMessage)
+    } finally spark.catalog.dropTempView("ephemeral")
+  }
+
+  test("ALTER VIEW ... AS replaces the definition IN PLACE: new body " +
+      "visible, user properties carried, the view never stops existing") {
+    ensure()
+    spark.sql(s"CREATE TABLE $cat.db.alt (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.alt VALUES (1), (2), (3), (4)")
+    spark.sql(s"CREATE VIEW $cat.db.altv " +
+      "TBLPROPERTIES ('owner'='curation') " +
+      s"AS SELECT count(*) AS n FROM $cat.db.alt")
+    assert(spark.sql(s"SELECT n FROM $cat.db.altv").head.getLong(0) == 4L)
+    spark.sql(s"ALTER VIEW $cat.db.altv AS " +
+      s"SELECT count(*) AS n FROM $cat.db.alt WHERE k >= 3")
+    assert(spark.sql(s"SELECT n FROM $cat.db.altv").head.getLong(0) == 2L)
+    val c = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[SnapshotCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array("db"), "altv")
+    assert(c.loadView(ident).properties().get("owner") == "curation",
+      "ALTER VIEW ... AS must carry the stored user properties")
+    // property changes alter in place through the V2 ViewChange surface
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    c.alterView(ident, ViewChange.setProperty("tier", "gold"))
+    assert(c.loadView(ident).properties().get("tier") == "gold")
+    c.alterView(ident, ViewChange.removeProperty("owner"))
+    assert(!c.loadView(ident).properties().containsKey("owner"))
+    // the body survived the property edits
+    assert(spark.sql(s"SELECT n FROM $cat.db.altv").head.getLong(0) == 2L)
+  }
+
+  test("view time travel: VERSION/TIMESTAMP AS OF on a view pins its " +
+      "snapshot-catalog bases; a base's own AS OF in the body wins") {
+    ensure()
+    spark.sql(s"CREATE TABLE $cat.db.ttb (k BIGINT)") // v1: empty seed
+    spark.sql(s"INSERT INTO $cat.db.ttb VALUES (1), (2)") // v2
+    val tsAfterV2 = java.time.Instant.now().toString
+    Thread.sleep(1100) // manifest mtimes are second-granular on some FS
+    spark.sql(s"INSERT INTO $cat.db.ttb VALUES (3)") // v3
+    spark.sql(s"CREATE VIEW $cat.db.ttv AS " +
+      s"SELECT count(*) AS n FROM $cat.db.ttb")
+    assert(spark.sql(s"SELECT n FROM $cat.db.ttv").head.getLong(0) == 3L)
+    assert(spark.sql(s"SELECT n FROM $cat.db.ttv VERSION AS OF 2")
+      .head.getLong(0) == 2L)
+    assert(spark.sql(
+      s"SELECT n FROM $cat.db.ttv TIMESTAMP AS OF '$tsAfterV2'")
+      .head.getLong(0) == 2L)
+    // a base pinned INSIDE the body keeps its own pin under an outer
+    // travel (the inner AS OF is the author's explicit intent)
+    spark.sql(s"CREATE VIEW $cat.db.ttv1 AS " +
+      s"SELECT count(*) AS n FROM $cat.db.ttb VERSION AS OF 2")
+    assert(spark.sql(s"SELECT n FROM $cat.db.ttv1").head.getLong(0) == 2L)
+    assert(spark.sql(s"SELECT n FROM $cat.db.ttv1 VERSION AS OF 3")
+      .head.getLong(0) == 2L)
+  }
 }
