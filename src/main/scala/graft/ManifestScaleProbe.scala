@@ -98,6 +98,58 @@ object ManifestScaleProbe {
         f"ndv_build=$ndvBuildSec%7.1fs " +
         f"ndv_append_median=${ndvAppends(2)}%6.3fs")
     }
+
+    // ---- axis 2: MANY SMALL COMMITS (the per-minute streaming-sink
+    // shape the round-13 verdict flagged: one delta shard per ~32
+    // files accretes refs forever). With auto-fold ON the head's
+    // ref count, line count, and cold fileList must stay FLAT as the
+    // commit count grows; with fold OFF they grow O(commits/32) — the
+    // contrast this axis records. Also times expire on the long
+    // history (reclaim must be O(expired shards), not O(history)).
+    val commitsAxis = sys.env.getOrElse("COMMITS_AXIS", "400,1600")
+      .split(",").map(_.trim.toInt).toSeq
+    Seq(("fold_on", "16"), ("fold_off", "0")).foreach {
+      case (label, foldRefs) =>
+        commitsAxis.foreach { m =>
+          val root = java.nio.file.Files
+            .createTempDirectory("graft_mprobe2").toString + "/t"
+          spark.conf.set("graft.snapshot.manifest.fold.max.refs", foldRefs)
+          val (_, buildSec) = time {
+            (0 until m).foreach { i =>
+              SnapshotTable.commit(
+                Seq((i.toLong, i.toLong * 7)).toDF("k", "v").coalesce(1),
+                root, statsCol = Some("k"))
+            }
+          }
+          val fs = new Path(root).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val cur = SnapshotTable.currentSnapshot(spark, root)
+          val head = {
+            val p = new Path(s"$root/_manifests/v$cur.manifest")
+            val in = fs.open(p)
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+              .map(_.trim).filter(_.nonEmpty).toSeq
+            finally in.close()
+          }
+          val refs = head.count(_.startsWith("#shard "))
+          val appends = (1 to 5).map { i =>
+            time(SnapshotTable.commit(
+              Seq((9000000L + i, 1L)).toDF("k", "v").coalesce(1),
+              root, statsCol = Some("k")))._2
+          }.sorted
+          val (nFiles, coldSec) = time(
+            SnapshotTable.fileList(spark, root,
+              SnapshotTable.currentSnapshot(spark, root)).size)
+          val (reclaim, expireSec) =
+            time(SnapshotTable.expireSnapshots(spark, root, 1))
+          println(f"[manifest-probe2] $label%-8s commits=$m%6d " +
+            f"build=$buildSec%7.1fs head_lines=${head.size}%5d " +
+            f"refs=$refs%4d append_median=${appends(2)}%6.3fs " +
+            f"list_cold=$coldSec%6.3fs n_files=$nFiles%6d " +
+            f"expire=${expireSec}%6.2fs expired_snaps=${reclaim._1}%5d")
+        }
+    }
+    spark.conf.unset("graft.snapshot.manifest.fold.max.refs")
     spark.stop()
   }
 }

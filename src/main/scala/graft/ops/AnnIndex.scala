@@ -196,6 +196,11 @@ object AnnIndex {
       SnapshotTable.commit(
         SnapshotTable.read(s, indexRoot).limit(0), indexRoot,
         props = floor)
+    // SMALL-FILE DEBT cadence: merge passes append churn-sized code
+    // files forever; bin-pack once fragments cross the threshold
+    // (manifest rc= check only — no-op on most passes; the floor and
+    // the ann.* codebook props ride the compaction commit)
+    SnapshotTable.compactOnDebt(s, indexRoot)
     throughSnapshot
   }
 

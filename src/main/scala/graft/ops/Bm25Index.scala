@@ -156,6 +156,14 @@ object Bm25Index {
         SnapshotTable.read(s, dlRoot(indexRoot)).limit(0),
         dlRoot(indexRoot), props = floor)
     }
+    // SMALL-FILE DEBT cadence: every pass appends churn-sized tf/dl
+    // files; once fragments cross the threshold, bin-pack them
+    // (manifest rc= check only — a no-op on most passes). Runs AFTER
+    // the floor advanced: a crash inside the compaction replays as
+    // layout-only work, and the compaction commit carries the floor
+    // (stream.* props ride every commit shape).
+    SnapshotTable.compactOnDebt(s, tfRoot(indexRoot))
+    SnapshotTable.compactOnDebt(s, dlRoot(indexRoot))
     throughSnapshot
   }
 

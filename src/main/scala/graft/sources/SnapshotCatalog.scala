@@ -983,6 +983,19 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         Seq(("current_version", LongType)),
         { case Seq(t: String) =>
           Seq(Long.box(SnapshotTable.rewriteDeletes(spark, rootOf(t)))) }),
+      Proc("rewrite_manifests",
+        "consolidate the head's small manifest shards (+ inline " +
+          "entries) into target-sized shards — metadata only, no data " +
+          "file touched; forces to completion the fold commits run " +
+          "automatically when refs cross fold.max.refs",
+        Seq(("table", StringType, None),
+          ("target_lines", LongType, Some("4096"))),
+        Seq(("current_version", LongType), ("head_lines_before", IntegerType),
+          ("head_lines_after", IntegerType)),
+        { case Seq(t: String, tl: java.lang.Long) =>
+          val (v, before, after) = SnapshotTable.rewriteManifests(
+            spark, rootOf(t), tl.toInt)
+          Seq(Long.box(v), Int.box(before), Int.box(after)) }),
       Proc("compact_small_files",
         "bin-pack files below min_rows into ~target_rows files; " +
           "larger files are carried verbatim (never read) and the " +

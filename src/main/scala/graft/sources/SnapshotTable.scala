@@ -388,6 +388,89 @@ object SnapshotTable {
     rewriteHeadLines(s, root, id)(e =>
       if (keepPath(e.path)) Some(e) else None)
 
+  /** Fold SMALL shards (line count < `targetLines`) plus the inline
+    * lines into target-sized shards: shards already at target carry as
+    * refs untouched; the fold's last partial chunk stays INLINE when
+    * below `shardMin` (so subsequent appends keep accumulating inline
+    * instead of minting a near-empty shard each fold). Entry ORDER is
+    * preserved (big-shard refs first, then the folded stream) — entry
+    * semantics are order-independent (a set of files + stats), so
+    * every reader sees the identical expanded set. Returns the new
+    * entry-section head lines; the superseded small shards stay on
+    * disk for older snapshots/WAP stages until [[expireSnapshots]]
+    * reclaims them.
+    */
+  private def consolidateShards(s: SparkSession,
+      fs: FileSystem, root: String, refs: Seq[String],
+      inline: Seq[String], targetLines: Int, shardMin: Int,
+      commitId: String): Seq[String] = {
+    val (big, small) = refs.partition { r =>
+      shardLinesOf(fs, root, r.stripPrefix("#shard ").trim)
+        .length >= targetLines
+    }
+    val toFold = small.flatMap(r =>
+      shardLinesOf(fs, root, r.stripPrefix("#shard ").trim)) ++ inline
+    val chunks = toFold.grouped(targetLines).toSeq
+    val (full, tail) = chunks.partition(_.length >= shardMin)
+    val newRefs = full.zipWithIndex.map { case (lines, i) =>
+      val shardName = s"s-$commitId-f$i.shard"
+      val sp = new Path(manifestDir(root), shardName)
+      val so = fs.create(sp, false)
+      try so.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally so.close()
+      shardCache.put(sp.toString, lines)
+      s"#shard $shardName"
+    }
+    big ++ newRefs ++ tail.flatten
+  }
+
+  /** MANIFEST CONSOLIDATION on demand (`CALL system.rewrite_manifests`
+    * / this verb): a METADATA-ONLY commit that folds the head's small
+    * shards and inline lines into `targetLines`-sized shards — no data
+    * file is read, moved, or rewritten; row counts, stats bands, NDV
+    * registers, delete entries, and `sq=` stamps carry verbatim inside
+    * the re-chunked lines. The background twin — auto-fold at commit
+    * once refs cross `graft.snapshot.manifest.fold.max.refs` — keeps
+    * steady-state heads bounded without operator action; this verb is
+    * for forcing a minimal head before a latency-critical serving
+    * window or after a burst of tiny commits with auto-fold disabled.
+    * Same role as Iceberg's `rewrite_manifests`. No-op (returns the
+    * current snapshot, no commit) when the head already has nothing to
+    * fold. Returns (snapshot id, head entry-section lines before,
+    * after).
+    */
+  def rewriteManifests(s: SparkSession, root: String,
+      targetLines: Int = 4096): (Long, Int, Int) = {
+    require(targetLines >= 1, s"targetLines must be >= 1, got $targetLines")
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"rewrite_manifests on empty table $root")
+    val fs = fsOf(s, new Path(root))
+    val head = headEntryLines(s, root, cur)
+    val (refs, inline) = head.partition(_.startsWith("#shard "))
+    val smallRefs = refs.filterNot(r =>
+      shardLinesOf(fs, root, r.stripPrefix("#shard ").trim)
+        .length >= targetLines)
+    val shardMin =
+      s.conf.get("graft.snapshot.manifest.shard.min.lines", "32").toInt
+    // nothing to merge — the fold would reproduce the same layout:
+    // no small shard and only a sub-threshold inline tail, or exactly
+    // one small shard with nothing to join it
+    if ((smallRefs.isEmpty && inline.length <= shardMin) ||
+        (smallRefs.size == 1 && inline.isEmpty))
+      return (cur, head.size, head.size)
+    val commitId = java.util.UUID.randomUUID().toString.replace("-", "")
+    val folded = consolidateShards(s, fs, root,
+      refs, inline, targetLines, shardMin, commitId)
+    val staging = new Path(new Path(root), s"_staging/$commitId")
+    fs.mkdirs(staging) // empty: metadata-only commit
+    val id = publishStaged(s, root, commitId, staging, folded, cur,
+      Seq.empty, Map("maintenance" -> "rewrite_manifests"),
+      storedSchema(s, root, cur).getOrElse(
+        throw new IllegalStateException(
+          s"rewrite_manifests: $root v$cur carries no schema")))
+    (id, head.size, folded.size)
+  }
+
   /** A STAGED (write-audit-publish) snapshot's manifest: named by the
     * caller's wap id, invisible to [[currentSnapshot]] / readers /
     * time travel until [[publishWap]] fast-forwards it onto the head.
@@ -899,7 +982,14 @@ object SnapshotTable {
     // estimate stays defined across appends, merges, and compactions
     // without ever rebuilding (carried entries keep their registers
     // verbatim). The cost is the commit's delta, never the table;
-    // disable for one commit by passing props("stats.ndv.cols" -> "").
+    // disable for one commit by passing props("stats.ndv.cols" -> "")
+    // — genuinely ONE commit: the empty value is stripped before the
+    // props persist (see allProps below), so the carried column list
+    // survives and the NEXT commit resumes stamping. The skipped
+    // commit's files stay register-less, which means [[ndvOf]] reports
+    // None (honestly) until those files are rewritten or the index is
+    // rebuilt — skipping trades one commit's scan for estimate
+    // availability, never for silent staleness.
     val ndvCols: Seq[String] = (carriedProps ++ props)
       .getOrElse("stats.ndv.cols", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq // PHYSICAL names
@@ -942,14 +1032,33 @@ object SnapshotTable {
     // head size stays O(shards + threshold) and commit text is
     // O(delta) at any table size. A conflict-failed commit's shard is
     // never referenced — ordinary age-gated orphan debris.
+    //
+    // AUTO-CONSOLIDATION: one delta shard per commit still accretes a
+    // ref per ~shardMin files FOREVER (a per-minute streaming sink =
+    // ~1.4k refs/day) — the one snapshot-layer cost that tracked the
+    // table. When the ref count crosses `fold.max.refs`, this commit
+    // folds every SMALL shard (+ the inline lines) into target-sized
+    // shards ([[consolidateShards]]); shards already at target carry
+    // as refs untouched. Each entry is therefore rewritten O(1) times
+    // (delta shard, then once into its target shard) and the head
+    // stays O(files / targetLines + fold.max.refs) lines — amortized
+    // O(delta) commit text at any table size. `rewrite_manifests` is
+    // the same fold forced to completion on demand.
     fs.mkdirs(manifestDir(root))
     val shardMin =
       s.conf.get("graft.snapshot.manifest.shard.min.lines", "32").toInt
+    val foldMaxRefs =
+      s.conf.get("graft.snapshot.manifest.fold.max.refs", "128").toInt
+    val targetLines =
+      s.conf.get("graft.snapshot.manifest.shard.target.lines", "4096").toInt
     val (carriedRefs, carriedInline) =
       carried.partition(_.startsWith("#shard "))
     val inlineAll = carriedInline ++ movedEntries
     val files =
-      if (inlineAll.length > shardMin) {
+      if (foldMaxRefs > 0 && carriedRefs.size >= foldMaxRefs)
+        consolidateShards(s, fs, root, carriedRefs, inlineAll,
+          targetLines, shardMin, commitId)
+      else if (inlineAll.length > shardMin) {
         val shardName = s"s-$commitId.shard"
         val sp = new Path(manifestDir(root), shardName)
         val so = fs.create(sp, false)
@@ -959,7 +1068,18 @@ object SnapshotTable {
         shardCache.put(sp.toString, inlineAll)
         carriedRefs :+ s"#shard $shardName"
       } else carriedRefs ++ inlineAll
-    val allProps = carriedProps ++ Map("schema" -> schema.json) ++ props
+    // an explicit one-commit NDV disable must not PERSIST its empty
+    // value: the stats.- carry filter would propagate it forever,
+    // permanently retiring the maintained group — restore the carried
+    // column list (or drop the key when there was none)
+    val allProps0 = carriedProps ++ Map("schema" -> schema.json) ++ props
+    val allProps =
+      if (props.get("stats.ndv.cols").contains(""))
+        carriedProps.get("stats.ndv.cols").filter(_.nonEmpty) match {
+          case Some(v) => allProps0 + ("stats.ndv.cols" -> v)
+          case None => allProps0 - "stats.ndv.cols"
+        }
+      else allProps0
     // manifest content first to a temp name, then the atomic rename that
     // IS the commit; a taken name means a concurrent writer won the race
     val tmp = new Path(manifestDir(root), s".tmp-$commitId")
@@ -3819,6 +3939,48 @@ object SnapshotTable {
       Map("compact.binpack" -> s"$minRows,$targetRows"),
       storedSchema(s, root, cur), parts)
     (id, small.size, fileList(s, root, id).size - large.size)
+  }
+
+  /** Small-file-DEBT cadence: compact iff at least `maxSmall` data
+    * files sit below `minRows` — the trigger maintained indexes hook
+    * after every [[graft.ops.Bm25Index.applyFeed]] /
+    * [[graft.ops.AnnIndex.applyFeed]] pass, because each pass appends
+    * churn-sized files and NOTHING else ever rewrites them: after
+    * thousands of passes the search-side scan would pay the fragment
+    * count. The check is manifest `rc=` arithmetic alone (zero file
+    * reads, no listing); when it fires, work is O(small-file rows)
+    * ([[compactSmallFiles]] — large files carry verbatim) and the
+    * change feed crosses it as an empty step, so maintenance floors
+    * and incremental consumers are undisturbed. Skipped (None) while
+    * the snapshot carries delete entries or unknown row counts — those
+    * tables need [[rewriteDeletes]] first. Returns Some((id, packed,
+    * written)) when compaction ran.
+    */
+  def compactIfFragmented(s: SparkSession, root: String, minRows: Long,
+      targetRows: Long, maxSmall: Int): Option[(Long, Int, Int)] = {
+    val cur = currentSnapshot(s, root)
+    if (cur == 0L) return None
+    val es = entries(s, root, cur)
+    if (es.exists(_.isDelete) || !es.forall(_.rows.isDefined)) return None
+    val nSmall = es.count(_.rows.get < minRows)
+    if (nSmall >= maxSmall)
+      Some(compactSmallFiles(s, root, minRows, targetRows))
+    else None
+  }
+
+  /** [[compactIfFragmented]] under the session's index-cadence conf —
+    * `graft.index.compact.{max.small,min.rows,target.rows}` (defaults
+    * 24 / 2048 / 65536; max.small <= 0 disables).
+    */
+  def compactOnDebt(s: SparkSession,
+      root: String): Option[(Long, Int, Int)] = {
+    val maxSmall =
+      s.conf.get("graft.index.compact.max.small", "24").toInt
+    if (maxSmall <= 0) None
+    else compactIfFragmented(s, root,
+      s.conf.get("graft.index.compact.min.rows", "2048").toLong,
+      s.conf.get("graft.index.compact.target.rows", "65536").toLong,
+      maxSmall)
   }
 
   /** The files of the CURRENT snapshot a merge keyed on `keyCol` would

@@ -94,4 +94,55 @@ class Bm25IndexSpec extends SparkSpec {
     assert(diff == 0L,
       "replay over a half-applied pass must converge, not double-apply")
   }
+
+  test("compaction cadence: repeated maintenance passes keep the index " +
+      "file count BOUNDED (debt trigger fires), the floor and " +
+      "confluence survive the compactions") {
+    import spark.implicits._
+    val b = tmp()
+    val corpusRoot = s"$b/corpus"
+    val indexRoot = s"$b/ix"
+    val docs = spark.range(0, 400).select(col("id").as("doc_id"),
+      concat(lit("tok"), col("id") % 50, lit(" common word")).as("text"))
+    SnapshotTable.commit(docs.repartitionByRange(4, col("doc_id")),
+      corpusRoot, statsCol = Some("doc_id"))
+    Bm25Index.buildBm25Index(spark, corpusRoot, indexRoot)
+    // aggressive cadence so the debt trigger fires within the spec's
+    // pass budget: every file counts as small, compact at >= 6
+    spark.conf.set("graft.index.compact.max.small", "6")
+    spark.conf.set("graft.index.compact.min.rows", "1000000")
+    spark.conf.set("graft.index.compact.target.rows", "2000000")
+    try {
+      def tfFiles(): Int = SnapshotTable.fileList(spark,
+        Bm25Index.tfRoot(indexRoot),
+        SnapshotTable.currentSnapshot(spark,
+          Bm25Index.tfRoot(indexRoot))).size
+      var maxFiles = 0
+      (1 to 12).foreach { i =>
+        SnapshotTable.merge(
+          spark.range(i * 10L, i * 10L + 10L)
+            .select(col("id").as("doc_id"),
+              concat(lit("rev"), lit(i), lit(" pass"), col("id"))
+                .as("text")),
+          corpusRoot, "doc_id")
+        Bm25Index.maintainBm25Index(spark, corpusRoot, indexRoot)
+        maxFiles = math.max(maxFiles, tfFiles())
+      }
+      // without the cadence each pass leaves +1..2 files forever; with
+      // it the count saw-tooths under (threshold + per-pass delta)
+      assert(maxFiles <= 10,
+        s"tf file count must stay bounded by the debt trigger, saw " +
+          s"$maxFiles")
+      assert(Bm25Index.maintainedThrough(spark, indexRoot) ==
+        SnapshotTable.currentSnapshot(spark, corpusRoot),
+        "the floor must ride the compaction commits")
+      val (_, diff) =
+        Bm25Index.confluenceAudit(spark, corpusRoot, indexRoot)
+      assert(diff == 0L, "compaction is layout-only: confluence holds")
+    } finally {
+      spark.conf.unset("graft.index.compact.max.small")
+      spark.conf.unset("graft.index.compact.min.rows")
+      spark.conf.unset("graft.index.compact.target.rows")
+    }
+  }
 }

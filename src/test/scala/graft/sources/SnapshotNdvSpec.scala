@@ -92,6 +92,21 @@ class SnapshotNdvSpec extends SparkSpec {
       props = Map("stats.ndv.cols" -> ""))
     val v5 = SnapshotTable.currentSnapshot(spark, root)
     assert(SnapshotTable.ndvOf(spark, root, v5, "g").isEmpty)
+    // the disable is genuinely ONE-SHOT: the empty value did not
+    // poison the carried group — the NEXT commit resumes stamping its
+    // own files (the estimate stays None only because v5's file is
+    // still register-less, exactly the documented boundary)
+    assert(!SnapshotTable.snapshotProps(spark, root, v5)
+      .getOrElse("stats.ndv.cols", "").isEmpty,
+      "the carried stats.ndv.cols must survive a one-commit disable")
+    SnapshotTable.commit(Seq((9100L, 2L)).toDF("k", "g"), root)
+    val v6 = SnapshotTable.currentSnapshot(spark, root)
+    val v6New = SnapshotTable.entries(spark, root, v6)
+      .filterNot(_.isDelete).filter(_.seq == v6)
+    assert(v6New.nonEmpty && v6New.forall(_.ndvRegsFor("g").isDefined),
+      "post-disable commits must resume stamping registers")
+    assert(SnapshotTable.ndvOf(spark, root, v6, "g").isEmpty,
+      "estimate stays withdrawn while the skipped file lacks registers")
     // rebuild restores; an eq delete then withdraws again
     SnapshotTable.buildNdvIndex(spark, root, "g")
     assert(SnapshotTable.ndvOf(spark, root,

@@ -146,6 +146,89 @@ class SnapshotShardSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, root).count() == 800L)
   }
 
+  test("rewrite_manifests consolidates small shards into target-sized " +
+      "ones: metadata-only, reads identical, stats and history intact, " +
+      "idempotent no-op when already folded") {
+    import spark.implicits._
+    val root = s"${tmp()}/t"
+    // 5 commits x 33 files: five small shards + whatever inline tail
+    (0 until 5).foreach { i =>
+      SnapshotTable.commit(
+        spark.range(i * 330L, (i + 1) * 330L).select(col("id").as("k"),
+          (col("id") % 7).as("v")).repartitionByRange(33, col("k")),
+        root, statsCol = Some("k"))
+    }
+    val v5 = SnapshotTable.currentSnapshot(spark, root)
+    val before = headOf(root, v5)
+    assert(refsOf(before).size == 5)
+    val dataFilesBefore = SnapshotTable.fileList(spark, root, v5)
+    val (v6, nBefore, nAfter) =
+      SnapshotTable.rewriteManifests(spark, root)
+    assert(v6 == v5 + 1 && nAfter < nBefore)
+    val after = headOf(root, v6)
+    assert(refsOf(after).size == 1 && inlineEntriesOf(after).isEmpty,
+      s"expected one consolidated shard, got:\n${after.mkString("\n")}")
+    // METADATA-ONLY: the data file set is IDENTICAL (same names), row
+    // counts and reads exact, stats-based pruning still live
+    assert(SnapshotTable.fileList(spark, root, v6).sorted ==
+      dataFilesBefore.sorted)
+    assert(SnapshotTable.rowCount(spark, root, v6).contains(1650L))
+    assert(SnapshotTable.read(spark, root).count() == 1650L)
+    assert(SnapshotTable.read(spark, root)
+      .filter(col("k") === 777L).count() == 1L)
+    // history intact: pre-fold snapshots expand their own (old) shards
+    assert(SnapshotTable.readAt(spark, root, 2).count() == 660L)
+    // a rewrite shape AFTER the fold still works (folded shards carry
+    // rc/sq/stats verbatim — the merge rewrites only the touched one)
+    val (v7, rewritten, _) = SnapshotTable.merge(
+      Seq((777L, 99L)).toDF("k", "v"), root, "k")
+    assert(rewritten == 1)
+    assert(SnapshotTable.readAt(spark, root, v7)
+      .filter(col("k") === 777L).head.getLong(1) == 99L)
+    assert(SnapshotTable.read(spark, root).count() == 1650L)
+    // idempotent: nothing left to fold -> no commit
+    val h7 = headOf(root, v7)
+    val smallTail = refsOf(h7).size + inlineEntriesOf(h7).size
+    val (v8, b8, a8) = SnapshotTable.rewriteManifests(spark, root)
+    if (smallTail <= 2) // one big shard + merge remainder may still fold
+      assert(v8 == v7 && b8 == a8, "fold with nothing to merge must no-op")
+    else assert(v8 == v7 + 1)
+    val (v9, b9, a9) = SnapshotTable.rewriteManifests(spark, root)
+    assert(v9 == math.max(v7, v8) && b9 == a9,
+      "a second immediate rewrite must always no-op")
+  }
+
+  test("auto-fold at commit: once refs cross fold.max.refs the commit " +
+      "consolidates small shards — head refs stay bounded across an " +
+      "open-ended append stream") {
+    import spark.implicits._
+    val root = s"${tmp()}/t"
+    spark.conf.set("graft.snapshot.manifest.fold.max.refs", "4")
+    try {
+      (0 until 10).foreach { i =>
+        SnapshotTable.commit(
+          spark.range(i * 330L, (i + 1) * 330L).select(col("id").as("k"))
+            .repartitionByRange(33, col("k")),
+          root, statsCol = Some("k"))
+        val h = headOf(root, SnapshotTable.currentSnapshot(spark, root))
+        assert(refsOf(h).size <= 5,
+          s"refs must stay bounded by the fold threshold, got " +
+            s"${refsOf(h).size} at commit ${i + 1}")
+      }
+      val cur = SnapshotTable.currentSnapshot(spark, root)
+      assert(SnapshotTable.rowCount(spark, root, cur).contains(3300L))
+      assert(SnapshotTable.read(spark, root).count() == 3300L)
+      assert(SnapshotTable.fileList(spark, root, cur).size == 330)
+      // pre-fold history still reads (superseded shards stay on disk
+      // until expire)
+      assert(SnapshotTable.readAt(spark, root, 3).count() == 990L)
+      // and expire reclaims the superseded shards with the old heads
+      val (nSnaps, _) = SnapshotTable.expireSnapshots(spark, root, 1)
+      assert(nSnaps == cur - 1)
+      assert(SnapshotTable.read(spark, root).count() == 3300L)
+    } finally spark.conf.unset("graft.snapshot.manifest.fold.max.refs")
+  }
+
   test("WAP stages shard too: stage, audit, publish — O(metadata) " +
       "fast-forward with refs intact") {
     import spark.implicits._
