@@ -139,8 +139,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // NORMALIZE by the run's own calibration entry: the fixed-work
+    // query prices THIS machine's state (r13's recorded run landed on
+    // a ~4x-loaded box and every cross-round comparison had to be
+    // re-adjudicated by hand). CalibrationRef is the quiet-box median
+    // observed across r12-r13 (0.33-0.39 s; builder and judge runs
+    // agree); value_normalized = total / (calibration / ref), i.e.
+    // the total this run would have posted on the quiet box. Compare
+    // rounds on value_normalized, audit drift via calibration itself.
+    val calibrationRef = 0.36
+    val calib = results.collectFirst {
+      case ("calibration", v) if v > 0 => v }.getOrElse(-1.0)
+    val normalized =
+      if (calib > 0) total / (calib / calibrationRef) else total
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","calibration":$calib%.3f,"calibration_ref":$calibrationRef%.2f,"value_normalized":$normalized%.3f,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // the driver keeps only the last ~2 KB of stdout, which truncates the
     // per-query map to the alphabetical tail — persist the full profile so

@@ -455,7 +455,14 @@ private[sources] class SnapshotScanBuilder(root: String, id: Long,
         // IsNotNull(key) must not cost the planner its cardinality)
         Some(scanEntries.map(e => e.rows.get -
           e.statsFor(notNullCols.head).get.nulls.get).sum)
-      else None
+      else
+        // row-level filters pushed: the SURVIVING files' row sum is an
+        // UPPER-BOUND estimate (parquet filters further inside them) —
+        // V2 Statistics are estimates, and handing CBO the post-prune
+        // bound instead of nothing is what lets it chain file skipping
+        // into aggregate/join sizing (overestimating only ever demotes
+        // a broadcast, never fabricates one)
+        Some(scanEntries.map(_.rows.get).sum)
     // the runtime-refilter replan: a fresh parquet builder over the
     // narrowed list with the SAME pushdown state as the original
     def rebuild(paths: Seq[String])

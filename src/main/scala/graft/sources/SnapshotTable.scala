@@ -690,6 +690,15 @@ object SnapshotTable {
     * snapshot N passes Some(N) and FAILS (rather than silently merging
     * or clobbering) if another writer advanced the table meanwhile —
     * the retry-from-new-base loop is the caller's.
+    *
+    * Concurrency: a PLAIN append (no pin, no overwrite) that loses the
+    * commit race auto-REBASES instead of failing — its data files are
+    * already staged and immutable, so only the manifest re-derives
+    * against the new head (bounded attempts,
+    * `graft.snapshot.commit.retries`). The rebase refuses loudly when
+    * any interleaved commit was non-additive or changed table shape
+    * ([[rebaseGuard]]); two disjoint appends therefore both land, in
+    * either order, with both deltas visible.
     */
   def commit(df: DataFrame, root: String, overwrite: Boolean = false,
       expectedBase: Option[Long] = None, statsCol: Option[String] = None,
@@ -754,7 +763,12 @@ object SnapshotTable {
       }
     }
     commitWithCarried(df, root, carried, prev, statsCol,
-      mapProps ++ partProp ++ props, baseSchema, parts)
+      mapProps ++ partProp ++ props, baseSchema, parts,
+      // plain appends may auto-REBASE on a concurrent-commit conflict
+      // (purely-additive interleavings only — [[rebaseGuard]]); an
+      // explicit expectedBase pin keeps the strict fail-fast contract
+      // the caller asked for, as does every overwrite
+      rebaseable = !overwrite && expectedBase.isEmpty)
   }
 
   /** True iff snapshot `id` is partitioned and EVERY file carries exact
@@ -791,12 +805,13 @@ object SnapshotTable {
     * carried forward (new `props` win) so exactly-once floors survive
     * compaction, merge, and expiration.
     */
-  private def commitWithCarried(df0: DataFrame, root: String,
+  private[sources] def commitWithCarried(df0: DataFrame, root: String,
       carried: Seq[String], prev: Long, statsCol: Option[String],
       props: Map[String, String],
       baseSchema: Option[StructType] = None,
       partitionCols: Seq[String] = Seq.empty,
-      wapId: Option[String] = None): Long = {
+      wapId: Option[String] = None,
+      rebaseable: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     val s = df0.sparkSession
     // files are written under PHYSICAL names (stable since each
@@ -839,7 +854,8 @@ object SnapshotTable {
     val statsCols = statsCol.toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
     publishStaged(s, root, commitId, staging, carried, prev, statsCols,
-      props, schema, wapTarget = wapId.map(w => wapPath(root, w)))
+      props, schema, wapTarget = wapId.map(w => wapPath(root, w)),
+      rebaseable = rebaseable)
   }
 
   /** The publish half of a commit, shared by every write path (the
@@ -866,7 +882,8 @@ object SnapshotTable {
       commitId: String, staging: Path, carried: Seq[String], prev: Long,
       statsCols: Seq[String], props: Map[String, String],
       schema: StructType, only: Option[Set[String]] = None,
-      wapTarget: Option[Path] = None): Long = {
+      wapTarget: Option[Path] = None,
+      rebaseable: Boolean = false): Long = {
     val reservedHit = schema.fieldNames.filter(ReservedCols)
     require(reservedHit.isEmpty,
       s"snapshot commit to $root refused: column name(s) " +
@@ -952,9 +969,21 @@ object SnapshotTable {
     // exactly-once stream floors and the table's partition shape
     // survive every commit path: carry the previous snapshot's
     // `stream.*` / `partition.cols` props unless this commit sets them
+    // EVERYTHING from here to the manifest write is a function of the
+    // base snapshot (prevA) and its carried entry lines (carriedA) —
+    // packaged as `buildManifest` so the append-REBASE retry below can
+    // re-derive the manifest against a new head after a conflict. The
+    // per-file register scan and footer reads are memoized: they are
+    // properties of the MOVED FILES alone, never of the base.
+    val regsMemo = scala.collection.mutable.Map[Seq[String],
+      Map[String, Map[String, Array[Int]]]]()
+    val footerMemo = scala.collection.mutable.Map[Seq[String],
+      Seq[(Seq[FileStats], Long)]]()
+    def buildManifest(prevA: Long, carriedA: Seq[String],
+        attemptId: String): (Path, Long) = {
     val carriedProps: Map[String, String] =
-      if (prev == 0L) Map.empty
-      else snapshotProps(s, root, prev).filter(p =>
+      if (prevA == 0L) Map.empty
+      else snapshotProps(s, root, prevA).filter(p =>
         p._1.startsWith("stream.") || p._1.startsWith("ann.") ||
           p._1.startsWith("stats.") || // maintained stats groups (NDV)
           p._1.startsWith("user.") || // SET TBLPROPERTIES: table-level
@@ -971,7 +1000,7 @@ object SnapshotTable {
     val physMap = parsePhysMap((carriedProps ++ props).get("col.phys"))
     val effStatsCols = (statsCols ++ partCols).distinct
       .map(c => physMap.getOrElse(c, c))
-    val id = prev + 1
+    val id = prevA + 1
     // every new data entry is stamped with its DATA SEQUENCE (= this
     // snapshot id) as a trailing `sq=` field — what scopes equality
     // deletes to strictly-older files ([[FileEntry.seq]]); carried
@@ -995,7 +1024,7 @@ object SnapshotTable {
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq // PHYSICAL names
     val newRegs: Map[String, Map[String, Array[Int]]] =
       if (ndvCols.isEmpty || moved.isEmpty) Map.empty
-      else {
+      else regsMemo.getOrElseUpdate(ndvCols, {
         import org.apache.spark.sql.functions.col
         val df = s.read.parquet(moved.map(rel => s"$root/$rel"): _*)
         val present = ndvCols.filter(df.columns.contains)
@@ -1011,10 +1040,11 @@ object SnapshotTable {
               present.zipWithIndex.map { case (c, i) =>
                 c -> r.getSeq[Int](i + 1).toArray }.toMap).toMap
         }
-      }
+      })
     val b64ndv = java.util.Base64.getEncoder
-    val movedEntries = moved.map { rel =>
-      val (stats, rows) = footerInfo(s, new Path(rootP, rel), effStatsCols)
+    val footers = footerMemo.getOrElseUpdate(effStatsCols,
+      moved.map(rel => footerInfo(s, new Path(rootP, rel), effStatsCols)))
+    val movedEntries = moved.zip(footers).map { case (rel, (stats, rows)) =>
       val name = rel.substring(rel.lastIndexOf('/') + 1)
       // a new file MISSING an indexed column entirely (schema-evolution
       // append) reads it as all-null: zero registers, estimating 0
@@ -1052,14 +1082,14 @@ object SnapshotTable {
     val targetLines =
       s.conf.get("graft.snapshot.manifest.shard.target.lines", "4096").toInt
     val (carriedRefs, carriedInline) =
-      carried.partition(_.startsWith("#shard "))
+      carriedA.partition(_.startsWith("#shard "))
     val inlineAll = carriedInline ++ movedEntries
     val files =
       if (foldMaxRefs > 0 && carriedRefs.size >= foldMaxRefs)
         consolidateShards(s, fs, root, carriedRefs, inlineAll,
-          targetLines, shardMin, commitId)
+          targetLines, shardMin, attemptId)
       else if (inlineAll.length > shardMin) {
-        val shardName = s"s-$commitId.shard"
+        val shardName = s"s-$attemptId.shard"
         val sp = new Path(manifestDir(root), shardName)
         val so = fs.create(sp, false)
         try so.write(inlineAll.mkString("\n")
@@ -1082,15 +1112,18 @@ object SnapshotTable {
       else allProps0
     // manifest content first to a temp name, then the atomic rename that
     // IS the commit; a taken name means a concurrent writer won the race
-    val tmp = new Path(manifestDir(root), s".tmp-$commitId")
+    val tmp = new Path(manifestDir(root), s".tmp-$attemptId")
     val lines =
       allProps.toSeq.sortBy(_._1)
         .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" } ++ files
     val out = fs.create(tmp, false)
     try out.write(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    (tmp, id)
+    } // end buildManifest
     wapTarget match {
       case Some(target) =>
+        val (tmp, _) = buildManifest(prev, carried, commitId)
         // a STAGED snapshot: publish under the wap name (no head
         // advance, no claim — the name itself is the exclusivity: a
         // taken wap id fails loudly rather than replacing an audit's
@@ -1106,9 +1139,76 @@ object SnapshotTable {
         }
         prev
       case None =>
-        publishManifest(s, fs, root, id, tmp)
-        id
+        // OPTIMISTIC publish with append REBASE: two logically-disjoint
+        // appends racing the same base should BOTH land, not make the
+        // loser re-stage its data. On a claim/publish conflict the loser
+        // re-reads the new head, verifies the interleaved commits were
+        // purely ADDITIVE and shape-preserving ([[rebaseGuard]] — the
+        // staged files are already moved and immutable; only the
+        // manifest re-derives), re-carries the new head's refs, and
+        // re-claims — bounded attempts, loud refusal on overwrite /
+        // partition / schema / column-mapping changes. Enabled only for
+        // append-shaped commits (the caller attests carriedA == the
+        // base head verbatim); every rewrite shape keeps the strict
+        // fail-fast contract.
+        val maxRetries =
+          if (rebaseable && prev > 0L)
+            s.conf.get("graft.snapshot.commit.retries", "3").toInt
+          else 0
+        var prevA = prev
+        var carriedA = carried
+        var attemptN = 0
+        var committed = -1L
+        while (committed < 0L) {
+          val attemptId =
+            if (attemptN == 0) commitId else s"$commitId-r$attemptN"
+          val (tmp, id) = buildManifest(prevA, carriedA, attemptId)
+          try { publishManifest(s, fs, root, id, tmp); committed = id }
+          catch {
+            case e: SnapshotCommitConflict if attemptN < maxRetries =>
+              attemptN += 1
+              val newCur = currentSnapshot(s, root)
+              rebaseGuard(s, root, prev, newCur, e)
+              prevA = newCur
+              carriedA = headEntryLines(s, root, newCur)
+          }
+        }
+        committed
     }
+  }
+
+  /** Whether rebasing an append from base `origPrev` onto head `newCur`
+    * is sound: every interleaved commit must have been purely ADDITIVE
+    * (the base's expanded entry set survives verbatim — appends,
+    * eq-delete appends, and delete-vector commits qualify; overwrites,
+    * merges, compactions, and stats rebuilds do not) and
+    * shape-preserving (partitioning, column mapping, retired names,
+    * evolution epoch, and schema unchanged — a concurrently-evolved
+    * schema would be silently dropped by the rebased commit's own
+    * schema prop). Throws the original conflict, enriched, when not.
+    */
+  private def rebaseGuard(s: SparkSession, root: String, origPrev: Long,
+      newCur: Long, cause: SnapshotCommitConflict): Unit = {
+    def refuse(why: String): Nothing =
+      throw new SnapshotCommitConflict(
+        s"${cause.getMessage}; auto-rebase refused: $why — re-prepare " +
+          "the commit against the current head")
+    val shapeKeys =
+      Seq("partition.cols", "col.phys", "cols.retired", "col.evo", "schema")
+    def shapeOf(id: Long): Seq[Option[String]] = {
+      val p = if (id == 0L) Map.empty[String, String]
+        else snapshotProps(s, root, id)
+      shapeKeys.map(p.get)
+    }
+    if (shapeOf(origPrev) != shapeOf(newCur))
+      refuse("a concurrent commit changed the table's shape " +
+        "(partitioning / schema / column mapping)")
+    val baseSet =
+      if (origPrev == 0L) Set.empty[String]
+      else entryLines(s, root, origPrev).toSet
+    if (!baseSet.subsetOf(entryLines(s, root, newCur).toSet))
+      refuse("a concurrent commit rewrote or dropped base entries " +
+        "(overwrite / merge / compaction / index rebuild)")
   }
 
   /** Claim the id ATOMICALLY, then rename the manifest into place.
@@ -1134,6 +1234,14 @@ object SnapshotTable {
     * close without an external lock service; the pre-rename existence
     * re-check shrinks it to the check-to-rename gap.
     */
+  /** The typed commit-conflict signal: a concurrent writer claimed or
+    * published this id first. Distinct from plain IllegalStateException
+    * so the append-rebase retry ([[publishStaged]]) never retries a
+    * genuine filesystem error.
+    */
+  final class SnapshotCommitConflict(msg: String)
+    extends IllegalStateException(msg)
+
   private def publishManifest(s: SparkSession, fs: FileSystem, root: String,
       id: Long, tmp: Path): Unit = {
     val target = manifestPath(root, id)
@@ -1144,9 +1252,11 @@ object SnapshotTable {
       else
         try fs.createNewFile(claim)
         catch { case _: java.io.IOException => false }
-    def fail(msg: String, dropClaim: Boolean): Nothing = {
+    def fail(msg: String, dropClaim: Boolean,
+        conflict: Boolean = false): Nothing = {
       fs.delete(tmp, false)
       if (dropClaim) fs.delete(claim, false)
+      if (conflict) throw new SnapshotCommitConflict(msg)
       throw new IllegalStateException(msg)
     }
     var claimed = tryClaim()
@@ -1165,11 +1275,11 @@ object SnapshotTable {
     if (!claimed)
       fail(s"snapshot commit conflict: v$id is being committed by a " +
         s"concurrent writer (root=$root); retry from the new current " +
-        "snapshot", dropClaim = false)
+        "snapshot", dropClaim = false, conflict = true)
     if (fs.exists(target))
       fail(s"snapshot commit conflict: v$id already committed by a " +
         s"concurrent writer (root=$root); retry from the new current " +
-        "snapshot", dropClaim = true)
+        "snapshot", dropClaim = true, conflict = true)
     // capture the published bytes BEFORE the rename consumes tmp: the
     // lease-TTL takeover window means a stalled-but-alive original
     // writer can still race this publish, and the local FS rename
@@ -1190,7 +1300,7 @@ object SnapshotTable {
       catch { case _: java.io.IOException => Array.empty[Byte] }
     if (!java.util.Arrays.equals(published, landed)) {
       fs.delete(claim, false)
-      throw new IllegalStateException(
+      throw new SnapshotCommitConflict(
         s"snapshot commit conflict: manifest v$id was overwritten by a " +
           s"concurrent lease-raced writer after publish (root=$root); " +
           "this commit is LOST — retry from the new current snapshot")

@@ -116,6 +116,81 @@ class SnapshotNdvSpec extends SparkSpec {
       SnapshotTable.currentSnapshot(spark, root), "g").isEmpty)
   }
 
+  test("POST-PRUNE column statistics: a file-skipping filter shrinks " +
+      "the scan's reported NDV/rows to the SURVIVING files, and the " +
+      "pruned aggregate side broadcasts where the table-level estimate " +
+      "would not") {
+    val base = tmp()
+    val factRoot = s"$base/fact"
+    val dimRoot = s"$base/dim"
+    val payload = md5(col("id").cast("string"))
+    // k-clustered fact with g == k: every file holds a DISTINCT g
+    // range, so pruning on k shrinks the true g-NDV of the survivors
+    SnapshotTable.commit(
+      spark.range(0, 60000).select(col("id").as("k"), col("id").as("g"),
+          payload.as("p"))
+        .repartitionByRange(30, col("k")).sortWithinPartitions("k"),
+      factRoot, statsCol = Some("k"))
+    SnapshotTable.buildNdvIndex(spark, factRoot, "g")
+    SnapshotTable.commit(
+      spark.range(0, 60000).select(col("id").as("g"), payload.as("q")),
+      dimRoot, statsCol = Some("g"))
+    def scanStatsOf(df: org.apache.spark.sql.DataFrame)
+        : (Option[Long], Option[Long]) = {
+      val scan = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r.scan
+      }.head
+      val st = scan
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+        .estimateStatistics()
+      import scala.jdk.CollectionConverters._
+      val ndv = st.columnStats().asScala.collectFirst {
+        case (ref, cs) if ref.describe() == "g" &&
+            cs.distinctCount().isPresent => cs.distinctCount().getAsLong
+      }
+      val rows = if (st.numRows().isPresent) Some(st.numRows().getAsLong)
+        else None
+      (ndv, rows)
+    }
+    val fact = spark.read.format("graft-snap").load(factRoot)
+    val (fullNdv, _) = scanStatsOf(fact)
+    val (prunedNdv, prunedRows) = scanStatsOf(fact.filter(col("k") < 2000))
+    assert(fullNdv.exists(_ > 40000L), s"table-level NDV, got $fullNdv")
+    assert(prunedNdv.exists(_ < 6000L),
+      s"post-prune NDV must fold only the surviving files' registers, " +
+        s"got $prunedNdv vs table-level $fullNdv")
+    // under a pushed row filter the scan reports the SURVIVORS' row
+    // sum — an upper-bound estimate (exactness is impossible once
+    // parquet filters inside the files), far tighter than the 60k
+    // table total and the number CBO chains into the join sizing below
+    assert(prunedRows.exists(_ <= 4200L),
+      s"post-prune row estimate must be the survivors' sum, got " +
+        s"$prunedRows")
+    // the plan-shape consequence: the pruned, grouped fact side is
+    // estimated tiny (its NDV bounds the aggregate's output) and
+    // BROADCASTS; unpruned, the same join stays sort-merge
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "262144")
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      val dim = spark.read.format("graft-snap").load(dimRoot)
+      def plan(filtered: Boolean): String = {
+        val side = if (filtered) fact.filter(col("k") < 2000) else fact
+        side.groupBy("g").agg(sum(col("k")).as("s")).join(dim, "g")
+          .queryExecution.sparkPlan.toString
+      }
+      assert(!plan(filtered = false).contains("BroadcastHashJoin"),
+        "table-level estimate (60k distinct) must NOT broadcast")
+      assert(plan(filtered = true).contains("BroadcastHashJoin"),
+        "the stats-pruned aggregate side must broadcast")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+    }
+  }
+
   test("CBO broadcast decision from manifest NDV: the grouped fact " +
       "side broadcasts only once the index tells the planner its " +
       "distinct count") {

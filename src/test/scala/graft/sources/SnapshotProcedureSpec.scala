@@ -174,11 +174,35 @@ class SnapshotProcedureSpec extends SparkSpec {
       .asInstanceOf[SnapshotCatalog]
     val listed = c.listProcedures(Array("system")).map(_.name()).toSet
     assert(listed == Set("expire_snapshots", "remove_orphans", "rollback",
-      "rewrite_deletes", "optimize_zorder", "publish_wap", "drop_wap",
+      "rewrite_deletes", "rewrite_manifests", "optimize_zorder",
+      "publish_wap", "drop_wap",
       "compact_small_files", "create_tag", "create_branch",
       "fast_forward", "drop_ref", "build_bloom", "build_ndv",
       "build_sq8_index", "publish_group", "recover_group", "drop_group",
       "maintain_sq8_index", "evolve_partitioning"))
+  }
+
+  test("CALL rewrite_manifests consolidates the head's shards as a " +
+      "metadata-only commit; the table reads exactly afterwards") {
+    ensureDb()
+    spark.sql(s"CREATE TABLE $cat.db.rwm (k BIGINT)")
+    // 5 multi-file inserts -> several small shards / inline tails
+    (0 until 5).foreach { i =>
+      spark.range(i * 330L, (i + 1) * 330L).select(col("id").as("k"))
+        .repartitionByRange(33, col("k"))
+        .createOrReplaceTempView(s"rwm_src_$i")
+      spark.sql(s"INSERT INTO $cat.db.rwm SELECT * FROM rwm_src_$i")
+    }
+    val r = spark.sql(
+      s"CALL $cat.system.rewrite_manifests('db.rwm')").head
+    assert(r.getInt(2) < r.getInt(1),
+      s"head lines must shrink: before=${r.getInt(1)} after=${r.getInt(2)}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.rwm")
+      .head.getLong(0) == 1650L)
+    // idempotent: a second call no-ops at the same version
+    val r2 = spark.sql(
+      s"CALL $cat.system.rewrite_manifests('db.rwm')").head
+    assert(r2.getLong(0) == r.getLong(0) && r2.getInt(1) == r2.getInt(2))
   }
 
   test("CALL build_sq8_index creates the index table in the catalog, " +
