@@ -49,16 +49,25 @@ import org.apache.spark.sql.types._
   */
 case class HllRegsAgg(
     child: Expression,
+    buckets: Int = graft.ops.Sketches.HllBuckets,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Byte]]
   with ExpectsInputTypes with UnaryLike[Expression] {
 
-  // the ONE source of truth for the register geometry — a retune of
-  // Sketches.HllBuckets/HllRemBits follows into this aggregate at
-  // compile time instead of silently diverging the two register paths
-  private val Buckets = graft.ops.Sketches.HllBuckets
-  private val RemBits = graft.ops.Sketches.HllRemBits
+  require(buckets >= 16 && buckets <= 65536 &&
+    Integer.bitCount(buckets) == 1,
+    s"hll_regs: register count must be a power of two in [16, 65536], " +
+      s"got $buckets")
+
+  // register GEOMETRY: bucket = top log2(m) bits of the 48-bit hash,
+  // rho over the remaining bits — at the default m = 64 this is
+  // bit-identical to Sketches.HllBuckets/HllRemBits (the oracle-checked
+  // gates all run there); wider counts trade state (m bytes per group)
+  // for estimate error (~1.04/sqrt(m)), the knob the manifest NDV
+  // group exposes through buildNdvIndex(registers = ...)
+  private val Buckets = buckets
+  private val RemBits = 48 - Integer.numberOfTrailingZeros(buckets)
   private val MaxRho = RemBits + 1
 
   override def inputTypes: Seq[DataType] = Seq(LongType)
@@ -116,4 +125,10 @@ object HllRegsAgg {
   def hll_regs(c: Column): Column =
     GraftShims.columnOf(
       HllRegsAgg(GraftShims.expressionOf(c)).toAggregateExpression())
+
+  /** Width-parameterized variant (the manifest NDV group's consumer). */
+  def hll_regs(c: Column, buckets: Int): Column =
+    GraftShims.columnOf(
+      HllRegsAgg(GraftShims.expressionOf(c), buckets)
+        .toAggregateExpression())
 }

@@ -282,6 +282,8 @@ object Sketches {
     * the DuckDB oracle.
     */
   def estimateFromRegs(regs: Array[Int]): Long = {
+    val m = regs.length
+    if (m != HllBuckets) return estimateFromRegsWide(regs)
     val maxRho = HllRemBits + 1
     val used = regs.filter(_ > 0)
     val mUsed = used.length.toLong
@@ -293,9 +295,40 @@ object Sketches {
     else est
   }
 
-  /** Merge register arrays: slot-wise max (HLL's union). */
-  def mergeRegs(a: Array[Int], b: Array[Int]): Array[Int] =
-    Array.tabulate(HllBuckets)(i => math.max(a(i), b(i)))
+  /** [[estimateFromRegs]] for NON-default register widths (the
+    * configurable manifest-NDV knob, [[graft.sources.SnapshotTable
+    * .buildNdvIndex]]'s `registers` parameter): the width is the
+    * array's own length, the geometry matches [[graft.functions
+    * .HllRegsAgg]] (bucket = top log2(m) of 48 hash bits), and the
+    * arithmetic is the classic double-precision HLL (alpha_m harmonic
+    * mean, linear counting under 2.5m) — DRIVER-side only, so unlike
+    * the 64-register default it carries no cross-engine bit-equality
+    * contract (none of the hash-checked gates run at other widths;
+    * the error-shrink property is spec-pinned instead).
+    */
+  private def estimateFromRegsWide(regs: Array[Int]): Long = {
+    val m = regs.length
+    require(m >= 16 && Integer.bitCount(m) == 1,
+      s"register array width $m is not a power of two >= 16")
+    val alpha =
+      if (m == 16) 0.673 else if (m == 32) 0.697 else 0.7213 / (1.0 + 1.079 / m)
+    val s = regs.map(r => math.pow(2.0, -r)).sum
+    val est = alpha * m * m / s
+    val zeros = regs.count(_ == 0)
+    if (zeros > 0 && est <= 2.5 * m)
+      math.round(m * math.log(m.toDouble / zeros))
+    else math.round(est)
+  }
+
+  /** Merge register arrays: slot-wise max (HLL's union). Widths must
+    * agree — a group built at one register count never merges with
+    * another ([[graft.sources.SnapshotTable.ndvOf]] withdraws instead).
+    */
+  def mergeRegs(a: Array[Int], b: Array[Int]): Array[Int] = {
+    require(a.length == b.length,
+      s"HLL register width mismatch: ${a.length} vs ${b.length}")
+    Array.tabulate(a.length)(i => math.max(a(i), b(i)))
+  }
 
   /** Fold registers into the integer raw estimate (plus the
     * linear-counting-corrected `hll_lc`) and join the exact reference:

@@ -2212,6 +2212,7 @@ object FormatQueries {
     "fmt_snapshot_bloom" -> (snapshotBloom _),
     "fmt_snapshot_ndv" -> (snapshotNdv _),
     "fmt_snapshot_group" -> (snapshotGroup _),
+    "fmt_snapshot_fold" -> (snapshotFold _),
     "fmt_snapshot_view" -> (snapshotView _),
     "fmt_snapshot_dsv2" -> (snapshotDsv2 _),
     "fmt_zstd_roundtrip" -> (zstdRoundTrip _),
@@ -2324,6 +2325,45 @@ object FormatQueries {
         lit(if (asOf == preBig) 1L else 0L))
   }
 
+  /** MANIFEST CONSOLIDATION end-to-end
+    * ([[graft.sources.SnapshotTable.rewriteManifests]], the r14
+    * manifest-list maintenance verb): a burst of small commits — the
+    * streaming-sink shape that accretes one delta shard per ~32
+    * files forever — then `rewrite_manifests` folds the head's small
+    * shards into target-sized ones as a METADATA-ONLY commit, and the
+    * post-fold table must aggregate exactly like raw orders (the
+    * oracle). Audit flags pin that the head's entry section SHRANK,
+    * that the fold touched no data (row count unchanged at the fold
+    * commit), and that an immediate second call no-ops.
+    */
+  def snapshotFold(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.SnapshotTable
+    val root = scratch("snap_fold")
+    graft.tera.TeraIO.delete(s, root)
+    val o = graft.Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    (0 until 12).foreach { i =>
+      SnapshotTable.commit(
+        o.filter(col("o_orderkey") % 12 === i).repartition(12), root,
+        statsCol = Some("o_orderkey"))
+    }
+    val preFold = SnapshotTable.currentSnapshot(s, root)
+    val rowsBefore = SnapshotTable.rowCount(s, root, preFold)
+    val (v, before, after) = SnapshotTable.rewriteManifests(s, root)
+    val rowsAfter = SnapshotTable.rowCount(s, root, v)
+    val (v2, b2, a2) = SnapshotTable.rewriteManifests(s, root)
+    SnapshotTable.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        money(sum(col("o_totalprice"))).as("total_price"))
+      .withColumn("fold_shrunk",
+        lit(if (v == preFold + 1 && after < before) 1L else 0L))
+      .withColumn("fold_metadata_only",
+        lit(if (rowsAfter == rowsBefore) 1L else 0L))
+      .withColumn("fold_idempotent",
+        lit(if (v2 == v && b2 == a2) 1L else 0L))
+  }
+
   /** Multi-table ATOMIC publish ([[graft.sources.CommitGroup]]): a
     * curate-style pass derives TWO output tables from orders — the
     * cleaned fact (price floor) and its per-status scorecard — stages
@@ -2427,6 +2467,16 @@ object FormatQueries {
         |  1::BIGINT AS view_asof_pinned
         |FROM orders WHERE o_totalprice >= 50000.0
         |GROUP BY o_orderstatus""".stripMargin,
+    // the post-consolidation table must aggregate exactly like raw
+    // orders; the audit flags pin the fold's shrink/metadata-only/
+    // idempotence contract
+    "fmt_snapshot_fold" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price,
+        |  1::BIGINT AS fold_shrunk,
+        |  1::BIGINT AS fold_metadata_only,
+        |  1::BIGINT AS fold_idempotent
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     // both group members recomputed from raw orders, joined — plus the
     // staged-invisible audit constant
     "fmt_snapshot_group" ->

@@ -900,12 +900,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         "build (or refresh) the per-file HLL NDV stats group over a " +
           "column: one read-only scan + one metadata-only commit; the " +
           "scan then reports the column's distinct count to the " +
-          "planner (CBO join sizing) from the manifest alone",
-        Seq(("table", StringType, None), ("column", StringType, None)),
+          "planner (CBO join sizing) from the manifest alone; " +
+          "registers (power of two, default 64) trades per-file stats " +
+          "bytes for estimate error (~1.04/sqrt(m))",
+        Seq(("table", StringType, None), ("column", StringType, None),
+          ("registers", LongType, Some("64"))),
         Seq(("current_version", LongType), ("ndv_estimate", LongType)),
-        { case Seq(t: String, c: String) =>
+        { case Seq(t: String, c: String, m: java.lang.Long) =>
           val root = rootOf(t)
-          val v = SnapshotTable.buildNdvIndex(spark, root, c)
+          val v = SnapshotTable.buildNdvIndex(spark, root, c, m.toInt)
           Seq(Long.box(v), Long.box(
             SnapshotTable.ndvOf(spark, root, v, c).getOrElse(-1L))) }),
       Proc("build_sq8_index",

@@ -1022,16 +1022,21 @@ object SnapshotTable {
     val ndvCols: Seq[String] = (carriedProps ++ props)
       .getOrElse("stats.ndv.cols", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq // PHYSICAL names
+    // the group's register width rides the carried `stats.ndv.m` prop
+    // (default 64) — maintenance stamps new files at the BUILD's width
+    val ndvM = (carriedProps ++ props)
+      .getOrElse("stats.ndv.m", graft.ops.Sketches.HllBuckets.toString)
+      .toInt
     val newRegs: Map[String, Map[String, Array[Int]]] =
       if (ndvCols.isEmpty || moved.isEmpty) Map.empty
-      else regsMemo.getOrElseUpdate(ndvCols, {
+      else regsMemo.getOrElseUpdate(ndvCols :+ s"m=$ndvM", {
         import org.apache.spark.sql.functions.col
         val df = s.read.parquet(moved.map(rel => s"$root/$rel"): _*)
         val present = ndvCols.filter(df.columns.contains)
         if (present.isEmpty) Map.empty
         else {
           val aggs = present.map(c => graft.functions.HllRegsAgg
-            .hll_regs(graft.ops.Sketches.h48(col(c).cast("string")))
+            .hll_regs(graft.ops.Sketches.h48(col(c).cast("string")), ndvM)
             .as(s"r_$c"))
           df.select((col("_metadata.file_name").as("f") +:
               present.map(col)): _*)
@@ -1051,7 +1056,7 @@ object SnapshotTable {
       // extra distincts — exactly right
       val ndvStats = ndvCols.map(c => FileStats(s"#ndv:$c", "h",
         b64ndv.encodeToString(newRegs.get(name).flatMap(_.get(c))
-          .getOrElse(new Array[Int](graft.ops.Sketches.HllBuckets))
+          .getOrElse(new Array[Int](ndvM))
           .map(_.toByte)), ""))
       FileEntry(rel, stats ++ ndvStats, Some(rows), id).render
     }
@@ -2174,8 +2179,13 @@ object SnapshotTable {
     * [[ndvOf]] return None rather than a silently-partial estimate.
     * Returns the new snapshot id.
     */
-  def buildNdvIndex(s: SparkSession, root: String, colName: String): Long = {
+  def buildNdvIndex(s: SparkSession, root: String, colName: String,
+      registers: Int = graft.ops.Sketches.HllBuckets): Long = {
     import org.apache.spark.sql.functions.col
+    require(registers >= 16 && registers <= 65536 &&
+      Integer.bitCount(registers) == 1,
+      s"buildNdvIndex: registers must be a power of two in [16, 65536]," +
+        s" got $registers")
     val cur = currentSnapshot(s, root)
     require(cur > 0L, s"NDV index on empty table $root: commit first")
     val es = entries(s, root, cur)
@@ -2185,17 +2195,32 @@ object SnapshotTable {
       storedSchema(s, root, cur), physMapOf(s, root, cur))
     require(df.columns.contains(colName),
       s"buildNdvIndex: no column '$colName' in $root")
+    // ONE register width per table group (the `stats.ndv.m` prop —
+    // maintenance stamps every column at that width): changing it means
+    // rebuilding every indexed column, so with other columns standing a
+    // different width refuses rather than silently mixing geometries
+    val already = (if (cur == 0L) "" else snapshotProps(s, root, cur)
+      .getOrElse("stats.ndv.cols", ""))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val carriedM = snapshotProps(s, root, cur)
+      .getOrElse("stats.ndv.m", graft.ops.Sketches.HllBuckets.toString)
+      .toInt
+    require(registers == carriedM || already.forall(_ == physCol),
+      s"buildNdvIndex: the NDV group of $root is at $carriedM registers" +
+        s" over [${already.mkString(",")}] — rebuild the other columns " +
+        s"at $registers too (or this one at $carriedM)")
     val perFile: Map[String, Array[Int]] = df
       .select(col("_metadata.file_name").as("f"),
         graft.ops.Sketches.h48(col(colName).cast("string")).as("h"))
       .groupBy("f")
-      .agg(graft.functions.HllRegsAgg.hll_regs(col("h")).as("reg"))
+      .agg(graft.functions.HllRegsAgg.hll_regs(col("h"), registers)
+        .as("reg"))
       .collect().map(r => r.getString(0) ->
-        r.getSeq[Int](1).toArray).toMap // O(files x 64 B) driver memory
+        r.getSeq[Int](1).toArray).toMap // O(files x m B) driver memory
     val b64 = java.util.Base64.getEncoder
     def withNdv(e: FileEntry): FileEntry = {
       val regs = perFile.getOrElse(e.fileName,
-        new Array[Int](graft.ops.Sketches.HllBuckets)) // all-null file:
+        new Array[Int](registers)) // all-null file:
       // zero registers, estimating 0 distinct — exactly right
       val others = e.stats.filterNot(_.col == s"#ndv:$physCol")
       e.copy(stats = others :+ FileStats(s"#ndv:$physCol", "h",
@@ -2210,14 +2235,12 @@ object SnapshotTable {
     // files ([[publishStaged]]), keeping [[ndvOf]] defined across
     // appends/merges/compactions without rebuilds — a MAINTAINED
     // stats group, not a one-shot index
-    val already = (if (cur == 0L) "" else snapshotProps(s, root, cur)
-      .getOrElse("stats.ndv.cols", ""))
-      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     publishStaged(s, root, commitId, staging,
       rewriteHeadLines(s, root, cur)(e =>
         Some(if (e.isDelete) e else withNdv(e))),
       cur, Seq.empty,
       Map("ndv.col" -> colName,
+        "stats.ndv.m" -> registers.toString,
         "stats.ndv.cols" -> (already :+ physCol).distinct.mkString(",")),
       storedSchema(s, root, cur).getOrElse(df.schema))
   }
@@ -2242,6 +2265,9 @@ object SnapshotTable {
     val data = es.filterNot(_.isDelete)
     val regs = data.map(_.ndvRegsFor(physCol))
     if (data.isEmpty || regs.exists(_.isEmpty)) None
+    // widths are uniform within a maintained group; a mix (a disable +
+    // rebuild race across widths) withdraws rather than mis-merging
+    else if (regs.flatten.map(_.length).distinct.size > 1) None
     else Some(graft.ops.Sketches.estimateFromRegs(
       regs.flatten.reduce(graft.ops.Sketches.mergeRegs)))
   }

@@ -116,6 +116,53 @@ class SnapshotNdvSpec extends SparkSpec {
       SnapshotTable.currentSnapshot(spark, root), "g").isEmpty)
   }
 
+  test("CONFIGURABLE register count: wider groups estimate tighter, " +
+      "maintenance stamps new files at the build's width, and mixed " +
+      "widths refuse") {
+    val exactN = 40000L
+    def errAt(m: Int): Double = {
+      val root = s"${tmp()}/t$m"
+      SnapshotTable.commit(
+        spark.range(0, exactN).select(col("id").as("k")), root)
+      SnapshotTable.buildNdvIndex(spark, root, "k", registers = m)
+      // maintenance at the SAME width: the append's own files stamp m
+      // registers and the estimate stays defined
+      SnapshotTable.commit(
+        spark.range(exactN, exactN + 500).select(col("id").as("k")), root)
+      val cur = SnapshotTable.currentSnapshot(spark, root)
+      val est = SnapshotTable.ndvOf(spark, root, cur, "k")
+      assert(est.isDefined, s"maintained estimate must survive at m=$m")
+      val widths = SnapshotTable.entries(spark, root, cur)
+        .filterNot(_.isDelete).flatMap(_.ndvRegsFor("k")).map(_.length)
+      assert(widths.distinct == Seq(m),
+        s"every file must carry $m registers, saw ${widths.distinct}")
+      math.abs(est.get.toDouble - (exactN + 500)) / (exactN + 500)
+    }
+    val e64 = errAt(64)
+    val e1024 = errAt(1024)
+    val e4096 = errAt(4096)
+    // 1.04/sqrt(m): 64 -> ~13%, 1024 -> ~3.3%, 4096 -> ~1.6%; assert
+    // generous bounds (one draw each) plus strict monotone improvement
+    // from 64 to the widest
+    assert(e1024 < 0.12, s"m=1024 error $e1024")
+    assert(e4096 < 0.06, s"m=4096 error $e4096")
+    assert(e4096 < math.max(e64, 0.02),
+      s"widest must beat the 64-register default: e64=$e64 e4096=$e4096")
+    // a second column at a DIFFERENT width refuses (one width per group)
+    val root = s"${tmp()}/mix"
+    SnapshotTable.commit(
+      spark.range(0, 1000).select(col("id").as("k"),
+        (col("id") % 50).as("g")), root)
+    SnapshotTable.buildNdvIndex(spark, root, "k", registers = 256)
+    val e = intercept[IllegalArgumentException](
+      SnapshotTable.buildNdvIndex(spark, root, "g", registers = 64))
+    assert(e.getMessage.contains("256 registers"), e.getMessage)
+    // same width is fine; and rebuilding the ONLY column may change width
+    SnapshotTable.buildNdvIndex(spark, root, "g", registers = 256)
+    assert(SnapshotTable.ndvOf(spark, root,
+      SnapshotTable.currentSnapshot(spark, root), "g").isDefined)
+  }
+
   test("POST-PRUNE column statistics: a file-skipping filter shrinks " +
       "the scan's reported NDV/rows to the SURVIVING files, and the " +
       "pruned aggregate side broadcasts where the table-level estimate " +
