@@ -58,16 +58,21 @@ object Bm25Index {
 
   /** (doc_id, term, tf) for `docs` — the index's corpus-sized half. */
   private[ops] def tfOf(docs: DataFrame): DataFrame =
-    tokensOf(docs).groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+    tfFromToks(tokensOf(docs))
+
+  private def tfFromToks(toks: DataFrame): DataFrame =
+    toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   /** (doc_id, dl) for EVERY doc of `docs` — token-less documents
     * record dl = 0, so count(dl table) is exactly n_docs and the BM25
     * stats row never needs the corpus.
     */
   private[ops] def dlOf(docs: DataFrame): DataFrame =
+    dlFromToks(docs, tokensOf(docs))
+
+  private def dlFromToks(docs: DataFrame, toks: DataFrame): DataFrame =
     docs.select(col("doc_id"))
-      .join(tokensOf(docs).groupBy("doc_id")
+      .join(toks.groupBy("doc_id")
         .agg(count(lit(1)).as("toks")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("toks"), lit(0L)).as("dl"))
@@ -176,11 +181,22 @@ object Bm25Index {
     val docs = SnapshotTable.read(s, corpusRoot).select("doc_id", "text")
     val tfM = SnapshotTable.read(s, tfRoot(indexRoot))
     val dlM = SnapshotTable.read(s, dlRoot(indexRoot))
-    val tfR = tfOf(docs)
-    val dlR = dlOf(docs)
-    (tfM.count(),
+    // the rebuilt sides each feed TWO except-diffs and both derive
+    // from the same token explode (four corpus tokenizations uncached
+    // — pure audit overhead); one cached token frame + one cached
+    // frame per side replaces them. Audit cost is O(corpus) by design
+    // either way — this just stops paying it four times.
+    val toks = tokensOf(docs).cache()
+    val tfR = tfFromToks(toks).cache()
+    val dlR = dlFromToks(docs, toks).cache()
+    try (tfM.count(),
       tfM.exceptAll(tfR).count() + tfR.exceptAll(tfM).count() +
         dlM.exceptAll(dlR).count() + dlR.exceptAll(dlM).count())
+    finally {
+      tfR.unpersist(blocking = false)
+      dlR.unpersist(blocking = false)
+      toks.unpersist(blocking = false)
+    }
   }
 
   /** BM25 top-`k` off the MAINTAINED tables: [[Retrieval.bm25Core]]
