@@ -283,6 +283,20 @@ object CommitGroup {
     * Returns root -> pinned DataFrame ([[SnapshotTable.readAt]] — the
     * ordinary snapshot read, manifest pruning included).
     */
+  /** [[readAll]] from ONE known member: the membership comes from the
+    * member's own marker or `.published` record (both carry the full
+    * root list / map), so a reader needs no side-channel list.
+    */
+  def readAll(s: SparkSession, group: String,
+      anyMemberRoot: String): Map[String, DataFrame] =
+    readAll(s, group, Seq(anyMemberRoot))
+
+  /** Pinning caveat (same contract as any pinned reader): the group
+    * snapshots stay readable until [[SnapshotTable.expireSnapshots]]
+    * retires them — an expired pin fails loudly at [[SnapshotTable
+    * .readAt]]; tag the group snapshots ([[SnapshotTable.createTag]])
+    * if the pinned read must outlive the retention window.
+    */
   def readAll(s: SparkSession, group: String,
       roots: Seq[String]): Map[String, DataFrame] = {
     val ordered = roots.sorted

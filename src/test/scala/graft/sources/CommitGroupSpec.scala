@@ -128,6 +128,11 @@ class CommitGroupSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, roots.sorted.head).count() == 60L)
     CommitGroup.readAll(spark, "gc", roots)
       .foreach { case (r, df) => assert(df.count() == 10L, r) }
+    // the single-member entry point derives the membership from the
+    // member's own record — no side-channel root list
+    val one = CommitGroup.readAll(spark, "gc", roots.sorted.last)
+    assert(one.keySet == roots.toSet)
+    one.foreach { case (r, df) => assert(df.count() == 10L, r) }
     // an unknown group refuses rather than guessing heads
     intercept[IllegalArgumentException](
       CommitGroup.readAll(spark, "never-published", roots))
