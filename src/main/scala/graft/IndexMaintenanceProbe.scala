@@ -20,9 +20,7 @@ import graft.sources.SnapshotTable
   * Run: runMain graft.IndexMaintenanceProbe   [PASSES=120] [DOCS=4000]
   */
 object IndexMaintenanceProbe {
-  private def time[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-  }
+  import ProbeUtil.time
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

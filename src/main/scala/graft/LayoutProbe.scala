@@ -14,9 +14,7 @@ import org.apache.spark.sql.functions._
   * Run: SPARK_GRAFT_SF_DIR=... runMain graft.LayoutProbe
   */
 object LayoutProbe {
-  private def time[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
-  }
+  import ProbeUtil.time
 
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

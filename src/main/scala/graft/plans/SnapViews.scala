@@ -125,6 +125,12 @@ object SnapViews {
     val parsed = session.sessionState.sqlParser.parsePlan(view.query)
     val ctes = cteNamesIn(parsed)
     val qualified = parsed.transformDownWithSubqueries {
+      // RelationTimeTravel is a LEAF (its relation is a constructor
+      // field, not a child) — without the explicit case, a body's own
+      // `FROM t VERSION AS OF n` would dodge qualification and resolve
+      // in the READER's context
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver) =>
+        RelationTimeTravel(qualify(session, view, u, ctes), ts, ver)
       case u: UnresolvedRelation => qualify(session, view, u, ctes)
     }
     // the analyzer's Substitution batch (CTE inlining) ran before this
@@ -158,14 +164,17 @@ object SnapViews {
       parsed: LogicalPlan): Seq[String] = {
     val ctes = cteNamesIn(parsed)
     val found = scala.collection.mutable.ListBuffer[String]()
+    def check(u: UnresolvedRelation): Unit = {
+      val parts = u.multipartIdentifier
+      if (parts.length <= 2 &&
+          !(parts.length == 1 && ctes(parts.head.toLowerCase)) &&
+          session.sessionState.catalog.isTempView(parts))
+        found += parts.mkString(".")
+    }
     parsed.transformDownWithSubqueries {
-      case u: UnresolvedRelation =>
-        val parts = u.multipartIdentifier
-        if (parts.length <= 2 &&
-            !(parts.length == 1 && ctes(parts.head.toLowerCase)) &&
-            session.sessionState.catalog.isTempView(parts))
-          found += parts.mkString(".")
-        u
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, _, _) =>
+        check(u); tt // leaf: the inner relation needs the explicit look
+      case u: UnresolvedRelation => check(u); u
     }
     found.toSeq.distinct
   }
@@ -183,10 +192,11 @@ case class CreateSnapViewCommand(nameParts: Seq[String], sql: String,
       .getOrElse(throw new IllegalStateException(
         s"CreateSnapViewCommand on non-snapshot catalog: " +
           nameParts.mkString(".")))
-    if (cat.viewExists(ident)) {
-      if (allowExisting) return Seq.empty // IF NOT EXISTS: no-op
-      if (replace) cat.dropView(ident)
-    }
+    val exists = cat.viewExists(ident)
+    if (exists && allowExisting) return Seq.empty // IF NOT EXISTS: no-op
+    // validate the NEW body fully BEFORE touching any existing view:
+    // a refused OR REPLACE must leave the old view standing (the same
+    // no-drop-window contract as ALTER VIEW ... AS)
     val temps = SnapViews.tempViewRefs(session,
       session.sessionState.sqlParser.parsePlan(sql))
     require(temps.isEmpty,
@@ -195,11 +205,13 @@ case class CreateSnapViewCommand(nameParts: Seq[String], sql: String,
         "session; reference catalog tables/views instead")
     val analyzed = session.sql(sql) // eager analysis — bad body refuses
     val cm = session.sessionState.catalogManager
-    cat.createView(new ViewInfo(ident, sql, cm.currentCatalog.name,
+    val info = new ViewInfo(ident, sql, cm.currentCatalog.name,
       cm.currentNamespace, analyzed.schema,
       analyzed.schema.fieldNames, Array.empty, Array.empty,
       new java.util.HashMap[String, String](
-        scala.jdk.CollectionConverters.MapHasAsJava(properties).asJava)))
+        scala.jdk.CollectionConverters.MapHasAsJava(properties).asJava))
+    if (exists && replace) cat.replaceView(info) // atomic in-place swap
+    else cat.createView(info) // throws ViewAlreadyExists when !replace
     Seq.empty
   }
 }

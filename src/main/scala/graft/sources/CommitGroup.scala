@@ -72,6 +72,84 @@ object CommitGroup {
   private def fsOf(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** ATOMIC small-file publish: full content to a dot-tmp name, then
+    * one rename — a reader (or a crash) never observes a zero-length
+    * or truncated marker/record. `exclusive = true` refuses an
+    * existing destination (the marker create IS the commit decision, a
+    * single atomic claim); otherwise the destination is replaced (the
+    * `.published` records on group-id reuse).
+    */
+  private def writeAtomic(s: SparkSession, p: Path, body: Array[Byte],
+      exclusive: Boolean): Unit = {
+    val fs = fsOf(s, p)
+    val tmp = new Path(p.getParent, s".tmp-${p.getName}-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(body) finally out.close()
+    if (exclusive) {
+      // rename refuses an existing destination on HDFS and on the
+      // checksum-wrapped local FS alike — exactly one claimer wins
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"commit-group file $p already exists — the group id is " +
+            "mid-publish or leaked; recover() or pick a fresh id")
+      }
+    } else if (fs.getScheme == "file") {
+      // clobber replace: the checksum-wrapped local FS refuses a
+      // clobber rename, so swap raw and move the crc sidecar in step
+      def crcOf(x: Path) = new java.io.File(
+        new java.io.File(x.toUri.getPath).getParent, s".${x.getName}.crc")
+      crcOf(p).delete()
+      require(new java.io.File(tmp.toUri.getPath)
+          .renameTo(new java.io.File(p.toUri.getPath)),
+        s"commit-group: replace of $p failed")
+      if (crcOf(tmp).exists()) crcOf(tmp).renameTo(crcOf(p))
+    } else {
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"commit-group: replace of $p failed")
+    }
+  }
+
+  /** Read a marker/record as TAB-separated rows, refusing a malformed
+    * row loudly — the writes are atomic, so a short row is external
+    * corruption to surface, never a silent empty membership.
+    */
+  private def readTsv(s: SparkSession, p: Path,
+      arity: Int): Seq[Array[String]] = {
+    val fs = fsOf(s, p)
+    val in = fs.open(p)
+    val rows =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).map(_.split("\t")).toList
+      finally in.close()
+    require(rows.nonEmpty && rows.forall(_.length >= arity),
+      s"commit-group file $p is malformed (expected >= $arity TAB " +
+        "fields per line; writes are atomic, so this is external " +
+        "corruption, not a crash artifact)")
+    rows
+  }
+
+  /** [[SnapshotTable.readAt]] with the EMPTY pin handled: a member
+    * whose group snapshot lists no files (the empty seed commit every
+    * fresh table starts from — exactly what an all-old read pins
+    * during a first-ever group publish) reads as an empty frame under
+    * the snapshot's recorded schema instead of readAt's
+    * lists-no-files refusal.
+    */
+  private def pinnedRead(s: SparkSession, root: String,
+      id: Long): DataFrame =
+    if (SnapshotTable.fileList(s, root, id).nonEmpty)
+      SnapshotTable.readAt(s, root, id)
+    else {
+      val schema = SnapshotTable.storedSchema(s, root, id).getOrElse(
+        throw new IllegalStateException(
+          s"group-pinned snapshot v$id of $root lists no files and " +
+            "records no schema"))
+      s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
   /** Stage `df` as `root`'s member of commit group `group` — a normal
     * WAP stage under the group's wap id: invisible to every reader
     * until the GROUP publishes. Returns the base snapshot staged
@@ -130,11 +208,9 @@ object CommitGroup {
           s"commit group '$group': injected crash after " +
             s"$crashAfterMarkers marker write(s) — the commit is " +
             "decided; recover() from a marker-bearing member")
-      val p = markerPath(root, group)
-      val fs = fsOf(s, p)
-      val out = fs.create(p, false) // a taken marker = the group id is
-      // mid-publish or leaked — refuse rather than join it
-      try out.write(body) finally out.close()
+      // a taken marker = the group id is mid-publish or leaked —
+      // refuse rather than join it (exclusive atomic create)
+      writeAtomic(s, markerPath(root, group), body, exclusive = true)
     }
     val published = ordered.zipWithIndex.map { case (root, i) =>
       if (i >= crashAfter)
@@ -160,10 +236,8 @@ object CommitGroup {
     val body = published.toSeq.sorted.map { case (r, id) => s"$r\t$id" }
       .mkString("\n").getBytes(StandardCharsets.UTF_8)
     published.keys.foreach { root =>
-      val p = publishedPath(root, group)
-      val fs = fsOf(s, p)
-      val out = fs.create(p, true) // overwrite: group-id reuse replaces
-      try out.write(body) finally out.close()
+      // replace atomically: group-id reuse supersedes the prior pass
+      writeAtomic(s, publishedPath(root, group), body, exclusive = false)
     }
   }
 
@@ -213,12 +287,7 @@ object CommitGroup {
     val p = markerPath(anyMemberRoot, group)
     val fs = fsOf(s, p)
     if (!fs.exists(p)) return Map.empty
-    val in = fs.open(p)
-    val members =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty)
-        .map(_.split("\t")(0)).toList
-      finally in.close()
+    val members = readTsv(s, p, arity = 3).map(_(0)).toList
     val published = members.sorted.map { root =>
       root -> publishMember(s, root, group)
     }.toMap
@@ -257,9 +326,11 @@ object CommitGroup {
       s"commit group '$group': member(s) ${marked.mkString(", ")} carry " +
         "the group marker — the commit is decided; recover() the group " +
         "forward instead of dropping it")
+    // NOTE: any `.published` records survive on purpose — they are the
+    // pin set of the last COMPLETED pass under this group id, and
+    // dropping a later re-staged pass must not destroy readAll's view
+    // of what DID publish
     roots.sorted.map { root =>
-      fsOf(s, publishedPath(root, group))
-        .delete(publishedPath(root, group), false)
       try SnapshotTable.dropWap(s, root, wapIdOf(group))
       catch { case _: IllegalArgumentException => 0 } // never staged
     }.sum
@@ -300,37 +371,21 @@ object CommitGroup {
   def readAll(s: SparkSession, group: String,
       roots: Seq[String]): Map[String, DataFrame] = {
     val ordered = roots.sorted
-    val markerOf = ordered.iterator.map { r =>
-      val p = markerPath(r, group)
-      (fsOf(s, p), p)
-    }.find { case (fs, p) => fs.exists(p) }
+    val markerOf = ordered.iterator.map(r => markerPath(r, group))
+      .find(p => fsOf(s, p).exists(p))
     markerOf match {
-      case Some((fs, p)) =>
-        val in = fs.open(p)
-        val bases =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .map(_.trim).filter(_.nonEmpty).map { ln =>
-              val f = ln.split("\t"); f(0) -> f(2).toLong
-            }.toMap
-          finally in.close()
-        bases.map { case (r, base) =>
-          r -> SnapshotTable.readAt(s, r, base) }
+      case Some(p) =>
+        readTsv(s, p, arity = 3)
+          .map(f => f(0) -> pinnedRead(s, f(0), f(2).toLong)).toMap
       case None =>
-        val rec = ordered.iterator.map(r => (fsOf(s,
-          publishedPath(r, group)), publishedPath(r, group)))
-          .find { case (fs, p) => fs.exists(p) }
+        val rec = ordered.iterator.map(r => publishedPath(r, group))
+          .find(p => fsOf(s, p).exists(p))
           .getOrElse(throw new IllegalArgumentException(
             s"commit group '$group': no marker and no published record " +
               s"on any of ${ordered.mkString(", ")} — the group never " +
               "published here (or its record was cleaned)"))
-        val in = rec._1.open(rec._2)
-        val ids =
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .map(_.trim).filter(_.nonEmpty).map { ln =>
-              val f = ln.split("\t"); f(0) -> f(1).toLong
-            }.toMap
-          finally in.close()
-        ids.map { case (r, id) => r -> SnapshotTable.readAt(s, r, id) }
+        readTsv(s, rec, arity = 2)
+          .map(f => f(0) -> pinnedRead(s, f(0), f(1).toLong)).toMap
     }
   }
 }

@@ -173,6 +173,38 @@ class CommitGroupSpec extends SparkSpec {
     }
   }
 
+  test("readAll pins the EMPTY seed when the group is the members' " +
+      "first real commit; dropGroup of a re-staged pass keeps the " +
+      "completed pass's record") {
+    import spark.implicits._
+    val b = tmp()
+    val roots = Seq(s"$b/e1", s"$b/e2")
+    // empty SEEDS (schema only, zero files) — the fmt gate's shape
+    roots.foreach(r => SnapshotTable.commit(
+      spark.range(0, 5).select(col("id").as("k")).limit(0), r))
+    roots.foreach(r => CommitGroup.stage(
+      spark.range(0, 4).select(col("id").as("k")), r, "ge"))
+    intercept[IllegalStateException](
+      CommitGroup.publishCrashable(spark, "ge", roots, crashAfter = 1))
+    // all-old = the EMPTY seeds: must read as 0 rows, not throw
+    val mid = CommitGroup.readAll(spark, "ge", roots)
+    assert(mid.keySet == roots.toSet)
+    mid.foreach { case (r, df) =>
+      assert(df.count() == 0L, r)
+      assert(df.columns.toSeq == Seq("k"), r)
+    }
+    CommitGroup.recover(spark, "ge", roots)
+    CommitGroup.readAll(spark, "ge", roots)
+      .foreach { case (r, df) => assert(df.count() == 4L, r) }
+    // a re-staged pass under the SAME id that gets dropped must not
+    // destroy the completed pass's pin set
+    roots.foreach(r => CommitGroup.stage(
+      spark.range(100, 103).select(col("id").as("k")), r, "ge"))
+    assert(CommitGroup.dropGroup(spark, "ge", roots) > 0)
+    CommitGroup.readAll(spark, "ge", roots)
+      .foreach { case (r, df) => assert(df.count() == 4L, r) }
+  }
+
   test("pure-SQL surface: stage members via graft.wap.id INSERTs, " +
       "publish atomically via CALL publish_group") {
     val wh = tmp()

@@ -132,6 +132,45 @@ class SnapshotViewSpec extends SparkSpec {
     assert(spark.sql(s"SELECT n FROM $cat.db.altv").head.getLong(0) == 2L)
   }
 
+  test("a refused CREATE OR REPLACE leaves the existing view standing " +
+      "(validate-then-swap, no drop window)") {
+    ensure()
+    spark.sql(s"CREATE TABLE $cat.db.orr (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.orr VALUES (1), (2)")
+    spark.sql(s"CREATE VIEW $cat.db.orrv AS " +
+      s"SELECT count(*) AS n FROM $cat.db.orr")
+    spark.range(0, 9).toDF("k").createOrReplaceTempView("orr_tmp")
+    try {
+      intercept[Exception](spark.sql(s"CREATE OR REPLACE VIEW " +
+        s"$cat.db.orrv AS SELECT k FROM orr_tmp"))
+      // the old definition survives the refused replacement
+      assert(spark.sql(s"SELECT n FROM $cat.db.orrv").head.getLong(0) == 2L)
+    } finally spark.catalog.dropTempView("orr_tmp")
+    // a VALID replacement swaps in place
+    spark.sql(s"CREATE OR REPLACE VIEW $cat.db.orrv AS " +
+      s"SELECT count(*) AS n FROM $cat.db.orr WHERE k >= 2")
+    assert(spark.sql(s"SELECT n FROM $cat.db.orrv").head.getLong(0) == 1L)
+  }
+
+  test("an unqualified body relation under its own AS OF is still " +
+      "definition-context-qualified (RelationTimeTravel is a leaf)") {
+    ensure()
+    spark.sql(s"CREATE TABLE $cat.db.ttq (k BIGINT)") // v1 empty
+    spark.sql(s"INSERT INTO $cat.db.ttq VALUES (1), (2)") // v2
+    spark.sql(s"INSERT INTO $cat.db.ttq VALUES (3)") // v3
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name
+    try {
+      spark.sql(s"USE $cat.db")
+      spark.sql("CREATE VIEW ttqv AS " +
+        "SELECT count(*) AS n FROM ttq VERSION AS OF 2")
+    } finally spark.sql(s"USE $prevCat")
+    // reader shadows the base name — the stored context must still win
+    spark.range(0, 50).toDF("k").createOrReplaceTempView("ttq")
+    try {
+      assert(spark.sql(s"SELECT n FROM $cat.db.ttqv").head.getLong(0) == 2L)
+    } finally spark.catalog.dropTempView("ttq")
+  }
+
   test("view time travel: VERSION/TIMESTAMP AS OF on a view pins its " +
       "snapshot-catalog bases; a base's own AS OF in the body wins") {
     ensure()
