@@ -111,6 +111,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.name == "refs" && ident.namespace.nonEmpty &&
         isTableDir(nsPath(ident.namespace)))
       new RefsMetadataTable(nsPath(ident.namespace).toString)
+    else if (ident.name == "manifests" && ident.namespace.nonEmpty &&
+        isTableDir(nsPath(ident.namespace)))
+      new ManifestsMetadataTable(nsPath(ident.namespace).toString)
     else if (ident.name == "partitions" && ident.namespace.nonEmpty &&
         isTableDir(nsPath(ident.namespace)))
       new PartitionsMetadataTable(nsPath(ident.namespace).toString)
@@ -490,6 +493,53 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             org.apache.spark.sql.catalyst.InternalRow(
               UTF8String.fromString(n), UTF8String.fromString(k), id)
           }.toArray
+      }
+  }
+
+  /** `SELECT * FROM cat.db.t.manifests` — the CURRENT head's manifest
+    * LAYOUT: one row per `#shard` ref (kind='shard': name, entry
+    * lines, bytes) plus an `<inline>` row for loose entry lines —
+    * the shard-layer observability an operator reads before deciding
+    * a `CALL system.rewrite_manifests` (is the head folded? how many
+    * files does a cold reader open?). Answered from the head + cached
+    * shard reads; zero data files.
+    */
+  private class ManifestsMetadataTable(root: String) extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead {
+    import org.apache.spark.sql.connector.read.{LocalScan, ScanBuilder}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+
+    private val metaSchema = StructType(Seq(
+      StructField("kind", StringType),
+      StructField("name", StringType),
+      StructField("entry_lines", LongType),
+      StructField("bytes", LongType)))
+
+    override def name(): String = s"graft-snap $root#manifests"
+    override def schema(): StructType = metaSchema
+    override def capabilities(): util.Set[
+        org.apache.spark.sql.connector.catalog.TableCapability] =
+      util.EnumSet.of(
+        org.apache.spark.sql.connector.catalog.TableCapability.BATCH_READ)
+
+    override def newScanBuilder(
+        opts: CaseInsensitiveStringMap): ScanBuilder = () =>
+      new LocalScan {
+        override def readSchema(): StructType = metaSchema
+        override def rows()
+            : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+          val cur = SnapshotTable.currentSnapshot(spark, root)
+          if (cur == 0L)
+            Array.empty[org.apache.spark.sql.catalyst.InternalRow]
+          else SnapshotTable.manifestLayout(spark, root, cur)
+            .map { case (n, lines, bytes) =>
+              org.apache.spark.sql.catalyst.InternalRow(
+                UTF8String.fromString(
+                  if (n == "<inline>") "inline" else "shard"),
+                UTF8String.fromString(n), lines, bytes)
+            }.toArray
+        }
       }
   }
 

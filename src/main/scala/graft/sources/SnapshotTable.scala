@@ -471,6 +471,27 @@ object SnapshotTable {
     (id, head.size, folded.size)
   }
 
+  /** Snapshot `id`'s manifest LAYOUT — one row per `#shard` ref
+    * (name, entry lines, bytes) plus one `<inline>` row for loose
+    * entry lines: the observability the `.manifests` metadata table
+    * serves (is the head folded? how many refs does a reader open?).
+    * One head read + cached shard reads; no data file touched.
+    */
+  def manifestLayout(s: SparkSession, root: String,
+      id: Long): Seq[(String, Long, Long)] = {
+    val fs = fsOf(s, new Path(root))
+    val (refs, inline) = headEntryLines(s, root, id)
+      .partition(_.startsWith("#shard "))
+    val shardRows = refs.map { r =>
+      val n = r.stripPrefix("#shard ").trim
+      (n, shardLinesOf(fs, root, n).length.toLong,
+        fs.getFileStatus(new Path(manifestDir(root), n)).getLen)
+    }
+    shardRows ++ (if (inline.isEmpty) Nil
+      else Seq(("<inline>", inline.size.toLong,
+        inline.map(_.length + 1L).sum)))
+  }
+
   /** A STAGED (write-audit-publish) snapshot's manifest: named by the
     * caller's wap id, invisible to [[currentSnapshot]] / readers /
     * time travel until [[publishWap]] fast-forwards it onto the head.

@@ -193,10 +193,25 @@ class SnapshotProcedureSpec extends SparkSpec {
         .createOrReplaceTempView(s"rwm_src_$i")
       spark.sql(s"INSERT INTO $cat.db.rwm SELECT * FROM rwm_src_$i")
     }
+    // the .manifests metadata table shows the pre-fold layout (several
+    // shards / inline tail), then the folded one
+    val nFiles = spark.sql(s"SELECT count(*) FROM $cat.db.rwm.files")
+      .head.getLong(0)
+    val pre = spark.sql(s"SELECT kind, entry_lines FROM $cat.db.rwm.manifests")
+      .collect()
+    assert(pre.length > 1, s"expected several layout rows, got ${pre.length}")
+    assert(pre.map(_.getLong(1)).sum == nFiles,
+      "layout entry lines must sum to the file count")
     val r = spark.sql(
       s"CALL $cat.system.rewrite_manifests('db.rwm')").head
     assert(r.getInt(2) < r.getInt(1),
       s"head lines must shrink: before=${r.getInt(1)} after=${r.getInt(2)}")
+    val post = spark.sql(
+      s"SELECT kind, entry_lines FROM $cat.db.rwm.manifests").collect()
+    assert(post.length == 1 && post.head.getString(0) == "shard" &&
+      post.head.getLong(1) == nFiles,
+      s"folded layout must be one shard of $nFiles lines, got " +
+        post.map(x => (x.getString(0), x.getLong(1))).mkString(","))
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.rwm")
       .head.getLong(0) == 1650L)
     // idempotent: a second call no-ops at the same version
