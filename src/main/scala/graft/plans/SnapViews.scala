@@ -155,6 +155,36 @@ object SnapViews {
         RelationTimeTravel(u, ts, version)
     }
 
+  /** Whether the parsed body references view `ident` of `cat` itself
+    * (under the CURRENT session's resolution context — the author's,
+    * at create/alter time). A self-referential stored body would
+    * validate against the OLD definition at replace time and then make
+    * every read expand forever (analyzer iteration limit), so
+    * OR REPLACE / ALTER ... AS refuse it up front. Indirect cycles
+    * (v -> w -> v) still surface at the fixed-point limit on read —
+    * stated in the class doc.
+    */
+  private[plans] def referencesView(session: SparkSession,
+      parsed: LogicalPlan, cat: SnapshotCatalog,
+      ident: Identifier): Boolean = {
+    val ctes = cteNamesIn(parsed)
+    var hit = false
+    def check(u: UnresolvedRelation): Unit = {
+      val parts = u.multipartIdentifier
+      if (!(parts.length == 1 && ctes(parts.head.toLowerCase)))
+        snapCatalogOf(session, parts) match {
+          case Some((c, i)) if (c eq cat) && i == ident => hit = true
+          case _ => ()
+        }
+    }
+    parsed.transformDownWithSubqueries {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, _, _) =>
+        check(u); tt
+      case u: UnresolvedRelation => check(u); u
+    }
+    hit
+  }
+
   /** Single-part (non-CTE) relation names in a body that resolve to
     * session TEMP views — a persistent view may not capture them
     * (their lifetime is the session's; the read path must refuse or,
@@ -197,12 +227,19 @@ case class CreateSnapViewCommand(nameParts: Seq[String], sql: String,
     // validate the NEW body fully BEFORE touching any existing view:
     // a refused OR REPLACE must leave the old view standing (the same
     // no-drop-window contract as ALTER VIEW ... AS)
-    val temps = SnapViews.tempViewRefs(session,
-      session.sessionState.sqlParser.parsePlan(sql))
+    val parsed = session.sessionState.sqlParser.parsePlan(sql)
+    val temps = SnapViews.tempViewRefs(session, parsed)
     require(temps.isEmpty,
       s"graft-snap views: the body references TEMP view(s) " +
         s"${temps.mkString(", ")} — a persistent view outlives the " +
         "session; reference catalog tables/views instead")
+    // a self-reference would validate against the OLD body now and
+    // make every later read expand forever — refuse up front
+    require(!(exists && SnapViews.referencesView(session, parsed, cat,
+        ident)),
+      s"graft-snap views: the replacement body of " +
+        s"${nameParts.mkString(".")} references the view itself — " +
+        "a stored self-reference would make every read unresolvable")
     val analyzed = session.sql(sql) // eager analysis — bad body refuses
     val cm = session.sessionState.catalogManager
     val info = new ViewInfo(ident, sql, cm.currentCatalog.name,
@@ -231,12 +268,16 @@ case class AlterSnapViewAsCommand(nameParts: Seq[String],
         s"AlterSnapViewAsCommand on non-snapshot catalog: " +
           nameParts.mkString(".")))
     val old = cat.loadView(ident) // NoSuchViewException if absent
-    val temps = SnapViews.tempViewRefs(session,
-      session.sessionState.sqlParser.parsePlan(sql))
+    val parsed = session.sessionState.sqlParser.parsePlan(sql)
+    val temps = SnapViews.tempViewRefs(session, parsed)
     require(temps.isEmpty,
       s"graft-snap views: the new body references TEMP view(s) " +
         s"${temps.mkString(", ")} — a persistent view outlives the " +
         "session; reference catalog tables/views instead")
+    require(!SnapViews.referencesView(session, parsed, cat, ident),
+      s"graft-snap views: the new body of ${nameParts.mkString(".")} " +
+        "references the view itself — a stored self-reference would " +
+        "make every read unresolvable")
     val analyzed = session.sql(sql)
     val cm = session.sessionState.catalogManager
     cat.replaceView(new ViewInfo(ident, sql, cm.currentCatalog.name,

@@ -72,43 +72,25 @@ object CommitGroup {
   private def fsOf(s: SparkSession, p: Path): FileSystem =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** ATOMIC small-file publish: full content to a dot-tmp name, then
-    * one rename — a reader (or a crash) never observes a zero-length
-    * or truncated marker/record. `exclusive = true` refuses an
-    * existing destination (the marker create IS the commit decision, a
-    * single atomic claim); otherwise the destination is replaced (the
-    * `.published` records on group-id reuse).
+  /** ATOMIC small-file publish ([[AtomicFiles]] — the shared
+    * protocol): a reader (or a crash) never observes a zero-length,
+    * truncated, or ABSENT marker/record. `exclusive = true` refuses an
+    * existing destination LOUDLY (the marker create IS the commit
+    * decision, a single atomic claim — hard-link create locally,
+    * verified no-clobber rename remotely); otherwise the destination
+    * is replaced in one atomic swap (the `.published` records on
+    * group-id reuse).
     */
   private def writeAtomic(s: SparkSession, p: Path, body: Array[Byte],
       exclusive: Boolean): Unit = {
     val fs = fsOf(s, p)
-    val tmp = new Path(p.getParent, s".tmp-${p.getName}-" +
-      java.util.UUID.randomUUID().toString.take(8))
-    val out = fs.create(tmp, true)
-    try out.write(body) finally out.close()
     if (exclusive) {
-      // rename refuses an existing destination on HDFS and on the
-      // checksum-wrapped local FS alike — exactly one claimer wins
-      if (!fs.rename(tmp, p)) {
-        fs.delete(tmp, false)
+      if (!AtomicFiles.publishExclusive(fs, p, body))
         throw new IllegalStateException(
           s"commit-group file $p already exists — the group id is " +
             "mid-publish or leaked; recover() or pick a fresh id")
-      }
-    } else if (fs.getScheme == "file") {
-      // clobber replace: the checksum-wrapped local FS refuses a
-      // clobber rename, so swap raw and move the crc sidecar in step
-      def crcOf(x: Path) = new java.io.File(
-        new java.io.File(x.toUri.getPath).getParent, s".${x.getName}.crc")
-      crcOf(p).delete()
-      require(new java.io.File(tmp.toUri.getPath)
-          .renameTo(new java.io.File(p.toUri.getPath)),
-        s"commit-group: replace of $p failed")
-      if (crcOf(tmp).exists()) crcOf(tmp).renameTo(crcOf(p))
-    } else {
-      fs.delete(p, false)
-      require(fs.rename(tmp, p), s"commit-group: replace of $p failed")
-    }
+    } else AtomicFiles.replaceWith(fs, p, body,
+      s.sparkContext.hadoopConfiguration)
   }
 
   /** Read a marker/record as TAB-separated rows, refusing a malformed
@@ -311,8 +293,11 @@ object CommitGroup {
       .getOrElse(Map.empty)
 
   /** The failed-audit exit: drop every member's stage (their added
-    * files included) and any `.published` debris; no table ever saw
-    * the group. REFUSES once any member carries the group's marker —
+    * files included); no table ever saw the group. Any `.published`
+    * records SURVIVE — they are the pin set of the last COMPLETED pass
+    * under this group id, and dropping a later re-staged pass must not
+    * destroy [[readAll]]'s view of what DID publish. REFUSES once any
+    * member carries the group's marker —
     * a marker means the commit was DECIDED ([[publishCrashable]]
     * writes the first one only after every stage validated), and the
     * one legal continuation is [[recover]]; honoring a drop here would
@@ -326,47 +311,53 @@ object CommitGroup {
       s"commit group '$group': member(s) ${marked.mkString(", ")} carry " +
         "the group marker — the commit is decided; recover() the group " +
         "forward instead of dropping it")
-    // NOTE: any `.published` records survive on purpose — they are the
-    // pin set of the last COMPLETED pass under this group id, and
-    // dropping a later re-staged pass must not destroy readAll's view
-    // of what DID publish
     roots.sorted.map { root =>
       try SnapshotTable.dropWap(s, root, wapIdOf(group))
       catch { case _: IllegalArgumentException => 0 } // never staged
     }.sum
   }
 
-  /** GROUP-CONSISTENT read: every member pinned at its group snapshot,
-    * so a reader racing a publish (or a crash) observes all-old or
-    * all-new, NEVER member 1's new head next to member 2's old one.
-    * Resolution order, checked per the protocol's own fencing:
+  /** [[readAll]] from ONE known member, no side-channel root list: the
+    * membership is read from the member's own marker or `.published`
+    * record (both carry the full root list / map), then the read
+    * DELEGATES to the multi-root overload — which re-scans the whole
+    * derived membership for markers, so a crashed pass whose marker
+    * landed on a different member still resolves identically from
+    * every entry point (all-old, never a mixed epoch).
+    */
+  def readAll(s: SparkSession, group: String,
+      anyMemberRoot: String): Map[String, DataFrame] = {
+    val mp = markerPath(anyMemberRoot, group)
+    val rp = publishedPath(anyMemberRoot, group)
+    val members =
+      if (fsOf(s, mp).exists(mp)) readTsv(s, mp, arity = 3).map(_(0))
+      else if (fsOf(s, rp).exists(rp)) readTsv(s, rp, arity = 2).map(_(0))
+      else throw new IllegalArgumentException(
+        s"commit group '$group': no marker and no published record on " +
+          s"$anyMemberRoot — name a member that saw the group, or pass " +
+          "the membership explicitly")
+    readAll(s, group, members)
+  }
+
+  /** GROUP-CONSISTENT read: every member pinned at its group snapshot
+    * — resolution order, checked per the protocol's own fencing:
     *
-    *   - a live marker on any root (publish in flight or crashed
+    *   - a live marker on ANY root (publish in flight or crashed
     *     mid-pass): pin every member at its marker-recorded BASE —
     *     all-old, exactly what the group looked like before the pass
-    *     (the publishes may already have advanced some heads; the
-    *     pinned reads don't care);
+    *     (some heads may already have advanced; the pinned reads
+    *     don't care);
     *   - else the `.published` record (the last completed pass): pin
     *     every member at its recorded snapshot — all-new as of the
     *     group's publish, immune to later unrelated commits;
     *   - else the group is unknown here — refuse loudly.
     *
-    * Returns root -> pinned DataFrame ([[SnapshotTable.readAt]] — the
-    * ordinary snapshot read, manifest pruning included).
-    */
-  /** [[readAll]] from ONE known member: the membership comes from the
-    * member's own marker or `.published` record (both carry the full
-    * root list / map), so a reader needs no side-channel list.
-    */
-  def readAll(s: SparkSession, group: String,
-      anyMemberRoot: String): Map[String, DataFrame] =
-    readAll(s, group, Seq(anyMemberRoot))
-
-  /** Pinning caveat (same contract as any pinned reader): the group
+    * Pinning caveat (same contract as any pinned reader): the group
     * snapshots stay readable until [[SnapshotTable.expireSnapshots]]
-    * retires them — an expired pin fails loudly at [[SnapshotTable
-    * .readAt]]; tag the group snapshots ([[SnapshotTable.createTag]])
-    * if the pinned read must outlive the retention window.
+    * retires them — an expired pin fails loudly at
+    * [[SnapshotTable.readAt]]; tag the group snapshots
+    * ([[SnapshotTable.createTag]]) if the pinned read must outlive
+    * the retention window.
     */
   def readAll(s: SparkSession, group: String,
       roots: Seq[String]): Map[String, DataFrame] = {

@@ -718,33 +718,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     if (!replace) {
       val out = fs(p).create(p, false)
       try out.write(body) finally out.close()
-    } else {
-      // IN-PLACE replace (ALTER VIEW): full new definition to a temp
-      // name, then one rename — a concurrent reader loads either the
-      // old complete file or the new complete file, never a torn write
-      // (drop-and-recreate had a window where the view didn't exist)
-      val tmp = new Path(p.getParent, s".tmp-${ident.name}.view")
-      val out = fs(p).create(tmp, true)
-      try out.write(body) finally out.close()
-      if (fs(p).getScheme == "file") {
-        // Hadoop's checksum-wrapped LocalFileSystem refuses a clobber
-        // rename; the raw POSIX rename is the atomic swap we want.
-        // The checksum SIDECAR (.name.crc) must move in step: drop the
-        // destination's first (a data file without a crc reads fine),
-        // swap the data file atomically, then move the new crc in.
-        def crcOf(x: Path) = new java.io.File(
-          new java.io.File(x.toUri.getPath).getParent, s".${x.getName}.crc")
-        crcOf(p).delete()
-        require(new java.io.File(tmp.toUri.getPath)
-            .renameTo(new java.io.File(p.toUri.getPath)),
-          s"graft-snap catalog: replace of view $ident failed")
-        if (crcOf(tmp).exists()) crcOf(tmp).renameTo(crcOf(p))
-      } else {
-        fs(p).delete(p, false)
-        require(fs(p).rename(tmp, p),
-          s"graft-snap catalog: replace of view $ident failed")
-      }
-    }
+    } else
+      // IN-PLACE replace (ALTER VIEW / OR REPLACE): one atomic swap —
+      // a concurrent reader loads either the old complete definition
+      // or the new one, never a torn write and never absence
+      // (drop-and-recreate had a window where the view didn't exist).
+      // [[AtomicFiles.replaceWith]] owns the swap protocol.
+      AtomicFiles.replaceWith(fs(p), p, body,
+        spark.sparkContext.hadoopConfiguration)
   }
 
   override def createView(info: ViewInfo): View = {

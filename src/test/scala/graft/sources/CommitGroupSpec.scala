@@ -205,6 +205,30 @@ class CommitGroupSpec extends SparkSpec {
       .foreach { case (r, df) => assert(df.count() == 4L, r) }
   }
 
+  test("a pre-existing marker refuses a new publish LOUDLY (the " +
+      "exclusive create is a real claim, not a local-FS clobber)") {
+    import spark.implicits._
+    val b = tmp()
+    val roots = Seq(s"$b/m1", s"$b/m2")
+    roots.foreach(seed(_, 3))
+    roots.foreach(r => CommitGroup.stage(
+      spark.range(0, 2).select(col("id").as("k")), r, "gx"))
+    // plant a leaked marker on the SECOND sorted member: the publish
+    // must refuse when it reaches it (and the first member's marker is
+    // then recoverable debris, not a silent overwrite)
+    val planted = new Path(s"${roots.sorted.last}/_manifests/grp-gx.group")
+    val fs = planted.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(planted, false)
+    try out.write(s"${roots.sorted.last}\tgrp-gx\t1".getBytes("UTF-8"))
+    finally out.close()
+    val e = intercept[IllegalStateException](
+      CommitGroup.publish(spark, "gx", roots))
+    assert(e.getMessage.contains("already exists"), e.getMessage)
+    // no member became visible
+    roots.foreach(r =>
+      assert(SnapshotTable.read(spark, r).count() == 3L, r))
+  }
+
   test("pure-SQL surface: stage members via graft.wap.id INSERTs, " +
       "publish atomically via CALL publish_group") {
     val wh = tmp()

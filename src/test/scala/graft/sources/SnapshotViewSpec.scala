@@ -150,6 +150,17 @@ class SnapshotViewSpec extends SparkSpec {
     spark.sql(s"CREATE OR REPLACE VIEW $cat.db.orrv AS " +
       s"SELECT count(*) AS n FROM $cat.db.orr WHERE k >= 2")
     assert(spark.sql(s"SELECT n FROM $cat.db.orrv").head.getLong(0) == 1L)
+    // a SELF-REFERENTIAL replacement would validate against the OLD
+    // body and then make every read unresolvable — refused up front,
+    // through OR REPLACE and ALTER ... AS alike; the view still serves
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE OR REPLACE VIEW $cat.db.orrv AS " +
+        s"SELECT n FROM $cat.db.orrv"))
+    assert(e1.getMessage.contains("itself"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER VIEW $cat.db.orrv AS SELECT n FROM $cat.db.orrv"))
+    assert(e2.getMessage.contains("itself"), e2.getMessage)
+    assert(spark.sql(s"SELECT n FROM $cat.db.orrv").head.getLong(0) == 1L)
   }
 
   test("an unqualified body relation under its own AS OF is still " +
