@@ -960,6 +960,29 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         { case Seq(t: String, ix: String) =>
           Seq(Long.box(graft.ops.AnnIndex.maintainSq8Index(
             spark, rootOf(t), rootOf(ix)))) }),
+      Proc("build_bm25_index",
+        "build the maintained BM25 index (tf/dl snapshot tables) of " +
+          "`table`'s doc_id/text columns under `index_prefix` — the " +
+          "tables address as cat.<prefix>.tf and cat.<prefix>.dl; " +
+          "maintain incrementally with maintain_bm25_index — the " +
+          "retrieval twin of build_sq8_index",
+        Seq(("table", StringType, None),
+          ("index_prefix", StringType, None)),
+        Seq(("index_version", LongType)),
+        { case Seq(t: String, ix: String) =>
+          Seq(Long.box(graft.ops.Bm25Index.buildBm25Index(
+            spark, rootOf(t), newRootOf(ix)))) }),
+      Proc("maintain_bm25_index",
+        "fold the corpus table's change feed since the last " +
+          "maintenance into the BM25 tf/dl tables — O(churn tokens), " +
+          "exactly-once on the dl floor, never a re-tokenize; returns " +
+          "the corpus snapshot folded through",
+        Seq(("table", StringType, None),
+          ("index_prefix", StringType, None)),
+        Seq(("maintained_through", LongType)),
+        { case Seq(t: String, ix: String) =>
+          Seq(Long.box(graft.ops.Bm25Index.maintainBm25Index(
+            spark, rootOf(t), newRootOf(ix)))) }),
       Proc("create_tag",
         "pin snapshot `version` (default: current) under an immutable " +
           "name; expire keeps tagged snapshots alive until drop_ref",

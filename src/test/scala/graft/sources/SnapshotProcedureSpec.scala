@@ -179,7 +179,43 @@ class SnapshotProcedureSpec extends SparkSpec {
       "compact_small_files", "create_tag", "create_branch",
       "fast_forward", "drop_ref", "build_bloom", "build_ndv",
       "build_sq8_index", "publish_group", "recover_group", "drop_group",
-      "maintain_sq8_index", "evolve_partitioning"))
+      "maintain_sq8_index", "build_bm25_index", "maintain_bm25_index",
+      "evolve_partitioning"))
+  }
+
+  test("CALL build_bm25_index / maintain_bm25_index: the SQL lifecycle " +
+      "of the maintained lexical index — tf/dl address as catalog " +
+      "tables, maintenance follows SQL DML, confluence holds") {
+    ensureDb()
+    spark.sql(s"CREATE TABLE $cat.db.bmcorp (doc_id BIGINT, text STRING)")
+    spark.sql(s"INSERT INTO $cat.db.bmcorp VALUES " +
+      "(1, 'alpha beta beta'), (2, 'beta gamma'), (3, 'delta')")
+    val v = spark.sql(
+      s"CALL $cat.system.build_bm25_index('db.bmcorp', 'db.bmix')")
+      .head.getLong(0)
+    assert(v >= 1L)
+    // the index halves are ordinary catalog tables
+    assert(spark.sql(s"SELECT sum(tf) FROM $cat.db.bmix.tf")
+      .head.getLong(0) == 6L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.bmix.dl")
+      .head.getLong(0) == 3L)
+    // SQL DML churn, then one CALL maintenance pass
+    spark.sql(s"UPDATE $cat.db.bmcorp SET text = 'epsilon' WHERE doc_id = 2")
+    spark.sql(s"INSERT INTO $cat.db.bmcorp VALUES (4, 'zeta zeta')")
+    val through = spark.sql(
+      s"CALL $cat.system.maintain_bm25_index('db.bmcorp', 'db.bmix')")
+      .head.getLong(0)
+    assert(through == SnapshotTable.currentSnapshot(spark,
+      s"$wh/db/bmcorp"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.bmix.dl")
+      .head.getLong(0) == 4L)
+    val (_, diff) = graft.ops.Bm25Index.confluenceAudit(spark,
+      s"$wh/db/bmcorp", s"$wh/db/bmix")
+    assert(diff == 0L, "maintained index must equal a rebuild")
+    // idempotent: nothing new to fold
+    assert(spark.sql(
+      s"CALL $cat.system.maintain_bm25_index('db.bmcorp', 'db.bmix')")
+      .head.getLong(0) == through)
   }
 
   test("CALL rewrite_manifests consolidates the head's shards as a " +
