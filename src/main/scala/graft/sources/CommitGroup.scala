@@ -360,14 +360,23 @@ object CommitGroup {
     * the retention window.
     */
   def readAll(s: SparkSession, group: String,
-      roots: Seq[String]): Map[String, DataFrame] = {
+      roots: Seq[String]): Map[String, DataFrame] =
+    pins(s, group, roots).map { case (r, id) =>
+      r -> pinnedRead(s, r, id) }
+
+  /** The group-consistent (root -> snapshot) PIN MAP [[readAll]] reads
+    * through — also the pure-SQL entry (`CALL system.group_pins`):
+    * feed each pin to `VERSION AS OF` and a SQL session gets the same
+    * all-old-or-all-new guarantee without the Scala API.
+    */
+  def pins(s: SparkSession, group: String,
+      roots: Seq[String]): Map[String, Long] = {
     val ordered = roots.sorted
     val markerOf = ordered.iterator.map(r => markerPath(r, group))
       .find(p => fsOf(s, p).exists(p))
     markerOf match {
       case Some(p) =>
-        readTsv(s, p, arity = 3)
-          .map(f => f(0) -> pinnedRead(s, f(0), f(2).toLong)).toMap
+        readTsv(s, p, arity = 3).map(f => f(0) -> f(2).toLong).toMap
       case None =>
         val rec = ordered.iterator.map(r => publishedPath(r, group))
           .find(p => fsOf(s, p).exists(p))
@@ -375,8 +384,7 @@ object CommitGroup {
             s"commit group '$group': no marker and no published record " +
               s"on any of ${ordered.mkString(", ")} — the group never " +
               "published here (or its record was cleaned)"))
-        readTsv(s, rec, arity = 2)
-          .map(f => f(0) -> pinnedRead(s, f(0), f(1).toLong)).toMap
+        readTsv(s, rec, arity = 2).map(f => f(0) -> f(1).toLong).toMap
     }
   }
 }

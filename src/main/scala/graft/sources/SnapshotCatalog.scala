@@ -848,7 +848,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   private case class Proc(procName: String, describe: String,
       params: Seq[(String, org.apache.spark.sql.types.DataType, Option[String])],
       out: Seq[(String, org.apache.spark.sql.types.DataType)],
-      run: Seq[Any] => Seq[Any])
+      run: Seq[Any] => Seq[Any],
+      // set for procedures whose natural result is a TABLE (one row
+      // per member/pin/...); `run` is ignored then
+      runMulti: Option[Seq[Any] => Seq[Seq[Any]]] = None)
       extends UnboundProcedure with BoundProcedure {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.connector.read.{LocalScan, Scan}
@@ -877,16 +880,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             s"$procName: unsupported parameter type $other")
         }
       }
-      val result = run(args)
+      val result: Seq[Seq[Any]] =
+        runMulti.map(_(args)).getOrElse(Seq(run(args)))
       val schema = StructType(out.map { case (n, dt) =>
         StructField(n, dt, nullable = false) })
       util.List.of[Scan](new LocalScan {
         override def readSchema(): StructType = schema
-        override def rows(): Array[InternalRow] = Array(
-          InternalRow.fromSeq(result.map {
+        override def rows(): Array[InternalRow] = result.map(r =>
+          InternalRow.fromSeq(r.map {
             case s: String => UTF8String.fromString(s)
             case x => x
-          }))
+          })).toArray
       }).iterator()
     }
   }
@@ -1076,6 +1080,19 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           val roots = ts.split(",").map(_.trim).filter(_.nonEmpty)
             .map(rootOf).toSeq
           Seq(Int.box(CommitGroup.publish(spark, g, roots).size)) }),
+      Proc("group_pins",
+        "the commit group's pinned (member root, snapshot) map — a " +
+          "live marker yields the all-old bases, a completed pass its " +
+          "published snapshots; feed each pin to VERSION AS OF for a " +
+          "pure-SQL group-consistent read",
+        Seq(("tables", StringType, None), ("group", StringType, None)),
+        Seq(("member", StringType), ("snapshot_id", LongType)),
+        run = _ => Seq.empty,
+        runMulti = Some({ case Seq(ts: String, g: String) =>
+          val roots = ts.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(rootOf).toSeq
+          CommitGroup.pins(spark, g, roots).toSeq.sorted
+            .map { case (r, id) => Seq(r, Long.box(id)) } })),
       Proc("recover_group",
         "roll an interrupted commit-group publish FORWARD from any " +
           "member's marker; no-op when no marker exists",

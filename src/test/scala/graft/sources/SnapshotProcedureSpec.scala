@@ -180,7 +180,36 @@ class SnapshotProcedureSpec extends SparkSpec {
       "fast_forward", "drop_ref", "build_bloom", "build_ndv",
       "build_sq8_index", "publish_group", "recover_group", "drop_group",
       "maintain_sq8_index", "build_bm25_index", "maintain_bm25_index",
-      "evolve_partitioning"))
+      "group_pins", "evolve_partitioning"))
+  }
+
+  test("CALL group_pins returns the (member, snapshot) pin map of a " +
+      "published group — the pure-SQL group-consistent read") {
+    ensureDb()
+    Seq("gp1", "gp2").foreach { t =>
+      spark.sql(s"CREATE TABLE $cat.db.$t (k BIGINT)")
+      spark.sql(s"INSERT INTO $cat.db.$t VALUES (1), (2)")
+    }
+    spark.conf.set("graft.wap.id", "grp-gpin")
+    try {
+      spark.sql(s"INSERT INTO $cat.db.gp1 VALUES (10)")
+      spark.sql(s"INSERT INTO $cat.db.gp2 VALUES (20), (21)")
+    } finally spark.conf.unset("graft.wap.id")
+    spark.sql(s"CALL $cat.system.publish_group('db.gp1,db.gp2', 'gpin')")
+    // a later unrelated commit moves gp1's head past the group pin
+    spark.sql(s"INSERT INTO $cat.db.gp1 VALUES (99), (98), (97)")
+    val pins = spark.sql(
+      s"CALL $cat.system.group_pins('db.gp1,db.gp2', 'gpin')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(pins.size == 2)
+    val gp1Pin = pins.find(_._1.endsWith("gp1")).get._2
+    // pure-SQL group-consistent read: VERSION AS OF the pin sees the
+    // group-published state, not the advanced head
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.db.gp1 VERSION AS OF $gp1Pin")
+      .head.getLong(0) == 3L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.gp1")
+      .head.getLong(0) == 6L)
   }
 
   test("CALL build_bm25_index / maintain_bm25_index: the SQL lifecycle " +
