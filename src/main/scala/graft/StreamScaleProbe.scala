@@ -108,6 +108,74 @@ object StreamScaleProbe {
     if (xs.isEmpty) Double.NaN
     else xs.sorted.apply(xs.size / 2)
 
+  /** Round-15 sink-debt axis (`SCALE_OPS=sink_debt`): the streaming
+    * snapshot sink is the system's most prolific small-file producer —
+    * one file per batch per partition, forever — and round 15 wired
+    * the same compaction cadence the maintained indexes got in r14
+    * into it. This axis drives `SINK_BATCHES` (default 500)
+    * micro-batch commits through [[graft.sources.SnapshotStreamSink
+    * .writer]]'s foreachBatch body (the identical code path a live
+    * query runs, minus the trigger scheduling this probe is not
+    * measuring), cadence ON and OFF, recording every tenth: live data
+    * file count, append latency, full-read latency. ON must saw-tooth
+    * the file count under the debt threshold with read latency flat;
+    * OFF grows O(batches) — the counterfactual. Ends by proving the
+    * exactly-once floor (a redelivered batch id commits nothing) and
+    * the row-level change feed (compactions contribute empty steps;
+    * summed `A` rows equal the appended total) both survived the
+    * cadence.
+    */
+  private def sinkDebtAxis(s: SparkSession): Unit = {
+    import graft.sources.{SnapshotStreamSink, SnapshotTable}
+    val batches = sys.env.getOrElse("SINK_BATCHES", "500").toInt
+    val rowsPer = 20L
+    Seq(("cadence_on", "24"), ("cadence_off", "0")).foreach {
+      case (label, maxSmall) =>
+        s.conf.set("graft.index.compact.max.small", maxSmall)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_sinkdebt").toString + "/t"
+        val w = SnapshotStreamSink.writer(root, "probe",
+          statsCol = Some("k"))
+        def files(): Int = SnapshotTable.fileList(s, root,
+          SnapshotTable.currentSnapshot(s, root)).size
+        var maxFiles = 0
+        val every = math.max(1, batches / 10)
+        val t0 = System.nanoTime()
+        (0 until batches).foreach { b =>
+          val df = s.range(b * rowsPer, (b + 1) * rowsPer)
+            .select(col("id").as("k")).repartition(2)
+          w(df, b.toLong)
+          maxFiles = math.max(maxFiles, files())
+          if ((b + 1) % every == 0 || b == batches - 1) {
+            val tRead0 = System.nanoTime()
+            val n = SnapshotTable.read(s, root).count()
+            val readSec = (System.nanoTime() - tRead0) / 1e9
+            println(f"[sink-debt] $label%-11s batch=${b + 1}%4d " +
+              f"files=${files()}%5d max_files=$maxFiles%5d " +
+              f"read=$readSec%5.2fs rows=$n%7d " +
+              f"elapsed=${(System.nanoTime() - t0) / 1e9}%6.1fs")
+          }
+        }
+        // exactly-once floor survived the compaction commits: a
+        // redelivered batch id is skipped (head does not advance)
+        val head = SnapshotTable.currentSnapshot(s, root)
+        w(s.range(0, 5).select(col("id").as("k")), (batches - 1).toLong)
+        require(SnapshotTable.currentSnapshot(s, root) == head,
+          s"[sink-debt] $label: redelivered batch advanced the head")
+        // CDF consumers undisturbed: compaction steps are empty, the
+        // summed appends equal what the stream wrote
+        val fed = SnapshotTable.changeFeed(s, root, 0L, head)
+          .groupBy("_op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        require(fed.getOrElse("A", 0L) == batches * rowsPer,
+          s"[sink-debt] $label: change feed saw $fed, expected " +
+            s"A=${batches * rowsPer}")
+        println(f"[sink-debt] $label%-11s DONE batches=$batches " +
+          f"max_files=$maxFiles%5d floor_ok=true cdf_A=${fed("A")}")
+    }
+    s.conf.unset("graft.index.compact.max.small")
+  }
+
   def main(args: Array[String]): Unit = {
     val builder = SparkSession.builder().master("local[32]")
       .appName("graft-stream-scale")
@@ -127,6 +195,8 @@ object StreamScaleProbe {
       .split(",").map(_.trim.toLong).toSeq
     val secs = sys.env.getOrElse("SCALE_SECS", "20").toInt
     val only = sys.env.get("SCALE_OPS").map(_.split(",").map(_.trim).toSeq)
+
+    if (only.forall(_.exists("sink_debt".startsWith))) sinkDebtAxis(s)
 
     for {
       (name, mode, mk) <- pipelines(s)

@@ -1187,16 +1187,30 @@ object FormatQueries {
       .filter(col("o_totalprice") < 0).limit(1).count() == 0L
     val droppedBad =
       if (!auditBad && SnapshotTable.dropWap(s, root, "bad") >= 1) 1L else 0L
-    // STALE stage: the table advances past its base before publish
+    // STALE stage over an ADDITIVE interleave: a plain append lands
+    // between stage and publish — the routine interleave at
+    // streaming-ingest cadence. Round 15: publish FAST-FORWARD-REBASES
+    // onto the new head (the audited delta still means what it meant —
+    // every interleaved commit was purely additive) instead of forcing
+    // a full re-stage; both deltas reach the table.
     SnapshotTable.commitWap(
       o.filter(col("o_orderkey") % 10 === 9), root, "stale")
     SnapshotTable.commit( // the interleaved main commit the audit missed
       o.filter(col("o_orderkey") % 10 === 8), root,
       expectedBase = Some(v2))
-    val refusedStale =
-      try { SnapshotTable.publishWap(s, root, "stale"); 0L }
+    val rebasedStale =
+      if (SnapshotTable.publishWap(s, root, "stale") == v2 + 2) 1L else 0L
+    // DOOMED stage over a NON-ADDITIVE interleave: a compaction
+    // rewrites the base's entry set while the stage is open — the
+    // audit's subject no longer exists, publish refuses loudly and the
+    // failed stage drops (its duplicate rows never reach the table)
+    SnapshotTable.commitWap(
+      o.filter(col("o_orderkey") % 10 === 4), root, "doomed")
+    SnapshotTable.compactSmallFiles(s, root, 10000000L, 20000000L)
+    val refusedDoomed =
+      try { SnapshotTable.publishWap(s, root, "doomed"); 0L }
       catch { case _: IllegalStateException => 1L }
-    SnapshotTable.dropWap(s, root, "stale")
+    SnapshotTable.dropWap(s, root, "doomed")
     SnapshotTable.read(s, root)
       .groupBy("o_orderstatus")
       .agg(count(lit(1)).as("n"),
@@ -1204,7 +1218,8 @@ object FormatQueries {
         sum(col("o_orderkey")).as("sum_okey"))
       .withColumn("staged_invisible", lit(stagedInvisible))
       .withColumn("dropped_bad", lit(droppedBad))
-      .withColumn("refused_stale", lit(refusedStale))
+      .withColumn("rebased_stale", lit(rebasedStale))
+      .withColumn("refused_doomed", lit(refusedDoomed))
   }
 
   /** PARTITIONED snapshot table
@@ -2407,6 +2422,7 @@ object FormatQueries {
     val pinned = CommitGroup.readAll(s, "curate1", Seq(rootA, rootB))
     val headA = SnapshotTable.read(s, rootA).count()
     val pinnedA = pinned(rootA).count()
+    val groupRebased = groupConcurrentAppendArm(s, rootA, rootB, o, score0)
     val clean = pinned(rootA)
       .groupBy("o_orderstatus").agg(count(lit(1)).as("n_clean"))
     pinned(rootB)
@@ -2417,6 +2433,33 @@ object FormatQueries {
         lit(if (preA == 0L && preB == 0L) 1L else 0L))
       .withColumn("group_pinned",
         lit(if (headA == pinnedA + 7L) 1L else 0L))
+      .withColumn("group_rebased", lit(groupRebased))
+  }
+
+  /** The round-15 concurrent-append arm of [[snapshotGroup]]: a second
+    * pass stages on both members, then a plain append interleaves on
+    * one member between stage and publish — the routine interleave at
+    * streaming-ingest cadence. The group publish REBASES that member
+    * through ([[graft.sources.SnapshotTable.rebaseCheck]] validated
+    * up front, the member's fast-forward re-derived against the new
+    * head) instead of refusing the whole pass; the flag pins that the
+    * member ends with its curate-1 rows, junk rows, the interleaved
+    * row, AND the pass-2 delta — both deltas landed, exactly once.
+    */
+  private def groupConcurrentAppendArm(s: SparkSession, rootA: String,
+      rootB: String, o: DataFrame,
+      score0: DataFrame): Long = {
+    import graft.sources.{CommitGroup, SnapshotTable}
+    CommitGroup.stage(o.filter(col("o_totalprice") < 1000.0), rootA,
+      "curate2")
+    CommitGroup.stage(score0, rootB, "curate2")
+    SnapshotTable.commit( // the interleaved append the old contract refused
+      s.range(0, 1).select((col("id") + 990000000L).as("o_orderkey"),
+        lit("Z").as("o_orderstatus"), lit(2.0).as("o_totalprice")), rootA)
+    CommitGroup.publish(s, "curate2", Seq(rootA, rootB))
+    // rootA now holds: curate1 (>=1000) + 7 junk + 1 interleaved +
+    // curate2 (<1000) = all orders + 8
+    if (SnapshotTable.read(s, rootA).count() == o.count() + 8L) 1L else 0L
   }
 
   /** Global COUNT(*) through the DSv2 connector's aggregate pushdown:
@@ -2490,7 +2533,8 @@ object FormatQueries {
         |SELECT s.o_orderstatus, s.n_orders, s.total_price,
         |  coalesce(c.n_clean, 0)::BIGINT AS n_clean,
         |  1::BIGINT AS staged_invisible,
-        |  1::BIGINT AS group_pinned
+        |  1::BIGINT AS group_pinned,
+        |  1::BIGINT AS group_rebased
         |FROM score s LEFT JOIN clean c USING (o_orderstatus)""".stripMargin,
     // TIMESTAMP AS OF the instant between the two commits reads the
     // CTAS half; the metadata table's max row count = the final table
@@ -2674,16 +2718,18 @@ object FormatQueries {
         |  1::BIGINT AS carried_large, 1::BIGINT AS feed_empty
         |FROM lineitem GROUP BY 1""".stripMargin,
     // write-audit-publish: the final table = base (deciles 0-5) ∪
-    // published good batch (6-7) ∪ interleaved commit (8); the bad
-    // batch (negated prices) failed its audit and dropped, the stale
-    // stage (decile 9) refused to publish — neither reaches the table
+    // published good batch (6-7) ∪ interleaved commit (8) ∪ the stale
+    // stage REBASED over that additive interleave (9) — every decile
+    // exactly once; the bad batch (negated prices) failed its audit
+    // and dropped, and the doomed stage over a NON-additive interleave
+    // (compaction) refused and dropped — neither reaches the table
     "fmt_snapshot_wap" ->
       """SELECT o_orderstatus, count(*)::BIGINT AS n,
         |  round(sum(o_totalprice), 2) AS total,
         |  sum(o_orderkey)::BIGINT AS sum_okey,
         |  1::BIGINT AS staged_invisible, 1::BIGINT AS dropped_bad,
-        |  1::BIGINT AS refused_stale
-        |FROM orders WHERE o_orderkey % 10 <= 8 GROUP BY 1""".stripMargin,
+        |  1::BIGINT AS rebased_stale, 1::BIGINT AS refused_doomed
+        |FROM orders GROUP BY 1""".stripMargin,
     // the post-lifecycle table = CTAS ∪ good batch (the bad batch was
     // rolled away; the zorder compaction preserved content); the audit
     // columns pin the restored head id, the clustered-key prune, and

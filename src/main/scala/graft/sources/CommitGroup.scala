@@ -37,12 +37,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *      [[dropGroup]] discards — all-invisible. All-or-nothing either
   *      way, with the decision point a single atomic file create.
   *
-  * Boundary (stated, not hidden): atomicity holds against CRASHES, not
-  * against a concurrent interleaved commit on a member table between
-  * marker and publish — that member's fast-forward then refuses loudly
-  * ([[SnapshotTable.publishWap]]'s divergence error) exactly like
-  * single-table WAP, and recovery surfaces the conflict instead of
-  * silently dropping anything. Same single-writer-per-table contract
+  * Boundary (stated, not hidden): atomicity holds against CRASHES.
+  * A concurrent interleaved commit on a member table is tolerated
+  * exactly as far as single-table WAP tolerates it: a purely ADDITIVE,
+  * shape-preserving interleave (a plain append — the routine case at
+  * streaming-ingest cadence) is REBASED through
+  * ([[SnapshotTable.publishWap]]'s optimistic fast-forward rebase,
+  * validated up front by [[SnapshotTable.rebaseCheck]] before any
+  * marker is written); an overwrite / merge / compaction / shape /
+  * constraint interleave refuses loudly, and recovery surfaces the
+  * conflict instead of silently dropping anything. Same single-writer-per-table contract
   * as every commit shape; Iceberg has no multi-table transactions at
   * all, Delta's are engine-level. Readers between two member publishes
   * of a HEALTHY pass can observe the intermediate state on the HEADS
@@ -166,15 +170,26 @@ object CommitGroup {
       s"commit group '$group': duplicate member roots")
     val ordered = roots.sorted
     // validate EVERY stage before touching anything: each must exist
-    // and still sit on its table's current head — a doomed pass
-    // refuses here, before any member becomes visible
+    // and either still sit on its table's current head or be
+    // REBASEABLE onto it (every interleaved commit purely additive and
+    // shape-preserving — [[SnapshotTable.rebaseCheck]], the same
+    // soundness test as single-table WAP; the member's publish then
+    // fast-forward-rebases). A doomed pass refuses here, before any
+    // member becomes visible.
+    val rebaseOk =
+      s.conf.get("graft.snapshot.wap.rebase", "true").toBoolean
     val bases: Map[String, Long] = ordered.map { root =>
       val base = SnapshotTable.wapBase(s, root, wapIdOf(group))
       val cur = SnapshotTable.currentSnapshot(s, root)
-      require(cur == base,
-        s"commit group '$group': member $root advanced to v$cur past " +
-          s"its stage's base v$base — drop the group and re-stage " +
-          "against the new heads")
+      if (cur != base) {
+        val why =
+          if (!rebaseOk) Some("auto-rebase disabled")
+          else SnapshotTable.rebaseCheck(s, root, base, cur)
+        why.foreach(w => throw new IllegalArgumentException(
+          s"commit group '$group': member $root advanced to v$cur past " +
+            s"its stage's base v$base and cannot rebase ($w) — drop " +
+            "the group and re-stage against the new heads"))
+      }
       root -> base
     }.toMap
     // the FIRST marker create IS the commit decision: markers go to
@@ -236,7 +251,7 @@ object CommitGroup {
     * cleanup half also crashed.
     */
   private def publishMember(s: SparkSession, root: String,
-      group: String): Long = {
+      group: String, recoveryBase: Option[Long] = None): Long = {
     val wapId = wapIdOf(group)
     val cur = SnapshotTable.currentSnapshot(s, root)
     if (SnapshotTable.wapExists(s, root, wapId) &&
@@ -249,9 +264,27 @@ object CommitGroup {
           s"wap-${enc(wapId)}.manifest")
         fsOf(s, stale).delete(stale, false)
         cur
-      } else SnapshotTable.publishWap(s, root, wapId) // absent or
-      // diverged stage: fails loudly with the precise error (never
-      // staged / table advanced past the base) instead of guessing
+      } else recoveryBase.flatMap { base =>
+        // RECOVERY ONLY: the stage is consumed and the head no longer
+        // carries the group's wap id — an already-published member took
+        // a later unrelated commit before recovery ran. Without this
+        // scan the fall-through publishWap fails loudly forever and the
+        // markers can never clear (dropGroup refuses on markers): the
+        // group would wedge on a crash + one interleaved commit. The
+        // marker records the base, so scan (base+1)..cur for the
+        // snapshot whose provenance carries the wap id and treat IT as
+        // the published pin; expired ids in the window read as absent.
+        ((base + 1) to cur).find { id =>
+          (try SnapshotTable.snapshotProps(s, root, id)
+           catch { case _: IllegalArgumentException =>
+             Map.empty[String, String] }).get("wap.id").contains(wapId)
+        }
+      } match {
+        case Some(publishedId) => publishedId
+        case None => SnapshotTable.publishWap(s, root, wapId) // absent
+        // or diverged stage: fails loudly with the precise error (never
+        // staged / table advanced past the base) instead of guessing
+      }
     }
   }
 
@@ -269,9 +302,11 @@ object CommitGroup {
     val p = markerPath(anyMemberRoot, group)
     val fs = fsOf(s, p)
     if (!fs.exists(p)) return Map.empty
-    val members = readTsv(s, p, arity = 3).map(_(0)).toList
+    val rows = readTsv(s, p, arity = 3)
+    val members = rows.map(_(0)).toList
+    val baseOf = rows.map(f => f(0) -> f(2).toLong).toMap
     val published = members.sorted.map { root =>
-      root -> publishMember(s, root, group)
+      root -> publishMember(s, root, group, recoveryBase = baseOf.get(root))
     }.toMap
     recordPublished(s, group, published)
     members.foreach(root =>
@@ -329,13 +364,22 @@ object CommitGroup {
       anyMemberRoot: String): Map[String, DataFrame] = {
     val mp = markerPath(anyMemberRoot, group)
     val rp = publishedPath(anyMemberRoot, group)
-    val members =
-      if (fsOf(s, mp).exists(mp)) readTsv(s, mp, arity = 3).map(_(0))
-      else if (fsOf(s, rp).exists(rp)) readTsv(s, rp, arity = 2).map(_(0))
+    // same exists-to-open race as [[pins]]: a marker deleted by a
+    // completing publish between the check and the read falls through
+    // to the .published record it just wrote
+    val viaMarker =
+      try {
+        if (fsOf(s, mp).exists(mp))
+          Some(readTsv(s, mp, arity = 3).map(_(0)))
+        else None
+      } catch { case _: java.io.FileNotFoundException => None }
+    val members = viaMarker.getOrElse {
+      if (fsOf(s, rp).exists(rp)) readTsv(s, rp, arity = 2).map(_(0))
       else throw new IllegalArgumentException(
         s"commit group '$group': no marker and no published record on " +
           s"$anyMemberRoot — name a member that saw the group, or pass " +
           "the membership explicitly")
+    }
     readAll(s, group, members)
   }
 
@@ -372,19 +416,38 @@ object CommitGroup {
   def pins(s: SparkSession, group: String,
       roots: Seq[String]): Map[String, Long] = {
     val ordered = roots.sorted
-    val markerOf = ordered.iterator.map(r => markerPath(r, group))
-      .find(p => fsOf(s, p).exists(p))
-    markerOf match {
-      case Some(p) =>
-        readTsv(s, p, arity = 3).map(f => f(0) -> f(2).toLong).toMap
-      case None =>
-        val rec = ordered.iterator.map(r => publishedPath(r, group))
+    // exists() and the open inside readTsv are two filesystem calls;
+    // publish/recover delete markers right after recording .published,
+    // so a reader racing that window can see the marker vanish between
+    // them. That race is a HEALTHY publish completing, not an error —
+    // re-resolve (the record the deleter wrote first is now there).
+    // Bounded, because each retry means a pass completed under us.
+    var attempt = 0
+    while (true) {
+      try {
+        val markerOf = ordered.iterator.map(r => markerPath(r, group))
           .find(p => fsOf(s, p).exists(p))
-          .getOrElse(throw new IllegalArgumentException(
-            s"commit group '$group': no marker and no published record " +
-              s"on any of ${ordered.mkString(", ")} — the group never " +
-              "published here (or its record was cleaned)"))
-        readTsv(s, rec, arity = 2).map(f => f(0) -> f(1).toLong).toMap
+        return markerOf match {
+          case Some(p) =>
+            readTsv(s, p, arity = 3).map(f => f(0) -> f(2).toLong).toMap
+          case None =>
+            val rec = ordered.iterator.map(r => publishedPath(r, group))
+              .find(p => fsOf(s, p).exists(p))
+              .getOrElse(throw new IllegalArgumentException(
+                s"commit group '$group': no marker and no published record " +
+                  s"on any of ${ordered.mkString(", ")} — the group never " +
+                  "published here (or its record was cleaned)"))
+            readTsv(s, rec, arity = 2).map(f => f(0) -> f(1).toLong).toMap
+        }
+      } catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt > 8) throw new IllegalStateException(
+            s"commit group '$group': marker kept vanishing across " +
+              s"$attempt resolution attempts — publishes are completing " +
+              "faster than this reader can resolve", e)
+      }
     }
+    sys.error("unreachable")
   }
 }

@@ -28,6 +28,31 @@ object SnapshotStreamSink {
 
   private def propKey(tag: String) = s"stream.$tag.batch"
 
+  /** Small-file-debt cadence for sink tables — the same hook the
+    * maintained indexes run after every applyFeed pass
+    * ([[graft.ops.Bm25Index]] / [[graft.ops.AnnIndex]]), because the
+    * per-minute micro-batch sink is the system's most prolific
+    * small-file producer: one file per batch per partition, forever,
+    * unless something folds them. Called after every successful batch
+    * commit; the trigger check is manifest `rc=` arithmetic alone
+    * (zero file reads), so the steady-state cost is nil and when it
+    * fires the work is O(small-file rows) with large files carried
+    * verbatim. The compaction commit carries the `stream.<tag>.batch`
+    * floor forward (every commit shape does), so exactly-once
+    * redelivery skipping is undisturbed, and the change feed crosses
+    * it as an empty step, so CDF consumers see no phantom rows.
+    * Disabled, like the index cadence, via
+    * `graft.index.compact.max.small <= 0`; the eq-delete sink's
+    * snapshots carry delete entries, for which the check returns None
+    * by contract (those tables owe a `rewriteDeletes` first — the
+    * caller's maintenance cadence, as documented on
+    * [[upsertEqWriter]]).
+    */
+  private def settleDebt(s: SparkSession, root: String): Unit = {
+    SnapshotTable.compactOnDebt(s, root)
+    ()
+  }
+
   /** Highest batch id any LIVE snapshot committed for `tag`; -1 when
     * none. One manifest-header scan — called once per writer lifetime.
     */
@@ -71,6 +96,7 @@ object SnapshotStreamSink {
         SnapshotTable.commit(df, root, statsCol = statsCol,
           props = Map(propKey(tag) -> batchId.toString))
         last = Some(batchId)
+        settleDebt(s, root)
       }
       // else: redelivery of an already-visible batch — exactly-once skip
     }
@@ -122,6 +148,7 @@ object SnapshotStreamSink {
             props = props)
         else SnapshotTable.merge(batch, root, keyCol, extraProps = props)
         last = Some(batchId)
+        settleDebt(s, root)
       }
     }
   }
@@ -164,6 +191,8 @@ object SnapshotStreamSink {
         else SnapshotTable.upsertEq(batch, root, Seq(keyCol),
           extraProps = props)
         last = Some(batchId)
+        settleDebt(s, root) // None while eq-deletes are carried — the
+        // cadence arms itself the moment a rewriteDeletes folds them
       }
     }
   }

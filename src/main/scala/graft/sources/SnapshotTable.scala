@@ -1193,7 +1193,24 @@ object SnapshotTable {
           catch {
             case e: SnapshotCommitConflict if attemptN < maxRetries =>
               attemptN += 1
-              val newCur = currentSnapshot(s, root)
+              var newCur = currentSnapshot(s, root)
+              // claim-in-flight conflict: the winner holds the claim
+              // but has not renamed yet, so the head is UNCHANGED —
+              // an immediate retry rebuilds the same manifest id and
+              // re-fails, burning every attempt inside one claim
+              // window. Wait (bounded) for the head to advance before
+              // consuming the retry; if the winner crashed, the claim
+              // lease expires and a later attempt takes it over.
+              if (newCur == prevA) {
+                val waitMs = s.conf.get(
+                  "graft.snapshot.rebase.wait.ms", "2000").toLong
+                val deadline = System.currentTimeMillis() + waitMs
+                while (newCur == prevA &&
+                    System.currentTimeMillis() < deadline) {
+                  Thread.sleep(50L * attemptN)
+                  newCur = currentSnapshot(s, root)
+                }
+              }
               rebaseGuard(s, root, prev, newCur, e)
               prevA = newCur
               carriedA = headEntryLines(s, root, newCur)
@@ -1214,11 +1231,23 @@ object SnapshotTable {
     * schema prop). Throws the original conflict, enriched, when not.
     */
   private def rebaseGuard(s: SparkSession, root: String, origPrev: Long,
-      newCur: Long, cause: SnapshotCommitConflict): Unit = {
-    def refuse(why: String): Nothing =
+      newCur: Long, cause: SnapshotCommitConflict): Unit =
+    rebaseCheck(s, root, origPrev, newCur).foreach(why =>
       throw new SnapshotCommitConflict(
         s"${cause.getMessage}; auto-rebase refused: $why — re-prepare " +
-          "the commit against the current head")
+          "the commit against the current head"))
+
+  /** The NON-THROWING form of the rebase soundness test — Some(reason)
+    * when an append staged against `origPrev` must NOT be replayed
+    * onto `newCur`, None when every interleaved commit was purely
+    * additive and shape-preserving. Shared by the append retry loop
+    * ([[publishStaged]]), the WAP fast-forward rebase
+    * ([[publishWap]]), and the commit-group pre-publish validation
+    * ([[CommitGroup]]), so the three surfaces can never drift on what
+    * "rebaseable" means.
+    */
+  private[sources] def rebaseCheck(s: SparkSession, root: String,
+      origPrev: Long, newCur: Long): Option[String] = {
     val shapeKeys =
       Seq("partition.cols", "col.phys", "cols.retired", "col.evo", "schema")
     def shapeOf(id: Long): Seq[Option[String]] = {
@@ -1227,14 +1256,30 @@ object SnapshotTable {
       shapeKeys.map(p.get)
     }
     if (shapeOf(origPrev) != shapeOf(newCur))
-      refuse("a concurrent commit changed the table's shape " +
+      return Some("a concurrent commit changed the table's shape " +
         "(partitioning / schema / column mapping)")
+    // CHECK constraints are validated ONCE, against the ORIGINAL
+    // base's user.constraint.* set, before any retry/replay — a
+    // concurrent ALTER TABLE ADD CONSTRAINT is metadata-only and
+    // entry-set-preserving, so without this check the guard would wave
+    // the rebase through and land rows the new constraint never saw.
+    // The fail-fast contract forced re-preparation (which re-validates);
+    // rebase must refuse to keep that guarantee.
+    def constraintsOf(id: Long): Map[String, String] =
+      (if (id == 0L) Map.empty[String, String]
+       else snapshotProps(s, root, id))
+        .filter(_._1.startsWith("user.constraint."))
+    if (constraintsOf(origPrev) != constraintsOf(newCur))
+      return Some("a concurrent commit changed the table's CHECK " +
+        "constraints — the staged rows were validated against the " +
+        "old set")
     val baseSet =
       if (origPrev == 0L) Set.empty[String]
       else entryLines(s, root, origPrev).toSet
     if (!baseSet.subsetOf(entryLines(s, root, newCur).toSet))
-      refuse("a concurrent commit rewrote or dropped base entries " +
+      return Some("a concurrent commit rewrote or dropped base entries " +
         "(overwrite / merge / compaction / index rebuild)")
+    None
   }
 
   /** Claim the id ATOMICALLY, then rename the manifest into place.
@@ -1272,12 +1317,11 @@ object SnapshotTable {
       id: Long, tmp: Path): Unit = {
     val target = manifestPath(root, id)
     val claim = new Path(manifestDir(root), s".claim-v$id")
-    def tryClaim(): Boolean =
-      if (fs.getScheme == "file")
-        new java.io.File(claim.toUri.getPath).createNewFile()
-      else
-        try fs.createNewFile(claim)
-        catch { case _: java.io.IOException => false }
+    // the version claim is an exclusive create — same contract surface
+    // as group markers, dispatched through the per-scheme ClaimBackend
+    // (schemes whose rename/create can silently clobber refuse loudly
+    // instead of degrading to a two-winner best-effort)
+    def tryClaim(): Boolean = AtomicFiles.claimEmpty(fs, claim)
     def fail(msg: String, dropClaim: Boolean,
         conflict: Boolean = false): Nothing = {
       fs.delete(tmp, false)
@@ -2373,23 +2417,73 @@ object SnapshotTable {
     val fs = fsOf(s, new Path(root))
     val lines = wapLines(s, root, wapId)
     val base = wapBase(s, root, wapId)
-    val cur = currentSnapshot(s, root)
-    if (cur != base)
+    def refuse(cur: Long, extra: String): Nothing =
       throw new IllegalStateException(
         s"wap publish of '$wapId' on $root: staged against v$base but " +
-          s"the table is at v$cur — the audit no longer describes what " +
-          "publish would create; drop the stage and re-stage against " +
-          "the current head")
-    val kept = lines.filterNot(_.startsWith(
-      s"#prop ${enc("wap.base")}="))
-    val tmp = new Path(manifestDir(root),
-      s".tmp-wappub-${java.util.UUID.randomUUID().toString.replace("-", "")}")
-    val out = fs.create(tmp, false)
-    try out.write(kept.mkString("\n").getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    publishManifest(s, fs, root, base + 1, tmp)
-    fs.delete(wapPath(root, wapId), false)
-    base + 1
+          s"the table is at v$cur$extra — the audit no longer describes " +
+          "what publish would create; drop the stage and re-stage " +
+          "against the current head")
+    val maxRetries = s.conf.get("graft.snapshot.commit.retries", "3").toInt
+    var attempt = 0
+    while (true) {
+      val cur = currentSnapshot(s, root)
+      val (pubLines, newId) =
+        if (cur == base)
+          (lines.filterNot(_.startsWith(s"#prop ${enc("wap.base")}=")),
+            base + 1)
+        else {
+          // OPTIMISTIC FAST-FORWARD REBASE: the stage's files are
+          // immutable and its audit examined base + delta; when every
+          // interleaved commit since the base was purely ADDITIVE and
+          // shape-preserving ([[rebaseCheck]] — the same soundness
+          // test as the append retry loop), the audited delta still
+          // means exactly what it meant, so re-derive the manifest
+          // against the new head (head entry lines + the stage's own
+          // entries, re-sequenced to the landing id) instead of
+          // forcing a full re-stage. Any overwrite / merge /
+          // compaction / shape / constraint interleaving keeps the
+          // strict refusal — the audit's subject no longer exists.
+          if (!s.conf.get("graft.snapshot.wap.rebase", "true").toBoolean)
+            refuse(cur, "")
+          rebaseCheck(s, root, base, cur).foreach(why =>
+            refuse(cur, s" (auto-rebase refused: $why)"))
+          val newId0 = cur + 1
+          val baseExp = entryLines(s, root, base).toSet
+          val delta = expandEntrySection(fs, root, entrySectionOf(lines))
+            .filterNot(baseExp)
+            .map(l => parseEntry(l).copy(seq = newId0).render)
+          // props: the head's (stream floors etc. advanced by the
+          // interleaves survive) + whatever the stage CHANGED vs its
+          // base (evolved schema, stage-time props); wap.id is forced
+          // — crash convergence keys on the published provenance —
+          // and wap.base dropped like any publish
+          val baseProps = snapshotProps(s, root, base)
+          val stageProps = lines.iterator.filter(_.startsWith("#prop "))
+            .map(_.stripPrefix("#prop ").split("=", 2))
+            .collect { case Array(k, v) => dec(k) -> dec(v) }.toMap
+          val deltaProps = stageProps.filter { case (k, v) =>
+            !baseProps.get(k).contains(v) }
+          val allProps = snapshotProps(s, root, cur) ++ deltaProps -
+            "wap.base" + ("wap.id" -> wapId)
+          val propLines = allProps.toSeq.sortBy(_._1)
+            .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" }
+          (propLines ++ headEntryLines(s, root, cur) ++ delta, newId0)
+        }
+      val tmp = new Path(manifestDir(root),
+        s".tmp-wappub-${java.util.UUID.randomUUID().toString.replace("-", "")}")
+      val out = fs.create(tmp, false)
+      try out.write(pubLines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      try {
+        publishManifest(s, fs, root, newId, tmp)
+        fs.delete(wapPath(root, wapId), false)
+        return newId
+      } catch {
+        case _: SnapshotCommitConflict if attempt < maxRetries =>
+          attempt += 1 // loop re-reads the head and re-derives
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Drop staged snapshot `wapId`: delete its manifest and the data

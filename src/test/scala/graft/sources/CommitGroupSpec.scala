@@ -258,20 +258,48 @@ class CommitGroupSpec extends SparkSpec {
       .head.getLong(0) == 3L)
   }
 
-  test("an interleaved commit on any member refuses the WHOLE publish " +
-      "before any member becomes visible") {
+  test("a NON-ADDITIVE interleaved commit on any member refuses the " +
+      "WHOLE publish before any member becomes visible") {
     val b = tmp()
     val roots = Seq(s"$b/m", s"$b/n")
     roots.foreach(seed(_, 5))
     roots.foreach(r => CommitGroup.stage(
       spark.range(0, 3).select(col("id").as("k")), r, "g4"))
-    // someone commits to the SECOND member while the group is staged
+    // someone OVERWRITES the second member while the group is staged —
+    // the audit's subject no longer exists, nothing can rebase
     SnapshotTable.commit(
-      spark.range(900, 905).select(col("id").as("k")), s"$b/n")
+      spark.range(900, 905).select(col("id").as("k")), s"$b/n",
+      overwrite = true)
     val e = intercept[IllegalArgumentException](
       CommitGroup.publish(spark, "g4", roots))
-    assert(e.getMessage.contains("advanced"), e.getMessage)
+    assert(e.getMessage.contains("cannot rebase"), e.getMessage)
     // nothing published — the first member's head did not move either
     assert(SnapshotTable.currentSnapshot(spark, s"$b/m") == 1L)
+  }
+
+  test("a purely-ADDITIVE interleaved append on a member REBASES " +
+      "through the group publish: both deltas land on that member, " +
+      "the group stays all-or-nothing") {
+    val b = tmp()
+    val roots = Seq(s"$b/p", s"$b/q")
+    roots.foreach(seed(_, 5))
+    roots.foreach(r => CommitGroup.stage(
+      spark.range(100, 103).select(col("id").as("k")), r, "g5"))
+    // a plain append lands on q between stage and publish — the
+    // routine interleave at streaming-ingest cadence
+    SnapshotTable.commit(
+      spark.range(900, 910).select(col("id").as("k")), s"$b/q")
+    val out = CommitGroup.publish(spark, "g5", roots)
+    assert(out(s"$b/p") == 2L)
+    assert(out(s"$b/q") == 3L) // rebased past the interleaved v2
+    assert(SnapshotTable.read(spark, s"$b/p").count() == 8L)
+    // q holds seed + interleaved append + the group's delta
+    assert(SnapshotTable.read(spark, s"$b/q").count() == 18L)
+    // group-consistent read serves the RECORDED pins (all-new)
+    val all = CommitGroup.readAll(spark, "g5", roots)
+    assert(all(s"$b/p").count() == 8L)
+    assert(all(s"$b/q").count() == 18L)
+    // markers cleared, stages consumed — a clean completed pass
+    assert(CommitGroup.recover(spark, "g5", roots).isEmpty)
   }
 }

@@ -56,8 +56,9 @@ class SnapshotWapSpec extends SparkSpec {
       .as[Long].collect().sorted.toSeq == Seq(30L, 31L))
   }
 
-  test("publish refuses when the table advanced past the stage's " +
-      "base; a fresh stage against the new head publishes") {
+  test("publish REBASES over a purely-additive interleaved append " +
+      "(both deltas land); an overwrite interleave still refuses, and " +
+      "conf-off restores the strict fail-fast") {
     import spark.implicits._
     val root = tmpRoot("div")
     seed(root)
@@ -65,16 +66,41 @@ class SnapshotWapSpec extends SparkSpec {
       Seq((40L, "w40")).toDF("k", "v"), root, "stale")
     SnapshotTable.commit( // an interleaved main commit: v2
       Seq((50L, "a50")).toDF("k", "v"), root)
-    val e = intercept[IllegalStateException] {
-      SnapshotTable.publishWap(spark, root, "stale")
-    }
-    assert(e.getMessage.contains("re-stage"))
-    assert(SnapshotTable.dropWap(spark, root, "stale") >= 1)
-    SnapshotTable.commitWap(
-      Seq((40L, "w40")).toDF("k", "v"), root, "retry")
-    assert(SnapshotTable.publishWap(spark, root, "retry") == 3L)
+    // round 15: the audited delta still means what it meant across an
+    // additive interleave — publish fast-forward-rebases onto v2
+    val id = SnapshotTable.publishWap(spark, root, "stale")
+    assert(id == 3L, s"rebased wap publish must land as v3, got v$id")
     assert(keys(SnapshotTable.read(spark, root)) ==
       ((1L to 20L) ++ Seq(40L, 50L)))
+    assert(SnapshotTable.rowCount(spark, root, 3L).contains(22L))
+    // provenance survives the rebase (crash convergence keys on it)
+    assert(SnapshotTable.snapshotProps(spark, root, 3L)
+      .get("wap.id").contains("stale"))
+    // the staged entries carry the REBASED sequence (eq-delete scoping
+    // must see them as v3 files, not v2)
+    assert(SnapshotTable.entries(spark, root, 3L).exists(_.seq == 3L))
+    // a NON-additive interleave (overwrite) keeps the loud refusal
+    SnapshotTable.commitWap(
+      Seq((60L, "w60")).toDF("k", "v"), root, "doomed")
+    SnapshotTable.commit(
+      Seq((99L, "o99")).toDF("k", "v"), root, overwrite = true)
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.publishWap(spark, root, "doomed")
+    }
+    assert(e.getMessage.contains("re-stage"), e.getMessage)
+    assert(SnapshotTable.dropWap(spark, root, "doomed") >= 1)
+    // conf-off: even an additive interleave refuses (old contract)
+    spark.conf.set("graft.snapshot.wap.rebase", "false")
+    try {
+      SnapshotTable.commitWap(
+        Seq((70L, "w70")).toDF("k", "v"), root, "strict")
+      SnapshotTable.commit(Seq((80L, "a80")).toDF("k", "v"), root)
+      val e2 = intercept[IllegalStateException] {
+        SnapshotTable.publishWap(spark, root, "strict")
+      }
+      assert(e2.getMessage.contains("re-stage"), e2.getMessage)
+      assert(SnapshotTable.dropWap(spark, root, "strict") >= 1)
+    } finally spark.conf.unset("graft.snapshot.wap.rebase")
   }
 
   test("the DSv2 read pins at a staged snapshot via option(\"wap\"): " +
