@@ -330,6 +330,53 @@ object Sketches {
     Array.tabulate(a.length)(i => math.max(a(i), b(i)))
   }
 
+  /** Fold a register array to a NARROWER power-of-two width — EXACT
+    * under the top-bits bucket geometry ([[graft.functions.HllRegsAgg]]:
+    * bucket = top log2(m) bits of the 48-bit hash, rho over the
+    * remaining bits). Narrowing by d index bits moves the old bucket
+    * index's LOW d bits into the rho domain, where their bit length is
+    * known from the index alone, so each narrow register is the max
+    * over its 2^d wide registers of:
+    *
+    *   - nothing for untouched registers (no hash ever landed there);
+    *   - `reg + d` when the low d index bits are zero (the old
+    *     suffix keeps its bit length; d high zero bits extend the
+    *     rank by exactly d);
+    *   - `(d + 1) - bitlen(low bits)` otherwise (the new suffix's
+    *     first 1 bit sits inside the migrated index bits — the same
+    *     value for EVERY hash of that register, so the stored max is
+    *     irrelevant and "touched" is all that matters).
+    *
+    * The result is bit-identical to a native narrow build over the
+    * same rows — what lets [[graft.sources.SnapshotTable.ndvOf]] keep
+    * estimating through a register-width migration (files stamped at
+    * mixed widths) instead of withdrawing until a full rebuild.
+    */
+  def downfoldRegs(regs: Array[Int], m1: Int): Array[Int] = {
+    val m2 = regs.length
+    require(m1 >= 16 && Integer.bitCount(m1) == 1 &&
+        Integer.bitCount(m2) == 1 && m1 <= m2,
+      s"downfold needs nested power-of-two widths >= 16, got $m2 -> $m1")
+    if (m1 == m2) return regs
+    val d = Integer.numberOfTrailingZeros(m2) -
+      Integer.numberOfTrailingZeros(m1)
+    val out = new Array[Int](m1)
+    var j = 0
+    while (j < m2) {
+      val r = regs(j)
+      if (r > 0) {
+        val low = j & ((1 << d) - 1)
+        val v =
+          if (low == 0) r + d
+          else (d + 1) - (32 - Integer.numberOfLeadingZeros(low))
+        val i = j >>> d
+        if (v > out(i)) out(i) = v
+      }
+      j += 1
+    }
+    out
+  }
+
   /** Fold registers into the integer raw estimate (plus the
     * linear-counting-corrected `hll_lc`) and join the exact reference:
     * (source, n_exact, m_used, hll_est, hll_lc, err_pct).

@@ -236,6 +236,39 @@ object CommitGroup {
       // replace atomically: group-id reuse supersedes the prior pass
       writeAtomic(s, publishedPath(root, group), body, exclusive = false)
     }
+    // AUTO-TAG the pins (round 15): [[SnapshotTable.expireSnapshots]]
+    // protects ref'd snapshots, so tagging each member's published
+    // snapshot makes [[readAll]] durable BY DEFAULT instead of by
+    // operator discipline ("createTag if the read must outlive
+    // retention"). One tag per (member, group), moved forward on every
+    // pass — the next publish retires the previous pass's pin
+    // protection, bounding held storage to one group epoch. Best
+    // effort by design: a tag that cannot land (the pin already
+    // expired — recovery after a very long outage) must not fail the
+    // publish that is otherwise complete; the pinned read then fails
+    // loudly at readAt exactly as before. The drop-then-create pair
+    // leaves a millisecond unprotected window a racing expire could
+    // hit — the same window the manual protocol had.
+    val tag = tagNameOf(group)
+    published.foreach { case (root, id) =>
+      try {
+        SnapshotTable.dropRef(s, root, tag)
+        SnapshotTable.createTag(s, root, tag, id)
+      } catch { case _: IllegalArgumentException => () }
+    }
+  }
+
+  /** The retention tag [[recordPublished]] maintains per member —
+    * `grp-<sanitized group>-<hash>`: ref names are restricted to
+    * `[A-Za-z0-9._-]`, so non-conforming group-id characters fold to
+    * `-` and a 16-bit hash of the ORIGINAL id keeps two group ids
+    * that sanitize alike from retiring each other's pins.
+    */
+  private[sources] def tagNameOf(group: String): String = {
+    val safe = group.map(c =>
+      if (c.isLetterOrDigit || c == '.' || c == '_' || c == '-') c
+      else '-')
+    f"grp-$safe%s-${group.hashCode & 0xffff}%04x"
   }
 
   /** Publish one member idempotently. The decisive evidence is the
@@ -396,12 +429,15 @@ object CommitGroup {
     *     group's publish, immune to later unrelated commits;
     *   - else the group is unknown here — refuse loudly.
     *
-    * Pinning caveat (same contract as any pinned reader): the group
-    * snapshots stay readable until [[SnapshotTable.expireSnapshots]]
-    * retires them — an expired pin fails loudly at
-    * [[SnapshotTable.readAt]]; tag the group snapshots
-    * ([[SnapshotTable.createTag]]) if the pinned read must outlive
-    * the retention window.
+    * Pinning durability: every publish AUTO-TAGS its pins
+    * ([[recordPublished]] — one `grp-…` tag per member, moved forward
+    * each pass), and [[SnapshotTable.expireSnapshots]] protects ref'd
+    * snapshots, so the last completed pass's reads survive retention
+    * BY DEFAULT. Only the previous pass's pins are released (its tags
+    * move), so a reader holding frames across a publish boundary
+    * should re-resolve; a pin whose tag could not land (recovery after
+    * the snapshot already expired) fails loudly at
+    * [[SnapshotTable.readAt]].
     */
   def readAll(s: SparkSession, group: String,
       roots: Seq[String]): Map[String, DataFrame] =

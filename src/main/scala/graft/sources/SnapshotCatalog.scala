@@ -1057,6 +1057,23 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           val (v, before, after) = SnapshotTable.rewriteManifests(
             spark, rootOf(t), tl.toInt)
           Seq(Long.box(v), Int.box(before), Int.box(after)) }),
+      Proc("manifest_report",
+        "DRY-RUN fold advisor: what rewrite_manifests at target_lines " +
+          "would do to the head — 'fold would shrink head X to Y " +
+          "lines' — computed from the head and cached shard counts, " +
+          "no commit, no data file; would_fold=0 means the head is " +
+          "already minimal for this target",
+        Seq(("table", StringType, None),
+          ("target_lines", LongType, Some("4096"))),
+        Seq(("head_lines", IntegerType), ("head_lines_after", IntegerType),
+          ("shard_refs", IntegerType), ("small_shard_refs", IntegerType),
+          ("inline_lines", IntegerType), ("would_fold", IntegerType)),
+        { case Seq(t: String, tl: java.lang.Long) =>
+          val (now, after, nRefs, nSmall, nInline, would) =
+            SnapshotTable.manifestReport(spark, rootOf(t), tl.toInt)
+          Seq(Int.box(now), Int.box(after), Int.box(nRefs),
+            Int.box(nSmall), Int.box(nInline),
+            Int.box(if (would) 1 else 0)) }),
       Proc("compact_small_files",
         "bin-pack files below min_rows into ~target_rows files; " +
           "larger files are carried verbatim (never read) and the " +

@@ -471,6 +471,55 @@ object SnapshotTable {
     (id, head.size, folded.size)
   }
 
+  /** DRY-RUN of [[rewriteManifests]] — the advisor that closes the
+    * observability→action loop the `.manifests` table opened: reports
+    * what a fold at `targetLines` WOULD do to the head, without
+    * committing anything or writing a byte. Mirrors
+    * [[consolidateShards]]'s arithmetic exactly (big shards carry as
+    * refs; small-shard lines + inline lines re-chunk at targetLines;
+    * a sub-`shard.min.lines` tail stays inline), so
+    * `head_lines_after` here equals what `CALL
+    * system.rewrite_manifests` would report. `would_fold = false`
+    * reproduces [[rewriteManifests]]'s no-op condition — the head is
+    * already minimal for this target. Cost: one head read plus cached
+    * shard line counts; no data file, no commit.
+    *
+    * Returns (head lines now, head lines after a fold, total shard
+    * refs, small shard refs, inline lines, would_fold).
+    */
+  def manifestReport(s: SparkSession, root: String,
+      targetLines: Int = 4096): (Int, Int, Int, Int, Int, Boolean) = {
+    require(targetLines >= 1, s"targetLines must be >= 1, got $targetLines")
+    val cur = currentSnapshot(s, root)
+    require(cur > 0L, s"manifest_report on empty table $root")
+    val fs = fsOf(s, new Path(root))
+    val head = headEntryLines(s, root, cur)
+    val (refs, inline) = head.partition(_.startsWith("#shard "))
+    val smallRefs = refs.filterNot(r =>
+      shardLinesOf(fs, root, r.stripPrefix("#shard ").trim)
+        .length >= targetLines)
+    val shardMin =
+      s.conf.get("graft.snapshot.manifest.shard.min.lines", "32").toInt
+    val wouldFold =
+      !((smallRefs.isEmpty && inline.length <= shardMin) ||
+        (smallRefs.size == 1 && inline.isEmpty))
+    val after =
+      if (!wouldFold) head.size
+      else {
+        val toFold = smallRefs.map(r =>
+          shardLinesOf(fs, root, r.stripPrefix("#shard ").trim).length)
+          .sum + inline.size
+        val nChunks = toFold / targetLines
+        val tail = toFold % targetLines
+        // the last (partial) chunk becomes a shard ref iff it reaches
+        // shard.min.lines, else its lines stay inline — same split as
+        // consolidateShards' (full, tail) partition
+        (refs.size - smallRefs.size) + nChunks +
+          (if (tail == 0) 0 else if (tail >= shardMin) 1 else tail)
+      }
+    (head.size, after, refs.size, smallRefs.size, inline.size, wouldFold)
+  }
+
   /** Snapshot `id`'s manifest LAYOUT — one row per `#shard` ref
     * (name, entry lines, bytes) plus one `<inline>` row for loose
     * entry lines: the observability the `.manifests` metadata table
@@ -2330,11 +2379,24 @@ object SnapshotTable {
     val data = es.filterNot(_.isDelete)
     val regs = data.map(_.ndvRegsFor(physCol))
     if (data.isEmpty || regs.exists(_.isEmpty)) None
-    // widths are uniform within a maintained group; a mix (a disable +
-    // rebuild race across widths) withdraws rather than mis-merging
-    else if (regs.flatten.map(_.length).distinct.size > 1) None
-    else Some(graft.ops.Sketches.estimateFromRegs(
-      regs.flatten.reduce(graft.ops.Sketches.mergeRegs)))
+    else {
+      // a width MIX (files stamped before and after a register-width
+      // migration) folds every wider array DOWN to the group's
+      // narrowest width — exact under the top-bits bucket geometry
+      // ([[graft.ops.Sketches.downfoldRegs]]), so the estimate stays
+      // live through the migration at the narrow width's error band
+      // instead of withdrawing until a full rebuild. Non-nesting
+      // widths (not powers of two — external corruption, the build
+      // refuses them) still withdraw rather than mis-merge.
+      val flat = regs.flatten
+      val widths = flat.map(_.length).distinct
+      val target = widths.min
+      if (widths.exists(w => Integer.bitCount(w) != 1) || target < 16)
+        None
+      else Some(graft.ops.Sketches.estimateFromRegs(
+        flat.map(r => graft.ops.Sketches.downfoldRegs(r, target))
+          .reduce(graft.ops.Sketches.mergeRegs)))
+    }
   }
 
   /** Stage an append as a WRITE-AUDIT-PUBLISH snapshot: the files are

@@ -276,4 +276,57 @@ class SnapshotNdvSpec extends SparkSpec {
       spark.conf.set("spark.sql.cbo.enabled", prevCbo)
     }
   }
+
+  test("downfoldRegs is EXACT: folding a wide register array equals " +
+      "the native narrow build over the same rows, at every nesting " +
+      "step") {
+    val hashes = spark.range(0, 20000)
+      .select(graft.ops.Sketches.h48(col("id").cast("string")).as("h"))
+    def regsAt(m: Int): Array[Int] = hashes
+      .agg(graft.functions.HllRegsAgg.hll_regs(col("h"), m).as("reg"))
+      .head.getSeq[Int](0).toArray
+    val wide = regsAt(4096)
+    Seq(1024, 256, 64, 16).foreach { m =>
+      assert(graft.ops.Sketches.downfoldRegs(wide, m).toSeq ==
+        regsAt(m).toSeq, s"downfold 4096 -> $m drifted from native")
+      // folding is transitive through intermediate widths
+      assert(graft.ops.Sketches.downfoldRegs(
+        graft.ops.Sketches.downfoldRegs(wide, 1024), m).toSeq ==
+        regsAt(m).toSeq, s"transitive downfold -> $m drifted")
+    }
+    // non-nesting targets refuse
+    intercept[IllegalArgumentException](
+      graft.ops.Sketches.downfoldRegs(wide, 48))
+    intercept[IllegalArgumentException](
+      graft.ops.Sketches.downfoldRegs(regsAt(64), 128))
+  }
+
+  test("ndvOf stays LIVE across a register-width migration: files " +
+      "stamped at mixed widths estimate at the narrow width's error " +
+      "band instead of withdrawing") {
+    val root = s"${tmp()}/t"
+    SnapshotTable.commit(
+      spark.range(0, 4000).select(col("id").as("k"),
+          (col("id") % 1500).as("g"))
+        .repartitionByRange(4, col("k")),
+      root, statsCol = Some("k"))
+    SnapshotTable.buildNdvIndex(spark, root, "g", registers = 1024)
+    // a commit stamped at a DIFFERENT width — the migration state (the
+    // carried stats.ndv.m prop overridden for this commit)
+    SnapshotTable.commit(
+      spark.range(4000, 6000).select(col("id").as("k"),
+        (col("id") % 1500 + 1000).as("g")),
+      root, props = Map("stats.ndv.m" -> "64"))
+    val cur = SnapshotTable.currentSnapshot(spark, root)
+    val widths = SnapshotTable.entries(spark, root, cur)
+      .filterNot(_.isDelete).flatMap(_.ndvRegsFor("g")).map(_.length)
+      .distinct.sorted
+    assert(widths == Seq(64, 1024), s"expected a width mix, got $widths")
+    // true distinct g over both commits: 0..1499 ∪ 1000..2499 = 2500
+    val est = SnapshotTable.ndvOf(spark, root, cur, "g")
+    assert(est.isDefined, "mixed widths must estimate, not withdraw")
+    val err = math.abs(est.get - 2500L).toDouble / 2500.0
+    // 64 registers => ~1.04/sqrt(64) = 13% standard error; allow 3x
+    assert(err < 0.40, s"estimate ${est.get} vs exact 2500 (err $err)")
+  }
 }

@@ -148,4 +148,151 @@ class SnapshotRound15Spec extends SparkSpec {
       assert(out.filter(col("k") === 100L).select("v").head().getInt(0) == 20)
     } finally spark.conf.unset("graft.index.compact.max.small")
   }
+
+  test("group publishes AUTO-TAG their pins: readAll survives an " +
+      "aggressive expire by default; the next pass retires the " +
+      "previous pass's tags") {
+    val b = tmp()
+    val roots = Seq(s"$b/x", s"$b/y")
+    roots.foreach(seed(_, 5))
+    roots.foreach(r => CommitGroup.stage(
+      spark.range(100, 110).select(col("id").as("k")), r, "gt"))
+    val pass1 = CommitGroup.publish(spark, "gt", roots) // v2 each
+    // pile unrelated commits on both members, then expire hard
+    roots.foreach { r =>
+      (0 until 4).foreach(i => SnapshotTable.commit(
+        spark.range(1000 + i * 10L, 1010 + i * 10L)
+          .select(col("id").as("k")), r))
+      SnapshotTable.expireSnapshots(spark, r, keepLast = 1)
+    }
+    // the pins (v2) fall outside keepLast=1 but carry the group tag —
+    // protected, so the group-consistent read still serves
+    val served = CommitGroup.readAll(spark, "gt", roots)
+    roots.foreach(r => assert(served(r).count() == 15L, r))
+    // a SECOND pass moves the tags: its pins are protected, the first
+    // pass's are released and a fresh expire reclaims them
+    roots.foreach(r => CommitGroup.stage(
+      spark.range(200, 220).select(col("id").as("k")), r, "gt"))
+    val pass2 = CommitGroup.publish(spark, "gt", roots)
+    roots.foreach { r =>
+      SnapshotTable.commit(
+        spark.range(5000, 5010).select(col("id").as("k")), r)
+      SnapshotTable.expireSnapshots(spark, r, keepLast = 1)
+      // pass-2 pin survives ...
+      assert(SnapshotTable.readAt(spark, r, pass2(r)).count() == 75L)
+      // ... pass-1 pin is gone (tag moved, snapshot reclaimed)
+      intercept[IllegalArgumentException](
+        SnapshotTable.readAt(spark, r, pass1(r)))
+    }
+    CommitGroup.readAll(spark, "gt", roots)
+      .foreach { case (r, df) => assert(df.count() == 75L, r) }
+  }
+
+  test("manifest_report is an EXACT dry-run of rewrite_manifests, " +
+      "Scala and CALL surfaces") {
+    val root = s"${tmp()}/t"
+    // low shard threshold so a handful of commits accrete shards
+    spark.conf.set("graft.snapshot.manifest.shard.min.lines", "4")
+    spark.conf.set("graft.snapshot.manifest.fold.max.refs", "0") // no auto-fold
+    try {
+      (0 until 12).foreach(i => SnapshotTable.commit(
+        spark.range(i * 100L, i * 100L + 100L).select(col("id").as("k"))
+          .repartition(6), root, statsCol = Some("k")))
+      val (now, after, nRefs, nSmall, nInline, would) =
+        SnapshotTable.manifestReport(spark, root, targetLines = 64)
+      assert(would, "12 six-file commits must leave something to fold")
+      assert(nRefs > 0 && nSmall > 0)
+      assert(after < now, s"advisor predicts no shrink: $now -> $after")
+      // the advisor's prediction equals what the fold actually does
+      val (_, before2, after2) =
+        SnapshotTable.rewriteManifests(spark, root, targetLines = 64)
+      assert(before2 == now, s"head drifted: advisor $now, fold $before2")
+      assert(after2 == after,
+        s"advisor predicted $after lines, fold produced $after2")
+      // post-fold the advisor reports minimal — the loop is closed
+      val r2 = SnapshotTable.manifestReport(spark, root, 64)
+      assert(!r2._6 && r2._1 == after2, s"post-fold report: $r2")
+      assert(SnapshotTable.read(spark, root).count() == 1200L)
+      // the SQL surface returns the same row shape
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_r15_wh").toString
+      spark.conf.set("spark.sql.catalog.r15adv",
+        classOf[SnapshotCatalog].getName)
+      spark.conf.set("spark.sql.catalog.r15adv.warehouse", wh)
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS r15adv.db")
+      spark.sql("CREATE TABLE r15adv.db.adv (k BIGINT)")
+      (0 until 6).foreach(i => spark.sql(
+        s"INSERT INTO r15adv.db.adv SELECT id FROM range(${i * 10}, ${i * 10 + 10})"))
+      val row = spark.sql(
+        "CALL r15adv.system.manifest_report('db.adv', 64)").head
+      val (n2, a2, _, _, _, w2) = SnapshotTable.manifestReport(
+        spark, s"$wh/db/adv", 64)
+      assert(row.getInt(0) == n2 && row.getInt(1) == a2 &&
+        row.getInt(5) == (if (w2) 1 else 0))
+    } finally {
+      spark.conf.unset("graft.snapshot.manifest.shard.min.lines")
+      spark.conf.unset("graft.snapshot.manifest.fold.max.refs")
+    }
+  }
+
+  test("group-consistent reads RACING aggressive expire: every readAll " +
+      "either serves an exact group-consistent state or refuses " +
+      "loudly — never a torn or half-reclaimed read") {
+    val b = tmp()
+    val roots = Seq(s"$b/r1", s"$b/r2")
+    roots.foreach(seed(_, 10)) // 10 rows each
+    // pass 0 so readers always find a published record
+    roots.foreach(r => CommitGroup.stage(
+      spark.range(1000, 1010).select(col("id").as("k")), r, "race"))
+    CommitGroup.publish(spark, "race", roots)
+    val passes = 25
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val loud = new java.util.concurrent.atomic.AtomicInteger(0)
+    val served = new java.util.concurrent.atomic.AtomicInteger(0)
+    val writerDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!writerDone.get() && torn.get() == null) {
+        try {
+          val all = CommitGroup.readAll(spark, "race", roots)
+          val counts = roots.map(r => all(r).count())
+          // every pass appends exactly 10 rows to each member from a
+          // 20-row base; group consistency = BOTH members at the SAME
+          // pass → equal counts, ≡ 0 (mod 10), within the pass range
+          if (counts.distinct.size != 1 ||
+              counts.head % 10 != 0 ||
+              counts.head < 20L || counts.head > 20L + 10L * passes)
+            torn.set(s"inconsistent group read: $counts")
+          else served.incrementAndGet()
+        } catch {
+          // the documented loud refusals: an expired pin's manifest or
+          // data files are gone, or the record is mid-replace
+          case _: IllegalArgumentException => loud.incrementAndGet()
+          case _: IllegalStateException => loud.incrementAndGet()
+          case e: org.apache.spark.SparkException => loud.incrementAndGet()
+        }
+      }
+    })
+    reader.start()
+    try {
+      (1 to passes).foreach { k =>
+        roots.foreach(r => CommitGroup.stage(
+          spark.range(k * 1000L, k * 1000L + 10L)
+            .select(col("id").as("k")), r, "race"))
+        CommitGroup.publish(spark, "race", roots)
+        roots.foreach(r =>
+          SnapshotTable.expireSnapshots(spark, r, keepLast = 1))
+      }
+    } finally {
+      writerDone.set(true)
+      reader.join(30000)
+    }
+    assert(torn.get() == null, String.valueOf(torn.get()))
+    assert(served.get() > 0,
+      s"reader never served (loud=${loud.get()}) — race too one-sided " +
+        "to prove anything")
+    // after the dust settles the last pass serves exactly
+    CommitGroup.readAll(spark, "race", roots).foreach { case (r, df) =>
+      assert(df.count() == 20L + 10L * passes, r)
+    }
+  }
 }
