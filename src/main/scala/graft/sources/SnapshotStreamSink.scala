@@ -53,6 +53,37 @@ object SnapshotStreamSink {
     ()
   }
 
+  /** EQUALITY-DELETE debt cadence for the zero-read CDC sink
+    * ([[upsertEqWriter]]): each batch lands one `deletes/eq-*` file,
+    * and every reader pays the whole accreted set on every scan until
+    * a [[SnapshotTable.rewriteDeletes]] folds them. The default
+    * contract keeps that fold as the operator's maintenance window
+    * (it reads back the delete-overlapped files — real IO a per-minute
+    * micro-batch should not absorb blindly); setting
+    * `graft.stream.eq.rewrite.max.deletes` to N > 0 opts the sink
+    * into self-maintenance: once the head carries >= N eq-delete
+    * entries, the batch that crossed the threshold folds them and
+    * then runs the small-file cadence (armed now that the deletes are
+    * gone). The trigger check is manifest arithmetic (zero file
+    * reads); the fold itself is stats-pruned to the files the keys
+    * can touch. The fold and compaction both carry the
+    * `stream.<tag>.batch` floor and cross the change feed as empty
+    * steps, so exactly-once and CDF consumers are undisturbed.
+    */
+  private def settleEqDebt(s: SparkSession, root: String): Unit = {
+    val maxEq =
+      s.conf.get("graft.stream.eq.rewrite.max.deletes", "0").toInt
+    if (maxEq > 0) {
+      val cur = SnapshotTable.currentSnapshot(s, root)
+      if (cur > 0L &&
+          SnapshotTable.entries(s, root, cur).count(_.isEqDelete) >= maxEq) {
+        SnapshotTable.rewriteDeletes(s, root)
+        SnapshotTable.compactOnDebt(s, root)
+        ()
+      }
+    }
+  }
+
   /** Highest batch id any LIVE snapshot committed for `tag`; -1 when
     * none. One manifest-header scan — called once per writer lifetime.
     */
@@ -191,6 +222,7 @@ object SnapshotStreamSink {
         else SnapshotTable.upsertEq(batch, root, Seq(keyCol),
           extraProps = props)
         last = Some(batchId)
+        settleEqDebt(s, root) // opt-in eq-delete fold cadence
         settleDebt(s, root) // None while eq-deletes are carried — the
         // cadence arms itself the moment a rewriteDeletes folds them
       }

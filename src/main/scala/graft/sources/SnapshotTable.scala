@@ -2543,6 +2543,15 @@ object SnapshotTable {
       } catch {
         case _: SnapshotCommitConflict if attempt < maxRetries =>
           attempt += 1 // loop re-reads the head and re-derives
+          // claim-in-flight conflict (head unchanged): wait for the
+          // winner's rename instead of burning retries inside one
+          // claim window — same backoff as the append retry loop
+          val waitMs = s.conf.get(
+            "graft.snapshot.rebase.wait.ms", "2000").toLong
+          val deadline = System.currentTimeMillis() + waitMs
+          while (currentSnapshot(s, root) == cur &&
+              System.currentTimeMillis() < deadline)
+            Thread.sleep(50L * attempt)
       }
     }
     sys.error("unreachable")

@@ -174,8 +174,8 @@ class SnapshotProcedureSpec extends SparkSpec {
       .asInstanceOf[SnapshotCatalog]
     val listed = c.listProcedures(Array("system")).map(_.name()).toSet
     assert(listed == Set("expire_snapshots", "remove_orphans", "rollback",
-      "rewrite_deletes", "rewrite_manifests", "optimize_zorder",
-      "publish_wap", "drop_wap",
+      "rewrite_deletes", "rewrite_manifests", "manifest_report",
+      "optimize_zorder", "publish_wap", "drop_wap",
       "compact_small_files", "create_tag", "create_branch",
       "fast_forward", "drop_ref", "build_bloom", "build_ndv",
       "build_sq8_index", "publish_group", "recover_group", "drop_group",

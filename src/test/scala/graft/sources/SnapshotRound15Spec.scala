@@ -268,7 +268,7 @@ class SnapshotRound15Spec extends SparkSpec {
           // data files are gone, or the record is mid-replace
           case _: IllegalArgumentException => loud.incrementAndGet()
           case _: IllegalStateException => loud.incrementAndGet()
-          case e: org.apache.spark.SparkException => loud.incrementAndGet()
+          case _: org.apache.spark.SparkException => loud.incrementAndGet()
         }
       }
     })
@@ -293,6 +293,50 @@ class SnapshotRound15Spec extends SparkSpec {
     // after the dust settles the last pass serves exactly
     CommitGroup.readAll(spark, "race", roots).foreach { case (r, df) =>
       assert(df.count() == 20L + 10L * passes, r)
+    }
+  }
+
+  test("eq-delete sink self-maintenance (opt-in): the fold cadence " +
+      "bounds the delete-file count, last-wins content and the " +
+      "exactly-once floor survive every fold") {
+    def eqCount(root: String): Int = {
+      val cur = SnapshotTable.currentSnapshot(spark, root)
+      SnapshotTable.entries(spark, root, cur).count(_.isEqDelete)
+    }
+    // default (0): deletes accrete one per post-bootstrap batch
+    val off = s"${tmp()}/off"
+    val wOff = SnapshotStreamSink.upsertEqWriter(off, "eq", "k")
+    (0 until 12).foreach { b =>
+      wOff(spark.range(b * 5L, b * 5L + 10L)
+        .select(col("id").as("k"), lit(b).as("v")), b.toLong)
+    }
+    assert(eqCount(off) == 11, s"expected 11 accreted deletes, got ${eqCount(off)}")
+    // opt-in threshold 6: the count saw-tooths under it
+    val on = s"${tmp()}/on"
+    spark.conf.set("graft.stream.eq.rewrite.max.deletes", "6")
+    spark.conf.set("graft.index.compact.max.small", "8")
+    try {
+      val w = SnapshotStreamSink.upsertEqWriter(on, "eq", "k")
+      var maxEq = 0
+      (0 until 30).foreach { b =>
+        w(spark.range(b * 5L, b * 5L + 10L)
+          .select(col("id").as("k"), lit(b).as("v")), b.toLong)
+        maxEq = math.max(maxEq, eqCount(on))
+      }
+      assert(maxEq <= 6, s"eq-delete count not bounded: max=$maxEq")
+      // last-wins content identical to the unmaintained run's semantics
+      val out = SnapshotTable.read(spark, on)
+      assert(out.count() == 155L) // keys 0..154
+      assert(out.filter(col("k") === 50L).select("v").head().getInt(0) == 10)
+      // floor survived the folds: a fresh writer skips the redelivery
+      val head = SnapshotTable.currentSnapshot(spark, on)
+      assert(SnapshotStreamSink.lastCommittedBatch(spark, on, "eq") == 29L)
+      SnapshotStreamSink.upsertEqWriter(on, "eq", "k")(
+        spark.range(0, 3).select(col("id").as("k"), lit(99).as("v")), 29L)
+      assert(SnapshotTable.currentSnapshot(spark, on) == head)
+    } finally {
+      spark.conf.unset("graft.stream.eq.rewrite.max.deletes")
+      spark.conf.unset("graft.index.compact.max.small")
     }
   }
 }
