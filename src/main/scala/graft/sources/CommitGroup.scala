@@ -254,7 +254,13 @@ object CommitGroup {
       try {
         SnapshotTable.dropRef(s, root, tag)
         SnapshotTable.createTag(s, root, tag, id)
-      } catch { case _: IllegalArgumentException => () }
+      } catch {
+        // anything non-fatal: an expired pin's refused ref AND any
+        // transient filesystem error — the publish this call records
+        // is already complete, and failing it here would leave the
+        // group in marker state over a lost best-effort tag
+        case scala.util.control.NonFatal(_) => ()
+      }
     }
   }
 

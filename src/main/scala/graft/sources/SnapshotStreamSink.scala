@@ -222,9 +222,12 @@ object SnapshotStreamSink {
         else SnapshotTable.upsertEq(batch, root, Seq(keyCol),
           extraProps = props)
         last = Some(batchId)
-        settleEqDebt(s, root) // opt-in eq-delete fold cadence
-        settleDebt(s, root) // None while eq-deletes are carried — the
-        // cadence arms itself the moment a rewriteDeletes folds them
+        // settleEqDebt owns the eq sink's whole cadence: it runs
+        // compactOnDebt itself right after a fold (the only moment
+        // compaction CAN fire here — compactIfFragmented returns None
+        // while delete entries are carried, so a per-batch settleDebt
+        // would be a guaranteed-None entries scan every batch)
+        settleEqDebt(s, root)
       }
     }
   }

@@ -511,11 +511,14 @@ object SnapshotTable {
           .sum + inline.size
         val nChunks = toFold / targetLines
         val tail = toFold % targetLines
-        // the last (partial) chunk becomes a shard ref iff it reaches
-        // shard.min.lines, else its lines stay inline — same split as
-        // consolidateShards' (full, tail) partition
-        (refs.size - smallRefs.size) + nChunks +
-          (if (tail == 0) 0 else if (tail >= shardMin) 1 else tail)
+        // EVERY chunk (the full targetLines-sized ones included)
+        // becomes a shard ref iff it reaches shard.min.lines, else its
+        // lines stay inline — the same `_.length >= shardMin` split as
+        // consolidateShards' (full, tail) partition; with targetLines
+        // below shardMin even full chunks inline
+        def linesOf(chunk: Int): Int = if (chunk >= shardMin) 1 else chunk
+        (refs.size - smallRefs.size) + nChunks * linesOf(targetLines) +
+          (if (tail == 0) 0 else linesOf(tail))
       }
     (head.size, after, refs.size, smallRefs.size, inline.size, wouldFold)
   }
@@ -598,6 +601,28 @@ object SnapshotTable {
       .map(_.stripPrefix("#prop ").split("=", 2))
       .collect { case Array(k, v) => dec(k) -> dec(v) }
       .toMap
+
+  /** The CARRIED prop classes — the table-level state every commit
+    * shape propagates from its base (exactly-once stream floors,
+    * maintained index/stats groups, user table properties, partition
+    * shape, column mapping/evolution). Everything else in a manifest
+    * is that COMMIT's one-shot provenance (`merge.key`, `cdf.dir`,
+    * `delete.eq`, `maintenance`, `wap.id`, …) and must NOT leak into
+    * a different commit's manifest: the change feed classifies each
+    * step by these provenance props, so inheriting them would make a
+    * rebased append read as (say) an eq-delete step and double-count
+    * its rows. Shared by [[publishStaged]]'s buildManifest and
+    * [[publishWap]]'s fast-forward rebase.
+    */
+  private def carriedClassProps(
+      p: Map[String, String]): Map[String, String] =
+    p.filter(pr =>
+      pr._1.startsWith("stream.") || pr._1.startsWith("ann.") ||
+        pr._1.startsWith("stats.") || // maintained stats groups (NDV)
+        pr._1.startsWith("user.") || // SET TBLPROPERTIES: table-level
+        pr._1 == "partition.cols" ||
+        pr._1 == "col.phys" || pr._1 == "cols.retired" ||
+        pr._1 == "col.evo")
 
   /** Snapshot N's recorded schema — the commit-time Spark schema,
     * evolved by name across appends. None for manifests written before
@@ -1051,14 +1076,10 @@ object SnapshotTable {
       Seq[(Seq[FileStats], Long)]]()
     def buildManifest(prevA: Long, carriedA: Seq[String],
         attemptId: String): (Path, Long) = {
+    // (carried-prop classes: see [[carriedClassProps]])
     val carriedProps: Map[String, String] =
       if (prevA == 0L) Map.empty
-      else snapshotProps(s, root, prevA).filter(p =>
-        p._1.startsWith("stream.") || p._1.startsWith("ann.") ||
-          p._1.startsWith("stats.") || // maintained stats groups (NDV)
-          p._1.startsWith("user.") || // SET TBLPROPERTIES: table-level
-          p._1 == "partition.cols" ||
-          p._1 == "col.phys" || p._1 == "cols.retired" || p._1 == "col.evo")
+      else carriedClassProps(snapshotProps(s, root, prevA))
     // partition columns ALWAYS join the stats index (whatever the
     // commit path — V1, V2 executor-staged, COW rewrites): a file that
     // lost its partition-value stats would silently stop pruning
@@ -1242,24 +1263,7 @@ object SnapshotTable {
           catch {
             case e: SnapshotCommitConflict if attemptN < maxRetries =>
               attemptN += 1
-              var newCur = currentSnapshot(s, root)
-              // claim-in-flight conflict: the winner holds the claim
-              // but has not renamed yet, so the head is UNCHANGED —
-              // an immediate retry rebuilds the same manifest id and
-              // re-fails, burning every attempt inside one claim
-              // window. Wait (bounded) for the head to advance before
-              // consuming the retry; if the winner crashed, the claim
-              // lease expires and a later attempt takes it over.
-              if (newCur == prevA) {
-                val waitMs = s.conf.get(
-                  "graft.snapshot.rebase.wait.ms", "2000").toLong
-                val deadline = System.currentTimeMillis() + waitMs
-                while (newCur == prevA &&
-                    System.currentTimeMillis() < deadline) {
-                  Thread.sleep(50L * attemptN)
-                  newCur = currentSnapshot(s, root)
-                }
-              }
+              val newCur = awaitHeadAdvance(s, root, prevA, attemptN)
               rebaseGuard(s, root, prev, newCur, e)
               prevA = newCur
               carriedA = headEntryLines(s, root, newCur)
@@ -1279,6 +1283,31 @@ object SnapshotTable {
     * schema would be silently dropped by the rebased commit's own
     * schema prop). Throws the original conflict, enriched, when not.
     */
+  /** The ONE claim-in-flight backoff both conflict-retry loops share
+    * ([[publishStaged]]'s append rebase, [[publishWap]]'s fast-forward
+    * rebase): when a commit conflict fires while the head still reads
+    * `prev`, the winner holds the claim but has not renamed yet — an
+    * immediate retry would rebuild the same manifest id and re-fail,
+    * burning every attempt inside one claim window. Wait (bounded by
+    * `graft.snapshot.rebase.wait.ms`, default 2 s) for the head to
+    * advance before consuming the retry; if the winner crashed, the
+    * claim lease expires and a later attempt takes it over. Returns
+    * the freshest head observed.
+    */
+  private def awaitHeadAdvance(s: SparkSession, root: String,
+      prev: Long, attempt: Int): Long = {
+    var cur = currentSnapshot(s, root)
+    if (cur == prev) {
+      val waitMs = s.conf.get("graft.snapshot.rebase.wait.ms", "2000").toLong
+      val deadline = System.currentTimeMillis() + waitMs
+      while (cur == prev && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50L * attempt)
+        cur = currentSnapshot(s, root)
+      }
+    }
+    cur
+  }
+
   private def rebaseGuard(s: SparkSession, root: String, origPrev: Long,
       newCur: Long, cause: SnapshotCommitConflict): Unit =
     rebaseCheck(s, root, origPrev, newCur).foreach(why =>
@@ -1314,10 +1343,14 @@ object SnapshotTable {
     // the rebase through and land rows the new constraint never saw.
     // The fail-fast contract forced re-preparation (which re-validates);
     // rebase must refuse to keep that guarantee.
+    // ACTIVE constraints only (same filter as the write-time
+    // enforcement): an unset records `user.constraint.x=""`, and a
+    // constraint added-then-dropped between base and head must not
+    // refuse a rebase whose effective constraint sets are identical
     def constraintsOf(id: Long): Map[String, String] =
       (if (id == 0L) Map.empty[String, String]
        else snapshotProps(s, root, id))
-        .filter(_._1.startsWith("user.constraint."))
+        .filter(p => p._1.startsWith("user.constraint.") && p._2.nonEmpty)
     if (constraintsOf(origPrev) != constraintsOf(newCur))
       return Some("a concurrent commit changed the table's CHECK " +
         "constraints — the staged rows were validated against the " +
@@ -2514,19 +2547,30 @@ object SnapshotTable {
           val delta = expandEntrySection(fs, root, entrySectionOf(lines))
             .filterNot(baseExp)
             .map(l => parseEntry(l).copy(seq = newId0).render)
-          // props: the head's (stream floors etc. advanced by the
-          // interleaves survive) + whatever the stage CHANGED vs its
-          // base (evolved schema, stage-time props); wap.id is forced
-          // — crash convergence keys on the published provenance —
-          // and wap.base dropped like any publish
+          // props: the head's CARRIED classes only (stream floors etc.
+          // advanced by the interleaves survive; the head's one-shot
+          // provenance — delete.eq, cdf.dir, maintenance — must NOT
+          // leak into this commit, or the change feed would classify
+          // the rebased publish as the interleave's shape and
+          // double-count its rows) + the head's schema (shape-equal to
+          // the base's by rebaseCheck) + whatever the stage CHANGED vs
+          // its base (evolved schema, stage-time props), MINUS any
+          // carried key the stage deliberately removed (an NDV disable
+          // staged through WAP must not resurrect from the head);
+          // wap.id is forced — crash convergence keys on the published
+          // provenance — and wap.base dropped like any publish
           val baseProps = snapshotProps(s, root, base)
+          val headProps = snapshotProps(s, root, cur)
           val stageProps = lines.iterator.filter(_.startsWith("#prop "))
             .map(_.stripPrefix("#prop ").split("=", 2))
             .collect { case Array(k, v) => dec(k) -> dec(v) }.toMap
           val deltaProps = stageProps.filter { case (k, v) =>
             !baseProps.get(k).contains(v) }
-          val allProps = snapshotProps(s, root, cur) ++ deltaProps -
-            "wap.base" + ("wap.id" -> wapId)
+          val removedKeys = carriedClassProps(baseProps).keySet
+            .diff(stageProps.keySet)
+          val allProps = (carriedClassProps(headProps) ++
+            headProps.get("schema").map("schema" -> _)) -- removedKeys ++
+            deltaProps - "wap.base" + ("wap.id" -> wapId)
           val propLines = allProps.toSeq.sortBy(_._1)
             .map { case (k, v) => s"#prop ${enc(k)}=${enc(v)}" }
           (propLines ++ headEntryLines(s, root, cur) ++ delta, newId0)
@@ -2543,15 +2587,8 @@ object SnapshotTable {
       } catch {
         case _: SnapshotCommitConflict if attempt < maxRetries =>
           attempt += 1 // loop re-reads the head and re-derives
-          // claim-in-flight conflict (head unchanged): wait for the
-          // winner's rename instead of burning retries inside one
-          // claim window — same backoff as the append retry loop
-          val waitMs = s.conf.get(
-            "graft.snapshot.rebase.wait.ms", "2000").toLong
-          val deadline = System.currentTimeMillis() + waitMs
-          while (currentSnapshot(s, root) == cur &&
-              System.currentTimeMillis() < deadline)
-            Thread.sleep(50L * attempt)
+          awaitHeadAdvance(s, root, cur, attempt)
+          ()
       }
     }
     sys.error("unreachable")

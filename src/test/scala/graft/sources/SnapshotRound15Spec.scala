@@ -212,6 +212,17 @@ class SnapshotRound15Spec extends SparkSpec {
       // post-fold the advisor reports minimal — the loop is closed
       val r2 = SnapshotTable.manifestReport(spark, root, 64)
       assert(!r2._6 && r2._1 == after2, s"post-fold report: $r2")
+      // a target BELOW shard.min.lines (full chunks inline, not
+      // sharded): the advisor must still match the fold exactly
+      val (now3, after3, _, _, _, would3) =
+        SnapshotTable.manifestReport(spark, root, targetLines = 2)
+      if (would3) {
+        val (_, before4, after4) =
+          SnapshotTable.rewriteManifests(spark, root, targetLines = 2)
+        assert(before4 == now3 && after4 == after3,
+          s"sub-shardMin advisor drift: predicted $now3->$after3, " +
+            s"fold did $before4->$after4")
+      }
       assert(SnapshotTable.read(spark, root).count() == 1200L)
       // the SQL surface returns the same row shape
       val wh = java.nio.file.Files
@@ -294,6 +305,47 @@ class SnapshotRound15Spec extends SparkSpec {
     CommitGroup.readAll(spark, "race", roots).foreach { case (r, df) =>
       assert(df.count() == 20L + 10L * passes, r)
     }
+  }
+
+  test("WAP rebase prop hygiene: the interleave's one-shot provenance " +
+      "does not leak into the rebased publish, carried state from the " +
+      "head survives, and the change feed classifies every step right") {
+    val root = s"${tmp()}/t"
+    SnapshotTable.commit(
+      spark.range(0, 100).select(col("id").as("k"), lit("a").as("v")),
+      root, statsCol = Some("k")) // v1
+    SnapshotTable.commitWap(
+      spark.range(200, 210).select(col("id").as("k"), lit("w").as("v")),
+      root, "hyg")
+    // the interleave is an EQ-DELETE upsert — additive (rebaseable)
+    // but carrying delete.eq/eq.file provenance and a stream floor
+    SnapshotTable.upsertEq(
+      spark.range(50, 60).select(col("id").as("k"), lit("u").as("v")),
+      root, Seq("k"), extraProps = Map("stream.t.batch" -> "7")) // v2
+    val id = SnapshotTable.publishWap(spark, root, "hyg")
+    assert(id == 3L)
+    val props = SnapshotTable.snapshotProps(spark, root, 3L)
+    // no provenance leak: the rebased publish is NOT an eq-delete step
+    assert(!props.contains("delete.eq") && !props.contains("eq.file"),
+      s"interleave provenance leaked: $props")
+    assert(props.get("wap.id").contains("hyg"))
+    // carried state from the head survives the rebase
+    assert(props.get("stream.t.batch").contains("7"))
+    // content: base - replaced + upserted + staged
+    val out = SnapshotTable.read(spark, root)
+    assert(out.count() == 110L)
+    assert(out.filter(col("k") === 55L).select("v").head.getString(0) == "u")
+    assert(out.filter(col("k") >= 200L).count() == 10L)
+    // the change feed sees exactly one eq-delete step (v2) and one
+    // plain append step (v3) — the rebased publish contributes A rows,
+    // not a re-read of v2's delete keys
+    val ops = SnapshotTable.changeFeed(spark, root, 1L, 3L)
+      .groupBy("_commit", "_op").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ops((2L, "D")) == 10L && ops((2L, "I")) == 10L,
+      s"v2 misread: $ops")
+    assert(ops((3L, "A")) == 10L && !ops.contains((3L, "D")),
+      s"v3 misclassified: $ops")
   }
 
   test("eq-delete sink self-maintenance (opt-in): the fold cadence " +
