@@ -1,0 +1,318 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev tool (r15 optimization round): phase-level timing of the heavy
+  * lifecycle gates — attributes each gate's seconds to its library
+  * calls (build / churn / maintain / audit / search) so optimization
+  * targets the phase that actually costs, not the gate wholesale.
+  * Usage: `sbt "runMain graft.R15Prof <gate> [sfDir]"`.
+  */
+object R15Prof {
+  private def t[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[phase] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    r
+  }
+  private def drain(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .appName("r15prof")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    // warm like the bench
+    SparkEntry.entry(s).write.format("noop").mode("overwrite").save()
+    args.headOption.getOrElse("bm25") match {
+      case "bm25" => bm25(s, dir)
+      case "ann" => ann(s, dir)
+      case "readtable" => readtable(s, dir)
+      case "sink" => sink(s, dir)
+      case "curate" => curate(s, dir)
+      case "prefix" => prefix(s, dir)
+      case "plan" =>
+        // dump the executed plan of a query without timing it
+        val q = args(1)
+        val df = SparkEntry.queries(q)(s,
+          if (args.length > 2) args(2) else "/root/testdata/sf0.01")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      case other =>
+        // any registered query, end-to-end, 3 timed runs
+        val fn = SparkEntry.queries(other)
+        (1 to 3).foreach { i =>
+          t(s"$other run$i") { drain(fn(s, dir)) }
+          graft.ops.Dedup.clearShared()
+          s.sharedState.cacheManager.clearCache()
+          s.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(blocking = false))
+          System.gc(); Thread.sleep(50)
+        }
+    }
+    s.stop()
+  }
+
+  private def bm25(s: SparkSession, dir: String): Unit = {
+    import graft.sources.SnapshotTable
+    import graft.ops.{Bm25Index, Retrieval}
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual}
+    val b = java.nio.file.Files.createTempDirectory("r15_bm25").toString
+    val corpusRoot = s"$b/corpus"
+    val indexRoot = s"$b/bm25"
+    val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+    t("corpus commit") {
+      SnapshotTable.commit(docs.repartitionByRange(8, col("doc_id")),
+        corpusRoot, statsCol = Some("doc_id"))
+    }
+    t("buildBm25Index") { Bm25Index.buildBm25Index(s, corpusRoot, indexRoot) }
+    val mods = docs.filter(col("doc_id") % 10 === 3)
+      .withColumn("text", concat(col("text"), lit(" zzupdatedtoken")))
+    val ins = docs.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    t("corpus merge") {
+      SnapshotTable.merge(mods.unionByName(ins), corpusRoot, "doc_id")
+    }
+    t("corpus deleteWhere") {
+      SnapshotTable.deleteWhere(s, corpusRoot,
+        Seq(GreaterThan("doc_id", 100L), LessThanOrEqual("doc_id", 200L)))
+    }
+    // maintainBm25Index decomposed (mirrors Bm25Index.applyFeed)
+    locally {
+      val from = Bm25Index.maintainedThrough(s, indexRoot)
+      val to = SnapshotTable.currentSnapshot(s, corpusRoot)
+      val feed = t("  changeFeed+ckpt") {
+        SnapshotTable.changeFeed(s, corpusRoot, from, to)
+          .localCheckpoint(eager = true)
+      }
+      val lastTouch = feed.groupBy(col("doc_id").as("_lk"))
+        .agg(max(col("_commit")).as("_lc"))
+      val finalOps = feed.join(lastTouch,
+          col("doc_id") === col("_lk") && col("_commit") === col("_lc"))
+        .select(col("doc_id"), col("text"), col("_op"))
+      val changed = finalOps.filter(col("_op").isin("A", "I", "U", "XA"))
+        .select("doc_id", "text")
+      val touchedKeys = finalOps.select("doc_id").distinct()
+      val floor = Map(s"stream.bm25maint.batch" -> to.toString)
+      t("  tf deleteByKeys") {
+        SnapshotTable.deleteByKeys(touchedKeys,
+          Bm25Index.tfRoot(indexRoot), "doc_id")
+      }
+      val nonEmpty = t("  changed.limit(1).count") {
+        changed.limit(1).count() > 0
+      }
+      // same tokenize expressions as Bm25Index.tfOf/dlOf (private)
+      val toks = changed.select(col("doc_id"),
+          explode(split(col("text"), " ", -1)).as("term"))
+        .filter(length(col("term")) > 0)
+      val tfC = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dlC = changed.select(col("doc_id"))
+        .join(toks.groupBy("doc_id").agg(count(lit(1)).as("toks")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("toks"), lit(0L)).as("dl"))
+      if (nonEmpty) {
+        t("  tf commit") {
+          SnapshotTable.commit(tfC,
+            Bm25Index.tfRoot(indexRoot), statsCol = Some("doc_id"))
+        }
+        t("  dl deleteByKeys") {
+          SnapshotTable.deleteByKeys(touchedKeys,
+            Bm25Index.dlRoot(indexRoot), "doc_id")
+        }
+        t("  dl commit") {
+          SnapshotTable.commit(dlC,
+            Bm25Index.dlRoot(indexRoot), statsCol = Some("doc_id"),
+            props = floor)
+        }
+      }
+      t("  compactOnDebt tf+dl") {
+        SnapshotTable.compactOnDebt(s, Bm25Index.tfRoot(indexRoot))
+        SnapshotTable.compactOnDebt(s, Bm25Index.dlRoot(indexRoot))
+      }
+    }
+    val (nTf, diff) = t("confluenceAudit") {
+      Bm25Index.confluenceAudit(s, corpusRoot, indexRoot)
+    }
+    t("search+drain") {
+      drain(Bm25Index.searchBm25Index(s, corpusRoot, indexRoot)
+        .withColumn("index_matches_rebuild", lit(if (diff == 0L) 1L else 0L))
+        .withColumn("n_tf_rows", lit(nTf)))
+    }
+  }
+
+  private def ann(s: SparkSession, dir: String): Unit = {
+    import graft.sources.SnapshotTable
+    import graft.ops.{AnnIndex, Similarity}
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual}
+    val b = java.nio.file.Files.createTempDirectory("r15_ann").toString
+    val corpusRoot = s"$b/corpus"
+    val indexRoot = s"$b/index"
+    val emb = graft.Tables.embeddings(s, dir).select("vec_id", "embedding")
+    t("corpus commit") {
+      SnapshotTable.commit(emb.repartitionByRange(8, col("vec_id")),
+        corpusRoot, statsCol = Some("vec_id"))
+    }
+    t("buildSq8Index") { AnnIndex.buildSq8Index(s, corpusRoot, indexRoot) }
+    val mods = emb.filter(col("vec_id") % 10 === 3)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
+    val ins = emb.filter(col("vec_id") % 10 === 7)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+    t("corpus merge") {
+      SnapshotTable.merge(mods.unionByName(ins), corpusRoot, "vec_id")
+    }
+    t("corpus deleteWhere") {
+      SnapshotTable.deleteWhere(s, corpusRoot,
+        Seq(GreaterThan("vec_id", 100L), LessThanOrEqual("vec_id", 200L)))
+    }
+    t("maintainSq8Index") { AnnIndex.maintainSq8Index(s, corpusRoot, indexRoot) }
+    val (nIdx, diff) = t("confluenceAudit") {
+      AnnIndex.confluenceAudit(s, corpusRoot, indexRoot)
+    }
+    t("search+drain") {
+      drain(AnnIndex.searchSq8Index(s, indexRoot,
+          Similarity.queryVectors(s, dir), Similarity.DefaultK)
+        .withColumn("index_matches_rebuild", lit(if (diff == 0L) 1L else 0L))
+        .withColumn("n_index_rows", lit(nIdx)))
+    }
+  }
+
+  private def curate(s: SparkSession, dir: String): Unit = {
+    import graft.ops.{Dedup, TextAnalysis}
+    val docs = graft.Tables.documents(s, dir)
+    val gated = t("1 gate (gopher + join)") {
+      docs.join(
+        TextAnalysis.gopherRules(docs).filter(col("pass") === 1)
+          .select("doc_id"), "doc_id").cache()
+        .localCheckpoint(eager = true)
+    }
+    val pairs = t("2a prefixJaccardDocs") {
+      Dedup.prefixJaccardDocs(gated).localCheckpoint(eager = true)
+    }
+    val clusters = t("2b clustersFromPairs (CC)") {
+      Dedup.clustersFromPairs(s, pairs).localCheckpoint(eager = true)
+    }
+    val losers = t("2c canonical election") {
+      clusters.join(
+          Dedup.canonicalFromLabels(gated, clusters)
+            .select(col("cluster").as("canonical"), col("kept_doc")),
+          "canonical")
+        .filter(col("doc_id") =!= col("kept_doc"))
+        .select("doc_id").localCheckpoint(eager = true)
+    }
+    val deduped = t("2d anti-join survivors") {
+      gated.join(losers, Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = true)
+    }
+    val clean = t("3 decontam (shingles)") {
+      val bench = deduped.filter(col("source") === "src0" &&
+        col("doc_id") % 20 === 0)
+      val benchSh = Dedup.shingles(bench).select("shingle").distinct()
+      val contaminated = Dedup.shingles(
+          deduped.filter(col("source") =!= "src0"))
+        .join(broadcast(benchSh), "shingle")
+        .select("doc_id").distinct()
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .localCheckpoint(eager = true)
+    }
+    t("4+5 card/dp/sched joins") {
+      val card = clean.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"))
+      val dp = graft.ops.PipelineOps.dpRelease(clean)
+        .select(col("source"), col("noise"), col("released"))
+      val sched = graft.ops.PipelineOps.epochOrder(clean)
+        .groupBy("source").agg(
+          count(lit(1)).as("n_sched"),
+          countDistinct(col("epoch")).as("n_epochs"),
+          sum(col("pos")).as("sched_checksum"))
+      drain(card.join(dp, "source").join(sched, "source"))
+    }
+  }
+
+  private def prefix(s: SparkSession, dir: String): Unit = {
+    import graft.ops.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(s, dir)
+    val sh = t("shingles + cache") {
+      val f = Dedup.shingles(docs).cache()
+      f.write.format("noop").mode("overwrite").save(); f
+    }
+    val dfc = t("df counts") {
+      val f = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      f.write.format("noop").mode("overwrite").save(); f
+    }
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("shingle"))
+    val whole = Window.partitionBy(col("doc_id"))
+    val prefixes = t("prefix windows + cache") {
+      val f = sh.join(dfc, "shingle")
+        .withColumn("rank", row_number().over(byRarity))
+        .withColumn("n", count(lit(1)).over(whole))
+        .filter(col("rank") <= col("n") - expr(s"(n * 80 + 99) div 100") + 1)
+        .select(col("doc_id"), col("shingle"), col("n"))
+        .cache()
+      f.write.format("noop").mode("overwrite").save(); f
+    }
+    val cands = t("self-join + distinct") {
+      val f = prefixes.as("a")
+        .join(prefixes.as("b"),
+          col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            col("a.n") * 100 >= col("b.n") * 80 &&
+            col("b.n") * 100 >= col("a.n") * 80)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct().localCheckpoint(eager = true)
+      f
+    }
+    t("verify (sets + intersect)") {
+      drain(Dedup.verifyJaccard(cands, sh))
+    }
+  }
+
+  private def readtable(s: SparkSession, dir: String): Unit = {
+    // 3 end-to-end runs of the registered query with phase visibility
+    // on the commit half: time the commits alone, then the query
+    import graft.sources.SnapshotTable
+    val o = graft.Tables.orders(s, dir)
+      .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+        col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    val b = java.nio.file.Files.createTempDirectory("r15_rt").toString
+    t("commit 60% of orders") {
+      SnapshotTable.commit(o.filter(col("o_orderkey") % 10 <= 4), s"$b/t1")
+    }
+    t("commit 40% of orders") {
+      SnapshotTable.commit(
+        o.filter(col("o_orderkey") % 10 >= 5 && col("o_orderkey") % 10 <= 8),
+        s"$b/t1")
+    }
+    (1 to 3).foreach { i =>
+      t(s"stream_snapshot_readtable $i") {
+        drain(SparkEntry.queries("stream_snapshot_readtable")(s, dir))
+      }
+    }
+  }
+
+  private def sink(s: SparkSession, dir: String): Unit = {
+    (1 to 3).foreach { i =>
+      t(s"stream_snapshot_sink $i") {
+        drain(SparkEntry.queries("stream_snapshot_sink")(s, dir))
+      }
+      t(s"stream_snapshot_totable $i") {
+        drain(SparkEntry.queries("stream_snapshot_totable")(s, dir))
+      }
+    }
+  }
+}

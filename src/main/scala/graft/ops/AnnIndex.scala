@@ -253,9 +253,9 @@ object AnnIndex {
       .select(col("vec_id"), col("codes").cast("string").as("c"))
     val rebuilt = quantize(SnapshotTable.read(s, corpusRoot), frozen)
       .select(col("vec_id"), col("codes").cast("string").as("c"))
-    (maintained.count(),
-      maintained.exceptAll(rebuilt).count() +
-        rebuilt.exceptAll(maintained).count())
+    // one ±1-weighted aggregation replaces exceptAll×2 + count (r15) —
+    // identical numbers, one shuffle instead of three corpus-sized jobs
+    OpUtil.bagDiff(maintained, rebuilt)
   }
 
   /** Asymmetric ADC search over the index table — float queries

@@ -181,22 +181,20 @@ object Bm25Index {
     val docs = SnapshotTable.read(s, corpusRoot).select("doc_id", "text")
     val tfM = SnapshotTable.read(s, tfRoot(indexRoot))
     val dlM = SnapshotTable.read(s, dlRoot(indexRoot))
-    // the rebuilt sides each feed TWO except-diffs and both derive
-    // from the same token explode (four corpus tokenizations uncached
-    // — pure audit overhead); one cached token frame + one cached
-    // frame per side replaces them. Audit cost is O(corpus) by design
-    // either way — this just stops paying it four times.
+    // ONE aggregation per table pair (r15): the former shape was four
+    // exceptAll-diffs plus a separate tf count — five corpus-sized
+    // shuffled actions. |A\B| + |B\A| under bag semantics is
+    // Σ_key |cnt_A - cnt_B|, so a single ±1-weighted union-groupBy
+    // computes the same number (and |A| rides along as Σ cnt_A) in one
+    // shuffle of |A|+|B| rows. Exactly the counts exceptAll returned —
+    // the gates' audit columns are bit-identical. The token frame is
+    // still cached: it feeds both rebuilt sides.
     val toks = tokensOf(docs).cache()
-    val tfR = tfFromToks(toks).cache()
-    val dlR = dlFromToks(docs, toks).cache()
-    try (tfM.count(),
-      tfM.exceptAll(tfR).count() + tfR.exceptAll(tfM).count() +
-        dlM.exceptAll(dlR).count() + dlR.exceptAll(dlM).count())
-    finally {
-      tfR.unpersist(blocking = false)
-      dlR.unpersist(blocking = false)
-      toks.unpersist(blocking = false)
-    }
+    try {
+      val (nTf, tfDiff) = OpUtil.bagDiff(tfM, tfFromToks(toks))
+      val (_, dlDiff) = OpUtil.bagDiff(dlM, dlFromToks(docs, toks))
+      (nTf, tfDiff + dlDiff)
+    } finally toks.unpersist(blocking = false)
   }
 
   /** BM25 top-`k` off the MAINTAINED tables: [[Retrieval.bm25Core]]

@@ -1,9 +1,35 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Shared helpers for the operator layer. */
 object OpUtil {
+
+  /** `(|a|, |a∖b| + |b∖a|)` under BAG semantics — the two numbers the
+    * maintained-index confluence audits pin, in ONE aggregation.
+    * Equivalent to `(a.count, a.exceptAll(b).count +
+    * b.exceptAll(a).count)`: per distinct row r,
+    * max(cntA-cntB, 0) + max(cntB-cntA, 0) = |cntA - cntB|, so the
+    * symmetric bag difference is Σ_r |cntA(r) - cntB(r)| and |a| is
+    * Σ_r cntA(r) — both rollups of one ±1-weighted union-groupBy.
+    * Cost: one shuffle of |a|+|b| rows vs exceptAll×2 + count's three
+    * corpus-sized jobs (each exceptAll shuffles both inputs again).
+    * NULL handling matches exceptAll: group-by keys compare
+    * null-safely. Columns are matched BY POSITION (like exceptAll);
+    * callers pass frames with identical schemas.
+    */
+  private[graft] def bagDiff(a: DataFrame, b: DataFrame): (Long, Long) = {
+    val cols = a.columns.toSeq
+    val tagged = a.withColumn("_w", lit(1L))
+      .unionAll(b.toDF(cols: _*).withColumn("_w", lit(-1L)))
+    val per = tagged.groupBy(cols.map(col): _*)
+      .agg(sum(when(col("_w") === 1L, 1L).otherwise(0L)).as("_na"),
+        sum(col("_w")).as("_net"))
+    val r = per.agg(coalesce(sum(col("_na")), lit(0L)),
+      coalesce(sum(abs(col("_net"))), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Ensure at least default-parallelism partitions before CPU-heavy
     * per-row work. Small parquet inputs arrive as a single split (one

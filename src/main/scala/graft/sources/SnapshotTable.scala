@@ -3084,9 +3084,15 @@ object SnapshotTable {
     * merge rewrites history, [[changesBetween]] ranges that cross it
     * refuse, by design; the row-level [[changeFeed]] survives it.
     */
-  def merge(updates: DataFrame, root: String, keyCol: String,
+  def merge(updates0: DataFrame, root: String, keyCol: String,
       extraProps: Map[String, String] = Map.empty): (Long, Int, Int) = {
-    val s = updates.sparkSession
+    val s = updates0.sparkSession
+    // cache HERE so the key-probe collect below, the change-frame
+    // write, and the commit write all share one execution of the
+    // caller's delta plan (mergeCore's own cache() call resolves to
+    // this same entry; it unpersists in its finally)
+    val updates = updates0.cache()
+    try {
     val keys: Array[Any] = updates.select(keyCol).distinct()
       .collect().map(_.get(0))
     require(keys.nonEmpty, "merge with an empty updates batch")
@@ -3123,6 +3129,7 @@ object SnapshotTable {
         case None => true // no usable stats → conservatively rewrite
       }
     }, extraProps)
+    } finally updates.unpersist(blocking = false)
   }
 
   /** The shared merge core: `split` partitions the current entries into
@@ -3131,10 +3138,10 @@ object SnapshotTable {
     * VERBATIM, and the whole thing commits with `expectedBase` pinned
     * to the merge's base snapshot so a racing writer fails loudly.
     */
-  private def mergeCore(updates: DataFrame, root: String, keyCol: String,
+  private def mergeCore(updates0: DataFrame, root: String, keyCol: String,
       split: Seq[FileEntry] => (Seq[FileEntry], Seq[FileEntry]),
       extraProps: Map[String, String] = Map.empty): (Long, Int, Int) = {
-    val s = updates.sparkSession
+    val s = updates0.sparkSession
     val cur = currentSnapshot(s, root)
     require(cur > 0L, s"merge into empty table $root: commit first")
     requireNoDv(s, root, cur, "merge") // the COW rewrite reads files
@@ -3142,11 +3149,22 @@ object SnapshotTable {
     val (touched, carried) = split(entries(s, root, cur))
     import org.apache.spark.sql.functions.{coalesce, col, lit}
     val schema = storedSchema(s, root, cur)
-    val updKeys = updates.select(col(keyCol)).distinct()
+    // r15: the delta and the touched-file read each feed BOTH eager
+    // writes below (the change frame, then the commit's survivors ∪
+    // updates) plus the key probes — uncached, every consumer re-ran
+    // the caller's delta plan and re-read every touched file (~3 full
+    // touched-set reads per merge). Pin both for the call, release in
+    // the finally. Memory: executor-side MEMORY_AND_DISK, spills
+    // gracefully — both frames are the COW working set this path
+    // materializes into new files anyway (mergeLarge's driver-memory
+    // contract is untouched: nothing here collects).
+    val updates = updates0.cache()
     val base: Option[DataFrame] =
       if (touched.isEmpty) None
       else Some(readData(s, root, touched.map(_.path), schema,
-        physMapOf(s, root, cur)))
+        physMapOf(s, root, cur)).cache())
+    try {
+    val updKeys = updates.select(col(keyCol)).distinct()
     val survivors = base match {
       case None => updates.limit(0)
       case Some(b) => b.join(updKeys, Seq(keyCol), "left_anti")
@@ -3187,6 +3205,10 @@ object SnapshotTable {
       baseSchema = schema,
       partitionCols = partitionColsOf(s, root, cur))
     (id, touched.size, carried.size)
+    } finally {
+      updates.unpersist(blocking = false)
+      base.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Row-level change feed over `(fromId, toId]` — the incremental read
@@ -3301,9 +3323,26 @@ object SnapshotTable {
             .withColumn("_commit", lit(id))
         } else if (isDelete) {
           val frames =
-            props.get("cdf.dir").map(rel =>
-              s.read.parquet(s"$root/$rel")
-                .drop("__dv_file", "__dv_pos")).toSeq ++
+            props.get("cdf.dir").map { rel =>
+              props.get("cdf.keys.col") match {
+                case Some(keyCol) =>
+                  // a keysIn delete ([[deleteByKeys]]) records its KEYS,
+                  // not pre-image rows; the D rows are the removed
+                  // (touched) files' rows matching them — identical to
+                  // the eager frame the commit used to write, priced at
+                  // the consumer like deleteWhere's dropped files
+                  val keys = s.read.parquet(s"$root/$rel")
+                  val removed = (prev -- cur).toSeq.sorted
+                    .filterNot(_.startsWith("deletes/"))
+                  (if (removed.isEmpty) readAt(s, root, id).limit(0)
+                   else readFiles(removed, id)
+                     .join(keys, Seq(keyCol), "left_semi"))
+                    .withColumn("_op", lit("D"))
+                case None =>
+                  s.read.parquet(s"$root/$rel")
+                    .drop("__dv_file", "__dv_pos")
+              }
+            }.toSeq ++
             props.get("cdf.del.files").map { names =>
               readFiles(names.split(",").filter(_.nonEmpty).toSeq, id)
                 .withColumn("_op", lit("D"))
@@ -3759,18 +3798,29 @@ object SnapshotTable {
     val schema = storedSchema(s, root, cur)
     val base = readData(s, root, touched.map(_.path), schema,
       physMapOf(s, root, cur))
-    val survivors = base.join(keyFrame, Seq(keyCol), "left_anti")
+    // LAZY change pricing (r15): record the delete KEYS (delta-sized),
+    // not the matched pre-image rows. The eager form read every touched
+    // file TWICE — once for the D-frame semi-join write, once for the
+    // survivor rewrite — doubling the delete's IO for a frame most
+    // tables' feeds never consume. [[changeFeed]] reconstructs the
+    // identical D rows on demand (removed files ⋉ keys — the removed
+    // set IS the touched set, and the files outlive the commit until
+    // expire), the same consumer-pays contract [[deleteWhere]] already
+    // uses for its metadata-only dropped files (`cdf.del.files`).
     val cdfRel =
       s"changes/${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    base.join(keyFrame, Seq(keyCol), "left_semi")
-      .withColumn("_op", lit("D"))
-      .write.mode("overwrite").parquet(s"$root/$cdfRel")
+    keyFrame.write.mode("overwrite").parquet(s"$root/$cdfRel")
+    // survivors anti-join against the WRITTEN keys: the key plan (often
+    // a distinct over a change feed) is computed once, not twice
+    val keysBack = s.read.parquet(s"$root/$cdfRel")
+    val survivors = base.join(keysBack, Seq(keyCol), "left_anti")
     val statsCols = touched.flatMap(_.stats.map(_.col)).distinct
       .filterNot(_.startsWith("#"))
     val id = commitWithCarried(survivors, root,
       carriedHeadLines(s, root, cur, carried.map(_.path).toSet), cur,
       if (statsCols.isEmpty) None else Some(statsCols.mkString(",")),
-      Map("delete.cond" -> s"keysIn($keyCol)", "cdf.dir" -> cdfRel),
+      Map("delete.cond" -> s"keysIn($keyCol)", "cdf.dir" -> cdfRel,
+        "cdf.keys.col" -> keyCol),
       baseSchema = schema, partitionCols = partitionColsOf(s, root, cur))
     lastDelete.put(root, (0, touched.size, carried.size))
     (id, touched.size, carried.size)
