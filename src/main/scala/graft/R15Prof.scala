@@ -42,6 +42,7 @@ object R15Prof {
       case "sink" => sink(s, dir)
       case "curate" => curate(s, dir)
       case "prefix" => prefix(s, dir)
+      case "merge" => mergeProbe(s, dir)
       case "plan" =>
         // dump the executed plan of a query without timing it
         val q = args(1)
@@ -245,40 +246,82 @@ object R15Prof {
     import graft.ops.Dedup
     import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.documents(s, dir)
-    val sh = t("shingles + cache") {
-      val f = Dedup.shingles(docs).cache()
-      f.write.format("noop").mode("overwrite").save(); f
+    // A/B: plain cached shingles vs doc_id-pre-partitioned cached
+    // shingles (window + verify aggregation then reuse the layout)
+    (1 to 4).foreach { rep =>
+      val pre = rep % 2 == 0
+      val tag = if (pre) "prepart" else "plain  "
+      val sh = t(s"$tag shingles + cache $rep") {
+        val f0 = Dedup.shingles(docs)
+        val f = (if (pre) f0.repartition(col("doc_id")) else f0).cache()
+        f.write.format("noop").mode("overwrite").save(); f
+      }
+      val dfc = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val byRarity = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("shingle"))
+      val whole = Window.partitionBy(col("doc_id"))
+      val prefixes = t(s"$tag df+windows $rep") {
+        val f = sh.join(dfc, "shingle")
+          .withColumn("rank", row_number().over(byRarity))
+          .withColumn("n", count(lit(1)).over(whole))
+          .filter(col("rank") <= col("n") - expr(s"(n * 80 + 99) div 100") + 1)
+          .select(col("doc_id"), col("shingle"), col("n"))
+          .cache()
+        f.write.format("noop").mode("overwrite").save(); f
+      }
+      val cands = t(s"$tag self-join $rep") {
+        prefixes.as("a")
+          .join(prefixes.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              col("a.n") * 100 >= col("b.n") * 80 &&
+              col("b.n") * 100 >= col("a.n") * 80)
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct().localCheckpoint(eager = true)
+      }
+      t(s"$tag verify $rep") {
+        drain(Dedup.verifyJaccard(cands, sh))
+      }
+      s.sharedState.cacheManager.clearCache()
+      System.gc(); Thread.sleep(50)
     }
-    val dfc = t("df counts") {
-      val f = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      f.write.format("noop").mode("overwrite").save(); f
+  }
+
+  /** 3 reps each of the text-corpus merge and the embeddings merge on
+    * fresh tables — the shared COW write path most lifecycle gates pay.
+    */
+  private def mergeProbe(s: SparkSession, dir: String): Unit = {
+    import graft.sources.SnapshotTable
+    // alternate cache-on/cache-off per rep so box drift cancels
+    (1 to 8).foreach { i =>
+      val cache = i % 2 == 1
+      s.conf.set("graft.snapshot.merge.cache", cache.toString)
+      val tag = if (cache) "cached" else "plain "
+      val b = java.nio.file.Files.createTempDirectory("r15_mg").toString
+      val docs = graft.Tables.documents(s, dir).select("doc_id", "text")
+      SnapshotTable.commit(docs.repartitionByRange(8, col("doc_id")),
+        s"$b/c", statsCol = Some("doc_id"))
+      val mods = docs.filter(col("doc_id") % 10 === 3)
+        .withColumn("text", concat(col("text"), lit(" zzupdatedtoken")))
+      val ins = docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+      t(s"docs merge $tag $i") {
+        SnapshotTable.merge(mods.unionByName(ins), s"$b/c", "doc_id")
+      }
+      val emb = graft.Tables.embeddings(s, dir).select("vec_id", "embedding")
+      SnapshotTable.commit(emb.repartitionByRange(8, col("vec_id")),
+        s"$b/e", statsCol = Some("vec_id"))
+      val emods = emb.filter(col("vec_id") % 10 === 3)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(2.0f)))
+      val eins = emb.filter(col("vec_id") % 10 === 7)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+      t(s"emb merge $tag $i") {
+        SnapshotTable.merge(emods.unionByName(eins), s"$b/e", "vec_id")
+      }
+      s.sharedState.cacheManager.clearCache()
+      System.gc(); Thread.sleep(50)
     }
-    val byRarity = Window.partitionBy(col("doc_id"))
-      .orderBy(col("df"), col("shingle"))
-    val whole = Window.partitionBy(col("doc_id"))
-    val prefixes = t("prefix windows + cache") {
-      val f = sh.join(dfc, "shingle")
-        .withColumn("rank", row_number().over(byRarity))
-        .withColumn("n", count(lit(1)).over(whole))
-        .filter(col("rank") <= col("n") - expr(s"(n * 80 + 99) div 100") + 1)
-        .select(col("doc_id"), col("shingle"), col("n"))
-        .cache()
-      f.write.format("noop").mode("overwrite").save(); f
-    }
-    val cands = t("self-join + distinct") {
-      val f = prefixes.as("a")
-        .join(prefixes.as("b"),
-          col("a.shingle") === col("b.shingle") &&
-            col("a.doc_id") < col("b.doc_id") &&
-            col("a.n") * 100 >= col("b.n") * 80 &&
-            col("b.n") * 100 >= col("a.n") * 80)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct().localCheckpoint(eager = true)
-      f
-    }
-    t("verify (sets + intersect)") {
-      drain(Dedup.verifyJaccard(cands, sh))
-    }
+    s.conf.unset("graft.snapshot.merge.cache")
   }
 
   private def readtable(s: SparkSession, dir: String): Unit = {

@@ -94,11 +94,14 @@ object Retrieval {
     */
   private[ops] def bm25Core(tf: DataFrame, dl: DataFrame,
       stats: DataFrame, qterms: DataFrame, k: Int): DataFrame = {
-    // df restricted to the query terms first, so the per-term stats join
-    // below is a broadcast of O(|queries| * QueryTerms) rows, not a
-    // shuffle of the full vocabulary
-    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      .join(broadcast(qterms.select("term").distinct()), "term")
+    // df restricted to the query terms BEFORE the aggregation (r15):
+    // the per-term count is unchanged by dropping non-query terms'
+    // rows, so the broadcast semi-filter moves ahead of the groupBy
+    // and the shuffle carries O(query-term postings), not the full
+    // vocabulary's — the former shape aggregated every (doc, term)
+    // row just to keep ~|queries|·QueryTerms of the results
+    val dfq = tf.join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("term").agg(count(lit(1)).as("df"))
     val cand = tf
       .join(broadcast(qterms), "term")
       .join(broadcast(dfq), "term")

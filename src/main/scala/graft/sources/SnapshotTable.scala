@@ -1138,8 +1138,28 @@ object SnapshotTable {
         }
       })
     val b64ndv = java.util.Base64.getEncoder
-    val footers = footerMemo.getOrElseUpdate(effStatsCols,
-      moved.map(rel => footerInfo(s, new Path(rootP, rel), effStatsCols)))
+    // footer reads fan out on a bounded pool (r15): they are
+    // independent per-file metadata fetches, and a commit of N files
+    // paid N sequential opens — milliseconds each locally, but
+    // 50-100 ms each on an object store, which makes a wide commit's
+    // publish O(files) in round trips; Iceberg parallelizes manifest
+    // stats collection the same way
+    val footers = footerMemo.getOrElseUpdate(effStatsCols, {
+      if (moved.size <= 1)
+        moved.map(rel => footerInfo(s, new Path(rootP, rel), effStatsCols))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, moved.size))
+        try moved.map { rel =>
+          pool.submit(new java.util.concurrent.Callable[
+              (Seq[FileStats], Long)] {
+            def call(): (Seq[FileStats], Long) =
+              footerInfo(s, new Path(rootP, rel), effStatsCols)
+          })
+        }.map(_.get())
+        finally pool.shutdown()
+      }
+    })
     val movedEntries = moved.zip(footers).map { case (rel, (stats, rows)) =>
       val name = rel.substring(rel.lastIndexOf('/') + 1)
       // a new file MISSING an indexed column entirely (schema-evolution
@@ -3090,8 +3110,12 @@ object SnapshotTable {
     // cache HERE so the key-probe collect below, the change-frame
     // write, and the commit write all share one execution of the
     // caller's delta plan (mergeCore's own cache() call resolves to
-    // this same entry; it unpersists in its finally)
-    val updates = updates0.cache()
+    // this same entry; it unpersists in its finally); same conf gate
+    // as mergeCore
+    val updates =
+      if (s.conf.get("graft.snapshot.merge.cache", "true").toBoolean)
+        updates0.cache()
+      else updates0
     try {
     val keys: Array[Any] = updates.select(keyCol).distinct()
       .collect().map(_.get(0))
@@ -3157,12 +3181,21 @@ object SnapshotTable {
     // the finally. Memory: executor-side MEMORY_AND_DISK, spills
     // gracefully — both frames are the COW working set this path
     // materializes into new files anyway (mergeLarge's driver-memory
-    // contract is untouched: nothing here collects).
-    val updates = updates0.cache()
+    // contract is untouched: nothing here collects). Conf-gated
+    // (`graft.snapshot.merge.cache`, default on): on deployments where
+    // the touched files sit hot in the page cache a columnar cache
+    // build can cost more than the re-read it saves — measure per
+    // corpus shape.
+    val doCache =
+      s.conf.get("graft.snapshot.merge.cache", "true").toBoolean
+    val updates = if (doCache) updates0.cache() else updates0
     val base: Option[DataFrame] =
       if (touched.isEmpty) None
-      else Some(readData(s, root, touched.map(_.path), schema,
-        physMapOf(s, root, cur)).cache())
+      else {
+        val b = readData(s, root, touched.map(_.path), schema,
+          physMapOf(s, root, cur))
+        Some(if (doCache) b.cache() else b)
+      }
     try {
     val updKeys = updates.select(col(keyCol)).distinct()
     val survivors = base match {

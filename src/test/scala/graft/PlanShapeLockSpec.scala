@@ -31,10 +31,16 @@ class PlanShapeLockSpec extends AnyFunSuite {
     * queries) mean the final frame is RDD-constructed — their SQL plan
     * holds no joins.
     */
+  // r15 re-record (dedup_minhash_error 21→31, dedup_prefix_join 17→25,
+  // dedup_minhash 15→21 shuffles): deliberate — the shingle frame now
+  // caches PRE-PARTITIONED on doc_id (Dedup.docShingles), adding one
+  // repartition node to each printed subtree while REMOVING two
+  // runtime full-frame exchanges per chain (window + verify set
+  // aggregation reuse the cached layout; −34% on the chain at sf0.1).
   val locked: Map[String, PlanShape] = Map(
-    "dedup_minhash_error" -> PlanShape(0, 9, 0, 0, 21),
+    "dedup_minhash_error" -> PlanShape(0, 9, 0, 0, 31),
     "dedup_clusters" -> PlanShape(0, 0, 0, 0, 0),
-    "dedup_prefix_join" -> PlanShape(0, 7, 0, 0, 17),
+    "dedup_prefix_join" -> PlanShape(0, 7, 0, 0, 25),
     "gmm_fixed_point" -> PlanShape(11, 25, 0, 0, 84),
     "graph_harmonic" -> PlanShape(0, 15, 0, 0, 187),
     "graph_triangles" -> PlanShape(0, 8, 2, 0, 46),
@@ -47,7 +53,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "stats_table" -> PlanShape(0, 2, 0, 0, 6),
     "sketch_bloom_join" -> PlanShape(0, 4, 0, 0, 8),
     "ann_recall_srp" -> PlanShape(1, 1, 1, 0, 8),
-    "dedup_minhash" -> PlanShape(0, 4, 0, 0, 15),
+    "dedup_minhash" -> PlanShape(0, 4, 0, 0, 21),
     "fmt_fixed_roundtrip" -> PlanShape(0, 0, 0, 0, 1),
     "cmeans_fixed_point" -> PlanShape(1, 7, 0, 0, 22),
     "ann_recall_pq" -> PlanShape(1, 0, 3, 0, 8),
