@@ -496,10 +496,13 @@ object Dedup {
   val MinhashErrK = 32
 
   def minhashErrorDocs(docs: DataFrame): DataFrame = {
-    // the SAME plan [[docShingles]] caches for the prefix chain below —
-    // the cache manager resolves both to one entry, so the signature
-    // fold reuses the tokenize AND its doc_id layout
-    val sh = docShingles(docs)
+    // deliberately NOT [[docShingles]]: the 32-way min aggregation is
+    // heavily map-side-combined (32 longs per doc per partition cross
+    // the wire), so feeding it the pre-partitioned cache would replace
+    // that combine with a full raw-shingle shuffle + cache build —
+    // measured 4.2 → 7.4 s on the whole query when tried (r15). The
+    // prefix chain below keeps its own cached, pre-partitioned frame.
+    val sh = shingles(docs)
     val comps = (0 until MinhashErrK).map(i =>
       min(Sketches.h48(concat_ws("|", lit(i), col("shingle")))).as(s"m$i"))
     val sig = sh.groupBy("doc_id").agg(comps.head, comps.tail: _*)

@@ -31,14 +31,17 @@ class PlanShapeLockSpec extends AnyFunSuite {
     * queries) mean the final frame is RDD-constructed — their SQL plan
     * holds no joins.
     */
-  // r15 re-record (dedup_minhash_error 21→31, dedup_prefix_join 17→25,
+  // r15 re-record (dedup_minhash_error 21→29, dedup_prefix_join 17→25,
   // dedup_minhash 15→21 shuffles): deliberate — the shingle frame now
   // caches PRE-PARTITIONED on doc_id (Dedup.docShingles), adding one
   // repartition node to each printed subtree while REMOVING two
   // runtime full-frame exchanges per chain (window + verify set
   // aggregation reuse the cached layout; −34% on the chain at sf0.1).
+  // minhash_error's SIGNATURE fold deliberately stays on the raw
+  // shingle stream (its 32-way min agg is map-side-combined; feeding
+  // it the pre-partitioned cache measured 4.2→7.4 s).
   val locked: Map[String, PlanShape] = Map(
-    "dedup_minhash_error" -> PlanShape(0, 9, 0, 0, 31),
+    "dedup_minhash_error" -> PlanShape(0, 9, 0, 0, 29),
     "dedup_clusters" -> PlanShape(0, 0, 0, 0, 0),
     "dedup_prefix_join" -> PlanShape(0, 7, 0, 0, 25),
     "gmm_fixed_point" -> PlanShape(11, 25, 0, 0, 84),
