@@ -43,6 +43,17 @@ object R15Prof {
       case "curate" => curate(s, dir)
       case "prefix" => prefix(s, dir)
       case "merge" => mergeProbe(s, dir)
+      case "hybrid" =>
+        import graft.ops.{Retrieval, Similarity}
+        t("bm25TopK") { drain(Retrieval.bm25TopK(
+          graft.Tables.documents(s, dir))) }
+        t("annIvfPq") { drain(Similarity.annIvfPq(s, dir)) }
+        s.sharedState.cacheManager.clearCache()
+        System.gc()
+        t("hybridIvfPq full") { drain(SparkEntry.queries("ann_hybrid_ivfpq")(s, dir)) }
+        s.sharedState.cacheManager.clearCache()
+        System.gc()
+        t("recallHybrid full") { drain(SparkEntry.queries("ann_recall_hybrid")(s, dir)) }
       case "plan" =>
         // dump the executed plan of a query without timing it
         val q = args(1)

@@ -107,11 +107,16 @@ object AnnIndex {
     val nRows = SnapshotTable.rowCount(s, corpusRoot, srcSnap)
       .getOrElse(corpus.count())
     val nFiles = math.max(8L, (nRows + 65535L) / 65536L).toInt
-    SnapshotTable.commit(
-      quantize(corpus, st).repartitionByRange(nFiles, col("vec_id")),
+    // call-scoped cache (r15): repartitionByRange re-executes its child
+    // for the range-sampling pass, so the uncached build quantized the
+    // whole corpus twice (sample + write); cached, once
+    val q = quantize(corpus, st).cache()
+    try SnapshotTable.commit(
+      q.repartitionByRange(nFiles, col("vec_id")),
       indexRoot, statsCol = Some("vec_id"),
       props = Map(StatsProp -> renderStats(st),
         s"stream.$FloorTag.batch" -> srcSnap.toString))
+    finally q.unpersist(blocking = false)
   }
 
   /** The frozen codebook of an index table — every snapshot carries
@@ -180,16 +185,31 @@ object AnnIndex {
       .select("vec_id").distinct()
       .join(addRows.select("vec_id").distinct(), Seq("vec_id"),
         "left_anti")
+    // BOTH branch probes in one aggregation (r15): the former
+    // limit(1).count pair re-ran the feed joins once per probe; one
+    // per-key flag rollup answers "any adds?" and "any removed-only
+    // keys?" together
+    val probeRow = finalOps.groupBy("vec_id").agg(
+        max(when(col("_op").isin("A", "I", "U", "XA"), 1L)
+          .otherwise(0L)).as("a"),
+        max(when(col("_op").isin("UB", "D", "XB"), 1L)
+          .otherwise(0L)).as("r"))
+      .agg(coalesce(sum(col("a")), lit(0L)),
+        coalesce(sum(when(col("r") === 1L && col("a") === 0L, 1L)
+          .otherwise(0L)), lit(0L)))
+      .head()
+    val (anyAdds, anyRemovedOnly) =
+      (probeRow.getLong(0) > 0L, probeRow.getLong(1) > 0L)
     // departed keys stay a FRAME: [[SnapshotTable.deleteByKeys]]
     // range-joins them against the index's per-file vec_id stats (the
     // mergeLarge pattern), so a mass-retraction batch (a GDPR sweep)
     // never collects to the driver — driver memory is O(index files),
     // not O(departed keys)
-    if (removedOnly.limit(1).count() > 0)
+    if (anyRemovedOnly)
       SnapshotTable.deleteByKeys(removedOnly, indexRoot, "vec_id")
     val floor = Map(s"stream.$FloorTag.batch" -> throughSnapshot.toString,
       StatsProp -> renderStats(st))
-    if (addRows.limit(1).count() > 0)
+    if (anyAdds)
       SnapshotTable.merge(quantize(addRows, st), indexRoot, "vec_id",
         extraProps = floor)
     else // deletes only: advance the floor with an empty append

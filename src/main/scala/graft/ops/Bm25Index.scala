@@ -94,13 +94,28 @@ object Bm25Index {
     // ~250k tf rows per file (tf rows ~ tokens); dl is one row per doc
     val nTfFiles = math.max(8L, nDocs / 2048L + 1L).toInt
     val nDlFiles = math.max(4L, (nDocs + 65535L) / 65536L).toInt
-    SnapshotTable.commit(
-      tfOf(docs).repartitionByRange(nTfFiles, col("doc_id")),
-      tfRoot(indexRoot), statsCol = Some("doc_id"))
-    SnapshotTable.commit(
-      dlOf(docs).repartitionByRange(nDlFiles, col("doc_id")),
-      dlRoot(indexRoot), statsCol = Some("doc_id"),
-      props = Map(s"stream.$FloorTag.batch" -> srcSnap.toString))
+    // ONE tokenize pass for the whole build (r15): tf and dl each
+    // derive from the token stream, and repartitionByRange ADDITIONALLY
+    // re-executes its child for the range-sampling pass — uncached,
+    // the corpus was tokenized four times (tf sample, tf write, dl
+    // sample, dl write). The three call-scoped caches make it once:
+    // the samplers and the writes all read materialized frames.
+    val toks = tokensOf(docs).cache()
+    val tf = tfFromToks(toks).cache()
+    val dl = dlFromToks(docs, toks).cache()
+    try {
+      SnapshotTable.commit(
+        tf.repartitionByRange(nTfFiles, col("doc_id")),
+        tfRoot(indexRoot), statsCol = Some("doc_id"))
+      SnapshotTable.commit(
+        dl.repartitionByRange(nDlFiles, col("doc_id")),
+        dlRoot(indexRoot), statsCol = Some("doc_id"),
+        props = Map(s"stream.$FloorTag.batch" -> srcSnap.toString))
+    } finally {
+      tf.unpersist(blocking = false)
+      dl.unpersist(blocking = false)
+      toks.unpersist(blocking = false)
+    }
   }
 
   /** The corpus snapshot the index has folded through (the dl table's
@@ -147,14 +162,19 @@ object Bm25Index {
       .select("doc_id", "text")
     val touchedKeys = finalOps.select("doc_id").distinct()
     val floor = Map(s"stream.$FloorTag.batch" -> throughSnapshot.toString)
-    // tf first, dl (with the floor) last — the replay-idempotence order
+    // tf first, dl (with the floor) last — the replay-idempotence order.
+    // The churn's token stream is shared by the tf and dl commits (r15:
+    // one tokenize of the delta instead of two).
     SnapshotTable.deleteByKeys(touchedKeys, tfRoot(indexRoot), "doc_id")
     if (changed.limit(1).count() > 0) {
-      SnapshotTable.commit(tfOf(changed), tfRoot(indexRoot),
-        statsCol = Some("doc_id"))
-      SnapshotTable.deleteByKeys(touchedKeys, dlRoot(indexRoot), "doc_id")
-      SnapshotTable.commit(dlOf(changed), dlRoot(indexRoot),
-        statsCol = Some("doc_id"), props = floor)
+      val toks = tokensOf(changed).cache()
+      try {
+        SnapshotTable.commit(tfFromToks(toks), tfRoot(indexRoot),
+          statsCol = Some("doc_id"))
+        SnapshotTable.deleteByKeys(touchedKeys, dlRoot(indexRoot), "doc_id")
+        SnapshotTable.commit(dlFromToks(changed, toks), dlRoot(indexRoot),
+          statsCol = Some("doc_id"), props = floor)
+      } finally toks.unpersist(blocking = false)
     } else {
       SnapshotTable.deleteByKeys(touchedKeys, dlRoot(indexRoot), "doc_id")
       SnapshotTable.commit( // deletes only: advance the floor empty
