@@ -3188,7 +3188,12 @@ object SnapshotTable {
     // corpus shape.
     val doCache =
       s.conf.get("graft.snapshot.merge.cache", "true").toBoolean
-    val updates = if (doCache) updates0.cache() else updates0
+    // don't re-cache a frame the public merge() wrapper already pinned
+    // (same entry — but Spark logs a WARN per redundant call)
+    val updates =
+      if (doCache && updates0.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE) updates0.cache()
+      else updates0
     val base: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
