@@ -100,58 +100,10 @@ object R15Prof {
       SnapshotTable.deleteWhere(s, corpusRoot,
         Seq(GreaterThan("doc_id", 100L), LessThanOrEqual("doc_id", 200L)))
     }
-    // maintainBm25Index decomposed (mirrors Bm25Index.applyFeed)
-    locally {
-      val from = Bm25Index.maintainedThrough(s, indexRoot)
-      val to = SnapshotTable.currentSnapshot(s, corpusRoot)
-      val feed = t("  changeFeed+ckpt") {
-        SnapshotTable.changeFeed(s, corpusRoot, from, to)
-          .localCheckpoint(eager = true)
-      }
-      val lastTouch = feed.groupBy(col("doc_id").as("_lk"))
-        .agg(max(col("_commit")).as("_lc"))
-      val finalOps = feed.join(lastTouch,
-          col("doc_id") === col("_lk") && col("_commit") === col("_lc"))
-        .select(col("doc_id"), col("text"), col("_op"))
-      val changed = finalOps.filter(col("_op").isin("A", "I", "U", "XA"))
-        .select("doc_id", "text")
-      val touchedKeys = finalOps.select("doc_id").distinct()
-      val floor = Map(s"stream.bm25maint.batch" -> to.toString)
-      t("  tf deleteByKeys") {
-        SnapshotTable.deleteByKeys(touchedKeys,
-          Bm25Index.tfRoot(indexRoot), "doc_id")
-      }
-      val nonEmpty = t("  changed.limit(1).count") {
-        changed.limit(1).count() > 0
-      }
-      // same tokenize expressions as Bm25Index.tfOf/dlOf (private)
-      val toks = changed.select(col("doc_id"),
-          explode(split(col("text"), " ", -1)).as("term"))
-        .filter(length(col("term")) > 0)
-      val tfC = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dlC = changed.select(col("doc_id"))
-        .join(toks.groupBy("doc_id").agg(count(lit(1)).as("toks")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("toks"), lit(0L)).as("dl"))
-      if (nonEmpty) {
-        t("  tf commit") {
-          SnapshotTable.commit(tfC,
-            Bm25Index.tfRoot(indexRoot), statsCol = Some("doc_id"))
-        }
-        t("  dl deleteByKeys") {
-          SnapshotTable.deleteByKeys(touchedKeys,
-            Bm25Index.dlRoot(indexRoot), "doc_id")
-        }
-        t("  dl commit") {
-          SnapshotTable.commit(dlC,
-            Bm25Index.dlRoot(indexRoot), statsCol = Some("doc_id"),
-            props = floor)
-        }
-      }
-      t("  compactOnDebt tf+dl") {
-        SnapshotTable.compactOnDebt(s, Bm25Index.tfRoot(indexRoot))
-        SnapshotTable.compactOnDebt(s, Bm25Index.dlRoot(indexRoot))
-      }
+    // r16: the eq-delete maintain runs as one phase (the r15 COW
+    // decomposition mirrored internals that no longer exist)
+    t("maintainBm25Index") {
+      Bm25Index.maintainBm25Index(s, corpusRoot, indexRoot)
     }
     val (nTf, diff) = t("confluenceAudit") {
       Bm25Index.confluenceAudit(s, corpusRoot, indexRoot)
@@ -202,10 +154,8 @@ object R15Prof {
   private def curate(s: SparkSession, dir: String): Unit = {
     import graft.ops.{Dedup, TextAnalysis}
     val docs = graft.Tables.documents(s, dir)
-    val gated = t("1 gate (gopher + join)") {
-      docs.join(
-        TextAnalysis.gopherRules(docs).filter(col("pass") === 1)
-          .select("doc_id"), "doc_id").cache()
+    val gated = t("1 gate (gopherKeep fused)") {
+      TextAnalysis.gopherKeep(docs).cache()
         .localCheckpoint(eager = true)
     }
     val pairs = t("2a prefixJaccardDocs") {

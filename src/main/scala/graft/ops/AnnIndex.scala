@@ -15,8 +15,9 @@ import graft.sources.SnapshotTable
   *   - corpus appends/merge-inserts → quantize the new vectors with
   *     the FROZEN codebook and merge them into the index;
   *   - corpus updates (merge post-images, SQL rewrite XA rows) →
-  *     the same merge replaces the stale codes by key;
-  *   - corpus deletes → a keyed copy-on-write delete on the index.
+  *     the same upsert replaces the stale codes by key;
+  *   - corpus deletes → a delta-sized equality-delete commit on the
+  *     index (zero table read; folded on the settle cadence).
   *
   * The CODEBOOK (per-dimension [min, range] over the build-time
   * corpus) is frozen at [[buildSq8Index]] — exactly how production
@@ -38,8 +39,9 @@ import graft.sources.SnapshotTable
   *
   * At 100 TB: maintenance cost is O(churn) — the feed is delta-priced
   * by construction, quantization is one codegen'd projection over the
-  * delta, the merge prunes by the index's `vec_id` stats, and the
-  * delete rewrites only the files whose stats admit the removed keys.
+  * delta, and both the upsert and the delete are equality-delete
+  * commits that write O(delta) bytes and read NOTHING; the deferred
+  * read-side debt folds on the [[SnapshotTable.settleOnDebt]] cadence.
   * The OpScaleProbe `snap_annmaint` axis pins maintain flat vs
   * rebuild growing as the corpus scales ×1/×10/×100.
   */
@@ -138,11 +140,12 @@ object AnnIndex {
   }
 
   /** Fold the corpus change feed since the last maintenance into the
-    * index: one keyed COW delete for keys that LEFT the corpus, one
-    * merge of freshly-quantized codes for keys that arrived or
+    * index: one equality-delete commit for keys that LEFT the corpus,
+    * one eq-upsert of freshly-quantized codes for keys that arrived or
     * changed. O(churn) — the corpus is never re-read, the index never
-    * rebuilt. Idempotent via the floor; returns the corpus snapshot
-    * maintained through (no-op when already current).
+    * rebuilt NOR rewritten (the deferred delete debt folds on the
+    * settle cadence). Idempotent via the floor; returns the corpus
+    * snapshot maintained through (no-op when already current).
     */
   def maintainSq8Index(s: SparkSession, corpusRoot: String,
       indexRoot: String): Long = {
@@ -200,27 +203,38 @@ object AnnIndex {
       .head()
     val (anyAdds, anyRemovedOnly) =
       (probeRow.getLong(0) > 0L, probeRow.getLong(1) > 0L)
-    // departed keys stay a FRAME: [[SnapshotTable.deleteByKeys]]
-    // range-joins them against the index's per-file vec_id stats (the
-    // mergeLarge pattern), so a mass-retraction batch (a GDPR sweep)
-    // never collects to the driver — driver memory is O(index files),
-    // not O(departed keys)
+    // r16: both halves of the fold are O(delta)-WRITE commits — the
+    // Iceberg-v2 equality-delete shape — instead of COW rewrites that
+    // read and rewrote every stats-touched index file per pass:
+    //   - departed keys publish a delta-sized eq-delete file
+    //     ([[SnapshotTable.deleteByKeysEq]] — keys stay a FRAME, the
+    //     driver never collects them);
+    //   - arrived/changed keys publish ONE commit pairing an eq-delete
+    //     of their own keys (kills the stale codes in strictly-older
+    //     files) with the freshly-quantized codes as ordinary appends
+    //     ([[SnapshotTable.upsertEq]] — the Flink-CDC upsert shape).
+    // The read-side debt (broadcast key anti-joins on each scan) is
+    // delta-sized and folded on the [[SnapshotTable.settleOnDebt]]
+    // cadence below. Replay stays idempotent: a replayed pass's
+    // deletes outrank the crashed attempt's appends (strictly-older
+    // sequence scoping) before re-appending them.
     if (anyRemovedOnly)
-      SnapshotTable.deleteByKeys(removedOnly, indexRoot, "vec_id")
+      SnapshotTable.deleteByKeysEq(removedOnly, indexRoot)
     val floor = Map(s"stream.$FloorTag.batch" -> throughSnapshot.toString,
       StatsProp -> renderStats(st))
     if (anyAdds)
-      SnapshotTable.merge(quantize(addRows, st), indexRoot, "vec_id",
-        extraProps = floor)
+      SnapshotTable.upsertEq(quantize(addRows, st), indexRoot,
+        Seq("vec_id"), extraProps = floor)
     else // deletes only: advance the floor with an empty append
       SnapshotTable.commit(
         SnapshotTable.read(s, indexRoot).limit(0), indexRoot,
         props = floor)
-    // SMALL-FILE DEBT cadence: merge passes append churn-sized code
-    // files forever; bin-pack once fragments cross the threshold
-    // (manifest rc= check only — no-op on most passes; the floor and
-    // the ann.* codebook props ride the compaction commit)
-    SnapshotTable.compactOnDebt(s, indexRoot)
+    // DEBT cadence: maintenance passes append churn-sized code files
+    // and delta-sized eq-deletes forever; fold the deletes and
+    // bin-pack once either crosses its threshold (manifest rc= check
+    // only — no-op on most passes; the floor and the ann.* codebook
+    // props ride the settle commits)
+    SnapshotTable.settleOnDebt(s, indexRoot)
     throughSnapshot
   }
 

@@ -15,9 +15,11 @@ import graft.sources.SnapshotTable
   *   - token deltas are COMBINABLE: a changed document folds as
   *     "delete my old tf/dl rows, append my new ones" (a deletion is
   *     just the first half) — both keyed on `doc_id`, both O(churn);
-  *   - the tf delete is the join-form [[SnapshotTable.deleteByKeys]]
-  *     pruned by the tables' doc_id stats, so a mass-retraction batch
-  *     touches only the files whose ranges admit the departed docs;
+  *   - the tf delete is the EQUALITY-DELETE commit
+  *     [[SnapshotTable.deleteByKeysEq]] — a delta-sized key file, no
+  *     table read or rewrite; the read-side debt is one broadcast
+  *     anti-join per scan and is folded on the
+  *     [[SnapshotTable.settleOnDebt]] cadence;
   *   - corpus-level stats (n_docs, total_tokens) are rollups of the dl
   *     table — one tiny aggregate at search time, never re-derived
   *     from text.
@@ -162,33 +164,54 @@ object Bm25Index {
       .select("doc_id", "text")
     val touchedKeys = finalOps.select("doc_id").distinct()
     val floor = Map(s"stream.$FloorTag.batch" -> throughSnapshot.toString)
+    // ONE probe answers "any touched docs?" and "any re-added text?"
+    // together (the former `changed.limit(1).count()` answered only the
+    // second, and the eq-delete write below refuses empty key frames)
+    val probe = finalOps.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("_op").isin("A", "I", "U", "XA"), 1L)
+        .otherwise(0L)), lit(0L)).as("adds")).head()
+    val (anyTouched, anyChanged) =
+      (probe.getLong(0) > 0L, probe.getLong(1) > 0L)
     // tf first, dl (with the floor) last — the replay-idempotence order.
     // The churn's token stream is shared by the tf and dl commits (r15:
     // one tokenize of the delta instead of two).
-    SnapshotTable.deleteByKeys(touchedKeys, tfRoot(indexRoot), "doc_id")
-    if (changed.limit(1).count() > 0) {
+    //
+    // r16: the delete half is an EQUALITY-DELETE commit
+    // ([[SnapshotTable.deleteByKeysEq]] — a delta-sized key file,
+    // ZERO table read) instead of the COW [[SnapshotTable.deleteByKeys]]
+    // rewrite, which read AND rewrote every touched tf/dl file on every
+    // pass — O(touched files), i.e. O(corpus slice), where the churn is
+    // O(delta). The read-side debt (one broadcast key anti-join per
+    // scan) is delta-sized and is settled on the [[settleOnDebt]]
+    // cadence below. Replay stays idempotent: a replayed pass's
+    // eq-delete outranks (kills) the crashed attempt's appended rows —
+    // strictly-older-sequence scoping — before re-appending them.
+    if (anyTouched)
+      SnapshotTable.deleteByKeysEq(touchedKeys, tfRoot(indexRoot))
+    if (anyChanged) {
       val toks = tokensOf(changed).cache()
       try {
         SnapshotTable.commit(tfFromToks(toks), tfRoot(indexRoot),
           statsCol = Some("doc_id"))
-        SnapshotTable.deleteByKeys(touchedKeys, dlRoot(indexRoot), "doc_id")
+        SnapshotTable.deleteByKeysEq(touchedKeys, dlRoot(indexRoot))
         SnapshotTable.commit(dlFromToks(changed, toks), dlRoot(indexRoot),
           statsCol = Some("doc_id"), props = floor)
       } finally toks.unpersist(blocking = false)
     } else {
-      SnapshotTable.deleteByKeys(touchedKeys, dlRoot(indexRoot), "doc_id")
+      if (anyTouched)
+        SnapshotTable.deleteByKeysEq(touchedKeys, dlRoot(indexRoot))
       SnapshotTable.commit( // deletes only: advance the floor empty
         SnapshotTable.read(s, dlRoot(indexRoot)).limit(0),
         dlRoot(indexRoot), props = floor)
     }
-    // SMALL-FILE DEBT cadence: every pass appends churn-sized tf/dl
-    // files; once fragments cross the threshold, bin-pack them
-    // (manifest rc= check only — a no-op on most passes). Runs AFTER
-    // the floor advanced: a crash inside the compaction replays as
-    // layout-only work, and the compaction commit carries the floor
-    // (stream.* props ride every commit shape).
-    SnapshotTable.compactOnDebt(s, tfRoot(indexRoot))
-    SnapshotTable.compactOnDebt(s, dlRoot(indexRoot))
+    // DEBT cadence: every pass appends churn-sized tf/dl files AND one
+    // delta-sized eq-delete; once either crosses its threshold, fold
+    // the deletes and bin-pack (manifest rc= check only — a no-op on
+    // most passes). Runs AFTER the floor advanced: a crash inside the
+    // settle replays as layout-only work, and the settle commits carry
+    // the floor (stream.* props ride every commit shape).
+    SnapshotTable.settleOnDebt(s, tfRoot(indexRoot))
+    SnapshotTable.settleOnDebt(s, dlRoot(indexRoot))
     throughSnapshot
   }
 

@@ -21,6 +21,14 @@ object OpUtil {
     */
   private[graft] def bagDiff(a: DataFrame, b: DataFrame): (Long, Long) = {
     val cols = a.columns.toSeq
+    // the helper is schema-generic: an input column named like one of
+    // the temps would be silently REPLACED by withColumn (and excluded
+    // from the group-by keys), making two frames differing only there
+    // report diff = 0 — refuse loudly instead
+    val clash = cols.filter(Set("_w", "_na", "_net"))
+    require(clash.isEmpty,
+      s"bagDiff: input column(s) ${clash.mkString(", ")} collide with " +
+        "the helper's temp names (_w/_na/_net) — rename them first")
     val tagged = a.withColumn("_w", lit(1L))
       .unionAll(b.toDF(cols: _*).withColumn("_w", lit(-1L)))
     val per = tagged.groupBy(cols.map(col): _*)

@@ -909,10 +909,12 @@ object PipelineOps {
     */
   def curateV2(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val gated = TextAnalysis.gopherRules(docs)
-      .filter(col("pass") === 1).select(col("doc_id"))
+    // r16: the gate verdict is fused into the scan (gopherKeep) — the
+    // former docs ⋈ (gopherRules WHERE pass=1) self-join re-scanned and
+    // SHUFFLED the text corpus to re-attach rows the filter keeps in
+    // place (doc_id unique → inner self-join = filter)
     val sampled = qualityWeightedSample(docs).select(col("doc_id"))
-    val kept = docs.join(gated, "doc_id").join(sampled, "doc_id")
+    val kept = TextAnalysis.gopherKeep(docs).join(sampled, "doc_id")
     shuffleShard(kept)
   }
 
@@ -959,10 +961,12 @@ object PipelineOps {
     import graft.ops.{Dedup, TextAnalysis}
     val docs = Tables.documents(s, dir)
     // 1. quality gate — cached: feeds the pair chain, the election, the
-    // decontam shingles and the survivor joins
-    val gated = barrier(docs.join(
-      TextAnalysis.gopherRules(docs).filter(col("pass") === 1)
-        .select("doc_id"), "doc_id").cache())
+    // decontam shingles and the survivor joins. r16: the verdict is
+    // fused into the scan (gopherKeep) — the former
+    // docs ⋈ (gopherRules WHERE pass=1) self-join re-scanned and
+    // SHUFFLED the text corpus to re-attach rows the filter keeps in
+    // place (doc_id unique → inner self-join = filter)
+    val gated = barrier(TextAnalysis.gopherKeep(docs).cache())
     // 2. near-dup canonicalization over the GATED corpus
     val clusters = Dedup.clustersFromPairs(s, Dedup.prefixJaccardDocs(gated))
     val losers = clusters.join(

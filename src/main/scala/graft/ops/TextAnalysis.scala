@@ -415,41 +415,83 @@ object TextAnalysis {
     * no UDF, rules evaluated inside the scan stage and rows dropped
     * before anything downstream pays for them.
     */
-  def gopherRules(docs: DataFrame): DataFrame = {
+  /** The raw per-doc statistics the gopher rules read, aliased under
+    * `prefix` — one projection over `text`, shared by [[gopherRules]]
+    * (audit view) and [[gopherKeep]] (fused scan-side filter) so the
+    * two can never drift.
+    */
+  private def gopherStatCols(prefix: String): Seq[Column] = {
     val arr = split(trim(col("text")), "\\s+")
-    val base = docs.select(
-      col("doc_id"),
-      col("text"),
+    Seq(
       when(length(trim(col("text"))) === 0, 0).otherwise(size(arr))
-        .cast("long").as("n_tokens"),
-      aggregate(arr, lit(0L), (acc, t) => acc + length(t)).as("sum_tok_len"),
-      size(filter(arr, t => t.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
-      size(filter(arr, t => t.isin("-", "*", "•"))).cast("long").as("n_bullet"),
+        .cast("long").as(s"${prefix}n_tokens"),
+      aggregate(arr, lit(0L), (acc, t) => acc + length(t))
+        .as(s"${prefix}sum_tok_len"),
+      size(filter(arr, t => t.rlike("[A-Za-z]"))).cast("long")
+        .as(s"${prefix}n_alpha"),
+      size(filter(arr, t => t.isin("-", "*", "•"))).cast("long")
+        .as(s"${prefix}n_bullet"),
       (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
-        .cast("long").as("n_hash"),
+        .cast("long").as(s"${prefix}n_hash"),
       expr("(length(text) - length(replace(text, '...', ''))) div 3")
-        .as("n_ellipsis"),
+        .as(s"${prefix}n_ellipsis"),
       size(regexp_extract_all(col("text"),
         lit("(?i)\\b(the|be|to|of|and|that|have|with)\\b"), lit(0)))
-        .cast("long").as("n_stop"))
-    base.select(
-      col("doc_id"), col("n_tokens"),
-      (col("n_tokens") >= 50 && col("n_tokens") <= 100000).cast("int")
-        .as("r_wordcount"),
-      (col("n_tokens") > 0 && col("sum_tok_len") >= col("n_tokens") * 3 &&
-        col("sum_tok_len") <= col("n_tokens") * 10).cast("int").as("r_meanlen"),
-      (col("n_tokens") > 0 &&
-        (col("n_hash") + col("n_ellipsis")) * 10 <= col("n_tokens"))
-        .cast("int").as("r_symbol"),
-      (col("n_tokens") > 0 && col("n_bullet") * 5 <= col("n_tokens"))
-        .cast("int").as("r_bullet"),
-      (col("n_tokens") > 0 && col("n_alpha") * 10 >= col("n_tokens") * 8)
-        .cast("int").as("r_alpha"),
-      (col("n_stop") >= 2).cast("int").as("r_stop"))
+        .cast("long").as(s"${prefix}n_stop"))
+  }
+
+  /** The six rule predicates over [[gopherStatCols]]' outputs (read by
+    * NAME so they evaluate over the stat projection, once per stat).
+    */
+  private def gopherRuleExprs(prefix: String): Seq[(String, Column)] = {
+    def c(n: String) = col(s"$prefix$n")
+    Seq(
+      "r_wordcount" -> (c("n_tokens") >= 50 && c("n_tokens") <= 100000),
+      "r_meanlen" -> (c("n_tokens") > 0 &&
+        c("sum_tok_len") >= c("n_tokens") * 3 &&
+        c("sum_tok_len") <= c("n_tokens") * 10),
+      "r_symbol" -> (c("n_tokens") > 0 &&
+        (c("n_hash") + c("n_ellipsis")) * 10 <= c("n_tokens")),
+      "r_bullet" -> (c("n_tokens") > 0 &&
+        c("n_bullet") * 5 <= c("n_tokens")),
+      "r_alpha" -> (c("n_tokens") > 0 &&
+        c("n_alpha") * 10 >= c("n_tokens") * 8),
+      "r_stop" -> (c("n_stop") >= 2))
+  }
+
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val base = docs.select(
+      col("doc_id") +: col("text") +: gopherStatCols(""): _*)
+    val rules = gopherRuleExprs("")
+      .map { case (n, e) => e.cast("int").as(n) }
+    base.select(col("doc_id") +: col("n_tokens") +: rules: _*)
       .withColumn("pass",
         (col("r_wordcount") * col("r_meanlen") * col("r_symbol") *
           col("r_bullet") * col("r_alpha") * col("r_stop")).cast("int"))
   }
+
+  /** `docs` filtered to the rows passing every gopher rule, all input
+    * columns preserved — [[gopherRules]]' `pass = 1` set FUSED into one
+    * scan-side projection+filter. The composition pipelines
+    * ([[graft.ops.PipelineOps.curateV2]]/V3) previously re-attached the
+    * gate verdicts to their own corpus with
+    * `docs ⋈ (gopherRules(docs) WHERE pass = 1)` — a second full scan
+    * plus a corpus-wide SHUFFLE of the text payload, just to recover
+    * rows the filter could keep in place (doc_id is unique, so the
+    * inner self-join on it IS a filter). Same rule expressions via
+    * [[gopherStatCols]]/[[gopherRuleExprs]]; row set provably
+    * identical.
+    */
+  def gopherKeep(docs: DataFrame): DataFrame = {
+    val p = "_g_"
+    val pass = gopherRuleExprs(p).map(_._2).reduce(_ && _)
+    docs.select(col("*") +: gopherStatCols(p): _*)
+      .filter(pass)
+      .drop(GopherStatNames.map(p + _): _*)
+  }
+
+  private val GopherStatNames = Seq("n_tokens", "sum_tok_len", "n_alpha",
+    "n_bullet", "n_hash", "n_ellipsis", "n_stop")
 
   def gopherRulesQuery(s: SparkSession, dir: String): DataFrame =
     gopherRules(Tables.documents(s, dir))

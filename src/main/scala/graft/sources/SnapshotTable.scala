@@ -1150,13 +1150,26 @@ object SnapshotTable {
       else {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(16, moved.size))
-        try moved.map { rel =>
+        // pin a strict collection before the submit/get pipeline: a
+        // lazy Seq would interleave submits with gets and re-serialize
+        // the fan-out (ADVICE r15)
+        val rels = moved.toVector
+        try rels.map { rel =>
           pool.submit(new java.util.concurrent.Callable[
               (Seq[FileStats], Long)] {
             def call(): (Seq[FileStats], Long) =
               footerInfo(s, new Path(rootP, rel), effStatsCols)
           })
-        }.map(_.get())
+        }.map { f =>
+          // surface the ORIGINAL failure, not the pool's wrapper — the
+          // sequential path's callers and logs see the raw
+          // IOException/runtime error (ADVICE r15)
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
         finally pool.shutdown()
       }
     })
@@ -3112,10 +3125,14 @@ object SnapshotTable {
     // caller's delta plan (mergeCore's own cache() call resolves to
     // this same entry; it unpersists in its finally); same conf gate
     // as mergeCore
-    val updates =
-      if (s.conf.get("graft.snapshot.merge.cache", "true").toBoolean)
-        updates0.cache()
-      else updates0
+    // track whether THIS call created the cache: unpersisting in the
+    // finally otherwise evicts a caller-owned cache entry when the conf
+    // gate is off or the caller pre-cached the frame (ADVICE r15)
+    val didCache =
+      s.conf.get("graft.snapshot.merge.cache", "true").toBoolean &&
+        updates0.storageLevel ==
+          org.apache.spark.storage.StorageLevel.NONE
+    val updates = if (didCache) updates0.cache() else updates0
     try {
     val keys: Array[Any] = updates.select(keyCol).distinct()
       .collect().map(_.get(0))
@@ -3153,7 +3170,7 @@ object SnapshotTable {
         case None => true // no usable stats → conservatively rewrite
       }
     }, extraProps)
-    } finally updates.unpersist(blocking = false)
+    } finally if (didCache) updates.unpersist(blocking = false)
   }
 
   /** The shared merge core: `split` partitions the current entries into
@@ -3189,11 +3206,13 @@ object SnapshotTable {
     val doCache =
       s.conf.get("graft.snapshot.merge.cache", "true").toBoolean
     // don't re-cache a frame the public merge() wrapper already pinned
-    // (same entry — but Spark logs a WARN per redundant call)
-    val updates =
-      if (doCache && updates0.storageLevel ==
-          org.apache.spark.storage.StorageLevel.NONE) updates0.cache()
-      else updates0
+    // (same entry — but Spark logs a WARN per redundant call), and only
+    // unpersist in the finally when THIS call created the cache —
+    // unpersisting unconditionally evicted a caller-owned entry when
+    // the gate was off or the caller pre-cached the frame (ADVICE r15)
+    val didCache = doCache && updates0.storageLevel ==
+      org.apache.spark.storage.StorageLevel.NONE
+    val updates = if (didCache) updates0.cache() else updates0
     val base: Option[DataFrame] =
       if (touched.isEmpty) None
       else {
@@ -3244,8 +3263,8 @@ object SnapshotTable {
       partitionCols = partitionColsOf(s, root, cur))
     (id, touched.size, carried.size)
     } finally {
-      updates.unpersist(blocking = false)
-      base.foreach(_.unpersist(blocking = false))
+      if (didCache) updates.unpersist(blocking = false)
+      if (doCache) base.foreach(_.unpersist(blocking = false))
     }
   }
 
@@ -3541,12 +3560,24 @@ object SnapshotTable {
     val cur = currentSnapshot(s, root)
     require(cur > 0L, s"merge into empty table $root: commit first")
     val touchedPaths = touchedFiles(updates, root, keyCol)
-    mergeCore(updates, root, keyCol, allEs => allEs.partition { e =>
+    // mergeLarge exists for deltas too big for the collect path, so
+    // mergeCore's default-on MEMORY_AND_DISK pin of the delta plus
+    // every touched file is exactly the storage pressure this entry
+    // point is meant to dodge: default the working-set cache OFF here
+    // (ADVICE r15), honoring an explicit session-level setting either
+    // way. MEMORY_AND_DISK spills rather than OOMs, so an explicit
+    // opt-in stays safe — it just doubles transient disk.
+    val explicitGate = s.conf.getOption("graft.snapshot.merge.cache")
+    if (explicitGate.isEmpty)
+      s.conf.set("graft.snapshot.merge.cache", "false")
+    try mergeCore(updates, root, keyCol, allEs => allEs.partition { e =>
       e.statsFor(keyCol) match {
         case Some(_) => touchedPaths.contains(e.path)
         case None => true // no usable stats → conservatively rewrite
       }
     })
+    finally if (explicitGate.isEmpty)
+      s.conf.unset("graft.snapshot.merge.cache")
   }
 
   /** OPTIMIZE ZORDER BY for the snapshot layer: rewrite the current
@@ -4428,6 +4459,43 @@ object SnapshotTable {
       s.conf.get("graft.index.compact.min.rows", "2048").toLong,
       s.conf.get("graft.index.compact.target.rows", "65536").toLong,
       maxSmall)
+  }
+
+  /** [[compactOnDebt]] for tables that accrue MERGE-ON-READ debt
+    * (equality deletes / delete vectors) on a maintenance cadence:
+    * while delete entries are live, [[compactIfFragmented]] is a
+    * deliberate no-op (bin-packing raw files would resurrect deleted
+    * rows), so debt-writing maintenance loops would otherwise grow
+    * both the delete count (read-side probes) and the small-file count
+    * without bound. Folds the deletes ([[rewriteDeletes]]) once EITHER
+    * the delete-entry count reaches `graft.index.eqdelete.max.files`
+    * (default 16 — each maintenance pass adds one delta-sized delete,
+    * so read scans pay at most that many extra broadcast probes before
+    * a fold) OR the small-file count crosses the compaction cadence's
+    * own threshold (the fold is what re-opens bin-packing), then runs
+    * the normal [[compactOnDebt]] check. One manifest read decides;
+    * no data IO happens on the no-debt fast path.
+    */
+  def settleOnDebt(s: SparkSession, root: String): Option[(Long, Int, Int)] = {
+    val cur = currentSnapshot(s, root)
+    if (cur > 0L) {
+      val es = entries(s, root, cur)
+      val dels = es.count(_.isDelete)
+      if (dels > 0) {
+        val maxEq =
+          s.conf.get("graft.index.eqdelete.max.files", "16").toInt
+        val maxSmall =
+          s.conf.get("graft.index.compact.max.small", "24").toInt
+        val minRows =
+          s.conf.get("graft.index.compact.min.rows", "2048").toLong
+        val nSmall =
+          es.count(e => !e.isDelete && e.rows.exists(_ < minRows))
+        if ((maxEq > 0 && dels >= maxEq) ||
+            (maxSmall > 0 && nSmall >= maxSmall))
+          rewriteDeletes(s, root)
+      }
+    }
+    compactOnDebt(s, root)
   }
 
   /** The files of the CURRENT snapshot a merge keyed on `keyCol` would

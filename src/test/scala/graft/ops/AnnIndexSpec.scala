@@ -64,6 +64,49 @@ class AnnIndexSpec extends SparkSpec {
       .filter(col("count") =!= 5).count() == 0)
   }
 
+  test("maintenance is O(delta)-write: a pass publishes eq-deletes " +
+      "and appends (no touched-file rewrite); the settle cadence " +
+      "folds the debt") {
+    import spark.implicits._
+    val (corpusRoot, indexRoot) = roots("eqdelta")
+    SnapshotTable.commit(emb.repartitionByRange(4, col("vec_id")),
+      corpusRoot, statsCol = Some("vec_id"))
+    AnnIndex.buildSq8Index(spark, corpusRoot, indexRoot)
+    def files(): Seq[String] = SnapshotTable.fileList(spark, indexRoot,
+      SnapshotTable.currentSnapshot(spark, indexRoot))
+    val before = files().toSet
+    val mods = emb.filter(col("vec_id") % 10 === 3)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(2.0f)))
+    SnapshotTable.merge(mods, corpusRoot, "vec_id")
+    SnapshotTable.deleteWhere(spark, corpusRoot,
+      Seq(GreaterThan("vec_id", 100L), LessThanOrEqual("vec_id", 120L)))
+    AnnIndex.maintainSq8Index(spark, corpusRoot, indexRoot)
+    val after = files()
+    assert(before.subsetOf(after.toSet),
+      s"maintenance must not rewrite index files: lost " +
+        s"${before.diff(after.toSet)}")
+    assert(after.exists(_.startsWith("deletes/eq-")),
+      "both fold halves must be equality-delete commits")
+    // fold cadence: threshold 1 settles on the next pass
+    spark.conf.set("graft.index.eqdelete.max.files", "1")
+    try {
+      SnapshotTable.deleteWhere(spark, corpusRoot,
+        Seq(GreaterThan("vec_id", 130L), LessThanOrEqual("vec_id", 140L)))
+      AnnIndex.maintainSq8Index(spark, corpusRoot, indexRoot)
+      assert(!files().exists(_.startsWith("deletes/")),
+        "the settle cadence must fold eq-delete debt")
+      val frozen = AnnIndex.statsOf(spark, indexRoot)
+      assert(SnapshotTable.read(spark, indexRoot)
+        .select(col("vec_id"), col("codes").cast("string"))
+        .as[(Long, String)].collect().sorted.toSeq ==
+        AnnIndex.quantize(SnapshotTable.read(spark, corpusRoot), frozen)
+          .select(col("vec_id"), col("codes").cast("string"))
+          .as[(Long, String)].collect().sorted.toSeq,
+        "folding the debt must preserve the rows")
+    } finally spark.conf.unset("graft.index.eqdelete.max.files")
+  }
+
   test("maintenance is exactly-once (replay = no-op) and a " +
       "deletes-only cycle advances the floor with an empty append") {
     import spark.implicits._

@@ -86,13 +86,59 @@ class Bm25IndexSpec extends SparkSpec {
     val feed = SnapshotTable.changeFeed(spark, corpusRoot, from, to)
     // simulate the crash: apply the tf half only (delete + append),
     // floor NOT advanced — then run the real pass over the same feed
-    SnapshotTable.deleteByKeys(
-      feed.select("doc_id").distinct(), Bm25Index.tfRoot(indexRoot),
-      "doc_id")
+    // (r16: the real pass's delete half is the eq-delete commit, so
+    // the simulation matches — the replayed delete must outrank and
+    // kill the crashed attempt's rows before re-appending them)
+    SnapshotTable.deleteByKeysEq(
+      feed.select("doc_id").distinct(), Bm25Index.tfRoot(indexRoot))
     Bm25Index.applyFeed(spark, indexRoot, feed, to)
     val (_, diff) = Bm25Index.confluenceAudit(spark, corpusRoot, indexRoot)
     assert(diff == 0L,
       "replay over a half-applied pass must converge, not double-apply")
+  }
+
+  test("maintenance deletes are O(delta): a pass publishes equality " +
+      "deletes (no touched-file rewrite) and the settle cadence folds " +
+      "them back into data files") {
+    import spark.implicits._
+    val b = tmp()
+    val corpusRoot = s"$b/corpus"
+    val indexRoot = s"$b/ix"
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "d e"), (4L, "f"))
+      .toDF("doc_id", "text")
+    SnapshotTable.commit(docs.repartitionByRange(2, col("doc_id")),
+      corpusRoot, statsCol = Some("doc_id"))
+    Bm25Index.buildBm25Index(spark, corpusRoot, indexRoot)
+    val tfR = Bm25Index.tfRoot(indexRoot)
+    def files(root: String): Seq[String] = SnapshotTable.fileList(spark,
+      root, SnapshotTable.currentSnapshot(spark, root))
+    val before = files(tfR).toSet
+    SnapshotTable.merge(Seq((2L, "x y")).toDF("doc_id", "text"),
+      corpusRoot, "doc_id")
+    Bm25Index.maintainBm25Index(spark, corpusRoot, indexRoot)
+    val after = files(tfR)
+    // O(delta) write: every pre-pass data file survives VERBATIM — the
+    // delete half is a delta-sized manifest entry, not a rewrite
+    assert(before.subsetOf(after.toSet),
+      s"maintenance must not rewrite index files: lost " +
+        s"${before.diff(after.toSet)}")
+    assert(after.exists(_.startsWith("deletes/eq-")),
+      "the delete half must be an equality-delete entry")
+    val (_, diff) = Bm25Index.confluenceAudit(spark, corpusRoot, indexRoot)
+    assert(diff == 0L, "reads must apply the eq-delete debt")
+    // fold cadence: with the threshold at 1, the next pass settles the
+    // debt — no delete entries remain and reads stay confluent
+    spark.conf.set("graft.index.eqdelete.max.files", "1")
+    try {
+      SnapshotTable.merge(Seq((3L, "q r")).toDF("doc_id", "text"),
+        corpusRoot, "doc_id")
+      Bm25Index.maintainBm25Index(spark, corpusRoot, indexRoot)
+      assert(!files(tfR).exists(_.startsWith("deletes/")),
+        "the settle cadence must fold eq-delete debt")
+      val (_, diff2) =
+        Bm25Index.confluenceAudit(spark, corpusRoot, indexRoot)
+      assert(diff2 == 0L, "folding the debt must preserve the rows")
+    } finally spark.conf.unset("graft.index.eqdelete.max.files")
   }
 
   test("compaction cadence: repeated maintenance passes keep the index " +

@@ -8,6 +8,21 @@ import graft.SparkSpec
 class PipelineOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("gopherKeep == docs ⋈ (gopherRules WHERE pass = 1): the fused " +
+      "scan-side gate keeps exactly the join's row set, all columns") {
+    val docs = graft.Tables.documents(spark, sfDir)
+    val fused = TextAnalysis.gopherKeep(docs)
+    assert(fused.columns.toSeq == docs.columns.toSeq,
+      "gopherKeep must preserve the input columns verbatim")
+    val joined = docs.join(
+      TextAnalysis.gopherRules(docs).filter(col("pass") === 1)
+        .select("doc_id"), "doc_id")
+      .select(docs.columns.map(col): _*)
+    assert(fused.exceptAll(joined).count() == 0L)
+    assert(joined.exceptAll(fused).count() == 0L)
+    assert(fused.count() > 0L, "the sf0.001 fixture must pass some docs")
+  }
+
   test("mixture sampling: per-source rates honored, deterministic") {
     val docs = graft.Tables.documents(spark, sfDir)
     val out = PipelineOps.queries("pipe_mixture")(spark, sfDir)
