@@ -54,6 +54,27 @@ object R15Prof {
         s.sharedState.cacheManager.clearCache()
         System.gc()
         t("recallHybrid full") { drain(SparkEntry.queries("ann_recall_hybrid")(s, dir)) }
+      case "abeq" =>
+        // r16 A/B: eq-delete vs COW maintenance, alternating within one
+        // JVM so box drift cancels (the mergeProbe pattern). Full gate
+        // runs — build + churn + maintain + audit + search — so the
+        // read-side eq debt is priced too, not just the delete.
+        val gates = Seq("text_bm25_maintained", "ann_sq8_maintained",
+          "stream_bm25_maintain", "stream_ann_maintain")
+        (1 to 8).foreach { i =>
+          val eq = i % 2 == 1
+          s.conf.set("graft.index.maintain.eq", eq.toString)
+          val tag = if (eq) "eq " else "cow"
+          gates.foreach { g =>
+            t(s"$g $tag $i") { drain(SparkEntry.queries(g)(s, dir)) }
+            graft.ops.Dedup.clearShared()
+            s.sharedState.cacheManager.clearCache()
+            s.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            System.gc(); Thread.sleep(50)
+          }
+        }
+        s.conf.unset("graft.index.maintain.eq")
       case "plan" =>
         // dump the executed plan of a query without timing it
         val q = args(1)

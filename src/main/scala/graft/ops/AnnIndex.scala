@@ -218,14 +218,25 @@ object AnnIndex {
     // cadence below. Replay stays idempotent: a replayed pass's
     // deletes outrank the crashed attempt's appends (strictly-older
     // sequence scoping) before re-appending them.
-    if (anyRemovedOnly)
-      SnapshotTable.deleteByKeysEq(removedOnly, indexRoot)
+    // Conf-gated (`graft.index.maintain.eq`, default on) so the COW
+    // form stays A/B-measurable in one JVM; both forms produce
+    // row-identical tables (the eq-delta spec pins it).
+    val eqMode =
+      s.conf.get("graft.index.maintain.eq", "true").toBoolean
+    if (anyRemovedOnly) {
+      if (eqMode) SnapshotTable.deleteByKeysEq(removedOnly, indexRoot)
+      else SnapshotTable.deleteByKeys(removedOnly, indexRoot, "vec_id")
+    }
     val floor = Map(s"stream.$FloorTag.batch" -> throughSnapshot.toString,
       StatsProp -> renderStats(st))
-    if (anyAdds)
-      SnapshotTable.upsertEq(quantize(addRows, st), indexRoot,
-        Seq("vec_id"), extraProps = floor)
-    else // deletes only: advance the floor with an empty append
+    if (anyAdds) {
+      if (eqMode)
+        SnapshotTable.upsertEq(quantize(addRows, st), indexRoot,
+          Seq("vec_id"), extraProps = floor)
+      else
+        SnapshotTable.merge(quantize(addRows, st), indexRoot, "vec_id",
+          extraProps = floor)
+    } else // deletes only: advance the floor with an empty append
       SnapshotTable.commit(
         SnapshotTable.read(s, indexRoot).limit(0), indexRoot,
         props = floor)

@@ -186,20 +186,26 @@ object Bm25Index {
     // cadence below. Replay stays idempotent: a replayed pass's
     // eq-delete outranks (kills) the crashed attempt's appended rows —
     // strictly-older-sequence scoping — before re-appending them.
-    if (anyTouched)
-      SnapshotTable.deleteByKeysEq(touchedKeys, tfRoot(indexRoot))
+    // Conf-gated (`graft.index.maintain.eq`, default on) so the COW
+    // form stays A/B-measurable in one JVM; both forms produce
+    // row-identical tables (the eq-delta spec pins it).
+    val eqMode =
+      s.conf.get("graft.index.maintain.eq", "true").toBoolean
+    def dropKeys(root: String): Unit =
+      if (eqMode) SnapshotTable.deleteByKeysEq(touchedKeys, root)
+      else SnapshotTable.deleteByKeys(touchedKeys, root, "doc_id")
+    if (anyTouched) dropKeys(tfRoot(indexRoot))
     if (anyChanged) {
       val toks = tokensOf(changed).cache()
       try {
         SnapshotTable.commit(tfFromToks(toks), tfRoot(indexRoot),
           statsCol = Some("doc_id"))
-        SnapshotTable.deleteByKeysEq(touchedKeys, dlRoot(indexRoot))
+        dropKeys(dlRoot(indexRoot))
         SnapshotTable.commit(dlFromToks(changed, toks), dlRoot(indexRoot),
           statsCol = Some("doc_id"), props = floor)
       } finally toks.unpersist(blocking = false)
     } else {
-      if (anyTouched)
-        SnapshotTable.deleteByKeysEq(touchedKeys, dlRoot(indexRoot))
+      if (anyTouched) dropKeys(dlRoot(indexRoot))
       SnapshotTable.commit( // deletes only: advance the floor empty
         SnapshotTable.read(s, dlRoot(indexRoot)).limit(0),
         dlRoot(indexRoot), props = floor)

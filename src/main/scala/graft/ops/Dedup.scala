@@ -314,9 +314,21 @@ object Dedup {
     * aggregation is map-side-combined either way) — measured −34% on
     * the whole prefix chain at sf0.1, and one full-frame exchange
     * saved at any scale.
+    *
+    * Conf-gated (`graft.dedup.shingles.prepartition`, default on —
+    * r16, the same measured-both-ways treatment the merge cache got):
+    * at 100 TB the shingle frame is a multiple of corpus size, and on
+    * corpora where the cache-build write cost outweighs the two saved
+    * exchanges (the minhash_error lesson: pre-partitioning loses to
+    * combine-friendly consumers) the gate falls back to the plain
+    * cached frame. MEMORY_AND_DISK either way — spills, never OOMs.
     */
-  private def docShingles(docs: DataFrame): DataFrame =
-    shingles(docs).repartition(col("doc_id")).cache()
+  private def docShingles(docs: DataFrame): DataFrame = {
+    val pre = docs.sparkSession.conf
+      .get("graft.dedup.shingles.prepartition", "true").toBoolean
+    val sh = shingles(docs)
+    (if (pre) sh.repartition(col("doc_id")) else sh).cache()
+  }
 
   /** The prefix index's candidate-pair stage alone — exposed so the
     * scale probe can measure its cardinality (the quantity the 100 TB
@@ -634,8 +646,23 @@ object Dedup {
   def clustersFromPairs(s: SparkSession, pairs: DataFrame): DataFrame = {
     import org.apache.spark.graphx.Graph
     import s.implicits._
-    val edges = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
-    Graph.fromEdgeTuples(edges, defaultValue = 0)
+    val raw = pairs.select(col("doc_a"), col("doc_b")).as[(Long, Long)].rdd
+    // Size the GraphX partitioning from the DATA, not the session
+    // default (r16): near-dup pair lists are O(dup docs) — tiny next to
+    // the corpus — while Pregel pays per-partition scheduling and
+    // shuffle-block overhead EVERY iteration, so a handful of edges
+    // spread over defaultParallelism partitions turns CC into pure
+    // scheduling noise that gets WORSE with more cores (the
+    // dedup_canonical 8-vs-32-core inversion flagged in r15). Persist
+    // the edge list (GraphX materializes it anyway), count it once —
+    // cheap off the persisted blocks — and pack ~1M edges per
+    // partition; a billion-pair run still fans wide.
+    val edges = raw.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = edges.count()
+    val parts = math.max(1, math.min(edges.getNumPartitions,
+      (n >> 20).toInt + 1))
+    Graph.fromEdgeTuples(edges.coalesce(parts), defaultValue = 0)
       .connectedComponents()
       .vertices
       .toDF("doc_id", "canonical")

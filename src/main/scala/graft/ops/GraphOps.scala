@@ -65,11 +65,18 @@ object GraphOps {
         .filter(col("src").isNotNull)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     }
-    val outw = edges.groupBy("src").agg(sum(col("w")).as("out_w"))
-    // cache the edge list PRE-PARTITIONED on src: every iteration's
-    // rank⋈edges equi-join reuses this partitioning, so only the (tiny)
-    // rank vector moves per iteration
-    val ew = edges.join(outw, "src").repartition(col("src")).cache()
+    // out_w as a WINDOW SUM over the src partition (r16): the former
+    // groupBy+self-join computed the edge subplan TWICE (once per join
+    // side) and then re-shuffled the joined result onto src — the
+    // window derives the same per-src total in the one exchange the
+    // cache layout needs anyway (hashpartitioning(src)), so the edge
+    // list is built in ONE pass with ONE shuffle fewer. Every
+    // iteration's rank⋈edges equi-join reuses this partitioning, so
+    // only the (tiny) rank vector moves per iteration.
+    val ew = edges
+      .withColumn("out_w",
+        sum(col("w")).over(Window.partitionBy(col("src"))))
+      .cache()
     val nodes = ev.select(col("item").as("node")).distinct().cache()
     val n = nodes.count()
     if (n == 0) {
@@ -139,11 +146,14 @@ object GraphOps {
         .filter(col("src").isNotNull)
         .groupBy("src", "dst").agg(count(lit(1)).as("w"))
     }
-    val outw = edges.groupBy("src").agg(sum(col("w")).as("out_w"))
-    val ew = edges.join(outw, "src")
+    // window-sum out_w in the src-partition exchange the cache needs
+    // anyway — one edge pass, one shuffle fewer (see pagerank, r16)
+    val ew = edges
+      .withColumn("out_w",
+        sum(col("w")).over(Window.partitionBy(col("src"))))
       .withColumn("tel_src",
         (col("src") % PprSeedMod === 0).cast("long"))
-      .repartition(col("src")).cache()
+      .cache()
     val nodes = ev.select(col("item").as("node")).distinct().cache()
     val nSeeds = nodes.filter(col("node") % PprSeedMod === 0).count()
     if (nSeeds == 0)
@@ -678,20 +688,28 @@ object GraphOps {
     var auth = nodes.select(col("node"), lit(HitsScale).as("a"))
     var hub: DataFrame = null
     for (_ <- 1 to HitsIters) {
+      // the normalization divisor stays IN the plan (r16): the former
+      // `.agg(max).head` pulled it to the driver — one extra job per
+      // half-step, 4 blocking driver round trips per iteration for a
+      // scalar the broadcast cross-join derives from the SAME
+      // checkpointed frame for free. Arithmetic identical:
+      // div = max div HitsScale + 1, all int64.
       val hRaw = edgesByDst
         .join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node"))
         .agg(sum(col("w") * col("a")).as("hr"))
         .localCheckpoint(true)
-      val hd = hRaw.agg(max(col("hr"))).head.getLong(0) / HitsScale + 1L
-      hub = hRaw.select(col("node"), expr(s"hr div $hd").as("h"))
+      val hMax = hRaw.agg(max(col("hr")).as("hm"))
+      hub = hRaw.crossJoin(broadcast(hMax))
+        .select(col("node"), expr(s"hr div (hm div $HitsScale + 1)").as("h"))
       val aRaw = edgesBySrc
         .join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(sum(col("w") * col("h")).as("ar"))
         .localCheckpoint(true)
-      val ad = aRaw.agg(max(col("ar"))).head.getLong(0) / HitsScale + 1L
-      auth = aRaw.select(col("node"), expr(s"ar div $ad").as("a"))
+      val aMax = aRaw.agg(max(col("ar")).as("am"))
+      auth = aRaw.crossJoin(broadcast(aMax))
+        .select(col("node"), expr(s"ar div (am div $HitsScale + 1)").as("a"))
     }
     nodes
       .join(hub.select(col("node"), col("h")), Seq("node"), "left")

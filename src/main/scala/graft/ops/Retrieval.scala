@@ -153,13 +153,22 @@ object Retrieval {
   def hybridIvfPq(s: SparkSession, dir: String): DataFrame =
     hybridFusion(s, dir, Similarity.annIvfPq(s, dir))
 
+  /** The lexical arm both fusions share: BM25 top-k reduced to
+    * (query_id, doc_id, lex_rank) — at most QueryDocs × TopK rows.
+    */
+  private def lexArm(s: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables.documents(s, dir))
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+
   /** Shared fusion body: any vector arm with (query_id, neighbor_id,
     * rank) fuses with the BM25 arm by reciprocal-rank arithmetic.
     */
   private def hybridFusion(s: SparkSession, dir: String,
+      vecArm: => DataFrame): DataFrame =
+    hybridFusionOf(lexArm(s, dir), vecArm)
+
+  private def hybridFusionOf(lex: DataFrame,
       vecArm: => DataFrame): DataFrame = {
-    val lex = bm25TopK(Tables.documents(s, dir))
-      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
     val vec = vecArm
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("vec_rank"))
@@ -186,8 +195,19 @@ object Retrieval {
     * shape as every other recall report.
     */
   def recallHybrid(s: SparkSession, dir: String): DataFrame = {
-    val exact = hybridRrf(s, dir).select("query_id", "doc_id")
-    val approx = hybridIvfPq(s, dir)
+    // ONE lexical arm for both fusions (r16): exact and approx each
+    // embedded their own full bm25TopK subtree — the whole corpus
+    // tokenize + postings aggregation ran twice per recall report. The
+    // arm's output is ≤ QueryDocs × TopK rows; cache it and both
+    // fusions read the same computed ranks (released by the suite's
+    // per-query cache hygiene).
+    val lex = lexArm(s, dir).cache()
+    val exact = hybridFusionOf(lex,
+        Similarity.bruteForceTopK(
+          Tables.embeddings(s, dir), Similarity.queryVectors(s, dir),
+          Similarity.DefaultK))
+      .select("query_id", "doc_id")
+    val approx = hybridFusionOf(lex, Similarity.annIvfPq(s, dir))
       .select(col("query_id"), col("doc_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("query_id", "doc_id"), "left_outer")
       .groupBy("query_id")

@@ -40,6 +40,19 @@ class PlanShapeLockSpec extends AnyFunSuite {
   // minhash_error's SIGNATURE fold deliberately stays on the raw
   // shingle stream (its 32-way min agg is map-side-combined; feeding
   // it the pre-partitioned cache measured 4.2→7.4 s).
+  // r16 re-records (all deliberate):
+  //  - graph_pagerank/graph_ppr 10 SMJ/37 shuffles -> 5/22: out_w is a
+  //    window sum inside the src-partition exchange, so the printed
+  //    tree loses the per-iteration edges⋈outw join and its exchanges;
+  //  - graph_hits +2 BNLJ/+2 shuffles: the per-half-step normalization
+  //    divisor moved INTO the plan as a broadcast 1-row cross-join
+  //    (replacing 2 driver collect actions per iteration);
+  //  - pipe_curate_v3 BHJ 122 -> 38: the gopher gate is fused into the
+  //    scan (gopherKeep), so the gated subtree no longer repeats the
+  //    docs⋈rules broadcast join under every cached reference;
+  //  - ann_sq8_maintained +2 BHJ: the maintained index now carries
+  //    equality deletes and the search scan applies them as two
+  //    broadcast anti-join probes (the cheap join kind, by design).
   val locked: Map[String, PlanShape] = Map(
     "dedup_minhash_error" -> PlanShape(0, 9, 0, 0, 29),
     "dedup_clusters" -> PlanShape(0, 0, 0, 0, 0),
@@ -49,7 +62,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "graph_triangles" -> PlanShape(0, 8, 2, 0, 46),
     "graph_bfs_landmarks" -> PlanShape(0, 15, 0, 0, 186),
     "graph_neighbor_jaccard" -> PlanShape(0, 3, 0, 0, 19),
-    "graph_pagerank" -> PlanShape(0, 10, 0, 0, 37),
+    "graph_pagerank" -> PlanShape(0, 5, 0, 0, 22),
     "pipe_fuzzy_match" -> PlanShape(0, 1, 0, 0, 0),
     "ann_pq_refine" -> PlanShape(0, 2, 2, 0, 4),
     "dedup_semantic_clusters" -> PlanShape(0, 0, 0, 0, 0),
@@ -106,7 +119,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // hits: the 2 SMJs are the final node ⋈ hub ⋈ auth left joins
     // (both sides node-partitioned post-agg); the shuffle count is
     // print multiplicity of the cached node-set subtree
-    "graph_hits" -> PlanShape(2, 0, 0, 0, 28),
+    "graph_hits" -> PlanShape(2, 0, 2, 0, 30),
     "wh_ivm_agg" -> PlanShape(0, 1, 0, 0, 2),
     "pipe_dataset_card" -> PlanShape(0, 0, 0, 0, 2),
     "pipe_bloom_decontam" -> PlanShape(1, 3, 0, 0, 16),
@@ -117,7 +130,7 @@ class PlanShapeLockSpec extends AnyFunSuite {
     // the DSv2 snapshot read is a stock parquet scan + the two-version
     // join, no extra exchanges from the connector
     "pipe_shuffle_shard" -> PlanShape(0, 1, 0, 0, 1),
-    "pipe_curate_v3" -> PlanShape(42, 122, 3, 0, 124),
+    "pipe_curate_v3" -> PlanShape(42, 38, 3, 0, 124),
     "fmt_snapshot_dsv2" -> PlanShape(0, 1, 1, 0, 3),
     // round-10 session-2: both are a pruned-file-list parquet scan into
     // one aggregation — no joins, the one exchange is the final agg
@@ -237,14 +250,14 @@ class PlanShapeLockSpec extends AnyFunSuite {
     "ml_logreg_irls" -> PlanShape(0, 0, 0, 0, 1),
     // ppr: identical shape to graph_pagerank — same loop, only the
     // teleport vector differs
-    "graph_ppr" -> PlanShape(0, 10, 0, 0, 37),
+    "graph_ppr" -> PlanShape(0, 5, 0, 0, 22),
     // round-12: refs gate = head groupBy + two broadcast scalar audits;
     // bloom gate = the present-leg broadcast join (the absent leg runs
     // before the returned plan); maintained-index search = one ADC
     // window over the index scan with the broadcast query side
     "fmt_snapshot_refs" -> PlanShape(0, 0, 2, 0, 3),
     "fmt_snapshot_bloom" -> PlanShape(0, 1, 0, 0, 1),
-    "ann_sq8_maintained" -> PlanShape(0, 0, 1, 0, 1))
+    "ann_sq8_maintained" -> PlanShape(0, 2, 1, 0, 1))
 
   test("top-20 query plan shapes match the locked snapshot") {
     val record = sys.env.get("PLAN_LOCK_RECORD").contains("1")

@@ -126,6 +126,20 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("quantile exact reference: the distributed two-pass cumsum " +
+      "(graft.quantile.exact.parts > 1) equals the global-window path " +
+      "row-for-row") {
+    val plain = Sketches.quantileSketch(graft.Tables.orders(spark, sfDir))
+      .as[(Int, Long, Long, Long, Long)].collect().sorted.toSeq
+    spark.conf.set("graft.quantile.exact.parts", "7")
+    try {
+      val dist = Sketches.quantileSketch(graft.Tables.orders(spark, sfDir))
+        .as[(Int, Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(dist == plain,
+        "range-partitioned cumsum must reconstruct the global running sum")
+    } finally spark.conf.unset("graft.quantile.exact.parts")
+  }
+
   test("streaming HLL equals the batch HLL sketch exactly") {
     val batch = Sketches.hllDistinct(graft.Tables.documents(spark, sfDir))
       .as[(String, Long, Long, Long, Long, Long)].collect().sorted.toSeq
