@@ -33,6 +33,11 @@ object R15Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // optional session conf overrides for plan/A-B probes:
+    // SPARK_GRAFT_CONF="k=v,k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); s.conf.set(k, v)
+    })
     // warm like the bench
     SparkEntry.entry(s).write.format("noop").mode("overwrite").save()
     args.headOption.getOrElse("bm25") match {

@@ -842,6 +842,24 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     tablePath(ident).toString
   }
 
+  /** Run an index-maintenance body with the COW delete form forced:
+    * the SQL lifecycle's contract is that the index tables stay
+    * DSv2-addressable (catalog scans REFUSE merge-on-read debt, by
+    * design), so the procedures must not leave eq-delete entries
+    * behind — and COW directly is strictly cheaper than eq-delete +
+    * an immediate fold. The library surface (`applyFeed` callers that
+    * read via SnapshotTable.read) keeps the eq fast path.
+    */
+  private def cowMaintain[A](body: => A): A = {
+    val prev = spark.conf.getOption("graft.index.maintain.eq")
+    spark.conf.set("graft.index.maintain.eq", "false")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set("graft.index.maintain.eq", v)
+      case None => spark.conf.unset("graft.index.maintain.eq")
+    }
+  }
+
   /** One self-bound procedure: fixed IN parameters (name, type,
     * optional SQL default), a one-row result schema, and the action.
     */
@@ -962,8 +980,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         Seq(("table", StringType, None), ("index_table", StringType, None)),
         Seq(("maintained_through", LongType)),
         { case Seq(t: String, ix: String) =>
-          Seq(Long.box(graft.ops.AnnIndex.maintainSq8Index(
-            spark, rootOf(t), rootOf(ix)))) }),
+          Seq(Long.box(cowMaintain(graft.ops.AnnIndex.maintainSq8Index(
+            spark, rootOf(t), rootOf(ix))))) }),
       Proc("build_bm25_index",
         "build the maintained BM25 index (tf/dl snapshot tables) of " +
           "`table`'s doc_id/text columns under `index_prefix` — the " +
@@ -985,8 +1003,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           ("index_prefix", StringType, None)),
         Seq(("maintained_through", LongType)),
         { case Seq(t: String, ix: String) =>
-          Seq(Long.box(graft.ops.Bm25Index.maintainBm25Index(
-            spark, rootOf(t), newRootOf(ix)))) }),
+          Seq(Long.box(cowMaintain(graft.ops.Bm25Index.maintainBm25Index(
+            spark, rootOf(t), newRootOf(ix))))) }),
       Proc("create_tag",
         "pin snapshot `version` (default: current) under an immutable " +
           "name; expire keeps tagged snapshots alive until drop_ref",
